@@ -1,0 +1,85 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate: run graft.Verify at a given
+SF, then execute each oracle SQL in DuckDB over the same parquet tables and
+compare (column names, row counts, values) with the Spark parquet output.
+Usage: python3 scripts/local_verify.py [sfDir] [outDir] [--skip-spark]
+"""
+import json, math, os, subprocess, sys, glob
+
+import duckdb
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/verify_out"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def run_spark():
+    env = dict(os.environ, SPARK_GRAFT_CPUS="8")
+    r = subprocess.run(
+        ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
+        cwd="/root/repo", env=env, capture_output=True, text=True)
+    sys.stdout.write("\n".join(r.stdout.splitlines()[-5:]) + "\n")
+    if r.returncode != 0:
+        print(r.stderr[-3000:])
+        sys.exit(1)
+
+
+def norm_val(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.10g}"
+    return str(v)
+
+
+def compare():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+    results = {}
+    for name in sorted(os.listdir(OUT)):
+        dirp = f"{OUT}/{name}"
+        if not os.path.isdir(dirp):
+            continue
+        files = glob.glob(f"{dirp}/*.parquet")
+        got = con.execute(f"SELECT * FROM read_parquet({files!r})").fetchall()
+        got_cols = [d[0] for d in con.description]
+        if name not in oracle:
+            results[name] = f"ROWS_ONLY rows={len(got)}"
+            continue
+        try:
+            want = con.execute(oracle[name]).fetchall()
+            want_cols = [d[0] for d in con.description]
+        except Exception as ex:
+            results[name] = f"ORACLE_ERROR {ex}"
+            continue
+        if sorted(got_cols) != sorted(want_cols):
+            results[name] = f"SCHEMA_MISMATCH got={got_cols} want={want_cols}"
+            continue
+        # driver sorts columns by name before hashing values
+        gperm = [got_cols.index(c) for c in sorted(got_cols)]
+        wperm = [want_cols.index(c) for c in sorted(want_cols)]
+        g = [tuple(norm_val(r[i]) for i in gperm) for r in got]
+        w = [tuple(norm_val(r[i]) for i in wperm) for r in want]
+        if len(g) != len(w):
+            results[name] = f"ROWCOUNT got={len(g)} want={len(w)}"
+        elif g != w:
+            diffs = [(i, a, b) for i, (a, b) in enumerate(zip(g, w)) if a != b][:3]
+            results[name] = f"VALUE_MISMATCH rows={len(g)} first_diffs={diffs}"
+        else:
+            results[name] = f"OK rows={len(g)}"
+    width = max(len(n) for n in results)
+    nok = 0
+    for n, r in sorted(results.items()):
+        print(f"{n:<{width}}  {r}")
+        nok += r.startswith("OK") or r.startswith("ROWS_ONLY")
+    print(f"== {nok}/{len(results)} pass")
+
+
+if __name__ == "__main__":
+    if "--skip-spark" not in sys.argv:
+        run_spark()
+    compare()

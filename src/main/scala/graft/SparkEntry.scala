@@ -1,13 +1,388 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.operators.Analytics
+import graft.text.TextOps
+import graft.tsdb.{EsFilter, Tsdb}
+
+/** Driver contract — see /root/repo/SURVEY.md §2 for the inventory.
+  *
+  * Conventions shared by every (query, oracle) pair so results hash-match:
+  * timestamps surface as epoch-millis BIGINT; double aggregates go through
+  * exact DECIMAL(18,4) partial sums and return as rounded DOUBLE; integer
+  * outputs are BIGINT on both sides; every result is fully ordered by its
+  * output columns (or an explicit top-N order).
+  */
 object SparkEntry {
+
+  // 2024-01-08T00:00Z .. 2024-01-22T00:00Z — inside the events table's range.
+  private val Start = 1704672000000L
+  private val End   = 1705881600000L
+  private val Far   = 1706659200000L // 2024-01-31, past the last event
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Analytics.q1Agg(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 core TSDB surface
+    "ts_read" -> ((s, d) => Tsdb.read(Tsdb.points(s, d),
+      EsFilter.compile("""{"term":{"user_id":42}}"""), Start, End)),
+    "ts_read_filter_bool" -> ((s, d) => Tsdb.read(Tsdb.points(s, d),
+      EsFilter.compile(
+        """{"bool":{
+             "must":[{"range":{"value":{"gte":50}}},
+                     {"bool":{"should":[{"term":{"event_type":"purchase"}},
+                                        {"term":{"event_type":"click"}}]}}],
+             "must_not":[{"term":{"user_id":7}}]}}"""), Start, End)),
+    "ts_read_filter_range" -> ((s, d) => Tsdb.read(Tsdb.points(s, d),
+      EsFilter.compile(
+        """{"and":[{"range":{"user_id":{"gte":10,"lt":30}}},
+                   {"range":{"value":{"gt":100}}}]}"""), Start, End)),
+    "ts_read_filter_wildcard" -> ((s, d) => Tsdb.read(Tsdb.points(s, d),
+      EsFilter.compile(
+        """{"or":[{"prefix":{"event_type":"si"}},
+                  {"wildcard":{"event_type":"*rror"}}]}"""), Start, End)),
+    "ts_count" -> ((s, d) => Tsdb.countPoints(Tsdb.points(s, d),
+      EsFilter.compile("""{"match_all":{}}"""), 0L, Far)),
+    "ts_series" -> ((s, d) => Tsdb.seriesList(Tsdb.points(s, d),
+      EsFilter.compile("""{"match_all":{}}"""), Start, End)),
+    "ts_select_distinct" -> ((s, d) => Tsdb.selectDistinct(Tsdb.points(s, d),
+      EsFilter.compile("""{"match_all":{}}"""), Seq("event_type"))),
+    "ts_select_distinct_missing" -> ((s, d) => Tsdb.selectDistinct(Tsdb.points(s, d),
+      EsFilter.compile("""{"match_all":{}}"""), Seq("event_type", "region"))),
+    "ts_bucket_stats" -> ((s, d) => Tsdb.bucketStats(Tsdb.points(s, d))),
+    "ts_retention" -> ((s, d) => Tsdb.retentionSurvivors(Tsdb.points(s, d), keepDays = 14)),
+    "ts_ingest_validate" -> ((s, d) => Tsdb.ingestValidate(Tsdb.points(s, d))),
+    "ts_ingest_dedup_meta" -> ((s, d) => Tsdb.ingestDedupMeta(Tsdb.points(s, d))),
+    // §2.2 analytical operators
+    "q1_agg" -> ((s, d) => Analytics.q1Agg(s, d)),
+    "q3_join_agg" -> ((s, d) => Analytics.q3JoinAgg(s, d)),
+    "q5_multi_join" -> ((s, d) => Analytics.q5MultiJoin(s, d)),
+    "group_distinct" -> ((s, d) => Analytics.groupDistinct(s, d)),
+    "window_topn" -> ((s, d) => Analytics.windowTopN(s, d)),
+    "window_running" -> ((s, d) => Analytics.windowRunning(s, d)),
+    "sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
+    "downsample" -> ((s, d) => Analytics.downsample(s, d)),
+    "asof_join" -> ((s, d) => Analytics.asofJoin(s, d)),
+    "pivot_agg" -> ((s, d) => Analytics.pivotAgg(s, d)),
+    "percentiles" -> ((s, d) => Analytics.percentiles(s, d)),
+    "topk_global" -> ((s, d) => Analytics.topkGlobal(s, d)),
+    "range_join" -> ((s, d) => Analytics.rangeJoin(s, d)),
+    // §2.3 LLM-training-data pipeline operators
+    "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(s, d)),
+    "ann_topk" -> ((s, d) => Ann.bruteForceTopK(s, d)),
+    "ann_lsh" -> ((s, d) => Ann.lshTopK(s, d)),
+    "text_langid" -> ((s, d) => TextOps.langId(s, d)),
+    "text_quality" -> ((s, d) => TextOps.quality(s, d)),
+    "text_tokens" -> ((s, d) => TextOps.tokenCounts(s, d)),
+    "text_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
+    "mm_meta" -> ((s, d) => Multimodal.meta(s, d)))
+
+  // ---- DuckDB oracles ------------------------------------------------------
+
+  private val NormSql = """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
+
+  /** doc_id -> distinct 3-shingles, shared by the jaccard/minhash oracles. */
+  private val ShingleCte =
+    s"""t0 AS (SELECT doc_id, string_split($NormSql, ' ') AS toks FROM documents),
+        sh AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS shingle
+               FROM t0, UNNEST(range(1, len(toks)-1)) AS u(i) WHERE len(toks) >= 3)"""
+
+  /** vec_id -> (i, x) double components + norms, shared by cosine oracles. */
+  private val VecCte =
+    """ev AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+                     generate_subscripts(embedding, 1) AS i FROM embeddings),
+       vn AS (SELECT vec_id, sum(x*x) AS nsq FROM ev GROUP BY vec_id)"""
+
+  private def dsumSql(e: String, scale: Int = 2) =
+    s"round(CAST(sum(CAST($e AS DECIMAL(18,4))) AS DOUBLE), $scale)"
+  private def davgSql(e: String) =
+    s"round(CAST(sum(CAST($e AS DECIMAL(18,4))) AS DOUBLE) / count($e), 4)"
+
+  def oracleSql: Map[String, String] = Map(
+    "ts_read" ->
+      s"""SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events
+          WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End AND user_id = 42
+          ORDER BY 1, 2, 3, 4""",
+    "ts_read_filter_bool" ->
+      s"""SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events
+          WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
+            AND value >= 50 AND event_type IN ('purchase', 'click') AND NOT user_id = 7
+          ORDER BY 1, 2, 3, 4""",
+    "ts_read_filter_range" ->
+      s"""SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events
+          WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
+            AND user_id >= 10 AND user_id < 30 AND value > 100
+          ORDER BY 1, 2, 3, 4""",
+    "ts_read_filter_wildcard" ->
+      s"""SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events
+          WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
+            AND (event_type LIKE 'si%' OR event_type LIKE '%rror')
+          ORDER BY 1, 2, 3, 4""",
+    "ts_count" ->
+      s"""SELECT user_id, event_type, count(*) AS n FROM events
+          WHERE epoch_ms(ts) >= 0 AND epoch_ms(ts) < $Far
+          GROUP BY 1, 2 ORDER BY 1, 2, 3""",
+    "ts_series" ->
+      s"""SELECT DISTINCT user_id, event_type FROM events
+          WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End ORDER BY 1, 2""",
+    "ts_select_distinct" ->
+      "SELECT DISTINCT event_type FROM events ORDER BY 1",
+    "ts_select_distinct_missing" ->
+      "SELECT DISTINCT event_type, CAST(NULL AS VARCHAR) AS region FROM events ORDER BY 1, 2",
+    "ts_bucket_stats" ->
+      s"""SELECT CAST(floor(epoch_ms(ts)/86400000.0/7)*7 AS BIGINT) AS bucket_day,
+                 user_id, event_type, count(*) AS n,
+                 min(epoch_ms(ts) % 604800000) AS min_offset,
+                 max(epoch_ms(ts) % 604800000) AS max_offset,
+                 ${dsumSql("value")} AS sum_value
+          FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3, 4, 5, 6, 7""",
+    "ts_retention" ->
+      """WITH t AS (SELECT CAST(floor(epoch_ms(ts)/86400000.0) AS BIGINT) AS day,
+                           CAST(floor(epoch_ms(ts)/86400000.0/7)*7 AS BIGINT) AS bucket_day
+                    FROM events),
+              mx AS (SELECT max(day) AS today FROM t)
+         SELECT bucket_day, count(*) AS n FROM t, mx
+         WHERE least(bucket_day + 6, today) > today - 14
+         GROUP BY 1 ORDER BY 1, 2""",
+    "ts_ingest_validate" ->
+      """SELECT ts IS NOT NULL AS time_ok,
+                (value IS NOT NULL AND NOT isnan(value)) AS value_ok,
+                count(*) AS n
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2, 3""",
+    "ts_ingest_dedup_meta" ->
+      """SELECT CAST(floor(epoch_ms(ts)/86400000.0/7)*7 AS BIGINT) AS bucket_day,
+                user_id, event_type, min(epoch_ms(ts)) AS first_ts_ms, count(*) AS n
+         FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3, 4, 5""",
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+                 ${dsumSql("l_quantity")} AS sum_qty,
+                 ${dsumSql("l_extendedprice")} AS sum_base_price,
+                 ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+                 ${davgSql("l_quantity")} AS avg_qty,
+                 ${davgSql("l_discount")} AS avg_disc,
+                 count(*) AS count_order
+          FROM lineitem WHERE epoch_ms(l_shipdate) < 905817600000
+          GROUP BY 1, 2 ORDER BY 1, 2, 3, 4, 5, 6, 7, 8""",
+    "q3_join_agg" ->
+      s"""SELECT o_orderkey, epoch_ms(o_orderdate) AS o_orderdate_ms,
+                 ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN lineitem ON l_orderkey = o_orderkey
+          WHERE c_mktsegment = 'BUILDING'
+            AND epoch_ms(o_orderdate) < 827366400000
+            AND epoch_ms(l_shipdate) > 827366400000
+          GROUP BY 1, 2 ORDER BY revenue DESC, o_orderkey LIMIT 10""",
+    "q5_multi_join" ->
+      s"""SELECT n_name, ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'
+            AND epoch_ms(o_orderdate) >= 820454400000 AND epoch_ms(o_orderdate) < 852076800000
+          GROUP BY 1 ORDER BY 1, 2""",
+    "group_distinct" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers, count(*) AS n_orders
+         FROM orders GROUP BY 1 ORDER BY 1, 2, 3""",
+    "window_topn" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+                  row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+           FROM orders WHERE o_custkey < 200)
+         WHERE rn <= 3 ORDER BY 1, 2, 3, 4""",
+    "window_running" ->
+      """SELECT user_id, event_id, epoch_ms(ts) AS time_ms,
+                round(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
+                  PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+                  AS running_sum,
+                lag(epoch_ms(ts), 1) OVER (
+                  PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
+         FROM events WHERE user_id < 20 ORDER BY 1, 2, 3, 4, 5""",
+    "sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tms FROM events),
+              f AS (SELECT user_id, event_id, tms,
+                      CASE WHEN tms - lag(tms, 1) OVER w > 3600000
+                             OR lag(tms, 1) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+                    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tms, event_id)),
+              s AS (SELECT user_id, tms,
+                      CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY tms, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                        AS session_id
+                    FROM f)
+         SELECT user_id, session_id, min(tms) AS start_ms, max(tms) AS end_ms,
+                count(*) AS n_events
+         FROM s GROUP BY 1, 2 ORDER BY 1, 2, 3, 4, 5""",
+    "downsample" ->
+      """SELECT CAST(floor(epoch_ms(ts)/3600000.0) AS BIGINT) AS hour_bucket, event_type,
+                count(*) AS n,
+                round(round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value), 4), 4)
+                  AS avg_value,
+                max(value) AS max_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2, 3, 4, 5""",
+    "asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS tms
+                    FROM events WHERE user_id < 50),
+              j AS (SELECT e.event_id, e.user_id, o.o_orderkey,
+                           epoch_ms(o.o_orderdate) AS oms,
+                           row_number() OVER (PARTITION BY e.event_id
+                             ORDER BY epoch_ms(o.o_orderdate) DESC, o.o_orderkey DESC) AS rn
+                    FROM e JOIN orders o
+                      ON e.user_id = o.o_custkey AND epoch_ms(o.o_orderdate) <= e.tms)
+         SELECT event_id, user_id, o_orderkey, oms AS asof_order_ms
+         FROM j WHERE rn = 1 ORDER BY 1, 2, 3, 4""",
+    "pivot_agg" -> {
+      def b(t: String) = dsumSql(s"CASE WHEN event_type = '$t' THEN value ELSE 0.0 END") +
+        s" AS ${t}_sum"
+      s"""SELECT user_id, ${b("purchase")}, ${b("click")}, ${b("view")}, ${b("signup")},
+                 ${b("error")}, count(*) AS n
+          FROM events GROUP BY 1 ORDER BY 1, 2, 3, 4, 5, 6, 7"""
+    },
+    "percentiles" ->
+      """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,
+                round(quantile_cont(value, 0.95), 4) AS p95, count(*) AS n
+         FROM events GROUP BY 1 ORDER BY 1, 2, 3, 4""",
+    "topk_global" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+         ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""",
+    "range_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS tms FROM events)
+         SELECT a.event_type AS a_type, b.event_type AS b_type, count(*) AS n_pairs
+         FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_id <> b.event_id
+           AND b.tms >= a.tms AND b.tms < a.tms + 21600000
+         GROUP BY 1, 2 ORDER BY 1, 2, 3""",
+    "dedup_exact" ->
+      s"""SELECT md5($NormSql) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
+          FROM documents GROUP BY 1 ORDER BY 1, 2, 3""",
+    "dedup_ngram_jaccard" ->
+      s"""WITH $ShingleCte,
+              sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+              i AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS ni
+                    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2)
+          SELECT a_id, b_id, round(ni*1.0/(sa.n + sb.n - ni), 4) AS jaccard
+          FROM i JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+          WHERE round(ni*1.0/(sa.n + sb.n - ni), 4) >= 0.8 ORDER BY 1, 2, 3""",
+    "dedup_minhash" ->
+      s"""WITH $ShingleCte,
+              sigs AS (SELECT doc_id, seed,
+                              min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS sig
+                       FROM sh, UNNEST(range(0, 16)) AS u(seed) GROUP BY 1, 2),
+              bands AS (SELECT doc_id, seed // 4 AS band,
+                               md5(string_agg(sig, ',' ORDER BY seed)) AS band_key
+                        FROM sigs GROUP BY 1, 2)
+          SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+          ORDER BY 1, 2""",
+    "dedup_simhash" ->
+      s"""WITH t0 AS (SELECT doc_id, string_split($NormSql, ' ') AS toks FROM documents),
+              tok AS (SELECT DISTINCT doc_id, md5(t) AS h
+                      FROM (SELECT doc_id, unnest(toks) AS t FROM t0)),
+              bits AS (SELECT doc_id, b,
+                         (CAST(floor((strpos('0123456789abcdef',
+                            substr(h, CAST(b // 4 AS INT) + 1, 1)) - 1)
+                            / power(2, 3 - b % 4)) AS BIGINT) % 2 = 1) AS bit
+                       FROM tok, UNNEST(range(0, 64)) AS u(b)),
+              signs AS (SELECT doc_id, b,
+                          (CAST(sum(CASE WHEN bit THEN 1 ELSE -1 END) AS BIGINT) > 0) AS sbit
+                        FROM bits GROUP BY 1, 2)
+          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 CAST(sum(CASE WHEN a.sbit <> b.sbit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+          FROM signs a JOIN signs b ON a.b = b.b AND a.doc_id < b.doc_id
+          GROUP BY 1, 2 HAVING hamming <= 8 ORDER BY 1, 2, 3""",
+    "dedup_embedding" ->
+      s"""WITH $VecCte,
+              dots AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, sum(a.x*b.x) AS dot
+                       FROM ev a JOIN ev b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY 1, 2)
+          SELECT a_id, b_id, round(dot/sqrt(na.nsq*nb.nsq), 6) AS cosine
+          FROM dots JOIN vn na ON na.vec_id = a_id JOIN vn nb ON nb.vec_id = b_id
+          WHERE round(dot/sqrt(na.nsq*nb.nsq), 6) >= 0.4 ORDER BY 1, 2, 3""",
+    "ann_topk" ->
+      s"""WITH $VecCte,
+              dots AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, sum(a.x*b.x) AS dot
+                       FROM ev a JOIN ev b ON a.i = b.i AND a.vec_id <> b.vec_id
+                       WHERE a.vec_id < 20 GROUP BY 1, 2),
+              c AS (SELECT q_id, n_id, round(dot/sqrt(nq.nsq*nn.nsq), 6) AS cosine
+                    FROM dots JOIN vn nq ON nq.vec_id = q_id JOIN vn nn ON nn.vec_id = n_id),
+              r AS (SELECT q_id, n_id, cosine,
+                      CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY cosine DESC, n_id) AS BIGINT) AS rank
+                    FROM c)
+          SELECT q_id, n_id, cosine, rank FROM r WHERE rank <= 5 ORDER BY 1, 2, 3, 4""",
+    // ann_lsh: approximate by construction -> rows-only check, no oracle.
+    "text_langid" -> {
+      val lists = Map(
+        "en" -> "('the','and','of','to','in','is','that','it','for','on')",
+        "es" -> "('el','la','de','que','y','en','un','se','no','por')",
+        "fr" -> "('le','de','un','et','la','les','des','en','du','une')",
+        "de" -> "('der','die','und','in','den','von','zu','das','mit','ist')",
+        "zh" -> "('de5','shi4','bu4','le5','ren2','wo3','zai4','you3','ta1','zhe4')")
+      def sc(l: String) = s"len(list_filter(toks, t -> t IN ${lists(l)}))"
+      s"""WITH t AS (SELECT doc_id, string_split($NormSql, ' ') AS toks FROM documents),
+              s AS (SELECT doc_id, ${sc("en")} AS s_en, ${sc("es")} AS s_es,
+                           ${sc("fr")} AS s_fr, ${sc("de")} AS s_de, ${sc("zh")} AS s_zh
+                    FROM t)
+          SELECT doc_id, s_en, s_es, s_fr, s_de, s_zh,
+                 CASE WHEN s_en >= greatest(s_es, s_fr, s_de, s_zh) THEN 'en'
+                      WHEN s_es >= greatest(s_en, s_fr, s_de, s_zh) THEN 'es'
+                      WHEN s_fr >= greatest(s_en, s_es, s_de, s_zh) THEN 'fr'
+                      WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+                      ELSE 'zh' END AS pred_lang
+          FROM s ORDER BY 1, 2, 3, 4, 5, 6, 7"""
+    },
+    "text_quality" ->
+      s"""WITH q AS (SELECT doc_id, $NormSql AS n,
+                            string_split($NormSql, ' ') AS toks FROM documents),
+              m AS (SELECT doc_id, len(toks) AS n_tokens, length(n) AS n_chars_norm,
+                           length(regexp_replace(n, '[^a-z]', '', 'g')) AS alpha,
+                           length(regexp_replace(n, '[^.,;:!?''"()-]', '', 'g')) AS punct,
+                           len(list_filter(toks, t -> t IN
+                             ('the','and','of','to','in','is','that','it','for','on'))) AS stops
+                    FROM q)
+          SELECT doc_id, n_tokens, n_chars_norm,
+                 round(alpha*1.0/n_chars_norm, 4) AS alpha_ratio,
+                 round(punct*1.0/n_chars_norm, 4) AS punct_ratio,
+                 round(stops*1.0/n_tokens, 4) AS stopword_ratio,
+                 round(least(n_tokens*1.0/100, 1.0)*0.5 + (alpha*1.0/n_chars_norm)*0.3
+                       + least(stops*10.0/n_tokens, 1.0)*0.2, 4) AS quality_score
+          FROM m ORDER BY 1, 2, 3, 4, 5, 6, 7""",
+    "text_tokens" ->
+      s"""SELECT doc_id, len(string_split($NormSql, ' ')) AS ws_tokens,
+                 CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT)
+                   AS re_tokens,
+                 CAST(length(text) AS BIGINT) AS n_chars,
+                 round(length(text)*1.0/len(string_split($NormSql, ' ')), 4)
+                   AS chars_per_token
+          FROM documents ORDER BY 1, 2, 3, 4, 5""",
+    "text_fingerprint" ->
+      s"""SELECT doc_id, md5($NormSql) AS content_fp,
+                 md5(array_to_string(list_sort(list_distinct(
+                   string_split($NormSql, ' '))), ' ')) AS bag_fp
+          FROM documents ORDER BY 1, 2, 3""",
+    "mm_meta" -> {
+      def hexByte(pos: Int) =
+        s"""(16*(strpos('0123456789abcdef', substr(md5(text), $pos, 1)) - 1)
+             + (strpos('0123456789abcdef', substr(md5(text), ${pos + 1}, 1)) - 1))"""
+      s"""SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+                 md5(text) AS fingerprint,
+                 CAST(64 + ${hexByte(1)} % 192 AS BIGINT) AS fake_width,
+                 CAST(64 + ${hexByte(3)} % 192 AS BIGINT) AS fake_height,
+                 CAST(1 + ${hexByte(5)} % 4 AS BIGINT) AS fake_channels,
+                 (${hexByte(7)} % 2 = 0) AS fake_is_keyframe
+          FROM documents ORDER BY 1, 2, 3, 4, 5, 6, 7"""
+    })
 }

@@ -1,0 +1,64 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
+
+/** Loaders for the driver-generated parquet tables.
+  *
+  * Every query takes an `sfDir` so the same plan runs at any scale factor.
+  * At 100 TB these would be bucketed/partitioned catalog tables; the access
+  * pattern (projection + predicate pushdown into the parquet scan) is
+  * identical.
+  */
+object Tables {
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
+    * rejects; with `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as
+    * a nanos BIGINT, which we truncate (integer div) to a microsecond
+    * timestamp — the same truncation DuckDB's epoch_ms applies.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+}
+
+/** Determinism helpers shared by queries and their DuckDB oracles.
+  *
+  * Cross-engine hash-equality rules:
+  *  - timestamps surface as epoch-millis BIGINT (`tsMs`) — never raw
+  *    timestamps (parquet unit / NTZ differences);
+  *  - double aggregates go through DECIMAL(18,4) partial sums (exact,
+  *    association-order independent) and come back as rounded DOUBLE;
+  *  - every result is fully ordered by its output columns.
+  */
+object Det {
+  val MsInDay: Long = 86400000L
+
+  /** Timestamp column -> epoch millis, robust to TIMESTAMP vs TIMESTAMP_NTZ. */
+  def tsMs(c: Column): Column = unix_millis(c.cast("timestamp"))
+
+  /** Exact sum of a ≤4-decimal double column, returned as double. */
+  def dsum(c: Column): Column =
+    sum(c.cast("decimal(18,4)")).cast("double")
+
+  /** Order-insensitive mean of a ≤4-decimal double column, rounded. */
+  def davg(c: Column, scale: Int = 4): Column =
+    round(sum(c.cast("decimal(18,4)")).cast("double") / count(c), scale)
+}

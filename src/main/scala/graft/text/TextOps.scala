@@ -1,0 +1,112 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Tables
+
+/** Text-analysis operators for training-data pipelines over `documents`.
+  * All pure column expressions (whole-stage codegen, no UDFs) so they run at
+  * scan speed on 100 TB and replicate bit-for-bit in the DuckDB oracle.
+  */
+object TextOps {
+
+  /** Canonical normalization shared by every text operator: lowercase, trim,
+    * collapse whitespace.
+    */
+  def norm(c: Column): Column = lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  def tokens(c: Column): Column = split(norm(c), " ")
+
+  /** Distinct word k-shingles of the normalized text (k consecutive tokens
+    * joined by one space). Documents shorter than k tokens yield none.
+    */
+  def shingles(c: Column, k: Int): Column = {
+    val toks = tokens(c)
+    array_distinct(
+      when(size(toks) >= k,
+        transform(sequence(lit(0), size(toks) - k), i =>
+          concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
+      .otherwise(array().cast("array<string>")))
+  }
+
+  private val stop = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "on"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "se", "no", "por"),
+    "fr" -> Seq("le", "de", "un", "et", "la", "les", "des", "en", "du", "une"),
+    "de" -> Seq("der", "die", "und", "in", "den", "von", "zu", "das", "mit", "ist"),
+    "zh" -> Seq("de5", "shi4", "bu4", "le5", "ren2", "wo3", "zai4", "you3", "ta1", "zhe4"))
+
+  private def stopCount(toks: Column, lang: String): Column =
+    size(filter(toks, t => t.isInCollection(stop(lang).map(lit)))).cast("bigint")
+
+  /** Heuristic language ID: stopword-overlap score per language, argmax with
+    * a fixed tie order (en > es > fr > de > zh).
+    */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = Tables.documents(s, d).select(
+      col("doc_id"),
+      stopCount(toks, "en").as("s_en"), stopCount(toks, "es").as("s_es"),
+      stopCount(toks, "fr").as("s_fr"), stopCount(toks, "de").as("s_de"),
+      stopCount(toks, "zh").as("s_zh"))
+    val best = greatest(col("s_en"), col("s_es"), col("s_fr"), col("s_de"), col("s_zh"))
+    val out = scored.select(
+      col("doc_id"), col("s_en"), col("s_es"), col("s_fr"), col("s_de"), col("s_zh"),
+      when(col("s_en") === best, "en").when(col("s_es") === best, "es")
+        .when(col("s_fr") === best, "fr").when(col("s_de") === best, "de")
+        .otherwise("zh").as("pred_lang"))
+    out.orderBy(out.columns.map(col): _*)
+  }
+
+  /** Quality scoring: length / token / stopword / alpha / punctuation
+    * signals combined into one score, the standard pre-filter shape for web
+    * corpora.
+    */
+  def quality(s: SparkSession, d: String): DataFrame = {
+    val n = norm(col("text"))
+    val toks = split(n, " ")
+    val nTok = size(toks)
+    val nChar = length(n)
+    val alpha = length(regexp_replace(n, "[^a-z]", ""))
+    val punct = length(regexp_replace(n, "[^.,;:!?'\"()-]", ""))
+    val stops = stopCount(toks, "en")
+    val out = Tables.documents(s, d).select(
+      col("doc_id"),
+      nTok.cast("bigint").as("n_tokens"),
+      nChar.cast("bigint").as("n_chars_norm"),
+      round(alpha * lit(1.0) / nChar, 4).as("alpha_ratio"),
+      round(punct * lit(1.0) / nChar, 4).as("punct_ratio"),
+      round(stops * lit(1.0) / nTok, 4).as("stopword_ratio"),
+      round(
+        least(nTok * lit(1.0) / 100, lit(1.0)) * 0.5
+          + (alpha * lit(1.0) / nChar) * 0.3
+          + least(stops * lit(10.0) / nTok, lit(1.0)) * 0.2, 4).as("quality_score"))
+    out.orderBy(out.columns.map(col): _*)
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish regex token count
+    * (alphanumeric runs + single non-space symbols), plus a chars-per-token
+    * ratio useful for compression heuristics.
+    */
+  def tokenCounts(s: SparkSession, d: String): DataFrame = {
+    val out = Tables.documents(s, d).select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("bigint").as("ws_tokens"),
+      regexp_count(col("text"), lit("[a-zA-Z0-9]+|[^a-zA-Z0-9 ]")).cast("bigint").as("re_tokens"),
+      length(col("text")).cast("bigint").as("n_chars"),
+      round(length(col("text")) * lit(1.0) / size(tokens(col("text"))), 4).as("chars_per_token"))
+    out.orderBy(out.columns.map(col): _*)
+  }
+
+  /** Document fingerprints: exact content hash of the normalized text plus
+    * an order-independent bag fingerprint (hash of the sorted distinct token
+    * set) — the rolling-hash family's cheap deterministic cousin.
+    */
+  def fingerprint(s: SparkSession, d: String): DataFrame = {
+    val out = Tables.documents(s, d).select(
+      col("doc_id"),
+      md5(norm(col("text"))).as("content_fp"),
+      md5(concat_ws(" ", array_sort(array_distinct(tokens(col("text")))))).as("bag_fp"))
+    out.orderBy(out.columns.map(col): _*)
+  }
+}

@@ -1,0 +1,122 @@
+package graft.tsdb
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import scala.jdk.CollectionConverters._
+
+/** Compiles the Elasticsearch filter DSL subset the reference accepts into a
+  * Catalyst [[Column]] predicate.
+  *
+  * The reference (lib/orestes.js:84, lib/orestes-query.js:167-198) forwards
+  * the `query` body of a read verbatim to Elasticsearch as a filtered query;
+  * the tag search lives in ES. Spark-first re-expression: tags are ordinary
+  * columns, so the same DSL compiles to declarative predicates that Catalyst
+  * pushes into the parquet scan (`PushedFilters`) — the "index" is row-group
+  * min/max pruning + partition pruning instead of an external ES cluster.
+  *
+  * Supported: match_all, term, terms, range (gt/gte/lt/lte), exists, missing,
+  * prefix, wildcard, regexp, bool (must/filter/should/must_not), and, or, not.
+  * `should` requires at least one clause to match (filter-context semantics).
+  */
+object EsFilter {
+  private val mapper = new ObjectMapper()
+
+  def compile(json: String): Column = compileNode(mapper.readTree(json))
+
+  def compileNode(node: JsonNode): Column = {
+    require(node != null && node.isObject && node.size() == 1,
+      s"filter clause must be a single-key object, got: $node")
+    val name = node.fieldNames().next()
+    val body = node.get(name)
+    name match {
+      case "match_all" => lit(true)
+      case "term"      => term(body)
+      case "terms"     => terms(body)
+      case "range"     => range(body)
+      case "exists"    => col(body.get("field").asText()).isNotNull
+      case "missing"   => col(body.get("field").asText()).isNull
+      case "prefix"    => { val (f, v) = fieldValue(body); col(f).startsWith(v.asText()) }
+      case "wildcard"  => { val (f, v) = fieldValue(body); col(f).rlike(wildcardToRegex(v.asText())) }
+      case "regexp"    => { val (f, v) = fieldValue(body); col(f).rlike("^(?:" + v.asText() + ")$") }
+      case "bool"      => bool(body)
+      case "and"       => clauses(body).map(compileNode).reduce(_ && _)
+      case "or"        => clauses(body).map(compileNode).reduce(_ || _)
+      case "not"       => !compileNode(body)
+      case other       => throw new IllegalArgumentException(s"unsupported filter type: $other")
+    }
+  }
+
+  private def clauses(body: JsonNode): Seq[JsonNode] =
+    if (body.isArray) body.elements().asScala.toSeq else Seq(body)
+
+  private def fieldValue(body: JsonNode): (String, JsonNode) = {
+    require(body.isObject && body.size() == 1, s"expected {field: value}, got $body")
+    val f = body.fieldNames().next()
+    (f, f match {
+      case _ if body.get(f).isObject && body.get(f).has("value") => body.get(f).get("value")
+      case _ => body.get(f)
+    })
+  }
+
+  private def jsonLit(v: JsonNode): Column =
+    if (v.isIntegralNumber) lit(v.asLong())
+    else if (v.isNumber) lit(v.asDouble())
+    else if (v.isBoolean) lit(v.asBoolean())
+    else lit(v.asText())
+
+  private def term(body: JsonNode): Column = {
+    val (f, v) = fieldValue(body)
+    col(f) === jsonLit(v)
+  }
+
+  private def terms(body: JsonNode): Column = {
+    require(body.isObject && body.size() == 1, s"expected {field: [values]}, got $body")
+    val f = body.fieldNames().next()
+    val vs = body.get(f).elements().asScala.toSeq.map(jsonLit)
+    col(f).isInCollection(vs)
+  }
+
+  private def range(body: JsonNode): Column = {
+    require(body.isObject && body.size() == 1, s"expected {field: {bounds}}, got $body")
+    val f = body.fieldNames().next()
+    val bounds = body.get(f)
+    val preds = bounds.fieldNames().asScala.map { b =>
+      val v = jsonLit(bounds.get(b))
+      b match {
+        case "gt"  => col(f) > v
+        case "gte" => col(f) >= v
+        case "lt"  => col(f) < v
+        case "lte" => col(f) <= v
+        case other => throw new IllegalArgumentException(s"unsupported range bound: $other")
+      }
+    }.toSeq
+    require(preds.nonEmpty, "range filter needs at least one bound")
+    preds.reduce(_ && _)
+  }
+
+  private def bool(body: JsonNode): Column = {
+    def sub(key: String): Seq[Column] =
+      if (body.has(key)) clauses(body.get(key)).map(compileNode) else Nil
+    val must    = sub("must") ++ sub("filter")
+    val should  = sub("should")
+    val mustNot = sub("must_not")
+    val parts =
+      (if (must.nonEmpty) Seq(must.reduce(_ && _)) else Nil) ++
+      (if (should.nonEmpty) Seq(should.reduce(_ || _)) else Nil) ++
+      (if (mustNot.nonEmpty) Seq(!mustNot.map(c => coalesce(c, lit(false))).reduce(_ || _)) else Nil)
+    if (parts.isEmpty) lit(true) else parts.reduce(_ && _)
+  }
+
+  /** ES wildcard pattern (`*`, `?`) -> anchored Java regex. */
+  private[tsdb] def wildcardToRegex(pat: String): String = {
+    val sb = new StringBuilder("^")
+    pat.foreach {
+      case '*' => sb.append(".*")
+      case '?' => sb.append('.')
+      case c if "\\.[]{}()<>+-=!$^|,#&~".indexOf(c) >= 0 => sb.append('\\').append(c)
+      case c => sb.append(c)
+    }
+    sb.append('$').toString()
+  }
+}

@@ -1,0 +1,149 @@
+package graft.tsdb
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Det, Tables}
+
+/** A points table in the Orestes data model: a time column, a value column,
+  * and tag columns that identify the series (reference README "series" =
+  * the key/value pairs other than time/value).
+  */
+case class PointsTable(df: DataFrame, tsCol: String, valueCol: String, tagCols: Seq[String]) {
+  def timeMs: Column = Det.tsMs(col(tsCol))
+  def tags: Seq[Column] = tagCols.map(col)
+}
+
+/** The reference's query surface (read / count / series / select_distinct /
+  * retention, lib/orestes-query.js, lib/orestes-remover.js) as DataFrame
+  * transformations.
+  *
+  * Scale design: where Orestes shards into one Cassandra table + one ES index
+  * per (space, 7-day bucket) (lib/orestes-utils.js:50-79), we bucket by
+  * `floor(epoch_day / granularity) * granularity` — at 100 TB this is the
+  * parquet partition key, so time-range predicates become directory pruning
+  * and tag predicates push into row-group min/max stats. Reads never shuffle;
+  * per-series aggregations shuffle once on the series key.
+  */
+object Tsdb {
+  val GranularityDays = 7
+  val MsInDay: Long = Det.MsInDay
+
+  /** The driver's `events` table viewed as the points table: series tags are
+    * (user_id, event_type), time is `ts`, value is `value`.
+    */
+  def points(spark: SparkSession, dir: String): PointsTable =
+    PointsTable(Tables.events(spark, dir), "ts", "value", Seq("user_id", "event_type"))
+
+  /** Time bucket (epoch-day rounded down to granularity), the storage shard
+    * key — reference roundToGranularity (lib/orestes-utils.js:50-53).
+    */
+  def bucketOf(timeMs: Column, granularityDays: Int = GranularityDays): Column =
+    floor(timeMs / MsInDay / granularityDays) * granularityDays
+
+  /** Offset of a point within its bucket — reference lib/orestes-inserter.js:71. */
+  def offsetOf(timeMs: Column, granularityDays: Int = GranularityDays): Column =
+    timeMs % (MsInDay * granularityDays)
+
+  private def inRange(pt: PointsTable, startMs: Long, endMs: Long): Column =
+    pt.timeMs >= startMs && pt.timeMs < endMs
+
+  /** `/read`: all points in [startMs, endMs) for series matching the filter,
+    * sorted per series by time (reference returns per-series sorted point
+    * arrays; relationally that is one row per point, fully ordered).
+    */
+  def read(pt: PointsTable, filter: Column, startMs: Long, endMs: Long): DataFrame = {
+    val out = pt.df
+      .where(inRange(pt, startMs, endMs) && filter)
+      .select(pt.tags :+ pt.timeMs.as("time_ms") :+ col(pt.valueCol).as("value"): _*)
+    out.orderBy(out.columns.map(col): _*)
+  }
+
+  /** `/read` with aggregations=[{type:"count"}]: per-series point counts. */
+  def countPoints(pt: PointsTable, filter: Column, startMs: Long, endMs: Long): DataFrame = {
+    val out = pt.df
+      .where(inRange(pt, startMs, endMs) && filter)
+      .groupBy(pt.tags: _*)
+      .agg(count(lit(1)).as("n"))
+    out.orderBy(out.columns.map(col): _*)
+  }
+
+  /** `/series`: the distinct series (tag sets) with data in the range. */
+  def seriesList(pt: PointsTable, filter: Column, startMs: Long, endMs: Long): DataFrame = {
+    val out = pt.df
+      .where(inRange(pt, startMs, endMs) && filter)
+      .select(pt.tags: _*)
+      .distinct()
+    out.orderBy(out.columns.map(col): _*)
+  }
+
+  /** `/select_distinct`: distinct values of a subset of tag keys. Keys that
+    * are not tags of any matching series surface as a null column, matching
+    * the reference's missing-field handling
+    * (lib/elasticsearch/aggregation.js:36-68).
+    */
+  def selectDistinct(pt: PointsTable, filter: Column, keys: Seq[String]): DataFrame = {
+    val present = pt.df.columns.toSet
+    val cols = keys.map { k =>
+      if (present(k)) col(k) else lit(null).cast("string").as(k)
+    }
+    val out = pt.df.where(filter).select(cols: _*).distinct()
+    out.orderBy(out.columns.map(col): _*)
+  }
+
+  /** Retention (`/delete` with keep_days): drop whole buckets whose last day
+    * is older than `today - keepDays` (lib/orestes-remover.js:16-39). `today`
+    * is taken from the data's max timestamp so the query is deterministic.
+    * Returns the surviving buckets with per-bucket counts.
+    */
+  def retentionSurvivors(pt: PointsTable, keepDays: Int): DataFrame = {
+    val today = pt.df.select(floor(max(pt.timeMs) / MsInDay)).first().getLong(0)
+    val doomed = today - keepDays
+    val out = pt.df
+      .select(bucketOf(pt.timeMs).as("bucket_day"))
+      // bucket end (inclusive) = bucket_day + granularity - 1, capped at today
+      .where(least(col("bucket_day") + (GranularityDays - 1), lit(today)) > doomed)
+      .groupBy("bucket_day")
+      .agg(count(lit(1)).as("n"))
+    out.orderBy(out.columns.map(col): _*)
+  }
+
+  /** Ingest validation (lib/orestes-utils.js:158-182): every point must have
+    * a parseable time and a numeric non-NaN value. Returns count per
+    * validity class; on clean driver data the invalid classes are absent.
+    */
+  def ingestValidate(pt: PointsTable): DataFrame = {
+    val out = pt.df
+      .select(
+        col(pt.tsCol).isNotNull.as("time_ok"),
+        (col(pt.valueCol).isNotNull && !isnan(col(pt.valueCol))).as("value_ok"))
+      .groupBy("time_ok", "value_ok")
+      .agg(count(lit(1)).as("n"))
+    out.orderBy(out.columns.map(col): _*)
+  }
+
+  /** Series-metadata extraction: the first time each (bucket, series) pair is
+    * seen — exactly the set of metadata documents the reference creates in ES
+    * per bucket (lib/orestes-inserter.js:98-133), as a query. One shuffle on
+    * (bucket, series); map-side partial aggregation does the dedup.
+    */
+  def ingestDedupMeta(pt: PointsTable): DataFrame = {
+    val out = pt.df
+      .groupBy(bucketOf(pt.timeMs).as("bucket_day") +: pt.tags: _*)
+      .agg(min(pt.timeMs).as("first_ts_ms"), count(lit(1)).as("n"))
+    out.orderBy(out.columns.map(col): _*)
+  }
+
+  /** Per-(bucket, series) stats — the storage layout rendered as a query:
+    * row key (attrs), clustering (offset) min/max, point count, value sum.
+    */
+  def bucketStats(pt: PointsTable): DataFrame = {
+    val out = pt.df
+      .groupBy(bucketOf(pt.timeMs).as("bucket_day") +: pt.tags: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        min(offsetOf(pt.timeMs)).as("min_offset"),
+        max(offsetOf(pt.timeMs)).as("max_offset"),
+        round(Det.dsum(col(pt.valueCol)), 2).as("sum_value"))
+    out.orderBy(out.columns.map(col): _*)
+  }
+}
