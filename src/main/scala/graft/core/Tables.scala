@@ -24,14 +24,17 @@ object Tables {
   def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
   /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
     * rejects; with `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as
-    * a nanos BIGINT, which we truncate (integer div) to a microsecond
-    * timestamp — the same truncation DuckDB's epoch_ms applies.
+    * a nanos BIGINT. We keep the raw column as `ts_ns` — time-range
+    * predicates on the bare physical column push into the parquet scan
+    * (row-group pruning) — and derive a microsecond-truncated `ts` timestamp
+    * for everything else (same truncation DuckDB's epoch_ms applies).
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = load(s, d, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
       case _ => raw
     }
   }
@@ -53,6 +56,14 @@ object Det {
 
   /** Timestamp column -> epoch millis, robust to TIMESTAMP vs TIMESTAMP_NTZ. */
   def tsMs(c: Column): Column = unix_millis(c.cast("timestamp"))
+
+  /** Epoch-millis constant as a foldable timestamp literal: comparing a
+    * timestamp column against this (instead of wrapping the column in
+    * unix_millis) keeps the predicate on the bare column, so it pushes into
+    * the parquet scan. Equivalent to `epoch_ms(col) <op> ms` for the
+    * day-resolution columns it is used on.
+    */
+  def tsLit(ms: Long): Column = timestamp_millis(lit(ms))
 
   /** Exact sum of a ≤4-decimal double column, returned as double. */
   def dsum(c: Column): Column =

@@ -17,7 +17,7 @@ import graft.core.{Det, Tables}
   *  - every aggregate is partial (map-side combine) by construction.
   */
 object Analytics {
-  import Det.{dsum, davg, tsMs}
+  import Det.{dsum, davg, tsMs, tsLit}
 
   /** Scan → filter → multi-aggregate groupBy (TPC-H Q1 shape). Single shuffle
     * with map-side partial aggregation; filter + 7-col projection push into
@@ -26,7 +26,7 @@ object Analytics {
   def q1Agg(s: SparkSession, d: String): DataFrame = {
     val l = Tables.lineitem(s, d)
     val out = l
-      .where(tsMs(col("l_shipdate")) < lit(905817600000L)) // 1998-09-15
+      .where(col("l_shipdate") < tsLit(905817600000L)) // 1998-09-15
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(dsum(col("l_quantity")), 2).as("sum_qty"),
@@ -45,9 +45,9 @@ object Analytics {
     val cutoff = 827366400000L // 1996-03-21
     val c = Tables.customer(s, d).where(col("c_mktsegment") === "BUILDING")
       .select("c_custkey")
-    val o = Tables.orders(s, d).where(tsMs(col("o_orderdate")) < cutoff)
+    val o = Tables.orders(s, d).where(col("o_orderdate") < tsLit(cutoff))
       .select("o_orderkey", "o_custkey", "o_orderdate")
-    val l = Tables.lineitem(s, d).where(tsMs(col("l_shipdate")) > cutoff)
+    val l = Tables.lineitem(s, d).where(col("l_shipdate") > tsLit(cutoff))
       .select("l_orderkey", "l_extendedprice", "l_discount")
     o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .join(l, col("l_orderkey") === col("o_orderkey"))
@@ -64,8 +64,8 @@ object Analytics {
     val cDim = Tables.customer(s, d).select("c_custkey", "c_nationkey")
     val sDim = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
     val o = Tables.orders(s, d)
-      .where(tsMs(col("o_orderdate")) >= 820454400000L && // 1996-01-01
-             tsMs(col("o_orderdate")) < 852076800000L)    // 1997-01-01
+      .where(col("o_orderdate") >= tsLit(820454400000L) && // 1996-01-01
+             col("o_orderdate") < tsLit(852076800000L))    // 1997-01-01
       .select("o_orderkey", "o_custkey")
     val l = Tables.lineitem(s, d).select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
     val out = l

@@ -109,7 +109,7 @@ object EsFilter {
   }
 
   /** ES wildcard pattern (`*`, `?`) -> anchored Java regex. */
-  private[tsdb] def wildcardToRegex(pat: String): String = {
+  private[graft] def wildcardToRegex(pat: String): String = {
     val sb = new StringBuilder("^")
     pat.foreach {
       case '*' => sb.append(".*")

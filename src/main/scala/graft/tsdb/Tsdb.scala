@@ -8,9 +8,19 @@ import graft.core.{Det, Tables}
   * and tag columns that identify the series (reference README "series" =
   * the key/value pairs other than time/value).
   */
-case class PointsTable(df: DataFrame, tsCol: String, valueCol: String, tagCols: Seq[String]) {
+case class PointsTable(df: DataFrame, tsCol: String, valueCol: String, tagCols: Seq[String],
+                       rawNsCol: Option[String] = None) {
   def timeMs: Column = Det.tsMs(col(tsCol))
   def tags: Seq[Column] = tagCols.map(col)
+
+  /** Time-range predicate on the physical column when one exists (bare-column
+    * comparisons push into the parquet scan); falls back to the derived
+    * timestamp otherwise.
+    */
+  def inRange(startMs: Long, endMs: Long): Column = rawNsCol match {
+    case Some(ns) => col(ns) >= startMs * 1000000L && col(ns) < endMs * 1000000L
+    case None     => timeMs >= startMs && timeMs < endMs
+  }
 }
 
 /** The reference's query surface (read / count / series / select_distinct /
@@ -31,8 +41,11 @@ object Tsdb {
   /** The driver's `events` table viewed as the points table: series tags are
     * (user_id, event_type), time is `ts`, value is `value`.
     */
-  def points(spark: SparkSession, dir: String): PointsTable =
-    PointsTable(Tables.events(spark, dir), "ts", "value", Seq("user_id", "event_type"))
+  def points(spark: SparkSession, dir: String): PointsTable = {
+    val df = Tables.events(spark, dir)
+    val raw = if (df.columns.contains("ts_ns")) Some("ts_ns") else None
+    PointsTable(df, "ts", "value", Seq("user_id", "event_type"), raw)
+  }
 
   /** Time bucket (epoch-day rounded down to granularity), the storage shard
     * key — reference roundToGranularity (lib/orestes-utils.js:50-53).
@@ -45,7 +58,7 @@ object Tsdb {
     timeMs % (MsInDay * granularityDays)
 
   private def inRange(pt: PointsTable, startMs: Long, endMs: Long): Column =
-    pt.timeMs >= startMs && pt.timeMs < endMs
+    pt.inRange(startMs, endMs)
 
   /** `/read`: all points in [startMs, endMs) for series matching the filter,
     * sorted per series by time (reference returns per-series sorted point

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.tsdb.EsFilter
+
+class EsFilterSpec extends SparkTestBase {
+  private lazy val df = {
+    import spark.implicits._
+    Seq(
+      (1L, "purchase", 10.0), (2L, "click", 50.0), (3L, "error", 99.5),
+      (4L, "signup", 0.0), (5L, "purchase", 75.0))
+      .toDF("user_id", "event_type", "value")
+  }
+
+  private def ids(json: String): Seq[Long] =
+    df.where(EsFilter.compile(json)).select("user_id").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("match_all") { assert(ids("""{"match_all":{}}""") == Seq(1L, 2L, 3L, 4L, 5L)) }
+
+  test("term on string and numeric fields") {
+    assert(ids("""{"term":{"event_type":"purchase"}}""") == Seq(1L, 5L))
+    assert(ids("""{"term":{"user_id":3}}""") == Seq(3L))
+  }
+
+  test("terms list") {
+    assert(ids("""{"terms":{"event_type":["click","error"]}}""") == Seq(2L, 3L))
+  }
+
+  test("range bounds combine") {
+    assert(ids("""{"range":{"value":{"gte":10,"lt":75}}}""") == Seq(1L, 2L))
+    assert(ids("""{"range":{"value":{"gt":50}}}""") == Seq(3L, 5L))
+  }
+
+  test("bool must / should / must_not") {
+    val json =
+      """{"bool":{
+           "must":[{"range":{"value":{"gte":10}}}],
+           "must_not":[{"term":{"event_type":"error"}}]}}"""
+    assert(ids(json) == Seq(1L, 2L, 5L))
+    // should-only bool = OR (filter-context: at least one must match)
+    assert(ids("""{"bool":{"should":[{"term":{"user_id":1}},{"term":{"user_id":4}}]}}""")
+      == Seq(1L, 4L))
+  }
+
+  test("and / or / not combinators") {
+    assert(ids("""{"and":[{"range":{"user_id":{"gte":2}}},{"range":{"user_id":{"lte":3}}}]}""")
+      == Seq(2L, 3L))
+    assert(ids("""{"not":{"term":{"event_type":"purchase"}}}""") == Seq(2L, 3L, 4L))
+  }
+
+  test("prefix, wildcard, regexp, exists") {
+    assert(ids("""{"prefix":{"event_type":"cl"}}""") == Seq(2L))
+    assert(ids("""{"wildcard":{"event_type":"*rror"}}""") == Seq(3L))
+    assert(ids("""{"wildcard":{"event_type":"s?gnup"}}""") == Seq(4L))
+    assert(ids("""{"regexp":{"event_type":"(purchase|click)"}}""") == Seq(1L, 2L, 5L))
+    assert(ids("""{"exists":{"field":"event_type"}}""") == Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("wildcard escapes regex metacharacters") {
+    assert(EsFilter.wildcardToRegex("a.b*c?") == "^a\\.b.*c.$")
+  }
+
+  test("unsupported filter type throws") {
+    intercept[IllegalArgumentException] { EsFilter.compile("""{"fuzzy":{"x":"y"}}""") }
+  }
+
+  test("filters push down to the parquet scan") {
+    val plan = graft.core.Tables.events(spark, Sf)
+      .where(EsFilter.compile("""{"term":{"event_type":"purchase"}}"""))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("EqualTo(event_type,purchase)"), s"no pushdown in plan:\n$plan")
+  }
+}

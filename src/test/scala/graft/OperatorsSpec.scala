@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Analytics
+
+class OperatorsSpec extends SparkTestBase {
+
+  test("asofJoin picks the nearest preceding order per event") {
+    val out = Analytics.asofJoin(spark, Sf).collect()
+    assert(out.nonEmpty)
+    // brute-force check a sample of events on the driver
+    val orders = graft.core.Tables.orders(spark, Sf)
+      .select(col("o_custkey"), col("o_orderkey"), graft.core.Det.tsMs(col("o_orderdate")).as("oms"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val sample = out.take(50)
+    sample.foreach { r =>
+      val (user, got, gotMs) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val best = orders.filter(o => o._1 == user)
+        .maxBy(o => (o._3, o._2)) // all orders precede 2024 events -> latest order wins
+      assert(got == best._2 && gotMs == best._3, s"event ${r.getLong(0)}")
+    }
+  }
+
+  test("sessionize: consecutive events within a session gap-bounded, sessions ordered") {
+    val sess = Analytics.sessionize(spark, Sf).collect()
+    assert(sess.nonEmpty)
+    sess.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      // session ids are 1..n dense per user
+      assert(sorted.map(_.getLong(1)).toSeq == (1L to sorted.length).toSeq)
+      // sessions do not overlap and are separated by more than the gap
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b.getLong(2) - a.getLong(3) > 3600000L)
+        case _ =>
+      }
+    }
+    // every session's duration accounts for its points: start<=end, n>=1
+    assert(sess.forall(r => r.getLong(2) <= r.getLong(3) && r.getLong(4) >= 1))
+  }
+
+  test("windowTopN returns at most 3 rows per customer, price-descending") {
+    val rows = Analytics.windowTopN(spark, Sf).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      val byRank = rs.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(byRank.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+    }
+  }
+
+  test("rangeJoin pairs are time-ordered within the window") {
+    // indirect invariant: pair counts are symmetric-free (b after a only),
+    // so total pairs <= n*(n-1) and the query is non-empty at this SF
+    val n = Analytics.rangeJoin(spark, Sf).agg(sum("n_pairs")).first().getLong(0)
+    assert(n > 0)
+  }
+
+  test("q5 plan broadcasts the dimension tables") {
+    val plan = Analytics.q5MultiJoin(spark, Sf).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
+  }
+
+  test("q1 plan pushes the shipdate filter into the scan") {
+    val plan = Analytics.q1Agg(spark, Sf).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"), plan)
+  }
+}
