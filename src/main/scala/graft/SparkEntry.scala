@@ -299,11 +299,21 @@ object SparkEntry {
                        FROM tok, UNNEST(range(0, 64)) AS u(b)),
               signs AS (SELECT doc_id, b,
                           (CAST(sum(CASE WHEN bit THEN 1 ELSE -1 END) AS BIGINT) > 0) AS sbit
-                        FROM bits GROUP BY 1, 2)
+                        FROM bits GROUP BY 1, 2),
+              packed AS (SELECT doc_id,
+                           CAST(sum(CASE WHEN sbit AND b < 32
+                             THEN (CAST(1 AS BIGINT) << CAST(b % 32 AS INT)) ELSE 0 END)
+                             AS BIGINT) AS sig_lo,
+                           CAST(sum(CASE WHEN sbit AND b >= 32
+                             THEN (CAST(1 AS BIGINT) << CAST(b % 32 AS INT)) ELSE 0 END)
+                             AS BIGINT) AS sig_hi
+                         FROM signs GROUP BY 1)
           SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-                 CAST(sum(CASE WHEN a.sbit <> b.sbit THEN 1 ELSE 0 END) AS BIGINT) AS hamming
-          FROM signs a JOIN signs b ON a.b = b.b AND a.doc_id < b.doc_id
-          GROUP BY 1, 2 HAVING hamming <= 8 ORDER BY 1, 2, 3""",
+                 CAST(bit_count(xor(a.sig_lo, b.sig_lo))
+                      + bit_count(xor(a.sig_hi, b.sig_hi)) AS BIGINT) AS hamming
+          FROM packed a JOIN packed b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.sig_lo, b.sig_lo))
+                + bit_count(xor(a.sig_hi, b.sig_hi)) <= 8 ORDER BY 1, 2, 3""",
     "dedup_embedding" ->
       s"""WITH $VecCte,
               dots AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, sum(a.x*b.x) AS dot

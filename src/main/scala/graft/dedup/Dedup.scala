@@ -29,10 +29,14 @@ object Dedup {
     out.orderBy(out.columns.map(col): _*)
   }
 
-  /** doc_id -> exploded distinct shingle rows. */
+  /** doc_id -> exploded distinct shingle rows. Tokens are materialized
+    * before the shingle lambda so the normalize/split chain runs once per
+    * document, not once per element access (see TextOps.shinglesOf).
+    */
   private def shingleRows(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), explode(TextOps.shingles(col("text"), ShingleK)).as("shingle"))
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(TextOps.shinglesOf(col("toks"), ShingleK)).as("shingle"))
 
   /** N-gram Jaccard near-dup pairs: |A∩B| / |A∪B| >= tau over distinct
     * 3-shingles. Shingle-inverted-index join (never a cross join): pairs are
@@ -55,17 +59,20 @@ object Dedup {
     out.orderBy(out.columns.map(col): _*)
   }
 
-  /** MinHash signature rows: for seed s, sig = min over shingles of
+  /** MinHash signatures: for seed s, sig = min over shingles of
     * md5("<seed>|<shingle>") — md5's output order is a uniform permutation
     * of the shingle space, so the min is a proper minhash and is identical
-    * in any engine with md5.
+    * in any engine with md5. All 16 signatures are computed in ONE pass over
+    * the shingle rows (16 min-aggregates, no seed explosion): one shuffle of
+    * |shingles| rows regardless of k.
     */
   private def minhashSigs(s: SparkSession, d: String): DataFrame =
     shingleRows(s, d)
-      .select(col("doc_id"), explode(sequence(lit(0), lit(MinhashSeeds - 1))).as("seed"),
-        col("shingle"))
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("shingle")))).as("sig"))
+      .groupBy(col("doc_id"))
+      .agg(
+        min(md5(concat(lit("0|"), col("shingle")))).as("sig0"),
+        (1 until MinhashSeeds).map(seed =>
+          min(md5(concat(lit(s"$seed|"), col("shingle")))).as(s"sig$seed")): _*)
 
   /** MinHash + LSH banding: band key = md5 of the band's concatenated
     * signature rows; candidate pairs are documents sharing any band bucket.
@@ -73,11 +80,14 @@ object Dedup {
     * one shuffle to band buckets, pair generation only within buckets.
     */
   def minhashLsh(s: SparkSession, d: String): DataFrame = {
-    val bands = minhashSigs(s, d)
-      .groupBy(col("doc_id"), floor(col("seed") / BandRows).as("band"))
-      .agg(md5(concat_ws(",",
-        transform(array_sort(collect_list(struct(col("seed"), col("sig")))),
-          x => x.getField("sig")))).as("band_key"))
+    val nBands = MinhashSeeds / BandRows
+    val bandCols = (0 until nBands).map { b =>
+      val sigs = (0 until BandRows).map(r => col(s"sig${b * BandRows + r}"))
+      md5(concat_ws(",", sigs: _*)).as(s"band$b")
+    }
+    val keyed = minhashSigs(s, d).select(col("doc_id") +: bandCols: _*)
+    val stackExpr = (0 until nBands).map(b => s"$b, band$b").mkString(", ")
+    val bands = keyed.selectExpr("doc_id", s"stack($nBands, $stackExpr) AS (band, band_key)")
     val out = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -96,22 +106,30 @@ object Dedup {
     * (pigeonhole), not the exhaustive pair join used at verify SF.
     */
   def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 8): DataFrame = {
+    // per distinct token: its md5, split into 16 nibble ints (one pass,
+    // literal substring positions — no 64-way bit explosion)
     val tok = Tables.documents(s, d)
       .select(col("doc_id"), explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
       .select(col("doc_id"), md5(col("tok")).as("h"))
-    val bits = tok
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(63))).as("b"))
-      .select(col("doc_id"), col("b"),
-        // nibble value of hex digit b/4, tested at bit (3 - b%4)
-        ((floor(conv(substring(col("h"), (col("b") / 4).cast("int") + 1, lit(1)), 16, 10)
-            .cast("int") / pow(lit(2.0), lit(3) - col("b") % 4)) % 2) === 1).as("bit"))
-    val signs = bits
-      .groupBy(col("doc_id"), col("b"))
-      .agg((sum(when(col("bit"), 1).otherwise(-1)) > 0).as("sbit"))
-    val out = signs.as("a").join(signs.as("b"),
-        col("a.b") === col("b.b") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
-      .agg(sum(when(col("a.sbit") =!= col("b.sbit"), 1).otherwise(0)).as("hamming"))
+    val nib = tok.select(
+      col("doc_id") +:
+      (0 until 16).map(i => conv(substring(col("h"), i + 1, 1), 16, 10).cast("int").as(s"n$i")): _*)
+    // 64 vote sums in one aggregation: bit b lives in nibble b/4 at position 3-b%4
+    def bitOf(b: Int) = expr(s"(n${b / 4} div ${1 << (3 - b % 4)}) % 2 = 1")
+    val votes = nib.groupBy(col("doc_id")).agg(
+      sum(when(bitOf(0), 1).otherwise(-1)).as("v0"),
+      (1 until 64).map(b => sum(when(bitOf(b), 1).otherwise(-1)).as(s"v$b")): _*)
+    // pack the 64 sign bits into two 32-bit halves so the pair search is one
+    // xor + popcount per pair — the packing also being exactly what a 100 TB
+    // signature table would store
+    def half(lo: Int): Column =
+      (lo until lo + 32).map(b => when(col(s"v$b") > 0, lit(1L << (b % 32))).otherwise(0L): Column)
+        .reduce(_ + _)
+    val packed = votes.select(col("doc_id"), half(0).as("sig_lo"), half(32).as("sig_hi"))
+    val out = packed.as("a").join(packed.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        (bit_count(col("a.sig_lo").bitwiseXOR(col("b.sig_lo"))) +
+         bit_count(col("a.sig_hi").bitwiseXOR(col("b.sig_hi")))).cast("bigint").as("hamming"))
       .where(col("hamming") <= maxHamming)
     out.orderBy(out.columns.map(col): _*)
   }
@@ -121,15 +139,13 @@ object Dedup {
     * within random-hyperplane buckets.
     */
   def embeddingPairs(s: SparkSession, d: String, tau: Double = 0.4): DataFrame = {
+    import graft.functions.VectorFunctions.dot
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
-      .select(col("vec_id"), col("v"),
-        aggregate(col("v"), lit(0.0), (acc, x) => acc + x * x).as("nsq"))
+      .select(col("vec_id"), col("v"), dot(s, col("v"), col("v")).as("nsq"))
     val out = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-        round(
-          aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-            / sqrt(col("a.nsq") * col("b.nsq")), 6).as("cosine"))
+        round(dot(s, col("a.v"), col("b.v")) / sqrt(col("a.nsq") * col("b.nsq")), 6).as("cosine"))
       .where(col("cosine") >= tau)
     out.orderBy(out.columns.map(col): _*)
   }
