@@ -72,6 +72,16 @@ object SparkEntry {
     "percentiles" -> ((s, d) => Analytics.percentiles(s, d)),
     "topk_global" -> ((s, d) => Analytics.topkGlobal(s, d)),
     "range_join" -> ((s, d) => Analytics.rangeJoin(s, d)),
+    "semi_join" -> ((s, d) => Analytics.semiJoin(s, d)),
+    "anti_join" -> ((s, d) => Analytics.antiJoin(s, d)),
+    "rollup_agg" -> ((s, d) => Analytics.rollupAgg(s, d)),
+    "json_extract" -> ((s, d) => Analytics.jsonExtract(s, d)),
+    "ts_read_filter_terms" -> ((s, d) => Tsdb.read(Tsdb.points(s, d),
+      EsFilter.compile(
+        """{"and":[{"terms":{"event_type":["purchase","signup"]}},
+                   {"exists":{"field":"user_id"}},
+                   {"not":{"missing":{"field":"event_type"}}},
+                   {"range":{"user_id":{"lt":40}}}]}"""), Start, End)),
     // §2.3 LLM-training-data pipeline operators
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -258,6 +268,34 @@ object SparkEntry {
     "topk_global" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
          ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""",
+    "semi_join" ->
+      """SELECT o_orderpriority, count(*) AS n_orders FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey
+                         AND epoch_ms(l_shipdate) > epoch_ms(o_orderdate) + 7776000000)
+         GROUP BY 1 ORDER BY 1, 2""",
+    "anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                           AND epoch_ms(o_orderdate) >= 978307200000)
+         GROUP BY 1 ORDER BY 1, 2""",
+    "rollup_agg" ->
+      s"""SELECT l_returnflag, l_linestatus, ${dsumSql("l_quantity")} AS sum_qty,
+                 count(*) AS n
+          FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+          ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3, 4""",
+    "json_extract" ->
+      """SELECT event_type, count(k) AS n, min(k) AS min_k, max(k) AS max_k,
+                CAST(sum(k) AS BIGINT) AS sum_k
+         FROM (SELECT event_type,
+                      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+         GROUP BY 1 ORDER BY 1, 2, 3, 4, 5""",
+    "ts_read_filter_terms" ->
+      s"""SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events
+          WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
+            AND event_type IN ('purchase', 'signup') AND user_id IS NOT NULL
+            AND event_type IS NOT NULL AND user_id < 40
+          ORDER BY 1, 2, 3, 4""",
     "range_join" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS tms FROM events)
          SELECT a.event_type AS a_type, b.event_type AS b_type, count(*) AS n_pairs

@@ -203,6 +203,59 @@ object Analytics {
       .limit(20)
   }
 
+  /** Existential semi-join (TPC-H Q4 shape): orders having at least one
+    * late-shipped lineitem. `left_semi` keeps the probe side un-duplicated —
+    * no fan-out, one shuffle on orderkey.
+    */
+  def semiJoin(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+    val l = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+    val out = o.join(l,
+        col("l_orderkey") === col("o_orderkey") &&
+        tsMs(col("l_shipdate")) > tsMs(col("o_orderdate")) + 90L * 86400000L,
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+    out.orderBy(out.columns.map(col): _*)
+  }
+
+  /** Anti-join: customers with no orders in 2001 (recency churn query). */
+  def antiJoin(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+      .where(col("o_orderdate") >= tsLit(978307200000L)) // 2001-01-01
+      .select("o_custkey")
+    val out = c.join(o, col("o_custkey") === col("c_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+    out.orderBy(out.columns.map(col): _*)
+  }
+
+  /** Hierarchical subtotals via ROLLUP — one pass, grouping-set expansion
+    * handled by the aggregate, not repeated scans.
+    */
+  def rollupAgg(s: SparkSession, d: String): DataFrame = {
+    val out = Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(dsum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+    out.orderBy(out.columns.map(c => col(c).asc_nulls_first): _*)
+  }
+
+  /** Semi-structured extraction: pull a typed field out of the JSON `props`
+    * column and aggregate it — the scan-time JSON path every log/telemetry
+    * pipeline needs (at 100 TB: push extraction to ingest or use variant
+    * shredding; the operator shape is the same).
+    */
+  def jsonExtract(s: SparkSession, d: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("bigint")
+    val out = Tables.events(s, d)
+      .select(col("event_type"), k.as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n"), min(col("k")).as("min_k"), max(col("k")).as("max_k"),
+        sum(col("k")).as("sum_k"))
+    out.orderBy(out.columns.map(col): _*)
+  }
+
   /** Range (interval) join: pairs of events of the same user within a
     * 6-hour forward window. Equi-key (user) + band predicate; at scale the
     * band is additionally bucketed by coarse time block to bound the join
