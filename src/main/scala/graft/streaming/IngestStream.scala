@@ -34,7 +34,9 @@ object IngestStream {
     * per-point errors to the writer).
     */
   def validate(raw: DataFrame): DataFrame = {
-    val t = to_timestamp(col("time"))
+    // try_to_timestamp: ANSI mode would otherwise fail the micro-batch on
+    // one malformed point instead of reporting it
+    val t = try_to_timestamp(col("time"))
     raw.select(
       Det.tsMs(t).as("time_ms"),
       col("value"),

@@ -1,0 +1,128 @@
+package graft.tsdb
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Det
+
+/** Embedded TSDB API with the reference's surface (lib/orestes.js:245-256:
+  * write / read / count_points / get_stream_list / select_distinct / remove),
+  * storage-backed: one parquet dataset per space, partitioned by time bucket.
+  *
+  * Layout: `<root>/<space>/bucket_day=<day>/…` — the Spark re-expression of
+  * Orestes' one-Cassandra-table-plus-one-ES-index-per-(space, bucket)
+  * (lib/orestes-utils.js:63-79). Partition pruning replaces the valid-days
+  * index lookup; retention deletes whole bucket directories exactly like the
+  * reference drops whole tables (lib/orestes-remover.js:28-39); series
+  * search is predicate pushdown instead of an Elasticsearch query.
+  *
+  * Points are rows with a `time` (string or numeric ms), a numeric `value`,
+  * and at least one tag column; series identity = the tag columns.
+  */
+class Graft(spark: SparkSession, root: String, granularityDays: Int = Tsdb.GranularityDays) {
+  import Graft._
+
+  private def spacePath(space: String) = s"$root/$space"
+
+  /** `/write`: validate and land points, bucket-partitioned. Returns the
+    * rejected rows with their error, like the reference's per-point errors
+    * response (lib/orestes-inserter.js:183-201).
+    */
+  def write(points: DataFrame, space: String = "default"): DataFrame = {
+    val tagCols = points.columns.filterNot(c => c == "time" || c == "value")
+    require(tagCols.nonEmpty, "metrics must have at least one tag")
+    // try_to_timestamp: under ANSI (Spark 4 default) a plain to_timestamp
+    // would throw on one malformed point and fail the whole batch — the
+    // contract is per-point errors (reference orestes-inserter.js:51-60)
+    val t = try_to_timestamp(col("time").cast("string"))
+    val validated = points.withColumn("__time_ms", Det.tsMs(t))
+      .withColumn("__error",
+        when(col("time").isNull || col("__time_ms").isNull, "invalid timestamp")
+          .when(col("value").isNull || isnan(col("value")), "invalid value")
+          .when(tagCols.map(col(_).isNotNull: Column).reduce(_ || _) === lit(false),
+            "metrics must have at least one tag"))
+    val good = validated.where(col("__error").isNull)
+      .select(tagCols.map(col) ++ Seq(
+        col("__time_ms").as("time_ms"), col("value").cast("double").as("value"),
+        Tsdb.bucketOf(col("__time_ms"), granularityDays).as("bucket_day")): _*)
+    good.write.mode(SaveMode.Append).partitionBy("bucket_day").parquet(spacePath(space))
+    validated.where(col("__error").isNotNull)
+      .select(col("__error").as("error") +: points.columns.map(col): _*)
+  }
+
+  private def table(space: String): Option[PointsTable] = {
+    val path = spacePath(space)
+    val fs = new java.io.File(path)
+    if (!fs.exists()) None
+    else {
+      val df = spark.read.parquet(path)
+      val tags = df.columns.filterNot(c =>
+        c == "time_ms" || c == "value" || c == "bucket_day").toSeq
+      Some(PointsTable(df.withColumn("ts", timestamp_millis(col("time_ms"))),
+        "ts", "value", tags))
+    }
+  }
+
+  private def empty(cols: String*): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(cols.map(c =>
+        org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType))))
+
+  /** `/read`: points in [startMs, endMs) for series matching the ES filter. */
+  def read(filter: String, space: String = "default",
+           startMs: Long = 0L, endMs: Long = Long.MaxValue): DataFrame =
+    table(space) match {
+      case Some(pt) => Tsdb.read(pt, EsFilter.compile(filter), startMs, endMs)
+      case None => empty("time_ms", "value")
+    }
+
+  /** `/read` with count aggregation: per-series point counts. */
+  def countPoints(filter: String, space: String = "default",
+                  startMs: Long = 0L, endMs: Long = Long.MaxValue): DataFrame =
+    table(space) match {
+      case Some(pt) => Tsdb.countPoints(pt, EsFilter.compile(filter), startMs, endMs)
+      case None => empty("n")
+    }
+
+  /** `/series`: distinct tag sets with data in range. */
+  def seriesList(filter: String, space: String = "default",
+                 startMs: Long = 0L, endMs: Long = Long.MaxValue): DataFrame =
+    table(space) match {
+      case Some(pt) => Tsdb.seriesList(pt, EsFilter.compile(filter), startMs, endMs)
+      case None => empty()
+    }
+
+  /** `/select_distinct`: distinct values of a tag-key subset. */
+  def selectDistinct(keys: Seq[String], filter: String = """{"match_all":{}}""",
+                     space: String = "default"): DataFrame =
+    table(space) match {
+      case Some(pt) => Tsdb.selectDistinct(pt, EsFilter.compile(filter), keys)
+      case None => empty(keys: _*)
+    }
+
+  /** `/delete`: drop whole buckets whose last day is older than
+    * `today - keepDays` (reference semantics, lib/orestes-remover.js:16-39).
+    * `todayDay` defaults to the current wall clock like the reference;
+    * injectable for determinism. Returns the dropped bucket days.
+    */
+  def remove(keepDays: Int, space: String = "default",
+             todayDay: Long = System.currentTimeMillis() / Det.MsInDay): Seq[Long] = {
+    val doomed = todayDay - keepDays
+    val dir = new java.io.File(spacePath(space))
+    if (!dir.exists()) return Nil
+    val buckets = dir.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket_day="))
+      .map(f => (f, f.getName.stripPrefix("bucket_day=").toLong))
+    val dropped = buckets.filter { case (_, day) =>
+      math.min(day + granularityDays - 1, todayDay) <= doomed
+    }
+    dropped.foreach { case (f, _) => deleteRecursively(f) }
+    dropped.map(_._2).sorted
+  }
+}
+
+object Graft {
+  private def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    f.delete()
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.tsdb.Graft
+
+/** End-to-end roundtrip of the embedded API against real bucket-partitioned
+  * storage — the reference's http-api.spec.js write/read/delete cycle
+  * (test/http-api.spec.js:26-97) re-expressed.
+  */
+class GraftApiSpec extends SparkTestBase {
+  private def freshRoot() =
+    Files.createTempDirectory(java.nio.file.Paths.get("target"), "graft-api").toString
+
+  private def samplePoints() = {
+    import spark.implicits._
+    Seq(
+      ("2024-01-09T10:00:00Z", 17.0, "test_series", "one"),
+      ("2024-01-09T10:00:01Z", 57.0, "test_series", "two"),
+      ("2024-01-19T10:00:02Z", 93.0, "test_series", "two"),
+      (null, 5.0, "broken_no_time", "x"),
+      ("not-a-time", 6.0, "broken_bad_time", "x")) // ANSI mode must not abort the batch
+      .toDF("time", "value", "name", "some_tag")
+  }
+
+  test("write/read/count/series/select_distinct/delete roundtrip") {
+    val g = new Graft(spark, freshRoot())
+    val errors = g.write(samplePoints())
+
+    // per-point errors like the reference's /write response
+    assert(errors.count() == 2)
+    assert(errors.select("error").collect().forall(_.getString(0) == "invalid timestamp"))
+
+    // read everything: 3 valid points, tags + time + value
+    val all = g.read("""{"match_all":{}}""")
+    assert(all.count() == 3)
+    assert(all.columns.toSet == Set("name", "some_tag", "time_ms", "value"))
+
+    // filtered read
+    val two = g.read("""{"term":{"some_tag":"two"}}""").collect()
+    assert(two.map(_.getDouble(3)).sorted.toSeq == Seq(57.0, 93.0))
+
+    // time-range read is [start, end)
+    val jan9 = g.read("""{"match_all":{}}""",
+      startMs = 1704758400000L, endMs = 1704844800000L) // 2024-01-09 full day
+    assert(jan9.count() == 2)
+
+    // per-series counts
+    val counts = g.countPoints("""{"match_all":{}}""").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(counts == Map(("test_series", "one") -> 1L, ("test_series", "two") -> 2L))
+
+    // stream list + select_distinct
+    assert(g.seriesList("""{"match_all":{}}""").count() == 2)
+    assert(g.selectDistinct(Seq("some_tag")).collect().map(_.getString(0)).toSeq
+      == Seq("one", "two"))
+    // missing key surfaces as null column
+    val md = g.selectDistinct(Seq("some_tag", "nope")).collect()
+    assert(md.forall(_.isNullAt(1)))
+
+    // retention: from day 19745 (2024-01-23), keep 7 days -> the 19726 bucket
+    // (ends 19732, age > 7d) drops, the 19740 bucket stays
+    val dropped = g.remove(keepDays = 7, todayDay = 19745L)
+    assert(dropped == Seq(19726L), s"dropped $dropped")
+    assert(g.read("""{"match_all":{}}""").count() == 1)
+
+    // idempotent: nothing left to drop
+    assert(g.remove(keepDays = 7, todayDay = 19745L).isEmpty)
+  }
+
+  test("spaces are isolated") {
+    val g = new Graft(spark, freshRoot())
+    import spark.implicits._
+    g.write(Seq(("2024-01-09T10:00:00Z", 1.0, "s"))
+      .toDF("time", "value", "name"), space = "alpha")
+    g.write(Seq(("2024-01-09T10:00:00Z", 2.0, "s"), ("2024-01-09T10:00:01Z", 3.0, "s"))
+      .toDF("time", "value", "name"), space = "beta")
+    assert(g.read("""{"match_all":{}}""", space = "alpha").count() == 1)
+    assert(g.read("""{"match_all":{}}""", space = "beta").count() == 2)
+    assert(g.read("""{"match_all":{}}""", space = "nonexistent").count() == 0)
+  }
+
+  test("writes to one schema accumulate across calls (append)") {
+    val g = new Graft(spark, freshRoot())
+    import spark.implicits._
+    val pts = Seq(("2024-01-09T10:00:00Z", 1.0, "s")).toDF("time", "value", "name")
+    g.write(pts)
+    g.write(pts)
+    assert(g.read("""{"match_all":{}}""").count() == 2)
+  }
+}
