@@ -87,7 +87,10 @@ object Dedup {
     }
     val keyed = minhashSigs(s, d).select(col("doc_id") +: bandCols: _*)
     val stackExpr = (0 until nBands).map(b => s"$b, band$b").mkString(", ")
+    // cache: the self-join below would otherwise recompute the whole
+    // shingle -> signature pipeline for each side
     val bands = keyed.selectExpr("doc_id", s"stack($nBands, $stackExpr) AS (band, band_key)")
+      .cache()
     val out = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -126,6 +129,7 @@ object Dedup {
       (lo until lo + 32).map(b => when(col(s"v$b") > 0, lit(1L << (b % 32))).otherwise(0L): Column)
         .reduce(_ + _)
     val packed = votes.select(col("doc_id"), half(0).as("sig_lo"), half(32).as("sig_hi"))
+      .cache() // self-joined below; avoid recomputing the vote pipeline per side
     val out = packed.as("a").join(packed.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         (bit_count(col("a.sig_lo").bitwiseXOR(col("b.sig_lo"))) +
@@ -143,6 +147,7 @@ object Dedup {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       .select(col("vec_id"), col("v"), dot(s, col("v"), col("v")).as("nsq"))
+      .cache() // self-joined; avoid recomputing the cast + norm per side
     val out = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
         round(dot(s, col("a.v"), col("b.v")) / sqrt(col("a.nsq") * col("b.nsq")), 6).as("cosine"))

@@ -54,6 +54,22 @@ class OperatorsSpec extends SparkTestBase {
     assert(n > 0)
   }
 
+  test("salted join equals the plain join; salted agg equals the plain agg") {
+    import graft.operators.SkewJoin
+    val e = graft.core.Tables.events(spark, Sf)
+    val dim = graft.core.Tables.customer(spark, Sf)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    val plain = e.join(dim, "user_id").count()
+    val salted = SkewJoin.saltedJoin(e, dim, "user_id", saltFrom = "event_id").count()
+    assert(plain == salted && plain > 0)
+
+    val plainAgg = e.groupBy("user_id").agg(count(lit(1)).as("n"), sum("value").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val saltedAgg = SkewJoin.saltedCountSum(e, "user_id", "value", "event_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(plainAgg == saltedAgg)
+  }
+
   test("q5 plan broadcasts the dimension tables") {
     val plan = Analytics.q5MultiJoin(spark, Sf).queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$plan")
