@@ -68,6 +68,7 @@ object SparkEntry {
     "sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
     "downsample" -> ((s, d) => Analytics.downsample(s, d)),
     "asof_join" -> ((s, d) => Analytics.asofJoin(s, d)),
+    "asof_join_native" -> ((s, d) => Analytics.asofJoinNative(s, d)),
     "pivot_agg" -> ((s, d) => Analytics.pivotAgg(s, d)),
     "percentiles" -> ((s, d) => Analytics.percentiles(s, d)),
     "topk_global" -> ((s, d) => Analytics.topkGlobal(s, d)),
@@ -86,6 +87,8 @@ object SparkEntry {
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
+    "dedup_minhash_verified" -> ((s, d) => Dedup.minhashVerified(s, d)),
+    "clean_corpus" -> ((s, d) => Dedup.cleanCorpus(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(s, d)),
     "ann_topk" -> ((s, d) => Ann.bruteForceTopK(s, d)),
@@ -254,6 +257,18 @@ object SparkEntry {
                       ON e.user_id = o.o_custkey AND epoch_ms(o.o_orderdate) <= e.tms)
          SELECT event_id, user_id, o_orderkey, oms AS asof_order_ms
          FROM j WHERE rn = 1 ORDER BY 1, 2, 3, 4""",
+    // same oracle as asof_join: the custom plan must produce identical rows
+    "asof_join_native" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS tms
+                    FROM events WHERE user_id < 50),
+              j AS (SELECT e.event_id, e.user_id, o.o_orderkey,
+                           epoch_ms(o.o_orderdate) AS oms,
+                           row_number() OVER (PARTITION BY e.event_id
+                             ORDER BY epoch_ms(o.o_orderdate) DESC, o.o_orderkey DESC) AS rn
+                    FROM e JOIN orders o
+                      ON e.user_id = o.o_custkey AND epoch_ms(o.o_orderdate) <= e.tms)
+         SELECT event_id, user_id, o_orderkey, oms AS asof_order_ms
+         FROM j WHERE rn = 1 ORDER BY 1, 2, 3, 4""",
     "pivot_agg" -> {
       def b(t: String) = dsumSql(s"CASE WHEN event_type = '$t' THEN value ELSE 0.0 END") +
         s" AS ${t}_sum"
@@ -326,6 +341,58 @@ object SparkEntry {
           FROM bands a JOIN bands b
             ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
           ORDER BY 1, 2""",
+    "dedup_minhash_verified" ->
+      s"""WITH $ShingleCte,
+              sigs AS (SELECT doc_id, seed,
+                              min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS sig
+                       FROM sh, UNNEST(range(0, 16)) AS u(seed) GROUP BY 1, 2),
+              bands AS (SELECT doc_id, seed // 4 AS band,
+                               md5(string_agg(sig, ',' ORDER BY seed)) AS band_key
+                        FROM sigs GROUP BY 1, 2),
+              cands AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                        FROM bands a JOIN bands b
+                          ON a.band = b.band AND a.band_key = b.band_key
+                         AND a.doc_id < b.doc_id),
+              sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+              i AS (SELECT c.a_id, c.b_id, count(*) AS ni
+                    FROM cands c
+                    JOIN sh sa ON sa.doc_id = c.a_id
+                    JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+                    GROUP BY 1, 2)
+          SELECT a_id, b_id, round(ni*1.0/(sa.n + sb.n - ni), 4) AS jaccard
+          FROM i JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+          WHERE round(ni*1.0/(sa.n + sb.n - ni), 4) >= 0.8 ORDER BY 1, 2, 3""",
+    "clean_corpus" ->
+      s"""WITH t AS (SELECT doc_id, $NormSql AS n, string_split($NormSql, ' ') AS toks
+                     FROM documents),
+              keep AS (SELECT min(doc_id) AS doc_id
+                       FROM (SELECT doc_id, md5(n) AS h FROM t) GROUP BY h),
+              lang AS (SELECT doc_id,
+                         len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','it','for','on'))) AS s_en,
+                         len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','se','no','por'))) AS s_es,
+                         len(list_filter(toks, x -> x IN ('le','de','un','et','la','les','des','en','du','une'))) AS s_fr,
+                         len(list_filter(toks, x -> x IN ('der','die','und','in','den','von','zu','das','mit','ist'))) AS s_de,
+                         len(list_filter(toks, x -> x IN ('de5','shi4','bu4','le5','ren2','wo3','zai4','you3','ta1','zhe4'))) AS s_zh
+                       FROM t),
+              pred AS (SELECT doc_id,
+                         CASE WHEN s_en >= greatest(s_es, s_fr, s_de, s_zh) THEN 'en'
+                              WHEN s_es >= greatest(s_en, s_fr, s_de, s_zh) THEN 'es'
+                              WHEN s_fr >= greatest(s_en, s_es, s_de, s_zh) THEN 'fr'
+                              WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+                              ELSE 'zh' END AS pred_lang
+                       FROM lang),
+              q AS (SELECT doc_id, len(toks) AS n_tokens, length(n) AS nc,
+                           length(regexp_replace(n, '[^a-z]', '', 'g')) AS alpha,
+                           len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','it','for','on'))) AS stops
+                    FROM t),
+              scored AS (SELECT doc_id, n_tokens,
+                           round(least(n_tokens*1.0/100, 1.0)*0.5 + (alpha*1.0/nc)*0.3
+                                 + least(stops*10.0/n_tokens, 1.0)*0.2, 4) AS quality_score
+                         FROM q)
+          SELECT k.doc_id, pred_lang, n_tokens, quality_score
+          FROM keep k JOIN pred USING (doc_id) JOIN scored USING (doc_id)
+          WHERE pred_lang = 'en' AND n_tokens >= 20 AND quality_score >= 0.3
+          ORDER BY 1, 2, 3, 4""",
     "dedup_simhash" ->
       s"""WITH t0 AS (SELECT doc_id, string_split($NormSql, ' ') AS toks FROM documents),
               tok AS (SELECT DISTINCT doc_id, md5(t) AS h

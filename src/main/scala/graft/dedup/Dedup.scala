@@ -138,6 +138,47 @@ object Dedup {
     out.orderBy(out.columns.map(col): _*)
   }
 
+  /** The 100 TB dedup pipeline end-to-end: MinHash-LSH candidate generation
+    * followed by exact Jaccard verification ON THE CANDIDATES ONLY — never
+    * the exhaustive pair space. Returns verified pairs >= tau.
+    */
+  def minhashVerified(s: SparkSession, d: String, tau: Double = 0.8): DataFrame = {
+    val cands = minhashLsh(s, d)
+    val sh = shingleRows(s, d).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val inter = cands
+      .join(sh.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("shingle").as("b_shingle")), "b_id")
+      .where(col("shingle") === col("b_shingle"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    val out = inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_shingles").as("a_n")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_shingles").as("b_n")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(col("n_inter") * lit(1.0) / (col("a_n") + col("b_n") - col("n_inter")), 4)
+          .as("jaccard"))
+      .where(col("jaccard") >= tau)
+    out.orderBy(out.columns.map(col): _*)
+  }
+
+  /** Corpus cleaning composition: drop exact duplicates (keep smallest id),
+    * then language + quality gates — the standard pre-training filter chain
+    * as one declarative plan. Returns surviving doc ids with their scores.
+    */
+  def cleanCorpus(s: SparkSession, d: String): DataFrame = {
+    import graft.text.TextOps
+    val keep = exact(s, d).select(col("keep_id").as("doc_id"))
+    val lang = TextOps.langId(s, d).select(col("doc_id"), col("pred_lang"))
+    val q = TextOps.quality(s, d).select(col("doc_id"), col("n_tokens"), col("quality_score"))
+    val out = keep
+      .join(lang, "doc_id")
+      .join(q, "doc_id")
+      .where(col("pred_lang") === "en" && col("n_tokens") >= 20 && col("quality_score") >= 0.3)
+      .select(col("doc_id"), col("pred_lang"), col("n_tokens"), col("quality_score"))
+    out.orderBy(out.columns.map(col): _*)
+  }
+
   /** Embedding-cosine near-dup pairs (rounded cosine >= tau). Exhaustive at
     * verify SF; the 100 TB path is [[graft.ann.Ann.lshBuckets]] — pairs only
     * within random-hyperplane buckets.

@@ -71,6 +71,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+    ext.injectPlannerStrategy(_ => new graft.plans.AsofJoinStrategy)
   }
 }
 

@@ -167,6 +167,26 @@ object Analytics {
     out.orderBy(out.columns.map(col): _*)
   }
 
+  /** The custom-plan as-of join ([[graft.plans.AsofJoin]]) on the same
+    * inputs/output as [[asofJoin]] — one sort-merge pass, no candidate-pair
+    * materialization. Falls back to the window formulation when the planner
+    * strategy is not installed (no `GraftExtensions` in the session).
+    */
+  def asofJoinNative(s: SparkSession, d: String): DataFrame = {
+    val hasStrategy = s.conf.getOption("spark.sql.extensions")
+      .exists(_.contains("graft.functions.GraftExtensions"))
+    if (!hasStrategy) return asofJoin(s, d)
+    val e = Tables.events(s, d).where(col("user_id") < 50)
+      .select(col("event_id"), col("user_id"), tsMs(col("ts")).as("tms"))
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), tsMs(col("o_orderdate")).as("oms"))
+    val out = AsofJoinOps.asofJoin(e, o,
+      leftKey = "user_id", rightKey = "o_custkey",
+      leftTimeMs = "tms", rightTimeMs = "oms", rightTiebreaks = Seq("o_orderkey"))
+      .select(col("event_id"), col("user_id"), col("o_orderkey"), col("oms").as("asof_order_ms"))
+    out.orderBy(out.columns.map(col): _*)
+  }
+
   /** Pivot: per-user conditional aggregation by event_type (explicit
     * conditional sums — one shuffle, no per-type scans).
     */

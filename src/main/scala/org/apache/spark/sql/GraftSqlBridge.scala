@@ -1,0 +1,12 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Minimal bridge into `private[sql]` surface: building a DataFrame from a
+  * custom LogicalPlan has no public API, so — like every Spark extension
+  * library — we expose `Dataset.ofRows` from inside the sql package.
+  */
+object GraftSqlBridge {
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+}

@@ -54,6 +54,15 @@ class OperatorsSpec extends SparkTestBase {
     assert(n > 0)
   }
 
+  test("native as-of join plan equals the window formulation row-for-row") {
+    val window = Analytics.asofJoin(spark, Sf).collect().map(_.toSeq).toSeq
+    val native = Analytics.asofJoinNative(spark, Sf).collect().map(_.toSeq).toSeq
+    assert(native.nonEmpty && native == window)
+    // and it actually planned through the custom operator
+    val plan = Analytics.asofJoinNative(spark, Sf).queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoinExec") || plan.contains("AsofJoin"), plan.take(500))
+  }
+
   test("salted join equals the plain join; salted agg equals the plain agg") {
     import graft.operators.SkewJoin
     val e = graft.core.Tables.events(spark, Sf)
