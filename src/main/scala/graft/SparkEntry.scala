@@ -93,6 +93,7 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(s, d)),
     "ann_topk" -> ((s, d) => Ann.bruteForceTopK(s, d)),
     "ann_lsh" -> ((s, d) => Ann.lshTopK(s, d)),
+    "ann_ivf" -> ((s, d) => Ann.ivfTopK(s, d)),
     "text_langid" -> ((s, d) => TextOps.langId(s, d)),
     "text_quality" -> ((s, d) => TextOps.quality(s, d)),
     "text_tokens" -> ((s, d) => TextOps.tokenCounts(s, d)),
@@ -439,6 +440,27 @@ object SparkEntry {
                     FROM c)
           SELECT q_id, n_id, cosine, rank FROM r WHERE rank <= 5 ORDER BY 1, 2, 3, 4""",
     // ann_lsh: approximate by construction -> rows-only check, no oracle.
+    "ann_ivf" ->
+      s"""WITH $VecCte,
+              cc AS (SELECT a.vec_id AS vid, b.vec_id AS cid, sum(a.x*b.x) AS dot
+                     FROM ev a JOIN ev b ON a.i = b.i AND b.vec_id < 16 GROUP BY 1, 2),
+              ccos AS (SELECT vid, cid, round(dot/sqrt(nv.nsq*nc.nsq), 6) AS c
+                       FROM cc JOIN vn nv ON nv.vec_id = vid JOIN vn nc ON nc.vec_id = cid),
+              assign AS (SELECT vid, cid AS cell FROM (
+                           SELECT vid, cid, row_number() OVER (PARTITION BY vid
+                             ORDER BY c DESC, cid) AS arn FROM ccos) WHERE arn = 1),
+              dots AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, sum(a.x*b.x) AS dot
+                       FROM ev a JOIN ev b ON a.i = b.i AND a.vec_id <> b.vec_id
+                       JOIN assign qa ON qa.vid = a.vec_id
+                       JOIN assign na ON na.vid = b.vec_id AND na.cell = qa.cell
+                       WHERE a.vec_id < 20 GROUP BY 1, 2),
+              c2 AS (SELECT q_id, n_id, round(dot/sqrt(nq.nsq*nn.nsq), 6) AS cosine
+                     FROM dots JOIN vn nq ON nq.vec_id = q_id JOIN vn nn ON nn.vec_id = n_id),
+              r AS (SELECT q_id, n_id, cosine,
+                      CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY cosine DESC, n_id) AS BIGINT) AS rank
+                    FROM c2)
+          SELECT q_id, n_id, cosine, rank FROM r WHERE rank <= 5 ORDER BY 1, 2, 3, 4""",
     "text_langid" -> {
       val lists = Map(
         "en" -> "('the','and','of','to','in','is','that','it','for','on')",

@@ -1,8 +1,13 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Tables
+
+/** Typed metadata a decoder extracts from one media payload. */
+case class MediaMeta(doc_id: Long, byte_len: Long, fingerprint: String,
+                     fake_width: Long, fake_height: Long, fake_channels: Long,
+                     fake_is_keyframe: Boolean)
 
 /** Multimodal column handling: media as opaque `binary` payloads with typed,
   * queryable metadata.
@@ -38,5 +43,32 @@ object Multimodal {
       (lit(1) + hexByte(5) % 4).cast("bigint").as("fake_channels"),   // STUB: header parse
       (hexByte(7) % 2 === 0).as("fake_is_keyframe"))                  // STUB: frame sample
     out.orderBy(out.columns.map(col): _*)
+  }
+
+  /** The per-partition decode pipeline: one decoder instance per partition
+    * (codec init is expensive — amortized over the partition's rows), rows
+    * streamed through it, typed case-class output. This is the plumbing a
+    * real image/audio decode runs through at 100 TB; only the decoder body
+    * is a deterministic STUB (md5-derived header fields, same values as
+    * [[meta]]).
+    */
+  def decodeMeta(s: SparkSession, d: String): Dataset[MediaMeta] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // STUB decoder: stands in for e.g. a JNI codec handle per partition
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, payload) =>
+          digest.reset()
+          val fp = digest.digest(payload).map("%02x".format(_)).mkString
+          def hexByte(pos: Int) = // 1-based, matches conv(substring(fp, pos, 2), 16, 10)
+            Integer.parseInt(fp.substring(pos - 1, pos + 1), 16)
+          MediaMeta(id, payload.length.toLong, fp,
+            64L + hexByte(1) % 192, 64L + hexByte(3) % 192, 1L + hexByte(5) % 4,
+            hexByte(7) % 2 == 0)
+        }
+      }
   }
 }

@@ -42,6 +42,26 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(sink).count() == 2)
   }
 
+  test("streaming dedup drops replayed points across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Double, Long, String)]
+    val deduped = IngestStream.validate(
+        mem.toDF().toDF("time", "value", "user_id", "event_type"))
+      .where(org.apache.spark.sql.functions.col("error").isNull)
+      .dropDuplicates("user_id", "event_type", "time_ms")
+    val q = deduped.writeStream.format("memory").queryName("dedup")
+      .outputMode("append").start()
+    val pt = ("2024-01-09T12:00:00Z", 1.5, 1L, "click")
+    mem.addData(pt, pt) // duplicate within a batch
+    q.processAllAvailable()
+    mem.addData(pt)     // replay in a later batch -> state-backed drop
+    mem.addData(("2024-01-09T12:00:01Z", 2.5, 1L, "click"))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dedup").count() == 2)
+  }
+
   test("windowed per-series counts with watermark over a memory stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
