@@ -65,6 +65,8 @@ object SparkEntry {
     "group_distinct" -> ((s, d) => Analytics.groupDistinct(s, d)),
     "window_topn" -> ((s, d) => Analytics.windowTopN(s, d)),
     "window_running" -> ((s, d) => Analytics.windowRunning(s, d)),
+    "window_range_frame" -> ((s, d) => Analytics.windowRangeFrame(s, d)),
+    "approx_distinct" -> ((s, d) => Analytics.approxDistinct(s, d)),
     "sessionize" -> ((s, d) => Analytics.sessionize(s, d)),
     "downsample" -> ((s, d) => Analytics.downsample(s, d)),
     "asof_join" -> ((s, d) => Analytics.asofJoin(s, d)),
@@ -226,6 +228,15 @@ object SparkEntry {
                 lag(epoch_ms(ts), 1) OVER (
                   PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
          FROM events WHERE user_id < 20 ORDER BY 1, 2, 3, 4, 5""",
+    // approx_distinct: HLL estimates are engine-specific -> rows-only check.
+    "window_range_frame" ->
+      """SELECT user_id, event_id, epoch_ms(ts) AS tms,
+                count(*) OVER w AS n_1h,
+                round(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE), 2) AS sum_1h
+         FROM events WHERE user_id < 10
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts)
+                      RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW)
+         ORDER BY 1, 2, 3, 4, 5""",
     "sessionize" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tms FROM events),
               f AS (SELECT user_id, event_id, tms,

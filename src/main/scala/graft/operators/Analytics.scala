@@ -116,6 +116,35 @@ object Analytics {
     out.orderBy(out.columns.map(col): _*)
   }
 
+  /** Time-RANGE window frame: per-user trailing-1h event count and value
+    * sum at every event — the "rate over sliding window" primitive. RANGE
+    * frames bound by the ORDER BY value (epoch ms), not row counts.
+    */
+  def windowRangeFrame(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).where(col("user_id") < 10)
+      .select(col("user_id"), col("event_id"), tsMs(col("ts")).as("tms"), col("value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tms"))
+      .rangeBetween(-3600000L, 0L)
+    val out = e.select(
+      col("user_id"), col("event_id"), col("tms"),
+      count(lit(1)).over(w).as("n_1h"),
+      round(sum(col("value").cast("decimal(18,4)")).over(w).cast("double"), 2).as("sum_1h"))
+    out.orderBy(out.columns.map(col): _*)
+  }
+
+  /** Sketch aggregate: HyperLogLog++ distinct-user estimate per event type —
+    * the constant-memory path for distinct counts at 100 TB. Estimates are
+    * implementation-specific, so this is verified rows-only; `groupDistinct`
+    * is the exact twin.
+    */
+  def approxDistinct(s: SparkSession, d: String): DataFrame = {
+    val out = Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count(lit(1)).as("n"))
+    out.orderBy(out.columns.map(col): _*)
+  }
+
   /** Gap-based sessionization: lag + cumulative flag sum, the classic
     * two-window formulation. Partitioned by user — one shuffle.
     */
