@@ -46,6 +46,10 @@ object SparkEntry {
       EsFilter.compile(
         """{"or":[{"prefix":{"event_type":"si"}},
                   {"wildcard":{"event_type":"*rror"}}]}"""), Start, End)),
+    "ts_read_filter_json" -> ((s, d) => Tsdb.read(Tsdb.points(s, d),
+      EsFilter.compile(
+        """{"and":[{"range":{"props.k":{"gte":50}}},
+                   {"term":{"event_type":"purchase"}}]}"""), Start, End)),
     "ts_count" -> ((s, d) => Tsdb.countPoints(Tsdb.points(s, d),
       EsFilter.compile("""{"match_all":{}}"""), 0L, Far)),
     "ts_series" -> ((s, d) => Tsdb.seriesList(Tsdb.points(s, d),
@@ -142,6 +146,12 @@ object SparkEntry {
       s"""SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events
           WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
             AND (event_type LIKE 'si%' OR event_type LIKE '%rror')
+          ORDER BY 1, 2, 3, 4""",
+    "ts_read_filter_json" ->
+      s"""SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events
+          WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
+            AND CAST(json_extract_string(props, '$$.k') AS DOUBLE) >= 50
+            AND event_type = 'purchase'
           ORDER BY 1, 2, 3, 4""",
     "ts_count" ->
       s"""SELECT user_id, event_type, count(*) AS n FROM events

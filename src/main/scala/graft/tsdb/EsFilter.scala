@@ -18,9 +18,26 @@ import scala.jdk.CollectionConverters._
   * Supported: match_all, term, terms, range (gt/gte/lt/lte), exists, missing,
   * prefix, wildcard, regexp, bool (must/filter/should/must_not), and, or, not.
   * `should` requires at least one clause to match (filter-context semantics).
+  *
+  * Dotted field names address JSON tag bags: `props.k` compiles to
+  * `get_json_object(props, "$.k")` — the Spark answer to the reference's
+  * arbitrary per-point tags (any key/value pair is a tag, README "series"),
+  * without requiring every tag to be a physical column. Numeric comparisons
+  * against JSON-extracted values compare as doubles.
   */
 object EsFilter {
   private val mapper = new ObjectMapper()
+
+  private def isJsonPath(f: String): Boolean = f.contains(".")
+
+  /** Column for a possibly-dotted field: `a.b.c` -> json path `$.b.c` in
+    * string column `a`.
+    */
+  private def fieldCol(f: String): Column =
+    if (isJsonPath(f)) {
+      val parts = f.split("\\.")
+      get_json_object(col(parts.head), "$." + parts.tail.mkString("."))
+    } else col(f)
 
   def compile(json: String): Column = compileNode(mapper.readTree(json))
 
@@ -34,11 +51,11 @@ object EsFilter {
       case "term"      => term(body)
       case "terms"     => terms(body)
       case "range"     => range(body)
-      case "exists"    => col(body.get("field").asText()).isNotNull
-      case "missing"   => col(body.get("field").asText()).isNull
-      case "prefix"    => { val (f, v) = fieldValue(body); col(f).startsWith(v.asText()) }
-      case "wildcard"  => { val (f, v) = fieldValue(body); col(f).rlike(wildcardToRegex(v.asText())) }
-      case "regexp"    => { val (f, v) = fieldValue(body); col(f).rlike("^(?:" + v.asText() + ")$") }
+      case "exists"    => fieldCol(body.get("field").asText()).isNotNull
+      case "missing"   => fieldCol(body.get("field").asText()).isNull
+      case "prefix"    => { val (f, v) = fieldValue(body); fieldCol(f).startsWith(v.asText()) }
+      case "wildcard"  => { val (f, v) = fieldValue(body); fieldCol(f).rlike(wildcardToRegex(v.asText())) }
+      case "regexp"    => { val (f, v) = fieldValue(body); fieldCol(f).rlike("^(?:" + v.asText() + ")$") }
       case "bool"      => bool(body)
       case "and"       => clauses(body).map(compileNode).reduce(_ && _)
       case "or"        => clauses(body).map(compileNode).reduce(_ || _)
@@ -65,16 +82,24 @@ object EsFilter {
     else if (v.isBoolean) lit(v.asBoolean())
     else lit(v.asText())
 
+  /** Comparable (column, literal) pair: JSON-extracted fields compare as
+    * doubles when the query value is numeric.
+    */
+  private def comparable(f: String, v: JsonNode): (Column, Column) =
+    if (isJsonPath(f) && v.isNumber) (fieldCol(f).cast("double"), lit(v.asDouble()))
+    else (fieldCol(f), jsonLit(v))
+
   private def term(body: JsonNode): Column = {
     val (f, v) = fieldValue(body)
-    col(f) === jsonLit(v)
+    val (c, l) = comparable(f, v)
+    c === l
   }
 
   private def terms(body: JsonNode): Column = {
     require(body.isObject && body.size() == 1, s"expected {field: [values]}, got $body")
     val f = body.fieldNames().next()
-    val vs = body.get(f).elements().asScala.toSeq.map(jsonLit)
-    col(f).isInCollection(vs)
+    val vs = body.get(f).elements().asScala.toSeq
+    vs.map { v => val (c, l) = comparable(f, v); c === l }.reduce(_ || _)
   }
 
   private def range(body: JsonNode): Column = {
@@ -82,12 +107,12 @@ object EsFilter {
     val f = body.fieldNames().next()
     val bounds = body.get(f)
     val preds = bounds.fieldNames().asScala.map { b =>
-      val v = jsonLit(bounds.get(b))
+      val (c, l) = comparable(f, bounds.get(b))
       b match {
-        case "gt"  => col(f) > v
-        case "gte" => col(f) >= v
-        case "lt"  => col(f) < v
-        case "lte" => col(f) <= v
+        case "gt"  => c > l
+        case "gte" => c >= l
+        case "lt"  => c < l
+        case "lte" => c <= l
         case other => throw new IllegalArgumentException(s"unsupported range bound: $other")
       }
     }.toSeq

@@ -56,6 +56,21 @@ class EsFilterSpec extends SparkTestBase {
     assert(ids("""{"exists":{"field":"event_type"}}""") == Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("dotted fields address the JSON tag bag") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, """{"k": 87, "env": "prod"}"""),
+      (2L, """{"k": 3}"""),
+      (3L, """{"env": "dev"}"""))
+      .toDF("user_id", "props")
+    def ids2(json: String) =
+      df.where(EsFilter.compile(json)).select("user_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids2("""{"range":{"props.k":{"gte":50}}}""") == Seq(1L))
+    assert(ids2("""{"term":{"props.env":"dev"}}""") == Seq(3L))
+    assert(ids2("""{"exists":{"field":"props.k"}}""") == Seq(1L, 2L))
+    assert(ids2("""{"missing":{"field":"props.env"}}""") == Seq(2L))
+  }
+
   test("wildcard escapes regex metacharacters") {
     assert(EsFilter.wildcardToRegex("a.b*c?") == "^a\\.b.*c.$")
   }
