@@ -54,7 +54,14 @@ class Graft(spark: SparkSession, root: String, granularityDays: Int = Tsdb.Granu
     val fs = new java.io.File(path)
     if (!fs.exists()) None
     else {
-      val df = spark.read.parquet(path)
+      // Read via the bucket-partition glob with an explicit basePath: the
+      // bucket directories are the source of truth (as Orestes' per-bucket
+      // tables are). This deliberately bypasses any streaming-sink
+      // `_spark_metadata` log, which would otherwise keep referencing files
+      // that `remove()` retention has deleted.
+      val df =
+        try spark.read.option("basePath", path).parquet(s"$path/bucket_day=*")
+        catch { case _: Throwable => return None } // no buckets yet
       val tags = df.columns.filterNot(c =>
         c == "time_ms" || c == "value" || c == "bucket_day").toSeq
       Some(PointsTable(df.withColumn("ts", timestamp_millis(col("time_ms"))),

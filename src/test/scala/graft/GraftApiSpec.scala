@@ -68,6 +68,39 @@ class GraftApiSpec extends SparkTestBase {
     assert(g.remove(keepDays = 7, todayDay = 19745L).isEmpty)
   }
 
+  test("per-space granularity: daily buckets partition per day") {
+    val g = new Graft(spark, freshRoot(), granularityDays = 1)
+    import spark.implicits._
+    g.write(Seq(
+      ("2024-01-09T10:00:00Z", 1.0, "s"),
+      ("2024-01-10T10:00:00Z", 2.0, "s")).toDF("time", "value", "name"))
+    // day-granularity: each point in its own bucket (19731, 19732)
+    val counts = g.countPoints("""{"match_all":{}}""").collect()
+    assert(counts.map(_.getLong(1)).sum == 2)
+    // today=19732, keep 1 day -> doomed=19731: bucket 19731 (ends 19731)
+    // drops, bucket 19732 survives
+    val dropped = g.remove(keepDays = 1, todayDay = 19732L)
+    assert(dropped == Seq(19731L), s"daily bucket 19731 ages out first: $dropped")
+  }
+
+  test("streaming ingest lands points the embedded API can query") {
+    val root = freshRoot()
+    val src = freshRoot(); val ckpt = freshRoot()
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$src/pts.json"),
+      Seq(
+        """{"time":"2024-01-09T10:00:00Z","value":4.5,"user_id":9,"event_type":"click"}""",
+        """{"time":"2024-01-16T10:00:00Z","value":5.5,"user_id":9,"event_type":"view"}""")
+        .mkString("\n").getBytes("UTF-8"))
+    val q = graft.streaming.IngestStream.start(spark, src, s"$root/default", ckpt)
+    q.processAllAvailable(); q.stop()
+    // the stream's sink layout IS the embedded API's storage layout
+    val g = new Graft(spark, root)
+    assert(g.read("""{"term":{"event_type":"click"}}""").count() == 1)
+    assert(g.seriesList("""{"match_all":{}}""").count() == 2)
+    assert(g.remove(keepDays = 7, todayDay = 19745L) == Seq(19726L))
+    assert(g.read("""{"match_all":{}}""").count() == 1)
+  }
+
   test("spaces are isolated") {
     val g = new Graft(spark, freshRoot())
     import spark.implicits._
