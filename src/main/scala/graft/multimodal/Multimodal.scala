@@ -9,6 +9,13 @@ case class MediaMeta(doc_id: Long, byte_len: Long, fingerprint: String,
                      fake_width: Long, fake_height: Long, fake_channels: Long,
                      fake_is_keyframe: Boolean)
 
+/** Typed per-media features: fixed-dim embedding, resize target, sampled
+  * frame offsets.
+  */
+case class MediaFeatures(doc_id: Long, embedding: Array[Double],
+                         resized_w: Long, resized_h: Long,
+                         frame_offsets: Array[Long])
+
 /** Multimodal column handling: media as opaque `binary` payloads with typed,
   * queryable metadata.
   *
@@ -68,6 +75,41 @@ object Multimodal {
           MediaMeta(id, payload.length.toLong, fp,
             64L + hexByte(1) % 192, 64L + hexByte(3) % 192, 1L + hexByte(5) % 4,
             hexByte(7) % 2 == 0)
+        }
+      }
+  }
+
+  /** Feature-extract / resize / frame-sample over the same per-partition
+    * batch shape: a fixed-dim feature vector per payload (STUB: md5-derived
+    * floats stand in for a vision encoder), the aspect-preserving resize
+    * target for a 224-box, and evenly-sampled "frame" byte offsets (STUB for
+    * video frame sampling). The partition iterator is where a real codec +
+    * model session would be reused across rows.
+    */
+  def decodeFeatures(s: SparkSession, d: String, dim: Int = 16,
+                     nFrames: Int = 4): Dataset[MediaFeatures] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        rows.map { case (id, payload) =>
+          digest.reset()
+          val h = digest.digest(payload)
+          // STUB embedding: bytes of md5(payload || i) -> [-1, 1)
+          val vec = Array.tabulate(dim) { i =>
+            digest.reset()
+            digest.update(payload)
+            val hi = digest.digest(Array(i.toByte))
+            ((hi(0) & 0xff) - 128) / 128.0
+          }
+          val (w0, h0) = (64L + (h(0) & 0xff) % 192, 64L + (h(1) & 0xff) % 192)
+          val scale = 224.0 / math.max(w0, h0)
+          val frames = Array.tabulate(nFrames)(i =>
+            (payload.length.toLong * i) / nFrames)
+          MediaFeatures(id, vec,
+            math.round(w0 * scale), math.round(h0 * scale), frames)
         }
       }
   }

@@ -13,4 +13,19 @@ class MultimodalSpec extends SparkTestBase {
         m.fake_channels, m.fake_is_keyframe)).toSet
     assert(fromDecode.nonEmpty && fromDecode == fromExpr)
   }
+
+  test("feature extraction yields fixed-dim vectors, 224-box resizes, ordered frames") {
+    val feats = Multimodal.decodeFeatures(spark, Sf).collect()
+    assert(feats.nonEmpty)
+    feats.foreach { f =>
+      assert(f.embedding.length == 16 && f.embedding.forall(x => x >= -1 && x < 1))
+      assert(math.max(f.resized_w, f.resized_h) == 224,
+        s"aspect-preserving resize targets a 224 box: ${f.resized_w}x${f.resized_h}")
+      assert(f.frame_offsets.length == 4 && f.frame_offsets.sameElements(f.frame_offsets.sorted))
+    }
+    // deterministic: same payload -> same features on a second run
+    val again = Multimodal.decodeFeatures(spark, Sf).collect()
+      .map(f => f.doc_id -> f.embedding.toSeq).toMap
+    feats.foreach(f => assert(again(f.doc_id) == f.embedding.toSeq))
+  }
 }
