@@ -10,10 +10,6 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
-      // the SF tables are single ~MB parquet files: split them so scans
-      // parallelize across all cores (3x on the fact-table queries); a real
-      // cluster over TB-scale files keeps the 128m default
-      .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
