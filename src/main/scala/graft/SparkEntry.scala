@@ -104,6 +104,8 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextOps.quality(s, d)),
     "text_tokens" -> ((s, d) => TextOps.tokenCounts(s, d)),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
+    "text_bigrams" -> ((s, d) => TextOps.bigramStats(s, d)),
+    "decontaminate" -> ((s, d) => TextOps.decontaminate(s, d)),
     "mm_meta" -> ((s, d) => Multimodal.meta(s, d)))
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -526,6 +528,20 @@ object SparkEntry {
                  round(length(text)*1.0/len(string_split($NormSql, ' ')), 4)
                    AS chars_per_token
           FROM documents ORDER BY 1, 2, 3, 4, 5""",
+    "text_bigrams" ->
+      s"""WITH t AS (SELECT doc_id, string_split($NormSql, ' ') AS toks FROM documents),
+              g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+1], ' ') AS bigram
+                    FROM t, UNNEST(range(1, len(toks))) AS u(i) WHERE len(toks) >= 2)
+          SELECT bigram, count(*) AS doc_freq FROM g
+          GROUP BY 1 ORDER BY doc_freq DESC, bigram LIMIT 100""",
+    "decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, string_split($NormSql, ' ') AS toks FROM documents),
+              s8 AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS sh
+                     FROM t, UNNEST(range(1, len(toks)-6)) AS u(i) WHERE len(toks) >= 8)
+          SELECT c.doc_id, count(DISTINCT b.doc_id) AS n_benchmark_docs,
+                 count(*) AS n_shared_shingles
+          FROM s8 c JOIN s8 b ON c.sh = b.sh AND b.doc_id < 10 AND c.doc_id >= 10
+          GROUP BY 1 ORDER BY 1, 2, 3""",
     "text_fingerprint" ->
       s"""SELECT doc_id, md5($NormSql) AS content_fp,
                  md5(array_to_string(list_sort(list_distinct(

@@ -106,6 +106,42 @@ object TextOps {
     out.orderBy(out.columns.map(col): _*)
   }
 
+  /** Corpus n-gram statistics: global bigram frequencies with document
+    * frequency — the raw material for contamination analysis, LM frequency
+    * filters, and vocabulary work. One explode + one shuffle; top-N kept
+    * with a deterministic total order.
+    */
+  def bigramStats(s: SparkSession, d: String, topN: Int = 100): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+    val grams = docs
+      .select(col("doc_id"), explode(shinglesOf(col("toks"), 2)).as("bigram"))
+    grams.groupBy(col("bigram"))
+      .agg(count(lit(1)).as("doc_freq")) // distinct per doc by construction
+      .orderBy(col("doc_freq").desc, col("bigram"))
+      .limit(topN)
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing any 8-token
+    * shingle with a benchmark set (here: doc_id < 10 plays the benchmark).
+    * The standard eval-leakage sweep — at 100 TB the benchmark shingles are
+    * a broadcast bloom/set and this is a semi-join against the scan.
+    */
+  def decontaminate(s: SparkSession, d: String, benchmarkMaxId: Long = 10L): DataFrame = {
+    val k = 8
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shinglesOf(col("toks"), k)).as("sh"))
+    val bench = sh.where(col("doc_id") < benchmarkMaxId)
+      .select(col("sh").as("bench_sh"), col("doc_id").as("bench_id"))
+    val out = sh.where(col("doc_id") >= benchmarkMaxId)
+      .join(broadcast(bench), col("sh") === col("bench_sh"))
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("bench_id")).as("n_benchmark_docs"),
+        count(lit(1)).as("n_shared_shingles"))
+    out.orderBy(out.columns.map(col): _*)
+  }
+
   /** Document fingerprints: exact content hash of the normalized text plus
     * an order-independent bag fingerprint (hash of the sorted distinct token
     * set) — the rolling-hash family's cheap deterministic cousin.
