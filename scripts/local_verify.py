@@ -25,10 +25,12 @@ def run_spark():
 
 
 def norm_val(v):
+    # full-precision compare: r1 measured every query bit-exact across
+    # engines, so don't mask regressions behind rounding
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.10g}"
+        return repr(v)
     return str(v)
 
 
