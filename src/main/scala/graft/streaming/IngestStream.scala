@@ -66,6 +66,28 @@ object IngestStream {
       .start(sinkDir)
   }
 
+  /** Stream-stream interval join: each left point matched to right points of
+    * the same user within [0, joinWindowMs) after it. Both sides carry
+    * watermarks so Spark can bound the join state — the live counterpart of
+    * `Analytics.rangeJoin`.
+    */
+  def streamIntervalJoin(left: DataFrame, right: DataFrame,
+                         joinWindowMs: Long = 3600000L,
+                         watermark: String = "2 hours"): DataFrame = {
+    val l = left.where(col("error").isNull)
+      .select(col("user_id").as("l_user"), timestamp_millis(col("time_ms")).as("l_ts"),
+        col("value").as("l_value"))
+      .withWatermark("l_ts", watermark)
+    val r = right.where(col("error").isNull)
+      .select(col("user_id").as("r_user"), timestamp_millis(col("time_ms")).as("r_ts"),
+        col("value").as("r_value"))
+      .withWatermark("r_ts", watermark)
+    l.join(r,
+      col("l_user") === col("r_user") &&
+      col("r_ts") >= col("l_ts") &&
+      col("r_ts") < col("l_ts") + expr(s"INTERVAL ${joinWindowMs / 1000} SECONDS"))
+  }
+
   /** Live per-series counts over event-time windows with a watermark — the
     * streaming equivalent of `/read` + count aggregation. Late data beyond
     * the watermark is dropped; state is bounded.

@@ -62,6 +62,26 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.table("dedup").count() == 2)
   }
 
+  test("stream-stream interval join matches same-user points within the window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lm = MemoryStream[(String, Double, Long, String)]
+    val rm = MemoryStream[(String, Double, Long, String)]
+    val joined = IngestStream.streamIntervalJoin(
+      IngestStream.validate(lm.toDF().toDF("time", "value", "user_id", "event_type")),
+      IngestStream.validate(rm.toDF().toDF("time", "value", "user_id", "event_type")))
+    val q = joined.writeStream.format("memory").queryName("ssj").outputMode("append").start()
+    lm.addData(("2024-01-09T12:00:00Z", 1.0, 1L, "click"))
+    rm.addData(
+      ("2024-01-09T12:30:00Z", 2.0, 1L, "purchase"),  // in window, same user
+      ("2024-01-09T14:00:00Z", 3.0, 1L, "purchase"),  // outside window
+      ("2024-01-09T12:30:00Z", 4.0, 2L, "purchase"))  // other user
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ssj").collect()
+    assert(rows.length == 1 && rows(0).getAs[Double]("r_value") == 2.0)
+  }
+
   test("windowed per-series counts with watermark over a memory stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
