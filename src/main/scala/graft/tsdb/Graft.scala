@@ -44,7 +44,14 @@ class Graft(spark: SparkSession, root: String, granularityDays: Int = Tsdb.Granu
       .select(tagCols.map(col) ++ Seq(
         col("__time_ms").as("time_ms"), col("value").cast("double").as("value"),
         Tsdb.bucketOf(col("__time_ms"), granularityDays).as("bucket_day")): _*)
-    good.write.mode(SaveMode.Append).partitionBy("bucket_day").parquet(spacePath(space))
+    // sort within each write task by (bucket, tags, time): leading with the
+    // partition column satisfies the partitioned writer's required ordering
+    // (otherwise it re-sorts by bucket alone, unstably, destroying the inner
+    // order), and the (tags, time) tail keeps row-group min/max selective —
+    // the reference's (attrs, offset) clustering order
+    good
+      .sortWithinPartitions(col("bucket_day") +: tagCols.map(col) :+ col("time_ms"): _*)
+      .write.mode(SaveMode.Append).partitionBy("bucket_day").parquet(spacePath(space))
     validated.where(col("__error").isNotNull)
       .select(col("__error").as("error") +: points.columns.map(col): _*)
   }
@@ -80,6 +87,25 @@ class Graft(spark: SparkSession, root: String, granularityDays: Int = Tsdb.Granu
     table(space) match {
       case Some(pt) => Tsdb.read(pt, EsFilter.compile(filter), startMs, endMs)
       case None => empty("time_ms", "value")
+    }
+
+  /** `/read` in the reference's response shape: one row per series with its
+    * tags and the time-sorted `[time_ms, value]` point array (README
+    * "series"/"points"). The relational [[read]] is the analytical form;
+    * this is the API-compatible one.
+    */
+  def readSeries(filter: String, space: String = "default",
+                 startMs: Long = 0L, endMs: Long = Long.MaxValue): DataFrame =
+    table(space) match {
+      case Some(pt) =>
+        val flat = Tsdb.read(pt, EsFilter.compile(filter), startMs, endMs)
+        val tagCols = flat.columns.filterNot(c => c == "time_ms" || c == "value")
+        flat
+          .groupBy(tagCols.map(col): _*)
+          .agg(sort_array(collect_list(struct(col("time_ms"), col("value"))))
+            .as("points"))
+          .orderBy(tagCols.map(col): _*)
+      case None => empty("points")
     }
 
   /** `/read` with count aggregation: per-series point counts. */

@@ -45,6 +45,13 @@ class GraftApiSpec extends SparkTestBase {
       startMs = 1704758400000L, endMs = 1704844800000L) // 2024-01-09 full day
     assert(jan9.count() == 2)
 
+    // nested series response shape: tags + sorted [time, value] arrays
+    val series = g.readSeries("""{"match_all":{}}""").collect()
+    assert(series.length == 2)
+    val two2 = series.find(r => r.getString(1) == "two").get
+      .getSeq[org.apache.spark.sql.Row](2)
+    assert(two2.map(_.getDouble(1)) == Seq(57.0, 93.0), "points sorted by time")
+
     // per-series counts
     val counts = g.countPoints("""{"match_all":{}}""").collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
