@@ -34,7 +34,11 @@ object Dedup {
     * document, not once per element access (see TextOps.shinglesOf).
     */
   private def shingleRows(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    shingleRowsOf(Tables.documents(s, d))
+
+  /** Same, over any (doc_id, text) DataFrame — the corpus-agnostic core. */
+  def shingleRowsOf(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"), explode(TextOps.shinglesOf(col("toks"), ShingleK)).as("shingle"))
 
@@ -66,8 +70,8 @@ object Dedup {
     * the shingle rows (16 min-aggregates, no seed explosion): one shuffle of
     * |shingles| rows regardless of k.
     */
-  private def minhashSigs(s: SparkSession, d: String): DataFrame =
-    shingleRows(s, d)
+  private def minhashSigs(sh: DataFrame): DataFrame =
+    sh
       .groupBy(col("doc_id"))
       .agg(
         min(md5(concat(lit("0|"), col("shingle")))).as("sig0"),
@@ -79,13 +83,20 @@ object Dedup {
     * This is the dedup plan that survives 100 TB: one shuffle to signatures,
     * one shuffle to band buckets, pair generation only within buckets.
     */
-  def minhashLsh(s: SparkSession, d: String): DataFrame = {
+  def minhashLsh(s: SparkSession, d: String): DataFrame =
+    minhashLshOn(shingleRows(s, d))
+
+  /** MinHash-LSH candidate pairs over any shingle-row set — see
+    * [[minhashLsh]]; exposed so scale experiments and other corpora reuse
+    * the exact production plan.
+    */
+  def minhashLshOn(sh: DataFrame): DataFrame = {
     val nBands = MinhashSeeds / BandRows
     val bandCols = (0 until nBands).map { b =>
       val sigs = (0 until BandRows).map(r => col(s"sig${b * BandRows + r}"))
       md5(concat_ws(",", sigs: _*)).as(s"band$b")
     }
-    val keyed = minhashSigs(s, d).select(col("doc_id") +: bandCols: _*)
+    val keyed = minhashSigs(sh).select(col("doc_id") +: bandCols: _*)
     val stackExpr = (0 until nBands).map(b => s"$b, band$b").mkString(", ")
     // cache: the self-join below would otherwise recompute the whole
     // shingle -> signature pipeline for each side
