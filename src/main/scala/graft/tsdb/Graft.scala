@@ -18,10 +18,20 @@ import graft.core.Det
   * Points are rows with a `time` (string or numeric ms), a numeric `value`,
   * and at least one tag column; series identity = the tag columns.
   */
-class Graft(spark: SparkSession, root: String, granularityDays: Int = Tsdb.GranularityDays) {
+class Graft(spark: SparkSession, root: String,
+            granularityDays: Int = Tsdb.GranularityDays,
+            spaceGranularity: Map[String, Int] = Map.empty) {
   import Graft._
 
   private def spacePath(space: String) = s"$root/$space"
+
+  /** Bucket granularity for a space — per-space config with a default, like
+    * the reference's `spaces.<name>.table_granularity_days`
+    * (conf/orestes-config.json; test/multiple-spaces.spec.js runs default=1
+    * and other=7 side by side).
+    */
+  private def granularityOf(space: String): Int =
+    spaceGranularity.getOrElse(space, granularityDays)
 
   /** `/write`: validate and land points, bucket-partitioned. Returns the
     * rejected rows with their error, like the reference's per-point errors
@@ -43,7 +53,7 @@ class Graft(spark: SparkSession, root: String, granularityDays: Int = Tsdb.Granu
     val good = validated.where(col("__error").isNull)
       .select(tagCols.map(col) ++ Seq(
         col("__time_ms").as("time_ms"), col("value").cast("double").as("value"),
-        Tsdb.bucketOf(col("__time_ms"), granularityDays).as("bucket_day")): _*)
+        Tsdb.bucketOf(col("__time_ms"), granularityOf(space)).as("bucket_day")): _*)
     // sort within each write task by (bucket, tags, time): leading with the
     // partition column satisfies the partitioned writer's required ordering
     // (otherwise it re-sorts by bucket alone, unstably, destroying the inner
@@ -146,7 +156,7 @@ class Graft(spark: SparkSession, root: String, granularityDays: Int = Tsdb.Granu
       .filter(f => f.isDirectory && f.getName.startsWith("bucket_day="))
       .map(f => (f, f.getName.stripPrefix("bucket_day=").toLong))
     val dropped = buckets.filter { case (_, day) =>
-      math.min(day + granularityDays - 1, todayDay) <= doomed
+      math.min(day + granularityOf(space) - 1, todayDay) <= doomed
     }
     dropped.foreach { case (f, _) => deleteRecursively(f) }
     dropped.map(_._2).sorted

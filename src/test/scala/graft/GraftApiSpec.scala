@@ -108,16 +108,23 @@ class GraftApiSpec extends SparkTestBase {
     assert(g.read("""{"match_all":{}}""").count() == 1)
   }
 
-  test("spaces are isolated") {
-    val g = new Graft(spark, freshRoot())
+  test("spaces are isolated, each with its own granularity") {
+    // reference multiple-spaces.spec.js: default=1 day, other=7 days at once
+    val g = new Graft(spark, freshRoot(),
+      spaceGranularity = Map("alpha" -> 1, "beta" -> 7))
     import spark.implicits._
-    g.write(Seq(("2024-01-09T10:00:00Z", 1.0, "s"))
+    g.write(Seq(("2024-01-09T10:00:00Z", 1.0, "s"), ("2024-01-10T10:00:00Z", 1.5, "s"))
       .toDF("time", "value", "name"), space = "alpha")
-    g.write(Seq(("2024-01-09T10:00:00Z", 2.0, "s"), ("2024-01-09T10:00:01Z", 3.0, "s"))
+    g.write(Seq(("2024-01-09T10:00:00Z", 2.0, "s"), ("2024-01-10T10:00:01Z", 3.0, "s"))
       .toDF("time", "value", "name"), space = "beta")
-    assert(g.read("""{"match_all":{}}""", space = "alpha").count() == 1)
+    assert(g.read("""{"match_all":{}}""", space = "alpha").count() == 2)
     assert(g.read("""{"match_all":{}}""", space = "beta").count() == 2)
     assert(g.read("""{"match_all":{}}""", space = "nonexistent").count() == 0)
+    // alpha buckets daily (19731, 19732); beta buckets weekly (one dir 19726)
+    val alphaDirs = g.remove(keepDays = 0, space = "alpha", todayDay = 19999L)
+    val betaDirs = g.remove(keepDays = 0, space = "beta", todayDay = 19999L)
+    assert(alphaDirs == Seq(19731L, 19732L), s"daily buckets: $alphaDirs")
+    assert(betaDirs == Seq(19726L), s"weekly bucket: $betaDirs")
   }
 
   test("writes to one schema accumulate across calls (append)") {
