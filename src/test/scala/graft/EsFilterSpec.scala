@@ -66,6 +66,7 @@ class EsFilterSpec extends SparkTestBase {
     def ids2(json: String) =
       df.where(EsFilter.compile(json)).select("user_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(ids2("""{"range":{"props.k":{"gte":50}}}""") == Seq(1L))
+    assert(ids2("""{"term":{"props.k":87}}""") == Seq(1L))
     assert(ids2("""{"term":{"props.env":"dev"}}""") == Seq(3L))
     assert(ids2("""{"exists":{"field":"props.k"}}""") == Seq(1L, 2L))
     assert(ids2("""{"missing":{"field":"props.env"}}""") == Seq(2L))
