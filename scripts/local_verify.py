@@ -8,8 +8,9 @@ import json, math, os, subprocess, sys, glob
 
 import duckdb
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-OUT = sys.argv[2] if len(sys.argv) > 2 else "/root/repo/target/verify_out"
+_pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+SF = _pos[0] if len(_pos) > 0 else "/root/testdata/sf0.01"
+OUT = _pos[1] if len(_pos) > 1 else "/root/repo/target/verify_out"
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 

@@ -20,15 +20,19 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
     }
-    // best-of-2 per query: single-shot numbers on a shared box swing 2x
+    // best-of-2 per query: single-shot numbers on a shared box swing 2x.
+    // A query that fails reports -1, never its time-to-crash.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case e: Throwable =>
+                   System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+        (ok, (System.nanoTime() - t0) / 1e9)
       }
-      spark.catalog.clearCache() // drop per-query caches between runs
-      name -> times.min
+      spark.catalog.clearCache() // drop per-query caches between queries
+      val good = runs.filter(_._1).map(_._2)
+      name -> (if (good.nonEmpty) good.min else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -93,7 +93,11 @@ case class AsofJoinExec(
             advancing = false
           }
         }
-        if (heldRow != null && keyOrd.compare(heldKey, lk) == 0 &&
+        // NULL keys never match (equi-join semantics, same as the window
+        // formulation's user_id === o_custkey) — the natural ordering would
+        // otherwise compare nulls as equal and pair null-keyed rows
+        if (!lk.anyNull && heldRow != null && !heldKey.anyNull &&
+            keyOrd.compare(heldKey, lk) == 0 &&
             rTimeB.eval(heldRow).asInstanceOf[Long] <= lt) {
           Iterator.single(resultProj(joined(lrow, heldRow)))
         } else {

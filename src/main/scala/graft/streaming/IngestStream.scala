@@ -47,18 +47,24 @@ object IngestStream {
         .as("error"))
   }
 
-  /** Valid points with their storage bucket — ready to land. */
-  def bucketed(validated: DataFrame): DataFrame =
+  /** Valid points with their storage bucket — ready to land. The
+    * granularity MUST match the space's configured
+    * `table_granularity_days`, or retention would age buckets on the wrong
+    * boundary (a 7-day bucket judged by 1-day aging loses up to 6 days of
+    * live data).
+    */
+  def bucketed(validated: DataFrame, granularityDays: Int = Tsdb.GranularityDays): DataFrame =
     validated.where(col("error").isNull)
       .select(col("user_id"), col("event_type"), col("time_ms"), col("value"),
-        Tsdb.bucketOf(col("time_ms")).as("bucket_day"))
+        Tsdb.bucketOf(col("time_ms"), granularityDays).as("bucket_day"))
 
   /** File-source ingestion: JSON points dir → validated, bucket-partitioned
     * parquet. Checkpointed; restart-safe.
     */
-  def start(spark: SparkSession, srcDir: String, sinkDir: String, checkpointDir: String): StreamingQuery = {
+  def start(spark: SparkSession, srcDir: String, sinkDir: String, checkpointDir: String,
+            granularityDays: Int = Tsdb.GranularityDays): StreamingQuery = {
     val raw = spark.readStream.schema(pointSchema).json(srcDir)
-    bucketed(validate(raw)).writeStream
+    bucketed(validate(raw), granularityDays).writeStream
       .option("checkpointLocation", checkpointDir)
       .partitionBy("bucket_day")
       .format("parquet")
@@ -85,7 +91,7 @@ object IngestStream {
     l.join(r,
       col("l_user") === col("r_user") &&
       col("r_ts") >= col("l_ts") &&
-      col("r_ts") < col("l_ts") + expr(s"INTERVAL ${joinWindowMs / 1000} SECONDS"))
+      col("r_ts") < col("l_ts") + expr(s"INTERVAL $joinWindowMs MILLISECOND"))
   }
 
   /** Live per-series counts over event-time windows with a watermark — the

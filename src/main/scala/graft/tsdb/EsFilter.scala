@@ -57,9 +57,11 @@ object EsFilter {
       case "wildcard"  => { val (f, v) = fieldValue(body); fieldCol(f).rlike(wildcardToRegex(v.asText())) }
       case "regexp"    => { val (f, v) = fieldValue(body); fieldCol(f).rlike("^(?:" + v.asText() + ")$") }
       case "bool"      => bool(body)
-      case "and"       => clauses(body).map(compileNode).reduce(_ && _)
-      case "or"        => clauses(body).map(compileNode).reduce(_ || _)
-      case "not"       => !compileNode(body)
+      case "and"       => clauses(body).map(compileNode).reduceOption(_ && _).getOrElse(lit(true))
+      case "or"        => clauses(body).map(compileNode).reduceOption(_ || _).getOrElse(lit(false))
+      // coalesce: a NULL predicate (e.g. a term on a missing JSON field)
+      // must negate to TRUE, matching `bool.must_not` below and ES semantics
+      case "not"       => !coalesce(compileNode(body), lit(false))
       case other       => throw new IllegalArgumentException(s"unsupported filter type: $other")
     }
   }
@@ -99,7 +101,9 @@ object EsFilter {
     require(body.isObject && body.size() == 1, s"expected {field: [values]}, got $body")
     val f = body.fieldNames().next()
     val vs = body.get(f).elements().asScala.toSeq
-    vs.map { v => val (c, l) = comparable(f, v); c === l }.reduce(_ || _)
+    // empty list = match nothing (valid ES, common from query builders)
+    vs.map { v => val (c, l) = comparable(f, v); c === l }
+      .reduceOption(_ || _).getOrElse(lit(false))
   }
 
   private def range(body: JsonNode): Column = {

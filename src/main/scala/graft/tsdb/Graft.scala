@@ -40,10 +40,18 @@ class Graft(spark: SparkSession, root: String,
   def write(points: DataFrame, space: String = "default"): DataFrame = {
     val tagCols = points.columns.filterNot(c => c == "time" || c == "value")
     require(tagCols.nonEmpty, "metrics must have at least one tag")
-    // try_to_timestamp: under ANSI (Spark 4 default) a plain to_timestamp
-    // would throw on one malformed point and fail the whole batch — the
-    // contract is per-point errors (reference orestes-inserter.js:51-60)
-    val t = try_to_timestamp(col("time").cast("string"))
+    // time may be an ISO string or numeric epoch millis (reference
+    // normalize_timestamp, lib/orestes-utils.js:81-88). try_* variants:
+    // under ANSI (Spark 4 default) plain casts would throw on one malformed
+    // point and fail the whole batch — the contract is per-point errors.
+    val t = points.schema("time").dataType match {
+      case _: org.apache.spark.sql.types.NumericType =>
+        timestamp_millis(col("time").cast("long"))
+      case _ =>
+        coalesce(
+          try_to_timestamp(col("time").cast("string")),
+          timestamp_millis(expr("try_cast(cast(time AS STRING) AS LONG)")))
+    }
     val validated = points.withColumn("__time_ms", Det.tsMs(t))
       .withColumn("__error",
         when(col("time").isNull || col("__time_ms").isNull, "invalid timestamp")

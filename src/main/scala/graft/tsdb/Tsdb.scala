@@ -18,8 +18,15 @@ case class PointsTable(df: DataFrame, tsCol: String, valueCol: String, tagCols: 
     * timestamp otherwise.
     */
   def inRange(startMs: Long, endMs: Long): Column = rawNsCol match {
-    case Some(ns) => col(ns) >= startMs * 1000000L && col(ns) < endMs * 1000000L
-    case None     => timeMs >= startMs && timeMs < endMs
+    case Some(ns) =>
+      // saturate the ms->ns conversion: Long.MaxValue-ish bounds (the
+      // natural "no upper limit") must not overflow into negative nanos
+      def ns_(ms: Long): Long =
+        if (ms >= Long.MaxValue / 1000000L) Long.MaxValue
+        else if (ms <= Long.MinValue / 1000000L) Long.MinValue
+        else ms * 1000000L
+      col(ns) >= ns_(startMs) && col(ns) < ns_(endMs)
+    case None => timeMs >= startMs && timeMs < endMs
   }
 }
 

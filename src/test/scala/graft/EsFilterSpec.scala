@@ -70,6 +70,15 @@ class EsFilterSpec extends SparkTestBase {
     assert(ids2("""{"term":{"props.env":"dev"}}""") == Seq(3L))
     assert(ids2("""{"exists":{"field":"props.k"}}""") == Seq(1L, 2L))
     assert(ids2("""{"missing":{"field":"props.env"}}""") == Seq(2L))
+    // negating a predicate that is NULL on missing fields keeps those rows
+    // (three-valued logic must not silently drop them; matches must_not)
+    assert(ids2("""{"not":{"term":{"props.k":87}}}""") == Seq(2L, 3L))
+  }
+
+  test("empty terms/and/or compile to match-nothing/all instead of crashing") {
+    assert(ids("""{"terms":{"event_type":[]}}""") == Seq())
+    assert(ids("""{"and":[]}""") == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(ids("""{"or":[]}""") == Seq())
   }
 
   test("wildcard escapes regex metacharacters") {

@@ -127,6 +127,18 @@ class GraftApiSpec extends SparkTestBase {
     assert(betaDirs == Seq(19726L), s"weekly bucket: $betaDirs")
   }
 
+  test("numeric epoch-millis times are accepted, as longs and as strings") {
+    val g = new Graft(spark, freshRoot())
+    import spark.implicits._
+    // 1704794400000 = 2024-01-09T10:00Z
+    val asLong = Seq((1704794400000L, 1.0, "s")).toDF("time", "value", "name")
+    val asString = Seq(("1704794403000", 2.0, "s")).toDF("time", "value", "name")
+    assert(g.write(asLong).count() == 0, "no errors for numeric time")
+    assert(g.write(asString).count() == 0, "no errors for numeric-string time")
+    val rows = g.read("""{"match_all":{}}""").collect().map(_.getLong(1)).sorted
+    assert(rows.toSeq == Seq(1704794400000L, 1704794403000L))
+  }
+
   test("writes to one schema accumulate across calls (append)") {
     val g = new Graft(spark, freshRoot())
     import spark.implicits._

@@ -63,6 +63,19 @@ class OperatorsSpec extends SparkTestBase {
     assert(plan.contains("AsofJoinExec") || plan.contains("AsofJoin"), plan.take(500))
   }
 
+  test("native as-of join drops NULL keys like the equi-join formulation") {
+    import spark.implicits._
+    val left = Seq((1L, Option(5L), 100L), (2L, Option.empty[Long], 100L))
+      .toDF("event_id", "k", "tms")
+    val right = Seq((Option(5L), 10L, 50L), (Option.empty[Long], 11L, 50L))
+      .toDF("rk", "o_id", "oms")
+    val out = graft.operators.AsofJoinOps.asofJoin(left, right,
+      leftKey = "k", rightKey = "rk", leftTimeMs = "tms", rightTimeMs = "oms",
+      rightTiebreaks = Seq("o_id")).collect()
+    assert(out.length == 1 && out(0).getLong(0) == 1L,
+      s"only the non-null key matches: ${out.mkString(";")}")
+  }
+
   test("salted join equals the plain join; salted agg equals the plain agg") {
     import graft.operators.SkewJoin
     val e = graft.core.Tables.events(spark, Sf)
