@@ -15,8 +15,7 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (filesystem init, parquet footer reads, codegen)
     // so the first measured query is not charged for JVM startup.
-    Seq("region", "nation", "customer", "supplier", "part", "orders",
-        "lineitem", "events", "documents", "embeddings").foreach { t =>
+    graft.core.Tables.names.foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => () }
     }

@@ -129,6 +129,39 @@ object SparkEntry {
   private def davgSql(e: String) =
     s"round(CAST(sum(CAST($e AS DECIMAL(18,4))) AS DOUBLE) / count($e), 4)"
 
+  /** Single source for stopword lists in oracle SQL — mirrors
+    * [[graft.text.TextOps.stopwords]] so the Scala and SQL sides cannot
+    * drift.
+    */
+  private def stopListSql(lang: String): String =
+    TextOps.stopwords(lang).map(w => s"'$w'").mkString("(", ",", ")")
+
+  /** MinHash signature + band CTEs (assumes the `sh` CTE from ShingleCte),
+    * shared by the minhash and minhash-verified oracles.
+    */
+  private val MinhashCte =
+    """sigs AS (SELECT doc_id, seed,
+                       min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS sig
+                FROM sh, UNNEST(range(0, 16)) AS u(seed) GROUP BY 1, 2),
+       bands AS (SELECT doc_id, seed // 4 AS band,
+                        md5(string_agg(sig, ',' ORDER BY seed)) AS band_key
+                 FROM sigs GROUP BY 1, 2)"""
+
+  /** The as-of oracle — used verbatim for both the window formulation and
+    * the custom-plan operator, which must return identical rows.
+    */
+  private val AsofOracleSql =
+    """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS tms
+                  FROM events WHERE user_id < 50),
+            j AS (SELECT e.event_id, e.user_id, o.o_orderkey,
+                         epoch_ms(o.o_orderdate) AS oms,
+                         row_number() OVER (PARTITION BY e.event_id
+                           ORDER BY epoch_ms(o.o_orderdate) DESC, o.o_orderkey DESC) AS rn
+                  FROM e JOIN orders o
+                    ON e.user_id = o.o_custkey AND epoch_ms(o.o_orderdate) <= e.tms)
+       SELECT event_id, user_id, o_orderkey, oms AS asof_order_ms
+       FROM j WHERE rn = 1 ORDER BY 1, 2, 3, 4"""
+
   def oracleSql: Map[String, String] = Map(
     "ts_read" ->
       s"""SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events
@@ -270,29 +303,9 @@ object SparkEntry {
                   AS avg_value,
                 max(value) AS max_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2, 3, 4, 5""",
-    "asof_join" ->
-      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS tms
-                    FROM events WHERE user_id < 50),
-              j AS (SELECT e.event_id, e.user_id, o.o_orderkey,
-                           epoch_ms(o.o_orderdate) AS oms,
-                           row_number() OVER (PARTITION BY e.event_id
-                             ORDER BY epoch_ms(o.o_orderdate) DESC, o.o_orderkey DESC) AS rn
-                    FROM e JOIN orders o
-                      ON e.user_id = o.o_custkey AND epoch_ms(o.o_orderdate) <= e.tms)
-         SELECT event_id, user_id, o_orderkey, oms AS asof_order_ms
-         FROM j WHERE rn = 1 ORDER BY 1, 2, 3, 4""",
-    // same oracle as asof_join: the custom plan must produce identical rows
-    "asof_join_native" ->
-      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS tms
-                    FROM events WHERE user_id < 50),
-              j AS (SELECT e.event_id, e.user_id, o.o_orderkey,
-                           epoch_ms(o.o_orderdate) AS oms,
-                           row_number() OVER (PARTITION BY e.event_id
-                             ORDER BY epoch_ms(o.o_orderdate) DESC, o.o_orderkey DESC) AS rn
-                    FROM e JOIN orders o
-                      ON e.user_id = o.o_custkey AND epoch_ms(o.o_orderdate) <= e.tms)
-         SELECT event_id, user_id, o_orderkey, oms AS asof_order_ms
-         FROM j WHERE rn = 1 ORDER BY 1, 2, 3, 4""",
+    "asof_join" -> AsofOracleSql,
+    // same oracle: the custom plan must produce identical rows
+    "asof_join_native" -> AsofOracleSql,
     "pivot_agg" -> {
       def b(t: String) = dsumSql(s"CASE WHEN event_type = '$t' THEN value ELSE 0.0 END") +
         s" AS ${t}_sum"
@@ -355,24 +368,14 @@ object SparkEntry {
           WHERE round(ni*1.0/(sa.n + sb.n - ni), 4) >= 0.8 ORDER BY 1, 2, 3""",
     "dedup_minhash" ->
       s"""WITH $ShingleCte,
-              sigs AS (SELECT doc_id, seed,
-                              min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS sig
-                       FROM sh, UNNEST(range(0, 16)) AS u(seed) GROUP BY 1, 2),
-              bands AS (SELECT doc_id, seed // 4 AS band,
-                               md5(string_agg(sig, ',' ORDER BY seed)) AS band_key
-                        FROM sigs GROUP BY 1, 2)
+              $MinhashCte
           SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
           FROM bands a JOIN bands b
             ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
           ORDER BY 1, 2""",
     "dedup_minhash_verified" ->
       s"""WITH $ShingleCte,
-              sigs AS (SELECT doc_id, seed,
-                              min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS sig
-                       FROM sh, UNNEST(range(0, 16)) AS u(seed) GROUP BY 1, 2),
-              bands AS (SELECT doc_id, seed // 4 AS band,
-                               md5(string_agg(sig, ',' ORDER BY seed)) AS band_key
-                        FROM sigs GROUP BY 1, 2),
+              $MinhashCte,
               cands AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
                         FROM bands a JOIN bands b
                           ON a.band = b.band AND a.band_key = b.band_key
@@ -392,7 +395,7 @@ object SparkEntry {
               keep AS (SELECT min(doc_id) AS doc_id
                        FROM (SELECT doc_id, md5(n) AS h FROM t) GROUP BY h),
               lang AS (SELECT doc_id,
-                         len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','it','for','on'))) AS s_en,
+                         len(list_filter(toks, x -> x IN ${stopListSql("en")})) AS s_en,
                          len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','se','no','por'))) AS s_es,
                          len(list_filter(toks, x -> x IN ('le','de','un','et','la','les','des','en','du','une'))) AS s_fr,
                          len(list_filter(toks, x -> x IN ('der','die','und','in','den','von','zu','das','mit','ist'))) AS s_de,
@@ -407,7 +410,7 @@ object SparkEntry {
                        FROM lang),
               q AS (SELECT doc_id, len(toks) AS n_tokens, length(n) AS nc,
                            length(regexp_replace(n, '[^a-z]', '', 'g')) AS alpha,
-                           len(list_filter(toks, x -> x IN ('the','and','of','to','in','is','that','it','for','on'))) AS stops
+                           len(list_filter(toks, x -> x IN ${stopListSql("en")})) AS stops
                     FROM t),
               scored AS (SELECT doc_id, n_tokens,
                            round(least(n_tokens*1.0/100, 1.0)*0.5 + (alpha*1.0/nc)*0.3
@@ -485,13 +488,7 @@ object SparkEntry {
                     FROM c2)
           SELECT q_id, n_id, cosine, rank FROM r WHERE rank <= 5 ORDER BY 1, 2, 3, 4""",
     "text_langid" -> {
-      val lists = Map(
-        "en" -> "('the','and','of','to','in','is','that','it','for','on')",
-        "es" -> "('el','la','de','que','y','en','un','se','no','por')",
-        "fr" -> "('le','de','un','et','la','les','des','en','du','une')",
-        "de" -> "('der','die','und','in','den','von','zu','das','mit','ist')",
-        "zh" -> "('de5','shi4','bu4','le5','ren2','wo3','zai4','you3','ta1','zhe4')")
-      def sc(l: String) = s"len(list_filter(toks, t -> t IN ${lists(l)}))"
+      def sc(l: String) = s"len(list_filter(toks, t -> t IN ${stopListSql(l)}))"
       s"""WITH t AS (SELECT doc_id, string_split($NormSql, ' ') AS toks FROM documents),
               s AS (SELECT doc_id, ${sc("en")} AS s_en, ${sc("es")} AS s_es,
                            ${sc("fr")} AS s_fr, ${sc("de")} AS s_de, ${sc("zh")} AS s_zh
@@ -511,7 +508,7 @@ object SparkEntry {
                            length(regexp_replace(n, '[^a-z]', '', 'g')) AS alpha,
                            length(regexp_replace(n, '[^.,;:!?''"()-]', '', 'g')) AS punct,
                            len(list_filter(toks, t -> t IN
-                             ('the','and','of','to','in','is','that','it','for','on'))) AS stops
+                             ${stopListSql("en")})) AS stops
                     FROM q)
           SELECT doc_id, n_tokens, n_chars_norm,
                  round(alpha*1.0/n_chars_norm, 4) AS alpha_ratio,

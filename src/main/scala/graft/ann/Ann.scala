@@ -3,7 +3,7 @@ package graft.ann
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.core.Tables
+import graft.core.{Det, Tables}
 import graft.functions.VectorFunctions
 
 /** Approximate-nearest-neighbor search over the `embeddings` table
@@ -37,7 +37,7 @@ object Ann {
       .select(col("q_id"), col("n_id"), col("cosine"),
         row_number().over(w).cast("bigint").as("rank"))
       .where(col("rank") <= k)
-    out.orderBy(out.columns.map(col): _*)
+    Det.ordered(out)
   }
 
   /** Deterministic pseudo-random hyperplane: dimension i of plane p is
@@ -108,7 +108,7 @@ object Ann {
       .select(col("q_id"), col("n_id"), col("cosine"),
         row_number().over(w).cast("bigint").as("rank"))
       .where(col("rank") <= k)
-    out.orderBy(out.columns.map(col): _*)
+    Det.ordered(out)
   }
 
   /** LSH-bucketed ANN: candidates are vectors sharing the query's bucket in
@@ -135,6 +135,6 @@ object Ann {
       .select(col("q_id"), col("n_id"), col("cosine"),
         row_number().over(w).cast("bigint").as("rank"))
       .where(col("rank") <= k)
-    out.orderBy(out.columns.map(col): _*)
+    Det.ordered(out)
   }
 }

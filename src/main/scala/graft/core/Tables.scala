@@ -12,6 +12,10 @@ import org.apache.spark.sql.Column
   * identical.
   */
 object Tables {
+  /** Every driver-generated table, in dependency-free order. */
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
@@ -72,4 +76,10 @@ object Det {
   /** Order-insensitive mean of a ≤4-decimal double column, rounded. */
   def davg(c: Column, scale: Int = 4): Column =
     round(sum(c.cast("decimal(18,4)")).cast("double") / count(c), scale)
+
+  /** Fully order a result by all its output columns — the determinism
+    * convention every oracle-checked query ends with.
+    */
+  def ordered(df: DataFrame): DataFrame =
+    df.orderBy(df.columns.toIndexedSeq.map(col): _*)
 }

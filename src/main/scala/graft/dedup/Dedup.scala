@@ -2,7 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.Tables
+import graft.core.{Det, Tables}
 import graft.text.TextOps
 
 /** Deduplication operators for training-data pipelines over `documents` /
@@ -26,7 +26,7 @@ object Dedup {
     val out = Tables.documents(s, d)
       .groupBy(md5(TextOps.norm(col("text"))).as("content_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups"))
-    out.orderBy(out.columns.map(col): _*)
+    Det.ordered(out)
   }
 
   /** doc_id -> exploded distinct shingle rows. Tokens are materialized
@@ -60,7 +60,7 @@ object Dedup {
         round(col("n_inter") * lit(1.0) / (col("a_n") + col("b_n") - col("n_inter")), 4)
           .as("jaccard"))
       .where(col("jaccard") >= tau)
-    out.orderBy(out.columns.map(col): _*)
+    Det.ordered(out)
   }
 
   /** MinHash signatures: for seed s, sig = min over shingles of
@@ -107,7 +107,7 @@ object Dedup {
         col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
       .distinct()
-    out.orderBy(out.columns.map(col): _*)
+    Det.ordered(out)
   }
 
   /** 64-bit SimHash near-dup pairs (hamming distance <= maxHamming).
@@ -146,7 +146,7 @@ object Dedup {
         (bit_count(col("a.sig_lo").bitwiseXOR(col("b.sig_lo"))) +
          bit_count(col("a.sig_hi").bitwiseXOR(col("b.sig_hi")))).cast("bigint").as("hamming"))
       .where(col("hamming") <= maxHamming)
-    out.orderBy(out.columns.map(col): _*)
+    Det.ordered(out)
   }
 
   /** The 100 TB dedup pipeline end-to-end: MinHash-LSH candidate generation
@@ -170,7 +170,7 @@ object Dedup {
         round(col("n_inter") * lit(1.0) / (col("a_n") + col("b_n") - col("n_inter")), 4)
           .as("jaccard"))
       .where(col("jaccard") >= tau)
-    out.orderBy(out.columns.map(col): _*)
+    Det.ordered(out)
   }
 
   /** Corpus cleaning composition: drop exact duplicates (keep smallest id),
@@ -187,7 +187,7 @@ object Dedup {
       .join(q, "doc_id")
       .where(col("pred_lang") === "en" && col("n_tokens") >= 20 && col("quality_score") >= 0.3)
       .select(col("doc_id"), col("pred_lang"), col("n_tokens"), col("quality_score"))
-    out.orderBy(out.columns.map(col): _*)
+    Det.ordered(out)
   }
 
   /** Embedding-cosine near-dup pairs (rounded cosine >= tau). Exhaustive at
@@ -204,6 +204,6 @@ object Dedup {
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
         round(dot(s, col("a.v"), col("b.v")) / sqrt(col("a.nsq") * col("b.nsq")), 6).as("cosine"))
       .where(col("cosine") >= tau)
-    out.orderBy(out.columns.map(col): _*)
+    Det.ordered(out)
   }
 }

@@ -2,7 +2,7 @@ package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.Tables
+import graft.core.{Det, Tables}
 
 /** Typed metadata a decoder extracts from one media payload. */
 case class MediaMeta(doc_id: Long, byte_len: Long, fingerprint: String,
@@ -49,7 +49,7 @@ object Multimodal {
       (lit(64) + hexByte(3) % 192).cast("bigint").as("fake_height"),  // STUB: header parse
       (lit(1) + hexByte(5) % 4).cast("bigint").as("fake_channels"),   // STUB: header parse
       (hexByte(7) % 2 === 0).as("fake_is_keyframe"))                  // STUB: frame sample
-    out.orderBy(out.columns.map(col): _*)
+    Det.ordered(out)
   }
 
   /** The per-partition decode pipeline: one decoder instance per partition

@@ -35,7 +35,7 @@ object Analytics {
         davg(col("l_quantity")).as("avg_qty"),
         davg(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
-    out.orderBy(out.columns.map(col): _*)
+    Det.ordered(out)
   }
 
   /** 3-way join + agg + top-N (TPC-H Q3 shape). `customer` filtered then
@@ -77,7 +77,7 @@ object Analytics {
       .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
       .agg(round(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
-    out.orderBy(out.columns.map(col): _*)
+    Det.ordered(out)
   }
 
   /** count(distinct) per group — expands to a two-phase aggregate. */
@@ -87,7 +87,7 @@ object Analytics {
       .agg(
         countDistinct(col("o_custkey")).as("n_customers"),
         count(lit(1)).as("n_orders"))
-    out.orderBy(out.columns.map(col): _*)
+    Det.ordered(out)
   }
 
   /** Per-group top-N via row_number — one shuffle on the partition key. */
@@ -99,7 +99,7 @@ object Analytics {
       .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
         row_number().over(w).cast("bigint").as("rn"))
       .where(col("rn") <= 3)
-    out.orderBy(out.columns.map(col): _*)
+    Det.ordered(out)
   }
 
   /** Running sum + lag per series ordered by time. */
@@ -113,7 +113,7 @@ object Analytics {
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("double"), 2)
         .as("running_sum"),
       lag(col("tms"), 1).over(w).as("prev_ms"))
-    out.orderBy(out.columns.map(col): _*)
+    Det.ordered(out)
   }
 
   /** Time-RANGE window frame: per-user trailing-1h event count and value
@@ -129,7 +129,7 @@ object Analytics {
       col("user_id"), col("event_id"), col("tms"),
       count(lit(1)).over(w).as("n_1h"),
       round(sum(col("value").cast("decimal(18,4)")).over(w).cast("double"), 2).as("sum_1h"))
-    out.orderBy(out.columns.map(col): _*)
+    Det.ordered(out)
   }
 
   /** Sketch aggregate: HyperLogLog++ distinct-user estimate per event type —
@@ -142,7 +142,7 @@ object Analytics {
       .groupBy(col("event_type"))
       .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
         count(lit(1)).as("n"))
-    out.orderBy(out.columns.map(col): _*)
+    Det.ordered(out)
   }
 
   /** Gap-based sessionization: lag + cumulative flag sum, the classic
@@ -161,7 +161,7 @@ object Analytics {
         .as("session_id"))
     val out = sessions.groupBy(col("user_id"), col("session_id"))
       .agg(min(col("tms")).as("start_ms"), max(col("tms")).as("end_ms"), count(lit(1)).as("n_events"))
-    out.orderBy(out.columns.map(col): _*)
+    Det.ordered(out)
   }
 
   /** Time-bucket downsampling: per-hour per-series avg/max/count. */
@@ -173,7 +173,7 @@ object Analytics {
         count(lit(1)).as("n"),
         round(davg(col("value"), 4), 4).as("avg_value"),
         max(col("value")).as("max_value"))
-    out.orderBy(out.columns.map(col): _*)
+    Det.ordered(out)
   }
 
   /** As-of join: each event matched to the user's most recent order at or
@@ -193,7 +193,7 @@ object Analytics {
         row_number().over(w).as("rn"))
       .where(col("rn") === 1)
       .select(col("event_id"), col("user_id"), col("o_orderkey"), col("oms").as("asof_order_ms"))
-    out.orderBy(out.columns.map(col): _*)
+    Det.ordered(out)
   }
 
   /** The custom-plan as-of join ([[graft.plans.AsofJoin]]) on the same
@@ -213,7 +213,7 @@ object Analytics {
       leftKey = "user_id", rightKey = "o_custkey",
       leftTimeMs = "tms", rightTimeMs = "oms", rightTiebreaks = Seq("o_orderkey"))
       .select(col("event_id"), col("user_id"), col("o_orderkey"), col("oms").as("asof_order_ms"))
-    out.orderBy(out.columns.map(col): _*)
+    Det.ordered(out)
   }
 
   /** Pivot: per-user conditional aggregation by event_type (explicit
@@ -227,7 +227,7 @@ object Analytics {
       .groupBy(col("user_id"))
       .agg(bucket("purchase"), bucket("click"), bucket("view"), bucket("signup"), bucket("error"),
         count(lit(1)).as("n"))
-    out.orderBy(out.columns.map(col): _*)
+    Det.ordered(out)
   }
 
   /** Exact linear-interpolation percentiles per group. */
@@ -238,7 +238,7 @@ object Analytics {
         round(expr("percentile(value, 0.5)"), 4).as("p50"),
         round(expr("percentile(value, 0.95)"), 4).as("p95"),
         count(lit(1)).as("n"))
-    out.orderBy(out.columns.map(col): _*)
+    Det.ordered(out)
   }
 
   /** Global top-K with a deterministic total order — single reduction, no
@@ -265,7 +265,7 @@ object Analytics {
         "left_semi")
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_orders"))
-    out.orderBy(out.columns.map(col): _*)
+    Det.ordered(out)
   }
 
   /** Anti-join: customers with no orders in 2001 (recency churn query). */
@@ -277,7 +277,7 @@ object Analytics {
     val out = c.join(o, col("o_custkey") === col("c_custkey"), "left_anti")
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_customers"))
-    out.orderBy(out.columns.map(col): _*)
+    Det.ordered(out)
   }
 
   /** Hierarchical subtotals via ROLLUP — one pass, grouping-set expansion
@@ -302,7 +302,7 @@ object Analytics {
       .groupBy(col("event_type"))
       .agg(count(col("k")).as("n"), min(col("k")).as("min_k"), max(col("k")).as("max_k"),
         sum(col("k")).as("sum_k"))
-    out.orderBy(out.columns.map(col): _*)
+    Det.ordered(out)
   }
 
   /** Range (interval) join: pairs of events of the same user within a
@@ -322,6 +322,6 @@ object Analytics {
         col("b_ms") >= col("a_ms") && col("b_ms") < col("a_ms") + 21600000L)
       .groupBy(col("a_type"), col("b_type"))
       .agg(count(lit(1)).as("n_pairs"))
-    out.orderBy(out.columns.map(col): _*)
+    Det.ordered(out)
   }
 }

@@ -2,7 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.Tables
+import graft.core.{Det, Tables}
 
 /** Text-analysis operators for training-data pipelines over `documents`.
   * All pure column expressions (whole-stage codegen, no UDFs) so they run at
@@ -32,6 +32,11 @@ object TextOps {
           concat_ws(" ", (0 until k).map(j => element_at(toks, i + j + 1)): _*)))
       .otherwise(array().cast("array<string>")))
 
+  /** Stopword lists per language; `stopwords` is the single source both the
+    * Scala operators and the generated oracle SQL read from.
+    */
+  private[graft] def stopwords(lang: String): Seq[String] = stop(lang)
+
   private val stop = Map(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "on"),
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "se", "no", "por"),
@@ -46,19 +51,22 @@ object TextOps {
     * a fixed tie order (en > es > fr > de > zh).
     */
   def langId(s: SparkSession, d: String): DataFrame = {
-    val toks = tokens(col("text"))
-    val scored = Tables.documents(s, d).select(
-      col("doc_id"),
-      stopCount(toks, "en").as("s_en"), stopCount(toks, "es").as("s_es"),
-      stopCount(toks, "fr").as("s_fr"), stopCount(toks, "de").as("s_de"),
-      stopCount(toks, "zh").as("s_zh"))
+    // materialize the token array once; referencing tokens(text) in all five
+    // scores would re-run the normalize regex + split per score column
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        stopCount(col("toks"), "en").as("s_en"), stopCount(col("toks"), "es").as("s_es"),
+        stopCount(col("toks"), "fr").as("s_fr"), stopCount(col("toks"), "de").as("s_de"),
+        stopCount(col("toks"), "zh").as("s_zh"))
     val best = greatest(col("s_en"), col("s_es"), col("s_fr"), col("s_de"), col("s_zh"))
     val out = scored.select(
       col("doc_id"), col("s_en"), col("s_es"), col("s_fr"), col("s_de"), col("s_zh"),
       when(col("s_en") === best, "en").when(col("s_es") === best, "es")
         .when(col("s_fr") === best, "fr").when(col("s_de") === best, "de")
         .otherwise("zh").as("pred_lang"))
-    out.orderBy(out.columns.map(col): _*)
+    Det.ordered(out)
   }
 
   /** Quality scoring: length / token / stopword / alpha / punctuation
@@ -89,7 +97,7 @@ object TextOps {
           + (col("alpha") * lit(1.0) / col("n_chars_norm")) * 0.3
           + least(col("stops") * lit(10.0) / col("n_tokens"), lit(1.0)) * 0.2, 4)
         .as("quality_score"))
-    out.orderBy(out.columns.map(col): _*)
+    Det.ordered(out)
   }
 
   /** Token counting: whitespace tokens and a BPE-ish regex token count
@@ -103,7 +111,7 @@ object TextOps {
       regexp_count(col("text"), lit("[a-zA-Z0-9]+|[^a-zA-Z0-9 ]")).cast("bigint").as("re_tokens"),
       length(col("text")).cast("bigint").as("n_chars"),
       round(length(col("text")) * lit(1.0) / size(tokens(col("text"))), 4).as("chars_per_token"))
-    out.orderBy(out.columns.map(col): _*)
+    Det.ordered(out)
   }
 
   /** Corpus n-gram statistics: global bigram frequencies with document
@@ -139,7 +147,7 @@ object TextOps {
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("bench_id")).as("n_benchmark_docs"),
         count(lit(1)).as("n_shared_shingles"))
-    out.orderBy(out.columns.map(col): _*)
+    Det.ordered(out)
   }
 
   /** Document fingerprints: exact content hash of the normalized text plus
@@ -151,6 +159,6 @@ object TextOps {
       col("doc_id"),
       md5(norm(col("text"))).as("content_fp"),
       md5(concat_ws(" ", array_sort(array_distinct(tokens(col("text")))))).as("bag_fp"))
-    out.orderBy(out.columns.map(col): _*)
+    Det.ordered(out)
   }
 }

@@ -75,7 +75,7 @@ object Tsdb {
     val out = pt.df
       .where(inRange(pt, startMs, endMs) && filter)
       .select(pt.tags :+ pt.timeMs.as("time_ms") :+ col(pt.valueCol).as("value"): _*)
-    out.orderBy(out.columns.map(col): _*)
+    Det.ordered(out)
   }
 
   /** `/read` with aggregations=[{type:"count"}]: per-series point counts. */
@@ -84,7 +84,7 @@ object Tsdb {
       .where(inRange(pt, startMs, endMs) && filter)
       .groupBy(pt.tags: _*)
       .agg(count(lit(1)).as("n"))
-    out.orderBy(out.columns.map(col): _*)
+    Det.ordered(out)
   }
 
   /** `/series`: the distinct series (tag sets) with data in the range. */
@@ -93,7 +93,7 @@ object Tsdb {
       .where(inRange(pt, startMs, endMs) && filter)
       .select(pt.tags: _*)
       .distinct()
-    out.orderBy(out.columns.map(col): _*)
+    Det.ordered(out)
   }
 
   /** `/select_distinct`: distinct values of a subset of tag keys. Keys that
@@ -107,7 +107,7 @@ object Tsdb {
       if (present(k)) col(k) else lit(null).cast("string").as(k)
     }
     val out = pt.df.where(filter).select(cols: _*).distinct()
-    out.orderBy(out.columns.map(col): _*)
+    Det.ordered(out)
   }
 
   /** Retention (`/delete` with keep_days): drop whole buckets whose last day
@@ -124,7 +124,7 @@ object Tsdb {
       .where(least(col("bucket_day") + (GranularityDays - 1), lit(today)) > doomed)
       .groupBy("bucket_day")
       .agg(count(lit(1)).as("n"))
-    out.orderBy(out.columns.map(col): _*)
+    Det.ordered(out)
   }
 
   /** Ingest validation (lib/orestes-utils.js:158-182): every point must have
@@ -138,7 +138,7 @@ object Tsdb {
         (col(pt.valueCol).isNotNull && !isnan(col(pt.valueCol))).as("value_ok"))
       .groupBy("time_ok", "value_ok")
       .agg(count(lit(1)).as("n"))
-    out.orderBy(out.columns.map(col): _*)
+    Det.ordered(out)
   }
 
   /** Series-metadata extraction: the first time each (bucket, series) pair is
@@ -150,7 +150,7 @@ object Tsdb {
     val out = pt.df
       .groupBy(bucketOf(pt.timeMs).as("bucket_day") +: pt.tags: _*)
       .agg(min(pt.timeMs).as("first_ts_ms"), count(lit(1)).as("n"))
-    out.orderBy(out.columns.map(col): _*)
+    Det.ordered(out)
   }
 
   /** Per-(bucket, series) stats — the storage layout rendered as a query:
@@ -164,6 +164,6 @@ object Tsdb {
         min(offsetOf(pt.timeMs)).as("min_offset"),
         max(offsetOf(pt.timeMs)).as("max_offset"),
         round(Det.dsum(col(pt.valueCol)), 2).as("sum_value"))
-    out.orderBy(out.columns.map(col): _*)
+    Det.ordered(out)
   }
 }

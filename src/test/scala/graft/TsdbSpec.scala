@@ -57,7 +57,6 @@ class TsdbSpec extends SparkTestBase {
     val kept = Tsdb.retentionSurvivors(pt, keepDays = 14)
       .collect().map(_.getLong(0)).toSet
     assert(kept.subsetOf(all) && kept.nonEmpty)
-    val today = all.flatMap(b => Set(b)).max + Tsdb.GranularityDays - 1
     assert((all -- kept).forall(b => b < kept.min)) // dropped buckets are the oldest
   }
 
