@@ -396,10 +396,10 @@ object SparkEntry {
                        FROM (SELECT doc_id, md5(n) AS h FROM t) GROUP BY h),
               lang AS (SELECT doc_id,
                          len(list_filter(toks, x -> x IN ${stopListSql("en")})) AS s_en,
-                         len(list_filter(toks, x -> x IN ('el','la','de','que','y','en','un','se','no','por'))) AS s_es,
-                         len(list_filter(toks, x -> x IN ('le','de','un','et','la','les','des','en','du','une'))) AS s_fr,
-                         len(list_filter(toks, x -> x IN ('der','die','und','in','den','von','zu','das','mit','ist'))) AS s_de,
-                         len(list_filter(toks, x -> x IN ('de5','shi4','bu4','le5','ren2','wo3','zai4','you3','ta1','zhe4'))) AS s_zh
+                         len(list_filter(toks, x -> x IN ${stopListSql("es")})) AS s_es,
+                         len(list_filter(toks, x -> x IN ${stopListSql("fr")})) AS s_fr,
+                         len(list_filter(toks, x -> x IN ${stopListSql("de")})) AS s_de,
+                         len(list_filter(toks, x -> x IN ${stopListSql("zh")})) AS s_zh
                        FROM t),
               pred AS (SELECT doc_id,
                          CASE WHEN s_en >= greatest(s_es, s_fr, s_de, s_zh) THEN 'en'
@@ -413,7 +413,7 @@ object SparkEntry {
                            len(list_filter(toks, x -> x IN ${stopListSql("en")})) AS stops
                     FROM t),
               scored AS (SELECT doc_id, n_tokens,
-                           round(least(n_tokens*1.0/100, 1.0)*0.5 + (alpha*1.0/nc)*0.3
+                           round(least(n_tokens*1.0/100, 1.0)*0.5 + (alpha*1.0/greatest(nc, 1))*0.3
                                  + least(stops*10.0/n_tokens, 1.0)*0.2, 4) AS quality_score
                          FROM q)
           SELECT k.doc_id, pred_lang, n_tokens, quality_score
@@ -511,10 +511,10 @@ object SparkEntry {
                              ${stopListSql("en")})) AS stops
                     FROM q)
           SELECT doc_id, n_tokens, n_chars_norm,
-                 round(alpha*1.0/n_chars_norm, 4) AS alpha_ratio,
-                 round(punct*1.0/n_chars_norm, 4) AS punct_ratio,
+                 round(alpha*1.0/greatest(n_chars_norm, 1), 4) AS alpha_ratio,
+                 round(punct*1.0/greatest(n_chars_norm, 1), 4) AS punct_ratio,
                  round(stops*1.0/n_tokens, 4) AS stopword_ratio,
-                 round(least(n_tokens*1.0/100, 1.0)*0.5 + (alpha*1.0/n_chars_norm)*0.3
+                 round(least(n_tokens*1.0/100, 1.0)*0.5 + (alpha*1.0/greatest(n_chars_norm, 1))*0.3
                        + least(stops*10.0/n_tokens, 1.0)*0.2, 4) AS quality_score
           FROM m ORDER BY 1, 2, 3, 4, 5, 6, 7""",
     "text_tokens" ->

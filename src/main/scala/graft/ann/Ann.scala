@@ -19,8 +19,11 @@ object Ann {
       .select(col("vec_id"), col("v"),
         sqrt(VectorFunctions.dot(s, col("v"), col("v"))).as("nrm"))
 
+  // try_divide: an all-zero vector has norm 0 and ANSI mode raises
+  // DIVIDE_BY_ZERO on plain division — null cosine drops out of thresholds
+  // and ranks last instead of aborting the query
   private def cosine(s: SparkSession, a: Column, b: Column, na: Column, nb: Column): Column =
-    VectorFunctions.dot(s, a, b) / (na * nb)
+    try_divide(VectorFunctions.dot(s, a, b), na * nb)
 
   /** Brute-force exact top-k cosine neighbors for the query subset — the
     * correctness baseline every ANN variant is judged against. One broadcast

@@ -154,8 +154,8 @@ object Dedup {
     * the exhaustive pair space. Returns verified pairs >= tau.
     */
   def minhashVerified(s: SparkSession, d: String, tau: Double = 0.8): DataFrame = {
-    val cands = minhashLsh(s, d)
     val sh = shingleRows(s, d).cache()
+    val cands = minhashLshOn(sh) // reuse the cached shingles for both stages
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val inter = cands
       .join(sh.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
@@ -202,7 +202,10 @@ object Dedup {
       .cache() // self-joined; avoid recomputing the cast + norm per side
     val out = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-        round(dot(s, col("a.v"), col("b.v")) / sqrt(col("a.nsq") * col("b.nsq")), 6).as("cosine"))
+        // try_divide: zero-norm vectors yield null (never near-dup), not an
+        // ANSI DIVIDE_BY_ZERO abort
+        round(try_divide(dot(s, col("a.v"), col("b.v")),
+          sqrt(col("a.nsq") * col("b.nsq"))), 6).as("cosine"))
       .where(col("cosine") >= tau)
     Det.ordered(out)
   }

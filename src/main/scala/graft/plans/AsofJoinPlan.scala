@@ -80,15 +80,24 @@ case class AsofJoinExec(
       var heldRow: InternalRow = null
       lIter.flatMap { lrow =>
         val lk = lKeyProj(lrow)
-        val lt = lTimeB.eval(lrow).asInstanceOf[Long]
+        val ltAny = lTimeB.eval(lrow)
+        // null times never match (SQL comparison semantics, like the window
+        // formulation's oms <= tms) — unboxing null would alias it to 0L
+        val lt = if (ltAny == null) Long.MinValue else ltAny.asInstanceOf[Long]
         var advancing = true
         while (advancing && rBuf.hasNext) {
           val rk = rKeyProj(rBuf.head)
           val cmp = keyOrd.compare(rk, lk)
-          if (cmp < 0 || (cmp == 0 && rTimeB.eval(rBuf.head).asInstanceOf[Long] <= lt)) {
+          // null right times sort first (asc nulls-first): consume but never
+          // hold them, so they can never surface as a match for any key
+          val rtAny = if (cmp <= 0) rTimeB.eval(rBuf.head) else null
+          if (cmp < 0 || (cmp == 0 &&
+              (rtAny == null || rtAny.asInstanceOf[Long] <= lt))) {
             val r = rBuf.next()
-            heldKey = rKeyProj(r).copy()
-            heldRow = r.copy()
+            if (rtAny != null) {
+              heldKey = rKeyProj(r).copy()
+              heldRow = r.copy()
+            }
           } else {
             advancing = false
           }

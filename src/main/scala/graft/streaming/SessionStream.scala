@@ -65,7 +65,10 @@ object SessionStream {
     val timeoutConf =
       if (withTimeout) GroupStateTimeout.ProcessingTimeTimeout() else GroupStateTimeout.NoTimeout()
     validated.toDF()
-      .where(col("error").isNull)
+      // user_id is the session key; a point with only other tags is valid
+      // for ingest but cannot be sessionized (and would crash the primitive
+      // Long encoder) — filter, don't fail the stream
+      .where(col("error").isNull && col("user_id").isNotNull)
       .select(col("user_id").as("userId"), col("time_ms").as("timeMs"), col("value"))
       .as[Event]
       .groupByKey(_.userId)

@@ -85,16 +85,20 @@ object TextOps {
         length(regexp_replace(col("n"), "[^a-z]", "")).as("alpha"),
         length(regexp_replace(col("n"), "[^.,;:!?'\"()-]", "")).as("punct"),
         stopCount(col("toks"), "en").as("stops"))
+    // greatest(n,1): an empty/whitespace-only document has zero normalized
+    // chars, and ANSI mode turns the ratio into a DIVIDE_BY_ZERO abort of
+    // the whole corpus — such docs score 0 instead (n_tokens is always >=1)
+    val nc = greatest(col("n_chars_norm"), lit(1L))
     val out = base.select(
       col("doc_id"),
       col("n_tokens"),
       col("n_chars_norm"),
-      round(col("alpha") * lit(1.0) / col("n_chars_norm"), 4).as("alpha_ratio"),
-      round(col("punct") * lit(1.0) / col("n_chars_norm"), 4).as("punct_ratio"),
+      round(col("alpha") * lit(1.0) / nc, 4).as("alpha_ratio"),
+      round(col("punct") * lit(1.0) / nc, 4).as("punct_ratio"),
       round(col("stops") * lit(1.0) / col("n_tokens"), 4).as("stopword_ratio"),
       round(
         least(col("n_tokens") * lit(1.0) / 100, lit(1.0)) * 0.5
-          + (col("alpha") * lit(1.0) / col("n_chars_norm")) * 0.3
+          + (col("alpha") * lit(1.0) / nc) * 0.3
           + least(col("stops") * lit(10.0) / col("n_tokens"), lit(1.0)) * 0.2, 4)
         .as("quality_score"))
     Det.ordered(out)

@@ -46,7 +46,8 @@ class Graft(spark: SparkSession, root: String,
     // point and fail the whole batch — the contract is per-point errors.
     val t = points.schema("time").dataType match {
       case _: org.apache.spark.sql.types.NumericType =>
-        timestamp_millis(col("time").cast("long"))
+        // try_cast: NaN/Infinity/out-of-range still get per-point errors
+        timestamp_millis(expr("try_cast(time AS LONG)"))
       case _ =>
         coalesce(
           try_to_timestamp(col("time").cast("string")),
@@ -74,7 +75,8 @@ class Graft(spark: SparkSession, root: String,
       .select(col("__error").as("error") +: points.columns.map(col): _*)
   }
 
-  private def table(space: String): Option[PointsTable] = {
+  private def table(space: String, startMs: Long = 0L,
+                    endMs: Long = Long.MaxValue): Option[PointsTable] = {
     val path = spacePath(space)
     val fs = new java.io.File(path)
     if (!fs.exists()) None
@@ -83,10 +85,24 @@ class Graft(spark: SparkSession, root: String,
       // bucket directories are the source of truth (as Orestes' per-bucket
       // tables are). This deliberately bypasses any streaming-sink
       // `_spark_metadata` log, which would otherwise keep referencing files
-      // that `remove()` retention has deleted.
-      val df =
+      // that `remove()` retention has deleted. Only a missing/empty glob is
+      // "no buckets yet" — real read errors must surface.
+      val raw =
         try spark.read.option("basePath", path).parquet(s"$path/bucket_day=*")
-        catch { case _: Throwable => return None } // no buckets yet
+        catch {
+          case e: org.apache.spark.sql.AnalysisException
+              if e.getMessage.contains("PATH_NOT_FOUND") ||
+                 e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
+                 e.getMessage.toLowerCase.contains("path does not exist") =>
+            return None
+        }
+      // prune bucket directories by the query's time range — the reason the
+      // layout exists (Orestes' valid-days check, lib/orestes-query.js:30-40)
+      val g = granularityOf(space)
+      def bucketOfMs(ms: Long) = ms / Det.MsInDay / g * g
+      val df = raw.where(
+        col("bucket_day") >= bucketOfMs(math.max(startMs, 0L)) &&
+        col("bucket_day") <= bucketOfMs(math.max(endMs - 1, 0L)))
       val tags = df.columns.filterNot(c =>
         c == "time_ms" || c == "value" || c == "bucket_day").toSeq
       Some(PointsTable(df.withColumn("ts", timestamp_millis(col("time_ms"))),
@@ -94,17 +110,18 @@ class Graft(spark: SparkSession, root: String,
     }
   }
 
-  private def empty(cols: String*): DataFrame =
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType(cols.map(c =>
-        org.apache.spark.sql.types.StructField(c, org.apache.spark.sql.types.StringType))))
+  private def empty(schema: String): DataFrame = {
+    val st = if (schema.trim.isEmpty) org.apache.spark.sql.types.StructType(Nil)
+             else org.apache.spark.sql.types.StructType.fromDDL(schema)
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+  }
 
   /** `/read`: points in [startMs, endMs) for series matching the ES filter. */
   def read(filter: String, space: String = "default",
            startMs: Long = 0L, endMs: Long = Long.MaxValue): DataFrame =
-    table(space) match {
+    table(space, startMs, endMs) match {
       case Some(pt) => Tsdb.read(pt, EsFilter.compile(filter), startMs, endMs)
-      case None => empty("time_ms", "value")
+      case None => empty("time_ms BIGINT, value DOUBLE")
     }
 
   /** `/read` in the reference's response shape: one row per series with its
@@ -114,7 +131,7 @@ class Graft(spark: SparkSession, root: String,
     */
   def readSeries(filter: String, space: String = "default",
                  startMs: Long = 0L, endMs: Long = Long.MaxValue): DataFrame =
-    table(space) match {
+    table(space, startMs, endMs) match {
       case Some(pt) =>
         val flat = Tsdb.read(pt, EsFilter.compile(filter), startMs, endMs)
         val tagCols = flat.columns.filterNot(c => c == "time_ms" || c == "value")
@@ -123,23 +140,23 @@ class Graft(spark: SparkSession, root: String,
           .agg(sort_array(collect_list(struct(col("time_ms"), col("value"))))
             .as("points"))
           .orderBy(tagCols.map(col): _*)
-      case None => empty("points")
+      case None => empty("points ARRAY<STRUCT<time_ms: BIGINT, value: DOUBLE>>")
     }
 
   /** `/read` with count aggregation: per-series point counts. */
   def countPoints(filter: String, space: String = "default",
                   startMs: Long = 0L, endMs: Long = Long.MaxValue): DataFrame =
-    table(space) match {
+    table(space, startMs, endMs) match {
       case Some(pt) => Tsdb.countPoints(pt, EsFilter.compile(filter), startMs, endMs)
-      case None => empty("n")
+      case None => empty("n BIGINT")
     }
 
   /** `/series`: distinct tag sets with data in range. */
   def seriesList(filter: String, space: String = "default",
                  startMs: Long = 0L, endMs: Long = Long.MaxValue): DataFrame =
-    table(space) match {
+    table(space, startMs, endMs) match {
       case Some(pt) => Tsdb.seriesList(pt, EsFilter.compile(filter), startMs, endMs)
-      case None => empty()
+      case None => empty("")
     }
 
   /** `/select_distinct`: distinct values of a tag-key subset. */
@@ -147,7 +164,7 @@ class Graft(spark: SparkSession, root: String,
                      space: String = "default"): DataFrame =
     table(space) match {
       case Some(pt) => Tsdb.selectDistinct(pt, EsFilter.compile(filter), keys)
-      case None => empty(keys: _*)
+      case None => empty(keys.map(k => s"$k STRING").mkString(", "))
     }
 
   /** `/delete`: drop whole buckets whose last day is older than
