@@ -82,9 +82,12 @@ case class AsofJoinExec(
         val lk = lKeyProj(lrow)
         val ltAny = lTimeB.eval(lrow)
         // null times never match (SQL comparison semantics, like the window
-        // formulation's oms <= tms) — unboxing null would alias it to 0L
-        val lt = if (ltAny == null) Long.MinValue else ltAny.asInstanceOf[Long]
-        var advancing = true
+        // formulation's oms <= tms). Tracked as a flag, not a sentinel: a
+        // sentinel like Long.MinValue is also a legal time, and a right row
+        // at exactly that value must not match a null-time left row.
+        val ltIsNull = ltAny == null
+        val lt = if (ltIsNull) 0L else ltAny.asInstanceOf[Long]
+        var advancing = !ltIsNull
         while (advancing && rBuf.hasNext) {
           val rk = rKeyProj(rBuf.head)
           val cmp = keyOrd.compare(rk, lk)
@@ -105,7 +108,7 @@ case class AsofJoinExec(
         // NULL keys never match (equi-join semantics, same as the window
         // formulation's user_id === o_custkey) — the natural ordering would
         // otherwise compare nulls as equal and pair null-keyed rows
-        if (!lk.anyNull && heldRow != null && !heldKey.anyNull &&
+        if (!ltIsNull && !lk.anyNull && heldRow != null && !heldKey.anyNull &&
             keyOrd.compare(heldKey, lk) == 0 &&
             rTimeB.eval(heldRow).asInstanceOf[Long] <= lt) {
           Iterator.single(resultProj(joined(lrow, heldRow)))

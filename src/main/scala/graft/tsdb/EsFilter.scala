@@ -30,16 +30,43 @@ object EsFilter {
 
   private def isJsonPath(f: String): Boolean = f.contains(".")
 
+  /** Columns known to exist in the stored schema, or None for "trust the
+    * caller". In Graft's storage model the tag schema is data-dependent (tags
+    * are whatever columns were ever written), and ES filter context matches
+    * nothing for a never-indexed field rather than erroring — so a filter on
+    * an unknown field must compile to a null literal (matches nothing in
+    * filter context; negations give TRUE through the existing coalesce
+    * handling), not throw AnalysisException.
+    */
+  private val available = new ThreadLocal[Option[Set[String]]] {
+    override def initialValue(): Option[Set[String]] = None
+  }
+
+  private def known(c: String): Boolean = available.get().forall(_.contains(c))
+
   /** Column for a possibly-dotted field: `a.b.c` -> json path `$.b.c` in
-    * string column `a`.
+    * string column `a`. Fields (or JSON roots) absent from the stored schema
+    * compile to null, mirroring ES filter-context semantics on an unindexed
+    * field (the reference forwards filters verbatim to ES, orestes.js:84).
     */
   private def fieldCol(f: String): Column =
     if (isJsonPath(f)) {
       val parts = f.split("\\.")
-      get_json_object(col(parts.head), "$." + parts.tail.mkString("."))
-    } else col(f)
+      if (known(parts.head))
+        get_json_object(col(parts.head), "$." + parts.tail.mkString("."))
+      else lit(null).cast("string")
+    } else if (known(f)) col(f)
+    else lit(null).cast("string")
 
   def compile(json: String): Column = compileNode(mapper.readTree(json))
+
+  /** Compile against a known schema: filters on fields outside `columns`
+    * match nothing instead of throwing (the Graft storage path).
+    */
+  def compile(json: String, columns: Iterable[String]): Column = {
+    available.set(Some(columns.toSet))
+    try compile(json) finally available.set(None)
+  }
 
   def compileNode(node: JsonNode): Column = {
     require(node != null && node.isObject && node.size() == 1,

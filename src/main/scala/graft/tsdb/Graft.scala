@@ -75,7 +75,7 @@ class Graft(spark: SparkSession, root: String,
       .select(col("__error").as("error") +: points.columns.map(col): _*)
   }
 
-  private def table(space: String, startMs: Long = 0L,
+  private def table(space: String, startMs: Long = Long.MinValue,
                     endMs: Long = Long.MaxValue): Option[PointsTable] = {
     val path = spacePath(space)
     val fs = new java.io.File(path)
@@ -99,16 +99,28 @@ class Graft(spark: SparkSession, root: String,
       // prune bucket directories by the query's time range — the reason the
       // layout exists (Orestes' valid-days check, lib/orestes-query.js:30-40)
       val g = granularityOf(space)
-      def bucketOfMs(ms: Long) = ms / Det.MsInDay / g * g
+      // floor-division so pre-1970 timestamps bucket into the same (negative)
+      // bucket_day the writer produced — truncate-toward-zero would prune
+      // those directories and silently hide the data
+      def bucketOfMs(ms: Long) =
+        Math.floorDiv(Math.floorDiv(ms, Det.MsInDay), g.toLong) * g
       val df = raw.where(
-        col("bucket_day") >= bucketOfMs(math.max(startMs, 0L)) &&
-        col("bucket_day") <= bucketOfMs(math.max(endMs - 1, 0L)))
+        col("bucket_day") >= bucketOfMs(startMs) &&
+        col("bucket_day") <= bucketOfMs(math.max(endMs - 1, startMs)))
       val tags = df.columns.filterNot(c =>
         c == "time_ms" || c == "value" || c == "bucket_day").toSeq
       Some(PointsTable(df.withColumn("ts", timestamp_millis(col("time_ms"))),
         "ts", "value", tags))
     }
   }
+
+  /** Compile an ES filter against the space's stored schema: tags are
+    * data-dependent (whatever columns were ever written), and ES filter
+    * context matches nothing for a never-indexed field — so querying an
+    * unknown tag returns empty rather than AnalysisException.
+    */
+  private def compileFor(pt: PointsTable, filter: String): Column =
+    EsFilter.compile(filter, pt.df.columns)
 
   private def empty(schema: String): DataFrame = {
     val st = if (schema.trim.isEmpty) org.apache.spark.sql.types.StructType(Nil)
@@ -118,9 +130,9 @@ class Graft(spark: SparkSession, root: String,
 
   /** `/read`: points in [startMs, endMs) for series matching the ES filter. */
   def read(filter: String, space: String = "default",
-           startMs: Long = 0L, endMs: Long = Long.MaxValue): DataFrame =
+           startMs: Long = Long.MinValue, endMs: Long = Long.MaxValue): DataFrame =
     table(space, startMs, endMs) match {
-      case Some(pt) => Tsdb.read(pt, EsFilter.compile(filter), startMs, endMs)
+      case Some(pt) => Tsdb.read(pt, compileFor(pt, filter), startMs, endMs)
       case None => empty("time_ms BIGINT, value DOUBLE")
     }
 
@@ -130,10 +142,10 @@ class Graft(spark: SparkSession, root: String,
     * this is the API-compatible one.
     */
   def readSeries(filter: String, space: String = "default",
-                 startMs: Long = 0L, endMs: Long = Long.MaxValue): DataFrame =
+                 startMs: Long = Long.MinValue, endMs: Long = Long.MaxValue): DataFrame =
     table(space, startMs, endMs) match {
       case Some(pt) =>
-        val flat = Tsdb.read(pt, EsFilter.compile(filter), startMs, endMs)
+        val flat = Tsdb.read(pt, compileFor(pt, filter), startMs, endMs)
         val tagCols = flat.columns.filterNot(c => c == "time_ms" || c == "value")
         flat
           .groupBy(tagCols.map(col): _*)
@@ -145,17 +157,17 @@ class Graft(spark: SparkSession, root: String,
 
   /** `/read` with count aggregation: per-series point counts. */
   def countPoints(filter: String, space: String = "default",
-                  startMs: Long = 0L, endMs: Long = Long.MaxValue): DataFrame =
+                  startMs: Long = Long.MinValue, endMs: Long = Long.MaxValue): DataFrame =
     table(space, startMs, endMs) match {
-      case Some(pt) => Tsdb.countPoints(pt, EsFilter.compile(filter), startMs, endMs)
+      case Some(pt) => Tsdb.countPoints(pt, compileFor(pt, filter), startMs, endMs)
       case None => empty("n BIGINT")
     }
 
   /** `/series`: distinct tag sets with data in range. */
   def seriesList(filter: String, space: String = "default",
-                 startMs: Long = 0L, endMs: Long = Long.MaxValue): DataFrame =
+                 startMs: Long = Long.MinValue, endMs: Long = Long.MaxValue): DataFrame =
     table(space, startMs, endMs) match {
-      case Some(pt) => Tsdb.seriesList(pt, EsFilter.compile(filter), startMs, endMs)
+      case Some(pt) => Tsdb.seriesList(pt, compileFor(pt, filter), startMs, endMs)
       case None => empty("")
     }
 
@@ -163,7 +175,7 @@ class Graft(spark: SparkSession, root: String,
   def selectDistinct(keys: Seq[String], filter: String = """{"match_all":{}}""",
                      space: String = "default"): DataFrame =
     table(space) match {
-      case Some(pt) => Tsdb.selectDistinct(pt, EsFilter.compile(filter), keys)
+      case Some(pt) => Tsdb.selectDistinct(pt, compileFor(pt, filter), keys)
       case None => empty(keys.map(k => s"$k STRING").mkString(", "))
     }
 

@@ -116,7 +116,15 @@ object Tsdb {
     * Returns the surviving buckets with per-bucket counts.
     */
   def retentionSurvivors(pt: PointsTable, keepDays: Int): DataFrame = {
-    val today = pt.df.select(floor(max(pt.timeMs) / MsInDay)).first().getLong(0)
+    val maxRow = pt.df.select(floor(max(pt.timeMs) / MsInDay)).first()
+    // empty points table: max() is NULL — nothing stored, nothing survives
+    if (maxRow.isNullAt(0)) {
+      val spark = pt.df.sparkSession
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL("bucket_day BIGINT, n BIGINT"))
+    }
+    val today = maxRow.getLong(0)
     val doomed = today - keepDays
     val out = pt.df
       .select(bucketOf(pt.timeMs).as("bucket_day"))

@@ -127,6 +127,40 @@ class GraftApiSpec extends SparkTestBase {
     assert(betaDirs == Seq(19726L), s"weekly bucket: $betaDirs")
   }
 
+  test("filters on never-written tags match nothing, like ES filter context") {
+    val g = new Graft(spark, freshRoot())
+    import spark.implicits._
+    g.write(Seq(("2024-01-09T10:00:00Z", 1.0, "s")).toDF("time", "value", "name"))
+    // the reference forwards filters verbatim to ES; an unindexed field
+    // matches nothing in filter context — never an error
+    assert(g.read("""{"term":{"ghost":"x"}}""").count() == 0)
+    assert(g.read("""{"range":{"ghost":{"gte":1}}}""").count() == 0)
+    assert(g.read("""{"prefix":{"ghost":"a"}}""").count() == 0)
+    assert(g.read("""{"wildcard":{"ghost":"a*"}}""").count() == 0)
+    assert(g.read("""{"exists":{"field":"ghost"}}""").count() == 0)
+    assert(g.countPoints("""{"term":{"ghost":"x"}}""").count() == 0)
+    assert(g.seriesList("""{"terms":{"ghost":["x","y"]}}""").count() == 0)
+    // and negations of an unknown field match everything
+    assert(g.read("""{"not":{"term":{"ghost":"x"}}}""").count() == 1)
+    assert(g.read("""{"bool":{"must_not":{"exists":{"field":"ghost"}}}}""").count() == 1)
+    // dotted path whose root column was never written: same contract
+    assert(g.read("""{"term":{"ghost.k":"x"}}""").count() == 0)
+  }
+
+  test("pre-1970 timestamps bucket negatively and read back") {
+    val g = new Graft(spark, freshRoot())
+    import spark.implicits._
+    // 1969-12-25T00:00Z = -604800000 ms -> epoch day -7 -> weekly bucket -7
+    val errs = g.write(Seq((-604800000L, 4.0, "s"), (1704794400000L, 5.0, "s"))
+      .toDF("time", "value", "name"))
+    assert(errs.count() == 0)
+    val all = g.read("""{"match_all":{}}""").collect().map(_.getLong(1)).sorted
+    assert(all.toSeq == Seq(-604800000L, 1704794400000L), s"got ${all.toSeq}")
+    // explicit negative range hits only the pre-1970 bucket
+    val old = g.read("""{"match_all":{}}""", startMs = -700000000L, endMs = 0L)
+    assert(old.collect().map(_.getLong(1)).toSeq == Seq(-604800000L))
+  }
+
   test("numeric epoch-millis times are accepted, as longs and as strings") {
     val g = new Graft(spark, freshRoot())
     import spark.implicits._

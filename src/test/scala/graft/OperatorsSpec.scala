@@ -76,6 +76,18 @@ class OperatorsSpec extends SparkTestBase {
       s"only the non-null key matches: ${out.mkString(";")}")
   }
 
+  test("native as-of join: null left time never matches, even Long.MinValue right rows") {
+    import spark.implicits._
+    val left = Seq((1L, 5L, Option.empty[Long]), (2L, 5L, Option(100L)))
+      .toDF("event_id", "k", "tms")
+    val right = Seq((5L, 10L, Long.MinValue), (5L, 11L, 50L)).toDF("rk", "o_id", "oms")
+    val out = graft.operators.AsofJoinOps.asofJoin(left, right,
+      leftKey = "k", rightKey = "rk", leftTimeMs = "tms", rightTimeMs = "oms",
+      rightTiebreaks = Seq("o_id")).collect()
+    assert(out.length == 1 && out(0).getLong(0) == 2L && out(0).getLong(4) == 11L,
+      s"null-time left row must not match the MinValue right row: ${out.mkString(";")}")
+  }
+
   test("salted join equals the plain join; salted agg equals the plain agg") {
     import graft.operators.SkewJoin
     val e = graft.core.Tables.events(spark, Sf)

@@ -60,6 +60,15 @@ class TsdbSpec extends SparkTestBase {
     assert((all -- kept).forall(b => b < kept.min)) // dropped buckets are the oldest
   }
 
+  test("retention on an empty points table returns empty, not NPE") {
+    import spark.implicits._
+    val emptyPt = graft.tsdb.PointsTable(
+      Seq.empty[(java.sql.Timestamp, Double, Long)].toDF("ts", "value", "user_id"),
+      "ts", "value", Seq("user_id"))
+    val out = Tsdb.retentionSurvivors(emptyPt, keepDays = 7)
+    assert(out.columns.toSeq == Seq("bucket_day", "n") && out.count() == 0)
+  }
+
   test("ingest validation accepts the clean driver data") {
     val rows = Tsdb.ingestValidate(pt).collect()
     assert(rows.length == 1 && rows(0).getBoolean(0) && rows(0).getBoolean(1))
