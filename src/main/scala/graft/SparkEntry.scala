@@ -89,6 +89,30 @@ object SparkEntry {
                    {"exists":{"field":"user_id"}},
                    {"not":{"missing":{"field":"event_type"}}},
                    {"range":{"user_id":{"lt":40}}}]}"""), Start, End)),
+    "ts_read_filter_regexp" -> ((s, d) => Tsdb.read(Tsdb.points(s, d),
+      EsFilter.compile("""{"regexp":{"event_type":"[cp].*[ek]"}}"""), Start, End)),
+    // schema-aware compile: a filter on a never-written tag matches nothing
+    // (ES filter context), and its negation matches everything
+    "ts_read_filter_unknown_tag" -> ((s, d) => {
+      val pt = Tsdb.points(s, d)
+      Tsdb.read(pt, EsFilter.compile(
+        """{"bool":{"must":[{"range":{"value":{"gte":100}}}],
+             "must_not":[{"exists":{"field":"ghost_tag"}}]}}""", pt.df.columns),
+        Start, End)
+    }),
+    "ts_rate" -> ((s, d) => Tsdb.rate(Tsdb.points(s, d),
+      EsFilter.compile("""{"range":{"user_id":{"lt":30}}}"""), Start, End)),
+    "ts_top_series" -> ((s, d) => Tsdb.topSeries(Tsdb.points(s, d),
+      EsFilter.compile("""{"match_all":{}}"""), Start, End, k = 10)),
+    "ts_gapfill" -> ((s, d) => Tsdb.gapfill(
+      Tsdb.points(s, d).copy(tagCols = Seq("event_type")),
+      EsFilter.compile("""{"match_all":{}}"""), Start, End)),
+    "cube_agg" -> ((s, d) => Analytics.cubeAgg(s, d)),
+    "stats_agg" -> ((s, d) => Analytics.statsAgg(s, d)),
+    "window_first_last" -> ((s, d) => Analytics.windowFirstLast(s, d)),
+    "asof_tolerance" -> ((s, d) => Analytics.asofTolerance(s, d)),
+    "funnel" -> ((s, d) => Analytics.funnel(s, d)),
+    "cohort_retention" -> ((s, d) => Analytics.cohortRetention(s, d)),
     // §2.3 LLM-training-data pipeline operators
     "dedup_exact" -> ((s, d) => Dedup.exact(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
@@ -97,9 +121,13 @@ object SparkEntry {
     "clean_corpus" -> ((s, d) => Dedup.cleanCorpus(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(s, d)),
+    "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
+    "text_pii" -> ((s, d) => TextOps.piiScrub(s, d)),
+    "text_repetition" -> ((s, d) => TextOps.repetition(s, d)),
     "ann_topk" -> ((s, d) => Ann.bruteForceTopK(s, d)),
     "ann_lsh" -> ((s, d) => Ann.lshTopK(s, d)),
     "ann_ivf" -> ((s, d) => Ann.ivfTopK(s, d)),
+    "ann_ivf_nprobe" -> ((s, d) => Ann.ivfTopK(s, d, nprobe = 2)),
     "text_langid" -> ((s, d) => TextOps.langId(s, d)),
     "text_quality" -> ((s, d) => TextOps.quality(s, d)),
     "text_tokens" -> ((s, d) => TextOps.tokenCounts(s, d)),
@@ -348,6 +376,120 @@ object SparkEntry {
             AND event_type IN ('purchase', 'signup') AND user_id IS NOT NULL
             AND event_type IS NOT NULL AND user_id < 40
           ORDER BY 1, 2, 3, 4""",
+    "ts_read_filter_regexp" ->
+      s"""SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events
+          WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
+            AND regexp_full_match(event_type, '[cp].*[ek]')
+          ORDER BY 1, 2, 3, 4""",
+    "ts_read_filter_unknown_tag" ->
+      s"""SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events
+          WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End AND value >= 100
+          ORDER BY 1, 2, 3, 4""",
+    "ts_rate" ->
+      s"""WITH p AS (SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value
+                     FROM events
+                     WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End AND user_id < 30),
+              l AS (SELECT user_id, event_type, time_ms, value,
+                           lag(time_ms) OVER w AS prev_ms, lag(value) OVER w AS prev_value
+                    FROM p WINDOW w AS (PARTITION BY user_id, event_type
+                                        ORDER BY time_ms, value))
+          SELECT user_id, event_type, time_ms,
+                 round((value - prev_value) * 1000.0 / (time_ms - prev_ms), 6) + 0.0 AS rate_per_sec
+          FROM l WHERE prev_ms IS NOT NULL AND time_ms > prev_ms
+          ORDER BY 1, 2, 3, 4""",
+    "ts_top_series" ->
+      s"""SELECT user_id, event_type, n, rank FROM (
+            SELECT user_id, event_type, count(*) AS n,
+                   CAST(row_number() OVER (ORDER BY count(*) DESC, user_id, event_type)
+                        AS BIGINT) AS rank
+            FROM events WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
+            GROUP BY 1, 2)
+          WHERE rank <= 10 ORDER BY rank""",
+    "ts_gapfill" ->
+      s"""WITH p AS (SELECT event_type, epoch_ms(ts) AS tms, value FROM events
+                     WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End),
+              agg AS (SELECT event_type, CAST(floor(tms/3600000.0) AS BIGINT) AS bucket,
+                             count(*) AS n,
+                             round(round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
+                                   / count(value), 4), 4) AS avg_value
+                      FROM p GROUP BY 1, 2),
+              spans AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+                        FROM agg GROUP BY 1),
+              f AS (SELECT event_type, unnest(range(lo, hi + 1)) AS bucket FROM spans),
+              j AS (SELECT f.event_type, f.bucket, a.n, a.avg_value
+                    FROM f LEFT JOIN agg a USING (event_type, bucket))
+          SELECT event_type, bucket, coalesce(n, 0) AS n,
+                 last_value(avg_value IGNORE NULLS) OVER (
+                   PARTITION BY event_type ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value,
+                 n IS NULL AS is_gap
+          FROM j ORDER BY 1, 2, 3, 4, 5""",
+    "cube_agg" ->
+      s"""SELECT l_returnflag, l_linestatus, ${dsumSql("l_quantity")} AS sum_qty,
+                 ${dsumSql("l_extendedprice")} AS sum_price, count(*) AS n
+          FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+          ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3, 4, 5""",
+    "stats_agg" ->
+      """WITH a AS (SELECT event_type, count(*) AS n,
+                CAST(sum(CAST(value AS DECIMAL(9,4))) AS DOUBLE) AS sv,
+                CAST(sum(CAST(value AS DECIMAL(9,4)) * CAST(value AS DECIMAL(9,4)))
+                     AS DOUBLE) AS svv,
+                CAST(sum(CAST(user_id AS DECIMAL(9,0))) AS DOUBLE) AS su,
+                CAST(sum(CAST(user_id AS DECIMAL(9,0)) * CAST(user_id AS DECIMAL(9,0)))
+                     AS DOUBLE) AS suu,
+                CAST(sum(CAST(value AS DECIMAL(9,4)) * CAST(user_id AS DECIMAL(9,0)))
+                     AS DOUBLE) AS svu
+              FROM events GROUP BY 1)
+         SELECT event_type, n,
+                round(sqrt((svv - sv * sv / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)), 4)
+                  AS stddev_value,
+                round((CAST(n AS DOUBLE) * svu - sv * su)
+                      / (sqrt(CAST(n AS DOUBLE) * svv - sv * sv)
+                         * sqrt(CAST(n AS DOUBLE) * suu - su * su)), 4) AS corr_value_user
+         FROM a ORDER BY 1, 2, 3, 4""",
+    "window_first_last" ->
+      """SELECT user_id, event_id, epoch_ms(ts) AS tms,
+                first_value(value) OVER w AS first_value,
+                last_value(value) OVER w AS last_value,
+                nth_value(value, 2) OVER w AS second_value
+         FROM events WHERE user_id < 20
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         ORDER BY 1, 2, 3, 4, 5, 6""",
+    "asof_tolerance" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_ms(ts) AS tms
+                    FROM events WHERE user_id < 50),
+              j AS (SELECT e.event_id, e.user_id, o.o_orderkey,
+                           epoch_ms(o.o_orderdate) AS oms,
+                           row_number() OVER (PARTITION BY e.event_id
+                             ORDER BY epoch_ms(o.o_orderdate) DESC, o.o_orderkey DESC) AS rn
+                    FROM e JOIN orders o
+                      ON e.user_id = o.o_custkey AND epoch_ms(o.o_orderdate) <= e.tms
+                     AND epoch_ms(o.o_orderdate) >= e.tms - 7776000000)
+         SELECT event_id, user_id, o_orderkey, oms AS asof_order_ms
+         FROM j WHERE rn = 1 ORDER BY 1, 2, 3, 4""",
+    "funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS tms FROM events),
+              v AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN tms END) AS v_ms
+                    FROM e GROUP BY 1),
+              vv AS (SELECT user_id, v_ms FROM v WHERE v_ms IS NOT NULL),
+              c AS (SELECT e.user_id, min(tms) AS c_ms FROM e JOIN vv USING (user_id)
+                    WHERE event_type = 'click' AND tms > v_ms GROUP BY 1),
+              p AS (SELECT e.user_id, min(tms) AS p_ms FROM e JOIN c USING (user_id)
+                    WHERE event_type = 'purchase' AND tms > c_ms GROUP BY 1)
+         SELECT (SELECT count(*) FROM vv) AS n_view,
+                (SELECT count(*) FROM c) AS n_click_after_view,
+                (SELECT count(*) FROM p) AS n_purchase_after_click""",
+    "cohort_retention" ->
+      """WITH e AS (SELECT user_id,
+                           CAST(floor(epoch_ms(ts)/86400000.0/7)*7 AS BIGINT) AS week
+                    FROM events),
+              cohort AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1),
+              active AS (SELECT DISTINCT user_id, week FROM e)
+         SELECT cohort_week, CAST((week - cohort_week) // 7 AS BIGINT) AS week_offset,
+                count(DISTINCT user_id) AS n_users
+         FROM active JOIN cohort USING (user_id)
+         GROUP BY 1, 2 ORDER BY 1, 2, 3""",
     "range_join" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS tms FROM events)
          SELECT a.event_type AS a_type, b.event_type AS b_type, count(*) AS n_pairs
@@ -539,6 +681,67 @@ object SparkEntry {
                  count(*) AS n_shared_shingles
           FROM s8 c JOIN s8 b ON c.sh = b.sh AND b.doc_id < 10 AND c.doc_id >= 10
           GROUP BY 1 ORDER BY 1, 2, 3""",
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $ShingleCte,
+              $MinhashCte,
+              cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                       FROM bands a JOIN bands b
+                         ON a.band = b.band AND a.band_key = b.band_key
+                        AND a.doc_id < b.doc_id),
+              edges AS (SELECT a_id AS src, b_id AS dst FROM cand
+                        UNION ALL SELECT b_id, a_id FROM cand),
+              nodes AS (SELECT DISTINCT src AS id FROM edges),
+              reach AS (SELECT id, id AS r FROM nodes
+                        UNION
+                        SELECT e.dst AS id, reach.r FROM reach
+                        JOIN edges e ON e.src = reach.id)
+          SELECT id AS doc_id, min(r) AS cluster_id FROM reach
+          GROUP BY 1 ORDER BY 1, 2""",
+    "text_pii" -> {
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phone = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]+"
+      s"""WITH a AS (SELECT doc_id,
+                            text || ' contact user' || CAST(doc_id AS VARCHAR)
+                              || '@example.com or +1-555-' || CAST(doc_id AS VARCHAR)
+                              || ' now' AS t
+                     FROM documents)
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(t, '$email')) AS BIGINT) AS n_emails,
+                 CAST(len(regexp_extract_all(t, '$phone')) AS BIGINT) AS n_phones,
+                 md5(regexp_replace(regexp_replace(t, '$email', '<EMAIL>', 'g'),
+                     '$phone', '<PHONE>', 'g')) AS redacted_fp
+          FROM a ORDER BY 1, 2, 3, 4"""
+    },
+    "text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok
+                     FROM documents),
+              tc AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2)
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
+                 round(1.0 - count(*) * 1.0 / sum(c), 4) AS dup_ratio,
+                 round(max(c) * 1.0 / sum(c), 4) AS top_token_ratio
+          FROM tc GROUP BY 1 ORDER BY 1, 2, 3, 4, 5""",
+    "ann_ivf_nprobe" ->
+      s"""WITH $VecCte,
+              cc AS (SELECT a.vec_id AS vid, b.vec_id AS cid, sum(a.x*b.x) AS dot
+                     FROM ev a JOIN ev b ON a.i = b.i AND b.vec_id < 16 GROUP BY 1, 2),
+              ccos AS (SELECT vid, cid, round(dot/sqrt(nv.nsq*nc.nsq), 6) AS c
+                       FROM cc JOIN vn nv ON nv.vec_id = vid JOIN vn nc ON nc.vec_id = cid),
+              rankedc AS (SELECT vid, cid, row_number() OVER (PARTITION BY vid
+                            ORDER BY c DESC, cid) AS arn FROM ccos),
+              assign AS (SELECT vid, cid AS cell FROM rankedc WHERE arn = 1),
+              probe AS (SELECT vid, cid AS cell FROM rankedc WHERE arn <= 2),
+              dots AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, sum(a.x*b.x) AS dot
+                       FROM ev a JOIN ev b ON a.i = b.i AND a.vec_id <> b.vec_id
+                       JOIN probe qa ON qa.vid = a.vec_id
+                       JOIN assign na ON na.vid = b.vec_id AND na.cell = qa.cell
+                       WHERE a.vec_id < 20 GROUP BY 1, 2),
+              c2 AS (SELECT q_id, n_id, round(dot/sqrt(nq.nsq*nn.nsq), 6) AS cosine
+                     FROM dots JOIN vn nq ON nq.vec_id = q_id JOIN vn nn ON nn.vec_id = n_id),
+              r AS (SELECT q_id, n_id, cosine,
+                      CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY cosine DESC, n_id) AS BIGINT) AS rank
+                    FROM c2)
+          SELECT q_id, n_id, cosine, rank FROM r WHERE rank <= 5 ORDER BY 1, 2, 3, 4""",
     "text_fingerprint" ->
       s"""SELECT doc_id, md5($NormSql) AS content_fp,
                  md5(array_to_string(list_sort(list_distinct(

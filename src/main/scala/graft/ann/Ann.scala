@@ -87,22 +87,25 @@ object Ann {
     * argmax is engine-independent.
     */
   def ivfTopK(s: SparkSession, d: String, k: Int = 5, nQueries: Int = 20,
-              nCentroids: Int = 16): DataFrame = {
+              nCentroids: Int = 16, nprobe: Int = 1): DataFrame = {
     val e = withNorm(s, Tables.embeddings(s, d))
     val cents = e.where(col("vec_id") < nCentroids)
       .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
-    val assigned = e.join(broadcast(cents), lit(true))
+    // centroid ranking per vector: arn=1 is the stored cell; arn<=nprobe are
+    // the cells a query probes (IVF recall knob, Jégou et al. PAMI '11)
+    val ranked = e.join(broadcast(cents), lit(true))
       .select(col("vec_id"), col("v"), col("nrm"), col("c_id"),
         round(cosine(s, col("v"), col("cv"), col("nrm"), col("cn")), 6).as("c_cos"))
       .select(col("vec_id"), col("v"), col("nrm"), col("c_id"),
         row_number().over(wAssign).as("arn"))
-      .where(col("arn") === 1)
-      .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cell"))
+      .where(col("arn") <= math.max(nprobe, 1))
       .cache()
-    val q = assigned.where(col("vec_id") < nQueries)
+    val assigned = ranked.where(col("arn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cell"))
+    val q = ranked.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
-        col("cell").as("q_cell"))
+        col("c_id").as("q_cell"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
     val out = assigned.join(broadcast(q),
         col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))

@@ -173,6 +173,36 @@ object Dedup {
     Det.ordered(out)
   }
 
+  /** Duplicate clusters: connected components over the MinHash-LSH candidate
+    * graph, labeling every document in a near-dup group with the group's
+    * minimum doc_id (the canonical representative a pipeline keeps). Iterative
+    * min-label propagation to fixpoint — each round is one shuffle join, and
+    * the round count is the graph diameter (tiny for dedup graphs, which are
+    * near-cliques). At 100 TB this is the standard alternating large-star/
+    * small-star formulation; the per-round plan here is identical.
+    */
+  def clusters(s: SparkSession, d: String): DataFrame = {
+    val edges = minhashLsh(s, d).select(col("a_id"), col("b_id")).cache()
+    val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
+    var labels = edges.select(col("a_id").as("id")).union(edges.select(col("b_id")))
+      .distinct().select(col("id"), col("id").as("label"))
+      .localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 50) {
+      val prop = sym.join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("label"))
+      val next = labels.union(prop).groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint(true) // truncate lineage per round
+      converged = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+        .where(col("n.label") < col("o.label")).isEmpty
+      labels = next
+      rounds += 1
+    }
+    Det.ordered(labels.select(col("id").as("doc_id"), col("label").as("cluster_id")))
+  }
+
   /** Corpus cleaning composition: drop exact duplicates (keep smallest id),
     * then language + quality gates — the standard pre-training filter chain
     * as one declarative plan. Returns surviving doc ids with their scores.

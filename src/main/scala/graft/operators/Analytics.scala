@@ -305,6 +305,118 @@ object Analytics {
     Det.ordered(out)
   }
 
+  /** CUBE: all grouping-set combinations of (returnflag, linestatus) in one
+    * pass — the OLAP cross-tab companion to [[rollupAgg]].
+    */
+  def cubeAgg(s: SparkSession, d: String): DataFrame = {
+    val out = Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(dsum(col("l_quantity")), 2).as("sum_qty"),
+        round(dsum(col("l_extendedprice")), 2).as("sum_price"), count(lit(1)).as("n"))
+    out.orderBy(out.columns.map(c => col(c).asc_nulls_first): _*)
+  }
+
+  /** Second-moment statistics per group — stddev and correlation — computed
+    * from exact DECIMAL partial sums so the result is independent of
+    * aggregation order (built-in stddev/corr accumulate doubles, whose
+    * association order differs per engine/partitioning). The decimal sums
+    * are the same single-shuffle partial-aggregate shape.
+    */
+  def statsAgg(s: SparkSession, d: String): DataFrame = {
+    val v = col("value").cast("decimal(9,4)")
+    val u = col("user_id").cast("decimal(9,0)")
+    val agg = Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(v).cast("double").as("sv"),
+        sum(v * v).cast("double").as("svv"),
+        sum(u).cast("double").as("su"),
+        sum(u * u).cast("double").as("suu"),
+        sum(v * u).cast("double").as("svu"))
+    val n = col("n").cast("double")
+    val out = agg.select(
+      col("event_type"), col("n"),
+      round(sqrt((col("svv") - col("sv") * col("sv") / n) / (n - 1.0)), 4).as("stddev_value"),
+      round((n * col("svu") - col("sv") * col("su")) /
+        (sqrt(n * col("svv") - col("sv") * col("sv")) *
+         sqrt(n * col("suu") - col("su") * col("su"))), 4).as("corr_value_user"))
+    Det.ordered(out)
+  }
+
+  /** first/last/nth value window functions over an explicit frame — the
+    * "open/close/second print" per key-ordered-by-time primitive.
+    */
+  def windowFirstLast(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).where(col("user_id") < 20)
+      .select(col("user_id"), col("event_id"), tsMs(col("ts")).as("tms"), col("value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tms"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val out = e.select(
+      col("user_id"), col("event_id"), col("tms"),
+      first(col("value")).over(w).as("first_value"),
+      last(col("value")).over(w).as("last_value"),
+      nth_value(col("value"), 2).over(w).as("second_value"))
+    Det.ordered(out)
+  }
+
+  /** As-of join with a staleness tolerance: the nearest preceding order, but
+    * only if it is at most `tolMs` old — rows whose best match is staler
+    * drop (pandas merge_asof(tolerance=...) semantics).
+    */
+  def asofTolerance(s: SparkSession, d: String, tolMs: Long = 90L * 86400000L): DataFrame = {
+    val e = Tables.events(s, d).where(col("user_id") < 50)
+      .select(col("event_id"), col("user_id"), tsMs(col("ts")).as("tms"))
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), tsMs(col("o_orderdate")).as("oms"))
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("oms").desc, col("o_orderkey").desc)
+    val out = e.join(o, col("user_id") === col("o_custkey") &&
+        col("oms") <= col("tms") && col("oms") >= col("tms") - tolMs)
+      .select(col("event_id"), col("user_id"), col("tms"), col("o_orderkey"), col("oms"),
+        row_number().over(w).as("rn"))
+      .where(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("o_orderkey"), col("oms").as("asof_order_ms"))
+    Det.ordered(out)
+  }
+
+  /** Ordered funnel: users who viewed, then clicked after the first view,
+    * then purchased after that first click. Three conditional min-aggregates
+    * over one shuffle key (user) — no per-stage rescans of the fact table.
+    */
+  def funnel(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), tsMs(col("ts")).as("tms"))
+    val stages = e.groupBy(col("user_id")).agg(
+      min(when(col("event_type") === "view", col("tms"))).as("v_ms"))
+    val clicks = e.where(col("event_type") === "click")
+      .join(stages.where(col("v_ms").isNotNull), "user_id")
+      .where(col("tms") > col("v_ms"))
+      .groupBy(col("user_id")).agg(min(col("tms")).as("c_ms"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .join(clicks, "user_id")
+      .where(col("tms") > col("c_ms"))
+      .groupBy(col("user_id")).agg(min(col("tms")).as("p_ms"))
+    stages.where(col("v_ms").isNotNull).agg(count(lit(1)).as("n_view"))
+      .crossJoin(clicks.agg(count(lit(1)).as("n_click_after_view")))
+      .crossJoin(purchases.agg(count(lit(1)).as("n_purchase_after_click")))
+  }
+
+  /** Cohort retention: users grouped by first-seen week, counted per
+    * subsequent active week — the (cohort, offset) retention matrix.
+    */
+  def cohortRetention(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), (floor(tsMs(col("ts")) / Det.MsInDay / 7) * 7).as("week"))
+    val cohort = e.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+    val active = e.distinct()
+    val out = active.join(cohort, "user_id")
+      .groupBy(col("cohort_week"),
+        ((col("week") - col("cohort_week")) / 7).cast("bigint").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+    Det.ordered(out)
+  }
+
   /** Range (interval) join: pairs of events of the same user within a
     * 6-hour forward window. Equi-key (user) + band predicate; at scale the
     * band is additionally bucketed by coarse time block to bound the join

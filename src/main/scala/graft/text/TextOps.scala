@@ -154,6 +154,44 @@ object TextOps {
     Det.ordered(out)
   }
 
+  /** PII scrubbing: detect and redact email addresses and phone numbers,
+    * returning per-document match counts and the redacted fingerprint. The
+    * corpus is synthetic (no real PII), so a deterministic contact line is
+    * appended per document first — the operator under test is the regex
+    * detect/redact pass, which runs at scan speed (codegen'd regexps).
+    */
+  def piiScrub(s: SparkSession, d: String): DataFrame = {
+    val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phoneRe = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]+"
+    val aug = concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+      lit("@example.com or +1-555-"), col("doc_id").cast("string"), lit(" now"))
+    val base = Tables.documents(s, d).select(col("doc_id"), aug.as("t"))
+    val out = base.select(
+      col("doc_id"),
+      regexp_count(col("t"), lit(emailRe)).cast("bigint").as("n_emails"),
+      regexp_count(col("t"), lit(phoneRe)).cast("bigint").as("n_phones"),
+      md5(regexp_replace(regexp_replace(col("t"), emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>")).as("redacted_fp"))
+    Det.ordered(out)
+  }
+
+  /** Repetition signals (Gopher-style quality rules): duplicate-token mass
+    * and most-frequent-token share per document — high values flag boilerplate
+    * and degenerate generations. One explode + per-(doc, token) count.
+    */
+  def repetition(s: SparkSession, d: String): DataFrame = {
+    val tokCounts = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("c"))
+    val out = tokCounts.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_freq"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct") * lit(1.0) / col("n_tokens"), 4).as("dup_ratio"),
+        round(col("top_freq") * lit(1.0) / col("n_tokens"), 4).as("top_token_ratio"))
+    Det.ordered(out)
+  }
+
   /** Document fingerprints: exact content hash of the normalized text plus
     * an order-independent bag fingerprint (hash of the sorted distinct token
     * set) — the rolling-hash family's cheap deterministic cousin.

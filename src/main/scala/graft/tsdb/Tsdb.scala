@@ -161,6 +161,76 @@ object Tsdb {
     Det.ordered(out)
   }
 
+  /** Per-series derivative (counter rate): for consecutive points of a
+    * series ordered by time, (Δvalue / Δt) per second — the `rate()`
+    * primitive every metrics store grows (Prometheus/Graphite). One shuffle
+    * on the series key; same-timestamp pairs are skipped (Δt = 0).
+    */
+  def rate(pt: PointsTable, filter: Column, startMs: Long, endMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // (time_ms, value) order: same-millisecond points would otherwise make
+    // lag() engine-dependent
+    val w = Window.partitionBy(pt.tags: _*).orderBy(col("time_ms"), col("value"))
+    val pts = pt.df
+      .where(inRange(pt, startMs, endMs) && filter)
+      .select(pt.tags :+ pt.timeMs.as("time_ms") :+ col(pt.valueCol).as("value"): _*)
+    val out = pts
+      .select(pt.tags ++ Seq(col("time_ms"), col("value"),
+        lag(col("time_ms"), 1).over(w).as("prev_ms"),
+        lag(col("value"), 1).over(w).as("prev_value")): _*)
+      .where(col("prev_ms").isNotNull && col("time_ms") > col("prev_ms"))
+      .select(pt.tags ++ Seq(col("time_ms"),
+        // + 0.0 collapses IEEE -0.0 (negative delta rounding to zero) to 0.0
+        (round((col("value") - col("prev_value")) * 1000.0 / (col("time_ms") - col("prev_ms")), 6)
+          + lit(0.0)).as("rate_per_sec")): _*)
+    Det.ordered(out)
+  }
+
+  /** Top-K series by point count in range — the "busiest streams" query a
+    * metrics UI runs constantly. Per-series counts (one shuffle) then a
+    * global top-K with deterministic ties.
+    */
+  def topSeries(pt: PointsTable, filter: Column, startMs: Long, endMs: Long,
+                k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("n").desc +: pt.tags.map(_.asc): _*)
+    pt.df
+      .where(inRange(pt, startMs, endMs) && filter)
+      .groupBy(pt.tags: _*)
+      .agg(count(lit(1)).as("n"))
+      .select(pt.tags ++ Seq(col("n"), row_number().over(w).cast("bigint").as("rank")): _*)
+      .where(col("rank") <= k)
+      .orderBy(col("rank"))
+  }
+
+  /** Gap-filled downsample: bucket each series to `stepMs`, then materialize
+    * every bucket between the series' first and last point, carrying the
+    * last observed aggregate forward into empty buckets (LOCF). The dense
+    * time grid dashboards and joins expect from a sparse store. Scale shape:
+    * one shuffle to the per-bucket aggregate, one explode of (hi-lo) bucket
+    * stubs per series — output-proportional, never a global range.
+    */
+  def gapfill(pt: PointsTable, filter: Column, startMs: Long, endMs: Long,
+              stepMs: Long = 3600000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val agg = pt.df
+      .where(inRange(pt, startMs, endMs) && filter)
+      .groupBy(pt.tags :+ floor(pt.timeMs / stepMs).as("bucket"): _*)
+      .agg(count(lit(1)).as("n"), round(Det.davg(col(pt.valueCol), 4), 4).as("avg_value"))
+    val spans = agg.groupBy(pt.tags: _*)
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+    val full = spans.select(pt.tags :+ explode(sequence(col("lo"), col("hi"))).as("bucket"): _*)
+    val w = Window.partitionBy(pt.tags: _*).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val joined = full.join(agg, pt.tagCols :+ "bucket", "left")
+    val out = joined.select(pt.tags ++ Seq(
+      col("bucket"),
+      coalesce(col("n"), lit(0L)).as("n"),
+      last(col("avg_value"), ignoreNulls = true).over(w).as("avg_value"),
+      col("n").isNull.as("is_gap")): _*)
+    Det.ordered(out)
+  }
+
   /** Per-(bucket, series) stats — the storage layout rendered as a query:
     * row key (attrs), clustering (offset) min/max, point count, value sum.
     */
