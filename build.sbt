@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked app's stdout straight through instead of routing it via
+// sbt's logger: the driver parses Bench's one-line JSON from stdout, and the
+// logger's "[info] " prefix broke that parse in round 1 (BENCH_r01 parsed:null).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
