@@ -107,6 +107,19 @@ object SparkEntry {
     "ts_gapfill" -> ((s, d) => Tsdb.gapfill(
       Tsdb.points(s, d).copy(tagCols = Seq("event_type")),
       EsFilter.compile("""{"match_all":{}}"""), Start, End)),
+    "ts_latest" -> ((s, d) => Tsdb.latest(Tsdb.points(s, d),
+      EsFilter.compile("""{"match_all":{}}"""), Start, End)),
+    "ts_interp" -> ((s, d) => Tsdb.interpolate(
+      Tsdb.points(s, d).copy(tagCols = Seq("event_type")),
+      EsFilter.compile("""{"range":{"user_id":{"lt":10}}}"""), Start, End)),
+    "ts_anomaly" -> ((s, d) => Tsdb.anomalies(Tsdb.points(s, d)
+      .copy(tagCols = Seq("event_type")),
+      EsFilter.compile("""{"match_all":{}}"""), Start, End)),
+    "ts_histogram" -> ((s, d) => Tsdb.histogram(Tsdb.points(s, d)
+      .copy(tagCols = Seq("event_type")),
+      EsFilter.compile("""{"match_all":{}}"""), Start, End)),
+    "ts_smooth" -> ((s, d) => Tsdb.smooth(Tsdb.points(s, d),
+      EsFilter.compile("""{"range":{"user_id":{"lt":15}}}"""), Start, End)),
     "cube_agg" -> ((s, d) => Analytics.cubeAgg(s, d)),
     "stats_agg" -> ((s, d) => Analytics.statsAgg(s, d)),
     "window_first_last" -> ((s, d) => Analytics.windowFirstLast(s, d)),
@@ -424,6 +437,68 @@ object SparkEntry {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value,
                  n IS NULL AS is_gap
           FROM j ORDER BY 1, 2, 3, 4, 5""",
+    "ts_latest" ->
+      s"""SELECT user_id, event_type, time_ms, value FROM (
+            SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value,
+                   row_number() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY epoch_ms(ts) DESC, value DESC) AS rn
+            FROM events WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End)
+          WHERE rn = 1 ORDER BY 1, 2, 3, 4""",
+    "ts_interp" ->
+      s"""WITH r AS (SELECT event_type, epoch_ms(ts) AS t, max(value) AS v
+                     FROM events
+                     WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End AND user_id < 10
+                     GROUP BY 1, 2),
+              spans AS (SELECT event_type,
+                               CAST(ceil(min(t)/3600000.0) AS BIGINT) AS lo,
+                               CAST(floor(max(t)/3600000.0) AS BIGINT) AS hi
+                        FROM r GROUP BY 1),
+              grid AS (SELECT event_type, unnest(range(lo, hi + 1)) * 3600000 AS t
+                       FROM spans WHERE lo <= hi),
+              u AS (SELECT event_type, t, v, 0 AS is_grid FROM r
+                    UNION ALL SELECT event_type, t, NULL, 1 FROM grid),
+              w AS (SELECT event_type, t, is_grid,
+                      last_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS) OVER wp AS pt_ms,
+                      last_value(CASE WHEN is_grid = 0 THEN v END IGNORE NULLS) OVER wp AS pv,
+                      first_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS) OVER wn AS nt_ms,
+                      first_value(CASE WHEN is_grid = 0 THEN v END IGNORE NULLS) OVER wn AS nv
+                    FROM u WINDOW
+                      wp AS (PARTITION BY event_type ORDER BY t, is_grid
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                      wn AS (PARTITION BY event_type ORDER BY t, is_grid
+                             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+          SELECT event_type, t AS grid_ms,
+                 round(CASE WHEN pt_ms = t OR nt_ms IS NULL THEN pv
+                       ELSE pv + (nv - pv) * (t - pt_ms) / (nt_ms - pt_ms) END, 6) AS value
+          FROM w WHERE is_grid = 1 ORDER BY 1, 2, 3""",
+    "ts_anomaly" ->
+      s"""WITH p AS (SELECT event_type, epoch_ms(ts) AS time_ms, value FROM events
+                     WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End),
+              m AS (SELECT event_type, count(*) AS n,
+                           CAST(sum(CAST(value AS DECIMAL(9,4))) AS DOUBLE) AS sv,
+                           CAST(sum(CAST(value AS DECIMAL(9,4)) * CAST(value AS DECIMAL(9,4)))
+                                AS DOUBLE) AS svv
+                    FROM p GROUP BY 1),
+              s AS (SELECT event_type, sv / n AS mean,
+                           sqrt((svv - sv * sv / n) / (n - 1.0)) AS sd
+                    FROM m WHERE n > 1)
+          SELECT p.event_type, time_ms, value, round((value - mean) / sd, 4) AS zscore
+          FROM p JOIN s USING (event_type)
+          WHERE sd > 0 AND abs(value - mean) > sd * 2.0
+          ORDER BY 1, 2, 3, 4""",
+    "ts_histogram" ->
+      s"""SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin, count(*) AS n
+          FROM events WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
+          GROUP BY 1, 2 ORDER BY 1, 2, 3""",
+    "ts_smooth" ->
+      s"""WITH p AS (SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events
+                     WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End AND user_id < 15)
+          SELECT user_id, event_type, time_ms, value,
+                 round(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
+                       / count(*) OVER w, 4) AS smoothed
+          FROM p WINDOW w AS (PARTITION BY user_id, event_type ORDER BY time_ms, value
+                              ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+          ORDER BY 1, 2, 3, 4, 5""",
     "cube_agg" ->
       s"""SELECT l_returnflag, l_linestatus, ${dsumSql("l_quantity")} AS sum_qty,
                  ${dsumSql("l_extendedprice")} AS sum_price, count(*) AS n

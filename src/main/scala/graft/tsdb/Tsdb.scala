@@ -231,6 +231,124 @@ object Tsdb {
     Det.ordered(out)
   }
 
+  /** Latest point per series in range — the "current value" lookup every
+    * metrics store serves from its hot path. One shuffle on the series key;
+    * same-millisecond ties break on value (desc) so the result is unique.
+    */
+  def latest(pt: PointsTable, filter: Column, startMs: Long, endMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(pt.tags: _*).orderBy(col("time_ms").desc, col("value").desc)
+    val out = pt.df
+      .where(inRange(pt, startMs, endMs) && filter)
+      .select(pt.tags :+ pt.timeMs.as("time_ms") :+ col(pt.valueCol).as("value"): _*)
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .drop("rn")
+    Det.ordered(out)
+  }
+
+  /** Linear interpolation of each series onto a regular `stepMs` grid
+    * between its first and last point — the resample/align primitive that
+    * lets sparse series join each other. Same-timestamp points are first
+    * reduced to their max. Plan shape: per-(series, ms) reduce, grid-stub
+    * explode bounded by span/step, one window sort per series — no global
+    * range, no cross-series traffic.
+    */
+  def interpolate(pt: PointsTable, filter: Column, startMs: Long, endMs: Long,
+                  stepMs: Long = 3600000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val real = pt.df
+      .where(inRange(pt, startMs, endMs) && filter)
+      .groupBy(pt.tags :+ pt.timeMs.as("t"): _*)
+      .agg(max(col(pt.valueCol)).as("v"))
+      .withColumn("is_grid", lit(0))
+    val spans = real.groupBy(pt.tags: _*)
+      .agg(ceil(min(col("t")) / lit(stepMs.toDouble)).as("lo"),
+        floor(max(col("t")) / lit(stepMs.toDouble)).as("hi"))
+      .where(col("lo") <= col("hi"))
+    val grid = spans
+      .select(pt.tags :+ explode(sequence(col("lo"), col("hi"))).as("g"): _*)
+      .select(pt.tags ++ Seq((col("g") * stepMs).as("t"), lit(null).cast("double").as("v"),
+        lit(1).as("is_grid")): _*)
+    // real row sorts before the grid stub at the same t, so an exact hit
+    // lands in the preceding frame (pt_ms == t) and short-circuits below
+    val ord = Window.partitionBy(pt.tags: _*).orderBy(col("t"), col("is_grid"))
+    val wPrev = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val realT = when(col("is_grid") === 0, col("t"))
+    val realV = when(col("is_grid") === 0, col("v"))
+    val interp = real.unionByName(grid)
+      .select(pt.tags ++ Seq(col("t"), col("is_grid"),
+        last(realT, ignoreNulls = true).over(wPrev).as("pt_ms"),
+        last(realV, ignoreNulls = true).over(wPrev).as("pv"),
+        first(realT, ignoreNulls = true).over(wNext).as("nt_ms"),
+        first(realV, ignoreNulls = true).over(wNext).as("nv")): _*)
+      .where(col("is_grid") === 1)
+    val out = interp.select(pt.tags ++ Seq(col("t").as("grid_ms"),
+      round(when(col("pt_ms") === col("t") || col("nt_ms").isNull, col("pv"))
+        .otherwise(col("pv") + (col("nv") - col("pv")) * (col("t") - col("pt_ms"))
+          / (col("nt_ms") - col("pt_ms"))), 6).as("value")): _*)
+    Det.ordered(out)
+  }
+
+  /** Z-score anomalies: points more than `z` sample standard deviations from
+    * their series mean. Moments come from exact DECIMAL partial sums (one
+    * shuffle), broadcast back onto the scan — association-order independent,
+    * so the flagged set is deterministic under any partitioning.
+    */
+  def anomalies(pt: PointsTable, filter: Column, startMs: Long, endMs: Long,
+                z: Double = 2.0): DataFrame = {
+    val v = col(pt.valueCol).cast("decimal(9,4)")
+    val pts = pt.df.where(inRange(pt, startMs, endMs) && filter)
+    val moments = pts.groupBy(pt.tags: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(v).cast("double").as("sv"),
+        sum(v * v).cast("double").as("svv"))
+      .where(col("n") > 1)
+      .select(pt.tags ++ Seq(col("n"),
+        (col("sv") / col("n").cast("double")).as("mean"),
+        sqrt((col("svv") - col("sv") * col("sv") / col("n").cast("double"))
+          / (col("n").cast("double") - 1.0)).as("sd")): _*)
+      .where(col("sd") > 0)
+    val out = pts
+      .select(pt.tags :+ pt.timeMs.as("time_ms") :+ col(pt.valueCol).as("value"): _*)
+      .join(broadcast(moments), pt.tagCols)
+      .where(abs(col("value") - col("mean")) > col("sd") * z)
+      .select(pt.tags ++ Seq(col("time_ms"), col("value"),
+        round((col("value") - col("mean")) / col("sd"), 4).as("zscore")): _*)
+    Det.ordered(out)
+  }
+
+  /** Fixed-width value histogram per series — distribution-at-a-glance for a
+    * metrics UI. One shuffle on (series, bin); bins are floor(value/width).
+    */
+  def histogram(pt: PointsTable, filter: Column, startMs: Long, endMs: Long,
+                binWidth: Double = 50.0): DataFrame = {
+    val out = pt.df
+      .where(inRange(pt, startMs, endMs) && filter)
+      .groupBy(pt.tags :+ floor(col(pt.valueCol) / binWidth).cast("bigint").as("bin"): _*)
+      .agg(count(lit(1)).as("n"))
+    Det.ordered(out)
+  }
+
+  /** Centered moving average (±k points) per series — display smoothing.
+    * Window sums go through DECIMAL so the mean is exact at any frame
+    * alignment; one sort per series, no shuffle beyond the series key.
+    */
+  def smooth(pt: PointsTable, filter: Column, startMs: Long, endMs: Long,
+             k: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(pt.tags: _*).orderBy(col("time_ms"), col("value"))
+      .rowsBetween(-k, k)
+    val out = pt.df
+      .where(inRange(pt, startMs, endMs) && filter)
+      .select(pt.tags :+ pt.timeMs.as("time_ms") :+ col(pt.valueCol).as("value"): _*)
+      .select(pt.tags ++ Seq(col("time_ms"), col("value"),
+        round((sum(col("value").cast("decimal(18,4)")).over(w).cast("double")
+          / count(lit(1)).over(w)), 4).as("smoothed")): _*)
+    Det.ordered(out)
+  }
+
   /** Per-(bucket, series) stats — the storage layout rendered as a query:
     * row key (attrs), clustering (offset) min/max, point count, value sum.
     */
