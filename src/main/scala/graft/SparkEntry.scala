@@ -121,6 +121,12 @@ object SparkEntry {
     "ts_smooth" -> ((s, d) => Tsdb.smooth(Tsdb.points(s, d),
       EsFilter.compile("""{"range":{"user_id":{"lt":15}}}"""), Start, End)),
     "cube_agg" -> ((s, d) => Analytics.cubeAgg(s, d)),
+    "grouping_sets" -> ((s, d) => Analytics.groupingSets(s, d)),
+    "ntile_stats" -> ((s, d) => Analytics.ntileStats(s, d)),
+    "set_ops" -> ((s, d) => Analytics.setOps(s, d)),
+    "mode_per_group" -> ((s, d) => Analytics.modePerGroup(s, d)),
+    "sample_hash" -> ((s, d) => Analytics.sampleHash(s, d)),
+    "q18_having" -> ((s, d) => Analytics.q18Having(s, d)),
     "stats_agg" -> ((s, d) => Analytics.statsAgg(s, d)),
     "window_first_last" -> ((s, d) => Analytics.windowFirstLast(s, d)),
     "asof_tolerance" -> ((s, d) => Analytics.asofTolerance(s, d)),
@@ -147,7 +153,10 @@ object SparkEntry {
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
     "text_bigrams" -> ((s, d) => TextOps.bigramStats(s, d)),
     "decontaminate" -> ((s, d) => TextOps.decontaminate(s, d)),
-    "mm_meta" -> ((s, d) => Multimodal.meta(s, d)))
+    "text_tfidf" -> ((s, d) => TextOps.tfidf(s, d)),
+    "corpus_stats" -> ((s, d) => TextOps.corpusStats(s, d)),
+    "mm_meta" -> ((s, d) => Multimodal.meta(s, d)),
+    "mm_features" -> ((s, d) => Multimodal.features(s, d)))
 
   // ---- DuckDB oracles ------------------------------------------------------
 
@@ -565,6 +574,95 @@ object SparkEntry {
                 count(DISTINCT user_id) AS n_users
          FROM active JOIN cohort USING (user_id)
          GROUP BY 1, 2 ORDER BY 1, 2, 3""",
+    "grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+                round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_qty,
+                count(*) AS n
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3, 4""",
+    "ntile_stats" ->
+      """SELECT event_type, event_id, value,
+                CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+                round(percent_rank() OVER w, 6) AS pct_rank,
+                round(cume_dist() OVER w, 6) AS cume_dist
+         FROM events WHERE user_id < 10
+         WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+         ORDER BY 1, 2, 3, 4, 5, 6""",
+    "set_ops" ->
+      """SELECT user_id FROM (
+           (SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+            INTERSECT
+            SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+           EXCEPT
+           SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+         ORDER BY 1""",
+    "mode_per_group" ->
+      """SELECT user_id, event_type AS mode_event, n FROM (
+           SELECT user_id, event_type, count(*) AS n,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY count(*) DESC, event_type) AS rn
+           FROM events GROUP BY 1, 2)
+         WHERE rn = 1 ORDER BY 1, 2, 3""",
+    "sample_hash" ->
+      s"""WITH h AS (SELECT event_type, value, md5(CAST(event_id AS VARCHAR)) AS hx
+                     FROM events),
+              b AS (SELECT event_type, value,
+                           16*(strpos('0123456789abcdef', substr(hx, 1, 1)) - 1)
+                           + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS bucket
+                    FROM h)
+          SELECT event_type, count(*) AS n, ${dsumSql("value")} AS sum_value
+          FROM b WHERE bucket < 26 GROUP BY 1 ORDER BY 1, 2, 3""",
+    "q18_having" ->
+      s"""WITH big AS (SELECT l_orderkey, ${dsumSql("l_quantity")} AS total_qty
+                       FROM lineitem GROUP BY 1
+                       HAVING ${dsumSql("l_quantity")} > 300.0)
+          SELECT c_name, c_custkey, o_orderkey,
+                 epoch_ms(o_orderdate) AS o_orderdate_ms, total_qty
+          FROM big JOIN orders ON l_orderkey = o_orderkey
+                   JOIN customer ON o_custkey = c_custkey
+          ORDER BY 1, 2, 3, 4, 5""",
+    "text_tfidf" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok
+                     FROM documents),
+              t2 AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+              tfq AS (SELECT doc_id, tok, count(*) AS tf FROM t2 GROUP BY 1, 2),
+              dfreq AS (SELECT tok, count(*) AS df FROM tfq GROUP BY 1),
+              nd AS (SELECT count(*) AS n_docs FROM documents),
+              sc AS (SELECT doc_id, tfq.tok, tf, df,
+                            round(tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS score
+                     FROM tfq JOIN dfreq ON tfq.tok = dfreq.tok CROSS JOIN nd),
+              r AS (SELECT doc_id, tok, tf, df, score,
+                           CAST(row_number() OVER (PARTITION BY doc_id
+                             ORDER BY score DESC, tf DESC, tok) AS BIGINT) AS rank
+                    FROM sc)
+          SELECT doc_id, tok, tf, df, score, rank
+          FROM r WHERE rank <= 5 AND doc_id < 100 ORDER BY 1, 2, 3, 4, 5, 6""",
+    "corpus_stats" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok
+                     FROM documents),
+              t2 AS (SELECT doc_id, tok FROM t WHERE tok <> '')
+          SELECT (SELECT count(*) FROM documents) AS n_docs,
+                 count(*) AS total_tokens,
+                 count(DISTINCT tok) AS vocab_size,
+                 round(count(*) * 1.0 / (SELECT count(*) FROM documents), 4)
+                   AS avg_doc_tokens
+          FROM t2""",
+    "mm_features" -> {
+      def hexByte(pos: Int) =
+        s"""(16*(strpos('0123456789abcdef', substr(md5(text), $pos, 1)) - 1)
+             + (strpos('0123456789abcdef', substr(md5(text), ${pos + 1}, 1)) - 1))"""
+      s"""WITH dims AS (SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS blen,
+                               64 + ${hexByte(1)} % 192 AS w0,
+                               64 + ${hexByte(3)} % 192 AS h0
+                        FROM documents)
+          SELECT doc_id,
+                 CAST(round(w0 * (224.0 / greatest(w0, h0))) AS BIGINT) AS resized_w,
+                 CAST(round(h0 * (224.0 / greatest(w0, h0))) AS BIGINT) AS resized_h,
+                 CAST(0 AS BIGINT) AS f0,
+                 blen * 1 // 4 AS f1, blen * 2 // 4 AS f2, blen * 3 // 4 AS f3
+          FROM dims ORDER BY 1, 2, 3, 4, 5, 6, 7"""
+    },
     "range_join" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS tms FROM events)
          SELECT a.event_type AS a_type, b.event_type AS b_type, count(*) AS n_pairs

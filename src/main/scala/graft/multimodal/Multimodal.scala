@@ -86,6 +86,21 @@ object Multimodal {
     * video frame sampling). The partition iterator is where a real codec +
     * model session would be reused across rows.
     */
+  /** [[decodeFeatures]] rendered as an oracle-checkable DataFrame: the
+    * scalar outputs of the per-partition decode (resize target + sampled
+    * frame offsets). The embedding stays Spark-side only (binary md5
+    * concatenation is not portably expressible in the oracle engine).
+    */
+  def features(s: SparkSession, d: String): DataFrame = {
+    val ds = decodeFeatures(s, d)
+    val out = ds.select(col("doc_id"), col("resized_w"), col("resized_h"),
+      element_at(col("frame_offsets"), 1).as("f0"),
+      element_at(col("frame_offsets"), 2).as("f1"),
+      element_at(col("frame_offsets"), 3).as("f2"),
+      element_at(col("frame_offsets"), 4).as("f3"))
+    Det.ordered(out)
+  }
+
   def decodeFeatures(s: SparkSession, d: String, dim: Int = 16,
                      nFrames: Int = 4): Dataset[MediaFeatures] = {
     import s.implicits._

@@ -417,6 +417,95 @@ object Analytics {
     Det.ordered(out)
   }
 
+  /** GROUPING SETS: explicit subtotal dimensions in one pass — the general
+    * form of which ROLLUP/CUBE are specializations. Expressed in SQL (the
+    * DataFrame API exposes only rollup/cube); still one Catalyst Expand +
+    * single-shuffle aggregate.
+    */
+  def groupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gs")
+    val out = s.sql(
+      """SELECT l_returnflag, l_linestatus,
+                round(cast(sum(cast(l_quantity as decimal(18,4))) as double), 2) AS sum_qty,
+                count(*) AS n
+         FROM lineitem_gs
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
+    out.orderBy(out.columns.map(c => col(c).asc_nulls_first): _*)
+  }
+
+  /** Distribution ranks per group: quartile (ntile), percent_rank and
+    * cume_dist over a deterministic (value, id) order — one sort per key.
+    */
+  def ntileStats(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))
+    val out = Tables.events(s, d).where(col("user_id") < 10)
+      .select(col("event_type"), col("event_id"), col("value"),
+        ntile(4).over(w).cast("bigint").as("quartile"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume_dist"))
+    Det.ordered(out)
+  }
+
+  /** Relational set algebra: users who viewed AND clicked but never
+    * purchased — (view ∩ click) ∖ purchase as INTERSECT/EXCEPT, which plan
+    * as aggregate + semi/anti joins.
+    */
+  def setOps(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+    def users(t: String) =
+      e.where(col("event_type") === t).select(col("user_id")).distinct()
+    Det.ordered(users("view").intersect(users("click")).except(users("purchase")))
+  }
+
+  /** Mode (most frequent value) per group with deterministic ties — the
+    * ordered-set aggregate engines bolt on; here one count-shuffle + one
+    * per-key top-1.
+    */
+  def modePerGroup(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("n").desc, col("event_type"))
+    val out = counts
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("user_id"), col("event_type").as("mode_event"), col("n"))
+    Det.ordered(out)
+  }
+
+  /** Deterministic ~10% Bernoulli sample keyed on md5(event_id) — the
+    * reproducible-sampling primitive for experiment holdouts: membership is
+    * a pure function of the row key, so any engine or rerun selects the same
+    * rows. Aggregated per type to verify the selection, not the row dump.
+    */
+  def sampleHash(s: SparkSession, d: String): DataFrame = {
+    val bucket = conv(substring(md5(col("event_id").cast("string")), 1, 2), 16, 10)
+      .cast("int")
+    val out = Tables.events(s, d)
+      .where(bucket < 26) // 26/256 ≈ 10.2%
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(dsum(col("value")), 2).as("sum_value"))
+    Det.ordered(out)
+  }
+
+  /** HAVING over an aggregated subquery joined back to facts (TPC-H Q18
+    * shape): orders whose total quantity exceeds a threshold, with customer
+    * attribution. The HAVING filter runs on the aggregate side BEFORE the
+    * join, so only qualifying keys join back.
+    */
+  def q18Having(s: SparkSession, d: String, minQty: Double = 300.0): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(round(dsum(col("l_quantity")), 2).as("total_qty"))
+      .where(col("total_qty") > minQty)
+    val out = big
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        tsMs(col("o_orderdate")).as("o_orderdate_ms"), col("total_qty"))
+    Det.ordered(out)
+  }
+
   /** Range (interval) join: pairs of events of the same user within a
     * 6-hour forward window. Equi-key (user) + band predicate; at scale the
     * band is additionally bucketed by coarse time block to bound the join

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Det, Tables}
 
@@ -190,6 +191,44 @@ object TextOps {
         round(lit(1.0) - col("n_distinct") * lit(1.0) / col("n_tokens"), 4).as("dup_ratio"),
         round(col("top_freq") * lit(1.0) / col("n_tokens"), 4).as("top_token_ratio"))
     Det.ordered(out)
+  }
+
+  /** TF–IDF top terms per document: term frequency × ln(N/df), document
+    * frequencies over the WHOLE corpus, top-k per doc ranked on the rounded
+    * score with deterministic ties. Two shuffles (doc-term, term) and a
+    * broadcast of the tiny df/N side — the global statistics pattern that
+    * also serves vocabulary building at 100 TB.
+    */
+  def tfidf(s: SparkSession, d: String, k: Int = 5): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .where(col("tok") =!= "")
+    val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(broadcast(dfreq), "tok").crossJoin(broadcast(nDocs))
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4).as("score"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("tf").desc, col("tok"))
+    val out = scored
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .where(col("rank") <= k && col("doc_id") < 100)
+    Det.ordered(out)
+  }
+
+  /** One-row corpus profile: document count, token mass, vocabulary size,
+    * mean document length — the summary a pipeline logs after every stage.
+    */
+  def corpusStats(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .where(col("tok") =!= "")
+    tok.agg(count(lit(1)).as("total_tokens"),
+        countDistinct(col("tok")).as("vocab_size"))
+      .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
+      .select(col("n_docs"), col("total_tokens"), col("vocab_size"),
+        round(col("total_tokens") * lit(1.0) / col("n_docs"), 4).as("avg_doc_tokens"))
   }
 
   /** Document fingerprints: exact content hash of the normalized text plus
