@@ -179,6 +179,44 @@ class Graft(spark: SparkSession, root: String,
       case None => empty(keys.map(k => s"$k STRING").mkString(", "))
     }
 
+  /** Compaction: rewrite fragmented bucket directories into
+    * ceil(bytes/targetBytes) files, restoring the (tags, time) clustering
+    * the writer establishes — the small-files maintenance job every
+    * append-heavy store needs (each streaming micro-batch / bulk write adds
+    * files; row-group stats degrade as files shrink). Range-repartition by
+    * the clustering key keeps files disjoint on series, so post-compaction
+    * reads prune row groups exactly as freshly-written data does. Buckets
+    * already at or below the target file count are left untouched (retention
+    * and compaction then never race on the same directory content).
+    * Returns (bucket_day, files_before, files_after) per compacted bucket.
+    */
+  def compact(space: String = "default",
+              targetBytes: Long = 128L * 1024 * 1024): Seq[(Long, Int, Int)] = {
+    val dir = new java.io.File(spacePath(space))
+    if (!dir.exists()) return Nil
+    val buckets = dir.listFiles().toSeq
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket_day="))
+    buckets.flatMap { bdir =>
+      val parts = bdir.listFiles().filter(_.getName.endsWith(".parquet"))
+      val nOut = math.max(1,
+        math.ceil(parts.map(_.length()).sum.toDouble / targetBytes).toInt)
+      if (parts.length <= nOut) None
+      else {
+        val df = spark.read.parquet(bdir.getPath)
+        val tagCols = df.columns.filterNot(c => c == "time_ms" || c == "value").toSeq
+        val key = tagCols.map(col) :+ col("time_ms")
+        val tmp = new java.io.File(bdir.getPath + ".compact-tmp")
+        df.repartitionByRange(nOut, key: _*)
+          .sortWithinPartitions(key: _*)
+          .write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
+        // local-FS swap; on an object store this would be a metadata commit
+        deleteRecursively(bdir)
+        tmp.renameTo(bdir)
+        Some((bdir.getName.stripPrefix("bucket_day=").toLong, parts.length, nOut))
+      }
+    }.sortBy(_._1)
+  }
+
   /** `/delete`: drop whole buckets whose last day is older than
     * `today - keepDays` (reference semantics, lib/orestes-remover.js:16-39).
     * `todayDay` defaults to the current wall clock like the reference;

@@ -45,4 +45,19 @@ class DedupSpec extends SparkTestBase {
     val rows = Dedup.embeddingPairs(spark, Sf, tau = 0.3).collect()
     assert(rows.forall(r => r.getDouble(2) >= 0.3 && r.getDouble(2) <= 1.0))
   }
+
+  test("clusters assign one label per connected component, the min doc_id") {
+    val labels = Dedup.clusters(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val edges = Dedup.minhashLsh(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(edges.nonEmpty && labels.nonEmpty)
+    // every candidate edge is intra-cluster (labels are transitive closure)
+    assert(edges.forall { case (a, b) => labels(a) == labels(b) })
+    // the label is a member of its own cluster and is the minimum id
+    labels.groupBy(_._2).foreach { case (label, members) =>
+      val ids = members.keys.toSeq
+      assert(ids.min == label, s"cluster $label not labeled by min id")
+    }
+  }
 }

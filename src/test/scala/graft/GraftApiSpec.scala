@@ -181,4 +181,31 @@ class GraftApiSpec extends SparkTestBase {
     g.write(pts)
     assert(g.read("""{"match_all":{}}""").count() == 2)
   }
+
+  test("compaction merges fragmented buckets and preserves the data") {
+    val root = freshRoot()
+    val g = new Graft(spark, root)
+    import spark.implicits._
+    // five separate appends -> at least five files in the 2024-01-09 bucket
+    (1 to 5).foreach { i =>
+      g.write(Seq((s"2024-01-09T10:00:0$i" + "Z", i.toDouble, "s", s"tag$i"))
+        .toDF("time", "value", "name", "some_tag"))
+    }
+    val before = g.read("""{"match_all":{}}""").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val bdir = new java.io.File(s"$root/default/bucket_day=19726")
+    assert(bdir.listFiles().count(_.getName.endsWith(".parquet")) >= 5)
+
+    val report = g.compact()
+    assert(report.map(t => (t._1, t._3)) == Seq((19726L, 1)))
+    assert(report.head._2 >= 5)
+    assert(bdir.listFiles().count(_.getName.endsWith(".parquet")) == 1)
+
+    // identical content, still readable through every API path
+    val after = g.read("""{"match_all":{}}""").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(after == before)
+    // a second pass is a no-op (already at the target file count)
+    assert(g.compact().isEmpty)
+  }
 }

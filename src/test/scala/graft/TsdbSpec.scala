@@ -81,4 +81,56 @@ class TsdbSpec extends SparkTestBase {
     assert(meta.groupBy("bucket_day", "user_id", "event_type").count()
       .where(col("count") > 1).count() == 0)
   }
+
+  private def syntheticPt(rows: Seq[(Long, Double, String)]) = {
+    import spark.implicits._
+    graft.tsdb.PointsTable(
+      rows.toDF("ms", "value", "name")
+        .select(org.apache.spark.sql.functions.timestamp_millis(col("ms")).as("ts"),
+          col("value"), col("name")),
+      "ts", "value", Seq("name"))
+  }
+
+  test("interpolate hits exact points and interpolates linearly between them") {
+    val h = 3600000L
+    // series 'a': points at t=0h (v=10) and t=2h (v=30) -> grid 0h,1h,2h
+    val p = syntheticPt(Seq((0L, 10.0, "a"), (2 * h, 30.0, "a")))
+    val rows = Tsdb.interpolate(p, matchAll, -1L, 3 * h, stepMs = h)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq((0L, 10.0), (h, 20.0), (2 * h, 30.0)))
+  }
+
+  test("interpolate reduces same-timestamp points to their max first") {
+    val h = 3600000L
+    val p = syntheticPt(Seq((0L, 1.0, "a"), (0L, 5.0, "a"), (h, 5.0, "a")))
+    val rows = Tsdb.interpolate(p, matchAll, -1L, 2 * h, stepMs = h)
+      .collect().map(r => (r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq((0L, 5.0), (h, 5.0)))
+  }
+
+  test("anomalies flags exactly the >2-sigma points and skips flat series") {
+    val h = 3600000L
+    // 'flat' has zero variance -> excluded; 'spiky' has one huge outlier
+    val base = (0 until 20).map(i => (i * h, 10.0, "spiky"))
+    val p = syntheticPt(base :+ (20 * h, 1000.0, "spiky")
+      :+ (0L, 7.0, "flat") :+ (h, 7.0, "flat"))
+    val out = Tsdb.anomalies(p, matchAll, -1L, 30 * h, z = 2.0).collect()
+    assert(out.length == 1)
+    assert(out(0).getString(0) == "spiky" && out(0).getDouble(2) == 1000.0)
+    assert(out(0).getDouble(3) > 4.0, "outlier z-score is large")
+  }
+
+  test("latest picks the max-time point per series") {
+    val p = syntheticPt(Seq((0L, 1.0, "a"), (5L, 2.0, "a"), (3L, 9.0, "b")))
+    val rows = Tsdb.latest(p, matchAll, -1L, 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(rows == Set(("a", 5L, 2.0), ("b", 3L, 9.0)))
+  }
+
+  test("histogram bins cover every point exactly once") {
+    val n = Tsdb.histogram(pt, matchAll, start, end)
+      .agg(sum("n")).first().getLong(0)
+    val total = pt.df.where(pt.inRange(start, end)).count()
+    assert(n == total)
+  }
 }
