@@ -127,6 +127,26 @@ object SparkEntry {
     "mode_per_group" -> ((s, d) => Analytics.modePerGroup(s, d)),
     "sample_hash" -> ((s, d) => Analytics.sampleHash(s, d)),
     "q18_having" -> ((s, d) => Analytics.q18Having(s, d)),
+    // salted skew handling must be invisible in the result: the oracle is the
+    // plain join / plain aggregate
+    "skew_join" -> ((s, d) => {
+      import graft.core.Tables
+      import org.apache.spark.sql.functions._
+      val e = Tables.events(s, d).select(col("event_type"), col("event_id"), col("user_id"))
+      val dim = e.groupBy(col("event_type")).agg(min(col("user_id")).as("first_user"))
+      val j = graft.operators.SkewJoin.saltedJoin(e, dim, "event_type", saltFrom = "event_id")
+      graft.core.Det.ordered(
+        j.groupBy(col("event_type"), col("first_user")).agg(count(lit(1)).as("n")))
+    }),
+    "skew_join_salted" -> ((s, d) => {
+      import graft.core.Tables
+      import org.apache.spark.sql.functions._
+      val e = Tables.events(s, d).select(col("event_type"),
+        col("value").cast("decimal(18,4)").as("v"), col("event_id"))
+      val agg = graft.operators.SkewJoin.saltedCountSum(e, "event_type", "v", "event_id")
+      graft.core.Det.ordered(agg.select(col("event_type"), col("n"),
+        round(col("sum_value").cast("double"), 2).as("sum_value")))
+    }),
     "stats_agg" -> ((s, d) => Analytics.statsAgg(s, d)),
     "window_first_last" -> ((s, d) => Analytics.windowFirstLast(s, d)),
     "asof_tolerance" -> ((s, d) => Analytics.asofTolerance(s, d)),
@@ -147,6 +167,8 @@ object SparkEntry {
     "ann_lsh" -> ((s, d) => Ann.lshTopK(s, d)),
     "ann_ivf" -> ((s, d) => Ann.ivfTopK(s, d)),
     "ann_ivf_nprobe" -> ((s, d) => Ann.ivfTopK(s, d, nprobe = 2)),
+    "ann_pq" -> ((s, d) => Ann.pqTopK(s, d)),
+    "text_lm_score" -> ((s, d) => TextOps.lmScore(s, d)),
     "text_langid" -> ((s, d) => TextOps.langId(s, d)),
     "text_quality" -> ((s, d) => TextOps.quality(s, d)),
     "text_tokens" -> ((s, d) => TextOps.tokenCounts(s, d)),
@@ -622,6 +644,15 @@ object SparkEntry {
           FROM big JOIN orders ON l_orderkey = o_orderkey
                    JOIN customer ON o_custkey = c_custkey
           ORDER BY 1, 2, 3, 4, 5""",
+    "skew_join" ->
+      """WITH dim AS (SELECT event_type, min(user_id) AS first_user
+                      FROM events GROUP BY 1)
+         SELECT e.event_type, first_user, count(*) AS n
+         FROM events e JOIN dim USING (event_type)
+         GROUP BY 1, 2 ORDER BY 1, 2, 3""",
+    "skew_join_salted" ->
+      s"""SELECT event_type, count(*) AS n, ${dsumSql("value")} AS sum_value
+          FROM events GROUP BY 1 ORDER BY 1, 2, 3""",
     "text_tfidf" ->
       s"""WITH t AS (SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok
                      FROM documents),
@@ -915,6 +946,45 @@ object SparkEntry {
                         ORDER BY cosine DESC, n_id) AS BIGINT) AS rank
                     FROM c2)
           SELECT q_id, n_id, cosine, rank FROM r WHERE rank <= 5 ORDER BY 1, 2, 3, 4""",
+    "ann_pq" ->
+      s"""WITH $VecCte,
+              sub AS (SELECT vec_id, (i-1)//16 AS sp, i, x FROM ev),
+              cents AS (SELECT vec_id AS c_id, sp, i, x AS cx FROM sub WHERE vec_id < 16),
+              d2 AS (SELECT a.vec_id, a.sp, c.c_id,
+                            round(sum((a.x - c.cx) * (a.x - c.cx)), 6) AS d2
+                     FROM sub a JOIN cents c ON c.sp = a.sp AND c.i = a.i
+                     GROUP BY 1, 2, 3),
+              codes AS (SELECT vec_id, sp, c_id AS code FROM (
+                          SELECT vec_id, sp, c_id,
+                                 row_number() OVER (PARTITION BY vec_id, sp
+                                                    ORDER BY d2, c_id) AS rn
+                          FROM d2) WHERE rn = 1),
+              lut AS (SELECT a.vec_id AS q_id, a.sp, c.c_id,
+                             round(sum(a.x * c.cx), 6) AS pdot
+                      FROM sub a JOIN cents c ON c.sp = a.sp AND c.i = a.i
+                      WHERE a.vec_id < 20 GROUP BY 1, 2, 3),
+              adc AS (SELECT l.q_id, cd.vec_id AS n_id,
+                             round(CAST(sum(CAST(l.pdot AS DECIMAL(14,6))) AS DOUBLE), 6)
+                               AS approx_dot
+                      FROM codes cd JOIN lut l ON l.sp = cd.sp AND l.c_id = cd.code
+                                                 AND cd.vec_id <> l.q_id
+                      GROUP BY 1, 2),
+              r AS (SELECT q_id, n_id, approx_dot,
+                           CAST(row_number() OVER (PARTITION BY q_id
+                             ORDER BY approx_dot DESC, n_id) AS BIGINT) AS rank
+                    FROM adc)
+          SELECT q_id, n_id, approx_dot, rank FROM r WHERE rank <= 5 ORDER BY 1, 2, 3, 4""",
+    "text_lm_score" ->
+      s"""WITH t0 AS (SELECT doc_id, string_split($NormSql, ' ') AS toks FROM documents),
+              bg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+                     FROM t0, UNNEST(range(1, len(toks))) AS u(i) WHERE len(toks) >= 2),
+              cb2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+              cb1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+              p AS (SELECT w1, w2, CAST(round(c2 * 1.0 / c1, 8) AS DECIMAL(12,8)) AS p
+                    FROM cb2 JOIN cb1 USING (w1))
+          SELECT doc_id, count(*) AS n_bigrams,
+                 round(CAST(sum(p) AS DOUBLE) / count(*), 6) AS avg_p
+          FROM bg JOIN p USING (w1, w2) GROUP BY 1 ORDER BY 1, 2, 3""",
     "text_fingerprint" ->
       s"""SELECT doc_id, md5($NormSql) AS content_fp,
                  md5(array_to_string(list_sort(list_distinct(

@@ -143,4 +143,49 @@ object Ann {
       .where(col("rank") <= k)
     Det.ordered(out)
   }
+
+  /** Product quantization with asymmetric distance computation (Jégou et al.
+    * PAMI '11): each vector is compressed to m subspace code ids (nearest
+    * sub-centroid, deterministic centroid pick as in [[ivfTopK]]); a query
+    * precomputes an m×nCodes table of partial dots and scores any vector by
+    * m lookups + adds — never touching the original floats. At 100 TB codes
+    * are bytes (64× compression at m=4/16 codes here), the LUT broadcasts,
+    * and scoring is a codes-table scan. Partial dots are rounded and summed
+    * as exact decimals so the ADC score is association-order independent.
+    */
+  def pqTopK(s: SparkSession, d: String, k: Int = 5, nQueries: Int = 20,
+             nCodes: Int = 16, m: Int = 4, dims: Int = 64): DataFrame = {
+    val sw = dims / m
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val subs = e
+      .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("sp"), col("v"))
+      .select(col("vec_id"), col("sp"), slice(col("v"), col("sp") * sw + 1, lit(sw)).as("sv"))
+    val cents = subs.where(col("vec_id") < nCodes)
+      .select(col("sp").as("csp"), col("vec_id").as("c_id"), col("sv").as("cv"))
+    val sqL2 = aggregate(zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val wAssign = Window.partitionBy(col("vec_id"), col("sp")).orderBy(col("d2"), col("c_id"))
+    val codes = subs.join(broadcast(cents), col("sp") === col("csp"))
+      .select(col("vec_id"), col("sp"), col("c_id"), round(sqL2, 6).as("d2"))
+      .select(col("vec_id"), col("sp"), col("c_id"), row_number().over(wAssign).as("rn"))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("sp"), col("c_id").as("code"))
+    val lut = subs.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("sp").as("lsp"), col("sv").as("qsv"))
+      .join(broadcast(cents), col("lsp") === col("csp"))
+      .select(col("q_id"), col("lsp"), col("c_id"),
+        round(VectorFunctions.dot(s, col("qsv"), col("cv")), 6).as("pdot"))
+    val adc = codes.join(broadcast(lut),
+        col("sp") === col("lsp") && col("code") === col("c_id") &&
+        col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(round(sum(col("pdot").cast("decimal(14,6)")).cast("double"), 6).as("approx_dot"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("approx_dot").desc, col("vec_id"))
+    val out = adc
+      .select(col("q_id"), col("vec_id").as("n_id"), col("approx_dot"),
+        row_number().over(wTop).cast("bigint").as("rank"))
+      .where(col("rank") <= k)
+    Det.ordered(out)
+  }
 }

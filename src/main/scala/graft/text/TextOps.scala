@@ -217,6 +217,33 @@ object TextOps {
     Det.ordered(out)
   }
 
+  /** Bigram language-model scoring: corpus transition probabilities
+    * p(w2|w1) = c(w1,w2)/c(w1·), then each document's mean transition
+    * probability — a perplexity-style fluency proxy (low score ⇒ improbable
+    * token sequences ⇒ noisy/degenerate text). Probabilities are rounded and
+    * summed as exact decimals so the mean is association-order independent.
+    * Scale shape: one bigram shuffle for the counts, then a (w1,w2) join —
+    * the same plan a corpus-LM training-statistics pass runs.
+    */
+  def lmScore(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.documents(s, d).select(col("doc_id"), tokens(col("text")).as("toks"))
+    val big = toks.where(size(col("toks")) >= 2)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, size(toks)-1), " +
+          "i -> struct(element_at(toks, i) AS w1, element_at(toks, i+1) AS w2))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val cb2 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val cb1 = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val probs = cb2.join(cb1, "w1")
+      .select(col("w1"), col("w2"),
+        round(col("c2") * lit(1.0) / col("c1"), 8).cast("decimal(12,8)").as("p"))
+    val out = big.join(probs, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("p")).cast("double") / count(lit(1)), 6).as("avg_p"))
+    Det.ordered(out)
+  }
+
   /** One-row corpus profile: document count, token mass, vocabulary size,
     * mean document length — the summary a pipeline logs after every stage.
     */
