@@ -120,6 +120,11 @@ object SparkEntry {
       EsFilter.compile("""{"match_all":{}}"""), Start, End)),
     "ts_smooth" -> ((s, d) => Tsdb.smooth(Tsdb.points(s, d),
       EsFilter.compile("""{"range":{"user_id":{"lt":15}}}"""), Start, End)),
+    "ts_counter_reset" -> ((s, d) => Tsdb.counterIncrease(Tsdb.points(s, d),
+      EsFilter.compile("""{"range":{"user_id":{"lt":30}}}"""), Start, End)),
+    "ts_ratio" -> ((s, d) => Tsdb.seriesRatio(Tsdb.points(s, d),
+      EsFilter.compile("""{"term":{"event_type":"click"}}"""),
+      EsFilter.compile("""{"term":{"event_type":"view"}}"""), Start, End)),
     "cube_agg" -> ((s, d) => Analytics.cubeAgg(s, d)),
     "grouping_sets" -> ((s, d) => Analytics.groupingSets(s, d)),
     "ntile_stats" -> ((s, d) => Analytics.ntileStats(s, d)),
@@ -530,6 +535,34 @@ object SparkEntry {
           FROM p WINDOW w AS (PARTITION BY user_id, event_type ORDER BY time_ms, value
                               ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
           ORDER BY 1, 2, 3, 4, 5""",
+    "ts_counter_reset" ->
+      s"""WITH p AS (SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events
+                     WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End AND user_id < 30),
+              l AS (SELECT user_id, event_type, value,
+                           lag(value) OVER (PARTITION BY user_id, event_type
+                                            ORDER BY time_ms, value) AS prev
+                    FROM p),
+              c AS (SELECT user_id, event_type,
+                           CAST(CASE WHEN value < prev THEN value
+                                     ELSE value - prev END AS DECIMAL(18,4)) AS contrib,
+                           CASE WHEN value < prev THEN 1 ELSE 0 END AS is_reset
+                    FROM l WHERE prev IS NOT NULL)
+          SELECT user_id, event_type,
+                 round(CAST(sum(contrib) AS DOUBLE), 4) AS increase,
+                 CAST(sum(is_reset) AS BIGINT) AS n_resets
+          FROM c GROUP BY 1, 2 ORDER BY 1, 2, 3, 4""",
+    "ts_ratio" ->
+      s"""WITH p AS (SELECT event_type, epoch_ms(ts) AS tms, value FROM events
+                     WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End),
+              n AS (SELECT CAST(floor(tms/3600000.0) AS BIGINT) AS bucket,
+                           ${davgSql("value")} AS num_avg
+                    FROM p WHERE event_type = 'click' GROUP BY 1),
+              d AS (SELECT CAST(floor(tms/3600000.0) AS BIGINT) AS bucket,
+                           ${davgSql("value")} AS den_avg
+                    FROM p WHERE event_type = 'view' GROUP BY 1)
+          SELECT bucket, num_avg, den_avg,
+                 round(num_avg / nullif(den_avg, 0), 6) AS ratio
+          FROM n JOIN d USING (bucket) ORDER BY 1, 2, 3, 4""",
     "cube_agg" ->
       s"""SELECT l_returnflag, l_linestatus, ${dsumSql("l_quantity")} AS sum_qty,
                  ${dsumSql("l_extendedprice")} AS sum_price, count(*) AS n

@@ -349,6 +349,45 @@ object Tsdb {
     Det.ordered(out)
   }
 
+  /** Counter increase with reset detection (Prometheus `increase()`): per
+    * series, sum consecutive deltas, treating a drop as a counter restart
+    * whose contribution is the post-reset value. One window pass per series;
+    * contributions are summed as exact decimals.
+    */
+  def counterIncrease(pt: PointsTable, filter: Column, startMs: Long, endMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(pt.tags: _*).orderBy(col("time_ms"), col("value"))
+    val deltas = pt.df
+      .where(inRange(pt, startMs, endMs) && filter)
+      .select(pt.tags :+ pt.timeMs.as("time_ms") :+ col(pt.valueCol).as("value"): _*)
+      .withColumn("prev", lag(col("value"), 1).over(w))
+      .where(col("prev").isNotNull)
+      .select(pt.tags ++ Seq(
+        when(col("value") < col("prev"), col("value"))
+          .otherwise(col("value") - col("prev")).cast("decimal(18,4)").as("contrib"),
+        when(col("value") < col("prev"), 1L).otherwise(0L).as("is_reset")): _*)
+    val out = deltas.groupBy(pt.tags: _*)
+      .agg(round(sum(col("contrib")).cast("double"), 4).as("increase"),
+        sum(col("is_reset")).as("n_resets"))
+    Det.ordered(out)
+  }
+
+  /** Cross-series arithmetic: the per-bucket ratio of two tag selections
+    * (PromQL binary-op shape, e.g. clicks/views per hour). Each side is one
+    * bucketed aggregate; the division joins on the bucket grid.
+    */
+  def seriesRatio(pt: PointsTable, numFilter: Column, denFilter: Column,
+                  startMs: Long, endMs: Long, stepMs: Long = 3600000L): DataFrame = {
+    def side(f: Column, alias: String) = pt.df
+      .where(inRange(pt, startMs, endMs) && f)
+      .groupBy(floor(pt.timeMs / stepMs).as("bucket"))
+      .agg(round(Det.davg(col(pt.valueCol), 4), 4).as(alias))
+    val out = side(numFilter, "num_avg").join(side(denFilter, "den_avg"), Seq("bucket"))
+      .select(col("bucket"), col("num_avg"), col("den_avg"),
+        round(try_divide(col("num_avg"), col("den_avg")), 6).as("ratio"))
+    Det.ordered(out)
+  }
+
   /** Per-(bucket, series) stats — the storage layout rendered as a query:
     * row key (attrs), clustering (offset) min/max, point count, value sum.
     */
