@@ -166,6 +166,7 @@ object SparkEntry {
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
+    "dedup_soft" -> ((s, d) => Dedup.softWeights(s, d)),
     "text_pii" -> ((s, d) => TextOps.piiScrub(s, d)),
     "text_repetition" -> ((s, d) => TextOps.repetition(s, d)),
     "ann_topk" -> ((s, d) => Ann.bruteForceTopK(s, d)),
@@ -736,6 +737,11 @@ object SparkEntry {
     "dedup_exact" ->
       s"""SELECT md5($NormSql) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_dups
           FROM documents GROUP BY 1 ORDER BY 1, 2, 3""",
+    "dedup_soft" ->
+      s"""WITH h AS (SELECT doc_id, md5($NormSql) AS content_hash FROM documents),
+              sz AS (SELECT content_hash, count(*) AS n_copies FROM h GROUP BY 1)
+          SELECT doc_id, n_copies, round(1.0 / n_copies, 6) AS weight
+          FROM h JOIN sz USING (content_hash) ORDER BY 1, 2, 3""",
     "dedup_ngram_jaccard" ->
       s"""WITH $ShingleCte,
               sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),

@@ -203,6 +203,21 @@ object Dedup {
     Det.ordered(labels.select(col("id").as("doc_id"), col("label").as("cluster_id")))
   }
 
+  /** Soft dedup: instead of dropping duplicates, weight every copy by
+    * 1/cluster-size so the group's total sampling mass equals one document
+    * (the soft-dedup alternative pipelines use when hard deletion loses
+    * diversity). Exact-hash clusters; one shuffle.
+    */
+  def softWeights(s: SparkSession, d: String): DataFrame = {
+    val h = Tables.documents(s, d)
+      .select(col("doc_id"), md5(TextOps.norm(col("text"))).as("content_hash"))
+    val sizes = h.groupBy(col("content_hash")).agg(count(lit(1)).as("n_copies"))
+    val out = h.join(sizes, "content_hash")
+      .select(col("doc_id"), col("n_copies"),
+        round(lit(1.0) / col("n_copies"), 6).as("weight"))
+    Det.ordered(out)
+  }
+
   /** Corpus cleaning composition: drop exact duplicates (keep smallest id),
     * then language + quality gates — the standard pre-training filter chain
     * as one declarative plan. Returns surviving doc ids with their scores.
