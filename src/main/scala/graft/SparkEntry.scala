@@ -125,6 +125,10 @@ object SparkEntry {
     "ts_ratio" -> ((s, d) => Tsdb.seriesRatio(Tsdb.points(s, d),
       EsFilter.compile("""{"term":{"event_type":"click"}}"""),
       EsFilter.compile("""{"term":{"event_type":"view"}}"""), Start, End)),
+    "ts_seasonal" -> ((s, d) => Tsdb.seasonalProfile(Tsdb.points(s, d)
+      .copy(tagCols = Seq("event_type")),
+      EsFilter.compile("""{"match_all":{}}"""), Start, End)),
+    "window_lead" -> ((s, d) => Analytics.windowLead(s, d)),
     "cube_agg" -> ((s, d) => Analytics.cubeAgg(s, d)),
     "grouping_sets" -> ((s, d) => Analytics.groupingSets(s, d)),
     "ntile_stats" -> ((s, d) => Analytics.ntileStats(s, d)),
@@ -564,6 +568,19 @@ object SparkEntry {
           SELECT bucket, num_avg, den_avg,
                  round(num_avg / nullif(den_avg, 0), 6) AS ratio
           FROM n JOIN d USING (bucket) ORDER BY 1, 2, 3, 4""",
+    "ts_seasonal" ->
+      s"""SELECT event_type,
+                 CAST(floor(epoch_ms(ts)/3600000.0) AS BIGINT) % 24 AS hour_of_day,
+                 count(*) AS n, ${davgSql("value")} AS avg_value
+          FROM events WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
+          GROUP BY 1, 2 ORDER BY 1, 2, 3, 4""",
+    "window_lead" ->
+      """SELECT user_id, event_id, event_type, epoch_ms(ts) AS tms,
+                lead(epoch_ms(ts)) OVER (PARTITION BY user_id
+                                         ORDER BY epoch_ms(ts), event_id)
+                  - epoch_ms(ts) AS ms_to_next
+         FROM events WHERE user_id < 20
+         ORDER BY 1, 2, 3, 4, 5""",
     "cube_agg" ->
       s"""SELECT l_returnflag, l_linestatus, ${dsumSql("l_quantity")} AS sum_qty,
                  ${dsumSql("l_extendedprice")} AS sum_price, count(*) AS n

@@ -417,6 +417,18 @@ object Analytics {
     Det.ordered(out)
   }
 
+  /** Time-to-next-event per user (lead): the dwell/inter-arrival metric —
+    * one sort per user key, null for each user's last event.
+    */
+  def windowLead(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tms"), col("event_id"))
+    val out = Tables.events(s, d).where(col("user_id") < 20)
+      .select(col("user_id"), col("event_id"), col("event_type"), tsMs(col("ts")).as("tms"))
+      .select(col("user_id"), col("event_id"), col("event_type"), col("tms"),
+        (lead(col("tms"), 1).over(w) - col("tms")).as("ms_to_next"))
+    Det.ordered(out)
+  }
+
   /** GROUPING SETS: explicit subtotal dimensions in one pass — the general
     * form of which ROLLUP/CUBE are specializations. Expressed in SQL (the
     * DataFrame API exposes only rollup/cube); still one Catalyst Expand +

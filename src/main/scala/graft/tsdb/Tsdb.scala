@@ -388,6 +388,19 @@ object Tsdb {
     Det.ordered(out)
   }
 
+  /** Seasonal profile: per-series mean value by hour-of-day — the diurnal
+    * fingerprint baselining/forecasting starts from. Hour is pure epoch-ms
+    * arithmetic (no timezone/calendar dependence); one shuffle on
+    * (series, hour).
+    */
+  def seasonalProfile(pt: PointsTable, filter: Column, startMs: Long, endMs: Long): DataFrame = {
+    val out = pt.df
+      .where(inRange(pt, startMs, endMs) && filter)
+      .groupBy(pt.tags :+ (floor(pt.timeMs / 3600000L) % 24).as("hour_of_day"): _*)
+      .agg(count(lit(1)).as("n"), round(Det.davg(col(pt.valueCol), 4), 4).as("avg_value"))
+    Det.ordered(out)
+  }
+
   /** Per-(bucket, series) stats — the storage layout rendered as a query:
     * row key (attrs), clustering (offset) min/max, point count, value sum.
     */

@@ -82,6 +82,32 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.length == 1 && rows(0).getAs[Double]("r_value") == 2.0)
   }
 
+  test("stateful anomaly detector flags spikes against pre-spike baseline only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.AnomalyStream
+    val mem = MemoryStream[(String, Double, Long, String)]
+    val out = AnomalyStream.anomalies(spark,
+      IngestStream.validate(mem.toDF().toDF("time", "value", "user_id", "event_type")),
+      z = 3.0, minN = 5)
+    val q = out.writeStream.format("memory").queryName("anom").outputMode("append").start()
+    // batch 1: a stable baseline (values 10 +/- 1), no anomalies possible yet
+    mem.addData((0 until 6).map(i =>
+      (f"2024-01-09T12:00:0$i%01dZ", 10.0 + (i % 2), 1L, "click")): _*)
+    q.processAllAvailable()
+    // batch 2: state carries the baseline across batches; 100 is a spike,
+    // and the later normal point must not be flagged even after the spike
+    // entered the moments
+    mem.addData(("2024-01-09T12:01:00Z", 100.0, 1L, "click"),
+      ("2024-01-09T12:01:30Z", 10.0, 1L, "click"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("anom").collect()
+    assert(rows.length == 1, s"exactly the spike: ${rows.mkString(",")}")
+    assert(rows(0).getAs[Double]("value") == 100.0)
+    assert(rows(0).getAs[Double]("zscore") > 3.0)
+  }
+
   test("windowed per-series counts with watermark over a memory stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
