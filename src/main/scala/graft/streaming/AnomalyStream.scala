@@ -20,7 +20,7 @@ object AnomalyStream {
   case class Anomaly(seriesKey: String, timeMs: Long, value: Double, zscore: Double)
 
   /** Welford update: returns the moments with one more observation. */
-  private[streaming] def push(m: Moments, x: Double): Moments = {
+  private[graft] def push(m: Moments, x: Double): Moments = {
     val n = m.n + 1
     val delta = x - m.mean
     val mean = m.mean + delta / n

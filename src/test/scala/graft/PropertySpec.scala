@@ -32,6 +32,57 @@ class PropertySpec extends SparkTestBase {
     })
   }
 
+  test("welford moments match the two-pass mean/variance on any sample") {
+    import graft.streaming.AnomalyStream.{Moments, push}
+    val gen = Gen.nonEmptyListOf(Gen.chooseNum(-1000.0, 1000.0))
+    check(Prop.forAll(gen) { xs =>
+      val m = xs.foldLeft(Moments(0L, 0.0, 0.0))(push)
+      val mean = xs.sum / xs.length
+      val m2 = xs.map(x => (x - mean) * (x - mean)).sum
+      m.n == xs.length &&
+        math.abs(m.mean - mean) < 1e-9 * (1 + math.abs(mean)) &&
+        math.abs(m.m2 - m2) < 1e-6 * (1 + m2)
+    })
+  }
+
+  test("interpolation output lies between its bracketing point values") {
+    import spark.implicits._
+    val h = 3600000L
+    // random sparse series over a 12h span, values in [0, 100]
+    val pts = Gen.listOfN(12,
+      Gen.zip(Gen.chooseNum(0L, 12 * h), Gen.chooseNum(0.0, 100.0))).sample.get
+      .distinctBy(_._1)
+    val pt = graft.tsdb.PointsTable(
+      pts.map { case (t, v) => (t, v, "s") }.toDF("ms", "value", "name")
+        .select(timestamp_millis(col("ms")).as("ts"), col("value"), col("name")),
+      "ts", "value", Seq("name"))
+    val out = Tsdb.interpolate(pt,
+      EsFilter.compile("""{"match_all":{}}"""), -1L, 13 * h, stepMs = h).collect()
+    val (lo, hi) = (pts.map(_._2).min, pts.map(_._2).max)
+    out.foreach { r =>
+      val v = r.getDouble(2)
+      assert(v >= lo - 1e-9 && v <= hi + 1e-9,
+        s"interpolated $v escapes the observed range [$lo, $hi]")
+    }
+  }
+
+  test("counter increase is the sum of positive deltas when there are no resets") {
+    import spark.implicits._
+    // strictly increasing counter -> increase = last - first, zero resets
+    val vals = Gen.listOfN(20, Gen.chooseNum(0.5, 10.0)).sample.get
+      .scanLeft(0.0)(_ + _).map(v => math.rint(v * 10000) / 10000) // 4-decimal grid
+    val rows = vals.zipWithIndex.map { case (v, i) => (i * 60000L, v, "c") }
+    val pt = graft.tsdb.PointsTable(
+      rows.toDF("ms", "value", "name")
+        .select(timestamp_millis(col("ms")).as("ts"), col("value"), col("name")),
+      "ts", "value", Seq("name"))
+    val out = Tsdb.counterIncrease(pt,
+      EsFilter.compile("""{"match_all":{}}"""), -1L, Long.MaxValue / 2).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(2) == 0L, "no resets in a monotone counter")
+    assert(math.abs(out(0).getDouble(1) - (vals.last - vals.head)) < 1e-6)
+  }
+
   test("bucket/offset decompose every timestamp consistently") {
     // evaluated through the same Column expressions the engine uses
     import spark.implicits._
