@@ -187,8 +187,10 @@ object SparkEntry {
     "decontaminate" -> ((s, d) => TextOps.decontaminate(s, d)),
     "text_tfidf" -> ((s, d) => TextOps.tfidf(s, d)),
     "corpus_stats" -> ((s, d) => TextOps.corpusStats(s, d)),
+    "approx_quantile" -> ((s, d) => Analytics.approxQuantile(s, d)),
     "mm_meta" -> ((s, d) => Multimodal.meta(s, d)),
-    "mm_features" -> ((s, d) => Multimodal.features(s, d)))
+    "mm_features" -> ((s, d) => Multimodal.features(s, d)),
+    "mm_embed_topk" -> ((s, d) => Multimodal.embedTopK(s, d)))
 
   // ---- DuckDB oracles ------------------------------------------------------
 

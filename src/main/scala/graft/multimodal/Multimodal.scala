@@ -101,6 +101,30 @@ object Multimodal {
     Det.ordered(out)
   }
 
+  /** Media similarity search: brute-force cosine top-k over the decoded
+    * (STUB) media embeddings — the multimodal → ANN composition a
+    * dedup-by-content pipeline runs after feature extraction. Embeddings are
+    * mapPartitions-produced (not SQL-expressible) ⇒ verified rows-only.
+    */
+  def embedTopK(s: SparkSession, d: String, k: Int = 5, nQueries: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions
+    val e = decodeFeatures(s, d).toDF()
+      .select(col("doc_id"), col("embedding").as("v"))
+      .withColumn("nrm", sqrt(VectorFunctions.dot(s, col("v"), col("v"))))
+    val q = e.where(col("doc_id") < nQueries)
+      .select(col("doc_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
+    val out = e.join(broadcast(q), col("doc_id") =!= col("q_id"))
+      .select(col("q_id"), col("doc_id").as("n_id"),
+        round(try_divide(VectorFunctions.dot(s, col("qv"), col("v")),
+          col("qn") * col("nrm")), 6).as("cosine"))
+      .select(col("q_id"), col("n_id"), col("cosine"),
+        row_number().over(w).cast("bigint").as("rank"))
+      .where(col("rank") <= k)
+    Det.ordered(out)
+  }
+
   def decodeFeatures(s: SparkSession, d: String, dim: Int = 16,
                      nFrames: Int = 4): Dataset[MediaFeatures] = {
     import s.implicits._

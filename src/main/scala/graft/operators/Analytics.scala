@@ -417,6 +417,24 @@ object Analytics {
     Det.ordered(out)
   }
 
+  /** Sketch-based quantiles (percentile_approx / GK summary): the bounded-
+    * memory companion to the exact [[percentiles]] — at 100 TB the exact
+    * sort-based percentile is a full shuffle of the value column, the sketch
+    * is a mergeable per-partition summary. Estimates are engine-specific ⇒
+    * verified rows-only, like approx_distinct.
+    */
+  def approxQuantile(s: SparkSession, d: String): DataFrame = {
+    val out = Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        percentile_approx(col("value"),
+          array(lit(0.5), lit(0.95), lit(0.99)), lit(10000)).as("approx_pcts"))
+    Det.ordered(out.select(col("event_type"), col("n"),
+      round(element_at(col("approx_pcts"), 1), 4).as("p50"),
+      round(element_at(col("approx_pcts"), 2), 4).as("p95"),
+      round(element_at(col("approx_pcts"), 3), 4).as("p99")))
+  }
+
   /** Time-to-next-event per user (lead): the dwell/inter-arrival metric —
     * one sort per user key, null for each user's last event.
     */
