@@ -186,6 +186,7 @@ object SparkEntry {
     "text_bigrams" -> ((s, d) => TextOps.bigramStats(s, d)),
     "decontaminate" -> ((s, d) => TextOps.decontaminate(s, d)),
     "text_tfidf" -> ((s, d) => TextOps.tfidf(s, d)),
+    "heavy_hitters" -> ((s, d) => TextOps.heavyHitters(s, d)),
     "corpus_stats" -> ((s, d) => TextOps.corpusStats(s, d)),
     "approx_quantile" -> ((s, d) => Analytics.approxQuantile(s, d)),
     "mm_meta" -> ((s, d) => Multimodal.meta(s, d)),

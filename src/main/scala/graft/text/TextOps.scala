@@ -244,6 +244,23 @@ object TextOps {
     Det.ordered(out)
   }
 
+  /** Heavy-hitter tokens via the Misra–Gries sketch
+    * ([[graft.functions.HeavyHitters]]): bounded-memory approximate top
+    * tokens, one row per surviving counter. Estimates are order-dependent ⇒
+    * rows-only; the frequency guarantee is asserted in ScalaTest.
+    */
+  def heavyHitters(s: SparkSession, d: String, capacity: Int = 20): DataFrame = {
+    val hh = udaf(new graft.functions.HeavyHitters(capacity),
+      org.apache.spark.sql.Encoders.STRING)
+    val out = Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .where(col("tok") =!= "")
+      .agg(hh(col("tok")).as("hitters"))
+      .select(explode(col("hitters")).as("e"))
+      .select(col("e.item").as("item"), col("e.approx_count").as("approx_count"))
+    Det.ordered(out)
+  }
+
   /** One-row corpus profile: document count, token mass, vocabulary size,
     * mean document length — the summary a pipeline logs after every stage.
     */

@@ -69,4 +69,30 @@ class AnnTextSpec extends SparkTestBase {
       regexp_count(col("text"), lit("[a-zA-Z0-9]+|[^a-zA-Z0-9 ]")).as("re")).first()
     assert(r.getInt(0) == 3 && r.getInt(1) == 3)
   }
+
+  test("heavy hitters: Misra-Gries honors the frequency guarantee vs exact counts") {
+    import spark.implicits._
+    val cap = 10
+    // skewed stream: item "hot_i" appears (20-i)*50 times, plus 2000 unique rares
+    val hot = (0 until 5).flatMap(i => Seq.fill((20 - i) * 50)(s"hot_$i"))
+    val rare = (0 until 2000).map(i => s"rare_$i")
+    val data = scala.util.Random.shuffle(hot ++ rare).toDF("tok").repartition(7)
+    val n = hot.length + rare.length
+    val hh = udaf(new graft.functions.HeavyHitters(cap),
+      org.apache.spark.sql.Encoders.STRING)
+    val got = data.agg(hh(col("tok")).as("h"))
+      .select(explode(col("h")).as("e"))
+      .select(col("e.item"), col("e.approx_count"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = (hot ++ rare).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // every item with true frequency > N/cap must be reported
+    exact.filter(_._2 > n / cap).keys.foreach { k =>
+      assert(got.contains(k), s"guaranteed heavy hitter $k missing")
+    }
+    // reported counts never exceed the true count and undercount by <= N/cap
+    got.foreach { case (k, c) =>
+      assert(c <= exact(k), s"$k overcounted: $c > ${exact(k)}")
+      assert(c >= exact(k) - n / cap, s"$k undercounted beyond the bound")
+    }
+  }
 }
