@@ -181,8 +181,15 @@ object Dedup {
     * near-cliques). At 100 TB this is the standard alternating large-star/
     * small-star formulation; the per-round plan here is identical.
     */
-  def clusters(s: SparkSession, d: String): DataFrame = {
-    val edges = minhashLsh(s, d).select(col("a_id"), col("b_id")).cache()
+  def clusters(s: SparkSession, d: String): DataFrame =
+    clustersOn(minhashLsh(s, d))
+
+  /** Connected components over any (a_id, b_id) edge set — see [[clusters]];
+    * exposed so scale experiments and other candidate generators reuse the
+    * exact production plan.
+    */
+  def clustersOn(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("a_id"), col("b_id")).cache()
     val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
     var labels = edges.select(col("a_id").as("id")).union(edges.select(col("b_id")))
