@@ -76,6 +76,7 @@ object SparkEntry {
     "asof_join" -> ((s, d) => Analytics.asofJoin(s, d)),
     "asof_join_native" -> ((s, d) => Analytics.asofJoinNative(s, d)),
     "pivot_agg" -> ((s, d) => Analytics.pivotAgg(s, d)),
+    "unpivot_agg" -> ((s, d) => Analytics.unpivotAgg(s, d)),
     "percentiles" -> ((s, d) => Analytics.percentiles(s, d)),
     "topk_global" -> ((s, d) => Analytics.topkGlobal(s, d)),
     "range_join" -> ((s, d) => Analytics.rangeJoin(s, d)),
@@ -397,6 +398,18 @@ object SparkEntry {
       s"""SELECT user_id, ${b("purchase")}, ${b("click")}, ${b("view")}, ${b("signup")},
                  ${b("error")}, count(*) AS n
           FROM events GROUP BY 1 ORDER BY 1, 2, 3, 4, 5, 6, 7"""
+    },
+    "unpivot_agg" -> {
+      def b(t: String) = dsumSql(s"CASE WHEN event_type = '$t' THEN value ELSE 0.0 END") +
+        s" AS ${t}_sum"
+      s"""WITH wide AS (
+            SELECT user_id, ${b("purchase")}, ${b("click")}, ${b("view")}, ${b("signup")},
+                   ${b("error")}
+            FROM events GROUP BY 1)
+          SELECT user_id, metric, type_sum
+          FROM wide UNPIVOT INCLUDE NULLS (
+            type_sum FOR metric IN (purchase_sum, click_sum, view_sum, signup_sum, error_sum))
+          ORDER BY 1, 2, 3"""
     },
     "percentiles" ->
       """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,

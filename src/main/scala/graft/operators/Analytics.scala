@@ -230,6 +230,18 @@ object Analytics {
     Det.ordered(out)
   }
 
+  /** Unpivot (melt): the wide per-type sums from [[pivotAgg]] back to long
+    * (user, metric, value) rows — the wide↔long round trip every reporting
+    * layer needs. `unpivot` is a zero-shuffle Expand over the aggregate.
+    */
+  def unpivotAgg(s: SparkSession, d: String): DataFrame = {
+    val wide = pivotAgg(s, d)
+    val metricCols = wide.columns.filter(_.endsWith("_sum"))
+    val out = wide.unpivot(
+      Array(col("user_id")), metricCols.map(col), "metric", "type_sum")
+    Det.ordered(out)
+  }
+
   /** Exact linear-interpolation percentiles per group. */
   def percentiles(s: SparkSession, d: String): DataFrame = {
     val out = Tables.events(s, d)
