@@ -212,8 +212,13 @@ object SparkEntry {
 
   private def dsumSql(e: String, scale: Int = 2) =
     s"round(CAST(sum(CAST($e AS DECIMAL(18,4))) AS DOUBLE), $scale)"
+  /** Division-derived doubles get the same +1e-9 pre-round nudge as
+    * [[graft.core.Det.rnd]] so both engines land on the same side of every
+    * .5 rounding boundary (see Det.rnd scaladoc).
+    */
+  private def rndSql(e: String, scale: Int) = s"round(($e) + 1e-9, $scale) + 0.0"
   private def davgSql(e: String) =
-    s"round(CAST(sum(CAST($e AS DECIMAL(18,4))) AS DOUBLE) / count($e), 4)"
+    rndSql(s"CAST(sum(CAST($e AS DECIMAL(18,4))) AS DOUBLE) / count($e)", 4)
 
   /** Single source for stopword lists in oracle SQL — mirrors
     * [[graft.text.TextOps.stopwords]] so the Scala and SQL sides cannot
@@ -385,7 +390,7 @@ object SparkEntry {
     "downsample" ->
       """SELECT CAST(floor(epoch_ms(ts)/3600000.0) AS BIGINT) AS hour_bucket, event_type,
                 count(*) AS n,
-                round(round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value), 4), 4)
+                round(round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(value) + 1e-9, 4), 4)
                   AS avg_value,
                 max(value) AS max_value
          FROM events GROUP BY 1, 2 ORDER BY 1, 2, 3, 4, 5""",
@@ -464,7 +469,7 @@ object SparkEntry {
                     FROM p WINDOW w AS (PARTITION BY user_id, event_type
                                         ORDER BY time_ms, value))
           SELECT user_id, event_type, time_ms,
-                 round((value - prev_value) * 1000.0 / (time_ms - prev_ms), 6) + 0.0 AS rate_per_sec
+                 round((value - prev_value) * 1000.0 / (time_ms - prev_ms) + 1e-9, 6) + 0.0 AS rate_per_sec
           FROM l WHERE prev_ms IS NOT NULL AND time_ms > prev_ms
           ORDER BY 1, 2, 3, 4""",
     "ts_top_series" ->
@@ -481,7 +486,7 @@ object SparkEntry {
               agg AS (SELECT event_type, CAST(floor(tms/3600000.0) AS BIGINT) AS bucket,
                              count(*) AS n,
                              round(round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE)
-                                   / count(value), 4), 4) AS avg_value
+                                   / count(value) + 1e-9, 4), 4) AS avg_value
                       FROM p GROUP BY 1, 2),
               spans AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
                         FROM agg GROUP BY 1),
@@ -525,8 +530,8 @@ object SparkEntry {
                       wn AS (PARTITION BY event_type ORDER BY t, is_grid
                              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
           SELECT event_type, t AS grid_ms,
-                 round(CASE WHEN pt_ms = t OR nt_ms IS NULL THEN pv
-                       ELSE pv + (nv - pv) * (t - pt_ms) / (nt_ms - pt_ms) END, 6) AS value
+                 round((CASE WHEN pt_ms = t OR nt_ms IS NULL THEN pv
+                       ELSE pv + (nv - pv) * (t - pt_ms) / (nt_ms - pt_ms) END) + 1e-9, 6) AS value
           FROM w WHERE is_grid = 1 ORDER BY 1, 2, 3""",
     "ts_anomaly" ->
       s"""WITH p AS (SELECT event_type, epoch_ms(ts) AS time_ms, value FROM events
@@ -552,7 +557,7 @@ object SparkEntry {
                      WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End AND user_id < 15)
           SELECT user_id, event_type, time_ms, value,
                  round(CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE)
-                       / count(*) OVER w, 4) AS smoothed
+                       / count(*) OVER w + 1e-9, 4) AS smoothed
           FROM p WINDOW w AS (PARTITION BY user_id, event_type ORDER BY time_ms, value
                               ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
           ORDER BY 1, 2, 3, 4, 5""",
@@ -582,7 +587,7 @@ object SparkEntry {
                            ${davgSql("value")} AS den_avg
                     FROM p WHERE event_type = 'view' GROUP BY 1)
           SELECT bucket, num_avg, den_avg,
-                 round(num_avg / nullif(den_avg, 0), 6) AS ratio
+                 round(num_avg / nullif(den_avg, 0) + 1e-9, 6) AS ratio
           FROM n JOIN d USING (bucket) ORDER BY 1, 2, 3, 4""",
     "ts_seasonal" ->
       s"""SELECT event_type,
@@ -743,7 +748,7 @@ object SparkEntry {
           SELECT (SELECT count(*) FROM documents) AS n_docs,
                  count(*) AS total_tokens,
                  count(DISTINCT tok) AS vocab_size,
-                 round(count(*) * 1.0 / (SELECT count(*) FROM documents), 4)
+                 round(count(*) * 1.0 / (SELECT count(*) FROM documents) + 1e-9, 4)
                    AS avg_doc_tokens
           FROM t2""",
     "mm_features" -> {
@@ -773,7 +778,7 @@ object SparkEntry {
     "dedup_soft" ->
       s"""WITH h AS (SELECT doc_id, md5($NormSql) AS content_hash FROM documents),
               sz AS (SELECT content_hash, count(*) AS n_copies FROM h GROUP BY 1)
-          SELECT doc_id, n_copies, round(1.0 / n_copies, 6) AS weight
+          SELECT doc_id, n_copies, round(1.0 / n_copies + 1e-9, 6) AS weight
           FROM h JOIN sz USING (content_hash) ORDER BY 1, 2, 3""",
     "dedup_ngram_jaccard" ->
       s"""WITH $ShingleCte,
@@ -781,9 +786,9 @@ object SparkEntry {
               i AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS ni
                     FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                     GROUP BY 1, 2)
-          SELECT a_id, b_id, round(ni*1.0/(sa.n + sb.n - ni), 4) AS jaccard
+          SELECT a_id, b_id, round(ni*1.0/(sa.n + sb.n - ni) + 1e-9, 4) AS jaccard
           FROM i JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
-          WHERE round(ni*1.0/(sa.n + sb.n - ni), 4) >= 0.8 ORDER BY 1, 2, 3""",
+          WHERE round(ni*1.0/(sa.n + sb.n - ni) + 1e-9, 4) >= 0.8 ORDER BY 1, 2, 3""",
     "dedup_minhash" ->
       s"""WITH $ShingleCte,
               $MinhashCte
@@ -804,9 +809,9 @@ object SparkEntry {
                     JOIN sh sa ON sa.doc_id = c.a_id
                     JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
                     GROUP BY 1, 2)
-          SELECT a_id, b_id, round(ni*1.0/(sa.n + sb.n - ni), 4) AS jaccard
+          SELECT a_id, b_id, round(ni*1.0/(sa.n + sb.n - ni) + 1e-9, 4) AS jaccard
           FROM i JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
-          WHERE round(ni*1.0/(sa.n + sb.n - ni), 4) >= 0.8 ORDER BY 1, 2, 3""",
+          WHERE round(ni*1.0/(sa.n + sb.n - ni) + 1e-9, 4) >= 0.8 ORDER BY 1, 2, 3""",
     "clean_corpus" ->
       s"""WITH t AS (SELECT doc_id, $NormSql AS n, string_split($NormSql, ' ') AS toks
                      FROM documents),
@@ -832,7 +837,7 @@ object SparkEntry {
                     FROM t),
               scored AS (SELECT doc_id, n_tokens,
                            round(least(n_tokens*1.0/100, 1.0)*0.5 + (alpha*1.0/greatest(nc, 1))*0.3
-                                 + least(stops*10.0/n_tokens, 1.0)*0.2, 4) AS quality_score
+                                 + least(stops*10.0/n_tokens, 1.0)*0.2 + 1e-9, 4) AS quality_score
                          FROM q)
           SELECT k.doc_id, pred_lang, n_tokens, quality_score
           FROM keep k JOIN pred USING (doc_id) JOIN scored USING (doc_id)
@@ -929,18 +934,18 @@ object SparkEntry {
                              ${stopListSql("en")})) AS stops
                     FROM q)
           SELECT doc_id, n_tokens, n_chars_norm,
-                 round(alpha*1.0/greatest(n_chars_norm, 1), 4) AS alpha_ratio,
-                 round(punct*1.0/greatest(n_chars_norm, 1), 4) AS punct_ratio,
-                 round(stops*1.0/n_tokens, 4) AS stopword_ratio,
+                 round(alpha*1.0/greatest(n_chars_norm, 1) + 1e-9, 4) AS alpha_ratio,
+                 round(punct*1.0/greatest(n_chars_norm, 1) + 1e-9, 4) AS punct_ratio,
+                 round(stops*1.0/n_tokens + 1e-9, 4) AS stopword_ratio,
                  round(least(n_tokens*1.0/100, 1.0)*0.5 + (alpha*1.0/greatest(n_chars_norm, 1))*0.3
-                       + least(stops*10.0/n_tokens, 1.0)*0.2, 4) AS quality_score
+                       + least(stops*10.0/n_tokens, 1.0)*0.2 + 1e-9, 4) AS quality_score
           FROM m ORDER BY 1, 2, 3, 4, 5, 6, 7""",
     "text_tokens" ->
       s"""SELECT doc_id, len(string_split($NormSql, ' ')) AS ws_tokens,
                  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT)
                    AS re_tokens,
                  CAST(length(text) AS BIGINT) AS n_chars,
-                 round(length(text)*1.0/len(string_split($NormSql, ' ')), 4)
+                 round(length(text)*1.0/len(string_split($NormSql, ' ')) + 1e-9, 4)
                    AS chars_per_token
           FROM documents ORDER BY 1, 2, 3, 4, 5""",
     "text_bigrams" ->
@@ -993,8 +998,8 @@ object SparkEntry {
                      FROM documents),
               tc AS (SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2)
           SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
-                 round(1.0 - count(*) * 1.0 / sum(c), 4) AS dup_ratio,
-                 round(max(c) * 1.0 / sum(c), 4) AS top_token_ratio
+                 round(1.0 - count(*) * 1.0 / sum(c) + 1e-9, 4) AS dup_ratio,
+                 round(max(c) * 1.0 / sum(c) + 1e-9, 4) AS top_token_ratio
           FROM tc GROUP BY 1 ORDER BY 1, 2, 3, 4, 5""",
     "ann_ivf_nprobe" ->
       s"""WITH $VecCte,
@@ -1052,10 +1057,10 @@ object SparkEntry {
                      FROM t0, UNNEST(range(1, len(toks))) AS u(i) WHERE len(toks) >= 2),
               cb2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
               cb1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
-              p AS (SELECT w1, w2, CAST(round(c2 * 1.0 / c1, 8) AS DECIMAL(12,8)) AS p
+              p AS (SELECT w1, w2, CAST(round(c2 * 1.0 / c1 + 1e-9, 8) AS DECIMAL(12,8)) AS p
                     FROM cb2 JOIN cb1 USING (w1))
           SELECT doc_id, count(*) AS n_bigrams,
-                 round(CAST(sum(p) AS DOUBLE) / count(*), 6) AS avg_p
+                 round(CAST(sum(p) AS DOUBLE) / count(*) + 1e-9, 6) AS avg_p
           FROM bg JOIN p USING (w1, w2) GROUP BY 1 ORDER BY 1, 2, 3""",
     "text_fingerprint" ->
       s"""SELECT doc_id, md5($NormSql) AS content_fp,

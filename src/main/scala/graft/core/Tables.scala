@@ -73,9 +73,22 @@ object Det {
   def dsum(c: Column): Column =
     sum(c.cast("decimal(18,4)")).cast("double")
 
+  /** Cross-engine-stable rounding for DIVISION-derived doubles (means,
+    * ratios, rates, interpolations). Spark's round() rounds the double's
+    * shortest decimal repr half-up while DuckDB rounds the binary value, so
+    * a quotient within one double-ulp of a .5 boundary (e.g. a ratio whose
+    * shortest repr is "0.65975") rounds differently per engine. The +1e-9
+    * nudge lands both engines on the same side of every boundary; values
+    * farther than 1e-9 from a boundary are unaffected. Exact-decimal values
+    * (the dsum family) don't need this: they are exactly representable at
+    * our magnitudes, and both engines round exact values identically.
+    */
+  def rnd(c: Column, scale: Int): Column =
+    round(c + lit(1e-9), scale) + lit(0.0) // + 0.0: Spark rounds tiny negatives to -0.0, DuckDB to 0.0
+
   /** Order-insensitive mean of a ≤4-decimal double column, rounded. */
   def davg(c: Column, scale: Int = 4): Column =
-    round(sum(c.cast("decimal(18,4)")).cast("double") / count(c), scale)
+    rnd(sum(c.cast("decimal(18,4)")).cast("double") / count(c), scale)
 
   /** Fully order a result by all its output columns — the determinism
     * convention every oracle-checked query ends with.

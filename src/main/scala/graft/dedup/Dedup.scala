@@ -57,7 +57,7 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("a_id"), col("n_shingles").as("a_n")), "a_id")
       .join(sizes.select(col("doc_id").as("b_id"), col("n_shingles").as("b_n")), "b_id")
       .select(col("a_id"), col("b_id"),
-        round(col("n_inter") * lit(1.0) / (col("a_n") + col("b_n") - col("n_inter")), 4)
+        Det.rnd(col("n_inter") * lit(1.0) / (col("a_n") + col("b_n") - col("n_inter")), 4)
           .as("jaccard"))
       .where(col("jaccard") >= tau)
     Det.ordered(out)
@@ -167,7 +167,7 @@ object Dedup {
       .join(sizes.select(col("doc_id").as("a_id"), col("n_shingles").as("a_n")), "a_id")
       .join(sizes.select(col("doc_id").as("b_id"), col("n_shingles").as("b_n")), "b_id")
       .select(col("a_id"), col("b_id"),
-        round(col("n_inter") * lit(1.0) / (col("a_n") + col("b_n") - col("n_inter")), 4)
+        Det.rnd(col("n_inter") * lit(1.0) / (col("a_n") + col("b_n") - col("n_inter")), 4)
           .as("jaccard"))
       .where(col("jaccard") >= tau)
     Det.ordered(out)
@@ -221,7 +221,7 @@ object Dedup {
     val sizes = h.groupBy(col("content_hash")).agg(count(lit(1)).as("n_copies"))
     val out = h.join(sizes, "content_hash")
       .select(col("doc_id"), col("n_copies"),
-        round(lit(1.0) / col("n_copies"), 6).as("weight"))
+        Det.rnd(lit(1.0) / col("n_copies"), 6).as("weight"))
     Det.ordered(out)
   }
 

@@ -94,10 +94,10 @@ object TextOps {
       col("doc_id"),
       col("n_tokens"),
       col("n_chars_norm"),
-      round(col("alpha") * lit(1.0) / nc, 4).as("alpha_ratio"),
-      round(col("punct") * lit(1.0) / nc, 4).as("punct_ratio"),
-      round(col("stops") * lit(1.0) / col("n_tokens"), 4).as("stopword_ratio"),
-      round(
+      Det.rnd(col("alpha") * lit(1.0) / nc, 4).as("alpha_ratio"),
+      Det.rnd(col("punct") * lit(1.0) / nc, 4).as("punct_ratio"),
+      Det.rnd(col("stops") * lit(1.0) / col("n_tokens"), 4).as("stopword_ratio"),
+      Det.rnd(
         least(col("n_tokens") * lit(1.0) / 100, lit(1.0)) * 0.5
           + (col("alpha") * lit(1.0) / nc) * 0.3
           + least(col("stops") * lit(10.0) / col("n_tokens"), lit(1.0)) * 0.2, 4)
@@ -115,7 +115,7 @@ object TextOps {
       size(tokens(col("text"))).cast("bigint").as("ws_tokens"),
       regexp_count(col("text"), lit("[a-zA-Z0-9]+|[^a-zA-Z0-9 ]")).cast("bigint").as("re_tokens"),
       length(col("text")).cast("bigint").as("n_chars"),
-      round(length(col("text")) * lit(1.0) / size(tokens(col("text"))), 4).as("chars_per_token"))
+      Det.rnd(length(col("text")) * lit(1.0) / size(tokens(col("text"))), 4).as("chars_per_token"))
     Det.ordered(out)
   }
 
@@ -188,8 +188,8 @@ object TextOps {
       .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
         max(col("c")).as("top_freq"))
       .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
-        round(lit(1.0) - col("n_distinct") * lit(1.0) / col("n_tokens"), 4).as("dup_ratio"),
-        round(col("top_freq") * lit(1.0) / col("n_tokens"), 4).as("top_token_ratio"))
+        Det.rnd(lit(1.0) - col("n_distinct") * lit(1.0) / col("n_tokens"), 4).as("dup_ratio"),
+        Det.rnd(col("top_freq") * lit(1.0) / col("n_tokens"), 4).as("top_token_ratio"))
     Det.ordered(out)
   }
 
@@ -236,11 +236,11 @@ object TextOps {
     val cb1 = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
     val probs = cb2.join(cb1, "w1")
       .select(col("w1"), col("w2"),
-        round(col("c2") * lit(1.0) / col("c1"), 8).cast("decimal(12,8)").as("p"))
+        Det.rnd(col("c2") * lit(1.0) / col("c1"), 8).cast("decimal(12,8)").as("p"))
     val out = big.join(probs, Seq("w1", "w2"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
-        round(sum(col("p")).cast("double") / count(lit(1)), 6).as("avg_p"))
+        Det.rnd(sum(col("p")).cast("double") / count(lit(1)), 6).as("avg_p"))
     Det.ordered(out)
   }
 
@@ -272,7 +272,7 @@ object TextOps {
         countDistinct(col("tok")).as("vocab_size"))
       .crossJoin(docs.agg(count(lit(1)).as("n_docs")))
       .select(col("n_docs"), col("total_tokens"), col("vocab_size"),
-        round(col("total_tokens") * lit(1.0) / col("n_docs"), 4).as("avg_doc_tokens"))
+        Det.rnd(col("total_tokens") * lit(1.0) / col("n_docs"), 4).as("avg_doc_tokens"))
   }
 
   /** Document fingerprints: exact content hash of the normalized text plus

@@ -180,9 +180,9 @@ object Tsdb {
         lag(col("value"), 1).over(w).as("prev_value")): _*)
       .where(col("prev_ms").isNotNull && col("time_ms") > col("prev_ms"))
       .select(pt.tags ++ Seq(col("time_ms"),
-        // + 0.0 collapses IEEE -0.0 (negative delta rounding to zero) to 0.0
-        (round((col("value") - col("prev_value")) * 1000.0 / (col("time_ms") - col("prev_ms")), 6)
-          + lit(0.0)).as("rate_per_sec")): _*)
+        // Det.rnd also collapses IEEE -0.0 (negative delta rounding to zero)
+        Det.rnd((col("value") - col("prev_value")) * 1000.0 / (col("time_ms") - col("prev_ms")), 6)
+          .as("rate_per_sec")): _*)
     Det.ordered(out)
   }
 
@@ -285,7 +285,7 @@ object Tsdb {
         first(realV, ignoreNulls = true).over(wNext).as("nv")): _*)
       .where(col("is_grid") === 1)
     val out = interp.select(pt.tags ++ Seq(col("t").as("grid_ms"),
-      round(when(col("pt_ms") === col("t") || col("nt_ms").isNull, col("pv"))
+      Det.rnd(when(col("pt_ms") === col("t") || col("nt_ms").isNull, col("pv"))
         .otherwise(col("pv") + (col("nv") - col("pv")) * (col("t") - col("pt_ms"))
           / (col("nt_ms") - col("pt_ms"))), 6).as("value")): _*)
     Det.ordered(out)
@@ -344,8 +344,8 @@ object Tsdb {
       .where(inRange(pt, startMs, endMs) && filter)
       .select(pt.tags :+ pt.timeMs.as("time_ms") :+ col(pt.valueCol).as("value"): _*)
       .select(pt.tags ++ Seq(col("time_ms"), col("value"),
-        round((sum(col("value").cast("decimal(18,4)")).over(w).cast("double")
-          / count(lit(1)).over(w)), 4).as("smoothed")): _*)
+        Det.rnd(sum(col("value").cast("decimal(18,4)")).over(w).cast("double")
+          / count(lit(1)).over(w), 4).as("smoothed")): _*)
     Det.ordered(out)
   }
 
@@ -384,7 +384,7 @@ object Tsdb {
       .agg(round(Det.davg(col(pt.valueCol), 4), 4).as(alias))
     val out = side(numFilter, "num_avg").join(side(denFilter, "den_avg"), Seq("bucket"))
       .select(col("bucket"), col("num_avg"), col("den_avg"),
-        round(try_divide(col("num_avg"), col("den_avg")), 6).as("ratio"))
+        Det.rnd(try_divide(col("num_avg"), col("den_avg")), 6).as("ratio"))
     Det.ordered(out)
   }
 
