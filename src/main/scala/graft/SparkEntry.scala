@@ -129,6 +129,9 @@ object SparkEntry {
     "ts_seasonal" -> ((s, d) => Tsdb.seasonalProfile(Tsdb.points(s, d)
       .copy(tagCols = Seq("event_type")),
       EsFilter.compile("""{"match_all":{}}"""), Start, End)),
+    "ts_ohlc" -> ((s, d) => Tsdb.ohlc(Tsdb.points(s, d)
+      .copy(tagCols = Seq("event_type")),
+      EsFilter.compile("""{"match_all":{}}"""), Start, End)),
     "window_lead" -> ((s, d) => Analytics.windowLead(s, d)),
     "cube_agg" -> ((s, d) => Analytics.cubeAgg(s, d)),
     "grouping_sets" -> ((s, d) => Analytics.groupingSets(s, d)),
@@ -595,6 +598,22 @@ object SparkEntry {
                  count(*) AS n, ${davgSql("value")} AS avg_value
           FROM events WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
           GROUP BY 1, 2 ORDER BY 1, 2, 3, 4""",
+    "ts_ohlc" ->
+      s"""WITH p AS (SELECT event_type,
+                            CAST(floor(epoch_ms(ts)/3600000.0) AS BIGINT) AS bucket,
+                            epoch_ms(ts) AS t, value AS v
+                     FROM events WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End),
+              w AS (SELECT event_type, bucket, t, v,
+                           row_number() OVER (PARTITION BY event_type, bucket
+                                              ORDER BY t, v) AS rn_a,
+                           row_number() OVER (PARTITION BY event_type, bucket
+                                              ORDER BY t DESC, v DESC) AS rn_d
+                    FROM p)
+          SELECT event_type, bucket,
+                 max(CASE WHEN rn_a = 1 THEN v END) AS open,
+                 max(CASE WHEN rn_d = 1 THEN v END) AS close,
+                 max(v) AS high, min(v) AS low, count(*) AS n
+          FROM w GROUP BY 1, 2 ORDER BY 1, 2, 3, 4, 5, 6, 7""",
     "window_lead" ->
       """SELECT user_id, event_id, event_type, epoch_ms(ts) AS tms,
                 lead(epoch_ms(ts)) OVER (PARTITION BY user_id

@@ -179,6 +179,18 @@ class Graft(spark: SparkSession, root: String,
       case None => empty(keys.map(k => s"$k STRING").mkString(", "))
     }
 
+  /** The spaces with stored data — the reference's implicit multi-space
+    * namespace surfaced (conf `spaces.<name>`, test/multiple-spaces.spec.js).
+    */
+  def spaces(): Seq[String] = {
+    val dir = new java.io.File(root)
+    if (!dir.exists()) Nil
+    else dir.listFiles().toSeq
+      .filter(f => f.isDirectory &&
+        f.listFiles().exists(_.getName.startsWith("bucket_day=")))
+      .map(_.getName).sorted
+  }
+
   /** Compaction: rewrite fragmented bucket directories into
     * ceil(bytes/targetBytes) files, restoring the (tags, time) clustering
     * the writer establishes — the small-files maintenance job every

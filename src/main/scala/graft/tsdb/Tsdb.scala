@@ -388,6 +388,28 @@ object Tsdb {
     Det.ordered(out)
   }
 
+  /** OHLC downsample: per-(series, bucket) open/high/low/close — the
+    * candlestick aggregate. Open/close are the values at the bucket's first/
+    * last timestamp, picked via lexicographic (time, value) struct min/max so
+    * same-millisecond ties are deterministic; one shuffle, all four bounds in
+    * a single partial-aggregated pass (no window sort needed).
+    */
+  def ohlc(pt: PointsTable, filter: Column, startMs: Long, endMs: Long,
+           stepMs: Long = 3600000L): DataFrame = {
+    val base = pt.df
+      .where(inRange(pt, startMs, endMs) && filter)
+      .select(pt.tags :+ floor(pt.timeMs / stepMs).as("bucket") :+
+        pt.timeMs.as("t") :+ col(pt.valueCol).as("v"): _*)
+    val out = base.groupBy(pt.tags :+ col("bucket"): _*)
+      .agg(
+        min(struct(col("t"), col("v"))).getField("v").as("open"),
+        max(struct(col("t"), col("v"))).getField("v").as("close"),
+        max(col("v")).as("high"),
+        min(col("v")).as("low"),
+        count(lit(1)).as("n"))
+    Det.ordered(out)
+  }
+
   /** Seasonal profile: per-series mean value by hour-of-day — the diurnal
     * fingerprint baselining/forecasting starts from. Hour is pure epoch-ms
     * arithmetic (no timezone/calendar dependence); one shuffle on

@@ -182,6 +182,16 @@ class GraftApiSpec extends SparkTestBase {
     assert(g.read("""{"match_all":{}}""").count() == 2)
   }
 
+  test("spaces() lists exactly the namespaces holding data") {
+    val g = new Graft(spark, freshRoot())
+    import spark.implicits._
+    assert(g.spaces().isEmpty)
+    val pts = Seq(("2024-01-09T10:00:00Z", 1.0, "s")).toDF("time", "value", "name")
+    g.write(pts)
+    g.write(pts, space = "metrics")
+    assert(g.spaces() == Seq("default", "metrics"))
+  }
+
   test("compaction merges fragmented buckets and preserves the data") {
     val root = freshRoot()
     val g = new Graft(spark, root)
