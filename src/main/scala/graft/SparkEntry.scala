@@ -110,6 +110,18 @@ object SparkEntry {
       EsFilter.compile("""{"match_all":{}}"""), Start, End)),
     "ts_latest" -> ((s, d) => Tsdb.latest(Tsdb.points(s, d),
       EsFilter.compile("""{"match_all":{}}"""), Start, End)),
+    // the reference's /read response shape (per-series point arrays,
+    // readSeries) verified via a deterministic per-series fingerprint
+    "ts_read_series" -> ((s, d) => {
+      import org.apache.spark.sql.functions._
+      val flat = Tsdb.read(Tsdb.points(s, d),
+        EsFilter.compile("""{"range":{"user_id":{"lt":25}}}"""), Start, End)
+      graft.core.Det.ordered(flat.groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("n_points"),
+          md5(concat_ws(",", sort_array(collect_list(
+            concat(col("time_ms"), lit(":"), col("value").cast("string"))))))
+            .as("points_fp")))
+    }),
     "ts_interp" -> ((s, d) => Tsdb.interpolate(
       Tsdb.points(s, d).copy(tagCols = Seq("event_type")),
       EsFilter.compile("""{"range":{"user_id":{"lt":10}}}"""), Start, End)),
@@ -509,6 +521,14 @@ object SparkEntry {
                                       ORDER BY epoch_ms(ts) DESC, value DESC) AS rn
             FROM events WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End)
           WHERE rn = 1 ORDER BY 1, 2, 3, 4""",
+    "ts_read_series" ->
+      s"""WITH p AS (SELECT user_id, event_type,
+                            CAST(epoch_ms(ts) AS VARCHAR) || ':' || CAST(value AS VARCHAR) AS pt
+                     FROM events
+                     WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End AND user_id < 25)
+          SELECT user_id, event_type, count(*) AS n_points,
+                 md5(array_to_string(list_sort(list(pt)), ',')) AS points_fp
+          FROM p GROUP BY 1, 2 ORDER BY 1, 2, 3, 4""",
     "ts_interp" ->
       s"""WITH r AS (SELECT event_type, epoch_ms(ts) AS t, max(value) AS v
                      FROM events
