@@ -113,4 +113,26 @@ class OperatorsSpec extends SparkTestBase {
     val plan = Analytics.q1Agg(spark, Sf).queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"), plan)
   }
+
+  test("funnel stage counts are monotone non-increasing") {
+    val r = Analytics.funnel(spark, Sf).collect()(0)
+    val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(v >= c && c >= p && v > 0, s"funnel $v >= $c >= $p")
+  }
+
+  test("ohlc bounds: low <= open/close <= high, n sums to the range count") {
+    import graft.tsdb.{EsFilter, Tsdb}
+    val start = 1704672000000L; val end = 1705881600000L
+    val pt = Tsdb.points(spark, Sf).copy(tagCols = Seq("event_type"))
+    val out = Tsdb.ohlc(pt, EsFilter.compile("""{"match_all":{}}"""), start, end).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (open, close, high, low) =
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(low <= open && open <= high && low <= close && close <= high,
+        s"ohlc bounds violated: $r")
+    }
+    val total = out.map(_.getLong(6)).sum
+    assert(total == pt.df.where(pt.inRange(start, end)).count())
+  }
 }

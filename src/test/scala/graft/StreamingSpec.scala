@@ -82,6 +82,28 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.length == 1 && rows(0).getAs[Double]("r_value") == 2.0)
   }
 
+  test("watermark drops events later than the lateness bound") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Double, Long, String)]
+    val raw = mem.toDF().toDF("time", "value", "user_id", "event_type")
+    val counts = IngestStream.windowedCounts(IngestStream.validate(raw), "1 hour", "2 hours")
+    val q = counts.writeStream.format("memory").queryName("wm").outputMode("append").start()
+    mem.addData(("2024-01-09T18:00:00Z", 1.0, 1L, "click"))
+    q.processAllAvailable() // watermark advances to 16:00
+    mem.addData(("2024-01-09T09:00:00Z", 2.0, 1L, "click")) // 7h late -> dropped
+    mem.addData(("2024-01-09T17:30:00Z", 3.0, 1L, "click")) // within bound -> kept
+    q.processAllAvailable()
+    // close every window by pushing the watermark far forward
+    mem.addData(("2024-01-10T12:00:00Z", 4.0, 1L, "click"))
+    q.processAllAvailable()
+    q.stop()
+    val windows = spark.table("wm")
+      .select(col("window.start").cast("string")).collect().map(_.getString(0)).toSet
+    assert(windows.contains("2024-01-09 17:00:00"), "in-bound late event emitted")
+    assert(!windows.contains("2024-01-09 09:00:00"), "beyond-watermark event dropped")
+  }
+
   test("stateful anomaly detector flags spikes against pre-spike baseline only") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
