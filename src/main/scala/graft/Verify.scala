@@ -24,6 +24,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drop per-query caches (LSH bands, cluster edges, …): across ~100
+      // queries at higher SFs they would otherwise accumulate in the one JVM
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
