@@ -77,6 +77,7 @@ object SparkEntry {
     "asof_join_native" -> ((s, d) => Analytics.asofJoinNative(s, d)),
     "pivot_agg" -> ((s, d) => Analytics.pivotAgg(s, d)),
     "unpivot_agg" -> ((s, d) => Analytics.unpivotAgg(s, d)),
+    "recursive_cte" -> ((s, d) => Analytics.recursiveSpine(s, d, Start, End)),
     "percentiles" -> ((s, d) => Analytics.percentiles(s, d)),
     "topk_global" -> ((s, d) => Analytics.topkGlobal(s, d)),
     "range_join" -> ((s, d) => Analytics.rangeJoin(s, d)),
@@ -430,6 +431,21 @@ object SparkEntry {
           FROM wide UNPIVOT INCLUDE NULLS (
             type_sum FOR metric IN (purchase_sum, click_sum, view_sum, signup_sum, error_sum))
           ORDER BY 1, 2, 3"""
+    },
+    "recursive_cte" -> {
+      val firstDay = Start / 86400000L
+      val lastDay = (End - 1) / 86400000L
+      s"""WITH RECURSIVE days(day) AS (
+            SELECT CAST($firstDay AS BIGINT)
+            UNION ALL SELECT day + 1 FROM days WHERE day < CAST($lastDay AS BIGINT)
+          ),
+          c AS (SELECT CAST(floor(epoch_ms(ts) / 86400000.0) AS BIGINT) AS day,
+                       count(*) AS n
+                FROM events
+                WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End GROUP BY 1)
+          SELECT days.day AS day, coalesce(n, CAST(0 AS BIGINT)) AS n
+          FROM days LEFT JOIN c ON days.day = c.day
+          ORDER BY 1, 2"""
     },
     "percentiles" ->
       """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,

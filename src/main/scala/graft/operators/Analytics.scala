@@ -230,6 +230,30 @@ object Analytics {
     Det.ordered(out)
   }
 
+  /** Recursive CTE (Spark 4 WITH RECURSIVE): a calendar day spine generated
+    * by recursion, left-joined to per-day counts — the classic dense-spine
+    * idiom, demonstrating the iterative SQL surface. Recursion depth is the
+    * day span (bounded); each step is one incremental union.
+    */
+  def recursiveSpine(s: SparkSession, d: String, startMs: Long, endMs: Long): DataFrame = {
+    Tables.events(s, d).select(tsMs(col("ts")).as("tms"))
+      .createOrReplaceTempView("events_ms")
+    val firstDay = Math.floorDiv(startMs, Det.MsInDay)
+    val lastDay = Math.floorDiv(endMs - 1, Det.MsInDay)
+    s.sql(
+      s"""WITH RECURSIVE days(day) AS (
+            SELECT CAST($firstDay AS BIGINT)
+            UNION ALL SELECT day + 1 FROM days WHERE day < CAST($lastDay AS BIGINT)
+          ),
+          c AS (SELECT CAST(floor(tms / ${Det.MsInDay}.0) AS BIGINT) AS day,
+                       count(*) AS n
+                FROM events_ms
+                WHERE tms >= $startMs AND tms < $endMs GROUP BY 1)
+          SELECT days.day AS day, coalesce(n, CAST(0 AS BIGINT)) AS n
+          FROM days LEFT JOIN c ON days.day = c.day
+          ORDER BY 1, 2""")
+  }
+
   /** Unpivot (melt): the wide per-type sums from [[pivotAgg]] back to long
     * (user, metric, value) rows — the wide↔long round trip every reporting
     * layer needs. `unpivot` is a zero-shuffle Expand over the aggregate.
