@@ -78,6 +78,8 @@ object SparkEntry {
     "pivot_agg" -> ((s, d) => Analytics.pivotAgg(s, d)),
     "unpivot_agg" -> ((s, d) => Analytics.unpivotAgg(s, d)),
     "recursive_cte" -> ((s, d) => Analytics.recursiveSpine(s, d, Start, End)),
+    "correlated_subquery" -> ((s, d) => Analytics.correlatedSubquery(s, d)),
+    "lateral_topn" -> ((s, d) => Analytics.lateralTopN(s, d)),
     "percentiles" -> ((s, d) => Analytics.percentiles(s, d)),
     "topk_global" -> ((s, d) => Analytics.topkGlobal(s, d)),
     "range_join" -> ((s, d) => Analytics.rangeJoin(s, d)),
@@ -447,6 +449,19 @@ object SparkEntry {
           FROM days LEFT JOIN c ON days.day = c.day
           ORDER BY 1, 2"""
     },
+    "correlated_subquery" ->
+      """SELECT user_id, count(*) AS n_above
+         FROM events e
+         WHERE value > (SELECT CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+                        FROM events e2 WHERE e2.user_id = e.user_id)
+         GROUP BY 1 ORDER BY 1, 2""",
+    "lateral_topn" ->
+      """SELECT u.user_id, l.event_id, l.value
+         FROM (SELECT DISTINCT user_id FROM events) u,
+              LATERAL (SELECT event_id, value FROM events e
+                       WHERE e.user_id = u.user_id
+                       ORDER BY value DESC, event_id LIMIT 2) l
+         ORDER BY 1, 2, 3""",
     "percentiles" ->
       """SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50,
                 round(quantile_cont(value, 0.95), 4) AS p95, count(*) AS n

@@ -254,6 +254,40 @@ object Analytics {
           ORDER BY 1, 2""")
   }
 
+  /** Correlated scalar subquery: events above their own user's mean value.
+    * Catalyst decorrelates this into an aggregate + join — the surface
+    * matters (ported SQL keeps working), the plan is the efficient one. The
+    * mean is an exact decimal sum over a double count, so the comparison
+    * threshold is engine-independent.
+    */
+  def correlatedSubquery(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d).select(col("user_id"), col("value"))
+      .createOrReplaceTempView("events_corr")
+    val out = s.sql(
+      """SELECT user_id, count(*) AS n_above
+         FROM events_corr e
+         WHERE value > (SELECT CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+                        FROM events_corr e2 WHERE e2.user_id = e.user_id)
+         GROUP BY 1""")
+    Det.ordered(out)
+  }
+
+  /** LATERAL correlated subquery with per-row ORDER BY/LIMIT — the "top-N
+    * per key as a join" SQL surface (the window formulation is
+    * [[windowTopN]]; plans converge on the same per-key limit).
+    */
+  def lateralTopN(s: SparkSession, d: String): DataFrame = {
+    Tables.events(s, d).select(col("user_id"), col("event_id"), col("value"))
+      .createOrReplaceTempView("events_lat")
+    val out = s.sql(
+      """SELECT u.user_id, l.event_id, l.value
+         FROM (SELECT DISTINCT user_id FROM events_lat) u,
+              LATERAL (SELECT event_id, value FROM events_lat e
+                       WHERE e.user_id = u.user_id
+                       ORDER BY value DESC, event_id LIMIT 2) l""")
+    Det.ordered(out)
+  }
+
   /** Unpivot (melt): the wide per-type sums from [[pivotAgg]] back to long
     * (user, metric, value) rows — the wide↔long round trip every reporting
     * layer needs. `unpivot` is a zero-shuffle Expand over the aggregate.
