@@ -190,6 +190,8 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     "dedup_soft" -> ((s, d) => Dedup.softWeights(s, d)),
+    "fuzzy_join" -> ((s, d) => Dedup.fuzzyJoin(s, d)),
+    "ngram_novelty" -> ((s, d) => Dedup.ngramNovelty(s, d)),
     "text_pii" -> ((s, d) => TextOps.piiScrub(s, d)),
     "text_repetition" -> ((s, d) => TextOps.repetition(s, d)),
     "ann_topk" -> ((s, d) => Ann.bruteForceTopK(s, d)),
@@ -850,6 +852,27 @@ object SparkEntry {
               sz AS (SELECT content_hash, count(*) AS n_copies FROM h GROUP BY 1)
           SELECT doc_id, n_copies, round(1.0 / n_copies + 1e-9, 6) AS weight
           FROM h JOIN sz USING (content_hash) ORDER BY 1, 2, 3""",
+    "fuzzy_join" ->
+      s"""WITH $ShingleCte,
+              $MinhashCte,
+              cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                       FROM bands a JOIN bands b
+                         ON a.band = b.band AND a.band_key = b.band_key
+                        AND a.doc_id < b.doc_id),
+              pre AS (SELECT doc_id, substr($NormSql, 1, 40) AS p FROM documents)
+          SELECT a_id, b_id, CAST(levenshtein(pa.p, pb.p) AS BIGINT) AS prefix_dist
+          FROM cand JOIN pre pa ON pa.doc_id = a_id JOIN pre pb ON pb.doc_id = b_id
+          WHERE levenshtein(pa.p, pb.p) <= 10
+          ORDER BY 1, 2, 3""",
+    "ngram_novelty" ->
+      s"""WITH $ShingleCte,
+              fs AS (SELECT shingle, min(doc_id) AS first_id FROM sh GROUP BY 1)
+          SELECT doc_id, count(*) AS n_shingles,
+                 CAST(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_novel,
+                 round(sum(CASE WHEN first_id = doc_id THEN 1 ELSE 0 END) * 1.0 / count(*)
+                       + 1e-9, 4) + 0.0 AS novelty
+          FROM sh JOIN fs USING (shingle) GROUP BY 1 ORDER BY 1, 2, 3, 4""",
     "dedup_ngram_jaccard" ->
       s"""WITH $ShingleCte,
               sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),

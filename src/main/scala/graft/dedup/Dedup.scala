@@ -210,6 +210,42 @@ object Dedup {
     Det.ordered(labels.select(col("id").as("doc_id"), col("label").as("cluster_id")))
   }
 
+  /** Fuzzy string join: LSH candidate pairs refined by Levenshtein distance
+    * on the normalized-text prefix — the "same record, small edits" matcher.
+    * Scale shape: the O(len²) edit-distance kernel runs ONLY on LSH
+    * candidates (never the corpus square), and only on a bounded prefix.
+    */
+  def fuzzyJoin(s: SparkSession, d: String, prefixLen: Int = 40,
+                maxDist: Int = 10): DataFrame = {
+    val pre = Tables.documents(s, d)
+      .select(col("doc_id"), substring(TextOps.norm(col("text")), 1, prefixLen).as("p"))
+    val cands = minhashLsh(s, d)
+    val out = cands
+      .join(pre.select(col("doc_id").as("a_id"), col("p").as("a_p")), "a_id")
+      .join(pre.select(col("doc_id").as("b_id"), col("p").as("b_p")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        levenshtein(col("a_p"), col("b_p")).cast("bigint").as("prefix_dist"))
+      .where(col("prefix_dist") <= maxDist)
+    Det.ordered(out)
+  }
+
+  /** N-gram novelty: the fraction of a document's shingles not seen in any
+    * LOWER-id document — the sampling signal dedup-aware curation uses
+    * (docs contributing nothing new score 0). One shuffle to first-seen
+    * owners, one to per-doc ratios.
+    */
+  def ngramNovelty(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleRows(s, d).cache()
+    val firstSeen = sh.groupBy(col("shingle")).agg(min(col("doc_id")).as("first_id"))
+    val out = sh.join(firstSeen, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_id") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        Det.rnd(col("n_novel") * lit(1.0) / col("n_shingles"), 4).as("novelty"))
+    Det.ordered(out)
+  }
+
   /** Soft dedup: instead of dropping duplicates, weight every copy by
     * 1/cluster-size so the group's total sampling mass equals one document
     * (the soft-dedup alternative pipelines use when hard deletion loses
