@@ -80,6 +80,7 @@ object SparkEntry {
     "recursive_cte" -> ((s, d) => Analytics.recursiveSpine(s, d, Start, End)),
     "correlated_subquery" -> ((s, d) => Analytics.correlatedSubquery(s, d)),
     "lateral_topn" -> ((s, d) => Analytics.lateralTopN(s, d)),
+    "gaps_islands" -> ((s, d) => Analytics.gapsIslands(s, d)),
     "percentiles" -> ((s, d) => Analytics.percentiles(s, d)),
     "topk_global" -> ((s, d) => Analytics.topkGlobal(s, d)),
     "range_join" -> ((s, d) => Analytics.rangeJoin(s, d)),
@@ -457,6 +458,19 @@ object SparkEntry {
          WHERE value > (SELECT CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*)
                         FROM events e2 WHERE e2.user_id = e.user_id)
          GROUP BY 1 ORDER BY 1, 2""",
+    "gaps_islands" ->
+      """WITH e AS (SELECT user_id, event_type, event_id, epoch_ms(ts) AS tms
+                    FROM events WHERE user_id < 30),
+              g AS (SELECT user_id, event_type, tms,
+                           row_number() OVER (PARTITION BY user_id
+                                              ORDER BY tms, event_id)
+                           - row_number() OVER (PARTITION BY user_id, event_type
+                                                ORDER BY tms, event_id) AS grp
+                    FROM e)
+         SELECT user_id, event_type, min(tms) AS start_ms, max(tms) AS end_ms,
+                count(*) AS run_len
+         FROM g GROUP BY user_id, event_type, grp
+         ORDER BY 1, 2, 3, 4, 5""",
     "lateral_topn" ->
       """SELECT u.user_id, l.event_id, l.value
          FROM (SELECT DISTINCT user_id FROM events) u,

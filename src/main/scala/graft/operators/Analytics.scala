@@ -254,6 +254,26 @@ object Analytics {
           ORDER BY 1, 2""")
   }
 
+  /** Gaps-and-islands: maximal runs of consecutive same-type events per
+    * user (row_number-difference grouping) — the state-machine companion to
+    * time-gap [[sessionize]]. Both window passes share one (user) shuffle.
+    */
+  def gapsIslands(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tms"), col("event_id"))
+    val wt = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("tms"), col("event_id"))
+    val out = Tables.events(s, d).where(col("user_id") < 30)
+      .select(col("user_id"), col("event_type"), col("event_id"), tsMs(col("ts")).as("tms"))
+      .select(col("user_id"), col("event_type"), col("tms"),
+        (row_number().over(w) - row_number().over(wt)).as("grp"))
+      .groupBy(col("user_id"), col("event_type"), col("grp"))
+      .agg(min(col("tms")).as("start_ms"), max(col("tms")).as("end_ms"),
+        count(lit(1)).as("run_len"))
+      .select(col("user_id"), col("event_type"), col("start_ms"), col("end_ms"),
+        col("run_len"))
+    Det.ordered(out)
+  }
+
   /** Correlated scalar subquery: events above their own user's mean value.
     * Catalyst decorrelates this into an aggregate + join — the surface
     * matters (ported SQL keeps working), the plan is the efficient one. The
