@@ -148,6 +148,8 @@ object SparkEntry {
     "ts_ohlc" -> ((s, d) => Tsdb.ohlc(Tsdb.points(s, d)
       .copy(tagCols = Seq("event_type")),
       EsFilter.compile("""{"match_all":{}}"""), Start, End)),
+    "ts_cardinality" -> ((s, d) => Tsdb.cardinality(Tsdb.points(s, d),
+      EsFilter.compile("""{"match_all":{}}"""), Start, End)),
     "window_lead" -> ((s, d) => Analytics.windowLead(s, d)),
     "cube_agg" -> ((s, d) => Analytics.cubeAgg(s, d)),
     "grouping_sets" -> ((s, d) => Analytics.groupingSets(s, d)),
@@ -665,6 +667,11 @@ object SparkEntry {
                  count(*) AS n, ${davgSql("value")} AS avg_value
           FROM events WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
           GROUP BY 1, 2 ORDER BY 1, 2, 3, 4""",
+    "ts_cardinality" ->
+      s"""SELECT CAST(floor(epoch_ms(ts)/86400000.0) AS BIGINT) AS day,
+                 count(DISTINCT (user_id, event_type)) AS n_series
+          FROM events WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
+          GROUP BY 1 ORDER BY 1, 2""",
     "ts_ohlc" ->
       s"""WITH p AS (SELECT event_type,
                             CAST(floor(epoch_ms(ts)/3600000.0) AS BIGINT) AS bucket,

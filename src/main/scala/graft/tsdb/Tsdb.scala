@@ -388,6 +388,22 @@ object Tsdb {
     Det.ordered(out)
   }
 
+  /** Series-cardinality monitoring: distinct active series per day — the
+    * metric every TSDB operator watches for cardinality explosions (a tag
+    * gone unbounded shows up here first). Exact per-day distinct via one
+    * two-phase aggregate; at extreme scale the HLL variant
+    * (`approx_distinct`) replaces the exact inner distinct.
+    */
+  def cardinality(pt: PointsTable, filter: Column, startMs: Long, endMs: Long): DataFrame = {
+    val out = pt.df
+      .where(inRange(pt, startMs, endMs) && filter)
+      .select(floor(pt.timeMs / MsInDay).as("day") +: pt.tags: _*)
+      .distinct()
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_series"))
+    Det.ordered(out)
+  }
+
   /** OHLC downsample: per-(series, bucket) open/high/low/close — the
     * candlestick aggregate. Open/close are the values at the bucket's first/
     * last timestamp, picked via lexicographic (time, value) struct min/max so
