@@ -114,6 +114,21 @@ class OperatorsSpec extends SparkTestBase {
     assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"), plan)
   }
 
+  test("gaps-islands runs partition the filtered events exactly") {
+    val runs = Analytics.gapsIslands(spark, Sf)
+    val totalInRuns = runs.agg(sum("run_len")).first().getLong(0)
+    val expected = graft.core.Tables.events(spark, Sf)
+      .where(col("user_id") < 30).count()
+    assert(totalInRuns == expected, s"$totalInRuns != $expected")
+    // runs of the same (user, type) never overlap in time
+    val overlapping = runs.as("a").join(runs.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+        col("a.event_type") === col("b.event_type") &&
+        col("a.start_ms") < col("b.start_ms") &&
+        col("b.start_ms") <= col("a.end_ms")).count()
+    assert(overlapping == 0, "island intervals must be disjoint per (user, type)")
+  }
+
   test("funnel stage counts are monotone non-increasing") {
     val r = Analytics.funnel(spark, Sf).collect()(0)
     val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
