@@ -150,6 +150,8 @@ object SparkEntry {
       EsFilter.compile("""{"match_all":{}}"""), Start, End)),
     "ts_cardinality" -> ((s, d) => Tsdb.cardinality(Tsdb.points(s, d),
       EsFilter.compile("""{"match_all":{}}"""), Start, End)),
+    "ts_ewma" -> ((s, d) => Tsdb.ewma(Tsdb.points(s, d),
+      EsFilter.compile("""{"range":{"user_id":{"lt":10}}}"""), Start, End)),
     "window_lead" -> ((s, d) => Analytics.windowLead(s, d)),
     "cube_agg" -> ((s, d) => Analytics.cubeAgg(s, d)),
     "grouping_sets" -> ((s, d) => Analytics.groupingSets(s, d)),
@@ -672,6 +674,22 @@ object SparkEntry {
                  count(DISTINCT (user_id, event_type)) AS n_series
           FROM events WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
           GROUP BY 1 ORDER BY 1, 2""",
+    "ts_ewma" -> {
+      // the SAME Scala-computed coefficient literals as Tsdb.ewma, so both
+      // engines evaluate an identical left-associated expression tree
+      val cs = graft.tsdb.Tsdb.ewmaCoefs()
+      val terms = cs.zipWithIndex
+        .map { case (c, i) => s"$c * lag(value, $i) OVER w" }.mkString(" + ")
+      s"""WITH p AS (SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events
+                     WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End AND user_id < 10),
+              l AS (SELECT user_id, event_type, time_ms, value,
+                           lag(value, ${cs.length - 1}) OVER w AS oldest,
+                           round(($terms) + 1e-9, 6) + 0.0 AS ewma
+                    FROM p WINDOW w AS (PARTITION BY user_id, event_type
+                                        ORDER BY time_ms, value))
+          SELECT user_id, event_type, time_ms, value, ewma
+          FROM l WHERE oldest IS NOT NULL ORDER BY 1, 2, 3, 4, 5"""
+    },
     "ts_ohlc" ->
       s"""WITH p AS (SELECT event_type,
                             CAST(floor(epoch_ms(ts)/3600000.0) AS BIGINT) AS bucket,

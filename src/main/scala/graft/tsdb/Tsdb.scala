@@ -388,6 +388,42 @@ object Tsdb {
     Det.ordered(out)
   }
 
+  /** Coefficients of the k-term truncated EWMA: α(1-α)^i, normalized to sum
+    * to 1 so the filter is an exact weighted mean of the last k points.
+    * Computed once driver-side; the SAME double literals are interpolated
+    * into the oracle SQL, so both engines evaluate an identical expression
+    * tree (cross-engine determinism without rounding games).
+    */
+  def ewmaCoefs(alpha: Double = 0.3, k: Int = 8): Seq[Double] = {
+    val raw = (0 until k).map(i => alpha * math.pow(1 - alpha, i))
+    val norm = raw.sum
+    raw.map(_ / norm)
+  }
+
+  /** Truncated EWMA smoothing: exponentially-weighted mean of the trailing
+    * k points per series, expressed as a FIR lag-chain (k fixed lag terms,
+    * one window sort — no per-row recursion, so it parallelizes like any
+    * window). Rows without k-1 predecessors are omitted (no partial-window
+    * renormalization drift).
+    */
+  def ewma(pt: PointsTable, filter: Column, startMs: Long, endMs: Long,
+           alpha: Double = 0.3, k: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(pt.tags: _*).orderBy(col("time_ms"), col("value"))
+    val coefs = ewmaCoefs(alpha, k)
+    val terms: Column = (0 until k).map { i =>
+      lit(coefs(i)) * lag(col("value"), i).over(w): Column
+    }.reduce(_ + _)
+    val out = pt.df
+      .where(inRange(pt, startMs, endMs) && filter)
+      .select(pt.tags :+ pt.timeMs.as("time_ms") :+ col(pt.valueCol).as("value"): _*)
+      .withColumn("oldest", lag(col("value"), k - 1).over(w))
+      .withColumn("ewma", Det.rnd(terms, 6))
+      .where(col("oldest").isNotNull)
+      .select(pt.tags ++ Seq(col("time_ms"), col("value"), col("ewma")): _*)
+    Det.ordered(out)
+  }
+
   /** Series-cardinality monitoring: distinct active series per day — the
     * metric every TSDB operator watches for cardinality explosions (a tag
     * gone unbounded shows up here first). Exact per-day distinct via one
