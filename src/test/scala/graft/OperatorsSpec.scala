@@ -129,6 +129,41 @@ class OperatorsSpec extends SparkTestBase {
     assert(overlapping == 0, "island intervals must be disjoint per (user, type)")
   }
 
+  test("hash sampling selects a stable ~10% fraction") {
+    val sampled = Analytics.sampleHash(spark, Sf).agg(sum("n")).first().getLong(0)
+    val total = graft.core.Tables.events(spark, Sf).count()
+    val frac = sampled.toDouble / total
+    assert(frac > 0.05 && frac < 0.18, s"sample fraction $frac far from 26/256")
+    // determinism: same rows on a rerun
+    val again = Analytics.sampleHash(spark, Sf).agg(sum("n")).first().getLong(0)
+    assert(again == sampled)
+  }
+
+  test("mode per group returns exactly one row per user, the true argmax") {
+    val modes = Analytics.modePerGroup(spark, Sf)
+    val users = graft.core.Tables.events(spark, Sf).select("user_id").distinct().count()
+    assert(modes.count() == users)
+    val counts = graft.core.Tables.events(spark, Sf)
+      .groupBy("user_id", "event_type").count().collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).max).toMap
+    modes.collect().foreach { r =>
+      assert(r.getLong(2) == counts(r.getLong(0)), s"mode count not the max: $r")
+    }
+  }
+
+  test("ewma stays within the trailing window's value range") {
+    import graft.tsdb.{EsFilter, Tsdb}
+    val out = Tsdb.ewma(Tsdb.points(spark, Sf),
+      EsFilter.compile("""{"match_all":{}}"""), 1704672000000L, 1705881600000L)
+    val (lo, hi) = (0.0, 1000.0) // events.value range superset
+    out.collect().foreach { r =>
+      val e = r.getDouble(4)
+      assert(e >= lo && e <= hi, s"ewma $e outside plausible range")
+    }
+    val coefs = Tsdb.ewmaCoefs()
+    assert(math.abs(coefs.sum - 1.0) < 1e-12, "normalized coefficients sum to 1")
+  }
+
   test("funnel stage counts are monotone non-increasing") {
     val r = Analytics.funnel(spark, Sf).collect()(0)
     val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
