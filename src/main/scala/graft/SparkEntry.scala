@@ -152,6 +152,10 @@ object SparkEntry {
       EsFilter.compile("""{"match_all":{}}"""), Start, End)),
     "ts_ewma" -> ((s, d) => Tsdb.ewma(Tsdb.points(s, d),
       EsFilter.compile("""{"range":{"user_id":{"lt":10}}}"""), Start, End)),
+    "ts_shift_compare" -> ((s, d) => Tsdb.shiftCompare(Tsdb.points(s, d)
+      .copy(tagCols = Seq("event_type")),
+      EsFilter.compile("""{"match_all":{}}"""), Start, End)),
+    "window_rank_dense" -> ((s, d) => Analytics.windowRankDense(s, d)),
     "window_lead" -> ((s, d) => Analytics.windowLead(s, d)),
     "cube_agg" -> ((s, d) => Analytics.cubeAgg(s, d)),
     "grouping_sets" -> ((s, d) => Analytics.groupingSets(s, d)),
@@ -690,6 +694,22 @@ object SparkEntry {
           SELECT user_id, event_type, time_ms, value, ewma
           FROM l WHERE oldest IS NOT NULL ORDER BY 1, 2, 3, 4, 5"""
     },
+    "ts_shift_compare" ->
+      s"""WITH a AS (SELECT event_type, CAST(floor(epoch_ms(ts)/3600000.0) AS BIGINT) AS bucket,
+                            ${davgSql("value")} AS avg_value
+                     FROM events WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
+                     GROUP BY 1, 2)
+          SELECT c.event_type, c.bucket, c.avg_value, p.avg_value AS prev_avg,
+                 round(c.avg_value - p.avg_value + 1e-9, 4) + 0.0 AS delta
+          FROM a c JOIN a p ON c.event_type = p.event_type AND c.bucket = p.bucket + 24
+          ORDER BY 1, 2, 3, 4, 5""",
+    "window_rank_dense" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+                CAST(rank() OVER w AS BIGINT) AS price_rank,
+                CAST(dense_rank() OVER w AS BIGINT) AS price_dense_rank
+         FROM orders WHERE o_custkey < 50
+         WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC)
+         ORDER BY 1, 2, 3, 4, 5""",
     "ts_ohlc" ->
       s"""WITH p AS (SELECT event_type,
                             CAST(floor(epoch_ms(ts)/3600000.0) AS BIGINT) AS bucket,

@@ -254,6 +254,20 @@ object Analytics {
           ORDER BY 1, 2""")
   }
 
+  /** rank vs dense_rank tie semantics: orders ranked by price within their
+    * priority class — equal prices share a rank (and dense_rank closes the
+    * gap), the ranking surface [[windowTopN]]'s row_number deliberately
+    * avoids. Price is a 2-decimal exact value, so ties are engine-stable.
+    */
+  def windowRankDense(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority")).orderBy(col("o_totalprice").desc)
+    val out = Tables.orders(s, d).where(col("o_custkey") < 50)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        rank().over(w).cast("bigint").as("price_rank"),
+        dense_rank().over(w).cast("bigint").as("price_dense_rank"))
+    Det.ordered(out)
+  }
+
   /** Gaps-and-islands: maximal runs of consecutive same-type events per
     * user (row_number-difference grouping) — the state-machine companion to
     * time-gap [[sessionize]]. Both window passes share one (user) shuffle.

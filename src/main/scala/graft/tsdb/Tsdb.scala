@@ -424,6 +424,28 @@ object Tsdb {
     Det.ordered(out)
   }
 
+  /** Time-shift comparison: each (series, bucket) aggregate joined to the
+    * SAME series one period earlier — the day-over-day / week-over-week
+    * delta every dashboard renders. One bucketed aggregate, self-joined on
+    * (series, bucket - shift); at scale both sides share the aggregate's
+    * partitioning so the join is co-located.
+    */
+  def shiftCompare(pt: PointsTable, filter: Column, startMs: Long, endMs: Long,
+                   stepMs: Long = 3600000L, shiftBuckets: Long = 24L): DataFrame = {
+    val agg = pt.df
+      .where(inRange(pt, startMs, endMs) && filter)
+      .groupBy(pt.tags :+ floor(pt.timeMs / stepMs).as("bucket"): _*)
+      .agg(round(Det.davg(col(pt.valueCol), 4), 4).as("avg_value"))
+    val prev = agg.select(pt.tagCols.map(t => col(t).as(s"p_$t")) ++
+      Seq((col("bucket") + shiftBuckets).as("p_bucket"), col("avg_value").as("prev_avg")): _*)
+    val joinCond = pt.tagCols.map(t => col(t) === col("p_" + t))
+      .reduce(_ && _) && col("bucket") === col("p_bucket")
+    val out = agg.join(prev, joinCond)
+      .select(pt.tags ++ Seq(col("bucket"), col("avg_value"), col("prev_avg"),
+        Det.rnd(col("avg_value") - col("prev_avg"), 4).as("delta")): _*)
+    Det.ordered(out)
+  }
+
   /** Series-cardinality monitoring: distinct active series per day — the
     * metric every TSDB operator watches for cardinality explosions (a tag
     * gone unbounded shows up here first). Exact per-day distinct via one
