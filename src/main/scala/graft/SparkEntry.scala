@@ -156,6 +156,7 @@ object SparkEntry {
       .copy(tagCols = Seq("event_type")),
       EsFilter.compile("""{"match_all":{}}"""), Start, End)),
     "window_rank_dense" -> ((s, d) => Analytics.windowRankDense(s, d)),
+    "group_concat" -> ((s, d) => Analytics.groupConcat(s, d)),
     "window_lead" -> ((s, d) => Analytics.windowLead(s, d)),
     "cube_agg" -> ((s, d) => Analytics.cubeAgg(s, d)),
     "grouping_sets" -> ((s, d) => Analytics.groupingSets(s, d)),
@@ -703,6 +704,12 @@ object SparkEntry {
                  round(c.avg_value - p.avg_value + 1e-9, 4) + 0.0 AS delta
           FROM a c JOIN a p ON c.event_type = p.event_type AND c.bucket = p.bucket + 24
           ORDER BY 1, 2, 3, 4, 5""",
+    "group_concat" ->
+      s"""SELECT user_id, count(*) AS n_events,
+                 string_agg(substr(event_type, 1, 1), ''
+                            ORDER BY epoch_ms(ts), event_id) AS journey
+          FROM events WHERE user_id < 15
+          GROUP BY 1 ORDER BY 1, 2, 3""",
     "window_rank_dense" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
                 CAST(rank() OVER w AS BIGINT) AS price_rank,

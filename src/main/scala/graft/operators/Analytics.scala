@@ -254,6 +254,24 @@ object Analytics {
           ORDER BY 1, 2""")
   }
 
+  /** Ordered string aggregation (LISTAGG): each user's time-ordered journey
+    * as a compact event-initial string — the sequence-mining input format.
+    * One shuffle; the in-group order comes from sorting the collected
+    * (time, id, char) structs, not from input order (which is partition-
+    * dependent at scale).
+    */
+  def groupConcat(s: SparkSession, d: String): DataFrame = {
+    val out = Tables.events(s, d).where(col("user_id") < 15)
+      .select(col("user_id"), tsMs(col("ts")).as("tms"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("c"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        concat_ws("", transform(
+          sort_array(collect_list(struct(col("tms"), col("event_id"), col("c")))),
+          x => x.getField("c"))).as("journey"))
+    Det.ordered(out)
+  }
+
   /** rank vs dense_rank tie semantics: orders ranked by price within their
     * priority class — equal prices share a rank (and dense_rank closes the
     * gap), the ranking surface [[windowTopN]]'s row_number deliberately
