@@ -1,5 +1,8 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths, StandardOpenOption}
+import java.nio.charset.StandardCharsets
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -34,10 +37,23 @@ object Bench {
       val good = runs.filter(_._1).map(_._2)
       name -> (if (good.nonEmpty) good.min else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jmap(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum // failures excluded, not credited
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = results.count(_._2 < 0)
+    // Full per-query detail goes to a file; the stdout JSON line must stay
+    // SHORT (the driver's capture truncated the 106-query line two rounds
+    // running -> BENCH parsed:null). Headline queries only on stdout.
+    Files.createDirectories(Paths.get("target"))
+    val detail =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$failed,"queries":${jmap(results)},"sf":"$sfDir"}"""
+    Files.write(Paths.get("target/bench_detail.json"),
+      detail.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    val headlineKeys = Seq("q1_agg", "q3_join_agg", "q5_multi_join", "dedup_minhash",
+      "ann_ivf", "ts_read", "ts_bucket_stats", "text_quality")
+    val headline = results.filter { case (k, _) => headlineKeys.contains(k) }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$failed,"queries":${jmap(headline)},"sf":"$sfDir","detail":"target/bench_detail.json"}""")
     spark.stop()
   }
 }

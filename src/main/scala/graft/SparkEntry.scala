@@ -197,6 +197,7 @@ object SparkEntry {
     "dedup_minhash_verified" -> ((s, d) => Dedup.minhashVerified(s, d)),
     "clean_corpus" -> ((s, d) => Dedup.cleanCorpus(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "dedup_simhash_buckets" -> ((s, d) => Dedup.simhashBucketedPairs(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     "dedup_soft" -> ((s, d) => Dedup.softWeights(s, d)),
@@ -282,6 +283,37 @@ object SparkEntry {
                     ON e.user_id = o.o_custkey AND epoch_ms(o.o_orderdate) <= e.tms)
        SELECT event_id, user_id, o_orderkey, oms AS asof_order_ms
        FROM j WHERE rn = 1 ORDER BY 1, 2, 3, 4"""
+
+  /** SimHash exhaustive-pairs oracle — shared verbatim by `dedup_simhash`
+    * (exhaustive join) and `dedup_simhash_buckets` (pigeonhole search), which
+    * must return identical result sets.
+    */
+  private def SimhashOracleSql: String =
+    s"""WITH t0 AS (SELECT doc_id, string_split($NormSql, ' ') AS toks FROM documents),
+            tok AS (SELECT DISTINCT doc_id, md5(t) AS h
+                    FROM (SELECT doc_id, unnest(toks) AS t FROM t0)),
+            bits AS (SELECT doc_id, b,
+                       (CAST(floor((strpos('0123456789abcdef',
+                          substr(h, CAST(b // 4 AS INT) + 1, 1)) - 1)
+                          / power(2, 3 - b % 4)) AS BIGINT) % 2 = 1) AS bit
+                     FROM tok, UNNEST(range(0, 64)) AS u(b)),
+            signs AS (SELECT doc_id, b,
+                        (CAST(sum(CASE WHEN bit THEN 1 ELSE -1 END) AS BIGINT) > 0) AS sbit
+                      FROM bits GROUP BY 1, 2),
+            packed AS (SELECT doc_id,
+                         CAST(sum(CASE WHEN sbit AND b < 32
+                           THEN (CAST(1 AS BIGINT) << CAST(b % 32 AS INT)) ELSE 0 END)
+                           AS BIGINT) AS sig_lo,
+                         CAST(sum(CASE WHEN sbit AND b >= 32
+                           THEN (CAST(1 AS BIGINT) << CAST(b % 32 AS INT)) ELSE 0 END)
+                           AS BIGINT) AS sig_hi
+                       FROM signs GROUP BY 1)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(bit_count(xor(a.sig_lo, b.sig_lo))
+                    + bit_count(xor(a.sig_hi, b.sig_hi)) AS BIGINT) AS hamming
+        FROM packed a JOIN packed b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.sig_lo, b.sig_lo))
+              + bit_count(xor(a.sig_hi, b.sig_hi)) <= 8 ORDER BY 1, 2, 3"""
 
   def oracleSql: Map[String, String] = Map(
     "ts_read" ->
@@ -1002,32 +1034,10 @@ object SparkEntry {
           FROM keep k JOIN pred USING (doc_id) JOIN scored USING (doc_id)
           WHERE pred_lang = 'en' AND n_tokens >= 20 AND quality_score >= 0.3
           ORDER BY 1, 2, 3, 4""",
-    "dedup_simhash" ->
-      s"""WITH t0 AS (SELECT doc_id, string_split($NormSql, ' ') AS toks FROM documents),
-              tok AS (SELECT DISTINCT doc_id, md5(t) AS h
-                      FROM (SELECT doc_id, unnest(toks) AS t FROM t0)),
-              bits AS (SELECT doc_id, b,
-                         (CAST(floor((strpos('0123456789abcdef',
-                            substr(h, CAST(b // 4 AS INT) + 1, 1)) - 1)
-                            / power(2, 3 - b % 4)) AS BIGINT) % 2 = 1) AS bit
-                       FROM tok, UNNEST(range(0, 64)) AS u(b)),
-              signs AS (SELECT doc_id, b,
-                          (CAST(sum(CASE WHEN bit THEN 1 ELSE -1 END) AS BIGINT) > 0) AS sbit
-                        FROM bits GROUP BY 1, 2),
-              packed AS (SELECT doc_id,
-                           CAST(sum(CASE WHEN sbit AND b < 32
-                             THEN (CAST(1 AS BIGINT) << CAST(b % 32 AS INT)) ELSE 0 END)
-                             AS BIGINT) AS sig_lo,
-                           CAST(sum(CASE WHEN sbit AND b >= 32
-                             THEN (CAST(1 AS BIGINT) << CAST(b % 32 AS INT)) ELSE 0 END)
-                             AS BIGINT) AS sig_hi
-                         FROM signs GROUP BY 1)
-          SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-                 CAST(bit_count(xor(a.sig_lo, b.sig_lo))
-                      + bit_count(xor(a.sig_hi, b.sig_hi)) AS BIGINT) AS hamming
-          FROM packed a JOIN packed b ON a.doc_id < b.doc_id
-          WHERE bit_count(xor(a.sig_lo, b.sig_lo))
-                + bit_count(xor(a.sig_hi, b.sig_hi)) <= 8 ORDER BY 1, 2, 3""",
+    "dedup_simhash" -> SimhashOracleSql,
+    // bucketed pigeonhole search must return EXACTLY the exhaustive result
+    // set (skew_join's plain-oracle pattern)
+    "dedup_simhash_buckets" -> SimhashOracleSql,
     "dedup_embedding" ->
       s"""WITH $VecCte,
               dots AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, sum(a.x*b.x) AS dot

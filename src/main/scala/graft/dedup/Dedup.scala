@@ -120,6 +120,20 @@ object Dedup {
     * (pigeonhole), not the exhaustive pair join used at verify SF.
     */
   def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 8): DataFrame = {
+    val packed = simhashSignatures(s, d)
+      .cache() // self-joined below; avoid recomputing the vote pipeline per side
+    val out = packed.as("a").join(packed.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+        hammingOf(col("a.sig_lo"), col("a.sig_hi"), col("b.sig_lo"), col("b.sig_hi"))
+          .as("hamming"))
+      .where(col("hamming") <= maxHamming)
+    Det.ordered(out)
+  }
+
+  /** 64-bit SimHash signatures packed into two 32-bit halves — exactly what a
+    * 100 TB signature table would store (one xor + popcount per pair test).
+    */
+  def simhashSignatures(s: SparkSession, d: String): DataFrame = {
     // per distinct token: its md5, split into 16 nibble ints (one pass,
     // literal substring positions — no 64-way bit explosion)
     val tok = Tables.documents(s, d)
@@ -133,18 +147,55 @@ object Dedup {
     val votes = nib.groupBy(col("doc_id")).agg(
       sum(when(bitOf(0), 1).otherwise(-1)).as("v0"),
       (1 until 64).map(b => sum(when(bitOf(b), 1).otherwise(-1)).as(s"v$b")): _*)
-    // pack the 64 sign bits into two 32-bit halves so the pair search is one
-    // xor + popcount per pair — the packing also being exactly what a 100 TB
-    // signature table would store
     def half(lo: Int): Column =
       (lo until lo + 32).map(b => when(col(s"v$b") > 0, lit(1L << (b % 32))).otherwise(0L): Column)
         .reduce(_ + _)
-    val packed = votes.select(col("doc_id"), half(0).as("sig_lo"), half(32).as("sig_hi"))
-      .cache() // self-joined below; avoid recomputing the vote pipeline per side
-    val out = packed.as("a").join(packed.as("b"), col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
-        (bit_count(col("a.sig_lo").bitwiseXOR(col("b.sig_lo"))) +
-         bit_count(col("a.sig_hi").bitwiseXOR(col("b.sig_hi")))).cast("bigint").as("hamming"))
+    votes.select(col("doc_id"), half(0).as("sig_lo"), half(32).as("sig_hi"))
+  }
+
+  private def hammingOf(aLo: Column, aHi: Column, bLo: Column, bHi: Column): Column =
+    (bit_count(aLo.bitwiseXOR(bLo)) + bit_count(aHi.bitwiseXOR(bHi))).cast("bigint")
+
+  /** SimHash near-dup pairs via PIGEONHOLE bucketING — the 100 TB hamming
+    * search. The 64-bit signature is split into `maxHamming + 1` chunks; two
+    * signatures within hamming distance `maxHamming` MUST agree exactly on at
+    * least one chunk (pigeonhole), so candidates = pairs sharing any
+    * (chunk_index, chunk_value) bucket, and the xor-popcount verification runs
+    * on candidates only — never the corpus square. Same result set as the
+    * exhaustive [[simhashPairs]] (its oracle), like skew_join's plain-join
+    * oracle pattern.
+    */
+  def simhashBucketedPairs(s: SparkSession, d: String, maxHamming: Int = 8): DataFrame = {
+    val nChunks = maxHamming + 1
+    // near-equal chunk widths over the 64 bits (e.g. 9 chunks -> 8x7 + 1x8
+    // bits); a degenerate tiny chunk would make one bucket hold half the
+    // corpus, so widths differ by at most one bit
+    val bounds = (0 to nChunks).map(i => i * 64 / nChunks)
+    def chunkVal(c: Int): Column = {
+      // bits [bounds(c), bounds(c+1)) may straddle the lo/hi split
+      (bounds(c) until bounds(c + 1)).map { b =>
+        val src = if (b < 32) col("sig_lo") else col("sig_hi")
+        val bit = shiftright(src, b % 32).bitwiseAND(lit(1L))
+        (bit * lit(1L << (b - bounds(c)))): Column
+      }.reduce(_ + _)
+    }
+    val packed = simhashSignatures(s, d).cache() // sig pipeline runs once
+    val chunkCols = (0 until nChunks).map(c => chunkVal(c).as(s"c$c"))
+    val stackExpr = (0 until nChunks).map(c => s"$c, c$c").mkString(", ")
+    val buckets = packed.select(col("doc_id") +: chunkCols: _*)
+      .selectExpr("doc_id", s"stack($nChunks, $stackExpr) AS (chunk, chunk_val)")
+    val cands = buckets.as("a").join(buckets.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val out = cands
+      .join(packed.select(col("doc_id").as("a_id"),
+        col("sig_lo").as("a_lo"), col("sig_hi").as("a_hi")), "a_id")
+      .join(packed.select(col("doc_id").as("b_id"),
+        col("sig_lo").as("b_lo"), col("sig_hi").as("b_hi")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        hammingOf(col("a_lo"), col("a_hi"), col("b_lo"), col("b_hi")).as("hamming"))
       .where(col("hamming") <= maxHamming)
     Det.ordered(out)
   }
@@ -207,6 +258,12 @@ object Dedup {
       labels = next
       rounds += 1
     }
+    // a component with diameter > the cap would exit here NON-converged and
+    // return wrong labels — fail loudly rather than silently (ADVICE r2)
+    if (!converged)
+      throw new IllegalStateException(
+        s"clustersOn: min-label propagation did not converge within $rounds rounds " +
+        "(component diameter exceeds the cap); raise the cap for this graph")
     Det.ordered(labels.select(col("id").as("doc_id"), col("label").as("cluster_id")))
   }
 

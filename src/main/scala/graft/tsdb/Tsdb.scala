@@ -187,19 +187,25 @@ object Tsdb {
   }
 
   /** Top-K series by point count in range — the "busiest streams" query a
-    * metrics UI runs constantly. Per-series counts (one shuffle) then a
-    * global top-K with deterministic ties.
+    * metrics UI runs constantly. Per-series counts (one shuffle), then
+    * `orderBy(...).limit(k)` — Catalyst plans that as a distributed
+    * TakeOrderedAndProject (per-partition top-k, merge k·P rows on the
+    * driver), NOT a single-partition global sort, so it survives millions of
+    * series. The rank window only ever sees the k surviving rows.
     */
   def topSeries(pt: PointsTable, filter: Column, startMs: Long, endMs: Long,
                 k: Int = 10): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val w = Window.orderBy(col("n").desc +: pt.tags.map(_.asc): _*)
-    pt.df
+    val ord = col("n").desc +: pt.tags.map(_.asc)
+    val topK = pt.df
       .where(inRange(pt, startMs, endMs) && filter)
       .groupBy(pt.tags: _*)
       .agg(count(lit(1)).as("n"))
+      .orderBy(ord: _*)
+      .limit(k) // TakeOrderedAndProject: never a one-partition global sort
+    val w = Window.orderBy(ord: _*) // k rows only — single partition is fine
+    topK
       .select(pt.tags ++ Seq(col("n"), row_number().over(w).cast("bigint").as("rank")): _*)
-      .where(col("rank") <= k)
       .orderBy(col("rank"))
   }
 
