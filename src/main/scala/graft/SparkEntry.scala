@@ -655,7 +655,8 @@ object SparkEntry {
               s AS (SELECT event_type, sv / n AS mean,
                            sqrt((svv - sv * sv / n) / (n - 1.0)) AS sd
                     FROM m WHERE n > 1)
-          SELECT p.event_type, time_ms, value, round((value - mean) / sd, 4) AS zscore
+          SELECT p.event_type, time_ms, value,
+                 round((value - mean) / sd + 1e-9, 4) + 0.0 AS zscore
           FROM p JOIN s USING (event_type)
           WHERE sd > 0 AND abs(value - mean) > sd * 2.0
           ORDER BY 1, 2, 3, 4""",
@@ -789,11 +790,12 @@ object SparkEntry {
                      AS DOUBLE) AS svu
               FROM events GROUP BY 1)
          SELECT event_type, n,
-                round(sqrt((svv - sv * sv / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)), 4)
-                  AS stddev_value,
+                round(sqrt((svv - sv * sv / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
+                      + 1e-9, 4) + 0.0 AS stddev_value,
                 round((CAST(n AS DOUBLE) * svu - sv * su)
                       / (sqrt(CAST(n AS DOUBLE) * svv - sv * sv)
-                         * sqrt(CAST(n AS DOUBLE) * suu - su * su)), 4) AS corr_value_user
+                         * sqrt(CAST(n AS DOUBLE) * suu - su * su)) + 1e-9, 4) + 0.0
+                  AS corr_value_user
          FROM a ORDER BY 1, 2, 3, 4""",
     "window_first_last" ->
       """SELECT user_id, event_id, epoch_ms(ts) AS tms,

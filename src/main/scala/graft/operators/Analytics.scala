@@ -459,8 +459,10 @@ object Analytics {
     val n = col("n").cast("double")
     val out = agg.select(
       col("event_type"), col("n"),
-      round(sqrt((col("svv") - col("sv") * col("sv") / n) / (n - 1.0)), 4).as("stddev_value"),
-      round((n * col("svu") - col("sv") * col("su")) /
+      // Det.rnd: stddev/corr are division-derived doubles — plain round()
+      // diverges from DuckDB within one ulp of a .5 boundary (ADVICE r2)
+      Det.rnd(sqrt((col("svv") - col("sv") * col("sv") / n) / (n - 1.0)), 4).as("stddev_value"),
+      Det.rnd((n * col("svu") - col("sv") * col("su")) /
         (sqrt(n * col("svv") - col("sv") * col("sv")) *
          sqrt(n * col("suu") - col("su") * col("su"))), 4).as("corr_value_user"))
     Det.ordered(out)

@@ -1,5 +1,6 @@
 package graft.tsdb
 
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.core.Det
@@ -24,6 +25,18 @@ class Graft(spark: SparkSession, root: String,
   import Graft._
 
   private def spacePath(space: String) = s"$root/$space"
+
+  /** All storage maintenance goes through the Hadoop FileSystem API — the
+    * root may be `file:`, `hdfs:`, `s3a:`, …; at 100 TB it is never a local
+    * disk, and `java.io.File` would silently see nothing there.
+    */
+  private def fsOf(path: String): (FileSystem, HPath) = {
+    val p = new HPath(path)
+    (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
+  }
+
+  private def isDir(fs: FileSystem, p: HPath): Boolean =
+    fs.exists(p) && fs.getFileStatus(p).isDirectory
 
   /** Bucket granularity for a space — per-space config with a default, like
     * the reference's `spaces.<name>.table_granularity_days`
@@ -78,8 +91,8 @@ class Graft(spark: SparkSession, root: String,
   private def table(space: String, startMs: Long = Long.MinValue,
                     endMs: Long = Long.MaxValue): Option[PointsTable] = {
     val path = spacePath(space)
-    val fs = new java.io.File(path)
-    if (!fs.exists()) None
+    val (fs, p) = fsOf(path)
+    if (!fs.exists(p)) None
     else {
       // Read via the bucket-partition glob with an explicit basePath: the
       // bucket directories are the source of truth (as Orestes' per-bucket
@@ -183,12 +196,12 @@ class Graft(spark: SparkSession, root: String,
     * namespace surfaced (conf `spaces.<name>`, test/multiple-spaces.spec.js).
     */
   def spaces(): Seq[String] = {
-    val dir = new java.io.File(root)
-    if (!dir.exists()) Nil
-    else dir.listFiles().toSeq
-      .filter(f => f.isDirectory &&
-        f.listFiles().exists(_.getName.startsWith("bucket_day=")))
-      .map(_.getName).sorted
+    val (fs, dir) = fsOf(root)
+    if (!isDir(fs, dir)) Nil
+    else fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory &&
+        fs.listStatus(st.getPath).exists(_.getPath.getName.startsWith("bucket_day=")))
+      .map(_.getPath.getName).sorted
   }
 
   /** Compaction: rewrite fragmented bucket directories into
@@ -204,27 +217,45 @@ class Graft(spark: SparkSession, root: String,
     */
   def compact(space: String = "default",
               targetBytes: Long = 128L * 1024 * 1024): Seq[(Long, Int, Int)] = {
-    val dir = new java.io.File(spacePath(space))
-    if (!dir.exists()) return Nil
-    val buckets = dir.listFiles().toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("bucket_day="))
-    buckets.flatMap { bdir =>
-      val parts = bdir.listFiles().filter(_.getName.endsWith(".parquet"))
+    val (fs, dir) = fsOf(spacePath(space))
+    if (!isDir(fs, dir)) return Nil
+    // Recover/clean tmp dirs a crashed compaction left behind. The tmp name
+    // is "_"-prefixed so Spark's file listing ignores it even mid-swap (a
+    // visible sibling would be parsed as a bucket_day partition value and
+    // duplicate the bucket's rows on every read of the space).
+    fs.listStatus(dir).filter(_.getPath.getName.startsWith(TmpPrefix)).foreach { st =>
+      val day = st.getPath.getName.stripPrefix(TmpPrefix)
+      val bdir = new HPath(dir, s"bucket_day=$day")
+      if (!fs.exists(bdir)) {
+        // crashed between delete and rename: the tmp IS the bucket — finish
+        if (!fs.rename(st.getPath, bdir))
+          throw new java.io.IOException(s"compact recovery: rename ${st.getPath} -> $bdir failed")
+      } else fs.delete(st.getPath, true) // bucket intact: tmp is leftover garbage
+    }
+    val buckets = fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("bucket_day="))
+    buckets.flatMap { bst =>
+      val bdir = bst.getPath
+      val parts = fs.listStatus(bdir).filter(_.getPath.getName.endsWith(".parquet"))
       val nOut = math.max(1,
-        math.ceil(parts.map(_.length()).sum.toDouble / targetBytes).toInt)
+        math.ceil(parts.map(_.getLen).sum.toDouble / targetBytes).toInt)
       if (parts.length <= nOut) None
       else {
-        val df = spark.read.parquet(bdir.getPath)
+        val day = bdir.getName.stripPrefix("bucket_day=")
+        val df = spark.read.parquet(bdir.toString)
         val tagCols = df.columns.filterNot(c => c == "time_ms" || c == "value").toSeq
         val key = tagCols.map(col) :+ col("time_ms")
-        val tmp = new java.io.File(bdir.getPath + ".compact-tmp")
+        val tmp = new HPath(dir, s"$TmpPrefix$day")
         df.repartitionByRange(nOut, key: _*)
           .sortWithinPartitions(key: _*)
-          .write.mode(SaveMode.Overwrite).parquet(tmp.getPath)
-        // local-FS swap; on an object store this would be a metadata commit
-        deleteRecursively(bdir)
-        tmp.renameTo(bdir)
-        Some((bdir.getName.stripPrefix("bucket_day=").toLong, parts.length, nOut))
+          .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+        // swap, checking every step: an unchecked false return would lose
+        // the bucket silently (ADVICE r2)
+        if (!fs.delete(bdir, true))
+          throw new java.io.IOException(s"compact: delete $bdir failed")
+        if (!fs.rename(tmp, bdir))
+          throw new java.io.IOException(s"compact: rename $tmp -> $bdir failed")
+        Some((day.toLong, parts.length, nOut))
       }
     }.sortBy(_._1)
   }
@@ -237,22 +268,23 @@ class Graft(spark: SparkSession, root: String,
   def remove(keepDays: Int, space: String = "default",
              todayDay: Long = System.currentTimeMillis() / Det.MsInDay): Seq[Long] = {
     val doomed = todayDay - keepDays
-    val dir = new java.io.File(spacePath(space))
-    if (!dir.exists()) return Nil
-    val buckets = dir.listFiles().toSeq
-      .filter(f => f.isDirectory && f.getName.startsWith("bucket_day="))
-      .map(f => (f, f.getName.stripPrefix("bucket_day=").toLong))
+    val (fs, dir) = fsOf(spacePath(space))
+    if (!isDir(fs, dir)) return Nil
+    val buckets = fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("bucket_day="))
+      .map(st => (st.getPath, st.getPath.getName.stripPrefix("bucket_day=").toLong))
     val dropped = buckets.filter { case (_, day) =>
       math.min(day + granularityOf(space) - 1, todayDay) <= doomed
     }
-    dropped.foreach { case (f, _) => deleteRecursively(f) }
+    dropped.foreach { case (p, _) =>
+      if (!fs.delete(p, true))
+        throw new java.io.IOException(s"remove: delete $p failed")
+    }
     dropped.map(_._2).sorted
   }
 }
 
 object Graft {
-  private def deleteRecursively(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
-    f.delete()
-  }
+  /** Crashed-compaction tmp dirs: `_`-prefixed so Spark ignores them. */
+  private[tsdb] val TmpPrefix = "_compact_tmp_"
 }

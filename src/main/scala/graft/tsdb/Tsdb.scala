@@ -321,7 +321,8 @@ object Tsdb {
       .join(broadcast(moments), pt.tagCols)
       .where(abs(col("value") - col("mean")) > col("sd") * z)
       .select(pt.tags ++ Seq(col("time_ms"), col("value"),
-        round((col("value") - col("mean")) / col("sd"), 4).as("zscore")): _*)
+        // Det.rnd: zscore is division-derived — see ADVICE r2 on round()
+        Det.rnd((col("value") - col("mean")) / col("sd"), 4).as("zscore")): _*)
     Det.ordered(out)
   }
 
