@@ -241,6 +241,60 @@ object SparkEntry {
                      generate_subscripts(embedding, 1) AS i FROM embeddings),
        vn AS (SELECT vec_id, sum(x*x) AS nsq FROM ev GROUP BY vec_id)"""
 
+  /** Quantized-embedding CTEs (extends VecCte): evr = components rounded to
+    * exact 6-dp decimals exactly as Ann.quantNorm does, vnr = their norms.
+    * Downstream DECIMAL sums of evr.x are association-order independent —
+    * what makes the Lloyd's-trained ANN codebooks oracle-checkable.
+    */
+  private def VecrCte =
+    s"""$VecCte,
+       evr AS (SELECT vec_id, ${rndSql("x", 6)} AS x, i FROM ev),
+       vnr AS (SELECT vec_id, sum(x*x) AS nsq FROM evr GROUP BY vec_id)"""
+
+  /** Lloyd's iterations for the IVF coarse codebook, mirroring
+    * [[graft.ann.Ann.trainIvfCentroids]] step for step; emits CTEs c0..c<iters>
+    * (exploded (c_id, i, cx)); the trained codebook is c<iters>.
+    */
+  private def ivfTrainCte(iters: Int, nC: Int): String = {
+    val init = s"c0 AS (SELECT vec_id AS c_id, i, x AS cx FROM evr WHERE vec_id < $nC)"
+    val steps = (0 until iters).map { t =>
+      s"""kn$t AS (SELECT c_id, sum(cx*cx) AS nsq FROM c$t GROUP BY 1),
+          kd$t AS (SELECT v.vec_id, c.c_id, sum(v.x * c.cx) AS dot
+                   FROM evr v JOIN c$t c ON v.i = c.i GROUP BY 1, 2),
+          ks$t AS (SELECT d.vec_id, d.c_id, round(d.dot / sqrt(nv.nsq * nc.nsq), 6) AS ccos
+                   FROM kd$t d JOIN vnr nv ON nv.vec_id = d.vec_id
+                               JOIN kn$t nc ON nc.c_id = d.c_id),
+          ka$t AS (SELECT vec_id, c_id AS cell FROM (
+                     SELECT vec_id, c_id, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY ccos DESC, c_id) AS rn FROM ks$t) WHERE rn = 1),
+          c${t + 1} AS (SELECT a.cell AS c_id, v.i,
+                          ${rndSql("CAST(sum(CAST(v.x AS DECIMAL(18,6))) AS DOUBLE) / count(*)", 6)} AS cx
+                        FROM ka$t a JOIN evr v ON v.vec_id = a.vec_id GROUP BY 1, 2)"""
+    }
+    (init +: steps).mkString(",\n")
+  }
+
+  /** Lloyd's iterations for the PQ sub-codebooks, mirroring
+    * [[graft.ann.Ann.trainPqCentroids]] (assumes the `sub` CTE); emits
+    * p0..p<iters>; the trained codebook is p<iters>.
+    */
+  private def pqTrainCte(iters: Int, nCodes: Int): String = {
+    val init = s"p0 AS (SELECT vec_id AS c_id, sp, i, x AS cx FROM sub WHERE vec_id < $nCodes)"
+    val steps = (0 until iters).map { t =>
+      s"""qd$t AS (SELECT a.vec_id, a.sp, c.c_id,
+                          round(sum((a.x - c.cx) * (a.x - c.cx)), 6) AS d2
+                   FROM sub a JOIN p$t c ON c.sp = a.sp AND c.i = a.i GROUP BY 1, 2, 3),
+          qa$t AS (SELECT vec_id, sp, c_id AS code FROM (
+                     SELECT vec_id, sp, c_id, row_number() OVER (PARTITION BY vec_id, sp
+                       ORDER BY d2, c_id) AS rn FROM qd$t) WHERE rn = 1),
+          p${t + 1} AS (SELECT a.code AS c_id, v.sp, v.i,
+                          ${rndSql("CAST(sum(CAST(v.x AS DECIMAL(18,6))) AS DOUBLE) / count(*)", 6)} AS cx
+                        FROM qa$t a JOIN sub v ON v.vec_id = a.vec_id AND v.sp = a.sp
+                        GROUP BY 1, 2, 3)"""
+    }
+    (init +: steps).mkString(",\n")
+  }
+
   private def dsumSql(e: String, scale: Int = 2) =
     s"round(CAST(sum(CAST($e AS DECIMAL(18,4))) AS DOUBLE), $scale)"
   /** Division-derived doubles get the same +1e-9 pre-round nudge as
@@ -1061,25 +1115,27 @@ object SparkEntry {
           SELECT q_id, n_id, cosine, rank FROM r WHERE rank <= 5 ORDER BY 1, 2, 3, 4""",
     // ann_lsh: approximate by construction -> rows-only check, no oracle.
     "ann_ivf" ->
-      s"""WITH $VecCte,
-              cc AS (SELECT a.vec_id AS vid, b.vec_id AS cid, sum(a.x*b.x) AS dot
-                     FROM ev a JOIN ev b ON a.i = b.i AND b.vec_id < 16 GROUP BY 1, 2),
+      s"""WITH $VecrCte,
+              ${ivfTrainCte(2, 16)},
+              knf AS (SELECT c_id, sum(cx*cx) AS nsq FROM c2 GROUP BY 1),
+              cc AS (SELECT v.vec_id AS vid, c.c_id AS cid, sum(v.x * c.cx) AS dot
+                     FROM evr v JOIN c2 c ON v.i = c.i GROUP BY 1, 2),
               ccos AS (SELECT vid, cid, round(dot/sqrt(nv.nsq*nc.nsq), 6) AS c
-                       FROM cc JOIN vn nv ON nv.vec_id = vid JOIN vn nc ON nc.vec_id = cid),
+                       FROM cc JOIN vnr nv ON nv.vec_id = vid JOIN knf nc ON nc.c_id = cid),
               assign AS (SELECT vid, cid AS cell FROM (
                            SELECT vid, cid, row_number() OVER (PARTITION BY vid
                              ORDER BY c DESC, cid) AS arn FROM ccos) WHERE arn = 1),
               dots AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, sum(a.x*b.x) AS dot
-                       FROM ev a JOIN ev b ON a.i = b.i AND a.vec_id <> b.vec_id
+                       FROM evr a JOIN evr b ON a.i = b.i AND a.vec_id <> b.vec_id
                        JOIN assign qa ON qa.vid = a.vec_id
                        JOIN assign na ON na.vid = b.vec_id AND na.cell = qa.cell
                        WHERE a.vec_id < 20 GROUP BY 1, 2),
-              c2 AS (SELECT q_id, n_id, round(dot/sqrt(nq.nsq*nn.nsq), 6) AS cosine
-                     FROM dots JOIN vn nq ON nq.vec_id = q_id JOIN vn nn ON nn.vec_id = n_id),
+              pc AS (SELECT q_id, n_id, round(dot/sqrt(nq.nsq*nn.nsq), 6) AS cosine
+                     FROM dots JOIN vnr nq ON nq.vec_id = q_id JOIN vnr nn ON nn.vec_id = n_id),
               r AS (SELECT q_id, n_id, cosine,
                       CAST(row_number() OVER (PARTITION BY q_id
                         ORDER BY cosine DESC, n_id) AS BIGINT) AS rank
-                    FROM c2)
+                    FROM pc)
           SELECT q_id, n_id, cosine, rank FROM r WHERE rank <= 5 ORDER BY 1, 2, 3, 4""",
     "text_langid" -> {
       def sc(l: String) = s"len(list_filter(toks, t -> t IN ${stopListSql(l)}))"
@@ -1173,34 +1229,36 @@ object SparkEntry {
                  round(max(c) * 1.0 / sum(c) + 1e-9, 4) AS top_token_ratio
           FROM tc GROUP BY 1 ORDER BY 1, 2, 3, 4, 5""",
     "ann_ivf_nprobe" ->
-      s"""WITH $VecCte,
-              cc AS (SELECT a.vec_id AS vid, b.vec_id AS cid, sum(a.x*b.x) AS dot
-                     FROM ev a JOIN ev b ON a.i = b.i AND b.vec_id < 16 GROUP BY 1, 2),
+      s"""WITH $VecrCte,
+              ${ivfTrainCte(2, 16)},
+              knf AS (SELECT c_id, sum(cx*cx) AS nsq FROM c2 GROUP BY 1),
+              cc AS (SELECT v.vec_id AS vid, c.c_id AS cid, sum(v.x * c.cx) AS dot
+                     FROM evr v JOIN c2 c ON v.i = c.i GROUP BY 1, 2),
               ccos AS (SELECT vid, cid, round(dot/sqrt(nv.nsq*nc.nsq), 6) AS c
-                       FROM cc JOIN vn nv ON nv.vec_id = vid JOIN vn nc ON nc.vec_id = cid),
+                       FROM cc JOIN vnr nv ON nv.vec_id = vid JOIN knf nc ON nc.c_id = cid),
               rankedc AS (SELECT vid, cid, row_number() OVER (PARTITION BY vid
                             ORDER BY c DESC, cid) AS arn FROM ccos),
               assign AS (SELECT vid, cid AS cell FROM rankedc WHERE arn = 1),
               probe AS (SELECT vid, cid AS cell FROM rankedc WHERE arn <= 2),
               dots AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, sum(a.x*b.x) AS dot
-                       FROM ev a JOIN ev b ON a.i = b.i AND a.vec_id <> b.vec_id
+                       FROM evr a JOIN evr b ON a.i = b.i AND a.vec_id <> b.vec_id
                        JOIN probe qa ON qa.vid = a.vec_id
                        JOIN assign na ON na.vid = b.vec_id AND na.cell = qa.cell
                        WHERE a.vec_id < 20 GROUP BY 1, 2),
-              c2 AS (SELECT q_id, n_id, round(dot/sqrt(nq.nsq*nn.nsq), 6) AS cosine
-                     FROM dots JOIN vn nq ON nq.vec_id = q_id JOIN vn nn ON nn.vec_id = n_id),
+              pc AS (SELECT q_id, n_id, round(dot/sqrt(nq.nsq*nn.nsq), 6) AS cosine
+                     FROM dots JOIN vnr nq ON nq.vec_id = q_id JOIN vnr nn ON nn.vec_id = n_id),
               r AS (SELECT q_id, n_id, cosine,
                       CAST(row_number() OVER (PARTITION BY q_id
                         ORDER BY cosine DESC, n_id) AS BIGINT) AS rank
-                    FROM c2)
+                    FROM pc)
           SELECT q_id, n_id, cosine, rank FROM r WHERE rank <= 5 ORDER BY 1, 2, 3, 4""",
     "ann_pq" ->
-      s"""WITH $VecCte,
-              sub AS (SELECT vec_id, (i-1)//16 AS sp, i, x FROM ev),
-              cents AS (SELECT vec_id AS c_id, sp, i, x AS cx FROM sub WHERE vec_id < 16),
+      s"""WITH $VecrCte,
+              sub AS (SELECT vec_id, (i-1)//16 AS sp, i, x FROM evr),
+              ${pqTrainCte(2, 16)},
               d2 AS (SELECT a.vec_id, a.sp, c.c_id,
                             round(sum((a.x - c.cx) * (a.x - c.cx)), 6) AS d2
-                     FROM sub a JOIN cents c ON c.sp = a.sp AND c.i = a.i
+                     FROM sub a JOIN p2 c ON c.sp = a.sp AND c.i = a.i
                      GROUP BY 1, 2, 3),
               codes AS (SELECT vec_id, sp, c_id AS code FROM (
                           SELECT vec_id, sp, c_id,
@@ -1209,7 +1267,7 @@ object SparkEntry {
                           FROM d2) WHERE rn = 1),
               lut AS (SELECT a.vec_id AS q_id, a.sp, c.c_id,
                              round(sum(a.x * c.cx), 6) AS pdot
-                      FROM sub a JOIN cents c ON c.sp = a.sp AND c.i = a.i
+                      FROM sub a JOIN p2 c ON c.sp = a.sp AND c.i = a.i
                       WHERE a.vec_id < 20 GROUP BY 1, 2, 3),
               adc AS (SELECT l.q_id, cd.vec_id AS n_id,
                              round(CAST(sum(CAST(l.pdot AS DECIMAL(14,6))) AS DOUBLE), 6)

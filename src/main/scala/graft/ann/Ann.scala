@@ -78,19 +78,63 @@ object Ann {
       s"stack($nTables, $stackExpr) AS (tbl, bucket)")
   }
 
-  /** IVF (inverted-file) ANN with nprobe=1: vectors are assigned to their
-    * nearest "centroid" cell (deterministic centroid pick: the first
-    * nCentroids vectors — a stand-in for k-means, which would train
-    * offline), and each query searches only its own cell. The cell id is
-    * the shuffle key at scale; recall is tuned by nCentroids/nprobe.
-    * Assignment uses the rounded cosine with centroid-id tiebreak so the
-    * argmax is engine-independent.
+  /** Embedding components quantized to exact 6-dp decimals (Det.rnd nudge,
+    * identical in DuckDB): every downstream sum of these can be carried as
+    * DECIMAL, so k-means training is association-order independent — the
+    * property that lets an iterative trainer be oracle-checked bit-exactly.
+    */
+  private def quantNorm(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => Det.rnd(x.cast("double"), 6)).as("v"))
+      .select(col("vec_id"), col("v"),
+        sqrt(VectorFunctions.dot(s, col("v"), col("v"))).as("nrm"))
+
+  /** Seeded Lloyd's for the IVF coarse codebook: init = first nCentroids
+    * vectors, then `iters` rounds of (assign to max rounded cosine with id
+    * tiebreak) -> (per-cell, per-dimension mean from exact DECIMAL sums).
+    * Every step is engine-independent, so the DuckDB oracle replays training
+    * exactly. Empty cells drop (both engines). At 100 TB this trains on a
+    * sample and broadcasts — the plan shape here IS that shape (centroids
+    * are broadcast; only assignment scans the corpus).
+    */
+  private[ann] def trainIvfCentroids(s: SparkSession, e: DataFrame,
+                                     nCentroids: Int, iters: Int): DataFrame = {
+    var cents = e.where(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+    for (_ <- 0 until iters) {
+      val wA = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
+      val assigned = e.join(broadcast(cents), lit(true))
+        .select(col("vec_id"), col("v"), col("c_id"),
+          round(cosine(s, col("v"), col("cv"), col("nrm"), col("cn")), 6).as("c_cos"))
+        .withColumn("arn", row_number().over(wA))
+        .where(col("arn") === 1)
+        .select(col("v"), col("c_id").as("cell"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy(col("cell"), col("i"))
+        .agg(Det.rnd(sum(col("x").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
+          .as("mx"))
+      cents = means.groupBy(col("cell"))
+        .agg(transform(sort_array(collect_list(struct(col("i"), col("mx")))),
+          t => t.getField("mx")).as("cv"))
+        .select(col("cell").as("c_id"), col("cv"),
+          sqrt(VectorFunctions.dot(s, col("cv"), col("cv"))).as("cn"))
+        .localCheckpoint(true) // tiny; truncates the per-iteration lineage
+    }
+    cents
+  }
+
+  /** IVF (inverted-file) ANN: vectors are assigned to their nearest
+    * centroid cell from a Lloyd's-trained codebook (seeded deterministically,
+    * see [[trainIvfCentroids]]), and each query searches only its probed
+    * cells. The cell id is the shuffle key at scale; recall is tuned by
+    * nCentroids/nprobe (Jégou et al. PAMI '11).
     */
   def ivfTopK(s: SparkSession, d: String, k: Int = 5, nQueries: Int = 20,
-              nCentroids: Int = 16, nprobe: Int = 1): DataFrame = {
-    val e = withNorm(s, Tables.embeddings(s, d))
-    val cents = e.where(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn"))
+              nCentroids: Int = 16, nprobe: Int = 1, trainIters: Int = 2): DataFrame = {
+    val e = quantNorm(s, d)
+    val cents = trainIvfCentroids(s, e, nCentroids, trainIters)
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
     // centroid ranking per vector: arn=1 is the stored cell; arn<=nprobe are
     // the cells a query probes (IVF recall knob, Jégou et al. PAMI '11)
@@ -153,16 +197,46 @@ object Ann {
     * and scoring is a codes-table scan. Partial dots are rounded and summed
     * as exact decimals so the ADC score is association-order independent.
     */
+  /** Seeded Lloyd's for the PQ sub-codebooks: per subspace, init = first
+    * nCodes sub-vectors, then `iters` rounds of (assign to min rounded
+    * squared-L2 with id tiebreak) -> (per-code component means from exact
+    * DECIMAL sums). Same determinism contract as [[trainIvfCentroids]].
+    */
+  private[ann] def trainPqCentroids(subs: DataFrame, nCodes: Int,
+                                    iters: Int): DataFrame = {
+    var cents = subs.where(col("vec_id") < nCodes)
+      .select(col("sp").as("csp"), col("vec_id").as("c_id"), col("sv").as("cv"))
+    val sqL2 = aggregate(zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    for (_ <- 0 until iters) {
+      val wA = Window.partitionBy(col("vec_id"), col("sp")).orderBy(col("d2"), col("c_id"))
+      val assigned = subs.join(broadcast(cents), col("sp") === col("csp"))
+        .select(col("vec_id"), col("sp"), col("sv"), col("c_id"), round(sqL2, 6).as("d2"))
+        .withColumn("rn", row_number().over(wA))
+        .where(col("rn") === 1)
+        .select(col("sp"), col("sv"), col("c_id").as("code"))
+      val means = assigned
+        .select(col("sp"), col("code"), posexplode(col("sv")).as(Seq("si", "x")))
+        .groupBy(col("sp"), col("code"), col("si"))
+        .agg(Det.rnd(sum(col("x").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
+          .as("mx"))
+      cents = means.groupBy(col("sp"), col("code"))
+        .agg(transform(sort_array(collect_list(struct(col("si"), col("mx")))),
+          t => t.getField("mx")).as("cv"))
+        .select(col("sp").as("csp"), col("code").as("c_id"), col("cv"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
+
   def pqTopK(s: SparkSession, d: String, k: Int = 5, nQueries: Int = 20,
-             nCodes: Int = 16, m: Int = 4, dims: Int = 64): DataFrame = {
+             nCodes: Int = 16, m: Int = 4, dims: Int = 64, trainIters: Int = 2): DataFrame = {
     val sw = dims / m
-    val e = Tables.embeddings(s, d)
-      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val e = quantNorm(s, d).select(col("vec_id"), col("v"))
     val subs = e
       .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("sp"), col("v"))
       .select(col("vec_id"), col("sp"), slice(col("v"), col("sp") * sw + 1, lit(sw)).as("sv"))
-    val cents = subs.where(col("vec_id") < nCodes)
-      .select(col("sp").as("csp"), col("vec_id").as("c_id"), col("sv").as("cv"))
+    val cents = trainPqCentroids(subs, nCodes, trainIters)
     val sqL2 = aggregate(zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
       lit(0.0), (acc, x) => acc + x)
     val wAssign = Window.partitionBy(col("vec_id"), col("sp")).orderBy(col("d2"), col("c_id"))
