@@ -96,6 +96,25 @@ object SparkEntry {
                    {"range":{"user_id":{"lt":40}}}]}"""), Start, End)),
     "ts_read_filter_regexp" -> ((s, d) => Tsdb.read(Tsdb.points(s, d),
       EsFilter.compile("""{"regexp":{"event_type":"[cp].*[ek]"}}"""), Start, End)),
+    // ids query: ES `_id` resolves to the caller-named id column (event_id)
+    "ts_read_filter_ids" -> ((s, d) => {
+      val pt = Tsdb.points(s, d)
+      Tsdb.read(pt, EsFilter.compile(
+        """{"ids":{"values":[2500, 3000, 4096, 5555, 6900, 25000]}}""",
+        pt.df.columns, "event_id"), Start, End)
+    }),
+    // basic query_string: field:value terms, AND tighter than OR, wildcards
+    "ts_read_filter_qs" -> ((s, d) => Tsdb.read(Tsdb.points(s, d),
+      EsFilter.compile(
+        """{"query_string":{"query":"event_type:sign* OR event_type:view AND user_id:7"}}"""),
+      Start, End)),
+    // bool.minimum_should_match: at least 2 of the 3 should clauses
+    "ts_read_filter_msm" -> ((s, d) => Tsdb.read(Tsdb.points(s, d),
+      EsFilter.compile(
+        """{"bool":{"should":[{"term":{"event_type":"click"}},
+                              {"range":{"value":{"gte":50}}},
+                              {"range":{"user_id":{"lt":25}}}],
+                    "minimum_should_match":2}}"""), Start, End)),
     // schema-aware compile: a filter on a never-written tag matches nothing
     // (ES filter context), and its negation matches everything
     "ts_read_filter_unknown_tag" -> ((s, d) => {
@@ -612,6 +631,24 @@ object SparkEntry {
       s"""SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events
           WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
             AND regexp_full_match(event_type, '[cp].*[ek]')
+          ORDER BY 1, 2, 3, 4""",
+    "ts_read_filter_ids" ->
+      s"""SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events
+          WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
+            AND event_id IN (2500, 3000, 4096, 5555, 6900, 25000)
+          ORDER BY 1, 2, 3, 4""",
+    "ts_read_filter_qs" ->
+      s"""SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events
+          WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
+            AND (regexp_full_match(event_type, 'sign.*')
+                 OR (event_type = 'view' AND user_id = 7))
+          ORDER BY 1, 2, 3, 4""",
+    "ts_read_filter_msm" ->
+      s"""SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events
+          WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
+            AND (CASE WHEN event_type = 'click' THEN 1 ELSE 0 END
+                 + CASE WHEN value >= 50 THEN 1 ELSE 0 END
+                 + CASE WHEN user_id < 25 THEN 1 ELSE 0 END) >= 2
           ORDER BY 1, 2, 3, 4""",
     "ts_read_filter_unknown_tag" ->
       s"""SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events

@@ -72,6 +72,45 @@ object IngestStream {
       .start(sinkDir)
   }
 
+  /** Source-agnostic ingestion for live (non-file) sources — a Kafka
+    * value-parsed stream or a MemoryStream, anything producing the wire
+    * schema. Two differences from the file flavor, both from the reference's
+    * live write path (lib/orestes-inserter.js:139-206):
+    *
+    *  - the per-point ERROR CHANNEL is persisted: rejected points land in
+    *    `errDir` with their error reason (the reference returns per-point
+    *    errors to the writer; a live pipeline keeps a dead-letter dir);
+    *  - exactly-once via idempotent REPLAY: every micro-batch writes under
+    *    its own `ingest_batch=<id>` partition with dynamic partition
+    *    overwrite, so a batch replayed after a crash REWRITES its own
+    *    directories instead of appending duplicates.
+    */
+  def startFromSource(raw: DataFrame, sinkDir: String, errDir: String,
+                      checkpointDir: String,
+                      granularityDays: Int = Tsdb.GranularityDays): StreamingQuery =
+    validate(raw).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val b = batch.persist()
+        try {
+          bucketed(b, granularityDays)
+            .withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch", "bucket_day")
+            .parquet(sinkDir)
+          b.where(col("error").isNotNull)
+            .withColumn("ingest_batch", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("ingest_batch")
+            .parquet(errDir)
+        } finally b.unpersist()
+        ()
+      }
+      .start()
+
   /** Stream-stream interval join: each left point matched to right points of
     * the same user within [0, joinWindowMs) after it. Both sides carry
     * watermarks so Spark can bound the join state — the live counterpart of

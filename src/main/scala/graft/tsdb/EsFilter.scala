@@ -16,8 +16,10 @@ import scala.jdk.CollectionConverters._
   * min/max pruning + partition pruning instead of an external ES cluster.
   *
   * Supported: match_all, term, terms, range (gt/gte/lt/lte), exists, missing,
-  * prefix, wildcard, regexp, bool (must/filter/should/must_not), and, or, not.
-  * `should` requires at least one clause to match (filter-context semantics).
+  * prefix, wildcard, regexp, ids, query_string (field:value / AND / OR /
+  * wildcards), bool (must/filter/should/must_not/minimum_should_match),
+  * and, or, not. `should` requires at least one clause to match
+  * (filter-context semantics) unless `minimum_should_match` says otherwise.
   *
   * Dotted field names address JSON tag bags: `props.k` compiles to
   * `get_json_object(props, "$.k")` — the Spark answer to the reference's
@@ -44,12 +46,25 @@ object EsFilter {
 
   private def known(c: String): Boolean = available.get().forall(_.contains(c))
 
+  /** What the ES `_id` pseudo-field resolves to. ES assigns every document an
+    * `_id`; the relational analog is the table's id column, so callers name
+    * it (`event_id` for the events points table). Unset -> `_id` behaves like
+    * any other (likely unknown) field.
+    */
+  private val idField = new ThreadLocal[Option[String]] {
+    override def initialValue(): Option[String] = None
+  }
+
+  private def resolve(f: String): String =
+    if (f == "_id") idField.get().getOrElse(f) else f
+
   /** Column for a possibly-dotted field: `a.b.c` -> json path `$.b.c` in
     * string column `a`. Fields (or JSON roots) absent from the stored schema
     * compile to null, mirroring ES filter-context semantics on an unindexed
     * field (the reference forwards filters verbatim to ES, orestes.js:84).
     */
-  private def fieldCol(f: String): Column =
+  private def fieldCol(f0: String): Column = {
+    val f = resolve(f0)
     if (isJsonPath(f)) {
       val parts = f.split("\\.")
       if (known(parts.head))
@@ -57,6 +72,7 @@ object EsFilter {
       else lit(null).cast("string")
     } else if (known(f)) col(f)
     else lit(null).cast("string")
+  }
 
   def compile(json: String): Column = compileNode(mapper.readTree(json))
 
@@ -66,6 +82,14 @@ object EsFilter {
   def compile(json: String, columns: Iterable[String]): Column = {
     available.set(Some(columns.toSet))
     try compile(json) finally available.set(None)
+  }
+
+  /** Compile with an `_id` mapping: ES `ids` queries (and `_id:` terms)
+    * resolve to `idCol`.
+    */
+  def compile(json: String, columns: Iterable[String], idCol: String): Column = {
+    idField.set(Some(idCol))
+    try compile(json, columns) finally idField.set(None)
   }
 
   def compileNode(node: JsonNode): Column = {
@@ -83,6 +107,8 @@ object EsFilter {
       case "prefix"    => { val (f, v) = fieldValue(body); fieldCol(f).startsWith(v.asText()) }
       case "wildcard"  => { val (f, v) = fieldValue(body); fieldCol(f).rlike(wildcardToRegex(v.asText())) }
       case "regexp"    => { val (f, v) = fieldValue(body); fieldCol(f).rlike("^(?:" + v.asText() + ")$") }
+      case "ids"       => ids(body)
+      case "query_string" => queryString(body)
       case "bool"      => bool(body)
       case "and"       => clauses(body).map(compileNode).reduceOption(_ && _).getOrElse(lit(true))
       case "or"        => clauses(body).map(compileNode).reduceOption(_ || _).getOrElse(lit(false))
@@ -151,15 +177,67 @@ object EsFilter {
     preds.reduce(_ && _)
   }
 
+  /** ES `ids` query: documents whose `_id` is in `values` — the saved-filter
+    * form porting users hit first (the reference forwards it verbatim to ES,
+    * lib/orestes.js:84). `_id` resolves through the caller-named id column.
+    */
+  private def ids(body: JsonNode): Column = {
+    require(body.isObject && body.has("values"), s"""expected {"values": [...]}, got $body""")
+    val vs = body.get("values").elements().asScala.toSeq
+    val c = fieldCol("_id")
+    vs.map(v => c === jsonLit(v)).reduceOption(_ || _).getOrElse(lit(false))
+  }
+
+  /** Basic ES `query_string` support: whitespace-separated `field:value`
+    * terms, explicit `AND`/`OR` connectives (AND binds tighter, adjacency
+    * defaults to OR — ES's default_operator), `*`/`?` wildcards in values.
+    * Values that parse as numbers compare numerically.
+    */
+  private def queryString(body: JsonNode): Column = {
+    val q = (if (body.isObject) body.get("query").asText() else body.asText()).trim
+    require(q.nonEmpty, "query_string needs a non-empty query")
+    def termOf(tok: String): Column = {
+      val sep = tok.indexOf(':')
+      require(sep > 0, s"query_string term must be field:value, got '$tok'")
+      val (f, v) = (tok.substring(0, sep), tok.substring(sep + 1))
+      if (v.exists(c => c == '*' || c == '?')) fieldCol(f).rlike(wildcardToRegex(v))
+      else if (v.matches("-?\\d+")) fieldCol(f) === lit(v.toLong)
+      else if (v.matches("-?\\d*\\.\\d+")) fieldCol(f) === lit(v.toDouble)
+      else fieldCol(f) === lit(v)
+    }
+    // left-to-right with AND binding tighter than OR: fold AND-runs into
+    // groups, then OR the groups
+    val groups = scala.collection.mutable.ListBuffer.empty[Column]
+    var nextOp = "OR"
+    q.split("\\s+").foreach {
+      case "AND" => nextOp = "AND"
+      case "OR"  => nextOp = "OR"
+      case tok =>
+        val c = termOf(tok)
+        if (groups.isEmpty || nextOp == "OR") groups += c
+        else groups(groups.size - 1) = groups.last && c
+        nextOp = "OR"
+    }
+    require(groups.nonEmpty, "query_string needs at least one field:value term")
+    groups.reduce(_ || _)
+  }
+
   private def bool(body: JsonNode): Column = {
     def sub(key: String): Seq[Column] =
       if (body.has(key)) clauses(body.get(key)).map(compileNode) else Nil
     val must    = sub("must") ++ sub("filter")
     val should  = sub("should")
     val mustNot = sub("must_not")
+    val msm = if (body.has("minimum_should_match")) body.get("minimum_should_match").asInt
+              else 1
+    val shouldPred =
+      if (should.isEmpty) None
+      else if (msm <= 1) Some(should.reduce(_ || _))
+      else Some(should.map(c => when(coalesce(c, lit(false)), 1).otherwise(0): Column)
+        .reduce(_ + _) >= msm)
     val parts =
       (if (must.nonEmpty) Seq(must.reduce(_ && _)) else Nil) ++
-      (if (should.nonEmpty) Seq(should.reduce(_ || _)) else Nil) ++
+      shouldPred.toSeq ++
       (if (mustNot.nonEmpty) Seq(!mustNot.map(c => coalesce(c, lit(false))).reduce(_ || _)) else Nil)
     if (parts.isEmpty) lit(true) else parts.reduce(_ && _)
   }

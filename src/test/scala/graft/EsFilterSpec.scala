@@ -89,6 +89,50 @@ class EsFilterSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { EsFilter.compile("""{"fuzzy":{"x":"y"}}""") }
   }
 
+  test("ids query resolves _id through the caller-named id column") {
+    val got = df.where(EsFilter.compile("""{"ids":{"values":[2, 5]}}""",
+        df.columns, "user_id"))
+      .select("user_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(2L, 5L))
+    // without an id mapping, _id is an unknown field: matches nothing
+    val none = df.where(EsFilter.compile("""{"ids":{"values":[2]}}""", df.columns))
+    assert(none.count() == 0)
+    // empty values list is valid ES and matches nothing
+    assert(df.where(EsFilter.compile("""{"ids":{"values":[]}}""",
+      df.columns, "user_id")).count() == 0)
+  }
+
+  test("query_string: field:value, AND binds tighter than OR, wildcards, numbers") {
+    assert(ids("""{"query_string":{"query":"event_type:click"}}""") == Seq(2L))
+    // OR of two terms
+    assert(ids("""{"query_string":{"query":"event_type:click event_type:error"}}""")
+      == Seq(2L, 3L))
+    // AND binds tighter: signup OR (purchase AND value-like user 5)
+    assert(ids(
+      """{"query_string":{"query":"event_type:signup OR event_type:purchase AND user_id:5"}}""")
+      == Seq(4L, 5L))
+    // wildcard values
+    assert(ids("""{"query_string":{"query":"event_type:p*"}}""") == Seq(1L, 5L))
+    // numeric values compare numerically
+    assert(ids("""{"query_string":{"query":"value:99.5"}}""") == Seq(3L))
+    intercept[IllegalArgumentException] {
+      EsFilter.compile("""{"query_string":{"query":"no-colon-term"}}""")
+    }
+  }
+
+  test("bool minimum_should_match") {
+    val json =
+      """{"bool":{"should":[{"term":{"event_type":"purchase"}},
+                            {"range":{"value":{"gte":50}}},
+                            {"range":{"user_id":{"lte":2}}}],
+                  "minimum_should_match":2}}"""
+    // 1:purchase+id<=2, 2:value>=50+id<=2, 3:value>=50 only(=1), 5:purchase+value>=75
+    assert(ids(json) == Seq(1L, 2L, 5L))
+    // msm=1 degrades to plain OR
+    assert(ids(json.replace("\"minimum_should_match\":2", "\"minimum_should_match\":1"))
+      == Seq(1L, 2L, 3L, 5L))
+  }
+
   test("filters push down to the parquet scan") {
     val plan = graft.core.Tables.events(spark, Sf)
       .where(EsFilter.compile("""{"term":{"event_type":"purchase"}}"""))

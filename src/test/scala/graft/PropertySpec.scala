@@ -13,6 +13,46 @@ class PropertySpec extends SparkTestBase {
     assert(res.passed, res.status.toString)
   }
 
+  test("approx_distinct is within 3 sigma of the exact distinct count per group") {
+    // rsd = 0.02 in Analytics.approxDistinct -> 3σ = 6% relative error;
+    // +2 absolute slack keeps tiny groups (σ rounds to ~0) honest
+    val approx = graft.operators.Analytics.approxDistinct(spark, Sf)
+      .select(col("event_type"), col("approx_users")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.core.Tables.events(spark, Sf)
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, ex) =>
+      val tol = math.max(3 * 0.02 * ex, 2.0)
+      assert(math.abs(approx(k) - ex) <= tol,
+        s"$k: approx ${approx(k)} vs exact $ex exceeds 3 sigma ($tol)")
+    }
+  }
+
+  test("approx_quantile lands within the GK rank-error window of the exact quantiles") {
+    // percentile_approx accuracy 10000 -> rank error ε = 1/10000; allow a
+    // generous ε = 0.01 window: approx q must lie within the exact
+    // [q-ε, q+ε] quantile values
+    val approx = graft.operators.Analytics.approxQuantile(spark, Sf).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val vals = graft.core.Tables.events(spark, Sf)
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    val eps = 0.01
+    approx.foreach { case (k, qs) =>
+      val sorted = vals(k)
+      def exactAt(q: Double): Double =
+        sorted(math.max(0, math.min(sorted.length - 1, (q * (sorted.length - 1)).round.toInt)))
+      Seq(0.5, 0.95, 0.99).zip(qs).foreach { case (q, a) =>
+        val lo = exactAt(q - eps); val hi = exactAt(q + eps)
+        assert(a >= lo - 1e-9 && a <= hi + 1e-9,
+          s"$k p$q: approx $a outside exact rank window [$lo, $hi]")
+      }
+    }
+  }
+
   test("wildcard-free patterns match exactly themselves") {
     val gen = Gen.nonEmptyListOf(Gen.frequency(
       (8, Gen.alphaNumChar), (1, Gen.oneOf('.', '[', '(', '+', '$', '^')))).map(_.mkString)

@@ -12,6 +12,40 @@ class StreamingSpec extends SparkTestBase {
     p
   }
 
+  test("memory-source ingest persists per-point errors and replays without duplicates") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sink = tmp("mem-sink"); val err = tmp("mem-err"); val ckpt = tmp("mem-ckpt")
+    val mem = MemoryStream[(String, Double, Long, String)]
+    val raw = mem.toDF().toDF("time", "value", "user_id", "event_type")
+
+    val q = IngestStream.startFromSource(raw, sink, err, ckpt)
+    mem.addData(
+      ("2024-01-09T10:00:00Z", 1.5, 9L, "click"),
+      (null, 2.0, 9L, "view"),                       // invalid timestamp
+      ("2024-01-09T11:00:00Z", Double.NaN, 9L, "view")) // invalid value
+    q.processAllAvailable(); q.stop()
+
+    val good = spark.read.parquet(sink)
+    assert(good.count() == 1)
+    assert(good.select("value").head.getDouble(0) == 1.5)
+    // the error channel carries the reference's per-point reasons
+    val errs = spark.read.parquet(err).select("error").collect().map(_.getString(0)).sorted
+    assert(errs.toSeq == Seq("invalid timestamp", "invalid value"))
+
+    // restart against the SAME checkpoint: earlier batches must not re-land
+    // (per-batch dynamic-overwrite partitions = idempotent replay), new data
+    // lands exactly once
+    val q2 = IngestStream.startFromSource(raw, sink, err, ckpt)
+    mem.addData(("2024-01-16T10:00:00Z", 3.0, 7L, "view"))
+    q2.processAllAvailable(); q2.stop()
+    val all = spark.read.parquet(sink)
+    assert(all.count() == 2, "old batch not duplicated, new point landed once")
+    assert(all.select("value").collect().map(_.getDouble(0)).sorted.toSeq == Seq(1.5, 3.0))
+    // distinct buckets: 2024-01-09 week vs 2024-01-16 week
+    assert(all.select("bucket_day").distinct().count() == 2)
+  }
+
   test("file-source ingest validates and lands bucket-partitioned parquet") {
     val src = tmp("src"); val sink = tmp("sink"); val ckpt = tmp("ckpt")
     val lines = Seq(
