@@ -229,6 +229,7 @@ object SparkEntry {
     "ann_ivf" -> ((s, d) => Ann.ivfTopK(s, d)),
     "ann_ivf_nprobe" -> ((s, d) => Ann.ivfTopK(s, d, nprobe = 2)),
     "ann_pq" -> ((s, d) => Ann.pqTopK(s, d)),
+    "ann_pq_rerank" -> ((s, d) => Ann.pqRerankTopK(s, d)),
     "text_lm_score" -> ((s, d) => TextOps.lmScore(s, d)),
     "text_langid" -> ((s, d) => TextOps.langId(s, d)),
     "text_quality" -> ((s, d) => TextOps.quality(s, d)),
@@ -313,6 +314,33 @@ object SparkEntry {
     }
     (init +: steps).mkString(",\n")
   }
+
+  /** PQ code assignment + ADC scoring CTEs (assumes VecrCte): sub-vectors,
+    * trained sub-codebooks (p2), codes, query LUT, and `adc` scores — shared
+    * by the ann_pq and ann_pq_rerank oracles.
+    */
+  private def PqAdcCte: String =
+    s"""sub AS (SELECT vec_id, (i-1)//16 AS sp, i, x FROM evr),
+        ${pqTrainCte(2, 16)},
+        d2 AS (SELECT a.vec_id, a.sp, c.c_id,
+                      round(sum((a.x - c.cx) * (a.x - c.cx)), 6) AS d2
+               FROM sub a JOIN p2 c ON c.sp = a.sp AND c.i = a.i
+               GROUP BY 1, 2, 3),
+        codes AS (SELECT vec_id, sp, c_id AS code FROM (
+                    SELECT vec_id, sp, c_id,
+                           row_number() OVER (PARTITION BY vec_id, sp
+                                              ORDER BY d2, c_id) AS rn
+                    FROM d2) WHERE rn = 1),
+        lut AS (SELECT a.vec_id AS q_id, a.sp, c.c_id,
+                       round(sum(a.x * c.cx), 6) AS pdot
+                FROM sub a JOIN p2 c ON c.sp = a.sp AND c.i = a.i
+                WHERE a.vec_id < 20 GROUP BY 1, 2, 3),
+        adc AS (SELECT l.q_id, cd.vec_id AS n_id,
+                       round(CAST(sum(CAST(l.pdot AS DECIMAL(14,6))) AS DOUBLE), 6)
+                         AS approx_dot
+                FROM codes cd JOIN lut l ON l.sp = cd.sp AND l.c_id = cd.code
+                                           AND cd.vec_id <> l.q_id
+                GROUP BY 1, 2)"""
 
   private def dsumSql(e: String, scale: Int = 2) =
     s"round(CAST(sum(CAST($e AS DECIMAL(18,4))) AS DOUBLE), $scale)"
@@ -1291,32 +1319,31 @@ object SparkEntry {
           SELECT q_id, n_id, cosine, rank FROM r WHERE rank <= 5 ORDER BY 1, 2, 3, 4""",
     "ann_pq" ->
       s"""WITH $VecrCte,
-              sub AS (SELECT vec_id, (i-1)//16 AS sp, i, x FROM evr),
-              ${pqTrainCte(2, 16)},
-              d2 AS (SELECT a.vec_id, a.sp, c.c_id,
-                            round(sum((a.x - c.cx) * (a.x - c.cx)), 6) AS d2
-                     FROM sub a JOIN p2 c ON c.sp = a.sp AND c.i = a.i
-                     GROUP BY 1, 2, 3),
-              codes AS (SELECT vec_id, sp, c_id AS code FROM (
-                          SELECT vec_id, sp, c_id,
-                                 row_number() OVER (PARTITION BY vec_id, sp
-                                                    ORDER BY d2, c_id) AS rn
-                          FROM d2) WHERE rn = 1),
-              lut AS (SELECT a.vec_id AS q_id, a.sp, c.c_id,
-                             round(sum(a.x * c.cx), 6) AS pdot
-                      FROM sub a JOIN p2 c ON c.sp = a.sp AND c.i = a.i
-                      WHERE a.vec_id < 20 GROUP BY 1, 2, 3),
-              adc AS (SELECT l.q_id, cd.vec_id AS n_id,
-                             round(CAST(sum(CAST(l.pdot AS DECIMAL(14,6))) AS DOUBLE), 6)
-                               AS approx_dot
-                      FROM codes cd JOIN lut l ON l.sp = cd.sp AND l.c_id = cd.code
-                                                 AND cd.vec_id <> l.q_id
-                      GROUP BY 1, 2),
+              $PqAdcCte,
               r AS (SELECT q_id, n_id, approx_dot,
                            CAST(row_number() OVER (PARTITION BY q_id
                              ORDER BY approx_dot DESC, n_id) AS BIGINT) AS rank
                     FROM adc)
           SELECT q_id, n_id, approx_dot, rank FROM r WHERE rank <= 5 ORDER BY 1, 2, 3, 4""",
+    "ann_pq_rerank" ->
+      s"""WITH $VecrCte,
+              $PqAdcCte,
+              cand AS (SELECT q_id, n_id FROM (
+                         SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+                           ORDER BY approx_dot DESC, n_id) AS adc_rank FROM adc)
+                       WHERE adc_rank <= 50),
+              xd AS (SELECT c.q_id, c.n_id, sum(a.x * b.x) AS dot
+                     FROM cand c JOIN evr a ON a.vec_id = c.q_id
+                                 JOIN evr b ON b.vec_id = c.n_id AND b.i = a.i
+                     GROUP BY 1, 2),
+              xc AS (SELECT q_id, n_id, round(dot/sqrt(nq.nsq*nn.nsq), 6) AS cosine
+                     FROM xd JOIN vnr nq ON nq.vec_id = q_id
+                             JOIN vnr nn ON nn.vec_id = n_id),
+              r AS (SELECT q_id, n_id, cosine,
+                           CAST(row_number() OVER (PARTITION BY q_id
+                             ORDER BY cosine DESC, n_id) AS BIGINT) AS rank
+                    FROM xc)
+          SELECT q_id, n_id, cosine, rank FROM r WHERE rank <= 5 ORDER BY 1, 2, 3, 4""",
     "text_lm_score" ->
       s"""WITH t0 AS (SELECT doc_id, string_split($NormSql, ' ') AS toks FROM documents),
               bg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
