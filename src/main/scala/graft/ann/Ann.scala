@@ -133,7 +133,9 @@ object Ann {
     */
   def ivfTopK(s: SparkSession, d: String, k: Int = 5, nQueries: Int = 20,
               nCentroids: Int = 16, nprobe: Int = 1, trainIters: Int = 2): DataFrame = {
-    val e = quantNorm(s, d)
+    // cache: each training iteration scans the quantized vectors twice
+    // (assignment + means) and the probe phase scans them again
+    val e = quantNorm(s, d).cache()
     val cents = trainIvfCentroids(s, e, nCentroids, trainIters)
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
     // centroid ranking per vector: arn=1 is the stored cell; arn<=nprobe are
@@ -239,6 +241,7 @@ object Ann {
     val subs = e
       .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("sp"), col("v"))
       .select(col("vec_id"), col("sp"), slice(col("v"), col("sp") * sw + 1, lit(sw)).as("sv"))
+      .cache() // scanned twice per training iteration + codes + LUT
     val cents = trainPqCentroids(subs, nCodes, trainIters)
     val sqL2 = aggregate(zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
       lit(0.0), (acc, x) => acc + x)
