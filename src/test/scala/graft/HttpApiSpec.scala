@@ -1,0 +1,78 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.http.GraftHttpServer
+import graft.tsdb.Graft
+
+/** The reference's HTTP write/read/delete cycle (test/http-api.spec.js)
+  * against the facade: real sockets, real JSON, the embedded engine behind.
+  */
+class HttpApiSpec extends SparkTestBase {
+  private val mapper = new ObjectMapper()
+
+  private def post(port: Int, path: String, body: String): (Int, String) = {
+    val client = HttpClient.newHttpClient()
+    val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  test("write/read/count/series/select_distinct/delete over HTTP") {
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "graft-http").toString
+    val srv = new GraftHttpServer(new Graft(spark, root), spark)
+    val port = srv.start()
+    try {
+      // write: 3 valid points + 1 invalid -> per-point error in the response
+      val (wc, wb) = post(port, "/write",
+        """{"points":[
+             {"time":"2024-01-09T10:00:00Z","value":17.0,"name":"cpu","host":"a"},
+             {"time":"2024-01-09T10:00:01Z","value":57.0,"name":"cpu","host":"b"},
+             {"time":"2024-01-19T10:00:02Z","value":93.0,"name":"cpu","host":"b"},
+             {"time":"nope","value":5.0,"name":"bad","host":"x"}]}""")
+      assert(wc == 200, wb)
+      val werrs = mapper.readTree(wb).get("errors")
+      assert(werrs.size() == 1 &&
+        werrs.get(0).get("error").asText() == "invalid timestamp")
+
+      // read: series arrays with sorted points
+      val (rc, rb) = post(port, "/read", """{"filter":{"term":{"host":"b"}}}""")
+      assert(rc == 200, rb)
+      val series = mapper.readTree(rb).get("series")
+      assert(series.size() == 1)
+      assert(series.get(0).get("points").size() == 2)
+
+      // count per series
+      val (_, cb) = post(port, "/count", "{}")
+      val counts = mapper.readTree(cb).get("series")
+      assert(counts.size() == 2) // (cpu,a) and (cpu,b)
+
+      // stream list + select_distinct
+      val (_, sb) = post(port, "/series", "{}")
+      assert(mapper.readTree(sb).get("series").size() == 2)
+      val (_, db) = post(port, "/select_distinct", """{"keys":["host"]}""")
+      val hosts = mapper.readTree(db).get("values")
+      assert((0 until hosts.size()).map(hosts.get(_).get("host").asText()).sorted
+        == Seq("a", "b"))
+
+      // time-range read is [start, end)
+      val (_, tb) = post(port, "/read",
+        """{"start":1704758400000,"end":1704844800000}""")
+      val daySeries = mapper.readTree(tb).get("series")
+      assert((0 until daySeries.size()).map(daySeries.get(_).get("points").size()).sum == 2)
+
+      // bad request surfaces as 400, not a hung socket
+      val (bc, _) = post(port, "/write", """{"nope":1}""")
+      assert(bc == 400)
+
+      // delete keeps recent buckets only (both 2024 buckets age out vs now)
+      val (dc, delb) = post(port, "/delete", """{"keep_days":100000}""")
+      assert(dc == 200, delb)
+      assert(mapper.readTree(delb).get("dropped_buckets").size() == 0)
+    } finally srv.stop()
+  }
+}
