@@ -33,4 +33,20 @@ object Sources {
     case "json" => df.write.mode(mode).json(path)
     case other => throw new IllegalArgumentException(s"unsupported format: $other")
   }
+
+  /** Bucketed managed table: `bucketBy(key) + sortBy(key)` so repeated joins
+    * and aggregations on the key are CO-LOCATED — Catalyst sees the hash
+    * distribution and elides the exchange entirely. At 100 TB this is the
+    * difference between shuffling the fact table per join and never
+    * shuffling it: bucket once at write time, join shuffle-free forever
+    * (both sides bucketed on the join key with the same count). The sortBy
+    * keeps row-group stats selective within each bucket file.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    nBuckets: Int = 8, sortCols: Seq[String] = Nil): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, key)
+      .sortBy(key, sortCols: _*)
+      .format("parquet")
+      .saveAsTable(table)
 }

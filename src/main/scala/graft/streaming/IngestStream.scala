@@ -133,6 +133,19 @@ object IngestStream {
       col("r_ts") < col("l_ts") + expr(s"INTERVAL $joinWindowMs MILLISECOND"))
   }
 
+  /** Streaming exact dedup — the live counterpart of `Dedup.exact` for
+    * at-least-once sources (a producer retry or replayed Kafka offset
+    * re-delivers the same point). Duplicate (series, time) keys are dropped
+    * as long as they re-arrive within the watermark horizon; dedup state is
+    * bounded by that horizon instead of growing with the stream.
+    */
+  def dedupped(validated: DataFrame, watermark: String = "2 hours"): DataFrame =
+    validated.where(col("error").isNull)
+      .select(timestamp_millis(col("time_ms")).as("ts"), col("time_ms"),
+        col("user_id"), col("event_type"), col("value"))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "time_ms")
+
   /** Live per-series counts over event-time windows with a watermark — the
     * streaming equivalent of `/read` + count aggregation. Late data beyond
     * the watermark is dropped; state is bounded.

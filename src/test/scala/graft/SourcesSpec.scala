@@ -37,4 +37,30 @@ class SourcesSpec extends SparkTestBase {
       Sources.read(spark, "/nowhere", "xml")
     }
   }
+
+  test("bucketed tables join without any exchange (co-located join)") {
+    val events = graft.core.Tables.events(spark, Sf)
+      .select(col("event_id"), col("user_id"), col("value"))
+    val users = events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    Sources.writeBucketed(events, "bt_events", "user_id", nBuckets = 4)
+    Sources.writeBucketed(users, "bt_users", "user_id", nBuckets = 4)
+    try {
+      // the merge hint pins a sort-merge join PER QUERY (other suites share
+      // this session — never mutate global conf like the broadcast
+      // threshold here), so the test proves the BUCKETED path elides the
+      // shuffle, not the broadcast path
+      val joined = spark.table("bt_events").hint("merge")
+        .join(spark.table("bt_users"), "user_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected a sort-merge join:\n$plan")
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle either side:\n$plan")
+      // and it computes the right thing
+      assert(joined.count() == events.count())
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bt_events")
+      spark.sql("DROP TABLE IF EXISTS bt_users")
+    }
+  }
 }

@@ -46,6 +46,30 @@ class StreamingSpec extends SparkTestBase {
     assert(all.select("bucket_day").distinct().count() == 2)
   }
 
+  test("streaming dedup drops re-delivered points within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(String, Double, Long, String)]
+    val raw = mem.toDF().toDF("time", "value", "user_id", "event_type")
+    val q = IngestStream.dedupped(IngestStream.validate(raw))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    // batch 1: a point and its same-batch duplicate
+    mem.addData(
+      ("2024-01-09T10:00:00Z", 1.5, 9L, "click"),
+      ("2024-01-09T10:00:00Z", 1.5, 9L, "click"),
+      ("2024-01-09T10:30:00Z", 2.5, 9L, "view"))
+    q.processAllAvailable()
+    // batch 2: an at-least-once redelivery of the first point + a new one
+    mem.addData(
+      ("2024-01-09T10:00:00Z", 1.5, 9L, "click"),
+      ("2024-01-09T11:00:00Z", 3.5, 9L, "click"))
+    q.processAllAvailable(); q.stop()
+    val vals = spark.table("dedup_out").select("value")
+      .collect().map(_.getDouble(0)).sorted.toSeq
+    assert(vals == Seq(1.5, 2.5, 3.5), s"duplicates must be dropped once: $vals")
+  }
+
   test("file-source ingest validates and lands bucket-partitioned parquet") {
     val src = tmp("src"); val sink = tmp("sink"); val ckpt = tmp("ckpt")
     val lines = Seq(
