@@ -235,6 +235,8 @@ object SparkEntry {
     "text_quality" -> ((s, d) => TextOps.quality(s, d)),
     "text_tokens" -> ((s, d) => TextOps.tokenCounts(s, d)),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
+    "sample_stratified" -> ((s, d) => TextOps.stratifiedBalance(s, d)),
+    "pack_shards" -> ((s, d) => TextOps.packShards(s, d)),
     "text_bigrams" -> ((s, d) => TextOps.bigramStats(s, d)),
     "decontaminate" -> ((s, d) => TextOps.decontaminate(s, d)),
     "text_tfidf" -> ((s, d) => TextOps.tfidf(s, d)),
@@ -1355,6 +1357,43 @@ object SparkEntry {
           SELECT doc_id, count(*) AS n_bigrams,
                  round(CAST(sum(p) AS DOUBLE) / count(*) + 1e-9, 6) AS avg_p
           FROM bg JOIN p USING (w1, w2) GROUP BY 1 ORDER BY 1, 2, 3""",
+    "sample_stratified" -> {
+      def sc(l: String) = s"len(list_filter(toks, t -> t IN ${stopListSql(l)}))"
+      s"""WITH lt AS (SELECT doc_id, string_split($NormSql, ' ') AS toks FROM documents),
+              ls AS (SELECT doc_id, ${sc("en")} AS s_en, ${sc("es")} AS s_es,
+                            ${sc("fr")} AS s_fr, ${sc("de")} AS s_de, ${sc("zh")} AS s_zh
+                     FROM lt),
+              lp AS (SELECT doc_id,
+                            CASE WHEN s_en >= greatest(s_es, s_fr, s_de, s_zh) THEN 'en'
+                                 WHEN s_es >= greatest(s_en, s_fr, s_de, s_zh) THEN 'es'
+                                 WHEN s_fr >= greatest(s_en, s_es, s_de, s_zh) THEN 'fr'
+                                 WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+                                 ELSE 'zh' END AS pred_lang
+                     FROM ls),
+              tgt AS (SELECT min(n) AS target FROM
+                        (SELECT pred_lang, count(*) AS n FROM lp GROUP BY 1)),
+              rk AS (SELECT doc_id, pred_lang,
+                            CAST(row_number() OVER (PARTITION BY pred_lang
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+                              AS stratum_rank
+                     FROM lp)
+          SELECT doc_id, pred_lang, stratum_rank FROM rk, tgt
+          WHERE stratum_rank <= target ORDER BY 1, 2, 3"""
+    },
+    "pack_shards" ->
+      s"""WITH pt AS (SELECT doc_id,
+                             CAST(len(string_split($NormSql, ' ')) AS BIGINT) AS n_tokens,
+                             CAST(strpos('0123456789abcdef',
+                               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) % 16
+                               AS pack_bucket
+                      FROM documents),
+              pr AS (SELECT doc_id, pack_bucket, n_tokens,
+                            CAST(floor((sum(n_tokens) OVER (PARTITION BY pack_bucket
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                              - n_tokens) / 2000.0) AS BIGINT) AS shard_id
+                     FROM pt)
+          SELECT doc_id, pack_bucket, n_tokens, shard_id FROM pr ORDER BY 1, 2, 3, 4""",
     "text_fingerprint" ->
       s"""SELECT doc_id, md5($NormSql) AS content_fp,
                  md5(array_to_string(list_sort(list_distinct(

@@ -70,6 +70,53 @@ object TextOps {
     Det.ordered(out)
   }
 
+  /** Stratified balancing: downsample every language stratum to the size of
+    * the SMALLEST one, picking survivors by a deterministic md5 order — the
+    * domain-balancing step a training-data mix runs after language ID
+    * (uniform-at-random per stratum, reproducible across engines/runs).
+    * One shuffle to rank within strata; the target size is a broadcast
+    * single-row aggregate, never a driver round-trip.
+    */
+  def stratifiedBalance(s: SparkSession, d: String): DataFrame = {
+    val lang = langId(s, d).select(col("doc_id"), col("pred_lang"))
+    val target = lang.groupBy(col("pred_lang")).agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("target"))
+    val w = Window.partitionBy(col("pred_lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val out = lang
+      .select(col("doc_id"), col("pred_lang"),
+        row_number().over(w).cast("bigint").as("stratum_rank"))
+      .join(broadcast(target))
+      .where(col("stratum_rank") <= col("target"))
+      .select(col("doc_id"), col("pred_lang"), col("stratum_rank"))
+    Det.ordered(out)
+  }
+
+  /** Distributed sequence packing: assign documents to fixed-token-budget
+    * shards — the batch-assembly step before tokenized training data is
+    * written. Documents are spread over `nBuckets` deterministic hash
+    * buckets (the parallelism unit: each bucket packs independently, so the
+    * running sum is partitioned, never a global single-partition window),
+    * then greedily packed in md5 order: a document's shard is its bucket's
+    * running token count before it, divided by the budget.
+    */
+  def packShards(s: SparkSession, d: String, shardTokens: Long = 2000,
+                 nBuckets: Int = 16): DataFrame = {
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("bigint").as("n_tokens"))
+      .withColumn("pack_bucket",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10)
+          .cast("bigint") % nBuckets)
+    val w = Window.partitionBy(col("pack_bucket"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val out = t
+      .select(col("doc_id"), col("pack_bucket"), col("n_tokens"),
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / shardTokens)
+          .cast("bigint").as("shard_id"))
+    Det.ordered(out)
+  }
+
   /** Quality scoring: length / token / stopword / alpha / punctuation
     * signals combined into one score, the standard pre-filter shape for web
     * corpora.
