@@ -228,11 +228,21 @@ object EsFilter {
     val must    = sub("must") ++ sub("filter")
     val should  = sub("should")
     val mustNot = sub("must_not")
-    val msm = if (body.has("minimum_should_match")) body.get("minimum_should_match").asInt
-              else 1
+    // ES default: should is REQUIRED (>=1) in a pure should bool, OPTIONAL
+    // (>=0) once must/filter is present; explicit minimum_should_match
+    // overrides either way and accepts "N" or "P%" (percent of clauses,
+    // rounded down, per the ES spec)
+    val msm: Int =
+      if (!body.has("minimum_should_match")) { if (must.nonEmpty) 0 else 1 }
+      else {
+        val raw = body.get("minimum_should_match").asText()
+        if (raw.endsWith("%"))
+          math.floor(raw.dropRight(1).toDouble / 100.0 * should.size).toInt
+        else body.get("minimum_should_match").asInt()
+      }
     val shouldPred =
-      if (should.isEmpty) None
-      else if (msm <= 1) Some(should.reduce(_ || _))
+      if (should.isEmpty || msm <= 0) None
+      else if (msm == 1) Some(should.reduce(_ || _))
       else Some(should.map(c => when(coalesce(c, lit(false)), 1).otherwise(0): Column)
         .reduce(_ + _) >= msm)
     val parts =

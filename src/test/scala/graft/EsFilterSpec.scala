@@ -131,6 +131,21 @@ class EsFilterSpec extends SparkTestBase {
     // msm=1 degrades to plain OR
     assert(ids(json.replace("\"minimum_should_match\":2", "\"minimum_should_match\":1"))
       == Seq(1L, 2L, 3L, 5L))
+    // percentage form: "67%" of 3 clauses = floor(2.01) = 2
+    assert(ids(json.replace("\"minimum_should_match\":2", "\"minimum_should_match\":\"67%\""))
+      == Seq(1L, 2L, 5L))
+  }
+
+  test("should is optional when must is present (ES filter-context default)") {
+    // ES: a bool with must + should defaults minimum_should_match to 0 —
+    // the should clauses stop constraining unless made explicit
+    val json =
+      """{"bool":{"must":[{"range":{"value":{"gte":50}}}],
+                  "should":[{"term":{"event_type":"nomatch"}}]}}"""
+    assert(ids(json) == Seq(2L, 3L, 5L), "should must not filter here")
+    // explicit msm=1 restores the requirement
+    val strict = json.replace(""""should"""", """"minimum_should_match":1,"should"""")
+    assert(ids(strict) == Seq())
   }
 
   test("filters push down to the parquet scan") {
