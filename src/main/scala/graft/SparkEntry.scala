@@ -151,6 +151,12 @@ object SparkEntry {
     "ts_anomaly" -> ((s, d) => Tsdb.anomalies(Tsdb.points(s, d)
       .copy(tagCols = Seq("event_type")),
       EsFilter.compile("""{"match_all":{}}"""), Start, End)),
+    "ts_trend" -> ((s, d) => Tsdb.trend(Tsdb.points(s, d)
+      .copy(tagCols = Seq("event_type")),
+      EsFilter.compile("""{"match_all":{}}"""), Start, End)),
+    "ts_histogram_quantile" -> ((s, d) => Tsdb.histogramQuantile(Tsdb.points(s, d)
+      .copy(tagCols = Seq("event_type")),
+      EsFilter.compile("""{"match_all":{}}"""), Start, End)),
     "ts_histogram" -> ((s, d) => Tsdb.histogram(Tsdb.points(s, d)
       .copy(tagCols = Seq("event_type")),
       EsFilter.compile("""{"match_all":{}}"""), Start, End)),
@@ -785,6 +791,41 @@ object SparkEntry {
       s"""SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin, count(*) AS n
           FROM events WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
           GROUP BY 1, 2 ORDER BY 1, 2, 3""",
+    "ts_trend" ->
+      s"""WITH p AS (SELECT event_type,
+                            CAST(floor((epoch_ms(ts) - $Start) / 3600000.0) AS DECIMAL(9,0)) AS xh,
+                            CAST(value AS DECIMAL(9,4)) AS v
+                     FROM events WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End),
+              m AS (SELECT event_type, count(*) AS n,
+                           CAST(sum(xh) AS DOUBLE) AS sx,
+                           CAST(sum(xh * xh) AS DOUBLE) AS sxx,
+                           CAST(sum(v) AS DOUBLE) AS sy,
+                           CAST(sum(xh * v) AS DOUBLE) AS sxy
+                    FROM p GROUP BY 1)
+          SELECT event_type, n,
+                 ${rndSql("(CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)", 6)}
+                   AS slope_per_hour,
+                 ${rndSql("(sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx) / CAST(n AS DOUBLE)", 6)}
+                   AS intercept
+          FROM m
+          WHERE n > 1 AND CAST(n AS DOUBLE) * sxx - sx * sx <> 0.0
+          ORDER BY 1, 2, 3, 4""",
+    "ts_histogram_quantile" ->
+      s"""WITH b AS (SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin,
+                            count(*) AS n
+                     FROM events WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
+                     GROUP BY 1, 2),
+              c AS (SELECT event_type, bin, n,
+                           sum(n) OVER (PARTITION BY event_type ORDER BY bin
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                           sum(n) OVER (PARTITION BY event_type) AS total
+                    FROM b),
+              pick AS (SELECT event_type, bin, n, cum, total,
+                              row_number() OVER (PARTITION BY event_type ORDER BY bin) AS rk
+                       FROM c WHERE cum >= 0.5 * total)
+          SELECT event_type, total,
+                 ${rndSql("(bin + (0.5 * total - (cum - n)) / n) * 50.0", 4)} AS p50
+          FROM pick WHERE rk = 1 ORDER BY 1, 2, 3""",
     "ts_smooth" ->
       s"""WITH p AS (SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events
                      WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End AND user_id < 15)

@@ -337,6 +337,71 @@ object Tsdb {
     Det.ordered(out)
   }
 
+  /** Per-series linear trend: least-squares slope (value units per hour)
+    * and intercept over the range — the trend-detection primitive behind
+    * capacity forecasting ("will this disk fill?"). Moments come from exact
+    * DECIMAL sums over integer hour offsets (one shuffle, statsAgg's
+    * association-order-independent shape); series with < 2 distinct hours
+    * have no defined slope and drop out.
+    */
+  def trend(pt: PointsTable, filter: Column, startMs: Long, endMs: Long): DataFrame = {
+    // floor of a double quotient (NOT integer `div`) so the oracle can use
+    // the identical expression; hour offsets are exact at these magnitudes
+    val xh = floor((pt.timeMs - startMs) / lit(3600000.0)).cast("decimal(9,0)")
+    val v = col(pt.valueCol).cast("decimal(9,4)")
+    val agg = pt.df
+      .where(inRange(pt, startMs, endMs) && filter)
+      .groupBy(pt.tags: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(xh).cast("double").as("sx"),
+        sum(xh * xh).cast("double").as("sxx"),
+        sum(v).cast("double").as("sy"),
+        sum(xh * v).cast("double").as("sxy"))
+    val n = col("n").cast("double")
+    val denom = n * col("sxx") - col("sx") * col("sx")
+    val slope = (n * col("sxy") - col("sx") * col("sy")) / denom
+    val out = agg
+      .where(col("n") > 1 && denom =!= 0.0)
+      .select(pt.tags ++ Seq(col("n"),
+        Det.rnd(slope, 6).as("slope_per_hour"),
+        Det.rnd((col("sy") - slope * col("sx")) / n, 6).as("intercept")): _*)
+    Det.ordered(out)
+  }
+
+  /** Histogram quantile (the Prometheus `histogram_quantile` shape): given
+    * per-series fixed-width value bins, estimate quantile `q` by walking the
+    * cumulative bin counts to the first bin reaching q·total and linearly
+    * interpolating inside it. One shuffle to the bins, one per-series sort —
+    * the quantile never sees raw points, which is the whole point at scale
+    * (bins are tiny; points are 100 TB).
+    */
+  def histogramQuantile(pt: PointsTable, filter: Column, startMs: Long, endMs: Long,
+                        q: Double = 0.5, binWidth: Double = 50.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bins = pt.df
+      .where(inRange(pt, startMs, endMs) && filter)
+      .groupBy(pt.tags :+ floor(col(pt.valueCol) / binWidth).cast("bigint").as("bin"): _*)
+      .agg(count(lit(1)).as("n"))
+    val wCum = Window.partitionBy(pt.tags: _*).orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy(pt.tags: _*)
+    val cum = bins.select(pt.tags ++ Seq(col("bin"), col("n"),
+      sum(col("n")).over(wCum).as("cum"),
+      sum(col("n")).over(wTot).as("total")): _*)
+    val target = lit(q) * col("total")
+    val wPick = Window.partitionBy(pt.tags: _*).orderBy(col("bin"))
+    val out = cum
+      .where(col("cum") >= target)
+      .select(pt.tags ++ Seq(col("bin"), col("n"), col("cum"), col("total"),
+        row_number().over(wPick).as("rk")): _*)
+      .where(col("rk") === 1)
+      .select(pt.tags ++ Seq(col("total"),
+        Det.rnd((col("bin") + (target - (col("cum") - col("n"))) / col("n"))
+          * binWidth, 4).as(s"p${(q * 100).toInt}")): _*)
+    Det.ordered(out)
+  }
+
   /** Centered moving average (±k points) per series — display smoothing.
     * Window sums go through DECIMAL so the mean is exact at any frame
     * alignment; one sort per series, no shuffle beyond the series key.
