@@ -53,6 +53,61 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("pigeonhole chunking finds every pair within the hamming bound") {
+    // the guarantee dedup_simhash_buckets relies on: splitting 64 bits into
+    // maxH+1 near-equal chunks (the same bounds arithmetic as
+    // Dedup.simhashBucketedPairs), any two signatures with hamming <= maxH
+    // agree exactly on at least one chunk
+    val maxH = 8
+    val nChunks = maxH + 1
+    val bounds = (0 to nChunks).map(i => i * 64 / nChunks)
+    def chunkVal(sig: Long, c: Int): Long =
+      (bounds(c) until bounds(c + 1)).map(b => ((sig >>> b) & 1L) << (b - bounds(c))).sum
+    val gen = for {
+      sig <- Gen.long
+      nFlips <- Gen.choose(0, maxH)
+      flips <- Gen.listOfN(nFlips, Gen.choose(0, 63))
+    } yield (sig, flips.distinct.foldLeft(sig)((s, b) => s ^ (1L << b)))
+    check(Prop.forAll(gen) { case (a, b) =>
+      java.lang.Long.bitCount(a ^ b) > maxH ||
+        (0 until nChunks).exists(c => chunkVal(a, c) == chunkVal(b, c))
+    })
+  }
+
+  private lazy val qsDf = {
+    import spark.implicits._
+    Seq(
+      (1L, "purchase", 10.0), (2L, "click", 50.0), (3L, "error", 99.5),
+      (4L, "signup", 0.0), (5L, "purchase", 75.0))
+      .toDF("user_id", "event_type", "value")
+  }
+
+  private def ids(json: String): Seq[Long] =
+    qsDf.where(EsFilter.compile(json)).select("user_id")
+      .collect().map(_.getLong(0)).sorted.toSeq
+
+  test("query_string compiles to the same rows as the equivalent hand-built filter") {
+    // random conjunctions/disjunctions of field:value terms over the sample
+    // df agree with the directly-constructed term/bool filters (each case is
+    // two Spark jobs -> fewer iterations than the pure properties)
+    val fields = Seq("event_type" -> Seq("purchase", "click", "error", "signup"),
+      "user_id" -> Seq("1", "2", "3", "4", "5"))
+    val termGen = for {
+      (f, vs) <- Gen.oneOf(fields)
+      v <- Gen.oneOf(vs)
+    } yield (f, v)
+    val gen = for { a <- termGen; b <- termGen; op <- Gen.oneOf("AND", "OR") } yield (a, b, op)
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25),
+      Prop.forAll(gen) { case ((f1, v1), (f2, v2), op) =>
+        val qs = ids(s"""{"query_string":{"query":"$f1:$v1 $op $f2:$v2"}}""")
+        val bool = if (op == "AND") "must" else "should"
+        val ref = ids(
+          s"""{"bool":{"$bool":[{"term":{"$f1":"$v1"}},{"term":{"$f2":"$v2"}}]}}""")
+        qs == ref
+      })
+    assert(res.passed, res.status.toString)
+  }
+
   test("wildcard-free patterns match exactly themselves") {
     val gen = Gen.nonEmptyListOf(Gen.frequency(
       (8, Gen.alphaNumChar), (1, Gen.oneOf('.', '[', '(', '+', '$', '^')))).map(_.mkString)
