@@ -151,6 +151,9 @@ object SparkEntry {
     "ts_anomaly" -> ((s, d) => Tsdb.anomalies(Tsdb.points(s, d)
       .copy(tagCols = Seq("event_type")),
       EsFilter.compile("""{"match_all":{}}"""), Start, End)),
+    "ts_alerts" -> ((s, d) => Tsdb.alerts(Tsdb.points(s, d)
+      .copy(tagCols = Seq("event_type")),
+      EsFilter.compile("""{"match_all":{}}"""), Start, End)),
     "ts_trend" -> ((s, d) => Tsdb.trend(Tsdb.points(s, d)
       .copy(tagCols = Seq("event_type")),
       EsFilter.compile("""{"match_all":{}}"""), Start, End)),
@@ -791,6 +794,21 @@ object SparkEntry {
       s"""SELECT event_type, CAST(floor(value / 50.0) AS BIGINT) AS bin, count(*) AS n
           FROM events WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
           GROUP BY 1, 2 ORDER BY 1, 2, 3""",
+    "ts_alerts" ->
+      s"""WITH f AS (SELECT event_type, epoch_ms(ts) AS time_ms, value,
+                            row_number() OVER (PARTITION BY event_type
+                              ORDER BY epoch_ms(ts), value) AS rn
+                     FROM events WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End),
+              hot AS (SELECT event_type, time_ms, value,
+                             rn - row_number() OVER (PARTITION BY event_type
+                               ORDER BY time_ms, value) AS grp
+                      FROM f WHERE value > 150.0),
+              runs AS (SELECT event_type, grp, count(*) AS n_points,
+                              min(time_ms) AS alert_start_ms,
+                              max(time_ms) AS alert_end_ms
+                       FROM hot GROUP BY 1, 2)
+          SELECT event_type, alert_start_ms, alert_end_ms, n_points
+          FROM runs WHERE n_points >= 2 ORDER BY 1, 2, 3, 4""",
     "ts_trend" ->
       s"""WITH p AS (SELECT event_type,
                             CAST(floor((epoch_ms(ts) - $Start) / 3600000.0) AS DECIMAL(9,0)) AS xh,

@@ -402,6 +402,34 @@ object Tsdb {
     Det.ordered(out)
   }
 
+  /** Threshold alerts with debounce — Prometheus' `for:` semantics: an alert
+    * interval is a run of >= minPoints CONSECUTIVE points above the
+    * threshold (single spikes don't page). Islands come from the classic
+    * two-row_number difference; one sort per series key. Adjacent identical
+    * points can't perturb islands (swapping equal neighbors preserves runs),
+    * so the interval set is deterministic.
+    */
+  def alerts(pt: PointsTable, filter: Column, startMs: Long, endMs: Long,
+             threshold: Double = 150.0, minPoints: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(pt.tags: _*).orderBy(col("time_ms"), col("value"))
+    val flagged = pt.df
+      .where(inRange(pt, startMs, endMs) && filter)
+      .select(pt.tags :+ pt.timeMs.as("time_ms") :+ col(pt.valueCol).as("value"): _*)
+      .withColumn("rn", row_number().over(w))
+      .where(col("value") > threshold)
+    val wHot = Window.partitionBy(pt.tags: _*).orderBy(col("time_ms"), col("value"))
+    val out = flagged
+      .withColumn("grp", col("rn") - row_number().over(wHot))
+      .groupBy(pt.tags :+ col("grp"): _*)
+      .agg(count(lit(1)).as("n_points"),
+        min(col("time_ms")).as("alert_start_ms"),
+        max(col("time_ms")).as("alert_end_ms"))
+      .where(col("n_points") >= minPoints)
+      .select(pt.tags ++ Seq(col("alert_start_ms"), col("alert_end_ms"), col("n_points")): _*)
+    Det.ordered(out)
+  }
+
   /** Centered moving average (±k points) per series — display smoothing.
     * Window sums go through DECIMAL so the mean is exact at any frame
     * alignment; one sort per series, no shuffle beyond the series key.
