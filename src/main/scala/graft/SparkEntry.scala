@@ -245,6 +245,9 @@ object SparkEntry {
     "text_tokens" -> ((s, d) => TextOps.tokenCounts(s, d)),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
     "sample_stratified" -> ((s, d) => TextOps.stratifiedBalance(s, d)),
+    // zlib not expressible in the oracle engine -> declared rows-only;
+    // properties (range, monotonicity vs repetition) are ScalaTest-asserted
+    "text_compression" -> ((s, d) => TextOps.compressionRatio(s, d)),
     "pack_shards" -> ((s, d) => TextOps.packShards(s, d)),
     "text_bigrams" -> ((s, d) => TextOps.bigramStats(s, d)),
     "decontaminate" -> ((s, d) => TextOps.decontaminate(s, d)),

@@ -117,6 +117,38 @@ object TextOps {
     Det.ordered(out)
   }
 
+  /** Compression-ratio quality signal: deflated size over raw size. Machine
+    * -generated/boilerplate text compresses far below natural prose, making
+    * this the classic cheap one-pass quality filter (the Gopher-family
+    * pipelines gate on it). zlib is not SQL-expressible => verified
+    * rows-only, with the monotonicity/range properties ScalaTest-asserted.
+    * One Deflater instance per partition (native buffer reuse) — the same
+    * justified mapPartitions shape as the multimodal decoders, with a real
+    * codec.
+    */
+  def compressionRatio(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val out = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val deflater = new java.util.zip.Deflater(java.util.zip.Deflater.BEST_SPEED)
+        val buf = new Array[Byte](1 << 16)
+        rows.map { case (id, text) =>
+          val raw = text.getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var compressed = 0L
+          while (!deflater.finished()) compressed += deflater.deflate(buf)
+          (id, raw.length.toLong, compressed,
+            math.rint(compressed.toDouble / math.max(raw.length, 1) * 10000) / 10000.0)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "n_compressed", "compression_ratio")
+    Det.ordered(out)
+  }
+
   /** Quality scoring: length / token / stopword / alpha / punctuation
     * signals combined into one score, the standard pre-filter shape for web
     * corpora.

@@ -95,4 +95,32 @@ class AnnTextSpec extends SparkTestBase {
       assert(c >= exact(k) - n / cap, s"$k undercounted beyond the bound")
     }
   }
+
+  test("compression ratio behaves like a quality signal") {
+    import graft.text.TextOps
+    val rows = TextOps.compressionRatio(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (bytes, comp, ratio) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(comp > 0 && bytes > 0)
+      // deflate overhead caps out quickly; ratio stays in a sane band
+      assert(ratio > 0.0 && ratio < 1.2, s"ratio $ratio out of band")
+      assert(math.abs(ratio - comp.toDouble / bytes) < 1e-3)
+    }
+    // determinism: a second run produces identical rows
+    val again = TextOps.compressionRatio(spark, Sf).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    // monotonicity: highly repetitive text compresses much harder than
+    // shuffled high-entropy text of the same length
+    import spark.implicits._
+    val rep = ("spark " * 200).trim
+    val rand = new scala.util.Random(7)
+    val noisy = Seq.fill(rep.length)(('a' + rand.nextInt(26)).toChar).mkString
+    val df = Seq((1L, rep), (2L, noisy)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet("target/comp-test/documents.parquet")
+    val two = TextOps.compressionRatio(spark, "target/comp-test").collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(two(1L) < two(2L) / 2,
+      s"repetitive ${two(1L)} should compress far below noisy ${two(2L)}")
+  }
 }
