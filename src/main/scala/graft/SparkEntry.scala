@@ -844,7 +844,7 @@ object SparkEntry {
               pick AS (SELECT event_type, bin, n, cum, total,
                               row_number() OVER (PARTITION BY event_type ORDER BY bin) AS rk
                        FROM c WHERE cum >= 0.5 * total)
-          SELECT event_type, total,
+          SELECT event_type, CAST(total AS BIGINT) AS total,
                  ${rndSql("(bin + (0.5 * total - (cum - n)) / n) * 50.0", 4)} AS p50
           FROM pick WHERE rk = 1 ORDER BY 1, 2, 3""",
     "ts_smooth" ->
