@@ -160,6 +160,13 @@ object SparkEntry {
     "ts_histogram_quantile" -> ((s, d) => Tsdb.histogramQuantile(Tsdb.points(s, d)
       .copy(tagCols = Seq("event_type")),
       EsFilter.compile("""{"match_all":{}}"""), Start, End)),
+    "ts_quantile_over_time" -> ((s, d) => Tsdb.quantileOverTime(Tsdb.points(s, d)
+      .copy(tagCols = Seq("event_type")),
+      EsFilter.compile("""{"match_all":{}}"""), Start, End)),
+    "ts_availability" -> ((s, d) => Tsdb.availability(Tsdb.points(s, d),
+      EsFilter.compile("""{"range":{"user_id":{"lt":50}}}"""), Start, End)),
+    "ts_rollup_cascade" -> ((s, d) => Tsdb.rollupCascade(Tsdb.points(s, d),
+      EsFilter.compile("""{"match_all":{}}"""), Start, End)),
     "ts_histogram" -> ((s, d) => Tsdb.histogram(Tsdb.points(s, d)
       .copy(tagCols = Seq("event_type")),
       EsFilter.compile("""{"match_all":{}}"""), Start, End)),
@@ -847,6 +854,31 @@ object SparkEntry {
           SELECT event_type, CAST(total AS BIGINT) AS total,
                  ${rndSql("(bin + (0.5 * total - (cum - n)) / n) * 50.0", 4)} AS p50
           FROM pick WHERE rk = 1 ORDER BY 1, 2, 3""",
+    "ts_quantile_over_time" ->
+      s"""SELECT event_type,
+                 CAST(floor(epoch_ms(ts)/3600000.0) AS BIGINT)*3600000 AS bucket_ms,
+                 count(*) AS n,
+                 ${rndSql("quantile_cont(value, 0.9)", 4)} AS p90
+          FROM events WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
+          GROUP BY 1, 2 ORDER BY 1, 2, 3, 4""",
+    "ts_availability" ->
+      s"""SELECT user_id, event_type,
+                 count(DISTINCT CAST(floor(epoch_ms(ts)/3600000.0) AS BIGINT))
+                   AS buckets_with_data,
+                 CAST(336 AS BIGINT) AS total_buckets,
+                 ${rndSql("count(DISTINCT CAST(floor(epoch_ms(ts)/3600000.0) AS BIGINT)) / 336.0", 6)}
+                   AS availability
+          FROM events WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End AND user_id < 50
+          GROUP BY 1, 2 ORDER BY 1, 2, 3, 4, 5""",
+    "ts_rollup_cascade" ->
+      s"""SELECT user_id, event_type,
+                 CAST(floor(epoch_ms(ts)/86400000.0) AS BIGINT)*86400000 AS day_ms,
+                 count(*) AS n,
+                 round(CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 2) AS sum_value,
+                 ${rndSql("CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / count(*)", 4)} AS avg_value,
+                 max(value) AS max_value
+          FROM events WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
+          GROUP BY 1, 2, 3 ORDER BY 1, 2, 3, 4, 5, 6, 7""",
     "ts_smooth" ->
       s"""WITH p AS (SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events
                      WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End AND user_id < 15)

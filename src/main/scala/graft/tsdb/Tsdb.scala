@@ -430,6 +430,68 @@ object Tsdb {
     Det.ordered(out)
   }
 
+  /** Exact per-window quantile per series (PromQL `quantile_over_time`):
+    * linear-interpolation percentile of the values inside each hour bucket.
+    * One shuffle on (series, bucket); the percentile itself is a per-group
+    * sort of an hour's points — bounded by bucket width, never the range.
+    */
+  def quantileOverTime(pt: PointsTable, filter: Column, startMs: Long, endMs: Long,
+                       q: Double = 0.9, bucketMs: Long = 3600000L): DataFrame = {
+    val out = pt.df
+      .where(inRange(pt, startMs, endMs) && filter)
+      .groupBy(pt.tags :+ (floor(pt.timeMs / bucketMs) * bucketMs)
+        .cast("bigint").as("bucket_ms"): _*)
+      .agg(count(lit(1)).as("n"),
+        // percentile() is exact linear interpolation in both engines
+        // (quantile_cont in DuckDB) — same idiom as the `percentiles` query
+        Det.rnd(expr(s"percentile(${pt.valueCol}, $q)"), 4).as(s"p${(q * 100).toInt}"))
+    Det.ordered(out)
+  }
+
+  /** Per-series availability (SLA view): fraction of hour buckets in the
+    * range that contain at least one point. The denominator is the fixed
+    * range-bucket count, so a silent series scores low rather than dropping
+    * out. One shuffle to (series); count(distinct bucket) is per-group.
+    */
+  def availability(pt: PointsTable, filter: Column, startMs: Long, endMs: Long,
+                   bucketMs: Long = 3600000L): DataFrame = {
+    val totalBuckets = (endMs - startMs + bucketMs - 1) / bucketMs
+    val out = pt.df
+      .where(inRange(pt, startMs, endMs) && filter)
+      .groupBy(pt.tags: _*)
+      .agg(countDistinct(floor(pt.timeMs / bucketMs)).as("buckets_with_data"))
+      .select(pt.tags ++ Seq(col("buckets_with_data"), lit(totalBuckets).as("total_buckets"),
+        Det.rnd(col("buckets_with_data") / lit(totalBuckets.toDouble), 6)
+          .as("availability")): _*)
+    Det.ordered(out)
+  }
+
+  /** Multi-resolution rollup cascade: daily stats composed FROM the hourly
+    * rollup (sums and counts re-aggregate; the daily mean comes from exact
+    * DECIMAL hourly sums). This is the incremental-maintenance shape — at
+    * 100 TB the hourly table is materialized once per hour and daily/weekly
+    * views re-aggregate the rollup, never the raw points. The oracle computes
+    * the SAME daily stats straight from raw points, so bit-equality proves
+    * the cascade composes losslessly.
+    */
+  def rollupCascade(pt: PointsTable, filter: Column, startMs: Long, endMs: Long): DataFrame = {
+    val hourly = pt.df
+      .where(inRange(pt, startMs, endMs) && filter)
+      .groupBy(pt.tags :+ (floor(pt.timeMs / lit(3600000L)) * 3600000L)
+        .cast("bigint").as("hour_ms"): _*)
+      .agg(count(lit(1)).as("hn"),
+        sum(col(pt.valueCol).cast("decimal(18,4)")).as("hsum"),
+        max(col(pt.valueCol)).as("hmax"))
+    val out = hourly
+      .groupBy(pt.tags :+ (floor(col("hour_ms") / lit(MsInDay)) * MsInDay)
+        .cast("bigint").as("day_ms"): _*)
+      .agg(sum(col("hn")).as("n"),
+        round(sum(col("hsum")).cast("double"), 2).as("sum_value"),
+        Det.rnd(sum(col("hsum")).cast("double") / sum(col("hn")), 4).as("avg_value"),
+        max(col("hmax")).as("max_value"))
+    Det.ordered(out)
+  }
+
   /** Centered moving average (±k points) per series — display smoothing.
     * Window sums go through DECIMAL so the mean is exact at any frame
     * alignment; one sort per series, no shuffle beyond the series key.
