@@ -247,6 +247,10 @@ object SparkEntry {
     "ann_pq" -> ((s, d) => Ann.pqTopK(s, d)),
     "ann_pq_rerank" -> ((s, d) => Ann.pqRerankTopK(s, d)),
     "text_lm_score" -> ((s, d) => TextOps.lmScore(s, d)),
+    "text_entropy" -> ((s, d) => TextOps.entropy(s, d)),
+    "doc_chunks" -> ((s, d) => TextOps.docChunks(s, d)),
+    "dedup_chunks" -> ((s, d) => Dedup.dedupChunks(s, d)),
+    "bpe_pairs" -> ((s, d) => TextOps.bpePairs(s, d)),
     "text_langid" -> ((s, d) => TextOps.langId(s, d)),
     "text_quality" -> ((s, d) => TextOps.quality(s, d)),
     "text_tokens" -> ((s, d) => TextOps.tokenCounts(s, d)),
@@ -1451,6 +1455,44 @@ object SparkEntry {
           SELECT doc_id, count(*) AS n_bigrams,
                  round(CAST(sum(p) AS DOUBLE) / count(*) + 1e-9, 6) AS avg_p
           FROM bg JOIN p USING (w1, w2) GROUP BY 1 ORDER BY 1, 2, 3""",
+    "text_entropy" ->
+      s"""WITH t0 AS (SELECT doc_id, string_split($NormSql, ' ') AS toks FROM documents),
+              tk AS (SELECT doc_id, unnest(toks) AS tok FROM t0),
+              c AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+              st AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS n_types
+                     FROM c GROUP BY 1),
+              terms AS (SELECT c.doc_id, st.n, st.n_types,
+                               CAST(${rndSql("(c.c / st.n) * ln(st.n / c.c)", 8)}
+                                 AS DECIMAL(12,8)) AS term
+                        FROM c JOIN st USING (doc_id))
+          SELECT doc_id, max(n) AS n_tokens, max(n_types) AS n_types,
+                 ${rndSql("CAST(sum(term) AS DOUBLE)", 6)} AS entropy
+          FROM terms GROUP BY 1 ORDER BY 1, 2, 3, 4""",
+    "doc_chunks" ->
+      s"""WITH t0 AS (SELECT doc_id, string_split($NormSql, ' ') AS toks FROM documents),
+              ch AS (SELECT doc_id, i AS chunk_idx, toks[i*12+1 : i*12+16] AS chunk
+                     FROM t0, UNNEST(range(0, (len(toks)+11)//12)) AS u(i))
+          SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS chunk_tokens,
+                 md5(array_to_string(chunk, ' ')) AS chunk_hash
+          FROM ch ORDER BY 1, 2, 3, 4""",
+    "dedup_chunks" ->
+      s"""WITH t0 AS (SELECT doc_id, string_split($NormSql, ' ') AS toks FROM documents),
+              ch AS (SELECT doc_id, i AS chunk_idx,
+                            md5(array_to_string(toks[i*12+1 : i*12+16], ' ')) AS chunk_hash
+                     FROM t0, UNNEST(range(0, (len(toks)+11)//12)) AS u(i)),
+              r AS (SELECT doc_id, row_number() OVER (PARTITION BY chunk_hash
+                             ORDER BY doc_id, chunk_idx) AS rn
+                    FROM ch)
+          SELECT doc_id, count(*) AS n_chunks,
+                 CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                 ${rndSql("sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) / count(*)", 4)} AS kept_ratio
+          FROM r GROUP BY 1 ORDER BY 1, 2, 3, 4""",
+    "bpe_pairs" ->
+      s"""WITH t0 AS (SELECT doc_id, string_split($NormSql, ' ') AS toks FROM documents),
+              pr AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+                     FROM t0, UNNEST(range(1, len(toks))) AS u(i) WHERE len(toks) >= 2)
+          SELECT w1, w2, count(*) AS pair_count FROM pr GROUP BY 1, 2
+          ORDER BY 3 DESC, 1, 2 LIMIT 20""",
     "sample_stratified" -> {
       def sc(l: String) = s"len(list_filter(toks, t -> t IN ${stopListSql(l)}))"
       s"""WITH lt AS (SELECT doc_id, string_split($NormSql, ' ') AS toks FROM documents),

@@ -29,6 +29,27 @@ object Dedup {
     Det.ordered(out)
   }
 
+  /** Chunk-level first-occurrence dedup (C4-style substring dedup at chunk
+    * granularity, over [[TextOps.docChunks]] windows): every repeated chunk
+    * hash keeps only its globally-first occurrence (smallest (doc_id,
+    * chunk_idx)), and each document reports how much of it survives. At
+    * 100 TB the chunk hash is the shuffle key — one hash shuffle over
+    * chunks, same shape as [[exact]] — and the kept fraction drives
+    * drop-or-trim decisions downstream.
+    */
+  def dedupChunks(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("chunk_hash")).orderBy(col("doc_id"), col("chunk_idx"))
+    val out = TextOps.docChunks(s, d)
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        Det.rnd(sum(when(col("rn") === 1, 1L).otherwise(0L)) / count(lit(1)), 4)
+          .as("kept_ratio"))
+    Det.ordered(out)
+  }
+
   /** doc_id -> exploded distinct shingle rows. Tokens are materialized
     * before the shingle lambda so the normalize/split chain runs once per
     * document, not once per element access (see TextOps.shinglesOf).

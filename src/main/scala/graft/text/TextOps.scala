@@ -198,6 +198,71 @@ object TextOps {
     Det.ordered(out)
   }
 
+  /** Fixed-token-window document chunking with overlap — the standard prep
+    * step before embedding / packing: chunk i covers tokens
+    * [i*step, i*step+width) (1-based slice), so consecutive chunks overlap by
+    * width-step tokens and trailing chunks may run short. Pure per-row
+    * expression work (sequence + slice, no shuffle at all) — at 100 TB this
+    * is a map-only stage that pipelines into whatever consumes the chunks.
+    */
+  def docChunks(s: SparkSession, d: String, width: Int = 16, step: Int = 12): DataFrame = {
+    val t = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("nt"))
+    val out = t
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), expr(s"(nt + ${step - 1}) div $step") - 1)).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx").cast("bigint").as("chunk_idx"),
+        slice(col("toks"), col("chunk_idx") * step + 1, lit(width)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("chunk")).cast("bigint").as("chunk_tokens"),
+        md5(array_join(col("chunk"), " ")).as("chunk_hash"))
+    Det.ordered(out)
+  }
+
+  /** Adjacent-token pair frequencies — the counting step of one BPE merge
+    * round (the most frequent pair is the next merge). Total occurrences,
+    * not document frequencies (contrast [[bigramStats]]): tokenizer training
+    * weights by corpus mass. One explode + one count shuffle; the global
+    * top-N is a TakeOrdered, never a full sort.
+    */
+  def bpePairs(s: SparkSession, d: String, topN: Int = 20): DataFrame = {
+    val toks = Tables.documents(s, d).select(tokens(col("text")).as("toks"))
+    val pairs = toks.where(size(col("toks")) >= 2)
+      .select(explode(expr("transform(sequence(1, size(toks)-1), " +
+        "i -> struct(element_at(toks, i) AS w1, element_at(toks, i+1) AS w2))")).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("w1"), col("w2"))
+      .limit(topN)
+  }
+
+  /** Per-document token-distribution Shannon entropy (nats) — low entropy
+    * flags repetitive/templated text (the information-theoretic cousin of
+    * [[repetition]]'s count rules). Each term (c/n)·ln(n/c) is rounded to an
+    * exact 8-dp decimal before summation so the per-doc entropy is
+    * association-order independent — same contract as [[lmScore]]'s
+    * probability sums. Two shuffles: (doc, token) counts, then per-doc sum.
+    */
+  def entropy(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    val stats = c.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n"), count(lit(1)).as("n_types"))
+    val out = c.join(stats, "doc_id")
+      .select(col("doc_id"), col("n"), col("n_types"),
+        Det.rnd((col("c") / col("n")) * log(col("n") / col("c")), 8)
+          .cast("decimal(12,8)").as("term"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("n")).as("n_tokens"), max(col("n_types")).as("n_types_"),
+        Det.rnd(sum(col("term")).cast("double"), 6).as("entropy"))
+      .withColumnRenamed("n_types_", "n_types")
+    Det.ordered(out)
+  }
+
   /** Corpus n-gram statistics: global bigram frequencies with document
     * frequency — the raw material for contamination analysis, LM frequency
     * filters, and vocabulary work. One explode + one shuffle; top-N kept
