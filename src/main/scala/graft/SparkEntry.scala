@@ -246,6 +246,7 @@ object SparkEntry {
     "ann_ivf_nprobe" -> ((s, d) => Ann.ivfTopK(s, d, nprobe = 2)),
     "ann_pq" -> ((s, d) => Ann.pqTopK(s, d)),
     "ann_pq_rerank" -> ((s, d) => Ann.pqRerankTopK(s, d)),
+    "semdedup" -> ((s, d) => Ann.semdedup(s, d)),
     "text_lm_score" -> ((s, d) => TextOps.lmScore(s, d)),
     "text_entropy" -> ((s, d) => TextOps.entropy(s, d)),
     "doc_chunks" -> ((s, d) => TextOps.docChunks(s, d)),
@@ -1302,6 +1303,29 @@ object SparkEntry {
                         ORDER BY cosine DESC, n_id) AS BIGINT) AS rank
                     FROM pc)
           SELECT q_id, n_id, cosine, rank FROM r WHERE rank <= 5 ORDER BY 1, 2, 3, 4""",
+    "semdedup" ->
+      s"""WITH $VecrCte,
+              ${ivfTrainCte(2, 16)},
+              knf AS (SELECT c_id, sum(cx*cx) AS nsq FROM c2 GROUP BY 1),
+              cc AS (SELECT v.vec_id AS vid, c.c_id AS cid, sum(v.x * c.cx) AS dot
+                     FROM evr v JOIN c2 c ON v.i = c.i WHERE v.vec_id < 1000 GROUP BY 1, 2),
+              ccos AS (SELECT vid, cid, round(dot/sqrt(nv.nsq*nc.nsq), 6) AS c
+                       FROM cc JOIN vnr nv ON nv.vec_id = vid JOIN knf nc ON nc.c_id = cid),
+              assign AS (SELECT vid, cid AS cell FROM (
+                           SELECT vid, cid, row_number() OVER (PARTITION BY vid
+                             ORDER BY c DESC, cid) AS arn FROM ccos) WHERE arn = 1),
+              pd AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id, sum(a.x*b.x) AS dot
+                     FROM evr a JOIN evr b ON a.i = b.i AND a.vec_id < b.vec_id
+                     JOIN assign qa ON qa.vid = a.vec_id
+                     JOIN assign na ON na.vid = b.vec_id AND na.cell = qa.cell
+                     GROUP BY 1, 2),
+              pc AS (SELECT a_id, b_id, round(dot/sqrt(na.nsq*nb.nsq), 6) AS cos
+                     FROM pd JOIN vnr na ON na.vec_id = a_id JOIN vnr nb ON nb.vec_id = b_id),
+              dup AS (SELECT DISTINCT b_id FROM pc WHERE cos >= 0.4)
+          SELECT a.vid AS vec_id, a.cell,
+                 CAST(CASE WHEN d.b_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
+          FROM assign a LEFT JOIN dup d ON d.b_id = a.vid
+          ORDER BY 1, 2, 3""",
     "text_langid" -> {
       def sc(l: String) = s"len(list_filter(toks, t -> t IN ${stopListSql(l)}))"
       s"""WITH t AS (SELECT doc_id, string_split($NormSql, ' ') AS toks FROM documents),

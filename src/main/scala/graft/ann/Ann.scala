@@ -205,6 +205,43 @@ object Ann {
     Det.ordered(out)
   }
 
+  /** Semantic dedup (SemDeDup, Abbas et al. 2023): cluster embeddings with
+    * the trained IVF codebook, then within each cell drop every vector that
+    * has an EARLIER near-duplicate (rounded cosine >= tau) in the same cell —
+    * pairwise work never crosses cell boundaries, which is what makes
+    * embedding dedup tractable at corpus scale (cells shrink as sqrt-n-ish
+    * centroid counts grow; here the verify subset is vec_id < maxId with the
+    * small shared 16-cell codebook). Reuses the memoized codebook — the
+    * production shape where clustering is trained once and every pipeline
+    * stage assigns against it.
+    */
+  def semdedup(s: SparkSession, d: String, tau: Double = 0.4, maxId: Int = 1000,
+               nCentroids: Int = 16, trainIters: Int = 2): DataFrame = {
+    val e = quantNorm(s, d).cache()
+    val cents = memoCodebook(s, s"ivf|$d|$nCentroids|$trainIters")(
+      trainIvfCentroids(s, e, nCentroids, trainIters))
+    val wA = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
+    val assigned = e.where(col("vec_id") < maxId)
+      .join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id"),
+        round(cosine(s, col("v"), col("cv"), col("nrm"), col("cn")), 6).as("c_cos"))
+      .withColumn("arn", row_number().over(wA))
+      .where(col("arn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cell"))
+      .cache() // self-joined below
+    val dups = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("b.vec_id").as("vec_id"),
+        round(cosine(s, col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")), 6).as("cos"))
+      .where(col("cos") >= tau)
+      .select(col("vec_id")).distinct()
+      .withColumn("is_dup", lit(1L))
+    val out = assigned.select(col("vec_id"), col("cell"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell"), coalesce(col("is_dup"), lit(0L)).as("is_dup"))
+    Det.ordered(out)
+  }
+
   /** Product quantization with asymmetric distance computation (Jégou et al.
     * PAMI '11): each vector is compressed to m subspace code ids (nearest
     * sub-centroid, deterministic centroid pick as in [[ivfTopK]]); a query
