@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.ann.Ann
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
-import graft.operators.Analytics
+import graft.operators.{Analytics, Graph}
 import graft.text.TextOps
 import graft.tsdb.{EsFilter, Tsdb}
 
@@ -232,6 +232,8 @@ object SparkEntry {
     "dedup_minhash_verified" -> ((s, d) => Dedup.minhashVerified(s, d)),
     "clean_corpus" -> ((s, d) => Dedup.cleanCorpus(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "graph_pagerank" -> ((s, d) => Graph.pagerank(s, d)),
+    "graph_triangles" -> ((s, d) => Graph.triangleCounts(s, d)),
     "dedup_simhash_buckets" -> ((s, d) => Dedup.simhashBucketedPairs(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
@@ -395,6 +397,39 @@ object SparkEntry {
        bands AS (SELECT doc_id, seed // 4 AS band,
                         md5(string_agg(sig, ',' ORDER BY seed)) AS band_key
                  FROM sigs GROUP BY 1, 2)"""
+
+  /** Candidate-graph CTEs shared by the graph oracles (assumes ShingleCte +
+    * MinhashCte): `ce` = deduplicated LSH candidate pairs (a<b), `ed` = the
+    * symmetrized edge list, `dg`/`nv` = degrees and vertex count.
+    */
+  private val GraphCte =
+    """ce AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id),
+       ed AS (SELECT a_id, b_id FROM ce UNION ALL SELECT b_id, a_id FROM ce),
+       dg AS (SELECT a_id AS id, count(*) AS deg FROM ed GROUP BY 1),
+       nv AS (SELECT count(*) AS n_v FROM dg)"""
+
+  /** PageRank iterations mirroring [[graft.operators.Graph.pagerank]] step
+    * for step (assumes GraphCte); emits r0..r<iters>.
+    */
+  private def pagerankCte(iters: Int): String = {
+    val init = s"""r0 AS (SELECT id, deg,
+                     CAST(${rndSql("1.0 / (SELECT n_v FROM nv)", 8)} AS DECIMAL(12,8)) AS r
+                   FROM dg)"""
+    val steps = (0 until iters).map { t =>
+      s"""ct$t AS (SELECT e.b_id AS dst,
+                     CAST(${rndSql("CAST(r.r AS DOUBLE) / r.deg", 8)} AS DECIMAL(12,8)) AS c
+                   FROM ed e JOIN r$t r ON r.id = e.a_id),
+          ag$t AS (SELECT dst, sum(c) AS in_sum FROM ct$t GROUP BY 1),
+          r${t + 1} AS (SELECT r.id, r.deg,
+                     CAST(${rndSql("0.15 / (SELECT n_v FROM nv) + 0.85 * coalesce(CAST(a.in_sum AS DOUBLE), 0.0)", 8)}
+                       AS DECIMAL(12,8)) AS r
+                   FROM r$t r LEFT JOIN ag$t a ON a.dst = r.id)"""
+    }
+    (init +: steps).mkString(",\n")
+  }
 
   /** The as-of oracle — used verbatim for both the window formulation and
     * the custom-plan operator, which must return identical rows.
@@ -1209,6 +1244,22 @@ object SparkEntry {
           FROM bands a JOIN bands b
             ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
           ORDER BY 1, 2""",
+    "graph_pagerank" ->
+      s"""WITH $ShingleCte,
+              $MinhashCte,
+              $GraphCte,
+              ${pagerankCte(3)}
+          SELECT id AS doc_id, deg AS degree, CAST(r AS DOUBLE) AS pr
+          FROM r3 ORDER BY 1, 2, 3""",
+    "graph_triangles" ->
+      s"""WITH $ShingleCte,
+              $MinhashCte,
+              $GraphCte,
+              tri AS (SELECT e1.a_id AS x, e1.b_id AS y, e2.b_id AS z
+                      FROM ce e1 JOIN ce e2 ON e2.a_id = e1.b_id
+                      JOIN ce e3 ON e3.a_id = e1.a_id AND e3.b_id = e2.b_id),
+              tn AS (SELECT unnest([x, y, z]) AS doc_id FROM tri)
+          SELECT doc_id, count(*) AS n_triangles FROM tn GROUP BY 1 ORDER BY 1, 2""",
     "dedup_minhash_verified" ->
       s"""WITH $ShingleCte,
               $MinhashCte,

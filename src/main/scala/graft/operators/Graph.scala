@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.Det
+import graft.dedup.Dedup
+
+/** Graph analytics over the near-duplicate candidate graph (vertices = docs,
+  * edges = MinHash-LSH candidate pairs) — the same graph
+  * [[graft.dedup.Dedup.clustersOn]] labels. PageRank surfaces the most
+  * "central" documents of each near-dup cluster (canonical-pick signal);
+  * triangle counts measure cluster density (a near-clique of k clones holds
+  * C(k,3) triangles, a chain holds none — cheap evidence that a candidate
+  * cluster is a true duplicate group rather than LSH noise).
+  *
+  * Determinism contract (same as the trained-ANN family): every
+  * division-derived value is rounded to an exact decimal before it is summed,
+  * so each PageRank iteration is association-order independent and the DuckDB
+  * oracle replays all iterations bit-exactly as unrolled CTEs.
+  */
+object Graph {
+
+  /** PageRank (damping 0.85) on the symmetrized candidate graph, `iters`
+    * rounds from a uniform start. Per round: one join of the tiny rank table
+    * to the edge list + one sum shuffle on the destination — the textbook
+    * distributed PageRank shape (edges never move; ranks do). Ranks are
+    * DECIMAL(12,8), re-rounded each round ([[Det.rnd]]).
+    */
+  def pagerank(s: SparkSession, d: String, iters: Int = 3): DataFrame = {
+    val e0 = Dedup.minhashLsh(s, d).select(col("a_id"), col("b_id"))
+    val edges = e0
+      .union(e0.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .cache() // reused every iteration
+    val deg = edges.groupBy(col("a_id").as("id")).agg(count(lit(1)).as("deg"))
+    val nv = deg.select(count(lit(1)).as("n_v"))
+    // n_v rides along as a broadcast scalar column — no driver-side .first()
+    var r = deg.crossJoin(nv).select(col("id"), col("deg"), col("n_v"),
+      Det.rnd(lit(1.0) / col("n_v"), 8).cast("decimal(12,8)").as("r"))
+    for (_ <- 0 until iters) {
+      val contrib = edges.join(r, edges("a_id") === r("id"))
+        .select(col("b_id").as("dst"),
+          Det.rnd(col("r").cast("double") / col("deg"), 8).cast("decimal(12,8)").as("c"))
+      val inSum = contrib.groupBy(col("dst")).agg(sum(col("c")).as("in_sum"))
+      r = r.join(inSum, r("id") === inSum("dst"), "left")
+        .select(col("id"), col("deg"), col("n_v"),
+          Det.rnd(lit(0.15) / col("n_v") +
+            lit(0.85) * coalesce(col("in_sum").cast("double"), lit(0.0)), 8)
+            .cast("decimal(12,8)").as("r"))
+        .localCheckpoint(true) // tiny rank table; truncates per-round lineage
+    }
+    Det.ordered(r.select(col("id").as("doc_id"), col("deg").as("degree"),
+      col("r").cast("double").as("pr")))
+  }
+
+  /** Per-vertex triangle counts on the candidate graph: triangles come from
+    * the oriented (a<b<c) three-way join over the deduplicated edge list —
+    * each triangle found exactly once, then credited to all three corners.
+    * At scale this is the standard edge-oriented triangle enumeration: the
+    * join keys are vertex ids (shuffle-friendly) and the oriented edge list
+    * keeps every join side smaller than the raw adjacency.
+    */
+  def triangleCounts(s: SparkSession, d: String): DataFrame = {
+    val e = Dedup.minhashLsh(s, d).select(col("a_id"), col("b_id")).cache()
+    val tri = e.as("e1").join(e.as("e2"), col("e2.a_id") === col("e1.b_id"))
+      .join(e.as("e3"),
+        col("e3.a_id") === col("e1.a_id") && col("e3.b_id") === col("e2.b_id"))
+      .select(col("e1.a_id").as("x"), col("e1.b_id").as("y"), col("e2.b_id").as("z"))
+    val out = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_triangles"))
+    Det.ordered(out)
+  }
+}
