@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ann.Ann
+import graft.dedup.Dedup
+import graft.operators.Graph
+import graft.text.TextOps
+import graft.tsdb.{EsFilter, Tsdb}
+
+/** Properties of the round-4 operators (chunking, chunk dedup, BPE pairs,
+  * entropy, semdedup, graph analytics, quantile/availability/rollup TSDB).
+  */
+class Round4Spec extends SparkTestBase {
+  private val Start = 1704672000000L
+  private val End   = 1705881600000L
+  private def pts = Tsdb.points(spark, Sf)
+  private val all = EsFilter.compile("""{"match_all":{}}""")
+
+  test("quantile_over_time: p90 lies within each bucket's [min, max]") {
+    val q = Tsdb.quantileOverTime(pts.copy(tagCols = Seq("event_type")), all, Start, End)
+    val bounds = pts.df
+      .where(pts.inRange(Start, End))
+      .groupBy(col("event_type"),
+        (floor(pts.timeMs / 3600000L) * 3600000L).cast("bigint").as("bucket_ms"))
+      .agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+    val bad = q.join(bounds, Seq("event_type", "bucket_ms"))
+      .where(col("p90") < col("lo") - 0.001 || col("p90") > col("hi") + 0.001)
+      .count()
+    assert(bad == 0)
+    assert(q.count() > 0)
+  }
+
+  test("availability is in (0, 1] and bounded by bucket counts") {
+    val a = Tsdb.availability(pts, all, Start, End)
+    assert(a.count() > 0)
+    val bad = a.where(col("availability") <= 0 || col("availability") > 1 ||
+      col("buckets_with_data") > col("total_buckets")).count()
+    assert(bad == 0)
+  }
+
+  test("rollup cascade: daily-from-hourly equals daily-from-raw") {
+    val cascade = Tsdb.rollupCascade(pts, all, Start, End)
+    val direct = pts.df
+      .where(pts.inRange(Start, End))
+      .groupBy(pts.tags :+ (floor(pts.timeMs / lit(Tsdb.MsInDay)) * Tsdb.MsInDay)
+        .cast("bigint").as("day_ms"): _*)
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(18,4)")).cast("double"), 2).as("sum_value"))
+    val joined = cascade.select(col("user_id"), col("event_type"), col("day_ms"),
+        col("n").as("cn"), col("sum_value").as("cs"))
+      .join(direct, Seq("user_id", "event_type", "day_ms"))
+    assert(joined.count() == cascade.count())
+    assert(joined.where(col("cn") =!= col("n") || col("cs") =!= col("sum_value")).count() == 0)
+  }
+
+  test("doc_chunks: covers every token, respects width, counts ceil(n/step)") {
+    val chunks = TextOps.docChunks(spark, Sf)
+    val toks = Tables2.docTokens(spark, Sf)
+    val per = chunks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"), sum(col("chunk_tokens")).as("tok_with_overlap"),
+        max(col("chunk_tokens")).as("widest"))
+      .join(toks, "doc_id")
+    // ceil(n/12) chunks; width cap 16; overlapped token mass >= raw tokens
+    assert(per.where(col("n_chunks") =!= ceil(col("nt") / 12.0).cast("long")).count() == 0)
+    assert(per.where(col("widest") > 16).count() == 0)
+    assert(per.where(col("tok_with_overlap") < col("nt")).count() == 0)
+  }
+
+  test("dedup_chunks: kept counts bounded and kept chunks = distinct hashes") {
+    val d = Dedup.dedupChunks(spark, Sf)
+    assert(d.where(col("n_kept") > col("n_chunks") || col("kept_ratio") <= 0 ||
+      col("kept_ratio") > 1).count() == 0)
+    val totalKept = d.agg(sum(col("n_kept"))).collect()(0).getLong(0)
+    val distinctHashes = TextOps.docChunks(spark, Sf)
+      .select(col("chunk_hash")).distinct().count()
+    assert(totalKept == distinctHashes)
+  }
+
+  test("bpe_pairs: descending counts, deterministic ties") {
+    val p = TextOps.bpePairs(spark, Sf).collect()
+    assert(p.length == 20)
+    val counts = p.map(_.getLong(2))
+    assert(counts.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+  }
+
+  test("entropy: bounded by ln(n_types), zero iff single type") {
+    val e = TextOps.entropy(spark, Sf)
+    val bad = e.where(col("entropy") < -0.001 ||
+      col("entropy") > log(col("n_types").cast("double")) + 0.001).count()
+    assert(bad == 0)
+    assert(e.where(col("n_types") === 1 && col("entropy") =!= 0.0).count() == 0)
+  }
+
+  test("semdedup: flags are 0/1 and the first vector of each cell survives") {
+    val sd = Ann.semdedup(spark, Sf)
+    assert(sd.where(col("is_dup") =!= 0 && col("is_dup") =!= 1).count() == 0)
+    val firstPerCell = sd.groupBy(col("cell")).agg(min(col("vec_id")).as("vec_id"))
+    val flaggedFirst = sd.join(firstPerCell, Seq("cell", "vec_id"))
+      .where(col("is_dup") === 1).count()
+    assert(flaggedFirst == 0)
+  }
+
+  test("pagerank: ranks positive and total mass ~ 1") {
+    val pr = Graph.pagerank(spark, Sf)
+    if (pr.count() > 0) {
+      assert(pr.where(col("pr") <= 0).count() == 0)
+      val total = pr.agg(sum(col("pr"))).collect()(0).getDouble(0)
+      // rounding at 8dp per round loses at most ~n*1e-8 of mass
+      assert(math.abs(total - 1.0) < 0.01, s"total rank mass $total")
+    }
+  }
+
+  test("triangle credits come in multiples of three") {
+    val t = Graph.triangleCounts(spark, Sf)
+    val total = t.agg(coalesce(sum(col("n_triangles")), lit(0L))).collect()(0).getLong(0)
+    assert(total % 3 == 0)
+  }
+}
+
+/** Tiny helper shared by Round4Spec assertions. */
+object Tables2 {
+  import org.apache.spark.sql.{DataFrame, SparkSession}
+  def docTokens(s: SparkSession, d: String): DataFrame =
+    graft.core.Tables.documents(s, d)
+      .select(col("doc_id"), size(TextOps.tokens(col("text"))).as("nt"))
+}
