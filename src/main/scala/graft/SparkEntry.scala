@@ -237,6 +237,8 @@ object SparkEntry {
     "dedup_simhash_buckets" -> ((s, d) => Dedup.simhashBucketedPairs(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
+    "dedup_priority" -> ((s, d) => Dedup.priorityDedup(s, d)),
+    "mix_weights" -> ((s, d) => TextOps.mixWeights(s, d)),
     "dedup_soft" -> ((s, d) => Dedup.softWeights(s, d)),
     "fuzzy_join" -> ((s, d) => Dedup.fuzzyJoin(s, d)),
     "ngram_novelty" -> ((s, d) => Dedup.ngramNovelty(s, d)),
@@ -1445,6 +1447,45 @@ object SparkEntry {
                         JOIN edges e ON e.src = reach.id)
           SELECT id AS doc_id, min(r) AS cluster_id FROM reach
           GROUP BY 1 ORDER BY 1, 2""",
+    "dedup_priority" ->
+      s"""WITH RECURSIVE $ShingleCte,
+              $MinhashCte,
+              cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                       FROM bands a JOIN bands b
+                         ON a.band = b.band AND a.band_key = b.band_key
+                        AND a.doc_id < b.doc_id),
+              edges AS (SELECT a_id AS src, b_id AS dst FROM cand
+                        UNION ALL SELECT b_id, a_id FROM cand),
+              nodes AS (SELECT DISTINCT src AS id FROM edges),
+              reach AS (SELECT id, id AS r FROM nodes
+                        UNION
+                        SELECT e.dst AS id, reach.r FROM reach
+                        JOIN edges e ON e.src = reach.id),
+              lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+              mem AS (SELECT l.cluster_id, l.doc_id, dd.source,
+                             CAST(regexp_extract(dd.source, '([0-9]+)$$', 1) AS BIGINT)
+                               AS src_rank
+                      FROM lab l JOIN documents dd ON dd.doc_id = l.doc_id),
+              rk AS (SELECT cluster_id, doc_id, source,
+                            row_number() OVER (PARTITION BY cluster_id
+                              ORDER BY src_rank, doc_id) AS rn
+                     FROM mem)
+          SELECT cluster_id, count(*) AS n_members,
+                 min(CASE WHEN rn = 1 THEN doc_id END) AS keep_id,
+                 min(CASE WHEN rn = 1 THEN source END) AS keep_source
+          FROM rk GROUP BY 1 ORDER BY 1, 2, 3, 4""",
+    "mix_weights" ->
+      s"""WITH per AS (SELECT source, count(*) AS n_docs,
+                              CAST(sum(len(string_split($NormSql, ' '))) AS BIGINT)
+                                AS n_tokens
+                       FROM documents GROUP BY 1),
+              tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                             count(*) AS n_sources
+                      FROM per)
+          SELECT source, n_docs, n_tokens,
+                 ${rndSql("n_tokens / total_tokens", 6)} AS token_share,
+                 ${rndSql("total_tokens / (n_sources * n_tokens)", 6)} AS mix_weight
+          FROM per, tot ORDER BY 1, 2, 3, 4, 5""",
     "text_pii" -> {
       val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
       val phone = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]+"

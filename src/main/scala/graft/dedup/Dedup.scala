@@ -288,6 +288,29 @@ object Dedup {
     Det.ordered(labels.select(col("id").as("doc_id"), col("label").as("cluster_id")))
   }
 
+  /** Source-priority dedup: within each near-dup cluster keep the document
+    * from the most trusted source (lowest numeric source rank — the
+    * "curated beats crawl" rule real pipelines apply when a page appears in
+    * both Wikipedia and Common Crawl), tie-broken by doc_id. One window over
+    * the tiny cluster-label table joined to doc metadata — the expensive
+    * part (clustering) is shared with [[clusters]].
+    */
+  def priorityDedup(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        regexp_extract(col("source"), "([0-9]+)$", 1).cast("bigint").as("src_rank"))
+    val w = Window.partitionBy(col("cluster_id")).orderBy(col("src_rank"), col("doc_id"))
+    val members = clusters(s, d).join(docs, "doc_id")
+      .select(col("cluster_id"), col("doc_id"), col("source"), col("src_rank"),
+        row_number().over(w).as("rn"))
+    val out = members.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"),
+        min(when(col("rn") === 1, col("doc_id"))).as("keep_id"),
+        min(when(col("rn") === 1, col("source"))).as("keep_source"))
+    Det.ordered(out)
+  }
+
   /** Fuzzy string join: LSH candidate pairs refined by Levenshtein distance
     * on the normalized-text prefix — the "same record, small edits" matcher.
     * Scale shape: the O(len²) edit-distance kernel runs ONLY on LSH

