@@ -238,7 +238,9 @@ object SparkEntry {
     "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(s, d)),
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     "dedup_priority" -> ((s, d) => Dedup.priorityDedup(s, d)),
+    "dedup_containment" -> ((s, d) => Dedup.containmentPairs(s, d)),
     "mix_weights" -> ((s, d) => TextOps.mixWeights(s, d)),
+    "session_path" -> ((s, d) => Analytics.sessionPath(s, d)),
     "dedup_soft" -> ((s, d) => Dedup.softWeights(s, d)),
     "fuzzy_join" -> ((s, d) => Dedup.fuzzyJoin(s, d)),
     "ngram_novelty" -> ((s, d) => Dedup.ngramNovelty(s, d)),
@@ -1474,6 +1476,28 @@ object SparkEntry {
                  min(CASE WHEN rn = 1 THEN doc_id END) AS keep_id,
                  min(CASE WHEN rn = 1 THEN source END) AS keep_source
           FROM rk GROUP BY 1 ORDER BY 1, 2, 3, 4""",
+    "dedup_containment" ->
+      s"""WITH $ShingleCte,
+              sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+              i AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS ni
+                    FROM sh a JOIN sh b
+                      ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+                    GROUP BY 1, 2)
+          SELECT a_id, b_id, ${rndSql("ni * 1.0 / sa.n", 4)} AS containment
+          FROM i JOIN sz sa ON sa.doc_id = a_id
+          WHERE ${rndSql("ni * 1.0 / sa.n", 4)} >= 0.9 ORDER BY 1, 2, 3""",
+    "session_path" ->
+      s"""WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS tms, event_type FROM events),
+              l AS (SELECT event_type AS from_type,
+                           lead(event_type) OVER (PARTITION BY user_id
+                             ORDER BY tms, event_id) AS to_type
+                    FROM e),
+              c AS (SELECT from_type, to_type, count(*) AS n_transitions
+                    FROM l WHERE to_type IS NOT NULL GROUP BY 1, 2)
+          SELECT from_type, to_type, n_transitions,
+                 ${rndSql("n_transitions / sum(n_transitions) OVER (PARTITION BY from_type)", 4)}
+                   AS p
+          FROM c ORDER BY 1, 2, 3, 4""",
     "mix_weights" ->
       s"""WITH per AS (SELECT source, count(*) AS n_docs,
                               CAST(sum(len(string_split($NormSql, ' '))) AS BIGINT)

@@ -84,6 +84,28 @@ object Dedup {
     Det.ordered(out)
   }
 
+  /** Asymmetric containment pairs: |A∩B| / |A| >= tau over distinct
+    * 3-shingles — catches a document CONTAINED in another (quoted articles,
+    * boilerplate wrappers), which symmetric Jaccard misses when the host doc
+    * is much larger (the union term drowns the overlap). Ordered both ways:
+    * a row says "a is tau-contained in b". Same inverted-index join shape as
+    * [[ngramJaccard]] — pairs exist only for docs sharing a shingle.
+    */
+  def containmentPairs(s: SparkSession, d: String, tau: Double = 0.9): DataFrame = {
+    val sh = shingleRows(s, d).cache()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    val out = inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_shingles").as("a_n")), "a_id")
+      .select(col("a_id"), col("b_id"),
+        Det.rnd(col("n_inter") * lit(1.0) / col("a_n"), 4).as("containment"))
+      .where(col("containment") >= tau)
+    Det.ordered(out)
+  }
+
   /** MinHash signatures: for seed s, sig = min over shingles of
     * md5("<seed>|<shingle>") — md5's output order is a uniform permutation
     * of the shingle space, so the min is a proper minhash and is identical

@@ -660,6 +660,27 @@ object Analytics {
     Det.ordered(out)
   }
 
+  /** Event-transition matrix (Markov journey analytics): for each user's
+    * time-ordered event stream, count consecutive event_type transitions
+    * globally and derive the per-origin transition probability. One sort
+    * per user partition for the lead, one count shuffle, and a tiny window
+    * over the |types|² matrix for the row-normalization — the classic
+    * "where do users go next" product query.
+    */
+  def sessionPath(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tms"), col("event_id"))
+    val trans = Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), tsMs(col("ts")).as("tms"), col("event_type"))
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .where(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+    val wf = Window.partitionBy(col("from_type"))
+    val out = trans.select(col("from_type"), col("to_type"), col("n_transitions"),
+      Det.rnd(col("n_transitions") / sum(col("n_transitions")).over(wf), 4).as("p"))
+    Det.ordered(out)
+  }
+
   /** Range (interval) join: pairs of events of the same user within a
     * 6-hour forward window. Equi-key (user) + band predicate; at scale the
     * band is additionally bucketed by coarse time block to bound the join

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.ann.Ann
 import graft.dedup.Dedup
-import graft.operators.Graph
+import graft.operators.{Analytics, Graph}
 import graft.text.TextOps
 import graft.tsdb.{EsFilter, Tsdb}
 
@@ -131,6 +131,26 @@ class Round4Spec extends SparkTestBase {
     mw.foreach { r =>
       assert(math.abs(r.getDouble(4) * r.getDouble(3) - 1.0 / n) < 0.001)
     }
+  }
+
+  test("containment: bounded by 1, and exact clones contain each other both ways") {
+    val c = Dedup.containmentPairs(spark, Sf)
+    assert(c.where(col("containment") > 1.0001 || col("containment") < 0.9).count() == 0)
+    val full = c.where(col("containment") >= 0.9999)
+      .select(col("a_id"), col("b_id")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // full containment of equal-size docs is symmetric
+    val sizes = Dedup.shingleRowsOf(graft.core.Tables.documents(spark, Sf))
+      .groupBy(col("doc_id")).count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    full.foreach { case (a, b) =>
+      if (sizes(a) == sizes(b)) assert(full.contains((b, a)), s"($b,$a) missing")
+    }
+  }
+
+  test("session_path: outgoing transition probabilities sum to ~1 per origin") {
+    val sp = Analytics.sessionPath(spark, Sf)
+    val sums = sp.groupBy(col("from_type")).agg(sum(col("p")).as("ps")).collect()
+    assert(sums.nonEmpty)
+    sums.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 0.01, r.toString))
   }
 
   test("triangle credits come in multiples of three") {
