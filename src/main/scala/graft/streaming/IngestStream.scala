@@ -146,6 +146,48 @@ object IngestStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("user_id", "event_type", "time_ms")
 
+  /** Incremental hourly-rollup maintenance — the streaming producer of the
+    * multi-resolution cascade [[graft.tsdb.Tsdb.rollupCascade]] consumes:
+    * each micro-batch writes its per-(series, hour) PARTIAL aggregates
+    * (count / exact-DECIMAL sum / max) under its own `ingest_batch`
+    * partition with dynamic overwrite, so a replayed batch rewrites itself
+    * (idempotent, like [[startFromSource]]). Nothing ever re-scans history:
+    * the serving view [[rollupView]] just re-aggregates partials, which
+    * compose losslessly.
+    */
+  def startRollup(raw: DataFrame, rollupDir: String,
+                  checkpointDir: String): StreamingQuery =
+    validate(raw).writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.where(col("error").isNull)
+          .groupBy(col("user_id"), col("event_type"),
+            (floor(col("time_ms") / lit(3600000L)) * 3600000L).cast("bigint").as("hour_ms"))
+          .agg(count(lit(1)).as("hn"),
+            sum(col("value").cast("decimal(18,4)")).as("hsum"),
+            max(col("value")).as("hmax"))
+          .withColumn("ingest_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch")
+          .parquet(rollupDir)
+        ()
+      }
+      .start()
+
+  /** Serving view over the partial-rollup table: hourly totals composed
+    * from per-batch partials — bit-identical to aggregating the raw points
+    * (sums of sums, counts of counts; the exactness argument is
+    * [[graft.tsdb.Tsdb.rollupCascade]]'s).
+    */
+  def rollupView(s: SparkSession, rollupDir: String): DataFrame =
+    s.read.parquet(rollupDir)
+      .groupBy(col("user_id"), col("event_type"), col("hour_ms"))
+      .agg(sum(col("hn")).as("n"),
+        sum(col("hsum")).cast("double").as("sum_value"),
+        max(col("hmax")).as("max_value"))
+
   /** Live per-series counts over event-time windows with a watermark — the
     * streaming equivalent of `/read` + count aggregation. Late data beyond
     * the watermark is dropped; state is bounded.

@@ -214,4 +214,37 @@ class StreamingSpec extends SparkTestBase {
       ("2024-01-09 13:00:00", 1L, "click", 1L, 4.0),
       ("2024-01-09 12:00:00", 2L, "view", 1L, 8.0)))
   }
+
+  test("incremental rollup equals batch recomputation across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val roll = tmp("rollup-sink"); val ckpt = tmp("rollup-ckpt")
+    val mem = MemoryStream[(String, Double, Long, String)]
+    val raw = mem.toDF().toDF("time", "value", "user_id", "event_type")
+
+    val q = IngestStream.startRollup(raw, roll, ckpt)
+    // two micro-batches hitting the SAME hour bucket: partials must compose
+    mem.addData(
+      ("2024-01-09T10:05:00Z", 1.25, 1L, "click"),
+      ("2024-01-09T10:20:00Z", 2.5, 1L, "click"),
+      ("2024-01-09T11:05:00Z", 4.0, 1L, "click"))
+    q.processAllAvailable()
+    mem.addData(
+      ("2024-01-09T10:40:00Z", 8.0, 1L, "click"),   // same hour as batch 0
+      ("2024-01-09T10:45:00Z", 16.0, 2L, "view"),
+      ("bad-time", 32.0, 2L, "view"))               // rejected, never rolls up
+    q.processAllAvailable(); q.stop()
+
+    val view = IngestStream.rollupView(spark, roll)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSet
+    val hour = 1704794400000L // 2024-01-09T10:00:00Z
+    assert(view == Set(
+      (1L, "click", hour, 3L, 11.75, 8.0),
+      (1L, "click", hour + 3600000L, 1L, 4.0, 4.0),
+      (2L, "view", hour, 1L, 16.0, 16.0)))
+    // the partial table really is split across two batch partitions
+    val batches = spark.read.parquet(roll).select("ingest_batch").distinct().count()
+    assert(batches == 2)
+  }
 }
