@@ -241,6 +241,8 @@ object SparkEntry {
     "dedup_containment" -> ((s, d) => Dedup.containmentPairs(s, d)),
     "mix_weights" -> ((s, d) => TextOps.mixWeights(s, d)),
     "session_path" -> ((s, d) => Analytics.sessionPath(s, d)),
+    "window_funnel" -> ((s, d) => Analytics.windowFunnel(s, d)),
+    "text_boilerplate" -> ((s, d) => TextOps.boilerplate(s, d)),
     "dedup_soft" -> ((s, d) => Dedup.softWeights(s, d)),
     "fuzzy_join" -> ((s, d) => Dedup.fuzzyJoin(s, d)),
     "ngram_novelty" -> ((s, d) => Dedup.ngramNovelty(s, d)),
@@ -1476,6 +1478,40 @@ object SparkEntry {
                  min(CASE WHEN rn = 1 THEN doc_id END) AS keep_id,
                  min(CASE WHEN rn = 1 THEN source END) AS keep_source
           FROM rk GROUP BY 1 ORDER BY 1, 2, 3, 4""",
+    "window_funnel" ->
+      s"""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS tms FROM events),
+              v AS (SELECT user_id, min(tms) AS v_ms FROM e
+                    WHERE event_type = 'view' GROUP BY 1),
+              c AS (SELECT e.user_id, min(e.tms) AS c_ms
+                    FROM e JOIN v ON v.user_id = e.user_id
+                    WHERE e.event_type = 'click'
+                      AND e.tms >= v.v_ms AND e.tms < v.v_ms + 86400000
+                    GROUP BY 1),
+              p AS (SELECT e.user_id, min(e.tms) AS p_ms
+                    FROM e JOIN v ON v.user_id = e.user_id
+                         JOIN c ON c.user_id = e.user_id
+                    WHERE e.event_type = 'purchase'
+                      AND e.tms >= c.c_ms AND e.tms < v.v_ms + 86400000
+                    GROUP BY 1),
+              st AS (SELECT v.user_id,
+                            CASE WHEN p.p_ms IS NOT NULL THEN 3
+                                 WHEN c.c_ms IS NOT NULL THEN 2 ELSE 1 END AS stage
+                     FROM v LEFT JOIN c ON c.user_id = v.user_id
+                            LEFT JOIN p ON p.user_id = v.user_id)
+          SELECT CAST(stage AS BIGINT) AS stage, count(*) AS n_users
+          FROM st GROUP BY 1 ORDER BY 1, 2""",
+    "text_boilerplate" ->
+      s"""WITH t0 AS (SELECT doc_id, string_split($NormSql, ' ') AS toks FROM documents),
+              ch AS (SELECT doc_id, i AS chunk_idx,
+                            md5(array_to_string(toks[i*12+1 : i*12+16], ' ')) AS chunk_hash
+                     FROM t0, UNNEST(range(0, (len(toks)+11)//12)) AS u(i)),
+              df AS (SELECT chunk_hash, count(*) AS chunk_df FROM
+                       (SELECT DISTINCT doc_id, chunk_hash FROM ch) GROUP BY 1)
+          SELECT doc_id, count(*) AS n_chunks,
+                 CAST(sum(CASE WHEN chunk_df >= 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+                 ${rndSql("sum(CASE WHEN chunk_df >= 5 THEN 1 ELSE 0 END) / count(*)", 4)}
+                   AS boiler_ratio
+          FROM ch JOIN df USING (chunk_hash) GROUP BY 1 ORDER BY 1, 2, 3, 4""",
     "dedup_containment" ->
       s"""WITH $ShingleCte,
               sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),

@@ -660,6 +660,34 @@ object Analytics {
     Det.ordered(out)
   }
 
+  /** Time-bounded ordered funnel (ClickHouse `windowFunnel` semantics):
+    * stage 2 must follow the user's FIRST view, stage 3 must follow that
+    * click, and everything must land inside `windowMs` of the view. Three
+    * conditional-min aggregations chained by join-backs — each stage is one
+    * shuffle on user_id, and the per-stage tables shrink monotonically (only
+    * users who reached stage k join stage k+1).
+    */
+  def windowFunnel(s: SparkSession, d: String, windowMs: Long = 86400000L): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), tsMs(col("ts")).as("tms"))
+    val v = e.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("tms")).as("v_ms"))
+    val c = e.join(v, "user_id")
+      .where(col("event_type") === "click" &&
+        col("tms") >= col("v_ms") && col("tms") < col("v_ms") + windowMs)
+      .groupBy(col("user_id")).agg(min(col("tms")).as("c_ms"))
+    val p = e.join(v, "user_id").join(c, "user_id")
+      .where(col("event_type") === "purchase" &&
+        col("tms") >= col("c_ms") && col("tms") < col("v_ms") + windowMs)
+      .groupBy(col("user_id")).agg(min(col("tms")).as("p_ms"))
+    val staged = v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("p_ms").isNotNull, 3L)
+          .when(col("c_ms").isNotNull, 2L).otherwise(1L).as("stage"))
+    val out = staged.groupBy(col("stage")).agg(count(lit(1)).as("n_users"))
+    Det.ordered(out)
+  }
+
   /** Event-transition matrix (Markov journey analytics): for each user's
     * time-ordered event stream, count consecutive event_type transitions
     * globally and derive the per-origin transition probability. One sort

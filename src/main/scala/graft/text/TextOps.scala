@@ -244,6 +244,25 @@ object TextOps {
     Det.ordered(out)
   }
 
+  /** Boilerplate detection over [[docChunks]] windows: a chunk appearing in
+    * >= minDf DISTINCT documents is boilerplate (shared headers/footers/
+    * templates — the C4-style "remove lines repeated across pages" rule at
+    * chunk granularity); each doc reports its boilerplate fraction. Two
+    * shuffles: chunk-hash document frequencies, then the per-doc rollup.
+    */
+  def boilerplate(s: SparkSession, d: String, minDf: Int = 5): DataFrame = {
+    val chunks = docChunks(s, d)
+    val df = chunks.select(col("doc_id"), col("chunk_hash")).distinct()
+      .groupBy(col("chunk_hash")).agg(count(lit(1)).as("chunk_df"))
+    val out = chunks.join(df, "chunk_hash")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("chunk_df") >= minDf, 1L).otherwise(0L)).as("n_boiler"),
+        Det.rnd(sum(when(col("chunk_df") >= minDf, 1L).otherwise(0L)) / count(lit(1)), 4)
+          .as("boiler_ratio"))
+    Det.ordered(out)
+  }
+
   /** Adjacent-token pair frequencies — the counting step of one BPE merge
     * round (the most frequent pair is the next merge). Total occurrences,
     * not document frequencies (contrast [[bigramStats]]): tokenizer training

@@ -153,6 +153,30 @@ class Round4Spec extends SparkTestBase {
     sums.foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 0.01, r.toString))
   }
 
+  test("window funnel: stages partition view-users and shrink monotonically") {
+    val wf = Analytics.windowFunnel(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viewUsers = graft.core.Tables.events(spark, Sf)
+      .where(col("event_type") === "view").select(col("user_id")).distinct().count()
+    assert(wf.values.sum == viewUsers) // every view-user lands in exactly one stage
+    // unbounded funnel can only be reached by >= as many users as the bounded one
+    val unbounded = Analytics.windowFunnel(spark, Sf, windowMs = Long.MaxValue / 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(unbounded.getOrElse(3L, 0L) >= wf.getOrElse(3L, 0L))
+  }
+
+  test("boilerplate: ratios bounded and flagged mass matches high-df chunks") {
+    val b = TextOps.boilerplate(spark, Sf)
+    assert(b.where(col("boiler_ratio") < 0 || col("boiler_ratio") > 1 ||
+      col("n_boiler") > col("n_chunks")).count() == 0)
+    val flagged = b.agg(sum(col("n_boiler"))).collect()(0).getLong(0)
+    val expected = TextOps.docChunks(spark, Sf)
+      .join(TextOps.docChunks(spark, Sf).select(col("doc_id"), col("chunk_hash")).distinct()
+        .groupBy(col("chunk_hash")).agg(count(lit(1)).as("df")), "chunk_hash")
+      .where(col("df") >= 5).count()
+    assert(flagged == expected)
+  }
+
   test("triangle credits come in multiples of three") {
     val t = Graph.triangleCounts(spark, Sf)
     val total = t.agg(coalesce(sum(col("n_triangles")), lit(0L))).collect()(0).getLong(0)
