@@ -255,6 +255,8 @@ object SparkEntry {
     "ann_pq" -> ((s, d) => Ann.pqTopK(s, d)),
     "ann_pq_rerank" -> ((s, d) => Ann.pqRerankTopK(s, d)),
     "semdedup" -> ((s, d) => Ann.semdedup(s, d)),
+    "ann_ivfpq" -> ((s, d) => Ann.ivfPqTopK(s, d)),
+    "ann_recall" -> ((s, d) => Ann.recallAtK(s, d)),
     "text_lm_score" -> ((s, d) => TextOps.lmScore(s, d)),
     "text_entropy" -> ((s, d) => TextOps.entropy(s, d)),
     "doc_chunks" -> ((s, d) => TextOps.docChunks(s, d)),
@@ -349,11 +351,11 @@ object SparkEntry {
     (init +: steps).mkString(",\n")
   }
 
-  /** PQ code assignment + ADC scoring CTEs (assumes VecrCte): sub-vectors,
-    * trained sub-codebooks (p2), codes, query LUT, and `adc` scores — shared
-    * by the ann_pq and ann_pq_rerank oracles.
+  /** PQ code assignment CTEs (assumes VecrCte): sub-vectors, trained
+    * sub-codebooks (p2), codes, and the query LUT — shared by every
+    * PQ-family oracle.
     */
-  private def PqAdcCte: String =
+  private def PqCodesCte: String =
     s"""sub AS (SELECT vec_id, (i-1)//16 AS sp, i, x FROM evr),
         ${pqTrainCte(2, 16)},
         d2 AS (SELECT a.vec_id, a.sp, c.c_id,
@@ -368,7 +370,13 @@ object SparkEntry {
         lut AS (SELECT a.vec_id AS q_id, a.sp, c.c_id,
                        round(sum(a.x * c.cx), 6) AS pdot
                 FROM sub a JOIN p2 c ON c.sp = a.sp AND c.i = a.i
-                WHERE a.vec_id < 20 GROUP BY 1, 2, 3),
+                WHERE a.vec_id < 20 GROUP BY 1, 2, 3)"""
+
+  /** PqCodesCte + the unrestricted `adc` scores — shared by the ann_pq and
+    * ann_pq_rerank oracles.
+    */
+  private def PqAdcCte: String =
+    s"""$PqCodesCte,
         adc AS (SELECT l.q_id, cd.vec_id AS n_id,
                        round(CAST(sum(CAST(l.pdot AS DECIMAL(14,6))) AS DOUBLE), 6)
                          AS approx_dot
@@ -1360,6 +1368,105 @@ object SparkEntry {
                         ORDER BY cosine DESC, n_id) AS BIGINT) AS rank
                     FROM pc)
           SELECT q_id, n_id, cosine, rank FROM r WHERE rank <= 5 ORDER BY 1, 2, 3, 4""",
+    "ann_recall" ->
+      s"""WITH $VecrCte,
+              bfd AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, sum(a.x*b.x) AS dot
+                      FROM ev a JOIN ev b ON a.i = b.i AND a.vec_id <> b.vec_id
+                      WHERE a.vec_id < 20 GROUP BY 1, 2),
+              bfc AS (SELECT q_id, n_id, round(dot/sqrt(nq.nsq*nn.nsq), 6) AS cosine
+                      FROM bfd JOIN vn nq ON nq.vec_id = q_id JOIN vn nn ON nn.vec_id = n_id),
+              bf AS (SELECT q_id, n_id FROM (
+                       SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+                         ORDER BY cosine DESC, n_id) AS rank FROM bfc) WHERE rank <= 5),
+              ${ivfTrainCte(2, 16)},
+              knf AS (SELECT c_id, sum(cx*cx) AS nsq FROM c2 GROUP BY 1),
+              cc AS (SELECT v.vec_id AS vid, c.c_id AS cid, sum(v.x * c.cx) AS dot
+                     FROM evr v JOIN c2 c ON v.i = c.i GROUP BY 1, 2),
+              ccos AS (SELECT vid, cid, round(dot/sqrt(nv.nsq*nc.nsq), 6) AS c
+                       FROM cc JOIN vnr nv ON nv.vec_id = vid JOIN knf nc ON nc.c_id = cid),
+              rankedc AS (SELECT vid, cid, row_number() OVER (PARTITION BY vid
+                            ORDER BY c DESC, cid) AS arn FROM ccos),
+              assign AS (SELECT vid, cid AS cell FROM rankedc WHERE arn = 1),
+              probe2 AS (SELECT vid, cid AS cell FROM rankedc WHERE arn <= 2),
+              ivdots1 AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, sum(a.x*b.x) AS dot
+                          FROM evr a JOIN evr b ON a.i = b.i AND a.vec_id <> b.vec_id
+                          JOIN assign qa ON qa.vid = a.vec_id
+                          JOIN assign na ON na.vid = b.vec_id AND na.cell = qa.cell
+                          WHERE a.vec_id < 20 GROUP BY 1, 2),
+              ivtop1 AS (SELECT q_id, n_id FROM (
+                           SELECT d.q_id, d.n_id, row_number() OVER (PARTITION BY d.q_id
+                             ORDER BY round(d.dot/sqrt(nq.nsq*nn.nsq), 6) DESC, d.n_id) AS rank
+                           FROM ivdots1 d JOIN vnr nq ON nq.vec_id = d.q_id
+                                          JOIN vnr nn ON nn.vec_id = d.n_id) WHERE rank <= 5),
+              ivdots2 AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, sum(a.x*b.x) AS dot
+                          FROM evr a JOIN evr b ON a.i = b.i AND a.vec_id <> b.vec_id
+                          JOIN probe2 qa ON qa.vid = a.vec_id
+                          JOIN assign na ON na.vid = b.vec_id AND na.cell = qa.cell
+                          WHERE a.vec_id < 20 GROUP BY 1, 2),
+              ivtop2 AS (SELECT q_id, n_id FROM (
+                           SELECT d.q_id, d.n_id, row_number() OVER (PARTITION BY d.q_id
+                             ORDER BY round(d.dot/sqrt(nq.nsq*nn.nsq), 6) DESC, d.n_id) AS rank
+                           FROM ivdots2 d JOIN vnr nq ON nq.vec_id = d.q_id
+                                          JOIN vnr nn ON nn.vec_id = d.n_id) WHERE rank <= 5),
+              $PqAdcCte,
+              pqtop AS (SELECT q_id, n_id FROM (
+                          SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+                            ORDER BY approx_dot DESC, n_id) AS rank FROM adc) WHERE rank <= 5),
+              qcells AS (SELECT vid AS q_id, cid AS q_cell FROM rankedc
+                         WHERE arn <= 2 AND vid < 20),
+              adcR AS (SELECT l.q_id, cd.vec_id AS n_id,
+                              round(CAST(sum(CAST(l.pdot AS DECIMAL(14,6))) AS DOUBLE), 6)
+                                AS approx_dot
+                       FROM codes cd
+                       JOIN assign a ON a.vid = cd.vec_id
+                       JOIN lut l ON l.sp = cd.sp AND l.c_id = cd.code
+                                    AND cd.vec_id <> l.q_id
+                       JOIN qcells qc ON qc.q_id = l.q_id AND qc.q_cell = a.cell
+                       GROUP BY 1, 2),
+              ivfpqtop AS (SELECT q_id, n_id FROM (
+                             SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+                               ORDER BY approx_dot DESC, n_id) AS rank FROM adcR)
+                           WHERE rank <= 5),
+              u AS (SELECT 'ivf_nprobe1' AS method, q_id, n_id FROM ivtop1
+                    UNION ALL SELECT 'ivf_nprobe2', q_id, n_id FROM ivtop2
+                    UNION ALL SELECT 'ivfpq', q_id, n_id FROM ivfpqtop
+                    UNION ALL SELECT 'pq_adc', q_id, n_id FROM pqtop),
+              hits AS (SELECT method, count(*) AS n_hits FROM u
+                       WHERE EXISTS (SELECT 1 FROM bf
+                                     WHERE bf.q_id = u.q_id AND bf.n_id = u.n_id)
+                       GROUP BY 1),
+              tot AS (SELECT count(*) AS n_exact FROM bf)
+          SELECT method, n_hits, n_exact, ${rndSql("n_hits / n_exact", 4)} AS recall
+          FROM hits, tot ORDER BY 1, 2, 3, 4""",
+    "ann_ivfpq" ->
+      s"""WITH $VecrCte,
+              ${ivfTrainCte(2, 16)},
+              knf AS (SELECT c_id, sum(cx*cx) AS nsq FROM c2 GROUP BY 1),
+              cc AS (SELECT v.vec_id AS vid, c.c_id AS cid, sum(v.x * c.cx) AS dot
+                     FROM evr v JOIN c2 c ON v.i = c.i GROUP BY 1, 2),
+              ccos AS (SELECT vid, cid, round(dot/sqrt(nv.nsq*nc.nsq), 6) AS c
+                       FROM cc JOIN vnr nv ON nv.vec_id = vid JOIN knf nc ON nc.c_id = cid),
+              rkd AS (SELECT vid, cid, row_number() OVER (PARTITION BY vid
+                        ORDER BY c DESC, cid) AS arn FROM ccos),
+              assign AS (SELECT vid, cid AS cell FROM rkd WHERE arn = 1),
+              qcells AS (SELECT vid AS q_id, cid AS q_cell FROM rkd
+                         WHERE arn <= 2 AND vid < 20),
+              $PqCodesCte,
+              adc AS (SELECT l.q_id, cd.vec_id AS n_id,
+                             round(CAST(sum(CAST(l.pdot AS DECIMAL(14,6))) AS DOUBLE), 6)
+                               AS approx_dot
+                      FROM codes cd
+                      JOIN assign a ON a.vid = cd.vec_id
+                      JOIN lut l ON l.sp = cd.sp AND l.c_id = cd.code
+                                   AND cd.vec_id <> l.q_id
+                      JOIN qcells qc ON qc.q_id = l.q_id AND qc.q_cell = a.cell
+                      GROUP BY 1, 2),
+              r AS (SELECT q_id, n_id, approx_dot,
+                      CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY approx_dot DESC, n_id) AS BIGINT) AS rank
+                    FROM adc)
+          SELECT q_id, n_id, approx_dot, rank FROM r WHERE rank <= 5
+          ORDER BY 1, 2, 3, 4""",
     "semdedup" ->
       s"""WITH $VecrCte,
               ${ivfTrainCte(2, 16)},

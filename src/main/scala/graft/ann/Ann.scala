@@ -283,11 +283,13 @@ object Ann {
     cents
   }
 
-  /** ADC scores (q_id, vec_id, approx_dot) for the query subset — the shared
-    * core of [[pqTopK]] and [[pqRerankTopK]].
+  /** PQ code table + query lookup table — the shared compressed-domain core
+    * of [[pqTopK]], [[pqRerankTopK]] and [[ivfPqTopK]]. `codes` assigns each
+    * (vector, subspace) its nearest trained sub-centroid; `lut` holds each
+    * query's partial dot against every sub-centroid.
     */
-  private def pqAdcScores(s: SparkSession, d: String, nQueries: Int,
-                          nCodes: Int, m: Int, dims: Int, trainIters: Int): DataFrame = {
+  private def pqCodesLut(s: SparkSession, d: String, nQueries: Int, nCodes: Int,
+                         m: Int, dims: Int, trainIters: Int): (DataFrame, DataFrame) = {
     val sw = dims / m
     val e = quantNorm(s, d).select(col("vec_id"), col("v"))
     val subs = e
@@ -309,11 +311,84 @@ object Ann {
       .join(broadcast(cents), col("lsp") === col("csp"))
       .select(col("q_id"), col("lsp"), col("c_id"),
         round(VectorFunctions.dot(s, col("qsv"), col("cv")), 6).as("pdot"))
+    (codes, lut)
+  }
+
+  /** ADC scores (q_id, vec_id, approx_dot) for the query subset — the shared
+    * core of [[pqTopK]] and [[pqRerankTopK]].
+    */
+  private def pqAdcScores(s: SparkSession, d: String, nQueries: Int,
+                          nCodes: Int, m: Int, dims: Int, trainIters: Int): DataFrame = {
+    val (codes, lut) = pqCodesLut(s, d, nQueries, nCodes, m, dims, trainIters)
     codes.join(broadcast(lut),
         col("sp") === col("lsp") && col("code") === col("c_id") &&
         col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"))
       .agg(round(sum(col("pdot").cast("decimal(14,6)")).cast("double"), 6).as("approx_dot"))
+  }
+
+  /** IVF+PQ (the FAISS IVFPQ shape, Jégou et al. PAMI '11): the coarse
+    * trained IVF codebook restricts candidates to the query's `nprobe`
+    * probed cells, and ADC scores ONLY those candidates from the compressed
+    * codes — at 100 TB the scan touches (corpus/nCells)·nprobe code rows
+    * per query instead of every code row, and neither path ever reads the
+    * original floats. Top-k by ADC score.
+    */
+  def ivfPqTopK(s: SparkSession, d: String, k: Int = 5, nQueries: Int = 20,
+                nCentroids: Int = 16, nprobe: Int = 2, nCodes: Int = 16, m: Int = 4,
+                dims: Int = 64, trainIters: Int = 2): DataFrame = {
+    val e = quantNorm(s, d).cache()
+    val cents = memoCodebook(s, s"ivf|$d|$nCentroids|$trainIters")(
+      trainIvfCentroids(s, e, nCentroids, trainIters))
+    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
+    val ranked = e.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("c_id"),
+        round(cosine(s, col("v"), col("cv"), col("nrm"), col("cn")), 6).as("c_cos"))
+      .select(col("vec_id"), col("c_id"), row_number().over(wAssign).as("arn"))
+      .where(col("arn") <= math.max(nprobe, 1))
+    val assigned = ranked.where(col("arn") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"))
+    val qcells = ranked.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qc_id"), col("c_id").as("q_cell"))
+    val (codes, lut) = pqCodesLut(s, d, nQueries, nCodes, m, dims, trainIters)
+    // cell restriction happens BEFORE the ADC aggregation: only candidate
+    // code rows flow into the LUT join
+    val adc = codes.join(assigned, "vec_id")
+      .join(broadcast(lut.join(qcells, col("q_id") === col("qc_id"))),
+        col("sp") === col("lsp") && col("code") === col("c_id") &&
+        col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(round(sum(col("pdot").cast("decimal(14,6)")).cast("double"), 6).as("approx_dot"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("approx_dot").desc, col("vec_id"))
+    val out = adc
+      .select(col("q_id"), col("vec_id").as("n_id"), col("approx_dot"),
+        row_number().over(wTop).cast("bigint").as("rank"))
+      .where(col("rank") <= k)
+    Det.ordered(out)
+  }
+
+  /** Recall@k harness as a first-class query: every ANN variant's top-k is
+    * scored against the exhaustive ground truth in ONE plan (semi-join on
+    * the (query, neighbor) pairs), so the accuracy/cost trade-off the SURVEY
+    * narrates is itself oracle-checked. At scale this is the standing
+    * eval job every index rebuild runs before swap-in.
+    */
+  def recallAtK(s: SparkSession, d: String, k: Int = 5, nQueries: Int = 20): DataFrame = {
+    val exact = bruteForceTopK(s, d, k, nQueries).select(col("q_id"), col("n_id")).cache()
+    val methods = Seq(
+      ("ivf_nprobe1", ivfTopK(s, d, k, nQueries, nprobe = 1)),
+      ("ivf_nprobe2", ivfTopK(s, d, k, nQueries, nprobe = 2)),
+      ("ivfpq", ivfPqTopK(s, d, k, nQueries)),
+      ("pq_adc", pqTopK(s, d, k, nQueries)))
+    val approx = methods.map { case (name, df) =>
+      df.select(lit(name).as("method"), col("q_id"), col("n_id"))
+    }.reduce(_ union _)
+    val hits = approx.join(exact, Seq("q_id", "n_id"), "left_semi")
+      .groupBy(col("method")).agg(count(lit(1)).as("n_hits"))
+    val tot = exact.select(count(lit(1)).as("n_exact"))
+    val out = hits.crossJoin(tot).select(col("method"), col("n_hits"), col("n_exact"),
+      Det.rnd(col("n_hits") / col("n_exact"), 4).as("recall"))
+    Det.ordered(out)
   }
 
   def pqTopK(s: SparkSession, d: String, k: Int = 5, nQueries: Int = 20,

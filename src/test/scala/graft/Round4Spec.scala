@@ -177,6 +177,21 @@ class Round4Spec extends SparkTestBase {
     assert(flagged == expected)
   }
 
+  test("ivfpq candidates respect the probed-cell restriction (subset of pq_adc space)") {
+    val ivfpq = Ann.ivfPqTopK(spark, Sf, k = 1000000).select(col("q_id"), col("n_id"))
+    val pq = Ann.pqTopK(spark, Sf, k = 1000000).select(col("q_id"), col("n_id"))
+    // every ivfpq-scored pair must also be scorable by unrestricted ADC
+    assert(ivfpq.join(pq, Seq("q_id", "n_id"), "left_anti").count() == 0)
+  }
+
+  test("recall harness: bounded by 1, and wider probes never lose recall") {
+    val r = Ann.recallAtK(spark, Sf).collect()
+      .map(row => row.getString(0) -> row.getDouble(3)).toMap
+    assert(r.size == 4)
+    r.values.foreach(v => assert(v >= 0.0 && v <= 1.0))
+    assert(r("ivf_nprobe2") >= r("ivf_nprobe1"))
+  }
+
   test("triangle credits come in multiples of three") {
     val t = Graph.triangleCounts(spark, Sf)
     val total = t.agg(coalesce(sum(col("n_triangles")), lit(0L))).collect()(0).getLong(0)
