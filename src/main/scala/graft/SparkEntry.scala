@@ -412,6 +412,17 @@ object SparkEntry {
                         md5(string_agg(sig, ',' ORDER BY seed)) AS band_key
                  FROM sigs GROUP BY 1, 2)"""
 
+  /** The LSH hyperplane constants as SQL VALUES rows — the SAME doubles
+    * [[graft.ann.Ann.lshBuckets]] ships as plan literals (md5-derived,
+    * engine-independent; shortest-repr printing round-trips exactly).
+    * (tbl, plane, 1-based component index, value) for 8 tables x 4 planes.
+    */
+  private lazy val LshPlanesValues: String =
+    (for (t <- 0 until 8; p <- 0 until 4) yield {
+      val vec = graft.ann.Ann.plane(t * 1000 + p, 64)
+      (0 until 64).map(i => s"($t, $p, ${i + 1}, ${vec(i)})").mkString(", ")
+    }).mkString(",\n               ")
+
   /** Candidate-graph CTEs shared by the graph oracles (assumes ShingleCte +
     * MinhashCte): `ce` = deduplicated LSH candidate pairs (a<b), `ed` = the
     * symmetrized edge list, `dg`/`nv` = degrees and vertex count.
@@ -1344,7 +1355,36 @@ object SparkEntry {
                         ORDER BY cosine DESC, n_id) AS BIGINT) AS rank
                     FROM c)
           SELECT q_id, n_id, cosine, rank FROM r WHERE rank <= 5 ORDER BY 1, 2, 3, 4""",
-    // ann_lsh: approximate by construction -> rows-only check, no oracle.
+    // ann_lsh (r4): oracle-checked after all — the "random" hyperplanes are
+    // md5-derived CONSTANTS, so the oracle inlines the exact plane values
+    // Spark ships as literals and replays bucketing + candidate join +
+    // cosine re-rank end to end.
+    "ann_lsh" ->
+      s"""WITH $VecCte,
+              pl AS (SELECT * FROM (VALUES $LshPlanesValues) AS t(tbl, p, i, val)),
+              pd AS (SELECT e.vec_id, pl.tbl, pl.p, sum(e.x * pl.val) AS dot
+                     FROM ev e JOIN pl ON pl.i = e.i GROUP BY 1, 2, 3),
+              bk AS (SELECT vec_id, tbl,
+                            sum(CASE WHEN dot >= 0 THEN (1 << p) ELSE 0 END) AS bucket
+                     FROM pd GROUP BY 1, 2),
+              cands AS (SELECT DISTINCT q.vec_id AS q_id, b.vec_id AS n_id
+                        FROM bk q JOIN bk b
+                          ON b.tbl = q.tbl AND b.bucket = q.bucket
+                         AND b.vec_id <> q.vec_id
+                        WHERE q.vec_id < 20),
+              dots AS (SELECT c.q_id, c.n_id, sum(a.x * b.x) AS dot
+                       FROM cands c
+                       JOIN ev a ON a.vec_id = c.q_id
+                       JOIN ev b ON b.vec_id = c.n_id AND b.i = a.i
+                       GROUP BY 1, 2),
+              pc AS (SELECT q_id, n_id, round(dot/sqrt(nq.nsq*nn.nsq), 6) AS cosine
+                     FROM dots JOIN vn nq ON nq.vec_id = q_id
+                               JOIN vn nn ON nn.vec_id = n_id),
+              r AS (SELECT q_id, n_id, cosine,
+                      CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY cosine DESC, n_id) AS BIGINT) AS rank
+                    FROM pc)
+          SELECT q_id, n_id, cosine, rank FROM r WHERE rank <= 5 ORDER BY 1, 2, 3, 4""",
     "ann_ivf" ->
       s"""WITH $VecrCte,
               ${ivfTrainCte(2, 16)},

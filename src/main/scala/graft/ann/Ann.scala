@@ -62,7 +62,7 @@ object Ann {
     * constants, so they are materialized driver-side once and shipped as
     * array literals — the per-row work is one codegen'd dot per plane.
     */
-  private[ann] def plane(p: Int, dims: Int): Array[Double] = {
+  private[graft] def plane(p: Int, dims: Int): Array[Double] = {
     val md = java.security.MessageDigest.getInstance("MD5")
     Array.tabulate(dims) { i =>
       val h = md.digest(s"${p}_$i".getBytes("UTF-8"))
