@@ -242,6 +242,13 @@ object SparkEntry {
     "mix_weights" -> ((s, d) => TextOps.mixWeights(s, d)),
     "session_path" -> ((s, d) => Analytics.sessionPath(s, d)),
     "window_funnel" -> ((s, d) => Analytics.windowFunnel(s, d)),
+    "skew_stats" -> ((s, d) => Analytics.skewStats(s, d)),
+    "rfm_segments" -> ((s, d) => Analytics.rfmSegments(s, d)),
+    "ts_forecast" -> ((s, d) => Tsdb.forecast(Tsdb.points(s, d)
+      .copy(tagCols = Seq("event_type")),
+      EsFilter.compile("""{"match_all":{}}"""), Start, End)),
+    "vocab_growth" -> ((s, d) => TextOps.vocabGrowth(s, d)),
+    "text_readability" -> ((s, d) => TextOps.readability(s, d)),
     "text_boilerplate" -> ((s, d) => TextOps.boilerplate(s, d)),
     "dedup_soft" -> ((s, d) => Dedup.softWeights(s, d)),
     "fuzzy_join" -> ((s, d) => Dedup.fuzzyJoin(s, d)),
@@ -1625,6 +1632,98 @@ object SparkEntry {
                  min(CASE WHEN rn = 1 THEN doc_id END) AS keep_id,
                  min(CASE WHEN rn = 1 THEN source END) AS keep_source
           FROM rk GROUP BY 1 ORDER BY 1, 2, 3, 4""",
+    "skew_stats" ->
+      s"""WITH c AS (SELECT l_orderkey, count(*) AS c FROM lineitem GROUP BY 1)
+          SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows, max(c) AS max_mult,
+                 ${rndSql("quantile_cont(c, 0.5)", 4)} AS p50_mult,
+                 ${rndSql("quantile_cont(c, 0.99)", 4)} AS p99_mult,
+                 ${rndSql("max(c) / sum(c)", 8)} AS top_key_share
+          FROM c""",
+    "rfm_segments" ->
+      s"""WITH o AS (SELECT o_custkey, epoch_ms(o_orderdate) AS oms, o_totalprice
+                     FROM orders),
+              mx AS (SELECT max(oms) AS ref_ms FROM o),
+              per AS (SELECT o_custkey, max(oms) AS last_ms, count(*) AS frequency,
+                             ${dsumSql("o_totalprice")} AS monetary
+                      FROM o GROUP BY 1),
+              per2 AS (SELECT o_custkey,
+                              CAST(floor((ref_ms - last_ms) / 86400000.0) AS BIGINT)
+                                AS recency_days,
+                              frequency, monetary
+                       FROM per, mx),
+              cuts AS (SELECT ${rndSql("quantile_cont(recency_days, 0.25)", 4)} AS r1,
+                              ${rndSql("quantile_cont(recency_days, 0.5)", 4)} AS r2,
+                              ${rndSql("quantile_cont(recency_days, 0.75)", 4)} AS r3,
+                              ${rndSql("quantile_cont(frequency, 0.25)", 4)} AS f1,
+                              ${rndSql("quantile_cont(frequency, 0.5)", 4)} AS f2,
+                              ${rndSql("quantile_cont(frequency, 0.75)", 4)} AS f3,
+                              ${rndSql("quantile_cont(monetary, 0.25)", 4)} AS m1,
+                              ${rndSql("quantile_cont(monetary, 0.5)", 4)} AS m2,
+                              ${rndSql("quantile_cont(monetary, 0.75)", 4)} AS m3
+                       FROM per2)
+          SELECT o_custkey, recency_days, frequency, monetary,
+                 CAST(1 + CASE WHEN recency_days > r1 THEN 1 ELSE 0 END
+                        + CASE WHEN recency_days > r2 THEN 1 ELSE 0 END
+                        + CASE WHEN recency_days > r3 THEN 1 ELSE 0 END AS BIGINT)
+                   AS r_quartile,
+                 CAST(1 + CASE WHEN frequency > f1 THEN 1 ELSE 0 END
+                        + CASE WHEN frequency > f2 THEN 1 ELSE 0 END
+                        + CASE WHEN frequency > f3 THEN 1 ELSE 0 END AS BIGINT)
+                   AS f_quartile,
+                 CAST(1 + CASE WHEN monetary > m1 THEN 1 ELSE 0 END
+                        + CASE WHEN monetary > m2 THEN 1 ELSE 0 END
+                        + CASE WHEN monetary > m3 THEN 1 ELSE 0 END AS BIGINT)
+                   AS m_quartile
+          FROM per2, cuts ORDER BY 1, 2, 3, 4, 5, 6, 7""",
+    "ts_forecast" ->
+      s"""WITH p AS (SELECT event_type,
+                            CAST(floor((epoch_ms(ts) - $Start) / 3600000.0) AS DECIMAL(9,0)) AS xh,
+                            CAST(value AS DECIMAL(9,4)) AS v
+                     FROM events WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End),
+              m AS (SELECT event_type, count(*) AS n,
+                           CAST(sum(xh) AS DOUBLE) AS sx,
+                           CAST(sum(xh * xh) AS DOUBLE) AS sxx,
+                           CAST(sum(v) AS DOUBLE) AS sy,
+                           CAST(sum(xh * v) AS DOUBLE) AS sxy
+                    FROM p GROUP BY 1),
+              tr AS (SELECT event_type,
+                            ${rndSql("(CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)", 6)}
+                              AS slope_per_hour,
+                            ${rndSql("(sy - ((CAST(n AS DOUBLE) * sxy - sx * sy) / (CAST(n AS DOUBLE) * sxx - sx * sx)) * sx) / CAST(n AS DOUBLE)", 6)}
+                              AS intercept
+                     FROM m
+                     WHERE n > 1 AND CAST(n AS DOUBLE) * sxx - sx * sx <> 0.0)
+          SELECT event_type, slope_per_hour, intercept,
+                 ${rndSql("(150.0 - intercept) / slope_per_hour", 4)} AS hours_to_threshold
+          FROM tr WHERE slope_per_hour > 0 ORDER BY 1, 2, 3, 4""",
+    "vocab_growth" ->
+      s"""WITH t0 AS (SELECT doc_id, string_split($NormSql, ' ') AS toks FROM documents),
+              mx AS (SELECT max(doc_id) + 1 AS maxd FROM documents),
+              wb AS (SELECT doc_id, toks, (doc_id * 10) // maxd AS bucket FROM t0, mx),
+              nd AS (SELECT bucket, count(*) AS n_docs FROM wb GROUP BY 1),
+              fs AS (SELECT tok, min(bucket) AS fb FROM
+                       (SELECT bucket, unnest(toks) AS tok FROM wb) GROUP BY 1),
+              nt AS (SELECT fb, count(*) AS new_types FROM fs GROUP BY 1),
+              cm AS (SELECT nd.bucket, count(*) AS cum_types
+                     FROM nd JOIN fs ON fs.fb <= nd.bucket GROUP BY 1)
+          SELECT nd.bucket, nd.n_docs,
+                 coalesce(nt.new_types, 0) AS new_types,
+                 coalesce(cm.cum_types, 0) AS cum_types
+          FROM nd LEFT JOIN nt ON nt.fb = nd.bucket
+                  LEFT JOIN cm ON cm.bucket = nd.bucket
+          ORDER BY 1, 2, 3, 4""",
+    "text_readability" ->
+      s"""WITH a AS (SELECT doc_id,
+                            CAST(len(string_split($NormSql, ' ')) AS BIGINT) AS n_words,
+                            CAST(greatest(len(regexp_extract_all(text, '[.!?]')), 1) AS BIGINT)
+                              AS n_sentences,
+                            CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+                              AS n_syllables
+                     FROM documents)
+          SELECT doc_id, n_words, n_sentences, n_syllables,
+                 ${rndSql("206.835 - 1.015 * (n_words / n_sentences) - 84.6 * (n_syllables / n_words)", 4)}
+                   AS flesch_score
+          FROM a ORDER BY 1, 2, 3, 4, 5""",
     "window_funnel" ->
       s"""WITH e AS (SELECT user_id, event_type, epoch_ms(ts) AS tms FROM events),
               v AS (SELECT user_id, min(tms) AS v_ms FROM e

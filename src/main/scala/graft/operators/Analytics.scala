@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.core.{Det, Tables}
@@ -657,6 +657,73 @@ object Analytics {
       .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
       .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
         tsMs(col("o_orderdate")).as("o_orderdate_ms"), col("total_qty"))
+    Det.ordered(out)
+  }
+
+  /** Join-key skew diagnostic — the pre-flight check before any big join:
+    * the frequency distribution of a join key (here lineitem.l_orderkey),
+    * reduced to max/p50/p99 multiplicity and the hottest key's share of all
+    * rows. Two aggregations (key counts, then distribution stats); the
+    * decision it feeds is "salt or broadcast?" before shuffling 100 TB.
+    */
+  def skewStats(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("c"))
+    val out = counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("c")).as("n_rows"),
+      max(col("c")).as("max_mult"),
+      expr("percentile(c, 0.5)").as("p50_mult_raw"),
+      expr("percentile(c, 0.99)").as("p99_mult_raw"))
+      .select(col("n_keys"), col("n_rows"), col("max_mult"),
+        Det.rnd(col("p50_mult_raw"), 4).as("p50_mult"),
+        Det.rnd(col("p99_mult_raw"), 4).as("p99_mult"),
+        Det.rnd(col("max_mult") / col("n_rows"), 8).as("top_key_share"))
+    out
+  }
+
+  /** RFM customer segmentation (recency / frequency / monetary), the
+    * classic warehouse scoring query: per customer the days since last
+    * order, order count, and total spend, each scored 1-4 against the
+    * corpus quartile CUT POINTS. The cut points are a broadcast scalar row
+    * (exact percentiles of the per-customer table) and scoring is pure
+    * comparison — NO global ntile sort, so the plan has no single-partition
+    * stage (the trap ts_top_series fixed in r3). Reference day is the max
+    * order date, also carried in-plan.
+    */
+  def rfmSegments(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_custkey"), tsMs(col("o_orderdate")).as("oms"), col("o_totalprice"))
+    val maxDay = o.select(max(col("oms")).as("ref_ms"))
+    val per = o.groupBy(col("o_custkey"))
+      .agg(max(col("oms")).as("last_ms"), count(lit(1)).as("frequency"),
+        round(dsum(col("o_totalprice")), 2).as("monetary"))
+      .crossJoin(maxDay)
+      .select(col("o_custkey"),
+        // day diffs are exact multiples of MsInDay -> the quotient is an
+        // exact integer double; floor (not cast) because DuckDB CAST rounds
+        // while Spark CAST truncates
+        floor((col("ref_ms") - col("last_ms")) / lit(Det.MsInDay.toDouble))
+          .cast("bigint").as("recency_days"),
+        col("frequency"), col("monetary"))
+    val cuts = per.agg(
+      Det.rnd(expr("percentile(recency_days, 0.25)"), 4).as("r1"),
+      Det.rnd(expr("percentile(recency_days, 0.5)"), 4).as("r2"),
+      Det.rnd(expr("percentile(recency_days, 0.75)"), 4).as("r3"),
+      Det.rnd(expr("percentile(frequency, 0.25)"), 4).as("f1"),
+      Det.rnd(expr("percentile(frequency, 0.5)"), 4).as("f2"),
+      Det.rnd(expr("percentile(frequency, 0.75)"), 4).as("f3"),
+      Det.rnd(expr("percentile(monetary, 0.25)"), 4).as("m1"),
+      Det.rnd(expr("percentile(monetary, 0.5)"), 4).as("m2"),
+      Det.rnd(expr("percentile(monetary, 0.75)"), 4).as("m3"))
+    def q(c: Column, c1: Column, c2: Column, c3: Column): Column =
+      (lit(1L) + when(c > c1, 1L).otherwise(0L) + when(c > c2, 1L).otherwise(0L) +
+        when(c > c3, 1L).otherwise(0L))
+    val out = per.crossJoin(cuts)
+      .select(col("o_custkey"), col("recency_days"), col("frequency"), col("monetary"),
+        q(col("recency_days"), col("r1"), col("r2"), col("r3")).as("r_quartile"),
+        q(col("frequency"), col("f1"), col("f2"), col("f3")).as("f_quartile"),
+        q(col("monetary"), col("m1"), col("m2"), col("m3")).as("m_quartile"))
     Det.ordered(out)
   }
 

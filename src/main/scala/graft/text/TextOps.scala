@@ -244,6 +244,54 @@ object TextOps {
     Det.ordered(out)
   }
 
+  /** Vocabulary growth curve (Heaps' law view): the corpus split into
+    * `nBuckets` doc-id ranges in ingestion order; per bucket the number of
+    * NEVER-BEFORE-SEEN token types and the cumulative vocabulary. A flat
+    * tail means new data stopped contributing novelty — the
+    * diminishing-returns signal corpus curation watches. One explode +
+    * first-seen min per token; the cumulative counts come from a triangular
+    * join against the 10-row bucket list, never a global sort.
+    */
+  def vocabGrowth(s: SparkSession, d: String, nBuckets: Int = 10): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), tokens(col("text")).as("toks"))
+    val maxd = docs.select((max(col("doc_id")) + 1).as("maxd"))
+    val withB = docs.crossJoin(maxd)
+      .select(col("doc_id"), col("toks"),
+        expr(s"(doc_id * $nBuckets) div maxd").as("bucket"))
+    val nd = withB.groupBy(col("bucket")).agg(count(lit(1)).as("n_docs"))
+    val firstSeen = withB.select(col("bucket"), explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(min(col("bucket")).as("fb"))
+    val newT = firstSeen.groupBy(col("fb")).agg(count(lit(1)).as("new_types"))
+    val cum = nd.select(col("bucket"))
+      .join(firstSeen, col("fb") <= col("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("cum_types"))
+    val out = nd
+      .join(newT, nd("bucket") === newT("fb"), "left")
+      .join(cum, Seq("bucket"), "left")
+      .select(col("bucket"), col("n_docs"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"),
+        coalesce(col("cum_types"), lit(0L)).as("cum_types"))
+    Det.ordered(out)
+  }
+
+  /** Flesch-style readability proxy: 206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllable-groups/words), with sentence count from terminal
+    * punctuation (min 1) and vowel runs as the syllable proxy — the
+    * classic cheap fluency gate, engine-exact because every input is an
+    * integer count.
+    */
+  def readability(s: SparkSession, d: String): DataFrame = {
+    val words = size(tokens(col("text"))).cast("bigint")
+    val sents = greatest(regexp_count(col("text"), lit("[.!?]")), lit(1)).cast("bigint")
+    val syll = regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("bigint")
+    val out = Tables.documents(s, d).select(
+      col("doc_id"),
+      words.as("n_words"), sents.as("n_sentences"), syll.as("n_syllables"),
+      Det.rnd(lit(206.835) - lit(1.015) * (words / sents) - lit(84.6) * (syll / words), 4)
+        .as("flesch_score"))
+    Det.ordered(out)
+  }
+
   /** Boilerplate detection over [[docChunks]] windows: a chunk appearing in
     * >= minDf DISTINCT documents is boilerplate (shared headers/footers/
     * templates — the C4-style "remove lines repeated across pages" rule at

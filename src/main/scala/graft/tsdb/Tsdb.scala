@@ -369,6 +369,22 @@ object Tsdb {
     Det.ordered(out)
   }
 
+  /** Capacity forecast ("when does this series hit the ceiling?"): hours
+    * until each series' fitted [[trend]] line reaches `threshold`, for
+    * series trending upward. Pure arithmetic over trend's ROUNDED
+    * slope/intercept, so the composition inherits trend's cross-engine
+    * exactness; no additional shuffle beyond trend's one.
+    */
+  def forecast(pt: PointsTable, filter: Column, startMs: Long, endMs: Long,
+               threshold: Double = 150.0): DataFrame = {
+    val out = trend(pt, filter, startMs, endMs)
+      .where(col("slope_per_hour") > 0)
+      .select(pt.tags ++ Seq(col("slope_per_hour"), col("intercept"),
+        Det.rnd((lit(threshold) - col("intercept")) / col("slope_per_hour"), 4)
+          .as("hours_to_threshold")): _*)
+    Det.ordered(out)
+  }
+
   /** Histogram quantile (the Prometheus `histogram_quantile` shape): given
     * per-series fixed-width value bins, estimate quantile `q` by walking the
     * cumulative bin counts to the first bin reaching q·total and linearly

@@ -192,6 +192,44 @@ class Round4Spec extends SparkTestBase {
     assert(r("ivf_nprobe2") >= r("ivf_nprobe1"))
   }
 
+  test("rfm: quartile scores are 1..4 and a higher-spend customer never scores lower") {
+    val rfm = Analytics.rfmSegments(spark, Sf)
+    assert(rfm.where(col("r_quartile") < 1 || col("r_quartile") > 4 ||
+      col("f_quartile") < 1 || col("f_quartile") > 4 ||
+      col("m_quartile") < 1 || col("m_quartile") > 4).count() == 0)
+    // monotone: m_quartile ordered consistently with monetary
+    val rows = rfm.select(col("monetary"), col("m_quartile")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).sortBy(_._1)
+    rows.sliding(2).foreach { case Array(a, b) => assert(a._2 <= b._2); case _ => }
+  }
+
+  test("skew stats: multiplicities ordered p50 <= p99 <= max, share in (0,1]") {
+    val r = Analytics.skewStats(spark, Sf).collect()(0)
+    val (p50, p99, mx) = (r.getDouble(3), r.getDouble(4), r.getLong(2).toDouble)
+    assert(p50 <= p99 + 1e-9 && p99 <= mx + 1e-9)
+    assert(r.getDouble(5) > 0 && r.getDouble(5) <= 1.0)
+  }
+
+  test("vocab growth: cumulative curve is nondecreasing and ends at full vocab") {
+    val vg = TextOps.vocabGrowth(spark, Sf).collect().sortBy(_.getLong(0))
+    val cums = vg.map(_.getLong(3))
+    cums.sliding(2).foreach { case Array(a, b) => assert(a <= b); case _ => }
+    val vocab = graft.core.Tables.documents(spark, Sf)
+      .select(explode(TextOps.tokens(col("text"))).as("t")).distinct().count()
+    assert(cums.last == vocab)
+    assert(vg.map(_.getLong(2)).sum == vocab) // new_types partitions the vocab
+  }
+
+  test("forecast: only upward trends, positive hours iff below threshold") {
+    val f = graft.tsdb.Tsdb.forecast(pts.copy(tagCols = Seq("event_type")), all, Start, End)
+    f.collect().foreach { r =>
+      assert(r.getDouble(1) > 0) // slope
+      val hours = r.getDouble(3)
+      val intercept = r.getDouble(2)
+      if (intercept < 150.0) assert(hours > 0)
+    }
+  }
+
   test("triangle credits come in multiples of three") {
     val t = Graph.triangleCounts(spark, Sf)
     val total = t.agg(coalesce(sum(col("n_triangles")), lit(0L))).collect()(0).getLong(0)
