@@ -247,6 +247,9 @@ object SparkEntry {
     "ts_forecast" -> ((s, d) => Tsdb.forecast(Tsdb.points(s, d)
       .copy(tagCols = Seq("event_type")),
       EsFilter.compile("""{"match_all":{}}"""), Start, End)),
+    "ts_mad" -> ((s, d) => Tsdb.madOutliers(Tsdb.points(s, d)
+      .copy(tagCols = Seq("event_type")),
+      EsFilter.compile("""{"match_all":{}}"""), Start, End)),
     "vocab_growth" -> ((s, d) => TextOps.vocabGrowth(s, d)),
     "text_readability" -> ((s, d) => TextOps.readability(s, d)),
     "text_boilerplate" -> ((s, d) => TextOps.boilerplate(s, d)),
@@ -1696,6 +1699,20 @@ object SparkEntry {
           SELECT event_type, slope_per_hour, intercept,
                  ${rndSql("(150.0 - intercept) / slope_per_hour", 4)} AS hours_to_threshold
           FROM tr WHERE slope_per_hour > 0 ORDER BY 1, 2, 3, 4""",
+    "ts_mad" ->
+      s"""WITH b AS (SELECT event_type, epoch_ms(ts) AS time_ms, value FROM events
+                     WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End),
+              md AS (SELECT event_type, ${rndSql("quantile_cont(value, 0.5)", 4)} AS med
+                     FROM b GROUP BY 1),
+              dv AS (SELECT b.event_type, b.time_ms, b.value,
+                            ${rndSql("abs(b.value - md.med)", 4)} AS abs_dev
+                     FROM b JOIN md USING (event_type)),
+              ma AS (SELECT event_type, ${rndSql("quantile_cont(abs_dev, 0.5)", 4)} AS mad
+                     FROM dv GROUP BY 1)
+          SELECT dv.event_type, dv.time_ms, dv.value, dv.abs_dev, ma.mad
+          FROM dv JOIN ma USING (event_type)
+          WHERE ma.mad > 0 AND dv.abs_dev > 3.0 * ma.mad
+          ORDER BY 1, 2, 3, 4, 5""",
     "vocab_growth" ->
       s"""WITH t0 AS (SELECT doc_id, string_split($NormSql, ' ') AS toks FROM documents),
               mx AS (SELECT max(doc_id) + 1 AS maxd FROM documents),

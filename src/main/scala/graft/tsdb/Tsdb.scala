@@ -369,6 +369,31 @@ object Tsdb {
     Det.ordered(out)
   }
 
+  /** Robust outliers via median absolute deviation — the z-score's
+    * ([[anomalies]]) heavy-tail-safe sibling: a point is an outlier when
+    * |x − median| > k·MAD. Both medians are exact per-series percentiles
+    * rounded to 4 dp BEFORE the comparison, so the outlier set is
+    * engine-exact (the threshold compare sees only exact decimals). Two
+    * per-series aggregations + one join-back — all on the series key, one
+    * shuffle partitioning reused.
+    */
+  def madOutliers(pt: PointsTable, filter: Column, startMs: Long, endMs: Long,
+                  k: Double = 3.0): DataFrame = {
+    val base = pt.df
+      .where(inRange(pt, startMs, endMs) && filter)
+      .select(pt.tags :+ pt.timeMs.as("time_ms") :+ col(pt.valueCol).as("value"): _*)
+    val med = base.groupBy(pt.tagCols.map(col): _*)
+      .agg(Det.rnd(expr("percentile(value, 0.5)"), 4).as("med"))
+    val dev = base.join(med, pt.tagCols)
+      .withColumn("abs_dev", Det.rnd(abs(col("value") - col("med")), 4))
+    val mad = dev.groupBy(pt.tagCols.map(col): _*)
+      .agg(Det.rnd(expr("percentile(abs_dev, 0.5)"), 4).as("mad"))
+    val out = dev.join(mad, pt.tagCols)
+      .where(col("mad") > 0 && col("abs_dev") > lit(k) * col("mad"))
+      .select(pt.tags ++ Seq(col("time_ms"), col("value"), col("abs_dev"), col("mad")): _*)
+    Det.ordered(out)
+  }
+
   /** Capacity forecast ("when does this series hit the ceiling?"): hours
     * until each series' fitted [[trend]] line reaches `threshold`, for
     * series trending upward. Pure arithmetic over trend's ROUNDED

@@ -230,6 +230,14 @@ class Round4Spec extends SparkTestBase {
     }
   }
 
+  test("MAD outliers: every flagged point exceeds 3x the series MAD") {
+    val m = graft.tsdb.Tsdb.madOutliers(pts.copy(tagCols = Seq("event_type")), all, Start, End)
+    assert(m.where(col("abs_dev") <= lit(3.0) * col("mad")).count() == 0)
+    // robust: outliers are a strict minority of the range's points
+    val total = pts.df.where(pts.inRange(Start, End)).count()
+    assert(m.count() < total / 2)
+  }
+
   test("triangle credits come in multiples of three") {
     val t = Graph.triangleCounts(spark, Sf)
     val total = t.agg(coalesce(sum(col("n_triangles")), lit(0L))).collect()(0).getLong(0)
