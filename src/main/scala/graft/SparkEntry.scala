@@ -243,6 +243,9 @@ object SparkEntry {
     "session_path" -> ((s, d) => Analytics.sessionPath(s, d)),
     "window_funnel" -> ((s, d) => Analytics.windowFunnel(s, d)),
     "skew_stats" -> ((s, d) => Analytics.skewStats(s, d)),
+    "q7_volume" -> ((s, d) => Analytics.q7Volume(s, d)),
+    "market_basket" -> ((s, d) => Analytics.marketBasket(s, d)),
+    "audience_overlap" -> ((s, d) => Analytics.audienceOverlap(s, d)),
     "rfm_segments" -> ((s, d) => Analytics.rfmSegments(s, d)),
     "ts_forecast" -> ((s, d) => Tsdb.forecast(Tsdb.points(s, d)
       .copy(tagCols = Seq("event_type")),
@@ -1635,6 +1638,49 @@ object SparkEntry {
                  min(CASE WHEN rn = 1 THEN doc_id END) AS keep_id,
                  min(CASE WHEN rn = 1 THEN source END) AS keep_source
           FROM rk GROUP BY 1 ORDER BY 1, 2, 3, 4""",
+    "q7_volume" ->
+      s"""WITH sn AS (SELECT s_suppkey, n_name AS supp_nation
+                      FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+              cn AS (SELECT c_custkey, n_name AS cust_nation
+                     FROM customer JOIN nation ON c_nationkey = n_nationkey)
+          SELECT supp_nation, cust_nation,
+                 epoch_ms(l_shipdate) // 31536000000 AS year_bucket,
+                 count(*) AS n_items,
+                 ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+               JOIN sn ON l_suppkey = s_suppkey
+               JOIN cn ON o_custkey = c_custkey
+          WHERE (supp_nation = 'NATION_1' AND cust_nation = 'NATION_2')
+             OR (supp_nation = 'NATION_2' AND cust_nation = 'NATION_1')
+          GROUP BY 1, 2, 3 ORDER BY 1, 2, 3, 4, 5""",
+    "market_basket" ->
+      s"""WITH ob AS (SELECT DISTINCT l_orderkey AS okey, p_brand
+                      FROM lineitem JOIN part ON l_partkey = p_partkey),
+              no AS (SELECT count(DISTINCT okey) AS n_orders FROM ob),
+              per AS (SELECT p_brand, count(*) AS n_brand FROM ob GROUP BY 1),
+              pr AS (SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+                            count(*) AS n_both
+                     FROM ob a JOIN ob b
+                       ON a.okey = b.okey AND a.p_brand < b.p_brand
+                     GROUP BY 1, 2)
+          SELECT brand_a, brand_b, n_both,
+                 ${rndSql("(n_both * n_orders) / (pa.n_brand * pb.n_brand)", 4)} AS lift
+          FROM pr JOIN per pa ON pa.p_brand = brand_a
+               JOIN per pb ON pb.p_brand = brand_b, no
+          ORDER BY 4 DESC, 1, 2 LIMIT 20""",
+    "audience_overlap" ->
+      s"""WITH ua AS (SELECT DISTINCT event_type, user_id FROM events),
+              sz AS (SELECT event_type, count(*) AS n FROM ua GROUP BY 1),
+              i AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                           count(*) AS n_both
+                    FROM ua a JOIN ua b
+                      ON a.user_id = b.user_id AND a.event_type < b.event_type
+                    GROUP BY 1, 2)
+          SELECT type_a, type_b, n_both,
+                 ${rndSql("n_both / (sa.n + sb.n - n_both)", 4)} AS jaccard
+          FROM i JOIN sz sa ON sa.event_type = type_a
+               JOIN sz sb ON sb.event_type = type_b
+          ORDER BY 1, 2, 3, 4""",
     "skew_stats" ->
       s"""WITH c AS (SELECT l_orderkey, count(*) AS c FROM lineitem GROUP BY 1)
           SELECT count(*) AS n_keys, CAST(sum(c) AS BIGINT) AS n_rows, max(c) AS max_mult,

@@ -660,6 +660,91 @@ object Analytics {
     Det.ordered(out)
   }
 
+  /** TPC-H Q7 shape (volume shipping): revenue flowing between two specific
+    * nations, either direction, grouped by (supplier nation, customer
+    * nation, year bucket). Exercises a disjunctive join predicate over two
+    * broadcast nation dims on opposite sides of the fact chain. The year
+    * bucket is pure epoch-day arithmetic (ms div 365 days) so no calendar
+    * library has to agree across engines.
+    */
+  def q7Volume(s: SparkSession, d: String,
+               nationA: String = "NATION_1", nationB: String = "NATION_2"): DataFrame = {
+    val n = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+    val sup = Tables.supplier(s, d).join(broadcast(n),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(s, d).join(broadcast(n),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val out = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"),
+        col("l_discount"), tsMs(col("l_shipdate")).as("ship_ms"))
+      .join(Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .where((col("supp_nation") === nationA && col("cust_nation") === nationB) ||
+             (col("supp_nation") === nationB && col("cust_nation") === nationA))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        expr("ship_ms div 31536000000").as("year_bucket"))
+      .agg(count(lit(1)).as("n_items"),
+        round(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+    Det.ordered(out)
+  }
+
+  /** Market-basket lift over part brands: for brand pairs co-occurring in
+    * an order, lift = P(a,b) / (P(a)·P(b)) — >1 means the pair travels
+    * together. The pair explode is bounded by order size (≤ C(13,2) here),
+    * brands come from a broadcast part join, and the global top-N is a
+    * TakeOrdered. All inputs are integer counts; lift is one rounded
+    * division.
+    */
+  def marketBasket(s: SparkSession, d: String, topN: Int = 20): DataFrame = {
+    val ob = Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_brand"))),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("okey"), col("p_brand")).distinct().cache()
+    val nOrders = ob.select(col("okey")).distinct().select(count(lit(1)).as("n_orders"))
+    val per = ob.groupBy(col("p_brand")).agg(count(lit(1)).as("n_brand"))
+    val pairs = ob.as("a").join(ob.as("b"),
+        col("a.okey") === col("b.okey") && col("a.p_brand") < col("b.p_brand"))
+      .groupBy(col("a.p_brand").as("brand_a"), col("b.p_brand").as("brand_b"))
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(per.select(col("p_brand").as("brand_a"), col("n_brand").as("n_a")), "brand_a")
+      .join(per.select(col("p_brand").as("brand_b"), col("n_brand").as("n_b")), "brand_b")
+      .crossJoin(nOrders)
+      .select(col("brand_a"), col("brand_b"), col("n_both"),
+        Det.rnd((col("n_both") * col("n_orders")) / (col("n_a") * col("n_b")), 4)
+          .as("lift"))
+      .orderBy(col("lift").desc, col("brand_a"), col("brand_b"))
+      .limit(topN)
+  }
+
+  /** Audience overlap: Jaccard similarity between event types' user bases —
+    * "do clickers also purchase?" as a set-similarity matrix. One distinct
+    * (type, user) pass, a user-keyed self-join for intersections, Jaccard
+    * from exact counts.
+    */
+  def audienceOverlap(s: SparkSession, d: String): DataFrame = {
+    val ua = Tables.events(s, d)
+      .select(col("event_type"), col("user_id")).distinct().cache()
+    val sizes = ua.groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
+    val inter = ua.as("a").join(ua.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+        col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_both"))
+    val out = inter
+      .join(sizes.select(col("event_type").as("type_a"), col("n_users").as("n_a")), "type_a")
+      .join(sizes.select(col("event_type").as("type_b"), col("n_users").as("n_b")), "type_b")
+      .select(col("type_a"), col("type_b"), col("n_both"),
+        Det.rnd(col("n_both") / (col("n_a") + col("n_b") - col("n_both")), 4)
+          .as("jaccard"))
+    Det.ordered(out)
+  }
+
   /** Join-key skew diagnostic — the pre-flight check before any big join:
     * the frequency distribution of a join key (here lineitem.l_orderkey),
     * reduced to max/p50/p99 multiplicity and the hottest key's share of all

@@ -238,6 +238,30 @@ class Round4Spec extends SparkTestBase {
     assert(m.count() < total / 2)
   }
 
+  test("q7: only the requested nation pair appears and revenue is positive") {
+    // sf0.001 has no NATION_1<->NATION_2 trades; use a pair that exists there
+    val q7 = Analytics.q7Volume(spark, Sf, "NATION_20", "NATION_11").collect()
+    assert(q7.nonEmpty)
+    val dirs = q7.map(r => (r.getString(0), r.getString(1))).toSet
+    assert(dirs.subsetOf(Set(("NATION_20", "NATION_11"), ("NATION_11", "NATION_20"))))
+    q7.foreach(r => assert(r.getDouble(4) > 0))
+  }
+
+  test("market basket: lift descending with deterministic ties, counts consistent") {
+    val mb = Analytics.marketBasket(spark, Sf).collect()
+    assert(mb.length <= 20 && mb.nonEmpty)
+    mb.sliding(2).foreach {
+      case Array(a, b) => assert(a.getDouble(3) >= b.getDouble(3))
+      case _ =>
+    }
+  }
+
+  test("audience overlap: jaccard bounded by min-size/union of the pair") {
+    val ao = Analytics.audienceOverlap(spark, Sf)
+    assert(ao.count() == 10) // C(5,2) event-type pairs all overlap somewhere
+    assert(ao.where(col("jaccard") <= 0 || col("jaccard") > 1).count() == 0)
+  }
+
   test("triangle credits come in multiples of three") {
     val t = Graph.triangleCounts(spark, Sf)
     val total = t.agg(coalesce(sum(col("n_triangles")), lit(0L))).collect()(0).getLong(0)
