@@ -253,6 +253,12 @@ object SparkEntry {
     "ts_mad" -> ((s, d) => Tsdb.madOutliers(Tsdb.points(s, d)
       .copy(tagCols = Seq("event_type")),
       EsFilter.compile("""{"match_all":{}}"""), Start, End)),
+    "ts_heatmap" -> ((s, d) => Tsdb.heatmap(Tsdb.points(s, d)
+      .copy(tagCols = Seq("event_type")),
+      EsFilter.compile("""{"match_all":{}}"""), Start, End)),
+    "ts_top_movers" -> ((s, d) => Tsdb.topMovers(Tsdb.points(s, d),
+      EsFilter.compile("""{"match_all":{}}"""), Start, End)),
+    "dedup_scoped" -> ((s, d) => Dedup.exactScoped(s, d)),
     "vocab_growth" -> ((s, d) => TextOps.vocabGrowth(s, d)),
     "text_readability" -> ((s, d) => TextOps.readability(s, d)),
     "text_boilerplate" -> ((s, d) => TextOps.boilerplate(s, d)),
@@ -1759,6 +1765,39 @@ object SparkEntry {
           FROM dv JOIN ma USING (event_type)
           WHERE ma.mad > 0 AND dv.abs_dev > 3.0 * ma.mad
           ORDER BY 1, 2, 3, 4, 5""",
+    "ts_heatmap" ->
+      s"""SELECT event_type,
+                 CAST((floor(epoch_ms(ts)/86400000.0) + 3) % 7 AS BIGINT) AS dow,
+                 CAST(floor(epoch_ms(ts)/3600000.0) % 24 AS BIGINT) AS hour,
+                 count(*) AS n, ${davgSql("value")} AS avg_value
+          FROM events WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
+          GROUP BY 1, 2, 3 ORDER BY 1, 2, 3, 4, 5""",
+    "ts_top_movers" ->
+      s"""WITH daily AS (SELECT user_id, event_type,
+                                CAST(floor(epoch_ms(ts)/86400000.0) AS BIGINT)*86400000
+                                  AS day_ms,
+                                ${davgSql("value")} AS avg_value
+                         FROM events
+                         WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
+                         GROUP BY 1, 2, 3),
+              lg AS (SELECT user_id, event_type, day_ms, avg_value,
+                            lag(avg_value) OVER (PARTITION BY user_id, event_type
+                              ORDER BY day_ms) AS prev_avg
+                     FROM daily)
+          SELECT user_id, event_type, day_ms,
+                 ${rndSql("avg_value - prev_avg", 4)} AS delta,
+                 ${rndSql("abs(avg_value - prev_avg)", 4)} AS abs_delta
+          FROM lg WHERE prev_avg IS NOT NULL
+          ORDER BY abs_delta DESC, user_id, event_type, day_ms LIMIT 10""",
+    "dedup_scoped" ->
+      s"""WITH h AS (SELECT source, doc_id, md5($NormSql) AS content_hash FROM documents),
+              ps AS (SELECT source, content_hash, min(doc_id) AS keep_id,
+                            count(*) AS n_dups_in_scope
+                     FROM h GROUP BY 1, 2),
+              g AS (SELECT content_hash, count(DISTINCT source) AS n_sources
+                    FROM h GROUP BY 1)
+          SELECT source, content_hash, keep_id, n_dups_in_scope, n_sources
+          FROM ps JOIN g USING (content_hash) ORDER BY 1, 2, 3, 4, 5""",
     "vocab_growth" ->
       s"""WITH t0 AS (SELECT doc_id, string_split($NormSql, ' ') AS toks FROM documents),
               mx AS (SELECT max(doc_id) + 1 AS maxd FROM documents),

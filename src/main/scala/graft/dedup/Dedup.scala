@@ -29,6 +29,27 @@ object Dedup {
     Det.ordered(out)
   }
 
+  /** Scope-aware exact dedup: duplicates collapse only WITHIN a scope
+    * column (here `source`) — the pipeline option that keeps one copy per
+    * provider instead of one copy globally (licensing / provenance
+    * requirements). Same one-hash-shuffle shape as [[exact]], keyed by
+    * (scope, content hash); the cross-scope duplicate count shows what a
+    * global dedup would additionally remove.
+    */
+  def exactScoped(s: SparkSession, d: String): DataFrame = {
+    val hashed = Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        md5(TextOps.norm(col("text"))).as("content_hash"))
+    val perScope = hashed.groupBy(col("source"), col("content_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_dups_in_scope"))
+    val global = hashed.groupBy(col("content_hash"))
+      .agg(countDistinct(col("source")).as("n_sources"))
+    val out = perScope.join(global, "content_hash")
+      .select(col("source"), col("content_hash"), col("keep_id"),
+        col("n_dups_in_scope"), col("n_sources"))
+    Det.ordered(out)
+  }
+
   /** Chunk-level first-occurrence dedup (C4-style substring dedup at chunk
     * granularity, over [[TextOps.docChunks]] windows): every repeated chunk
     * hash keeps only its globally-first occurrence (smallest (doc_id,

@@ -369,6 +369,49 @@ object Tsdb {
     Det.ordered(out)
   }
 
+  /** Day-of-week × hour-of-day activity heatmap per series tag — the
+    * operational "when is this system busy" matrix. Day-of-week from pure
+    * epoch arithmetic (epoch day 0 was a Thursday ⇒ +3 mod 7 with
+    * Monday=0), so no calendar library needs to agree across engines. One
+    * shuffle.
+    */
+  def heatmap(pt: PointsTable, filter: Column, startMs: Long, endMs: Long): DataFrame = {
+    val epochDay = floor(pt.timeMs / lit(MsInDay))
+    val out = pt.df
+      .where(inRange(pt, startMs, endMs) && filter)
+      .groupBy(pt.tags
+        :+ ((epochDay + 3) % 7).cast("bigint").as("dow")
+        :+ (floor(pt.timeMs / lit(3600000L)) % 24).cast("bigint").as("hour"): _*)
+      .agg(count(lit(1)).as("n"),
+        round(Det.davg(col(pt.valueCol), 4), 4).as("avg_value"))
+    Det.ordered(out)
+  }
+
+  /** Top-K movers: the series with the largest absolute day-over-day swing
+    * in their daily mean — "what changed the most since yesterday".
+    * Deltas come from the lag window per series; the global top-K is a
+    * TakeOrdered (never a full sort), the same discipline as
+    * [[topSeries]].
+    */
+  def topMovers(pt: PointsTable, filter: Column, startMs: Long, endMs: Long,
+                k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = pt.df
+      .where(inRange(pt, startMs, endMs) && filter)
+      .groupBy(pt.tags :+ (floor(pt.timeMs / lit(MsInDay)) * MsInDay)
+        .cast("bigint").as("day_ms"): _*)
+      .agg(round(Det.davg(col(pt.valueCol), 4), 4).as("avg_value"))
+    val w = Window.partitionBy(pt.tags: _*).orderBy(col("day_ms"))
+    daily
+      .withColumn("prev_avg", lag(col("avg_value"), 1).over(w))
+      .where(col("prev_avg").isNotNull)
+      .select(pt.tags ++ Seq(col("day_ms"),
+        Det.rnd(col("avg_value") - col("prev_avg"), 4).as("delta"),
+        Det.rnd(abs(col("avg_value") - col("prev_avg")), 4).as("abs_delta")): _*)
+      .orderBy(col("abs_delta").desc +: pt.tags :+ col("day_ms"): _*)
+      .limit(k)
+  }
+
   /** Robust outliers via median absolute deviation — the z-score's
     * ([[anomalies]]) heavy-tail-safe sibling: a point is an outlier when
     * |x − median| > k·MAD. Both medians are exact per-series percentiles

@@ -262,6 +262,31 @@ class Round4Spec extends SparkTestBase {
     assert(ao.where(col("jaccard") <= 0 || col("jaccard") > 1).count() == 0)
   }
 
+  test("heatmap: dow in [0,6], hour in [0,23], counts cover the range") {
+    val h = graft.tsdb.Tsdb.heatmap(pts.copy(tagCols = Seq("event_type")), all, Start, End)
+    assert(h.where(col("dow") < 0 || col("dow") > 6 ||
+      col("hour") < 0 || col("hour") > 23).count() == 0)
+    val total = h.agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(total == pts.df.where(pts.inRange(Start, End)).count())
+  }
+
+  test("top movers: k rows, descending absolute deltas, abs matches delta") {
+    val m = graft.tsdb.Tsdb.topMovers(pts, all, Start, End).collect()
+    assert(m.length <= 10 && m.nonEmpty)
+    m.sliding(2).foreach {
+      case Array(a, b) => assert(a.getDouble(4) >= b.getDouble(4))
+      case _ =>
+    }
+    m.foreach(r => assert(math.abs(math.abs(r.getDouble(3)) - r.getDouble(4)) < 1e-9))
+  }
+
+  test("scoped dedup: per-scope keeps >= global keeps, scope counts consistent") {
+    val sc = Dedup.exactScoped(spark, Sf)
+    val globalHashes = Dedup.exact(spark, Sf).count()
+    assert(sc.count() >= globalHashes) // one row per (scope, hash) >= per hash
+    assert(sc.where(col("n_sources") < 1 || col("n_dups_in_scope") < 1).count() == 0)
+  }
+
   test("triangle credits come in multiples of three") {
     val t = Graph.triangleCounts(spark, Sf)
     val total = t.agg(coalesce(sum(col("n_triangles")), lit(0L))).collect()(0).getLong(0)
