@@ -246,6 +246,7 @@ object SparkEntry {
     "q7_volume" -> ((s, d) => Analytics.q7Volume(s, d)),
     "market_basket" -> ((s, d) => Analytics.marketBasket(s, d)),
     "audience_overlap" -> ((s, d) => Analytics.audienceOverlap(s, d)),
+    "dau_wau" -> ((s, d) => Analytics.dauWau(s, d)),
     "rfm_segments" -> ((s, d) => Analytics.rfmSegments(s, d)),
     "ts_forecast" -> ((s, d) => Tsdb.forecast(Tsdb.points(s, d)
       .copy(tagCols = Seq("event_type")),
@@ -1674,6 +1675,17 @@ object SparkEntry {
           FROM pr JOIN per pa ON pa.p_brand = brand_a
                JOIN per pb ON pb.p_brand = brand_b, no
           ORDER BY 4 DESC, 1, 2 LIMIT 20""",
+    "dau_wau" ->
+      s"""WITH du AS (SELECT DISTINCT epoch_ms(ts) // 86400000 AS day, user_id
+                      FROM events),
+              dau AS (SELECT day, count(*) AS dau FROM du GROUP BY 1),
+              wu AS (SELECT DISTINCT a.day AS d, b.user_id
+                     FROM dau a JOIN du b ON b.day BETWEEN a.day - 6 AND a.day),
+              wau AS (SELECT d, count(*) AS wau FROM wu GROUP BY 1)
+          SELECT dau.day * 86400000 AS day_ms, dau.dau, wau.wau,
+                 ${rndSql("dau.dau / wau.wau", 4)} AS stickiness
+          FROM dau JOIN wau ON wau.d = dau.day
+          ORDER BY 1, 2, 3, 4""",
     "audience_overlap" ->
       s"""WITH ua AS (SELECT DISTINCT event_type, user_id FROM events),
               sz AS (SELECT event_type, count(*) AS n FROM ua GROUP BY 1),

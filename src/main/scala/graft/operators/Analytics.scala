@@ -722,6 +722,28 @@ object Analytics {
       .limit(topN)
   }
 
+  /** DAU / WAU stickiness: daily active users and the trailing-7-day active
+    * set per day, plus their ratio. The rolling DISTINCT is a day-window
+    * band join against the (day, user) distinct table — 7× that table's
+    * rows, never a distinct-over-window (which Spark can't do) and never a
+    * re-scan of raw events.
+    */
+  def dauWau(s: SparkSession, d: String): DataFrame = {
+    val du = Tables.events(s, d)
+      .select(tsMs(col("ts")).as("tms"), col("user_id"))
+      .select(expr(s"tms div ${Det.MsInDay}").as("day"), col("user_id"))
+      .distinct().cache()
+    val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = dau.select(col("day").as("d"))
+      .join(du, col("day").between(col("d") - 6, col("d")))
+      .select(col("d"), col("user_id")).distinct()
+      .groupBy(col("d")).agg(count(lit(1)).as("wau"))
+    val out = dau.join(wau, dau("day") === wau("d"))
+      .select((col("day") * Det.MsInDay).as("day_ms"), col("dau"), col("wau"),
+        Det.rnd(col("dau") / col("wau"), 4).as("stickiness"))
+    Det.ordered(out)
+  }
+
   /** Audience overlap: Jaccard similarity between event types' user bases —
     * "do clickers also purchase?" as a set-similarity matrix. One distinct
     * (type, user) pass, a user-keyed self-join for intersections, Jaccard

@@ -287,6 +287,13 @@ class Round4Spec extends SparkTestBase {
     assert(sc.where(col("n_sources") < 1 || col("n_dups_in_scope") < 1).count() == 0)
   }
 
+  test("dau/wau: wau >= dau, stickiness in (0,1]") {
+    val s7 = Analytics.dauWau(spark, Sf)
+    assert(s7.count() > 0)
+    assert(s7.where(col("wau") < col("dau") || col("stickiness") <= 0 ||
+      col("stickiness") > 1).count() == 0)
+  }
+
   test("triangle credits come in multiples of three") {
     val t = Graph.triangleCounts(spark, Sf)
     val total = t.agg(coalesce(sum(col("n_triangles")), lit(0L))).collect()(0).getLong(0)
