@@ -124,6 +124,16 @@ object SparkEntry {
              "must_not":[{"exists":{"field":"ghost_tag"}}]}}""", pt.df.columns),
         Start, End)
     }),
+    // ES `match`: whitespace-analyzed terms, OR'd (the ES default operator)
+    "ts_read_filter_match" -> ((s, d) => Tsdb.read(Tsdb.points(s, d),
+      EsFilter.compile("""{"match":{"event_type":"purchase click"}}"""), Start, End)),
+    // ES `nested`: inner fields resolve relative to the nested path (the
+    // JSON tag bag) — relative (`k`) or absolute (`props.k`) form
+    "ts_read_filter_nested" -> ((s, d) => Tsdb.read(Tsdb.points(s, d),
+      EsFilter.compile(
+        """{"nested":{"path":"props",
+             "query":{"bool":{"must":[{"range":{"k":{"gte":40,"lt":90}}}]}}}}"""),
+      Start, End)),
     "ts_rate" -> ((s, d) => Tsdb.rate(Tsdb.points(s, d),
       EsFilter.compile("""{"range":{"user_id":{"lt":30}}}"""), Start, End)),
     "ts_top_series" -> ((s, d) => Tsdb.topSeries(Tsdb.points(s, d),
@@ -239,10 +249,12 @@ object SparkEntry {
     "dedup_clusters" -> ((s, d) => Dedup.clusters(s, d)),
     "dedup_priority" -> ((s, d) => Dedup.priorityDedup(s, d)),
     "dedup_containment" -> ((s, d) => Dedup.containmentPairs(s, d)),
+    "dedup_containment_capped" -> ((s, d) => Dedup.containmentPairsCapped(s, d)),
     "mix_weights" -> ((s, d) => TextOps.mixWeights(s, d)),
     "session_path" -> ((s, d) => Analytics.sessionPath(s, d)),
     "window_funnel" -> ((s, d) => Analytics.windowFunnel(s, d)),
     "skew_stats" -> ((s, d) => Analytics.skewStats(s, d)),
+    "skew_stats_approx" -> ((s, d) => Analytics.skewStatsApprox(s, d)),
     "q7_volume" -> ((s, d) => Analytics.q7Volume(s, d)),
     "market_basket" -> ((s, d) => Analytics.marketBasket(s, d)),
     "audience_overlap" -> ((s, d) => Analytics.audienceOverlap(s, d)),
@@ -299,7 +311,8 @@ object SparkEntry {
     "approx_quantile" -> ((s, d) => Analytics.approxQuantile(s, d)),
     "mm_meta" -> ((s, d) => Multimodal.meta(s, d)),
     "mm_features" -> ((s, d) => Multimodal.features(s, d)),
-    "mm_embed_topk" -> ((s, d) => Multimodal.embedTopK(s, d)))
+    "mm_embed_topk" -> ((s, d) => Multimodal.embedTopK(s, d)),
+    "mm_recall" -> ((s, d) => Multimodal.mmRecall(s, d)))
 
   // ---- DuckDB oracles ------------------------------------------------------
 
@@ -441,6 +454,15 @@ object SparkEntry {
     (for (t <- 0 until 8; p <- 0 until 4) yield {
       val vec = graft.ann.Ann.plane(t * 1000 + p, 64)
       (0 until 64).map(i => s"($t, $p, ${i + 1}, ${vec(i)})").mkString(", ")
+    }).mkString(",\n               ")
+
+  /** Same inlined-constant trick for the 16-dim media-embedding LSH planes
+    * (4 tables x 4 planes) used by the mm_recall oracle.
+    */
+  private lazy val MmPlanesValues: String =
+    (for (t <- 0 until 4; p <- 0 until 4) yield {
+      val vec = graft.ann.Ann.plane(t * 1000 + p, 16)
+      (0 until 16).map(i => s"($t, $p, ${i + 1}, ${vec(i)})").mkString(", ")
     }).mkString(",\n               ")
 
   /** Candidate-graph CTEs shared by the graph oracles (assumes ShingleCte +
@@ -787,6 +809,18 @@ object SparkEntry {
     "ts_read_filter_unknown_tag" ->
       s"""SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events
           WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End AND value >= 100
+          ORDER BY 1, 2, 3, 4""",
+    "ts_read_filter_match" ->
+      s"""SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events
+          WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
+            AND (list_contains(string_split(lower(event_type), ' '), 'purchase')
+                 OR list_contains(string_split(lower(event_type), ' '), 'click'))
+          ORDER BY 1, 2, 3, 4""",
+    "ts_read_filter_nested" ->
+      s"""SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events
+          WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
+            AND CAST(json_extract_string(props, '$$.k') AS DOUBLE) >= 40
+            AND CAST(json_extract_string(props, '$$.k') AS DOUBLE) < 90
           ORDER BY 1, 2, 3, 4""",
     "ts_rate" ->
       s"""WITH p AS (SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value
@@ -1238,6 +1272,52 @@ object SparkEntry {
                  blen * 1 // 4 AS f1, blen * 2 // 4 AS f2, blen * 3 // 4 AS f3
           FROM dims ORDER BY 1, 2, 3, 4, 5, 6, 7"""
     },
+    // mm_recall: the hex-embedding (md5 hex pairs -> [-1,1)) and the LSH
+    // hyperplanes are both engine-independent constants, so exact top-k,
+    // bucketing, candidate join, re-rank and the final recall ratio all
+    // replay bit-exactly (ann_lsh's graduation pattern, on the media side).
+    "mm_recall" ->
+      s"""WITH mfp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+              mev AS (SELECT doc_id, j + 1 AS i,
+                             ((strpos('0123456789abcdef', substring(fp, 2*j+1, 1)) - 1) * 16
+                              + strpos('0123456789abcdef', substring(fp, 2*j+2, 1)) - 1
+                              - 128) / 128.0 AS x
+                      FROM mfp, UNNEST(range(0, 16)) AS u(j)),
+              mvn AS (SELECT doc_id, sum(x*x) AS nsq FROM mev GROUP BY 1),
+              med AS (SELECT a.doc_id AS q_id, b.doc_id AS n_id, sum(a.x*b.x) AS dot
+                      FROM mev a JOIN mev b ON a.i = b.i AND a.doc_id <> b.doc_id
+                      WHERE a.doc_id < 20 GROUP BY 1, 2),
+              mex AS (SELECT q_id, n_id FROM (
+                        SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+                          ORDER BY round(dot/sqrt(nq.nsq*nn.nsq), 6) DESC, n_id) AS rank
+                        FROM med JOIN mvn nq ON nq.doc_id = q_id
+                                 JOIN mvn nn ON nn.doc_id = n_id)
+                      WHERE rank <= 5),
+              mpl AS (SELECT * FROM (VALUES $MmPlanesValues) AS t(tbl, p, i, val)),
+              mpd AS (SELECT e.doc_id, pl.tbl, pl.p, sum(e.x * pl.val) AS dot
+                      FROM mev e JOIN mpl pl ON pl.i = e.i GROUP BY 1, 2, 3),
+              mbk AS (SELECT doc_id, tbl,
+                             sum(CASE WHEN ${rndSql("dot", 6)} >= 0
+                                 THEN (1 << p) ELSE 0 END) AS bucket
+                      FROM mpd GROUP BY 1, 2),
+              mcand AS (SELECT DISTINCT q.doc_id AS q_id, b.doc_id AS n_id
+                        FROM mbk q JOIN mbk b
+                          ON b.tbl = q.tbl AND b.bucket = q.bucket
+                         AND b.doc_id <> q.doc_id
+                        WHERE q.doc_id < 20),
+              mdots AS (SELECT c.q_id, c.n_id, sum(a.x * b.x) AS dot
+                        FROM mcand c JOIN mev a ON a.doc_id = c.q_id
+                                     JOIN mev b ON b.doc_id = c.n_id AND b.i = a.i
+                        GROUP BY 1, 2),
+              mlsh AS (SELECT q_id, n_id FROM (
+                         SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+                           ORDER BY round(dot/sqrt(nq.nsq*nn.nsq), 6) DESC, n_id) AS rank
+                         FROM mdots JOIN mvn nq ON nq.doc_id = q_id
+                                    JOIN mvn nn ON nn.doc_id = n_id)
+                       WHERE rank <= 5)
+          SELECT 'lsh4x4' AS method, count(l.n_id) AS n_hits, count(*) AS n_truth,
+                 ${rndSql("count(l.n_id) * 1.0 / count(*)", 4)} AS recall
+          FROM mex e LEFT JOIN mlsh l ON l.q_id = e.q_id AND l.n_id = e.n_id""",
     "range_join" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS tms FROM events)
          SELECT a.event_type AS a_type, b.event_type AS b_type, count(*) AS n_pairs
@@ -1385,7 +1465,8 @@ object SparkEntry {
               pd AS (SELECT e.vec_id, pl.tbl, pl.p, sum(e.x * pl.val) AS dot
                      FROM ev e JOIN pl ON pl.i = e.i GROUP BY 1, 2, 3),
               bk AS (SELECT vec_id, tbl,
-                            sum(CASE WHEN dot >= 0 THEN (1 << p) ELSE 0 END) AS bucket
+                            sum(CASE WHEN ${rndSql("dot", 6)} >= 0
+                                THEN (1 << p) ELSE 0 END) AS bucket
                      FROM pd GROUP BY 1, 2),
               cands AS (SELECT DISTINCT q.vec_id AS q_id, b.vec_id AS n_id
                         FROM bk q JOIN bk b
@@ -1634,7 +1715,8 @@ object SparkEntry {
                         JOIN edges e ON e.src = reach.id),
               lab AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
               mem AS (SELECT l.cluster_id, l.doc_id, dd.source,
-                             CAST(regexp_extract(dd.source, '([0-9]+)$$', 1) AS BIGINT)
+                             coalesce(TRY_CAST(regexp_extract(dd.source, '([0-9]+)$$', 1)
+                                               AS BIGINT), 9223372036854775807)
                                AS src_rank
                       FROM lab l JOIN documents dd ON dd.doc_id = l.doc_id),
               rk AS (SELECT cluster_id, doc_id, source,
@@ -1877,6 +1959,19 @@ object SparkEntry {
               sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
               i AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS ni
                     FROM sh a JOIN sh b
+                      ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+                    GROUP BY 1, 2)
+          SELECT a_id, b_id, ${rndSql("ni * 1.0 / sa.n", 4)} AS containment
+          FROM i JOIN sz sa ON sa.doc_id = a_id
+          WHERE ${rndSql("ni * 1.0 / sa.n", 4)} >= 0.9 ORDER BY 1, 2, 3""",
+    "dedup_containment_capped" ->
+      s"""WITH $ShingleCte,
+              shdf AS (SELECT shingle, count(*) AS df FROM sh GROUP BY 1),
+              kept AS (SELECT sh.doc_id, sh.shingle
+                       FROM sh JOIN shdf USING (shingle) WHERE df <= 50),
+              sz AS (SELECT doc_id, count(*) AS n FROM kept GROUP BY 1),
+              i AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS ni
+                    FROM kept a JOIN kept b
                       ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
                     GROUP BY 1, 2)
           SELECT a_id, b_id, ${rndSql("ni * 1.0 / sa.n", 4)} AS containment

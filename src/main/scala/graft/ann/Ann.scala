@@ -14,19 +14,29 @@ import graft.functions.VectorFunctions
   */
 object Ann {
 
-  /** Session-scoped memo for trained codebooks. Training is deterministic
-    * (seeded init, exact-decimal means), so reusing the materialized
-    * centroids across queries changes nothing about results — it models the
-    * production shape where the codebook is trained ONCE offline and only
-    * assignment/search run per query. Keyed by applicationId so a stale
-    * DataFrame never crosses SparkSession lifetimes; values are
-    * localCheckpointed (self-contained, no lineage into dropped caches).
+  /** Session-scoped memo for DataFrames reused across ANN entry points:
+    * trained codebooks (localCheckpointed, self-contained) and the cached
+    * quantized-subvector frames they are built from. Training is
+    * deterministic (seeded init, exact-decimal means), so reuse changes
+    * nothing about results — it models the production shape where the
+    * codebook is trained ONCE offline and only assignment/search run per
+    * query. Keyed by applicationId so a stale DataFrame never crosses
+    * SparkSession lifetimes; entries from dead applications are EVICTED on
+    * every access (they pin checkpointed/cached frames for the JVM lifetime
+    * otherwise — a slow leak in long-lived multi-session test/bench JVMs).
     */
-  private val codebookCache =
+  private val dfMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  private def memoDf(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val prefix = s.sparkContext.applicationId + "|"
+    val it = dfMemo.keySet().iterator()
+    while (it.hasNext) if (!it.next().startsWith(prefix)) it.remove()
+    dfMemo.computeIfAbsent(prefix + key, _ => build)
+  }
+
   private def memoCodebook(s: SparkSession, key: String)(train: => DataFrame): DataFrame =
-    codebookCache.computeIfAbsent(s.sparkContext.applicationId + "|" + key, _ => train)
+    memoDf(s, key)(train)
 
   private def withNorm(s: SparkSession, df: DataFrame): DataFrame =
     df.select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
@@ -80,9 +90,14 @@ object Ann {
   def lshBuckets(s: SparkSession, d: String, nPlanes: Int = 4, nTables: Int = 8,
                  dims: Int = 64): DataFrame = {
     val e = withNorm(s, Tables.embeddings(s, d))
+    // the plane·vector dot is rounded (Det.rnd, mirrored by rndSql in the
+    // oracle) BEFORE the sign test: the raw float sum's accumulation order
+    // differs between engines, and a dot within ulp noise of zero would
+    // otherwise flip a bucket cross-engine — same threshold-compare contract
+    // as every other cross-engine comparison in the repo
     def sign(t: Int, p: Int) =
-      when(VectorFunctions.dot(s, col("v"),
-        typedLit(plane(t * 1000 + p, dims).toSeq)) >= 0, lit(1)).otherwise(lit(0))
+      when(Det.rnd(VectorFunctions.dot(s, col("v"),
+        typedLit(plane(t * 1000 + p, dims).toSeq)), 6) >= 0, lit(1)).otherwise(lit(0))
     def bucket(t: Int): Column =
       (0 until nPlanes).map(p => sign(t, p) * (1 << p): Column).reduce(_ + _)
     val withBuckets = e.select(col("vec_id") +: col("v") +: col("nrm") +:
@@ -149,7 +164,7 @@ object Ann {
               nCentroids: Int = 16, nprobe: Int = 1, trainIters: Int = 2): DataFrame = {
     // cache: each training iteration scans the quantized vectors twice
     // (assignment + means) and the probe phase scans them again
-    val e = quantNorm(s, d).cache()
+    val e = memoDf(s, s"qn|$d")(quantNorm(s, d).cache())
     val cents = memoCodebook(s, s"ivf|$d|$nCentroids|$trainIters")(
       trainIvfCentroids(s, e, nCentroids, trainIters))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
@@ -217,7 +232,7 @@ object Ann {
     */
   def semdedup(s: SparkSession, d: String, tau: Double = 0.4, maxId: Int = 1000,
                nCentroids: Int = 16, trainIters: Int = 2): DataFrame = {
-    val e = quantNorm(s, d).cache()
+    val e = memoDf(s, s"qn|$d")(quantNorm(s, d).cache())
     val cents = memoCodebook(s, s"ivf|$d|$nCentroids|$trainIters")(
       trainIvfCentroids(s, e, nCentroids, trainIters))
     val wA = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
@@ -291,11 +306,15 @@ object Ann {
   private def pqCodesLut(s: SparkSession, d: String, nQueries: Int, nCodes: Int,
                          m: Int, dims: Int, trainIters: Int): (DataFrame, DataFrame) = {
     val sw = dims / m
-    val e = quantNorm(s, d).select(col("vec_id"), col("v"))
-    val subs = e
-      .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("sp"), col("v"))
-      .select(col("vec_id"), col("sp"), slice(col("v"), col("sp") * sw + 1, lit(sw)).as("sv"))
-      .cache() // scanned twice per training iteration + codes + LUT
+    // memoized alongside the codebook: re-creating this per call would
+    // re-register a fresh cache entry every time (growing storage memory
+    // and warning "already cached" across a long bench run)
+    val subs = memoDf(s, s"pqsubs|$d|$m|$dims") {
+      quantNorm(s, d).select(col("vec_id"), col("v"))
+        .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("sp"), col("v"))
+        .select(col("vec_id"), col("sp"), slice(col("v"), col("sp") * sw + 1, lit(sw)).as("sv"))
+        .cache() // scanned twice per training iteration + codes + LUT
+    }
     val cents = memoCodebook(s, s"pq|$d|$nCodes|$m|$dims|$trainIters")(
       trainPqCentroids(subs, nCodes, trainIters))
     val sqL2 = aggregate(zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
@@ -337,7 +356,7 @@ object Ann {
   def ivfPqTopK(s: SparkSession, d: String, k: Int = 5, nQueries: Int = 20,
                 nCentroids: Int = 16, nprobe: Int = 2, nCodes: Int = 16, m: Int = 4,
                 dims: Int = 64, trainIters: Int = 2): DataFrame = {
-    val e = quantNorm(s, d).cache()
+    val e = memoDf(s, s"qn|$d")(quantNorm(s, d).cache())
     val cents = memoCodebook(s, s"ivf|$d|$nCentroids|$trainIters")(
       trainIvfCentroids(s, e, nCentroids, trainIters))
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))

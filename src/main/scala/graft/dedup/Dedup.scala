@@ -127,6 +127,45 @@ object Dedup {
     Det.ordered(out)
   }
 
+  /** Containment with a shingle document-frequency cap — the plan that
+    * survives 100 TB, where [[containmentPairs]]' inverted-index join is
+    * quadratic in the hottest shingle's df (a boilerplate shingle shared by
+    * n docs emits ~n² pair rows). A shingle appearing in more than `maxDf`
+    * documents is boilerplate by construction (the same df signal
+    * [[graft.text.TextOps]]'s boilerplate detector computes), so it is
+    * dropped BEFORE pair generation — the standard C4/RefinedWeb move — and
+    * containment is measured over the surviving discriminative shingles:
+    * |A∩B ∩ kept| / |A ∩ kept| >= tau. Per-shingle join cost is bounded by
+    * maxDf², independent of corpus size; docs whose shingles are ALL
+    * boilerplate drop out (they carry no discriminative content to contain).
+    */
+  def containmentPairsCapped(s: SparkSession, d: String, tau: Double = 0.9,
+                             maxDf: Int = 50): DataFrame =
+    containmentPairsCappedOn(shingleRows(s, d), tau, maxDf)
+
+  /** Same, over any (doc_id, shingle) row set — reused by the
+    * clone-inflation scale experiment so it measures the exact production
+    * plan.
+    */
+  def containmentPairsCappedOn(sh0: DataFrame, tau: Double, maxDf: Int): DataFrame = {
+    val sh = sh0.cache()
+    val dfs = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val kept = sh
+      .join(dfs.where(col("df") <= maxDf).select(col("shingle")), "shingle")
+      .cache()
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val inter = kept.as("a").join(kept.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    val out = inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_shingles").as("a_n")), "a_id")
+      .select(col("a_id"), col("b_id"),
+        Det.rnd(col("n_inter") * lit(1.0) / col("a_n"), 4).as("containment"))
+      .where(col("containment") >= tau)
+    Det.ordered(out)
+  }
+
   /** MinHash signatures: for seed s, sig = min over shingles of
     * md5("<seed>|<shingle>") — md5's output order is a uniform permutation
     * of the shingle space, so the min is a proper minhash and is identical
@@ -340,9 +379,15 @@ object Dedup {
     */
   def priorityDedup(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // try_cast + sentinel: a source with no trailing digits must get a
+    // DEFINED rank, identically in both engines — a plain cast yields NULL
+    // in Spark (silently sorting first) but errors in DuckDB's oracle, so
+    // rankless sources park at Long.MaxValue (least trusted) on both sides
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("source"),
-        regexp_extract(col("source"), "([0-9]+)$", 1).cast("bigint").as("src_rank"))
+        coalesce(
+          expr("try_cast(regexp_extract(source, '([0-9]+)$', 1) AS BIGINT)"),
+          lit(Long.MaxValue)).as("src_rank"))
     val w = Window.partitionBy(col("cluster_id")).orderBy(col("src_rank"), col("doc_id"))
     val members = clusters(s, d).join(docs, "doc_id")
       .select(col("cluster_id"), col("doc_id"), col("source"), col("src_rank"),

@@ -125,6 +125,84 @@ object Multimodal {
     Det.ordered(out)
   }
 
+  /** Hex-derived media embedding (doc_id, v[16]): dimension j is the j-th
+    * hex pair of the payload fingerprint, mapped to [-1, 1). Unlike the
+    * mapPartitions stub embedding ([[decodeFeatures]]), every step here is
+    * SQL-expressible — which makes the LSH-vs-exact recall over it
+    * ([[mmRecall]]) oracle-checkable end to end, closing the one ANN surface
+    * (media similarity) whose accuracy was previously estimate-only.
+    */
+  def hexEmbedding(s: SparkSession, d: String): DataFrame = {
+    val fp = md5(encode(col("text"), "UTF-8"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), fp.as("fp")) // materialize: HOF lambdas re-eval captured exprs per element
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(15)), j =>
+          (conv(col("fp").substr(j * lit(2) + lit(1), lit(2)), 16, 10).cast("int")
+            - lit(128)) / lit(128.0)).as("v"))
+  }
+
+  /** Measured recall@k of LSH-bucketed media similarity against the
+    * exhaustive ground truth, over the hex-derived embedding — the standing
+    * eval the multimodal pipeline runs before trusting its ANN index (same
+    * pattern as [[graft.ann.Ann.recallAtK]], and like it oracle-checked:
+    * the hyperplanes are md5-derived constants the oracle inlines).
+    */
+  def mmRecall(s: SparkSession, d: String, k: Int = 5, nQueries: Int = 20,
+               nPlanes: Int = 4, nTables: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions
+    val e = hexEmbedding(s, d)
+      .select(col("doc_id"), col("v"),
+        sqrt(VectorFunctions.dot(s, col("v"), col("v"))).as("nrm"))
+      .cache()
+    val q = e.where(col("doc_id") < nQueries)
+      .select(col("doc_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
+    def rankTopK(scored: DataFrame): DataFrame = scored
+      .select(col("q_id"), col("n_id"), col("cosine"),
+        row_number().over(w).cast("bigint").as("rank"))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("n_id"))
+    val exact = rankTopK(e.join(broadcast(q), col("doc_id") =!= col("q_id"))
+      .select(col("q_id"), col("doc_id").as("n_id"),
+        round(try_divide(VectorFunctions.dot(s, col("qv"), col("v")),
+          col("qn") * col("nrm")), 6).as("cosine")))
+    // random-hyperplane buckets over the 16-dim embedding; rounded sign test
+    // (Det.rnd / rndSql) keeps bucket assignment engine-exact
+    def sign(t: Int, p: Int) =
+      when(Det.rnd(VectorFunctions.dot(s, col("v"),
+        typedLit(graft.ann.Ann.plane(t * 1000 + p, 16).toSeq)), 6) >= 0, lit(1))
+        .otherwise(lit(0))
+    def bucket(t: Int) =
+      (0 until nPlanes).map(p => sign(t, p) * (1 << p): org.apache.spark.sql.Column)
+        .reduce(_ + _)
+    val withB = e.select(col("doc_id") +: col("v") +: col("nrm") +:
+      (0 until nTables).map(t => bucket(t).as(s"bkt$t")): _*)
+    val stackExpr = (0 until nTables).map(t => s"$t, bkt$t").mkString(", ")
+    val b = withB.selectExpr("doc_id", "v", "nrm",
+      s"stack($nTables, $stackExpr) AS (tbl, bucket)").cache()
+    val qb = b.where(col("doc_id") < nQueries)
+      .select(col("doc_id").as("q_id"), col("tbl").as("q_tbl"), col("bucket").as("q_bucket"))
+    val cands = b.join(broadcast(qb),
+        col("tbl") === col("q_tbl") && col("bucket") === col("q_bucket") &&
+        col("doc_id") =!= col("q_id"))
+      .select(col("q_id"), col("doc_id").as("n_id")).distinct()
+    val lsh = rankTopK(cands
+      .join(e.select(col("doc_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")), "q_id")
+      .join(e.select(col("doc_id").as("n_id"), col("v"), col("nrm")), "n_id")
+      .select(col("q_id"), col("n_id"),
+        round(try_divide(VectorFunctions.dot(s, col("qv"), col("v")),
+          col("qn") * col("nrm")), 6).as("cosine")))
+    val out = exact.as("e")
+      .join(lsh.as("l"), col("e.q_id") === col("l.q_id") && col("e.n_id") === col("l.n_id"),
+        "left")
+      .agg(count(col("l.n_id")).as("n_hits"), count(lit(1)).as("n_truth"))
+      .select(lit(s"lsh${nTables}x$nPlanes").as("method"), col("n_hits"), col("n_truth"),
+        Det.rnd(col("n_hits") * lit(1.0) / col("n_truth"), 4).as("recall"))
+    out
+  }
+
   def decodeFeatures(s: SparkSession, d: String, dim: Int = 16,
                      nFrames: Int = 4): Dataset[MediaFeatures] = {
     import s.implicits._

@@ -723,10 +723,13 @@ object Analytics {
   }
 
   /** DAU / WAU stickiness: daily active users and the trailing-7-day active
-    * set per day, plus their ratio. The rolling DISTINCT is a day-window
-    * band join against the (day, user) distinct table — 7× that table's
-    * rows, never a distinct-over-window (which Spark can't do) and never a
-    * re-scan of raw events.
+    * set per day, plus their ratio. The rolling DISTINCT is a MAP-SIDE
+    * explode: each (day, user) activity row fans out to the 7 window days it
+    * contributes to (`explode(sequence(day, day+6))`), then one
+    * count_distinct per day — a fixed 7× fan-out with NO join at all (the
+    * `between` band-join alternative plans as a nested-loop that evaluates
+    * every day against every row). Days beyond the last activity day fall
+    * out in the inner join with the DAU table.
     */
   def dauWau(s: SparkSession, d: String): DataFrame = {
     val du = Tables.events(s, d)
@@ -734,10 +737,9 @@ object Analytics {
       .select(expr(s"tms div ${Det.MsInDay}").as("day"), col("user_id"))
       .distinct().cache()
     val dau = du.groupBy(col("day")).agg(count(lit(1)).as("dau"))
-    val wau = dau.select(col("day").as("d"))
-      .join(du, col("day").between(col("d") - 6, col("d")))
-      .select(col("d"), col("user_id")).distinct()
-      .groupBy(col("d")).agg(count(lit(1)).as("wau"))
+    val wau = du
+      .select(explode(sequence(col("day"), col("day") + 6)).as("d"), col("user_id"))
+      .groupBy(col("d")).agg(countDistinct(col("user_id")).as("wau"))
     val out = dau.join(wau, dau("day") === wau("d"))
       .select((col("day") * Det.MsInDay).as("day_ms"), col("dau"), col("wau"),
         Det.rnd(col("dau") / col("wau"), 4).as("stickiness"))
@@ -787,6 +789,28 @@ object Analytics {
         Det.rnd(col("p99_mult_raw"), 4).as("p99_mult"),
         Det.rnd(col("max_mult") / col("n_rows"), 8).as("top_key_share"))
     out
+  }
+
+  /** [[skewStats]] at extreme key cardinality: exact `percentile` buffers
+    * every per-key count in one aggregation buffer — fine while the KEY
+    * table is small, quadratic pain when the join key has billions of
+    * distinct values. This twin swaps in `approx_percentile` (Greenwald-
+    * Khanna sketch, bounded memory, mergeable partials) — the form the
+    * pre-flight check runs at 100 TB. Estimate by construction ⇒ rows-only,
+    * property-bounded against the exact twin in the test suite.
+    */
+  def skewStatsApprox(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey")).agg(count(lit(1)).as("c"))
+    counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("c")).as("n_rows"),
+      max(col("c")).as("max_mult"),
+      expr("approx_percentile(c, 0.5, 10000)").cast("double").as("p50_mult"),
+      expr("approx_percentile(c, 0.99, 10000)").cast("double").as("p99_mult"))
+      .select(col("n_keys"), col("n_rows"), col("max_mult"),
+        col("p50_mult"), col("p99_mult"),
+        Det.rnd(col("max_mult") / col("n_rows"), 8).as("top_key_share"))
   }
 
   /** RFM customer segmentation (recency / frequency / monetary), the

@@ -58,13 +58,26 @@ object EsFilter {
   private def resolve(f: String): String =
     if (f == "_id") idField.get().getOrElse(f) else f
 
+  /** Inside a `nested` clause, bare field names resolve relative to the
+    * nested path (ES lets inner queries use either the full `path.field` or
+    * the relative form; both land on the same JSON tag).
+    */
+  private val nestedPath = new ThreadLocal[Option[String]] {
+    override def initialValue(): Option[String] = None
+  }
+
+  private def nest(f: String): String = nestedPath.get() match {
+    case Some(p) if f != p && !f.startsWith(p + ".") => p + "." + f
+    case _ => f
+  }
+
   /** Column for a possibly-dotted field: `a.b.c` -> json path `$.b.c` in
     * string column `a`. Fields (or JSON roots) absent from the stored schema
     * compile to null, mirroring ES filter-context semantics on an unindexed
     * field (the reference forwards filters verbatim to ES, orestes.js:84).
     */
   private def fieldCol(f0: String): Column = {
-    val f = resolve(f0)
+    val f = nest(resolve(f0))
     if (isJsonPath(f)) {
       val parts = f.split("\\.")
       if (known(parts.head))
@@ -108,6 +121,8 @@ object EsFilter {
       case "wildcard"  => { val (f, v) = fieldValue(body); fieldCol(f).rlike(wildcardToRegex(v.asText())) }
       case "regexp"    => { val (f, v) = fieldValue(body); fieldCol(f).rlike("^(?:" + v.asText() + ")$") }
       case "ids"       => ids(body)
+      case "match"     => matchQuery(body)
+      case "nested"    => nested(body)
       case "query_string" => queryString(body)
       case "bool"      => bool(body)
       case "and"       => clauses(body).map(compileNode).reduceOption(_ && _).getOrElse(lit(true))
@@ -186,6 +201,43 @@ object EsFilter {
     val vs = body.get("values").elements().asScala.toSeq
     val c = fieldCol("_id")
     vs.map(v => c === jsonLit(v)).reduceOption(_ || _).getOrElse(lit(false))
+  }
+
+  /** ES `match`: the query text is whitespace-analyzed into lowercase terms
+    * and a document matches if its analyzed field shares ANY term (OR — the
+    * ES default operator) or ALL terms (`{"operator": "and"}`). The analyzed
+    * field is the lowercase whitespace token set of the stored value — the
+    * minimal standard-analyzer model for tag-like fields (the reference
+    * forwards `match` verbatim to ES, lib/orestes.js:84).
+    */
+  private def matchQuery(body: JsonNode): Column = {
+    require(body.isObject && body.size() == 1, s"expected {field: query}, got $body")
+    val f = body.fieldNames().next()
+    val spec = body.get(f)
+    val (qText, op) =
+      if (spec.isObject && spec.has("query"))
+        (spec.get("query").asText(),
+         if (spec.has("operator")) spec.get("operator").asText().toLowerCase else "or")
+      else (spec.asText(), "or")
+    val terms = qText.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+    require(terms.nonEmpty, "match needs a non-empty query")
+    val toks = split(lower(fieldCol(f)), "\\s+")
+    val preds = terms.map(t => array_contains(toks, t))
+    if (op == "and") preds.reduce(_ && _) else preds.reduce(_ || _)
+  }
+
+  /** ES `nested`: scopes the inner query to `path` — inner fields may be
+    * written relative (`k`) or absolute (`path.k`); both compile to the same
+    * JSON-path tag access. The relational model stores the nested object as
+    * a JSON tag bag column, so nesting is name resolution, not a separate
+    * index (the reference forwards `nested` verbatim, lib/orestes.js:84).
+    */
+  private def nested(body: JsonNode): Column = {
+    require(body.isObject && body.has("path") && body.has("query"),
+      s"""expected {"path": ..., "query": ...}, got $body""")
+    val outer = nestedPath.get()
+    nestedPath.set(Some(nest(body.get("path").asText())))
+    try compileNode(body.get("query")) finally nestedPath.set(outer)
   }
 
   /** Basic ES `query_string` support: whitespace-separated `field:value`
