@@ -39,9 +39,56 @@ class GraftHttpServer(graft: Graft, spark: org.apache.spark.sql.SparkSession,
     if (node != null && node.has("filter")) node.get("filter").toString
     else """{"match_all":{}}"""
 
-  /** One JSON line per row (Spark's toJSON), assembled into a JSON array. */
+  /** One JSON line per row (Spark's toJSON), assembled into a JSON array.
+    * Only for query-sized results (write errors, distinct tag values); big
+    * reads go through [[handleStream]].
+    */
   private def rowsJson(df: org.apache.spark.sql.DataFrame): String =
     df.toJSON.collect().mkString("[", ",", "]")
+
+  /** Streaming read handler — the reference pages every big read through an
+    * ES scroll cursor (lib/elasticsearch/query.js:27-32, orestes-query.js
+    * fetch loops) so the server never holds the full result; the Spark
+    * analog is `toLocalIterator` (one partition materialized at a time)
+    * behind HTTP chunked transfer encoding (response length 0). Driver
+    * memory is bounded by one partition regardless of result size, and the
+    * first rows reach the client while later partitions are still being
+    * computed.
+    */
+  private def handleStream(path: String)(f: JsonNode => org.apache.spark.sql.DataFrame): Unit =
+    server.createContext(path, (ex: HttpExchange) => {
+      var headersSent = false
+      try {
+        val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+        val node = if (body.trim.isEmpty) null else mapper.readTree(body)
+        val rows = f(node).toJSON.toLocalIterator()
+        ex.getResponseHeaders.set("Content-Type", "application/json")
+        ex.sendResponseHeaders(200, 0) // length 0 = chunked transfer
+        headersSent = true
+        val os = ex.getResponseBody
+        os.write("""{"series":[""".getBytes(StandardCharsets.UTF_8))
+        var first = true
+        while (rows.hasNext) {
+          if (!first) os.write(','.toInt)
+          os.write(rows.next().getBytes(StandardCharsets.UTF_8))
+          first = false
+          os.flush() // each chunk leaves before the next partition computes
+        }
+        os.write("]}".getBytes(StandardCharsets.UTF_8))
+      } catch {
+        case e: IllegalArgumentException if !headersSent => sendFull(ex, 400, errJson(e))
+        case NonFatal(e) if !headersSent                 => sendFull(ex, 500, errJson(e))
+        // mid-stream failure: headers are gone; closing the exchange
+        // truncates the chunked body, which the client sees as a broken read
+      } finally ex.close()
+    })
+
+  private def sendFull(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length)
+    ex.getResponseBody.write(bytes)
+  }
 
   private def handle(path: String)(f: JsonNode => String): Unit =
     server.createContext(path, (ex: HttpExchange) => {
@@ -80,20 +127,17 @@ class GraftHttpServer(graft: Graft, spark: org.apache.spark.sql.SparkSession,
       val errors = graft.write(points, space)
       s"""{"errors":${rowsJson(errors)}}"""
     }
-    handle("/read") { node =>
-      val out = graft.readSeries(filterOf(node), textOr(node, "space", "default"),
+    handleStream("/read") { node =>
+      graft.readSeries(filterOf(node), textOr(node, "space", "default"),
         longOr(node, "start", Long.MinValue), longOr(node, "end", Long.MaxValue))
-      s"""{"series":${rowsJson(out)}}"""
     }
-    handle("/count") { node =>
-      val out = graft.countPoints(filterOf(node), textOr(node, "space", "default"),
+    handleStream("/count") { node =>
+      graft.countPoints(filterOf(node), textOr(node, "space", "default"),
         longOr(node, "start", Long.MinValue), longOr(node, "end", Long.MaxValue))
-      s"""{"series":${rowsJson(out)}}"""
     }
-    handle("/series") { node =>
-      val out = graft.seriesList(filterOf(node), textOr(node, "space", "default"),
+    handleStream("/series") { node =>
+      graft.seriesList(filterOf(node), textOr(node, "space", "default"),
         longOr(node, "start", Long.MinValue), longOr(node, "end", Long.MaxValue))
-      s"""{"series":${rowsJson(out)}}"""
     }
     handle("/select_distinct") { node =>
       require(node != null && node.has("keys") && node.get("keys").isArray,

@@ -56,6 +56,45 @@ class EsFilterSpec extends SparkTestBase {
     assert(ids("""{"exists":{"field":"event_type"}}""") == Seq(1L, 2L, 3L, 4L, 5L))
   }
 
+  test("match: analyzed terms OR by default, AND with operator") {
+    import spark.implicits._
+    val md = Seq((1L, "big red fox"), (2L, "red"), (3L, "blue sky"), (4L, "Red Fox"))
+      .toDF("user_id", "title")
+    def mids(json: String): Seq[Long] =
+      md.where(EsFilter.compile(json)).select("user_id").collect().map(_.getLong(0)).sorted.toSeq
+    // any term matches (OR, the ES default operator); analysis lowercases
+    assert(mids("""{"match":{"title":"red sky"}}""") == Seq(1L, 2L, 3L, 4L))
+    assert(mids("""{"match":{"title":"RED"}}""") == Seq(1L, 2L, 4L))
+    // operator and: all terms must appear
+    assert(mids("""{"match":{"title":{"query":"red fox","operator":"and"}}}""")
+      == Seq(1L, 4L))
+    // single-token fields degrade to term-like equality
+    assert(ids("""{"match":{"event_type":"purchase click"}}""") == Seq(1L, 2L, 5L))
+  }
+
+  test("nested: inner fields resolve relative to the path") {
+    import spark.implicits._
+    val nd = Seq(
+      (1L, """{"k": 10, "tag": "a"}"""),
+      (2L, """{"k": 60, "tag": "b"}"""),
+      (3L, """{"tag": "c"}"""))
+      .toDF("user_id", "props")
+    def nids(json: String): Seq[Long] =
+      nd.where(EsFilter.compile(json)).select("user_id").collect().map(_.getLong(0)).sorted.toSeq
+    // relative field form
+    assert(nids("""{"nested":{"path":"props","query":{"range":{"k":{"gte":50}}}}}""")
+      == Seq(2L))
+    // absolute (already-prefixed) form is equivalent
+    assert(nids("""{"nested":{"path":"props","query":{"range":{"props.k":{"gte":50}}}}}""")
+      == Seq(2L))
+    // bool inside nested; missing key in the bag = no match (filter context)
+    assert(nids(
+      """{"nested":{"path":"props","query":{"bool":{
+           "must":[{"term":{"tag":"a"}}]}}}}""") == Seq(1L))
+    assert(nids("""{"nested":{"path":"props","query":{"exists":{"field":"k"}}}}""")
+      == Seq(1L, 2L))
+  }
+
   test("dotted fields address the JSON tag bag") {
     import spark.implicits._
     val df = Seq(

@@ -75,4 +75,36 @@ class HttpApiSpec extends SparkTestBase {
       assert(mapper.readTree(delb).get("dropped_buckets").size() == 0)
     } finally srv.stop()
   }
+
+  test("/read streams chunked (no driver-side materialization of the result)") {
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "graft-http-stream").toString
+    val srv = new GraftHttpServer(new Graft(spark, root), spark)
+    val port = srv.start()
+    try {
+      // 200 points across 50 hosts -> 50 series rows in /read
+      val pts = (0 until 200).map { i =>
+        val (mi, se) = (i % 60, i / 60)
+        f"""{"time":"2024-01-09T10:$mi%02d:$se%02dZ","value":$i.0,"name":"cpu","host":"h${i % 50}"}"""
+      }.mkString(",")
+      val (wc, wb) = post(port, "/write", s"""{"points":[$pts]}""")
+      assert(wc == 200, wb)
+      val client = HttpClient.newHttpClient()
+      val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/read"))
+        .POST(HttpRequest.BodyPublishers.ofString("{}")).build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200)
+      // chunked transfer: the server never sized (= never materialized) the
+      // whole body — the reference's scroll-cursor semantics
+      assert(resp.headers().firstValue("transfer-encoding").orElse("") == "chunked",
+        resp.headers().map().toString)
+      assert(resp.headers().firstValue("content-length").isEmpty)
+      val series = mapper.readTree(resp.body()).get("series")
+      assert(series.size() == 50)
+      assert((0 until 50).map(series.get(_).get("points").size()).sum == 200)
+      // a bad filter still fails fast with a status code (before streaming)
+      val (bc, _) = post(port, "/read", """{"filter":{"bogus":{}}}""")
+      assert(bc == 400)
+    } finally srv.stop()
+  }
 }
