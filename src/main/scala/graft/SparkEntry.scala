@@ -312,7 +312,25 @@ object SparkEntry {
     "mm_meta" -> ((s, d) => Multimodal.meta(s, d)),
     "mm_features" -> ((s, d) => Multimodal.features(s, d)),
     "mm_embed_topk" -> ((s, d) => Multimodal.embedTopK(s, d)),
-    "mm_recall" -> ((s, d) => Multimodal.mmRecall(s, d)))
+    "mm_recall" -> ((s, d) => Multimodal.mmRecall(s, d)),
+    "ts_autocorr" -> ((s, d) => Tsdb.autocorr(Tsdb.points(s, d)
+      .copy(tagCols = Seq("event_type")),
+      EsFilter.compile("""{"match_all":{}}"""), Start, End)),
+    "ts_changepoint" -> ((s, d) => Tsdb.changepoint(Tsdb.points(s, d)
+      .copy(tagCols = Seq("event_type")),
+      EsFilter.compile("""{"match_all":{}}"""), Start, End)),
+    "ts_burn_rate" -> ((s, d) => Tsdb.burnRate(Tsdb.points(s, d),
+      org.apache.spark.sql.functions.col("event_type") === "error",
+      EsFilter.compile("""{"match_all":{}}"""), Start, End)),
+    "ts_sax" -> ((s, d) => Tsdb.sax(Tsdb.points(s, d)
+      .copy(tagCols = Seq("event_type")),
+      EsFilter.compile("""{"match_all":{}}"""), Start, End)),
+    "q2_min_cost" -> ((s, d) => Analytics.q2MinCost(s, d)),
+    "q10_returns" -> ((s, d) => Analytics.q10Returns(s, d)),
+    "q16_supplier_cnt" -> ((s, d) => Analytics.q16SupplierCount(s, d)),
+    "quality_gopher" -> ((s, d) => TextOps.gopherQuality(s, d)),
+    "text_winnowing" -> ((s, d) => TextOps.winnowing(s, d)),
+    "knn_classify" -> ((s, d) => Ann.knnClassify(s, d)))
 
   // ---- DuckDB oracles ------------------------------------------------------
 
@@ -2177,5 +2195,180 @@ object SparkEntry {
                  CAST(1 + ${hexByte(5)} % 4 AS BIGINT) AS fake_channels,
                  (${hexByte(7)} % 2 = 0) AS fake_is_keyframe
           FROM documents ORDER BY 1, 2, 3, 4, 5, 6, 7"""
-    })
+    },
+    // hourly per-series means feed every oracle below exactly as Tsdb does:
+    // davg -> exact DECIMAL(18,4) partial sums -> rounded double
+    "ts_autocorr" -> {
+      def one(k: Int) =
+        s"""SELECT event_type, CAST($k AS BIGINT) AS lag, x, lag(x, $k) OVER
+              (PARTITION BY event_type ORDER BY bucket) AS y FROM p"""
+      s"""WITH p AS (SELECT event_type,
+                            CAST(floor(epoch_ms(ts)/3600000.0) AS BIGINT) AS bucket,
+                            ${davgSql("value")} AS x
+                     FROM events WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
+                     GROUP BY 1, 2),
+              l AS (SELECT * FROM (${one(1)} UNION ALL ${one(2)} UNION ALL ${one(24)})
+                    WHERE y IS NOT NULL),
+              a AS (SELECT event_type, lag, count(*) AS n_pairs,
+                           CAST(sum(CAST(x AS DECIMAL(28,8))) AS DOUBLE) AS sx,
+                           CAST(sum(CAST(y AS DECIMAL(28,8))) AS DOUBLE) AS sy,
+                           CAST(sum(CAST(x*y AS DECIMAL(28,8))) AS DOUBLE) AS sxy,
+                           CAST(sum(CAST(x*x AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+                           CAST(sum(CAST(y*y AS DECIMAL(28,8))) AS DOUBLE) AS syy
+                    FROM l GROUP BY 1, 2),
+              v AS (SELECT *, n_pairs*sxx - sx*sx AS vx, n_pairs*syy - sy*sy AS vy FROM a)
+          SELECT event_type, lag, n_pairs,
+                 ${rndSql("(n_pairs*sxy - sx*sy)/sqrt(vx*vy)", 6)} AS acf
+          FROM v WHERE vx > 0 AND vy > 0 ORDER BY 1, 2, 3, 4"""
+    },
+    "ts_changepoint" ->
+      s"""WITH p AS (SELECT event_type,
+                            CAST(floor(epoch_ms(ts)/3600000.0) AS BIGINT) AS bucket,
+                            ${davgSql("value")} AS x
+                     FROM events WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
+                     GROUP BY 1, 2),
+              c AS (SELECT event_type, bucket,
+                           CAST(row_number() OVER wr AS BIGINT) AS rn,
+                           CAST(sum(CAST(x AS DECIMAL(18,4))) OVER wr AS DOUBLE) AS sk,
+                           count(*) OVER wt AS n_buckets,
+                           CAST(sum(CAST(x AS DECIMAL(18,4))) OVER wt AS DOUBLE) AS sn
+                    FROM p WINDOW wr AS (PARTITION BY event_type ORDER BY bucket),
+                                  wt AS (PARTITION BY event_type)),
+              d AS (SELECT event_type, bucket, n_buckets,
+                           ${rndSql("sk - rn*sn/n_buckets", 4)} AS cusum FROM c),
+              r AS (SELECT event_type, bucket, cusum, n_buckets,
+                           row_number() OVER (PARTITION BY event_type
+                             ORDER BY abs(cusum) DESC, bucket) AS pr FROM d)
+          SELECT event_type, bucket AS cp_bucket, cusum AS cp_cusum, n_buckets
+          FROM r WHERE pr = 1 ORDER BY 1, 2, 3, 4""",
+    "ts_burn_rate" ->
+      s"""WITH h AS (SELECT CAST(floor(epoch_ms(ts)/3600000.0) AS BIGINT) AS bucket,
+                            count(*) AS n_total,
+                            CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_bad
+                     FROM events WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
+                     GROUP BY 1),
+              r AS (SELECT bucket, n_total, n_bad,
+                           sum(n_bad) OVER w AS bad_l, sum(n_total) OVER w AS tot_l
+                    FROM h WINDOW w AS (ORDER BY bucket
+                      RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)),
+              b AS (SELECT bucket, n_total, n_bad,
+                           ${rndSql("n_bad*1.0/n_total/0.25", 4)} AS short_burn,
+                           ${rndSql("bad_l*1.0/tot_l/0.25", 4)} AS long_burn
+                    FROM r)
+          SELECT bucket, n_total, n_bad, short_burn, long_burn,
+                 CAST(short_burn > 1.0 AND long_burn > 1.0 AS BIGINT) AS alerting
+          FROM b ORDER BY 1, 2, 3, 4, 5, 6""",
+    "ts_sax" ->
+      s"""WITH p AS (SELECT event_type,
+                            CAST(floor(epoch_ms(ts)/3600000.0) AS BIGINT) AS bucket,
+                            ${davgSql("value")} AS x
+                     FROM events WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
+                     GROUP BY 1, 2),
+              s1 AS (SELECT event_type, bucket, x,
+                            count(*) OVER wt AS n,
+                            CAST(sum(CAST(x AS DECIMAL(18,4))) OVER wt AS DOUBLE) AS sx,
+                            CAST(sum(CAST(x*x AS DECIMAL(28,8))) OVER wt AS DOUBLE) AS sxx
+                     FROM p WINDOW wt AS (PARTITION BY event_type)),
+              s2 AS (SELECT *, sqrt((sxx - sx*sx/n)/n) AS sd FROM s1),
+              s3 AS (SELECT event_type, bucket, ${rndSql("(x - sx/n)/sd", 6)} AS z
+                     FROM s2 WHERE sd > 0),
+              s4 AS (SELECT event_type, CAST(floor(bucket/24.0) AS BIGINT) AS day,
+                            bucket,
+                            CASE WHEN z < -0.6745 THEN 'a' WHEN z < 0 THEN 'b'
+                                 WHEN z < 0.6745 THEN 'c' ELSE 'd' END AS sym
+                     FROM s3)
+          SELECT event_type, day, count(*) AS n_sym,
+                 string_agg(sym, '' ORDER BY bucket) AS sax_word
+          FROM s4 GROUP BY 1, 2 ORDER BY 1, 2, 3, 4""",
+    "q2_min_cost" ->
+      s"""WITH offers AS (SELECT p.p_partkey, p.p_name, p.p_brand, s.s_name,
+                                 n.n_name, l.l_suppkey,
+                                 ${rndSql("l.l_extendedprice / l.l_quantity", 4)} AS unit_price
+                          FROM lineitem l
+                          JOIN part p ON l.l_partkey = p.p_partkey AND p.p_size < 10
+                          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                          JOIN nation n ON s.s_nationkey = n.n_nationkey
+                          JOIN region r ON n.n_regionkey = r.r_regionkey
+                                       AND r.r_name = 'EUROPE'),
+              rk AS (SELECT *, row_number() OVER (PARTITION BY p_partkey
+                       ORDER BY unit_price, l_suppkey) AS rk FROM offers)
+          SELECT p_partkey, p_name, p_brand, s_name, n_name,
+                 unit_price AS min_unit_price
+          FROM rk WHERE rk = 1 ORDER BY 1, 2, 3, 4, 5, 6""",
+    "q10_returns" ->
+      s"""SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+                 ${dsumSql("l.l_extendedprice * (1.0 - l.l_discount)")} AS revenue
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+           AND epoch_ms(o.o_orderdate) >= 812505600000 AND epoch_ms(o.o_orderdate) < 820454400000
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation n ON c.c_nationkey = n.n_nationkey
+          WHERE l.l_returnflag = 'R'
+          GROUP BY 1, 2, 3, 4
+          ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q16_supplier_cnt" ->
+      s"""SELECT p.p_brand, p.p_type, p.p_size,
+                 count(DISTINCT l.l_suppkey) AS supplier_cnt
+          FROM lineitem l
+          JOIN part p ON l.l_partkey = p.p_partkey
+           AND p.p_brand <> 'Brand#1' AND p.p_size IN (1, 4, 7)
+          WHERE l.l_suppkey NOT IN
+            (SELECT s_suppkey FROM supplier WHERE s_name LIKE '%7%')
+          GROUP BY 1, 2, 3 ORDER BY 1, 2, 3, 4""",
+    "quality_gopher" -> {
+      val required = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+        .map(w => s"'$w'").mkString("[", ",", "]")
+      s"""WITH t AS (SELECT doc_id, text, string_split($NormSql, ' ') AS toks
+                     FROM documents),
+              b AS (SELECT doc_id, text, toks, CAST(len(toks) AS BIGINT) AS n_words
+                    FROM t),
+              sc AS (SELECT doc_id, n_words,
+                            ${rndSql("list_sum(list_transform(toks, t -> length(t))) * 1.0 / n_words", 4)}
+                              AS mean_word_len,
+                            ${rndSql("(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.'))) * 1.0 / n_words", 4)}
+                              AS symbol_ratio,
+                            ${rndSql("len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) * 1.0 / n_words", 4)}
+                              AS alpha_word_ratio,
+                            CAST(len(list_filter($required,
+                              r -> list_contains(toks, r))) AS BIGINT) AS n_required_stops
+                     FROM b)
+          SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio,
+                 n_required_stops,
+                 CAST(n_words >= 30 AND n_words <= 100000
+                      AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                      AND symbol_ratio < 0.1 AND alpha_word_ratio > 0.8
+                      AND n_required_stops >= 2 AS BIGINT) AS keep
+          FROM sc ORDER BY 1, 2, 3, 4, 5, 6, 7"""
+    },
+    "text_winnowing" ->
+      s"""WITH d0 AS (SELECT doc_id, $NormSql AS n FROM documents),
+              d1 AS (SELECT doc_id, n, length(n) AS len FROM d0 WHERE length(n) >= 8),
+              g AS (SELECT doc_id, i AS pos, md5(substr(n, CAST(i+1 AS INTEGER), 8)) AS h
+                    FROM d1, UNNEST(range(0, len - 7)) AS u(i)),
+              w AS (SELECT doc_id, pos, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS wmin FROM g),
+              sel AS (SELECT DISTINCT doc_id, wmin FROM w WHERE pos >= 5)
+          SELECT doc_id, count(*) AS n_fp,
+                 md5(string_agg(wmin, ',' ORDER BY wmin)) AS fp_digest
+          FROM sel GROUP BY 1 ORDER BY 1, 2, 3""",
+    "knn_classify" ->
+      s"""WITH $VecCte,
+              dots AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, sum(a.x*b.x) AS dot
+                       FROM ev a JOIN ev b ON a.i = b.i AND a.vec_id <> b.vec_id
+                       WHERE a.vec_id < 50 GROUP BY 1, 2),
+              c AS (SELECT q_id, n_id, round(dot/sqrt(nq.nsq*nn.nsq), 6) AS cosine
+                    FROM dots JOIN vn nq ON nq.vec_id = q_id
+                              JOIN vn nn ON nn.vec_id = n_id),
+              r AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+                      ORDER BY cosine DESC, n_id) AS rank FROM c),
+              nb AS (SELECT q_id, n_id FROM r WHERE rank <= 10),
+              v AS (SELECT nb.q_id, e.label, count(*) AS n_votes
+                    FROM nb JOIN embeddings e ON e.vec_id = nb.n_id GROUP BY 1, 2),
+              wv AS (SELECT q_id, label, n_votes, row_number() OVER (PARTITION BY q_id
+                       ORDER BY n_votes DESC, label) AS vr FROM v)
+          SELECT wv.q_id, wv.label AS pred_label, wv.n_votes,
+                 e2.label AS true_label, CAST(wv.label = e2.label AS BIGINT) AS correct
+          FROM wv JOIN embeddings e2 ON e2.vec_id = wv.q_id
+          WHERE wv.vr = 1 ORDER BY 1, 2, 3, 4, 5""")
 }

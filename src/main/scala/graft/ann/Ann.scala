@@ -410,6 +410,33 @@ object Ann {
     Det.ordered(out)
   }
 
+  /** k-NN classification: each query vector takes the majority label of its
+    * k exact nearest neighbors (cosine), ties broken toward the smaller
+    * label — the standard embedding-space label-propagation / weak-labeling
+    * primitive. Reuses [[bruteForceTopK]]'s broadcast-query scan (queries
+    * broadcast, ONE pass over the corpus), joins the tiny neighbor list to
+    * labels, and votes inside a per-query window. Emits the true label and a
+    * correctness flag so the same query doubles as an accuracy report.
+    */
+  def knnClassify(s: SparkSession, d: String, k: Int = 10, nQueries: Int = 50): DataFrame = {
+    val lab = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+    val votes = bruteForceTopK(s, d, k, nQueries)
+      .join(broadcast(lab.withColumnRenamed("vec_id", "n_id")), Seq("n_id"))
+      .groupBy(col("q_id"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val wv = Window.partitionBy(col("q_id"))
+      .orderBy(col("n_votes").desc, col("label"))
+    val out = votes
+      .withColumn("vr", row_number().over(wv))
+      .where(col("vr") === 1)
+      .join(broadcast(lab.select(col("vec_id").as("q_id"), col("label").as("true_label"))),
+        Seq("q_id"))
+      .select(col("q_id"), col("label").as("pred_label"), col("n_votes"),
+        col("true_label"),
+        (col("label") === col("true_label")).cast("bigint").as("correct"))
+    Det.ordered(out)
+  }
+
   def pqTopK(s: SparkSession, d: String, k: Int = 5, nQueries: Int = 20,
              nCodes: Int = 16, m: Int = 4, dims: Int = 64, trainIters: Int = 2): DataFrame = {
     val adc = pqAdcScores(s, d, nQueries, nCodes, m, dims, trainIters)

@@ -926,4 +926,81 @@ object Analytics {
       .agg(count(lit(1)).as("n_pairs"))
     Det.ordered(out)
   }
+
+  /** Cheapest-supplier-per-part (TPC-H Q2 shape, minus the partsupp table —
+    * unit price is derived from lineitem). The correlated "price = (SELECT
+    * min(price) ...)" subquery is expressed DIRECTLY as its decorrelated
+    * form: a min-window over the part key, then rank-1 filter — the plan
+    * Catalyst would rewrite the subquery into, with no second scan of the
+    * fact table. Supplier/nation/region dims broadcast; one shuffle on
+    * l_partkey feeds both the window and the final ordering's TakeOrdered.
+    */
+  def q2MinCost(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).where(col("p_size") < 10)
+      .select("p_partkey", "p_name", "p_brand")
+    val sup = Tables.supplier(s, d).select("s_suppkey", "s_name", "s_nationkey")
+    val n = Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+    val r = Tables.region(s, d).where(col("r_name") === "EUROPE")
+    val offers = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"),
+        Det.rnd(col("l_extendedprice") / col("l_quantity"), 4).as("unit_price"))
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+    val w = Window.partitionBy(col("p_partkey"))
+      .orderBy(col("unit_price"), col("s_suppkey"))
+    val out = offers
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+        col("s_name"), col("n_name"), col("unit_price").as("min_unit_price"))
+    Det.ordered(out)
+  }
+
+  /** Returned-item revenue report (TPC-H Q10 shape): customers ranked by
+    * revenue lost to returns in a quarter. Orders filtered to the window,
+    * lineitem to returnflag='R'; customer/nation broadcast; one orderkey
+    * shuffle + one custkey aggregate, then global top-20 via TakeOrdered
+    * (no full sort).
+    */
+  def q10Returns(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .where(col("o_orderdate") >= tsLit(812505600000L) &&  // 1995-10-01
+             col("o_orderdate") < tsLit(820454400000L))     // 1996-01-01
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(s, d).where(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val c = Tables.customer(s, d).select("c_custkey", "c_name", "c_acctbal", "c_nationkey")
+    val n = Tables.nation(s, d).select("n_nationkey", "n_name")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(round(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** Supplier-count-per-part-class (TPC-H Q16 shape): distinct suppliers
+    * able to supply each (brand, type-prefix, size) class, excluding an
+    * unwanted brand and a "complaints" supplier set via broadcast ANTI join
+    * — the not-in-subquery expressed as the plan you'd want (no null-aware
+    * nested loop). Supply relationships derive from lineitem; one distinct
+    * + one count-distinct aggregate, both partial.
+    */
+  def q16SupplierCount(s: SparkSession, d: String): DataFrame = {
+    val bad = Tables.supplier(s, d).where(col("s_name").like("%7%"))
+      .select(col("s_suppkey").as("bad_key"))
+    val p = Tables.part(s, d)
+      .where(col("p_brand") =!= "Brand#1" && col("p_size").isin(1, 4, 7))
+      .select(col("p_partkey"), col("p_brand"), col("p_type"), col("p_size"))
+    val out = Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(bad), col("l_suppkey") === col("bad_key"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    Det.ordered(out)
+  }
 }

@@ -521,4 +521,74 @@ object TextOps {
       md5(concat_ws(" ", array_sort(array_distinct(tokens(col("text")))))).as("bag_fp"))
     Det.ordered(out)
   }
+
+  /** Gopher-rule quality filter (Rae et al. 2021, appendix A1.1): the
+    * repetition-independent document rules — word-count bounds, mean word
+    * length bounds, symbol-to-word ratio (# and ellipsis), alphabetic-word
+    * fraction, and the ≥2-required-stopwords check — each surfaced as its
+    * own signal plus the conjunctive keep flag. Pure column expressions over
+    * one materialized token array (scan-speed, no shuffle at all: this is a
+    * map-only operator at any scale). `minStops` keeps Gopher's ≥2 default;
+    * corpora with narrow synthetic vocabularies tune it down rather than
+    * editing the published required-word list.
+    */
+  def gopherQuality(s: SparkSession, d: String, minStops: Int = 2): DataFrame = {
+    val required = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("text"), col("toks"),
+        size(col("toks")).cast("bigint").as("n_words"))
+    val scored = base.select(
+      col("doc_id"),
+      col("n_words"),
+      Det.rnd(aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
+        * lit(1.0) / col("n_words"), 4).as("mean_word_len"),
+      Det.rnd((regexp_count(col("text"), lit("#")) +
+        regexp_count(col("text"), lit("\\.\\.\\."))) * lit(1.0) / col("n_words"), 4)
+        .as("symbol_ratio"),
+      Det.rnd(size(filter(col("toks"), t => t.rlike("[a-z]"))) * lit(1.0)
+        / col("n_words"), 4).as("alpha_word_ratio"),
+      size(filter(typedLit(required), r => array_contains(col("toks"), r)))
+        .cast("bigint").as("n_required_stops"))
+    val out = scored.withColumn("keep",
+      (col("n_words") >= 30 && col("n_words") <= 100000 &&
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0 &&
+        col("symbol_ratio") < 0.1 &&
+        col("alpha_word_ratio") > 0.8 &&
+        col("n_required_stops") >= minStops).cast("bigint"))
+    Det.ordered(out)
+  }
+
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD'03 — the MOSS
+    * algorithm): hash every character k-gram of the normalized text, then in
+    * each sliding window of w consecutive grams keep the minimum hash — the
+    * guarantee is any shared substring of length ≥ w+k-1 yields a shared
+    * fingerprint, at ~2/(w+1) the density of full k-gram sets. Hashes are
+    * md5 hex (bytewise string order is identical cross-engine, so window
+    * minima agree). Per doc: fingerprint count, distinct count, and a digest
+    * of the sorted fingerprint set. The gram explode is map-side; the only
+    * shuffle is the per-doc aggregate, and the window min runs inside the
+    * doc partition — selectivity (≈ n_grams/w fingerprints) is what a 100 TB
+    * near-dup index stores instead of every shingle.
+    */
+  def winnowing(s: SparkSession, d: String, k: Int = 8, w: Int = 6): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), norm(col("text")).as("n"))
+      .select(col("doc_id"), col("n"), length(col("n")).as("len"))
+    val grams = docs
+      .where(col("len") >= k)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("len") - k),
+          i => md5(col("n").substr(i + 1, lit(k))))).as(Seq("pos", "h")))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), 0)
+    val selected = grams
+      .withColumn("wmin", min(col("h")).over(win))
+      .where(col("pos") >= w - 1)
+      .select(col("doc_id"), col("wmin")).distinct()
+    val out = selected.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"),
+        md5(concat_ws(",", array_sort(collect_list(col("wmin"))))).as("fp_digest"))
+    Det.ordered(out)
+  }
 }

@@ -742,6 +742,151 @@ object Tsdb {
     Det.ordered(out)
   }
 
+  /** Lag-k autocorrelation (ACF) of the bucketed per-series means — the
+    * periodicity detector behind seasonal decomposition (a daily cycle shows
+    * as a lag-24 peak on hourly buckets). Each lag's (x, x-shifted-k) pairs
+    * come from ONE window sort per series; Pearson r is assembled from
+    * exact DECIMAL partial sums (x is a 4-dp bucket mean, so x·y is an
+    * 8-dp exact product — sums commute, association-order independent),
+    * then one double expression both engines evaluate identically.
+    * Zero-variance sides are dropped (r undefined; ANSI divide-by-zero).
+    * One bucketing shuffle + per-series window sorts; the final aggregate
+    * reuses the series partitioning.
+    */
+  def autocorr(pt: PointsTable, filter: Column, startMs: Long, endMs: Long,
+               lags: Seq[Int] = Seq(1, 2, 24), stepMs: Long = 3600000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val paa = pt.df
+      .where(inRange(pt, startMs, endMs) && filter)
+      .groupBy(pt.tags :+ floor(pt.timeMs / stepMs).as("bucket"): _*)
+      .agg(Det.davg(col(pt.valueCol), 4).as("x"))
+    val w = Window.partitionBy(pt.tags: _*).orderBy(col("bucket"))
+    val pairs = lags.map { k =>
+      paa.withColumn("y", lag(col("x"), k).over(w))
+        .where(col("y").isNotNull)
+        .withColumn("lag", lit(k.toLong))
+    }.reduce(_ unionByName _)
+    def d8(c: Column) = sum(c.cast("decimal(28,8)")).cast("double")
+    val agg = pairs.groupBy(pt.tags :+ col("lag"): _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        d8(col("x")).as("sx"), d8(col("y")).as("sy"),
+        d8(col("x") * col("y")).as("sxy"),
+        d8(col("x") * col("x")).as("sxx"),
+        d8(col("y") * col("y")).as("syy"))
+      .withColumn("vx", col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vy", col("n_pairs") * col("syy") - col("sy") * col("sy"))
+      .where(col("vx") > 0 && col("vy") > 0)
+    val out = agg.select(pt.tags ++ Seq(col("lag"), col("n_pairs"),
+      Det.rnd((col("n_pairs") * col("sxy") - col("sx") * col("sy")) /
+        sqrt(col("vx") * col("vy")), 6).as("acf")): _*)
+    Det.ordered(out)
+  }
+
+  /** CUSUM changepoint detection: per series, the bucket where the running
+    * deviation from the series mean peaks — the classic offline
+    * change-in-mean estimator (argmax_k |S_k - k·S_n/n|). Running and total
+    * sums are exact DECIMAL window aggregates over 4-dp bucket means, so the
+    * cusum is an identical double in both engines; the argmax tie-breaks on
+    * the earliest bucket. One bucketing shuffle, then two window passes that
+    * share the per-series partitioning — at 100 TB the windows stay inside
+    * the series partitions (no extra exchange after the aggregate).
+    */
+  def changepoint(pt: PointsTable, filter: Column, startMs: Long, endMs: Long,
+                  stepMs: Long = 3600000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val paa = pt.df
+      .where(inRange(pt, startMs, endMs) && filter)
+      .groupBy(pt.tags :+ floor(pt.timeMs / stepMs).as("bucket"): _*)
+      .agg(Det.davg(col(pt.valueCol), 4).as("x"))
+    val run = Window.partitionBy(pt.tags: _*).orderBy(col("bucket"))
+    val tot = Window.partitionBy(pt.tags: _*)
+    val cusum = paa
+      .withColumn("rn", row_number().over(run).cast("bigint"))
+      .withColumn("sk", sum(col("x").cast("decimal(18,4)")).over(run).cast("double"))
+      .withColumn("n_buckets", count(lit(1)).over(tot))
+      .withColumn("sn", sum(col("x").cast("decimal(18,4)")).over(tot).cast("double"))
+      .withColumn("cusum", Det.rnd(col("sk") - col("rn") * col("sn") / col("n_buckets"), 4))
+    val pick = Window.partitionBy(pt.tags: _*)
+      .orderBy(abs(col("cusum")).desc, col("bucket"))
+    val out = cusum
+      .withColumn("pr", row_number().over(pick))
+      .where(col("pr") === 1)
+      .select(pt.tags ++ Seq(col("bucket").as("cp_bucket"),
+        col("cusum").as("cp_cusum"), col("n_buckets")): _*)
+    Det.ordered(out)
+  }
+
+  /** Multi-window SLO burn rate: per hour, the error-budget consumption rate
+    * over the short (1-bucket) and long (trailing `longN`-bucket) windows,
+    * plus the page-worthy flag (both windows burning >1× budget — the
+    * standard fast+slow-window alerting rule). The rolling sums are a RANGE
+    * frame on the bucket index, so missing hours shrink the long window
+    * instead of silently stretching it. The global window runs over the
+    * already-aggregated hourly table (O(hours) rows), not the raw points —
+    * the only full shuffle is the hourly aggregate.
+    */
+  def burnRate(pt: PointsTable, badFilter: Column, filter: Column,
+               startMs: Long, endMs: Long, stepMs: Long = 3600000L,
+               budget: Double = 0.25, longN: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hourly = pt.df
+      .where(inRange(pt, startMs, endMs) && filter)
+      .groupBy(floor(pt.timeMs / stepMs).as("bucket"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(badFilter, lit(1L)).otherwise(lit(0L))).as("n_bad"))
+    val w = Window.orderBy(col("bucket")).rangeBetween(-(longN - 1).toLong, 0L)
+    val out = hourly
+      .withColumn("bad_l", sum(col("n_bad")).over(w))
+      .withColumn("tot_l", sum(col("n_total")).over(w))
+      .select(col("bucket"), col("n_total"), col("n_bad"),
+        Det.rnd(col("n_bad") * lit(1.0) / col("n_total") / budget, 4).as("short_burn"),
+        Det.rnd(col("bad_l") * lit(1.0) / col("tot_l") / budget, 4).as("long_burn"))
+      .withColumn("alerting",
+        (col("short_burn") > 1.0 && col("long_burn") > 1.0).cast("bigint"))
+    Det.ordered(out)
+  }
+
+  /** SAX symbolization (Lin et al., "Symbolic Aggregate approXimation"):
+    * per-series hourly means, z-normalized per series, mapped to a 4-letter
+    * alphabet at the N(0,1) quartile breakpoints (±0.6745, 0), then
+    * concatenated into one word per (series, day) — the discretized shape
+    * fingerprint similarity search and motif discovery run on. Mean/std come
+    * from exact DECIMAL sums (identical doubles cross-engine) and z is
+    * rounded before the breakpoint compares so a boundary-straddling value
+    * can't flip letters between engines. Constant series (sd=0) are dropped.
+    * One bucketing shuffle; the window stats and the word-assembly aggregate
+    * both reuse the series partitioning.
+    */
+  def sax(pt: PointsTable, filter: Column, startMs: Long, endMs: Long,
+          stepMs: Long = 3600000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val paa = pt.df
+      .where(inRange(pt, startMs, endMs) && filter)
+      .groupBy(pt.tags :+ floor(pt.timeMs / stepMs).as("bucket"): _*)
+      .agg(Det.davg(col(pt.valueCol), 4).as("x"))
+    val tot = Window.partitionBy(pt.tags: _*)
+    val z = paa
+      .withColumn("n", count(lit(1)).over(tot))
+      .withColumn("sx", sum(col("x").cast("decimal(18,4)")).over(tot).cast("double"))
+      .withColumn("sxx", sum((col("x") * col("x")).cast("decimal(28,8)")).over(tot).cast("double"))
+      .withColumn("sd", sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / col("n")))
+      .where(col("sd") > 0)
+      .withColumn("z", Det.rnd((col("x") - col("sx") / col("n")) / col("sd"), 6))
+      .withColumn("sym",
+        when(col("z") < -0.6745, lit("a"))
+          .when(col("z") < 0, lit("b"))
+          .when(col("z") < 0.6745, lit("c"))
+          .otherwise(lit("d")))
+    val stepsPerDay = (MsInDay / stepMs).max(1L)
+    val out = z
+      .withColumn("day", floor(col("bucket") / stepsPerDay).cast("bigint"))
+      .groupBy(pt.tags :+ col("day"): _*)
+      .agg(count(lit(1)).as("n_sym"),
+        array_join(transform(array_sort(collect_list(struct(col("bucket"), col("sym")))),
+          s => s.getField("sym")), "").as("sax_word"))
+    Det.ordered(out)
+  }
+
   /** Per-(bucket, series) stats — the storage layout rendered as a query:
     * row key (attrs), clustering (offset) min/max, point count, value sum.
     */
