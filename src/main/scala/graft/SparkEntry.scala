@@ -330,7 +330,20 @@ object SparkEntry {
     "q16_supplier_cnt" -> ((s, d) => Analytics.q16SupplierCount(s, d)),
     "quality_gopher" -> ((s, d) => TextOps.gopherQuality(s, d)),
     "text_winnowing" -> ((s, d) => TextOps.winnowing(s, d)),
-    "knn_classify" -> ((s, d) => Ann.knnClassify(s, d)))
+    "knn_classify" -> ((s, d) => Ann.knnClassify(s, d)),
+    "q6_forecast_revenue" -> ((s, d) => Analytics.q6ForecastRevenue(s, d)),
+    "q14_promo_share" -> ((s, d) => Analytics.q14PromoShare(s, d)),
+    "q19_brackets" -> ((s, d) => Analytics.q19Brackets(s, d)),
+    "window_percent_rank" -> ((s, d) => Analytics.windowPercentRank(s, d)),
+    "ts_double_smooth" -> ((s, d) => Tsdb.doubleSmooth(Tsdb.points(s, d)
+      .copy(tagCols = Seq("event_type")),
+      EsFilter.compile("""{"match_all":{}}"""), Start, End)),
+    "ts_cross_corr" -> ((s, d) => Tsdb.crossCorr(Tsdb.points(s, d),
+      EsFilter.compile("""{"term":{"event_type":"click"}}"""),
+      EsFilter.compile("""{"term":{"event_type":"error"}}"""), Start, End)),
+    "emb_centroid_dist" -> ((s, d) => Ann.embCentroidDist(s, d)),
+    "graph_degree_dist" -> ((s, d) => Graph.degreeDist(s, d)),
+    "ngram_coverage" -> ((s, d) => TextOps.ngramCoverage(s, d)))
 
   // ---- DuckDB oracles ------------------------------------------------------
 
@@ -2370,5 +2383,118 @@ object SparkEntry {
           SELECT wv.q_id, wv.label AS pred_label, wv.n_votes,
                  e2.label AS true_label, CAST(wv.label = e2.label AS BIGINT) AS correct
           FROM wv JOIN embeddings e2 ON e2.vec_id = wv.q_id
-          WHERE wv.vr = 1 ORDER BY 1, 2, 3, 4, 5""")
+          WHERE wv.vr = 1 ORDER BY 1, 2, 3, 4, 5""",
+    "q6_forecast_revenue" ->
+      s"""SELECT ${dsumSql("l_extendedprice * l_discount")} AS revenue
+          FROM lineitem
+          WHERE epoch_ms(l_shipdate) >= 820454400000 AND epoch_ms(l_shipdate) < 852076800000
+            AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""",
+    "q14_promo_share" ->
+      s"""SELECT ${rndSql(
+             "CAST(sum(CAST(CASE WHEN p_type = 'PROMO' THEN l_extendedprice*(1.0-l_discount) ELSE 0.0 END AS DECIMAL(18,4))) AS DOUBLE)" +
+             " * 100.0 / CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE)", 4)}
+               AS promo_revenue_pct
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE epoch_ms(l_shipdate) >= 841536000000 AND epoch_ms(l_shipdate) < 844128000000""",
+    "q19_brackets" ->
+      s"""WITH j AS (SELECT p_brand, p_size, l_quantity, l_extendedprice, l_discount
+                     FROM lineitem JOIN part ON l_partkey = p_partkey
+                     WHERE p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')),
+              b AS (SELECT CASE
+                      WHEN p_brand = 'Brand#1' AND l_quantity BETWEEN 1 AND 11
+                           AND p_size BETWEEN 1 AND 5 THEN 1
+                      WHEN p_brand = 'Brand#2' AND l_quantity BETWEEN 10 AND 20
+                           AND p_size BETWEEN 1 AND 10 THEN 2
+                      WHEN p_brand = 'Brand#3' AND l_quantity BETWEEN 20 AND 30
+                           AND p_size BETWEEN 1 AND 15 THEN 3
+                    END AS bracket, l_extendedprice, l_discount FROM j)
+          SELECT CAST(bracket AS BIGINT) AS bracket, count(*) AS n_lines,
+                 ${dsumSql("l_extendedprice*(1.0-l_discount)")} AS revenue
+          FROM b WHERE bracket IS NOT NULL GROUP BY 1 ORDER BY 1, 2, 3""",
+    "window_percent_rank" ->
+      s"""SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 ${rndSql("percent_rank() OVER w", 6)} AS pct_rank,
+                 ${rndSql("cume_dist() OVER w", 6)} AS cume
+          FROM orders WHERE o_custkey < 50
+          WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+          ORDER BY 1, 2, 3, 4, 5""",
+    "ts_double_smooth" -> {
+      // the SAME Scala-computed FIR kernels as Tsdb.doubleSmooth (s2 = c⊛c)
+      val (c, cc) = graft.tsdb.Tsdb.brownCoefs()
+      def terms(cs: Seq[Double]) = cs.zipWithIndex
+        .map { case (co, i) => s"$co * lag(x, $i) OVER w" }.mkString(" + ")
+      s"""WITH p AS (SELECT event_type,
+                            CAST(floor(epoch_ms(ts)/3600000.0) AS BIGINT) AS bucket,
+                            ${davgSql("value")} AS x
+                     FROM events WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
+                     GROUP BY 1, 2),
+              l AS (SELECT event_type, bucket, x,
+                           lag(x, ${2 * c.length - 2}) OVER w AS oldest,
+                           ${terms(c)} AS s1r, ${terms(cc)} AS s2r
+                    FROM p WINDOW w AS (PARTITION BY event_type ORDER BY bucket))
+          SELECT event_type, bucket, x, ${rndSql("s1r", 6)} AS s1,
+                 ${rndSql("s2r", 6)} AS s2,
+                 ${rndSql(s"2.0*s1r - s2r + ${0.3 / 0.7} * (s1r - s2r)", 6)} AS forecast
+          FROM l WHERE oldest IS NOT NULL ORDER BY 1, 2, 3, 4, 5, 6"""
+    },
+    "ts_cross_corr" -> {
+      def side(t: String, v: String) =
+        s"""SELECT CAST(floor(epoch_ms(ts)/3600000.0) AS BIGINT) AS bucket,
+                   ${davgSql("value")} AS $v
+            FROM events WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
+             AND event_type = '$t' GROUP BY 1"""
+      def pair(l: Int) =
+        s"""SELECT CAST($l AS BIGINT) AS lag, a.x, b.y
+            FROM a JOIN b ON a.bucket = b.bucket + $l"""
+      s"""WITH a AS (${side("click", "x")}),
+              b AS (${side("error", "y")}),
+              pr AS (${pair(0)} UNION ALL ${pair(1)} UNION ALL ${pair(2)}),
+              g AS (SELECT lag, count(*) AS n_pairs,
+                           CAST(sum(CAST(x AS DECIMAL(28,8))) AS DOUBLE) AS sx,
+                           CAST(sum(CAST(y AS DECIMAL(28,8))) AS DOUBLE) AS sy,
+                           CAST(sum(CAST(x*y AS DECIMAL(28,8))) AS DOUBLE) AS sxy,
+                           CAST(sum(CAST(x*x AS DECIMAL(28,8))) AS DOUBLE) AS sxx,
+                           CAST(sum(CAST(y*y AS DECIMAL(28,8))) AS DOUBLE) AS syy
+                    FROM pr GROUP BY 1),
+              v AS (SELECT *, n_pairs*sxx - sx*sx AS vx, n_pairs*syy - sy*sy AS vy FROM g)
+          SELECT lag, n_pairs, ${rndSql("(n_pairs*sxy - sx*sy)/sqrt(vx*vy)", 6)} AS xcorr
+          FROM v WHERE vx > 0 AND vy > 0 ORDER BY 1, 2, 3"""
+    },
+    "emb_centroid_dist" ->
+      s"""WITH ev AS (SELECT vec_id, label,
+                             ${rndSql("CAST(unnest(embedding) AS DOUBLE)", 6)} AS x,
+                             generate_subscripts(embedding, 1) AS i FROM embeddings),
+              cent AS (SELECT label, i,
+                              ${rndSql("CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE)/count(*)", 6)} AS c
+                       FROM ev GROUP BY 1, 2),
+              cn AS (SELECT label, sum(c*c) AS csq FROM cent GROUP BY 1),
+              vn AS (SELECT vec_id, sum(x*x) AS nsq FROM ev GROUP BY 1),
+              dt AS (SELECT e.vec_id, e.label, sum(e.x*c.c) AS dot
+                     FROM ev e JOIN cent c ON c.label = e.label AND c.i = e.i
+                     GROUP BY 1, 2),
+              o AS (SELECT dt.vec_id, dt.label,
+                           round(dot/sqrt(vn.nsq*cn.csq), 6) AS cos_centroid
+                    FROM dt JOIN vn ON vn.vec_id = dt.vec_id
+                            JOIN cn ON cn.label = dt.label)
+          SELECT vec_id, label, cos_centroid,
+                 CAST(cos_centroid < 0.0 AS BIGINT) AS is_far
+          FROM o ORDER BY 1, 2, 3, 4""",
+    "graph_degree_dist" ->
+      s"""WITH $ShingleCte,
+              $MinhashCte,
+              $GraphCte
+          SELECT deg, count(*) AS n_nodes FROM dg GROUP BY 1 ORDER BY 1, 2""",
+    "ngram_coverage" ->
+      s"""WITH t0 AS (SELECT doc_id, string_split($NormSql, ' ') AS toks FROM documents),
+              s8 AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS sh
+                     FROM t0, UNNEST(range(1, len(toks)-6)) AS u(i) WHERE len(toks) >= 8),
+              bn AS (SELECT DISTINCT sh FROM s8 WHERE doc_id < 10),
+              c AS (SELECT doc_id, count(*) AS n_shingles FROM s8
+                    WHERE doc_id >= 10 GROUP BY 1),
+              v AS (SELECT s.doc_id, count(*) AS n_covered FROM s8 s
+                    JOIN bn USING (sh) WHERE s.doc_id >= 10 GROUP BY 1)
+          SELECT c.doc_id, c.n_shingles,
+                 coalesce(v.n_covered, CAST(0 AS BIGINT)) AS n_covered,
+                 ${rndSql("coalesce(v.n_covered, 0)*1.0/c.n_shingles", 4)} AS coverage
+          FROM c LEFT JOIN v USING (doc_id) ORDER BY 1, 2, 3, 4""")
 }

@@ -437,6 +437,35 @@ object Ann {
     Det.ordered(out)
   }
 
+  /** Per-label centroid alignment: each vector's cosine to its own label's
+    * centroid — the embedding-space mislabel/outlier score (vectors far
+    * from their class center are pruning candidates in training-data
+    * curation). Centroid components are exact-decimal means of the 6-dp
+    * quantized components (the IVF training contract), so the tiny
+    * |labels|×dims centroid table is engine-exact; it broadcasts and the
+    * corpus is scanned once.
+    */
+  def embCentroidDist(s: SparkSession, d: String): DataFrame = {
+    val comp = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(transform(col("embedding"), x => Det.rnd(x.cast("double"), 6))))
+      .toDF("vec_id", "label", "i", "x")
+    val cent = comp.groupBy(col("label"), col("i"))
+      .agg(Det.rnd(sum(col("x").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
+        .as("c"))
+    val cn = cent.groupBy(col("label")).agg(sum(col("c") * col("c")).as("csq"))
+    val vn = comp.groupBy(col("vec_id")).agg(sum(col("x") * col("x")).as("nsq"))
+    val dots = comp.join(broadcast(cent), Seq("label", "i"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("x") * col("c")).as("dot"))
+    val out = dots
+      .join(vn, Seq("vec_id")).join(broadcast(cn), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        round(col("dot") / sqrt(col("nsq") * col("csq")), 6).as("cos_centroid"))
+      .withColumn("is_far", (col("cos_centroid") < 0.0).cast("bigint"))
+    Det.ordered(out)
+  }
+
   def pqTopK(s: SparkSession, d: String, k: Int = 5, nQueries: Int = 20,
              nCodes: Int = 16, m: Int = 4, dims: Int = 64, trainIters: Int = 2): DataFrame = {
     val adc = pqAdcScores(s, d, nQueries, nCodes, m, dims, trainIters)

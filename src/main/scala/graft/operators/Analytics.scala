@@ -1003,4 +1003,77 @@ object Analytics {
       .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
     Det.ordered(out)
   }
+
+  /** Revenue-change forecast (TPC-H Q6 shape): pure filter + single
+    * aggregate — the query whose entire cost is the scan, so the plan's
+    * worth is measured by what reaches the parquet reader (shipdate range,
+    * discount band and quantity cap all push down; 3-column ReadSchema).
+    */
+  def q6ForecastRevenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= tsLit(820454400000L) &&  // 1996-01-01
+             col("l_shipdate") < tsLit(852076800000L) &&   // 1997-01-01
+             col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+             col("l_quantity") < 24)
+      .agg(round(dsum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+
+  /** Promotion revenue share (TPC-H Q14 shape): conditional aggregate over
+    * a broadcast dim join — the CASE rides the same exact-decimal partial
+    * sums as the total, so the ratio is engine-exact before rounding.
+    */
+  def q14PromoShare(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).select("p_partkey", "p_type")
+    val promo = when(col("p_type") === "PROMO",
+      col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(lit(0.0))
+    Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= tsLit(841536000000L) &&  // 1996-09-01
+             col("l_shipdate") < tsLit(844128000000L))     // 1996-10-01
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(Det.rnd(dsum(promo) * lit(100.0) /
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("promo_revenue_pct"))
+  }
+
+  /** Discount-bracket revenue (TPC-H Q19 shape): a disjunction of
+    * (brand × quantity-band × size-band) brackets evaluated AFTER one
+    * equi-join on partkey — the OR never degrades the join into a nested
+    * loop; the small filtered part dim broadcasts and each bracket reports
+    * its own revenue (grouped, unlike Q19's single sum, so the oracle
+    * checks per-bracket routing too).
+    */
+  def q19Brackets(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).where(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+      .select("p_partkey", "p_brand", "p_size")
+    val l = Tables.lineitem(s, d)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val bracket =
+      when(col("p_brand") === "Brand#1" &&
+        col("l_quantity").between(1, 11) && col("p_size").between(1, 5), lit(1L))
+      .when(col("p_brand") === "Brand#2" &&
+        col("l_quantity").between(10, 20) && col("p_size").between(1, 10), lit(2L))
+      .when(col("p_brand") === "Brand#3" &&
+        col("l_quantity").between(20, 30) && col("p_size").between(1, 15), lit(3L))
+    val out = l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .withColumn("bracket", bracket)
+      .where(col("bracket").isNotNull)
+      .groupBy(col("bracket"))
+      .agg(count(lit(1)).as("n_lines"),
+        round(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+    Det.ordered(out)
+  }
+
+  /** Distribution-position windows: percent_rank and cume_dist of order
+    * totals within each priority class — both are rank arithmetic over one
+    * window sort, rounded through the cross-engine contract.
+    */
+  def windowPercentRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val out = Tables.orders(s, d).where(col("o_custkey") < 50)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        Det.rnd(percent_rank().over(w), 6).as("pct_rank"),
+        Det.rnd(cume_dist().over(w), 6).as("cume"))
+    Det.ordered(out)
+  }
 }

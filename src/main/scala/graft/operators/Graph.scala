@@ -71,4 +71,18 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
     Det.ordered(out)
   }
+
+  /** Degree distribution of the similarity graph: how many documents have
+    * how many near-duplicate neighbors — the shape diagnostic (a heavy tail
+    * here predicts the hot-key blowups every pairwise dedup must survive).
+    * Two tiny aggregates over the candidate edge list.
+    */
+  def degreeDist(s: SparkSession, d: String): DataFrame = {
+    val e = Dedup.minhashLsh(s, d)
+    val deg = e.select(col("a_id").as("id"))
+      .union(e.select(col("b_id").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+    val out = deg.groupBy(col("deg")).agg(count(lit(1)).as("n_nodes"))
+    Det.ordered(out)
+  }
 }

@@ -390,6 +390,32 @@ object TextOps {
     Det.ordered(out)
   }
 
+  /** Benchmark n-gram coverage: for every candidate document, the fraction
+    * of its distinct 8-shingles that appear anywhere in the benchmark set —
+    * [[decontaminate]]'s graded sibling (that query lists contaminated docs;
+    * this one scores ALL docs, 0.0 when clean, so a pipeline can threshold
+    * instead of hard-dropping). Benchmark shingles broadcast; docs shorter
+    * than k tokens have no shingles and no row.
+    */
+  def ngramCoverage(s: SparkSession, d: String, benchmarkMaxId: Long = 10L,
+                    k: Int = 8): DataFrame = {
+    val sh = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shinglesOf(col("toks"), k)).as("sh"))
+    val bench = sh.where(col("doc_id") < benchmarkMaxId)
+      .select(col("sh").as("bench_sh")).distinct()
+    val cand = sh.where(col("doc_id") >= benchmarkMaxId)
+    val tot = cand.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val cov = cand.join(broadcast(bench), col("sh") === col("bench_sh"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_covered"))
+    val out = tot.join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        Det.rnd(coalesce(col("n_covered"), lit(0L)) * lit(1.0) / col("n_shingles"), 4)
+          .as("coverage"))
+    Det.ordered(out)
+  }
+
   /** PII scrubbing: detect and redact email addresses and phone numbers,
     * returning per-document match counts and the redacted fingerprint. The
     * corpus is synthetic (no real PII), so a deterministic contact line is

@@ -887,6 +887,86 @@ object Tsdb {
     Det.ordered(out)
   }
 
+  /** Coefficients of Brown's double exponential smoothing unrolled to a
+    * single FIR: s2 = c ⊛ c over the raw series (convolution of the
+    * truncated-normalized EWMA kernel with itself, length 2k-1). Computed
+    * once driver-side and shipped as literals so both engines evaluate the
+    * identical expression tree.
+    */
+  def brownCoefs(alpha: Double = 0.3, k: Int = 8): (Seq[Double], Seq[Double]) = {
+    val c = ewmaCoefs(alpha, k)
+    val d = Array.fill(2 * k - 1)(0.0)
+    for (i <- 0 until k; j <- 0 until k) d(i + j) += c(i) * c(j)
+    (c, d.toSeq)
+  }
+
+  /** Brown's double exponential smoothing + one-step forecast per series
+    * over hourly means: s1 = EWMA(x), s2 = EWMA(s1), level = 2s1 − s2,
+    * trend = α/(1−α)·(s1−s2), forecast = level + trend. Both smoothers are
+    * FIR lag-chains over the SAME window sort (s2's kernel is c⊛c, see
+    * [[brownCoefs]]) — no per-row recursion, parallelizes like any window.
+    * Rows without 2k-2 predecessors are omitted (no partial-kernel drift).
+    */
+  def doubleSmooth(pt: PointsTable, filter: Column, startMs: Long, endMs: Long,
+                   alpha: Double = 0.3, k: Int = 8, stepMs: Long = 3600000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (c, cc) = brownCoefs(alpha, k)
+    val paa = pt.df
+      .where(inRange(pt, startMs, endMs) && filter)
+      .groupBy(pt.tags :+ floor(pt.timeMs / stepMs).as("bucket"): _*)
+      .agg(Det.davg(col(pt.valueCol), 4).as("x"))
+    val w = Window.partitionBy(pt.tags: _*).orderBy(col("bucket"))
+    def fir(coefs: Seq[Double]): Column =
+      coefs.zipWithIndex.map { case (co, i) =>
+        lit(co) * lag(col("x"), i).over(w): Column
+      }.reduce(_ + _)
+    val out = paa
+      .withColumn("oldest", lag(col("x"), 2 * k - 2).over(w))
+      .withColumn("s1", fir(c))
+      .withColumn("s2", fir(cc))
+      .where(col("oldest").isNotNull)
+      .select(pt.tags ++ Seq(col("bucket"), col("x"),
+        Det.rnd(col("s1"), 6).as("s1"), Det.rnd(col("s2"), 6).as("s2"),
+        Det.rnd(lit(2.0) * col("s1") - col("s2") +
+          lit(alpha / (1 - alpha)) * (col("s1") - col("s2")), 6).as("forecast")): _*)
+    Det.ordered(out)
+  }
+
+  /** Lagged cross-correlation between two filtered series families (e.g.
+    * does click volume lead error rate?): hourly means of each side,
+    * equi-joined on (bucket − lag), Pearson r from exact DECIMAL partial
+    * sums per lag — [[autocorr]]'s machinery across two series. The join is
+    * on the tiny bucketed aggregates, never the raw points.
+    */
+  def crossCorr(pt: PointsTable, filterA: Column, filterB: Column,
+                startMs: Long, endMs: Long, lags: Seq[Int] = Seq(0, 1, 2),
+                stepMs: Long = 3600000L): DataFrame = {
+    def paa(f: Column) = pt.df
+      .where(inRange(pt, startMs, endMs) && f)
+      .groupBy(floor(pt.timeMs / stepMs).as("bucket"))
+      .agg(Det.davg(col(pt.valueCol), 4).as("x"))
+    val a = paa(filterA)
+    val b = paa(filterB).select(col("bucket").as("b_bucket"), col("x").as("y"))
+    val pairs = lags.map { l =>
+      a.join(b, col("bucket") === col("b_bucket") + l)
+        .select(lit(l.toLong).as("lag"), col("x"), col("y"))
+    }.reduce(_ unionByName _)
+    def d8(c: Column) = sum(c.cast("decimal(28,8)")).cast("double")
+    val agg = pairs.groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        d8(col("x")).as("sx"), d8(col("y")).as("sy"),
+        d8(col("x") * col("y")).as("sxy"),
+        d8(col("x") * col("x")).as("sxx"),
+        d8(col("y") * col("y")).as("syy"))
+      .withColumn("vx", col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vy", col("n_pairs") * col("syy") - col("sy") * col("sy"))
+      .where(col("vx") > 0 && col("vy") > 0)
+    val out = agg.select(col("lag"), col("n_pairs"),
+      Det.rnd((col("n_pairs") * col("sxy") - col("sx") * col("sy")) /
+        sqrt(col("vx") * col("vy")), 6).as("xcorr"))
+    Det.ordered(out)
+  }
+
   /** Per-(bucket, series) stats — the storage layout rendered as a query:
     * row key (attrs), clustering (offset) min/max, point count, value sum.
     */

@@ -100,6 +100,68 @@ class Round5bSpec extends SparkTestBase {
     assert(viol == 0)
   }
 
+  test("ts_double_smooth: forecast equals level + trend from the FIR pair") {
+    val r = Tsdb.doubleSmooth(pts, all, Start, End)
+    assert(r.count() > 0)
+    // recombine rounded s1/s2 -> forecast must be within rounding slack
+    val viol = r.where(abs(lit(2.0) * col("s1") - col("s2") +
+      lit(0.3 / 0.7) * (col("s1") - col("s2")) - col("forecast")) > 1e-4).count()
+    assert(viol == 0)
+    // kernel sanity: both FIR kernels sum to 1
+    val (c, cc) = Tsdb.brownCoefs()
+    assert(math.abs(c.sum - 1.0) < 1e-12 && math.abs(cc.sum - 1.0) < 1e-12)
+  }
+
+  test("ts_cross_corr emits one valid correlation per lag") {
+    val r = Tsdb.crossCorr(Tsdb.points(spark, Sf),
+      col("event_type") === "click", col("event_type") === "error", Start, End)
+    assert(r.where(col("xcorr") < -1.0 || col("xcorr") > 1.0).count() == 0)
+    assert(r.select("lag").distinct().count() == r.count())
+  }
+
+  test("q6/q14/q19 scalar shapes produce sane aggregates") {
+    val q6 = Analytics.q6ForecastRevenue(spark, Sf).collect().head
+    assert(q6.getAs[Double]("revenue") > 0)
+    val q14 = Analytics.q14PromoShare(spark, Sf).collect().head
+    val pct = q14.getAs[Double]("promo_revenue_pct")
+    assert(pct >= 0 && pct <= 100)
+    val q19 = Analytics.q19Brackets(spark, Sf)
+    assert(q19.count() <= 3 && q19.where(col("revenue") <= 0).count() == 0)
+  }
+
+  test("window_percent_rank stays in [0,1] and cume_dist is monotone") {
+    val r = Analytics.windowPercentRank(spark, Sf)
+    assert(r.where(col("pct_rank") < 0 || col("pct_rank") > 1 ||
+      col("cume") <= 0 || col("cume") > 1).count() == 0)
+    assert(r.where(col("cume") < col("pct_rank")).count() == 0)
+  }
+
+  test("emb_centroid_dist scores every vector against its own label centroid") {
+    val r = Ann.embCentroidDist(spark, Sf)
+    val n = spark.read.parquet(s"$Sf/embeddings.parquet").count()
+    assert(r.count() == n)
+    assert(r.where(col("cos_centroid") < -1.0 || col("cos_centroid") > 1.0).count() == 0)
+    // own-label centroids align better than chance: mean cosine positive
+    val mean = r.agg(avg(col("cos_centroid"))).collect().head.getDouble(0)
+    assert(mean > 0.0, s"mean centroid cosine $mean")
+  }
+
+  test("graph_degree_dist conserves nodes and edge endpoints") {
+    val r = graft.operators.Graph.degreeDist(spark, Sf).collect()
+    val nodes = r.map(_.getAs[Long]("n_nodes")).sum
+    val ends = r.map(x => x.getAs[Long]("deg") * x.getAs[Long]("n_nodes")).sum
+    val edges = graft.dedup.Dedup.minhashLsh(spark, Sf).count()
+    assert(ends == 2 * edges)
+    assert(nodes > 0)
+  }
+
+  test("ngram_coverage scores all shingled docs, benchmark overlap in [0,1]") {
+    val r = TextOps.ngramCoverage(spark, Sf)
+    assert(r.where(col("coverage") < 0 || col("coverage") > 1).count() == 0)
+    assert(r.where(col("n_covered") > col("n_shingles")).count() == 0)
+    assert(r.where(col("doc_id") < 10).count() == 0)
+  }
+
   test("knn_classify votes sum to k and beats random labeling") {
     val k = 10
     val r = Ann.knnClassify(spark, Sf, k, 50)
