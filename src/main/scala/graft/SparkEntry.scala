@@ -343,7 +343,9 @@ object SparkEntry {
       EsFilter.compile("""{"term":{"event_type":"error"}}"""), Start, End)),
     "emb_centroid_dist" -> ((s, d) => Ann.embCentroidDist(s, d)),
     "graph_degree_dist" -> ((s, d) => Graph.degreeDist(s, d)),
-    "ngram_coverage" -> ((s, d) => TextOps.ngramCoverage(s, d)))
+    "ngram_coverage" -> ((s, d) => TextOps.ngramCoverage(s, d)),
+    "q15_top_supplier" -> ((s, d) => Analytics.q15TopSupplier(s, d)),
+    "q17_small_qty" -> ((s, d) => Analytics.q17SmallQty(s, d)))
 
   // ---- DuckDB oracles ------------------------------------------------------
 
@@ -2496,5 +2498,25 @@ object SparkEntry {
           SELECT c.doc_id, c.n_shingles,
                  coalesce(v.n_covered, CAST(0 AS BIGINT)) AS n_covered,
                  ${rndSql("coalesce(v.n_covered, 0)*1.0/c.n_shingles", 4)} AS coverage
-          FROM c LEFT JOIN v USING (doc_id) ORDER BY 1, 2, 3, 4""")
+          FROM c LEFT JOIN v USING (doc_id) ORDER BY 1, 2, 3, 4""",
+    "q15_top_supplier" ->
+      s"""WITH rev AS (SELECT l_suppkey,
+                             ${dsumSql("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
+                      FROM lineitem
+                      WHERE epoch_ms(l_shipdate) >= 820454400000
+                        AND epoch_ms(l_shipdate) < 828316800000
+                      GROUP BY 1)
+          SELECT s_suppkey, s_name, total_revenue
+          FROM rev JOIN supplier ON l_suppkey = s_suppkey
+          WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+          ORDER BY 1, 2, 3""",
+    "q17_small_qty" ->
+      s"""WITH pp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4'),
+              l AS (SELECT l_partkey, l_quantity, l_extendedprice
+                    FROM lineitem JOIN pp ON l_partkey = p_partkey),
+              a AS (SELECT l_partkey AS a_key, ${davgSql("l_quantity")} AS avg_qty
+                    FROM l GROUP BY 1)
+          SELECT ${rndSql("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0", 2)}
+                   AS avg_yearly
+          FROM l JOIN a ON l_partkey = a_key WHERE l_quantity < avg_qty * 0.2""")
 }

@@ -1063,6 +1063,43 @@ object Analytics {
     Det.ordered(out)
   }
 
+  /** Top supplier by quarterly revenue (TPC-H Q15 shape): the revenue view
+    * + its correlated max expressed as aggregate → scalar-max broadcast →
+    * equality join back — no global sort, no second fact scan; ties all
+    * surface (the Q15 contract).
+    */
+  def q15TopSupplier(s: SparkSession, d: String): DataFrame = {
+    val rev = Tables.lineitem(s, d)
+      .where(col("l_shipdate") >= tsLit(820454400000L) &&  // 1996-01-01
+             col("l_shipdate") < tsLit(828316800000L))     // 1996-04-01
+      .groupBy(col("l_suppkey"))
+      .agg(round(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("total_revenue"))
+    val mx = rev.agg(max(col("total_revenue")).as("max_rev"))
+    val out = rev.join(broadcast(mx), col("total_revenue") === col("max_rev"))
+      .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+    Det.ordered(out)
+  }
+
+  /** Small-quantity revenue loss (TPC-H Q17 shape): lineitems under 20% of
+    * their part's average quantity — the correlated per-part AVG subquery
+    * decorrelated into one tiny aggregate that broadcasts back onto the
+    * fact scan; one scalar result row.
+    */
+  def q17SmallQty(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).where(col("p_brand") === "Brand#4").select("p_partkey")
+    val l = Tables.lineitem(s, d)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+    val avgq = l.groupBy(col("l_partkey").as("a_key"))
+      .agg(Det.davg(col("l_quantity"), 4).as("avg_qty"))
+    l.join(broadcast(avgq), col("l_partkey") === col("a_key"))
+      .where(col("l_quantity") < col("avg_qty") * lit(0.2))
+      .agg(Det.rnd(dsum(col("l_extendedprice")) / lit(7.0), 2).as("avg_yearly"))
+  }
+
   /** Distribution-position windows: percent_rank and cume_dist of order
     * totals within each priority class — both are rank arithmetic over one
     * window sort, rounded through the cross-engine contract.
