@@ -345,7 +345,10 @@ object SparkEntry {
     "graph_degree_dist" -> ((s, d) => Graph.degreeDist(s, d)),
     "ngram_coverage" -> ((s, d) => TextOps.ngramCoverage(s, d)),
     "q15_top_supplier" -> ((s, d) => Analytics.q15TopSupplier(s, d)),
-    "q17_small_qty" -> ((s, d) => Analytics.q17SmallQty(s, d)))
+    "q17_small_qty" -> ((s, d) => Analytics.q17SmallQty(s, d)),
+    "q22_idle_customers" -> ((s, d) => Analytics.q22IdleCustomers(s, d)),
+    "event_attribution" -> ((s, d) => Analytics.eventAttribution(s, d)),
+    "dedup_winnowing" -> ((s, d) => TextOps.winnowingPairs(s, d)))
 
   // ---- DuckDB oracles ------------------------------------------------------
 
@@ -2518,5 +2521,49 @@ object SparkEntry {
                     FROM l GROUP BY 1)
           SELECT ${rndSql("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0", 2)}
                    AS avg_yearly
-          FROM l JOIN a ON l_partkey = a_key WHERE l_quantity < avg_qty * 0.2""")
+          FROM l JOIN a ON l_partkey = a_key WHERE l_quantity < avg_qty * 0.2""",
+    "q22_idle_customers" ->
+      s"""WITH ab AS (SELECT ${davgSql("c_acctbal")} AS avg_bal FROM customer
+                      WHERE c_acctbal > 0.0),
+              r AS (SELECT DISTINCT o_custkey FROM orders
+                    WHERE epoch_ms(o_orderdate) >= 978307200000)
+          SELECT c_mktsegment, count(*) AS n_custs, ${dsumSql("c_acctbal")} AS total_bal
+          FROM customer, ab
+          WHERE c_acctbal > ab.avg_bal
+            AND c_custkey NOT IN (SELECT o_custkey FROM r)
+          GROUP BY 1 ORDER BY 1, 2, 3""",
+    "event_attribution" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS tms, value
+                     FROM events WHERE event_type IN ('click', 'purchase')),
+              t AS (SELECT *, last_value(CASE WHEN event_type = 'click' THEN tms END
+                                IGNORE NULLS)
+                              OVER (PARTITION BY user_id ORDER BY tms, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                              AS click_ms
+                    FROM e),
+              p AS (SELECT * FROM t WHERE event_type = 'purchase'
+                    AND click_ms IS NOT NULL AND tms - click_ms <= 86400000)
+          SELECT CAST(floor(click_ms/3600000.0) AS BIGINT) AS click_hour,
+                 count(*) AS n_purchases, ${dsumSql("value")} AS attributed_revenue
+          FROM p GROUP BY 1 ORDER BY 1, 2, 3""",
+    "dedup_winnowing" ->
+      s"""WITH d0 AS (SELECT doc_id, $NormSql AS n FROM documents),
+              d1 AS (SELECT doc_id, n, length(n) AS len FROM d0 WHERE length(n) >= 8),
+              g AS (SELECT doc_id, i AS pos, md5(substr(n, CAST(i+1 AS INTEGER), 8)) AS h
+                    FROM d1, UNNEST(range(0, len - 7)) AS u(i)),
+              w AS (SELECT doc_id, pos, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN 5 PRECEDING AND CURRENT ROW) AS wmin FROM g),
+              sel AS (SELECT DISTINCT doc_id, wmin FROM w WHERE pos >= 5),
+              dfc AS (SELECT wmin FROM (SELECT wmin, count(*) AS df FROM sel GROUP BY 1)
+                      WHERE df <= 20),
+              kept AS (SELECT s.doc_id, s.wmin FROM sel s JOIN dfc USING (wmin)),
+              sz AS (SELECT doc_id, count(*) AS n_fp FROM kept GROUP BY 1),
+              sh AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+                     FROM kept a JOIN kept b ON a.wmin = b.wmin AND a.doc_id < b.doc_id
+                     GROUP BY 1, 2 HAVING count(*) >= 5)
+          SELECT a_id, b_id, n_shared,
+                 ${rndSql("n_shared*1.0/sa.n_fp", 4)} AS a_overlap,
+                 ${rndSql("n_shared*1.0/sb.n_fp", 4)} AS b_overlap
+          FROM sh JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
+          ORDER BY 1, 2, 3, 4, 5""")
 }

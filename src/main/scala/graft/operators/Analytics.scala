@@ -1100,6 +1100,53 @@ object Analytics {
       .agg(Det.rnd(dsum(col("l_extendedprice")) / lit(7.0), 2).as("avg_yearly"))
   }
 
+  /** Idle wealthy customers (TPC-H Q22 shape): above-average-balance
+    * customers with no orders in a window — the scalar AVG broadcasts, the
+    * NOT EXISTS is a plain LEFT ANTI join on custkey (never the null-aware
+    * nested loop a NOT IN over a nullable key degenerates into). Grouped by
+    * market segment like Q22's country-code rollup.
+    */
+  def q22IdleCustomers(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val avgBal = c.where(col("c_acctbal") > 0.0)
+      .agg(Det.davg(col("c_acctbal"), 4).as("avg_bal"))
+    val recent = Tables.orders(s, d)
+      .where(col("o_orderdate") >= tsLit(978307200000L))  // 2001-01-01
+      .select(col("o_custkey")).distinct()
+    val out = c.crossJoin(broadcast(avgBal))
+      .where(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_custs"),
+        round(dsum(col("c_acctbal")), 2).as("total_bal"))
+    Det.ordered(out)
+  }
+
+  /** Last-touch attribution: each purchase credited to the user's most
+    * recent click within the lookback window — the as-of join expressed as
+    * a per-user window over the merged event stream (one shuffle on user,
+    * one sort; no self-join). Revenue rolls up to the attributed click's
+    * hour for the channel-report shape.
+    */
+  def eventAttribution(s: SparkSession, d: String, lookbackMs: Long = 86400000L): DataFrame = {
+    val e = Tables.events(s, d)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        tsMs(col("ts")).as("tms"), col("value"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tms"), col("event_id"))
+    val lastClick = when(col("event_type") === "click", col("tms"))
+    val tagged = e
+      .withColumn("click_ms", last(lastClick, ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .where(col("event_type") === "purchase")
+      .where(col("click_ms").isNotNull && col("tms") - col("click_ms") <= lookbackMs)
+    val out = tagged
+      .groupBy(floor(col("click_ms") / 3600000L).as("click_hour"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(dsum(col("value")), 2).as("attributed_revenue"))
+    Det.ordered(out)
+  }
+
   /** Distribution-position windows: percent_rank and cume_dist of order
     * totals within each priority class — both are rank arithmetic over one
     * window sort, rounded through the cross-engine contract.

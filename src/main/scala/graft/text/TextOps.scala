@@ -598,6 +598,16 @@ object TextOps {
     * near-dup index stores instead of every shingle.
     */
   def winnowing(s: SparkSession, d: String, k: Int = 8, w: Int = 6): DataFrame = {
+    val out = winnowingFingerprints(s, d, k, w).groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fp"),
+        md5(concat_ws(",", array_sort(collect_list(col("wmin"))))).as("fp_digest"))
+    Det.ordered(out)
+  }
+
+  /** The selected (doc_id, fingerprint) rows behind [[winnowing]] — exposed
+    * so pair detection reuses the exact production selection.
+    */
+  def winnowingFingerprints(s: SparkSession, d: String, k: Int = 8, w: Int = 6): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), norm(col("text")).as("n"))
       .select(col("doc_id"), col("n"), length(col("n")).as("len"))
@@ -608,13 +618,39 @@ object TextOps {
           i => md5(col("n").substr(i + 1, lit(k))))).as(Seq("pos", "h")))
     val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(-(w - 1), 0)
-    val selected = grams
+    grams
       .withColumn("wmin", min(col("h")).over(win))
       .where(col("pos") >= w - 1)
       .select(col("doc_id"), col("wmin")).distinct()
-    val out = selected.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_fp"),
-        md5(concat_ws(",", array_sort(collect_list(col("wmin"))))).as("fp_digest"))
+  }
+
+  /** Winnowing-based near-duplicate pairs (the MOSS report): documents
+    * sharing ≥ `minShared` selected fingerprints, with the shared count and
+    * each side's overlap fraction. The inverted-index join runs on the
+    * winnowed ~2/(w+1)-density fingerprint set rather than all k-grams, and
+    * fingerprints shared by more than `maxDf` documents are dropped first —
+    * the same principled boilerplate cap as `dedup_containment_capped`
+    * (an over-shared fingerprint IS boilerplate), which bounds per-key join
+    * width at 100 TB.
+    */
+  def winnowingPairs(s: SparkSession, d: String, k: Int = 8, w: Int = 6,
+                     minShared: Int = 5, maxDf: Int = 20): DataFrame = {
+    val fp = winnowingFingerprints(s, d, k, w)
+    val rare = fp.groupBy(col("wmin")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select(col("wmin"))
+    val kept = fp.join(rare, "wmin")
+    val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val shared = kept.as("a").join(kept.as("b"),
+        col("a.wmin") === col("b.wmin") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+    val out = shared
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_fp").as("a_fp")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_fp").as("b_fp")), "b_id")
+      .select(col("a_id"), col("b_id"), col("n_shared"),
+        Det.rnd(col("n_shared") * lit(1.0) / col("a_fp"), 4).as("a_overlap"),
+        Det.rnd(col("n_shared") * lit(1.0) / col("b_fp"), 4).as("b_overlap"))
     Det.ordered(out)
   }
 }

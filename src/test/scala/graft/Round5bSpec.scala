@@ -162,6 +162,32 @@ class Round5bSpec extends SparkTestBase {
     assert(r.where(col("doc_id") < 10).count() == 0)
   }
 
+  test("q22_idle_customers only counts above-average idle customers") {
+    val r = Analytics.q22IdleCustomers(spark, Sf)
+    val total = r.agg(sum(col("n_custs"))).collect().head.getLong(0)
+    val allCust = spark.read.parquet(s"$Sf/customer.parquet").count()
+    assert(total > 0 && total < allCust)
+  }
+
+  test("event_attribution only credits clicks within the lookback window") {
+    val r = Analytics.eventAttribution(spark, Sf)
+    assert(r.count() > 0)
+    assert(r.where(col("attributed_revenue") < 0).count() == 0)
+    // attributed purchases never exceed total purchases
+    val purchases = spark.read.parquet(s"$Sf/events.parquet")
+      .where(col("event_type") === "purchase").count()
+    val attributed = r.agg(sum(col("n_purchases"))).collect().head.getLong(0)
+    assert(attributed <= purchases)
+  }
+
+  test("dedup_winnowing overlaps are consistent with the shared counts") {
+    val r = TextOps.winnowingPairs(spark, Sf)
+    assert(r.where(col("a_overlap") <= 0 || col("a_overlap") > 1 ||
+      col("b_overlap") <= 0 || col("b_overlap") > 1).count() == 0)
+    assert(r.where(col("n_shared") < 5).count() == 0)
+    assert(r.where(col("a_id") >= col("b_id")).count() == 0)
+  }
+
   test("knn_classify votes sum to k and beats random labeling") {
     val k = 10
     val r = Ann.knnClassify(spark, Sf, k, 50)
