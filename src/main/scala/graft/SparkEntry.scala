@@ -348,7 +348,13 @@ object SparkEntry {
     "q17_small_qty" -> ((s, d) => Analytics.q17SmallQty(s, d)),
     "q22_idle_customers" -> ((s, d) => Analytics.q22IdleCustomers(s, d)),
     "event_attribution" -> ((s, d) => Analytics.eventAttribution(s, d)),
-    "dedup_winnowing" -> ((s, d) => TextOps.winnowingPairs(s, d)))
+    "dedup_winnowing" -> ((s, d) => TextOps.winnowingPairs(s, d)),
+    "q8_market_share" -> ((s, d) => Analytics.q8MarketShare(s, d)),
+    "q13_order_dist" -> ((s, d) => Analytics.q13OrderDist(s, d)),
+    "mix_temperature" -> ((s, d) => TextOps.mixTemperature(s, d)),
+    "ts_seasonal_decompose" -> ((s, d) => Tsdb.seasonalDecompose(Tsdb.points(s, d)
+      .copy(tagCols = Seq("event_type")),
+      EsFilter.compile("""{"match_all":{}}"""), Start, End)))
 
   // ---- DuckDB oracles ------------------------------------------------------
 
@@ -2565,5 +2571,73 @@ object SparkEntry {
                  ${rndSql("n_shared*1.0/sa.n_fp", 4)} AS a_overlap,
                  ${rndSql("n_shared*1.0/sb.n_fp", 4)} AS b_overlap
           FROM sh JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
-          ORDER BY 1, 2, 3, 4, 5""")
+          ORDER BY 1, 2, 3, 4, 5""",
+    "q8_market_share" ->
+      s"""WITH ce AS (SELECT c_custkey FROM customer
+                      JOIN nation ON c_nationkey = n_nationkey
+                      JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+              sup AS (SELECT s_suppkey, n_name AS supp_nation
+                      FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+              j AS (SELECT epoch_ms(o_orderdate) // 31536000000 AS year_bucket,
+                           supp_nation,
+                           l_extendedprice * (1.0 - l_discount) AS rev
+                    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                         JOIN ce ON o_custkey = c_custkey
+                         JOIN sup ON l_suppkey = s_suppkey),
+              a AS (SELECT year_bucket,
+                           ${dsumSql("CASE WHEN supp_nation = 'NATION_3' THEN rev ELSE 0.0 END")}
+                             AS nation_revenue,
+                           ${dsumSql("rev")} AS total_revenue
+                    FROM j GROUP BY 1)
+          SELECT year_bucket, nation_revenue, total_revenue,
+                 ${rndSql("nation_revenue / total_revenue", 4)} AS mkt_share
+          FROM a ORDER BY 1, 2, 3, 4""",
+    "q13_order_dist" ->
+      s"""WITH counts AS (SELECT c_custkey, count(o_orderkey) AS c_count
+                          FROM customer LEFT JOIN
+                            (SELECT o_custkey, o_orderkey FROM orders
+                             WHERE o_orderpriority <> '1-URGENT') o
+                            ON c_custkey = o_custkey
+                          GROUP BY 1)
+          SELECT c_count, count(*) AS custdist FROM counts
+          GROUP BY 1 ORDER BY 1, 2""",
+    "mix_temperature" ->
+      s"""WITH per AS (SELECT source,
+                              CAST(sum(len(string_split($NormSql, ' '))) AS BIGINT)
+                                AS n_tokens
+                       FROM documents GROUP BY 1),
+              sh AS (SELECT source, n_tokens,
+                            ${rndSql("n_tokens*1.0/(SELECT sum(n_tokens) FROM per)", 8)}
+                              AS share
+                     FROM per),
+              r AS (SELECT *, ${rndSql("sqrt(share)", 8)} AS r_sqrt FROM sh),
+              z AS (SELECT CAST(sum(CAST(r_sqrt AS DECIMAL(18,8))) AS DOUBLE) AS z FROM r)
+          SELECT source, n_tokens, share,
+                 ${rndSql("r_sqrt/z.z", 6)} AS temp_share,
+                 ${rndSql("r_sqrt/z.z/share", 4)} AS multiplier
+          FROM r, z ORDER BY 1, 2, 3, 4, 5""",
+    "ts_seasonal_decompose" ->
+      s"""WITH p AS (SELECT event_type,
+                            CAST(floor(epoch_ms(ts)/3600000.0) AS BIGINT) AS bucket,
+                            ${davgSql("value")} AS x
+                     FROM events WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
+                     GROUP BY 1, 2),
+              t AS (SELECT event_type, bucket, x,
+                           count(*) OVER w AS w_n,
+                           ${rndSql("CAST(sum(CAST(x AS DECIMAL(18,4))) OVER w AS DOUBLE) / 25", 6)}
+                             AS trend
+                    FROM p WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+              dt AS (SELECT event_type, bucket, x, trend, x - trend AS detrended,
+                            bucket % 24 AS hour_of_day
+                     FROM t WHERE w_n = 25),
+              se AS (SELECT event_type, hour_of_day,
+                            ${rndSql("CAST(sum(CAST(detrended AS DECIMAL(28,8))) AS DOUBLE)/count(*)", 6)}
+                              AS seasonal
+                     FROM dt GROUP BY 1, 2)
+          SELECT dt.event_type, bucket, x, trend, seasonal,
+                 ${rndSql("detrended - seasonal", 6)} AS residual
+          FROM dt JOIN se ON se.event_type = dt.event_type
+                         AND se.hour_of_day = dt.hour_of_day
+          ORDER BY 1, 2, 3, 4, 5, 6""")
 }

@@ -1100,6 +1100,60 @@ object Analytics {
       .agg(Det.rnd(dsum(col("l_extendedprice")) / lit(7.0), 2).as("avg_yearly"))
   }
 
+  /** National market share (TPC-H Q8 shape): one nation's share of a
+    * region's import revenue per year — the CASE-ratio aggregate over a
+    * five-way star join with every dimension broadcast; years are 365-day
+    * ms-arithmetic buckets (no calendar parity risk). Numerator and
+    * denominator ride the same exact-decimal partial sums.
+    */
+  def q8MarketShare(s: SparkSession, d: String, nation: String = "NATION_3",
+                    region: String = "EUROPE"): DataFrame = {
+    val n = Tables.nation(s, d)
+    val rg = Tables.region(s, d).where(col("r_name") === region)
+    val custEu = Tables.customer(s, d)
+      .join(broadcast(n.select(col("n_nationkey"), col("n_regionkey"))),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(rg), col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val sup = Tables.supplier(s, d)
+      .join(broadcast(n.select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val out = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+      .join(Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), tsMs(col("o_orderdate")).as("ord_ms")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(custEu), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(expr("ord_ms div 31536000000").as("year_bucket"))
+      .agg(
+        round(dsum(when(col("supp_nation") === nation, rev).otherwise(lit(0.0))), 2)
+          .as("nation_revenue"),
+        round(dsum(rev), 2).as("total_revenue"))
+      .select(col("year_bucket"), col("nation_revenue"), col("total_revenue"),
+        Det.rnd(col("nation_revenue") / col("total_revenue"), 4).as("mkt_share"))
+    Det.ordered(out)
+  }
+
+  /** Customer order-count distribution (TPC-H Q13 shape): LEFT join so
+    * zero-order customers survive into the c_count=0 bucket, then the
+    * two-level aggregate — the canonical histogram-of-counts plan (both
+    * aggregates partial; the second runs on ≤|distinct counts| rows).
+    */
+  def q13OrderDist(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.customer(s, d).select(col("c_custkey"))
+      .join(Tables.orders(s, d)
+        .where(col("o_orderpriority") =!= "1-URGENT")
+        .select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+    val out = counts.groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+    Det.ordered(out)
+  }
+
   /** Idle wealthy customers (TPC-H Q22 shape): above-average-balance
     * customers with no orders in a window — the scalar AVG broadcasts, the
     * NOT EXISTS is a plain LEFT ANTI join on custkey (never the null-aware

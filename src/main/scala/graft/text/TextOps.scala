@@ -624,6 +624,33 @@ object TextOps {
       .select(col("doc_id"), col("wmin")).distinct()
   }
 
+  /** Temperature-scaled mixture weights (the multilingual-sampling rule:
+    * q_i ∝ p_i^τ with τ=0.5): per source, its token share, the tempered
+    * share, and the sampling multiplier q_i/p_i that upweights small
+    * sources. τ=0.5 makes the power a SQRT (correctly-rounded IEEE, no
+    * libm parity risk); shares and tempered shares are rounded to exact
+    * decimals before the normalizing sum so it is association-order
+    * independent. One aggregation; the normalizer is an in-plan broadcast
+    * scalar.
+    */
+  def mixTemperature(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d)
+      .select(col("source"), size(tokens(col("text"))).cast("bigint").as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("total"))
+    val shared = per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        Det.rnd(col("n_tokens") * lit(1.0) / col("total"), 8).as("share"))
+      .withColumn("r_sqrt", Det.rnd(sqrt(col("share")), 8))
+    val z = shared.agg(
+      sum(col("r_sqrt").cast("decimal(18,8)")).cast("double").as("z"))
+    val out = shared.crossJoin(broadcast(z))
+      .select(col("source"), col("n_tokens"), col("share"),
+        Det.rnd(col("r_sqrt") / col("z"), 6).as("temp_share"),
+        Det.rnd(col("r_sqrt") / col("z") / col("share"), 4).as("multiplier"))
+    Det.ordered(out)
+  }
+
   /** Winnowing-based near-duplicate pairs (the MOSS report): documents
     * sharing ≥ `minShared` selected fingerprints, with the shared count and
     * each side's overlap fraction. The inverted-index join runs on the

@@ -967,6 +967,44 @@ object Tsdb {
     Det.ordered(out)
   }
 
+  /** Classical seasonal decomposition: per series, hourly means split into
+    * trend (centered ±12h moving average, full windows only), seasonal
+    * (hour-of-day mean of the detrended values), and residual — the
+    * additive STL-lite every capacity dashboard draws. The trend mean is an
+    * exact DECIMAL window sum over 4-dp bucket means divided by the fixed
+    * width; detrended values are ≤6-dp exact, so the seasonal profile's
+    * sums commute too. One bucketing shuffle; trend windows and the final
+    * join all stay inside the series partitioning, and the 24-row-per-series
+    * seasonal table broadcasts back.
+    */
+  def seasonalDecompose(pt: PointsTable, filter: Column, startMs: Long, endMs: Long,
+                        stepMs: Long = 3600000L, half: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val width = 2 * half + 1
+    val paa = pt.df
+      .where(inRange(pt, startMs, endMs) && filter)
+      .groupBy(pt.tags :+ floor(pt.timeMs / stepMs).as("bucket"): _*)
+      .agg(Det.davg(col(pt.valueCol), 4).as("x"))
+    val w = Window.partitionBy(pt.tags: _*).orderBy(col("bucket"))
+      .rowsBetween(-half, half)
+    val trended = paa
+      .withColumn("w_n", count(lit(1)).over(w))
+      .withColumn("trend",
+        Det.rnd(sum(col("x").cast("decimal(18,4)")).over(w).cast("double") / width, 6))
+      .where(col("w_n") === width)
+      .withColumn("detrended", col("x") - col("trend"))
+      .withColumn("hour_of_day", col("bucket") % 24)
+    val seasonal = trended
+      .groupBy(pt.tags :+ col("hour_of_day"): _*)
+      .agg(Det.rnd(sum(col("detrended").cast("decimal(28,8)")).cast("double")
+        / count(lit(1)), 6).as("seasonal"))
+    val out = trended
+      .join(seasonal, pt.tagCols :+ "hour_of_day")
+      .select(pt.tags ++ Seq(col("bucket"), col("x"), col("trend"), col("seasonal"),
+        Det.rnd(col("detrended") - col("seasonal"), 6).as("residual")): _*)
+    Det.ordered(out)
+  }
+
   /** Per-(bucket, series) stats — the storage layout rendered as a query:
     * row key (attrs), clustering (offset) min/max, point count, value sum.
     */

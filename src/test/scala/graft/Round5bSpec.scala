@@ -188,6 +188,44 @@ class Round5bSpec extends SparkTestBase {
     assert(r.where(col("a_id") >= col("b_id")).count() == 0)
   }
 
+  test("q8_market_share stays a valid share and denominators cover numerators") {
+    val r = Analytics.q8MarketShare(spark, Sf)
+    assert(r.count() > 0)
+    assert(r.where(col("mkt_share") < 0 || col("mkt_share") > 1).count() == 0)
+    assert(r.where(col("nation_revenue") > col("total_revenue")).count() == 0)
+  }
+
+  test("q13_order_dist conserves the customer population") {
+    val r = Analytics.q13OrderDist(spark, Sf)
+    val total = r.agg(sum(col("custdist"))).collect().head.getLong(0)
+    assert(total == spark.read.parquet(s"$Sf/customer.parquet").count())
+  }
+
+  test("mix_temperature flattens the mixture toward uniform") {
+    val r = Analytics // touch to avoid unused warnings
+    val m = TextOps.mixTemperature(spark, Sf)
+    // temp shares still sum to ~1
+    val ts = m.agg(sum(col("temp_share"))).collect().head.getDouble(0)
+    assert(math.abs(ts - 1.0) < 1e-3, s"temp shares sum $ts")
+    // tempering upweights below-average sources and downweights the largest
+    val viol = m.where(col("share") < lit(1.0) / m.count() &&
+      col("multiplier") < 1.0).count()
+    assert(viol == 0)
+  }
+
+  test("ts_seasonal_decompose recombines additively") {
+    val r = Tsdb.seasonalDecompose(pts, all, Start, End)
+    assert(r.count() > 0)
+    val viol = r.where(abs(col("x") - (col("trend") + col("seasonal") + col("residual"))) > 1e-4).count()
+    assert(viol == 0)
+    // residuals average to ~0 within each (series, hour-of-day) cell — exact
+    // by construction (residual = detrended - its cell mean) up to rounding
+    val bias = r.groupBy(col("event_type"), col("bucket") % 24)
+      .agg(avg(col("residual")).as("b"))
+      .where(abs(col("b")) > 1e-4).count()
+    assert(bias == 0)
+  }
+
   test("knn_classify votes sum to k and beats random labeling") {
     val k = 10
     val r = Ann.knnClassify(spark, Sf, k, 50)
