@@ -607,8 +607,15 @@ object TextOps {
   /** The selected (doc_id, fingerprint) rows behind [[winnowing]] — exposed
     * so pair detection reuses the exact production selection.
     */
-  def winnowingFingerprints(s: SparkSession, d: String, k: Int = 8, w: Int = 6): DataFrame = {
-    val docs = Tables.documents(s, d)
+  def winnowingFingerprints(s: SparkSession, d: String, k: Int = 8, w: Int = 6): DataFrame =
+    winnowingFingerprintsOf(
+      Tables.documents(s, d).select(col("doc_id"), col("text")), k, w)
+
+  /** [[winnowingFingerprints]] over any (doc_id, text) set — exposed so
+    * scale experiments reuse the exact production selection.
+    */
+  def winnowingFingerprintsOf(docsIn: DataFrame, k: Int = 8, w: Int = 6): DataFrame = {
+    val docs = docsIn
       .select(col("doc_id"), norm(col("text")).as("n"))
       .select(col("doc_id"), col("n"), length(col("n")).as("len"))
     val grams = docs
@@ -661,8 +668,11 @@ object TextOps {
     * width at 100 TB.
     */
   def winnowingPairs(s: SparkSession, d: String, k: Int = 8, w: Int = 6,
-                     minShared: Int = 5, maxDf: Int = 20): DataFrame = {
-    val fp = winnowingFingerprints(s, d, k, w)
+                     minShared: Int = 5, maxDf: Int = 20): DataFrame =
+    winnowingPairsOn(winnowingFingerprints(s, d, k, w), minShared, maxDf)
+
+  /** [[winnowingPairs]] over a precomputed fingerprint set. */
+  def winnowingPairsOn(fp: DataFrame, minShared: Int = 5, maxDf: Int = 20): DataFrame = {
     val rare = fp.groupBy(col("wmin")).agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf).select(col("wmin"))
     val kept = fp.join(rare, "wmin")
