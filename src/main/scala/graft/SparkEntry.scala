@@ -127,6 +127,14 @@ object SparkEntry {
     // ES `match`: whitespace-analyzed terms, OR'd (the ES default operator)
     "ts_read_filter_match" -> ((s, d) => Tsdb.read(Tsdb.points(s, d),
       EsFilter.compile("""{"match":{"event_type":"purchase click"}}"""), Start, End)),
+    // ES `fuzzy` with AUTO fuzziness (6 chars -> edit distance 2)
+    "ts_read_filter_fuzzy" -> ((s, d) => Tsdb.read(Tsdb.points(s, d),
+      EsFilter.compile("""{"fuzzy":{"event_type":{"value":"clickk"}}}"""), Start, End)),
+    // multi-field query_string: bare tokens match any listed field
+    "ts_read_filter_qs_fields" -> ((s, d) => Tsdb.read(Tsdb.points(s, d),
+      EsFilter.compile(
+        """{"query_string":{"query":"click err* AND user_id:7 OR signup",
+           "fields":["event_type"]}}"""), Start, End)),
     // ES `nested`: inner fields resolve relative to the nested path (the
     // JSON tag bag) — relative (`k`) or absolute (`props.k`) form
     "ts_read_filter_nested" -> ((s, d) => Tsdb.read(Tsdb.points(s, d),
@@ -857,6 +865,18 @@ object SparkEntry {
           WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
             AND (list_contains(string_split(lower(event_type), ' '), 'purchase')
                  OR list_contains(string_split(lower(event_type), ' '), 'click'))
+          ORDER BY 1, 2, 3, 4""",
+    "ts_read_filter_fuzzy" ->
+      s"""SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events
+          WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
+            AND levenshtein(event_type, 'clickk') <= 2
+          ORDER BY 1, 2, 3, 4""",
+    "ts_read_filter_qs_fields" ->
+      s"""SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events
+          WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
+            AND (event_type = 'click'
+                 OR (regexp_full_match(event_type, 'err.*') AND user_id = 7)
+                 OR event_type = 'signup')
           ORDER BY 1, 2, 3, 4""",
     "ts_read_filter_nested" ->
       s"""SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events

@@ -121,6 +121,7 @@ object EsFilter {
       case "wildcard"  => { val (f, v) = fieldValue(body); fieldCol(f).rlike(wildcardToRegex(v.asText())) }
       case "regexp"    => { val (f, v) = fieldValue(body); fieldCol(f).rlike("^(?:" + v.asText() + ")$") }
       case "ids"       => ids(body)
+      case "fuzzy"     => fuzzy(body)
       case "match"     => matchQuery(body)
       case "nested"    => nested(body)
       case "query_string" => queryString(body)
@@ -163,6 +164,26 @@ object EsFilter {
     val (f, v) = fieldValue(body)
     val (c, l) = comparable(f, v)
     c === l
+  }
+
+  /** ES `fuzzy`: edit-distance match on a keyword field. `fuzziness` is an
+    * integer or "AUTO" (ES's length ladder: 0 for ≤2 chars, 1 for 3-5,
+    * 2 beyond). Levenshtein evaluates inside the scan stage — no join, and
+    * at scale the non-fuzzy residue of a bool query still prunes first.
+    */
+  private def fuzzy(body: JsonNode): Column = {
+    require(body.isObject && body.size() == 1, s"expected {field: spec}, got $body")
+    val f = body.fieldNames().next()
+    val spec = body.get(f)
+    val v = if (spec.isObject && spec.has("value")) spec.get("value") else spec
+    val text = v.asText()
+    val fuzziness: Int =
+      if (spec.isObject && spec.has("fuzziness") && spec.get("fuzziness").isNumber)
+        spec.get("fuzziness").asInt()
+      else if (text.length <= 2) 0
+      else if (text.length <= 5) 1
+      else 2
+    levenshtein(fieldCol(f).cast("string"), lit(text)) <= fuzziness
   }
 
   private def terms(body: JsonNode): Column = {
@@ -248,14 +269,23 @@ object EsFilter {
   private def queryString(body: JsonNode): Column = {
     val q = (if (body.isObject) body.get("query").asText() else body.asText()).trim
     require(q.nonEmpty, "query_string needs a non-empty query")
-    def termOf(tok: String): Column = {
-      val sep = tok.indexOf(':')
-      require(sep > 0, s"query_string term must be field:value, got '$tok'")
-      val (f, v) = (tok.substring(0, sep), tok.substring(sep + 1))
+    // multi-field form: bare (colon-free) tokens match ANY of `fields`
+    val defaultFields: Seq[String] =
+      if (body.isObject && body.has("fields"))
+        body.get("fields").elements().asScala.map(_.asText()).toSeq
+      else Seq.empty
+    def valueMatch(f: String, v: String): Column =
       if (v.exists(c => c == '*' || c == '?')) fieldCol(f).rlike(wildcardToRegex(v))
       else if (v.matches("-?\\d+")) fieldCol(f) === lit(v.toLong)
       else if (v.matches("-?\\d*\\.\\d+")) fieldCol(f) === lit(v.toDouble)
       else fieldCol(f) === lit(v)
+    def termOf(tok: String): Column = {
+      val sep = tok.indexOf(':')
+      if (sep <= 0) {
+        require(defaultFields.nonEmpty,
+          s"query_string term must be field:value (or set `fields`), got '$tok'")
+        defaultFields.map(f => valueMatch(f, tok)).reduce(_ || _)
+      } else valueMatch(tok.substring(0, sep), tok.substring(sep + 1))
     }
     // left-to-right with AND binding tighter than OR: fold AND-runs into
     // groups, then OR the groups

@@ -124,8 +124,33 @@ class EsFilterSpec extends SparkTestBase {
     assert(EsFilter.wildcardToRegex("a.b*c?") == "^a\\.b.*c.$")
   }
 
+  test("fuzzy: explicit and AUTO fuzziness ladders") {
+    // explicit distance 1: "clickz" ~ click
+    assert(ids("""{"fuzzy":{"event_type":{"value":"clickz","fuzziness":1}}}""") == Seq(2L))
+    // AUTO: 6 chars -> distance 2; "errors" ~ error (1)
+    assert(ids("""{"fuzzy":{"event_type":"errors"}}""") == Seq(3L))
+    // AUTO: <=2 chars -> exact only
+    assert(ids("""{"fuzzy":{"event_type":"cl"}}""") == Seq())
+    // distance 0 degenerates to term
+    assert(ids("""{"fuzzy":{"event_type":{"value":"signup","fuzziness":0}}}""") == Seq(4L))
+  }
+
+  test("query_string multi-field: bare tokens match any listed field") {
+    assert(ids("""{"query_string":{"query":"click error","fields":["event_type"]}}""")
+      == Seq(2L, 3L))
+    // AND still binds tighter than OR across bare and field:value terms
+    assert(ids("""{"query_string":{"query":"purchase AND user_id:5 OR signup",
+                   "fields":["event_type"]}}""") == Seq(4L, 5L))
+    // bare token without fields stays an error
+    intercept[IllegalArgumentException] {
+      EsFilter.compile("""{"query_string":{"query":"bare"}}""")
+    }
+  }
+
   test("unsupported filter type throws") {
-    intercept[IllegalArgumentException] { EsFilter.compile("""{"fuzzy":{"x":"y"}}""") }
+    intercept[IllegalArgumentException] {
+      EsFilter.compile("""{"more_like_this":{"fields":["x"],"like":"y"}}""")
+    }
   }
 
   test("ids query resolves _id through the caller-named id column") {
