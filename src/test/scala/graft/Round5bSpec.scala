@@ -226,6 +226,23 @@ class Round5bSpec extends SparkTestBase {
     assert(bias == 0)
   }
 
+  test("round-5 plans take the scale-safe physical shapes") {
+    // Q2's correlated min: rank-1 window with the group-limit pushdown
+    val q2 = Analytics.q2MinCost(spark, Sf).queryExecution.executedPlan.toString
+    assert(q2.contains("WindowGroupLimit"), s"q2 missing rank pushdown:\n$q2")
+    assert(!q2.contains("BroadcastNestedLoopJoin"))
+    // attribution is ONE window pass — no join of any kind
+    val at = Analytics.eventAttribution(spark, Sf).queryExecution.executedPlan.toString
+    assert(!at.contains("Join"), s"attribution must not join:\n$at")
+    // Q16's NOT IN runs as a broadcast anti hash join, not null-aware BNLJ
+    val q16 = Analytics.q16SupplierCount(spark, Sf).queryExecution.executedPlan.toString
+    assert(q16.contains("BroadcastHashJoin") && q16.contains("LeftAnti"), q16)
+    assert(!q16.contains("BroadcastNestedLoopJoin"))
+    // winnowing pair generation stays hash joins end to end
+    val dw = TextOps.winnowingPairs(spark, Sf).queryExecution.executedPlan.toString
+    assert(!dw.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("knn_classify votes sum to k and beats random labeling") {
     val k = 10
     val r = Ann.knnClassify(spark, Sf, k, 50)
