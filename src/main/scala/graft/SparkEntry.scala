@@ -362,7 +362,8 @@ object SparkEntry {
     "mix_temperature" -> ((s, d) => TextOps.mixTemperature(s, d)),
     "ts_seasonal_decompose" -> ((s, d) => Tsdb.seasonalDecompose(Tsdb.points(s, d)
       .copy(tagCols = Seq("event_type")),
-      EsFilter.compile("""{"match_all":{}}"""), Start, End)))
+      EsFilter.compile("""{"match_all":{}}"""), Start, End)),
+    "ann_range_search" -> ((s, d) => Ann.lshRangeSearch(s, d)))
 
   // ---- DuckDB oracles ------------------------------------------------------
 
@@ -2659,5 +2660,31 @@ object SparkEntry {
                  ${rndSql("detrended - seasonal", 6)} AS residual
           FROM dt JOIN se ON se.event_type = dt.event_type
                          AND se.hour_of_day = dt.hour_of_day
-          ORDER BY 1, 2, 3, 4, 5, 6""")
+          ORDER BY 1, 2, 3, 4, 5, 6""",
+    // ann_lsh's candidate machinery with a threshold filter instead of a
+    // rank cut — radius search shares the bucket join end to end
+    "ann_range_search" ->
+      s"""WITH $VecCte,
+              pl AS (SELECT * FROM (VALUES $LshPlanesValues) AS t(tbl, p, i, val)),
+              pd AS (SELECT e.vec_id, pl.tbl, pl.p, sum(e.x * pl.val) AS dot
+                     FROM ev e JOIN pl ON pl.i = e.i GROUP BY 1, 2, 3),
+              bk AS (SELECT vec_id, tbl,
+                            sum(CASE WHEN ${rndSql("dot", 6)} >= 0
+                                THEN (1 << p) ELSE 0 END) AS bucket
+                     FROM pd GROUP BY 1, 2),
+              cands AS (SELECT DISTINCT q.vec_id AS q_id, b.vec_id AS n_id
+                        FROM bk q JOIN bk b
+                          ON b.tbl = q.tbl AND b.bucket = q.bucket
+                         AND b.vec_id <> q.vec_id
+                        WHERE q.vec_id < 20),
+              dots AS (SELECT c.q_id, c.n_id, sum(a.x * b.x) AS dot
+                       FROM cands c
+                       JOIN ev a ON a.vec_id = c.q_id
+                       JOIN ev b ON b.vec_id = c.n_id AND b.i = a.i
+                       GROUP BY 1, 2),
+              pc AS (SELECT q_id, n_id, round(dot/sqrt(nq.nsq*nn.nsq), 6) AS cosine
+                     FROM dots JOIN vn nq ON nq.vec_id = q_id
+                               JOIN vn nn ON nn.vec_id = n_id)
+          SELECT q_id, n_id, cosine FROM pc WHERE cosine >= 0.2
+          ORDER BY 1, 2, 3""")
 }

@@ -437,6 +437,32 @@ object Ann {
     Det.ordered(out)
   }
 
+  /** LSH radius (range) search: all corpus vectors within a cosine
+    * threshold of each query — top-k's fixed-radius sibling (the dedup /
+    * recall-oriented API where the caller bounds similarity, not count).
+    * Candidates come from the same multi-table bucket join as [[lshTopK]];
+    * the exact cosine then keeps only true ≥-threshold neighbors, so
+    * precision is exact and only recall is approximate.
+    */
+  def lshRangeSearch(s: SparkSession, d: String, threshold: Double = 0.2,
+                     nQueries: Int = 20, nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
+    val b = lshBuckets(s, d, nPlanes, nTables).cache()
+    val q = b.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("tbl").as("q_tbl"), col("bucket").as("q_bucket"))
+    val vecs = b.select(col("vec_id"), col("v"), col("nrm")).distinct()
+    val cands = b.join(broadcast(q),
+        col("tbl") === col("q_tbl") && col("bucket") === col("q_bucket") &&
+        col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id")).distinct()
+    val out = cands
+      .join(vecs.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")), "q_id")
+      .join(vecs.select(col("vec_id").as("n_id"), col("v"), col("nrm")), "n_id")
+      .select(col("q_id"), col("n_id"),
+        round(cosine(s, col("qv"), col("v"), col("qn"), col("nrm")), 6).as("cosine"))
+      .where(col("cosine") >= threshold)
+    Det.ordered(out)
+  }
+
   /** Per-label centroid alignment: each vector's cosine to its own label's
     * centroid — the embedding-space mislabel/outlier score (vectors far
     * from their class center are pruning candidates in training-data

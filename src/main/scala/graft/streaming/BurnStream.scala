@@ -29,4 +29,19 @@ object BurnStream {
       .select(col("window.start").as("win_start"), col("n_total"), col("n_bad"),
         (col("n_bad") / col("n_total") / budget).as("burn"))
       .withColumn("alerting", (col("burn") > 1.0).cast("int"))
+
+  /** Streaming active-user cardinality per event-time window — the live
+    * counterpart of `ts_cardinality`/`approx_distinct`. HLL++ partials
+    * merge associatively, so per-window state is one sketch (KBs) no
+    * matter how many users pass through — the only cardinality shape that
+    * survives unbounded key spaces on a stream.
+    */
+  def activeUsers(validated: DataFrame, windowDur: String = "1 hour",
+                  watermark: String = "2 hours"): DataFrame =
+    validated.where(col("error").isNull)
+      .select(timestamp_millis(col("time_ms")).as("ts"), col("user_id"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur))
+      .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+      .select(col("window.start").as("win_start"), col("approx_users"))
 }

@@ -37,4 +37,35 @@ class BurnStreamSpec extends SparkTestBase {
     assert(math.abs(r.getAs[Double]("burn") - 2.0) < 1e-9)
     assert(r.getAs[Int]("alerting") == 1)
   }
+
+  test("streaming active-user cardinality merges sketch state per window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Double, Long, String)]
+    val validated = IngestStream.validate(
+      mem.toDF().toDF("time", "value", "user_id", "event_type"))
+    val card = BurnStream.activeUsers(validated, windowDur = "10 minutes",
+      watermark = "30 minutes")
+    val q = card.writeStream.format("memory").queryName("card")
+      .outputMode("append").start()
+
+    // 5 events from 3 distinct users in one window, split across batches
+    // (sketch state must merge across micro-batches)
+    mem.addData(
+      ("2024-01-09T10:00:10Z", 1.0, 1L, "click"),
+      ("2024-01-09T10:02:00Z", 1.0, 2L, "view"))
+    q.processAllAvailable()
+    mem.addData(
+      ("2024-01-09T10:04:00Z", 1.0, 1L, "click"),
+      ("2024-01-09T10:05:00Z", 1.0, 3L, "click"),
+      ("2024-01-09T10:06:00Z", 1.0, 2L, "error"))
+    q.processAllAvailable()
+    mem.addData(("2024-01-09T11:30:00Z", 1.0, 9L, "click"))
+    q.processAllAvailable()
+    val rows = spark.table("card").collect()
+    q.stop()
+    assert(rows.length == 1)
+    // HLL++ at default rsd is exact at this cardinality
+    assert(rows.head.getAs[Long]("approx_users") == 3L)
+  }
 }
