@@ -200,7 +200,8 @@ object Ann {
     */
   def lshTopK(s: SparkSession, d: String, k: Int = 5, nQueries: Int = 20,
               nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
-    val b = lshBuckets(s, d, nPlanes, nTables).cache()
+    val b = memoDf(s, s"lshb|$d|$nPlanes|$nTables")(
+      lshBuckets(s, d, nPlanes, nTables).cache())
     val q = b.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("tbl").as("q_tbl"), col("bucket").as("q_bucket"))
     val vecs = b.select(col("vec_id"), col("v"), col("nrm")).distinct()
@@ -446,7 +447,8 @@ object Ann {
     */
   def lshRangeSearch(s: SparkSession, d: String, threshold: Double = 0.2,
                      nQueries: Int = 20, nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
-    val b = lshBuckets(s, d, nPlanes, nTables).cache()
+    val b = memoDf(s, s"lshb|$d|$nPlanes|$nTables")(
+      lshBuckets(s, d, nPlanes, nTables).cache())
     val q = b.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("tbl").as("q_tbl"), col("bucket").as("q_bucket"))
     val vecs = b.select(col("vec_id"), col("v"), col("nrm")).distinct()
