@@ -672,10 +672,13 @@ object TextOps {
     winnowingPairsOn(winnowingFingerprints(s, d, k, w), minShared, maxDf)
 
   /** [[winnowingPairs]] over a precomputed fingerprint set. */
-  def winnowingPairsOn(fp: DataFrame, minShared: Int = 5, maxDf: Int = 20): DataFrame = {
+  def winnowingPairsOn(fp0: DataFrame, minShared: Int = 5, maxDf: Int = 20): DataFrame = {
+    // the gram -> window-min pipeline feeds the df count, the size table and
+    // both sides of the pair join — cache it once instead of 4 recomputes
+    val fp = fp0.cache()
     val rare = fp.groupBy(col("wmin")).agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf).select(col("wmin"))
-    val kept = fp.join(rare, "wmin")
+    val kept = fp.join(rare, "wmin").cache()
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
     val shared = kept.as("a").join(kept.as("b"),
         col("a.wmin") === col("b.wmin") && col("a.doc_id") < col("b.doc_id"))
