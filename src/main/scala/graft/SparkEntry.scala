@@ -363,7 +363,9 @@ object SparkEntry {
     "ts_seasonal_decompose" -> ((s, d) => Tsdb.seasonalDecompose(Tsdb.points(s, d)
       .copy(tagCols = Seq("event_type")),
       EsFilter.compile("""{"match_all":{}}"""), Start, End)),
-    "ann_range_search" -> ((s, d) => Ann.lshRangeSearch(s, d)))
+    "ann_range_search" -> ((s, d) => Ann.lshRangeSearch(s, d)),
+    "ts_time_weighted_avg" -> ((s, d) => Tsdb.timeWeightedAvg(Tsdb.points(s, d),
+      EsFilter.compile("""{"match_all":{}}"""), Start, End)))
 
   // ---- DuckDB oracles ------------------------------------------------------
 
@@ -2686,5 +2688,20 @@ object SparkEntry {
                      FROM dots JOIN vn nq ON nq.vec_id = q_id
                                JOIN vn nn ON nn.vec_id = n_id)
           SELECT q_id, n_id, cosine FROM pc WHERE cosine >= 0.2
-          ORDER BY 1, 2, 3""")
+          ORDER BY 1, 2, 3""",
+    "ts_time_weighted_avg" ->
+      s"""WITH p AS (SELECT user_id, event_type, epoch_ms(ts) AS t, value AS v
+                     FROM events WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End),
+              sg AS (SELECT user_id, event_type, v,
+                            lead(t) OVER (PARTITION BY user_id, event_type
+                                          ORDER BY t, v) - t AS dur
+                     FROM p),
+              g AS (SELECT user_id, event_type, count(*) AS n_segments,
+                           CAST(sum(dur) AS BIGINT) AS span_ms,
+                           CAST(sum(CAST(v*dur AS DECIMAL(38,2))) AS DOUBLE) AS integral
+                    FROM sg WHERE dur IS NOT NULL GROUP BY 1, 2)
+          SELECT user_id, event_type, n_segments, span_ms,
+                 ${rndSql("integral", 2)} AS integral,
+                 ${rndSql("integral/span_ms", 6)} AS twa
+          FROM g WHERE span_ms > 0 ORDER BY 1, 2, 3, 4, 5, 6""")
 }

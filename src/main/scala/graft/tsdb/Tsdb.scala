@@ -1005,6 +1005,34 @@ object Tsdb {
     Det.ordered(out)
   }
 
+  /** Time-weighted average per series over irregular samples: each point's
+    * value weighted by its hold time until the next sample (the right mean
+    * for gauges sampled on change, where the arithmetic mean over-counts
+    * bursts). value×duration products are exact (2-dp value × integer ms)
+    * and sum as DECIMAL, so the integral is engine-exact; TWA divides by
+    * the covered span. One window sort per series, one aggregate.
+    */
+  def timeWeightedAvg(pt: PointsTable, filter: Column, startMs: Long, endMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(pt.tags: _*).orderBy(col("t"), col("v"))
+    val segs = pt.df
+      .where(inRange(pt, startMs, endMs) && filter)
+      .select(pt.tags :+ pt.timeMs.as("t") :+ col(pt.valueCol).as("v"): _*)
+      .withColumn("nt", lead(col("t"), 1).over(w))
+      .where(col("nt").isNotNull)
+      .select(pt.tags ++ Seq(col("v"), (col("nt") - col("t")).as("dur")): _*)
+    val out = segs
+      .groupBy(pt.tags: _*)
+      .agg(count(lit(1)).as("n_segments"),
+        sum(col("dur")).as("span_ms"),
+        sum((col("v") * col("dur")).cast("decimal(38,2)")).cast("double").as("integral"))
+      .where(col("span_ms") > 0)
+      .select(pt.tags ++ Seq(col("n_segments"), col("span_ms"),
+        Det.rnd(col("integral"), 2).as("integral"),
+        Det.rnd(col("integral") / col("span_ms"), 6).as("twa")): _*)
+    Det.ordered(out)
+  }
+
   /** Per-(bucket, series) stats — the storage layout rendered as a query:
     * row key (attrs), clustering (offset) min/max, point count, value sum.
     */

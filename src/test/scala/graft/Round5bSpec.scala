@@ -243,6 +243,18 @@ class Round5bSpec extends SparkTestBase {
     assert(!dw.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("ts_time_weighted_avg stays inside the sample value range") {
+    val r = Tsdb.timeWeightedAvg(Tsdb.points(spark, Sf),
+      EsFilter.compile("""{"match_all":{}}"""), Start, End)
+    assert(r.count() > 0)
+    // TWA is a convex combination of sampled values
+    val mm = spark.read.parquet(s"$Sf/events.parquet")
+      .agg(min(col("value")), max(col("value"))).collect().head
+    val (lo, hi) = (mm.getDouble(0), mm.getDouble(1))
+    assert(r.where(col("twa") < lo - 1e-6 || col("twa") > hi + 1e-6).count() == 0)
+    assert(r.where(col("span_ms") <= 0).count() == 0)
+  }
+
   test("knn_classify votes sum to k and beats random labeling") {
     val k = 10
     val r = Ann.knnClassify(spark, Sf, k, 50)
