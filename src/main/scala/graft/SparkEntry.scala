@@ -365,6 +365,11 @@ object SparkEntry {
       EsFilter.compile("""{"match_all":{}}"""), Start, End)),
     "ann_range_search" -> ((s, d) => Ann.lshRangeSearch(s, d)),
     "ts_time_weighted_avg" -> ((s, d) => Tsdb.timeWeightedAvg(Tsdb.points(s, d),
+      EsFilter.compile("""{"match_all":{}}"""), Start, End)),
+    "ts_mean_crossings" -> ((s, d) => Tsdb.meanCrossings(Tsdb.points(s, d),
+      EsFilter.compile("""{"match_all":{}}"""), Start, End)),
+    "ts_lttb" -> ((s, d) => Tsdb.lttb(Tsdb.points(s, d)
+      .copy(tagCols = Seq("event_type")),
       EsFilter.compile("""{"match_all":{}}"""), Start, End)))
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -2703,5 +2708,40 @@ object SparkEntry {
           SELECT user_id, event_type, n_segments, span_ms,
                  ${rndSql("integral", 2)} AS integral,
                  ${rndSql("integral/span_ms", 6)} AS twa
-          FROM g WHERE span_ms > 0 ORDER BY 1, 2, 3, 4, 5, 6""")
+          FROM g WHERE span_ms > 0 ORDER BY 1, 2, 3, 4, 5, 6""",
+    "ts_mean_crossings" ->
+      s"""WITH p AS (SELECT user_id, event_type, epoch_ms(ts) AS t, value AS v
+                     FROM events WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End),
+              a AS (SELECT *,
+                           ${rndSql("CAST(sum(CAST(v AS DECIMAL(18,4))) OVER tot AS DOUBLE)/(count(*) OVER tot)", 4)} AS m,
+                           lag(v) OVER w AS pv
+                    FROM p WINDOW w AS (PARTITION BY user_id, event_type ORDER BY t, v),
+                                  tot AS (PARTITION BY user_id, event_type))
+          SELECT user_id, event_type, count(*) AS n_points,
+                 CAST(sum(CASE WHEN pv < m AND v >= m THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_up_crossings
+          FROM a GROUP BY 1, 2 ORDER BY 1, 2, 3, 4""",
+    "ts_lttb" ->
+      s"""WITH p AS (SELECT event_type, epoch_ms(ts) AS t, value AS v,
+                            CAST(floor(epoch_ms(ts)/3600000.0) AS BIGINT) AS bucket,
+                            ${rndSql("epoch_ms(ts)/3600000.0", 6)} AS th
+                     FROM events WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End),
+              an AS (SELECT event_type, bucket,
+                            ${rndSql("CAST(sum(CAST(t AS DECIMAL(28,4))) AS DOUBLE)/count(*)/3600000.0", 6)} AS at,
+                            ${davgSql("v")} AS av
+                     FROM p GROUP BY 1, 2),
+              tr AS (SELECT event_type, bucket,
+                            lag(at) OVER w AS pa_t, lag(av) OVER w AS pa_v,
+                            lead(at) OVER w AS na_t, lead(av) OVER w AS na_v
+                     FROM an WINDOW w AS (PARTITION BY event_type ORDER BY bucket)),
+              tj AS (SELECT p.event_type, p.bucket, p.t, p.v,
+                            ${rndSql("abs((pa_t - na_t)*(v - pa_v) - (pa_t - th)*(na_v - pa_v))/2.0", 4)}
+                              AS area
+                     FROM p JOIN tr ON tr.event_type = p.event_type
+                                   AND tr.bucket = p.bucket
+                     WHERE pa_t IS NOT NULL AND na_t IS NOT NULL),
+              r AS (SELECT *, row_number() OVER (PARTITION BY event_type, bucket
+                              ORDER BY area DESC, t, v) AS rn FROM tj)
+          SELECT event_type, bucket, t, v, area FROM r WHERE rn = 1
+          ORDER BY 1, 2, 3, 4, 5""")
 }

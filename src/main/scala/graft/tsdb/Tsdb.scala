@@ -1033,6 +1033,77 @@ object Tsdb {
     Det.ordered(out)
   }
 
+  /** Mean-crossing counts per series: how often the signal crosses its own
+    * mean upward — the cheap oscillation/burstiness diagnostic (a noisy
+    * series crosses constantly, a trending one almost never). The mean is
+    * an exact-decimal window aggregate rounded before the compares, so the
+    * crossing set is engine-exact; one sort per series.
+    */
+  def meanCrossings(pt: PointsTable, filter: Column, startMs: Long, endMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(pt.tags: _*).orderBy(col("t"), col("v"))
+    val tot = Window.partitionBy(pt.tags: _*)
+    val base = pt.df
+      .where(inRange(pt, startMs, endMs) && filter)
+      .select(pt.tags :+ pt.timeMs.as("t") :+ col(pt.valueCol).as("v"): _*)
+      .withColumn("m", Det.rnd(
+        sum(col("v").cast("decimal(18,4)")).over(tot).cast("double") /
+          count(lit(1)).over(tot), 4))
+      .withColumn("pv", lag(col("v"), 1).over(w))
+    val out = base
+      .groupBy(pt.tags: _*)
+      .agg(count(lit(1)).as("n_points"),
+        sum(when(col("pv") < col("m") && col("v") >= col("m"), lit(1L))
+          .otherwise(lit(0L))).as("n_up_crossings"))
+    Det.ordered(out)
+  }
+
+  /** LTTB-style downsampling (largest-triangle, bucket-mean anchors — the
+    * deterministic variant of Steinarsson's largest-triangle-three-buckets):
+    * per (series, hourly bucket) keep the ONE point whose triangle against
+    * the neighboring buckets' mean anchors has the largest area — the
+    * downsampler that preserves visual extremes where OHLC/mean smearing
+    * loses them. Anchors are exact-decimal bucket means (time and value)
+    * rounded before the area compare; interior buckets only. One bucketing
+    * pass + per-bucket rank, all inside the series partitioning.
+    */
+  def lttb(pt: PointsTable, filter: Column, startMs: Long, endMs: Long,
+           stepMs: Long = 3600000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // triangle geometry runs in bucket-scaled time (t/stepMs): at raw-ms
+    // magnitude the area (~1e8) would outgrow the Det.rnd +1e-9 nudge
+    // (double spacing there exceeds it), so areas are kept at O(1e2)
+    val base = pt.df
+      .where(inRange(pt, startMs, endMs) && filter)
+      .select(pt.tags :+ pt.timeMs.as("t") :+ col(pt.valueCol).as("v"): _*)
+      .withColumn("bucket", floor(col("t") / stepMs))
+      .withColumn("th", Det.rnd(col("t") / lit(stepMs.toDouble), 6))
+    val anchors = base.groupBy(pt.tags :+ col("bucket"): _*)
+      .agg(
+        Det.rnd(sum(col("t").cast("decimal(28,4)")).cast("double") / count(lit(1))
+          / lit(stepMs.toDouble), 6).as("at"),
+        Det.davg(col("v"), 4).as("av"))
+    val wS = Window.partitionBy(pt.tags: _*).orderBy(col("bucket"))
+    val tri = anchors
+      .withColumn("pa_t", lag(col("at"), 1).over(wS))
+      .withColumn("pa_v", lag(col("av"), 1).over(wS))
+      .withColumn("na_t", lead(col("at"), 1).over(wS))
+      .withColumn("na_v", lead(col("av"), 1).over(wS))
+      .where(col("pa_t").isNotNull && col("na_t").isNotNull)
+      .select(pt.tags ++ Seq(col("bucket"), col("pa_t"), col("pa_v"),
+        col("na_t"), col("na_v")): _*)
+    val wP = Window.partitionBy(pt.tags :+ col("bucket"): _*)
+      .orderBy(col("area").desc, col("t"), col("v"))
+    val out = base.join(tri, pt.tagCols :+ "bucket")
+      .withColumn("area", Det.rnd(abs(
+        (col("pa_t") - col("na_t")) * (col("v") - col("pa_v")) -
+        (col("pa_t") - col("th")) * (col("na_v") - col("pa_v"))) / 2.0, 4))
+      .withColumn("rn", row_number().over(wP))
+      .where(col("rn") === 1)
+      .select(pt.tags ++ Seq(col("bucket"), col("t"), col("v"), col("area")): _*)
+    Det.ordered(out)
+  }
+
   /** Per-(bucket, series) stats — the storage layout rendered as a query:
     * row key (attrs), clustering (offset) min/max, point count, value sum.
     */

@@ -255,6 +255,21 @@ class Round5bSpec extends SparkTestBase {
     assert(r.where(col("span_ms") <= 0).count() == 0)
   }
 
+  test("ts_mean_crossings bounded by point count") {
+    val r = Tsdb.meanCrossings(Tsdb.points(spark, Sf),
+      EsFilter.compile("""{"match_all":{}}"""), Start, End)
+    assert(r.count() > 0)
+    assert(r.where(col("n_up_crossings") * 2 > col("n_points")).count() == 0)
+  }
+
+  test("ts_lttb keeps exactly one point per interior bucket") {
+    val r = Tsdb.lttb(pts, all, Start, End)
+    assert(r.count() > 0)
+    assert(r.groupBy(col("event_type"), col("bucket")).count()
+      .where(col("count") > 1).count() == 0)
+    assert(r.where(col("area") < 0).count() == 0)
+  }
+
   test("knn_classify votes sum to k and beats random labeling") {
     val k = 10
     val r = Ann.knnClassify(spark, Sf, k, 50)
