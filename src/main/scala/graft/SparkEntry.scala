@@ -370,7 +370,11 @@ object SparkEntry {
       EsFilter.compile("""{"match_all":{}}"""), Start, End)),
     "ts_lttb" -> ((s, d) => Tsdb.lttb(Tsdb.points(s, d)
       .copy(tagCols = Seq("event_type")),
-      EsFilter.compile("""{"match_all":{}}"""), Start, End)))
+      EsFilter.compile("""{"match_all":{}}"""), Start, End)),
+    "ts_anomaly_stl" -> ((s, d) => Tsdb.anomaliesStl(Tsdb.points(s, d)
+      .copy(tagCols = Seq("event_type")),
+      EsFilter.compile("""{"match_all":{}}"""), Start, End, z = 2.5)),
+    "q20_promo_suppliers" -> ((s, d) => Analytics.q20PromoSuppliers(s, d)))
 
   // ---- DuckDB oracles ------------------------------------------------------
 
@@ -2743,5 +2747,53 @@ object SparkEntry {
               r AS (SELECT *, row_number() OVER (PARTITION BY event_type, bucket
                               ORDER BY area DESC, t, v) AS rn FROM tj)
           SELECT event_type, bucket, t, v, area FROM r WHERE rn = 1
-          ORDER BY 1, 2, 3, 4, 5""")
+          ORDER BY 1, 2, 3, 4, 5""",
+    "ts_anomaly_stl" ->
+      s"""WITH p AS (SELECT event_type,
+                            CAST(floor(epoch_ms(ts)/3600000.0) AS BIGINT) AS bucket,
+                            ${davgSql("value")} AS x
+                     FROM events WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
+                     GROUP BY 1, 2),
+              t AS (SELECT event_type, bucket, x,
+                           count(*) OVER w AS w_n,
+                           ${rndSql("CAST(sum(CAST(x AS DECIMAL(18,4))) OVER w AS DOUBLE) / 25", 6)}
+                             AS trend
+                    FROM p WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+                      ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+              dt AS (SELECT event_type, bucket, x, trend, x - trend AS detrended,
+                            bucket % 24 AS hour_of_day
+                     FROM t WHERE w_n = 25),
+              se AS (SELECT event_type, hour_of_day,
+                            ${rndSql("CAST(sum(CAST(detrended AS DECIMAL(28,8))) AS DOUBLE)/count(*)", 6)}
+                              AS seasonal
+                     FROM dt GROUP BY 1, 2),
+              rs AS (SELECT dt.event_type, bucket, x,
+                            ${rndSql("detrended - seasonal", 6)} AS residual
+                     FROM dt JOIN se ON se.event_type = dt.event_type
+                                    AND se.hour_of_day = dt.hour_of_day),
+              m AS (SELECT *, count(*) OVER tot AS n,
+                           CAST(sum(CAST(residual AS DECIMAL(28,8))) OVER tot AS DOUBLE) AS sr,
+                           CAST(sum(CAST(residual*residual AS DECIMAL(38,12))) OVER tot AS DOUBLE) AS srr
+                    FROM rs WINDOW tot AS (PARTITION BY event_type)),
+              sdt AS (SELECT *, sqrt((srr - sr*sr/n)/n) AS sd FROM m),
+              z AS (SELECT event_type, bucket, x, residual,
+                           ${rndSql("(residual - sr/n)/sd", 4)} AS rz
+                    FROM sdt WHERE sd > 0)
+          SELECT event_type, bucket, x, residual, rz FROM z WHERE abs(rz) > 2.5
+          ORDER BY 1, 2, 3, 4, 5""",
+    "q20_promo_suppliers" ->
+      s"""WITH pp AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO'),
+              li AS (SELECT l_partkey, l_suppkey, l_quantity
+                     FROM lineitem JOIN pp ON l_partkey = p_partkey),
+              ps AS (SELECT l_partkey, l_suppkey, ${dsumSql("l_quantity")} AS sup_qty
+                     FROM li GROUP BY 1, 2),
+              pt AS (SELECT l_partkey, ${dsumSql("l_quantity")} AS tot_qty
+                     FROM li GROUP BY 1),
+              hv AS (SELECT DISTINCT ps.l_suppkey FROM ps
+                     JOIN pt ON ps.l_partkey = pt.l_partkey
+                     WHERE sup_qty > tot_qty * 0.2)
+          SELECT n_name, count(*) AS n_suppliers
+          FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          WHERE s_suppkey IN (SELECT l_suppkey FROM hv)
+          GROUP BY 1 ORDER BY 1, 2""")
 }

@@ -1154,6 +1154,33 @@ object Analytics {
     Det.ordered(out)
   }
 
+  /** Excess-share promo suppliers (TPC-H Q20 shape): suppliers providing
+    * more than 20% of some promo part's total volume — the
+    * aggregate → threshold → LEFT SEMI chain (Q20's nested EXISTS done as
+    * the plan you'd want: the per-(part, supplier) and per-part aggregates
+    * share the partkey shuffle, the surviving supplier ids semi-join the
+    * dim, nation broadcast for the rollup).
+    */
+  def q20PromoSuppliers(s: SparkSession, d: String): DataFrame = {
+    val promo = Tables.part(s, d).where(col("p_type") === "PROMO").select("p_partkey")
+    val li = Tables.lineitem(s, d)
+      .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
+      .select("l_partkey", "l_suppkey", "l_quantity")
+    val perSup = li.groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(round(dsum(col("l_quantity")), 2).as("sup_qty"))
+    val perPart = li.groupBy(col("l_partkey").as("t_partkey"))
+      .agg(round(dsum(col("l_quantity")), 2).as("tot_qty"))
+    val heavy = perSup.join(perPart, col("l_partkey") === col("t_partkey"))
+      .where(col("sup_qty") > col("tot_qty") * lit(0.2))
+      .select(col("l_suppkey")).distinct()
+    val out = Tables.supplier(s, d)
+      .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(count(lit(1)).as("n_suppliers"))
+    Det.ordered(out)
+  }
+
   /** Idle wealthy customers (TPC-H Q22 shape): above-average-balance
     * customers with no orders in a window — the scalar AVG broadcasts, the
     * NOT EXISTS is a plain LEFT ANTI join on custkey (never the null-aware

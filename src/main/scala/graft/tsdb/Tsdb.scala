@@ -1104,6 +1104,36 @@ object Tsdb {
     Det.ordered(out)
   }
 
+  /** Seasonality-aware anomalies: z-score outliers over the RESIDUAL of
+    * [[seasonalDecompose]] — the detector that does not page on the daily
+    * peak because the peak is in the seasonal term (plain `anomalies` z
+    * flags it). Residuals are ≤6-dp exact decimals, so their moments sum
+    * exactly; the threshold compares rounded z both engines agree on.
+    * Composition reuses the decompose plan: everything stays inside the
+    * series partitioning.
+    */
+  def anomaliesStl(pt: PointsTable, filter: Column, startMs: Long, endMs: Long,
+                   z: Double = 3.0, stepMs: Long = 3600000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dec = seasonalDecompose(pt, filter, startMs, endMs, stepMs)
+    val tot = Window.partitionBy(pt.tags: _*)
+    def d8(c: Column) = sum(c.cast("decimal(28,8)")).over(tot).cast("double")
+    // residuals are 6-dp exact, so their squares need 12 decimal places to
+    // sum exactly (DECIMAL(28,8) would round the product cross-engine)
+    def d12(c: Column) = sum(c.cast("decimal(38,12)")).over(tot).cast("double")
+    val scored = dec
+      .withColumn("n", count(lit(1)).over(tot))
+      .withColumn("sr", d8(col("residual")))
+      .withColumn("srr", d12(col("residual") * col("residual")))
+      .withColumn("sd", sqrt((col("srr") - col("sr") * col("sr") / col("n")) / col("n")))
+      .where(col("sd") > 0)
+      .withColumn("rz", Det.rnd((col("residual") - col("sr") / col("n")) / col("sd"), 4))
+    val out = scored
+      .where(abs(col("rz")) > z)
+      .select(pt.tags ++ Seq(col("bucket"), col("x"), col("residual"), col("rz")): _*)
+    Det.ordered(out)
+  }
+
   /** Per-(bucket, series) stats — the storage layout rendered as a query:
     * row key (attrs), clustering (offset) min/max, point count, value sum.
     */

@@ -270,6 +270,21 @@ class Round5bSpec extends SparkTestBase {
     assert(r.where(col("area") < 0).count() == 0)
   }
 
+  test("ts_anomaly_stl only flags beyond-threshold residuals") {
+    val r = Tsdb.anomaliesStl(pts, all, Start, End, z = 2.5)
+    assert(r.where(abs(col("rz")) <= 2.5).count() == 0)
+    // the residual z-detector flags a SUBSET of buckets, never everything
+    val total = Tsdb.seasonalDecompose(pts, all, Start, End).count()
+    assert(r.count() < total / 10)
+  }
+
+  test("q20_promo_suppliers only counts above-share suppliers") {
+    val r = Analytics.q20PromoSuppliers(spark, Sf)
+    val total = r.agg(sum(col("n_suppliers"))).collect().head.getLong(0)
+    val allSup = spark.read.parquet(s"$Sf/supplier.parquet").count()
+    assert(total > 0 && total <= allSup)
+  }
+
   test("knn_classify votes sum to k and beats random labeling") {
     val k = 10
     val r = Ann.knnClassify(spark, Sf, k, 50)
