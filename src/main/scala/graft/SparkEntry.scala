@@ -374,7 +374,9 @@ object SparkEntry {
     "ts_anomaly_stl" -> ((s, d) => Tsdb.anomaliesStl(Tsdb.points(s, d)
       .copy(tagCols = Seq("event_type")),
       EsFilter.compile("""{"match_all":{}}"""), Start, End, z = 2.5)),
-    "q20_promo_suppliers" -> ((s, d) => Analytics.q20PromoSuppliers(s, d)))
+    "q20_promo_suppliers" -> ((s, d) => Analytics.q20PromoSuppliers(s, d)),
+    "license_filter" -> ((s, d) => TextOps.licenseFilter(s, d)),
+    "url_dedup" -> ((s, d) => TextOps.urlDedup(s, d)))
 
   // ---- DuckDB oracles ------------------------------------------------------
 
@@ -2795,5 +2797,49 @@ object SparkEntry {
           SELECT n_name, count(*) AS n_suppliers
           FROM supplier JOIN nation ON s_nationkey = n_nationkey
           WHERE s_suppkey IN (SELECT l_suppkey FROM hv)
-          GROUP BY 1 ORDER BY 1, 2""")
+          GROUP BY 1 ORDER BY 1, 2""",
+    "license_filter" ->
+      s"""WITH b AS (SELECT doc_id, text ||
+                       CASE WHEN doc_id % 3 = 0 THEN
+                         CASE WHEN doc_id % 2 = 0 THEN ' licensed under the mit license'
+                              ELSE ' all rights reserved. copyright notice' END
+                       ELSE '' END AS t
+                     FROM documents),
+              c AS (SELECT doc_id,
+                           CAST(len(regexp_extract_all(t,
+                             'mit license|apache license|bsd license|cc-by|public domain'))
+                             AS BIGINT) AS n_permissive,
+                           CAST(len(regexp_extract_all(t,
+                             'all rights reserved|gpl|proprietary|confidential'))
+                             AS BIGINT) AS n_restricted
+                    FROM b)
+          SELECT doc_id, n_permissive, n_restricted,
+                 CASE WHEN n_restricted > 0 THEN 'restricted'
+                      WHEN n_permissive > 0 THEN 'permissive'
+                      ELSE 'unknown' END AS license_class
+          FROM c ORDER BY 1, 2, 3, 4""",
+    "url_dedup" ->
+      s"""WITH h AS (SELECT doc_id,
+                            'site' || CAST(doc_id % 50 AS VARCHAR) || '.example.com' AS host,
+                            '/page/' || CAST(doc_id % 200 AS VARCHAR) AS path
+                     FROM documents),
+              u AS (SELECT doc_id,
+                           CASE WHEN doc_id % 4 = 0 THEN 'https://' || host || path
+                                WHEN doc_id % 4 = 1 THEN 'HTTP://WWW.' || host || path || '/'
+                                WHEN doc_id % 4 = 2 THEN 'https://' || host || ':443' || path
+                                  || '?utm_source=feed&utm_campaign=x'
+                                ELSE 'http://' || host || ':80' || path || '#section-2'
+                           END AS raw_url
+                    FROM h),
+              c AS (SELECT doc_id, raw_url,
+                           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                             lower(raw_url),
+                             '^https?://(www\\.)?', ''),
+                             ':(80|443)(/|$$)', '\\2'),
+                             '[?#].*$$', ''),
+                             '/$$', '') AS canonical_url
+                    FROM u)
+          SELECT canonical_url, min(doc_id) AS first_doc, count(*) AS n_docs,
+                 count(DISTINCT raw_url) AS n_variants
+          FROM c GROUP BY 1 ORDER BY 1, 2, 3, 4""")
 }

@@ -631,6 +631,71 @@ object TextOps {
       .select(col("doc_id"), col("wmin")).distinct()
   }
 
+  /** License/compliance filter: detect license-notice boilerplate (the
+    * copyleft / all-rights-reserved / CC families) and classify each doc
+    * permissive / restricted / unknown — the compliance gate code+text
+    * corpora run before training. The corpus is synthetic, so a
+    * deterministic license line is appended to every third doc first
+    * (the operator under test is the codegen'd regex classify pass). Map
+    * only — runs at scan speed at any scale.
+    */
+  def licenseFilter(s: SparkSession, d: String): DataFrame = {
+    val lic = when(col("doc_id") % 3 === 0,
+        when(col("doc_id") % 2 === 0,
+          lit(" licensed under the mit license"))
+        .otherwise(lit(" all rights reserved. copyright notice")))
+      .otherwise(lit(""))
+    val aug = concat(col("text"), lic)
+    val permissiveRe = "mit license|apache license|bsd license|cc-by|public domain"
+    val restrictedRe = "all rights reserved|gpl|proprietary|confidential"
+    val base = Tables.documents(s, d).select(col("doc_id"), aug.as("t"))
+    val out = base.select(
+      col("doc_id"),
+      regexp_count(col("t"), lit(permissiveRe)).cast("bigint").as("n_permissive"),
+      regexp_count(col("t"), lit(restrictedRe)).cast("bigint").as("n_restricted"))
+      .withColumn("license_class",
+        when(col("n_restricted") > 0, lit("restricted"))
+          .when(col("n_permissive") > 0, lit("permissive"))
+          .otherwise(lit("unknown")))
+    Det.ordered(out)
+  }
+
+  /** URL canonicalization + dedup bookkeeping: normalize each document's
+    * source URL (lowercase host, strip scheme / www. / default port /
+    * tracking query params / trailing slash / fragment) and report each
+    * canonical URL's first doc and duplicate count — the crawl-dedup step
+    * that runs BEFORE any content hashing. URLs here are deterministic
+    * synthetics over doc_id (four surface variants of the same canonical
+    * URL), so the operator under test is the normalization chain itself.
+    * One map pass + one hash aggregate on the canonical key.
+    */
+  def urlDedup(s: SparkSession, d: String): DataFrame = {
+    // four surface forms per canonical url, cycling by doc_id
+    val host = concat(lit("site"), (col("doc_id") % 50).cast("string"), lit(".example.com"))
+    val path = concat(lit("/page/"), (col("doc_id") % 200).cast("string"))
+    val url = when(col("doc_id") % 4 === 0, concat(lit("https://"), host, path))
+      .when(col("doc_id") % 4 === 1, concat(lit("HTTP://WWW."), host, path, lit("/")))
+      .when(col("doc_id") % 4 === 2, concat(lit("https://"), host, lit(":443"), path,
+        lit("?utm_source=feed&utm_campaign=x")))
+      .otherwise(concat(lit("http://"), host, lit(":80"), path, lit("#section-2")))
+    val canon =
+      regexp_replace( // trailing slash last
+        regexp_replace( // tracking params
+          regexp_replace( // default ports
+            regexp_replace( // scheme + www
+              lower(url), "^https?://(www\\.)?", ""),
+            ":(80|443)(/|$)", "$2"),
+          "[?#].*$", ""),
+        "/$", "")
+    val canonized = Tables.documents(s, d)
+      .select(col("doc_id"), url.as("raw_url"), canon.as("canonical_url"))
+    val out = canonized.groupBy(col("canonical_url"))
+      .agg(min(col("doc_id")).as("first_doc"),
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("raw_url")).as("n_variants"))
+    Det.ordered(out)
+  }
+
   /** Temperature-scaled mixture weights (the multilingual-sampling rule:
     * q_i ∝ p_i^τ with τ=0.5): per source, its token share, the tempered
     * share, and the sampling multiplier q_i/p_i that upweights small

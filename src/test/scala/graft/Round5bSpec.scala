@@ -285,6 +285,25 @@ class Round5bSpec extends SparkTestBase {
     assert(total > 0 && total <= allSup)
   }
 
+  test("license_filter: restricted takes precedence and thirds are classified") {
+    val r = TextOps.licenseFilter(spark, Sf)
+    assert(r.where(col("license_class") === "restricted" &&
+      col("n_restricted") === 0).count() == 0)
+    val classes = r.groupBy(col("license_class")).count().collect()
+      .map(x => x.getString(0) -> x.getLong(1)).toMap
+    assert(classes.keySet == Set("permissive", "restricted", "unknown"))
+    // two thirds of docs carry no license line
+    assert(classes("unknown") > classes("permissive"))
+  }
+
+  test("url_dedup collapses all four surface variants of each canonical url") {
+    val r = TextOps.urlDedup(spark, Sf)
+    assert(r.where(col("canonical_url").rlike("^https?://|www\\.|[?#:]")).count() == 0)
+    assert(r.where(col("n_variants") > col("n_docs")).count() == 0)
+    val docs = r.agg(sum(col("n_docs"))).collect().head.getLong(0)
+    assert(docs == spark.read.parquet(s"$Sf/documents.parquet").count())
+  }
+
   test("knn_classify votes sum to k and beats random labeling") {
     val k = 10
     val r = Ann.knnClassify(spark, Sf, k, 50)
