@@ -376,7 +376,8 @@ object SparkEntry {
       EsFilter.compile("""{"match_all":{}}"""), Start, End, z = 2.5)),
     "q20_promo_suppliers" -> ((s, d) => Analytics.q20PromoSuppliers(s, d)),
     "license_filter" -> ((s, d) => TextOps.licenseFilter(s, d)),
-    "url_dedup" -> ((s, d) => TextOps.urlDedup(s, d)))
+    "url_dedup" -> ((s, d) => TextOps.urlDedup(s, d)),
+    "emb_pca_1d" -> ((s, d) => Ann.embPca1d(s, d)))
 
   // ---- DuckDB oracles ------------------------------------------------------
 
@@ -2841,5 +2842,34 @@ object SparkEntry {
                     FROM u)
           SELECT canonical_url, min(doc_id) AS first_doc, count(*) AS n_docs,
                  count(DISTINCT raw_url) AS n_variants
-          FROM c GROUP BY 1 ORDER BY 1, 2, 3, 4""")
+          FROM c GROUP BY 1 ORDER BY 1, 2, 3, 4""",
+    // PCA power iteration replayed step for step (the codebook-determinism
+    // contract): exact-decimal covariance, per-round rounded iterates
+    "emb_pca_1d" -> {
+      def round(k: Int, prev: String) =
+        s"""w$k AS (SELECT ci, ${rndSql("CAST(sum(CAST(c*v AS DECIMAL(38,12))) AS DOUBLE)", 6)} AS w
+                    FROM cov JOIN $prev ON cj = i GROUP BY 1),
+            n$k AS (SELECT sqrt(CAST(sum(CAST(w*w AS DECIMAL(38,12))) AS DOUBLE)) AS nrm FROM w$k),
+            v$k AS (SELECT ci AS i, ${rndSql("w/nrm", 6)} AS v FROM w$k, n$k)"""
+      s"""WITH ev AS (SELECT vec_id, ${rndSql("CAST(unnest(embedding) AS DOUBLE)", 6)} AS x,
+                             generate_subscripts(embedding, 1) AS i FROM embeddings),
+              mu AS (SELECT i, ${rndSql("CAST(sum(CAST(x AS DECIMAL(18,6))) AS DOUBLE)/count(*)", 6)} AS mu
+                     FROM ev GROUP BY 1),
+              cc AS (SELECT vec_id, ev.i, x - mu AS xc FROM ev JOIN mu ON mu.i = ev.i),
+              cs AS (SELECT * FROM cc WHERE vec_id % 5 = 0),
+              nn AS (SELECT count(DISTINCT vec_id) AS n FROM cs),
+              cov AS (SELECT a.i AS ci, b.i AS cj,
+                             ${rndSql("CAST(sum(CAST(a.xc*b.xc AS DECIMAL(38,12))) AS DOUBLE)/(SELECT n FROM nn)", 6)} AS c
+                      FROM cs a JOIN cs b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+              v0 AS (SELECT DISTINCT ci AS i, CAST(0.125 AS DOUBLE) AS v FROM cov),
+              ${round(1, "v0")},
+              ${round(2, "v1")},
+              ${round(3, "v2")},
+              sg AS (SELECT CASE WHEN (SELECT v FROM v3
+                                       WHERE i = (SELECT min(i) FROM v3)) < 0
+                            THEN -1.0 ELSE 1.0 END AS sgn)
+          SELECT vec_id,
+                 ${rndSql("CAST(sum(CAST(cc.xc * (v3.v * sg.sgn) AS DECIMAL(38,12))) AS DOUBLE)", 6)} AS pc1
+          FROM cc JOIN v3 ON v3.i = cc.i, sg GROUP BY 1 ORDER BY 1, 2"""
+    })
 }

@@ -465,6 +465,64 @@ object Ann {
     Det.ordered(out)
   }
 
+  /** First principal component via power iteration, with the training
+    * replayed bit-exactly by the oracle (the codebook-determinism contract
+    * applied to PCA): quantized components → exact-decimal means →
+    * covariance from exact 12-dp product sums → 3 power-iteration rounds
+    * whose matrix-vector products and norms are all exact-decimal sums with
+    * per-round 6-dp rounding → sign-fixed projection of every vector. The
+    * 64×64 covariance and the 64-row iterate broadcast everywhere; the only
+    * corpus-sized work is the per-vector component self-join building C and
+    * the final projection scan. At 100 TB C comes from a sample and the
+    * projection is the only full pass — this plan IS that shape.
+    */
+  def embPca1d(s: SparkSession, d: String, iters: Int = 3): DataFrame = {
+    val comp = Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        posexplode(transform(col("embedding"), x => Det.rnd(x.cast("double"), 6))))
+      .toDF("vec_id", "i", "x")
+    val mu = comp.groupBy(col("i"))
+      .agg(Det.rnd(sum(col("x").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
+        .as("mu"))
+    val cc = comp.join(broadcast(mu), "i")
+      .select(col("vec_id"), col("i"), (col("x") - col("mu")).as("xc")).cache()
+    // covariance from a deterministic 1-in-5 sample — the production shape
+    // (C is estimated, the projection is the only full corpus pass); the
+    // oracle replays the same sample predicate
+    val cs = cc.where(col("vec_id") % 5 === 0)
+    val nDfS = cs.select(col("vec_id")).distinct().agg(count(lit(1)).as("n"))
+    val cov = cs.as("a").join(cs.as("b"), col("a.vec_id") === col("b.vec_id"))
+      .groupBy(col("a.i").as("ci"), col("b.i").as("cj"))
+      .agg(sum((col("a.xc") * col("b.xc")).cast("decimal(38,12)")).cast("double").as("sxx"))
+      .crossJoin(broadcast(nDfS))
+      .select(col("ci"), col("cj"), Det.rnd(col("sxx") / col("n"), 6).as("c"))
+      .cache()
+    var v: DataFrame = cov.select(col("ci").as("i")).distinct()
+      .select(col("i"), lit(0.125).as("v"))
+    for (_ <- 0 until iters) {
+      val w = cov.join(v, col("cj") === col("i"))
+        .groupBy(col("ci"))
+        .agg(Det.rnd(sum((col("c") * col("v")).cast("decimal(38,12)")).cast("double"), 6)
+          .as("w"))
+      val nrm = w.agg(
+        sqrt(sum((col("w") * col("w")).cast("decimal(38,12)")).cast("double")).as("nrm"))
+      // materialize the 64-row iterate per round (pagerank's discipline):
+      // keeps the final DAG shallow instead of re-deriving every round's
+      // matrix-vector product inside one deep plan
+      v = w.crossJoin(broadcast(nrm))
+        .select(col("ci").as("i"), Det.rnd(col("w") / col("nrm"), 6).as("v"))
+        .localCheckpoint(true)
+    }
+    val s0 = v.where(col("i") === 0).select(col("v").as("v0"))
+    val vs = v.crossJoin(broadcast(s0))
+      .select(col("i"), when(col("v0") < 0, -col("v")).otherwise(col("v")).as("v"))
+    val out = cc.join(broadcast(vs), "i")
+      .groupBy(col("vec_id"))
+      .agg(Det.rnd(sum((col("xc") * col("v")).cast("decimal(38,12)")).cast("double"), 6)
+        .as("pc1"))
+    Det.ordered(out)
+  }
+
   /** Per-label centroid alignment: each vector's cosine to its own label's
     * centroid — the embedding-space mislabel/outlier score (vectors far
     * from their class center are pruning candidates in training-data

@@ -304,6 +304,18 @@ class Round5bSpec extends SparkTestBase {
     assert(docs == spark.read.parquet(s"$Sf/documents.parquet").count())
   }
 
+  test("emb_pca_1d: projections centered, sign-fixed, variance-bearing") {
+    val r = Ann.embPca1d(spark, Sf)
+    val n = spark.read.parquet(s"$Sf/embeddings.parquet").count()
+    assert(r.count() == n)
+    // projections of centered data have ~zero mean
+    val mean = r.agg(avg(col("pc1"))).collect().head.getDouble(0)
+    assert(math.abs(mean) < 0.01, s"pc1 mean $mean")
+    // the principal direction carries real variance
+    val sd = r.agg(stddev(col("pc1"))).collect().head.getDouble(0)
+    assert(sd > 0.01, s"pc1 sd $sd")
+  }
+
   test("knn_classify votes sum to k and beats random labeling") {
     val k = 10
     val r = Ann.knnClassify(spark, Sf, k, 50)
