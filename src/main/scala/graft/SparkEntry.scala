@@ -377,7 +377,10 @@ object SparkEntry {
     "q20_promo_suppliers" -> ((s, d) => Analytics.q20PromoSuppliers(s, d)),
     "license_filter" -> ((s, d) => TextOps.licenseFilter(s, d)),
     "url_dedup" -> ((s, d) => TextOps.urlDedup(s, d)),
-    "emb_pca_1d" -> ((s, d) => Ann.embPca1d(s, d)))
+    "emb_pca_1d" -> ((s, d) => Ann.embPca1d(s, d)),
+    "ts_rolling_corr" -> ((s, d) => Tsdb.rollingCorr(Tsdb.points(s, d),
+      EsFilter.compile("""{"term":{"event_type":"click"}}"""),
+      EsFilter.compile("""{"term":{"event_type":"error"}}"""), Start, End)))
 
   // ---- DuckDB oracles ------------------------------------------------------
 
@@ -2871,5 +2874,29 @@ object SparkEntry {
           SELECT vec_id,
                  ${rndSql("CAST(sum(CAST(cc.xc * (v3.v * sg.sgn) AS DECIMAL(38,12))) AS DOUBLE)", 6)} AS pc1
           FROM cc JOIN v3 ON v3.i = cc.i, sg GROUP BY 1 ORDER BY 1, 2"""
+    },
+    "ts_rolling_corr" -> {
+      def side(t: String, b: String, v: String) =
+        s"""SELECT CAST(floor(epoch_ms(ts)/3600000.0) AS BIGINT) AS $b,
+                   ${davgSql("value")} AS $v
+            FROM events WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
+             AND event_type = '$t' GROUP BY 1"""
+      s"""WITH a AS (${side("click", "bucket", "x")}),
+              b AS (${side("error", "b_bucket", "y")}),
+              j AS (SELECT bucket, x, y FROM a JOIN b ON bucket = b_bucket),
+              r AS (SELECT bucket,
+                           count(*) OVER w AS n,
+                           CAST(sum(CAST(x AS DECIMAL(28,8))) OVER w AS DOUBLE) AS sx,
+                           CAST(sum(CAST(y AS DECIMAL(28,8))) OVER w AS DOUBLE) AS sy,
+                           CAST(sum(CAST(x*y AS DECIMAL(28,8))) OVER w AS DOUBLE) AS sxy,
+                           CAST(sum(CAST(x*x AS DECIMAL(28,8))) OVER w AS DOUBLE) AS sxx,
+                           CAST(sum(CAST(y*y AS DECIMAL(28,8))) OVER w AS DOUBLE) AS syy
+                    FROM j WINDOW w AS (ORDER BY bucket
+                      RANGE BETWEEN 23 PRECEDING AND CURRENT ROW)),
+              v AS (SELECT bucket, n, sxy, sx, sy,
+                           n*sxx - sx*sx AS vx, n*syy - sy*sy AS vy FROM r)
+          SELECT bucket, n AS n_pairs,
+                 ${rndSql("(n*sxy - sx*sy)/sqrt(vx*vy)", 6)} AS rcorr
+          FROM v WHERE n >= 12 AND vx > 0 AND vy > 0 ORDER BY 1, 2, 3"""
     })
 }

@@ -1134,6 +1134,41 @@ object Tsdb {
     Det.ordered(out)
   }
 
+  /** Rolling cross-correlation: trailing-24h-window Pearson between two
+    * series families per hour — [[crossCorr]]'s moving sibling (does the
+    * click→error coupling strengthen during incidents?). All five running
+    * sums are exact DECIMAL RANGE-frame aggregates over the joined hourly
+    * means, so every window's r is an identical double cross-engine; windows
+    * with fewer than `minN` paired buckets or zero variance drop out. The
+    * join and every frame run over the tiny bucketed aggregates.
+    */
+  def rollingCorr(pt: PointsTable, filterA: Column, filterB: Column,
+                  startMs: Long, endMs: Long, stepMs: Long = 3600000L,
+                  windowN: Int = 24, minN: Int = 12): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def paa(f: Column, v: String) = pt.df
+      .where(inRange(pt, startMs, endMs) && f)
+      .groupBy(floor(pt.timeMs / stepMs).as(if (v == "x") "bucket" else "b_bucket"))
+      .agg(Det.davg(col(pt.valueCol), 4).as(v))
+    val joined = paa(filterA, "x")
+      .join(paa(filterB, "y"), col("bucket") === col("b_bucket"))
+    val w = Window.orderBy(col("bucket")).rangeBetween(-(windowN - 1).toLong, 0L)
+    def d8(c: Column) = sum(c.cast("decimal(28,8)")).over(w).cast("double")
+    val roll = joined
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", d8(col("x"))).withColumn("sy", d8(col("y")))
+      .withColumn("sxy", d8(col("x") * col("y")))
+      .withColumn("sxx", d8(col("x") * col("x")))
+      .withColumn("syy", d8(col("y") * col("y")))
+      .withColumn("vx", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("vy", col("n") * col("syy") - col("sy") * col("sy"))
+      .where(col("n") >= minN && col("vx") > 0 && col("vy") > 0)
+    val out = roll.select(col("bucket"), col("n").as("n_pairs"),
+      Det.rnd((col("n") * col("sxy") - col("sx") * col("sy")) /
+        sqrt(col("vx") * col("vy")), 6).as("rcorr"))
+    Det.ordered(out)
+  }
+
   /** Per-(bucket, series) stats — the storage layout rendered as a query:
     * row key (attrs), clustering (offset) min/max, point count, value sum.
     */

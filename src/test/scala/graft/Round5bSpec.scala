@@ -316,6 +316,13 @@ class Round5bSpec extends SparkTestBase {
     assert(sd > 0.01, s"pc1 sd $sd")
   }
 
+  test("ts_rolling_corr windows stay valid correlations") {
+    val r = Tsdb.rollingCorr(Tsdb.points(spark, Sf),
+      col("event_type") === "click", col("event_type") === "error", Start, End)
+    assert(r.where(col("rcorr") < -1.0 || col("rcorr") > 1.0).count() == 0)
+    assert(r.where(col("n_pairs") < 12 || col("n_pairs") > 24).count() == 0)
+  }
+
   test("knn_classify votes sum to k and beats random labeling") {
     val k = 10
     val r = Ann.knnClassify(spark, Sf, k, 50)
