@@ -380,7 +380,10 @@ object SparkEntry {
     "emb_pca_1d" -> ((s, d) => Ann.embPca1d(s, d)),
     "ts_rolling_corr" -> ((s, d) => Tsdb.rollingCorr(Tsdb.points(s, d),
       EsFilter.compile("""{"term":{"event_type":"click"}}"""),
-      EsFilter.compile("""{"term":{"event_type":"error"}}"""), Start, End)))
+      EsFilter.compile("""{"term":{"event_type":"error"}}"""), Start, End)),
+    "ts_absent" -> ((s, d) => Tsdb.absentSeries(Tsdb.points(s, d),
+      EsFilter.compile("""{"match_all":{}}"""), End)),
+    "minhash_est_quality" -> ((s, d) => Dedup.minhashEstQuality(s, d)))
 
   // ---- DuckDB oracles ------------------------------------------------------
 
@@ -2898,5 +2901,47 @@ object SparkEntry {
           SELECT bucket, n AS n_pairs,
                  ${rndSql("(n*sxy - sx*sy)/sqrt(vx*vy)", 6)} AS rcorr
           FROM v WHERE n >= 12 AND vx > 0 AND vy > 0 ORDER BY 1, 2, 3"""
-    })
+    },
+    "ts_absent" ->
+      s"""WITH prev AS (SELECT user_id, event_type, max(epoch_ms(ts)) AS last_seen_ms,
+                               count(*) AS n_prev_points
+                        FROM events WHERE epoch_ms(ts) >= ${End - 2 * 86400000L}
+                         AND epoch_ms(ts) < ${End - 86400000L}
+                        GROUP BY 1, 2),
+              cur AS (SELECT DISTINCT user_id, event_type FROM events
+                      WHERE epoch_ms(ts) >= ${End - 86400000L} AND epoch_ms(ts) < $End)
+          SELECT p.user_id, p.event_type, last_seen_ms, n_prev_points
+          FROM prev p LEFT JOIN cur c ON p.user_id = c.user_id
+                                     AND p.event_type = c.event_type
+          WHERE c.user_id IS NULL ORDER BY 1, 2, 3, 4""",
+    "minhash_est_quality" ->
+      s"""WITH $ShingleCte,
+              $MinhashCte,
+              cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                       FROM bands a JOIN bands b
+                         ON a.band = b.band AND a.band_key = b.band_key
+                        AND a.doc_id < b.doc_id),
+              ag AS (SELECT c.a_id, c.b_id,
+                            CAST(sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END)
+                              AS BIGINT) AS n_agree
+                     FROM cand c JOIN sigs sa ON sa.doc_id = c.a_id
+                                 JOIN sigs sb ON sb.doc_id = c.b_id
+                                             AND sb.seed = sa.seed
+                     GROUP BY 1, 2),
+              sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+              iv AS (SELECT c.a_id, c.b_id, count(*) AS n_inter
+                     FROM cand c JOIN sh s1 ON s1.doc_id = c.a_id
+                                 JOIN sh s2 ON s2.doc_id = c.b_id
+                                           AND s2.shingle = s1.shingle
+                     GROUP BY 1, 2),
+              ex AS (SELECT iv.a_id, iv.b_id,
+                            ${rndSql("n_inter*1.0/(sa.n + sb.n - n_inter)", 4)} AS jaccard
+                     FROM iv JOIN sz sa ON sa.doc_id = iv.a_id
+                             JOIN sz sb ON sb.doc_id = iv.b_id),
+              es AS (SELECT a_id, b_id, ${rndSql("n_agree*1.0/16", 4)} AS est_jaccard
+                     FROM ag)
+          SELECT es.a_id, es.b_id, est_jaccard, jaccard,
+                 ${rndSql("est_jaccard - jaccard", 4)} AS est_error
+          FROM es JOIN ex ON ex.a_id = es.a_id AND ex.b_id = es.b_id
+          ORDER BY 1, 2, 3, 4, 5""")
 }

@@ -1169,6 +1169,25 @@ object Tsdb {
     Det.ordered(out)
   }
 
+  /** Absent-series alerting (PromQL `absent()` over a sliding pair of
+    * windows): series that reported in the previous window but are silent
+    * in the current one, with their last-seen time and prior point count —
+    * the disappearance alert `availability` (which scores known series)
+    * cannot raise. Two pruned scans + one LEFT ANTI join on the series key.
+    */
+  def absentSeries(pt: PointsTable, filter: Column, endMs: Long,
+                   windowMs: Long = MsInDay): DataFrame = {
+    val prev = pt.df
+      .where(inRange(pt, endMs - 2 * windowMs, endMs - windowMs) && filter)
+      .groupBy(pt.tags: _*)
+      .agg(max(pt.timeMs).as("last_seen_ms"), count(lit(1)).as("n_prev_points"))
+    val cur = pt.df
+      .where(inRange(pt, endMs - windowMs, endMs) && filter)
+      .select(pt.tags: _*).distinct()
+    val out = prev.join(cur, pt.tagCols, "left_anti")
+    Det.ordered(out)
+  }
+
   /** Per-(bucket, series) stats — the storage layout rendered as a query:
     * row key (attrs), clustering (offset) min/max, point count, value sum.
     */

@@ -323,6 +323,27 @@ class Round5bSpec extends SparkTestBase {
     assert(r.where(col("n_pairs") < 12 || col("n_pairs") > 24).count() == 0)
   }
 
+  test("ts_absent only reports series silent in the current window") {
+    val End = 1705881600000L
+    val r = Tsdb.absentSeries(Tsdb.points(spark, Sf),
+      EsFilter.compile("""{"match_all":{}}"""), End)
+    assert(r.count() > 0)
+    // no reported series has any point in the current window
+    val cur = spark.read.parquet(s"$Sf/events.parquet")
+      .where(unix_millis(col("ts").cast("timestamp")).between(End - 86400000L, End - 1))
+      .select(col("user_id"), col("event_type")).distinct()
+    assert(r.join(cur, Seq("user_id", "event_type")).count() == 0)
+  }
+
+  test("minhash_est_quality: estimates track exact Jaccard within sketch noise") {
+    val r = graft.dedup.Dedup.minhashEstQuality(spark, Sf)
+    assert(r.count() > 0)
+    assert(r.where(col("est_jaccard") < 0 || col("est_jaccard") > 1 ||
+      col("jaccard") < 0 || col("jaccard") > 1).count() == 0)
+    // 16-seed binomial sd <= 0.125; allow 4 sd for the worst pair
+    assert(r.where(abs(col("est_error")) > 0.5).count() == 0)
+  }
+
   test("knn_classify votes sum to k and beats random labeling") {
     val k = 10
     val r = Ann.knnClassify(spark, Sf, k, 50)
