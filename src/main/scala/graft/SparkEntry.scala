@@ -383,7 +383,8 @@ object SparkEntry {
       EsFilter.compile("""{"term":{"event_type":"error"}}"""), Start, End)),
     "ts_absent" -> ((s, d) => Tsdb.absentSeries(Tsdb.points(s, d),
       EsFilter.compile("""{"match_all":{}}"""), End)),
-    "minhash_est_quality" -> ((s, d) => Dedup.minhashEstQuality(s, d)))
+    "minhash_est_quality" -> ((s, d) => Dedup.minhashEstQuality(s, d)),
+    "dedup_incremental" -> ((s, d) => Dedup.incrementalDedup(s, d)))
 
   // ---- DuckDB oracles ------------------------------------------------------
 
@@ -2943,5 +2944,20 @@ object SparkEntry {
           SELECT es.a_id, es.b_id, est_jaccard, jaccard,
                  ${rndSql("est_jaccard - jaccard", 4)} AS est_error
           FROM es JOIN ex ON ex.a_id = es.a_id AND ex.b_id = es.b_id
-          ORDER BY 1, 2, 3, 4, 5""")
+          ORDER BY 1, 2, 3, 4, 5""",
+    "dedup_incremental" ->
+      s"""WITH $ShingleCte,
+              $MinhashCte,
+              m AS (SELECT n.doc_id AS new_id, o.doc_id AS old_id
+                    FROM bands n JOIN bands o
+                      ON n.band = o.band AND n.band_key = o.band_key
+                     AND n.doc_id >= 250 AND o.doc_id < 250
+                    GROUP BY 1, 2),
+              mc AS (SELECT new_id, count(*) AS n_old_matches FROM m GROUP BY 1),
+              nd AS (SELECT DISTINCT doc_id FROM sh WHERE doc_id >= 250)
+          SELECT nd.doc_id,
+                 coalesce(mc.n_old_matches, CAST(0 AS BIGINT)) AS n_old_matches,
+                 CAST(coalesce(mc.n_old_matches, 0) = 0 AS BIGINT) AS keep
+          FROM nd LEFT JOIN mc ON mc.new_id = nd.doc_id
+          ORDER BY 1, 2, 3""")
 }

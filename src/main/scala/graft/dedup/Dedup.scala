@@ -367,6 +367,42 @@ object Dedup {
     Det.ordered(out)
   }
 
+  /** Incremental (snapshot-delta) dedup — the daily-increment production
+    * shape: new documents (doc_id ≥ `splitId`) are checked against the
+    * EXISTING corpus only, never against each other twice — band buckets
+    * join new-side to old-side, so the work is |new|·bucket-density, not
+    * corpus². Emits every new doc with its old-corpus match count and the
+    * keep flag (no match ⇒ genuinely new). At 100 TB the old side's bands
+    * are a precomputed index this join probes.
+    */
+  def incrementalDedup(s: SparkSession, d: String, splitId: Long = 250L): DataFrame = {
+    val sh = shingleRows(s, d).cache()
+    val nBands = MinhashSeeds / BandRows
+    val bandCols = (0 until nBands).map { b =>
+      val sigs = (0 until BandRows).map(r => col(s"sig${b * BandRows + r}"))
+      md5(concat_ws(",", sigs: _*)).as(s"band$b")
+    }
+    val keyed = minhashSigs(sh).select(col("doc_id") +: bandCols: _*)
+    val stackExpr = (0 until nBands).map(b => s"$b, band$b").mkString(", ")
+    val bands = keyed
+      .selectExpr("doc_id", s"stack($nBands, $stackExpr) AS (band, band_key)")
+      .cache()
+    val newSide = bands.where(col("doc_id") >= splitId)
+      .select(col("doc_id").as("new_id"), col("band"), col("band_key"))
+    val oldSide = bands.where(col("doc_id") < splitId)
+      .select(col("doc_id").as("old_id"), col("band"), col("band_key"))
+    val matches = newSide.join(oldSide, Seq("band", "band_key"))
+      .select(col("new_id"), col("old_id")).distinct()
+      .groupBy(col("new_id")).agg(count(lit(1)).as("n_old_matches"))
+    val out = sh.select(col("doc_id")).distinct()
+      .where(col("doc_id") >= splitId)
+      .join(matches, col("doc_id") === col("new_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_old_matches"), lit(0L)).as("n_old_matches"),
+        (coalesce(col("n_old_matches"), lit(0L)) === 0).cast("bigint").as("keep"))
+    Det.ordered(out)
+  }
+
   /** Duplicate clusters: connected components over the MinHash-LSH candidate
     * graph, labeling every document in a near-dup group with the group's
     * minimum doc_id (the canonical representative a pipeline keeps). Iterative

@@ -344,6 +344,15 @@ class Round5bSpec extends SparkTestBase {
     assert(r.where(abs(col("est_error")) > 0.5).count() == 0)
   }
 
+  test("dedup_incremental covers every new doc and never checks new-vs-new") {
+    val r = graft.dedup.Dedup.incrementalDedup(spark, Sf, splitId = 250L)
+    assert(r.where(col("doc_id") < 250).count() == 0)
+    assert(r.where(col("keep") === 1 && col("n_old_matches") > 0).count() == 0)
+    // both outcomes occur on this corpus (it contains old/new near-dups)
+    assert(r.where(col("keep") === 0).count() > 0)
+    assert(r.where(col("keep") === 1).count() > 0)
+  }
+
   test("knn_classify votes sum to k and beats random labeling") {
     val k = 10
     val r = Ann.knnClassify(spark, Sf, k, 50)
