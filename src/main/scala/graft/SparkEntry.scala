@@ -384,7 +384,8 @@ object SparkEntry {
     "ts_absent" -> ((s, d) => Tsdb.absentSeries(Tsdb.points(s, d),
       EsFilter.compile("""{"match_all":{}}"""), End)),
     "minhash_est_quality" -> ((s, d) => Dedup.minhashEstQuality(s, d)),
-    "dedup_incremental" -> ((s, d) => Dedup.incrementalDedup(s, d)))
+    "dedup_incremental" -> ((s, d) => Dedup.incrementalDedup(s, d)),
+    "graph_similarity" -> ((s, d) => Graph.structuralSimilarity(s, d)))
 
   // ---- DuckDB oracles ------------------------------------------------------
 
@@ -2959,5 +2960,17 @@ object SparkEntry {
                  coalesce(mc.n_old_matches, CAST(0 AS BIGINT)) AS n_old_matches,
                  CAST(coalesce(mc.n_old_matches, 0) = 0 AS BIGINT) AS keep
           FROM nd LEFT JOIN mc ON mc.new_id = nd.doc_id
-          ORDER BY 1, 2, 3""")
+          ORDER BY 1, 2, 3""",
+    "graph_similarity" ->
+      s"""WITH $ShingleCte,
+              $MinhashCte,
+              $GraphCte,
+              sp AS (SELECT x.a_id, y.a_id AS b_id, count(*) AS n_shared
+                     FROM ed x JOIN ed y ON x.b_id = y.b_id AND x.a_id < y.a_id
+                     GROUP BY 1, 2)
+          SELECT a_id, b_id, n_shared,
+                 ${rndSql("n_shared*1.0/(da.deg + db.deg - n_shared)", 4)}
+                   AS neighbor_jaccard
+          FROM sp JOIN dg da ON da.id = a_id JOIN dg db ON db.id = b_id
+          ORDER BY 1, 2, 3, 4""")
 }

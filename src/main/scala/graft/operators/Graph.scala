@@ -72,6 +72,32 @@ object Graph {
     Det.ordered(out)
   }
 
+  /** Structural (neighbor-set Jaccard) node similarity — the
+    * link-prediction primitive: two documents are structurally similar when
+    * their near-duplicate NEIGHBORHOODS overlap, even if they never shared
+    * a band themselves. Pairs generate through shared neighbors (bounded by
+    * per-neighbor degree², the same hot-key profile as the inverted-index
+    * joins — at 100 TB a degree cap drops hub neighbors first), then exact
+    * Jaccard over degree counts.
+    */
+  def structuralSimilarity(s: SparkSession, d: String): DataFrame = {
+    val e = Dedup.minhashLsh(s, d).cache()
+    val ed = e.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(e.select(col("b_id").as("src"), col("a_id").as("dst")))
+    val deg = ed.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val shared = ed.as("x").join(ed.as("y"),
+        col("x.dst") === col("y.dst") && col("x.src") < col("y.src"))
+      .groupBy(col("x.src").as("a_id"), col("y.src").as("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    val out = shared
+      .join(deg.select(col("id").as("a_id"), col("deg").as("a_deg")), "a_id")
+      .join(deg.select(col("id").as("b_id"), col("deg").as("b_deg")), "b_id")
+      .select(col("a_id"), col("b_id"), col("n_shared"),
+        Det.rnd(col("n_shared") * lit(1.0) /
+          (col("a_deg") + col("b_deg") - col("n_shared")), 4).as("neighbor_jaccard"))
+    Det.ordered(out)
+  }
+
   /** Degree distribution of the similarity graph: how many documents have
     * how many near-duplicate neighbors — the shape diagnostic (a heavy tail
     * here predicts the hot-key blowups every pairwise dedup must survive).

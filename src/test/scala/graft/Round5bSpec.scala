@@ -353,6 +353,13 @@ class Round5bSpec extends SparkTestBase {
     assert(r.where(col("keep") === 1).count() > 0)
   }
 
+  test("graph_similarity: neighbor Jaccard is a valid ratio over real overlaps") {
+    val r = graft.operators.Graph.structuralSimilarity(spark, Sf)
+    assert(r.where(col("neighbor_jaccard") <= 0 ||
+      col("neighbor_jaccard") > 1).count() == 0)
+    assert(r.where(col("a_id") >= col("b_id")).count() == 0)
+  }
+
   test("knn_classify votes sum to k and beats random labeling") {
     val k = 10
     val r = Ann.knnClassify(spark, Sf, k, 50)
