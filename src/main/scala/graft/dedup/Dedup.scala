@@ -375,8 +375,14 @@ object Dedup {
     * keep flag (no match ⇒ genuinely new). At 100 TB the old side's bands
     * are a precomputed index this join probes.
     */
-  def incrementalDedup(s: SparkSession, d: String, splitId: Long = 250L): DataFrame = {
-    val sh = shingleRows(s, d).cache()
+  def incrementalDedup(s: SparkSession, d: String, splitId: Long = 250L): DataFrame =
+    incrementalDedupOn(shingleRows(s, d), splitId)
+
+  /** [[incrementalDedup]] over any shingle-row set — reused by the scale
+    * experiment so it measures the exact production plan.
+    */
+  def incrementalDedupOn(sh0: DataFrame, splitId: Long): DataFrame = {
+    val sh = sh0.cache()
     val nBands = MinhashSeeds / BandRows
     val bandCols = (0 until nBands).map { b =>
       val sigs = (0 until BandRows).map(r => col(s"sig${b * BandRows + r}"))
