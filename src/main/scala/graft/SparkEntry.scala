@@ -385,7 +385,8 @@ object SparkEntry {
       EsFilter.compile("""{"match_all":{}}"""), End)),
     "minhash_est_quality" -> ((s, d) => Dedup.minhashEstQuality(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.incrementalDedup(s, d)),
-    "graph_similarity" -> ((s, d) => Graph.structuralSimilarity(s, d)))
+    "graph_similarity" -> ((s, d) => Graph.structuralSimilarity(s, d)),
+    "power_users" -> ((s, d) => Analytics.powerUsers(s, d)))
 
   // ---- DuckDB oracles ------------------------------------------------------
 
@@ -2972,5 +2973,15 @@ object SparkEntry {
                  ${rndSql("n_shared*1.0/(da.deg + db.deg - n_shared)", 4)}
                    AS neighbor_jaccard
           FROM sp JOIN dg da ON da.id = a_id JOIN dg db ON db.id = b_id
-          ORDER BY 1, 2, 3, 4""")
+          ORDER BY 1, 2, 3, 4""",
+    "power_users" ->
+      s"""WITH per AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+              c AS (SELECT ${rndSql("quantile_cont(n, 0.9)", 4)} AS p90 FROM per),
+              t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM per),
+              seg AS (SELECT CASE WHEN n >= p90 THEN 'power' ELSE 'regular' END
+                               AS segment, n, total
+                      FROM per, c, t)
+          SELECT segment, count(*) AS n_users, CAST(sum(n) AS BIGINT) AS n_events,
+                 ${rndSql("sum(n)*1.0/max(total)", 4)} AS event_share
+          FROM seg GROUP BY 1 ORDER BY 1, 2, 3, 4""")
 }

@@ -1100,6 +1100,26 @@ object Analytics {
       .agg(Det.rnd(dsum(col("l_extendedprice")) / lit(7.0), 2).as("avg_yearly"))
   }
 
+  /** Activity concentration: the top-decile "power users" versus everyone
+    * else, with each segment's share of total events — the engagement
+    * concentration report (an 80/20 check) built on the broadcast exact
+    * cut-point pattern (`rfm_segments`): no global ntile sort, one
+    * per-user aggregate and one two-row rollup.
+    */
+  def powerUsers(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.events(s, d).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val cut = per.agg(Det.rnd(expr("percentile(n, 0.9)"), 4).as("p90"))
+    val tot = per.agg(sum(col("n")).as("total"))
+    val out = per.crossJoin(broadcast(cut)).crossJoin(broadcast(tot))
+      .withColumn("segment",
+        when(col("n") >= col("p90"), lit("power")).otherwise(lit("regular")))
+      .groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"),
+        Det.rnd(sum(col("n")) * lit(1.0) / max(col("total")), 4).as("event_share"))
+    Det.ordered(out)
+  }
+
   /** National market share (TPC-H Q8 shape): one nation's share of a
     * region's import revenue per year — the CASE-ratio aggregate over a
     * five-way star join with every dimension broadcast; years are 365-day

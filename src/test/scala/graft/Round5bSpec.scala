@@ -360,6 +360,19 @@ class Round5bSpec extends SparkTestBase {
     assert(r.where(col("a_id") >= col("b_id")).count() == 0)
   }
 
+  test("power_users: segments partition users and shares sum to one") {
+    val r = Analytics.powerUsers(spark, Sf).collect()
+    assert(r.length == 2)
+    val users = r.map(_.getAs[Long]("n_users")).sum
+    assert(users == spark.read.parquet(s"$Sf/events.parquet")
+      .select("user_id").distinct().count())
+    assert(math.abs(r.map(_.getAs[Double]("event_share")).sum - 1.0) < 1e-3)
+    val power = r.find(_.getAs[String]("segment") == "power").get
+    // top decile holds at least its proportional share
+    assert(power.getAs[Long]("n_events") * users >=
+      power.getAs[Long]("n_users") * r.map(_.getAs[Long]("n_events")).sum)
+  }
+
   test("knn_classify votes sum to k and beats random labeling") {
     val k = 10
     val r = Ann.knnClassify(spark, Sf, k, 50)
