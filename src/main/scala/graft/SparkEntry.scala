@@ -386,7 +386,11 @@ object SparkEntry {
     "minhash_est_quality" -> ((s, d) => Dedup.minhashEstQuality(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "graph_similarity" -> ((s, d) => Graph.structuralSimilarity(s, d)),
-    "power_users" -> ((s, d) => Analytics.powerUsers(s, d)))
+    "power_users" -> ((s, d) => Analytics.powerUsers(s, d)),
+    "langid_confusion" -> ((s, d) => TextOps.langidConfusion(s, d)),
+    "ts_sax_motifs" -> ((s, d) => Tsdb.saxMotifs(Tsdb.points(s, d)
+      .copy(tagCols = Seq("event_type")),
+      EsFilter.compile("""{"match_all":{}}"""), Start, End)))
 
   // ---- DuckDB oracles ------------------------------------------------------
 
@@ -2983,5 +2987,46 @@ object SparkEntry {
                       FROM per, c, t)
           SELECT segment, count(*) AS n_users, CAST(sum(n) AS BIGINT) AS n_events,
                  ${rndSql("sum(n)*1.0/max(total)", 4)} AS event_share
-          FROM seg GROUP BY 1 ORDER BY 1, 2, 3, 4""")
+          FROM seg GROUP BY 1 ORDER BY 1, 2, 3, 4""",
+    "langid_confusion" -> {
+      def sc(l: String) = s"len(list_filter(toks, t -> t IN ${stopListSql(l)}))"
+      s"""WITH lt AS (SELECT doc_id, string_split($NormSql, ' ') AS toks FROM documents),
+              ls AS (SELECT doc_id, ${sc("en")} AS s_en, ${sc("es")} AS s_es,
+                            ${sc("fr")} AS s_fr, ${sc("de")} AS s_de, ${sc("zh")} AS s_zh
+                     FROM lt),
+              lp AS (SELECT doc_id,
+                            CASE WHEN s_en >= greatest(s_es, s_fr, s_de, s_zh) THEN 'en'
+                                 WHEN s_es >= greatest(s_en, s_fr, s_de, s_zh) THEN 'es'
+                                 WHEN s_fr >= greatest(s_en, s_es, s_de, s_zh) THEN 'fr'
+                                 WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+                                 ELSE 'zh' END AS pred_lang
+                     FROM ls)
+          SELECT d.lang, lp.pred_lang, count(*) AS n
+          FROM documents d JOIN lp ON lp.doc_id = d.doc_id
+          GROUP BY 1, 2 ORDER BY 1, 2, 3"""
+    },
+    "ts_sax_motifs" ->
+      s"""WITH p AS (SELECT event_type,
+                            CAST(floor(epoch_ms(ts)/3600000.0) AS BIGINT) AS bucket,
+                            ${davgSql("value")} AS x
+                     FROM events WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
+                     GROUP BY 1, 2),
+              s1 AS (SELECT event_type, bucket, x,
+                            count(*) OVER wt AS n,
+                            CAST(sum(CAST(x AS DECIMAL(18,4))) OVER wt AS DOUBLE) AS sx,
+                            CAST(sum(CAST(x*x AS DECIMAL(28,8))) OVER wt AS DOUBLE) AS sxx
+                     FROM p WINDOW wt AS (PARTITION BY event_type)),
+              s2 AS (SELECT *, sqrt((sxx - sx*sx/n)/n) AS sd FROM s1),
+              s3 AS (SELECT event_type, bucket, ${rndSql("(x - sx/n)/sd", 6)} AS z
+                     FROM s2 WHERE sd > 0),
+              s4 AS (SELECT event_type, CAST(floor(bucket/24.0) AS BIGINT) AS day,
+                            bucket,
+                            CASE WHEN z < -0.6745 THEN 'a' WHEN z < 0 THEN 'b'
+                                 WHEN z < 0.6745 THEN 'c' ELSE 'd' END AS sym
+                     FROM s3),
+              w AS (SELECT event_type, day, count(*) AS n_sym,
+                           string_agg(sym, '' ORDER BY bucket) AS sax_word
+                    FROM s4 GROUP BY 1, 2)
+          SELECT sax_word, count(*) AS support FROM w WHERE n_sym >= 12
+          GROUP BY 1 ORDER BY support DESC, sax_word LIMIT 20""")
 }

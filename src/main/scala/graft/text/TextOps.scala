@@ -70,6 +70,20 @@ object TextOps {
     Det.ordered(out)
   }
 
+  /** Language-ID confusion matrix: the heuristic's predictions against the
+    * corpus's ground-truth `lang` column — the measured-accuracy report
+    * (ann_recall / minhash_est_quality's pattern applied to langid). One
+    * |langs|² aggregate over the scored docs.
+    */
+  def langidConfusion(s: SparkSession, d: String): DataFrame = {
+    val pred = langId(s, d).select(col("doc_id"), col("pred_lang"))
+    val out = Tables.documents(s, d).select(col("doc_id"), col("lang"))
+      .join(pred, "doc_id")
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+    Det.ordered(out)
+  }
+
   /** Stratified balancing: downsample every language stratum to the size of
     * the SMALLEST one, picking survivors by a deterministic md5 order — the
     * domain-balancing step a training-data mix runs after language ID

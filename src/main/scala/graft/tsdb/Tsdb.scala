@@ -1188,6 +1188,21 @@ object Tsdb {
     Det.ordered(out)
   }
 
+  /** SAX motif discovery — the reason SAX exists: recurring day-shape words
+    * across all (series, day) slots, ranked by support. Words from partial
+    * days (fewer than `minSyms` symbols) are noise and drop; top-K via
+    * TakeOrdered on (count desc, word) — no global sort.
+    */
+  def saxMotifs(pt: PointsTable, filter: Column, startMs: Long, endMs: Long,
+                k: Int = 20, minSyms: Int = 12): DataFrame = {
+    sax(pt, filter, startMs, endMs)
+      .where(col("n_sym") >= minSyms)
+      .groupBy(col("sax_word"))
+      .agg(count(lit(1)).as("support"))
+      .orderBy(col("support").desc, col("sax_word"))
+      .limit(k)
+  }
+
   /** Per-(bucket, series) stats — the storage layout rendered as a query:
     * row key (attrs), clustering (offset) min/max, point count, value sum.
     */

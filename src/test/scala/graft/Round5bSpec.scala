@@ -373,6 +373,23 @@ class Round5bSpec extends SparkTestBase {
       power.getAs[Long]("n_users") * r.map(_.getAs[Long]("n_events")).sum)
   }
 
+  test("langid_confusion covers every document exactly once") {
+    val r = TextOps.langidConfusion(spark, Sf)
+    val total = r.agg(sum(col("n"))).collect().head.getLong(0)
+    assert(total == spark.read.parquet(s"$Sf/documents.parquet").count())
+    val langs = Set("en", "es", "fr", "de", "zh")
+    assert(r.collect().forall(x =>
+      langs(x.getAs[String]("lang")) && langs(x.getAs[String]("pred_lang"))))
+  }
+
+  test("ts_sax_motifs ranks words by support") {
+    // sf0.001's hourly coverage is sparse -> lower the partial-day floor
+    val r = Tsdb.saxMotifs(pts, all, Start, End, minSyms = 2).collect()
+    assert(r.nonEmpty && r.length <= 20)
+    val sup = r.map(_.getAs[Long]("support"))
+    assert(sup.sameElements(sup.sortBy(-_)))
+  }
+
   test("knn_classify votes sum to k and beats random labeling") {
     val k = 10
     val r = Ann.knnClassify(spark, Sf, k, 50)
