@@ -390,6 +390,9 @@ object SparkEntry {
     "langid_confusion" -> ((s, d) => TextOps.langidConfusion(s, d)),
     "ts_sax_motifs" -> ((s, d) => Tsdb.saxMotifs(Tsdb.points(s, d)
       .copy(tagCols = Seq("event_type")),
+      EsFilter.compile("""{"match_all":{}}"""), Start, End)),
+    "ts_band_profile" -> ((s, d) => Tsdb.bandProfile(Tsdb.points(s, d)
+      .copy(tagCols = Seq("event_type")),
       EsFilter.compile("""{"match_all":{}}"""), Start, End)))
 
   // ---- DuckDB oracles ------------------------------------------------------
@@ -3028,5 +3031,14 @@ object SparkEntry {
                            string_agg(sym, '' ORDER BY bucket) AS sax_word
                     FROM s4 GROUP BY 1, 2)
           SELECT sax_word, count(*) AS support FROM w WHERE n_sym >= 12
-          GROUP BY 1 ORDER BY support DESC, sax_word LIMIT 20""")
+          GROUP BY 1 ORDER BY support DESC, sax_word LIMIT 20""",
+    "ts_band_profile" ->
+      s"""SELECT event_type,
+                 CAST(floor(epoch_ms(ts)/3600000.0) AS BIGINT) % 24 AS hour_of_day,
+                 count(*) AS n,
+                 ${rndSql("quantile_cont(value, 0.1)", 4)} AS p10,
+                 ${rndSql("quantile_cont(value, 0.5)", 4)} AS p50,
+                 ${rndSql("quantile_cont(value, 0.9)", 4)} AS p90
+          FROM events WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
+          GROUP BY 1, 2 ORDER BY 1, 2, 3, 4, 5, 6""")
 }

@@ -1203,6 +1203,24 @@ object Tsdb {
       .limit(k)
   }
 
+  /** Hour-of-day quantile bands: the p10/p50/p90 envelope per series and
+    * hour — the "normal band" a dashboard shades behind the live line, and
+    * the baseline table hour-aware alerting compares against. Exact
+    * percentiles per (series, hour) group (24 groups per series; at extreme
+    * cardinality `approx_percentile` swaps in under the declared rows-only
+    * pattern, like `skew_stats_approx`).
+    */
+  def bandProfile(pt: PointsTable, filter: Column, startMs: Long, endMs: Long): DataFrame = {
+    val out = pt.df
+      .where(inRange(pt, startMs, endMs) && filter)
+      .groupBy(pt.tags :+ (floor(pt.timeMs / 3600000L) % 24).as("hour_of_day"): _*)
+      .agg(count(lit(1)).as("n"),
+        Det.rnd(expr(s"percentile(${pt.valueCol}, 0.1)"), 4).as("p10"),
+        Det.rnd(expr(s"percentile(${pt.valueCol}, 0.5)"), 4).as("p50"),
+        Det.rnd(expr(s"percentile(${pt.valueCol}, 0.9)"), 4).as("p90"))
+    Det.ordered(out)
+  }
+
   /** Per-(bucket, series) stats — the storage layout rendered as a query:
     * row key (attrs), clustering (offset) min/max, point count, value sum.
     */

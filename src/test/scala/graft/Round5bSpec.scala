@@ -390,6 +390,13 @@ class Round5bSpec extends SparkTestBase {
     assert(sup.sameElements(sup.sortBy(-_)))
   }
 
+  test("ts_band_profile: bands are ordered and cover all series-hours") {
+    val r = Tsdb.bandProfile(pts, all, Start, End)
+    assert(r.count() > 0)
+    assert(r.where(col("p10") > col("p50") || col("p50") > col("p90")).count() == 0)
+    assert(r.where(col("hour_of_day") < 0 || col("hour_of_day") > 23).count() == 0)
+  }
+
   test("knn_classify votes sum to k and beats random labeling") {
     val k = 10
     val r = Ann.knnClassify(spark, Sf, k, 50)
