@@ -156,7 +156,9 @@ class PropertySpec extends SparkTestBase {
     val (lo, hi) = (pts.map(_._2).min, pts.map(_._2).max)
     out.foreach { r =>
       val v = r.getDouble(2)
-      assert(v >= lo - 1e-9 && v <= hi + 1e-9,
+      // tolerance covers the operator's 4-dp output rounding: a value equal
+      // to the extremum may round up to 5e-5 beyond it
+      assert(v >= lo - 1e-4 && v <= hi + 1e-4,
         s"interpolated $v escapes the observed range [$lo, $hi]")
     }
   }
