@@ -386,6 +386,7 @@ object SparkEntry {
     "minhash_est_quality" -> ((s, d) => Dedup.minhashEstQuality(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.incrementalDedup(s, d)),
     "graph_similarity" -> ((s, d) => Graph.structuralSimilarity(s, d)),
+    "graph_similarity_capped" -> ((s, d) => Graph.structuralSimilarityCapped(s, d)),
     "power_users" -> ((s, d) => Analytics.powerUsers(s, d)),
     "langid_confusion" -> ((s, d) => TextOps.langidConfusion(s, d)),
     "ts_sax_motifs" -> ((s, d) => Tsdb.saxMotifs(Tsdb.points(s, d)
@@ -2980,6 +2981,21 @@ object SparkEntry {
                  ${rndSql("n_shared*1.0/(da.deg + db.deg - n_shared)", 4)}
                    AS neighbor_jaccard
           FROM sp JOIN dg da ON da.id = a_id JOIN dg db ON db.id = b_id
+          ORDER BY 1, 2, 3, 4""",
+    "graph_similarity_capped" ->
+      s"""WITH $ShingleCte,
+              $MinhashCte,
+              $GraphCte,
+              kept AS (SELECT e.a_id, e.b_id
+                       FROM ed e JOIN dg ON dg.id = e.b_id AND dg.deg <= 50),
+              cd AS (SELECT a_id AS id, count(*) AS deg FROM kept GROUP BY 1),
+              sp AS (SELECT x.a_id, y.a_id AS b_id, count(*) AS n_shared
+                     FROM kept x JOIN kept y ON x.b_id = y.b_id AND x.a_id < y.a_id
+                     GROUP BY 1, 2)
+          SELECT a_id, b_id, n_shared,
+                 ${rndSql("n_shared*1.0/(da.deg + db.deg - n_shared)", 4)}
+                   AS neighbor_jaccard
+          FROM sp JOIN cd da ON da.id = a_id JOIN cd db ON db.id = b_id
           ORDER BY 1, 2, 3, 4""",
     "power_users" ->
       s"""WITH per AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),

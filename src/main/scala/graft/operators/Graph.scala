@@ -30,7 +30,7 @@ object Graph {
     val e0 = Dedup.minhashLsh(s, d).select(col("a_id"), col("b_id"))
     val edges = e0
       .union(e0.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
-      .cache() // reused every iteration
+      .localCheckpoint(true) // reused every iteration; self-frees on GC
     val deg = edges.groupBy(col("a_id").as("id")).agg(count(lit(1)).as("deg"))
     val nv = deg.select(count(lit(1)).as("n_v"))
     // n_v rides along as a broadcast scalar column — no driver-side .first()
@@ -60,7 +60,8 @@ object Graph {
     * keeps every join side smaller than the raw adjacency.
     */
   def triangleCounts(s: SparkSession, d: String): DataFrame = {
-    val e = Dedup.minhashLsh(s, d).select(col("a_id"), col("b_id")).cache()
+    val e = Dedup.minhashLsh(s, d).select(col("a_id"), col("b_id"))
+      .localCheckpoint(true)
     val tri = e.as("e1").join(e.as("e2"), col("e2.a_id") === col("e1.b_id"))
       .join(e.as("e3"),
         col("e3.a_id") === col("e1.a_id") && col("e3.b_id") === col("e2.b_id"))
@@ -81,7 +82,10 @@ object Graph {
     * Jaccard over degree counts.
     */
   def structuralSimilarity(s: SparkSession, d: String): DataFrame = {
-    val e = Dedup.minhashLsh(s, d).cache()
+    // localCheckpoint, not cache(): the edge frame is consumed only through
+    // the returned plan, so a CacheManager entry would outlive the query
+    // (ADVICE r5) — checkpoint blocks free themselves when the plan is GC'd
+    val e = Dedup.minhashLsh(s, d).localCheckpoint(true)
     val ed = e.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(e.select(col("b_id").as("src"), col("a_id").as("dst")))
     val deg = ed.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
@@ -92,6 +96,53 @@ object Graph {
     val out = shared
       .join(deg.select(col("id").as("a_id"), col("deg").as("a_deg")), "a_id")
       .join(deg.select(col("id").as("b_id"), col("deg").as("b_deg")), "b_id")
+      .select(col("a_id"), col("b_id"), col("n_shared"),
+        Det.rnd(col("n_shared") * lit(1.0) /
+          (col("a_deg") + col("b_deg") - col("n_shared")), 4).as("neighbor_jaccard"))
+    Det.ordered(out)
+  }
+
+  /** [[structuralSimilarity]] with a hub-degree cap — the plan that survives
+    * 100 TB. The shared-neighbor self-join is quadratic in the hottest
+    * vertex's degree (a hub with n neighbors emits ~n² pair rows, and
+    * [[degreeDist]] exists precisely because dedup graphs are heavy-tailed),
+    * so edges INTO vertices of degree > `maxDeg` are dropped before the
+    * self-join: a hub neighbor is shared by everything and carries no
+    * discriminative signal — the same rationale as the df cap in
+    * [[graft.dedup.Dedup.containmentPairsCapped]]. Neighborhood Jaccard is
+    * then exact over the surviving (non-hub-mediated) neighborhoods, and
+    * per-neighbor join width is bounded by maxDeg² independent of graph
+    * size. With maxDeg above the true max degree this is exactly
+    * [[structuralSimilarity]].
+    */
+  def structuralSimilarityCapped(s: SparkSession, d: String,
+                                 maxDeg: Int = 50): DataFrame =
+    structuralSimilarityCappedOn(Dedup.minhashLsh(s, d), maxDeg)
+
+  /** Same, over any (a_id, b_id) candidate edge set — reused by the
+    * clone-inflation scale experiment so it measures the exact production
+    * plan.
+    */
+  def structuralSimilarityCappedOn(e0: DataFrame, maxDeg: Int): DataFrame = {
+    val e = e0.localCheckpoint(true)
+    val ed = e.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .union(e.select(col("b_id").as("src"), col("a_id").as("dst")))
+    val deg = ed.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    // hub filter: drop edges whose DST (the shared-neighbor candidate) is a
+    // hub, BEFORE the self-join that multiplies per-dst edge counts
+    val kept = ed.join(
+        deg.where(col("deg") <= maxDeg).select(col("id").as("dst")), "dst")
+      .localCheckpoint(true)
+    // degrees over the surviving edges, so the Jaccard stays an exact ratio
+    // of the capped neighborhoods (the containmentPairsCapped contract)
+    val cdeg = kept.groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val shared = kept.as("x").join(kept.as("y"),
+        col("x.dst") === col("y.dst") && col("x.src") < col("y.src"))
+      .groupBy(col("x.src").as("a_id"), col("y.src").as("b_id"))
+      .agg(count(lit(1)).as("n_shared"))
+    val out = shared
+      .join(cdeg.select(col("id").as("a_id"), col("deg").as("a_deg")), "a_id")
+      .join(cdeg.select(col("id").as("b_id"), col("deg").as("b_deg")), "b_id")
       .select(col("a_id"), col("b_id"), col("n_shared"),
         Det.rnd(col("n_shared") * lit(1.0) /
           (col("a_deg") + col("b_deg") - col("n_shared")), 4).as("neighbor_jaccard"))

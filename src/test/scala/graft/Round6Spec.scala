@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Graph
+
+/** Properties of the round-6 operators: the degree-capped structural
+  * similarity (hub neighbors dropped before the shared-neighbor self-join).
+  */
+class Round6Spec extends SparkTestBase {
+
+  test("graph similarity cap is exact when no vertex exceeds it") {
+    // a cap above every vertex's degree must change nothing
+    val uncapped = Graph.structuralSimilarity(spark, Sf).collect().toSet
+    val loose = Graph.structuralSimilarityCapped(spark, Sf, maxDeg = 1000000)
+      .collect().toSet
+    assert(loose == uncapped)
+  }
+
+  test("graph similarity cap bounds per-neighbor join width") {
+    val capped = Graph.structuralSimilarityCapped(spark, Sf, maxDeg = 50)
+    // neighbor Jaccard stays a valid ratio over the surviving neighborhoods
+    assert(capped.where(col("neighbor_jaccard") <= 0 ||
+      col("neighbor_jaccard") > 1).count() == 0)
+    // every vertex in the candidate graph has degree >= 1, so a zero cap
+    // drops every edge -> no pairs can form at all
+    assert(Graph.structuralSimilarityCapped(spark, Sf, maxDeg = 0).count() == 0)
+  }
+}
