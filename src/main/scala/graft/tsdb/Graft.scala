@@ -117,9 +117,18 @@ class Graft(spark: SparkSession, root: String,
       // those directories and silently hide the data
       def bucketOfMs(ms: Long) =
         Math.floorDiv(Math.floorDiv(ms, Det.MsInDay), g.toLong) * g
-      val df = raw.where(
+      val pruned = raw.where(
         col("bucket_day") >= bucketOfMs(startMs) &&
         col("bucket_day") <= bucketOfMs(math.max(endMs - 1, startMs)))
+      // push the [start, end) bounds on the PHYSICAL time_ms column too:
+      // Tsdb.read re-applies them through the ts alias (unix_millis over
+      // timestamp_millis), which parquet can't push — this plain comparison
+      // reaches PushedFilters, so row groups prune by time WITHIN a bucket
+      val df = (if (startMs != Long.MinValue) pruned.where(col("time_ms") >= startMs)
+                else pruned) match {
+        case p if endMs != Long.MaxValue => p.where(col("time_ms") < endMs)
+        case p => p
+      }
       val tags = df.columns.filterNot(c =>
         c == "time_ms" || c == "value" || c == "bucket_day").toSeq
       Some(PointsTable(df.withColumn("ts", timestamp_millis(col("time_ms"))),

@@ -240,6 +240,40 @@ class GraftApiSpec extends SparkTestBase {
     assert(g.read("""{"match_all":{}}""").count() == 0)
   }
 
+  test("time-ranged reads prune bucket_day directories and never open out-of-range buckets") {
+    val root = freshRoot()
+    val g = new Graft(spark, root, granularityDays = 1)
+    import spark.implicits._
+    g.write(Seq(
+      ("2024-01-09T10:00:00Z", 1.0, "s"),   // bucket_day=19731
+      ("2024-01-14T10:00:00Z", 2.0, "s"),   // bucket_day=19736
+      ("2024-01-19T10:00:00Z", 3.0, "s"))   // bucket_day=19741
+      .toDF("time", "value", "name"))
+    val day14 = 19736L * 86400000L
+    // build BOTH reads before tampering: each captures the full file listing
+    val ranged = g.read("""{"match_all":{}}""",
+      startMs = day14, endMs = day14 + 86400000L)
+    val full = g.read("""{"match_all":{}}""")
+    // the time range lands as non-empty PartitionFilters on bucket_day —
+    // the §5 scale story's free directory pruning, asserted on the plan
+    val plan = ranged.queryExecution.executedPlan.toString
+    val pf = plan.split("PartitionFilters: \\[", 2)
+    assert(pf.length == 2 && pf(1).contains("bucket_day") &&
+      !pf(1).trim.startsWith("]"), s"expected bucket_day PartitionFilters:\n$plan")
+    // delete the out-of-range buckets' data files: any scan that touched
+    // them would now fail, so a green ranged read PROVES they were pruned
+    val space = java.nio.file.Paths.get(root, "default")
+    Seq("bucket_day=19731", "bucket_day=19741").foreach { b =>
+      val dir = space.resolve(b)
+      java.nio.file.Files.list(dir).forEach(p => java.nio.file.Files.delete(p))
+    }
+    val rows = ranged.collect()
+    assert(rows.map(_.getDouble(2)).toSeq == Seq(2.0), rows.mkString(","))
+    // the unranged read DOES scan those directories -> must fail on the
+    // missing files (proving the ranged read's success was real pruning)
+    intercept[Exception] { full.collect() }
+  }
+
   test("compact recovers from a crash between bucket delete and tmp rename") {
     val root = freshRoot()
     val g = new Graft(spark, root)
