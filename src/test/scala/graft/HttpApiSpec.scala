@@ -55,7 +55,7 @@ class HttpApiSpec extends SparkTestBase {
       val (_, sb) = post(port, "/series", "{}")
       assert(mapper.readTree(sb).get("series").size() == 2)
       val (_, db) = post(port, "/select_distinct", """{"keys":["host"]}""")
-      val hosts = mapper.readTree(db).get("values")
+      val hosts = mapper.readTree(db) // bare array, like the reference
       assert((0 until hosts.size()).map(hosts.get(_).get("host").asText()).sorted
         == Seq("a", "b"))
 
@@ -73,6 +73,98 @@ class HttpApiSpec extends SparkTestBase {
       val (dc, delb) = post(port, "/delete", """{"keep_days":100000}""")
       assert(dc == 200, delb)
       assert(mapper.readTree(delb).get("dropped_buckets").size() == 0)
+    } finally srv.stop()
+  }
+
+  test("reference-formatted requests round-trip unchanged") {
+    // the exact shapes test/orestes-test-utils.js sends: bare-array /write
+    // body, space as a path param, `query` as the filter key, date-string
+    // start/end, count as an aggregation on /read
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "graft-http-ref").toString
+    val srv = new GraftHttpServer(new Graft(spark, root), spark)
+    val port = srv.start()
+    try {
+      val (wc, wb) = post(port, "/write/refspace",
+        """[{"time":"2024-01-09T10:00:00Z","value":17.0,"name":"cpu","host":"a"},
+            {"time":1704794401000,"value":57.0,"name":"cpu","host":"a"},
+            {"time":"2024-01-19T10:00:02Z","value":93.0,"name":"cpu","host":"b"}]""")
+      assert(wc == 200, wb)
+      assert(mapper.readTree(wb).get("errors").size() == 0)
+
+      // read: ISO start, date-only end, query-keyed filter, path space
+      val (rc, rb) = post(port, "/read/refspace",
+        """{"query":{"term":{"host":"a"}},
+            "start":"2024-01-09T00:00:00.000Z","end":"2024-01-10"}""")
+      assert(rc == 200, rb)
+      val series = mapper.readTree(rb).get("series")
+      assert(series.size() == 1)
+      val el = series.get(0)
+      // the reference element shape: nested tags + [ms, value] point pairs
+      assert(el.get("tags").get("name").asText() == "cpu" &&
+        el.get("tags").get("host").asText() == "a", el.toString)
+      val pts = el.get("points")
+      assert(pts.size() == 2)
+      assert(pts.get(0).get(0).asLong() == 1704794400000L &&
+        pts.get(0).get(1).asDouble() == 17.0, pts.toString)
+      assert(pts.get(1).get(0).asLong() == 1704794401000L &&
+        pts.get(1).get(1).asDouble() == 57.0, pts.toString)
+
+      // count as the reference sends it: an aggregation on /read
+      val (cc, cb) = post(port, "/read/refspace",
+        """{"query":{"match_all":{}},"start":0,"end":"2024-02-01",
+            "aggregations":[{"type":"count"}]}""")
+      assert(cc == 200, cb)
+      val counts = mapper.readTree(cb).get("series")
+      assert(counts.size() == 2)
+      val byHost = (0 until 2).map { i =>
+        counts.get(i).get("tags").get("host").asText() ->
+          counts.get(i).get("count").asLong()
+      }.toMap
+      assert(byHost == Map("a" -> 2L, "b" -> 1L), byHost.toString)
+
+      // any other aggregation type is a 400, like the reference
+      val (ac, _) = post(port, "/read/refspace",
+        """{"aggregations":[{"type":"avg"}]}""")
+      assert(ac == 400)
+
+      // series + select_distinct against the path space
+      val (_, sb2) = post(port, "/series/refspace", """{"query":{"match_all":{}}}""")
+      assert(mapper.readTree(sb2).get("series").size() == 2)
+      val (_, db2) = post(port, "/select_distinct/refspace", """{"keys":["host"]}""")
+      assert(mapper.readTree(db2).size() == 2)
+
+      // a garbage date is a 400, not a silent NaN range
+      val (gc, _) = post(port, "/read/refspace", """{"start":"not a date"}""")
+      assert(gc == 400)
+    } finally srv.stop()
+  }
+
+  test("a held streaming read does not block concurrent requests") {
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "graft-http-conc").toString
+    val srv = new GraftHttpServer(new Graft(spark, root), spark)
+    val port = srv.start()
+    try {
+      post(port, "/write",
+        """[{"time":"2024-01-09T10:00:00Z","value":1.0,"name":"cpu"}]""")
+      // gate /read streams open after headers; /count must complete while
+      // the read is still held (deterministic, no timing races)
+      val latch = new java.util.concurrent.CountDownLatch(1)
+      srv.holdStreamsFor = Some(("/read", latch))
+      val readFut = java.util.concurrent.CompletableFuture.supplyAsync(() =>
+        post(port, "/read", "{}"))
+      try {
+        val (cc, cb) = post(port, "/count", "{}")
+        assert(cc == 200, cb)
+        assert(mapper.readTree(cb).get("series").size() == 1)
+        assert(!readFut.isDone, "read must still be held open")
+      } finally {
+        srv.holdStreamsFor = None
+        latch.countDown()
+      }
+      val (rc, rb) = readFut.get(30, java.util.concurrent.TimeUnit.SECONDS)
+      assert(rc == 200 && mapper.readTree(rb).get("series").size() == 1, rb)
     } finally srv.stop()
   }
 
