@@ -130,6 +130,19 @@ object SparkEntry {
     // ES `fuzzy` with AUTO fuzziness (6 chars -> edit distance 2)
     "ts_read_filter_fuzzy" -> ((s, d) => Tsdb.read(Tsdb.points(s, d),
       EsFilter.compile("""{"fuzzy":{"event_type":{"value":"clickk"}}}"""), Start, End)),
+    // ES fuzzy counts an adjacent transposition as ONE edit (OSA, the
+    // Lucene transpositions=true default): 'cilck' ~ 'click' at AUTO = 1
+    "ts_read_filter_fuzzy_osa" -> ((s, d) => Tsdb.read(Tsdb.points(s, d),
+      EsFilter.compile("""{"fuzzy":{"event_type":{"value":"cilck","fuzziness":"AUTO"}}}"""),
+      Start, End)),
+    // ES `match_phrase`: analyzed terms adjacent and in order
+    "ts_read_filter_phrase" -> ((s, d) => Tsdb.read(Tsdb.points(s, d),
+      EsFilter.compile("""{"match_phrase":{"event_type":"click"}}"""), Start, End)),
+    // ES `constant_score`: filter-context passthrough of the wrapped query
+    "ts_read_filter_const_score" -> ((s, d) => Tsdb.read(Tsdb.points(s, d),
+      EsFilter.compile(
+        """{"constant_score":{"filter":{"terms":{"event_type":["signup","error"]}}}}"""),
+      Start, End)),
     // multi-field query_string: bare tokens match any listed field
     "ts_read_filter_qs_fields" -> ((s, d) => Tsdb.read(Tsdb.points(s, d),
       EsFilter.compile(
@@ -901,7 +914,24 @@ object SparkEntry {
     "ts_read_filter_fuzzy" ->
       s"""SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events
           WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
-            AND levenshtein(event_type, 'clickk') <= 2
+            AND damerau_levenshtein(event_type, 'clickk') <= 2
+          ORDER BY 1, 2, 3, 4""",
+    "ts_read_filter_fuzzy_osa" ->
+      s"""SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events
+          WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
+            AND damerau_levenshtein(event_type, 'cilck') <= 1
+          ORDER BY 1, 2, 3, 4""",
+    "ts_read_filter_phrase" ->
+      s"""SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events
+          WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
+            AND regexp_matches(
+                  array_to_string(string_split_regex(lower(event_type), '\\s+'), ' '),
+                  '(^| )click( |$$)')
+          ORDER BY 1, 2, 3, 4""",
+    "ts_read_filter_const_score" ->
+      s"""SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events
+          WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
+            AND event_type IN ('signup', 'error')
           ORDER BY 1, 2, 3, 4""",
     "ts_read_filter_qs_fields" ->
       s"""SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events

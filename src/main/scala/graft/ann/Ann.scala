@@ -484,8 +484,12 @@ object Ann {
     val mu = comp.groupBy(col("i"))
       .agg(Det.rnd(sum(col("x").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
         .as("mu"))
+    // localCheckpoint, not cache(): cc feeds the covariance sample (eager,
+    // during training) and the final projection (the returned plan) — a
+    // CacheManager entry would outlive the query (ADVICE r5)
     val cc = comp.join(broadcast(mu), "i")
-      .select(col("vec_id"), col("i"), (col("x") - col("mu")).as("xc")).cache()
+      .select(col("vec_id"), col("i"), (col("x") - col("mu")).as("xc"))
+      .localCheckpoint(true)
     // covariance from a deterministic 1-in-5 sample — the production shape
     // (C is estimated, the projection is the only full corpus pass); the
     // oracle replays the same sample predicate
@@ -496,7 +500,7 @@ object Ann {
       .agg(sum((col("a.xc") * col("b.xc")).cast("decimal(38,12)")).cast("double").as("sxx"))
       .crossJoin(broadcast(nDfS))
       .select(col("ci"), col("cj"), Det.rnd(col("sxx") / col("n"), 6).as("c"))
-      .cache()
+      .localCheckpoint(true) // dims x dims table, re-read every iteration
     var v: DataFrame = cov.select(col("ci").as("i")).distinct()
       .select(col("i"), lit(0.125).as("v"))
     for (_ <- 0 until iters) {

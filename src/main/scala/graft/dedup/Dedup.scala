@@ -201,10 +201,12 @@ object Dedup {
     }
     val keyed = minhashSigs(sh).select(col("doc_id") +: bandCols: _*)
     val stackExpr = (0 until nBands).map(b => s"$b, band$b").mkString(", ")
-    // cache: the self-join below would otherwise recompute the whole
-    // shingle -> signature pipeline for each side
+    // materialize once: the self-join below would otherwise recompute the
+    // whole shingle -> signature pipeline for each side. localCheckpoint,
+    // not cache() — consumed only through the returned plan, and the graph
+    // operators call this repeatedly in one session (ADVICE r5)
     val bands = keyed.selectExpr("doc_id", s"stack($nBands, $stackExpr) AS (band, band_key)")
-      .cache()
+      .localCheckpoint(true)
     val out = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
         col("a.doc_id") < col("b.doc_id"))
@@ -336,7 +338,9 @@ object Dedup {
     * signature, candidate and exact stages.
     */
   def minhashEstQuality(s: SparkSession, d: String): DataFrame = {
-    val sh = shingleRows(s, d).cache()
+    // localCheckpoint, not cache(): consumed only through the returned plan
+    // (signature, candidate and exact stages) — self-frees on GC (ADVICE r5)
+    val sh = shingleRows(s, d).localCheckpoint(true)
     val cands = minhashLshOn(sh)
     val sigs = minhashSigs(sh)
     def sigSide(pfx: String) = sigs.select(
@@ -382,7 +386,9 @@ object Dedup {
     * experiment so it measures the exact production plan.
     */
   def incrementalDedupOn(sh0: DataFrame, splitId: Long): DataFrame = {
-    val sh = sh0.cache()
+    // localCheckpoint: shared by the band pipeline and the new-doc roster
+    // without leaving a CacheManager entry behind (ADVICE r5)
+    val sh = sh0.localCheckpoint(true)
     val nBands = MinhashSeeds / BandRows
     val bandCols = (0 until nBands).map { b =>
       val sigs = (0 until BandRows).map(r => col(s"sig${b * BandRows + r}"))
@@ -392,7 +398,7 @@ object Dedup {
     val stackExpr = (0 until nBands).map(b => s"$b, band$b").mkString(", ")
     val bands = keyed
       .selectExpr("doc_id", s"stack($nBands, $stackExpr) AS (band, band_key)")
-      .cache()
+      .localCheckpoint(true) // feeds both join sides; self-frees on GC
     val newSide = bands.where(col("doc_id") >= splitId)
       .select(col("doc_id").as("new_id"), col("band"), col("band_key"))
     val oldSide = bands.where(col("doc_id") < splitId)

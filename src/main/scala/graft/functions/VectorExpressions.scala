@@ -71,6 +71,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_osa"),
+      new ExpressionInfo(classOf[OsaDistance].getName, "graft_osa"),
+      (children: Seq[Expression]) => OsaDistance(children.head, children(1))))
     ext.injectPlannerStrategy(_ => new graft.plans.AsofJoinStrategy)
   }
 }

@@ -753,11 +753,14 @@ object TextOps {
   /** [[winnowingPairs]] over a precomputed fingerprint set. */
   def winnowingPairsOn(fp0: DataFrame, minShared: Int = 5, maxDf: Int = 20): DataFrame = {
     // the gram -> window-min pipeline feeds the df count, the size table and
-    // both sides of the pair join — cache it once instead of 4 recomputes
-    val fp = fp0.cache()
+    // both sides of the pair join — materialize it once instead of 4
+    // recomputes. localCheckpoint, not cache(): these frames live only
+    // inside the returned plan, so a CacheManager entry would outlive the
+    // query (ADVICE r5); checkpoint blocks free themselves on GC.
+    val fp = fp0.localCheckpoint(true)
     val rare = fp.groupBy(col("wmin")).agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf).select(col("wmin"))
-    val kept = fp.join(rare, "wmin").cache()
+    val kept = fp.join(rare, "wmin").localCheckpoint(true)
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
     val shared = kept.as("a").join(kept.as("b"),
         col("a.wmin") === col("b.wmin") && col("a.doc_id") < col("b.doc_id"))

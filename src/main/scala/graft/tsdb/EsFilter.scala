@@ -16,7 +16,9 @@ import scala.jdk.CollectionConverters._
   * min/max pruning + partition pruning instead of an external ES cluster.
   *
   * Supported: match_all, term, terms, range (gt/gte/lt/lte), exists, missing,
-  * prefix, wildcard, regexp, ids, query_string (field:value / AND / OR /
+  * prefix, wildcard, regexp, ids, fuzzy (OSA distance, the Lucene
+  * transpositions=true default), match, match_phrase, match_phrase_prefix,
+  * constant_score, nested, query_string (field:value / AND / OR /
   * wildcards), bool (must/filter/should/must_not/minimum_should_match),
   * and, or, not. `should` requires at least one clause to match
   * (filter-context semantics) unless `minimum_should_match` says otherwise.
@@ -123,6 +125,14 @@ object EsFilter {
       case "ids"       => ids(body)
       case "fuzzy"     => fuzzy(body)
       case "match"     => matchQuery(body)
+      case "match_phrase"        => matchPhrase(body, prefix = false)
+      case "match_phrase_prefix" => matchPhrase(body, prefix = true)
+      // constant_score: scoring is irrelevant in filter context — pass the
+      // wrapped filter through (ES accepts `filter` or legacy `query`)
+      case "constant_score" =>
+        require(body.isObject && (body.has("filter") || body.has("query")),
+          s"""constant_score needs a "filter", got $body""")
+        compileNode(if (body.has("filter")) body.get("filter") else body.get("query"))
       case "nested"    => nested(body)
       case "query_string" => queryString(body)
       case "bool"      => bool(body)
@@ -167,9 +177,15 @@ object EsFilter {
   }
 
   /** ES `fuzzy`: edit-distance match on a keyword field. `fuzziness` is an
-    * integer or "AUTO" (ES's length ladder: 0 for ≤2 chars, 1 for 3-5,
-    * 2 beyond). Levenshtein evaluates inside the scan stage — no join, and
-    * at scale the non-fuzzy residue of a bool query still prunes first.
+    * integer, a numeric string, or "AUTO" (ES's length ladder: 0 for ≤2
+    * chars, 1 for 3-5, 2 beyond); anything else is rejected, not silently
+    * treated as AUTO. The distance is OSA (Levenshtein + adjacent
+    * transpositions) — the Lucene default `transpositions: true`, so
+    * 'cilck' matches 'click' at distance 1 — via the codegen'd `graft_osa`
+    * expression when [[graft.functions.GraftExtensions]] is installed
+    * (plain Levenshtein otherwise: the documented no-transpositions
+    * fallback). Evaluates inside the scan stage — no join, and at scale the
+    * non-fuzzy residue of a bool query still prunes first.
     */
   private def fuzzy(body: JsonNode): Column = {
     require(body.isObject && body.size() == 1, s"expected {field: spec}, got $body")
@@ -177,13 +193,49 @@ object EsFilter {
     val spec = body.get(f)
     val v = if (spec.isObject && spec.has("value")) spec.get("value") else spec
     val text = v.asText()
+    def auto: Int = if (text.length <= 2) 0 else if (text.length <= 5) 1 else 2
     val fuzziness: Int =
-      if (spec.isObject && spec.has("fuzziness") && spec.get("fuzziness").isNumber)
-        spec.get("fuzziness").asInt()
-      else if (text.length <= 2) 0
-      else if (text.length <= 5) 1
-      else 2
-    levenshtein(fieldCol(f).cast("string"), lit(text)) <= fuzziness
+      if (!spec.isObject || !spec.has("fuzziness")) auto
+      else {
+        val fz = spec.get("fuzziness")
+        if (fz.isNumber) fz.asInt()
+        else fz.asText() match {
+          case s if s.matches("\\d+")          => s.toInt
+          case s if s.equalsIgnoreCase("AUTO") => auto
+          case other => throw new IllegalArgumentException(
+            s"unsupported fuzziness: '$other' (want an integer or AUTO)")
+        }
+      }
+    val dist: Column = {
+      val active = org.apache.spark.sql.SparkSession.active
+      if (active.catalog.functionExists("graft_osa"))
+        call_function("graft_osa", fieldCol(f).cast("string"), lit(text))
+      else levenshtein(fieldCol(f).cast("string"), lit(text))
+    }
+    dist <= fuzziness
+  }
+
+  /** ES `match_phrase` (+ `_prefix`): the analyzed query terms must appear
+    * ADJACENT and IN ORDER in the analyzed field — consistent with
+    * [[matchQuery]]'s analyzer (lowercase whitespace tokens). Compiled as an
+    * anchored regex over the space-rejoined token stream, with every term
+    * regex-quoted; the `_prefix` form lets the last term match as a prefix
+    * (ES's autocomplete shape). Evaluates in the scan stage, like `match`.
+    */
+  private def matchPhrase(body: JsonNode, prefix: Boolean): Column = {
+    require(body.isObject && body.size() == 1, s"expected {field: query}, got $body")
+    val f = body.fieldNames().next()
+    val spec = body.get(f)
+    val qText = if (spec.isObject && spec.has("query")) spec.get("query").asText()
+                else spec.asText()
+    val terms = qText.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+    require(terms.nonEmpty, "match_phrase needs a non-empty query")
+    val quoted = terms.map(java.util.regex.Pattern.quote)
+    val phrase =
+      if (prefix) (quoted.init :+ (quoted.last + "[^ ]*")).mkString(" ")
+      else quoted.mkString(" ")
+    val joined = array_join(split(lower(fieldCol(f)), "\\s+"), " ")
+    joined.rlike("(^| )" + phrase + "( |$)")
   }
 
   private def terms(body: JsonNode): Column = {

@@ -993,13 +993,16 @@ object Tsdb {
         Det.rnd(sum(col("x").cast("decimal(18,4)")).over(w).cast("double") / width, 6))
       .where(col("w_n") === width)
       .withColumn("detrended", col("x") - col("trend"))
-      .withColumn("hour_of_day", col("bucket") % 24)
+      // daily seasonality whatever the bucket width: the cycle length in
+      // buckets derives from stepMs (24 phases at the hourly default; a
+      // hardcoded %24 would silently shift the cycle for any other step)
+      .withColumn("phase", col("bucket") % math.max(Det.MsInDay / stepMs, 1L))
     val seasonal = trended
-      .groupBy(pt.tags :+ col("hour_of_day"): _*)
+      .groupBy(pt.tags :+ col("phase"): _*)
       .agg(Det.rnd(sum(col("detrended").cast("decimal(28,8)")).cast("double")
         / count(lit(1)), 6).as("seasonal"))
     val out = trended
-      .join(seasonal, pt.tagCols :+ "hour_of_day")
+      .join(seasonal, pt.tagCols :+ "phase")
       .select(pt.tags ++ Seq(col("bucket"), col("x"), col("trend"), col("seasonal"),
         Det.rnd(col("detrended") - col("seasonal"), 6).as("residual")): _*)
     Det.ordered(out)

@@ -135,6 +135,45 @@ class EsFilterSpec extends SparkTestBase {
     assert(ids("""{"fuzzy":{"event_type":{"value":"signup","fuzziness":0}}}""") == Seq(4L))
   }
 
+  test("fuzzy counts transpositions as one edit (OSA) and parses string fuzziness") {
+    // adjacent transposition = 1 edit: "cilck" ~ click at AUTO (5 chars -> 1)
+    assert(ids("""{"fuzzy":{"event_type":"cilck"}}""") == Seq(2L))
+    // string-valued fuzziness: numeric strings and explicit AUTO
+    assert(ids("""{"fuzzy":{"event_type":{"value":"clickz","fuzziness":"1"}}}""") == Seq(2L))
+    assert(ids("""{"fuzzy":{"event_type":{"value":"cilck","fuzziness":"AUTO"}}}""") == Seq(2L))
+    // unknown fuzziness values are rejected, not silently treated as AUTO
+    intercept[IllegalArgumentException] {
+      ids("""{"fuzzy":{"event_type":{"value":"click","fuzziness":"three"}}}""")
+    }
+  }
+
+  test("match_phrase: adjacent in-order terms; _prefix autocompletes the last") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "quick the brown fox"),
+      (3L, "the quick red brown fox"),
+      (4L, "THE QUICK BROWN dog")).toDF("id", "text")
+    def pids(json: String): Seq[Long] =
+      docs.where(EsFilter.compile(json)).select("id").collect().map(_.getLong(0)).sorted.toSeq
+    // adjacent and in order (case-insensitive through the analyzer)
+    assert(pids("""{"match_phrase":{"text":"quick brown"}}""") == Seq(1L, 4L))
+    // order matters
+    assert(pids("""{"match_phrase":{"text":"brown quick"}}""") == Seq())
+    // a gap breaks the phrase (doc 3 has quick RED brown)
+    assert(pids("""{"match_phrase":{"text":{"query":"quick brown fox"}}}""") == Seq(1L))
+    // the prefix form lets the final term autocomplete
+    assert(pids("""{"match_phrase_prefix":{"text":"brown fo"}}""") == Seq(1L, 2L, 3L))
+    // a single-term phrase degenerates to exact token membership
+    assert(pids("""{"match_phrase":{"text":"fox"}}""") == Seq(1L, 2L, 3L))
+  }
+
+  test("constant_score passes its filter through") {
+    assert(ids("""{"constant_score":{"filter":{"term":{"event_type":"click"}}}}""")
+      == Seq(2L))
+    intercept[IllegalArgumentException] { ids("""{"constant_score":{}}""") }
+  }
+
   test("query_string multi-field: bare tokens match any listed field") {
     assert(ids("""{"query_string":{"query":"click error","fields":["event_type"]}}""")
       == Seq(2L, 3L))
