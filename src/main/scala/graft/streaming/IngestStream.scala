@@ -88,7 +88,16 @@ object IngestStream {
   def startFromSource(raw: DataFrame, sinkDir: String, errDir: String,
                       checkpointDir: String,
                       granularityDays: Int = Tsdb.GranularityDays): StreamingQuery =
-    validate(raw).writeStream
+    sinkValidated(validate(raw), sinkDir, errDir, checkpointDir, granularityDays)
+
+  /** The landing half of [[startFromSource]]/[[startFromBroker]]: per-batch
+    * dynamic-overwrite partitions for the good points AND the dead-letter
+    * channel, so a replayed batch rewrites itself instead of duplicating.
+    */
+  private def sinkValidated(validated: DataFrame, sinkDir: String, errDir: String,
+                            checkpointDir: String,
+                            granularityDays: Int): StreamingQuery =
+    validated.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -110,6 +119,54 @@ object IngestStream {
         ()
       }
       .start()
+
+  /** What the Kafka connector emits per record — spark-sql-kafka's output
+    * schema, column for column (key/value as bytes, source coordinates,
+    * broker timestamp). [[startFromBroker]] consumes ONLY this shape, so a
+    * real `spark.readStream.format("kafka")` frame is a drop-in. (The
+    * connector jar itself is not on this environment's classpath — zero
+    * egress — so specs drive the path through a MemoryStream emitting this
+    * exact schema.)
+    */
+  val brokerSchema: StructType = StructType(Seq(
+    StructField("key", BinaryType),
+    StructField("value", BinaryType),
+    StructField("topic", StringType),
+    StructField("partition", IntegerType),
+    StructField("offset", LongType),
+    StructField("timestamp", TimestampType),
+    StructField("timestampType", IntegerType)))
+
+  /** Broker frame → wire-schema points: JSON-decode the value bytes.
+    * Records whose value is not valid JSON decode to all-null points and
+    * surface through the validator's error channel ("invalid timestamp"),
+    * never abort the batch — the at-least-once broker contract is that
+    * poison messages go to the dead letter, not down the query.
+    */
+  def fromBroker(broker: DataFrame): DataFrame =
+    broker
+      .select(from_json(col("value").cast("string"), pointSchema).as("p"))
+      .select(col("p.time"), col("p.value"), col("p.user_id"), col("p.event_type"))
+
+  /** Broker-source ingestion (the Kafka shape of [[startFromSource]]).
+    * At-least-once brokers REDELIVER records — a producer retry or a
+    * rebalance replays the same (topic, partition, offset) — so the stream
+    * first drops duplicate source coordinates within the watermark horizon
+    * (state bounded by the horizon, the [[dedupped]] discipline), then
+    * decodes, validates and lands through the same idempotent
+    * per-batch-overwrite sink. Redelivery inside a batch, across batches,
+    * and across a checkpoint restart all land exactly once.
+    */
+  def startFromBroker(broker: DataFrame, sinkDir: String, errDir: String,
+                      checkpointDir: String,
+                      granularityDays: Int = Tsdb.GranularityDays,
+                      watermark: String = "2 hours"): StreamingQuery = {
+    val once = broker
+      .withWatermark("timestamp", watermark)
+      .dropDuplicatesWithinWatermark("topic", "partition", "offset")
+    sinkValidated(validate(fromBroker(once)), sinkDir, errDir, checkpointDir,
+      granularityDays)
+  }
 
   /** Stream-stream interval join: each left point matched to right points of
     * the same user within [0, joinWindowMs) after it. Both sides carry

@@ -46,6 +46,58 @@ class StreamingSpec extends SparkTestBase {
     assert(all.select("bucket_day").distinct().count() == 2)
   }
 
+  test("kafka-shaped broker ingest: redelivered offsets land once, poison goes to dead-letter") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sink = tmp("broker-sink"); val err = tmp("broker-err"); val ckpt = tmp("broker-ckpt")
+    // the connector's exact record shape: key/value bytes + source coords
+    val mem = MemoryStream[(Array[Byte], Array[Byte], String, Int, Long,
+      java.sql.Timestamp, Int)]
+    val broker = mem.toDF()
+      .toDF("key", "value", "topic", "partition", "offset", "timestamp", "timestampType")
+    assert(org.apache.spark.sql.types.DataType.equalsStructurally(
+      broker.schema, graft.streaming.IngestStream.brokerSchema,
+      ignoreNullability = true))
+    val now = new java.sql.Timestamp(1704794400000L)
+    def rec(offset: Long, json: String) =
+      (Array.empty[Byte], json.getBytes("UTF-8"), "points", 0, offset, now, 0)
+    def pt(ts: String, v: Double, u: Long, et: String) =
+      s"""{"time":"$ts","value":$v,"user_id":$u,"event_type":"$et"}"""
+
+    val q = IngestStream.startFromBroker(broker, sink, err, ckpt)
+    // batch 1: offset 0 REDELIVERED inside the batch (producer retry),
+    // offset 2 is unparseable bytes, offset 3 has a null value
+    mem.addData(
+      rec(0, pt("2024-01-09T10:00:00Z", 1.0, 9L, "click")),
+      rec(0, pt("2024-01-09T10:00:00Z", 1.0, 9L, "click")),
+      rec(1, pt("2024-01-09T10:00:01Z", 2.0, 9L, "view")),
+      rec(2, "not json at all"),
+      rec(3, """{"time":"2024-01-09T10:00:02Z","value":null,"user_id":9,"event_type":"view"}"""))
+    q.processAllAvailable()
+    assert(spark.read.parquet(sink).count() == 2, "in-batch redelivery collapsed")
+    val errs = spark.read.parquet(err).select("error").collect().map(_.getString(0)).sorted
+    assert(errs.toSeq == Seq("invalid timestamp", "invalid value"), errs.toSeq)
+
+    // batch 2: offset 1 redelivered ACROSS batches + one genuinely new record
+    mem.addData(
+      rec(1, pt("2024-01-09T10:00:01Z", 2.0, 9L, "view")),
+      rec(4, pt("2024-01-09T10:00:03Z", 3.0, 7L, "click")))
+    q.processAllAvailable(); q.stop()
+    val vals = spark.read.parquet(sink).select("value").collect().map(_.getDouble(0)).sorted
+    assert(vals.toSeq == Seq(1.0, 2.0, 3.0), "cross-batch redelivery collapsed")
+
+    // restart from the same checkpoint: earlier batches must not re-land;
+    // a redelivery of offset 4 after the restart is also dropped (state
+    // restored from the checkpoint), and new offsets land exactly once
+    val q2 = IngestStream.startFromBroker(broker, sink, err, ckpt)
+    mem.addData(
+      rec(4, pt("2024-01-09T10:00:03Z", 3.0, 7L, "click")),
+      rec(5, pt("2024-01-09T10:00:04Z", 4.0, 7L, "view")))
+    q2.processAllAvailable(); q2.stop()
+    val after = spark.read.parquet(sink).select("value").collect().map(_.getDouble(0)).sorted
+    assert(after.toSeq == Seq(1.0, 2.0, 3.0, 4.0), "replay-idempotent across restart")
+  }
+
   test("streaming dedup drops re-delivered points within the watermark") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
