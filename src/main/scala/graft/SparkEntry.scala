@@ -352,6 +352,7 @@ object SparkEntry {
     "quality_gopher" -> ((s, d) => TextOps.gopherQuality(s, d)),
     "text_winnowing" -> ((s, d) => TextOps.winnowing(s, d)),
     "knn_classify" -> ((s, d) => Ann.knnClassify(s, d)),
+    "knn_classify_ivf" -> ((s, d) => Ann.knnClassifyIvf(s, d)),
     "q6_forecast_revenue" -> ((s, d) => Analytics.q6ForecastRevenue(s, d)),
     "q14_promo_share" -> ((s, d) => Analytics.q14PromoShare(s, d)),
     "q19_brackets" -> ((s, d) => Analytics.q19Brackets(s, d)),
@@ -1640,9 +1641,10 @@ object SparkEntry {
                       WHERE a.vec_id < 20 GROUP BY 1, 2),
               bfc AS (SELECT q_id, n_id, round(dot/sqrt(nq.nsq*nn.nsq), 6) AS cosine
                       FROM bfd JOIN vn nq ON nq.vec_id = q_id JOIN vn nn ON nn.vec_id = n_id),
-              bf AS (SELECT q_id, n_id FROM (
-                       SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
-                         ORDER BY cosine DESC, n_id) AS rank FROM bfc) WHERE rank <= 5),
+              bfr AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+                        ORDER BY cosine DESC, n_id) AS rank FROM bfc),
+              bf AS (SELECT q_id, n_id FROM bfr WHERE rank <= 5),
+              bf10 AS (SELECT q_id, n_id FROM bfr WHERE rank <= 10),
               ${ivfTrainCte(2, 16)},
               knf AS (SELECT c_id, sum(cx*cx) AS nsq FROM c2 GROUP BY 1),
               cc AS (SELECT v.vec_id AS vid, c.c_id AS cid, sum(v.x * c.cx) AS dot
@@ -1668,11 +1670,12 @@ object SparkEntry {
                           JOIN probe2 qa ON qa.vid = a.vec_id
                           JOIN assign na ON na.vid = b.vec_id AND na.cell = qa.cell
                           WHERE a.vec_id < 20 GROUP BY 1, 2),
-              ivtop2 AS (SELECT q_id, n_id FROM (
-                           SELECT d.q_id, d.n_id, row_number() OVER (PARTITION BY d.q_id
-                             ORDER BY round(d.dot/sqrt(nq.nsq*nn.nsq), 6) DESC, d.n_id) AS rank
-                           FROM ivdots2 d JOIN vnr nq ON nq.vec_id = d.q_id
-                                          JOIN vnr nn ON nn.vec_id = d.n_id) WHERE rank <= 5),
+              ivr2 AS (SELECT d.q_id, d.n_id, row_number() OVER (PARTITION BY d.q_id
+                         ORDER BY round(d.dot/sqrt(nq.nsq*nn.nsq), 6) DESC, d.n_id) AS rank
+                       FROM ivdots2 d JOIN vnr nq ON nq.vec_id = d.q_id
+                                      JOIN vnr nn ON nn.vec_id = d.n_id),
+              ivtop2 AS (SELECT q_id, n_id FROM ivr2 WHERE rank <= 5),
+              ivknn10 AS (SELECT q_id, n_id FROM ivr2 WHERE rank <= 10),
               $PqAdcCte,
               pqtop AS (SELECT q_id, n_id FROM (
                           SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
@@ -1700,9 +1703,17 @@ object SparkEntry {
                        WHERE EXISTS (SELECT 1 FROM bf
                                      WHERE bf.q_id = u.q_id AND bf.n_id = u.n_id)
                        GROUP BY 1),
-              tot AS (SELECT count(*) AS n_exact FROM bf)
+              res AS (SELECT method, n_hits, (SELECT count(*) FROM bf) AS n_exact
+                      FROM hits
+                      UNION ALL
+                      SELECT 'ivf_knn10',
+                             (SELECT count(*) FROM ivknn10 u2
+                              WHERE EXISTS (SELECT 1 FROM bf10
+                                            WHERE bf10.q_id = u2.q_id
+                                              AND bf10.n_id = u2.n_id)),
+                             (SELECT count(*) FROM bf10))
           SELECT method, n_hits, n_exact, ${rndSql("n_hits / n_exact", 4)} AS recall
-          FROM hits, tot ORDER BY 1, 2, 3, 4""",
+          FROM res ORDER BY 1, 2, 3, 4""",
     "ann_ivfpq" ->
       s"""WITH $VecrCte,
               ${ivfTrainCte(2, 16)},
@@ -2469,6 +2480,36 @@ object SparkEntry {
               r AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
                       ORDER BY cosine DESC, n_id) AS rank FROM c),
               nb AS (SELECT q_id, n_id FROM r WHERE rank <= 10),
+              v AS (SELECT nb.q_id, e.label, count(*) AS n_votes
+                    FROM nb JOIN embeddings e ON e.vec_id = nb.n_id GROUP BY 1, 2),
+              wv AS (SELECT q_id, label, n_votes, row_number() OVER (PARTITION BY q_id
+                       ORDER BY n_votes DESC, label) AS vr FROM v)
+          SELECT wv.q_id, wv.label AS pred_label, wv.n_votes,
+                 e2.label AS true_label, CAST(wv.label = e2.label AS BIGINT) AS correct
+          FROM wv JOIN embeddings e2 ON e2.vec_id = wv.q_id
+          WHERE wv.vr = 1 ORDER BY 1, 2, 3, 4, 5""",
+    "knn_classify_ivf" ->
+      s"""WITH $VecrCte,
+              ${ivfTrainCte(2, 16)},
+              knf AS (SELECT c_id, sum(cx*cx) AS nsq FROM c2 GROUP BY 1),
+              cc AS (SELECT v.vec_id AS vid, c.c_id AS cid, sum(v.x * c.cx) AS dot
+                     FROM evr v JOIN c2 c ON v.i = c.i GROUP BY 1, 2),
+              ccos AS (SELECT vid, cid, round(dot/sqrt(nv.nsq*nc.nsq), 6) AS c
+                       FROM cc JOIN vnr nv ON nv.vec_id = vid JOIN knf nc ON nc.c_id = cid),
+              rankedc AS (SELECT vid, cid, row_number() OVER (PARTITION BY vid
+                            ORDER BY c DESC, cid) AS arn FROM ccos),
+              assign AS (SELECT vid, cid AS cell FROM rankedc WHERE arn = 1),
+              probe2 AS (SELECT vid, cid AS cell FROM rankedc WHERE arn <= 2),
+              dots AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, sum(a.x*b.x) AS dot
+                       FROM evr a JOIN evr b ON a.i = b.i AND a.vec_id <> b.vec_id
+                       JOIN probe2 qa ON qa.vid = a.vec_id
+                       JOIN assign na ON na.vid = b.vec_id AND na.cell = qa.cell
+                       WHERE a.vec_id < 50 GROUP BY 1, 2),
+              nb AS (SELECT q_id, n_id FROM (
+                       SELECT d.q_id, d.n_id, row_number() OVER (PARTITION BY d.q_id
+                         ORDER BY round(d.dot/sqrt(nq.nsq*nn.nsq), 6) DESC, d.n_id) AS rank
+                       FROM dots d JOIN vnr nq ON nq.vec_id = d.q_id
+                                   JOIN vnr nn ON nn.vec_id = d.n_id) WHERE rank <= 10),
               v AS (SELECT nb.q_id, e.label, count(*) AS n_votes
                     FROM nb JOIN embeddings e ON e.vec_id = nb.n_id GROUP BY 1, 2),
               wv AS (SELECT q_id, label, n_votes, row_number() OVER (PARTITION BY q_id
