@@ -143,6 +143,11 @@ object SparkEntry {
       EsFilter.compile(
         """{"constant_score":{"filter":{"terms":{"event_type":["signup","error"]}}}}"""),
       Start, End)),
+    // ES `multi_match`: the match analyzer across several fields (OR)
+    "ts_read_filter_multi_match" -> ((s, d) => Tsdb.read(Tsdb.points(s, d),
+      EsFilter.compile(
+        """{"multi_match":{"query":"signup error","fields":["event_type","props"]}}"""),
+      Start, End)),
     // multi-field query_string: bare tokens match any listed field
     "ts_read_filter_qs_fields" -> ((s, d) => Tsdb.read(Tsdb.points(s, d),
       EsFilter.compile(
@@ -933,6 +938,14 @@ object SparkEntry {
       s"""SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events
           WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
             AND event_type IN ('signup', 'error')
+          ORDER BY 1, 2, 3, 4""",
+    "ts_read_filter_multi_match" ->
+      s"""SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events
+          WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
+            AND (list_contains(string_split_regex(lower(event_type), '\\s+'), 'signup')
+              OR list_contains(string_split_regex(lower(event_type), '\\s+'), 'error')
+              OR list_contains(string_split_regex(lower(props), '\\s+'), 'signup')
+              OR list_contains(string_split_regex(lower(props), '\\s+'), 'error'))
           ORDER BY 1, 2, 3, 4""",
     "ts_read_filter_qs_fields" ->
       s"""SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events

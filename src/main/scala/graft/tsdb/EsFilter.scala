@@ -125,6 +125,7 @@ object EsFilter {
       case "ids"       => ids(body)
       case "fuzzy"     => fuzzy(body)
       case "match"     => matchQuery(body)
+      case "multi_match" => multiMatch(body)
       case "match_phrase"        => matchPhrase(body, prefix = false)
       case "match_phrase_prefix" => matchPhrase(body, prefix = true)
       // constant_score: scoring is irrelevant in filter context — pass the
@@ -215,12 +216,48 @@ object EsFilter {
     dist <= fuzziness
   }
 
+  /** ES `multi_match`: the `match` analyzer applied across several fields —
+    * a document matches when ANY field matches (best_fields, the ES
+    * default; in filter context every scoring type degenerates to this
+    * disjunction except `cross_fields`+AND, where each term may match in
+    * any field but all terms must appear somewhere). `operator` applies
+    * per field for best_fields and per term for cross_fields.
+    */
+  private def multiMatch(body: JsonNode): Column = {
+    require(body.isObject && body.has("query") && body.has("fields"),
+      s"""multi_match needs "query" and "fields", got $body""")
+    val qText = body.get("query").asText()
+    val fields = body.get("fields").elements().asScala.map(_.asText()).toSeq
+    require(fields.nonEmpty, "multi_match needs at least one field")
+    val op = if (body.has("operator")) body.get("operator").asText().toLowerCase else "or"
+    val mType = if (body.has("type")) body.get("type").asText() else "best_fields"
+    val terms = qText.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
+    require(terms.nonEmpty, "multi_match needs a non-empty query")
+    def fieldToks(f: String) = split(lower(fieldCol(f)), "\\s+")
+    if (mType == "cross_fields" && op == "and")
+      // every term present in SOME field
+      terms.map(t => fields.map(f =>
+          coalesce(array_contains(fieldToks(f), t), lit(false)): Column)
+        .reduce(_ || _)).reduce(_ && _)
+    else {
+      // best_fields: some field matches the whole (per-operator) query
+      fields.map { f =>
+        val preds = terms.map(t => array_contains(fieldToks(f), t))
+        coalesce(if (op == "and") preds.reduce(_ && _) else preds.reduce(_ || _),
+          lit(false)): Column
+      }.reduce(_ || _)
+    }
+  }
+
   /** ES `match_phrase` (+ `_prefix`): the analyzed query terms must appear
-    * ADJACENT and IN ORDER in the analyzed field — consistent with
+    * IN ORDER in the analyzed field, adjacent by default or with up to
+    * `slop` intervening tokens between consecutive terms — consistent with
     * [[matchQuery]]'s analyzer (lowercase whitespace tokens). Compiled as an
     * anchored regex over the space-rejoined token stream, with every term
     * regex-quoted; the `_prefix` form lets the last term match as a prefix
-    * (ES's autocomplete shape). Evaluates in the scan stage, like `match`.
+    * (ES's autocomplete shape). Documented deviation: Lucene's sloppy
+    * phrase also permits OUT-OF-ORDER terms at move cost 2; this compiles
+    * the in-order interpretation only. Evaluates in the scan stage.
     */
   private def matchPhrase(body: JsonNode, prefix: Boolean): Column = {
     require(body.isObject && body.size() == 1, s"expected {field: query}, got $body")
@@ -228,12 +265,14 @@ object EsFilter {
     val spec = body.get(f)
     val qText = if (spec.isObject && spec.has("query")) spec.get("query").asText()
                 else spec.asText()
+    val slop = if (spec.isObject && spec.has("slop")) spec.get("slop").asInt() else 0
     val terms = qText.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
     require(terms.nonEmpty, "match_phrase needs a non-empty query")
     val quoted = terms.map(java.util.regex.Pattern.quote)
+    val sep = if (slop <= 0) " " else s"( [^ ]+){0,$slop} "
     val phrase =
-      if (prefix) (quoted.init :+ (quoted.last + "[^ ]*")).mkString(" ")
-      else quoted.mkString(" ")
+      if (prefix) (quoted.init :+ (quoted.last + "[^ ]*")).mkString(sep)
+      else quoted.mkString(sep)
     val joined = array_join(split(lower(fieldCol(f)), "\\s+"), " ")
     joined.rlike("(^| )" + phrase + "( |$)")
   }

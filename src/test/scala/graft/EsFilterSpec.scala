@@ -166,6 +166,35 @@ class EsFilterSpec extends SparkTestBase {
     assert(pids("""{"match_phrase_prefix":{"text":"brown fo"}}""") == Seq(1L, 2L, 3L))
     // a single-term phrase degenerates to exact token membership
     assert(pids("""{"match_phrase":{"text":"fox"}}""") == Seq(1L, 2L, 3L))
+    // slop: up to N intervening tokens between consecutive terms (in order)
+    assert(pids("""{"match_phrase":{"text":{"query":"quick fox","slop":1}}}""")
+      == Seq(1L))
+    assert(pids("""{"match_phrase":{"text":{"query":"quick fox","slop":2}}}""")
+      == Seq(1L, 2L, 3L))
+  }
+
+  test("multi_match spans fields; cross_fields AND needs every term somewhere") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark engine", "fast analytics"),
+      (2L, "flink engine", "stream analytics"),
+      (3L, "duck db", "fast sql")).toDF("id", "title", "body")
+    def mids(json: String): Seq[Long] =
+      docs.where(EsFilter.compile(json)).select("id").collect().map(_.getLong(0)).sorted.toSeq
+    // best_fields (default), OR: any field matches any term
+    assert(mids("""{"multi_match":{"query":"spark sql","fields":["title","body"]}}""")
+      == Seq(1L, 3L))
+    // best_fields AND: ONE field must hold all terms
+    assert(mids("""{"multi_match":{"query":"fast analytics",
+      "fields":["title","body"],"operator":"and"}}""") == Seq(1L))
+    // cross_fields AND: terms may split across fields, all must appear
+    assert(mids("""{"multi_match":{"query":"spark fast",
+      "fields":["title","body"],"type":"cross_fields","operator":"and"}}""") == Seq(1L))
+    // with a known schema, unknown fields contribute nothing (filter context)
+    val lenient = docs.where(EsFilter.compile(
+      """{"multi_match":{"query":"spark","fields":["title","nope"]}}""",
+      docs.columns.toSeq)).select("id").collect().map(_.getLong(0)).toSeq
+    assert(lenient == Seq(1L))
   }
 
   test("constant_score passes its filter through") {
