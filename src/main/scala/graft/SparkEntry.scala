@@ -358,6 +358,7 @@ object SparkEntry {
     "text_winnowing" -> ((s, d) => TextOps.winnowing(s, d)),
     "knn_classify" -> ((s, d) => Ann.knnClassify(s, d)),
     "knn_classify_ivf" -> ((s, d) => Ann.knnClassifyIvf(s, d)),
+    "emb_knn_dist" -> ((s, d) => Ann.embKnnDist(s, d)),
     "q6_forecast_revenue" -> ((s, d) => Analytics.q6ForecastRevenue(s, d)),
     "q14_promo_share" -> ((s, d) => Analytics.q14PromoShare(s, d)),
     "q19_brackets" -> ((s, d) => Analytics.q19Brackets(s, d)),
@@ -1779,6 +1780,31 @@ object SparkEntry {
                  CAST(CASE WHEN d.b_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS is_dup
           FROM assign a LEFT JOIN dup d ON d.b_id = a.vid
           ORDER BY 1, 2, 3""",
+    "emb_knn_dist" ->
+      s"""WITH $VecrCte,
+              ${ivfTrainCte(2, 16)},
+              knf AS (SELECT c_id, sum(cx*cx) AS nsq FROM c2 GROUP BY 1),
+              cc AS (SELECT v.vec_id AS vid, c.c_id AS cid, sum(v.x * c.cx) AS dot
+                     FROM evr v JOIN c2 c ON v.i = c.i WHERE v.vec_id < 1000 GROUP BY 1, 2),
+              ccos AS (SELECT vid, cid, round(dot/sqrt(nv.nsq*nc.nsq), 6) AS c
+                       FROM cc JOIN vnr nv ON nv.vec_id = vid JOIN knf nc ON nc.c_id = cid),
+              assign AS (SELECT vid, cid AS cell FROM (
+                           SELECT vid, cid, row_number() OVER (PARTITION BY vid
+                             ORDER BY c DESC, cid) AS arn FROM ccos) WHERE arn = 1),
+              pd AS (SELECT a.vec_id AS vid, b.vec_id AS n_id, sum(a.x*b.x) AS dot
+                     FROM evr a JOIN evr b ON a.i = b.i AND a.vec_id <> b.vec_id
+                     JOIN assign qa ON qa.vid = a.vec_id
+                     JOIN assign na ON na.vid = b.vec_id AND na.cell = qa.cell
+                     GROUP BY 1, 2),
+              pc AS (SELECT vid, n_id, round(dot/sqrt(na.nsq*nb.nsq), 6) AS cos
+                     FROM pd JOIN vnr na ON na.vec_id = vid JOIN vnr nb ON nb.vec_id = n_id),
+              r AS (SELECT vid, n_id, cos, row_number() OVER (PARTITION BY vid
+                      ORDER BY cos DESC, n_id) AS rank FROM pc)
+          SELECT vid AS vec_id, CAST(count(*) AS BIGINT) AS k_found,
+                 ${rndSql("CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE)/count(*)", 6)}
+                   AS avg_cos,
+                 min(cos) AS min_cos
+          FROM r WHERE rank <= 5 GROUP BY 1 ORDER BY 1, 2, 3, 4""",
     "text_langid" -> {
       def sc(l: String) = s"len(list_filter(toks, t -> t IN ${stopListSql(l)}))"
       s"""WITH t AS (SELECT doc_id, string_split($NormSql, ' ') AS toks FROM documents),

@@ -258,6 +258,45 @@ object Ann {
     Det.ordered(out)
   }
 
+  /** kNN-distance prototypicality / outlier score — the D4-family curation
+    * signal next to [[semdedup]]: each vector's mean cosine to its k
+    * nearest CELL-MATES. Dense cluster cores score near 1 (redundancy
+    * candidates for pruning); vectors that score low or find fewer than k
+    * neighbors in their cell are outliers / novelty candidates. Candidates
+    * come from the trained IVF cell (the semdedup join shape — pair space
+    * bounded by cell occupancy, never the corpus square); cosines are 6-dp
+    * rounded and averaged as exact decimals, so the oracle replays
+    * training, assignment and scoring bit-exactly.
+    */
+  def embKnnDist(s: SparkSession, d: String, k: Int = 5, maxId: Int = 1000,
+                 nCentroids: Int = 16, trainIters: Int = 2): DataFrame = {
+    val e = memoDf(s, s"qn|$d")(quantNorm(s, d).cache())
+    val cents = memoCodebook(s, s"ivf|$d|$nCentroids|$trainIters")(
+      trainIvfCentroids(s, e, nCentroids, trainIters))
+    val wA = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
+    val assigned = e.where(col("vec_id") < maxId)
+      .join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id"),
+        round(cosine(s, col("v"), col("cv"), col("nrm"), col("cn")), 6).as("c_cos"))
+      .withColumn("arn", row_number().over(wA))
+      .where(col("arn") === 1)
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cell"))
+      .localCheckpoint(true) // self-joined below
+    val pairs = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("b.vec_id").as("n_id"),
+        round(cosine(s, col("a.v"), col("b.v"), col("a.nrm"), col("b.nrm")), 6).as("cos"))
+    val wK = Window.partitionBy(col("vec_id")).orderBy(col("cos").desc, col("n_id"))
+    val out = pairs
+      .withColumn("rank", row_number().over(wK)).where(col("rank") <= k)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("k_found"),
+        Det.rnd(sum(col("cos").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
+          .as("avg_cos"),
+        min(col("cos")).as("min_cos"))
+    Det.ordered(out)
+  }
+
   /** Product quantization with asymmetric distance computation (Jégou et al.
     * PAMI '11): each vector is compressed to m subspace code ids (nearest
     * sub-centroid, deterministic centroid pick as in [[ivfTopK]]); a query

@@ -16,6 +16,15 @@ class Round6Spec extends SparkTestBase {
     assert(loose == uncapped)
   }
 
+  test("knn-distance score is a valid bounded cosine statistic") {
+    val r = graft.ann.Ann.embKnnDist(spark, Sf, k = 5)
+    assert(r.count() > 0)
+    val bad = r.where(col("k_found") <= 0 || col("k_found") > 5 ||
+      col("avg_cos") < -1.000001 || col("avg_cos") > 1.000001 ||
+      col("min_cos") > col("avg_cos") + 1e-9).count()
+    assert(bad == 0)
+  }
+
   test("graph similarity cap bounds per-neighbor join width") {
     val capped = Graph.structuralSimilarityCapped(spark, Sf, maxDeg = 50)
     // neighbor Jaccard stays a valid ratio over the surviving neighborhoods
