@@ -359,6 +359,7 @@ object SparkEntry {
     "knn_classify" -> ((s, d) => Ann.knnClassify(s, d)),
     "knn_classify_ivf" -> ((s, d) => Ann.knnClassifyIvf(s, d)),
     "emb_knn_dist" -> ((s, d) => Ann.embKnnDist(s, d)),
+    "ann_pq_recon" -> ((s, d) => Ann.pqReconError(s, d)),
     "q6_forecast_revenue" -> ((s, d) => Analytics.q6ForecastRevenue(s, d)),
     "q14_promo_share" -> ((s, d) => Analytics.q14PromoShare(s, d)),
     "q19_brackets" -> ((s, d) => Analytics.q19Brackets(s, d)),
@@ -1805,6 +1806,30 @@ object SparkEntry {
                    AS avg_cos,
                  min(cos) AS min_cos
           FROM r WHERE rank <= 5 GROUP BY 1 ORDER BY 1, 2, 3, 4""",
+    "ann_pq_recon" ->
+      s"""WITH $VecrCte,
+              sub AS (SELECT vec_id, (i-1)//16 AS sp, i, x FROM evr),
+              ${pqTrainCte(2, 16)},
+              d2 AS (SELECT a.vec_id, a.sp, c.c_id,
+                            round(sum((a.x - c.cx) * (a.x - c.cx)), 6) AS d2
+                     FROM sub a JOIN p2 c ON c.sp = a.sp AND c.i = a.i
+                     GROUP BY 1, 2, 3),
+              asg AS (SELECT vec_id, sp, d2 FROM (
+                        SELECT vec_id, sp, c_id, d2, row_number() OVER (
+                          PARTITION BY vec_id, sp ORDER BY d2, c_id) AS rn
+                        FROM d2) WHERE rn = 1),
+              n2 AS (SELECT vec_id, sp, round(sum(x*x), 6) AS n2
+                     FROM sub GROUP BY 1, 2),
+              per AS (SELECT a.vec_id,
+                             ${rndSql("CAST(sum(CAST(a.d2 AS DECIMAL(18,6))) AS DOUBLE)", 6)}
+                               AS recon_err2,
+                             ${rndSql("CAST(sum(CAST(n.n2 AS DECIMAL(18,6))) AS DOUBLE)", 6)}
+                               AS norm2
+                      FROM asg a JOIN n2 n ON n.vec_id = a.vec_id AND n.sp = a.sp
+                      GROUP BY 1)
+          SELECT vec_id, recon_err2, norm2,
+                 CASE WHEN norm2 > 0 THEN ${rndSql("recon_err2 / norm2", 6)} END AS rel_err
+          FROM per ORDER BY 1, 2, 3, 4""",
     "text_langid" -> {
       def sc(l: String) = s"len(list_filter(toks, t -> t IN ${stopListSql(l)}))"
       s"""WITH t AS (SELECT doc_id, string_split($NormSql, ' ') AS toks FROM documents),

@@ -343,18 +343,24 @@ object Ann {
     * (vector, subspace) its nearest trained sub-centroid; `lut` holds each
     * query's partial dot against every sub-centroid.
     */
-  private def pqCodesLut(s: SparkSession, d: String, nQueries: Int, nCodes: Int,
-                         m: Int, dims: Int, trainIters: Int): (DataFrame, DataFrame) = {
+  /** Per-vector subspace slices, memoized per (dataset, m, dims):
+    * re-creating this per call would re-register a fresh cache entry every
+    * time (growing storage memory and warning "already cached" across a
+    * long bench run).
+    */
+  private def pqSubs(s: SparkSession, d: String, m: Int, dims: Int): DataFrame = {
     val sw = dims / m
-    // memoized alongside the codebook: re-creating this per call would
-    // re-register a fresh cache entry every time (growing storage memory
-    // and warning "already cached" across a long bench run)
-    val subs = memoDf(s, s"pqsubs|$d|$m|$dims") {
+    memoDf(s, s"pqsubs|$d|$m|$dims") {
       quantNorm(s, d).select(col("vec_id"), col("v"))
         .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("sp"), col("v"))
         .select(col("vec_id"), col("sp"), slice(col("v"), col("sp") * sw + 1, lit(sw)).as("sv"))
         .cache() // scanned twice per training iteration + codes + LUT
     }
+  }
+
+  private def pqCodesLut(s: SparkSession, d: String, nQueries: Int, nCodes: Int,
+                         m: Int, dims: Int, trainIters: Int): (DataFrame, DataFrame) = {
+    val subs = pqSubs(s, d, m, dims)
     val cents = memoCodebook(s, s"pq|$d|$nCodes|$m|$dims|$trainIters")(
       trainPqCentroids(subs, nCodes, trainIters))
     val sqL2 = aggregate(zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
@@ -371,6 +377,42 @@ object Ann {
       .select(col("q_id"), col("lsp"), col("c_id"),
         round(VectorFunctions.dot(s, col("qsv"), col("cv")), 6).as("pdot"))
     (codes, lut)
+  }
+
+  /** PQ reconstruction-error report — the metric that SIZES a PQ codebook
+    * before anyone trusts its scores: per vector, the total squared L2
+    * error of its code-word reconstruction (Σ over subspaces of the
+    * assigned sub-centroid's distance²) and that error relative to the
+    * vector's own energy ‖v‖². High relative error means the compressed
+    * domain can't represent the vector and its ADC scores are noise —
+    * [[recallAtK]] measures the symptom, this measures the cause. All
+    * distances are 6-dp rounded and summed as exact decimals, so the
+    * oracle replays training + assignment + the error sums bit-exactly.
+    * One code-table-sized pass; nothing touches pair space.
+    */
+  def pqReconError(s: SparkSession, d: String, nCodes: Int = 16, m: Int = 4,
+                   dims: Int = 64, trainIters: Int = 2): DataFrame = {
+    val subs = pqSubs(s, d, m, dims)
+    val cents = memoCodebook(s, s"pq|$d|$nCodes|$m|$dims|$trainIters")(
+      trainPqCentroids(subs, nCodes, trainIters))
+    val sqL2 = aggregate(zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val wAssign = Window.partitionBy(col("vec_id"), col("sp")).orderBy(col("d2"), col("c_id"))
+    val asg = subs.join(broadcast(cents), col("sp") === col("csp"))
+      .select(col("vec_id"), col("sp"), col("c_id"), round(sqL2, 6).as("d2"))
+      .withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("sp"), col("d2"))
+    val norms = subs.select(col("vec_id"), col("sp"),
+        round(VectorFunctions.dot(s, col("sv"), col("sv")), 6).as("n2"))
+    val out = asg.join(norms, Seq("vec_id", "sp"))
+      .groupBy(col("vec_id"))
+      .agg(
+        Det.rnd(sum(col("d2").cast("decimal(18,6)")).cast("double"), 6).as("recon_err2"),
+        Det.rnd(sum(col("n2").cast("decimal(18,6)")).cast("double"), 6).as("norm2"))
+      .select(col("vec_id"), col("recon_err2"), col("norm2"),
+        when(col("norm2") > 0, Det.rnd(col("recon_err2") / col("norm2"), 6)).as("rel_err"))
+    Det.ordered(out)
   }
 
   /** ADC scores (q_id, vec_id, approx_dot) for the query subset — the shared
