@@ -17,6 +17,9 @@ object Sources {
   def read(spark: SparkSession, path: String, format: String = "parquet",
            schema: Option[StructType] = None): DataFrame = format match {
     case "parquet" => spark.read.parquet(path)
+    // ORC: the other columnar statistics-bearing format Spark ships
+    // natively — same pushdown/pruning properties as parquet, self-schemed
+    case "orc" => spark.read.orc(path)
     case "csv" =>
       val r = spark.read.option("header", "true")
       schema.fold(r.option("inferSchema", "true"))(r.schema)
@@ -29,6 +32,7 @@ object Sources {
   def write(df: DataFrame, path: String, format: String = "parquet",
             mode: SaveMode = SaveMode.Overwrite): Unit = format match {
     case "parquet" => df.write.mode(mode).parquet(path)
+    case "orc" => df.write.mode(mode).orc(path)
     case "csv" => df.write.mode(mode).option("header", "true").csv(path)
     case "json" => df.write.mode(mode).json(path)
     case other => throw new IllegalArgumentException(s"unsupported format: $other")

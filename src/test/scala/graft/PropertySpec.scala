@@ -180,6 +180,60 @@ class PropertySpec extends SparkTestBase {
     assert(math.abs(out(0).getDouble(1) - (vals.last - vals.head)) < 1e-6)
   }
 
+  test("graft_osa kernel matches the full-matrix OSA specification") {
+    import graft.functions.OsaDistance
+    // specification: textbook full-matrix OSA (vs the kernel's 3-row DP)
+    def spec(a: String, b: String): Int = {
+      val (n, m) = (a.length, b.length)
+      val dm = Array.ofDim[Int](n + 1, m + 1)
+      for (i <- 0 to n) dm(i)(0) = i
+      for (j <- 0 to m) dm(0)(j) = j
+      for (i <- 1 to n; j <- 1 to m) {
+        val cost = if (a(i - 1) == b(j - 1)) 0 else 1
+        dm(i)(j) = math.min(math.min(dm(i - 1)(j) + 1, dm(i)(j - 1) + 1),
+          dm(i - 1)(j - 1) + cost)
+        if (i > 1 && j > 1 && a(i - 1) == b(j - 2) && a(i - 2) == b(j - 1))
+          dm(i)(j) = math.min(dm(i)(j), dm(i - 2)(j - 2) + 1)
+      }
+      dm(n)(m)
+    }
+    def lev(a: String, b: String): Int = { // plain Levenshtein: OSA's ceiling
+      val (n, m) = (a.length, b.length)
+      val dm = Array.ofDim[Int](n + 1, m + 1)
+      for (i <- 0 to n) dm(i)(0) = i
+      for (j <- 0 to m) dm(0)(j) = j
+      for (i <- 1 to n; j <- 1 to m)
+        dm(i)(j) = math.min(math.min(dm(i - 1)(j) + 1, dm(i)(j - 1) + 1),
+          dm(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      dm(n)(m)
+    }
+    // 3-letter alphabet so transpositions occur constantly
+    val gen = Gen.listOf(Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+    check(Prop.forAll(gen, gen) { (a, b) =>
+      val d = OsaDistance.osa(a, b)
+      d == spec(a, b) && d == OsaDistance.osa(b, a) && d <= lev(a, b) &&
+        d <= math.max(a.length, b.length)
+    })
+    check(Prop.forAll(gen)(a => OsaDistance.osa(a, a) == 0))
+  }
+
+  test("graft_osa expression agrees with the kernel through codegen") {
+    import spark.implicits._
+    val pairs = Seq(("click", "cilck"), ("abcdef", "abcdfe"), ("same", "same"),
+      ("", "abc"), ("kitten", "sitting"))
+    val rows = pairs.toDF("a", "b").select(col("a"), col("b"),
+      call_function("graft_osa", col("a"), col("b")).as("osa"),
+      levenshtein(col("a"), col("b")).as("lev")).collect()
+    rows.foreach { r =>
+      assert(r.getInt(2) ==
+        graft.functions.OsaDistance.osa(r.getString(0), r.getString(1)))
+      assert(r.getInt(2) <= r.getInt(3), "OSA can never exceed Levenshtein")
+    }
+    // the transposition pair is exactly distance 1 under OSA (2 under lev)
+    val t = rows.find(_.getString(1) == "cilck").get
+    assert(t.getInt(2) == 1 && t.getInt(3) == 2)
+  }
+
   test("bucket/offset decompose every timestamp consistently") {
     // evaluated through the same Column expressions the engine uses
     import spark.implicits._

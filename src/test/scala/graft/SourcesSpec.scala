@@ -32,6 +32,18 @@ class SourcesSpec extends SparkTestBase {
     assert(asSet(back) == asSet(sample))
   }
 
+  test("orc round trip preserves rows and pushes filters into the scan") {
+    val p = tmp("orc")
+    Sources.write(sample, p, "orc")
+    val back = Sources.read(spark, p, "orc")
+    assert(asSet(back) == asSet(sample))
+    // ORC has the same statistics-bearing scan contract as parquet: the
+    // predicate must reach PushedFilters, not evaluate post-scan only
+    val filtered = back.where(col("user_id") === 3)
+    val scan = filtered.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [") && scan.contains("user_id"), scan)
+  }
+
   test("unsupported formats are rejected, not silently misread") {
     intercept[IllegalArgumentException] {
       Sources.read(spark, "/nowhere", "xml")
