@@ -317,6 +317,7 @@ object SparkEntry {
     "ann_recall" -> ((s, d) => Ann.recallAtK(s, d)),
     "text_lm_score" -> ((s, d) => TextOps.lmScore(s, d)),
     "text_entropy" -> ((s, d) => TextOps.entropy(s, d)),
+    "dsir_weights" -> ((s, d) => TextOps.dsirWeights(s, d)),
     "doc_chunks" -> ((s, d) => TextOps.docChunks(s, d)),
     "dedup_chunks" -> ((s, d) => Dedup.dedupChunks(s, d)),
     "bpe_pairs" -> ((s, d) => TextOps.bpePairs(s, d)),
@@ -2298,6 +2299,26 @@ object SparkEntry {
           SELECT doc_id, max(n) AS n_tokens, max(n_types) AS n_types,
                  ${rndSql("CAST(sum(term) AS DOUBLE)", 6)} AS entropy
           FROM terms GROUP BY 1 ORDER BY 1, 2, 3, 4""",
+    "dsir_weights" ->
+      s"""WITH t0 AS (SELECT doc_id, lang, string_split($NormSql, ' ') AS toks
+                      FROM documents),
+              tk AS (SELECT doc_id, lang,
+                            16*(strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1)
+                            + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) AS b
+                     FROM (SELECT doc_id, lang, unnest(toks) AS tok FROM t0)),
+              raw AS (SELECT b, count(*) AS cnt_r FROM tk GROUP BY 1),
+              tgt AS (SELECT b, count(*) AS cnt_t FROM tk WHERE lang = 'en' GROUP BY 1),
+              nr AS (SELECT count(*) AS n_r FROM tk),
+              nt AS (SELECT count(*) AS n_t FROM tk WHERE lang = 'en'),
+              lr AS (SELECT raw.b,
+                            CAST(${rndSql(
+                              "ln(CAST((coalesce(cnt_t, 0) + 1) * (n_r + 256) AS DOUBLE)" +
+                              " / ((cnt_r + 1) * (n_t + 256)))", 8)}
+                              AS DECIMAL(12,8)) AS lr
+                     FROM raw LEFT JOIN tgt ON tgt.b = raw.b, nr, nt)
+          SELECT tk.doc_id, count(*) AS n_tokens,
+                 ${rndSql("CAST(sum(lr) AS DOUBLE)", 6)} AS dsir_logw
+          FROM tk JOIN lr ON lr.b = tk.b GROUP BY 1 ORDER BY 1, 2, 3""",
     "doc_chunks" ->
       s"""WITH t0 AS (SELECT doc_id, string_split($NormSql, ' ') AS toks FROM documents),
               ch AS (SELECT doc_id, i AS chunk_idx, toks[i*12+1 : i*12+16] AS chunk

@@ -645,6 +645,45 @@ object TextOps {
       .select(col("doc_id"), col("wmin")).distinct()
   }
 
+  /** DSIR importance weights (Data Selection via Importance Resampling,
+    * Xie et al., NeurIPS '23): per-document log importance
+    * Σ_tokens [log p̂_target(bucket) − log p̂_raw(bucket)] over hashed
+    * unigram buckets — the data-selection logit that upweights documents
+    * resembling a high-quality target distribution. Target here = the
+    * corpus's English slice (the ground-truth `lang` column as the target
+    * stand-in); raw = the whole corpus. Tokens hash into 256 md5 buckets
+    * (DSIR's hashing trick — collisions are part of the estimator);
+    * bucket probabilities are Laplace-smoothed, each bucket's log-ratio is
+    * a single log of an exactly-computed integer rational rounded to 8 dp
+    * (the [[entropy]] log discipline, so the oracle replays it), and
+    * per-doc sums are exact decimals. Two aggregates + one broadcast
+    * 256-row join — nothing pairwise, scan-dominated at any corpus size.
+    */
+  def dsirWeights(s: SparkSession, d: String): DataFrame = {
+    val nBuckets = 256 // fixed by the 2-hex-char md5 bucket below
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        conv(substring(md5(col("tok")), 1, 2), 16, 10).cast("int").as("b"))
+    val raw = tok.groupBy(col("b")).agg(count(lit(1)).as("cnt_r"))
+    val tgt = tok.where(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("cnt_t"))
+    val nR = tok.agg(count(lit(1)).as("n_r"))
+    val nT = tok.where(col("lang") === "en").agg(count(lit(1)).as("n_t"))
+    val lr = raw.join(tgt, Seq("b"), "left")
+      .crossJoin(broadcast(nR)).crossJoin(broadcast(nT))
+      .select(col("b"),
+        Det.rnd(log(
+          ((coalesce(col("cnt_t"), lit(0L)) + 1) * (col("n_r") + nBuckets)).cast("double") /
+          ((col("cnt_r") + 1) * (col("n_t") + nBuckets))), 8)
+          .cast("decimal(12,8)").as("lr"))
+    val out = tok.join(broadcast(lr), Seq("b")) // every token's bucket is in raw
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        Det.rnd(sum(col("lr")).cast("double"), 6).as("dsir_logw"))
+    Det.ordered(out)
+  }
+
   /** License/compliance filter: detect license-notice boilerplate (the
     * copyleft / all-rights-reserved / CC families) and classify each doc
     * permissive / restricted / unknown — the compliance gate code+text

@@ -16,6 +16,19 @@ class Round6Spec extends SparkTestBase {
     assert(loose == uncapped)
   }
 
+  test("dsir weights rank the target language above the rest") {
+    // the estimator's point: docs resembling the target distribution (en)
+    // must average a higher importance logit than docs that don't
+    val w = graft.text.TextOps.dsirWeights(spark, Sf)
+    val docs = graft.core.Tables.documents(spark, Sf).select(col("doc_id"), col("lang"))
+    val byLang = w.join(docs, "doc_id")
+      .groupBy(col("lang")).agg(avg(col("dsir_logw")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val others = byLang.filter(_._1 != "en").values
+    assert(others.nonEmpty && byLang("en") > others.max,
+      s"en must outrank all other langs: $byLang")
+  }
+
   test("knn-distance score is a valid bounded cosine statistic") {
     val r = graft.ann.Ann.embKnnDist(spark, Sf, k = 5)
     assert(r.count() > 0)
