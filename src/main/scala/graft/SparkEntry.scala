@@ -318,6 +318,7 @@ object SparkEntry {
     "text_lm_score" -> ((s, d) => TextOps.lmScore(s, d)),
     "text_entropy" -> ((s, d) => TextOps.entropy(s, d)),
     "dsir_weights" -> ((s, d) => TextOps.dsirWeights(s, d)),
+    "bpe_train" -> ((s, d) => TextOps.bpeMergeTrain(s, d)),
     "doc_chunks" -> ((s, d) => TextOps.docChunks(s, d)),
     "dedup_chunks" -> ((s, d) => Dedup.dedupChunks(s, d)),
     "bpe_pairs" -> ((s, d) => TextOps.bpePairs(s, d)),
@@ -2319,6 +2320,31 @@ object SparkEntry {
           SELECT tk.doc_id, count(*) AS n_tokens,
                  ${rndSql("CAST(sum(lr) AS DOUBLE)", 6)} AS dsir_logw
           FROM tk JOIN lr ON lr.b = tk.b GROUP BY 1 ORDER BY 1, 2, 3""",
+    "bpe_train" -> {
+      // unrolled greedy merge rounds mirroring TextOps.bpeMergeTrain: pair
+      // counts -> deterministic argmax -> left-to-right non-overlapping
+      // replace (identical semantics in both engines), chr(1) as the joiner
+      val rounds = (0 until 6).map { r =>
+        s"""p$r AS (SELECT l, rt, count(*) AS c FROM (
+                      SELECT toks[i] AS l, toks[i+1] AS rt
+                      FROM (SELECT string_split(s, ' ') AS toks FROM d$r),
+                           UNNEST(range(1, len(toks))) AS u(i))
+                    WHERE l <> '' AND rt <> '' GROUP BY 1, 2),
+            b$r AS (SELECT CAST($r AS BIGINT) AS round, l, rt, c
+                    FROM p$r ORDER BY c DESC, l, rt LIMIT 1),
+            d${r + 1} AS (SELECT doc_id,
+                            replace(s, ' ' || b.l || ' ' || b.rt || ' ',
+                                       ' ' || b.l || chr(1) || b.rt || ' ') AS s
+                          FROM d$r, b$r b)"""
+      }.mkString(",\n")
+      s"""WITH d0 AS (SELECT doc_id, ' ' || $NormSql || ' ' AS s FROM documents),
+              $rounds,
+              m AS (SELECT * FROM b0 UNION ALL SELECT * FROM b1
+                    UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3
+                    UNION ALL SELECT * FROM b4 UNION ALL SELECT * FROM b5)
+          SELECT round, l AS lhs, rt AS rhs, c AS pair_count
+          FROM m ORDER BY 1, 2, 3, 4"""
+    },
     "doc_chunks" ->
       s"""WITH t0 AS (SELECT doc_id, string_split($NormSql, ' ') AS toks FROM documents),
               ch AS (SELECT doc_id, i AS chunk_idx, toks[i*12+1 : i*12+16] AS chunk

@@ -645,6 +645,52 @@ object TextOps {
       .select(col("doc_id"), col("wmin")).distinct()
   }
 
+  /** BPE merge-rule training (Sennrich et al., ACL '16): `nMerges` greedy
+    * rounds of find-the-most-frequent-adjacent-pair → merge it corpus-wide,
+    * emitting the learned merge table (round, lhs, rhs, pair_count) — the
+    * tokenizer-training loop as a distributed job. Demonstrated at WORD
+    * granularity (learning multi-word units keeps the verify-SF oracle
+    * tractable; the character-level classic is the same plan with chars
+    * exploded). Per round: one pair-count shuffle + a TakeOrdered argmax
+    * (count desc, pair asc — deterministic) + a map-only rewrite, with the
+    * corpus as a space-delimited token string and the merge as a
+    * left-to-right non-overlapping ` lhs rhs ` → ` lhs␁rhs ` replace —
+    * IDENTICAL semantics in Spark and DuckDB, so the oracle replays all
+    * rounds as unrolled CTEs (the pagerank/codebook training contract).
+    * Each round's corpus is localCheckpoint'd: the plan stays flat instead
+    * of growing by one join+replace per round.
+    */
+  def bpeMergeTrain(s: SparkSession, d: String, nMerges: Int = 6): DataFrame = {
+    val J = "\u0001" // merge joiner: marks learned units, never collides with the space split
+    var docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        concat(lit(" "), array_join(tokens(col("text")), " "), lit(" ")).as("str"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (r <- 0 until nMerges) {
+      val pairs = docs
+        .select(split(col("str"), " ").as("toks"))
+        .select(explode(expr("transform(sequence(1, size(toks)-1), " +
+          "i -> struct(element_at(toks, i) AS l, element_at(toks, i+1) AS r))")).as("bg"))
+        .select(col("bg.l").as("l"), col("bg.r").as("r"))
+        .where(col("l") =!= "" && col("r") =!= "") // edge delimiters
+        .groupBy(col("l"), col("r")).agg(count(lit(1)).as("c"))
+      val best = pairs.orderBy(col("c").desc, col("l"), col("r")).limit(1)
+        .select(lit(r.toLong).as("round"), col("l"), col("r"), col("c"))
+        .localCheckpoint(true) // materialize the argmax once per round
+      merges += best
+      docs = docs.crossJoin(broadcast(best.select(col("l").as("bl"), col("r").as("br"))))
+        .select(col("doc_id"), replace(col("str"),
+          concat(lit(" "), col("bl"), lit(" "), col("br"), lit(" ")),
+          concat(lit(" "), col("bl"), lit(J), col("br"), lit(" "))).as("str"))
+        .localCheckpoint(true)
+    }
+    val out = merges.reduce(_ union _)
+      .select(col("round"), col("l").as("lhs"), col("r").as("rhs"),
+        col("c").as("pair_count"))
+    Det.ordered(out)
+  }
+
   /** DSIR importance weights (Data Selection via Importance Resampling,
     * Xie et al., NeurIPS '23): per-document log importance
     * Σ_tokens [log p̂_target(bucket) − log p̂_raw(bucket)] over hashed

@@ -16,6 +16,18 @@ class Round6Spec extends SparkTestBase {
     assert(loose == uncapped)
   }
 
+  test("bpe merge counts never increase round over round") {
+    // merging the max-count pair can only lower or preserve every other
+    // pair's count, and any new pair's count is bounded by a pre-merge one
+    val m = graft.text.TextOps.bpeMergeTrain(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).sortBy(_._1)
+    assert(m.length == 6 && m.map(_._1).toSeq == (0L to 5L))
+    assert(m.forall(_._2 > 0))
+    m.sliding(2).foreach { case Array((_, c1), (_, c2)) =>
+      assert(c2 <= c1, s"round counts must be non-increasing: ${m.toSeq}")
+    }
+  }
+
   test("dsir weights rank the target language above the rest") {
     // the estimator's point: docs resembling the target distribution (en)
     // must average a higher importance logit than docs that don't
