@@ -49,8 +49,19 @@ class Graft(spark: SparkSession, root: String,
   /** `/write`: validate and land points, bucket-partitioned. Returns the
     * rejected rows with their error, like the reference's per-point errors
     * response (lib/orestes-inserter.js:183-201).
+    *
+    * Re-writing an existing (series, time) point OVERWRITES it: the
+    * reference's `INSERT INTO (attrs, offset, value)` is a Cassandra
+    * UPSERT on the (attrs, offset) primary key (lib/orestes-utils.js:17),
+    * so last write wins. Parquet is append-only, so graft gets the same
+    * semantics merge-on-read: every batch is stamped with a write sequence
+    * (`writeSeq`, wall clock by default — the reference's effective
+    * ordering; injectable for determinism) and reads keep only the
+    * max-sequence row per (series, time). [[compact]] applies the same
+    * rule physically so compacted buckets don't re-pay the merge.
     */
-  def write(points: DataFrame, space: String = "default"): DataFrame = {
+  def write(points: DataFrame, space: String = "default",
+            writeSeq: Long = System.currentTimeMillis()): DataFrame = {
     val tagCols = points.columns.filterNot(c => c == "time" || c == "value")
     require(tagCols.nonEmpty, "metrics must have at least one tag")
     // time may be an ISO string or numeric epoch millis (reference
@@ -75,6 +86,7 @@ class Graft(spark: SparkSession, root: String,
     val good = validated.where(col("__error").isNull)
       .select(tagCols.map(col) ++ Seq(
         col("__time_ms").as("time_ms"), col("value").cast("double").as("value"),
+        lit(writeSeq).as(WseqCol),
         Tsdb.bucketOf(col("__time_ms"), granularityOf(space)).as("bucket_day")): _*)
     // sort within each write task by (bucket, tags, time): leading with the
     // partition column satisfies the partitioned writer's required ordering
@@ -130,8 +142,23 @@ class Graft(spark: SparkSession, root: String,
         case p => p
       }
       val tags = df.columns.filterNot(c =>
-        c == "time_ms" || c == "value" || c == "bucket_day").toSeq
-      Some(PointsTable(df.withColumn("ts", timestamp_millis(col("time_ms"))),
+        c == "time_ms" || c == "value" || c == "bucket_day" || c == WseqCol).toSeq
+      // last-write-wins merge-on-read: the reference upserts on the
+      // Cassandra primary key (see write()); here the max-writeSeq row per
+      // (series, time) survives. Stores without the stamp (pre-r6 layouts,
+      // streaming sinks) skip the merge. Value desc is the deterministic
+      // tiebreak for same-sequence conflicts; null stamps rank last.
+      val merged =
+        if (!df.columns.contains(WseqCol)) df
+        else {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy((tags :+ "time_ms").map(col): _*)
+            .orderBy(col(WseqCol).desc, col("value").desc)
+          df.withColumn("__rn", row_number().over(w))
+            .where(col("__rn") === 1)
+            .drop("__rn", WseqCol)
+        }
+      Some(PointsTable(merged.withColumn("ts", timestamp_millis(col("time_ms"))),
         "ts", "value", tags))
     }
   }
@@ -252,10 +279,23 @@ class Graft(spark: SparkSession, root: String,
       else {
         val day = bdir.getName.stripPrefix("bucket_day=")
         val df = spark.read.parquet(bdir.toString)
-        val tagCols = df.columns.filterNot(c => c == "time_ms" || c == "value").toSeq
+        val tagCols = df.columns.filterNot(c =>
+          c == "time_ms" || c == "value" || c == WseqCol).toSeq
         val key = tagCols.map(col) :+ col("time_ms")
+        // apply last-write-wins physically (the merge table() performs on
+        // read), keeping the winner's stamp: later writes can still
+        // overwrite a compacted point
+        val merged =
+          if (!df.columns.contains(WseqCol)) df
+          else {
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(key: _*)
+              .orderBy(col(WseqCol).desc, col("value").desc)
+            df.withColumn("__rn", row_number().over(w))
+              .where(col("__rn") === 1).drop("__rn")
+          }
         val tmp = new HPath(dir, s"$TmpPrefix$day")
-        df.repartitionByRange(nOut, key: _*)
+        merged.repartitionByRange(nOut, key: _*)
           .sortWithinPartitions(key: _*)
           .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
         // swap, checking every step: an unchecked false return would lose
@@ -296,4 +336,13 @@ class Graft(spark: SparkSession, root: String,
 object Graft {
   /** Crashed-compaction tmp dirs: `_`-prefixed so Spark ignores them. */
   private[tsdb] val TmpPrefix = "_compact_tmp_"
+
+  /** Per-batch write-sequence stamp backing last-write-wins overwrites
+    * (the reference's Cassandra-upsert semantics); `__`-prefixed so it can
+    * never collide with a user tag (write() rejects nothing — tags are
+    * arbitrary — but the reference's own normalizer forbids leading
+    * underscores in practice, and table() excludes it from tag discovery
+    * explicitly either way).
+    */
+  private[tsdb] val WseqCol = "__wseq"
 }

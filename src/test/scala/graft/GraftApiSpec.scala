@@ -176,9 +176,12 @@ class GraftApiSpec extends SparkTestBase {
   test("writes to one schema accumulate across calls (append)") {
     val g = new Graft(spark, freshRoot())
     import spark.implicits._
-    val pts = Seq(("2024-01-09T10:00:00Z", 1.0, "s")).toDF("time", "value", "name")
-    g.write(pts)
-    g.write(pts)
+    g.write(Seq(("2024-01-09T10:00:00Z", 1.0, "s")).toDF("time", "value", "name"))
+    g.write(Seq(("2024-01-09T10:00:01Z", 2.0, "s")).toDF("time", "value", "name"))
+    assert(g.read("""{"match_all":{}}""").count() == 2)
+    // DISTINCT points accumulate; the same (series, time) point re-written
+    // overwrites instead (upsert parity — see the dedicated test)
+    g.write(Seq(("2024-01-09T10:00:01Z", 3.0, "s")).toDF("time", "value", "name"))
     assert(g.read("""{"match_all":{}}""").count() == 2)
   }
 
@@ -238,6 +241,38 @@ class GraftApiSpec extends SparkTestBase {
     assert(g.read("""{"match_all":{}}""").count() == 5)
     assert(g.remove(keepDays = 0, todayDay = 19999L) == Seq(19726L))
     assert(g.read("""{"match_all":{}}""").count() == 0)
+  }
+
+  test("re-writing a point overwrites it, last write wins (Cassandra upsert parity)") {
+    val root = freshRoot()
+    val g = new Graft(spark, root)
+    import spark.implicits._
+    def pt(v: Double) =
+      Seq(("2024-01-09T10:00:00Z", v, "s")).toDF("time", "value", "name")
+    g.write(pt(1.0), writeSeq = 1L)
+    g.write(pt(2.0), writeSeq = 2L) // same (series, time): overwrite
+    val after2 = g.read("""{"match_all":{}}""").collect()
+    assert(after2.length == 1 && after2(0).getDouble(2) == 2.0, after2.mkString(","))
+    // an OLDER write arriving late must not resurrect (last-write-wins,
+    // not last-arrival-wins)
+    g.write(pt(0.5), writeSeq = 0L)
+    val after3 = g.read("""{"match_all":{}}""").collect()
+    assert(after3.length == 1 && after3(0).getDouble(2) == 2.0, after3.mkString(","))
+    // counts see the merged view too
+    assert(g.countPoints("""{"match_all":{}}""").collect().map(_.getLong(1)).toSeq
+      == Seq(1L))
+    // compaction applies the merge physically: the bucket's parquet holds
+    // one point row afterwards, and reads are unchanged
+    val report = g.compact(targetBytes = 1L << 30)
+    assert(report.map(_._3) == Seq(1), report.toString)
+    val bucket = java.nio.file.Paths.get(root, "default", "bucket_day=19726")
+    val physical = spark.read.parquet(bucket.toString)
+    assert(physical.count() == 1 && physical.columns.contains("__wseq"))
+    val afterCompact = g.read("""{"match_all":{}}""").collect()
+    assert(afterCompact.length == 1 && afterCompact(0).getDouble(2) == 2.0)
+    // a write after compaction can still overwrite the compacted point
+    g.write(pt(9.0), writeSeq = 9L)
+    assert(g.read("""{"match_all":{}}""").collect()(0).getDouble(2) == 9.0)
   }
 
   test("time-ranged reads prune bucket_day directories and never open out-of-range buckets") {
