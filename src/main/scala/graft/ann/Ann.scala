@@ -14,26 +14,16 @@ import graft.functions.VectorFunctions
   */
 object Ann {
 
-  /** Session-scoped memo for DataFrames reused across ANN entry points:
-    * trained codebooks (localCheckpointed, self-contained) and the cached
-    * quantized-subvector frames they are built from. Training is
-    * deterministic (seeded init, exact-decimal means), so reuse changes
+  /** Session-scoped memo ([[graft.core.Memo]]) for DataFrames reused across
+    * ANN entry points: trained codebooks (localCheckpointed, self-contained)
+    * and the cached quantized-subvector frames they are built from. Training
+    * is deterministic (seeded init, exact-decimal means), so reuse changes
     * nothing about results — it models the production shape where the
     * codebook is trained ONCE offline and only assignment/search run per
-    * query. Keyed by applicationId so a stale DataFrame never crosses
-    * SparkSession lifetimes; entries from dead applications are EVICTED on
-    * every access (they pin checkpointed/cached frames for the JVM lifetime
-    * otherwise — a slow leak in long-lived multi-session test/bench JVMs).
+    * query.
     */
-  private val dfMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-
-  private def memoDf(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
-    val prefix = s.sparkContext.applicationId + "|"
-    val it = dfMemo.keySet().iterator()
-    while (it.hasNext) if (!it.next().startsWith(prefix)) it.remove()
-    dfMemo.computeIfAbsent(prefix + key, _ => build)
-  }
+  private def memoDf(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
+    graft.core.Memo.df(s, "ann." + key)(build)
 
   private def memoCodebook(s: SparkSession, key: String)(train: => DataFrame): DataFrame =
     memoDf(s, key)(train)
