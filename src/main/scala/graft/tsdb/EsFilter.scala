@@ -17,11 +17,18 @@ import scala.jdk.CollectionConverters._
   *
   * Supported: match_all, term, terms, range (gt/gte/lt/lte), exists, missing,
   * prefix, wildcard, regexp, ids, fuzzy (OSA distance, the Lucene
-  * transpositions=true default), match, match_phrase, match_phrase_prefix,
-  * constant_score, nested, query_string (field:value / AND / OR /
-  * wildcards), bool (must/filter/should/must_not/minimum_should_match),
-  * and, or, not. `should` requires at least one clause to match
-  * (filter-context semantics) unless `minimum_should_match` says otherwise.
+  * transpositions=true default), match, match_phrase, match_phrase_prefix
+  * (sloppy phrases use Lucene's TOTAL move budget incl. out-of-order terms),
+  * multi_match (best_fields/most_fields/cross_fields/phrase/phrase_prefix),
+  * constant_score, dis_max, boosting, span_term, span_near, more_like_this,
+  * nested, query_string (field:value / AND / OR / wildcards), bool
+  * (must/filter/should/must_not/minimum_should_match), and, or, not.
+  * `should` requires at least one clause to match (filter-context
+  * semantics) unless `minimum_should_match` says otherwise. Scoring-only
+  * constructs compile to their filter-context degenerations: dis_max = OR
+  * of its queries (tie_breaker shapes scores only), boosting = its positive
+  * clause (the negative clause demotes, never excludes), more_like_this =
+  * match over the analyzed like-terms.
   *
   * Dotted field names address JSON tag bags: `props.k` compiles to
   * `get_json_object(props, "$.k")` — the Spark answer to the reference's
@@ -134,6 +141,11 @@ object EsFilter {
         require(body.isObject && (body.has("filter") || body.has("query")),
           s"""constant_score needs a "filter", got $body""")
         compileNode(if (body.has("filter")) body.get("filter") else body.get("query"))
+      case "dis_max"   => disMax(body)
+      case "boosting"  => boosting(body)
+      case "span_term" => spanTerm(body)
+      case "span_near" => spanNear(body)
+      case "more_like_this" => moreLikeThis(body)
       case "nested"    => nested(body)
       case "query_string" => queryString(body)
       case "bool"      => bool(body)
@@ -218,10 +230,14 @@ object EsFilter {
 
   /** ES `multi_match`: the `match` analyzer applied across several fields —
     * a document matches when ANY field matches (best_fields, the ES
-    * default; in filter context every scoring type degenerates to this
-    * disjunction except `cross_fields`+AND, where each term may match in
-    * any field but all terms must appear somewhere). `operator` applies
-    * per field for best_fields and per term for cross_fields.
+    * default; in filter context `most_fields` — scores summed, matching
+    * unchanged — degenerates to the same disjunction, and `cross_fields` +
+    * AND requires each term to match in SOME field). `phrase` /
+    * `phrase_prefix` route through [[phrasePred]] per field (in-order
+    * adjacency ± slop), NOT the term disjunction. Any other `type`
+    * (`bool_prefix` needs the per-term autocomplete analyzer this analyzer
+    * model doesn't have) is rejected, not silently treated as best_fields —
+    * the same convention as fuzziness above.
     */
   private def multiMatch(body: JsonNode): Column = {
     require(body.isObject && body.has("query") && body.has("fields"),
@@ -231,6 +247,16 @@ object EsFilter {
     require(fields.nonEmpty, "multi_match needs at least one field")
     val op = if (body.has("operator")) body.get("operator").asText().toLowerCase else "or"
     val mType = if (body.has("type")) body.get("type").asText() else "best_fields"
+    val supported = Set("best_fields", "most_fields", "cross_fields",
+      "phrase", "phrase_prefix")
+    require(supported.contains(mType),
+      s"unsupported multi_match type: '$mType' (supported: ${supported.mkString(", ")})")
+    if (mType == "phrase" || mType == "phrase_prefix") {
+      val slop = if (body.has("slop")) body.get("slop").asInt() else 0
+      return fields.map(f =>
+        coalesce(phrasePred(f, qText, slop, mType == "phrase_prefix"), lit(false)): Column)
+        .reduce(_ || _)
+    }
     val terms = qText.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
     require(terms.nonEmpty, "multi_match needs a non-empty query")
     def fieldToks(f: String) = split(lower(fieldCol(f)), "\\s+")
@@ -240,7 +266,8 @@ object EsFilter {
           coalesce(array_contains(fieldToks(f), t), lit(false)): Column)
         .reduce(_ || _)).reduce(_ && _)
     else {
-      // best_fields: some field matches the whole (per-operator) query
+      // best_fields / most_fields: some field matches the whole
+      // (per-operator) query
       fields.map { f =>
         val preds = terms.map(t => array_contains(fieldToks(f), t))
         coalesce(if (op == "and") preds.reduce(_ && _) else preds.reduce(_ || _),
@@ -249,15 +276,16 @@ object EsFilter {
     }
   }
 
-  /** ES `match_phrase` (+ `_prefix`): the analyzed query terms must appear
-    * IN ORDER in the analyzed field, adjacent by default or with up to
-    * `slop` intervening tokens between consecutive terms — consistent with
-    * [[matchQuery]]'s analyzer (lowercase whitespace tokens). Compiled as an
-    * anchored regex over the space-rejoined token stream, with every term
-    * regex-quoted; the `_prefix` form lets the last term match as a prefix
-    * (ES's autocomplete shape). Documented deviation: Lucene's sloppy
-    * phrase also permits OUT-OF-ORDER terms at move cost 2; this compiles
-    * the in-order interpretation only. Evaluates in the scan stage.
+  /** ES `match_phrase` (+ `_prefix`): the analyzed query terms must form a
+    * phrase in the analyzed field — consistent with [[matchQuery]]'s
+    * analyzer (lowercase whitespace tokens). `slop = 0` (the default) means
+    * adjacent-in-order and compiles to an anchored regex over the
+    * space-rejoined token stream with every term regex-quoted; the
+    * `_prefix` form lets the last term match as a prefix (ES's autocomplete
+    * shape). `slop > 0` uses Lucene's sloppy-phrase semantics
+    * ([[sloppyMatch]]): a TOTAL move budget across the whole phrase that
+    * also admits OUT-OF-ORDER terms (a two-term swap costs 2 moves), not a
+    * per-consecutive-gap allowance. Evaluates in the scan stage.
     */
   private def matchPhrase(body: JsonNode, prefix: Boolean): Column = {
     require(body.isObject && body.size() == 1, s"expected {field: query}, got $body")
@@ -266,15 +294,157 @@ object EsFilter {
     val qText = if (spec.isObject && spec.has("query")) spec.get("query").asText()
                 else spec.asText()
     val slop = if (spec.isObject && spec.has("slop")) spec.get("slop").asInt() else 0
+    phrasePred(f, qText, slop, prefix)
+  }
+
+  /** The phrase predicate shared by match_phrase(_prefix) and multi_match
+    * type=phrase(_prefix): adjacency regex at slop 0, [[sloppyMatch]] above.
+    */
+  private def phrasePred(f: String, qText: String, slop: Int, prefix: Boolean): Column = {
     val terms = qText.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
     require(terms.nonEmpty, "match_phrase needs a non-empty query")
-    val quoted = terms.map(java.util.regex.Pattern.quote)
-    val sep = if (slop <= 0) " " else s"( [^ ]+){0,$slop} "
-    val phrase =
-      if (prefix) (quoted.init :+ (quoted.last + "[^ ]*")).mkString(sep)
-      else quoted.mkString(sep)
-    val joined = array_join(split(lower(fieldCol(f)), "\\s+"), " ")
-    joined.rlike("(^| )" + phrase + "( |$)")
+    if (slop <= 0) {
+      val quoted = terms.map(java.util.regex.Pattern.quote)
+      val phrase =
+        if (prefix) (quoted.init :+ (quoted.last + "[^ ]*")).mkString(" ")
+        else quoted.mkString(" ")
+      val joined = array_join(split(lower(fieldCol(f)), "\\s+"), " ")
+      joined.rlike("(^| )" + phrase + "( |$)")
+    } else sloppyMatch(fieldCol(f), terms, slop, inOrder = false, prefix = prefix)
+  }
+
+  /** ES `dis_max`: in scoring context the best-scoring clause wins and
+    * `tie_breaker` blends the rest; matching is unchanged — a document
+    * matches when ANY clause matches — so the filter-context compilation is
+    * a plain disjunction.
+    */
+  private def disMax(body: JsonNode): Column = {
+    require(body.isObject && body.has("queries"),
+      s"""dis_max needs "queries", got $body""")
+    clauses(body.get("queries")).map(compileNode)
+      .reduceOption(_ || _).getOrElse(lit(false))
+  }
+
+  /** ES `boosting`: the `negative` clause DEMOTES scores (by
+    * `negative_boost`) but never excludes a document, so filter-context
+    * matching is decided by the `positive` clause alone.
+    */
+  private def boosting(body: JsonNode): Column = {
+    require(body.isObject && body.has("positive"),
+      s"""boosting needs "positive", got $body""")
+    compileNode(body.get("positive"))
+  }
+
+  /** ES `span_term`: a single-term span — standalone (no enclosing span
+    * combinator) it matches documents whose analyzed field contains the
+    * term at any position, i.e. token membership under [[matchQuery]]'s
+    * analyzer.
+    */
+  private def spanTerm(body: JsonNode): Column = {
+    val (f, v) = fieldValue(body)
+    array_contains(split(lower(fieldCol(f)), "\\s+"), v.asText().toLowerCase)
+  }
+
+  /** ES `span_near`: the clause spans (restricted here to `span_term`
+    * clauses on ONE field — nested span combinators are rejected, not
+    * silently approximated) must occur within `slop` total intervening
+    * unmatched positions, optionally in order. `in_order` defaults to
+    * false (the ES SpanNearQueryBuilder default); out-of-order matching
+    * uses the same total-move-budget matcher as sloppy phrases.
+    */
+  private def spanNear(body: JsonNode): Column = {
+    require(body.isObject && body.has("clauses"),
+      s"""span_near needs "clauses", got $body""")
+    val cls = clauses(body.get("clauses"))
+    require(cls.nonEmpty, "span_near needs at least one clause")
+    val fts = cls.map { c =>
+      require(c.isObject && c.size() == 1 && c.has("span_term"),
+        s"span_near supports span_term clauses only, got $c")
+      val (f, v) = fieldValue(c.get("span_term"))
+      (f, v.asText().toLowerCase)
+    }
+    val fields = fts.map(_._1).distinct
+    require(fields.size == 1,
+      s"span_near clauses must target a single field, got: ${fields.mkString(", ")}")
+    val slop = if (body.has("slop")) body.get("slop").asInt() else 0
+    val inOrder = body.has("in_order") && body.get("in_order").asBoolean()
+    sloppyMatch(fieldCol(fields.head), fts.map(_._2), slop, inOrder = inOrder)
+  }
+
+  /** ES `more_like_this`, filter-context degeneration: the `like` text is
+    * analyzed into distinct terms and a document matches when at least
+    * `minimum_should_match` of them (default "30%", the ES mlt default;
+    * floored like bool's msm, min 1) appear across the given fields —
+    * match-over-the-query-terms. The tf/idf TERM SELECTION knobs
+    * (max_query_terms, min_term_freq, min_doc_freq) rank terms by corpus
+    * statistics a row-local predicate cannot consult, so every analyzed
+    * like-term counts toward the threshold.
+    */
+  private def moreLikeThis(body: JsonNode): Column = {
+    require(body.isObject && body.has("fields") && body.has("like"),
+      s"""more_like_this needs "fields" and "like", got $body""")
+    val fields = body.get("fields").elements().asScala.map(_.asText()).toSeq
+    require(fields.nonEmpty, "more_like_this needs at least one field")
+    val terms = clauses(body.get("like")).map(_.asText())
+      .flatMap(_.trim.toLowerCase.split("\\s+")).filter(_.nonEmpty).distinct
+    require(terms.nonEmpty, "more_like_this needs non-empty like text")
+    val msmRaw =
+      if (body.has("minimum_should_match")) body.get("minimum_should_match").asText()
+      else "30%"
+    val msm = math.max(1,
+      if (msmRaw.endsWith("%"))
+        math.floor(msmRaw.dropRight(1).toDouble / 100.0 * terms.size).toInt
+      else msmRaw.toInt)
+    def has(t: String): Column = fields.map(f =>
+      coalesce(array_contains(split(lower(fieldCol(f)), "\\s+"), t), lit(false)): Column)
+      .reduce(_ || _)
+    terms.map(t => when(has(t), 1).otherwise(0): Column).reduce(_ + _) >= msm
+  }
+
+  /** Lucene sloppy-phrase matcher: the query terms must map to DISTINCT
+    * token positions p_0..p_{n-1} (term i matching the token at p_i; with
+    * `prefix`, the last term matches as a token prefix) such that the match
+    * width `max_i(p_i - i) - min_i(p_i - i) <= slop` — one "move" shifts
+    * one term by one position, so a two-term swap costs 2 and "a x b x c"
+    * needs slop 2 for "a b c" (not 1 per gap). With `inOrder` (the
+    * span_near form) positions must additionally be strictly increasing and
+    * the budget is the TOTAL number of intervening unmatched positions,
+    * `sum_i(p_{i+1} - p_i - 1) = (p_{n-1} - p_0) - (n - 1) <= slop`.
+    *
+    * Compiled as nested `exists` higher-order functions over each term's
+    * position list — an assignment search whose cost is the product of the
+    * terms' occurrence counts, evaluated in the scan stage on short
+    * tag-like fields (no join, no UDF); the non-phrase residue of a bool
+    * query still prunes first at scale.
+    */
+  private def sloppyMatch(field: Column, terms: Seq[String], slop: Int,
+                          inOrder: Boolean, prefix: Boolean = false): Column = {
+    val toks = split(lower(field), "\\s+")
+    val idx = sequence(lit(0), size(toks) - 1)
+    val posLists: Seq[Column] = terms.zipWithIndex.map { case (t, i) =>
+      filter(idx, j =>
+        if (prefix && i == terms.size - 1) element_at(toks, j + 1).startsWith(lit(t))
+        else element_at(toks, j + 1) === lit(t))
+    }
+    def accept(ps: Seq[Column]): Column = {
+      val distinctOk = (for { a <- ps.indices; b <- a + 1 until ps.size }
+        yield (ps(a) =!= ps(b)): Column).reduceOption(_ && _).getOrElse(lit(true))
+      val widthOk =
+        if (ps.size == 1) lit(true)
+        else if (inOrder) {
+          val ordered = ps.sliding(2).map { case Seq(a, b) => (a < b): Column }
+            .reduce(_ && _)
+          ordered && (ps.last - ps.head - lit(ps.size - 1) <= lit(slop))
+        } else {
+          val adjusted = array(ps.zipWithIndex.map { case (p, k) => p - lit(k) }: _*)
+          array_max(adjusted) - array_min(adjusted) <= lit(slop)
+        }
+      distinctOk && widthOk
+    }
+    def search(i: Int, bound: List[Column]): Column =
+      if (i == terms.size) accept(bound.reverse)
+      else exists(posLists(i), p => search(i + 1, p :: bound))
+    search(0, Nil)
   }
 
   private def terms(body: JsonNode): Column = {

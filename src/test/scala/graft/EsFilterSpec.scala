@@ -217,7 +217,7 @@ class EsFilterSpec extends SparkTestBase {
 
   test("unsupported filter type throws") {
     intercept[IllegalArgumentException] {
-      EsFilter.compile("""{"more_like_this":{"fields":["x"],"like":"y"}}""")
+      EsFilter.compile("""{"percolate":{"field":"query","document":{}}}""")
     }
   }
 
@@ -286,5 +286,159 @@ class EsFilterSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") &&
       plan.contains("EqualTo(event_type,purchase)"), s"no pushdown in plan:\n$plan")
+  }
+
+  private lazy val slopDocs = {
+    import spark.implicits._
+    Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "beta alpha gamma"),     // alpha/beta swapped
+      (3L, "alpha x beta y gamma"), // two gaps of one => TOTAL distance 2
+      (4L, "alpha x y beta gamma"), // one gap of two
+      (5L, "alpha beta alpha")).toDF("id", "text")
+  }
+  private def sids(json: String): Seq[Long] =
+    slopDocs.where(EsFilter.compile(json))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("sloppy phrase: TOTAL move budget, not per-gap (Lucene semantics)") {
+    // per-gap reading would admit doc 3 ("alpha x beta y gamma") at slop 1;
+    // Lucene's budget is total across the phrase, so doc 3 needs slop 2
+    assert(sids("""{"match_phrase":{"text":{"query":"alpha beta gamma","slop":1}}}""")
+      == Seq(1L))
+    assert(sids("""{"match_phrase":{"text":{"query":"alpha beta gamma","slop":2}}}""")
+      == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("sloppy phrase admits out-of-order terms: a swap costs two moves") {
+    // doc 2 has "beta alpha": matching "alpha beta" needs 2 moves
+    assert(sids("""{"match_phrase":{"text":{"query":"alpha beta","slop":1}}}""")
+      == Seq(1L, 3L, 5L))
+    assert(sids("""{"match_phrase":{"text":{"query":"alpha beta","slop":2}}}""")
+      == Seq(1L, 2L, 3L, 4L, 5L))
+    // repeated query terms need DISTINCT positions: only doc 5 has two alphas
+    assert(sids("""{"match_phrase":{"text":{"query":"alpha alpha","slop":3}}}""")
+      == Seq(5L))
+    // sloppy _prefix: the last term still matches as a prefix
+    assert(sids("""{"match_phrase_prefix":{"text":{"query":"alpha gam","slop":1}}}""")
+      == Seq(1L, 2L))
+  }
+
+  test("span_near: span_term clauses, total slop, optional in_order") {
+    val near =
+      """{"span_near":{"clauses":[{"span_term":{"text":"alpha"}},
+                                  {"span_term":{"text":"gamma"}}],
+                       "slop":1,"in_order":true}}"""
+    // doc1 alpha@0 gamma@2 (1 intervening), doc2 alpha@1 gamma@2 (0)
+    assert(sids(near) == Seq(1L, 2L))
+    // out-of-order (the ES default): doc 2 holds "alpha gamma" adjacent,
+    // which the reversed query [gamma, alpha] reaches in 2 moves; doc 1's
+    // "alpha beta gamma" would need 3
+    val unordered =
+      """{"span_near":{"clauses":[{"span_term":{"text":"gamma"}},
+                                  {"span_term":{"text":"alpha"}}],"slop":2}}"""
+    assert(sids(unordered) == Seq(2L))
+    // in_order rejects the reversed occurrence outright
+    val ordered =
+      """{"span_near":{"clauses":[{"span_term":{"text":"gamma"}},
+                                  {"span_term":{"text":"alpha"}}],
+                       "slop":5,"in_order":true}}"""
+    assert(sids(ordered) == Seq())
+    // bare span_term = token membership
+    assert(sids("""{"span_term":{"text":"gamma"}}""") == Seq(1L, 2L, 3L, 4L))
+    // nested span combinators and multi-field clauses are rejected
+    intercept[IllegalArgumentException] {
+      sids("""{"span_near":{"clauses":[{"span_near":{"clauses":[]}}],"slop":0}}""")
+    }
+  }
+
+  test("dis_max ORs its queries; boosting keeps only the positive clause") {
+    assert(ids(
+      """{"dis_max":{"queries":[{"term":{"event_type":"click"}},
+                                {"term":{"user_id":4}}],"tie_breaker":0.7}}""")
+      == Seq(2L, 4L))
+    assert(ids("""{"dis_max":{"queries":[]}}""") == Seq())
+    // boosting: negative demotes scores, never excludes
+    assert(ids(
+      """{"boosting":{"positive":{"term":{"event_type":"purchase"}},
+                      "negative":{"range":{"value":{"gte":50}}},
+                      "negative_boost":0.2}}""")
+      == Seq(1L, 5L))
+    intercept[IllegalArgumentException] { ids("""{"boosting":{}}""") }
+  }
+
+  test("more_like_this matches enough analyzed like-terms across fields") {
+    // 4 distinct terms, default 30% => floor(1.2)=1 term suffices
+    assert(sids(
+      """{"more_like_this":{"fields":["text"],"like":"alpha nope zilch nada"}}""")
+      == Seq(1L, 2L, 3L, 4L, 5L))
+    // explicit 50% of 2 terms => 1; of 4 terms => 2
+    assert(sids(
+      """{"more_like_this":{"fields":["text"],"like":"beta gamma nope nada",
+          "minimum_should_match":"50%"}}""")
+      == Seq(1L, 2L, 3L, 4L))
+    assert(sids(
+      """{"more_like_this":{"fields":["text"],"like":"x y",
+          "minimum_should_match":2}}""")
+      == Seq(3L, 4L))
+  }
+
+  test("sloppy phrase matches a brute-force assignment oracle on every short doc") {
+    import spark.implicits._
+    // EXHAUSTIVE: all token sequences of length 1..5 over {a, b, c} (363
+    // docs), two query shapes, slops 0..3 — the compiled predicate (regex
+    // path at slop 0, nested-exists matcher beyond) must agree with a
+    // direct implementation of the assignment semantics on every one
+    val alpha = Seq("a", "b", "c")
+    val docs = (1 to 5).flatMap(n =>
+      Seq.fill(n)(alpha).foldLeft(Seq(Seq.empty[String]))((acc, as) =>
+        acc.flatMap(pre => as.map(pre :+ _))))
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t.mkString(" ")) }
+      .toDF("id", "text")
+    def bruteSloppy(toks: Seq[String], terms: Seq[String], slop: Int): Boolean = {
+      val posLists = terms.map(t => toks.zipWithIndex.filter(_._1 == t).map(_._2))
+      def rec(i: Int, acc: List[Int]): Boolean =
+        if (i == terms.size) {
+          val ps = acc.reverse
+          ps.distinct.size == ps.size && {
+            val adj = ps.zipWithIndex.map { case (p, k) => p - k }
+            adj.max - adj.min <= slop
+          }
+        } else posLists(i).exists(p => rec(i + 1, p :: acc))
+      rec(0, Nil)
+    }
+    for (terms <- Seq(Seq("a", "b"), Seq("a", "b", "c"), Seq("a", "a")); slop <- 0 to 3) {
+      val json =
+        s"""{"match_phrase":{"text":{"query":"${terms.mkString(" ")}","slop":$slop}}}"""
+      val got = df.where(EsFilter.compile(json))
+        .select("id").collect().map(_.getLong(0)).toSet
+      val want = docs.zipWithIndex
+        .collect { case (t, i) if bruteSloppy(t, terms, slop) => i.toLong }.toSet
+      assert(got == want,
+        s"terms=$terms slop=$slop: got ${got.size} docs, brute oracle ${want.size}")
+    }
+  }
+
+  test("multi_match phrase types route to the phrase matcher; unknown types throw") {
+    import spark.implicits._
+    val two = Seq((1L, "alpha beta", "gamma delta"),
+                  (2L, "beta alpha", "delta gamma")).toDF("id", "a", "b")
+    def mids(json: String): Seq[Long] =
+      two.where(EsFilter.compile(json)).select("id").collect().map(_.getLong(0)).sorted.toSeq
+    // type=phrase needs in-order adjacency in SOME field
+    assert(mids("""{"multi_match":{"query":"gamma delta","fields":["a","b"],
+      "type":"phrase"}}""") == Seq(1L))
+    // with slop 2 the swapped field matches too
+    assert(mids("""{"multi_match":{"query":"gamma delta","fields":["a","b"],
+      "type":"phrase","slop":2}}""") == Seq(1L, 2L))
+    assert(mids("""{"multi_match":{"query":"alpha be","fields":["a","b"],
+      "type":"phrase_prefix"}}""") == Seq(1L))
+    // most_fields matches like best_fields in filter context
+    assert(mids("""{"multi_match":{"query":"alpha","fields":["a","b"],
+      "type":"most_fields"}}""") == Seq(1L, 2L))
+    // unknown types are rejected, not silently treated as best_fields
+    intercept[IllegalArgumentException] {
+      mids("""{"multi_match":{"query":"alpha","fields":["a"],"type":"bool_prefix"}}""")
+    }
   }
 }
