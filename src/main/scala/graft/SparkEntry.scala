@@ -148,6 +148,40 @@ object SparkEntry {
       EsFilter.compile(
         """{"multi_match":{"query":"signup error","fields":["event_type","props"]}}"""),
       Start, End)),
+    // ES sloppy phrase: Lucene's TOTAL move budget, admitting out-of-order
+    // terms (a "key order" occurrence matches "order key" at slop 2 — the
+    // transposed-terms witness the per-gap in-order reading misses)
+    "ts_read_filter_phrase_slop" -> ((s, d) => {
+      val docs = graft.core.Tables.documents(s, d)
+      graft.core.Det.ordered(docs.where(EsFilter.compile(
+        """{"match_phrase":{"text":{"query":"order key","slop":2}}}""",
+        docs.columns.toSeq)).select(docs.col("doc_id")))
+    }),
+    // ES span_near: span_term clauses within a total slop, in order
+    "ts_read_filter_span" -> ((s, d) => {
+      val docs = graft.core.Tables.documents(s, d)
+      graft.core.Det.ordered(docs.where(EsFilter.compile(
+        """{"span_near":{"clauses":[{"span_term":{"text":"hash"}},
+                                    {"span_term":{"text":"join"}}],
+            "slop":3,"in_order":true}}""",
+        docs.columns.toSeq)).select(docs.col("doc_id")))
+    }),
+    // ES dis_max: filter context = any clause matches (tie_breaker is a
+    // scoring knob)
+    "ts_read_filter_dis_max" -> ((s, d) => Tsdb.read(Tsdb.points(s, d),
+      EsFilter.compile(
+        """{"dis_max":{"queries":[{"term":{"event_type":"signup"}},
+                                  {"range":{"value":{"gte":95}}}],
+            "tie_breaker":0.3}}"""), Start, End)),
+    // ES more_like_this: >= minimum_should_match of the analyzed like-terms
+    "ts_read_filter_mlt" -> ((s, d) => {
+      val docs = graft.core.Tables.documents(s, d)
+      graft.core.Det.ordered(docs.where(EsFilter.compile(
+        """{"more_like_this":{"fields":["text"],
+            "like":"spark hash join merge sort",
+            "minimum_should_match":"60%"}}""",
+        docs.columns.toSeq)).select(docs.col("doc_id")))
+    }),
     // multi-field query_string: bare tokens match any listed field
     "ts_read_filter_qs_fields" -> ((s, d) => Tsdb.read(Tsdb.points(s, d),
       EsFilter.compile(
@@ -309,6 +343,7 @@ object SparkEntry {
     "ann_topk" -> ((s, d) => Ann.bruteForceTopK(s, d)),
     "ann_lsh" -> ((s, d) => Ann.lshTopK(s, d)),
     "ann_ivf" -> ((s, d) => Ann.ivfTopK(s, d)),
+    "ann_ivf_occupancy" -> ((s, d) => Ann.ivfOccupancy(s, d)),
     "ann_ivf_nprobe" -> ((s, d) => Ann.ivfTopK(s, d, nprobe = 2)),
     "ann_pq" -> ((s, d) => Ann.pqTopK(s, d)),
     "ann_pq_rerank" -> ((s, d) => Ann.pqRerankTopK(s, d)),
@@ -319,6 +354,7 @@ object SparkEntry {
     "text_entropy" -> ((s, d) => TextOps.entropy(s, d)),
     "dsir_weights" -> ((s, d) => TextOps.dsirWeights(s, d)),
     "bpe_train" -> ((s, d) => TextOps.bpeMergeTrain(s, d)),
+    "bpe_train_chars" -> ((s, d) => TextOps.bpeMergeTrain(s, d, chars = true)),
     "doc_chunks" -> ((s, d) => TextOps.docChunks(s, d)),
     "dedup_chunks" -> ((s, d) => Dedup.dedupChunks(s, d)),
     "bpe_pairs" -> ((s, d) => TextOps.bpePairs(s, d)),
@@ -951,6 +987,45 @@ object SparkEntry {
               OR list_contains(string_split_regex(lower(props), '\\s+'), 'signup')
               OR list_contains(string_split_regex(lower(props), '\\s+'), 'error'))
           ORDER BY 1, 2, 3, 4""",
+    // Sloppy-phrase width over token positions: terms map to distinct
+    // positions with max_i(pos_i - i) - min_i(pos_i - i) <= slop; for two
+    // terms that is |pos_0 - (pos_1 - 1)| <= slop (0- vs 1-based indexing
+    // cancels in the relative form). Includes out-of-order occurrences —
+    // the transposed witness rows the in-order reading misses.
+    "ts_read_filter_phrase_slop" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
+                    FROM documents),
+              toks AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos
+                       FROM t),
+              a AS (SELECT doc_id, pos FROM toks WHERE tok = 'order'),
+              b AS (SELECT doc_id, pos FROM toks WHERE tok = 'key')
+          SELECT DISTINCT a.doc_id FROM a JOIN b ON a.doc_id = b.doc_id
+          WHERE a.pos <> b.pos AND abs(a.pos - (b.pos - 1)) <= 2
+          ORDER BY 1""",
+    "ts_read_filter_span" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
+                    FROM documents),
+              toks AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos
+                       FROM t),
+              a AS (SELECT doc_id, pos FROM toks WHERE tok = 'hash'),
+              b AS (SELECT doc_id, pos FROM toks WHERE tok = 'join')
+          SELECT DISTINCT a.doc_id FROM a JOIN b ON a.doc_id = b.doc_id
+          WHERE b.pos > a.pos AND b.pos - a.pos - 1 <= 3
+          ORDER BY 1""",
+    "ts_read_filter_dis_max" ->
+      s"""SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events
+          WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
+            AND (event_type = 'signup' OR value >= 95)
+          ORDER BY 1, 2, 3, 4""",
+    // 5 distinct like-terms at 60% => floor(3.0) = 3 must appear
+    "ts_read_filter_mlt" ->
+      """SELECT doc_id FROM documents
+          WHERE (CASE WHEN list_contains(string_split_regex(lower(text), '\s+'), 'spark') THEN 1 ELSE 0 END
+               + CASE WHEN list_contains(string_split_regex(lower(text), '\s+'), 'hash') THEN 1 ELSE 0 END
+               + CASE WHEN list_contains(string_split_regex(lower(text), '\s+'), 'join') THEN 1 ELSE 0 END
+               + CASE WHEN list_contains(string_split_regex(lower(text), '\s+'), 'merge') THEN 1 ELSE 0 END
+               + CASE WHEN list_contains(string_split_regex(lower(text), '\s+'), 'sort') THEN 1 ELSE 0 END) >= 3
+          ORDER BY 1""",
     "ts_read_filter_qs_fields" ->
       s"""SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events
           WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
@@ -1651,6 +1726,21 @@ object SparkEntry {
                         ORDER BY cosine DESC, n_id) AS BIGINT) AS rank
                     FROM pc)
           SELECT q_id, n_id, cosine, rank FROM r WHERE rank <= 5 ORDER BY 1, 2, 3, 4""",
+    "ann_ivf_occupancy" ->
+      s"""WITH $VecrCte,
+              ${ivfTrainCte(2, 16)},
+              knf AS (SELECT c_id, sum(cx*cx) AS nsq FROM c2 GROUP BY 1),
+              cc AS (SELECT v.vec_id AS vid, c.c_id AS cid, sum(v.x * c.cx) AS dot
+                     FROM evr v JOIN c2 c ON v.i = c.i GROUP BY 1, 2),
+              ccos AS (SELECT vid, cid, round(dot/sqrt(nv.nsq*nc.nsq), 6) AS c
+                       FROM cc JOIN vnr nv ON nv.vec_id = vid JOIN knf nc ON nc.c_id = cid),
+              assign AS (SELECT vid, cid AS cell FROM (
+                           SELECT vid, cid, row_number() OVER (PARTITION BY vid
+                             ORDER BY c DESC, cid) AS arn FROM ccos) WHERE arn = 1),
+              tot AS (SELECT count(*) AS n_total FROM assign)
+          SELECT cell, count(*) AS n_vecs,
+                 ${rndSql("count(*) * 1.0 / n_total", 6)} AS share
+          FROM assign, tot GROUP BY cell, n_total ORDER BY 1, 2, 3""",
     "ann_recall" ->
       s"""WITH $VecrCte,
               bfd AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, sum(a.x*b.x) AS dot
@@ -2338,6 +2428,37 @@ object SparkEntry {
                           FROM d$r, b$r b)"""
       }.mkString(",\n")
       s"""WITH d0 AS (SELECT doc_id, ' ' || $NormSql || ' ' AS s FROM documents),
+              $rounds,
+              m AS (SELECT * FROM b0 UNION ALL SELECT * FROM b1
+                    UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3
+                    UNION ALL SELECT * FROM b4 UNION ALL SELECT * FROM b5)
+          SELECT round, l AS lhs, rt AS rhs, c AS pair_count
+          FROM m ORDER BY 1, 2, 3, 4"""
+    },
+    "bpe_train_chars" -> {
+      // the character-level classic: same unrolled rounds as bpe_train over
+      // the char-exploded corpus (words split to spaced chars, word
+      // boundaries as double spaces whose empty split-token the pair filter
+      // drops — merges stay within words, Sennrich's rule)
+      val rounds = (0 until 6).map { r =>
+        s"""p$r AS (SELECT l, rt, count(*) AS c FROM (
+                      SELECT toks[i] AS l, toks[i+1] AS rt
+                      FROM (SELECT string_split(s, ' ') AS toks FROM d$r),
+                           UNNEST(range(1, len(toks))) AS u(i))
+                    WHERE l <> '' AND rt <> '' GROUP BY 1, 2),
+            b$r AS (SELECT CAST($r AS BIGINT) AS round, l, rt, c
+                    FROM p$r ORDER BY c DESC, l, rt LIMIT 1),
+            d${r + 1} AS (SELECT doc_id,
+                            replace(s, ' ' || b.l || ' ' || b.rt || ' ',
+                                       ' ' || b.l || chr(1) || b.rt || ' ') AS s
+                          FROM d$r, b$r b)"""
+      }.mkString(",\n")
+      s"""WITH d0 AS (SELECT doc_id,
+                             ' ' || array_to_string(list_transform(
+                                      string_split($NormSql, ' '),
+                                      w -> trim(regexp_replace(w, '(.)', '\\1 ', 'g'))),
+                                    '  ') || ' ' AS s
+                      FROM documents),
               $rounds,
               m AS (SELECT * FROM b0 UNION ALL SELECT * FROM b1
                     UNION ALL SELECT * FROM b2 UNION ALL SELECT * FROM b3

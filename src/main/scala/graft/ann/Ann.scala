@@ -152,11 +152,23 @@ object Ann {
     */
   def ivfTopK(s: SparkSession, d: String, k: Int = 5, nQueries: Int = 20,
               nCentroids: Int = 16, nprobe: Int = 1, trainIters: Int = 2): DataFrame = {
-    // cache: each training iteration scans the quantized vectors twice
-    // (assignment + means) and the probe phase scans them again
-    val e = memoDf(s, s"qn|$d")(quantNorm(s, d).cache())
     val cents = memoCodebook(s, s"ivf|$d|$nCentroids|$trainIters")(
-      trainIvfCentroids(s, e, nCentroids, trainIters))
+      trainIvfCentroids(s, memoDf(s, s"qn|$d")(quantNorm(s, d).cache()),
+        nCentroids, trainIters))
+    ivfTopKWith(s, d, cents, k, nQueries, nprobe)
+  }
+
+  /** [[ivfTopK]] against an EXPLICIT codebook table — the load path of the
+    * train-once-offline story: a codebook persisted by [[saveCodebooks]]
+    * and reloaded from parquet drops in here and, training being
+    * deterministic, returns bit-identical neighbors to the in-session
+    * trained one (proved in SourcesSpec).
+    */
+  def ivfTopKWith(s: SparkSession, d: String, cents: DataFrame, k: Int = 5,
+                  nQueries: Int = 20, nprobe: Int = 1): DataFrame = {
+    // cache: the assignment phase scans the quantized vectors per centroid
+    // rank and the probe phase scans them again
+    val e = memoDf(s, s"qn|$d")(quantNorm(s, d).cache())
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
     // centroid ranking per vector: arn=1 is the stored cell; arn<=nprobe are
     // the cells a query probes (IVF recall knob, Jégou et al. PAMI '11)
@@ -182,6 +194,65 @@ object Ann {
       .where(col("rank") <= k)
     Det.ordered(out)
   }
+
+  /** IVF cell-occupancy report — the coarse-codebook's train-quality
+    * metric, the sibling of [[pqReconError]]: per trained cell, how many
+    * vectors land in it and its share of the corpus. A balanced codebook
+    * puts ~1/nCells everywhere; a skewed one concentrates probes in hot
+    * cells (per-query cost is cell occupancy — `knn_classify_ivf` /
+    * `ann_ivfpq` scan exactly these cells), which is the signal to retrain
+    * with more centroids or rebalance. Assignment replays the deterministic
+    * trained codebook, so the oracle checks it bit-exactly. One broadcast
+    * join + two aggregates.
+    */
+  def ivfOccupancy(s: SparkSession, d: String, nCentroids: Int = 16,
+                   trainIters: Int = 2): DataFrame = {
+    val e = memoDf(s, s"qn|$d")(quantNorm(s, d).cache())
+    val cents = memoCodebook(s, s"ivf|$d|$nCentroids|$trainIters")(
+      trainIvfCentroids(s, e, nCentroids, trainIters))
+    val wA = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
+    val assigned = e.join(broadcast(cents), lit(true))
+      .select(col("vec_id"), col("c_id"),
+        round(cosine(s, col("v"), col("cv"), col("nrm"), col("cn")), 6).as("c_cos"))
+      .withColumn("arn", row_number().over(wA))
+      .where(col("arn") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"))
+    val tot = assigned.agg(count(lit(1)).as("n_total"))
+    val out = assigned.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(broadcast(tot))
+      .select(col("cell"), col("n_vecs"),
+        Det.rnd(col("n_vecs") * lit(1.0) / col("n_total"), 6).as("share"))
+    Det.ordered(out)
+  }
+
+  /** Persist the trained IVF and PQ codebooks as parquet tables under
+    * `root/codebooks/` — the other half of the train-once-offline story the
+    * session memo models: in production the codebook is a stored artifact
+    * that outlives the training job, and every later assignment/search
+    * session loads it instead of retraining. Training is deterministic, so
+    * a reloaded codebook reproduces in-session results bit-exactly
+    * ([[ivfTopKWith]]). Returns (ivfPath, pqPath).
+    */
+  def saveCodebooks(s: SparkSession, d: String, root: String,
+                    nCentroids: Int = 16, trainIters: Int = 2,
+                    nCodes: Int = 16, m: Int = 4, dims: Int = 64): (String, String) = {
+    val ivf = memoCodebook(s, s"ivf|$d|$nCentroids|$trainIters")(
+      trainIvfCentroids(s, memoDf(s, s"qn|$d")(quantNorm(s, d).cache()),
+        nCentroids, trainIters))
+    val pq = memoCodebook(s, s"pq|$d|$nCodes|$m|$dims|$trainIters")(
+      trainPqCentroids(pqSubs(s, d, m, dims), nCodes, trainIters))
+    val ivfPath = s"$root/codebooks/ivf_${nCentroids}_$trainIters.parquet"
+    val pqPath = s"$root/codebooks/pq_${nCodes}_${m}_${dims}_$trainIters.parquet"
+    ivf.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(ivfPath)
+    pq.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(pqPath)
+    (ivfPath, pqPath)
+  }
+
+  /** Load a codebook persisted by [[saveCodebooks]]. Parquet stores the
+    * trained doubles bit-exactly, so the roundtrip changes nothing.
+    */
+  def loadCodebook(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
 
   /** LSH-bucketed ANN: candidates are vectors sharing the query's bucket in
     * ANY hash table; only candidates get an exact cosine. At 100 TB

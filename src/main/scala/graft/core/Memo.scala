@@ -32,6 +32,19 @@ object Memo {
     val prefix = s.sparkContext.applicationId + "|"
     val it = dfMemo.keySet().iterator()
     while (it.hasNext) if (!it.next().startsWith(prefix)) it.remove()
-    dfMemo.computeIfAbsent(prefix + key, _ => build)
+    val k = prefix + key
+    val existing = dfMemo.get(k)
+    if (existing != null) existing
+    else {
+      // build OUTSIDE the map lock: builders routinely memoize their own
+      // inputs (a codebook build resolves the quantized-vector frame), and
+      // a nested computeIfAbsent on one ConcurrentHashMap throws
+      // "Recursive update" whenever the two keys land in the same bin.
+      // The race cost is a rare duplicate build (deterministic, same
+      // result); putIfAbsent keeps exactly one winner.
+      val built = build
+      val prev = dfMemo.putIfAbsent(k, built)
+      if (prev != null) prev else built
+    }
   }
 }

@@ -648,10 +648,14 @@ object TextOps {
   /** BPE merge-rule training (Sennrich et al., ACL '16): `nMerges` greedy
     * rounds of find-the-most-frequent-adjacent-pair → merge it corpus-wide,
     * emitting the learned merge table (round, lhs, rhs, pair_count) — the
-    * tokenizer-training loop as a distributed job. Demonstrated at WORD
-    * granularity (learning multi-word units keeps the verify-SF oracle
-    * tractable; the character-level classic is the same plan with chars
-    * exploded). Per round: one pair-count shuffle + a TakeOrdered argmax
+    * tokenizer-training loop as a distributed job. Two granularities off
+    * one plan: WORD units (`chars = false` — learning multi-word units
+    * keeps the verify-SF oracle small), or the character-level CLASSIC
+    * (`chars = true`): each word explodes into space-separated characters
+    * and words are separated by a DOUBLE space, whose empty split-token
+    * the pair filter already drops — so pairs (and merges) never cross a
+    * word boundary, exactly Sennrich's within-word merge rule.
+    * Per round: one pair-count shuffle + a TakeOrdered argmax
     * (count desc, pair asc — deterministic) + a map-only rewrite, with the
     * corpus as a space-delimited token string and the merge as a
     * left-to-right non-overlapping ` lhs rhs ` → ` lhs␁rhs ` replace —
@@ -660,11 +664,19 @@ object TextOps {
     * Each round's corpus is localCheckpoint'd: the plan stays flat instead
     * of growing by one join+replace per round.
     */
-  def bpeMergeTrain(s: SparkSession, d: String, nMerges: Int = 6): DataFrame = {
+  def bpeMergeTrain(s: SparkSession, d: String, nMerges: Int = 6,
+                    chars: Boolean = false): DataFrame = {
     val J = "\u0001" // merge joiner: marks learned units, never collides with the space split
+    val corpus =
+      if (chars)
+        // "ab cd" -> " a b  c d ": chars spaced within a word, words held
+        // apart by the double space (splits to an empty token the pair
+        // filter drops), so merges never cross a word boundary
+        concat(lit(" "), array_join(transform(tokens(col("text")),
+          w => trim(regexp_replace(w, "(.)", "$1 "))), "  "), lit(" "))
+      else concat(lit(" "), array_join(tokens(col("text")), " "), lit(" "))
     var docs = Tables.documents(s, d)
-      .select(col("doc_id"),
-        concat(lit(" "), array_join(tokens(col("text")), " "), lit(" ")).as("str"))
+      .select(col("doc_id"), corpus.as("str"))
       .localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (r <- 0 until nMerges) {

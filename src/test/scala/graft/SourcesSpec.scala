@@ -50,6 +50,23 @@ class SourcesSpec extends SparkTestBase {
     }
   }
 
+  test("persisted IVF codebook reloads and reproduces in-session ANN results bit-exactly") {
+    import graft.ann.Ann
+    val root = tmp("codebooks")
+    val (ivfPath, pqPath) = Ann.saveCodebooks(spark, Sf, root)
+    // both artifacts landed as readable parquet tables
+    val ivf = Ann.loadCodebook(spark, ivfPath)
+    assert(ivf.columns.toSet == Set("c_id", "cv", "cn"))
+    assert(ivf.count() > 0)
+    assert(Ann.loadCodebook(spark, pqPath).columns.toSet == Set("csp", "c_id", "cv"))
+    // the RELOADED codebook drives ivf search to the bit-identical result
+    // of the in-session trained one (deterministic training + exact parquet
+    // double round-trip)
+    val inSession = Ann.ivfTopK(spark, Sf).collect().toSeq
+    val reloaded = Ann.ivfTopKWith(spark, Sf, ivf).collect().toSeq
+    assert(reloaded == inSession)
+  }
+
   test("bucketed tables join without any exchange (co-located join)") {
     val events = graft.core.Tables.events(spark, Sf)
       .select(col("event_id"), col("user_id"), col("value"))
