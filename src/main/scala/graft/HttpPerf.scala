@@ -48,10 +48,11 @@ object HttpPerf {
     val mapper = new ObjectMapper()
     val client = HttpClient.newHttpClient()
 
-    def run(label: String, batchSize: Int): (Double, Double, Double, Double, Int) = {
+    def run(label: String, batchSize: Int): (Double, Double, Double, Double, Int, Double) = {
       val root = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get("target"), s"graft-perf-$label").toString
-      val srv = new GraftHttpServer(new Graft(spark, root), spark)
+      val graft = new Graft(spark, root)
+      val srv = new GraftHttpServer(graft, spark)
       val port = srv.start()
       def post(path: String, body: String): String = {
         val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
@@ -88,18 +89,31 @@ object HttpPerf {
         val s0 = System.nanoTime()
         post("/series", readBody)
         val seriesSec = (System.nanoTime() - s0) / 1e9
-        (writeSec, readSec, countSec, seriesSec, series.size())
+        // compact, then re-read: SURVEY §3's claim that compaction shrinks
+        // the merge-on-read cost back toward un-merged, measured — the
+        // compacted store has one file per bucket and NO __wseq stamp, so
+        // the read plan drops the last-write-wins window entirely
+        graft.compact()
+        val cr0 = System.nanoTime()
+        val crb = post("/read", readBody)
+        val compactReadSec = (System.nanoTime() - cr0) / 1e9
+        val cSeries = mapper.readTree(crb).get("series")
+        val compactPoints = (0 until cSeries.size()).map(cSeries.get(_).get("points").size()).sum
+        require(compactPoints == NumPoints,
+          s"fraud detected -- expected $NumPoints points after compact but read $compactPoints")
+        (writeSec, readSec, countSec, seriesSec, series.size(), compactReadSec)
       } finally srv.stop()
     }
 
     // warm the JVM/session codepaths once with a tiny run, then measure
     run("warm", NumPoints / 4)
-    val (wRef, rRef, cRef, sRef, nSeries) = run("ref-shape", BatchSize)
-    val (wBig, rBig, _, _, _) = run("one-batch", NumPoints)
+    val (wRef, rRef, cRef, sRef, nSeries, crRef) = run("ref-shape", BatchSize)
+    val (wBig, rBig, _, _, _, crBig) = run("one-batch", NumPoints)
     println(
       s"""{"metric":"http_perf_vs_reference","points":$NumPoints,"n_series":$nSeries,""" +
       s""""graft_write_500batch_sec":${f"$wRef%.3f"},"graft_write_1batch_sec":${f"$wBig%.3f"},""" +
       s""""graft_read_sec":${f"$rRef%.3f"},"graft_read_after_1batch_sec":${f"$rBig%.3f"},""" +
+      s""""graft_read_compacted_sec":${f"$crRef%.3f"},"graft_read_compacted_1batch_sec":${f"$crBig%.3f"},""" +
       s""""graft_count_sec":${f"$cRef%.3f"},"graft_series_sec":${f"$sRef%.3f"},""" +
       s""""reference_write_sec":3.065,"reference_read_sec":3.342,""" +
       s""""reference_source":"README.md perf-test 100k/3tags/10vals"}""")

@@ -60,12 +60,27 @@ class GraftHttpServer(graft: Graft, spark: org.apache.spark.sql.SparkSession,
   private def textOr(node: JsonNode, key: String, dflt: String): String =
     if (node != null && node.has(key)) node.get(key).asText() else dflt
 
+  /** Routes that fall outside the reference's table (orestes.js:69-222) are
+    * a 404, not a best-effort parse.
+    */
+  private case class NotFound(msg: String) extends RuntimeException(msg)
+
   /** Space resolution: path parameter first (the reference shape,
     * orestes.js:71/83), then the body field (legacy), then "default".
+    * `com.sun` HttpServer PREFIX-matches contexts, so `/readfoo` lands on
+    * the `/read` context — the remainder must start at a `/` segment
+    * boundary or the route 404s like the reference's `/read/:space*?`
+    * pattern would.
     */
   private def spaceOf(ex: HttpExchange, base: String, node: JsonNode): String = {
-    val rest = ex.getRequestURI.getPath.stripPrefix(base).stripPrefix("/")
-    if (rest.nonEmpty) rest.takeWhile(_ != '/') else textOr(node, "space", "default")
+    val path = ex.getRequestURI.getPath
+    val rest = path.stripPrefix(base)
+    if (rest.isEmpty) textOr(node, "space", "default")
+    else if (!rest.startsWith("/")) throw NotFound(s"no route: $path")
+    else {
+      val seg = rest.stripPrefix("/").takeWhile(_ != '/')
+      if (seg.nonEmpty) seg else textOr(node, "space", "default")
+    }
   }
 
   private def filterOf(node: JsonNode): String =
@@ -175,6 +190,7 @@ class GraftHttpServer(graft: Graft, spark: org.apache.spark.sql.SparkSession,
         }
         os.write("]}".getBytes(StandardCharsets.UTF_8))
       } catch {
+        case e: NotFound if !headersSent                 => sendFull(ex, 404, errJson(e))
         case e: IllegalArgumentException if !headersSent => sendFull(ex, 400, errJson(e))
         case NonFatal(e) if !headersSent                 => sendFull(ex, 500, errJson(e))
         // mid-stream failure: headers are gone; closing the exchange
@@ -197,6 +213,7 @@ class GraftHttpServer(graft: Graft, spark: org.apache.spark.sql.SparkSession,
           val node = if (body.trim.isEmpty) null else mapper.readTree(body)
           (200, f(ex, node))
         } catch {
+          case e: NotFound                 => (404, errJson(e))
           case e: IllegalArgumentException => (400, errJson(e))
           case NonFatal(e)                 => (500, errJson(e))
         }
@@ -209,6 +226,15 @@ class GraftHttpServer(graft: Graft, spark: org.apache.spark.sql.SparkSession,
 
   private def errJson(e: Throwable): String =
     mapper.createObjectNode().put("error", String.valueOf(e.getMessage)).toString
+
+  /** Missing `start`/`end` default to [0, now) — the reference's
+    * `req.body.start || 0` / `req.body.end || Date.now()`
+    * (orestes.js:85-86, 169-170), NOT an unbounded range: an unbounded
+    * graft read would include pre-1970 points (a layout the store supports)
+    * that the reference never returns.
+    */
+  private def rangeOf(node: JsonNode): (Long, Long) =
+    (msOf(node, "start", 0L), msOf(node, "end", System.currentTimeMillis()))
 
   /** The /read body's read-vs-count split (orestes.js:140-151): no
     * aggregations → series points; exactly [{type: "count"}] → counts;
@@ -247,20 +273,20 @@ class GraftHttpServer(graft: Graft, spark: org.apache.spark.sql.SparkSession,
       s"""{"errors":${rowsJson(errors)}}"""
     }
     handleStream("/read") { (ex, node) =>
-      val (space, start, end) = (spaceOf(ex, "/read", node),
-        msOf(node, "start", Long.MinValue), msOf(node, "end", Long.MaxValue))
+      val (space, (start, end)) = (spaceOf(ex, "/read", node), rangeOf(node))
       if (wantsCount(node))
         refCountShape(graft.countPoints(filterOf(node), space, start, end))
       else
         refSeriesShape(graft.readSeries(filterOf(node), space, start, end))
     }
     handleStream("/count") { (ex, node) =>
+      val (start, end) = rangeOf(node)
       refCountShape(graft.countPoints(filterOf(node), spaceOf(ex, "/count", node),
-        msOf(node, "start", Long.MinValue), msOf(node, "end", Long.MaxValue)))
+        start, end))
     }
     handleStream("/series") { (ex, node) =>
-      graft.seriesList(filterOf(node), spaceOf(ex, "/series", node),
-        msOf(node, "start", Long.MinValue), msOf(node, "end", Long.MaxValue))
+      val (start, end) = rangeOf(node)
+      graft.seriesList(filterOf(node), spaceOf(ex, "/series", node), start, end)
     }
     handle("/select_distinct") { (ex, node) =>
       require(node != null && node.has("keys") && node.get("keys").isArray,

@@ -112,8 +112,15 @@ class Graft(spark: SparkSession, root: String,
       // `_spark_metadata` log, which would otherwise keep referencing files
       // that `remove()` retention has deleted. Only a missing/empty glob is
       // "no buckets yet" — real read errors must surface.
+      // mergeSchema: tags are data-dependent (any write may add one), and a
+      // pre-stamp store appended to by a stamped writer holds files with and
+      // without __wseq — single-footer inference would pick one arbitrary
+      // schema, silently dropping tags or the stamp (and with it the
+      // last-write-wins merge below). Merged, legacy rows surface a null
+      // stamp and rank last, exactly as the merge intends.
       val raw =
-        try spark.read.option("basePath", path).parquet(s"$path/bucket_day=*")
+        try spark.read.option("basePath", path).option("mergeSchema", "true")
+          .parquet(s"$path/bucket_day=*")
         catch {
           case e: org.apache.spark.sql.AnalysisException
               if e.getMessage.contains("PATH_NOT_FOUND") ||
@@ -275,16 +282,29 @@ class Graft(spark: SparkSession, root: String,
       val parts = fs.listStatus(bdir).filter(_.getPath.getName.endsWith(".parquet"))
       val nOut = math.max(1,
         math.ceil(parts.map(_.getLen).sum.toDouble / targetBytes).toInt)
-      if (parts.length <= nOut) None
+      // mergeSchema for the same mixed legacy/stamped reason as table()
+      val df = spark.read.option("mergeSchema", "true").parquet(bdir.toString)
+      // a bucket is done only when its file count is at target AND it holds
+      // no write-sequence stamps: one stamped file anywhere in the store
+      // keeps the merge window on every read (mergeSchema surfaces the
+      // column), so compaction must retire stamps even in buckets whose
+      // file count is already fine — that is what makes a fully compacted
+      // store's reads window-free
+      if (parts.length <= nOut && !df.columns.contains(WseqCol)) None
       else {
         val day = bdir.getName.stripPrefix("bucket_day=")
-        val df = spark.read.parquet(bdir.toString)
         val tagCols = df.columns.filterNot(c =>
           c == "time_ms" || c == "value" || c == WseqCol).toSeq
         val key = tagCols.map(col) :+ col("time_ms")
         // apply last-write-wins physically (the merge table() performs on
-        // read), keeping the winner's stamp: later writes can still
-        // overwrite a compacted point
+        // read) and DROP the stamp: a compacted bucket holds one row per
+        // (series, time) by construction, so it needs no merge — a fully
+        // compacted store reads with no window at all (the WindowGroupLimit
+        // disappears from the plan), which is the point of compacting.
+        // Later writes still overwrite compacted points: their files
+        // re-introduce the stamp through the mergeSchema read, and the
+        // merge window's DESC NULLS LAST ordering ranks every stamped row
+        // above the stamp-less compacted one.
         val merged =
           if (!df.columns.contains(WseqCol)) df
           else {
@@ -292,7 +312,7 @@ class Graft(spark: SparkSession, root: String,
               .partitionBy(key: _*)
               .orderBy(col(WseqCol).desc, col("value").desc)
             df.withColumn("__rn", row_number().over(w))
-              .where(col("__rn") === 1).drop("__rn")
+              .where(col("__rn") === 1).drop("__rn", WseqCol)
           }
         val tmp = new HPath(dir, s"$TmpPrefix$day")
         merged.repartitionByRange(nOut, key: _*)
@@ -334,6 +354,56 @@ class Graft(spark: SparkSession, root: String,
 }
 
 object Graft {
+  /** The reference's config-file shape (conf/orestes-config.json): the
+    * facade `port` plus per-space `spaces.<name>.table_granularity_days`.
+    * The cassandra/elasticsearch blocks configure backends graft replaces
+    * with parquet + Catalyst and are accepted-and-ignored, so a reference
+    * operator's existing file parses unchanged.
+    */
+  case class Config(port: Int, spaceGranularity: Map[String, Int])
+
+  /** Parse a reference-shaped config file. Read through the Hadoop
+    * FileSystem like all store maintenance — the config can live next to
+    * the data on `file:`/`hdfs:`/`s3a:`.
+    */
+  def loadConfig(spark: SparkSession, path: String): Config = {
+    val p = new HPath(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    val node =
+      try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
+      finally in.close()
+    val port = if (node.has("port")) node.get("port").asInt() else DefaultPort
+    val spaces =
+      if (!node.has("spaces")) Map.empty[String, Int]
+      else {
+        val it = node.get("spaces").fields()
+        val b = Map.newBuilder[String, Int]
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getValue.has("table_granularity_days"))
+            b += e.getKey -> e.getValue.get("table_granularity_days").asInt()
+        }
+        b.result()
+      }
+    Config(port, spaces)
+  }
+
+  /** Boot a store from the reference's own config file (orestes.js:62 reads
+    * conf/orestes-config.json at startup) — a reference operator points
+    * their existing file at a store root and gets the same per-space bucket
+    * granularities.
+    */
+  def fromConfig(spark: SparkSession, configPath: String, root: String): Graft = {
+    val cfg = loadConfig(spark, configPath)
+    new Graft(spark, root,
+      granularityDays = cfg.spaceGranularity.getOrElse("default", Tsdb.GranularityDays),
+      spaceGranularity = cfg.spaceGranularity)
+  }
+
+  /** The reference's default facade port (conf/orestes-config.json). */
+  val DefaultPort = 9668
+
   /** Crashed-compaction tmp dirs: `_`-prefixed so Spark ignores them. */
   private[tsdb] val TmpPrefix = "_compact_tmp_"
 

@@ -127,6 +127,36 @@ class GraftApiSpec extends SparkTestBase {
     assert(betaDirs == Seq(19726L), s"weekly bucket: $betaDirs")
   }
 
+  test("boots from the reference's shipped config file; daily + weekly spaces roundtrip") {
+    // the VERBATIM shipped file parses: port + per-space granularity, with
+    // the cassandra/elasticsearch backend blocks accepted-and-ignored
+    val shipped = Graft.loadConfig(spark, "/root/reference/conf/orestes-config.json")
+    assert(shipped.port == 9668)
+    assert(shipped.spaceGranularity == Map("default" -> 1))
+
+    // the same shape extended with a weekly space — the reference's
+    // multiple-spaces layout (test/multiple-spaces.spec.js) as config
+    val root = freshRoot()
+    val cfgPath = java.nio.file.Paths.get(root, "orestes-config.json")
+    Files.write(cfgPath,
+      """{"port": 9668,
+          "cassandra": {"host": "127.0.0.1", "native_transport_port": 9042},
+          "elasticsearch": {"host": "localhost", "port": 9200},
+          "spaces": {"default": {"table_granularity_days": 1},
+                     "weekly": {"table_granularity_days": 7}}}""".getBytes("UTF-8"))
+    val g = Graft.fromConfig(spark, cfgPath.toString, s"$root/store")
+    import spark.implicits._
+    g.write(Seq(("2024-01-09T10:00:00Z", 1.0, "s"), ("2024-01-10T10:00:00Z", 2.0, "s"))
+      .toDF("time", "value", "name"))
+    g.write(Seq(("2024-01-09T10:00:00Z", 3.0, "s"), ("2024-01-10T10:00:00Z", 4.0, "s"))
+      .toDF("time", "value", "name"), space = "weekly")
+    assert(g.read("""{"match_all":{}}""").count() == 2)
+    assert(g.read("""{"match_all":{}}""", space = "weekly").count() == 2)
+    // config granularities drove the layout: daily 19731+19732, weekly 19726
+    assert(g.remove(keepDays = 0, todayDay = 19999L) == Seq(19731L, 19732L))
+    assert(g.remove(keepDays = 0, space = "weekly", todayDay = 19999L) == Seq(19726L))
+  }
+
   test("filters on never-written tags match nothing, like ES filter context") {
     val g = new Graft(spark, freshRoot())
     import spark.implicits._
@@ -261,17 +291,28 @@ class GraftApiSpec extends SparkTestBase {
     // counts see the merged view too
     assert(g.countPoints("""{"match_all":{}}""").collect().map(_.getLong(1)).toSeq
       == Seq(1L))
-    // compaction applies the merge physically: the bucket's parquet holds
-    // one point row afterwards, and reads are unchanged
+    // compaction applies the merge physically AND drops the stamp: the
+    // bucket's parquet holds one stamp-less row per (series, time)
     val report = g.compact(targetBytes = 1L << 30)
     assert(report.map(_._3) == Seq(1), report.toString)
     val bucket = java.nio.file.Paths.get(root, "default", "bucket_day=19726")
     val physical = spark.read.parquet(bucket.toString)
-    assert(physical.count() == 1 && physical.columns.contains("__wseq"))
-    val afterCompact = g.read("""{"match_all":{}}""").collect()
+    assert(physical.count() == 1 && !physical.columns.contains("__wseq"))
+    // ... so the fully-compacted store reads with NO merge window at all —
+    // the WindowGroupLimit disappears from the plan (the point of
+    // compacting: cold data stops re-paying the merge on every read)
+    val afterCompactDf = g.read("""{"match_all":{}}""")
+    val compactPlan = afterCompactDf.queryExecution.executedPlan.toString
+    assert(!compactPlan.contains("Window"), s"merge window survived compact:\n$compactPlan")
+    val afterCompact = afterCompactDf.collect()
     assert(afterCompact.length == 1 && afterCompact(0).getDouble(2) == 2.0)
-    // a write after compaction can still overwrite the compacted point
+    // a write after compaction still overwrites the compacted point: its
+    // files re-introduce the stamp via mergeSchema and DESC NULLS LAST
+    // ranks every stamped row above the stamp-less compacted one
     g.write(pt(9.0), writeSeq = 9L)
+    assert(g.read("""{"match_all":{}}""").collect()(0).getDouble(2) == 9.0)
+    // ... and the merge window comes back only while stamps exist
+    g.compact(targetBytes = 1L << 30)
     assert(g.read("""{"match_all":{}}""").collect()(0).getDouble(2) == 9.0)
   }
 

@@ -140,6 +140,41 @@ class HttpApiSpec extends SparkTestBase {
     } finally srv.stop()
   }
 
+  test("routes 404 off segment boundaries; unbounded reads default to [0, now)") {
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "graft-http").toString
+    val srv = new GraftHttpServer(new Graft(spark, root), spark)
+    val port = srv.start()
+    try {
+      // com.sun contexts prefix-match, but /readfoo is not /read/:space —
+      // the reference router would 404 and so must the facade
+      val (nc, _) = post(port, "/readfoo", "{}")
+      assert(nc == 404)
+      // the space path param still routes at a proper segment boundary
+      val (sc2, _) = post(port, "/read/other", "{}")
+      assert(sc2 == 200)
+
+      val (wc, wb) = post(port, "/write",
+        """[{"time":-86400000,"value":1.0,"name":"old"},
+            {"time":"2031-01-01T00:00:00Z","value":2.0,"name":"future"},
+            {"time":"2024-01-09T10:00:00Z","value":3.0,"name":"current"}]""")
+      assert(wc == 200, wb)
+      assert(mapper.readTree(wb).get("errors").size() == 0)
+
+      // no start/end: the reference defaults to [0, Date.now()) —
+      // pre-1970 and future points must NOT surface (orestes.js:85-86)
+      val (_, rb) = post(port, "/read", "{}")
+      val series = mapper.readTree(rb).get("series")
+      assert(series.size() == 1, rb)
+      assert(series.get(0).get("tags").get("name").asText() == "current")
+
+      // explicit bounds still reach both tails
+      val (_, ab) = post(port, "/read",
+        """{"start":-172800000,"end":"2032-01-01T00:00:00Z"}""")
+      assert(mapper.readTree(ab).get("series").size() == 3)
+    } finally srv.stop()
+  }
+
   test("a held streaming read does not block concurrent requests") {
     val root = Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "graft-http-conc").toString
