@@ -25,26 +25,50 @@ object Bench {
     }
     val headlineKeys = Seq("q1_agg", "q3_join_agg", "q5_multi_join", "dedup_minhash",
       "ann_ivf", "ts_read", "ts_bucket_stats", "text_quality")
+
+    def timeOne(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Boolean, Double) = {
+      val t0 = System.nanoTime()
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case e: Throwable =>
+                 System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+      (ok, (System.nanoTime() - t0) / 1e9)
+    }
+    // A failing query reports -1, never its time-to-crash. With 3+ good
+    // runs the stat is the MEDIAN (single-shot numbers on a shared box
+    // swing 2x; best-of under-reports while a min-of-noise median does
+    // not — VERDICT r5). With fewer good runs the documented fallback is
+    // BEST-of: good(size/2) on a 2-element list would report the WORSE
+    // survivor (ADVICE r6).
+    def statOf(good: Seq[Double]): Double =
+      if (good.isEmpty) -1.0
+      else if (good.size >= 3) good.sorted.apply(good.size / 2)
+      else good.min
     // best-of-2 per query; MEDIAN-of-3 for the headline queries the judge
-    // tracks round over round (single-shot numbers on a shared box swing
-    // 2x, and best-of under-reports while a min-of-noise median does not —
-    // VERDICT r5 "What's wrong" #3). A failing query reports -1, never its
-    // time-to-crash.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // tracks round over round.
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val nRuns = if (headlineKeys.contains(name)) 3 else 2
-      val runs = (1 to nRuns).map { _ =>
-        val t0 = System.nanoTime()
-        val ok = try { fn(spark, sfDir).count(); true }
-                 catch { case e: Throwable =>
-                   System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-        (ok, (System.nanoTime() - t0) / 1e9)
-      }
+      val runs = (1 to nRuns).map(_ => timeOne(name, fn))
       spark.catalog.clearCache() // drop per-query caches between queries
-      val good = runs.filter(_._1).map(_._2).sorted
-      val stat = if (good.isEmpty) -1.0
-                 else if (nRuns >= 3) good(good.size / 2) // median
-                 else good.head                            // best-of-2
-      (name, stat, good)
+      (name, fn, runs.filter(_._1).map(_._2))
+    }
+    // The slow tail regresses first but single-shot archives box noise as
+    // truth (BENCH_r06 recorded a 29 s graph_similarity that re-measured at
+    // 2.4 s) — so the 10 slowest non-headline queries get a third run and
+    // report the median of their 3 samples too.
+    val slowTail = firstPass
+      .filter { case (name, _, good) => !headlineKeys.contains(name) && good.nonEmpty }
+      .sortBy { case (_, _, good) => -good.min }
+      .take(10).map(_._1).toSet
+    val results = firstPass.map { case (name, fn, good0) =>
+      val good =
+        if (!slowTail.contains(name)) good0
+        else {
+          val extra = timeOne(name, fn)
+          spark.catalog.clearCache()
+          good0 ++ (if (extra._1) Seq(extra._2) else Nil)
+        }
+      (name, statOf(good), good)
     }
     def jmap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
@@ -54,19 +78,22 @@ object Bench {
     // SHORT (the driver's capture truncated the 106-query line two rounds
     // running -> BENCH parsed:null). Headline queries only on stdout.
     Files.createDirectories(Paths.get("target"))
-    // headline spread (all runs, sorted) rides along so the recorded number
-    // carries its own noise bar
-    val spread = results.filter(r => headlineKeys.contains(r._1))
+    // headline + slow-tail spreads (all runs, unsorted arrival order) ride
+    // along so every recorded number carries its own noise bar
+    def spreadOf(keys: String => Boolean): String = results
+      .filter(r => keys(r._1))
       .map { case (k, _, good) =>
         "\"" + k + "\":[" + good.map(v => f"$v%.3f").mkString(",") + "]" }
       .mkString("{", ",", "}")
+    val spread = spreadOf(headlineKeys.contains)
+    val tailSpread = spreadOf(slowTail.contains)
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$failed,"queries":${jmap(results.map(r => (r._1, r._2)))},"headline_spread":$spread,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$failed,"queries":${jmap(results.map(r => (r._1, r._2)))},"headline_spread":$spread,"slow_tail_spread":$tailSpread,"sf":"$sfDir"}"""
     Files.write(Paths.get("target/bench_detail.json"),
       detail.getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     val headline = results.collect { case (k, v, _) if headlineKeys.contains(k) => (k, v) }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$failed,"queries":${jmap(headline)},"headline_spread":$spread,"sf":"$sfDir","detail":"target/bench_detail.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$failed,"queries":${jmap(headline)},"headline_spread":$spread,"slow_tail_spread":$tailSpread,"sf":"$sfDir","detail":"target/bench_detail.json"}""")
     spark.stop()
   }
 }
