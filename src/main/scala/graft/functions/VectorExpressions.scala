@@ -75,6 +75,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_osa"),
       new ExpressionInfo(classOf[OsaDistance].getName, "graft_osa"),
       (children: Seq[Expression]) => OsaDistance(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_sloppy"),
+      new ExpressionInfo(classOf[SloppyMatch].getName, "graft_sloppy"),
+      // (field, terms, slop, in_order, prefix) — the ES DSL always hands the
+      // last four as literals, so they fold into the expression instance
+      (children: Seq[Expression]) => SloppyMatch(
+        children.head,
+        children(1).eval(null).asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString,
+        children(2).eval(null).asInstanceOf[Int],
+        children(3).eval(null).asInstanceOf[Boolean],
+        children(4).eval(null).asInstanceOf[Boolean])))
     ext.injectPlannerStrategy(_ => new graft.plans.AsofJoinStrategy)
   }
 }

@@ -57,6 +57,13 @@ class GraftHttpServer(graft: Graft, spark: org.apache.spark.sql.SparkSession,
     */
   @volatile private[graft] var holdStreamsFor: Option[(String, CountDownLatch)] = None
 
+  /** Test hook: while set, streaming handlers for this path fail with the
+    * given message after the first row leaves — lets a spec PROVE the
+    * mid-stream error terminator keeps the chunked body parseable JSON
+    * (orestes.js:156-161 parity), deterministically.
+    */
+  @volatile private[graft] var poisonStreamsFor: Option[(String, String)] = None
+
   private def textOr(node: JsonNode, key: String, dflt: String): String =
     if (node != null && node.has(key)) node.get(key).asText() else dflt
 
@@ -171,7 +178,16 @@ class GraftHttpServer(graft: Graft, spark: org.apache.spark.sql.SparkSession,
       try {
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
         val node = if (body.trim.isEmpty) null else mapper.readTree(body)
-        val rows = f(ex, node).toJSON.toLocalIterator()
+        val rows0 = f(ex, node).toJSON.toLocalIterator()
+        val rows = poisonStreamsFor match { // test hook: see field doc
+          case Some((p, msg)) if p == path => new java.util.Iterator[String] {
+            private var emitted = 0
+            def hasNext: Boolean =
+              if (emitted >= 1) throw new RuntimeException(msg) else rows0.hasNext
+            def next(): String = { emitted += 1; rows0.next() }
+          }
+          case _ => rows0
+        }
         ex.getResponseHeaders.set("Content-Type", "application/json")
         ex.sendResponseHeaders(200, 0) // length 0 = chunked transfer
         headersSent = true
@@ -183,8 +199,12 @@ class GraftHttpServer(graft: Graft, spark: org.apache.spark.sql.SparkSession,
         os.write("""{"series":[""".getBytes(StandardCharsets.UTF_8))
         var first = true
         while (rows.hasNext) {
+          // compute the row BEFORE writing the separator: a task failure in
+          // next() must leave the body at a row boundary so the error
+          // terminator below still closes valid JSON (no trailing comma)
+          val row = rows.next()
           if (!first) os.write(','.toInt)
-          os.write(rows.next().getBytes(StandardCharsets.UTF_8))
+          os.write(row.getBytes(StandardCharsets.UTF_8))
           first = false
           os.flush() // each chunk leaves before the next partition computes
         }
@@ -193,8 +213,20 @@ class GraftHttpServer(graft: Graft, spark: org.apache.spark.sql.SparkSession,
         case e: NotFound if !headersSent                 => sendFull(ex, 404, errJson(e))
         case e: IllegalArgumentException if !headersSent => sendFull(ex, 400, errJson(e))
         case NonFatal(e) if !headersSent                 => sendFull(ex, 500, errJson(e))
-        // mid-stream failure: headers are gone; closing the exchange
-        // truncates the chunked body, which the client sees as a broken read
+        case NonFatal(e) =>
+          // mid-stream failure: the 200 + chunked headers are gone, so the
+          // reference closes the array and smuggles the error into the SAME
+          // body — `], "error": "<msg>"}` (orestes.js:156-161) — keeping the
+          // partial response parseable JSON with an `error` key the client
+          // can check. Message JSON-escaped (the reference's raw %s can
+          // break parseability; escaping strictly strengthens the contract).
+          try {
+            val os = ex.getResponseBody
+            os.write(("""], "error": """ +
+              mapper.writeValueAsString(String.valueOf(e.getMessage)) + "}")
+              .getBytes(StandardCharsets.UTF_8))
+            os.flush()
+          } catch { case NonFatal(_) => () } // client already hung up
       } finally ex.close()
     })
 

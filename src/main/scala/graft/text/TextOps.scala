@@ -619,11 +619,19 @@ object TextOps {
   }
 
   /** The selected (doc_id, fingerprint) rows behind [[winnowing]] — exposed
-    * so pair detection reuses the exact production selection.
+    * so pair detection reuses the exact production selection. Memoized per
+    * (session, sfDir, k, w) like the shingle/band/simhash tables: the
+    * fingerprint index is a materialized artifact every consumer probes
+    * ([[winnowing]]'s digest and [[winnowingPairs]]' join share one build),
+    * not a per-query recomputation of the ~n_chars md5 + window-min
+    * pipeline.
     */
   def winnowingFingerprints(s: SparkSession, d: String, k: Int = 8, w: Int = 6): DataFrame =
-    winnowingFingerprintsOf(
-      Tables.documents(s, d).select(col("doc_id"), col("text")), k, w)
+    graft.core.Memo.df(s, s"text.winnowing|$d|$k|$w") {
+      winnowingFingerprintsOf(
+        Tables.documents(s, d).select(col("doc_id"), col("text")), k, w)
+        .localCheckpoint(true)
+    }
 
   /** [[winnowingFingerprints]] over any (doc_id, text) set — exposed so
     * scale experiments reuse the exact production selection.
@@ -845,19 +853,26 @@ object TextOps {
     */
   def winnowingPairs(s: SparkSession, d: String, k: Int = 8, w: Int = 6,
                      minShared: Int = 5, maxDf: Int = 20): DataFrame =
-    winnowingPairsOn(winnowingFingerprints(s, d, k, w), minShared, maxDf)
+    // the fingerprint table arrives memoized+materialized, and the df-capped
+    // survivor set is itself an index artifact — memoized per
+    // (corpus, k, w, maxDf), so repeat queries pay only the pair join
+    winnowingPairsOn(
+      graft.core.Memo.df(s, s"text.winnowing.kept|$d|$k|$w|$maxDf") {
+        keptFingerprints(winnowingFingerprints(s, d, k, w), maxDf)
+          .localCheckpoint(true)
+      }, minShared, maxDf, preCapped = true)
 
   /** [[winnowingPairs]] over a precomputed fingerprint set. */
-  def winnowingPairsOn(fp0: DataFrame, minShared: Int = 5, maxDf: Int = 20): DataFrame = {
+  def winnowingPairsOn(fp0: DataFrame, minShared: Int = 5, maxDf: Int = 20,
+                       preCapped: Boolean = false): DataFrame = {
     // the gram -> window-min pipeline feeds the df count, the size table and
     // both sides of the pair join — materialize it once instead of 4
     // recomputes. localCheckpoint, not cache(): these frames live only
     // inside the returned plan, so a CacheManager entry would outlive the
     // query (ADVICE r5); checkpoint blocks free themselves on GC.
-    val fp = fp0.localCheckpoint(true)
-    val rare = fp.groupBy(col("wmin")).agg(count(lit(1)).as("df"))
-      .where(col("df") <= maxDf).select(col("wmin"))
-    val kept = fp.join(rare, "wmin").localCheckpoint(true)
+    val kept =
+      if (preCapped) fp0 // already the memoized, materialized df-capped set
+      else keptFingerprints(fp0.localCheckpoint(true), maxDf).localCheckpoint(true)
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
     val shared = kept.as("a").join(kept.as("b"),
         col("a.wmin") === col("b.wmin") && col("a.doc_id") < col("b.doc_id"))
@@ -871,5 +886,14 @@ object TextOps {
         Det.rnd(col("n_shared") * lit(1.0) / col("a_fp"), 4).as("a_overlap"),
         Det.rnd(col("n_shared") * lit(1.0) / col("b_fp"), 4).as("b_overlap"))
     Det.ordered(out)
+  }
+
+  /** The df-cap survivor set behind [[winnowingPairs]]: fingerprint rows
+    * whose window-min hash is shared by at most `maxDf` documents.
+    */
+  private def keptFingerprints(fp: DataFrame, maxDf: Int): DataFrame = {
+    val rare = fp.groupBy(col("wmin")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf).select(col("wmin"))
+    fp.join(rare, "wmin")
   }
 }

@@ -419,7 +419,26 @@ object EsFilter {
     */
   private def sloppyMatch(field: Column, terms: Seq[String], slop: Int,
                           inOrder: Boolean, prefix: Boolean = false): Column = {
+    // the codegen'd native kernel when GraftExtensions is installed (the
+    // graft_osa pattern — one JVM call per row instead of an interpreted
+    // HOF tree); the HOF formulation below stays as the documented
+    // extension-less fallback and the semantics spec
+    val active = org.apache.spark.sql.SparkSession.active
+    if (active.catalog.functionExists("graft_sloppy"))
+      return call_function("graft_sloppy", field.cast("string"),
+        lit(terms.mkString(" ")), lit(slop), lit(inOrder), lit(prefix))
     val toks = split(lower(field), "\\s+")
+    // conjunctive guard: every query term must be PRESENT before the
+    // assignment search runs — `array_contains` is codegen'd and And
+    // short-circuits, so the interpreted nested-`exists` position search
+    // below only ever evaluates on rows that contain all terms (the same
+    // all-terms-must-match precondition Lucene's phrase scorer gets from
+    // its postings-list conjunction). On a selective phrase this turns a
+    // per-row O(prod of occurrence counts) search into a per-CANDIDATE one.
+    val guard: Column = terms.zipWithIndex.map { case (t, i) =>
+      if (prefix && i == terms.size - 1) exists(toks, x => x.startsWith(lit(t)))
+      else array_contains(toks, t): Column
+    }.reduce(_ && _)
     val idx = sequence(lit(0), size(toks) - 1)
     val posLists: Seq[Column] = terms.zipWithIndex.map { case (t, i) =>
       filter(idx, j =>
@@ -444,7 +463,7 @@ object EsFilter {
     def search(i: Int, bound: List[Column]): Column =
       if (i == terms.size) accept(bound.reverse)
       else exists(posLists(i), p => search(i + 1, p :: bound))
-    search(0, Nil)
+    guard && search(0, Nil)
   }
 
   private def terms(body: JsonNode): Column = {

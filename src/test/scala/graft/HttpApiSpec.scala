@@ -203,6 +203,30 @@ class HttpApiSpec extends SparkTestBase {
     } finally srv.stop()
   }
 
+  test("mid-stream failure ends the body with a parseable error terminator") {
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "graft-http-err").toString
+    val srv = new GraftHttpServer(new Graft(spark, root), spark)
+    val port = srv.start()
+    try {
+      val (wc, wb) = post(port, "/write",
+        """[{"time":"2024-01-09T10:00:00Z","value":1.0,"name":"cpu"},
+            {"time":"2024-01-09T10:00:00Z","value":2.0,"name":"mem"}]""")
+      assert(wc == 200, wb)
+      // poison the stream after the first row: headers and a partial body
+      // are already out, so the server must close the array and smuggle the
+      // error into the same body (orestes.js:156-161) instead of truncating
+      srv.poisonStreamsFor = Some(("/read", """executor lost: task 7 "oom""""))
+      try {
+        val (rc, rb) = post(port, "/read", "{}")
+        assert(rc == 200, rb) // status was committed before the failure
+        val node = mapper.readTree(rb) // the partial body still parses
+        assert(node.get("error").asText() == """executor lost: task 7 "oom"""", rb)
+        assert(node.get("series").size() == 1, rb) // the first row arrived
+      } finally srv.poisonStreamsFor = None
+    } finally srv.stop()
+  }
+
   test("/read streams chunked (no driver-side materialization of the result)") {
     val root = Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "graft-http-stream").toString
