@@ -166,6 +166,39 @@ object SparkEntry {
             "slop":3,"in_order":true}}""",
         docs.columns.toSeq)).select(docs.col("doc_id")))
     }),
+    // ES span_or inside span_near: the first slot's positions are the
+    // UNION of the alternatives (Lucene SpanOrQuery)
+    "ts_read_filter_span_or" -> ((s, d) => {
+      val docs = graft.core.Tables.documents(s, d)
+      graft.core.Det.ordered(docs.where(EsFilter.compile(
+        """{"span_near":{"clauses":[
+             {"span_or":{"clauses":[{"span_term":{"text":"hash"}},
+                                    {"span_term":{"text":"merge"}}]}},
+             {"span_term":{"text":"join"}}],
+            "slop":3,"in_order":true}}""",
+        docs.columns.toSeq)).select(docs.col("doc_id")))
+    }),
+    // ES span_not inside span_near: 'join' occurrences immediately
+    // preceded by 'hash' are removed from the first slot (pre=1), so only
+    // a non-hash join within 4 positions of a later 'sort' matches
+    "ts_read_filter_span_not" -> ((s, d) => {
+      val docs = graft.core.Tables.documents(s, d)
+      graft.core.Det.ordered(docs.where(EsFilter.compile(
+        """{"span_near":{"clauses":[
+             {"span_not":{"include":{"span_term":{"text":"join"}},
+                          "exclude":{"span_term":{"text":"hash"}},
+                          "pre":1}},
+             {"span_term":{"text":"sort"}}],
+            "slop":4,"in_order":true}}""",
+        docs.columns.toSeq)).select(docs.col("doc_id")))
+    }),
+    // ES multi_match type=bool_prefix (match_bool_prefix per field): every
+    // term a token match except the last, which matches as a token prefix
+    "ts_read_filter_bool_prefix" -> ((s, d) => Tsdb.read(Tsdb.points(s, d),
+      EsFilter.compile(
+        """{"multi_match":{"query":"signup err","fields":["event_type"],
+            "type":"bool_prefix"}}"""),
+      Start, End)),
     // ES dis_max: filter context = any clause matches (tie_breaker is a
     // scoring knob)
     "ts_read_filter_dis_max" -> ((s, d) => Tsdb.read(Tsdb.points(s, d),
@@ -1012,6 +1045,39 @@ object SparkEntry {
           SELECT DISTINCT a.doc_id FROM a JOIN b ON a.doc_id = b.doc_id
           WHERE b.pos > a.pos AND b.pos - a.pos - 1 <= 3
           ORDER BY 1""",
+    // span_or: slot a = positions of 'hash' OR 'merge' (the union)
+    "ts_read_filter_span_or" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
+                    FROM documents),
+              toks AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos
+                       FROM t),
+              a AS (SELECT doc_id, pos FROM toks WHERE tok IN ('hash', 'merge')),
+              b AS (SELECT doc_id, pos FROM toks WHERE tok = 'join')
+          SELECT DISTINCT a.doc_id FROM a JOIN b ON a.doc_id = b.doc_id
+          WHERE b.pos > a.pos AND b.pos - a.pos - 1 <= 3
+          ORDER BY 1""",
+    // span_not: slot a = 'join' positions with NO 'hash' in [pos-1, pos]
+    "ts_read_filter_span_not" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
+                    FROM documents),
+              toks AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos
+                       FROM t),
+              a AS (SELECT t1.doc_id, t1.pos FROM toks t1
+                    WHERE t1.tok = 'join' AND NOT EXISTS (
+                      SELECT 1 FROM toks t2
+                      WHERE t2.doc_id = t1.doc_id AND t2.tok = 'hash'
+                        AND t2.pos BETWEEN t1.pos - 1 AND t1.pos)),
+              b AS (SELECT doc_id, pos FROM toks WHERE tok = 'sort')
+          SELECT DISTINCT a.doc_id FROM a JOIN b ON a.doc_id = b.doc_id
+          WHERE b.pos > a.pos AND b.pos - a.pos - 1 <= 4
+          ORDER BY 1""",
+    "ts_read_filter_bool_prefix" ->
+      s"""SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events
+          WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
+            AND (list_contains(string_split_regex(lower(event_type), '\\s+'), 'signup')
+              OR len(list_filter(string_split_regex(lower(event_type), '\\s+'),
+                     x -> x LIKE 'err%')) > 0)
+          ORDER BY 1, 2, 3, 4""",
     "ts_read_filter_dis_max" ->
       s"""SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events
           WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End

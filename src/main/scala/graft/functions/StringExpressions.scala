@@ -79,10 +79,49 @@ case class SloppyMatch(child: Expression, terms: String, slop: Int,
     copy(child = newChild)
 }
 
+/** One position SLOT of a sloppy/span match: a document position can fill
+  * the slot when its token matches ANY of `includes` (span_or's position
+  * union; a single term is a one-element union) and NO token matching an
+  * `excludes` entry sits within `[p - pre, p + post]` (Lucene SpanNotQuery's
+  * overlap window on single-token spans). Plain phrase terms are slots with
+  * empty excludes.
+  */
+case class SloppySlot(includes: Seq[String], excludes: Seq[String],
+                      pre: Int, post: Int)
+
+object SloppySlot {
+  /** Wire format for the `graft_sloppy` terms argument: slots joined by a
+    * space; each slot `inc1|inc2` or `inc1|inc2~exc1|exc2~pre~post`. The
+    * separators cannot appear inside analyzed tokens (the analyzer splits
+    * on whitespace and these filters target word terms), and encode
+    * REJECTS terms containing them rather than mis-parsing.
+    */
+  def encode(slots: Seq[SloppySlot]): String = {
+    slots.foreach { sl =>
+      require(sl.includes.nonEmpty, "slot needs at least one include term")
+      (sl.includes ++ sl.excludes).foreach(t => require(
+        t.nonEmpty && !t.exists(c => c == '|' || c == '~' || c.isWhitespace),
+        s"unsupported characters in span/phrase term: '$t'"))
+    }
+    slots.map { sl =>
+      if (sl.excludes.isEmpty) sl.includes.mkString("|")
+      else s"${sl.includes.mkString("|")}~${sl.excludes.mkString("|")}~${sl.pre}~${sl.post}"
+    }.mkString(" ")
+  }
+
+  def decode(s: String): Array[SloppySlot] =
+    s.split(" ").map { part =>
+      val seg = part.split("~")
+      if (seg.length == 1) SloppySlot(seg(0).split('|').toSeq, Nil, 0, 0)
+      else SloppySlot(seg(0).split('|').toSeq, seg(1).split('|').toSeq,
+        seg(2).toInt, seg(3).toInt)
+    }
+}
+
 object SloppyMatch {
   /** One kernel shared by codegen and the interpreter. Tokenization mirrors
     * Spark's `split(lower(field), "\\s+")` (limit -1 keeps trailing
-    * empties), then a DFS assignment search over each term's position list
+    * empties), then a DFS assignment search over each slot's position list
     * with sound pruning: the adjusted-position range (out-of-order) and the
     * running gap total (in-order) only grow as terms are bound, so a branch
     * over budget can never recover.
@@ -90,25 +129,47 @@ object SloppyMatch {
   def matches(field: String, termsStr: String, slop: Int,
               inOrder: Boolean, prefix: Boolean): Boolean = {
     val toks = field.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
-    val terms = termsStr.split(" ")
-    val n = terms.length
+    val slots = SloppySlot.decode(termsStr)
+    val n = slots.length
     val pos = new Array[Array[Int]](n)
     var i = 0
     while (i < n) {
-      val t = terms(i)
+      val sl = slots(i)
       val isPrefix = prefix && i == n - 1
+      def incMatch(j: Int): Boolean = {
+        var a = 0
+        while (a < sl.includes.length) {
+          if (if (isPrefix) toks(j).startsWith(sl.includes(a))
+              else toks(j) == sl.includes(a)) return true
+          a += 1
+        }
+        false
+      }
+      def exclNear(p: Int): Boolean = {
+        var q = math.max(0, p - sl.pre)
+        val hi = math.min(toks.length - 1, p + sl.post)
+        while (q <= hi) {
+          var a = 0
+          while (a < sl.excludes.length) {
+            if (toks(q) == sl.excludes(a)) return true
+            a += 1
+          }
+          q += 1
+        }
+        false
+      }
       var cnt = 0
       var j = 0
       while (j < toks.length) {
-        if (if (isPrefix) toks(j).startsWith(t) else toks(j) == t) cnt += 1
+        if (incMatch(j) && !exclNear(j)) cnt += 1
         j += 1
       }
-      if (cnt == 0) return false // conjunctive guard: every term must occur
+      if (cnt == 0) return false // conjunctive guard: every slot must be fillable
       val ps = new Array[Int](cnt)
       var k = 0
       j = 0
       while (j < toks.length) {
-        if (if (isPrefix) toks(j).startsWith(t) else toks(j) == t) { ps(k) = j; k += 1 }
+        if (incMatch(j) && !exclNear(j)) { ps(k) = j; k += 1 }
         j += 1
       }
       pos(i) = ps

@@ -4,6 +4,7 @@ import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import scala.jdk.CollectionConverters._
+import graft.functions.SloppySlot
 
 /** Compiles the Elasticsearch filter DSL subset the reference accepts into a
   * Catalyst [[Column]] predicate.
@@ -19,8 +20,9 @@ import scala.jdk.CollectionConverters._
   * prefix, wildcard, regexp, ids, fuzzy (OSA distance, the Lucene
   * transpositions=true default), match, match_phrase, match_phrase_prefix
   * (sloppy phrases use Lucene's TOTAL move budget incl. out-of-order terms),
-  * multi_match (best_fields/most_fields/cross_fields/phrase/phrase_prefix),
-  * constant_score, dis_max, boosting, span_term, span_near, more_like_this,
+  * multi_match (best_fields/most_fields/cross_fields/phrase/phrase_prefix/
+  * bool_prefix), constant_score, dis_max, boosting, span_term, span_near
+  * (span_term / span_or / span_not clauses), more_like_this,
   * nested, query_string (field:value / AND / OR / wildcards), bool
   * (must/filter/should/must_not/minimum_should_match), and, or, not.
   * `should` requires at least one clause to match (filter-context
@@ -234,10 +236,11 @@ object EsFilter {
     * unchanged — degenerates to the same disjunction, and `cross_fields` +
     * AND requires each term to match in SOME field). `phrase` /
     * `phrase_prefix` route through [[phrasePred]] per field (in-order
-    * adjacency ± slop), NOT the term disjunction. Any other `type`
-    * (`bool_prefix` needs the per-term autocomplete analyzer this analyzer
-    * model doesn't have) is rejected, not silently treated as best_fields —
-    * the same convention as fuzziness above.
+    * adjacency ± slop), NOT the term disjunction; `bool_prefix` is ES's
+    * match_bool_prefix per field (each term must appear as a token, the
+    * last as a token prefix, combined per `operator`). Any other `type` is
+    * rejected, not silently treated as best_fields — the same convention
+    * as fuzziness above.
     */
   private def multiMatch(body: JsonNode): Column = {
     require(body.isObject && body.has("query") && body.has("fields"),
@@ -248,7 +251,7 @@ object EsFilter {
     val op = if (body.has("operator")) body.get("operator").asText().toLowerCase else "or"
     val mType = if (body.has("type")) body.get("type").asText() else "best_fields"
     val supported = Set("best_fields", "most_fields", "cross_fields",
-      "phrase", "phrase_prefix")
+      "phrase", "phrase_prefix", "bool_prefix")
     require(supported.contains(mType),
       s"unsupported multi_match type: '$mType' (supported: ${supported.mkString(", ")})")
     if (mType == "phrase" || mType == "phrase_prefix") {
@@ -260,6 +263,19 @@ object EsFilter {
     val terms = qText.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
     require(terms.nonEmpty, "multi_match needs a non-empty query")
     def fieldToks(f: String) = split(lower(fieldCol(f)), "\\s+")
+    if (mType == "bool_prefix") {
+      // ES match_bool_prefix per field: every term a term query except the
+      // LAST, which matches as a token PREFIX (the as-you-type shape);
+      // clauses combine per `operator` (default OR — ES's should clauses in
+      // filter context), fields as a best_fields-style disjunction
+      return fields.map { f =>
+        val toks = fieldToks(f)
+        val preds = terms.init.map(t => array_contains(toks, t): Column) :+
+          exists(toks, x => x.startsWith(lit(terms.last)))
+        coalesce(if (op == "and") preds.reduce(_ && _) else preds.reduce(_ || _),
+          lit(false)): Column
+      }.reduce(_ || _)
+    }
     if (mType == "cross_fields" && op == "and")
       // every term present in SOME field
       terms.map(t => fields.map(f =>
@@ -310,7 +326,8 @@ object EsFilter {
         else quoted.mkString(" ")
       val joined = array_join(split(lower(fieldCol(f)), "\\s+"), " ")
       joined.rlike("(^| )" + phrase + "( |$)")
-    } else sloppyMatch(fieldCol(f), terms, slop, inOrder = false, prefix = prefix)
+    } else sloppyMatch(fieldCol(f), terms.map(t => SloppySlot(Seq(t), Nil, 0, 0)),
+      slop, inOrder = false, prefix = prefix)
   }
 
   /** ES `dis_max`: in scoring context the best-scoring clause wins and
@@ -345,30 +362,71 @@ object EsFilter {
     array_contains(split(lower(fieldCol(f)), "\\s+"), v.asText().toLowerCase)
   }
 
-  /** ES `span_near`: the clause spans (restricted here to `span_term`
-    * clauses on ONE field — nested span combinators are rejected, not
-    * silently approximated) must occur within `slop` total intervening
-    * unmatched positions, optionally in order. `in_order` defaults to
-    * false (the ES SpanNearQueryBuilder default); out-of-order matching
-    * uses the same total-move-budget matcher as sloppy phrases.
+  /** ES `span_near`: the clause spans — `span_term`, `span_or` over terms,
+    * or `span_not` (all on ONE field; any other combinator is rejected,
+    * not silently approximated) — must occur within `slop` total
+    * intervening unmatched positions, optionally in order. `in_order`
+    * defaults to false (the ES SpanNearQueryBuilder default); out-of-order
+    * matching uses the same total-move-budget matcher as sloppy phrases.
     */
   private def spanNear(body: JsonNode): Column = {
     require(body.isObject && body.has("clauses"),
       s"""span_near needs "clauses", got $body""")
     val cls = clauses(body.get("clauses"))
     require(cls.nonEmpty, "span_near needs at least one clause")
-    val fts = cls.map { c =>
-      require(c.isObject && c.size() == 1 && c.has("span_term"),
-        s"span_near supports span_term clauses only, got $c")
-      val (f, v) = fieldValue(c.get("span_term"))
-      (f, v.asText().toLowerCase)
-    }
-    val fields = fts.map(_._1).distinct
+    val fieldSlots = cls.map(spanClauseSlot)
+    val fields = fieldSlots.map(_._1).distinct
     require(fields.size == 1,
       s"span_near clauses must target a single field, got: ${fields.mkString(", ")}")
     val slop = if (body.has("slop")) body.get("slop").asInt() else 0
     val inOrder = body.has("in_order") && body.get("in_order").asBoolean()
-    sloppyMatch(fieldCol(fields.head), fts.map(_._2), slop, inOrder = inOrder)
+    sloppyMatch(fieldCol(fields.head), fieldSlots.map(_._2), slop, inOrder = inOrder)
+  }
+
+  /** Compile one span clause to a position SLOT: `span_term` is a
+    * single-token slot; `span_or` over span_terms is the position UNION
+    * (Lucene SpanOrQuery on single-token spans); `span_not` keeps the
+    * include positions that have no exclude token within `[p - pre,
+    * p + post]` — exactly Lucene SpanNotQuery's overlap test when every
+    * span is one token wide (`dist` sets both pre and post, the ES
+    * builder's shorthand; explicit `pre`/`post` win).
+    */
+  private def spanClauseSlot(c: JsonNode): (String, SloppySlot) = {
+    require(c.isObject && c.size() == 1,
+      s"span clause must be a single-key object, got $c")
+    c.fieldNames().next() match {
+      case "span_term" =>
+        val (f, v) = fieldValue(c.get("span_term"))
+        (f, SloppySlot(Seq(v.asText().toLowerCase), Nil, 0, 0))
+      case "span_or" =>
+        val b = c.get("span_or")
+        require(b != null && b.isObject && b.has("clauses"),
+          s"""span_or needs "clauses", got $b""")
+        val sub = clauses(b.get("clauses")).map(spanClauseSlot)
+        require(sub.nonEmpty, "span_or needs at least one clause")
+        require(sub.forall(_._2.excludes.isEmpty),
+          "span_or supports span_term clauses only")
+        val fs = sub.map(_._1).distinct
+        require(fs.size == 1,
+          s"span_or clauses must target a single field, got: ${fs.mkString(", ")}")
+        (fs.head, SloppySlot(sub.flatMap(_._2.includes), Nil, 0, 0))
+      case "span_not" =>
+        val b = c.get("span_not")
+        require(b != null && b.isObject && b.has("include") && b.has("exclude"),
+          s"""span_not needs "include" and "exclude", got $b""")
+        val (fi, inc) = spanClauseSlot(b.get("include"))
+        val (fe, exc) = spanClauseSlot(b.get("exclude"))
+        require(inc.excludes.isEmpty && exc.excludes.isEmpty,
+          "span_not include/exclude must be span_term or span_or")
+        require(fi == fe,
+          s"span_not include/exclude must target a single field, got: $fi, $fe")
+        val dist = if (b.has("dist")) b.get("dist").asInt() else 0
+        val pre = if (b.has("pre")) b.get("pre").asInt() else dist
+        val post = if (b.has("post")) b.get("post").asInt() else dist
+        (fi, SloppySlot(inc.includes, exc.includes, pre, post))
+      case other => throw new IllegalArgumentException(
+        s"span_near supports span_term, span_or and span_not clauses, got: $other")
+    }
   }
 
   /** ES `more_like_this`, filter-context degeneration: the `like` text is
@@ -417,7 +475,7 @@ object EsFilter {
     * tag-like fields (no join, no UDF); the non-phrase residue of a bool
     * query still prunes first at scale.
     */
-  private def sloppyMatch(field: Column, terms: Seq[String], slop: Int,
+  private def sloppyMatch(field: Column, slots: Seq[SloppySlot], slop: Int,
                           inOrder: Boolean, prefix: Boolean = false): Column = {
     // the codegen'd native kernel when GraftExtensions is installed (the
     // graft_osa pattern — one JVM call per row instead of an interpreted
@@ -426,24 +484,33 @@ object EsFilter {
     val active = org.apache.spark.sql.SparkSession.active
     if (active.catalog.functionExists("graft_sloppy"))
       return call_function("graft_sloppy", field.cast("string"),
-        lit(terms.mkString(" ")), lit(slop), lit(inOrder), lit(prefix))
+        lit(SloppySlot.encode(slots)), lit(slop), lit(inOrder), lit(prefix))
     val toks = split(lower(field), "\\s+")
-    // conjunctive guard: every query term must be PRESENT before the
-    // assignment search runs — `array_contains` is codegen'd and And
-    // short-circuits, so the interpreted nested-`exists` position search
-    // below only ever evaluates on rows that contain all terms (the same
+    // conjunctive guard: every slot must have SOME include term present
+    // before the assignment search runs (exclusion only removes positions,
+    // so presence stays a necessary condition) — `array_contains` is
+    // codegen'd and And short-circuits, so the interpreted nested-`exists`
+    // position search below only ever evaluates on rows that pass (the
     // all-terms-must-match precondition Lucene's phrase scorer gets from
     // its postings-list conjunction). On a selective phrase this turns a
     // per-row O(prod of occurrence counts) search into a per-CANDIDATE one.
-    val guard: Column = terms.zipWithIndex.map { case (t, i) =>
-      if (prefix && i == terms.size - 1) exists(toks, x => x.startsWith(lit(t)))
-      else array_contains(toks, t): Column
+    val guard: Column = slots.zipWithIndex.map { case (sl, i) =>
+      sl.includes.map(t =>
+        if (prefix && i == slots.size - 1) exists(toks, x => x.startsWith(lit(t)))
+        else array_contains(toks, t): Column
+      ).reduce(_ || _)
     }.reduce(_ && _)
     val idx = sequence(lit(0), size(toks) - 1)
-    val posLists: Seq[Column] = terms.zipWithIndex.map { case (t, i) =>
-      filter(idx, j =>
-        if (prefix && i == terms.size - 1) element_at(toks, j + 1).startsWith(lit(t))
-        else element_at(toks, j + 1) === lit(t))
+    val posLists: Seq[Column] = slots.zipWithIndex.map { case (sl, i) =>
+      def incMatch(j: Column): Column = sl.includes.map(t =>
+        if (prefix && i == slots.size - 1) element_at(toks, j + 1).startsWith(lit(t))
+        else element_at(toks, j + 1) === lit(t): Column).reduce(_ || _)
+      val base = filter(idx, j => incMatch(j))
+      if (sl.excludes.isEmpty) base
+      else filter(base, p => !exists(idx, q =>
+        q >= p - sl.pre && q <= p + sl.post &&
+          sl.excludes.map(t => element_at(toks, q + 1) === lit(t): Column)
+            .reduce(_ || _)))
     }
     def accept(ps: Seq[Column]): Column = {
       val distinctOk = (for { a <- ps.indices; b <- a + 1 until ps.size }
@@ -461,7 +528,7 @@ object EsFilter {
       distinctOk && widthOk
     }
     def search(i: Int, bound: List[Column]): Column =
-      if (i == terms.size) accept(bound.reverse)
+      if (i == slots.size) accept(bound.reverse)
       else exists(posLists(i), p => search(i + 1, p :: bound))
     guard && search(0, Nil)
   }

@@ -21,7 +21,8 @@ import graft.core.Det
   */
 class Graft(spark: SparkSession, root: String,
             granularityDays: Int = Tsdb.GranularityDays,
-            spaceGranularity: Map[String, Int] = Map.empty) {
+            spaceGranularity: Map[String, Int] = Map.empty,
+            spaceKeepDays: Map[String, Int] = Map.empty) {
   import Graft._
 
   private def spacePath(space: String) = s"$root/$space"
@@ -351,6 +352,17 @@ class Graft(spark: SparkSession, root: String,
     }
     dropped.map(_._2).sorted
   }
+
+  /** Config-driven retention: apply every `keep_days` configured per space
+    * (Graft.Config / `spaces.<name>.keep_days`) through [[remove]] — the
+    * scheduled sweep the reference runs per-request (orestes-remover.js:19
+    * takes keep_days from the query; the config form lets an operator
+    * declare the policy once at boot). Returns dropped bucket days per
+    * configured space; spaces without a configured keep_days are untouched.
+    */
+  def retentionSweep(todayDay: Long = System.currentTimeMillis() / Det.MsInDay)
+      : Map[String, Seq[Long]] =
+    spaceKeepDays.map { case (sp, kd) => sp -> remove(kd, sp, todayDay) }
 }
 
 object Graft {
@@ -358,9 +370,13 @@ object Graft {
     * facade `port` plus per-space `spaces.<name>.table_granularity_days`.
     * The cassandra/elasticsearch blocks configure backends graft replaces
     * with parquet + Catalyst and are accepted-and-ignored, so a reference
-    * operator's existing file parses unchanged.
+    * operator's existing file parses unchanged. An optional per-space
+    * `keep_days` (graft extension — the reference only takes it per
+    * `/delete` request, orestes-remover.js:19) declares the retention
+    * policy [[Graft.retentionSweep]] applies.
     */
-  case class Config(port: Int, spaceGranularity: Map[String, Int])
+  case class Config(port: Int, spaceGranularity: Map[String, Int],
+                    spaceKeepDays: Map[String, Int] = Map.empty)
 
   /** Parse a reference-shaped config file. Read through the Hadoop
     * FileSystem like all store maintenance — the config can live next to
@@ -374,19 +390,18 @@ object Graft {
       try new com.fasterxml.jackson.databind.ObjectMapper().readTree(in)
       finally in.close()
     val port = if (node.has("port")) node.get("port").asInt() else DefaultPort
-    val spaces =
-      if (!node.has("spaces")) Map.empty[String, Int]
+    def perSpace(key: String): Map[String, Int] =
+      if (!node.has("spaces")) Map.empty
       else {
         val it = node.get("spaces").fields()
         val b = Map.newBuilder[String, Int]
         while (it.hasNext) {
           val e = it.next()
-          if (e.getValue.has("table_granularity_days"))
-            b += e.getKey -> e.getValue.get("table_granularity_days").asInt()
+          if (e.getValue.has(key)) b += e.getKey -> e.getValue.get(key).asInt()
         }
         b.result()
       }
-    Config(port, spaces)
+    Config(port, perSpace("table_granularity_days"), perSpace("keep_days"))
   }
 
   /** Boot a store from the reference's own config file (orestes.js:62 reads
@@ -398,7 +413,8 @@ object Graft {
     val cfg = loadConfig(spark, configPath)
     new Graft(spark, root,
       granularityDays = cfg.spaceGranularity.getOrElse("default", Tsdb.GranularityDays),
-      spaceGranularity = cfg.spaceGranularity)
+      spaceGranularity = cfg.spaceGranularity,
+      spaceKeepDays = cfg.spaceKeepDays)
   }
 
   /** The reference's default facade port (conf/orestes-config.json). */

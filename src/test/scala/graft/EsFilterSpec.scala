@@ -438,7 +438,58 @@ class EsFilterSpec extends SparkTestBase {
       "type":"most_fields"}}""") == Seq(1L, 2L))
     // unknown types are rejected, not silently treated as best_fields
     intercept[IllegalArgumentException] {
-      mids("""{"multi_match":{"query":"alpha","fields":["a"],"type":"bool_prefix"}}""")
+      mids("""{"multi_match":{"query":"alpha","fields":["a"],"type":"phrase_middle"}}""")
     }
+  }
+
+  test("multi_match bool_prefix: exact terms plus a last-term token prefix") {
+    import spark.implicits._
+    val df = Seq((1L, "signup flow"), (2L, "error page"), (3L, "sign up"),
+      (4L, "errand list"), (5L, "signup error")).toDF("id", "a")
+    def bids(json: String): Seq[Long] =
+      df.where(EsFilter.compile(json)).select("id").collect().map(_.getLong(0)).sorted.toSeq
+    // OR (the ES default): 'signup' as a token, or any token starting 'err'.
+    // Doc 3 proves non-last terms match EXACTLY ('sign' != 'signup').
+    assert(bids("""{"multi_match":{"query":"signup err","fields":["a"],
+      "type":"bool_prefix"}}""") == Seq(1L, 2L, 4L, 5L))
+    // AND: both clauses in one field
+    assert(bids("""{"multi_match":{"query":"signup err","fields":["a"],
+      "type":"bool_prefix","operator":"and"}}""") == Seq(5L))
+  }
+
+  test("span_or unions positions; span_not windows out excluded positions") {
+    // span_or widens slot 0 from {alpha} to {alpha, beta}
+    val orNear =
+      """{"span_near":{"clauses":[
+           {"span_or":{"clauses":[{"span_term":{"text":"alpha"}},
+                                  {"span_term":{"text":"beta"}}]}},
+           {"span_term":{"text":"gamma"}}],
+          "slop":0,"in_order":true}}"""
+    assert(sids(orNear) == Seq(1L, 2L, 4L))
+    val plainNear =
+      """{"span_near":{"clauses":[{"span_term":{"text":"alpha"}},
+                                  {"span_term":{"text":"gamma"}}],
+          "slop":0,"in_order":true}}"""
+    assert(sids(plainNear) == Seq(2L)) // without the union, only doc 2
+    // span_not pre=1: beta occurrences immediately preceded by alpha drop
+    // (docs 1 and 5); the survivors still need gamma within slop 1
+    def notNear(window: String) =
+      s"""{"span_near":{"clauses":[
+            {"span_not":{"include":{"span_term":{"text":"beta"}},
+                         "exclude":{"span_term":{"text":"alpha"}},$window}},
+            {"span_term":{"text":"gamma"}}],
+           "slop":1,"in_order":true}}"""
+    assert(sids(notNear(""""pre":1""")) == Seq(2L, 3L, 4L))
+    // dist=1 also looks AFTER the include position: doc 2's beta@0 now
+    // sees alpha@1 inside [-1, 1] and drops too
+    assert(sids(notNear(""""dist":1""")) == Seq(3L, 4L))
+    // exclusion never ADDS matches: a span_not whose exclude term is
+    // absent behaves exactly like its include
+    assert(sids(notNear(""""pre":0,"post":0""")) ==
+      sids(s"""{"span_near":{"clauses":[
+            {"span_not":{"include":{"span_term":{"text":"beta"}},
+                         "exclude":{"span_term":{"text":"zilch"}},"pre":9,"post":9}},
+            {"span_term":{"text":"gamma"}}],
+           "slop":1,"in_order":true}}"""))
   }
 }

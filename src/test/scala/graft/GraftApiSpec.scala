@@ -157,6 +157,31 @@ class GraftApiSpec extends SparkTestBase {
     assert(g.remove(keepDays = 0, space = "weekly", todayDay = 19999L) == Seq(19726L))
   }
 
+  test("config-declared keep_days drives the retention sweep per space") {
+    val root = freshRoot()
+    val cfgPath = java.nio.file.Paths.get(root, "orestes-config.json")
+    // keep_days is the graft config extension: the reference only accepts
+    // it per /delete request (orestes-remover.js:19)
+    Files.write(cfgPath,
+      """{"spaces": {"default": {"table_granularity_days": 1, "keep_days": 7},
+                     "archive": {"table_granularity_days": 1}}}""".getBytes("UTF-8"))
+    val cfg = Graft.loadConfig(spark, cfgPath.toString)
+    assert(cfg.spaceKeepDays == Map("default" -> 7))
+    val g = Graft.fromConfig(spark, cfgPath.toString, s"$root/store")
+    import spark.implicits._
+    val pts = Seq(("2024-01-09T10:00:00Z", 1.0, "s"), ("2024-01-18T10:00:00Z", 2.0, "s"))
+      .toDF("time", "value", "name")
+    g.write(pts)
+    g.write(pts, space = "archive")
+    // day 19745, keep 7 => doomed <= 19738: bucket 19731 drops, 19740
+    // survives; the archive space has NO keep_days and must be untouched
+    assert(g.retentionSweep(todayDay = 19745L) == Map("default" -> Seq(19731L)))
+    assert(g.read("""{"match_all":{}}""").count() == 1)
+    assert(g.read("""{"match_all":{}}""", space = "archive").count() == 2)
+    // idempotent: the doomed bucket is already gone
+    assert(g.retentionSweep(todayDay = 19745L) == Map("default" -> Seq()))
+  }
+
   test("filters on never-written tags match nothing, like ES filter context") {
     val g = new Graft(spark, freshRoot())
     import spark.implicits._
