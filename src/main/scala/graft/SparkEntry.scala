@@ -199,6 +199,17 @@ object SparkEntry {
         """{"multi_match":{"query":"signup err","fields":["event_type"],
             "type":"bool_prefix"}}"""),
       Start, End)),
+    // ES span_first: the match span must end within the first `end`
+    // positions (Lucene SpanFirstQuery) — 'spark' somewhere in a doc's
+    // first 10 tokens
+    "ts_read_filter_span_first" -> ((s, d) => {
+      val docs = graft.core.Tables.documents(s, d)
+      graft.core.Det.ordered(docs.where(EsFilter.compile(
+        """{"span_first":{"match":{"span_term":{"text":"spark"}},"end":10}}""",
+        docs.columns.toSeq)).select(docs.col("doc_id")))
+    }),
+    // BPE apply: per-doc encoded-unit stats after the trained merge rules
+    "bpe_encode" -> ((s, d) => TextOps.bpeEncode(s, d)),
     // ES dis_max: filter context = any clause matches (tie_breaker is a
     // scoring knob)
     "ts_read_filter_dis_max" -> ((s, d) => Tsdb.read(Tsdb.points(s, d),
@@ -1078,6 +1089,15 @@ object SparkEntry {
               OR len(list_filter(string_split_regex(lower(event_type), '\\s+'),
                      x -> x LIKE 'err%')) > 0)
           ORDER BY 1, 2, 3, 4""",
+    // span_first: a 'spark' token at 0-based position < 10
+    "ts_read_filter_span_first" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
+                    FROM documents),
+              toks AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos
+                       FROM t)
+          SELECT DISTINCT doc_id FROM toks
+          WHERE tok = 'spark' AND pos < 10
+          ORDER BY 1""",
     "ts_read_filter_dis_max" ->
       s"""SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events
           WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
@@ -2531,6 +2551,32 @@ object SparkEntry {
                     UNION ALL SELECT * FROM b4 UNION ALL SELECT * FROM b5)
           SELECT round, l AS lhs, rt AS rhs, c AS pair_count
           FROM m ORDER BY 1, 2, 3, 4"""
+    },
+    "bpe_encode" -> {
+      // the same 6 unrolled training rounds as bpe_train, then per-doc
+      // stats on the FINAL rewritten corpus d6: non-empty units and units
+      // holding the chr(1) joiner (= learned merges applied)
+      val rounds = (0 until 6).map { r =>
+        s"""p$r AS (SELECT l, rt, count(*) AS c FROM (
+                      SELECT toks[i] AS l, toks[i+1] AS rt
+                      FROM (SELECT string_split(s, ' ') AS toks FROM d$r),
+                           UNNEST(range(1, len(toks))) AS u(i))
+                    WHERE l <> '' AND rt <> '' GROUP BY 1, 2),
+            b$r AS (SELECT CAST($r AS BIGINT) AS round, l, rt, c
+                    FROM p$r ORDER BY c DESC, l, rt LIMIT 1),
+            d${r + 1} AS (SELECT doc_id,
+                            replace(s, ' ' || b.l || ' ' || b.rt || ' ',
+                                       ' ' || b.l || chr(1) || b.rt || ' ') AS s
+                          FROM d$r, b$r b)"""
+      }.mkString(",\n")
+      s"""WITH d0 AS (SELECT doc_id, ' ' || $NormSql || ' ' AS s FROM documents),
+              $rounds
+          SELECT doc_id,
+                 CAST(len(list_filter(string_split(s, ' '), x -> x <> ''))
+                      AS BIGINT) AS n_units,
+                 CAST(len(list_filter(string_split(s, ' '),
+                      x -> x <> '' AND contains(x, chr(1)))) AS BIGINT) AS n_merged
+          FROM d6 ORDER BY 1, 2, 3"""
     },
     "doc_chunks" ->
       s"""WITH t0 AS (SELECT doc_id, string_split($NormSql, ' ') AS toks FROM documents),

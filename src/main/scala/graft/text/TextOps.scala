@@ -674,6 +674,28 @@ object TextOps {
     */
   def bpeMergeTrain(s: SparkSession, d: String, nMerges: Int = 6,
                     chars: Boolean = false): DataFrame = {
+    val out = bpeArtifacts(s, d, nMerges, chars)._1
+      .select(col("round"), col("l").as("lhs"), col("r").as("rhs"),
+        col("c").as("pair_count"))
+    Det.ordered(out)
+  }
+
+  /** The (merge table, final encoded corpus) training artifacts, memoized
+    * per (corpus, nMerges, chars) — a tokenizer is trained ONCE and then
+    * applied everywhere, and the final round's corpus IS the encoded form
+    * [[bpeEncode]] reports on. Whichever artifact is requested first runs
+    * the rounds and stashes both.
+    */
+  private def bpeArtifacts(s: SparkSession, d: String, nMerges: Int,
+                           chars: Boolean): (DataFrame, DataFrame) = {
+    lazy val trained = bpeTrainRounds(s, d, nMerges, chars)
+    val table = graft.core.Memo.df(s, s"text.bpe.table|$d|$nMerges|$chars")(trained._1)
+    val corpus = graft.core.Memo.df(s, s"text.bpe.corpus|$d|$nMerges|$chars")(trained._2)
+    (table, corpus)
+  }
+
+  private def bpeTrainRounds(s: SparkSession, d: String, nMerges: Int,
+                             chars: Boolean): (DataFrame, DataFrame) = {
     val J = "\u0001" // merge joiner: marks learned units, never collides with the space split
     val corpus =
       if (chars)
@@ -705,9 +727,26 @@ object TextOps {
           concat(lit(" "), col("bl"), lit(J), col("br"), lit(" "))).as("str"))
         .localCheckpoint(true)
     }
-    val out = merges.reduce(_ union _)
-      .select(col("round"), col("l").as("lhs"), col("r").as("rhs"),
-        col("c").as("pair_count"))
+    (merges.reduce(_ union _).localCheckpoint(true), docs)
+  }
+
+  /** The APPLY half of the tokenizer story: per-document encoding stats
+    * after the learned merge table ([[bpeMergeTrain]]) has rewritten the
+    * corpus — encoded unit count and how many units are MERGED (contain
+    * the learned joiner). Map-only over the memoized final training
+    * corpus: the rules were already applied during the rounds, so encode
+    * is a split + two filters, no joins.
+    */
+  def bpeEncode(s: SparkSession, d: String, nMerges: Int = 6,
+                chars: Boolean = false): DataFrame = {
+    val corpus = bpeArtifacts(s, d, nMerges, chars)._2
+    val units = filter(split(col("str"), " "), t => t =!= "")
+    val out = corpus
+      .select(col("doc_id"), units.as("units"))
+      .select(col("doc_id"),
+        size(col("units")).cast("bigint").as("n_units"),
+        size(filter(col("units"), u => u.contains(lit("\u0001"))))
+          .cast("bigint").as("n_merged"))
     Det.ordered(out)
   }
 

@@ -22,7 +22,7 @@ import graft.functions.SloppySlot
   * (sloppy phrases use Lucene's TOTAL move budget incl. out-of-order terms),
   * multi_match (best_fields/most_fields/cross_fields/phrase/phrase_prefix/
   * bool_prefix), constant_score, dis_max, boosting, span_term, span_near
-  * (span_term / span_or / span_not clauses), more_like_this,
+  * (span_term / span_or / span_not clauses), span_first, more_like_this,
   * nested, query_string (field:value / AND / OR / wildcards), bool
   * (must/filter/should/must_not/minimum_should_match), and, or, not.
   * `should` requires at least one clause to match (filter-context
@@ -145,8 +145,9 @@ object EsFilter {
         compileNode(if (body.has("filter")) body.get("filter") else body.get("query"))
       case "dis_max"   => disMax(body)
       case "boosting"  => boosting(body)
-      case "span_term" => spanTerm(body)
-      case "span_near" => spanNear(body)
+      case "span_term"  => spanTerm(body)
+      case "span_near"  => spanNear(body)
+      case "span_first" => spanFirst(body)
       case "more_like_this" => moreLikeThis(body)
       case "nested"    => nested(body)
       case "query_string" => queryString(body)
@@ -381,6 +382,34 @@ object EsFilter {
     val slop = if (body.has("slop")) body.get("slop").asInt() else 0
     val inOrder = body.has("in_order") && body.get("in_order").asBoolean()
     sloppyMatch(fieldCol(fields.head), fieldSlots.map(_._2), slop, inOrder = inOrder)
+  }
+
+  /** ES `span_first`: the match span must END within the first `end`
+    * positions — for the single-token spans of span_term/span_or/span_not
+    * matches, a kept position p (0-based) qualifies iff p + 1 <= end
+    * (Lucene SpanFirstQuery = SpanPositionRangeQuery[0, end)). The
+    * exclusion window of a span_not match clause may look beyond the
+    * boundary — exclusion applies before the position test, as in Lucene's
+    * query composition order.
+    */
+  private def spanFirst(body: JsonNode): Column = {
+    require(body.isObject && body.has("match") && body.has("end"),
+      s"""span_first needs "match" and "end", got $body""")
+    val (f, slot) = spanClauseSlot(body.get("match"))
+    val end = body.get("end").asInt()
+    if (end <= 0) return lit(false)
+    val toks = split(lower(fieldCol(f)), "\\s+")
+    val idx = sequence(lit(0), least(lit(end), size(toks)) - 1)
+    def incMatch(j: Column): Column = slot.includes.map(t =>
+      element_at(toks, j + 1) === lit(t): Column).reduce(_ || _)
+    val all = sequence(lit(0), size(toks) - 1) // exclusion scans every position
+    def kept(p: Column): Column =
+      if (slot.excludes.isEmpty) incMatch(p)
+      else incMatch(p) && !exists(all, q =>
+        q >= p - slot.pre && q <= p + slot.post &&
+          slot.excludes.map(t => element_at(toks, q + 1) === lit(t): Column)
+            .reduce(_ || _))
+    size(toks) > 0 && exists(idx, p => kept(p))
   }
 
   /** Compile one span clause to a position SLOT: `span_term` is a

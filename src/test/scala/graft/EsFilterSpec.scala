@@ -492,4 +492,59 @@ class EsFilterSpec extends SparkTestBase {
             {"span_term":{"text":"gamma"}}],
            "slop":1,"in_order":true}}"""))
   }
+
+  test("span_first bounds the match to the first `end` positions") {
+    // gamma sits at position 2 in docs 1-2 but position 4 in docs 3-4
+    assert(sids("""{"span_first":{"match":{"span_term":{"text":"gamma"}},"end":3}}""")
+      == Seq(1L, 2L))
+    assert(sids("""{"span_first":{"match":{"span_term":{"text":"gamma"}},"end":5}}""")
+      == Seq(1L, 2L, 3L, 4L))
+    assert(sids("""{"span_first":{"match":{"span_term":{"text":"gamma"}},"end":0}}""")
+      == Seq())
+    // composes with span_not: doc 2's beta@0 is the only alpha-free beta
+    // inside the first position
+    assert(sids(
+      """{"span_first":{"match":{"span_not":{"include":{"span_term":{"text":"beta"}},
+          "exclude":{"span_term":{"text":"alpha"}},"pre":1}},"end":1}}""")
+      == Seq(2L))
+    intercept[IllegalArgumentException] { sids("""{"span_first":{"end":3}}""") }
+  }
+
+  test("HOF fallback (no graft_sloppy function) agrees with the native kernel") {
+    // the test session registers graft_sloppy, so every other test runs the
+    // kernel; this one DROPS the function to force the extension-less HOF
+    // path — "the documented fallback and the semantics spec" — and checks
+    // both paths answer identically across phrase, prefix, span_or and
+    // span_not shapes
+    val reg = spark.sessionState.functionRegistry
+    val id = org.apache.spark.sql.catalyst.FunctionIdentifier("graft_sloppy")
+    val queries = Seq(
+      """{"match_phrase":{"text":{"query":"alpha beta gamma","slop":2}}}""",
+      """{"match_phrase":{"text":{"query":"alpha alpha","slop":3}}}""",
+      """{"match_phrase_prefix":{"text":{"query":"alpha gam","slop":1}}}""",
+      """{"span_near":{"clauses":[
+           {"span_or":{"clauses":[{"span_term":{"text":"alpha"}},
+                                  {"span_term":{"text":"beta"}}]}},
+           {"span_term":{"text":"gamma"}}],"slop":0,"in_order":true}}""",
+      """{"span_near":{"clauses":[
+           {"span_not":{"include":{"span_term":{"text":"beta"}},
+                        "exclude":{"span_term":{"text":"alpha"}},"dist":1}},
+           {"span_term":{"text":"gamma"}}],"slop":1,"in_order":true}}""")
+    val native = queries.map(sids)
+    assert(spark.catalog.functionExists("graft_sloppy"))
+    reg.dropFunction(id)
+    try {
+      assert(!spark.catalog.functionExists("graft_sloppy"))
+      assert(queries.map(sids) == native)
+    } finally reg.registerFunction(id,
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[graft.functions.SloppyMatch].getName, "graft_sloppy"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        graft.functions.SloppyMatch(
+          children.head,
+          children(1).eval(null).asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString,
+          children(2).eval(null).asInstanceOf[Int],
+          children(3).eval(null).asInstanceOf[Boolean],
+          children(4).eval(null).asInstanceOf[Boolean]))
+  }
 }

@@ -28,6 +28,25 @@ class Round6Spec extends SparkTestBase {
     }
   }
 
+  test("bpe encode applies the learned merges: fewer units, merged units exist") {
+    val base = graft.core.Tables.documents(spark, Sf)
+      .select(col("doc_id"), size(graft.text.TextOps.tokens(col("text"))).as("n_base"))
+    val enc = graft.text.TextOps.bpeEncode(spark, Sf)
+    val joined = enc.join(base, "doc_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (units, merged, b) = (r.getLong(1), r.getLong(2), r.getInt(3).toLong)
+      // every word-level merge collapses two adjacent tokens into one unit
+      assert(units >= 1 && merged >= 0 && merged <= units)
+      assert(units <= b, s"encode cannot grow the unit count: $r")
+      // every join removes exactly one unit, so joins = n_base - n_units,
+      // and each merged unit holds at least one join
+      assert(b - units >= merged, s"join accounting violated: $r")
+    }
+    // the trained rules actually fire somewhere in the corpus
+    assert(joined.map(_.getLong(2)).sum > 0, "no merged units produced")
+  }
+
   test("dsir weights rank the target language above the rest") {
     // the estimator's point: docs resembling the target distribution (en)
     // must average a higher importance logit than docs that don't
