@@ -210,6 +210,26 @@ object SparkEntry {
     }),
     // BPE apply: per-doc encoded-unit stats after the trained merge rules
     "bpe_encode" -> ((s, d) => TextOps.bpeEncode(s, d)),
+    // ES intervals, unordered: 'spark' and ('data' or 'query') inside a
+    // covering interval with at most 3 gaps (all_of over an any_of slot)
+    "ts_read_filter_intervals" -> ((s, d) => {
+      val docs = graft.core.Tables.documents(s, d)
+      graft.core.Det.ordered(docs.where(EsFilter.compile(
+        """{"intervals":{"text":{"all_of":{"max_gaps":3,"intervals":[
+             {"match":{"query":"spark"}},
+             {"any_of":{"intervals":[{"match":{"query":"data"}},
+                                     {"match":{"query":"query"}}]}}]}}}}""",
+        docs.columns.toSeq)).select(docs.col("doc_id")))
+    }),
+    // ES intervals, ordered: 'data' then 'merge' with at most 2 intervening
+    // positions (Lucene OrderedIntervalsSource)
+    "ts_read_filter_intervals_ordered" -> ((s, d) => {
+      val docs = graft.core.Tables.documents(s, d)
+      graft.core.Det.ordered(docs.where(EsFilter.compile(
+        """{"intervals":{"text":{"match":
+             {"query":"data merge","ordered":true,"max_gaps":2}}}}""",
+        docs.columns.toSeq)).select(docs.col("doc_id")))
+    }),
     // ES dis_max: filter context = any clause matches (tie_breaker is a
     // scoring knob)
     "ts_read_filter_dis_max" -> ((s, d) => Tsdb.read(Tsdb.points(s, d),
@@ -1097,6 +1117,28 @@ object SparkEntry {
                        FROM t)
           SELECT DISTINCT doc_id FROM toks
           WHERE tok = 'spark' AND pos < 10
+          ORDER BY 1""",
+    // unordered 2-slot intervals: distinct positions whose covering
+    // interval has (max-min) - 1 <= 3 gaps
+    "ts_read_filter_intervals" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
+                    FROM documents),
+              toks AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos
+                       FROM t)
+          SELECT DISTINCT a.doc_id FROM toks a JOIN toks b ON a.doc_id = b.doc_id
+          WHERE a.tok = 'spark' AND b.tok IN ('data', 'query')
+            AND a.pos <> b.pos AND abs(a.pos - b.pos) - 1 <= 3
+          ORDER BY 1""",
+    // ordered 2-term intervals: 'data' strictly before 'merge' with at most
+    // 2 intervening positions
+    "ts_read_filter_intervals_ordered" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
+                    FROM documents),
+              toks AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos
+                       FROM t)
+          SELECT DISTINCT a.doc_id FROM toks a JOIN toks b ON a.doc_id = b.doc_id
+          WHERE a.tok = 'data' AND b.tok = 'merge'
+            AND b.pos > a.pos AND b.pos - a.pos - 1 <= 2
           ORDER BY 1""",
     "ts_read_filter_dis_max" ->
       s"""SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events

@@ -40,20 +40,25 @@ case class OsaDistance(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** Lucene sloppy-phrase / span_near matcher as a native expression — the
-  * same semantics as [[graft.tsdb.EsFilter]]'s higher-order-function
-  * formulation (its documented fallback), compiled to one JVM kernel call
-  * per row instead of an interpreted Catalyst HOF tree per row: the query
-  * terms must map to DISTINCT token positions p_0..p_{n-1} (term i at p_i;
-  * with `prefix`, the last term matches as a token prefix) with match width
+/** Lucene sloppy-phrase / span_near / intervals matcher as a native
+  * expression — the same semantics as [[graft.tsdb.EsFilter]]'s
+  * higher-order-function formulation (its documented fallback), compiled to
+  * one JVM kernel call per row instead of an interpreted Catalyst HOF tree
+  * per row: the query terms must map to DISTINCT token positions
+  * p_0..p_{n-1} (term i at p_i; with `prefix`, the last term matches as a
+  * token prefix) with match width
   * `max_i(p_i - i) - min_i(p_i - i) <= slop`; with `inOrder` (the span_near
   * form) positions must be strictly increasing and the budget is the total
-  * intervening-position count `(p_{n-1} - p_0) - (n - 1) <= slop`.
+  * intervening-position count `(p_{n-1} - p_0) - (n - 1) <= slop`; with
+  * `gaps` (the unordered `intervals` form) order is free and the budget is
+  * the covering-interval gap count `(max_i(p_i) - min_i(p_i)) - (n - 1) <=
+  * slop` (Lucene's UnorderedIntervalsSource width rule).
   * `terms` ride as a construction-time constant (always literal in the ES
   * DSL), so codegen passes them as a referenced object, not a per-row child.
   */
 case class SloppyMatch(child: Expression, terms: String, slop: Int,
-                       inOrder: Boolean, prefix: Boolean)
+                       inOrder: Boolean, prefix: Boolean,
+                       gaps: Boolean = false)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -66,13 +71,13 @@ case class SloppyMatch(child: Expression, terms: String, slop: Int,
 
   override def nullSafeEval(v: Any): Any =
     SloppyMatch.matches(v.asInstanceOf[UTF8String].toString,
-      terms, slop, inOrder, prefix)
+      terms, slop, inOrder, prefix, gaps)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val t = ctx.addReferenceObj("sloppyTerms", terms, "java.lang.String")
     nullSafeCodeGen(ctx, ev, s =>
       s"${ev.value} = graft.functions.SloppyMatch.matches($s.toString(), " +
-        s"$t, $slop, $inOrder, $prefix);")
+        s"$t, $slop, $inOrder, $prefix, $gaps);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -122,12 +127,14 @@ object SloppyMatch {
   /** One kernel shared by codegen and the interpreter. Tokenization mirrors
     * Spark's `split(lower(field), "\\s+")` (limit -1 keeps trailing
     * empties), then a DFS assignment search over each slot's position list
-    * with sound pruning: the adjusted-position range (out-of-order) and the
-    * running gap total (in-order) only grow as terms are bound, so a branch
-    * over budget can never recover.
+    * with sound pruning: the adjusted-position range (out-of-order), the
+    * running gap total (in-order) and the raw-position range (`gaps` mode)
+    * only grow as terms are bound, so a branch over budget can never
+    * recover.
     */
   def matches(field: String, termsStr: String, slop: Int,
-              inOrder: Boolean, prefix: Boolean): Boolean = {
+              inOrder: Boolean, prefix: Boolean,
+              gaps: Boolean = false): Boolean = {
     val toks = field.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
     val slots = SloppySlot.decode(termsStr)
     val n = slots.length
@@ -176,8 +183,11 @@ object SloppyMatch {
       i += 1
     }
     val chosen = new Array[Int](n)
-    // minAdj/maxAdj track the adjusted positions p_k - k bound so far
-    def dfs(i: Int, minAdj: Int, maxAdj: Int): Boolean = {
+    // minB/maxB track the range bound so far: adjusted positions p_k - k
+    // out-of-order, RAW positions in `gaps` mode (whose budget is the
+    // covering-interval width (max - min) - (n - 1) over ALL n terms —
+    // checkable early because the range only widens as terms are bound)
+    def dfs(i: Int, minB: Int, maxB: Int): Boolean = {
       if (i == n) return true
       val ps = pos(i)
       var k = 0
@@ -194,16 +204,18 @@ object SloppyMatch {
               (i == 0 || p > chosen(i - 1)) &&
                 (i == 0 || p - chosen(0) - i <= slop)
             else if (i == 0) true // first binding: the range is a point
+            else if (gaps)
+              math.max(maxB, p) - math.min(minB, p) - (n - 1) <= slop
             else {
               val adj = p - i
-              math.max(maxAdj, adj) - math.min(minAdj, adj) <= slop
+              math.max(maxB, adj) - math.min(minB, adj) <= slop
             }
           if (ok) {
             chosen(i) = p
-            val adj = p - i
+            val b = if (gaps) p else p - i
             if (dfs(i + 1,
-                if (i == 0) adj else math.min(minAdj, adj),
-                if (i == 0) adj else math.max(maxAdj, adj))) return true
+                if (i == 0) b else math.min(minB, b),
+                if (i == 0) b else math.max(maxB, b))) return true
           }
         }
         k += 1

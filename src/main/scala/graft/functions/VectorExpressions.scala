@@ -78,14 +78,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("graft_sloppy"),
       new ExpressionInfo(classOf[SloppyMatch].getName, "graft_sloppy"),
-      // (field, terms, slop, in_order, prefix) — the ES DSL always hands the
-      // last four as literals, so they fold into the expression instance
+      // (field, terms, slop, in_order, prefix[, gaps]) — the ES DSL always
+      // hands the trailing args as literals, so they fold into the
+      // expression instance (gaps defaults false for 5-arg callers)
       (children: Seq[Expression]) => SloppyMatch(
         children.head,
         children(1).eval(null).asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString,
         children(2).eval(null).asInstanceOf[Int],
         children(3).eval(null).asInstanceOf[Boolean],
-        children(4).eval(null).asInstanceOf[Boolean])))
+        children(4).eval(null).asInstanceOf[Boolean],
+        children.length > 5 && children(5).eval(null).asInstanceOf[Boolean])))
     ext.injectPlannerStrategy(_ => new graft.plans.AsofJoinStrategy)
   }
 }

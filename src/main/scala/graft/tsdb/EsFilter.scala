@@ -22,7 +22,8 @@ import graft.functions.SloppySlot
   * (sloppy phrases use Lucene's TOTAL move budget incl. out-of-order terms),
   * multi_match (best_fields/most_fields/cross_fields/phrase/phrase_prefix/
   * bool_prefix), constant_score, dis_max, boosting, span_term, span_near
-  * (span_term / span_or / span_not clauses), span_first, more_like_this,
+  * (span_term / span_or / span_not clauses), span_first, intervals
+  * (match / any_of / single-token all_of), more_like_this,
   * nested, query_string (field:value / AND / OR / wildcards), bool
   * (must/filter/should/must_not/minimum_should_match), and, or, not.
   * `should` requires at least one clause to match (filter-context
@@ -148,6 +149,7 @@ object EsFilter {
       case "span_term"  => spanTerm(body)
       case "span_near"  => spanNear(body)
       case "span_first" => spanFirst(body)
+      case "intervals"  => intervals(body)
       case "more_like_this" => moreLikeThis(body)
       case "nested"    => nested(body)
       case "query_string" => queryString(body)
@@ -412,6 +414,98 @@ object EsFilter {
     size(toks) > 0 && exists(idx, p => kept(p))
   }
 
+  /** ES `intervals` query, filter-context: the field must contain at least
+    * one interval matching the source. Supported sources: `match` (analyzed
+    * terms at distinct positions; `ordered` default false, `max_gaps`
+    * default -1 = unbounded — ordered intervals budget the total intervening
+    * positions, unordered intervals budget the covering interval's gap count
+    * `(max - min) - (n - 1)`, Lucene's Ordered/UnorderedIntervalsSource
+    * width rules), `any_of` (an interval of ANY sub-source exists — in
+    * filter context exactly OR), and `all_of` whose sub-sources each reduce
+    * to a single-token alternative set (a one-term `match` or an `any_of`
+    * of them) — such an all_of IS a slot-assignment search under the same
+    * budgets. Sources that need corpus statistics or true multi-token
+    * sub-intervals (`prefix`, `wildcard`, `fuzzy`, `containing`,
+    * `not_contained_by`, multi-term all_of sub-matches, filter rules) are
+    * rejected, not approximated.
+    */
+  private def intervals(body: JsonNode): Column = {
+    require(body.isObject && body.size() == 1,
+      s"intervals expects a single {field: source} object, got $body")
+    val f = body.fieldNames().next()
+    intervalSource(f, body.get(f))
+  }
+
+  /** ES `max_gaps: -1` (the default): the gap budget never binds. */
+  private val UnboundedGaps = Int.MaxValue / 4
+
+  private def intervalSource(f: String, src: JsonNode): Column = {
+    require(src != null && src.isObject && src.size() == 1,
+      s"interval source must be a single-key object, got $src")
+    src.fieldNames().next() match {
+      case "match" =>
+        val b = src.get("match")
+        require(b != null && b.isObject && b.has("query"),
+          s"""intervals match needs "query", got $b""")
+        val terms = b.get("query").asText().trim.toLowerCase
+          .split("\\s+").filter(_.nonEmpty).toSeq
+        require(terms.nonEmpty, "intervals match needs non-empty query text")
+        intervalBudgetMatch(f, terms.map(t => SloppySlot(Seq(t), Nil, 0, 0)), b)
+      case "any_of" =>
+        val b = src.get("any_of")
+        require(b != null && b.isObject && b.has("intervals"),
+          s"""any_of needs "intervals", got $b""")
+        val subs = clauses(b.get("intervals"))
+        require(subs.nonEmpty, "any_of needs at least one source")
+        subs.map(intervalSource(f, _)).reduce(_ || _)
+      case "all_of" =>
+        val b = src.get("all_of")
+        require(b != null && b.isObject && b.has("intervals"),
+          s"""all_of needs "intervals", got $b""")
+        val slots = clauses(b.get("intervals")).map(singleTokenSlot)
+        require(slots.nonEmpty, "all_of needs at least one source")
+        intervalBudgetMatch(f, slots, b)
+      case other => throw new IllegalArgumentException(
+        s"unsupported intervals source: $other (match, any_of and all_of)")
+    }
+  }
+
+  private def intervalBudgetMatch(f: String, slots: Seq[SloppySlot],
+                                  b: JsonNode): Column = {
+    val ordered = b.path("ordered").asBoolean(false)
+    val maxGaps = if (b.has("max_gaps")) b.get("max_gaps").asInt() else -1
+    val slop = if (maxGaps < 0) UnboundedGaps else maxGaps
+    sloppyMatch(fieldCol(f), slots, slop, inOrder = ordered, gaps = !ordered)
+  }
+
+  /** An `all_of` sub-source reduced to one single-token slot: a one-term
+    * `match` or an `any_of` union of them (Lucene's one-position
+    * degeneration, the same shape span_or takes under span_near). */
+  private def singleTokenSlot(src: JsonNode): SloppySlot = {
+    require(src != null && src.isObject && src.size() == 1,
+      s"interval source must be a single-key object, got $src")
+    src.fieldNames().next() match {
+      case "match" =>
+        val b = src.get("match")
+        require(b != null && b.isObject && b.has("query"),
+          s"""intervals match needs "query", got $b""")
+        val ts = b.get("query").asText().trim.toLowerCase
+          .split("\\s+").filter(_.nonEmpty)
+        require(ts.length == 1,
+          s"all_of sub-match must be a single term, got: '${b.get("query").asText()}'")
+        SloppySlot(Seq(ts(0)), Nil, 0, 0)
+      case "any_of" =>
+        val b = src.get("any_of")
+        require(b != null && b.isObject && b.has("intervals"),
+          s"""any_of needs "intervals", got $b""")
+        val subs = clauses(b.get("intervals")).map(singleTokenSlot)
+        require(subs.nonEmpty, "any_of needs at least one source")
+        SloppySlot(subs.flatMap(_.includes).distinct, Nil, 0, 0)
+      case other => throw new IllegalArgumentException(
+        s"all_of sub-sources must reduce to single-token alternatives, got: $other")
+    }
+  }
+
   /** Compile one span clause to a position SLOT: `span_term` is a
     * single-token slot; `span_or` over span_terms is the position UNION
     * (Lucene SpanOrQuery on single-token spans); `span_not` keeps the
@@ -496,7 +590,10 @@ object EsFilter {
     * needs slop 2 for "a b c" (not 1 per gap). With `inOrder` (the
     * span_near form) positions must additionally be strictly increasing and
     * the budget is the TOTAL number of intervening unmatched positions,
-    * `sum_i(p_{i+1} - p_i - 1) = (p_{n-1} - p_0) - (n - 1) <= slop`.
+    * `sum_i(p_{i+1} - p_i - 1) = (p_{n-1} - p_0) - (n - 1) <= slop`. With
+    * `gaps` (the unordered `intervals` form) order is free and the budget is
+    * the covering interval's gap count,
+    * `(max_i(p_i) - min_i(p_i)) - (n - 1) <= slop`.
     *
     * Compiled as nested `exists` higher-order functions over each term's
     * position list — an assignment search whose cost is the product of the
@@ -505,7 +602,8 @@ object EsFilter {
     * query still prunes first at scale.
     */
   private def sloppyMatch(field: Column, slots: Seq[SloppySlot], slop: Int,
-                          inOrder: Boolean, prefix: Boolean = false): Column = {
+                          inOrder: Boolean, prefix: Boolean = false,
+                          gaps: Boolean = false): Column = {
     // the codegen'd native kernel when GraftExtensions is installed (the
     // graft_osa pattern — one JVM call per row instead of an interpreted
     // HOF tree); the HOF formulation below stays as the documented
@@ -513,7 +611,8 @@ object EsFilter {
     val active = org.apache.spark.sql.SparkSession.active
     if (active.catalog.functionExists("graft_sloppy"))
       return call_function("graft_sloppy", field.cast("string"),
-        lit(SloppySlot.encode(slots)), lit(slop), lit(inOrder), lit(prefix))
+        lit(SloppySlot.encode(slots)), lit(slop), lit(inOrder), lit(prefix),
+        lit(gaps))
     val toks = split(lower(field), "\\s+")
     // conjunctive guard: every slot must have SOME include term present
     // before the assignment search runs (exclusion only removes positions,
@@ -550,6 +649,10 @@ object EsFilter {
           val ordered = ps.sliding(2).map { case Seq(a, b) => (a < b): Column }
             .reduce(_ && _)
           ordered && (ps.last - ps.head - lit(ps.size - 1) <= lit(slop))
+        } else if (gaps) {
+          // unordered intervals: the covering interval's gap count
+          val raw = array(ps: _*)
+          array_max(raw) - array_min(raw) - lit(ps.size - 1) <= lit(slop)
         } else {
           val adjusted = array(ps.zipWithIndex.map { case (p, k) => p - lit(k) }: _*)
           array_max(adjusted) - array_min(adjusted) <= lit(slop)

@@ -510,6 +510,45 @@ class EsFilterSpec extends SparkTestBase {
     intercept[IllegalArgumentException] { sids("""{"span_first":{"end":3}}""") }
   }
 
+  test("intervals: unordered gap budget is the covering-interval width") {
+    // alpha..gamma covering width: doc1 gap 1, doc2 gap 0, docs 3-4 gap 3
+    assert(sids("""{"intervals":{"text":{"match":
+        {"query":"gamma alpha","max_gaps":1}}}}""") == Seq(1L, 2L))
+    assert(sids("""{"intervals":{"text":{"match":
+        {"query":"gamma alpha","max_gaps":0}}}}""") == Seq(2L))
+    // default max_gaps -1: unbounded, any doc holding both terms
+    assert(sids("""{"intervals":{"text":{"match":
+        {"query":"gamma alpha"}}}}""") == Seq(1L, 2L, 3L, 4L))
+    // repeated query terms need DISTINCT positions
+    assert(sids("""{"intervals":{"text":{"match":
+        {"query":"alpha alpha"}}}}""") == Seq(5L))
+  }
+
+  test("intervals: ordered honors term order; all_of composes any_of slots") {
+    // no doc has gamma BEFORE alpha, so ordered finds nothing where the
+    // unordered form above found 4 docs
+    assert(sids("""{"intervals":{"text":{"match":
+        {"query":"gamma alpha","ordered":true}}}}""") == Seq())
+    assert(sids("""{"intervals":{"text":{"match":
+        {"query":"alpha gamma","ordered":true,"max_gaps":1}}}}""")
+      == Seq(1L, 2L))
+    // gamma adjacent (max_gaps 0) to beta-or-x: doc1 (b@1,g@2), doc4 (b@3,g@4)
+    assert(sids(
+      """{"intervals":{"text":{"all_of":{"max_gaps":0,"intervals":[
+           {"match":{"query":"gamma"}},
+           {"any_of":{"intervals":[{"match":{"query":"beta"}},
+                                   {"match":{"query":"x"}}]}}]}}}}""")
+      == Seq(1L, 4L))
+    // unsupported sources and multi-token all_of subs are rejected
+    intercept[IllegalArgumentException] {
+      sids("""{"intervals":{"text":{"prefix":{"prefix":"al"}}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      sids("""{"intervals":{"text":{"all_of":{"intervals":[
+               {"match":{"query":"alpha beta"}}]}}}}""")
+    }
+  }
+
   test("HOF fallback (no graft_sloppy function) agrees with the native kernel") {
     // the test session registers graft_sloppy, so every other test runs the
     // kernel; this one DROPS the function to force the extension-less HOF
@@ -529,7 +568,12 @@ class EsFilterSpec extends SparkTestBase {
       """{"span_near":{"clauses":[
            {"span_not":{"include":{"span_term":{"text":"beta"}},
                         "exclude":{"span_term":{"text":"alpha"}},"dist":1}},
-           {"span_term":{"text":"gamma"}}],"slop":1,"in_order":true}}""")
+           {"span_term":{"text":"gamma"}}],"slop":1,"in_order":true}}""",
+      """{"intervals":{"text":{"match":{"query":"gamma alpha","max_gaps":1}}}}""",
+      """{"intervals":{"text":{"all_of":{"max_gaps":0,"intervals":[
+           {"match":{"query":"gamma"}},
+           {"any_of":{"intervals":[{"match":{"query":"beta"}},
+                                   {"match":{"query":"x"}}]}}]}}}}""")
     val native = queries.map(sids)
     assert(spark.catalog.functionExists("graft_sloppy"))
     reg.dropFunction(id)
@@ -545,6 +589,8 @@ class EsFilterSpec extends SparkTestBase {
           children(1).eval(null).asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString,
           children(2).eval(null).asInstanceOf[Int],
           children(3).eval(null).asInstanceOf[Boolean],
-          children(4).eval(null).asInstanceOf[Boolean]))
+          children(4).eval(null).asInstanceOf[Boolean],
+          children.length > 5 && children(5).eval(null)
+            .asInstanceOf[Boolean]))
   }
 }
