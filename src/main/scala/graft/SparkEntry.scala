@@ -421,6 +421,9 @@ object SparkEntry {
     "bpe_train_chars" -> ((s, d) => TextOps.bpeMergeTrain(s, d, chars = true)),
     "doc_chunks" -> ((s, d) => TextOps.docChunks(s, d)),
     "dedup_chunks" -> ((s, d) => Dedup.dedupChunks(s, d)),
+    // exact-substring spans (Lee et al. ExactSubstr at 8-token granularity)
+    "dedup_substring" -> ((s, d) => Dedup.substringSpans(s, d)),
+    "dedup_substring_ratio" -> ((s, d) => Dedup.substringDupRatio(s, d)),
     "bpe_pairs" -> ((s, d) => TextOps.bpePairs(s, d)),
     "text_langid" -> ((s, d) => TextOps.langId(s, d)),
     "text_quality" -> ((s, d) => TextOps.quality(s, d)),
@@ -2639,6 +2642,48 @@ object SparkEntry {
                  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
                  ${rndSql("sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) / count(*)", 4)} AS kept_ratio
           FROM r GROUP BY 1 ORDER BY 1, 2, 3, 4""",
+    // exact-substring dup spans: 8-grams repeated anywhere in the corpus,
+    // overlapping-or-adjacent hit windows merged into maximal spans
+    "dedup_substring" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS l
+                     FROM documents),
+              g AS (SELECT doc_id, pos, md5(array_to_string(l[pos+1:pos+8], ' ')) AS gh
+                    FROM t, UNNEST(range(len(l) - 7)) AS u(pos) WHERE len(l) >= 8),
+              dup AS (SELECT gh FROM g GROUP BY 1 HAVING count(*) > 1),
+              h AS (SELECT doc_id, pos FROM g WHERE gh IN (SELECT gh FROM dup)),
+              b AS (SELECT doc_id, pos,
+                           CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                  ORDER BY pos) > 8 THEN 1 ELSE 0 END AS brk
+                    FROM h),
+              i AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
+                             ORDER BY pos) AS grp
+                    FROM b)
+          SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+                 count(*) AS n_grams
+          FROM i GROUP BY doc_id, grp ORDER BY 1, 2, 3, 4""",
+    "dedup_substring_ratio" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS l
+                     FROM documents),
+              g AS (SELECT doc_id, pos, md5(array_to_string(l[pos+1:pos+8], ' ')) AS gh
+                    FROM t, UNNEST(range(len(l) - 7)) AS u(pos) WHERE len(l) >= 8),
+              dup AS (SELECT gh FROM g GROUP BY 1 HAVING count(*) > 1),
+              h AS (SELECT doc_id, pos FROM g WHERE gh IN (SELECT gh FROM dup)),
+              b AS (SELECT doc_id, pos,
+                           CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                  ORDER BY pos) > 8 THEN 1 ELSE 0 END AS brk
+                    FROM h),
+              i AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
+                             ORDER BY pos) AS grp
+                    FROM b),
+              spans AS (SELECT doc_id, min(pos) AS span_start,
+                               max(pos) + 7 AS span_end
+                        FROM i GROUP BY doc_id, grp),
+              per AS (SELECT doc_id, sum(span_end - span_start + 1) AS dup_tokens
+                      FROM spans GROUP BY 1)
+          SELECT t.doc_id, len(t.l) AS n_tokens,
+                 coalesce(per.dup_tokens, 0) AS dup_tokens,
+                 ${rndSql("coalesce(per.dup_tokens, 0) / len(t.l)", 4)} AS dup_ratio
+          FROM t LEFT JOIN per USING (doc_id) ORDER BY 1, 2, 3, 4""",
     "bpe_pairs" ->
       s"""WITH t0 AS (SELECT doc_id, string_split($NormSql, ' ') AS toks FROM documents),
               pr AS (SELECT toks[i] AS w1, toks[i+1] AS w2

@@ -663,4 +663,91 @@ object Dedup {
       .where(col("cosine") >= tau)
     Det.ordered(out)
   }
+
+  /** Positional k-gram table: (doc_id, pos, gram-hash) for every k-token
+    * window, memoized per (session, sfDir, k) and materialized once — the
+    * shared artifact behind [[substringSpans]] and [[substringDupRatio]].
+    * Grams travel as md5 hashes so the shuffle carries 32 bytes per window
+    * instead of the k-token text. Tokenization mirrors the oracle's
+    * `string_split_regex(lower(text), '\s+')` exactly.
+    */
+  private def posGramRows(s: SparkSession, d: String, k: Int): DataFrame =
+    Memo.df(s, s"dedup.posgrams|$d|$k") {
+      posGramRowsOf(Tables.documents(s, d), k).localCheckpoint(true)
+    }
+
+  /** Same, over any (doc_id, text) DataFrame — the corpus-agnostic core. */
+  def posGramRowsOf(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .select(col("doc_id"), split(lower(col("text")), "\\s+").as("toks"))
+      .where(size(col("toks")) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("toks")) - k),
+          i => md5(array_join(slice(col("toks"), i + 1, lit(k)), " "))))
+          .as(Seq("pos", "gh")))
+
+  /** Exact-substring duplicate SPANS (the ExactSubstr dedup of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", at k-token
+    * granularity): a k-gram occurring more than once ANYWHERE in the corpus
+    * marks its window duplicated, and overlapping-or-adjacent duplicated
+    * windows merge into maximal per-document spans `[span_start, span_end]`
+    * (token indices, inclusive) — the spans a pipeline cuts out of each
+    * document rather than dropping the document whole.
+    *
+    * Scale: one gram-hash shuffle builds the duplicated-gram set (partial
+    * aggregation absorbs boilerplate hot grams — a million-fold repeated
+    * gram is one count, never a pair explosion), a shuffle left-semi join
+    * marks hit positions (each position emitted at most once, unlike pair
+    * joins), and one doc-keyed window merges islands. Shuffle volume is
+    * linear in corpus token count at any SF.
+    */
+  def substringSpans(s: SparkSession, d: String, k: Int = 8): DataFrame =
+    Det.ordered(substringSpanFrame(s, d, k))
+
+  private def substringSpanFrame(s: SparkSession, d: String, k: Int): DataFrame =
+    Memo.df(s, s"dedup.substrspans|$d|$k") {
+      substringSpansOf(posGramRows(s, d, k), k).localCheckpoint(true)
+    }
+
+  /** Span-merge core over a positional gram table — see [[substringSpans]].
+    * Windows starting within k of the previous duplicated start overlap or
+    * touch the running span, so a break only happens on a gap > k.
+    */
+  def substringSpansOf(g: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dup = g.groupBy(col("gh")).agg(count(lit(1)).as("n"))
+      .where(col("n") > 1).select(col("gh"))
+    val hits = g.join(dup, Seq("gh"), "left_semi").select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    hits
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) > k, 1).otherwise(0))
+      .withColumn("grp", sum(col("brk")).over(w))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + lit(k - 1)).as("span_end"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("span_start"), col("span_end"), col("n_grams"))
+  }
+
+  /** Per-document duplicated-token budget off [[substringSpans]]: how many
+    * of each document's tokens sit inside a duplicated span, and the ratio
+    * — the trim-or-drop decision signal (Lee et al. cut spans; pipelines
+    * commonly drop documents whose ratio passes a threshold instead). Spans
+    * are disjoint by construction, so their lengths sum exactly.
+    */
+  def substringDupRatio(s: SparkSession, d: String, k: Int = 8): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(lower(col("text")), "\\s+")).as("n_tokens"))
+    val dup = substringSpanFrame(s, d, k)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("span_end") - col("span_start") + 1).as("dup_tokens"))
+    val out = docs.join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        Det.rnd(coalesce(col("dup_tokens"), lit(0L)) / col("n_tokens"), 4)
+          .as("dup_ratio"))
+    Det.ordered(out)
+  }
 }

@@ -60,4 +60,42 @@ class DedupSpec extends SparkTestBase {
       assert(ids.min == label, s"cluster $label not labeled by min id")
     }
   }
+
+  test("substring spans merge overlapping windows and break on gaps > k") {
+    import spark.implicits._
+    // k=3 grams: "a b c" repeats across docs 1/2/3 and within doc 3;
+    // "b c d" links docs 1 and 2; everything else is unique
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x a b c d y z w"),
+      (3L, "a b c m n o p a b c")).toDF("doc_id", "text")
+    val spans = Dedup.substringSpansOf(Dedup.posGramRowsOf(docs, 3), 3)
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    assert(spans.toSeq == Seq(
+      (1L, 0, 3, 2L), // hits at 0,1 overlap -> one span over tokens 0..3
+      (2L, 1, 4, 2L),
+      (3L, 0, 2, 1L), // same doc repeats "a b c" 7 tokens apart: gap > k
+      (3L, 7, 9, 1L)))
+  }
+
+  test("substring dup ratio sums exactly the disjoint span lengths") {
+    val spans = Dedup.substringSpans(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    val spanTokens = spans.groupBy(_._1)
+      .map { case (id, ss) => id -> ss.map(s => s._3 - s._2 + 1L).sum }
+    val ratio = Dedup.substringDupRatio(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(spans.nonEmpty, "test data should contain duplicated 8-grams")
+    ratio.foreach { case (id, n, dup, rt) =>
+      assert(dup == spanTokens.getOrElse(id, 0L), s"doc $id dup_tokens")
+      assert(dup <= n && rt >= 0.0 && rt <= 1.0)
+      // spans within a doc never overlap (dup budget is an exact count)
+      val ss = spans.filter(_._1 == id).sortBy(_._2)
+      ss.sliding(2).foreach {
+        case Array(a, b) => assert(b._2 > a._3 + 1, s"doc $id spans touch")
+        case _ =>
+      }
+    }
+  }
 }
