@@ -424,6 +424,7 @@ object SparkEntry {
     // exact-substring spans (Lee et al. ExactSubstr at 8-token granularity)
     "dedup_substring" -> ((s, d) => Dedup.substringSpans(s, d)),
     "dedup_substring_ratio" -> ((s, d) => Dedup.substringDupRatio(s, d)),
+    "dedup_substring_keep_first" -> ((s, d) => Dedup.substringSpansKeepFirst(s, d)),
     "bpe_pairs" -> ((s, d) => TextOps.bpePairs(s, d)),
     "text_langid" -> ((s, d) => TextOps.langId(s, d)),
     "text_quality" -> ((s, d) => TextOps.quality(s, d)),
@@ -2651,6 +2652,27 @@ object SparkEntry {
                     FROM t, UNNEST(range(len(l) - 7)) AS u(pos) WHERE len(l) >= 8),
               dup AS (SELECT gh FROM g GROUP BY 1 HAVING count(*) > 1),
               h AS (SELECT doc_id, pos FROM g WHERE gh IN (SELECT gh FROM dup)),
+              b AS (SELECT doc_id, pos,
+                           CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                  ORDER BY pos) > 8 THEN 1 ELSE 0 END AS brk
+                    FROM h),
+              i AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id
+                             ORDER BY pos) AS grp
+                    FROM b)
+          SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+                 count(*) AS n_grams
+          FROM i GROUP BY doc_id, grp ORDER BY 1, 2, 3, 4""",
+    // keep-first cut set: only LATER occurrences of each duplicated 8-gram
+    // mark their windows; the globally-first copy survives
+    "dedup_substring_keep_first" ->
+      s"""WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS l
+                     FROM documents),
+              g AS (SELECT doc_id, pos, md5(array_to_string(l[pos+1:pos+8], ' ')) AS gh
+                    FROM t, UNNEST(range(len(l) - 7)) AS u(pos) WHERE len(l) >= 8),
+              h AS (SELECT doc_id, pos FROM
+                      (SELECT doc_id, pos, row_number() OVER (PARTITION BY gh
+                              ORDER BY doc_id, pos) AS rn FROM g)
+                    WHERE rn > 1),
               b AS (SELECT doc_id, pos,
                            CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
                                   ORDER BY pos) > 8 THEN 1 ELSE 0 END AS brk

@@ -714,10 +714,18 @@ object Dedup {
     * touch the running span, so a break only happens on a gap > k.
     */
   def substringSpansOf(g: DataFrame, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val dup = g.groupBy(col("gh")).agg(count(lit(1)).as("n"))
       .where(col("n") > 1).select(col("gh"))
-    val hits = g.join(dup, Seq("gh"), "left_semi").select(col("doc_id"), col("pos"))
+    mergeIslands(
+      g.join(dup, Seq("gh"), "left_semi").select(col("doc_id"), col("pos")), k)
+  }
+
+  /** Merge duplicated-window hit positions into maximal per-doc spans:
+    * windows starting within k of the previous hit overlap or touch the
+    * running span, so a break only happens on a gap > k.
+    */
+  private def mergeIslands(hits: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     hits
       .withColumn("brk",
@@ -728,6 +736,26 @@ object Dedup {
         (max(col("pos")) + lit(k - 1)).as("span_end"),
         count(lit(1)).as("n_grams"))
       .select(col("doc_id"), col("span_start"), col("span_end"), col("n_grams"))
+  }
+
+  /** Keep-first exact-substring spans — the cut set Lee et al. actually
+    * apply: each duplicated k-gram's globally-FIRST occurrence (smallest
+    * (doc_id, pos)) stays, every LATER occurrence marks its window for
+    * removal, so exactly one copy of every repeated substring survives the
+    * corpus. [[substringSpans]] marks all copies (the inspect-the-damage
+    * view); this is the apply half. Same linear shape with one extra
+    * gram-keyed window for the first-occurrence rank.
+    */
+  def substringSpansKeepFirst(s: SparkSession, d: String, k: Int = 8): DataFrame =
+    Det.ordered(substringSpansKeepFirstOf(posGramRows(s, d, k), k))
+
+  /** Same, over any positional gram table — the corpus-agnostic core. */
+  def substringSpansKeepFirstOf(g: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("gh")).orderBy(col("doc_id"), col("pos"))
+    val later = g.withColumn("rn", row_number().over(w))
+      .where(col("rn") > 1).select(col("doc_id"), col("pos"))
+    mergeIslands(later, k)
   }
 
   /** Per-document duplicated-token budget off [[substringSpans]]: how many

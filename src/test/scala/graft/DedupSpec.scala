@@ -79,6 +79,30 @@ class DedupSpec extends SparkTestBase {
       (3L, 7, 9, 1L)))
   }
 
+  test("keep-first substring spans spare each gram's globally-first copy") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "x a b c d y z w"),
+      (3L, "a b c m n o p a b c")).toDF("doc_id", "text")
+    val g = Dedup.posGramRowsOf(docs, 3)
+    val spans = Dedup.substringSpansKeepFirstOf(g, 3)
+      .orderBy("doc_id", "span_start")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    // doc 1 holds the first copy of both shared grams -> untouched; later
+    // copies in docs 2 and 3 (incl. doc 3's within-doc repeat) are cut
+    assert(spans.toSeq == Seq(
+      (2L, 1, 4, 2L),
+      (3L, 0, 2, 1L),
+      (3L, 7, 9, 1L)))
+    // keep-first hit positions are a subset of the all-copies hit positions
+    val all = Dedup.substringSpansOf(g, 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(spans.forall { case (id, s0, e0, _) =>
+      all.exists { case (i2, s2, e2) => i2 == id && s2 <= s0 && e0 <= e2 }
+    })
+  }
+
   test("substring dup ratio sums exactly the disjoint span lengths") {
     val spans = Dedup.substringSpans(spark, Sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
