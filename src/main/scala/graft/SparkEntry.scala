@@ -230,6 +230,17 @@ object SparkEntry {
              {"query":"data merge","ordered":true,"max_gaps":2}}}}""",
         docs.columns.toSeq)).select(docs.col("doc_id")))
     }),
+    // ES intervals with a prefix rule: 'data' then a 'co'-prefixed token
+    // (column, customer, ...) with at most 2 intervening positions —
+    // Lucene's prefix expansion as a position predicate
+    "ts_read_filter_intervals_prefix" -> ((s, d) => {
+      val docs = graft.core.Tables.documents(s, d)
+      graft.core.Det.ordered(docs.where(EsFilter.compile(
+        """{"intervals":{"text":{"all_of":{"ordered":true,"max_gaps":2,"intervals":[
+             {"match":{"query":"data"}},
+             {"prefix":{"prefix":"co"}}]}}}}""",
+        docs.columns.toSeq)).select(docs.col("doc_id")))
+    }),
     // ES dis_max: filter context = any clause matches (tie_breaker is a
     // scoring knob)
     "ts_read_filter_dis_max" -> ((s, d) => Tsdb.read(Tsdb.points(s, d),
@@ -425,6 +436,19 @@ object SparkEntry {
     "dedup_substring" -> ((s, d) => Dedup.substringSpans(s, d)),
     "dedup_substring_ratio" -> ((s, d) => Dedup.substringDupRatio(s, d)),
     "dedup_substring_keep_first" -> ((s, d) => Dedup.substringSpansKeepFirst(s, d)),
+    // fuzzy decontamination: LSH candidates vs the benchmark set, verified
+    "decontaminate_fuzzy" -> ((s, d) => Dedup.decontaminateFuzzy(s, d)),
+    // CCNet-style per-language perplexity terciles off the bigram LM score
+    "ccnet_buckets" -> ((s, d) => TextOps.ccnetBuckets(s, d)),
+    // epoch allocation per source under a uniform-share token budget
+    "mix_epochs" -> ((s, d) => TextOps.mixEpochs(s, d)),
+    // the five remaining TPC-H shapes, adapted to this schema (no partsupp
+    // table, no commit/receipt dates, no shipmode column)
+    "q4_order_priority" -> ((s, d) => Analytics.q4OrderPriority(s, d)),
+    "q9_profit_center" -> ((s, d) => Analytics.q9ProfitCenter(s, d)),
+    "q11_important_parts" -> ((s, d) => Analytics.q11ImportantParts(s, d)),
+    "q12_late_lines" -> ((s, d) => Analytics.q12LateLines(s, d)),
+    "q21_waiting_suppliers" -> ((s, d) => Analytics.q21WaitingSuppliers(s, d)),
     "bpe_pairs" -> ((s, d) => TextOps.bpePairs(s, d)),
     "text_langid" -> ((s, d) => TextOps.langId(s, d)),
     "text_quality" -> ((s, d) => TextOps.quality(s, d)),
@@ -1142,6 +1166,16 @@ object SparkEntry {
                        FROM t)
           SELECT DISTINCT a.doc_id FROM toks a JOIN toks b ON a.doc_id = b.doc_id
           WHERE a.tok = 'data' AND b.tok = 'merge'
+            AND b.pos > a.pos AND b.pos - a.pos - 1 <= 2
+          ORDER BY 1""",
+    // ordered intervals with a prefix slot: 'data' then any 'co%' token
+    "ts_read_filter_intervals_prefix" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
+                    FROM documents),
+              toks AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos
+                       FROM t)
+          SELECT DISTINCT a.doc_id FROM toks a JOIN toks b ON a.doc_id = b.doc_id
+          WHERE a.tok = 'data' AND b.tok LIKE 'co%'
             AND b.pos > a.pos AND b.pos - a.pos - 1 <= 2
           ORDER BY 1""",
     "ts_read_filter_dis_max" ->
@@ -2706,6 +2740,59 @@ object SparkEntry {
                  coalesce(per.dup_tokens, 0) AS dup_tokens,
                  ${rndSql("coalesce(per.dup_tokens, 0) / len(t.l)", 4)} AS dup_ratio
           FROM t LEFT JOIN per USING (doc_id) ORDER BY 1, 2, 3, 4""",
+    "decontaminate_fuzzy" ->
+      s"""WITH $ShingleCte,
+              $MinhashCte,
+              cands AS (SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS bench_id
+                        FROM bands a JOIN bands b
+                          ON a.band = b.band AND a.band_key = b.band_key
+                        WHERE a.doc_id >= 50 AND b.doc_id < 50),
+              sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+              i AS (SELECT c.doc_id, c.bench_id, count(*) AS ni
+                    FROM cands c
+                    JOIN sh sa ON sa.doc_id = c.doc_id
+                    JOIN sh sb ON sb.doc_id = c.bench_id AND sb.shingle = sa.shingle
+                    GROUP BY 1, 2)
+          SELECT i.doc_id, bench_id,
+                 ${rndSql("ni*1.0/(sa.n + sb.n - ni)", 4)} AS jaccard,
+                 CAST(CASE WHEN ${rndSql("ni*1.0/(sa.n + sb.n - ni)", 4)} >= 0.5
+                           THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+          FROM i JOIN sz sa ON sa.doc_id = i.doc_id
+                 JOIN sz sb ON sb.doc_id = bench_id
+          ORDER BY 1, 2, 3, 4""",
+    "ccnet_buckets" ->
+      s"""WITH t0 AS (SELECT doc_id, string_split($NormSql, ' ') AS toks FROM documents),
+              bg AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2
+                     FROM t0, UNNEST(range(1, len(toks))) AS u(i) WHERE len(toks) >= 2),
+              cb2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+              cb1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY 1),
+              p AS (SELECT w1, w2, CAST(round(c2 * 1.0 / c1 + 1e-9, 8) AS DECIMAL(12,8)) AS p
+                    FROM cb2 JOIN cb1 USING (w1)),
+              sc AS (SELECT doc_id,
+                            round(CAST(sum(p) AS DOUBLE) / count(*) + 1e-9, 6) AS avg_p
+                     FROM bg JOIN p USING (w1, w2) GROUP BY 1),
+              j AS (SELECT sc.doc_id, d.lang, sc.avg_p
+                    FROM sc JOIN documents d USING (doc_id))
+          SELECT doc_id, lang, avg_p,
+                 CASE ntile(3) OVER (PARTITION BY lang ORDER BY avg_p DESC, doc_id)
+                      WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                      ELSE 'tail' END AS ppl_bucket
+          FROM j ORDER BY 1, 2, 3, 4""",
+    "mix_epochs" -> {
+      val raw = rndSql("2000000.0 / (n_sources * n_tokens)", 4)
+      s"""WITH per AS (SELECT source,
+                              CAST(sum(len(string_split($NormSql, ' '))) AS BIGINT)
+                                AS n_tokens
+                       FROM documents GROUP BY 1),
+              n AS (SELECT count(*) AS n_sources FROM per)
+          SELECT source, n_tokens,
+                 CAST(floor(2000000.0 / n_sources) AS BIGINT) AS target_tokens,
+                 $raw AS epochs_raw,
+                 ${rndSql(s"least($raw, 4.0)", 4)} AS epochs,
+                 CAST(round(least($raw, 4.0) * n_tokens) AS BIGINT) AS planned_tokens,
+                 CAST(CASE WHEN $raw > 4.0 THEN 1 ELSE 0 END AS BIGINT) AS capped
+          FROM per, n ORDER BY 1, 2, 3, 4, 5, 6, 7"""
+    },
     "bpe_pairs" ->
       s"""WITH t0 AS (SELECT doc_id, string_split($NormSql, ' ') AS toks FROM documents),
               pr AS (SELECT toks[i] AS w1, toks[i+1] AS w2
@@ -2877,6 +2964,65 @@ object SparkEntry {
           WHERE l.l_returnflag = 'R'
           GROUP BY 1, 2, 3, 4
           ORDER BY revenue DESC, c_custkey LIMIT 20""",
+    "q4_order_priority" ->
+      s"""SELECT o.o_orderpriority, count(*) AS order_count
+          FROM orders o
+          WHERE epoch_ms(o.o_orderdate) >= 820454400000
+            AND epoch_ms(o.o_orderdate) < 828316800000
+            AND EXISTS (SELECT 1 FROM lineitem l
+                        WHERE l.l_orderkey = o.o_orderkey
+                          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+          GROUP BY 1 ORDER BY 1, 2""",
+    "q9_profit_center" ->
+      s"""SELECT n.n_name AS nation,
+                 epoch_ms(l.l_shipdate) // 31536000000 AS year_bucket,
+                 ${dsumSql("l.l_extendedprice * (1.0 - l.l_discount)" +
+                           " - 0.1 * p.p_retailprice * l.l_quantity")} AS profit
+          FROM lineitem l
+          JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%red%'
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          GROUP BY 1, 2 ORDER BY 1, 2, 3""",
+    "q11_important_parts" ->
+      s"""WITH sup AS (SELECT s_suppkey FROM supplier
+                       JOIN nation ON s_nationkey = n_nationkey
+                       WHERE n_name IN ('NATION_3', 'NATION_4')),
+              v AS (SELECT l_partkey,
+                           CAST(sum(CAST(l_extendedprice * (1.0 - l_discount)
+                                         AS DECIMAL(18,4))) AS DOUBLE) AS v
+                    FROM lineitem
+                    WHERE l_suppkey IN (SELECT s_suppkey FROM sup)
+                    GROUP BY 1),
+              pool AS (SELECT CAST(sum(CAST(v AS DECIMAL(18,4))) AS DOUBLE)
+                              AS pool FROM v)
+          SELECT l_partkey, round(v, 2) AS part_value
+          FROM v, pool WHERE v > pool * 0.001 ORDER BY 1, 2""",
+    "q12_late_lines" ->
+      s"""SELECT l.l_linestatus,
+                 CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                               THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                 CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                               THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE epoch_ms(l.l_shipdate) >= 820454400000
+            AND epoch_ms(l.l_shipdate) < 852076800000
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+          GROUP BY 1 ORDER BY 1, 2, 3""",
+    "q21_waiting_suppliers" ->
+      s"""WITH po AS (SELECT l_orderkey, count(DISTINCT l_suppkey) AS n_supp,
+                             max(l_shipdate) AS max_ship
+                      FROM lineitem GROUP BY 1
+                      HAVING count(DISTINCT l_suppkey) >= 2),
+              cu AS (SELECT l.l_orderkey,
+                            count(DISTINCT l.l_suppkey) AS n_at_max,
+                            max(l.l_suppkey) AS culprit
+                     FROM lineitem l JOIN po ON l.l_orderkey = po.l_orderkey
+                      AND l.l_shipdate = po.max_ship
+                     GROUP BY 1 HAVING count(DISTINCT l.l_suppkey) = 1),
+              w AS (SELECT culprit, count(*) AS numwait FROM cu GROUP BY 1)
+          SELECT s.s_name, w.numwait
+          FROM w JOIN supplier s ON w.culprit = s.s_suppkey
+          ORDER BY numwait DESC, s_name LIMIT 20""",
     "q16_supplier_cnt" ->
       s"""SELECT p.p_brand, p.p_type, p.p_size,
                  count(DISTINCT l.l_suppkey) AS supplier_cnt

@@ -420,6 +420,48 @@ object Dedup {
     Det.ordered(out)
   }
 
+  /** Fuzzy benchmark decontamination: MinHash-LSH candidate generation
+    * against a benchmark set (doc_id < benchmarkMaxId plays the eval
+    * suite), then exact Jaccard verification on the candidates — the
+    * near-duplicate sibling of [[graft.text.TextOps.decontaminate]]'s
+    * exact 8-gram sweep (a paraphrased or lightly-edited eval document
+    * shares no 8-gram but still bucket-collides here). Each row is one
+    * (corpus doc, benchmark doc) candidate with its verified Jaccard and
+    * the contaminated verdict at `tau`. Scale: the benchmark band table is
+    * tiny by construction (an eval suite, not a corpus) so it broadcasts;
+    * the corpus side reuses the memoized band/shingle artifacts every other
+    * dedup consumer probes — no new corpus-scale work at all, and never a
+    * corpus×corpus pair space.
+    */
+  def decontaminateFuzzy(s: SparkSession, d: String, benchmarkMaxId: Long = 50L,
+                         tau: Double = 0.5): DataFrame = {
+    val bands = bandRows(s, d)   // memoized LSH index
+    val bench = bands.where(col("doc_id") < benchmarkMaxId)
+      .select(col("band"), col("band_key"), col("doc_id").as("bench_id"))
+    val cands = bands.where(col("doc_id") >= benchmarkMaxId)
+      .join(broadcast(bench), Seq("band", "band_key"))
+      .select(col("doc_id"), col("bench_id")).distinct()
+    val sh = shingleRows(s, d)   // memoized shingle table
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val inter = cands
+      .join(sh, "doc_id")
+      .join(sh.select(col("doc_id").as("bench_id"), col("shingle").as("b_shingle")),
+        "bench_id")
+      .where(col("shingle") === col("b_shingle"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    val out = inter
+      .join(sizes.select(col("doc_id"), col("n_shingles").as("a_n")), "doc_id")
+      .join(sizes.select(col("doc_id").as("bench_id"), col("n_shingles").as("b_n")),
+        "bench_id")
+      .select(col("doc_id"), col("bench_id"),
+        Det.rnd(col("n_inter") * lit(1.0) / (col("a_n") + col("b_n") - col("n_inter")), 4)
+          .as("jaccard"))
+      .withColumn("contaminated",
+        when(col("jaccard") >= tau, 1L).otherwise(0L))
+    Det.ordered(out)
+  }
+
   /** MinHash estimator quality: for every LSH candidate pair, the sketch's
     * Jaccard estimate (fraction of agreeing signature rows) NEXT TO the
     * exact Jaccard and the estimation error — the measured accuracy of the

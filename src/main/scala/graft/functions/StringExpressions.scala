@@ -85,41 +85,48 @@ case class SloppyMatch(child: Expression, terms: String, slop: Int,
 }
 
 /** One position SLOT of a sloppy/span match: a document position can fill
-  * the slot when its token matches ANY of `includes` (span_or's position
-  * union; a single term is a one-element union) and NO token matching an
-  * `excludes` entry sits within `[p - pre, p + post]` (Lucene SpanNotQuery's
-  * overlap window on single-token spans). Plain phrase terms are slots with
-  * empty excludes.
+  * the slot when its token matches ANY of `includes` exactly OR starts with
+  * any of `prefixes` (the intervals `prefix` rule — Lucene expands the
+  * prefix to its term set, equivalently a startsWith position test), and NO
+  * token matching an `excludes` entry sits within `[p - pre, p + post]`
+  * (Lucene SpanNotQuery's overlap window on single-token spans). Plain
+  * phrase terms are slots with empty excludes and no prefixes.
   */
 case class SloppySlot(includes: Seq[String], excludes: Seq[String],
-                      pre: Int, post: Int)
+                      pre: Int, post: Int, prefixes: Seq[String] = Nil)
 
 object SloppySlot {
   /** Wire format for the `graft_sloppy` terms argument: slots joined by a
-    * space; each slot `inc1|inc2` or `inc1|inc2~exc1|exc2~pre~post`. The
-    * separators cannot appear inside analyzed tokens (the analyzer splits
-    * on whitespace and these filters target word terms), and encode
-    * REJECTS terms containing them rather than mis-parsing.
+    * space; each slot `inc1|inc2` or `inc1|inc2~exc1|exc2~pre~post`, with
+    * prefix alternatives carrying a trailing `*` marker (`co*`). The
+    * separators and the marker cannot appear inside analyzed tokens (the
+    * analyzer splits on whitespace and these filters target word terms),
+    * and encode REJECTS terms containing them rather than mis-parsing.
     */
   def encode(slots: Seq[SloppySlot]): String = {
     slots.foreach { sl =>
-      require(sl.includes.nonEmpty, "slot needs at least one include term")
-      (sl.includes ++ sl.excludes).foreach(t => require(
-        t.nonEmpty && !t.exists(c => c == '|' || c == '~' || c.isWhitespace),
+      require(sl.includes.nonEmpty || sl.prefixes.nonEmpty,
+        "slot needs at least one include term or prefix")
+      (sl.includes ++ sl.excludes ++ sl.prefixes).foreach(t => require(
+        t.nonEmpty && !t.exists(c =>
+          c == '|' || c == '~' || c == '*' || c.isWhitespace),
         s"unsupported characters in span/phrase term: '$t'"))
     }
     slots.map { sl =>
-      if (sl.excludes.isEmpty) sl.includes.mkString("|")
-      else s"${sl.includes.mkString("|")}~${sl.excludes.mkString("|")}~${sl.pre}~${sl.post}"
+      val inc = (sl.includes ++ sl.prefixes.map(_ + "*")).mkString("|")
+      if (sl.excludes.isEmpty) inc
+      else s"$inc~${sl.excludes.mkString("|")}~${sl.pre}~${sl.post}"
     }.mkString(" ")
   }
 
   def decode(s: String): Array[SloppySlot] =
     s.split(" ").map { part =>
       val seg = part.split("~")
-      if (seg.length == 1) SloppySlot(seg(0).split('|').toSeq, Nil, 0, 0)
-      else SloppySlot(seg(0).split('|').toSeq, seg(1).split('|').toSeq,
-        seg(2).toInt, seg(3).toInt)
+      val (pfx, inc) = seg(0).split('|').toSeq.partition(_.endsWith("*"))
+      val slot =
+        if (seg.length == 1) SloppySlot(inc, Nil, 0, 0)
+        else SloppySlot(inc, seg(1).split('|').toSeq, seg(2).toInt, seg(3).toInt)
+      slot.copy(prefixes = pfx.map(_.dropRight(1)))
     }
 }
 
@@ -148,6 +155,11 @@ object SloppyMatch {
         while (a < sl.includes.length) {
           if (if (isPrefix) toks(j).startsWith(sl.includes(a))
               else toks(j) == sl.includes(a)) return true
+          a += 1
+        }
+        a = 0
+        while (a < sl.prefixes.length) {
+          if (toks(j).startsWith(sl.prefixes(a))) return true
           a += 1
         }
         false

@@ -1248,6 +1248,135 @@ object Analytics {
     Det.ordered(out)
   }
 
+  /** Order-priority checking (TPC-H Q4 shape, adapted: this schema has no
+    * commit/receipt dates, so "late" = any line shipped more than 60 days
+    * after the order date): per-priority count of orders in one quarter
+    * with at least one late line. The EXISTS runs as a LEFT SEMI join —
+    * the order row is emitted at most once no matter how many lines are
+    * late, and the quarter filter pushes into the orders scan before the
+    * join, so the shuffle carries one quarter, not seven years.
+    */
+  def q4OrderPriority(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .where(col("o_orderdate") >= tsLit(820454400000L) &&  // 1996-01-01
+             col("o_orderdate") < tsLit(828316800000L))      // 1996-04-01
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val late = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+    val out = o.join(late,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+    Det.ordered(out)
+  }
+
+  /** Product-type profit center (TPC-H Q9 shape, adapted: no partsupp
+    * table, so supply cost is proxied at 10% of the part's retail price per
+    * unit): profit by supplier nation and ship year over parts whose name
+    * carries the probe substring. Three broadcast dims against one fact
+    * scan — the join order Catalyst picks is fact-at-the-bottom with
+    * broadcast hash joins stacked above, no fact-side shuffle at all;
+    * the year bucket and group-by are the only exchange.
+    */
+  def q9ProfitCenter(s: SparkSession, d: String): DataFrame = {
+    val p = Tables.part(s, d).where(col("p_name").like("%red%"))
+      .select(col("p_partkey"), col("p_retailprice"))
+    val sup = Tables.supplier(s, d).select(col("s_suppkey"), col("s_nationkey"))
+    val n = Tables.nation(s, d).select(col("n_nationkey"), col("n_name"))
+    val amount = col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+      lit(0.1) * col("p_retailprice") * col("l_quantity")
+    val out = Tables.lineitem(s, d)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .withColumn("ship_ms", tsMs(col("l_shipdate")))
+      .groupBy(col("n_name").as("nation"),
+        // q7's cross-engine year bucket: epoch-millis div one 365-day year
+        expr("ship_ms div 31536000000").as("year_bucket"))
+      .agg(round(dsum(amount), 2).as("profit"))
+    Det.ordered(out)
+  }
+
+  /** Important-stock cut (TPC-H Q11 shape, adapted to lineitem value in
+    * place of partsupp positions): per-part revenue from suppliers of two
+    * nations, keeping parts worth more than `fraction` of that revenue
+    * pool. The HAVING threshold compares against an in-plan broadcast
+    * scalar (the global total) — one fact aggregation feeds both sides,
+    * and nothing recomputes the pool per group.
+    */
+  def q11ImportantParts(s: SparkSession, d: String,
+                        fraction: Double = 0.001): DataFrame = {
+    val sup = Tables.supplier(s, d).join(
+        broadcast(Tables.nation(s, d).where(col("n_name").isin("NATION_3", "NATION_4"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"))
+    val value = Tables.lineitem(s, d)
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy(col("l_partkey"))
+      .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("v"))
+    val pool = value.agg(dsum(col("v")).as("pool"))
+    val out = value.crossJoin(broadcast(pool))
+      .where(col("v") > col("pool") * fraction)
+      .select(col("l_partkey"), round(col("v"), 2).as("part_value"))
+    Det.ordered(out)
+  }
+
+  /** Shipping-priority split (TPC-H Q12 shape, adapted: no shipmode column,
+    * so lines group by their linestatus; "late" = shipped more than 90 days
+    * after the order date in one year): per-status counts of high-priority
+    * (1-URGENT / 2-HIGH) vs lower-priority orders among late lines. One
+    * fact-fact join on the order key, conditional counts in a single
+    * partial-aggregated pass.
+    */
+  def q12LateLines(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val hi = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    val out = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linestatus"), col("l_shipdate"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .where(col("l_shipdate") >= tsLit(820454400000L) &&   // 1996-01-01
+             col("l_shipdate") < tsLit(852076800000L) &&    // 1997-01-01
+             col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy(col("l_linestatus"))
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+    Det.ordered(out)
+  }
+
+  /** Suppliers who kept orders waiting (TPC-H Q21 shape, adapted to ship
+    * dates: in a multi-supplier order, the supplier whose line ships LAST —
+    * strictly after every other supplier's lines — held the order up).
+    * The classic EXISTS/NOT-EXISTS pair is computed from two aggregations
+    * over one lineitem scan: per-order supplier count + max ship date,
+    * then the at-the-max supplier set, kept only when it is a single
+    * supplier (a tie means no unique culprit, exactly NOT EXISTS in the
+    * original). Top 20 by wait count with a name tie-break.
+    */
+  def q21WaitingSuppliers(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val perOrder = li.groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        max(col("l_shipdate")).as("max_ship"))
+      .where(col("n_supp") >= 2)
+    val culprit = li.join(perOrder, "l_orderkey")
+      .where(col("l_shipdate") === col("max_ship"))
+      .groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("n_at_max"),
+        max(col("l_suppkey")).as("culprit"))
+      .where(col("n_at_max") === 1)
+    val out = culprit.groupBy(col("culprit"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(broadcast(Tables.supplier(s, d).select(col("s_suppkey"), col("s_name"))),
+        col("culprit") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+    out
+  }
+
   /** Distribution-position windows: percent_rank and cume_dist of order
     * totals within each priority class — both are rank arithmetic over one
     * window sort, rounded through the cross-engine contract.

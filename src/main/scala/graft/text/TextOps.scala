@@ -881,6 +881,59 @@ object TextOps {
     Det.ordered(out)
   }
 
+  /** CCNet-style perplexity bucketing: each document scored by the corpus
+    * bigram LM ([[lmScore]]), then split into head/middle/tail terciles
+    * WITHIN its language — the standard kept/maybe/dropped partition a
+    * web-scale pipeline applies before mixing (CCNet, Wenzek et al. 2020,
+    * buckets by per-language perplexity so low-resource languages aren't
+    * judged against English fluency). Ties break on doc_id so the tercile
+    * assignment is total-order deterministic. Scale: the LM statistics are
+    * the memo-shaped training pass [[lmScore]] already runs; the bucketing
+    * itself is one per-language window — and language cardinality is tiny,
+    * so the partition-by-lang window is balanced, never a global sort.
+    */
+  def ccnetBuckets(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("avg_p").desc, col("doc_id"))
+    val out = lmScore(s, d)
+      .join(Tables.documents(s, d).select(col("doc_id"), col("lang")), "doc_id")
+      .withColumn("tercile", ntile(3).over(w))
+      .select(col("doc_id"), col("lang"), col("avg_p"),
+        when(col("tercile") === 1, "head")
+          .when(col("tercile") === 2, "middle")
+          .otherwise("tail").as("ppl_bucket"))
+    Det.ordered(out)
+  }
+
+  /** Epoch allocation under a token budget: every source should contribute
+    * the uniform target share ([[mixWeights]]' convention) of `budget`
+    * tokens, so its epoch count is target/n_tokens — capped at `maxEpochs`
+    * (repeating a small source beyond ~4 epochs degrades, the standard
+    * data-constrained-scaling rule), with the shortfall reported. The
+    * planned token count is what the sampler actually draws. Pure
+    * arithmetic on the per-source aggregate — one shuffle at any scale.
+    */
+  def mixEpochs(s: SparkSession, d: String, budget: Long = 2000000L,
+                maxEpochs: Double = 4.0): DataFrame = {
+    val per = Tables.documents(s, d)
+      .select(col("source"), size(tokens(col("text"))).cast("bigint").as("n"))
+      .groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
+    val n = per.agg(count(lit(1)).as("n_sources"))
+    val out = per.crossJoin(broadcast(n))
+      .select(col("source"), col("n_tokens"),
+        floor(lit(budget) / col("n_sources")).cast("bigint").as("target_tokens"),
+        Det.rnd(lit(budget) * lit(1.0) / (col("n_sources") * col("n_tokens")), 4)
+          .as("epochs_raw"))
+      .select(col("source"), col("n_tokens"), col("target_tokens"),
+        col("epochs_raw"),
+        Det.rnd(least(col("epochs_raw"), lit(maxEpochs)), 4).as("epochs"),
+        round(least(col("epochs_raw"), lit(maxEpochs)) * col("n_tokens"))
+          .cast("bigint").as("planned_tokens"),
+        when(col("epochs_raw") > maxEpochs, 1L).otherwise(0L).as("capped"))
+    Det.ordered(out)
+  }
+
   /** Winnowing-based near-duplicate pairs (the MOSS report): documents
     * sharing ≥ `minShared` selected fingerprints, with the shared count and
     * each side's overlap fraction. The inverted-index join runs on the

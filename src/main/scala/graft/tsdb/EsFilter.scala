@@ -465,8 +465,12 @@ object EsFilter {
         val slots = clauses(b.get("intervals")).map(singleTokenSlot)
         require(slots.nonEmpty, "all_of needs at least one source")
         intervalBudgetMatch(f, slots, b)
+      case "prefix" =>
+        // standalone prefix source: any token with the prefix (Lucene
+        // expands the prefix to its indexed term set; a one-slot match)
+        sloppyMatch(fieldCol(f), Seq(singleTokenSlot(src)), 0, inOrder = false)
       case other => throw new IllegalArgumentException(
-        s"unsupported intervals source: $other (match, any_of and all_of)")
+        s"unsupported intervals source: $other (match, any_of, all_of and prefix)")
     }
   }
 
@@ -500,7 +504,19 @@ object EsFilter {
           s"""any_of needs "intervals", got $b""")
         val subs = clauses(b.get("intervals")).map(singleTokenSlot)
         require(subs.nonEmpty, "any_of needs at least one source")
-        SloppySlot(subs.flatMap(_.includes).distinct, Nil, 0, 0)
+        SloppySlot(subs.flatMap(_.includes).distinct, Nil, 0, 0,
+          subs.flatMap(_.prefixes).distinct)
+      case "prefix" =>
+        // intervals prefix rule: one slot whose positions are the tokens
+        // carrying the prefix — Lucene's indexed-term expansion as a
+        // position predicate
+        val b = src.get("prefix")
+        require(b != null && b.isObject && b.has("prefix"),
+          s"""intervals prefix needs "prefix", got $b""")
+        val p = b.get("prefix").asText().trim.toLowerCase
+        require(p.nonEmpty && !p.exists(_.isWhitespace),
+          s"intervals prefix must be a single non-empty term, got: '$p'")
+        SloppySlot(Nil, Nil, 0, 0, Seq(p))
       case other => throw new IllegalArgumentException(
         s"all_of sub-sources must reduce to single-token alternatives, got: $other")
     }
@@ -623,16 +639,19 @@ object EsFilter {
     // its postings-list conjunction). On a selective phrase this turns a
     // per-row O(prod of occurrence counts) search into a per-CANDIDATE one.
     val guard: Column = slots.zipWithIndex.map { case (sl, i) =>
-      sl.includes.map(t =>
+      (sl.includes.map(t =>
         if (prefix && i == slots.size - 1) exists(toks, x => x.startsWith(lit(t)))
         else array_contains(toks, t): Column
-      ).reduce(_ || _)
+      ) ++ sl.prefixes.map(t =>
+        exists(toks, x => x.startsWith(lit(t))): Column)).reduce(_ || _)
     }.reduce(_ && _)
     val idx = sequence(lit(0), size(toks) - 1)
     val posLists: Seq[Column] = slots.zipWithIndex.map { case (sl, i) =>
-      def incMatch(j: Column): Column = sl.includes.map(t =>
+      def incMatch(j: Column): Column = (sl.includes.map(t =>
         if (prefix && i == slots.size - 1) element_at(toks, j + 1).startsWith(lit(t))
-        else element_at(toks, j + 1) === lit(t): Column).reduce(_ || _)
+        else element_at(toks, j + 1) === lit(t): Column) ++
+        sl.prefixes.map(t =>
+          element_at(toks, j + 1).startsWith(lit(t)): Column)).reduce(_ || _)
       val base = filter(idx, j => incMatch(j))
       if (sl.excludes.isEmpty) base
       else filter(base, p => !exists(idx, q =>

@@ -541,12 +541,33 @@ class EsFilterSpec extends SparkTestBase {
       == Seq(1L, 4L))
     // unsupported sources and multi-token all_of subs are rejected
     intercept[IllegalArgumentException] {
-      sids("""{"intervals":{"text":{"prefix":{"prefix":"al"}}}}""")
+      sids("""{"intervals":{"text":{"wildcard":{"pattern":"al*"}}}}""")
     }
     intercept[IllegalArgumentException] {
       sids("""{"intervals":{"text":{"all_of":{"intervals":[
                {"match":{"query":"alpha beta"}}]}}}}""")
     }
+  }
+
+  test("intervals: prefix rule is a startsWith position slot") {
+    // standalone prefix: any doc holding an 'al'-prefixed token
+    assert(sids("""{"intervals":{"text":{"prefix":{"prefix":"al"}}}}""")
+      == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(sids("""{"intervals":{"text":{"prefix":{"prefix":"zz"}}}}""") == Seq())
+    // ordered all_of with a prefix slot: beta ADJACENT to a gam- token —
+    // docs 1 (beta@1 gamma@2) and 4 (beta@3 gamma@4) only
+    assert(sids(
+      """{"intervals":{"text":{"all_of":{"ordered":true,"max_gaps":0,"intervals":[
+           {"match":{"query":"beta"}},
+           {"prefix":{"prefix":"gam"}}]}}}}""")
+      == Seq(1L, 4L))
+    // prefix inside any_of unions its positions with the exact terms
+    assert(sids(
+      """{"intervals":{"text":{"all_of":{"max_gaps":0,"intervals":[
+           {"match":{"query":"gamma"}},
+           {"any_of":{"intervals":[{"match":{"query":"x"}},
+                                   {"prefix":{"prefix":"bet"}}]}}]}}}}""")
+      == Seq(1L, 4L))
   }
 
   test("HOF fallback (no graft_sloppy function) agrees with the native kernel") {
@@ -573,7 +594,11 @@ class EsFilterSpec extends SparkTestBase {
       """{"intervals":{"text":{"all_of":{"max_gaps":0,"intervals":[
            {"match":{"query":"gamma"}},
            {"any_of":{"intervals":[{"match":{"query":"beta"}},
-                                   {"match":{"query":"x"}}]}}]}}}}""")
+                                   {"match":{"query":"x"}}]}}]}}}}""",
+      """{"intervals":{"text":{"prefix":{"prefix":"al"}}}}""",
+      """{"intervals":{"text":{"all_of":{"ordered":true,"max_gaps":0,"intervals":[
+           {"match":{"query":"beta"}},
+           {"prefix":{"prefix":"gam"}}]}}}}""")
     val native = queries.map(sids)
     assert(spark.catalog.functionExists("graft_sloppy"))
     reg.dropFunction(id)
