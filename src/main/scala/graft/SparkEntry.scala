@@ -2737,7 +2737,7 @@ object SparkEntry {
               per AS (SELECT doc_id, sum(span_end - span_start + 1) AS dup_tokens
                       FROM spans GROUP BY 1)
           SELECT t.doc_id, len(t.l) AS n_tokens,
-                 coalesce(per.dup_tokens, 0) AS dup_tokens,
+                 CAST(coalesce(per.dup_tokens, 0) AS BIGINT) AS dup_tokens,
                  ${rndSql("coalesce(per.dup_tokens, 0) / len(t.l)", 4)} AS dup_ratio
           FROM t LEFT JOIN per USING (doc_id) ORDER BY 1, 2, 3, 4""",
     "decontaminate_fuzzy" ->
