@@ -490,6 +490,10 @@ object SparkEntry {
     "knn_classify_ivf" -> ((s, d) => Ann.knnClassifyIvf(s, d)),
     "emb_knn_dist" -> ((s, d) => Ann.embKnnDist(s, d)),
     "ann_pq_recon" -> ((s, d) => Ann.pqReconError(s, d)),
+    // SQ8 scalar quantization: the 4x-memory compressed exhaustive scan
+    "ann_sq8" -> ((s, d) => Ann.sq8TopK(s, d)),
+    "ann_sq8_recon" -> ((s, d) => Ann.sq8ReconError(s, d)),
+    "ann_ivf_sq8" -> ((s, d) => Ann.ivfSq8TopK(s, d)),
     "q6_forecast_revenue" -> ((s, d) => Analytics.q6ForecastRevenue(s, d)),
     "q14_promo_share" -> ((s, d) => Analytics.q14PromoShare(s, d)),
     "q19_brackets" -> ((s, d) => Analytics.q19Brackets(s, d)),
@@ -536,6 +540,11 @@ object SparkEntry {
       EsFilter.compile("""{"match_all":{}}"""), End)),
     "minhash_est_quality" -> ((s, d) => Dedup.minhashEstQuality(s, d)),
     "dedup_incremental" -> ((s, d) => Dedup.incrementalDedup(s, d)),
+    // per-source rollup of what the near-dup clustering removes
+    "dedup_report" -> ((s, d) => Dedup.report(s, d)),
+    // bloom prefilter for incremental dedup: Spark-internal bloom bits,
+    // not oracle-replayable -> declared rows-only; properties in DedupSpec
+    "dedup_bloom" -> ((s, d) => Dedup.bloomDedup(s, d)),
     "graph_similarity" -> ((s, d) => Graph.structuralSimilarity(s, d)),
     "graph_similarity_capped" -> ((s, d) => Graph.structuralSimilarityCapped(s, d)),
     "power_users" -> ((s, d) => Analytics.powerUsers(s, d)),
@@ -572,6 +581,20 @@ object SparkEntry {
     s"""$VecCte,
        evr AS (SELECT vec_id, ${rndSql("x", 6)} AS x, i FROM ev),
        vnr AS (SELECT vec_id, sum(x*x) AS nsq FROM evr GROUP BY vec_id)"""
+
+  /** SQ8 quantize/dequantize CTEs (assumes VecrCte): per-dimension min/max
+    * stats, int8 codes with the Det.rnd half-boundary nudge, and 6-dp
+    * dequantized components — mirrors [[graft.ann.Ann.sq8Components]] step
+    * for step (constant dimensions quantize to code 0 / dequantize to mn).
+    */
+  private def Sq8Cte: String =
+    s"""st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM evr GROUP BY 1),
+        sq AS (SELECT vec_id, e.i, e.x, mn,
+                      CASE WHEN mx = mn THEN 1.0 ELSE mx - mn END AS den
+               FROM evr e JOIN st ON st.i = e.i),
+        dq AS (SELECT vec_id, i, x,
+                      ${rndSql("mn + CAST(round((x - mn) * 255.0 / den + 1e-9, 0) AS INT) * den / 255.0", 6)} AS xq
+               FROM sq)"""
 
   /** Lloyd's iterations for the IVF coarse codebook, mirroring
     * [[graft.ann.Ann.trainIvfCentroids]] step for step; emits CTEs c0..c<iters>
@@ -2087,6 +2110,56 @@ object SparkEntry {
                       GROUP BY 1)
           SELECT vec_id, recon_err2, norm2,
                  CASE WHEN norm2 > 0 THEN ${rndSql("recon_err2 / norm2", 6)} END AS rel_err
+          FROM per ORDER BY 1, 2, 3, 4""",
+    "ann_sq8" ->
+      s"""WITH $VecrCte,
+              $Sq8Cte,
+              dots AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+                              ${rndSql("CAST(sum(CAST(q.xq * c.xq AS DECIMAL(38,12))) AS DOUBLE)", 6)}
+                                AS approx_dot
+                       FROM dq q JOIN dq c ON c.i = q.i AND q.vec_id < 20
+                                          AND c.vec_id <> q.vec_id
+                       GROUP BY 1, 2),
+              r AS (SELECT q_id, n_id, approx_dot, row_number() OVER (
+                      PARTITION BY q_id ORDER BY approx_dot DESC, n_id) AS rank
+                    FROM dots)
+          SELECT q_id, n_id, approx_dot, rank FROM r WHERE rank <= 5
+          ORDER BY 1, 2, 3, 4""",
+    "ann_ivf_sq8" ->
+      s"""WITH $VecrCte,
+              ${ivfTrainCte(2, 16)},
+              knf AS (SELECT c_id, sum(cx*cx) AS nsq FROM c2 GROUP BY 1),
+              cc AS (SELECT v.vec_id AS vid, c.c_id AS cid, sum(v.x * c.cx) AS dot
+                     FROM evr v JOIN c2 c ON v.i = c.i GROUP BY 1, 2),
+              ccos AS (SELECT vid, cid, round(dot/sqrt(nv.nsq*nc.nsq), 6) AS c
+                       FROM cc JOIN vnr nv ON nv.vec_id = vid JOIN knf nc ON nc.c_id = cid),
+              assign AS (SELECT vid, cid AS cell FROM (
+                           SELECT vid, cid, row_number() OVER (PARTITION BY vid
+                             ORDER BY c DESC, cid) AS arn FROM ccos) WHERE arn = 1),
+              $Sq8Cte,
+              dots AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                              ${rndSql("CAST(sum(CAST(a.xq * b.xq AS DECIMAL(38,12))) AS DOUBLE)", 6)}
+                                AS approx_dot
+                       FROM dq a JOIN dq b ON a.i = b.i AND a.vec_id <> b.vec_id
+                       JOIN assign qa ON qa.vid = a.vec_id
+                       JOIN assign na ON na.vid = b.vec_id AND na.cell = qa.cell
+                       WHERE a.vec_id < 20 GROUP BY 1, 2),
+              r AS (SELECT q_id, n_id, approx_dot, row_number() OVER (
+                      PARTITION BY q_id ORDER BY approx_dot DESC, n_id) AS rank
+                    FROM dots)
+          SELECT q_id, n_id, approx_dot, rank FROM r WHERE rank <= 5
+          ORDER BY 1, 2, 3, 4""",
+    "ann_sq8_recon" ->
+      s"""WITH $VecrCte,
+              $Sq8Cte,
+              per AS (SELECT vec_id,
+                             ${rndSql("CAST(sum(CAST((x - xq) * (x - xq) AS DECIMAL(38,12))) AS DOUBLE)", 8)}
+                               AS recon_err2,
+                             ${rndSql("CAST(sum(CAST(x * x AS DECIMAL(38,12))) AS DOUBLE)", 8)}
+                               AS norm2
+                      FROM dq GROUP BY 1)
+          SELECT vec_id, recon_err2, norm2,
+                 CASE WHEN norm2 > 0 THEN ${rndSql("recon_err2 / norm2", 8)} END AS rel_err
           FROM per ORDER BY 1, 2, 3, 4""",
     "text_langid" -> {
       def sc(l: String) = s"len(list_filter(toks, t -> t IN ${stopListSql(l)}))"
@@ -3640,6 +3713,34 @@ object SparkEntry {
                  CAST(coalesce(mc.n_old_matches, 0) = 0 AS BIGINT) AS keep
           FROM nd LEFT JOIN mc ON mc.new_id = nd.doc_id
           ORDER BY 1, 2, 3""",
+    "dedup_report" ->
+      s"""WITH RECURSIVE $ShingleCte,
+              $MinhashCte,
+              cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                       FROM bands a JOIN bands b
+                         ON a.band = b.band AND a.band_key = b.band_key
+                        AND a.doc_id < b.doc_id),
+              edges AS (SELECT a_id AS src, b_id AS dst FROM cand
+                        UNION ALL SELECT b_id, a_id FROM cand),
+              nodes AS (SELECT DISTINCT src AS id FROM edges),
+              reach AS (SELECT id, id AS r FROM nodes
+                        UNION
+                        SELECT e.dst AS id, reach.r FROM reach
+                        JOIN edges e ON e.src = reach.id),
+              cl AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach
+                     GROUP BY 1),
+              fl AS (SELECT doc_id, cluster_id,
+                            CASE WHEN doc_id <> cluster_id THEN 1 ELSE 0 END
+                              AS removed
+                     FROM cl)
+          SELECT d.source, count(*) AS n_docs,
+                 CAST(sum(CASE WHEN fl.cluster_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_in_clusters,
+                 CAST(sum(coalesce(fl.removed, 0)) AS BIGINT) AS n_removed,
+                 ${rndSql("sum(coalesce(fl.removed, 0)) * 100.0 / count(*)", 4)}
+                   AS removed_pct
+          FROM documents d LEFT JOIN fl USING (doc_id)
+          GROUP BY 1 ORDER BY 1, 2, 3, 4, 5""",
     "graph_similarity" ->
       s"""WITH $ShingleCte,
               $MinhashCte,

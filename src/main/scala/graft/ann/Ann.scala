@@ -817,4 +817,122 @@ object Ann {
       .where(col("rank") <= k)
     Det.ordered(out)
   }
+
+  /** SQ8 scalar quantization (the FAISS `SQ8` index shape): per-dimension
+    * corpus min/max maps each 6-dp component to an int8 code in [0, 255];
+    * the dequantized reconstruction `mn + q·(mx−mn)/255` is re-rounded to
+    * 6 dp so every downstream sum is an exact-decimal sum both engines
+    * reproduce (the codebook-determinism contract). The (i, mn, mx) stats
+    * table is `dims` rows — it broadcasts everywhere — and quantization is
+    * one map-only corpus pass.
+    *
+    * At 100 TB SQ8 is the MEMORY story, complementary to PQ's compute
+    * story: 64 bytes/vector instead of 256 keeps 4× more of the corpus
+    * resident per executor with near-exhaustive recall (PQ's 4×16 codebook
+    * trades much more accuracy for 16× compression — its recall needs the
+    * exact re-rank pass back). Emits (vec_id, i, x, xq): original and
+    * dequantized components, memoized like every trained index artifact.
+    */
+  private def sq8Components(s: SparkSession, d: String): DataFrame =
+    memoDf(s, s"sq8|$d") {
+      val comp = Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          posexplode(transform(col("embedding"), x => Det.rnd(x.cast("double"), 6))))
+        .toDF("vec_id", "i", "x")
+      val stats = comp.groupBy(col("i"))
+        .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      comp.join(broadcast(stats), "i")
+        // a constant dimension (mx = mn) quantizes to code 0 and dequantizes
+        // to mn exactly; the 1.0 denominator only avoids the 0/0
+        .withColumn("den",
+          when(col("mx") === col("mn"), lit(1.0)).otherwise(col("mx") - col("mn")))
+        .withColumn("q8",
+          round((col("x") - col("mn")) * lit(255.0) / col("den") + lit(1e-9), 0)
+            .cast("int"))
+        .select(col("vec_id"), col("i"), col("x"),
+          Det.rnd(col("mn") + col("q8").cast("double") * col("den") / lit(255.0), 6)
+            .as("xq"))
+        .localCheckpoint(true)
+    }
+
+  /** Exhaustive top-k over the SQ8-dequantized corpus — the brute-force
+    * scan PQ's ADC replaces, run at a quarter of the float32 memory
+    * traffic. Same output shape as [[pqTopK]] so recall harnesses compare
+    * the two compressed-domain scans directly.
+    */
+  def sq8TopK(s: SparkSession, d: String, k: Int = 5, nQueries: Int = 20): DataFrame = {
+    val dq = sq8Components(s, d)
+    val qs = dq.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("i").as("qi"), col("xq").as("qx"))
+    val dots = dq.join(broadcast(qs),
+        col("i") === col("qi") && col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(Det.rnd(sum((col("qx") * col("xq")).cast("decimal(38,12)")).cast("double"), 6)
+        .as("approx_dot"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("approx_dot").desc, col("vec_id"))
+    val out = dots
+      .select(col("q_id"), col("vec_id").as("n_id"), col("approx_dot"),
+        row_number().over(wTop).cast("bigint").as("rank"))
+      .where(col("rank") <= k)
+    Det.ordered(out)
+  }
+
+  /** IVF + SQ8 — the composition a 100 TB deployment actually runs when it
+    * wants IVF's candidate bound WITHOUT PQ's recall loss: the coarse
+    * trained codebook restricts each query to its probed cells (per-query
+    * scan cost = cell occupancy, the [[ivfOccupancy]] cost model) and the
+    * in-cell scores come from the int8-dequantized components — 4× less
+    * memory traffic than the float path of [[ivfTopK]] at near-identical
+    * ranks, no exact re-rank pass needed. Same memoized/persisted codebook
+    * and inverted file as every other IVF consumer; oracle replays
+    * training, assignment, quantization, and the dot bit-exactly.
+    */
+  def ivfSq8TopK(s: SparkSession, d: String, k: Int = 5, nQueries: Int = 20,
+                 nCentroids: Int = 16, nprobe: Int = 1, trainIters: Int = 2): DataFrame = {
+    val cents = memoCodebook(s, s"ivf|$d|$nCentroids|$trainIters")(
+      trainIvfCentroids(s, memoDf(s, s"qn|$d")(quantNorm(s, d).cache()),
+        nCentroids, trainIters))
+    val ranked = memoCodebook(s, s"ivfranked|$d|$nCentroids|$trainIters|$nprobe")(
+      rankedAssignment(s, d, cents, nprobe).localCheckpoint(true))
+    val cells = ranked.where(col("arn") === 1)
+      .select(col("vec_id").as("n_id"), col("c_id").as("cell"))
+    val q = ranked.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("c_id").as("q_cell"))
+    val cand = cells.join(broadcast(q),
+        col("cell") === col("q_cell") && col("n_id") =!= col("q_id"))
+      .select(col("q_id"), col("n_id"))
+    val dq = sq8Components(s, d)
+    val qComp = dq.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q2_id"), col("i").as("qi"), col("xq").as("qx"))
+    val dots = cand
+      .join(dq.select(col("vec_id").as("n_id"), col("i"), col("xq")), "n_id")
+      .join(broadcast(qComp), col("q_id") === col("q2_id") && col("i") === col("qi"))
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(Det.rnd(sum((col("qx") * col("xq")).cast("decimal(38,12)")).cast("double"), 6)
+        .as("approx_dot"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("approx_dot").desc, col("n_id"))
+    val out = dots
+      .select(col("q_id"), col("n_id"), col("approx_dot"),
+        row_number().over(wTop).cast("bigint").as("rank"))
+      .where(col("rank") <= k)
+    Det.ordered(out)
+  }
+
+  /** SQ8 reconstruction-error report — the metric that decides whether SQ8
+    * (4×, near-lossless) or PQ (16×, lossy + re-rank) compresses a corpus:
+    * per-vector squared reconstruction error against the squared norm, the
+    * direct analogue of [[pqReconError]] on the same scale.
+    */
+  def sq8ReconError(s: SparkSession, d: String): DataFrame = {
+    val dq = sq8Components(s, d)
+    val out = dq.groupBy(col("vec_id"))
+      .agg(
+        Det.rnd(sum(((col("x") - col("xq")) * (col("x") - col("xq")))
+          .cast("decimal(38,12)")).cast("double"), 8).as("recon_err2"),
+        Det.rnd(sum((col("x") * col("x")).cast("decimal(38,12)")).cast("double"), 8)
+          .as("norm2"))
+      .select(col("vec_id"), col("recon_err2"), col("norm2"),
+        when(col("norm2") > 0, Det.rnd(col("recon_err2") / col("norm2"), 8)).as("rel_err"))
+    Det.ordered(out)
+  }
 }

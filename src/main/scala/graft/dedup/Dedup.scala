@@ -617,6 +617,88 @@ object Dedup {
     Det.ordered(out)
   }
 
+  /** Bloom-filter incremental dedup — the membership PRE-FILTER in front of
+    * [[incremental]]'s exact index probe. The historical corpus collapses
+    * to one bloom filter over content hashes (~10 bits/key ⇒ ~1% false
+    * positives; 1e9 historical docs ≈ 1.2 GB, broadcastable), so the new
+    * batch is screened map-only: only bloom HITS — true dups plus the ~1%
+    * FP tail — ever reach the shuffle join against the real index. At
+    * 100 TB that turns incremental dedup's per-batch cost from
+    * "shuffle-join every new doc" into "scan + broadcast probe, join ~1%".
+    * The filter bits come from Spark's own runtime-filter bloom aggregate
+    * (seedless XxHash64 — deterministic, codegen'd, zero UDFs), which no
+    * external SQL engine replays → declared rows-only; the no-false-
+    * negative guarantee and the FP rate are property-tested in DedupSpec.
+    *
+    * Corpus form: even doc_ids play the indexed history, odd ones the new
+    * batch. Output per new doc: `bloom_hit` (would probe the index) and
+    * `exact_dup` (actually in the index) — `bloom_hit >= exact_dup` always.
+    */
+  def bloomDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), md5(TextOps.norm(col("text"))).as("h"))
+    bloomDedupOn(docs.where(col("doc_id") % 2 === 0),
+                 docs.where(col("doc_id") % 2 === 1))
+  }
+
+  /** Same, over any old/new (doc_id, h) frames — the property-testable core.
+    * The probe goes through SQL because `might_contain` requires its filter
+    * input to be a scalar subquery (or constant): the aggregate-built filter
+    * is evaluated once and ships to every probe task exactly like the
+    * runtime-filter bloom Spark itself injects — never a per-row driver hop.
+    */
+  def bloomDedupOn(old: DataFrame, fresh: DataFrame, bitsPerKey: Long = 10L): DataFrame = {
+    val s = old.sparkSession
+    val oldH = old.select(col("h")).localCheckpoint(true)
+    // one aggregate scalar sizes the filter — an index-build parameter,
+    // not a driver-side data loop
+    val n = math.max(oldH.count(), 1L)
+    val bits = math.max(64L, n * bitsPerKey)
+    val id = BloomViewSeq.incrementAndGet()
+    val (ov, fv) = (s"graft_bloom_old_$id", s"graft_bloom_new_$id")
+    oldH.createOrReplaceTempView(ov)
+    fresh.createOrReplaceTempView(fv)
+    val out = s.sql(
+      s"""WITH hits AS (
+            SELECT f.doc_id, f.h,
+                   CAST(graft_bloom_contains(
+                          (SELECT graft_bloom_agg(xxhash64(h), ${n}L, ${bits}L)
+                           FROM $ov),
+                          xxhash64(f.h)) AS BIGINT) AS bloom_hit
+            FROM $fv f)
+          SELECT hits.doc_id, hits.bloom_hit,
+                 CAST(CASE WHEN m.h IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+                   AS exact_dup
+          FROM hits LEFT JOIN (SELECT DISTINCT h FROM $ov) m ON m.h = hits.h""")
+    Det.ordered(out)
+  }
+  private val BloomViewSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Per-source dedup impact report — the rollup every production dedup run
+    * ships with: for each source, how many documents entered, how many
+    * landed in a near-dup cluster at all, and how many the keep-minimum
+    * rule removes. The expensive part (LSH + connected components) is the
+    * memoized [[clusters]] pipeline; this adds one broadcast-size join of
+    * the cluster-label table against doc metadata and a per-source
+    * aggregate — at 100 TB the report costs one corpus scan over columns
+    * (doc_id, source) plus the label table it already built.
+    */
+  def report(s: SparkSession, d: String): DataFrame = {
+    val flagged = clusters(s, d)
+      .select(col("doc_id"), col("cluster_id"),
+        (col("doc_id") =!= col("cluster_id")).cast("bigint").as("removed"))
+    val out = Tables.documents(s, d).select(col("doc_id"), col("source"))
+      .join(flagged, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cluster_id").isNotNull, lit(1L)).otherwise(lit(0L)))
+          .as("n_in_clusters"),
+        sum(coalesce(col("removed"), lit(0L))).as("n_removed"))
+      .select(col("source"), col("n_docs"), col("n_in_clusters"), col("n_removed"),
+        Det.rnd(col("n_removed") * lit(100.0) / col("n_docs"), 4).as("removed_pct"))
+    Det.ordered(out)
+  }
+
   /** Fuzzy string join: LSH candidate pairs refined by Levenshtein distance
     * on the normalized-text prefix — the "same record, small edits" matcher.
     * Scale shape: the O(len²) edit-distance kernel runs ONLY on LSH

@@ -88,6 +88,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         children(3).eval(null).asInstanceOf[Boolean],
         children(4).eval(null).asInstanceOf[Boolean],
         children.length > 5 && children(5).eval(null).asInstanceOf[Boolean])))
+    // Spark's runtime-filter bloom expressions (BloomFilterAggregate /
+    // BloomFilterMightContain) are codegen'd and deterministic (seedless
+    // XxHash64 probes) but not exposed in the public FunctionRegistry —
+    // surface them under graft names for the bloom-prefilter dedup path.
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (children: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          children.head, children(1), children(2))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_bloom_contains"),
+      (children: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          children.head, children(1))))
     ext.injectPlannerStrategy(_ => new graft.plans.AsofJoinStrategy)
   }
 }
