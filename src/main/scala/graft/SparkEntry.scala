@@ -241,6 +241,19 @@ object SparkEntry {
              {"prefix":{"prefix":"co"}}]}}}}""",
         docs.columns.toSeq)).select(docs.col("doc_id")))
     }),
+    // ES intervals with a fixed-phrase sub-source: the contiguous phrase
+    // "table hash" (ordered:true, max_gaps:0 — Lucene Intervals.phrase)
+    // and 'join' inside a covering interval with at most 3 gaps; the
+    // phrase occupies its full 2-token width in the budget and may not
+    // overlap the 'join' position
+    "ts_read_filter_intervals_phrase" -> ((s, d) => {
+      val docs = graft.core.Tables.documents(s, d)
+      graft.core.Det.ordered(docs.where(EsFilter.compile(
+        """{"intervals":{"text":{"all_of":{"max_gaps":3,"intervals":[
+             {"match":{"query":"table hash","ordered":true,"max_gaps":0}},
+             {"match":{"query":"join"}}]}}}}""",
+        docs.columns.toSeq)).select(docs.col("doc_id")))
+    }),
     // ES dis_max: filter context = any clause matches (tie_breaker is a
     // scoring knob)
     "ts_read_filter_dis_max" -> ((s, d) => Tsdb.read(Tsdb.points(s, d),
@@ -494,6 +507,7 @@ object SparkEntry {
     "ann_sq8" -> ((s, d) => Ann.sq8TopK(s, d)),
     "ann_sq8_recon" -> ((s, d) => Ann.sq8ReconError(s, d)),
     "ann_ivf_sq8" -> ((s, d) => Ann.ivfSq8TopK(s, d)),
+    "ann_sq8_recall" -> ((s, d) => Ann.sq8RecallAtK(s, d)),
     "q6_forecast_revenue" -> ((s, d) => Analytics.q6ForecastRevenue(s, d)),
     "q14_promo_share" -> ((s, d) => Analytics.q14PromoShare(s, d)),
     "q19_brackets" -> ((s, d) => Analytics.q19Brackets(s, d)),
@@ -1200,6 +1214,22 @@ object SparkEntry {
           SELECT DISTINCT a.doc_id FROM toks a JOIN toks b ON a.doc_id = b.doc_id
           WHERE a.tok = 'data' AND b.tok LIKE 'co%'
             AND b.pos > a.pos AND b.pos - a.pos - 1 <= 2
+          ORDER BY 1""",
+    // phrase interval [s, e] = a 'table hash' bigram; 'join' must sit
+    // outside it with covering gap count (cover - total width 3) <= 3
+    "ts_read_filter_intervals_phrase" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
+                    FROM documents),
+              toks AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos
+                       FROM t),
+              ph AS (SELECT a.doc_id, a.pos AS s, a.pos + 1 AS e
+                     FROM toks a JOIN toks b
+                       ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+                     WHERE a.tok = 'table' AND b.tok = 'hash')
+          SELECT DISTINCT ph.doc_id
+          FROM ph JOIN toks j ON j.doc_id = ph.doc_id AND j.tok = 'join'
+          WHERE (j.pos < ph.s OR j.pos > ph.e)
+            AND (greatest(j.pos, ph.e) - least(j.pos, ph.s) + 1) - 3 <= 3
           ORDER BY 1""",
     "ts_read_filter_dis_max" ->
       s"""SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events
@@ -2149,6 +2179,61 @@ object SparkEntry {
                     FROM dots)
           SELECT q_id, n_id, approx_dot, rank FROM r WHERE rank <= 5
           ORDER BY 1, 2, 3, 4""",
+    "ann_sq8_recall" ->
+      s"""WITH $VecrCte,
+              bfd AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, sum(a.x*b.x) AS dot
+                      FROM ev a JOIN ev b ON a.i = b.i AND a.vec_id <> b.vec_id
+                      WHERE a.vec_id < 20 GROUP BY 1, 2),
+              bfc AS (SELECT q_id, n_id, round(dot/sqrt(nq.nsq*nn.nsq), 6) AS cosine
+                      FROM bfd JOIN vn nq ON nq.vec_id = q_id JOIN vn nn ON nn.vec_id = n_id),
+              bfr AS (SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+                        ORDER BY cosine DESC, n_id) AS rank FROM bfc),
+              bf AS (SELECT q_id, n_id FROM bfr WHERE rank <= 5),
+              ${ivfTrainCte(2, 16)},
+              knf AS (SELECT c_id, sum(cx*cx) AS nsq FROM c2 GROUP BY 1),
+              cc AS (SELECT v.vec_id AS vid, c.c_id AS cid, sum(v.x * c.cx) AS dot
+                     FROM evr v JOIN c2 c ON v.i = c.i GROUP BY 1, 2),
+              ccos AS (SELECT vid, cid, round(dot/sqrt(nv.nsq*nc.nsq), 6) AS c
+                       FROM cc JOIN vnr nv ON nv.vec_id = vid JOIN knf nc ON nc.c_id = cid),
+              assign AS (SELECT vid, cid AS cell FROM (
+                           SELECT vid, cid, row_number() OVER (PARTITION BY vid
+                             ORDER BY c DESC, cid) AS arn FROM ccos) WHERE arn = 1),
+              $Sq8Cte,
+              s8d AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+                             ${rndSql("CAST(sum(CAST(q.xq * c.xq AS DECIMAL(38,12))) AS DOUBLE)", 6)}
+                               AS approx_dot
+                      FROM dq q JOIN dq c ON c.i = q.i AND q.vec_id < 20
+                                         AND c.vec_id <> q.vec_id
+                      GROUP BY 1, 2),
+              s8 AS (SELECT q_id, n_id FROM (
+                       SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+                         ORDER BY approx_dot DESC, n_id) AS rank FROM s8d)
+                     WHERE rank <= 5),
+              ivd AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                             ${rndSql("CAST(sum(CAST(a.xq * b.xq AS DECIMAL(38,12))) AS DOUBLE)", 6)}
+                               AS approx_dot
+                      FROM dq a JOIN dq b ON b.i = a.i AND b.vec_id <> a.vec_id
+                      JOIN assign qa ON qa.vid = a.vec_id
+                      JOIN assign na ON na.vid = b.vec_id AND na.cell = qa.cell
+                      WHERE a.vec_id < 20 GROUP BY 1, 2),
+              iv AS (SELECT q_id, n_id FROM (
+                       SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+                         ORDER BY approx_dot DESC, n_id) AS rank FROM ivd)
+                     WHERE rank <= 5),
+              u AS (SELECT 'ivf_sq8' AS method, q_id, n_id FROM iv
+                    UNION ALL SELECT 'sq8_full', q_id, n_id FROM s8),
+              hits AS (SELECT method, count(*) AS n_hits FROM u
+                       WHERE EXISTS (SELECT 1 FROM bf
+                                     WHERE bf.q_id = u.q_id AND bf.n_id = u.n_id)
+                       GROUP BY 1),
+              mlist AS (SELECT 'ivf_sq8' AS method UNION ALL SELECT 'sq8_full'),
+              res AS (SELECT m.method,
+                             CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                             (SELECT count(*) FROM bf) AS n_exact
+                      FROM mlist m LEFT JOIN hits h USING (method))
+          SELECT method, n_hits, n_exact,
+                 ${rndSql("n_hits / n_exact", 4)} AS recall
+          FROM res ORDER BY 1, 2, 3, 4""",
     "ann_sq8_recon" ->
       s"""WITH $VecrCte,
               $Sq8Cte,

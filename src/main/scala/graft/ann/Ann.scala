@@ -918,6 +918,29 @@ object Ann {
     Det.ordered(out)
   }
 
+  /** Recall of the SQ8 scans against the exhaustive float truth — the
+    * measured half of the "near-lossless" claim: `sq8_full` isolates pure
+    * quantization loss (plus cosine-vs-dot reordering), `ivf_sq8` adds the
+    * probed-cell miss rate on top, directly comparable to [[recallAtK]]'s
+    * `ivf_nprobe1` row. Same harness shape as [[recallAtK]].
+    */
+  def sq8RecallAtK(s: SparkSession, d: String, k: Int = 5, nQueries: Int = 20): DataFrame = {
+    val exact = bruteForceTopK(s, d, k, nQueries)
+      .select(col("q_id"), col("n_id")).localCheckpoint(true)
+    val methods = Seq(
+      ("ivf_sq8", ivfSq8TopK(s, d, k, nQueries)),
+      ("sq8_full", sq8TopK(s, d, k, nQueries)))
+    val out = methods.map { case (name, df) =>
+      val hits = df.select(col("q_id"), col("n_id"))
+        .join(exact, Seq("q_id", "n_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+      val tot = exact.agg(count(lit(1)).as("n_exact"))
+      hits.crossJoin(tot).select(lit(name).as("method"), col("n_hits"),
+        col("n_exact"), Det.rnd(col("n_hits") / col("n_exact"), 4).as("recall"))
+    }.reduce(_ union _)
+    Det.ordered(out)
+  }
+
   /** SQ8 reconstruction-error report — the metric that decides whether SQ8
     * (4×, near-lossless) or PQ (16×, lossy + re-rank) compresses a corpus:
     * per-vector squared reconstruction error against the squared norm, the

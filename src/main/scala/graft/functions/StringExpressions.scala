@@ -91,42 +91,64 @@ case class SloppyMatch(child: Expression, terms: String, slop: Int,
   * token matching an `excludes` entry sits within `[p - pre, p + post]`
   * (Lucene SpanNotQuery's overlap window on single-token spans). Plain
   * phrase terms are slots with empty excludes and no prefixes.
+  *
+  * A slot with non-empty `phrase` is instead a FIXED-PHRASE interval
+  * (Lucene `Intervals.phrase`, the `all_of` sub-source form `ordered:true,
+  * max_gaps:0`): it fills at start position s when the tokens at
+  * `s..s+len-1` equal the phrase exactly, and it occupies that whole
+  * interval in the budget math — ordered gap budgets count from its END,
+  * the unordered covering budget subtracts its full width, and chosen
+  * intervals must not overlap (the single-token distinct-positions rule
+  * generalized). Phrase slots carry no alternatives/excludes/prefixes.
   */
 case class SloppySlot(includes: Seq[String], excludes: Seq[String],
-                      pre: Int, post: Int, prefixes: Seq[String] = Nil)
+                      pre: Int, post: Int, prefixes: Seq[String] = Nil,
+                      phrase: Seq[String] = Nil) {
+  def width: Int = if (phrase.nonEmpty) phrase.length else 1
+}
 
 object SloppySlot {
   /** Wire format for the `graft_sloppy` terms argument: slots joined by a
     * space; each slot `inc1|inc2` or `inc1|inc2~exc1|exc2~pre~post`, with
-    * prefix alternatives carrying a trailing `*` marker (`co*`). The
-    * separators and the marker cannot appear inside analyzed tokens (the
-    * analyzer splits on whitespace and these filters target word terms),
-    * and encode REJECTS terms containing them rather than mis-parsing.
+    * prefix alternatives carrying a trailing `*` marker (`co*`), or a
+    * fixed-phrase slot `tok1+tok2+tok3`. The separators and the markers
+    * cannot appear inside analyzed tokens (the analyzer splits on
+    * whitespace and these filters target word terms), and encode REJECTS
+    * terms containing them rather than mis-parsing.
     */
   def encode(slots: Seq[SloppySlot]): String = {
     slots.foreach { sl =>
-      require(sl.includes.nonEmpty || sl.prefixes.nonEmpty,
-        "slot needs at least one include term or prefix")
-      (sl.includes ++ sl.excludes ++ sl.prefixes).foreach(t => require(
+      require(sl.phrase.nonEmpty || sl.includes.nonEmpty || sl.prefixes.nonEmpty,
+        "slot needs at least one include term, prefix, or phrase")
+      require(sl.phrase.isEmpty ||
+        (sl.includes.isEmpty && sl.excludes.isEmpty && sl.prefixes.isEmpty),
+        "phrase slots carry no alternatives, excludes, or prefixes")
+      (sl.includes ++ sl.excludes ++ sl.prefixes ++ sl.phrase).foreach(t => require(
         t.nonEmpty && !t.exists(c =>
-          c == '|' || c == '~' || c == '*' || c.isWhitespace),
+          c == '|' || c == '~' || c == '*' || c == '+' || c.isWhitespace),
         s"unsupported characters in span/phrase term: '$t'"))
     }
     slots.map { sl =>
-      val inc = (sl.includes ++ sl.prefixes.map(_ + "*")).mkString("|")
-      if (sl.excludes.isEmpty) inc
-      else s"$inc~${sl.excludes.mkString("|")}~${sl.pre}~${sl.post}"
+      if (sl.phrase.nonEmpty) sl.phrase.mkString("+")
+      else {
+        val inc = (sl.includes ++ sl.prefixes.map(_ + "*")).mkString("|")
+        if (sl.excludes.isEmpty) inc
+        else s"$inc~${sl.excludes.mkString("|")}~${sl.pre}~${sl.post}"
+      }
     }.mkString(" ")
   }
 
   def decode(s: String): Array[SloppySlot] =
     s.split(" ").map { part =>
-      val seg = part.split("~")
-      val (pfx, inc) = seg(0).split('|').toSeq.partition(_.endsWith("*"))
-      val slot =
-        if (seg.length == 1) SloppySlot(inc, Nil, 0, 0)
-        else SloppySlot(inc, seg(1).split('|').toSeq, seg(2).toInt, seg(3).toInt)
-      slot.copy(prefixes = pfx.map(_.dropRight(1)))
+      if (part.contains('+')) SloppySlot(Nil, Nil, 0, 0, Nil, part.split('+').toSeq)
+      else {
+        val seg = part.split("~")
+        val (pfx, inc) = seg(0).split('|').toSeq.partition(_.endsWith("*"))
+        val slot =
+          if (seg.length == 1) SloppySlot(inc, Nil, 0, 0)
+          else SloppySlot(inc, seg(1).split('|').toSeq, seg(2).toInt, seg(3).toInt)
+        slot.copy(prefixes = pfx.map(_.dropRight(1)))
+      }
     }
 }
 
@@ -145,12 +167,30 @@ object SloppyMatch {
     val toks = field.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
     val slots = SloppySlot.decode(termsStr)
     val n = slots.length
-    val pos = new Array[Array[Int]](n)
+    // interval widths: 1 for token slots, phrase length for phrase slots.
+    // wTot feeds the unordered covering budget (cover − ΣwidthS ≤ slop);
+    // cumW(i) = Σ_{m<i} width(m) generalizes the adjusted position p − i.
+    val w = new Array[Int](n)
+    val cumW = new Array[Int](n)
+    var wTot = 0
     var i = 0
+    while (i < n) { w(i) = slots(i).width; cumW(i) = wTot; wTot += w(i); i += 1 }
+    val pos = new Array[Array[Int]](n)
+    i = 0
     while (i < n) {
       val sl = slots(i)
       val isPrefix = prefix && i == n - 1
+      def phraseAt(j: Int): Boolean = {
+        if (j + sl.phrase.length > toks.length) return false
+        var o = 0
+        while (o < sl.phrase.length) {
+          if (toks(j + o) != sl.phrase(o)) return false
+          o += 1
+        }
+        true
+      }
       def incMatch(j: Int): Boolean = {
+        if (sl.phrase.nonEmpty) return phraseAt(j)
         var a = 0
         while (a < sl.includes.length) {
           if (if (isPrefix) toks(j).startsWith(sl.includes(a))
@@ -194,47 +234,60 @@ object SloppyMatch {
       pos(i) = ps
       i += 1
     }
-    val chosen = new Array[Int](n)
-    // minB/maxB track the range bound so far: adjusted positions p_k - k
-    // out-of-order, RAW positions in `gaps` mode (whose budget is the
-    // covering-interval width (max - min) - (n - 1) over ALL n terms —
-    // checkable early because the range only widens as terms are bound)
-    def dfs(i: Int, minB: Int, maxB: Int): Boolean = {
+    val chosenS = new Array[Int](n) // bound interval starts
+    val chosenE = new Array[Int](n) // bound interval ends (start + width - 1)
+    // minB/maxB track the range bound so far: adjusted starts s_k - cumW(k)
+    // out-of-order (for all-width-1 slots this is the classic p_k - k), RAW
+    // interval endpoints in `gaps` mode (min start in minB, max END in maxB
+    // — the covering budget (maxEnd - minStart + 1) - ΣwidthS ≤ slop over
+    // ALL n intervals, checkable early because the cover only widens as
+    // intervals are bound). gapsAcc carries the ordered mode's running
+    // total of intervening positions (future gaps only add).
+    def dfs(i: Int, minB: Int, maxB: Int, gapsAcc: Int): Boolean = {
       if (i == n) return true
       val ps = pos(i)
       var k = 0
       while (k < ps.length) {
-        val p = ps(k)
-        var distinct = true
+        val s = ps(k)
+        val e = s + w(i) - 1
+        // chosen intervals must not overlap — for width-1 slots exactly the
+        // distinct-positions rule
+        var free = true
         var m = 0
-        while (m < i && distinct) { if (chosen(m) == p) distinct = false; m += 1 }
-        if (distinct) {
+        while (m < i && free) {
+          if (s <= chosenE(m) && e >= chosenS(m)) free = false
+          m += 1
+        }
+        if (free) {
+          val stepGaps =
+            if (!inOrder || i == 0) 0 else s - chosenE(i - 1) - 1
           val ok =
             if (inOrder)
-              // strictly after the previous term, with the total-gap budget
-              // so far still affordable (future gaps only add)
-              (i == 0 || p > chosen(i - 1)) &&
-                (i == 0 || p - chosen(0) - i <= slop)
-            else if (i == 0) true // first binding: the range is a point
+              // strictly after the previous interval's end, with the total
+              // intervening-position budget still affordable
+              (i == 0 || s > chosenE(i - 1)) && gapsAcc + stepGaps <= slop
+            else if (i == 0) true // first binding: the cover is one interval
             else if (gaps)
-              math.max(maxB, p) - math.min(minB, p) - (n - 1) <= slop
+              (math.max(maxB, e) - math.min(minB, s) + 1) - wTot <= slop
             else {
-              val adj = p - i
+              val adj = s - cumW(i)
               math.max(maxB, adj) - math.min(minB, adj) <= slop
             }
           if (ok) {
-            chosen(i) = p
-            val b = if (gaps) p else p - i
+            chosenS(i) = s
+            chosenE(i) = e
+            val (lo, hi) = if (gaps) (s, e) else { val adj = s - cumW(i); (adj, adj) }
             if (dfs(i + 1,
-                if (i == 0) b else math.min(minB, b),
-                if (i == 0) b else math.max(maxB, b))) return true
+                if (i == 0) lo else math.min(minB, lo),
+                if (i == 0) hi else math.max(maxB, hi),
+                gapsAcc + stepGaps)) return true
           }
         }
         k += 1
       }
       false
     }
-    dfs(0, 0, 0)
+    dfs(0, 0, 0, 0)
   }
 }
 

@@ -422,12 +422,15 @@ object EsFilter {
     * `(max - min) - (n - 1)`, Lucene's Ordered/UnorderedIntervalsSource
     * width rules), `any_of` (an interval of ANY sub-source exists — in
     * filter context exactly OR), and `all_of` whose sub-sources each reduce
-    * to a single-token alternative set (a one-term `match` or an `any_of`
-    * of them) — such an all_of IS a slot-assignment search under the same
-    * budgets. Sources that need corpus statistics or true multi-token
-    * sub-intervals (`prefix`, `wildcard`, `fuzzy`, `containing`,
-    * `not_contained_by`, multi-term all_of sub-matches, filter rules) are
-    * rejected, not approximated.
+    * either to a single-token alternative set (a one-term `match` or an
+    * `any_of` of them — such an all_of IS a slot-assignment search under
+    * the same budgets) or to a fixed PHRASE (a
+    * multi-token sub-match explicitly marked `ordered:true, max_gaps:0` —
+    * Lucene `Intervals.phrase`), which occupies its full width in the
+    * enclosing budget and may not overlap other chosen intervals. Sources
+    * that need corpus statistics or true nested sloppy sub-intervals
+    * (`wildcard`, `fuzzy`, `containing`, `not_contained_by`, a sub-match
+    * with its own gap budget, filter rules) are rejected, not approximated.
     */
   private def intervals(body: JsonNode): Column = {
     require(body.isObject && body.size() == 1,
@@ -495,9 +498,20 @@ object EsFilter {
           s"""intervals match needs "query", got $b""")
         val ts = b.get("query").asText().trim.toLowerCase
           .split("\\s+").filter(_.nonEmpty)
-        require(ts.length == 1,
-          s"all_of sub-match must be a single term, got: '${b.get("query").asText()}'")
-        SloppySlot(Seq(ts(0)), Nil, 0, 0)
+        if (ts.length == 1) SloppySlot(Seq(ts(0)), Nil, 0, 0)
+        else {
+          // multi-token sub-match: ONLY the fixed-phrase form (an explicit
+          // ordered:true, max_gaps:0 — Lucene Intervals.phrase, a
+          // contiguous width-n interval in the enclosing budget math).
+          // General nested sloppy sub-intervals (the ES default max_gaps
+          // -1 on a sub-match) stay rejected, not approximated.
+          val ordered = b.path("ordered").asBoolean(false)
+          val mg = if (b.has("max_gaps")) b.get("max_gaps").asInt() else -1
+          require(ordered && mg == 0,
+            "all_of sub-match must be a single term or an explicit phrase " +
+              s"(ordered:true, max_gaps:0), got: '${b.get("query").asText()}'")
+          SloppySlot(Nil, Nil, 0, 0, Nil, ts.toSeq)
+        }
       case "any_of" =>
         val b = src.get("any_of")
         require(b != null && b.isObject && b.has("intervals"),
@@ -630,6 +644,10 @@ object EsFilter {
         lit(SloppySlot.encode(slots)), lit(slop), lit(inOrder), lit(prefix),
         lit(gaps))
     val toks = split(lower(field), "\\s+")
+    // interval widths: 1 for token slots, phrase length for phrase slots
+    val ws = slots.map(_.width)
+    val wTot = ws.sum
+    val cumW = ws.scanLeft(0)(_ + _)
     // conjunctive guard: every slot must have SOME include term present
     // before the assignment search runs (exclusion only removes positions,
     // so presence stays a necessary condition) — `array_contains` is
@@ -639,41 +657,61 @@ object EsFilter {
     // its postings-list conjunction). On a selective phrase this turns a
     // per-row O(prod of occurrence counts) search into a per-CANDIDATE one.
     val guard: Column = slots.zipWithIndex.map { case (sl, i) =>
-      (sl.includes.map(t =>
-        if (prefix && i == slots.size - 1) exists(toks, x => x.startsWith(lit(t)))
-        else array_contains(toks, t): Column
-      ) ++ sl.prefixes.map(t =>
-        exists(toks, x => x.startsWith(lit(t))): Column)).reduce(_ || _)
+      if (sl.phrase.nonEmpty)
+        sl.phrase.map(t => array_contains(toks, t): Column).reduce(_ && _)
+      else
+        (sl.includes.map(t =>
+          if (prefix && i == slots.size - 1) exists(toks, x => x.startsWith(lit(t)))
+          else array_contains(toks, t): Column
+        ) ++ sl.prefixes.map(t =>
+          exists(toks, x => x.startsWith(lit(t))): Column)).reduce(_ || _)
     }.reduce(_ && _)
     val idx = sequence(lit(0), size(toks) - 1)
     val posLists: Seq[Column] = slots.zipWithIndex.map { case (sl, i) =>
-      def incMatch(j: Column): Column = (sl.includes.map(t =>
-        if (prefix && i == slots.size - 1) element_at(toks, j + 1).startsWith(lit(t))
-        else element_at(toks, j + 1) === lit(t): Column) ++
-        sl.prefixes.map(t =>
-          element_at(toks, j + 1).startsWith(lit(t)): Column)).reduce(_ || _)
-      val base = filter(idx, j => incMatch(j))
-      if (sl.excludes.isEmpty) base
-      else filter(base, p => !exists(idx, q =>
-        q >= p - sl.pre && q <= p + sl.post &&
-          sl.excludes.map(t => element_at(toks, q + 1) === lit(t): Column)
-            .reduce(_ || _)))
+      if (sl.phrase.nonEmpty) {
+        // start positions where the fixed phrase matches token for token
+        val w = sl.phrase.length
+        val starts = filter(sequence(lit(0), size(toks) - lit(w)),
+          j => sl.phrase.zipWithIndex.map { case (t, o) =>
+            element_at(toks, j + lit(o + 1)) === lit(t): Column }.reduce(_ && _))
+        when(size(toks) >= w, starts).otherwise(array().cast("array<int>"))
+      } else {
+        def incMatch(j: Column): Column = (sl.includes.map(t =>
+          if (prefix && i == slots.size - 1) element_at(toks, j + 1).startsWith(lit(t))
+          else element_at(toks, j + 1) === lit(t): Column) ++
+          sl.prefixes.map(t =>
+            element_at(toks, j + 1).startsWith(lit(t)): Column)).reduce(_ || _)
+        val base = filter(idx, j => incMatch(j))
+        if (sl.excludes.isEmpty) base
+        else filter(base, p => !exists(idx, q =>
+          q >= p - sl.pre && q <= p + sl.post &&
+            sl.excludes.map(t => element_at(toks, q + 1) === lit(t): Column)
+              .reduce(_ || _)))
+      }
     }
     def accept(ps: Seq[Column]): Column = {
+      def end(k: Int): Column = ps(k) + lit(ws(k) - 1)
+      // chosen intervals must not overlap — for width-1 slots exactly the
+      // distinct-positions rule
       val distinctOk = (for { a <- ps.indices; b <- a + 1 until ps.size }
-        yield (ps(a) =!= ps(b)): Column).reduceOption(_ && _).getOrElse(lit(true))
+        yield ((end(a) < ps(b)) || (end(b) < ps(a))): Column)
+        .reduceOption(_ && _).getOrElse(lit(true))
       val widthOk =
         if (ps.size == 1) lit(true)
         else if (inOrder) {
-          val ordered = ps.sliding(2).map { case Seq(a, b) => (a < b): Column }
-            .reduce(_ && _)
-          ordered && (ps.last - ps.head - lit(ps.size - 1) <= lit(slop))
+          val ordered = ps.indices.sliding(2).map { case Seq(a, b) =>
+            (ps(b) > end(a)): Column }.reduce(_ && _)
+          // total intervening positions: last start − first start − the
+          // widths of everything before the last interval
+          ordered && (ps.last - ps.head - lit(cumW(ps.size - 1)) <= lit(slop))
         } else if (gaps) {
           // unordered intervals: the covering interval's gap count
-          val raw = array(ps: _*)
-          array_max(raw) - array_min(raw) - lit(ps.size - 1) <= lit(slop)
+          // (maxEnd − minStart + 1) − Σwidths
+          val ends = array(ps.indices.map(end): _*)
+          val starts = array(ps: _*)
+          array_max(ends) - array_min(starts) + lit(1) - lit(wTot) <= lit(slop)
         } else {
-          val adjusted = array(ps.zipWithIndex.map { case (p, k) => p - lit(k) }: _*)
+          val adjusted = array(ps.zipWithIndex.map { case (p, k) => p - lit(cumW(k)) }: _*)
           array_max(adjusted) - array_min(adjusted) <= lit(slop)
         }
       distinctOk && widthOk

@@ -539,13 +539,51 @@ class EsFilterSpec extends SparkTestBase {
            {"any_of":{"intervals":[{"match":{"query":"beta"}},
                                    {"match":{"query":"x"}}]}}]}}}}""")
       == Seq(1L, 4L))
-    // unsupported sources and multi-token all_of subs are rejected
+    // unsupported sources are rejected; a bare multi-token sub-match (the
+    // ES default would make it a nested sloppy interval) is rejected too —
+    // only the explicit phrase form below is accepted
     intercept[IllegalArgumentException] {
       sids("""{"intervals":{"text":{"wildcard":{"pattern":"al*"}}}}""")
     }
     intercept[IllegalArgumentException] {
       sids("""{"intervals":{"text":{"all_of":{"intervals":[
                {"match":{"query":"alpha beta"}}]}}}}""")
+    }
+  }
+
+  test("intervals: fixed-phrase all_of subs occupy their width in the budget") {
+    def phrase(q: String) =
+      s"""{"match":{"query":"$q","ordered":true,"max_gaps":0}}"""
+    // the contiguous phrase "alpha beta" exists only in docs 1 and 5
+    assert(sids(s"""{"intervals":{"text":{"all_of":{"intervals":[
+             ${phrase("alpha beta")}]}}}}""") == Seq(1L, 5L))
+    // ordered: phrase then gamma ADJACENT (max_gaps 0) -> doc 1 only
+    // ("alpha beta gamma"); doc 5 has no gamma at all
+    assert(sids(s"""{"intervals":{"text":{"all_of":{"ordered":true,"max_gaps":0,
+             "intervals":[${phrase("alpha beta")},
+                          {"match":{"query":"gamma"}}]}}}}""") == Seq(1L))
+    // unordered covering budget subtracts the phrase's full width: doc 2
+    // "beta alpha gamma" holds phrase "beta alpha" (w=2) and gamma with
+    // cover 3 -> gaps 0
+    assert(sids(s"""{"intervals":{"text":{"all_of":{"max_gaps":0,
+             "intervals":[${phrase("beta alpha")},
+                          {"match":{"query":"gamma"}}]}}}}""") == Seq(2L))
+    // intervals may not overlap: "alpha beta" + "beta alpha" would need the
+    // shared beta in doc 2 -> no match anywhere (doc 5 lacks "beta alpha")
+    assert(sids(s"""{"intervals":{"text":{"all_of":{"intervals":[
+             ${phrase("alpha beta")}, ${phrase("beta alpha")}]}}}}""") == Seq())
+    // gap budgets count from the phrase END: doc 4 "alpha x y beta gamma"
+    // has phrase "beta gamma" 3 after alpha's end -> ordered max_gaps 2
+    assert(sids(s"""{"intervals":{"text":{"all_of":{"ordered":true,"max_gaps":2,
+             "intervals":[{"match":{"query":"alpha"}},
+                          ${phrase("beta gamma")}]}}}}""") == Seq(1L, 4L))
+    assert(sids(s"""{"intervals":{"text":{"all_of":{"ordered":true,"max_gaps":1,
+             "intervals":[{"match":{"query":"alpha"}},
+                          ${phrase("beta gamma")}]}}}}""") == Seq(1L))
+    // a sub-match with its own nonzero gap budget stays rejected
+    intercept[IllegalArgumentException] {
+      sids("""{"intervals":{"text":{"all_of":{"intervals":[
+               {"match":{"query":"alpha beta","ordered":true,"max_gaps":1}}]}}}}""")
     }
   }
 
@@ -598,7 +636,13 @@ class EsFilterSpec extends SparkTestBase {
       """{"intervals":{"text":{"prefix":{"prefix":"al"}}}}""",
       """{"intervals":{"text":{"all_of":{"ordered":true,"max_gaps":0,"intervals":[
            {"match":{"query":"beta"}},
-           {"prefix":{"prefix":"gam"}}]}}}}""")
+           {"prefix":{"prefix":"gam"}}]}}}}""",
+      """{"intervals":{"text":{"all_of":{"ordered":true,"max_gaps":2,"intervals":[
+           {"match":{"query":"alpha"}},
+           {"match":{"query":"beta gamma","ordered":true,"max_gaps":0}}]}}}}""",
+      """{"intervals":{"text":{"all_of":{"max_gaps":0,"intervals":[
+           {"match":{"query":"beta alpha","ordered":true,"max_gaps":0}},
+           {"match":{"query":"gamma"}}]}}}}""")
     val native = queries.map(sids)
     assert(spark.catalog.functionExists("graft_sloppy"))
     reg.dropFunction(id)
