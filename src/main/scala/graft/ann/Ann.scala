@@ -855,23 +855,37 @@ object Ann {
         .localCheckpoint(true)
     }
 
+  /** SQ8-dequantized vectors re-assembled per vec_id — the scan-side frame
+    * of the compressed exhaustive search. Derived once from
+    * [[sq8Components]] and memoized like it; the dot over these arrays is
+    * the codegen'd kernel (the [[bruteForceTopK]] shape), whose double sum
+    * re-rounded at 6 dp lands on the same decimal as the oracle's exact
+    * DECIMAL sum (the ann_topk precedent: products are 12-dp decimals, the
+    * accumulated double error ~1e-15 sits far inside the Det.rnd nudge).
+    */
+  private def sq8Vectors(s: SparkSession, d: String): DataFrame =
+    memoDf(s, s"sq8v|$d") {
+      sq8Components(s, d)
+        .groupBy(col("vec_id"))
+        .agg(transform(sort_array(collect_list(struct(col("i"), col("xq")))),
+          t => t.getField("xq")).as("xqv"))
+        .localCheckpoint(true)
+    }
+
   /** Exhaustive top-k over the SQ8-dequantized corpus — the brute-force
     * scan PQ's ADC replaces, run at a quarter of the float32 memory
     * traffic. Same output shape as [[pqTopK]] so recall harnesses compare
     * the two compressed-domain scans directly.
     */
   def sq8TopK(s: SparkSession, d: String, k: Int = 5, nQueries: Int = 20): DataFrame = {
-    val dq = sq8Components(s, d)
-    val qs = dq.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q_id"), col("i").as("qi"), col("xq").as("qx"))
-    val dots = dq.join(broadcast(qs),
-        col("i") === col("qi") && col("vec_id") =!= col("q_id"))
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(Det.rnd(sum((col("qx") * col("xq")).cast("decimal(38,12)")).cast("double"), 6)
-        .as("approx_dot"))
-    val wTop = Window.partitionBy(col("q_id")).orderBy(col("approx_dot").desc, col("vec_id"))
-    val out = dots
-      .select(col("q_id"), col("vec_id").as("n_id"), col("approx_dot"),
+    val e = sq8Vectors(s, d)
+    val qs = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("xqv").as("qv"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("approx_dot").desc, col("n_id"))
+    val out = e.join(broadcast(qs), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        Det.rnd(VectorFunctions.dot(s, col("qv"), col("xqv")), 6).as("approx_dot"))
+      .select(col("q_id"), col("n_id"), col("approx_dot"),
         row_number().over(wTop).cast("bigint").as("rank"))
       .where(col("rank") <= k)
     Det.ordered(out)
@@ -901,17 +915,15 @@ object Ann {
     val cand = cells.join(broadcast(q),
         col("cell") === col("q_cell") && col("n_id") =!= col("q_id"))
       .select(col("q_id"), col("n_id"))
-    val dq = sq8Components(s, d)
-    val qComp = dq.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("q2_id"), col("i").as("qi"), col("xq").as("qx"))
-    val dots = cand
-      .join(dq.select(col("vec_id").as("n_id"), col("i"), col("xq")), "n_id")
-      .join(broadcast(qComp), col("q_id") === col("q2_id") && col("i") === col("qi"))
-      .groupBy(col("q_id"), col("n_id"))
-      .agg(Det.rnd(sum((col("qx") * col("xq")).cast("decimal(38,12)")).cast("double"), 6)
-        .as("approx_dot"))
+    val e = sq8Vectors(s, d)
+    val qv = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("xqv").as("qv"))
     val wTop = Window.partitionBy(col("q_id")).orderBy(col("approx_dot").desc, col("n_id"))
-    val out = dots
+    val out = cand
+      .join(e.select(col("vec_id").as("n_id"), col("xqv")), "n_id")
+      .join(broadcast(qv), "q_id")
+      .select(col("q_id"), col("n_id"),
+        Det.rnd(VectorFunctions.dot(s, col("qv"), col("xqv")), 6).as("approx_dot"))
       .select(col("q_id"), col("n_id"), col("approx_dot"),
         row_number().over(wTop).cast("bigint").as("rank"))
       .where(col("rank") <= k)
