@@ -254,6 +254,16 @@ object SparkEntry {
              {"match":{"query":"join"}}]}}}}""",
         docs.columns.toSeq)).select(docs.col("doc_id")))
     }),
+    // ES intervals filter rule: an unordered 'table'..'join' interval
+    // (max_gaps 5) that CONTAINS a 'hash' occurrence — Lucene's
+    // Intervals.containing as an accept-time cover test in the kernel
+    "ts_read_filter_intervals_filter" -> ((s, d) => {
+      val docs = graft.core.Tables.documents(s, d)
+      graft.core.Det.ordered(docs.where(EsFilter.compile(
+        """{"intervals":{"text":{"match":{"query":"table join","max_gaps":5,
+             "filter":{"containing":{"match":{"query":"hash"}}}}}}}""",
+        docs.columns.toSeq)).select(docs.col("doc_id")))
+    }),
     // ES dis_max: filter context = any clause matches (tie_breaker is a
     // scoring knob)
     "ts_read_filter_dis_max" -> ((s, d) => Tsdb.read(Tsdb.points(s, d),
@@ -1214,6 +1224,23 @@ object SparkEntry {
           SELECT DISTINCT a.doc_id FROM toks a JOIN toks b ON a.doc_id = b.doc_id
           WHERE a.tok = 'data' AND b.tok LIKE 'co%'
             AND b.pos > a.pos AND b.pos - a.pos - 1 <= 2
+          ORDER BY 1""",
+    // unordered 'table'..'join' pair at distinct positions with covering
+    // gap count <= 5, whose cover holds a 'hash' occurrence
+    "ts_read_filter_intervals_filter" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
+                    FROM documents),
+              toks AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos
+                       FROM t),
+              pr AS (SELECT a.doc_id, least(a.pos, b.pos) AS s,
+                            greatest(a.pos, b.pos) AS e
+                     FROM toks a JOIN toks b
+                       ON b.doc_id = a.doc_id AND a.pos <> b.pos
+                     WHERE a.tok = 'table' AND b.tok = 'join'
+                       AND greatest(a.pos, b.pos) - least(a.pos, b.pos) - 1 <= 5)
+          SELECT DISTINCT pr.doc_id
+          FROM pr JOIN toks h ON h.doc_id = pr.doc_id AND h.tok = 'hash'
+                             AND h.pos BETWEEN pr.s AND pr.e
           ORDER BY 1""",
     // phrase interval [s, e] = a 'table hash' bigram; 'join' must sit
     // outside it with covering gap count (cover - total width 3) <= 3

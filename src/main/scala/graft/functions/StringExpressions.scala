@@ -58,7 +58,8 @@ case class OsaDistance(left: Expression, right: Expression)
   */
 case class SloppyMatch(child: Expression, terms: String, slop: Int,
                        inOrder: Boolean, prefix: Boolean,
-                       gaps: Boolean = false)
+                       gaps: Boolean = false,
+                       filterMode: String = "", filterTerms: String = "")
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -71,13 +72,15 @@ case class SloppyMatch(child: Expression, terms: String, slop: Int,
 
   override def nullSafeEval(v: Any): Any =
     SloppyMatch.matches(v.asInstanceOf[UTF8String].toString,
-      terms, slop, inOrder, prefix, gaps)
+      terms, slop, inOrder, prefix, gaps, filterMode, filterTerms)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val t = ctx.addReferenceObj("sloppyTerms", terms, "java.lang.String")
+    val fm = ctx.addReferenceObj("sloppyFilterMode", filterMode, "java.lang.String")
+    val ft = ctx.addReferenceObj("sloppyFilterTerms", filterTerms, "java.lang.String")
     nullSafeCodeGen(ctx, ev, s =>
       s"${ev.value} = graft.functions.SloppyMatch.matches($s.toString(), " +
-        s"$t, $slop, $inOrder, $prefix, $gaps);")
+        s"$t, $slop, $inOrder, $prefix, $gaps, $fm, $ft);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -163,7 +166,8 @@ object SloppyMatch {
     */
   def matches(field: String, termsStr: String, slop: Int,
               inOrder: Boolean, prefix: Boolean,
-              gaps: Boolean = false): Boolean = {
+              gaps: Boolean = false,
+              filterMode: String = "", filterTerms: String = ""): Boolean = {
     val toks = field.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
     val slots = SloppySlot.decode(termsStr)
     val n = slots.length
@@ -234,6 +238,50 @@ object SloppyMatch {
       pos(i) = ps
       i += 1
     }
+    // intervals filter rule (Lucene IntervalsSource filters): positions of
+    // the single filter slot (token alternatives or a fixed phrase); an
+    // assignment is accepted only when its covering interval stands in the
+    // required relation to SOME filter interval — containing/contained_by
+    // demand existence, the not_ forms demand absence, and the DFS keeps
+    // searching other assignments when a cover fails the rule.
+    var fps: Array[Int] = null
+    var fw = 1
+    if (filterMode.nonEmpty) {
+      val fsl = SloppySlot.decode(filterTerms)(0)
+      fw = fsl.width
+      def fMatch(j: Int): Boolean = {
+        if (fsl.phrase.nonEmpty) {
+          if (j + fsl.phrase.length > toks.length) return false
+          var o = 0
+          while (o < fsl.phrase.length) {
+            if (toks(j + o) != fsl.phrase(o)) return false
+            o += 1
+          }
+          true
+        } else {
+          var a = 0
+          while (a < fsl.includes.length) {
+            if (toks(j) == fsl.includes(a)) return true
+            a += 1
+          }
+          a = 0
+          while (a < fsl.prefixes.length) {
+            if (toks(j).startsWith(fsl.prefixes(a))) return true
+            a += 1
+          }
+          false
+        }
+      }
+      var cnt = 0
+      var j = 0
+      while (j < toks.length) { if (fMatch(j)) cnt += 1; j += 1 }
+      val positive = filterMode == "containing" || filterMode == "contained_by"
+      if (positive && cnt == 0) return false
+      fps = new Array[Int](cnt)
+      var k = 0
+      j = 0
+      while (j < toks.length) { if (fMatch(j)) { fps(k) = j; k += 1 }; j += 1 }
+    }
     val chosenS = new Array[Int](n) // bound interval starts
     val chosenE = new Array[Int](n) // bound interval ends (start + width - 1)
     // minB/maxB track the range bound so far: adjusted starts s_k - cumW(k)
@@ -243,8 +291,29 @@ object SloppyMatch {
     // ALL n intervals, checkable early because the cover only widens as
     // intervals are bound). gapsAcc carries the ordered mode's running
     // total of intervening positions (future gaps only add).
+    def filterOk(): Boolean = {
+      if (filterMode.isEmpty) return true
+      var cs = Int.MaxValue
+      var ce = -1
+      var m = 0
+      while (m < n) {
+        if (chosenS(m) < cs) cs = chosenS(m)
+        if (chosenE(m) > ce) ce = chosenE(m)
+        m += 1
+      }
+      var found = false
+      var t = 0
+      val inside = filterMode == "containing" || filterMode == "not_containing"
+      while (t < fps.length && !found) {
+        val js = fps(t)
+        val je = js + fw - 1
+        found = if (inside) js >= cs && je <= ce else js <= cs && je >= ce
+        t += 1
+      }
+      if (filterMode.startsWith("not_")) !found else found
+    }
     def dfs(i: Int, minB: Int, maxB: Int, gapsAcc: Int): Boolean = {
-      if (i == n) return true
+      if (i == n) return filterOk()
       val ps = pos(i)
       var k = 0
       while (k < ps.length) {

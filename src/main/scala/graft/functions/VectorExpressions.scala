@@ -78,16 +78,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("graft_sloppy"),
       new ExpressionInfo(classOf[SloppyMatch].getName, "graft_sloppy"),
-      // (field, terms, slop, in_order, prefix[, gaps]) — the ES DSL always
-      // hands the trailing args as literals, so they fold into the
-      // expression instance (gaps defaults false for 5-arg callers)
+      // (field, terms, slop, in_order, prefix[, gaps[, filter_mode,
+      // filter_terms]]) — the ES DSL always hands the trailing args as
+      // literals, so they fold into the expression instance (gaps defaults
+      // false for 5-arg callers; the filter pair defaults to none)
       (children: Seq[Expression]) => SloppyMatch(
         children.head,
         children(1).eval(null).asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString,
         children(2).eval(null).asInstanceOf[Int],
         children(3).eval(null).asInstanceOf[Boolean],
         children(4).eval(null).asInstanceOf[Boolean],
-        children.length > 5 && children(5).eval(null).asInstanceOf[Boolean])))
+        children.length > 5 && children(5).eval(null).asInstanceOf[Boolean],
+        if (children.length > 7)
+          children(6).eval(null).asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+        else "",
+        if (children.length > 7)
+          children(7).eval(null).asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+        else "")))
     // Spark's runtime-filter bloom expressions (BloomFilterAggregate /
     // BloomFilterMightContain) are codegen'd and deterministic (seedless
     // XxHash64 probes) but not exposed in the public FunctionRegistry —

@@ -482,7 +482,26 @@ object EsFilter {
     val ordered = b.path("ordered").asBoolean(false)
     val maxGaps = if (b.has("max_gaps")) b.get("max_gaps").asInt() else -1
     val slop = if (maxGaps < 0) UnboundedGaps else maxGaps
-    sloppyMatch(fieldCol(f), slots, slop, inOrder = ordered, gaps = !ordered)
+    // intervals `filter` rules (Lucene IntervalsSource filters): the
+    // source's covering interval must contain / be contained by SOME
+    // filter-source interval, or must not (the not_ forms). The filter
+    // source reduces to one slot — a single token, an any_of of them, a
+    // prefix, or an explicit fixed phrase. `after`/`before`/`overlapping`
+    // and script filters are rejected, not approximated.
+    val (fMode, fSlot) = Option(b.get("filter")) match {
+      case None => ("", None)
+      case Some(fn) =>
+        require(fn.isObject && fn.size() == 1,
+          s"intervals filter must be a single-rule object, got $fn")
+        val rule = fn.fieldNames().next()
+        require(Set("containing", "not_containing",
+          "contained_by", "not_contained_by")(rule),
+          s"unsupported intervals filter rule: $rule " +
+            "(containing, not_containing, contained_by, not_contained_by)")
+        (rule, Some(singleTokenSlot(fn.get(rule))))
+    }
+    sloppyMatch(fieldCol(f), slots, slop, inOrder = ordered, gaps = !ordered,
+      filterMode = fMode, filterSlot = fSlot)
   }
 
   /** An `all_of` sub-source reduced to one single-token slot: a one-term
@@ -633,7 +652,9 @@ object EsFilter {
     */
   private def sloppyMatch(field: Column, slots: Seq[SloppySlot], slop: Int,
                           inOrder: Boolean, prefix: Boolean = false,
-                          gaps: Boolean = false): Column = {
+                          gaps: Boolean = false,
+                          filterMode: String = "",
+                          filterSlot: Option[SloppySlot] = None): Column = {
     // the codegen'd native kernel when GraftExtensions is installed (the
     // graft_osa pattern — one JVM call per row instead of an interpreted
     // HOF tree); the HOF formulation below stays as the documented
@@ -642,7 +663,8 @@ object EsFilter {
     if (active.catalog.functionExists("graft_sloppy"))
       return call_function("graft_sloppy", field.cast("string"),
         lit(SloppySlot.encode(slots)), lit(slop), lit(inOrder), lit(prefix),
-        lit(gaps))
+        lit(gaps), lit(filterMode),
+        lit(filterSlot.map(sl => SloppySlot.encode(Seq(sl))).getOrElse("")))
     val toks = split(lower(field), "\\s+")
     // interval widths: 1 for token slots, phrase length for phrase slots
     val ws = slots.map(_.width)
@@ -689,6 +711,22 @@ object EsFilter {
               .reduce(_ || _)))
       }
     }
+    // intervals filter rule: position list of the single filter slot
+    // (token alternatives / prefixes or a fixed phrase)
+    val filterPos: Option[(Column, Int)] = filterSlot.map { fsl =>
+      if (fsl.phrase.nonEmpty) {
+        val w = fsl.phrase.length
+        val starts = filter(sequence(lit(0), size(toks) - lit(w)),
+          j => fsl.phrase.zipWithIndex.map { case (t, o) =>
+            element_at(toks, j + lit(o + 1)) === lit(t): Column }.reduce(_ && _))
+        (when(size(toks) >= w, starts).otherwise(array().cast("array<int>")), w)
+      } else {
+        (filter(idx, j => (fsl.includes.map(t =>
+          element_at(toks, j + 1) === lit(t): Column) ++
+          fsl.prefixes.map(t =>
+            element_at(toks, j + 1).startsWith(lit(t)): Column)).reduce(_ || _)), 1)
+      }
+    }
     def accept(ps: Seq[Column]): Column = {
       def end(k: Int): Column = ps(k) + lit(ws(k) - 1)
       // chosen intervals must not overlap — for width-1 slots exactly the
@@ -696,6 +734,19 @@ object EsFilter {
       val distinctOk = (for { a <- ps.indices; b <- a + 1 until ps.size }
         yield ((end(a) < ps(b)) || (end(b) < ps(a))): Column)
         .reduceOption(_ && _).getOrElse(lit(true))
+      // the covering interval must stand in the filter's relation to SOME
+      // filter interval (absence for the not_ forms)
+      val filterOk: Column = filterPos match {
+        case None => lit(true)
+        case Some((fpl, fw)) =>
+          val cs = if (ps.size == 1) ps.head else least(ps: _*)
+          val ce = if (ps.size == 1) end(0) else greatest(ps.indices.map(end): _*)
+          val inside = filterMode == "containing" || filterMode == "not_containing"
+          val ex = exists(fpl, j =>
+            if (inside) j >= cs && j + lit(fw - 1) <= ce
+            else j <= cs && j + lit(fw - 1) >= ce)
+          if (filterMode.startsWith("not_")) !ex else ex
+      }
       val widthOk =
         if (ps.size == 1) lit(true)
         else if (inOrder) {
@@ -714,12 +765,25 @@ object EsFilter {
           val adjusted = array(ps.zipWithIndex.map { case (p, k) => p - lit(cumW(k)) }: _*)
           array_max(adjusted) - array_min(adjusted) <= lit(slop)
         }
-      distinctOk && widthOk
+      distinctOk && widthOk && filterOk
     }
     def search(i: Int, bound: List[Column]): Column =
       if (i == slots.size) accept(bound.reverse)
       else exists(posLists(i), p => search(i + 1, p :: bound))
-    guard && search(0, Nil)
+    // positive filter rules demand the filter terms exist at all — extend
+    // the cheap conjunctive guard so non-candidates skip the search
+    val fullGuard = filterSlot match {
+      case Some(fsl) if filterMode == "containing" || filterMode == "contained_by" =>
+        val pres =
+          if (fsl.phrase.nonEmpty)
+            fsl.phrase.map(t => array_contains(toks, t): Column).reduce(_ && _)
+          else (fsl.includes.map(t => array_contains(toks, t): Column) ++
+            fsl.prefixes.map(t =>
+              exists(toks, x => x.startsWith(lit(t))): Column)).reduce(_ || _)
+        guard && pres
+      case _ => guard
+    }
+    fullGuard && search(0, Nil)
   }
 
   private def terms(body: JsonNode): Column = {

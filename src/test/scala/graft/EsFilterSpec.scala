@@ -608,6 +608,34 @@ class EsFilterSpec extends SparkTestBase {
       == Seq(1L, 4L))
   }
 
+  test("intervals: filter rules relate the cover to a filter interval") {
+    // containing: the alpha..gamma cover must hold a beta inside it.
+    // doc1 [0,2]∋beta@1, doc3 [0,4]∋beta@2, doc4 [0,4]∋beta@3; doc2's only
+    // cover [1,2] (alpha@1, gamma@2) excludes beta@0
+    assert(sids("""{"intervals":{"text":{"match":{"query":"alpha gamma",
+        "max_gaps":3,"filter":{"containing":{"match":{"query":"beta"}}}}}}}""")
+      == Seq(1L, 3L, 4L))
+    // not_containing: only doc2 has a beta-free alpha..gamma assignment
+    assert(sids("""{"intervals":{"text":{"match":{"query":"alpha gamma",
+        "max_gaps":3,"filter":{"not_containing":{"match":{"query":"beta"}}}}}}}""")
+      == Seq(2L))
+    // contained_by a fixed phrase: beta inside an "alpha beta" bigram —
+    // docs 1 and 5 only (2/3/4 hold beta but no contiguous "alpha beta")
+    assert(sids("""{"intervals":{"text":{"match":{"query":"beta",
+        "filter":{"contained_by":{"match":
+          {"query":"alpha beta","ordered":true,"max_gaps":0}}}}}}}""")
+      == Seq(1L, 5L))
+    assert(sids("""{"intervals":{"text":{"match":{"query":"beta",
+        "filter":{"not_contained_by":{"match":
+          {"query":"alpha beta","ordered":true,"max_gaps":0}}}}}}}""")
+      == Seq(2L, 3L, 4L))
+    // unsupported rules stay rejected
+    intercept[IllegalArgumentException] {
+      sids("""{"intervals":{"text":{"match":{"query":"alpha",
+          "filter":{"overlapping":{"match":{"query":"beta"}}}}}}}""")
+    }
+  }
+
   test("HOF fallback (no graft_sloppy function) agrees with the native kernel") {
     // the test session registers graft_sloppy, so every other test runs the
     // kernel; this one DROPS the function to force the extension-less HOF
@@ -642,7 +670,12 @@ class EsFilterSpec extends SparkTestBase {
            {"match":{"query":"beta gamma","ordered":true,"max_gaps":0}}]}}}}""",
       """{"intervals":{"text":{"all_of":{"max_gaps":0,"intervals":[
            {"match":{"query":"beta alpha","ordered":true,"max_gaps":0}},
-           {"match":{"query":"gamma"}}]}}}}""")
+           {"match":{"query":"gamma"}}]}}}}""",
+      """{"intervals":{"text":{"match":{"query":"alpha gamma",
+           "max_gaps":3,"filter":{"containing":{"match":{"query":"beta"}}}}}}}""",
+      """{"intervals":{"text":{"match":{"query":"beta",
+           "filter":{"not_contained_by":{"match":
+             {"query":"alpha beta","ordered":true,"max_gaps":0}}}}}}}""")
     val native = queries.map(sids)
     assert(spark.catalog.functionExists("graft_sloppy"))
     reg.dropFunction(id)
@@ -660,6 +693,12 @@ class EsFilterSpec extends SparkTestBase {
           children(3).eval(null).asInstanceOf[Boolean],
           children(4).eval(null).asInstanceOf[Boolean],
           children.length > 5 && children(5).eval(null)
-            .asInstanceOf[Boolean]))
+            .asInstanceOf[Boolean],
+          if (children.length > 7)
+            children(6).eval(null).asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+          else "",
+          if (children.length > 7)
+            children(7).eval(null).asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString
+          else ""))
   }
 }
