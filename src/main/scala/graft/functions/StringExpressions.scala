@@ -275,7 +275,7 @@ object SloppyMatch {
       var cnt = 0
       var j = 0
       while (j < toks.length) { if (fMatch(j)) cnt += 1; j += 1 }
-      val positive = filterMode == "containing" || filterMode == "contained_by"
+      val positive = !filterMode.startsWith("not_")
       if (positive && cnt == 0) return false
       fps = new Array[Int](cnt)
       var k = 0
@@ -303,11 +303,18 @@ object SloppyMatch {
       }
       var found = false
       var t = 0
-      val inside = filterMode == "containing" || filterMode == "not_containing"
       while (t < fps.length && !found) {
         val js = fps(t)
         val je = js + fw - 1
-        found = if (inside) js >= cs && je <= ce else js <= cs && je >= ce
+        found = filterMode match {
+          case "containing" | "not_containing"       => js >= cs && je <= ce
+          case "contained_by" | "not_contained_by"   => js <= cs && je >= ce
+          case "overlapping" | "not_overlapping"     => js <= ce && je >= cs
+          case "after"                               => cs > je
+          case "before"                              => ce < js
+          case other => throw new IllegalStateException(
+            s"unknown intervals filter mode: $other")
+        }
         t += 1
       }
       if (filterMode.startsWith("not_")) !found else found

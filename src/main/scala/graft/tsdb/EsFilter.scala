@@ -483,11 +483,12 @@ object EsFilter {
     val maxGaps = if (b.has("max_gaps")) b.get("max_gaps").asInt() else -1
     val slop = if (maxGaps < 0) UnboundedGaps else maxGaps
     // intervals `filter` rules (Lucene IntervalsSource filters): the
-    // source's covering interval must contain / be contained by SOME
-    // filter-source interval, or must not (the not_ forms). The filter
-    // source reduces to one slot — a single token, an any_of of them, a
-    // prefix, or an explicit fixed phrase. `after`/`before`/`overlapping`
-    // and script filters are rejected, not approximated.
+    // source's covering interval must stand in the rule's relation to
+    // SOME filter-source interval — containing / contained_by /
+    // overlapping (and their not_ absence forms), or start after / end
+    // before one. The filter source reduces to one slot — a single token,
+    // an any_of of them, a prefix, or an explicit fixed phrase. Script
+    // filters are rejected, not approximated.
     val (fMode, fSlot) = Option(b.get("filter")) match {
       case None => ("", None)
       case Some(fn) =>
@@ -495,9 +496,11 @@ object EsFilter {
           s"intervals filter must be a single-rule object, got $fn")
         val rule = fn.fieldNames().next()
         require(Set("containing", "not_containing",
-          "contained_by", "not_contained_by")(rule),
-          s"unsupported intervals filter rule: $rule " +
-            "(containing, not_containing, contained_by, not_contained_by)")
+          "contained_by", "not_contained_by",
+          "overlapping", "not_overlapping", "after", "before")(rule),
+          s"unsupported intervals filter rule: $rule (containing, " +
+            "not_containing, contained_by, not_contained_by, overlapping, " +
+            "not_overlapping, after, before; script filters rejected)")
         (rule, Some(singleTokenSlot(fn.get(rule))))
     }
     sloppyMatch(fieldCol(f), slots, slop, inOrder = ordered, gaps = !ordered,
@@ -741,10 +744,18 @@ object EsFilter {
         case Some((fpl, fw)) =>
           val cs = if (ps.size == 1) ps.head else least(ps: _*)
           val ce = if (ps.size == 1) end(0) else greatest(ps.indices.map(end): _*)
-          val inside = filterMode == "containing" || filterMode == "not_containing"
-          val ex = exists(fpl, j =>
-            if (inside) j >= cs && j + lit(fw - 1) <= ce
-            else j <= cs && j + lit(fw - 1) >= ce)
+          val ex = exists(fpl, j => filterMode match {
+            case "containing" | "not_containing" =>
+              j >= cs && j + lit(fw - 1) <= ce
+            case "contained_by" | "not_contained_by" =>
+              j <= cs && j + lit(fw - 1) >= ce
+            case "overlapping" | "not_overlapping" =>
+              j <= ce && j + lit(fw - 1) >= cs
+            case "after"  => cs > j + lit(fw - 1)
+            case "before" => ce < j
+            case other => throw new IllegalArgumentException(
+              s"unknown intervals filter mode: $other")
+          })
           if (filterMode.startsWith("not_")) !ex else ex
       }
       val widthOk =
@@ -773,7 +784,7 @@ object EsFilter {
     // positive filter rules demand the filter terms exist at all — extend
     // the cheap conjunctive guard so non-candidates skip the search
     val fullGuard = filterSlot match {
-      case Some(fsl) if filterMode == "containing" || filterMode == "contained_by" =>
+      case Some(fsl) if !filterMode.startsWith("not_") =>
         val pres =
           if (fsl.phrase.nonEmpty)
             fsl.phrase.map(t => array_contains(toks, t): Column).reduce(_ && _)

@@ -629,10 +629,28 @@ class EsFilterSpec extends SparkTestBase {
         "filter":{"not_contained_by":{"match":
           {"query":"alpha beta","ordered":true,"max_gaps":0}}}}}}}""")
       == Seq(2L, 3L, 4L))
-    // unsupported rules stay rejected
+    // after: an alpha strictly past some beta's end — docs 2 and 5 only
+    assert(sids("""{"intervals":{"text":{"match":{"query":"alpha",
+        "filter":{"after":{"match":{"query":"beta"}}}}}}}""")
+      == Seq(2L, 5L))
+    // before: an alpha ending before some beta starts
+    assert(sids("""{"intervals":{"text":{"match":{"query":"alpha",
+        "filter":{"before":{"match":{"query":"beta"}}}}}}}""")
+      == Seq(1L, 3L, 4L, 5L))
+    // overlapping a fixed phrase: only doc 3 holds "x beta", and its
+    // alpha..gamma cover [0,4] overlaps it
+    assert(sids("""{"intervals":{"text":{"match":{"query":"alpha gamma",
+        "filter":{"overlapping":{"match":
+          {"query":"x beta","ordered":true,"max_gaps":0}}}}}}}""")
+      == Seq(3L))
+    // not_overlapping: doc 2's [1,2] cover is the only one avoiding beta
+    assert(sids("""{"intervals":{"text":{"match":{"query":"alpha gamma",
+        "filter":{"not_overlapping":{"match":{"query":"beta"}}}}}}}""")
+      == Seq(2L))
+    // script filters stay rejected
     intercept[IllegalArgumentException] {
       sids("""{"intervals":{"text":{"match":{"query":"alpha",
-          "filter":{"overlapping":{"match":{"query":"beta"}}}}}}}""")
+          "filter":{"script":{"source":"true"}}}}}}""")
     }
   }
 
@@ -675,7 +693,11 @@ class EsFilterSpec extends SparkTestBase {
            "max_gaps":3,"filter":{"containing":{"match":{"query":"beta"}}}}}}}""",
       """{"intervals":{"text":{"match":{"query":"beta",
            "filter":{"not_contained_by":{"match":
-             {"query":"alpha beta","ordered":true,"max_gaps":0}}}}}}}""")
+             {"query":"alpha beta","ordered":true,"max_gaps":0}}}}}}}""",
+      """{"intervals":{"text":{"match":{"query":"alpha",
+           "filter":{"after":{"match":{"query":"beta"}}}}}}}""",
+      """{"intervals":{"text":{"match":{"query":"alpha gamma",
+           "filter":{"not_overlapping":{"match":{"query":"beta"}}}}}}}""")
     val native = queries.map(sids)
     assert(spark.catalog.functionExists("graft_sloppy"))
     reg.dropFunction(id)
