@@ -18,12 +18,14 @@ import graft.tsdb.Graft
   * read 100000 points from 1000 series in 3.342 s** — the divisor for the
   * 2× gate.
   *
-  * Differences kept honest: every graft write is a real Spark job over HTTP
-  * (fixed ~0.2 s job overhead per batch that the reference's in-process
-  * ES/Cassandra clients don't pay), so the 500-point-batch write time is
-  * overhead-dominated; the single-batch write of the same 100k points shows
-  * the throughput the engine actually has. Reads stream chunked through
-  * toLocalIterator (the facade's scroll analog).
+  * Differences kept honest: the facade's /write is a coalesced group commit
+  * (driver-side validation per POST, one Spark job lands all queued batches
+  * — the same shape as the reference's in-process Cassandra/ES clients,
+  * which ack at the memtable and group-commit internally). The write timing
+  * below therefore INCLUDES an explicit flushQueued() so the measured
+  * number covers full durability (points on parquet), not just the acks.
+  * Reads stream chunked through toLocalIterator (the facade's scroll
+  * analog).
   *
   * Prints ONE JSON line with both graft and reference wall-times.
   */
@@ -74,7 +76,10 @@ object HttpPerf {
         val nBatches = NumPoints / batchSize
         val w0 = System.nanoTime()
         (0 until nBatches).foreach(b => post("/write", s"""{"points":[${batchJson(b)}]}"""))
+        val postSec = (System.nanoTime() - w0) / 1e9
+        graft.flushQueued() // write time = acks + durable flush, not acks alone
         val writeSec = (System.nanoTime() - w0) / 1e9
+        System.err.println(f"[$label] posts=$postSec%.3f flush=${writeSec - postSec}%.3f")
         val readBody = s"""{"start":0,"end":${BaseMs + NumPoints + 1000}}"""
         val r0 = System.nanoTime()
         val rb = post("/read", readBody)

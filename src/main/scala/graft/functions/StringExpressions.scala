@@ -106,16 +106,29 @@ case class SloppyMatch(child: Expression, terms: String, slop: Int,
   */
 case class SloppySlot(includes: Seq[String], excludes: Seq[String],
                       pre: Int, post: Int, prefixes: Seq[String] = Nil,
-                      phrase: Seq[String] = Nil) {
+                      phrase: Seq[String] = Nil, subSlop: Int = -1,
+                      subOrdered: Boolean = false) {
+  /** Nominal (minimum-possible) interval width: 1 for token slots, the
+    * token count for fixed phrases and nested sub-matches (a nested
+    * interval is at least as wide as its token count). */
   def width: Int = if (phrase.nonEmpty) phrase.length else 1
+  /** A nested sloppy sub-interval (an `all_of` sub-match with its OWN gap
+    * budget — Lucene's Ordered/UnorderedIntervalsSource nested inside the
+    * enclosing source): tokens in `phrase`, budget `subSlop`, order
+    * `subOrdered`. Its candidates are the sub-match's MINIMAL intervals
+    * (Lucene iterators yield minimal intervals), each occupying its actual
+    * width in the enclosing budget. A fixed phrase is the degenerate
+    * subSlop=0/ordered case kept as its own fast path. */
+  def nested: Boolean = subSlop >= 0
 }
 
 object SloppySlot {
   /** Wire format for the `graft_sloppy` terms argument: slots joined by a
     * space; each slot `inc1|inc2` or `inc1|inc2~exc1|exc2~pre~post`, with
-    * prefix alternatives carrying a trailing `*` marker (`co*`), or a
-    * fixed-phrase slot `tok1+tok2+tok3`. The separators and the markers
-    * cannot appear inside analyzed tokens (the analyzer splits on
+    * prefix alternatives carrying a trailing `*` marker (`co*`), a
+    * fixed-phrase slot `tok1+tok2+tok3`, or a nested sloppy sub-match
+    * `tok1+tok2^slop^o` (o = 1 ordered / 0 unordered). The separators and
+    * markers cannot appear inside analyzed tokens (the analyzer splits on
     * whitespace and these filters target word terms), and encode REJECTS
     * terms containing them rather than mis-parsing.
     */
@@ -126,13 +139,18 @@ object SloppySlot {
       require(sl.phrase.isEmpty ||
         (sl.includes.isEmpty && sl.excludes.isEmpty && sl.prefixes.isEmpty),
         "phrase slots carry no alternatives, excludes, or prefixes")
+      require(!sl.nested || sl.phrase.length >= 2,
+        "nested sub-match slots need at least two tokens")
       (sl.includes ++ sl.excludes ++ sl.prefixes ++ sl.phrase).foreach(t => require(
         t.nonEmpty && !t.exists(c =>
-          c == '|' || c == '~' || c == '*' || c == '+' || c.isWhitespace),
+          c == '|' || c == '~' || c == '*' || c == '+' || c == '^' ||
+            c.isWhitespace),
         s"unsupported characters in span/phrase term: '$t'"))
     }
     slots.map { sl =>
-      if (sl.phrase.nonEmpty) sl.phrase.mkString("+")
+      if (sl.nested)
+        s"${sl.phrase.mkString("+")}^${sl.subSlop}^${if (sl.subOrdered) 1 else 0}"
+      else if (sl.phrase.nonEmpty) sl.phrase.mkString("+")
       else {
         val inc = (sl.includes ++ sl.prefixes.map(_ + "*")).mkString("|")
         if (sl.excludes.isEmpty) inc
@@ -143,7 +161,12 @@ object SloppySlot {
 
   def decode(s: String): Array[SloppySlot] =
     s.split(" ").map { part =>
-      if (part.contains('+')) SloppySlot(Nil, Nil, 0, 0, Nil, part.split('+').toSeq)
+      if (part.contains('^')) {
+        val seg = part.split('^')
+        SloppySlot(Nil, Nil, 0, 0, Nil, seg(0).split('+').toSeq,
+          seg(1).toInt, seg(2) == "1")
+      } else if (part.contains('+'))
+        SloppySlot(Nil, Nil, 0, 0, Nil, part.split('+').toSeq)
       else {
         val seg = part.split("~")
         val (pfx, inc) = seg(0).split('|').toSeq.partition(_.endsWith("*"))

@@ -284,6 +284,15 @@ class GraftHttpServer(graft: Graft, spark: org.apache.spark.sql.SparkSession,
 
   /** Start listening; returns the bound port (ephemeral when `port` = 0). */
   def start(): Int = {
+    // The JDK server writes response headers and body as separate small
+    // segments; with Nagle left on, the second write stalls behind the
+    // client's delayed ACK (~40 ms PER REQUEST on Linux loopback — measured:
+    // 200 small POSTs took 8.8 s against a bare echo handler, 0.1 s with
+    // nodelay). TCP_NODELAY is standard for HTTP servers; the JDK reads
+    // this property once when the server implementation class loads, which
+    // happens at the first HttpServer.create below.
+    if (System.getProperty("sun.net.httpserver.nodelay") == null)
+      System.setProperty("sun.net.httpserver.nodelay", "true")
     server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
     handle("/write") { (ex, node) =>
       // reference body: a bare array of points (orestes-test-utils.js:95);
@@ -295,14 +304,18 @@ class GraftHttpServer(graft: Graft, spark: org.apache.spark.sql.SparkSession,
         else throw new IllegalArgumentException(
           """body must be a JSON array of points (or {"points": [...]})""")
       val space = spaceOf(ex, "/write", node)
-      import spark.implicits._
       val lines = pointsNode.elements()
-      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-      while (lines.hasNext) buf += lines.next().toString
+      val buf = scala.collection.mutable.ArrayBuffer.empty[JsonNode]
+      while (lines.hasNext) buf += lines.next()
       require(buf.nonEmpty, "points must be non-empty")
-      val points = spark.read.json(buf.toSeq.toDS())
-      val errors = graft.write(points, space)
-      s"""{"errors":${rowsJson(errors)}}"""
+      // coalesced write: validate driver-side and queue; Graft group-commits
+      // queued batches in ONE Spark job at the next flush (size threshold or
+      // any read of the space). Per-point errors come back immediately with
+      // the reference's error strings — no per-POST job (the reference's
+      // in-process clients group-commit the same way; a perf-test.js-shaped
+      // writer would otherwise pay ~0.25 s of job overhead per 500 points).
+      val errs = graft.writeQueued(buf.toSeq, space)
+      s"""{"errors":${errs.mkString("[", ",", "]")}}"""
     }
     handleStream("/read") { (ex, node) =>
       val (space, (start, end)) = (spaceOf(ex, "/read", node), rangeOf(node))
@@ -351,5 +364,8 @@ class GraftHttpServer(graft: Graft, spark: org.apache.spark.sql.SparkSession,
   def stop(): Unit = {
     if (server != null) server.stop(0)
     if (pool != null) pool.shutdownNow()
+    // graceful-shutdown durability: land whatever the coalesced write path
+    // still holds in memory (crash loss stays bounded by maxQueuedPoints)
+    graft.flushQueued()
   }
 }

@@ -540,6 +540,12 @@ object EsFilter {
           s"""any_of needs "intervals", got $b""")
         val subs = clauses(b.get("intervals")).map(singleTokenSlot)
         require(subs.nonEmpty, "any_of needs at least one source")
+        // the flatten below unions single-POSITION alternatives; a
+        // fixed-phrase alternative is a multi-width interval and would be
+        // silently discarded by it — rejected, not approximated
+        require(subs.forall(_.phrase.isEmpty),
+          "any_of alternatives inside all_of must reduce to single-token " +
+            "sources; fixed-phrase alternatives are rejected, not approximated")
         SloppySlot(subs.flatMap(_.includes).distinct, Nil, 0, 0,
           subs.flatMap(_.prefixes).distinct)
       case "prefix" =>

@@ -22,7 +22,8 @@ import graft.core.Det
 class Graft(spark: SparkSession, root: String,
             granularityDays: Int = Tsdb.GranularityDays,
             spaceGranularity: Map[String, Int] = Map.empty,
-            spaceKeepDays: Map[String, Int] = Map.empty) {
+            spaceKeepDays: Map[String, Int] = Map.empty,
+            maxQueuedPoints: Int = 1000000) {
   import Graft._
 
   private def spacePath(space: String) = s"$root/$space"
@@ -63,8 +64,14 @@ class Graft(spark: SparkSession, root: String,
     */
   def write(points: DataFrame, space: String = "default",
             writeSeq: Long = System.currentTimeMillis()): DataFrame = {
-    val tagCols = points.columns.filterNot(c => c == "time" || c == "value")
+    // a pre-stamped frame (the queued-write flush) carries its own per-row
+    // sequence — each coalesced client batch keeps its place in the
+    // last-write-wins order even though they all land in ONE job
+    val tagCols = points.columns.filterNot(c =>
+      c == "time" || c == "value" || c == WseqCol)
     require(tagCols.nonEmpty, "metrics must have at least one tag")
+    val stamp =
+      if (points.columns.contains(WseqCol)) col(WseqCol) else lit(writeSeq)
     // time may be an ISO string or numeric epoch millis (reference
     // normalize_timestamp, lib/orestes-utils.js:81-88). try_* variants:
     // under ANSI (Spark 4 default) plain casts would throw on one malformed
@@ -87,7 +94,7 @@ class Graft(spark: SparkSession, root: String,
     val good = validated.where(col("__error").isNull)
       .select(tagCols.map(col) ++ Seq(
         col("__time_ms").as("time_ms"), col("value").cast("double").as("value"),
-        lit(writeSeq).as(WseqCol),
+        stamp.as(WseqCol),
         Tsdb.bucketOf(col("__time_ms"), granularityOf(space)).as("bucket_day")): _*)
     // sort within each write task by (bucket, tags, time): leading with the
     // partition column satisfies the partitioned writer's required ordering
@@ -101,8 +108,100 @@ class Graft(spark: SparkSession, root: String,
       .select(col("__error").as("error") +: points.columns.map(col): _*)
   }
 
+  // ---- coalesced (queued) write path -------------------------------------
+  //
+  // The reference absorbs small /write batches through in-process Cassandra/
+  // ES clients that group-commit internally (a memtable + commitlog ack,
+  // lib/orestes-inserter.js); graft's direct write() pays a full Spark job
+  // per call (~0.25 s fixed overhead), so a perf-test.js-shaped writer (200
+  // sequential 500-point POSTs) is overhead-dominated. writeQueued() is the
+  // facade's group commit: validate driver-side (same per-point rules as
+  // write(), same error strings), stamp each batch with a monotonic write
+  // sequence, buffer the normalized JSON lines, and land EVERYTHING in one
+  // partitioned-parquet job at flush time. Flush triggers: the queue
+  // reaching `maxQueuedPoints` (bounds driver memory AND the crash-loss
+  // window), any read of the space (read-your-writes — table() flushes
+  // first), compaction/retention, or an explicit flushQueued().
+  //
+  // Contract vs the reference: "accepted" = validated + queued (the
+  // reference's ack happens at the memtable, before durable SSTables, too);
+  // durable = flushed. Per-row `__wseq` stamps keep the last-write-wins
+  // order BETWEEN queued batches intact even though they share one job —
+  // and stay correctly ordered against direct write() calls, whose wall-ms
+  // stamp the sequence generator never falls behind.
+
+  private val jsonMapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private val queueLock = new Object
+  private val queuedLines =
+    scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[String]]
+  private val seqGen = new java.util.concurrent.atomic.AtomicLong(0L)
+  // monotonic AND >= wall-clock: interleaved direct write() calls (stamped
+  // with currentTimeMillis) keep their true order relative to queued batches
+  private def nextSeq(): Long =
+    seqGen.updateAndGet(p => math.max(p + 1, System.currentTimeMillis()))
+
+  /** Queue one client batch of JSON points (the facade's /write body
+    * elements). Validates driver-side with the same rules and error strings
+    * as [[write]] and returns the rejected points as JSON objects
+    * (`{"error": msg, ...point fields}`) immediately — no Spark job runs
+    * until a flush. The `time` field is normalized to epoch millis at
+    * queue time (computed exactly as the Spark path computes it, UTC
+    * session zone), so a flushed row can never fail the engine-side parse.
+    */
+  def writeQueued(points: Seq[com.fasterxml.jackson.databind.JsonNode],
+                  space: String = "default"): Seq[String] = {
+    import com.fasterxml.jackson.databind.node.ObjectNode
+    val seq = nextSeq()
+    val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
+    val errors = Seq.newBuilder[String]
+    val good = Seq.newBuilder[String]
+    points.foreach { p =>
+      validatePoint(p, zone) match {
+        case Left(err) =>
+          val en = jsonMapper.createObjectNode()
+          en.put("error", err)
+          if (p != null && p.isObject) en.setAll(p.asInstanceOf[ObjectNode])
+          errors += en.toString
+        case Right(ms) =>
+          val on = p.deepCopy[com.fasterxml.jackson.databind.JsonNode]()
+            .asInstanceOf[ObjectNode]
+          on.put("time", ms)
+          on.put(WseqCol, seq)
+          good += on.toString
+      }
+    }
+    val g = good.result()
+    if (g.nonEmpty) queueLock.synchronized {
+      queuedLines.getOrElseUpdate(space,
+        scala.collection.mutable.ArrayBuffer.empty[String]) ++= g
+      if (queuedLines.valuesIterator.map(_.size).sum >= maxQueuedPoints)
+        flushLocked(null)
+    }
+    errors.result()
+  }
+
+  /** Land queued points (all spaces when `space` is null) in one Spark job
+    * per space. Safe to call when nothing is queued (no-op, no job). */
+  def flushQueued(space: String = null): Unit =
+    queueLock.synchronized { flushLocked(space) }
+
+  private def flushLocked(space: String): Unit = {
+    val spaces = if (space == null) queuedLines.keys.toSeq else Seq(space)
+    spaces.foreach { sp =>
+      queuedLines.remove(sp).filter(_.nonEmpty).foreach { lines =>
+        val ds = spark.createDataset(lines.toSeq)(
+          org.apache.spark.sql.Encoders.STRING)
+        // rows are valid by construction (time already numeric ms, value and
+        // tags validated at queue time), so the returned error frame is
+        // empty and intentionally not executed — the flush is ONE job
+        write(spark.read.json(ds), sp)
+      }
+    }
+  }
+
   private def table(space: String, startMs: Long = Long.MinValue,
                     endMs: Long = Long.MaxValue): Option[PointsTable] = {
+    flushQueued(space)
     val path = spacePath(space)
     val (fs, p) = fsOf(path)
     if (!fs.exists(p)) None
@@ -240,6 +339,7 @@ class Graft(spark: SparkSession, root: String,
     * namespace surfaced (conf `spaces.<name>`, test/multiple-spaces.spec.js).
     */
   def spaces(): Seq[String] = {
+    flushQueued()
     val (fs, dir) = fsOf(root)
     if (!isDir(fs, dir)) Nil
     else fs.listStatus(dir).toSeq
@@ -261,6 +361,7 @@ class Graft(spark: SparkSession, root: String,
     */
   def compact(space: String = "default",
               targetBytes: Long = 128L * 1024 * 1024): Seq[(Long, Int, Int)] = {
+    flushQueued(space)
     val (fs, dir) = fsOf(spacePath(space))
     if (!isDir(fs, dir)) return Nil
     // Recover/clean tmp dirs a crashed compaction left behind. The tmp name
@@ -337,6 +438,7 @@ class Graft(spark: SparkSession, root: String,
     */
   def remove(keepDays: Int, space: String = "default",
              todayDay: Long = System.currentTimeMillis() / Det.MsInDay): Seq[Long] = {
+    flushQueued(space)
     val doomed = todayDay - keepDays
     val (fs, dir) = fsOf(spacePath(space))
     if (!isDir(fs, dir)) return Nil
@@ -422,6 +524,97 @@ object Graft {
 
   /** Crashed-compaction tmp dirs: `_`-prefixed so Spark ignores them. */
   private[tsdb] val TmpPrefix = "_compact_tmp_"
+
+  // ---- driver-side point validation for the queued write path ------------
+  //
+  // Mirrors write()'s engine-side rules (same precedence, same error
+  // strings): unparseable/missing time -> "invalid timestamp"; missing/NaN
+  // value -> "invalid value"; no non-null field besides time/value ->
+  // "metrics must have at least one tag". The time grammar mirrors what the
+  // Spark path accepts — `coalesce(try_to_timestamp(s), timestamp_millis(
+  // try_cast(s AS LONG)))` — i.e. Spark's permissive ISO-ish cast first
+  // (year[-m[-d[ T h[:m[:s[.frac]]][zone]]]]), then a bare epoch-millis
+  // integer. The queued path also STORES the millis it computes here (the
+  // flush job receives numeric time), so accept/store can never disagree.
+
+  private[graft] def validatePoint(p: com.fasterxml.jackson.databind.JsonNode,
+                                  zone: java.time.ZoneId): Either[String, Long] = {
+    if (p == null || !p.isObject) return Left("invalid point")
+    parseTimeMs(p.get("time"), zone) match {
+      case None => Left("invalid timestamp")
+      case Some(ms) =>
+        val v = p.get("value")
+        val valueOk = v != null && !v.isNull && {
+          if (v.isNumber) !(v.isFloatingPointNumber && v.doubleValue().isNaN)
+          else if (v.isTextual)
+            // the engine path casts strings through isnan (accepts
+            // "Infinity", rejects "NaN"); non-numeric strings would fail the
+            // ANSI cast — surfaced here as a per-point error instead
+            scala.util.Try(java.lang.Double.parseDouble(v.asText().trim))
+              .toOption.exists(d => !d.isNaN)
+          else false
+        }
+        if (!valueOk) Left("invalid value")
+        else {
+          val it = p.fields()
+          var hasTag = false
+          while (it.hasNext && !hasTag) {
+            val e = it.next()
+            if (e.getKey != "time" && e.getKey != "value" && !e.getValue.isNull)
+              hasTag = true
+          }
+          if (!hasTag) Left("metrics must have at least one tag") else Right(ms)
+        }
+    }
+  }
+
+  private[graft] def parseTimeMs(t: com.fasterxml.jackson.databind.JsonNode,
+                                zone: java.time.ZoneId): Option[Long] =
+    if (t == null || t.isNull) None
+    else if (t.isIntegralNumber)
+      if (t.canConvertToLong) Some(t.longValue()) else None
+    else if (t.isFloatingPointNumber) {
+      // try_cast(double AS LONG): NaN/Inf/out-of-range -> null; else truncate
+      val d = t.doubleValue()
+      if (d.isNaN || d.isInfinite || d < Long.MinValue.toDouble ||
+          d > Long.MaxValue.toDouble) None
+      else Some(d.toLong)
+    } else if (t.isTextual) parseTimeString(t.asText(), zone)
+    else None
+
+  // year[-m[-d[{T| }h[:m[:s[.fraction]]][zone]]]] — the shapes Spark's
+  // string->timestamp cast takes; zone only rides with a time-of-day part
+  private val TsRe =
+    ("""([+-]?\d{4,6})(?:-(\d{1,2})(?:-(\d{1,2})""" +
+     """(?:[ T](\d{1,2})(?::(\d{1,2})(?::(\d{1,2})(?:\.(\d{0,9}))?)?)?""" +
+     """\s*(Z|z|[+-]\d{1,2}(?::?\d{2})?|[A-Za-z][A-Za-z0-9/_+\-:]*)?)?)?)?""").r
+
+  private[graft] def parseTimeString(s0: String, sessionZone: java.time.ZoneId): Option[Long] = {
+    val s = s0.trim
+    val iso = s match {
+      case TsRe(y, mo, d, h, mi, se, frac, zn) =>
+        scala.util.Try {
+          val zone =
+            if (zn == null) sessionZone
+            else if (zn == "Z" || zn == "z") java.time.ZoneOffset.UTC
+            else if (zn.head == '+' || zn.head == '-')
+              java.time.ZoneOffset.of(
+                // normalize "+8" -> "+08" (Spark accepts the 1-digit form)
+                if (zn.length == 2) s"${zn.head}0${zn.tail}" else zn)
+            else java.time.ZoneId.of(zn)
+          val nanos =
+            if (frac == null || frac.isEmpty) 0
+            else (frac + "0" * (9 - frac.length)).toInt
+          def iOr(v: String, dflt: Int) = if (v == null) dflt else v.toInt
+          java.time.LocalDateTime.of(y.toInt, iOr(mo, 1), iOr(d, 1),
+              iOr(h, 0), iOr(mi, 0), iOr(se, 0), nanos)
+            .atZone(zone).toInstant.toEpochMilli
+        }.toOption
+      case _ => None
+    }
+    iso.orElse( // the try_cast(s AS LONG) fallback: bare epoch millis
+      if (s.matches("[+-]?\\d+")) scala.util.Try(s.toLong).toOption else None)
+  }
 
   /** Per-batch write-sequence stamp backing last-write-wins overwrites
     * (the reference's Cassandra-upsert semantics); `__`-prefixed so it can

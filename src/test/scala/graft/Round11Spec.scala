@@ -1,0 +1,162 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.Files
+import com.fasterxml.jackson.databind.ObjectMapper
+import graft.http.GraftHttpServer
+import graft.tsdb.Graft
+
+/** Round-11 additions: the coalesced (queued) HTTP write path — group
+  * commit for small batches (the reference's perf-test.js workload shape,
+  * scripts/perf-test.js:50-57) with the reference's per-point validation
+  * semantics intact (lib/orestes-inserter.js:183-201).
+  */
+class Round11Spec extends SparkTestBase {
+  private val mapper = new ObjectMapper()
+
+  private def post(port: Int, path: String, body: String): (Int, String) = {
+    val client = HttpClient.newHttpClient()
+    val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  private def parquetFiles(dir: java.io.File): Seq[java.io.File] =
+    Option(dir.listFiles()).toSeq.flatten.flatMap { f =>
+      if (f.isDirectory) parquetFiles(f)
+      else if (f.getName.endsWith(".parquet")) Seq(f) else Nil
+    }
+
+  test("small-batch POSTs coalesce into one flush job (not one job per POST)") {
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "graft-q-coalesce").toString
+    val srv = new GraftHttpServer(new Graft(spark, root), spark)
+    val port = srv.start()
+    try {
+      // 20 batches of 5 points, all in one bucket_day — the direct path
+      // would run 20 write jobs and leave >= 20 files in the bucket
+      (0 until 20).foreach { b =>
+        val pts = (0 until 5).map { i =>
+          s"""{"time":${1704794400000L + b * 5 + i},"value":${b * 5 + i}.0,"name":"cpu","host":"h${i % 3}"}"""
+        }.mkString(",")
+        val (wc, wb) = post(port, "/write", s"[$pts]")
+        assert(wc == 200 && mapper.readTree(wb).get("errors").size() == 0, wb)
+      }
+      // read-your-writes: the read flushes the queue first
+      val (rc, rb) = post(port, "/read",
+        s"""{"start":0,"end":${1704794400000L + 1000}}""")
+      assert(rc == 200, rb)
+      val series = mapper.readTree(rb).get("series")
+      val total = (0 until series.size()).map(series.get(_).get("points").size()).sum
+      assert(total == 100, rb.take(500))
+      // ONE flush job wrote everything: at most one file per task (local[4])
+      // in the single bucket, not one-plus per POST
+      val files = parquetFiles(new java.io.File(root))
+      assert(files.nonEmpty && files.size <= 4,
+        s"expected <= 4 files from one coalesced flush, got ${files.size}")
+    } finally srv.stop()
+  }
+
+  test("queued writes return the engine path's per-point errors immediately") {
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "graft-q-errors").toString
+    val srv = new GraftHttpServer(new Graft(spark, root), spark)
+    val port = srv.start()
+    try {
+      val (wc, wb) = post(port, "/write",
+        """[{"time":"2024-01-09T10:00:00Z","value":1.0,"name":"ok"},
+            {"time":"nope","value":2.0,"name":"badtime"},
+            {"time":"2024-01-09T10:00:01Z","name":"noval"},
+            {"time":"2024-01-09T10:00:02Z","value":4.0}]""")
+      assert(wc == 200, wb)
+      val errs = mapper.readTree(wb).get("errors")
+      val msgs = (0 until errs.size()).map(errs.get(_).get("error").asText())
+      assert(msgs == Seq("invalid timestamp", "invalid value",
+        "metrics must have at least one tag"), msgs.toString)
+      // the rejected points ride along in the error objects (reference shape)
+      assert(errs.get(0).get("name").asText() == "badtime", wb)
+      // only the valid point landed
+      val (_, rb) = post(port, "/read", "{}")
+      val series = mapper.readTree(rb).get("series")
+      assert(series.size() == 1 &&
+        series.get(0).get("tags").get("name").asText() == "ok", rb)
+    } finally srv.stop()
+  }
+
+  test("queued batches keep last-write-wins order within one flush") {
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "graft-q-lww").toString
+    val srv = new GraftHttpServer(new Graft(spark, root), spark)
+    val port = srv.start()
+    try {
+      // same (series, time) across two queued POSTs: the later POST must
+      // win even though both land in the SAME flush job — and the lower
+      // value proves it's the sequence deciding, not the value tiebreak
+      post(port, "/write", """[{"time":1704794400000,"value":9.0,"name":"cpu"}]""")
+      post(port, "/write", """[{"time":1704794400000,"value":3.0,"name":"cpu"}]""")
+      val (_, rb) = post(port, "/read", "{}")
+      val series = mapper.readTree(rb).get("series")
+      assert(series.size() == 1, rb)
+      val pts = series.get(0).get("points")
+      assert(pts.size() == 1 && pts.get(0).get(1).asDouble() == 3.0, rb)
+    } finally srv.stop()
+  }
+
+  test("queued and direct writes interleave in true order") {
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "graft-q-mixed").toString
+    val graft = new Graft(spark, root)
+    // queued first (acked, still in memory), then a DIRECT engine write of
+    // the same point: the direct write's wall-clock stamp is newer than the
+    // queued batch's sequence, so it must win after the flush
+    graft.writeQueued(Seq(mapper.readTree(
+      """{"time":1704794400000,"value":5.0,"name":"cpu"}""")))
+    Thread.sleep(2) // strictly newer wall-ms stamp for the direct write
+    import spark.implicits._
+    graft.write(spark.read.json(Seq(
+      """{"time":1704794400000,"value":7.0,"name":"cpu"}""").toDS()))
+    val rows = graft.read("""{"match_all":{}}""", startMs = 0,
+      endMs = Long.MaxValue).collect()
+    assert(rows.length == 1 && rows(0).getAs[Double]("value") == 7.0,
+      rows.mkString(","))
+    // and the reverse: direct first, queued second -> queued wins
+    Thread.sleep(2)
+    graft.writeQueued(Seq(mapper.readTree(
+      """{"time":1704794400000,"value":11.0,"name":"cpu"}""")))
+    val rows2 = graft.read("""{"match_all":{}}""", startMs = 0,
+      endMs = Long.MaxValue).collect()
+    assert(rows2.length == 1 && rows2(0).getAs[Double]("value") == 11.0,
+      rows2.mkString(","))
+  }
+
+  test("driver-side time parsing matches the engine's accepted shapes") {
+    val utc = java.time.ZoneOffset.UTC
+    // the shapes reference clients send (ISO instant / offset / local /
+    // date-only / bare millis) — driver parse must agree with the Spark path
+    assert(Graft.parseTimeString("2024-01-09T10:00:00Z", utc)
+      .contains(1704794400000L))
+    assert(Graft.parseTimeString("2024-01-09T10:00:00+00:00", utc)
+      .contains(1704794400000L))
+    assert(Graft.parseTimeString("2024-01-09 10:00:00.123", utc)
+      .contains(1704794400123L))
+    assert(Graft.parseTimeString("2024-01-09", utc).contains(1704758400000L))
+    assert(Graft.parseTimeString("2024", utc).contains(1704067200000L))
+    assert(Graft.parseTimeString("1704794401000", utc).contains(1704794401000L))
+    assert(Graft.parseTimeString("-86400000", utc).contains(-86400000L))
+    assert(Graft.parseTimeString("nope", utc).isEmpty)
+    assert(Graft.parseTimeString("2024-13-01", utc).isEmpty) // bad month
+    // engine agreement witness: the Spark expressions the direct path uses
+    // produce the same millis for each accepted shape
+    import spark.implicits._
+    val shapes = Seq("2024-01-09T10:00:00Z", "2024-01-09 10:00:00.123",
+      "2024-01-09", "2024", "1704794401000", "-86400000")
+    val sparkMs = spark.sql(
+      shapes.map(s => s"SELECT unix_millis(CAST(coalesce(try_to_timestamp('$s'), " +
+        s"timestamp_millis(try_cast('$s' AS LONG))) AS TIMESTAMP)) AS ms")
+        .mkString(" UNION ALL ")).as[Long].collect().toSeq
+    assert(shapes.map(s => Graft.parseTimeString(s, utc).get) == sparkMs,
+      s"driver=${shapes.map(s => Graft.parseTimeString(s, utc))} spark=$sparkMs")
+  }
+}
