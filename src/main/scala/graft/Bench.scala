@@ -78,13 +78,22 @@ object Bench {
     // The slow tail regresses first but single-shot archives box noise as
     // truth (BENCH_r06 recorded a 29 s graph_similarity that re-measured at
     // 2.4 s) — so the headline set and the 10 slowest non-headline queries
-    // (by contention-proof MIN) get a third, again-separated pass and report
-    // the median of their 3 samples.
+    // (by contention-proof MIN) are re-measured from scratch: one THROWAWAY
+    // warmup pass (absorbs JIT/codegen/artifact builds — VERDICT r10 #8:
+    // first samples ran 2-5x their minima), then three timed passes, each a
+    // separate iteration over the tracked set so a contention burst lands
+    // in at most one sample per query. The cold pass1/pass2 samples for
+    // tracked queries are DISCARDED — their recorded median is the median
+    // of three steady-state samples.
     val slowTail = twoOf.toSeq
       .filter { case (name, good) => !headlineKeys.contains(name) && good.nonEmpty }
       .sortBy { case (_, good) => -good.min }
       .take(10).map(_._1).toSet
-    val samples = merge(twoOf, passOver(slowTail ++ headlineKeys))
+    val tracked = slowTail ++ headlineKeys
+    passOver(tracked) // throwaway warmup — untimed in the record
+    val warm = Seq(passOver(tracked), passOver(tracked), passOver(tracked))
+      .reduce(merge)
+    val samples = twoOf.filterNot(kv => tracked(kv._1)) ++ warm
     val results = ordered.map { case (name, _) =>
       val good = samples.getOrElse(name, Nil)
       (name, statOf(good), good)

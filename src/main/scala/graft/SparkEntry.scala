@@ -264,6 +264,18 @@ object SparkEntry {
              "filter":{"containing":{"match":{"query":"hash"}}}}}}}""",
         docs.columns.toSeq)).select(docs.col("doc_id")))
     }),
+    // ES intervals with a NESTED sub-source budget (the ES default shape a
+    // saved query actually has): an unordered 'hash join' sub-interval
+    // within 2 gaps — contributing its MINIMAL intervals, Lucene-style —
+    // combined with 'table' under an outer 4-gap covering budget
+    "ts_read_filter_intervals_nested" -> ((s, d) => {
+      val docs = graft.core.Tables.documents(s, d)
+      graft.core.Det.ordered(docs.where(EsFilter.compile(
+        """{"intervals":{"text":{"all_of":{"max_gaps":4,"intervals":[
+             {"match":{"query":"hash join","max_gaps":2}},
+             {"match":{"query":"table"}}]}}}}""",
+        docs.columns.toSeq)).select(docs.col("doc_id")))
+    }),
     // ES dis_max: filter context = any clause matches (tie_breaker is a
     // scoring knob)
     "ts_read_filter_dis_max" -> ((s, d) => Tsdb.read(Tsdb.points(s, d),
@@ -492,6 +504,14 @@ object SparkEntry {
     "mm_features" -> ((s, d) => Multimodal.features(s, d)),
     "mm_embed_topk" -> ((s, d) => Multimodal.embedTopK(s, d)),
     "mm_recall" -> ((s, d) => Multimodal.mmRecall(s, d)),
+    // perceptual-hash media near-dup: exhaustive oracle baseline + the
+    // pigeonhole-bucketed 100 TB twin (same result set)
+    "mm_phash_pairs" -> ((s, d) => Multimodal.phashPairs(s, d)),
+    "mm_phash_dedup" -> ((s, d) => Multimodal.phashDedup(s, d)),
+    // cross-modal retrieval (text query -> media neighbors): exact
+    // baseline + the shared-IVF-index composition
+    "mm_cross_topk" -> ((s, d) => Multimodal.crossTopK(s, d)),
+    "mm_cross_ivf" -> ((s, d) => Multimodal.crossIvfTopK(s, d)),
     "ts_autocorr" -> ((s, d) => Tsdb.autocorr(Tsdb.points(s, d)
       .copy(tagCols = Seq("event_type")),
       EsFilter.compile("""{"match_all":{}}"""), Start, End)),
@@ -569,6 +589,8 @@ object SparkEntry {
     // bloom prefilter for incremental dedup: Spark-internal bloom bits,
     // not oracle-replayable -> declared rows-only; properties in DedupSpec
     "dedup_bloom" -> ((s, d) => Dedup.bloomDedup(s, d)),
+    // the exact half of the bloom split, oracle-checked (plain hash join)
+    "dedup_bloom_exact" -> ((s, d) => Dedup.bloomDedupExact(s, d)),
     "graph_similarity" -> ((s, d) => Graph.structuralSimilarity(s, d)),
     "graph_similarity_capped" -> ((s, d) => Graph.structuralSimilarityCapped(s, d)),
     "power_users" -> ((s, d) => Analytics.powerUsers(s, d)),
@@ -595,6 +617,58 @@ object SparkEntry {
     """ev AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
                      generate_subscripts(embedding, 1) AS i FROM embeddings),
        vn AS (SELECT vec_id, sum(x*x) AS nsq FROM ev GROUP BY vec_id)"""
+
+  /** 64-dim hex media embedding (Multimodal.hexEmbedding64): four md5
+    * streams over `text#k`, 16 hex-pair dims each, mapped to [-1, 1);
+    * 1-based dim index aligned with VecCte's generate_subscripts.
+    */
+  private val MediaVecCte =
+    """m0 AS (SELECT doc_id, md5(text || '#0') AS f0, md5(text || '#1') AS f1,
+                     md5(text || '#2') AS f2, md5(text || '#3') AS f3
+              FROM documents),
+       mhp AS (SELECT doc_id, u.i + 1 AS i,
+                      substring(CASE u.i // 16 WHEN 0 THEN f0 WHEN 1 THEN f1
+                                               WHEN 2 THEN f2 ELSE f3 END,
+                                2 * (u.i % 16) + 1, 2) AS hp
+               FROM m0, UNNEST(range(0, 64)) AS u(i)),
+       mev AS (SELECT doc_id, i,
+                      ((strpos('0123456789abcdef', substring(hp, 1, 1)) - 1) * 16
+                       + strpos('0123456789abcdef', substring(hp, 2, 1)) - 1
+                       - 128) / 128.0 AS x
+               FROM mhp),
+       mvn AS (SELECT doc_id, sum(x*x) AS nsq FROM mev GROUP BY 1)"""
+
+  /** 64-bit payload aHash + hamming pair search (Multimodal.phashSignatures
+    * / phashPairs / phashDedup — the bucketed twin returns the same set).
+    * Bit b: block b's mean char code vs the whole payload's, decided by
+    * integer cross-multiplication so both engines agree exactly.
+    */
+  private val PhashOracleSql =
+    """WITH base AS (SELECT doc_id, text AS t, length(text) AS n
+                     FROM documents WHERE length(text) >= 1),
+            ch AS (SELECT doc_id, n, ((u.p - 1) * 64) // n AS blk,
+                          ascii(substring(t, u.p, 1)) AS code
+                   FROM base, UNNEST(range(1, n + 1)) AS u(p)),
+            bs AS (SELECT doc_id, blk, sum(code) AS bsum, count(*) AS bcnt
+                   FROM ch GROUP BY 1, 2),
+            ts AS (SELECT doc_id, sum(code) AS tsum, count(*) AS n
+                   FROM ch GROUP BY 1),
+            bits AS (SELECT bs.doc_id, blk,
+                       CASE WHEN bsum * n > tsum * bcnt THEN 1 ELSE 0 END AS bit
+                     FROM bs JOIN ts USING (doc_id)),
+            sig AS (SELECT doc_id,
+                      coalesce(sum(CASE WHEN bit = 1 AND blk < 32
+                        THEN (CAST(1 AS BIGINT) << blk) END), 0) AS sig_lo,
+                      coalesce(sum(CASE WHEN bit = 1 AND blk >= 32
+                        THEN (CAST(1 AS BIGINT) << (blk - 32)) END), 0) AS sig_hi
+                    FROM bits GROUP BY 1)
+       SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+              CAST(bit_count(xor(a.sig_lo, b.sig_lo))
+                   + bit_count(xor(a.sig_hi, b.sig_hi)) AS BIGINT) AS hamming
+       FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       WHERE bit_count(xor(a.sig_lo, b.sig_lo))
+             + bit_count(xor(a.sig_hi, b.sig_hi)) <= 12
+       ORDER BY 1, 2, 3"""
 
   /** Quantized-embedding CTEs (extends VecCte): evr = components rounded to
     * exact 6-dp decimals exactly as Ann.quantNorm does, vnr = their norms.
@@ -1226,7 +1300,9 @@ object SparkEntry {
             AND b.pos > a.pos AND b.pos - a.pos - 1 <= 2
           ORDER BY 1""",
     // unordered 'table'..'join' pair at distinct positions with covering
-    // gap count <= 5, whose cover holds a 'hash' occurrence
+    // gap count <= 5; positive filter rules fire per MINIMAL interval
+    // (Lucene suppresses a cover that strictly contains another valid
+    // cover BEFORE filtering), so only minimal covers may hold the 'hash'
     "ts_read_filter_intervals_filter" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
                     FROM documents),
@@ -1237,10 +1313,39 @@ object SparkEntry {
                      FROM toks a JOIN toks b
                        ON b.doc_id = a.doc_id AND a.pos <> b.pos
                      WHERE a.tok = 'table' AND b.tok = 'join'
-                       AND greatest(a.pos, b.pos) - least(a.pos, b.pos) - 1 <= 5)
-          SELECT DISTINCT pr.doc_id
-          FROM pr JOIN toks h ON h.doc_id = pr.doc_id AND h.tok = 'hash'
-                             AND h.pos BETWEEN pr.s AND pr.e
+                       AND greatest(a.pos, b.pos) - least(a.pos, b.pos) - 1 <= 5),
+              mn AS (SELECT * FROM pr p
+                     WHERE NOT EXISTS (SELECT 1 FROM pr q
+                       WHERE q.doc_id = p.doc_id AND q.s >= p.s AND q.e <= p.e
+                         AND (q.s > p.s OR q.e < p.e)))
+          SELECT DISTINCT mn.doc_id
+          FROM mn JOIN toks h ON h.doc_id = mn.doc_id AND h.tok = 'hash'
+                             AND h.pos BETWEEN mn.s AND mn.e
+          ORDER BY 1""",
+    // nested sub-source: minimal 'hash'..'join' intervals within 2 gaps,
+    // each occupying its actual width (e - s + 1) beside the 1-wide
+    // 'table' slot in the outer 4-gap covering budget; chosen intervals
+    // may not overlap
+    "ts_read_filter_intervals_nested" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
+                    FROM documents),
+              toks AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos
+                       FROM t),
+              nc AS (SELECT a.doc_id, least(a.pos, b.pos) AS s,
+                            greatest(a.pos, b.pos) AS e
+                     FROM toks a JOIN toks b
+                       ON b.doc_id = a.doc_id AND a.pos <> b.pos
+                     WHERE a.tok = 'hash' AND b.tok = 'join'
+                       AND greatest(a.pos, b.pos) - least(a.pos, b.pos) - 1 <= 2),
+              mn AS (SELECT * FROM nc p
+                     WHERE NOT EXISTS (SELECT 1 FROM nc q
+                       WHERE q.doc_id = p.doc_id AND q.s >= p.s AND q.e <= p.e
+                         AND (q.s > p.s OR q.e < p.e)))
+          SELECT DISTINCT mn.doc_id
+          FROM mn JOIN toks tb ON tb.doc_id = mn.doc_id AND tb.tok = 'table'
+          WHERE tb.pos NOT BETWEEN mn.s AND mn.e
+            AND (greatest(mn.e, tb.pos) - least(mn.s, tb.pos) + 1)
+                - ((mn.e - mn.s + 1) + 1) <= 4
           ORDER BY 1""",
     // phrase interval [s, e] = a 'table hash' bigram; 'join' must sit
     // outside it with covering gap count (cover - total width 3) <= 3
@@ -1781,6 +1886,63 @@ object SparkEntry {
           SELECT 'lsh4x4' AS method, count(l.n_id) AS n_hits, count(*) AS n_truth,
                  ${rndSql("count(l.n_id) * 1.0 / count(*)", 4)} AS recall
           FROM mex e LEFT JOIN mlsh l ON l.q_id = e.q_id AND l.n_id = e.n_id""",
+    // pHash near-dup (both the exhaustive baseline and the pigeonhole twin
+    // produce the same pair set, so one oracle serves both keys): 64-bit
+    // aHash — block mean vs overall mean, integer cross-multiplied — then
+    // xor-popcount hamming <= 6
+    "mm_phash_pairs" -> PhashOracleSql,
+    "mm_phash_dedup" -> PhashOracleSql,
+    // cross-modal exact: text-embedding queries (embeddings table) against
+    // the 64-dim hex media embeddings, brute-force cosine top-5
+    "mm_cross_topk" ->
+      s"""WITH $VecCte,
+              $MediaVecCte,
+              dots AS (SELECT q.vec_id AS q_id, m.doc_id AS m_id, sum(q.x*m.x) AS dot
+                       FROM ev q JOIN mev m ON m.i = q.i
+                       WHERE q.vec_id < 20 GROUP BY 1, 2),
+              c AS (SELECT q_id, m_id, round(dot/sqrt(qn.nsq*mn.nsq), 6) AS cosine
+                    FROM dots JOIN vn qn ON qn.vec_id = q_id
+                              JOIN mvn mn ON mn.doc_id = m_id),
+              r AS (SELECT q_id, m_id, cosine,
+                      CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY cosine DESC, m_id) AS BIGINT) AS rank
+                    FROM c)
+          SELECT q_id, m_id, cosine, rank FROM r WHERE rank <= 5 ORDER BY 1, 2, 3, 4""",
+    // cross-modal over the SHARED IVF index: media vectors assigned to the
+    // text-trained codebook; each text query scans only its cell's media
+    "mm_cross_ivf" ->
+      s"""WITH $VecrCte,
+              ${ivfTrainCte(2, 16)},
+              $MediaVecCte,
+              knf AS (SELECT c_id, sum(cx*cx) AS nsq FROM c2 GROUP BY 1),
+              mcc AS (SELECT m.doc_id AS mid, c.c_id AS cid, sum(m.x * c.cx) AS dot
+                      FROM mev m JOIN c2 c ON c.i = m.i GROUP BY 1, 2),
+              mccos AS (SELECT mid, cid, round(dot/sqrt(nm.nsq*nc.nsq), 6) AS c
+                        FROM mcc JOIN mvn nm ON nm.doc_id = mid
+                                 JOIN knf nc ON nc.c_id = cid),
+              massign AS (SELECT mid, cid AS cell FROM (
+                            SELECT mid, cid, row_number() OVER (PARTITION BY mid
+                              ORDER BY c DESC, cid) AS arn FROM mccos) WHERE arn = 1),
+              cc AS (SELECT v.vec_id AS vid, c.c_id AS cid, sum(v.x * c.cx) AS dot
+                     FROM evr v JOIN c2 c ON v.i = c.i GROUP BY 1, 2),
+              ccos AS (SELECT vid, cid, round(dot/sqrt(nv.nsq*nc.nsq), 6) AS c
+                       FROM cc JOIN vnr nv ON nv.vec_id = vid JOIN knf nc ON nc.c_id = cid),
+              assign AS (SELECT vid, cid AS cell FROM (
+                           SELECT vid, cid, row_number() OVER (PARTITION BY vid
+                             ORDER BY c DESC, cid) AS arn FROM ccos) WHERE arn = 1),
+              dots AS (SELECT q.vec_id AS q_id, m.doc_id AS m_id, sum(q.x * m.x) AS dot
+                       FROM evr q JOIN mev m ON m.i = q.i
+                       JOIN assign qa ON qa.vid = q.vec_id
+                       JOIN massign ma ON ma.mid = m.doc_id AND ma.cell = qa.cell
+                       WHERE q.vec_id < 20 GROUP BY 1, 2),
+              pc AS (SELECT q_id, m_id, round(dot/sqrt(nq.nsq*nm.nsq), 6) AS cosine
+                     FROM dots JOIN vnr nq ON nq.vec_id = q_id
+                               JOIN mvn nm ON nm.doc_id = m_id),
+              r AS (SELECT q_id, m_id, cosine,
+                      CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY cosine DESC, m_id) AS BIGINT) AS rank
+                    FROM pc)
+          SELECT q_id, m_id, cosine, rank FROM r WHERE rank <= 5 ORDER BY 1, 2, 3, 4""",
     "range_join" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS tms FROM events)
          SELECT a.event_type AS a_type, b.event_type AS b_type, count(*) AS n_pairs
@@ -3825,6 +3987,17 @@ object SparkEntry {
                  CAST(coalesce(mc.n_old_matches, 0) = 0 AS BIGINT) AS keep
           FROM nd LEFT JOIN mc ON mc.new_id = nd.doc_id
           ORDER BY 1, 2, 3""",
+    // exact half of the bloom prefilter split: odd (new) docs hash-joined
+    // against the even (history) docs' distinct normalized-text hashes
+    "dedup_bloom_exact" ->
+      s"""WITH h AS (SELECT doc_id, md5($NormSql) AS h FROM documents)
+          SELECT f.doc_id,
+                 CAST(CASE WHEN m.h IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+                   AS exact_dup
+          FROM (SELECT * FROM h WHERE doc_id % 2 = 1) f
+          LEFT JOIN (SELECT DISTINCT h FROM h WHERE doc_id % 2 = 0) m
+            ON m.h = f.h
+          ORDER BY 1, 2""",
     "dedup_report" ->
       s"""WITH RECURSIVE $ShingleCte,
               $MinhashCte,

@@ -185,6 +185,23 @@ object Ann {
     * cells. The cell id is the shuffle key at scale; recall is tuned by
     * nCentroids/nprobe (Jégou et al. PAMI '11).
     */
+  /** The session-shared quantized-embedding table (memoized) — exposed so
+    * cross-modal consumers score against the same vector form the IVF
+    * family trains and probes with.
+    */
+  def quantNormTable(s: SparkSession, d: String): DataFrame =
+    memoDf(s, s"qn|$d")(quantNorm(s, d).cache())
+
+  /** The session-shared IVF coarse codebook (memoized, deterministic) —
+    * exposed so cross-modal consumers ([[graft.multimodal.Multimodal
+    * .crossIvfTopK]]) probe the SAME index the text-embedding queries use
+    * (one index, two modalities: the CLIP-retrieval deployment shape).
+    */
+  def ivfCodebook(s: SparkSession, d: String, nCentroids: Int = 16,
+                  trainIters: Int = 2): DataFrame =
+    memoCodebook(s, s"ivf|$d|$nCentroids|$trainIters")(
+      trainIvfCentroids(s, quantNormTable(s, d), nCentroids, trainIters))
+
   def ivfTopK(s: SparkSession, d: String, k: Int = 5, nQueries: Int = 20,
               nCentroids: Int = 16, nprobe: Int = 1, trainIters: Int = 2): DataFrame = {
     val cents = memoCodebook(s, s"ivf|$d|$nCentroids|$trainIters")(

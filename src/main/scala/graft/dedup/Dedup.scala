@@ -282,14 +282,21 @@ object Dedup {
   def simhashPairs(s: SparkSession, d: String, maxHamming: Int = 8): DataFrame = {
     // memoized signature table: self-joined below, and shared with the
     // bucketed variant — the vote pipeline materializes once per session
-    val packed = simhashSigTable(s, d)
-    val out = packed.as("a").join(packed.as("b"), col("a.doc_id") < col("b.doc_id"))
+    Det.ordered(exhaustiveHammingPairs(simhashSigTable(s, d), maxHamming))
+  }
+
+  /** Exhaustive hamming pairs over any packed (doc_id, sig_lo, sig_hi)
+    * signature table — the oracle-baseline half of the pigeonhole pattern,
+    * shared by SimHash and the media perceptual-hash
+    * ([[graft.multimodal.Multimodal.phashPairs]]).
+    */
+  private[graft] def exhaustiveHammingPairs(packed: DataFrame,
+                                            maxHamming: Int): DataFrame =
+    packed.as("a").join(packed.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
         hammingOf(col("a.sig_lo"), col("a.sig_hi"), col("b.sig_lo"), col("b.sig_hi"))
           .as("hamming"))
       .where(col("hamming") <= maxHamming)
-    Det.ordered(out)
-  }
 
   /** [[simhashSignatures]], memoized per (session, sfDir) — the exhaustive
     * and pigeonhole pair searches probe one materialized signature table,
@@ -342,7 +349,16 @@ object Dedup {
     * exhaustive [[simhashPairs]] (its oracle), like skew_join's plain-join
     * oracle pattern.
     */
-  def simhashBucketedPairs(s: SparkSession, d: String, maxHamming: Int = 8): DataFrame = {
+  def simhashBucketedPairs(s: SparkSession, d: String, maxHamming: Int = 8): DataFrame =
+    Det.ordered(bucketedHammingPairs(simhashSigTable(s, d), maxHamming))
+
+  /** Pigeonhole bucketed hamming pairs over any packed (doc_id, sig_lo,
+    * sig_hi) signature table — the 100 TB half of the pattern, shared by
+    * SimHash and the media perceptual hash. Same result set as
+    * [[exhaustiveHammingPairs]] (its oracle baseline).
+    */
+  private[graft] def bucketedHammingPairs(packed: DataFrame,
+                                          maxHamming: Int): DataFrame = {
     val nChunks = maxHamming + 1
     // near-equal chunk widths over the 64 bits (e.g. 9 chunks -> 8x7 + 1x8
     // bits); a degenerate tiny chunk would make one bucket hold half the
@@ -356,7 +372,6 @@ object Dedup {
         (bit * lit(1L << (b - bounds(c)))): Column
       }.reduce(_ + _)
     }
-    val packed = simhashSigTable(s, d) // memoized; sig pipeline runs once per session
     // ONE long join key packs (chunk index << 8 | chunk value) — chunk
     // values are at most 8 bits wide. A single-long equi-key keeps the hash
     // relation on Spark's optimized long-keyed path (measured 3.5x faster
@@ -393,7 +408,7 @@ object Dedup {
         hammingOf(col("a.sig_lo"), col("a.sig_hi"), col("b.sig_lo"), col("b.sig_hi"))
           .as("hamming"))
       .where(col("hamming") <= maxHamming)
-    Det.ordered(out)
+    out
   }
 
   /** The 100 TB dedup pipeline end-to-end: MinHash-LSH candidate generation
@@ -651,9 +666,21 @@ object Dedup {
     val s = old.sparkSession
     val oldH = old.select(col("h")).localCheckpoint(true)
     // one aggregate scalar sizes the filter — an index-build parameter,
-    // not a driver-side data loop
+    // not a driver-side data loop. At 100 TB this count should come from
+    // table statistics, not a scan (ADVICE r10).
     val n = math.max(oldH.count(), 1L)
     val bits = math.max(64L, n * bitsPerKey)
+    // BloomFilterAggregate silently CLAMPS its n/bits arguments to the
+    // session's runtime-filter caps (maxNumItems 4M / maxNumBits 8 MB by
+    // default) — sized for the optimizer's auto-injected filters, not an
+    // explicit index build. Left clamped, a large history would silently
+    // degrade to a near-100% FP rate (no false negatives, but the
+    // prefilter benefit evaporates). An explicit build states its size on
+    // purpose: raise the caps to fit (ADVICE r10).
+    def raiseCap(key: String, needed: Long): Unit =
+      if (s.conf.get(key).toLong < needed) s.conf.set(key, needed.toString)
+    raiseCap("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", n)
+    raiseCap("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", bits)
     val id = BloomViewSeq.incrementAndGet()
     val (ov, fv) = (s"graft_bloom_old_$id", s"graft_bloom_new_$id")
     oldH.createOrReplaceTempView(ov)
@@ -673,6 +700,25 @@ object Dedup {
     Det.ordered(out)
   }
   private val BloomViewSeq = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** The oracle-checkable exact half of [[bloomDedup]]: `exact_dup` is a
+    * plain hash left-join against the history's distinct hashes,
+    * independent of Spark's bloom bit layout — so CORRECTNESS covers the
+    * join semantics while only `bloom_hit` stays property-tested
+    * (no-false-negative + FPR in Round10Spec). Same even/odd corpus split
+    * and md5-of-normalized-text hashing as the bloom query.
+    */
+  def bloomDedupExact(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), md5(TextOps.norm(col("text"))).as("h"))
+    val hist = docs.where(col("doc_id") % 2 === 0)
+      .select(col("h").as("oh")).distinct()
+    val out = docs.where(col("doc_id") % 2 === 1)
+      .join(hist, col("h") === col("oh"), "left")
+      .select(col("doc_id"),
+        when(col("oh").isNotNull, 1L).otherwise(0L).as("exact_dup"))
+    Det.ordered(out)
+  }
 
   /** Per-source dedup impact report — the rollup every production dedup run
     * ships with: for each source, how many documents entered, how many

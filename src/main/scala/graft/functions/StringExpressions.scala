@@ -181,11 +181,25 @@ object SloppySlot {
 object SloppyMatch {
   /** One kernel shared by codegen and the interpreter. Tokenization mirrors
     * Spark's `split(lower(field), "\\s+")` (limit -1 keeps trailing
-    * empties), then a DFS assignment search over each slot's position list
+    * empties), then a DFS assignment search over each slot's candidate
+    * INTERVAL list — positions (p, p) for token slots, (s, s+len−1) for
+    * fixed phrases, the sub-match's minimal intervals for nested slots —
     * with sound pruning: the adjusted-position range (out-of-order), the
-    * running gap total (in-order) and the raw-position range (`gaps` mode)
-    * only grow as terms are bound, so a branch over budget can never
+    * running gap total (in-order) and the raw-endpoint range (`gaps` mode)
+    * only grow as intervals are bound, so a branch over budget can never
     * recover.
+    *
+    * Filter rules run per MINIMAL interval, like Lucene's iterators: a
+    * positive rule (containing / contained_by / overlapping / after /
+    * before) accepts an assignment only when its cover both stands in the
+    * rule's relation to some filter interval AND is minimal — no other
+    * valid assignment's cover sits strictly inside it (Lucene suppresses
+    * non-minimal intervals before filtering; ADVICE r10 #2's witness:
+    * 'alpha beta alpha gamma' with match 'alpha gamma' filter containing
+    * 'beta' does NOT match, because the minimal cover [2,3] holds no beta
+    * and the beta-containing cover [0,3] is suppressed). The not_ forms
+    * need no minimality pass: a cover avoiding the relation exists iff a
+    * minimal one does (shrinking a cover only removes relations).
     */
   def matches(field: String, termsStr: String, slop: Int,
               inOrder: Boolean, prefix: Boolean,
@@ -194,199 +208,311 @@ object SloppyMatch {
     val toks = field.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
     val slots = SloppySlot.decode(termsStr)
     val n = slots.length
-    // interval widths: 1 for token slots, phrase length for phrase slots.
-    // wTot feeds the unordered covering budget (cover − ΣwidthS ≤ slop);
-    // cumW(i) = Σ_{m<i} width(m) generalizes the adjusted position p − i.
+    // nominal widths: 1 for token slots, phrase length for phrase/nested
+    // slots. cumW(i) = Σ_{m<i} width(m) generalizes the adjusted position
+    // p − i for the sloppy-phrase mode (whose slots are all fixed-width —
+    // nested variable-width slots only occur under inOrder/gaps).
     val w = new Array[Int](n)
     val cumW = new Array[Int](n)
     var wTot = 0
     var i = 0
     while (i < n) { w(i) = slots(i).width; cumW(i) = wTot; wTot += w(i); i += 1 }
-    val pos = new Array[Array[Int]](n)
+    require(inOrder || gaps || slots.forall(!_.nested),
+      "nested sub-match slots need the ordered or unordered intervals mode")
+    // candidate intervals per slot
+    val candS = new Array[Array[Int]](n)
+    val candE = new Array[Array[Int]](n)
     i = 0
     while (i < n) {
       val sl = slots(i)
-      val isPrefix = prefix && i == n - 1
-      def phraseAt(j: Int): Boolean = {
-        if (j + sl.phrase.length > toks.length) return false
-        var o = 0
-        while (o < sl.phrase.length) {
-          if (toks(j + o) != sl.phrase(o)) return false
-          o += 1
-        }
-        true
-      }
-      def incMatch(j: Int): Boolean = {
-        if (sl.phrase.nonEmpty) return phraseAt(j)
-        var a = 0
-        while (a < sl.includes.length) {
-          if (if (isPrefix) toks(j).startsWith(sl.includes(a))
-              else toks(j) == sl.includes(a)) return true
-          a += 1
-        }
-        a = 0
-        while (a < sl.prefixes.length) {
-          if (toks(j).startsWith(sl.prefixes(a))) return true
-          a += 1
-        }
-        false
-      }
-      def exclNear(p: Int): Boolean = {
-        var q = math.max(0, p - sl.pre)
-        val hi = math.min(toks.length - 1, p + sl.post)
-        while (q <= hi) {
-          var a = 0
-          while (a < sl.excludes.length) {
-            if (toks(q) == sl.excludes(a)) return true
-            a += 1
-          }
-          q += 1
-        }
-        false
-      }
-      var cnt = 0
-      var j = 0
-      while (j < toks.length) {
-        if (incMatch(j) && !exclNear(j)) cnt += 1
-        j += 1
-      }
-      if (cnt == 0) return false // conjunctive guard: every slot must be fillable
-      val ps = new Array[Int](cnt)
-      var k = 0
-      j = 0
-      while (j < toks.length) {
-        if (incMatch(j) && !exclNear(j)) { ps(k) = j; k += 1 }
-        j += 1
-      }
-      pos(i) = ps
-      i += 1
-    }
-    // intervals filter rule (Lucene IntervalsSource filters): positions of
-    // the single filter slot (token alternatives or a fixed phrase); an
-    // assignment is accepted only when its covering interval stands in the
-    // required relation to SOME filter interval — containing/contained_by
-    // demand existence, the not_ forms demand absence, and the DFS keeps
-    // searching other assignments when a cover fails the rule.
-    var fps: Array[Int] = null
-    var fw = 1
-    if (filterMode.nonEmpty) {
-      val fsl = SloppySlot.decode(filterTerms)(0)
-      fw = fsl.width
-      def fMatch(j: Int): Boolean = {
-        if (fsl.phrase.nonEmpty) {
-          if (j + fsl.phrase.length > toks.length) return false
+      if (sl.nested) {
+        val (ss, ee) = minimalCovers(toks, sl.phrase, sl.subSlop, sl.subOrdered)
+        candS(i) = ss; candE(i) = ee
+      } else {
+        val isPrefix = prefix && i == n - 1
+        def phraseAt(j: Int): Boolean = {
+          if (j + sl.phrase.length > toks.length) return false
           var o = 0
-          while (o < fsl.phrase.length) {
-            if (toks(j + o) != fsl.phrase(o)) return false
+          while (o < sl.phrase.length) {
+            if (toks(j + o) != sl.phrase(o)) return false
             o += 1
           }
           true
-        } else {
+        }
+        def incMatch(j: Int): Boolean = {
+          if (sl.phrase.nonEmpty) return phraseAt(j)
           var a = 0
-          while (a < fsl.includes.length) {
-            if (toks(j) == fsl.includes(a)) return true
+          while (a < sl.includes.length) {
+            if (if (isPrefix) toks(j).startsWith(sl.includes(a))
+                else toks(j) == sl.includes(a)) return true
             a += 1
           }
           a = 0
-          while (a < fsl.prefixes.length) {
-            if (toks(j).startsWith(fsl.prefixes(a))) return true
+          while (a < sl.prefixes.length) {
+            if (toks(j).startsWith(sl.prefixes(a))) return true
             a += 1
           }
           false
         }
-      }
-      var cnt = 0
-      var j = 0
-      while (j < toks.length) { if (fMatch(j)) cnt += 1; j += 1 }
-      val positive = !filterMode.startsWith("not_")
-      if (positive && cnt == 0) return false
-      fps = new Array[Int](cnt)
-      var k = 0
-      j = 0
-      while (j < toks.length) { if (fMatch(j)) { fps(k) = j; k += 1 }; j += 1 }
-    }
-    val chosenS = new Array[Int](n) // bound interval starts
-    val chosenE = new Array[Int](n) // bound interval ends (start + width - 1)
-    // minB/maxB track the range bound so far: adjusted starts s_k - cumW(k)
-    // out-of-order (for all-width-1 slots this is the classic p_k - k), RAW
-    // interval endpoints in `gaps` mode (min start in minB, max END in maxB
-    // — the covering budget (maxEnd - minStart + 1) - ΣwidthS ≤ slop over
-    // ALL n intervals, checkable early because the cover only widens as
-    // intervals are bound). gapsAcc carries the ordered mode's running
-    // total of intervening positions (future gaps only add).
-    def filterOk(): Boolean = {
-      if (filterMode.isEmpty) return true
-      var cs = Int.MaxValue
-      var ce = -1
-      var m = 0
-      while (m < n) {
-        if (chosenS(m) < cs) cs = chosenS(m)
-        if (chosenE(m) > ce) ce = chosenE(m)
-        m += 1
-      }
-      var found = false
-      var t = 0
-      while (t < fps.length && !found) {
-        val js = fps(t)
-        val je = js + fw - 1
-        found = filterMode match {
-          case "containing" | "not_containing"       => js >= cs && je <= ce
-          case "contained_by" | "not_contained_by"   => js <= cs && je >= ce
-          case "overlapping" | "not_overlapping"     => js <= ce && je >= cs
-          case "after"                               => cs > je
-          case "before"                              => ce < js
-          case other => throw new IllegalStateException(
-            s"unknown intervals filter mode: $other")
-        }
-        t += 1
-      }
-      if (filterMode.startsWith("not_")) !found else found
-    }
-    def dfs(i: Int, minB: Int, maxB: Int, gapsAcc: Int): Boolean = {
-      if (i == n) return filterOk()
-      val ps = pos(i)
-      var k = 0
-      while (k < ps.length) {
-        val s = ps(k)
-        val e = s + w(i) - 1
-        // chosen intervals must not overlap — for width-1 slots exactly the
-        // distinct-positions rule
-        var free = true
-        var m = 0
-        while (m < i && free) {
-          if (s <= chosenE(m) && e >= chosenS(m)) free = false
-          m += 1
-        }
-        if (free) {
-          val stepGaps =
-            if (!inOrder || i == 0) 0 else s - chosenE(i - 1) - 1
-          val ok =
-            if (inOrder)
-              // strictly after the previous interval's end, with the total
-              // intervening-position budget still affordable
-              (i == 0 || s > chosenE(i - 1)) && gapsAcc + stepGaps <= slop
-            else if (i == 0) true // first binding: the cover is one interval
-            else if (gaps)
-              (math.max(maxB, e) - math.min(minB, s) + 1) - wTot <= slop
-            else {
-              val adj = s - cumW(i)
-              math.max(maxB, adj) - math.min(minB, adj) <= slop
+        def exclNear(p: Int): Boolean = {
+          var q = math.max(0, p - sl.pre)
+          val hi = math.min(toks.length - 1, p + sl.post)
+          while (q <= hi) {
+            var a = 0
+            while (a < sl.excludes.length) {
+              if (toks(q) == sl.excludes(a)) return true
+              a += 1
             }
-          if (ok) {
-            chosenS(i) = s
-            chosenE(i) = e
-            val (lo, hi) = if (gaps) (s, e) else { val adj = s - cumW(i); (adj, adj) }
-            if (dfs(i + 1,
-                if (i == 0) lo else math.min(minB, lo),
-                if (i == 0) hi else math.max(maxB, hi),
-                gapsAcc + stepGaps)) return true
+            q += 1
           }
+          false
         }
+        var cnt = 0
+        var j = 0
+        while (j < toks.length) {
+          if (incMatch(j) && !exclNear(j)) cnt += 1
+          j += 1
+        }
+        val ps = new Array[Int](cnt)
+        val pe = new Array[Int](cnt)
+        var k = 0
+        j = 0
+        while (j < toks.length) {
+          if (incMatch(j) && !exclNear(j)) { ps(k) = j; pe(k) = j + w(i) - 1; k += 1 }
+          j += 1
+        }
+        candS(i) = ps; candE(i) = pe
+      }
+      // conjunctive guard: every slot must be fillable
+      if (candS(i).length == 0) return false
+      i += 1
+    }
+    // minimum candidate width per slot and its suffix sum — the sound
+    // lower bound on what future slots will subtract from the unordered
+    // covering budget (bigger intervals only help: cover − Σwidths)
+    val minW = new Array[Int](n)
+    val sufMinW = new Array[Int](n + 1)
+    i = 0
+    while (i < n) {
+      var mw = Int.MaxValue
+      var k = 0
+      while (k < candS(i).length) {
+        val cw = candE(i)(k) - candS(i)(k) + 1
+        if (cw < mw) mw = cw
         k += 1
       }
-      false
+      minW(i) = mw
+      i += 1
     }
-    dfs(0, 0, 0, 0)
+    i = n - 1
+    while (i >= 0) { sufMinW(i) = sufMinW(i + 1) + minW(i); i -= 1 }
+    // intervals filter rule: candidate intervals of the single filter slot
+    // (token alternatives, a fixed phrase, or a nested sub-match)
+    var fS: Array[Int] = null
+    var fE: Array[Int] = null
+    if (filterMode.nonEmpty) {
+      val fsl = SloppySlot.decode(filterTerms)(0)
+      if (fsl.nested) {
+        val (ss, ee) = minimalCovers(toks, fsl.phrase, fsl.subSlop, fsl.subOrdered)
+        fS = ss; fE = ee
+      } else {
+        def fMatch(j: Int): Boolean = {
+          if (fsl.phrase.nonEmpty) {
+            if (j + fsl.phrase.length > toks.length) return false
+            var o = 0
+            while (o < fsl.phrase.length) {
+              if (toks(j + o) != fsl.phrase(o)) return false
+              o += 1
+            }
+            true
+          } else {
+            var a = 0
+            while (a < fsl.includes.length) {
+              if (toks(j) == fsl.includes(a)) return true
+              a += 1
+            }
+            a = 0
+            while (a < fsl.prefixes.length) {
+              if (toks(j).startsWith(fsl.prefixes(a))) return true
+              a += 1
+            }
+            false
+          }
+        }
+        var cnt = 0
+        var j = 0
+        while (j < toks.length) { if (fMatch(j)) cnt += 1; j += 1 }
+        fS = new Array[Int](cnt)
+        fE = new Array[Int](cnt)
+        var k = 0
+        j = 0
+        while (j < toks.length) {
+          if (fMatch(j)) { fS(k) = j; fE(k) = j + fsl.width - 1; k += 1 }
+          j += 1
+        }
+      }
+      if (!filterMode.startsWith("not_") && fS.length == 0) return false
+    }
+    // one assignment search, reusable as the minimality probe: when
+    // `strictWithin`, it asks whether ANY valid assignment's cover sits
+    // strictly inside [loS, hiE] (the filter rule is NOT applied there —
+    // minimality is a property of the source's intervals alone).
+    def search(loS: Int, hiE: Int, strictWithin: Boolean): Boolean = {
+      val chS = new Array[Int](n)
+      val chE = new Array[Int](n)
+      def accept(): Boolean = {
+        var cs = Int.MaxValue
+        var ce = -1
+        var m = 0
+        while (m < n) {
+          if (chS(m) < cs) cs = chS(m)
+          if (chE(m) > ce) ce = chE(m)
+          m += 1
+        }
+        if (strictWithin) return cs > loS || ce < hiE
+        if (filterMode.isEmpty) return true
+        var found = false
+        var t = 0
+        while (t < fS.length && !found) {
+          val js = fS(t)
+          val je = fE(t)
+          found = filterMode match {
+            case "containing" | "not_containing"     => js >= cs && je <= ce
+            case "contained_by" | "not_contained_by" => js <= cs && je >= ce
+            case "overlapping" | "not_overlapping"   => js <= ce && je >= cs
+            case "after"                             => cs > je
+            case "before"                            => ce < js
+            case other => throw new IllegalStateException(
+              s"unknown intervals filter mode: $other")
+          }
+          t += 1
+        }
+        if (filterMode.startsWith("not_")) !found
+        // positive rules fire per minimal interval: a cover with another
+        // valid cover strictly inside is suppressed, keep searching
+        else found && !search(cs, ce, strictWithin = true)
+      }
+      // minB/maxB track the range bound so far: adjusted starts s_k −
+      // cumW(k) out-of-order (for all-width-1 slots the classic p_k − k),
+      // RAW interval endpoints in `gaps` mode (min start / max end — the
+      // covering budget (maxEnd − minStart + 1) − Σwidths ≤ slop, pruned
+      // early via the future-width lower bound sufMinW). gapsAcc carries
+      // the ordered mode's running total of intervening positions; wAcc
+      // the widths bound so far (nested intervals vary in width).
+      def dfs(i: Int, minB: Int, maxB: Int, gapsAcc: Int, wAcc: Int): Boolean = {
+        if (i == n) return accept()
+        val ss = candS(i)
+        val ee = candE(i)
+        var k = 0
+        while (k < ss.length) {
+          val s = ss(k)
+          val e = ee(k)
+          if (s >= loS && e <= hiE) {
+            // chosen intervals must not overlap — for width-1 slots exactly
+            // the distinct-positions rule
+            var free = true
+            var m = 0
+            while (m < i && free) {
+              if (s <= chE(m) && e >= chS(m)) free = false
+              m += 1
+            }
+            if (free) {
+              val stepGaps =
+                if (!inOrder || i == 0) 0 else s - chE(i - 1) - 1
+              val ok =
+                if (inOrder)
+                  // strictly after the previous interval's end, with the
+                  // total intervening-position budget still affordable
+                  (i == 0 || s > chE(i - 1)) && gapsAcc + stepGaps <= slop
+                else if (i == 0) true // first binding: the cover is one interval
+                else if (gaps)
+                  (math.max(maxB, e) - math.min(minB, s) + 1) -
+                    (wAcc + (e - s + 1) + sufMinW(i + 1)) <= slop
+                else {
+                  val adj = s - cumW(i)
+                  math.max(maxB, adj) - math.min(minB, adj) <= slop
+                }
+              if (ok) {
+                chS(i) = s
+                chE(i) = e
+                val (lo, hi) = if (gaps) (s, e) else { val adj = s - cumW(i); (adj, adj) }
+                if (dfs(i + 1,
+                    if (i == 0) lo else math.min(minB, lo),
+                    if (i == 0) hi else math.max(maxB, hi),
+                    gapsAcc + stepGaps, wAcc + (e - s + 1))) return true
+              }
+            }
+          }
+          k += 1
+        }
+        false
+      }
+      dfs(0, 0, 0, 0, 0)
+    }
+    search(0, Int.MaxValue, strictWithin = false)
+  }
+
+  /** All MINIMAL intervals of a sub-match (exact terms, gap budget `slop`,
+    * `ordered` or not) over the token array — the candidates a nested
+    * `all_of` sub-source contributes, and what Lucene's interval iterators
+    * emit. Enumerates valid assignments (distinct positions; ordered ⇒
+    * strictly increasing; covering gap count (max − min + 1) − k ≤ slop,
+    * which for in-order positions equals the total-intervening-positions
+    * budget), collects their covers, and keeps the covers with no other
+    * valid cover strictly inside. Returned sorted by start.
+    */
+  private[graft] def minimalCovers(toks: Array[String], terms: Seq[String],
+                                   slop: Int, ordered: Boolean): (Array[Int], Array[Int]) = {
+    val k = terms.length
+    val pos = new Array[Array[Int]](k)
+    var i = 0
+    while (i < k) {
+      val t = terms(i)
+      var cnt = 0
+      var j = 0
+      while (j < toks.length) { if (toks(j) == t) cnt += 1; j += 1 }
+      if (cnt == 0) return (Array.empty[Int], Array.empty[Int])
+      val ps = new Array[Int](cnt)
+      var m = 0
+      j = 0
+      while (j < toks.length) { if (toks(j) == t) { ps(m) = j; m += 1 }; j += 1 }
+      pos(i) = ps
+      i += 1
+    }
+    val covers = new java.util.HashSet[Long]()
+    val ch = new Array[Int](k)
+    def dfs(i: Int, lo: Int, hi: Int): Unit = {
+      if (i == k) { covers.add(lo.toLong << 32 | hi.toLong); return }
+      val ps = pos(i)
+      var m = 0
+      while (m < ps.length) {
+        val p = ps(m)
+        var free = true
+        var q = 0
+        while (q < i && free) { if (ch(q) == p) free = false; q += 1 }
+        if (free && (!ordered || i == 0 || p > ch(i - 1))) {
+          val nlo = if (i == 0) p else math.min(lo, p)
+          val nhi = if (i == 0) p else math.max(hi, p)
+          // sound prune: the cover only widens; its final gap count
+          // (cover − k) already exceeding the budget can't recover
+          if ((nhi - nlo + 1) - k <= slop) {
+            ch(i) = p
+            dfs(i + 1, nlo, nhi)
+          }
+        }
+        m += 1
+      }
+    }
+    dfs(0, 0, 0)
+    val all = covers.toArray(new Array[java.lang.Long](0)).map(_.longValue())
+    val keep = all.filter { c =>
+      val (cs, ce) = ((c >> 32).toInt, (c & 0xffffffffL).toInt)
+      !all.exists { o =>
+        val (os, oe) = ((o >> 32).toInt, (o & 0xffffffffL).toInt)
+        os >= cs && oe <= ce && (os > cs || oe < ce)
+      }
+    }.sorted
+    (keep.map(c => (c >> 32).toInt), keep.map(c => (c & 0xffffffffL).toInt))
   }
 }
 

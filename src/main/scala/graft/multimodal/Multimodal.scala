@@ -203,6 +203,163 @@ object Multimodal {
     out
   }
 
+  // ---- perceptual-hash near-dup for media ---------------------------------
+
+  /** 64-bit perceptual hash (aHash structure) of the media payload: the
+    * payload's character stream is split into 64 equal blocks — the
+    * downsampled-pixel-grid analog — and bit b is set when block b's mean
+    * value exceeds the whole payload's mean. The compare is cross-multiplied
+    * integer arithmetic (`bsum·n > tsum·bcnt`), so both engines decide every
+    * bit identically — the whole hash is SQL-expressible and the pair
+    * searches over it are oracle-checked end to end. Packed into two 32-bit
+    * halves like the SimHash signature table (one xor + popcount per pair
+    * test; per-row cost here is O(len) via the position explode — at 100 TB
+    * the same hash computes in a mapPartitions decode pass).
+    */
+  def phashSignatures(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{sum => fsum}
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("text").as("t"), length(col("text")).as("n"))
+      .where(col("n") >= 1)
+    val chars = base
+      .select(col("doc_id"), col("t"), col("n"),
+        explode(sequence(lit(1), col("n"))).as("p"))
+      .select(col("doc_id"), col("n"),
+        expr("CAST((p - 1) * 64 DIV n AS INT)").as("blk"),
+        ascii(expr("substring(t, p, 1)")).as("code"))
+    val blkAgg = chars.groupBy(col("doc_id"), col("blk"))
+      .agg(fsum(col("code")).as("bsum"), count(lit(1)).as("bcnt"))
+    val tot = chars.groupBy(col("doc_id"))
+      .agg(fsum(col("code")).as("tsum"), count(lit(1)).as("n"))
+    val bits = blkAgg.join(tot, "doc_id")
+      .select(col("doc_id"), col("blk"),
+        (col("bsum") * col("n") > col("tsum") * col("bcnt")).as("bit"))
+    bits.groupBy(col("doc_id")).agg(
+      coalesce(fsum(when(col("bit") && col("blk") < 32,
+        expr("shiftleft(CAST(1 AS BIGINT), blk)"))), lit(0L)).as("sig_lo"),
+      coalesce(fsum(when(col("bit") && col("blk") >= 32,
+        expr("shiftleft(CAST(1 AS BIGINT), blk - 32)"))), lit(0L)).as("sig_hi"))
+  }
+
+  /** Memoized pHash signature table — the stored index both pair searches
+    * probe (the simhashSigTable pattern). */
+  private def phashSigTable(s: SparkSession, d: String): DataFrame =
+    graft.core.Memo.df(s, s"mm.phash|$d") {
+      phashSignatures(s, d).localCheckpoint(true)
+    }
+
+  /** Exhaustive media near-dup pairs (hamming <= maxHamming over the pHash)
+    * — the oracle baseline for [[phashDedup]], never the 100 TB path.
+    */
+  def phashPairs(s: SparkSession, d: String, maxHamming: Int = 12): DataFrame =
+    Det.ordered(graft.dedup.Dedup.exhaustiveHammingPairs(
+      phashSigTable(s, d), maxHamming))
+
+  /** Media near-dup pairs via PIGEONHOLE bucketing — the 100 TB path,
+    * riding the SimHash chunk machinery unchanged (the packed
+    * `(chunk << 8) | value` single-long bucket key): signatures within
+    * hamming distance `maxHamming` must agree on one of `maxHamming + 1`
+    * chunks, so candidates come from bucket joins and the xor-popcount
+    * verification never sees the corpus square. Same result set as
+    * [[phashPairs]].
+    */
+  def phashDedup(s: SparkSession, d: String, maxHamming: Int = 12): DataFrame =
+    Det.ordered(graft.dedup.Dedup.bucketedHammingPairs(
+      phashSigTable(s, d), maxHamming))
+
+  // ---- cross-modal retrieval ----------------------------------------------
+
+  /** 64-dim SQL-expressible media embedding: four md5 streams over the
+    * payload (`text#k`), 16 hex-pair dims each, mapped to [-1, 1) — the
+    * [[hexEmbedding]] construction widened to the TEXT embedding table's
+    * dimensionality so both modalities share one vector space (the CLIP
+    * stand-in; components are exact multiples of 1/128, so cross-engine
+    * math needs no decimal carry).
+    */
+  def hexEmbedding64(s: SparkSession, d: String): DataFrame = {
+    val doc = Tables.documents(s, d)
+    val withFp = doc.select(col("doc_id") +:
+      (0 until 4).map(k =>
+        md5(concat(col("text"), lit(s"#$k"))).as(s"fp$k")): _*)
+    withFp.select(col("doc_id"),
+      flatten(array((0 until 4).map(k =>
+        transform(sequence(lit(0), lit(15)), j =>
+          (conv(col(s"fp$k").substr(j * lit(2) + lit(1), lit(2)), 16, 10)
+            .cast("int") - lit(128)) / lit(128.0))): _*)).as("v"))
+  }
+
+  /** Cross-modal retrieval, exact: TEXT-embedding queries (the embeddings
+    * table) against the MEDIA embedding corpus — the CLIP-retrieval shape
+    * (text query → media neighbors), brute-force cosine top-k as the
+    * recall-1.0 baseline. Oracle-checked end to end (both embedding forms
+    * are SQL-expressible / parquet-read).
+    */
+  def crossTopK(s: SparkSession, d: String, k: Int = 5, nQueries: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions
+    val m = hexEmbedding64(s, d)
+      .select(col("doc_id").as("m_id"), col("v"),
+        sqrt(VectorFunctions.dot(s, col("v"), col("v"))).as("nrm"))
+    val q = Tables.embeddings(s, d).where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"),
+        transform(col("embedding"), x => x.cast("double")).as("qv"))
+      .select(col("q_id"), col("qv"),
+        sqrt(VectorFunctions.dot(s, col("qv"), col("qv"))).as("qn"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("m_id"))
+    val out = m.join(broadcast(q), lit(true))
+      .select(col("q_id"), col("m_id"),
+        round(try_divide(VectorFunctions.dot(s, col("qv"), col("v")),
+          col("qn") * col("nrm")), 6).as("cosine"))
+      .select(col("q_id"), col("m_id"), col("cosine"),
+        row_number().over(w).cast("bigint").as("rank"))
+      .where(col("rank") <= k)
+    Det.ordered(out)
+  }
+
+  /** Cross-modal retrieval over the SHARED IVF index (the deployment
+    * shape): media vectors are assigned to the text-corpus-trained coarse
+    * codebook ([[graft.ann.Ann.ivfCodebook]] — the same memoized/persisted
+    * index every text consumer probes), and each text query searches only
+    * the media vectors of its probed cell. Per-query cost is cell
+    * occupancy, not corpus size; training, assignment and scoring replay
+    * deterministically, so the oracle checks the whole composition.
+    */
+  def crossIvfTopK(s: SparkSession, d: String, k: Int = 5, nQueries: Int = 20,
+                   nCentroids: Int = 16, trainIters: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VectorFunctions
+    val cents = graft.ann.Ann.ivfCodebook(s, d, nCentroids, trainIters)
+    def assign(vecs: DataFrame, idCol: String): DataFrame = {
+      val wA = Window.partitionBy(col(idCol)).orderBy(col("c_cos").desc, col("c_id"))
+      vecs.join(broadcast(cents), lit(true))
+        .select(col(idCol), col("v"), col("nrm"), col("c_id"),
+          round(try_divide(VectorFunctions.dot(s, col("v"), col("cv")),
+            col("nrm") * col("cn")), 6).as("c_cos"))
+        .withColumn("arn", row_number().over(wA))
+        .where(col("arn") === 1)
+        .select(col(idCol), col("v"), col("nrm"), col("c_id").as("cell"))
+    }
+    val media = assign(hexEmbedding64(s, d)
+      .select(col("doc_id"), col("v"),
+        sqrt(VectorFunctions.dot(s, col("v"), col("v"))).as("nrm")), "doc_id")
+      .select(col("doc_id").as("m_id"), col("v"), col("nrm"), col("cell"))
+    // text queries probe their own stored cell, in the QUANTIZED vector
+    // form the codebook was trained on (ann_ivf's convention)
+    val q = assign(graft.ann.Ann.quantNormTable(s, d).where(col("vec_id") < nQueries),
+        "vec_id")
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("cell").as("q_cell"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("m_id"))
+    val out = media.join(broadcast(q), col("cell") === col("q_cell"))
+      .select(col("q_id"), col("m_id"),
+        round(try_divide(VectorFunctions.dot(s, col("qv"), col("v")),
+          col("qn") * col("nrm")), 6).as("cosine"))
+      .select(col("q_id"), col("m_id"), col("cosine"),
+        row_number().over(w).cast("bigint").as("rank"))
+      .where(col("rank") <= k)
+    Det.ordered(out)
+  }
+
   def decodeFeatures(s: SparkSession, d: String, dim: Int = 16,
                      nFrames: Int = 4): Dataset[MediaFeatures] = {
     import s.implicits._

@@ -422,15 +422,17 @@ object EsFilter {
     * `(max - min) - (n - 1)`, Lucene's Ordered/UnorderedIntervalsSource
     * width rules), `any_of` (an interval of ANY sub-source exists — in
     * filter context exactly OR), and `all_of` whose sub-sources each reduce
-    * either to a single-token alternative set (a one-term `match` or an
-    * `any_of` of them — such an all_of IS a slot-assignment search under
-    * the same budgets) or to a fixed PHRASE (a
-    * multi-token sub-match explicitly marked `ordered:true, max_gaps:0` —
-    * Lucene `Intervals.phrase`), which occupies its full width in the
-    * enclosing budget and may not overlap other chosen intervals. Sources
-    * that need corpus statistics or true nested sloppy sub-intervals
-    * (`wildcard`, `fuzzy`, `containing`, `not_contained_by`, a sub-match
-    * with its own gap budget, filter rules) are rejected, not approximated.
+    * to a single-token alternative set (a one-term `match` or an `any_of`
+    * of them — such an all_of IS a slot-assignment search under the same
+    * budgets), a fixed PHRASE (a multi-token sub-match marked
+    * `ordered:true, max_gaps:0` — Lucene `Intervals.phrase`), or a NESTED
+    * sloppy sub-match with its own gap budget (any other (ordered,
+    * max_gaps) combination, the ES default included — Lucene's nested
+    * Ordered/UnorderedIntervalsSource): the nested slot's candidates are
+    * the sub-match's MINIMAL intervals, each occupying its actual width in
+    * the enclosing budget, and chosen intervals may not overlap. Sources
+    * that need corpus statistics (`wildcard`, `fuzzy`) and `script`
+    * filters are rejected, not approximated.
     */
   private def intervals(body: JsonNode): Column = {
     require(body.isObject && body.size() == 1,
@@ -522,17 +524,19 @@ object EsFilter {
           .split("\\s+").filter(_.nonEmpty)
         if (ts.length == 1) SloppySlot(Seq(ts(0)), Nil, 0, 0)
         else {
-          // multi-token sub-match: ONLY the fixed-phrase form (an explicit
-          // ordered:true, max_gaps:0 — Lucene Intervals.phrase, a
-          // contiguous width-n interval in the enclosing budget math).
-          // General nested sloppy sub-intervals (the ES default max_gaps
-          // -1 on a sub-match) stay rejected, not approximated.
+          // multi-token sub-match: an explicit ordered:true, max_gaps:0 is
+          // the fixed-phrase fast path (Lucene Intervals.phrase, a
+          // contiguous width-n interval); any OTHER (ordered, max_gaps)
+          // combination — including the ES default max_gaps:-1 — becomes a
+          // NESTED sub-interval slot: its candidates are the sub-match's
+          // minimal intervals under its own budget (Lucene's nested
+          // Ordered/UnorderedIntervalsSource), each occupying its actual
+          // width in the enclosing budget and the no-overlap rule.
           val ordered = b.path("ordered").asBoolean(false)
           val mg = if (b.has("max_gaps")) b.get("max_gaps").asInt() else -1
-          require(ordered && mg == 0,
-            "all_of sub-match must be a single term or an explicit phrase " +
-              s"(ordered:true, max_gaps:0), got: '${b.get("query").asText()}'")
-          SloppySlot(Nil, Nil, 0, 0, Nil, ts.toSeq)
+          if (ordered && mg == 0) SloppySlot(Nil, Nil, 0, 0, Nil, ts.toSeq)
+          else SloppySlot(Nil, Nil, 0, 0, Nil, ts.toSeq,
+            subSlop = if (mg < 0) UnboundedGaps else mg, subOrdered = ordered)
         }
       case "any_of" =>
         val b = src.get("any_of")
@@ -674,6 +678,11 @@ object EsFilter {
         lit(SloppySlot.encode(slots)), lit(slop), lit(inOrder), lit(prefix),
         lit(gaps), lit(filterMode),
         lit(filterSlot.map(sl => SloppySlot.encode(Seq(sl))).getOrElse("")))
+    // the HOF formulation keeps fixed slot widths; nested sub-match budgets
+    // (variable-width candidates) are kernel-only — rejected, not approximated
+    require(slots.forall(!_.nested) && filterSlot.forall(!_.nested),
+      "nested sub-match gap budgets need the graft_sloppy kernel " +
+        "(install graft.functions.GraftExtensions)")
     val toks = split(lower(field), "\\s+")
     // interval widths: 1 for token slots, phrase length for phrase slots
     val ws = slots.map(_.width)
@@ -736,20 +745,62 @@ object EsFilter {
             element_at(toks, j + 1).startsWith(lit(t)): Column)).reduce(_ || _)), 1)
       }
     }
-    def accept(ps: Seq[Column]): Column = {
-      def end(k: Int): Column = ps(k) + lit(ws(k) - 1)
+    def endOf(ps: Seq[Column], k: Int): Column = ps(k) + lit(ws(k) - 1)
+    def coverOf(ps: Seq[Column]): (Column, Column) = {
+      val cs = if (ps.size == 1) ps.head else least(ps: _*)
+      val ce = if (ps.size == 1) endOf(ps, 0)
+               else greatest(ps.indices.map(endOf(ps, _)): _*)
+      (cs, ce)
+    }
+    // non-overlap + budget — the assignment-validity core, shared by the
+    // outer search and the minimality probe
+    def baseOk(ps: Seq[Column]): Column = {
       // chosen intervals must not overlap — for width-1 slots exactly the
       // distinct-positions rule
       val distinctOk = (for { a <- ps.indices; b <- a + 1 until ps.size }
-        yield ((end(a) < ps(b)) || (end(b) < ps(a))): Column)
+        yield ((endOf(ps, a) < ps(b)) || (endOf(ps, b) < ps(a))): Column)
         .reduceOption(_ && _).getOrElse(lit(true))
+      val widthOk =
+        if (ps.size == 1) lit(true)
+        else if (inOrder) {
+          val ordered = ps.indices.sliding(2).map { case Seq(a, b) =>
+            (ps(b) > endOf(ps, a)): Column }.reduce(_ && _)
+          // total intervening positions: last start − first start − the
+          // widths of everything before the last interval
+          ordered && (ps.last - ps.head - lit(cumW(ps.size - 1)) <= lit(slop))
+        } else if (gaps) {
+          // unordered intervals: the covering interval's gap count
+          // (maxEnd − minStart + 1) − Σwidths
+          val ends = array(ps.indices.map(endOf(ps, _)): _*)
+          val starts = array(ps: _*)
+          array_max(ends) - array_min(starts) + lit(1) - lit(wTot) <= lit(slop)
+        } else {
+          val adjusted = array(ps.zipWithIndex.map { case (p, k) => p - lit(cumW(k)) }: _*)
+          array_max(adjusted) - array_min(adjusted) <= lit(slop)
+        }
+      distinctOk && widthOk
+    }
+    // a valid assignment whose cover sits STRICTLY inside [bs, be] — the
+    // minimality probe behind Lucene's minimal-interval filter semantics
+    // (the kernel's search(cs, ce, strictWithin) twin)
+    def searchWithin(bs: Column, be: Column): Column = {
+      def go(i: Int, bound: List[Column]): Column =
+        if (i == slots.size) {
+          val ps = bound.reverse
+          val (cs, ce) = coverOf(ps)
+          baseOk(ps) && (cs > bs || ce < be)
+        } else exists(posLists(i), p =>
+          p >= bs && p + lit(ws(i) - 1) <= be && go(i + 1, p :: bound))
+      go(0, Nil)
+    }
+    def accept(ps: Seq[Column]): Column = {
       // the covering interval must stand in the filter's relation to SOME
-      // filter interval (absence for the not_ forms)
+      // filter interval (absence for the not_ forms) — and, positive rules
+      // firing per MINIMAL interval, no valid cover may sit strictly inside
       val filterOk: Column = filterPos match {
         case None => lit(true)
         case Some((fpl, fw)) =>
-          val cs = if (ps.size == 1) ps.head else least(ps: _*)
-          val ce = if (ps.size == 1) end(0) else greatest(ps.indices.map(end): _*)
+          val (cs, ce) = coverOf(ps)
           val ex = exists(fpl, j => filterMode match {
             case "containing" | "not_containing" =>
               j >= cs && j + lit(fw - 1) <= ce
@@ -762,27 +813,10 @@ object EsFilter {
             case other => throw new IllegalArgumentException(
               s"unknown intervals filter mode: $other")
           })
-          if (filterMode.startsWith("not_")) !ex else ex
+          if (filterMode.startsWith("not_")) !ex
+          else ex && !searchWithin(cs, ce)
       }
-      val widthOk =
-        if (ps.size == 1) lit(true)
-        else if (inOrder) {
-          val ordered = ps.indices.sliding(2).map { case Seq(a, b) =>
-            (ps(b) > end(a)): Column }.reduce(_ && _)
-          // total intervening positions: last start − first start − the
-          // widths of everything before the last interval
-          ordered && (ps.last - ps.head - lit(cumW(ps.size - 1)) <= lit(slop))
-        } else if (gaps) {
-          // unordered intervals: the covering interval's gap count
-          // (maxEnd − minStart + 1) − Σwidths
-          val ends = array(ps.indices.map(end): _*)
-          val starts = array(ps: _*)
-          array_max(ends) - array_min(starts) + lit(1) - lit(wTot) <= lit(slop)
-        } else {
-          val adjusted = array(ps.zipWithIndex.map { case (p, k) => p - lit(cumW(k)) }: _*)
-          array_max(adjusted) - array_min(adjusted) <= lit(slop)
-        }
-      distinctOk && widthOk && filterOk
+      baseOk(ps) && filterOk
     }
     def search(i: Int, bound: List[Column]): Column =
       if (i == slots.size) accept(bound.reverse)

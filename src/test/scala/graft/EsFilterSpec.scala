@@ -539,16 +539,45 @@ class EsFilterSpec extends SparkTestBase {
            {"any_of":{"intervals":[{"match":{"query":"beta"}},
                                    {"match":{"query":"x"}}]}}]}}}}""")
       == Seq(1L, 4L))
-    // unsupported sources are rejected; a bare multi-token sub-match (the
-    // ES default would make it a nested sloppy interval) is rejected too —
-    // only the explicit phrase form below is accepted
+    // unsupported sources (corpus statistics) stay rejected
     intercept[IllegalArgumentException] {
       sids("""{"intervals":{"text":{"wildcard":{"pattern":"al*"}}}}""")
     }
-    intercept[IllegalArgumentException] {
-      sids("""{"intervals":{"text":{"all_of":{"intervals":[
-               {"match":{"query":"alpha beta"}}]}}}}""")
-    }
+    // a bare multi-token sub-match inside all_of is a NESTED sloppy
+    // interval under its own budget (the ES default): adjacent
+    // alpha/beta in either order — docs 1, 2, 5; 3 and 4 have gaps
+    assert(sids("""{"intervals":{"text":{"all_of":{"intervals":[
+             {"match":{"query":"alpha beta","max_gaps":0}}]}}}}""")
+      == Seq(1L, 2L, 5L))
+  }
+
+  test("intervals: nested sub-match gap budgets (all_of inside all_of)") {
+    // nested unordered 'alpha y' within 1 gap: only doc 4 ([0,2] via x@1);
+    // doc 3's alpha..y cover [0,3] has 2 gaps. The nested interval then
+    // combines with gamma under the OUTER budget: cover [0,4] minus
+    // widths (3 + 1) = 1 gap -> max_gaps 1 passes, max_gaps 0 does not.
+    assert(sids("""{"intervals":{"text":{"all_of":{"max_gaps":1,"intervals":[
+             {"match":{"query":"alpha y","max_gaps":1}},
+             {"match":{"query":"gamma"}}]}}}}""")
+      == Seq(4L))
+    assert(sids("""{"intervals":{"text":{"all_of":{"max_gaps":0,"intervals":[
+             {"match":{"query":"alpha y","max_gaps":1}},
+             {"match":{"query":"gamma"}}]}}}}""")
+      == Seq())
+    // ordered outer budgets count from the nested interval's END, and a
+    // token INSIDE the nested cover overlaps it (no-overlap rule): doc 3's
+    // nested ordered alpha..beta cover is [0,2] (1 gap <= 2) with y@3
+    // adjacent after it; doc 4's y@2 sits inside its [0,3] cover
+    assert(sids("""{"intervals":{"text":{"all_of":{"ordered":true,"max_gaps":0,
+             "intervals":[{"match":{"query":"alpha beta","ordered":true,"max_gaps":2}},
+                          {"match":{"query":"y"}}]}}}}""")
+      == Seq(3L))
+    // the nested budget itself binds: max_gaps 1 excludes doc 4's 2-gap
+    // alpha..beta and doc 3 keeps its 1-gap one
+    assert(sids("""{"intervals":{"text":{"all_of":{"ordered":true,"max_gaps":0,
+             "intervals":[{"match":{"query":"alpha beta","ordered":true,"max_gaps":1}},
+                          {"match":{"query":"y"}}]}}}}""")
+      == Seq(3L))
   }
 
   test("intervals: fixed-phrase all_of subs occupy their width in the budget") {
@@ -580,11 +609,11 @@ class EsFilterSpec extends SparkTestBase {
     assert(sids(s"""{"intervals":{"text":{"all_of":{"ordered":true,"max_gaps":1,
              "intervals":[{"match":{"query":"alpha"}},
                           ${phrase("beta gamma")}]}}}}""") == Seq(1L))
-    // a sub-match with its own nonzero gap budget stays rejected
-    intercept[IllegalArgumentException] {
-      sids("""{"intervals":{"text":{"all_of":{"intervals":[
-               {"match":{"query":"alpha beta","ordered":true,"max_gaps":1}}]}}}}""")
-    }
+    // a sub-match with its own nonzero gap budget is a nested interval
+    // (not a phrase): ordered alpha..beta within 1 gap — docs 1, 3, 5
+    assert(sids("""{"intervals":{"text":{"all_of":{"intervals":[
+             {"match":{"query":"alpha beta","ordered":true,"max_gaps":1}}]}}}}""")
+      == Seq(1L, 3L, 5L))
   }
 
   test("intervals: prefix rule is a startsWith position slot") {
@@ -652,6 +681,34 @@ class EsFilterSpec extends SparkTestBase {
       sids("""{"intervals":{"text":{"match":{"query":"alpha",
           "filter":{"script":{"source":"true"}}}}}}""")
     }
+  }
+
+  test("positive filter rules fire per MINIMAL interval (Lucene semantics)") {
+    import spark.implicits._
+    // the ADVICE r10 witness: in 'alpha beta alpha gamma' the alpha..gamma
+    // source has covers [0,3] and [2,3]; Lucene suppresses [0,3] (it
+    // contains the valid [2,3]) BEFORE filtering, so `containing beta`
+    // finds no beta inside the surviving [2,3] and the doc must NOT match
+    val md = Seq((1L, "alpha beta alpha gamma"),
+                 (2L, "alpha beta gamma"),      // unique cover [0,2] holds beta
+                 (3L, "beta alpha gamma alpha") // minimal [1,2] excludes beta
+      ).toDF("id", "text")
+    def mids(json: String): Seq[Long] =
+      md.where(EsFilter.compile(json)).select("id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+    assert(mids("""{"intervals":{"text":{"match":{"query":"alpha gamma",
+        "max_gaps":3,"filter":{"containing":{"match":{"query":"beta"}}}}}}}""")
+      == Seq(2L))
+    // the not_ form is unaffected by minimality (shrinking a cover only
+    // removes containments): docs 1 and 3 have a beta-free assignment
+    assert(mids("""{"intervals":{"text":{"match":{"query":"alpha gamma",
+        "max_gaps":3,"filter":{"not_containing":{"match":{"query":"beta"}}}}}}}""")
+      == Seq(1L, 3L))
+    // positive control on doc 1: beta..gamma has ONE cover [1,3], minimal
+    // by uniqueness, and it contains alpha@2
+    assert(mids("""{"intervals":{"text":{"match":{"query":"beta gamma",
+        "max_gaps":3,"filter":{"containing":{"match":{"query":"alpha"}}}}}}}""")
+      == Seq(1L, 3L))
   }
 
   test("HOF fallback (no graft_sloppy function) agrees with the native kernel") {

@@ -131,6 +131,64 @@ class Round11Spec extends SparkTestBase {
       rows2.mkString(","))
   }
 
+  test("streaming IVF inverted file: append without retrain, replay-safe probe") {
+    import java.nio.file.{Files, Paths}
+    val s = spark; import s.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def tmp(n: String) = {
+      val p = s"target/stream-test/ann-$n-${System.nanoTime()}"
+      Files.createDirectories(Paths.get(p)); p
+    }
+    val (idx, ckpt) = (tmp("idx"), tmp("ckpt"))
+    // the fixed train-once codebook every consumer shares (deterministic)
+    val codebook = graft.ann.Ann.ivfCodebook(spark, Sf)
+    // new vectors = copies of corpus embeddings 7/8/9 under fresh ids, so a
+    // probe with the original vector must land in the SAME cell and score
+    // cosine 1.0 against its streamed twin
+    val base = graft.core.Tables.embeddings(spark, Sf)
+      .where(col("vec_id").isin(7L, 8L, 9L))
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().toMap
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val vecs = mem.toDF().toDF("vec_id", "embedding")
+    val q = graft.streaming.AnnStream.start(vecs, codebook, idx, ckpt)
+    mem.addData((1007L, base(7L)), (1008L, base(8L)))
+    q.processAllAvailable()
+    mem.addData((1009L, base(9L)))
+    q.processAllAvailable(); q.stop()
+    // the index layout is (cell, ingest_batch)-partitioned: the probe's
+    // cell restriction is partition pruning on storage
+    val cellDirs = Option(new java.io.File(idx).listFiles()).toSeq.flatten
+      .filter(_.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty, "expected cell=* partition directories")
+    assert(spark.read.parquet(idx).count() == 3)
+
+    // probe with the original corpus vector: its streamed twin is the top
+    // neighbor at cosine 1.0 (identical vector, same cell by construction)
+    val queries = graft.core.Tables.embeddings(spark, Sf)
+      .where(col("vec_id") === 7L).select(col("vec_id"), col("embedding"))
+    val top = graft.streaming.AnnStream.probe(spark, idx, queries, codebook)
+      .collect()
+    assert(top.nonEmpty)
+    assert(top(0).getAs[Long]("n_id") == 1007L &&
+      top(0).getAs[Double]("cosine") == 1.0, top.mkString(","))
+
+    // restart on the SAME checkpoint: replayed batches must not duplicate
+    // (dynamic partition overwrite on (cell, ingest_batch)); a new batch
+    // appends and is immediately probe-visible
+    val q2 = graft.streaming.AnnStream.start(vecs, codebook, idx, ckpt)
+    mem.addData((2008L, base(8L)))
+    q2.processAllAvailable(); q2.stop()
+    val all = spark.read.parquet(idx).select("vec_id").as[Long].collect().sorted
+    assert(all.toSeq == Seq(1007L, 1008L, 1009L, 2008L), all.mkString(","))
+    val q8 = graft.core.Tables.embeddings(spark, Sf)
+      .where(col("vec_id") === 8L).select(col("vec_id"), col("embedding"))
+    val top8 = graft.streaming.AnnStream.probe(spark, idx, q8, codebook).collect()
+    assert(top8.take(2).map(_.getAs[Long]("n_id")).toSet == Set(1008L, 2008L),
+      top8.mkString(","))
+  }
+
   test("driver-side time parsing matches the engine's accepted shapes") {
     val utc = java.time.ZoneOffset.UTC
     // the shapes reference clients send (ISO instant / offset / local /
