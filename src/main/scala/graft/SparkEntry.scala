@@ -276,6 +276,26 @@ object SparkEntry {
              {"match":{"query":"table"}}]}}}}""",
         docs.columns.toSeq)).select(docs.col("doc_id")))
     }),
+    // ES intervals wildcard rule: 'data' then an 'm?rge'-matching token
+    // within 2 intervening positions — the prefix rule's generalization
+    "ts_read_filter_intervals_wildcard" -> ((s, d) => {
+      val docs = graft.core.Tables.documents(s, d)
+      graft.core.Det.ordered(docs.where(EsFilter.compile(
+        """{"intervals":{"text":{"all_of":{"ordered":true,"max_gaps":2,"intervals":[
+             {"match":{"query":"data"}},
+             {"wildcard":{"pattern":"m?rge"}}]}}}}""",
+        docs.columns.toSeq)).select(docs.col("doc_id")))
+    }),
+    // ES intervals fuzzy rule: 'table' and a token within OSA distance 1 of
+    // 'jion' (the transposed 'join') inside a 3-gap covering interval
+    "ts_read_filter_intervals_fuzzy" -> ((s, d) => {
+      val docs = graft.core.Tables.documents(s, d)
+      graft.core.Det.ordered(docs.where(EsFilter.compile(
+        """{"intervals":{"text":{"all_of":{"max_gaps":3,"intervals":[
+             {"match":{"query":"table"}},
+             {"fuzzy":{"term":"jion","fuzziness":1}}]}}}}""",
+        docs.columns.toSeq)).select(docs.col("doc_id")))
+    }),
     // ES dis_max: filter context = any clause matches (tie_breaker is a
     // scoring knob)
     "ts_read_filter_dis_max" -> ((s, d) => Tsdb.read(Tsdb.points(s, d),
@@ -1362,6 +1382,28 @@ object SparkEntry {
           FROM ph JOIN toks j ON j.doc_id = ph.doc_id AND j.tok = 'join'
           WHERE (j.pos < ph.s OR j.pos > ph.e)
             AND (greatest(j.pos, ph.e) - least(j.pos, ph.s) + 1) - 3 <= 3
+          ORDER BY 1""",
+    // ordered intervals with a wildcard slot: 'data' then any 'm_rge' token
+    "ts_read_filter_intervals_wildcard" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
+                    FROM documents),
+              toks AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos
+                       FROM t)
+          SELECT DISTINCT a.doc_id FROM toks a JOIN toks b ON a.doc_id = b.doc_id
+          WHERE a.tok = 'data' AND b.tok LIKE 'm_rge'
+            AND b.pos > a.pos AND b.pos - a.pos - 1 <= 2
+          ORDER BY 1""",
+    // unordered intervals with a fuzzy slot: OSA == Damerau-Levenshtein at
+    // threshold 1 (any single DL edit is an OSA edit and vice versa)
+    "ts_read_filter_intervals_fuzzy" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
+                    FROM documents),
+              toks AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos
+                       FROM t)
+          SELECT DISTINCT a.doc_id FROM toks a JOIN toks b ON a.doc_id = b.doc_id
+          WHERE a.tok = 'table' AND damerau_levenshtein(b.tok, 'jion') <= 1
+            AND a.pos <> b.pos
+            AND greatest(a.pos, b.pos) - least(a.pos, b.pos) - 1 <= 3
           ORDER BY 1""",
     "ts_read_filter_dis_max" ->
       s"""SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events

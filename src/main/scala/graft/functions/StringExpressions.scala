@@ -107,7 +107,9 @@ case class SloppyMatch(child: Expression, terms: String, slop: Int,
 case class SloppySlot(includes: Seq[String], excludes: Seq[String],
                       pre: Int, post: Int, prefixes: Seq[String] = Nil,
                       phrase: Seq[String] = Nil, subSlop: Int = -1,
-                      subOrdered: Boolean = false) {
+                      subOrdered: Boolean = false,
+                      wildcards: Seq[String] = Nil,
+                      fuzzies: Seq[(String, Int)] = Nil) {
   /** Nominal (minimum-possible) interval width: 1 for token slots, the
     * token count for fixed phrases and nested sub-matches (a nested
     * interval is at least as wide as its token count). */
@@ -132,27 +134,47 @@ object SloppySlot {
     * whitespace and these filters target word terms), and encode REJECTS
     * terms containing them rather than mis-parsing.
     */
+  // alternative-type tags for wildcard / fuzzy entries in the alternatives
+  // segment — control chars that never survive whitespace analysis, so no
+  // legitimate analyzed token collides with them
+  private val WildTag = '\u0001'
+  private val FuzzTag = '\u0002'
+
   def encode(slots: Seq[SloppySlot]): String = {
     slots.foreach { sl =>
-      require(sl.phrase.nonEmpty || sl.includes.nonEmpty || sl.prefixes.nonEmpty,
-        "slot needs at least one include term, prefix, or phrase")
+      require(sl.phrase.nonEmpty || sl.includes.nonEmpty || sl.prefixes.nonEmpty ||
+        sl.wildcards.nonEmpty || sl.fuzzies.nonEmpty,
+        "slot needs at least one include term, prefix, wildcard, fuzzy, or phrase")
       require(sl.phrase.isEmpty ||
-        (sl.includes.isEmpty && sl.excludes.isEmpty && sl.prefixes.isEmpty),
+        (sl.includes.isEmpty && sl.excludes.isEmpty && sl.prefixes.isEmpty &&
+          sl.wildcards.isEmpty && sl.fuzzies.isEmpty),
         "phrase slots carry no alternatives, excludes, or prefixes")
       require(!sl.nested || sl.phrase.length >= 2,
         "nested sub-match slots need at least two tokens")
-      (sl.includes ++ sl.excludes ++ sl.prefixes ++ sl.phrase).foreach(t => require(
+      (sl.includes ++ sl.excludes ++ sl.prefixes ++ sl.phrase ++
+        sl.fuzzies.map(_._1)).foreach(t => require(
         t.nonEmpty && !t.exists(c =>
           c == '|' || c == '~' || c == '*' || c == '+' || c == '^' ||
-            c.isWhitespace),
+            c == WildTag || c == FuzzTag || c.isWhitespace),
         s"unsupported characters in span/phrase term: '$t'"))
+      // wildcard patterns legitimately carry * and ? (they ride tagged, so
+      // no marker collision) but still may not hold the slot separators
+      sl.wildcards.foreach(w => require(
+        w.nonEmpty && !w.exists(c =>
+          c == '|' || c == '~' || c == '+' || c == '^' ||
+            c == WildTag || c == FuzzTag || c.isWhitespace),
+        s"unsupported characters in wildcard pattern: '$w'"))
+      sl.fuzzies.foreach { case (_, d) =>
+        require(d >= 0, "fuzzy distance must be non-negative") }
     }
     slots.map { sl =>
       if (sl.nested)
         s"${sl.phrase.mkString("+")}^${sl.subSlop}^${if (sl.subOrdered) 1 else 0}"
       else if (sl.phrase.nonEmpty) sl.phrase.mkString("+")
       else {
-        val inc = (sl.includes ++ sl.prefixes.map(_ + "*")).mkString("|")
+        val inc = (sl.includes ++ sl.prefixes.map(_ + "*") ++
+          sl.wildcards.map(WildTag + _) ++
+          sl.fuzzies.map { case (t, d) => s"$FuzzTag$d$FuzzTag$t" }).mkString("|")
         if (sl.excludes.isEmpty) inc
         else s"$inc~${sl.excludes.mkString("|")}~${sl.pre}~${sl.post}"
       }
@@ -169,13 +191,37 @@ object SloppySlot {
         SloppySlot(Nil, Nil, 0, 0, Nil, part.split('+').toSeq)
       else {
         val seg = part.split("~")
-        val (pfx, inc) = seg(0).split('|').toSeq.partition(_.endsWith("*"))
+        val alts = seg(0).split('|').toSeq
+        val wild = alts.filter(_.head == WildTag).map(_.tail)
+        val fuzz = alts.filter(_.head == FuzzTag).map { a =>
+          val body = a.tail
+          val cut = body.indexOf(FuzzTag)
+          (body.substring(cut + 1), body.substring(0, cut).toInt)
+        }
+        val plain = alts.filterNot(a => a.head == WildTag || a.head == FuzzTag)
+        val (pfx, inc) = plain.partition(_.endsWith("*"))
         val slot =
           if (seg.length == 1) SloppySlot(inc, Nil, 0, 0)
           else SloppySlot(inc, seg(1).split('|').toSeq, seg(2).toInt, seg(3).toInt)
-        slot.copy(prefixes = pfx.map(_.dropRight(1)))
+        slot.copy(prefixes = pfx.map(_.dropRight(1)),
+          wildcards = wild, fuzzies = fuzz)
       }
     }
+
+  /** ES wildcard pattern (`*`, `?`) -> anchored Java regex (the same
+    * conversion the wildcard QUERY applies; owned here so the kernel stays
+    * independent of the filter compiler).
+    */
+  def wildcardRegex(pat: String): String = {
+    val sb = new StringBuilder("^")
+    pat.foreach {
+      case '*' => sb.append(".*")
+      case '?' => sb.append('.')
+      case c if "\\.[]{}()<>+-=!$^|,#&~".indexOf(c) >= 0 => sb.append('\\').append(c)
+      case c => sb.append(c)
+    }
+    sb.append('$').toString()
+  }
 }
 
 object SloppyMatch {
@@ -230,6 +276,8 @@ object SloppyMatch {
         candS(i) = ss; candE(i) = ee
       } else {
         val isPrefix = prefix && i == n - 1
+        val wre = sl.wildcards.map(w =>
+          java.util.regex.Pattern.compile(SloppySlot.wildcardRegex(w))).toArray
         def phraseAt(j: Int): Boolean = {
           if (j + sl.phrase.length > toks.length) return false
           var o = 0
@@ -250,6 +298,19 @@ object SloppyMatch {
           a = 0
           while (a < sl.prefixes.length) {
             if (toks(j).startsWith(sl.prefixes(a))) return true
+            a += 1
+          }
+          a = 0
+          while (a < wre.length) {
+            if (wre(a).matcher(toks(j)).matches()) return true
+            a += 1
+          }
+          a = 0
+          while (a < sl.fuzzies.length) {
+            val (t, dmax) = sl.fuzzies(a)
+            // cheap length gate before the O(len²) OSA kernel
+            if (math.abs(toks(j).length - t.length) <= dmax &&
+                OsaDistance.osa(toks(j), t) <= dmax) return true
             a += 1
           }
           false
@@ -316,6 +377,8 @@ object SloppyMatch {
         val (ss, ee) = minimalCovers(toks, fsl.phrase, fsl.subSlop, fsl.subOrdered)
         fS = ss; fE = ee
       } else {
+        val fwre = fsl.wildcards.map(w =>
+          java.util.regex.Pattern.compile(SloppySlot.wildcardRegex(w))).toArray
         def fMatch(j: Int): Boolean = {
           if (fsl.phrase.nonEmpty) {
             if (j + fsl.phrase.length > toks.length) return false
@@ -334,6 +397,18 @@ object SloppyMatch {
             a = 0
             while (a < fsl.prefixes.length) {
               if (toks(j).startsWith(fsl.prefixes(a))) return true
+              a += 1
+            }
+            a = 0
+            while (a < fwre.length) {
+              if (fwre(a).matcher(toks(j)).matches()) return true
+              a += 1
+            }
+            a = 0
+            while (a < fsl.fuzzies.length) {
+              val (t, dmax) = fsl.fuzzies(a)
+              if (math.abs(toks(j).length - t.length) <= dmax &&
+                  OsaDistance.osa(toks(j), t) <= dmax) return true
               a += 1
             }
             false

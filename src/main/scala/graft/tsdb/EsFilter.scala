@@ -205,25 +205,33 @@ object EsFilter {
     * fallback). Evaluates inside the scan stage — no join, and at scale the
     * non-fuzzy residue of a bool query still prunes first.
     */
+  /** ES fuzziness: an integer, a numeric string, or "AUTO" (the length
+    * ladder on `text`: 0 for ≤2 chars, 1 for 3-5, 2 beyond); anything else
+    * rejected, not silently treated as AUTO. Shared by the `fuzzy` query
+    * and the intervals `fuzzy` rule.
+    */
+  private def fuzzinessOf(spec: JsonNode, text: String): Int = {
+    def auto: Int = if (text.length <= 2) 0 else if (text.length <= 5) 1 else 2
+    if (spec == null || !spec.isObject || !spec.has("fuzziness")) auto
+    else {
+      val fz = spec.get("fuzziness")
+      if (fz.isNumber) fz.asInt()
+      else fz.asText() match {
+        case s if s.matches("\\d+")          => s.toInt
+        case s if s.equalsIgnoreCase("AUTO") => auto
+        case other => throw new IllegalArgumentException(
+          s"unsupported fuzziness: '$other' (want an integer or AUTO)")
+      }
+    }
+  }
+
   private def fuzzy(body: JsonNode): Column = {
     require(body.isObject && body.size() == 1, s"expected {field: spec}, got $body")
     val f = body.fieldNames().next()
     val spec = body.get(f)
     val v = if (spec.isObject && spec.has("value")) spec.get("value") else spec
     val text = v.asText()
-    def auto: Int = if (text.length <= 2) 0 else if (text.length <= 5) 1 else 2
-    val fuzziness: Int =
-      if (!spec.isObject || !spec.has("fuzziness")) auto
-      else {
-        val fz = spec.get("fuzziness")
-        if (fz.isNumber) fz.asInt()
-        else fz.asText() match {
-          case s if s.matches("\\d+")          => s.toInt
-          case s if s.equalsIgnoreCase("AUTO") => auto
-          case other => throw new IllegalArgumentException(
-            s"unsupported fuzziness: '$other' (want an integer or AUTO)")
-        }
-      }
+    val fuzziness = fuzzinessOf(spec, text)
     val dist: Column = {
       val active = org.apache.spark.sql.SparkSession.active
       if (active.catalog.functionExists("graft_osa"))
@@ -470,12 +478,15 @@ object EsFilter {
         val slots = clauses(b.get("intervals")).map(singleTokenSlot)
         require(slots.nonEmpty, "all_of needs at least one source")
         intervalBudgetMatch(f, slots, b)
-      case "prefix" =>
-        // standalone prefix source: any token with the prefix (Lucene
-        // expands the prefix to its indexed term set; a one-slot match)
+      case "prefix" | "wildcard" | "fuzzy" =>
+        // standalone term-expansion sources: any token carrying the prefix /
+        // matching the wildcard pattern / within the fuzzy edit budget
+        // (Lucene expands each against the indexed term set; over an
+        // analyzed text field that is exactly a position predicate)
         sloppyMatch(fieldCol(f), Seq(singleTokenSlot(src)), 0, inOrder = false)
       case other => throw new IllegalArgumentException(
-        s"unsupported intervals source: $other (match, any_of, all_of and prefix)")
+        s"unsupported intervals source: $other " +
+          "(match, any_of, all_of, prefix, wildcard and fuzzy)")
     }
   }
 
@@ -551,7 +562,9 @@ object EsFilter {
           "any_of alternatives inside all_of must reduce to single-token " +
             "sources; fixed-phrase alternatives are rejected, not approximated")
         SloppySlot(subs.flatMap(_.includes).distinct, Nil, 0, 0,
-          subs.flatMap(_.prefixes).distinct)
+          subs.flatMap(_.prefixes).distinct,
+          wildcards = subs.flatMap(_.wildcards).distinct,
+          fuzzies = subs.flatMap(_.fuzzies).distinct)
       case "prefix" =>
         // intervals prefix rule: one slot whose positions are the tokens
         // carrying the prefix — Lucene's indexed-term expansion as a
@@ -563,6 +576,36 @@ object EsFilter {
         require(p.nonEmpty && !p.exists(_.isWhitespace),
           s"intervals prefix must be a single non-empty term, got: '$p'")
         SloppySlot(Nil, Nil, 0, 0, Seq(p))
+      case "wildcard" =>
+        // intervals wildcard rule: positions whose token matches the
+        // `*`/`?` pattern — the prefix rule's generalization (Lucene
+        // expands the pattern against the term dictionary; over an
+        // analyzed field that is exactly a full-token pattern test)
+        val b = src.get("wildcard")
+        require(b != null && b.isObject && b.has("pattern"),
+          s"""intervals wildcard needs "pattern", got $b""")
+        val p = b.get("pattern").asText().trim.toLowerCase
+        require(p.nonEmpty && !p.exists(_.isWhitespace),
+          s"intervals wildcard must be a single non-empty pattern, got: '$p'")
+        SloppySlot(Nil, Nil, 0, 0, wildcards = Seq(p))
+      case "fuzzy" =>
+        // intervals fuzzy rule: positions whose token is within the OSA
+        // edit budget of the term (Lucene's fuzzy term expansion with the
+        // ES default transpositions:true). prefix_length pinning and
+        // transpositions:false are rejected, not approximated.
+        val b = src.get("fuzzy")
+        require(b != null && b.isObject && b.has("term"),
+          s"""intervals fuzzy needs "term", got $b""")
+        val t = b.get("term").asText().trim.toLowerCase
+        require(t.nonEmpty && !t.exists(_.isWhitespace),
+          s"intervals fuzzy must be a single non-empty term, got: '$t'")
+        require(!b.has("transpositions") || b.get("transpositions").asBoolean(true),
+          "intervals fuzzy with transpositions:false is rejected, not " +
+            "approximated (the kernel distance is OSA)")
+        require(!b.has("prefix_length") || b.get("prefix_length").asInt() == 0,
+          "intervals fuzzy with a nonzero prefix_length is rejected, not " +
+            "approximated")
+        SloppySlot(Nil, Nil, 0, 0, fuzzies = Seq((t, fuzzinessOf(b, t))))
       case other => throw new IllegalArgumentException(
         s"all_of sub-sources must reduce to single-token alternatives, got: $other")
     }
@@ -678,11 +721,14 @@ object EsFilter {
         lit(SloppySlot.encode(slots)), lit(slop), lit(inOrder), lit(prefix),
         lit(gaps), lit(filterMode),
         lit(filterSlot.map(sl => SloppySlot.encode(Seq(sl))).getOrElse("")))
-    // the HOF formulation keeps fixed slot widths; nested sub-match budgets
-    // (variable-width candidates) are kernel-only — rejected, not approximated
-    require(slots.forall(!_.nested) && filterSlot.forall(!_.nested),
-      "nested sub-match gap budgets need the graft_sloppy kernel " +
-        "(install graft.functions.GraftExtensions)")
+    // the HOF formulation keeps fixed slot widths and builtin predicates;
+    // nested sub-match budgets (variable-width candidates) and fuzzy
+    // alternatives (the OSA kernel) are kernel-only — rejected, not
+    // approximated. Wildcard alternatives ride on the builtin rlike.
+    require(slots.forall(sl => !sl.nested && sl.fuzzies.isEmpty) &&
+        filterSlot.forall(sl => !sl.nested && sl.fuzzies.isEmpty),
+      "nested sub-match gap budgets and fuzzy alternatives need the " +
+        "graft_sloppy kernel (install graft.functions.GraftExtensions)")
     val toks = split(lower(field), "\\s+")
     // interval widths: 1 for token slots, phrase length for phrase slots
     val ws = slots.map(_.width)
@@ -704,7 +750,10 @@ object EsFilter {
           if (prefix && i == slots.size - 1) exists(toks, x => x.startsWith(lit(t)))
           else array_contains(toks, t): Column
         ) ++ sl.prefixes.map(t =>
-          exists(toks, x => x.startsWith(lit(t))): Column)).reduce(_ || _)
+          exists(toks, x => x.startsWith(lit(t))): Column
+        ) ++ sl.wildcards.map(w =>
+          exists(toks, x => x.rlike(SloppySlot.wildcardRegex(w))): Column))
+          .reduce(_ || _)
     }.reduce(_ && _)
     val idx = sequence(lit(0), size(toks) - 1)
     val posLists: Seq[Column] = slots.zipWithIndex.map { case (sl, i) =>
@@ -720,7 +769,10 @@ object EsFilter {
           if (prefix && i == slots.size - 1) element_at(toks, j + 1).startsWith(lit(t))
           else element_at(toks, j + 1) === lit(t): Column) ++
           sl.prefixes.map(t =>
-            element_at(toks, j + 1).startsWith(lit(t)): Column)).reduce(_ || _)
+            element_at(toks, j + 1).startsWith(lit(t)): Column) ++
+          sl.wildcards.map(w =>
+            element_at(toks, j + 1).rlike(SloppySlot.wildcardRegex(w)): Column))
+          .reduce(_ || _)
         val base = filter(idx, j => incMatch(j))
         if (sl.excludes.isEmpty) base
         else filter(base, p => !exists(idx, q =>
@@ -742,7 +794,10 @@ object EsFilter {
         (filter(idx, j => (fsl.includes.map(t =>
           element_at(toks, j + 1) === lit(t): Column) ++
           fsl.prefixes.map(t =>
-            element_at(toks, j + 1).startsWith(lit(t)): Column)).reduce(_ || _)), 1)
+            element_at(toks, j + 1).startsWith(lit(t)): Column) ++
+          fsl.wildcards.map(w =>
+            element_at(toks, j + 1).rlike(SloppySlot.wildcardRegex(w)): Column))
+          .reduce(_ || _)), 1)
       }
     }
     def endOf(ps: Seq[Column], k: Int): Column = ps(k) + lit(ws(k) - 1)
@@ -830,7 +885,10 @@ object EsFilter {
             fsl.phrase.map(t => array_contains(toks, t): Column).reduce(_ && _)
           else (fsl.includes.map(t => array_contains(toks, t): Column) ++
             fsl.prefixes.map(t =>
-              exists(toks, x => x.startsWith(lit(t))): Column)).reduce(_ || _)
+              exists(toks, x => x.startsWith(lit(t))): Column) ++
+            fsl.wildcards.map(w =>
+              exists(toks, x => x.rlike(SloppySlot.wildcardRegex(w))): Column))
+            .reduce(_ || _)
         guard && pres
       case _ => guard
     }

@@ -539,9 +539,9 @@ class EsFilterSpec extends SparkTestBase {
            {"any_of":{"intervals":[{"match":{"query":"beta"}},
                                    {"match":{"query":"x"}}]}}]}}}}""")
       == Seq(1L, 4L))
-    // unsupported sources (corpus statistics) stay rejected
+    // unknown sources stay rejected
     intercept[IllegalArgumentException] {
-      sids("""{"intervals":{"text":{"wildcard":{"pattern":"al*"}}}}""")
+      sids("""{"intervals":{"text":{"regexp":{"pattern":"al.*"}}}}""")
     }
     // a bare multi-token sub-match inside all_of is a NESTED sloppy
     // interval under its own budget (the ES default): adjacent
@@ -680,6 +680,50 @@ class EsFilterSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       sids("""{"intervals":{"text":{"match":{"query":"alpha",
           "filter":{"script":{"source":"true"}}}}}}""")
+    }
+  }
+
+  test("intervals: wildcard and fuzzy rules are position predicates") {
+    // wildcard standalone: any token matching the `*`/`?` pattern
+    assert(sids("""{"intervals":{"text":{"wildcard":{"pattern":"?lpha"}}}}""")
+      == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(sids("""{"intervals":{"text":{"wildcard":{"pattern":"z*"}}}}""") == Seq())
+    // wildcard slot under an ordered all_of: beta ADJACENT to a '*amma'
+    // token — docs 1 (beta@1 gamma@2) and 4 (beta@3 gamma@4)
+    assert(sids(
+      """{"intervals":{"text":{"all_of":{"ordered":true,"max_gaps":0,"intervals":[
+           {"match":{"query":"beta"}},
+           {"wildcard":{"pattern":"*amma"}}]}}}}""")
+      == Seq(1L, 4L))
+    // fuzzy standalone: 'algha' (substitution) and 'aplha' (transposition,
+    // ONE edit under OSA) both reach alpha at fuzziness 1
+    assert(sids("""{"intervals":{"text":{"fuzzy":{"term":"algha","fuzziness":1}}}}""")
+      == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(sids("""{"intervals":{"text":{"fuzzy":{"term":"aplha","fuzziness":1}}}}""")
+      == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(sids("""{"intervals":{"text":{"fuzzy":{"term":"zzzzz","fuzziness":1}}}}""")
+      == Seq())
+    // fuzzy slot under an unordered all_of budget: a near-'beta' token and
+    // gamma within one covering gap — every gamma doc qualifies (doc 3's
+    // beta@2..gamma@4 cover has exactly 1 interior position); doc 5 has no
+    // gamma. Tightening to max_gaps 0 drops doc 3 and keeps the adjacent
+    // pairs only.
+    assert(sids(
+      """{"intervals":{"text":{"all_of":{"max_gaps":1,"intervals":[
+           {"fuzzy":{"term":"beda","fuzziness":1}},
+           {"match":{"query":"gamma"}}]}}}}""")
+      == Seq(1L, 2L, 3L, 4L))
+    assert(sids(
+      """{"intervals":{"text":{"all_of":{"max_gaps":0,"intervals":[
+           {"fuzzy":{"term":"beda","fuzziness":1}},
+           {"match":{"query":"gamma"}}]}}}}""")
+      == Seq(1L, 4L))
+    // non-default knobs are rejected, not approximated
+    intercept[IllegalArgumentException] {
+      sids("""{"intervals":{"text":{"fuzzy":{"term":"beta","transpositions":false}}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      sids("""{"intervals":{"text":{"fuzzy":{"term":"beta","prefix_length":2}}}}""")
     }
   }
 
