@@ -532,6 +532,7 @@ object SparkEntry {
     // baseline + the shared-IVF-index composition
     "mm_cross_topk" -> ((s, d) => Multimodal.crossTopK(s, d)),
     "mm_cross_ivf" -> ((s, d) => Multimodal.crossIvfTopK(s, d)),
+    "mm_cross_recall" -> ((s, d) => Multimodal.crossRecall(s, d)),
     "ts_autocorr" -> ((s, d) => Tsdb.autocorr(Tsdb.points(s, d)
       .copy(tagCols = Seq("event_type")),
       EsFilter.compile("""{"match_all":{}}"""), Start, End)),
@@ -1985,6 +1986,55 @@ object SparkEntry {
                         ORDER BY cosine DESC, m_id) AS BIGINT) AS rank
                     FROM pc)
           SELECT q_id, m_id, cosine, rank FROM r WHERE rank <= 5 ORDER BY 1, 2, 3, 4""",
+    // recall@5 of the shared-IVF cross-modal search vs the exhaustive
+    // cross-modal truth — both replayed, so the measurement itself is
+    // oracle-checked
+    "mm_cross_recall" ->
+      s"""WITH $VecrCte,
+              ${ivfTrainCte(2, 16)},
+              $MediaVecCte,
+              edots AS (SELECT q.vec_id AS q_id, m.doc_id AS m_id, sum(q.x*m.x) AS dot
+                        FROM ev q JOIN mev m ON m.i = q.i
+                        WHERE q.vec_id < 20 GROUP BY 1, 2),
+              ec AS (SELECT q_id, m_id, round(dot/sqrt(qn.nsq*mn.nsq), 6) AS cosine
+                     FROM edots JOIN vn qn ON qn.vec_id = q_id
+                                JOIN mvn mn ON mn.doc_id = m_id),
+              ex AS (SELECT q_id, m_id FROM (
+                       SELECT q_id, m_id, row_number() OVER (PARTITION BY q_id
+                         ORDER BY cosine DESC, m_id) AS rank FROM ec)
+                     WHERE rank <= 5),
+              knf AS (SELECT c_id, sum(cx*cx) AS nsq FROM c2 GROUP BY 1),
+              mcc AS (SELECT m.doc_id AS mid, c.c_id AS cid, sum(m.x * c.cx) AS dot
+                      FROM mev m JOIN c2 c ON c.i = m.i GROUP BY 1, 2),
+              mccos AS (SELECT mid, cid, round(dot/sqrt(nm.nsq*nc.nsq), 6) AS c
+                        FROM mcc JOIN mvn nm ON nm.doc_id = mid
+                                 JOIN knf nc ON nc.c_id = cid),
+              massign AS (SELECT mid, cid AS cell FROM (
+                            SELECT mid, cid, row_number() OVER (PARTITION BY mid
+                              ORDER BY c DESC, cid) AS arn FROM mccos) WHERE arn = 1),
+              cc AS (SELECT v.vec_id AS vid, c.c_id AS cid, sum(v.x * c.cx) AS dot
+                     FROM evr v JOIN c2 c ON v.i = c.i GROUP BY 1, 2),
+              ccos AS (SELECT vid, cid, round(dot/sqrt(nv.nsq*nc.nsq), 6) AS c
+                       FROM cc JOIN vnr nv ON nv.vec_id = vid JOIN knf nc ON nc.c_id = cid),
+              assign AS (SELECT vid, cid AS cell FROM (
+                           SELECT vid, cid, row_number() OVER (PARTITION BY vid
+                             ORDER BY c DESC, cid) AS arn FROM ccos) WHERE arn = 1),
+              idots AS (SELECT q.vec_id AS q_id, m.doc_id AS m_id, sum(q.x * m.x) AS dot
+                        FROM evr q JOIN mev m ON m.i = q.i
+                        JOIN assign qa ON qa.vid = q.vec_id
+                        JOIN massign ma ON ma.mid = m.doc_id AND ma.cell = qa.cell
+                        WHERE q.vec_id < 20 GROUP BY 1, 2),
+              ipc AS (SELECT q_id, m_id, round(dot/sqrt(nq.nsq*nm.nsq), 6) AS cosine
+                      FROM idots JOIN vnr nq ON nq.vec_id = q_id
+                                 JOIN mvn nm ON nm.doc_id = m_id),
+              iv AS (SELECT q_id, m_id FROM (
+                       SELECT q_id, m_id, row_number() OVER (PARTITION BY q_id
+                         ORDER BY cosine DESC, m_id) AS rank FROM ipc)
+                     WHERE rank <= 5)
+          SELECT 'ivf16_shared' AS method, count(l.m_id) AS n_hits,
+                 count(*) AS n_truth,
+                 ${rndSql("count(l.m_id) * 1.0 / count(*)", 4)} AS recall
+          FROM ex e LEFT JOIN iv l ON l.q_id = e.q_id AND l.m_id = e.m_id""",
     "range_join" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS tms FROM events)
          SELECT a.event_type AS a_type, b.event_type AS b_type, count(*) AS n_pairs

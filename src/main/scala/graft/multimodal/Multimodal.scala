@@ -360,6 +360,24 @@ object Multimodal {
     Det.ordered(out)
   }
 
+  /** Measured recall@k of the shared-IVF cross-modal search against the
+    * exhaustive cross-modal truth — the standing eval run before trusting
+    * the shared index for text→media retrieval (the [[mmRecall]] /
+    * [[graft.ann.Ann.recallAtK]] pattern on the cross-modal axis). Both
+    * sides replay deterministically, so the oracle checks the measurement
+    * itself, not just the plumbing.
+    */
+  def crossRecall(s: SparkSession, d: String, k: Int = 5, nQueries: Int = 20): DataFrame = {
+    val exact = crossTopK(s, d, k, nQueries).select(col("q_id"), col("m_id"))
+    val ivf = crossIvfTopK(s, d, k, nQueries)
+      .select(col("q_id").as("l_q"), col("m_id").as("l_m"))
+    exact
+      .join(ivf, col("q_id") === col("l_q") && col("m_id") === col("l_m"), "left")
+      .agg(count(col("l_m")).as("n_hits"), count(lit(1)).as("n_truth"))
+      .select(lit("ivf16_shared").as("method"), col("n_hits"), col("n_truth"),
+        Det.rnd(col("n_hits") * lit(1.0) / col("n_truth"), 4).as("recall"))
+  }
+
   def decodeFeatures(s: SparkSession, d: String, dim: Int = 16,
                      nFrames: Int = 4): Dataset[MediaFeatures] = {
     import s.implicits._

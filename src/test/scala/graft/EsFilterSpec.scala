@@ -676,6 +676,12 @@ class EsFilterSpec extends SparkTestBase {
     assert(sids("""{"intervals":{"text":{"match":{"query":"alpha gamma",
         "filter":{"not_overlapping":{"match":{"query":"beta"}}}}}}}""")
       == Seq(2L))
+    // filter sources may themselves be NESTED sub-matches with a gap
+    // budget: an 'x beta' interval within 1 gap must sit inside the
+    // alpha..gamma cover — docs 3 (x@1 beta@2) and 4 (x@1..beta@3, 1 gap)
+    assert(sids("""{"intervals":{"text":{"match":{"query":"alpha gamma",
+        "max_gaps":4,"filter":{"containing":{"match":{"query":"x beta","max_gaps":1}}}}}}}""")
+      == Seq(3L, 4L))
     // script filters stay rejected
     intercept[IllegalArgumentException] {
       sids("""{"intervals":{"text":{"match":{"query":"alpha",
