@@ -189,6 +189,125 @@ class Round11Spec extends SparkTestBase {
       top8.mkString(","))
   }
 
+  test("intervals kernel matches a brute-force oracle: nested budgets + minimal-interval filters") {
+    import spark.implicits._
+    import graft.tsdb.EsFilter
+    // EXHAUSTIVE: all token sequences of length 1..6 over {a, b, c} (1092
+    // docs) against an independently written implementation of the
+    // interval semantics — nested sub-match budgets (minimal sub-interval
+    // candidates, actual widths, non-overlap) and filter rules applied per
+    // minimal cover for positive modes / any cover for not_ modes.
+    val alpha = Seq("a", "b", "c")
+    val docs = (1 to 6).flatMap(n =>
+      Seq.fill(n)(alpha).foldLeft(Seq(Seq.empty[String]))((acc, as) =>
+        acc.flatMap(pre => as.map(pre :+ _))))
+    val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t.mkString(" ")) }
+      .toDF("id", "text")
+
+    type Iv = (Int, Int)
+    def minimalOf(cs: Seq[Iv]): Seq[Iv] =
+      cs.filterNot(c => cs.exists(o =>
+        o != c && o._1 >= c._1 && o._2 <= c._2))
+    def subMinimal(toks: Seq[String], terms: Seq[String], slop: Int,
+                   ordered: Boolean): Seq[Iv] = {
+      def assigns(i: Int, used: List[Int]): Seq[List[Int]] =
+        if (i == terms.size) Seq(used.reverse)
+        else toks.zipWithIndex.filter(_._1 == terms(i)).map(_._2)
+          .filter(p => !used.contains(p) && (!ordered || used.isEmpty || p > used.head))
+          .flatMap(p => assigns(i + 1, p :: used)).toSeq
+      val covers = assigns(0, Nil).map(ps => (ps.min, ps.max))
+        .filter { case (s, e) => (e - s + 1) - terms.size <= slop }.distinct
+      minimalOf(covers)
+    }
+    // a slot is a single token or a nested (terms, slop, ordered) sub-match
+    type Slot = Either[String, (Seq[String], Int, Boolean)]
+    def coversOf(toks: Seq[String], slots: Seq[Slot], slop: Int,
+                 ordered: Boolean): Seq[Iv] = {
+      val cands: Seq[Seq[Iv]] = slots.map {
+        case Left(t) => toks.zipWithIndex.filter(_._1 == t).map(p => (p._2, p._2))
+        case Right((ts, ss, so)) => subMinimal(toks, ts, ss, so)
+      }
+      def rec(i: Int, chosen: List[Iv]): Seq[List[Iv]] =
+        if (i == slots.size) Seq(chosen.reverse)
+        else cands(i)
+          .filter(iv => chosen.forall(c => iv._2 < c._1 || iv._1 > c._2))
+          .filter(iv => !ordered || chosen.isEmpty || iv._1 > chosen.head._2)
+          .flatMap(iv => rec(i + 1, iv :: chosen))
+      rec(0, Nil).filter { ivs =>
+        if (ordered)
+          ivs.size <= 1 || ivs.sliding(2).map {
+            case Seq(x, y) => y._1 - x._2 - 1 }.sum <= slop
+        else {
+          val cs = ivs.map(_._1).min
+          val ce = ivs.map(_._2).max
+          (ce - cs + 1) - ivs.map(iv => iv._2 - iv._1 + 1).sum <= slop
+        }
+      }.map(ivs => (ivs.map(_._1).min, ivs.map(_._2).max)).distinct
+    }
+    def rel(mode: String, c: Iv, f: Iv): Boolean = mode.stripPrefix("not_") match {
+      case "containing"   => f._1 >= c._1 && f._2 <= c._2
+      case "contained_by" => f._1 <= c._1 && f._2 >= c._2
+      case "overlapping"  => f._1 <= c._2 && f._2 >= c._1
+      case "after"        => c._1 > f._2
+      case "before"       => c._2 < f._1
+    }
+    def brute(toks: Seq[String], slots: Seq[Slot], slop: Int, ordered: Boolean,
+              filter: Option[(String, String)]): Boolean = {
+      val covers = coversOf(toks, slots, slop, ordered)
+      filter match {
+        case None => covers.nonEmpty
+        case Some((mode, ft)) =>
+          val fIvs = toks.zipWithIndex.filter(_._1 == ft).map(p => (p._2, p._2))
+          if (mode.startsWith("not_"))
+            covers.exists(c => !fIvs.exists(f => rel(mode, c, f)))
+          else
+            minimalOf(covers).exists(c => fIvs.exists(f => rel(mode, c, f)))
+      }
+    }
+    def slotJson(s: Slot): String = s match {
+      case Left(t) => s"""{"match":{"query":"$t"}}"""
+      case Right((ts, ss, so)) =>
+        s"""{"match":{"query":"${ts.mkString(" ")}","ordered":$so,"max_gaps":$ss}}"""
+    }
+    def check(slots: Seq[Slot], slop: Int, ordered: Boolean,
+              filter: Option[(String, String)]): Unit = {
+      val json = (slots, filter) match {
+        case (Seq(Left(t1), Left(t2)), Some((mode, ft))) =>
+          s"""{"intervals":{"text":{"match":{"query":"$t1 $t2","ordered":$ordered,
+               "max_gaps":$slop,"filter":{"$mode":{"match":{"query":"$ft"}}}}}}}"""
+        case _ =>
+          val ivs = slots.map(slotJson).mkString(",")
+          s"""{"intervals":{"text":{"all_of":{"ordered":$ordered,
+               "max_gaps":$slop,"intervals":[$ivs]}}}}"""
+      }
+      val got = df.where(EsFilter.compile(json))
+        .select("id").collect().map(_.getLong(0)).toSet
+      val want = docs.zipWithIndex.collect {
+        case (t, i) if brute(t, slots, slop, ordered, filter) => i.toLong }.toSet
+      assert(got == want, s"slots=$slots slop=$slop ordered=$ordered " +
+        s"filter=$filter: kernel ${got.size} docs vs brute ${want.size}; " +
+        s"diff=${(got diff want) ++ (want diff got)}")
+    }
+    // nested budgets, unordered and ordered outer
+    for (slop <- 0 to 2; subSlop <- 0 to 1; subOrd <- Seq(true, false)) {
+      check(Seq(Left("a"), Right((Seq("b", "c"), subSlop, subOrd))), slop,
+        ordered = false, None)
+      check(Seq(Left("a"), Right((Seq("b", "c"), subSlop, subOrd))), slop,
+        ordered = true, None)
+    }
+    // repeated terms inside a nested sub-match
+    check(Seq(Right((Seq("a", "a"), 1, false)), Left("b")), 1, ordered = false, None)
+    // filter rules per minimal interval (incl. the repeated-term shape that
+    // exposes non-minimal covers)
+    for (mode <- Seq("containing", "not_containing", "contained_by",
+                     "not_contained_by", "overlapping", "not_overlapping",
+                     "after", "before");
+         slop <- Seq(1, 3))
+      check(Seq(Left("a"), Left("c")), slop, ordered = false, Some((mode, "b")))
+    for (mode <- Seq("containing", "not_containing"))
+      check(Seq(Left("a"), Left("a")), 2, ordered = false, Some((mode, "b")))
+  }
+
   test("driver-side time parsing matches the engine's accepted shapes") {
     val utc = java.time.ZoneOffset.UTC
     // the shapes reference clients send (ISO instant / offset / local /
