@@ -131,6 +131,70 @@ class Round11Spec extends SparkTestBase {
       rows2.mkString(","))
   }
 
+  test("concurrent queued writes with interleaved reads are lossless") {
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "graft-q-conc").toString
+    val srv = new GraftHttpServer(new Graft(spark, root), spark)
+    val port = srv.start()
+    try {
+      // 6 writer threads x 10 POSTs x 10 disjoint points, racing 2 reader
+      // threads whose /read calls trigger flushes mid-stream — every
+      // accepted point must survive exactly once (the queue swap, the
+      // per-batch sequence stamps, and dynamic flush must not lose or
+      // duplicate under contention)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      val writers = (0 until 6).map { w =>
+        java.util.concurrent.CompletableFuture.runAsync(() => {
+          (0 until 10).foreach { b =>
+            val pts = (0 until 10).map { i =>
+              val id = w * 1000 + b * 10 + i
+              s"""{"time":${1704794400000L + id},"value":$id.0,"name":"cpu","w":"w$w"}"""
+            }.mkString(",")
+            val (wc, wb) = post(port, "/write", s"[$pts]")
+            if (wc != 200 || mapper.readTree(wb).get("errors").size() != 0)
+              errs.add(s"writer $w batch $b: $wc $wb")
+          }
+        }, pool)
+      }
+      val readers = (0 until 2).map { r =>
+        java.util.concurrent.CompletableFuture.runAsync(() => {
+          (0 until 5).foreach { _ =>
+            val (rc, _) = post(port, "/read", """{"start":0,"end":1704794500000}""")
+            if (rc != 200) errs.add(s"reader $r: $rc")
+            Thread.sleep(20)
+          }
+        }, pool)
+      }
+      (writers ++ readers).foreach(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+      pool.shutdown()
+      assert(errs.isEmpty, errs.toArray.mkString("; "))
+      val (rc, rb) = post(port, "/read", """{"start":0,"end":1704794500000}""")
+      assert(rc == 200, rb)
+      val series = mapper.readTree(rb).get("series")
+      val total = (0 until series.size()).map(series.get(_).get("points").size()).sum
+      assert(total == 600, s"expected 600 points, read $total")
+    } finally srv.stop()
+  }
+
+  test("the queue flushes on its size threshold without waiting for a read") {
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "graft-q-thresh").toString
+    val graft = new Graft(spark, root, maxQueuedPoints = 25)
+    def batch(b: Int) = (0 until 10).map { i =>
+      mapper.readTree(
+        s"""{"time":${1704794400000L + b * 10 + i},"value":1.0,"name":"cpu"}""")
+    }
+    graft.writeQueued(batch(0)); graft.writeQueued(batch(1))
+    // 20 queued < 25: nothing durable yet
+    assert(parquetFiles(new java.io.File(root)).isEmpty)
+    graft.writeQueued(batch(2))
+    // 30 >= 25: the third ack itself triggered the flush — data is on
+    // parquet with NO read having run (the bounded crash-loss window)
+    assert(parquetFiles(new java.io.File(root)).nonEmpty)
+    assert(spark.read.parquet(s"$root/default").count() == 30)
+  }
+
   test("streaming IVF inverted file: append without retrain, replay-safe probe") {
     import java.nio.file.{Files, Paths}
     val s = spark; import s.implicits._
