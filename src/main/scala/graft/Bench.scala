@@ -93,7 +93,11 @@ object Bench {
     passOver(tracked) // throwaway warmup — untimed in the record
     val warm = Seq(passOver(tracked), passOver(tracked), passOver(tracked))
       .reduce(merge)
-    val samples = twoOf.filterNot(kv => tracked(kv._1)) ++ warm
+    // a tracked query whose warm passes ALL failed keeps its cold samples —
+    // a transient re-measure failure must not erase a query that ran
+    val samples = twoOf.filterNot(kv => tracked(kv._1)) ++
+      warm.map { case (k, good) =>
+        k -> (if (good.nonEmpty) good else twoOf.getOrElse(k, Nil)) }
     val results = ordered.map { case (name, _) =>
       val good = samples.getOrElse(name, Nil)
       (name, statOf(good), good)

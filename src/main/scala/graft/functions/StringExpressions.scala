@@ -328,45 +328,43 @@ object SloppyMatch {
           }
           false
         }
-        var cnt = 0
+        // single pass per position: incMatch may run the O(len²) OSA
+        // kernel per fuzzy alternative — never evaluate it twice
+        val ps = scala.collection.mutable.ArrayBuffer.empty[Int]
         var j = 0
         while (j < toks.length) {
-          if (incMatch(j) && !exclNear(j)) cnt += 1
+          if (incMatch(j) && !exclNear(j)) ps += j
           j += 1
         }
-        val ps = new Array[Int](cnt)
-        val pe = new Array[Int](cnt)
-        var k = 0
-        j = 0
-        while (j < toks.length) {
-          if (incMatch(j) && !exclNear(j)) { ps(k) = j; pe(k) = j + w(i) - 1; k += 1 }
-          j += 1
-        }
-        candS(i) = ps; candE(i) = pe
+        candS(i) = ps.toArray
+        candE(i) = candS(i).map(_ + w(i) - 1)
       }
       // conjunctive guard: every slot must be fillable
       if (candS(i).length == 0) return false
       i += 1
     }
-    // minimum candidate width per slot and its suffix sum — the sound
-    // lower bound on what future slots will subtract from the unordered
-    // covering budget (bigger intervals only help: cover − Σwidths)
-    val minW = new Array[Int](n)
-    val sufMinW = new Array[Int](n + 1)
-    i = 0
-    while (i < n) {
-      var mw = Int.MaxValue
+    // MAXIMUM candidate width per slot and its suffix sum — the sound
+    // credit for what future slots may still subtract from the unordered
+    // covering budget. A wider future interval can sit INSIDE the partial
+    // cover, adding width without extending it, so the final gap count can
+    // undershoot any estimate using smaller widths: final gaps ≥
+    // partialCover − (boundWidths + Σ maxFutureWidths), and only THAT
+    // lower bound may prune (a min-width credit rejected valid matches —
+    // caught by code review r11, regression-tested in Round11Spec). For
+    // all-width-1 slots max == min and the prune is exact, as before.
+    val sufMaxW = new Array[Int](n + 1)
+    i = n - 1
+    while (i >= 0) {
+      var mw = 0
       var k = 0
       while (k < candS(i).length) {
         val cw = candE(i)(k) - candS(i)(k) + 1
-        if (cw < mw) mw = cw
+        if (cw > mw) mw = cw
         k += 1
       }
-      minW(i) = mw
-      i += 1
+      sufMaxW(i) = sufMaxW(i + 1) + mw
+      i -= 1
     }
-    i = n - 1
-    while (i >= 0) { sufMinW(i) = sufMinW(i + 1) + minW(i); i -= 1 }
     // intervals filter rule: candidate intervals of the single filter slot
     // (token alternatives, a fixed phrase, or a nested sub-match)
     var fS: Array[Int] = null
@@ -414,17 +412,11 @@ object SloppyMatch {
             false
           }
         }
-        var cnt = 0
+        val fps = scala.collection.mutable.ArrayBuffer.empty[Int]
         var j = 0
-        while (j < toks.length) { if (fMatch(j)) cnt += 1; j += 1 }
-        fS = new Array[Int](cnt)
-        fE = new Array[Int](cnt)
-        var k = 0
-        j = 0
-        while (j < toks.length) {
-          if (fMatch(j)) { fS(k) = j; fE(k) = j + fsl.width - 1; k += 1 }
-          j += 1
-        }
+        while (j < toks.length) { if (fMatch(j)) fps += j; j += 1 }
+        fS = fps.toArray
+        fE = fS.map(_ + fsl.width - 1)
       }
       if (!filterMode.startsWith("not_") && fS.length == 0) return false
     }
@@ -502,7 +494,7 @@ object SloppyMatch {
                 else if (i == 0) true // first binding: the cover is one interval
                 else if (gaps)
                   (math.max(maxB, e) - math.min(minB, s) + 1) -
-                    (wAcc + (e - s + 1) + sufMinW(i + 1)) <= slop
+                    (wAcc + (e - s + 1) + sufMaxW(i + 1)) <= slop
                 else {
                   val adj = s - cumW(i)
                   math.max(maxB, adj) - math.min(minB, adj) <= slop

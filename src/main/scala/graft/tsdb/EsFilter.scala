@@ -1043,15 +1043,10 @@ object EsFilter {
     if (parts.isEmpty) lit(true) else parts.reduce(_ && _)
   }
 
-  /** ES wildcard pattern (`*`, `?`) -> anchored Java regex. */
-  private[graft] def wildcardToRegex(pat: String): String = {
-    val sb = new StringBuilder("^")
-    pat.foreach {
-      case '*' => sb.append(".*")
-      case '?' => sb.append('.')
-      case c if "\\.[]{}()<>+-=!$^|,#&~".indexOf(c) >= 0 => sb.append('\\').append(c)
-      case c => sb.append(c)
-    }
-    sb.append('$').toString()
-  }
+  /** ES wildcard pattern (`*`, `?`) -> anchored Java regex — one
+    * conversion for the wildcard QUERY and the intervals wildcard RULE
+    * (owned by the kernel's slot module so the two can never drift).
+    */
+  private[graft] def wildcardToRegex(pat: String): String =
+    SloppySlot.wildcardRegex(pat)
 }

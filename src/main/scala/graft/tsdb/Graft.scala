@@ -57,13 +57,14 @@ class Graft(spark: SparkSession, root: String,
     * UPSERT on the (attrs, offset) primary key (lib/orestes-utils.js:17),
     * so last write wins. Parquet is append-only, so graft gets the same
     * semantics merge-on-read: every batch is stamped with a write sequence
-    * (`writeSeq`, wall clock by default — the reference's effective
-    * ordering; injectable for determinism) and reads keep only the
-    * max-sequence row per (series, time). [[compact]] applies the same
+    * (`writeSeq`, by default the instance's strictly-monotonic wall-clock-
+    * anchored generator shared with the queued path — the reference's
+    * effective ordering; injectable for determinism) and reads keep only
+    * the max-sequence row per (series, time). [[compact]] applies the same
     * rule physically so compacted buckets don't re-pay the merge.
     */
   def write(points: DataFrame, space: String = "default",
-            writeSeq: Long = System.currentTimeMillis()): DataFrame = {
+            writeSeq: Long = nextSeq()): DataFrame = {
     // a pre-stamped frame (the queued-write flush) carries its own per-row
     // sequence — each coalesced client batch keeps its place in the
     // last-write-wins order even though they all land in ONE job
@@ -135,8 +136,12 @@ class Graft(spark: SparkSession, root: String,
   private val queuedLines =
     scala.collection.mutable.Map.empty[String, scala.collection.mutable.ArrayBuffer[String]]
   private val seqGen = new java.util.concurrent.atomic.AtomicLong(0L)
-  // monotonic AND >= wall-clock: interleaved direct write() calls (stamped
-  // with currentTimeMillis) keep their true order relative to queued batches
+  // ONE strictly-monotonic generator stamps queued batches AND direct
+  // write() defaults (anchored to wall-clock so stamps stay comparable
+  // across instances/restarts): a later call always gets a later stamp, so
+  // last-write-wins order can never invert between the two paths — a
+  // wall-clock default on write() could tie with (or trail) a queued
+  // batch's stamp issued in the same millisecond (code review r11)
   private def nextSeq(): Long =
     seqGen.updateAndGet(p => math.max(p + 1, System.currentTimeMillis()))
 
@@ -159,8 +164,10 @@ class Graft(spark: SparkSession, root: String,
       validatePoint(p, zone) match {
         case Left(err) =>
           val en = jsonMapper.createObjectNode()
-          en.put("error", err)
+          // point fields first, the validation error LAST: a point that
+          // itself carries an "error" field must not mask the verdict
           if (p != null && p.isObject) en.setAll(p.asInstanceOf[ObjectNode])
+          en.put("error", err)
           errors += en.toString
         case Right(ms) =>
           val on = p.deepCopy[com.fasterxml.jackson.databind.JsonNode]()
@@ -193,8 +200,20 @@ class Graft(spark: SparkSession, root: String,
           org.apache.spark.sql.Encoders.STRING)
         // rows are valid by construction (time already numeric ms, value and
         // tags validated at queue time), so the returned error frame is
-        // empty and intentionally not executed — the flush is ONE job
-        write(spark.read.json(ds), sp)
+        // empty and intentionally not executed — the flush is ONE job.
+        // A FAILED flush must re-queue: the points were acked, and dropping
+        // them on a transient job failure would be loss without a crash
+        // (code review r11) — the queue is restored and the error surfaces
+        // to the caller, whose retry (or the next read/flush) tries again.
+        try write(spark.read.json(ds), sp)
+        catch {
+          case e: Throwable =>
+            queuedLines.get(sp) match {
+              case Some(buf) => buf.prependAll(lines) // writers can't race us (lock held)
+              case None => queuedLines.put(sp, lines)
+            }
+            throw e
+        }
       }
     }
   }
@@ -546,13 +565,20 @@ object Graft {
         val v = p.get("value")
         val valueOk = v != null && !v.isNull && {
           if (v.isNumber) !(v.isFloatingPointNumber && v.doubleValue().isNaN)
-          else if (v.isTextual)
-            // the engine path casts strings through isnan (accepts
-            // "Infinity", rejects "NaN"); non-numeric strings would fail the
-            // ANSI cast — surfaced here as a per-point error instead
-            scala.util.Try(java.lang.Double.parseDouble(v.asText().trim))
+          else if (v.isTextual) {
+            // the engine path casts strings through isnan (accepts the
+            // infinities, rejects NaN); Spark's string->double cast also
+            // takes the short special literals ("inf"/"+inf"/"-inf",
+            // case-insensitive) that Double.parseDouble does not —
+            // mirrored here so both write paths accept the same strings.
+            // Non-numeric strings would fail the ANSI cast — surfaced
+            // here as a per-point error instead.
+            val t = v.asText().trim.toLowerCase(java.util.Locale.ROOT)
+            if (t == "inf" || t == "+inf" || t == "-inf" ||
+                t == "infinity" || t == "+infinity" || t == "-infinity") true
+            else scala.util.Try(java.lang.Double.parseDouble(t))
               .toOption.exists(d => !d.isNaN)
-          else false
+          } else false
         }
         if (!valueOk) Left("invalid value")
         else {
@@ -560,7 +586,12 @@ object Graft {
           var hasTag = false
           while (it.hasNext && !hasTag) {
             val e = it.next()
-            if (e.getKey != "time" && e.getKey != "value" && !e.getValue.isNull)
+            // WseqCol is reserved (writeQueued overwrites it and write()
+            // excludes it from tag discovery) — it must not satisfy the
+            // tag requirement, or a tagless point would be acked and then
+            // fail the whole flush job's tagCols require
+            if (e.getKey != "time" && e.getKey != "value" &&
+                e.getKey != WseqCol && !e.getValue.isNull)
               hasTag = true
           }
           if (!hasTag) Left("metrics must have at least one tag") else Right(ms)

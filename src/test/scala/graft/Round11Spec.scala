@@ -109,11 +109,11 @@ class Round11Spec extends SparkTestBase {
       java.nio.file.Paths.get("target"), "graft-q-mixed").toString
     val graft = new Graft(spark, root)
     // queued first (acked, still in memory), then a DIRECT engine write of
-    // the same point: the direct write's wall-clock stamp is newer than the
-    // queued batch's sequence, so it must win after the flush
+    // the same point: both paths stamp from ONE strictly-monotonic
+    // generator, so the later call wins deterministically — even within
+    // the same millisecond (no sleep needed)
     graft.writeQueued(Seq(mapper.readTree(
       """{"time":1704794400000,"value":5.0,"name":"cpu"}""")))
-    Thread.sleep(2) // strictly newer wall-ms stamp for the direct write
     import spark.implicits._
     graft.write(spark.read.json(Seq(
       """{"time":1704794400000,"value":7.0,"name":"cpu"}""").toDS()))
@@ -122,7 +122,6 @@ class Round11Spec extends SparkTestBase {
     assert(rows.length == 1 && rows(0).getAs[Double]("value") == 7.0,
       rows.mkString(","))
     // and the reverse: direct first, queued second -> queued wins
-    Thread.sleep(2)
     graft.writeQueued(Seq(mapper.readTree(
       """{"time":1704794400000,"value":11.0,"name":"cpu"}""")))
     val rows2 = graft.read("""{"match_all":{}}""", startMs = 0,
@@ -361,6 +360,14 @@ class Round11Spec extends SparkTestBase {
     }
     // repeated terms inside a nested sub-match
     check(Seq(Right((Seq("a", "a"), 1, false)), Left("b")), 1, ordered = false, None)
+    // THREE slots with a nested member — the shape whose gaps-mode prune
+    // needs the max-width (not min-width) future credit (r11 code review)
+    for (slop <- 0 to 3) {
+      check(Seq(Left("a"), Left("b"), Right((Seq("c", "c"), 2, false))), slop,
+        ordered = false, None)
+      check(Seq(Left("a"), Left("b"), Right((Seq("c", "c"), 2, false))), slop,
+        ordered = true, None)
+    }
     // filter rules per minimal interval (incl. the repeated-term shape that
     // exposes non-minimal covers)
     for (mode <- Seq("containing", "not_containing", "contained_by",
@@ -370,6 +377,58 @@ class Round11Spec extends SparkTestBase {
       check(Seq(Left("a"), Left("c")), slop, ordered = false, Some((mode, "b")))
     for (mode <- Seq("containing", "not_containing"))
       check(Seq(Left("a"), Left("a")), 2, ordered = false, Some((mode, "b")))
+  }
+
+  test("gaps-mode prune admits wide nested intervals (r11 review regression)") {
+    // aa@0 .. x@5 .. y@8 bb@9 .. x@20 y@21: the valid assignment binds the
+    // WIDE nested interval [5,8] inside the aa..bb cover (gaps 10-6=4<=5).
+    // A min-width future credit pruned the branch at the bb binding
+    // (10-(1+1+2)=6>5) before the nested slot could supply its width.
+    val doc = "aa f f f f x f f y bb f f f f f f f f f f x y"
+    assert(graft.functions.SloppyMatch.matches(
+      doc, "aa bb x+y^2^0", 5, inOrder = false, prefix = false, gaps = true))
+    // end-to-end through the ES compiler
+    import spark.implicits._
+    val df = Seq((1L, doc)).toDF("id", "text")
+    assert(df.where(graft.tsdb.EsFilter.compile(
+      """{"intervals":{"text":{"all_of":{"max_gaps":5,"intervals":[
+           {"match":{"query":"aa"}},{"match":{"query":"bb"}},
+           {"match":{"query":"x y","max_gaps":2}}]}}}}""")).count() == 1)
+  }
+
+  test("queued-path validation edge cases match the direct path (r11 review)") {
+    val utc = java.time.ZoneOffset.UTC
+    def v(json: String) = Graft.validatePoint(mapper.readTree(json), utc)
+    // Spark's string->double cast accepts the short infinity literals that
+    // Double.parseDouble does not — both write paths must agree
+    assert(v("""{"time":1,"value":"inf","name":"x"}""").isRight)
+    assert(v("""{"time":1,"value":"-Inf","name":"x"}""").isRight)
+    assert(v("""{"time":1,"value":"Infinity","name":"x"}""").isRight)
+    assert(v("""{"time":1,"value":"NaN","name":"x"}""") == Left("invalid value"))
+    assert(v("""{"time":1,"value":"abc","name":"x"}""") == Left("invalid value"))
+    // the reserved __wseq field is not a tag: acking this point would make
+    // the whole flush job fail its tagCols require
+    assert(v("""{"time":1,"value":1.0,"__wseq":99}""")
+      == Left("metrics must have at least one tag"))
+    // a client "error" field must not mask the validation verdict
+    val g = new Graft(spark, Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "graft-q-errfield").toString)
+    val errs = g.writeQueued(Seq(mapper.readTree(
+      """{"time":"nope","value":1.0,"name":"x","error":"client note"}""")))
+    assert(errs.size == 1 &&
+      mapper.readTree(errs.head).get("error").asText() == "invalid timestamp", errs)
+  }
+
+  test("a failed flush re-queues acked points instead of dropping them") {
+    // a root no filesystem write can land in (even as uid 0): the flush
+    // job fails, and the SECOND flush must fail again — proof the lines
+    // were restored rather than silently discarded with the ack kept
+    val g = new Graft(spark, "/proc/self/graft-noperm")
+    val errs = g.writeQueued(Seq(mapper.readTree(
+      """{"time":1704794400000,"value":1.0,"name":"cpu"}""")))
+    assert(errs.isEmpty)
+    intercept[Exception] { g.flushQueued() }
+    intercept[Exception] { g.flushQueued() }
   }
 
   test("driver-side time parsing matches the engine's accepted shapes") {
