@@ -431,6 +431,38 @@ class Round11Spec extends SparkTestBase {
     intercept[Exception] { g.flushQueued() }
   }
 
+  test("driver-side time parsing agrees with Spark's cast on generated shapes") {
+    import spark.implicits._
+    val utc = java.time.ZoneOffset.UTC
+    val rnd = new scala.util.Random(7)
+    // generated timestamp strings across the accepted grammar (date-only,
+    // space/T separators, fractions, Z / offset zones) plus bare-millis and
+    // garbage forms; the queued path's accept/reject AND the computed
+    // millis must both agree with the engine expression the direct path
+    // evaluates: coalesce(try_to_timestamp(s), timestamp_millis(try_cast))
+    def gen(): String = rnd.nextInt(8) match {
+      case 0 => f"${1990 + rnd.nextInt(50)}%04d-${1 + rnd.nextInt(12)}%02d-${1 + rnd.nextInt(28)}%02d"
+      case 1 => f"${1990 + rnd.nextInt(50)}%04d-${1 + rnd.nextInt(12)}%02d-${1 + rnd.nextInt(28)}%02d ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:${rnd.nextInt(60)}%02d"
+      case 2 => f"${1990 + rnd.nextInt(50)}%04d-${1 + rnd.nextInt(12)}%02dT${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d"
+      case 3 => f"${1990 + rnd.nextInt(50)}%04d-${1 + rnd.nextInt(12)}%02d-${1 + rnd.nextInt(28)}%02dT${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:${rnd.nextInt(60)}%02d.${rnd.nextInt(1000)}%03dZ"
+      case 4 => f"${1990 + rnd.nextInt(50)}%04d-${1 + rnd.nextInt(12)}%02d-${1 + rnd.nextInt(28)}%02dT${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:${rnd.nextInt(60)}%02d+0${1 + rnd.nextInt(8)}:00"
+      case 5 => (rnd.nextLong() % 4000000000000L).toString // bare millis
+      case 6 => f"${1990 + rnd.nextInt(50)}%04d-${13 + rnd.nextInt(80)}%02d-01" // bad month
+      case 7 => s"junk${rnd.nextInt(100)}"
+    }
+    val shapes = Seq.fill(300)(gen()).distinct
+    val sparkMs: Map[String, Option[Long]] = shapes.toDF("s")
+      .selectExpr("s", "unix_millis(CAST(coalesce(try_to_timestamp(s), " +
+        "timestamp_millis(try_cast(s AS LONG))) AS TIMESTAMP)) AS ms")
+      .collect().map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    shapes.foreach { s =>
+      val driver = Graft.parseTimeString(s, utc)
+      assert(driver == sparkMs(s),
+        s"'$s': driver=$driver spark=${sparkMs(s)}")
+    }
+  }
+
   test("driver-side time parsing matches the engine's accepted shapes") {
     val utc = java.time.ZoneOffset.UTC
     // the shapes reference clients send (ISO instant / offset / local /
