@@ -1,0 +1,83 @@
+package graft.http
+
+import org.apache.spark.sql.SparkSession
+import graft.tsdb.Graft
+
+/** Boot the facade the way the reference boots (`node orestes.js` reads
+  * conf/orestes-config.json at startup — orestes.js:62 — and listens on its
+  * configured port): one command, a config file, a store root.
+  *
+  * `runMain graft.http.ServerMain [configPath] [storeRoot]`
+  *  - configPath defaults to the reference's own conf/orestes-config.json
+  *    (cassandra/elasticsearch blocks are accepted-and-ignored, so a
+  *    reference operator's existing file boots unchanged); a missing file
+  *    boots the defaults (port 9668, 7-day buckets) with a notice.
+  *  - storeRoot defaults to ./graft-data (any Hadoop-FS URI works —
+  *    file:/hdfs:/s3a:).
+  *
+  * A per-space `keep_days` in the config turns on the retention daemon:
+  * the sweep the reference runs per `/delete` request
+  * (orestes-remover.js:16-39) runs here on a timer, hourly, so configured
+  * retention is a standing policy rather than a client obligation.
+  */
+object ServerMain {
+  /** Wire config -> store -> server (the testable core of the boot). */
+  def boot(spark: SparkSession, configPath: String, root: String): (Graft, GraftHttpServer) = {
+    val cfg =
+      try Graft.loadConfig(spark, configPath)
+      catch {
+        case _: java.io.FileNotFoundException =>
+          System.err.println(s"[graft] no config at $configPath — booting defaults")
+          Graft.Config(Graft.DefaultPort, Map.empty)
+      }
+    val store = new Graft(spark, root,
+      granularityDays = cfg.spaceGranularity.getOrElse("default",
+        _root_.graft.tsdb.Tsdb.GranularityDays),
+      spaceGranularity = cfg.spaceGranularity,
+      spaceKeepDays = cfg.spaceKeepDays)
+    (store, new GraftHttpServer(store, spark, port = cfg.port))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val configPath = args.lift(0).getOrElse("conf/orestes-config.json")
+    val root = args.lift(1).getOrElse("graft-data")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-server")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val (g, srv) = boot(spark, configPath, root)
+    val port = srv.start()
+    println(s"graft serving on 127.0.0.1:$port, store at $root")
+    // configured retention becomes a standing hourly sweep
+    val sweeper =
+      if (gKeepDays(g).nonEmpty) {
+        val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+          r => { val t = new Thread(r, "graft-retention"); t.setDaemon(true); t })
+        ex.scheduleAtFixedRate(() =>
+          try {
+            val dropped = g.retentionSweep()
+            dropped.filter(_._2.nonEmpty).foreach { case (sp, days) =>
+              println(s"[graft] retention dropped buckets $days from $sp") }
+          } catch { case e: Throwable =>
+            System.err.println(s"[graft] retention sweep failed: ${e.getMessage}") },
+          1, 60, java.util.concurrent.TimeUnit.MINUTES)
+        Some(ex)
+      } else None
+    sys.addShutdownHook {
+      sweeper.foreach(_.shutdownNow())
+      srv.stop() // flushes queued writes
+      spark.stop()
+    }
+    Thread.currentThread().join() // serve until killed
+  }
+
+  private def gKeepDays(g: Graft): Map[String, Int] = g.configuredKeepDays
+}

@@ -484,6 +484,11 @@ class Graft(spark: SparkSession, root: String,
   def retentionSweep(todayDay: Long = System.currentTimeMillis() / Det.MsInDay)
       : Map[String, Seq[Long]] =
     spaceKeepDays.map { case (sp, kd) => sp -> remove(kd, sp, todayDay) }
+
+  /** The per-space keep_days policy this store was configured with — lets
+    * an operator surface (ServerMain's retention daemon) decide whether a
+    * standing sweep is wanted at all. */
+  def configuredKeepDays: Map[String, Int] = spaceKeepDays
 }
 
 object Graft {

@@ -130,6 +130,40 @@ class Round11Spec extends SparkTestBase {
       rows2.mkString(","))
   }
 
+  test("ServerMain.boot serves a reference-shaped config end to end") {
+    // the reference's one-command boot (node orestes.js + its config file):
+    // the same file shape — extra backend blocks ignored, per-space
+    // granularities and keep_days honored — wires store + facade
+    val dir = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "graft-boot")
+    val cfgPath = dir.resolve("orestes-config.json")
+    Files.write(cfgPath,
+      """{"port": 0,
+          "cassandra": {"contactPoints": ["localhost"]},
+          "elasticsearch": {"host": "localhost"},
+          "spaces": {"default": {"table_granularity_days": 1,
+                                 "keep_days": 100000}}}"""
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val (g, srv) = graft.http.ServerMain.boot(spark,
+      cfgPath.toString, dir.resolve("store").toString)
+    assert(g.configuredKeepDays == Map("default" -> 100000))
+    val port = srv.start()
+    try {
+      val (wc, wb) = post(port, "/write",
+        """[{"time":"2024-01-09T10:00:00Z","value":5.0,"name":"cpu"}]""")
+      assert(wc == 200 && mapper.readTree(wb).get("errors").size() == 0, wb)
+      val (rc, rb) = post(port, "/read", "{}")
+      assert(rc == 200, rb)
+      assert(mapper.readTree(rb).get("series").size() == 1, rb)
+      // the configured standing retention applies through the same store
+      assert(g.retentionSweep() == Map("default" -> Seq()))
+      // a missing config file boots defaults instead of crashing
+      val (g2, _) = graft.http.ServerMain.boot(spark,
+        dir.resolve("nope.json").toString, dir.resolve("store2").toString)
+      assert(g2.configuredKeepDays.isEmpty)
+    } finally srv.stop()
+  }
+
   test("concurrent queued writes with interleaved reads are lossless") {
     val root = Files.createTempDirectory(
       java.nio.file.Paths.get("target"), "graft-q-conc").toString
