@@ -804,7 +804,15 @@ class EsFilterSpec extends SparkTestBase {
       """{"intervals":{"text":{"match":{"query":"alpha",
            "filter":{"after":{"match":{"query":"beta"}}}}}}}""",
       """{"intervals":{"text":{"match":{"query":"alpha gamma",
-           "filter":{"not_overlapping":{"match":{"query":"beta"}}}}}}}""")
+           "filter":{"not_overlapping":{"match":{"query":"beta"}}}}}}}""",
+      """{"intervals":{"text":{"wildcard":{"pattern":"?lph*"}}}}""",
+      """{"intervals":{"text":{"all_of":{"ordered":true,"max_gaps":1,"intervals":[
+           {"wildcard":{"pattern":"*eta"}},
+           {"match":{"query":"gamma"}}]}}}}""",
+      """{"intervals":{"text":{"all_of":{"max_gaps":0,"intervals":[
+           {"match":{"query":"gamma"}},
+           {"any_of":{"intervals":[{"wildcard":{"pattern":"bet?"}},
+                                   {"match":{"query":"x"}}]}}]}}}}""")
     val native = queries.map(sids)
     assert(spark.catalog.functionExists("graft_sloppy"))
     reg.dropFunction(id)

@@ -413,6 +413,42 @@ class Round11Spec extends SparkTestBase {
       check(Seq(Left("a"), Left("a")), 2, ordered = false, Some((mode, "b")))
   }
 
+  test("slot wire format round-trips every alternative kind") {
+    import graft.functions.SloppySlot
+    val rnd = new scala.util.Random(11)
+    def term() = ("a" + rnd.alphanumeric.filter(_.isLetter).take(
+      1 + rnd.nextInt(6)).mkString).toLowerCase
+    def slot(): SloppySlot = rnd.nextInt(4) match {
+      case 0 =>
+        // pre/post ride the wire only alongside excludes (the span_not
+        // window has no meaning without them)
+        val exc = if (rnd.nextBoolean()) Seq(term()) else Nil
+        SloppySlot(Seq.fill(1 + rnd.nextInt(3))(term()), exc,
+          if (exc.nonEmpty) rnd.nextInt(3) else 0,
+          if (exc.nonEmpty) rnd.nextInt(3) else 0,
+          prefixes = Seq.fill(rnd.nextInt(2))(term()),
+          wildcards = Seq.fill(rnd.nextInt(2))(term() + "*" + (if (rnd.nextBoolean()) "?" else "")),
+          fuzzies = Seq.fill(rnd.nextInt(2))((term(), rnd.nextInt(3))))
+      case 1 => SloppySlot(Nil, Nil, 0, 0, Nil, Seq.fill(2 + rnd.nextInt(2))(term()))
+      case 2 => SloppySlot(Nil, Nil, 0, 0, Nil, Seq.fill(2 + rnd.nextInt(2))(term()),
+        subSlop = rnd.nextInt(5), subOrdered = rnd.nextBoolean())
+      case 3 => SloppySlot(Nil, Nil, 0, 0,
+        wildcards = Seq("*" + term()), fuzzies = Seq((term(), 1)))
+    }
+    (0 until 200).foreach { _ =>
+      val slots = Seq.fill(1 + rnd.nextInt(3))(slot())
+      val decoded = SloppySlot.decode(SloppySlot.encode(slots)).toSeq
+      assert(decoded == slots, s"round-trip broke:\n$slots\n$decoded")
+    }
+    // the separators/markers are rejected, not mis-parsed
+    intercept[IllegalArgumentException] {
+      SloppySlot.encode(Seq(SloppySlot(Seq("a|b"), Nil, 0, 0)))
+    }
+    intercept[IllegalArgumentException] {
+      SloppySlot.encode(Seq(SloppySlot(Nil, Nil, 0, 0, wildcards = Seq("a^b"))))
+    }
+  }
+
   test("gaps-mode prune admits wide nested intervals (r11 review regression)") {
     // aa@0 .. x@5 .. y@8 bb@9 .. x@20 y@21: the valid assignment binds the
     // WIDE nested interval [5,8] inside the aa..bb cover (gaps 10-6=4<=5).
