@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Plan-SHAPE guards: the executed-plan properties PLANS.md documents,
+  * enforced — a regression that un-pushes a filter, drops a broadcast, or
+  * kicks a kernel out of the scan stage fails here long before a bench run
+  * notices the slowdown. Each assertion names the property a 100 TB run
+  * depends on, not an incidental plan string.
+  */
+class PlanGuardSpec extends SparkTestBase {
+  private def planOf(df: DataFrame): String = {
+    df.count() // let AQE finalize what it will
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("TSDB read pushes time range and tag filter into the parquet scan") {
+    val plan = planOf(graft.tsdb.Tsdb.read(graft.tsdb.Tsdb.points(spark, Sf),
+      graft.tsdb.EsFilter.compile("""{"term":{"user_id":42}}"""),
+      1704672000000L, 1705881600000L))
+    assert(plan.contains("PushedFilters:"), plan.take(800))
+    // the tag equality reaches the scan (row-group pruning), and the scan
+    // reads only the needed columns
+    assert(plan.contains("EqualTo(user_id,42)"), plan.take(1500))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "no cartesian on a read")
+  }
+
+  test("star join broadcasts every dimension (q5)") {
+    val plan = planOf(graft.operators.Analytics.q5MultiJoin(spark, Sf))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).size +
+      "BroadcastExchange".r.findAllIn(plan).size
+    assert(broadcasts >= 4, s"expected broadcast dims, got $broadcasts:\n${plan.take(1200)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "no cartesian in the star join")
+  }
+
+  test("sloppy/interval filters run the codegen'd kernel inside the scan stage") {
+    val docs = graft.core.Tables.documents(spark, Sf)
+    val plan = planOf(docs.where(graft.tsdb.EsFilter.compile(
+      """{"intervals":{"text":{"match":{"query":"data merge","max_gaps":2}}}}""",
+      docs.columns.toSeq)))
+    assert(plan.contains("graft_sloppy"), plan.take(1200))
+    // the kernel is a row-local predicate: one scan node, no join, no
+    // exchange before the filter
+    assert(!plan.contains("Exchange") || plan.indexOf("graft_sloppy") <
+      plan.indexOf("Exchange"), "kernel must evaluate before any exchange")
+  }
+
+  test("exhaustive cosine scans score through the codegen'd graft_dot") {
+    val plan = planOf(graft.ann.Ann.bruteForceTopK(spark, Sf, k = 3, nQueries = 3))
+    assert(plan.contains("graft_dot"), plan.take(1200))
+    assert(plan.contains("BroadcastExchange"), "query set must broadcast")
+  }
+
+  test("pigeonhole hamming search joins on the packed long bucket key, not a cartesian") {
+    val plan = planOf(graft.dedup.Dedup.simhashBucketedPairs(spark, Sf))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"), plan.take(1200))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "bucketed pairs must never fall back to the corpus square")
+  }
+
+  test("cross-modal IVF probe broadcasts the codebook and the query set") {
+    val plan = planOf(graft.multimodal.Multimodal.crossIvfTopK(spark, Sf,
+      k = 3, nQueries = 5))
+    assert("BroadcastExchange".r.findAllIn(plan).size >= 2,
+      s"codebook + query set should broadcast:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct"), "no unbroadcast cartesian")
+  }
+
+  test("top-k per group uses WindowGroupLimit, not a full-sort-then-filter") {
+    val plan = planOf(graft.operators.Analytics.windowTopN(spark, Sf))
+    assert(plan.contains("WindowGroupLimit"), plan.take(1200))
+  }
+
+  test("compacted store reads carry no merge window") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory(Paths.get("target"), "graft-planguard").toString
+    val g = new graft.tsdb.Graft(spark, root)
+    import spark.implicits._
+    g.write(spark.read.json(Seq(
+      """{"time":1704794400000,"value":1.0,"name":"cpu"}""",
+      """{"time":1704794400001,"value":2.0,"name":"cpu"}""").toDS()))
+    val before = planOf(g.read("""{"match_all":{}}""", startMs = 0,
+      endMs = Long.MaxValue))
+    assert(before.contains("WindowGroupLimit") || before.contains("Window"),
+      "stamped store must merge on read")
+    g.compact()
+    val after = planOf(g.read("""{"match_all":{}}""", startMs = 0,
+      endMs = Long.MaxValue))
+    assert(!after.contains("WindowGroupLimit") && !after.contains("Window "),
+      s"compacted store must read window-free:\n${after.take(1200)}")
+  }
+}
