@@ -224,6 +224,12 @@ class Graft(spark: SparkSession, root: String,
     val path = spacePath(space)
     val (fs, p) = fsOf(path)
     if (!fs.exists(p)) None
+    // a root with no bucket directory yet reads as "no data" WITHOUT
+    // attempting the glob: the thrown-and-caught inference failure below
+    // is correct but Spark logs it with a full stack at WARN — per-request
+    // noise in a long-lived server (the catch stays as the race guard)
+    else if (!fs.listStatus(p).exists(_.getPath.getName.startsWith("bucket_day=")))
+      None
     else {
       // Read via the bucket-partition glob with an explicit basePath: the
       // bucket directories are the source of truth (as Orestes' per-bucket
