@@ -265,11 +265,17 @@ class Round11Spec extends SparkTestBase {
     // neighbor at cosine 1.0 (identical vector, same cell by construction)
     val queries = graft.core.Tables.embeddings(spark, Sf)
       .where(col("vec_id") === 7L).select(col("vec_id"), col("embedding"))
-    val top = graft.streaming.AnnStream.probe(spark, idx, queries, codebook)
-      .collect()
+    val probe = graft.streaming.AnnStream.probe(spark, idx, queries, codebook)
+    val top = probe.collect()
     assert(top.nonEmpty)
     assert(top(0).getAs[Long]("n_id") == 1007L &&
       top(0).getAs[Double]("cosine") == 1.0, top.mkString(","))
+    // the cell restriction reaches the index scan as DYNAMIC PARTITION
+    // PRUNING on the (cell, ingest_batch) layout — probe cost is cell
+    // occupancy at the storage level, not a post-scan filter
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected dynamic partition pruning on cell:\n${plan.take(1200)}")
 
     // restart on the SAME checkpoint: replayed batches must not duplicate
     // (dynamic partition overwrite on (cell, ingest_batch)); a new batch
