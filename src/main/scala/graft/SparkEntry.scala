@@ -433,6 +433,12 @@ object SparkEntry {
     "clean_corpus" -> ((s, d) => Dedup.cleanCorpus(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "graph_pagerank" -> ((s, d) => Graph.pagerank(s, d)),
+    // LPA communities: majority-vote labels converge on densely-linked
+    // groups (a spurious LSH bridge doesn't fuse two true clusters)
+    "graph_label_prop" -> ((s, d) => Graph.labelPropagation(s, d)),
+    // Newman modularity of the LPA communities — did the labels find
+    // structure, or noise? (the community labeler's quality report)
+    "graph_modularity" -> ((s, d) => Graph.modularity(s, d)),
     "graph_triangles" -> ((s, d) => Graph.triangleCounts(s, d)),
     "dedup_simhash_buckets" -> ((s, d) => Dedup.simhashBucketedPairs(s, d)),
     "dedup_embedding" -> ((s, d) => Dedup.embeddingPairs(s, d)),
@@ -479,6 +485,10 @@ object SparkEntry {
     "ann_pq_rerank" -> ((s, d) => Ann.pqRerankTopK(s, d)),
     "semdedup" -> ((s, d) => Ann.semdedup(s, d)),
     "ann_ivfpq" -> ((s, d) => Ann.ivfPqTopK(s, d)),
+    // FAISS's actual IVFPQ: PQ codes of the residual v − c(cell), scored as
+    // dot(q, cell centroid) + residual-ADC; same code bytes, lower error
+    "ann_ivfpq_residual" -> ((s, d) => Ann.ivfPqResidualTopK(s, d)),
+    "ann_pqres_recon" -> ((s, d) => Ann.pqResReconError(s, d)),
     "ann_recall" -> ((s, d) => Ann.recallAtK(s, d)),
     "text_lm_score" -> ((s, d) => TextOps.lmScore(s, d)),
     "text_entropy" -> ((s, d) => TextOps.entropy(s, d)),
@@ -510,6 +520,9 @@ object SparkEntry {
     "text_tokens" -> ((s, d) => TextOps.tokenCounts(s, d)),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
     "sample_stratified" -> ((s, d) => TextOps.stratifiedBalance(s, d)),
+    // systematic PPS draw: k points through each group's cumulative weight
+    // axis in hash order — weighted sampling without transcendental keys
+    "sample_pps" -> ((s, d) => Analytics.samplePps(s, d)),
     // zlib not expressible in the oracle engine -> declared rows-only;
     // properties (range, monotonicity vs repetition) are ScalaTest-asserted
     "text_compression" -> ((s, d) => TextOps.compressionRatio(s, d)),
@@ -869,6 +882,23 @@ object SparkEntry {
                      CAST(${rndSql("0.15 / (SELECT n_v FROM nv) + 0.85 * coalesce(CAST(a.in_sum AS DOUBLE), 0.0)", 8)}
                        AS DECIMAL(12,8)) AS r
                    FROM r$t r LEFT JOIN ag$t a ON a.dst = r.id)"""
+    }
+    (init +: steps).mkString(",\n")
+  }
+
+  /** Label-propagation iterations mirroring
+    * [[graft.operators.Graph.labelPropagation]] step for step (assumes
+    * GraphCte); emits l0..l<iters>.
+    */
+  private def labelPropCte(iters: Int): String = {
+    val init = "l0 AS (SELECT id, id AS lbl FROM dg)"
+    val steps = (0 until iters).map { t =>
+      s"""vt$t AS (SELECT b_id, lbl, count(*) AS n FROM (
+                     SELECT e.b_id, l.lbl FROM ed e JOIN l$t l ON l.id = e.a_id
+                     UNION ALL SELECT id AS b_id, lbl FROM l$t) GROUP BY 1, 2),
+          l${t + 1} AS (SELECT b_id AS id, lbl FROM (
+                     SELECT b_id, lbl, row_number() OVER (PARTITION BY b_id
+                       ORDER BY n DESC, lbl) AS rn FROM vt$t) WHERE rn = 1)"""
     }
     (init +: steps).mkString(",\n")
   }
@@ -2093,6 +2123,36 @@ object SparkEntry {
               ${pagerankCte(3)}
           SELECT id AS doc_id, deg AS degree, CAST(r AS DOUBLE) AS pr
           FROM r3 ORDER BY 1, 2, 3""",
+    "graph_label_prop" ->
+      s"""WITH $ShingleCte,
+              $MinhashCte,
+              $GraphCte,
+              ${labelPropCte(3)},
+              sz AS (SELECT lbl, count(*) AS community_size FROM l3 GROUP BY 1)
+          SELECT l.id AS doc_id, l.lbl AS community, sz.community_size
+          FROM l3 l JOIN sz ON sz.lbl = l.lbl ORDER BY 1, 2, 3""",
+    "graph_modularity" ->
+      s"""WITH $ShingleCte,
+              $MinhashCte,
+              $GraphCte,
+              ${labelPropCte(3)},
+              me AS (SELECT count(*) AS m_edges FROM ce),
+              intra AS (SELECT la.lbl AS community, count(*) AS intra_edges
+                        FROM ce e JOIN l3 la ON la.id = e.a_id
+                                  JOIN l3 lb ON lb.id = e.b_id
+                        WHERE la.lbl = lb.lbl GROUP BY 1),
+              base AS (SELECT l.lbl AS community, count(*) AS n_members,
+                              sum(g.deg) AS deg_sum
+                       FROM l3 l JOIN dg g ON g.id = l.id GROUP BY 1),
+              q AS (SELECT b.community, b.n_members,
+                           coalesce(i.intra_edges, 0) AS intra_edges, b.deg_sum,
+                           ${rndSql(
+                             "coalesce(i.intra_edges, 0)*1.0/me.m_edges" +
+                             " - (b.deg_sum*1.0/(2*me.m_edges))*(b.deg_sum*1.0/(2*me.m_edges))",
+                             6)} AS q_part
+                    FROM base b LEFT JOIN intra i ON i.community = b.community, me)
+          SELECT community, n_members, intra_edges, deg_sum, q_part FROM q
+          ORDER BY 1, 2, 3, 4, 5""",
     "graph_triangles" ->
       s"""WITH $ShingleCte,
               $MinhashCte,
@@ -2412,6 +2472,98 @@ object SparkEntry {
                         FROM d2) WHERE rn = 1),
               n2 AS (SELECT vec_id, sp, round(sum(x*x), 6) AS n2
                      FROM sub GROUP BY 1, 2),
+              per AS (SELECT a.vec_id,
+                             ${rndSql("CAST(sum(CAST(a.d2 AS DECIMAL(18,6))) AS DOUBLE)", 6)}
+                               AS recon_err2,
+                             ${rndSql("CAST(sum(CAST(n.n2 AS DECIMAL(18,6))) AS DOUBLE)", 6)}
+                               AS norm2
+                      FROM asg a JOIN n2 n ON n.vec_id = a.vec_id AND n.sp = a.sp
+                      GROUP BY 1)
+          SELECT vec_id, recon_err2, norm2,
+                 CASE WHEN norm2 > 0 THEN ${rndSql("recon_err2 / norm2", 6)} END AS rel_err
+          FROM per ORDER BY 1, 2, 3, 4""",
+    // residual IVFPQ: the same IVF assignment + Lloyd's replay as ann_ivfpq,
+    // but `sub` (what pqTrainCte trains over) is the 6-dp residual
+    // v − c(cell); scores decompose as dot(q,c) + Σ_sp dot(q_sp, r̂_sp)
+    "ann_ivfpq_residual" ->
+      s"""WITH $VecrCte,
+              ${ivfTrainCte(2, 16)},
+              knf AS (SELECT c_id, sum(cx*cx) AS nsq FROM c2 GROUP BY 1),
+              cc AS (SELECT v.vec_id AS vid, c.c_id AS cid, sum(v.x * c.cx) AS dot
+                     FROM evr v JOIN c2 c ON v.i = c.i GROUP BY 1, 2),
+              ccos AS (SELECT vid, cid, round(dot/sqrt(nv.nsq*nc.nsq), 6) AS c
+                       FROM cc JOIN vnr nv ON nv.vec_id = vid JOIN knf nc ON nc.c_id = cid),
+              rkd AS (SELECT vid, cid, row_number() OVER (PARTITION BY vid
+                        ORDER BY c DESC, cid) AS arn FROM ccos),
+              assign AS (SELECT vid, cid AS cell FROM rkd WHERE arn = 1),
+              qcells AS (SELECT vid AS q_id, cid AS q_cell FROM rkd
+                         WHERE arn <= 2 AND vid < 20),
+              sub AS (SELECT v.vec_id, (v.i-1)//16 AS sp, v.i,
+                             ${rndSql("v.x - c.cx", 6)} AS x
+                      FROM evr v JOIN assign a ON a.vid = v.vec_id
+                                 JOIN c2 c ON c.c_id = a.cell AND c.i = v.i),
+              ${pqTrainCte(2, 16)},
+              rd2 AS (SELECT a.vec_id, a.sp, c.c_id,
+                             round(sum((a.x - c.cx) * (a.x - c.cx)), 6) AS d2
+                      FROM sub a JOIN p2 c ON c.sp = a.sp AND c.i = a.i
+                      GROUP BY 1, 2, 3),
+              codes AS (SELECT vec_id, sp, c_id AS code FROM (
+                          SELECT vec_id, sp, c_id, row_number() OVER (
+                            PARTITION BY vec_id, sp ORDER BY d2, c_id) AS rn
+                          FROM rd2) WHERE rn = 1),
+              lut AS (SELECT q.vec_id AS q_id, (q.i-1)//16 AS sp, c.c_id,
+                             round(sum(q.x * c.cx), 6) AS pdot
+                      FROM evr q JOIN p2 c ON c.sp = (q.i-1)//16 AND c.i = q.i
+                      WHERE q.vec_id < 20 GROUP BY 1, 2, 3),
+              qcd AS (SELECT q.vec_id AS q_id, c.c_id AS cell,
+                             round(sum(q.x * c.cx), 6) AS cdot
+                      FROM evr q JOIN c2 c ON c.i = q.i
+                      WHERE q.vec_id < 20 GROUP BY 1, 2),
+              adc AS (SELECT l.q_id, cd.vec_id AS n_id, a.cell,
+                             round(CAST(sum(CAST(l.pdot AS DECIMAL(14,6))) AS DOUBLE), 6)
+                               AS rdot
+                      FROM codes cd
+                      JOIN assign a ON a.vid = cd.vec_id
+                      JOIN lut l ON l.sp = cd.sp AND l.c_id = cd.code
+                                   AND cd.vec_id <> l.q_id
+                      JOIN qcells qc ON qc.q_id = l.q_id AND qc.q_cell = a.cell
+                      GROUP BY 1, 2, 3),
+              sc AS (SELECT a.q_id, a.n_id, ${rndSql("a.rdot + q.cdot", 6)} AS approx_dot
+                     FROM adc a JOIN qcd q ON q.q_id = a.q_id AND q.cell = a.cell),
+              r AS (SELECT q_id, n_id, approx_dot,
+                      CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY approx_dot DESC, n_id) AS BIGINT) AS rank
+                    FROM sc)
+          SELECT q_id, n_id, approx_dot, rank FROM r WHERE rank <= 5
+          ORDER BY 1, 2, 3, 4""",
+    // residual recon error on the SAME ||v||^2 denominator as ann_pq_recon,
+    // so the two reports compare at identical code size
+    "ann_pqres_recon" ->
+      s"""WITH $VecrCte,
+              ${ivfTrainCte(2, 16)},
+              knf AS (SELECT c_id, sum(cx*cx) AS nsq FROM c2 GROUP BY 1),
+              cc AS (SELECT v.vec_id AS vid, c.c_id AS cid, sum(v.x * c.cx) AS dot
+                     FROM evr v JOIN c2 c ON v.i = c.i GROUP BY 1, 2),
+              ccos AS (SELECT vid, cid, round(dot/sqrt(nv.nsq*nc.nsq), 6) AS c
+                       FROM cc JOIN vnr nv ON nv.vec_id = vid JOIN knf nc ON nc.c_id = cid),
+              assign AS (SELECT vid, cid AS cell FROM (
+                           SELECT vid, cid, row_number() OVER (PARTITION BY vid
+                             ORDER BY c DESC, cid) AS arn FROM ccos) WHERE arn = 1),
+              sub AS (SELECT v.vec_id, (v.i-1)//16 AS sp, v.i,
+                             ${rndSql("v.x - c.cx", 6)} AS x
+                      FROM evr v JOIN assign a ON a.vid = v.vec_id
+                                 JOIN c2 c ON c.c_id = a.cell AND c.i = v.i),
+              ${pqTrainCte(2, 16)},
+              rd2 AS (SELECT a.vec_id, a.sp, c.c_id,
+                             round(sum((a.x - c.cx) * (a.x - c.cx)), 6) AS d2
+                      FROM sub a JOIN p2 c ON c.sp = a.sp AND c.i = a.i
+                      GROUP BY 1, 2, 3),
+              asg AS (SELECT vec_id, sp, d2 FROM (
+                        SELECT vec_id, sp, c_id, d2, row_number() OVER (
+                          PARTITION BY vec_id, sp ORDER BY d2, c_id) AS rn
+                        FROM rd2) WHERE rn = 1),
+              n2 AS (SELECT vec_id, (i-1)//16 AS sp, round(sum(x*x), 6) AS n2
+                     FROM evr GROUP BY 1, 2),
               per AS (SELECT a.vec_id,
                              ${rndSql("CAST(sum(CAST(a.d2 AS DECIMAL(18,6))) AS DOUBLE)", 6)}
                                AS recon_err2,
@@ -3261,6 +3413,26 @@ object SparkEntry {
           SELECT doc_id, pred_lang, stratum_rank FROM rk, tgt
           WHERE stratum_rank <= target ORDER BY 1, 2, 3"""
     },
+    // systematic PPS: cum/tot are exact decimals in both engines; the only
+    // division is inside floor() with the Det.rnd-style 1e-9 nudge
+    "sample_pps" ->
+      s"""WITH j AS (SELECT c_mktsegment AS segment, o_orderkey,
+                            CAST(o_totalprice AS DECIMAL(18,4)) AS w,
+                            md5(CAST(o_orderkey AS VARCHAR)) AS hx
+                     FROM orders JOIN customer ON o_custkey = c_custkey),
+              cum AS (SELECT segment, o_orderkey, w,
+                             sum(w) OVER (PARTITION BY segment ORDER BY hx, o_orderkey
+                                          ROWS UNBOUNDED PRECEDING) AS cum,
+                             sum(w) OVER (PARTITION BY segment) AS tot
+                      FROM j),
+              pk AS (SELECT segment, o_orderkey, CAST(w AS DOUBLE) AS weight,
+                            CAST(floor(10 * CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE)
+                                       + 0.5 + 1e-9)
+                                 - floor(10 * CAST(cum - w AS DOUBLE) / CAST(tot AS DOUBLE)
+                                         + 0.5 + 1e-9) AS BIGINT) AS picks
+                     FROM cum)
+          SELECT segment, o_orderkey, weight, picks FROM pk
+          WHERE picks >= 1 ORDER BY 1, 2, 3, 4""",
     "pack_shards" ->
       s"""WITH pt AS (SELECT doc_id,
                              CAST(len(string_split($NormSql, ' ')) AS BIGINT) AS n_tokens,

@@ -987,4 +987,148 @@ object Ann {
         when(col("norm2") > 0, Det.rnd(col("recon_err2") / col("norm2"), 8)).as("rel_err"))
     Det.ordered(out)
   }
+
+  /** Residual sub-vector slices: each vector's offset from its IVF cell
+    * centroid, r = v − c(cell(v)), components Det.rnd-6dp'd so both engines
+    * slice identical exact decimals, then cut into the m PQ subspaces. The
+    * residual distribution has far less energy than the raw corpus (the
+    * cell centroid absorbs the coarse structure), so the SAME 16-code
+    * sub-codebooks spend their capacity on fine structure — why FAISS's
+    * IVFPQ encodes residuals by default (Jégou et al. PAMI '11 §IV.C).
+    * Rides the memoized nprobe=1 inverted file every other IVF consumer
+    * shares; memoized per (dataset, ivf, pq geometry) like all artifacts.
+    */
+  private def pqResSubs(s: SparkSession, d: String, m: Int, dims: Int,
+                        nCentroids: Int, trainIters: Int): DataFrame = {
+    val sw = dims / m
+    memoDf(s, s"pqressubs|$d|$m|$dims|$nCentroids|$trainIters") {
+      val cents = ivfCodebook(s, d, nCentroids, trainIters)
+      val ranked = memoCodebook(s, s"ivfranked|$d|$nCentroids|$trainIters|1")(
+        rankedAssignment(s, d, cents, 1).localCheckpoint(true))
+      ranked.where(col("arn") === 1)
+        .join(broadcast(cents.select(col("c_id").as("rc_id"), col("cv"))),
+          col("c_id") === col("rc_id"))
+        .select(col("vec_id"),
+          zip_with(col("v"), col("cv"), (a, b) => Det.rnd(a - b, 6)).as("rv"))
+        .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("sp"), col("rv"))
+        .select(col("vec_id"), col("sp"),
+          slice(col("rv"), col("sp") * sw + 1, lit(sw)).as("sv"))
+        .cache() // scanned per training iteration + code assignment
+    }
+  }
+
+  /** Residual code table + the two query-side terms of the decomposed dot.
+    * For the inner-product metric the ADC decomposition is exact:
+    * dot(q, c + r̂) = dot(q, c) + Σ_sp dot(q_sp, r̂_sp) — the fine-term LUT
+    * uses the RAW query slices against residual sub-centroids and is
+    * CELL-INDEPENDENT (one m×nCodes table per query, broadcast, exactly
+    * like the non-residual LUT), while the coarse term dot(q, c) is one
+    * number per (query, probed cell) riding the centroid table that is
+    * already broadcast everywhere. No per-cell LUT blowup.
+    */
+  private def pqResCodesLut(s: SparkSession, d: String, nQueries: Int, nCodes: Int,
+                            m: Int, dims: Int, nCentroids: Int,
+                            trainIters: Int): (DataFrame, DataFrame) = {
+    val rsubs = pqResSubs(s, d, m, dims, nCentroids, trainIters)
+    val rcents = memoCodebook(s, s"pqres|$d|$nCodes|$m|$dims|$nCentroids|$trainIters")(
+      trainPqCentroids(rsubs, nCodes, trainIters))
+    val sqL2 = aggregate(zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val wAssign = Window.partitionBy(col("vec_id"), col("sp")).orderBy(col("d2"), col("c_id"))
+    val codes = rsubs.join(broadcast(rcents), col("sp") === col("csp"))
+      .select(col("vec_id"), col("sp"), col("c_id"), round(sqL2, 6).as("d2"))
+      .select(col("vec_id"), col("sp"), col("c_id"), row_number().over(wAssign).as("rn"))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("sp"), col("c_id").as("code"))
+    val lut = pqSubs(s, d, m, dims).where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("sp").as("lsp"), col("sv").as("qsv"))
+      .join(broadcast(rcents), col("lsp") === col("csp"))
+      .select(col("q_id"), col("lsp"), col("c_id"),
+        round(VectorFunctions.dot(s, col("qsv"), col("cv")), 6).as("pdot"))
+    (codes, lut)
+  }
+
+  /** IVF+PQ with RESIDUAL encoding — FAISS's actual IVFPQ (Jégou et al.
+    * PAMI '11 §IV.C), upgrading [[ivfPqTopK]]'s raw-vector codes: each
+    * vector stores PQ codes of its offset from its cell centroid, and a
+    * query scores a candidate as dot(q, cell centroid) + residual-ADC.
+    * Same 100 TB shape as [[ivfPqTopK]] — candidates bounded by probed-cell
+    * occupancy, codes are bytes, LUT and centroids broadcast — but the
+    * codebooks quantize a distribution whose variance the coarse quantizer
+    * already collapsed, so reconstruction error (and therefore ADC rank
+    * fidelity) improves at identical code size ([[pqResReconError]]
+    * measures it; Round11Spec asserts the gap).
+    */
+  def ivfPqResidualTopK(s: SparkSession, d: String, k: Int = 5, nQueries: Int = 20,
+                        nCentroids: Int = 16, nprobe: Int = 2, nCodes: Int = 16,
+                        m: Int = 4, dims: Int = 64, trainIters: Int = 2): DataFrame = {
+    val e = quantNormTable(s, d)
+    val cents = ivfCodebook(s, d, nCentroids, trainIters)
+    val ranked = memoCodebook(s, s"ivfranked|$d|$nCentroids|$trainIters|$nprobe")(
+      rankedAssignment(s, d, cents, nprobe).localCheckpoint(true))
+    val assigned = ranked.where(col("arn") === 1)
+      .select(col("vec_id"), col("c_id").as("cell"))
+    val qcells = ranked.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qc_id"), col("c_id").as("q_cell"))
+    // coarse term: dot(q, c) for every (query, centroid); the probed-cell
+    // join below keeps only the cells the query actually scores against
+    val qcd = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qd_id"), col("v").as("qv"))
+      .join(broadcast(cents), lit(true))
+      .select(col("qd_id"), col("c_id").as("qd_cell"),
+        round(VectorFunctions.dot(s, col("qv"), col("cv")), 6).as("cdot"))
+    val (codes, lut) = pqResCodesLut(s, d, nQueries, nCodes, m, dims,
+      nCentroids, trainIters)
+    val adc = codes.join(assigned, "vec_id")
+      .join(broadcast(lut.join(qcells, col("q_id") === col("qc_id"))),
+        col("sp") === col("lsp") && col("code") === col("c_id") &&
+        col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .groupBy(col("q_id"), col("vec_id"), col("cell"))
+      .agg(round(sum(col("pdot").cast("decimal(14,6)")).cast("double"), 6).as("rdot"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("approx_dot").desc, col("n_id"))
+    val out = adc
+      .join(broadcast(qcd),
+        col("q_id") === col("qd_id") && col("cell") === col("qd_cell"))
+      // both terms are 6-dp decimals; the sum sits a double-ulp from a .5
+      // boundary, so the Det.rnd nudge (not bare round) keeps engines aligned
+      .select(col("q_id"), col("vec_id").as("n_id"),
+        Det.rnd(col("rdot") + col("cdot"), 6).as("approx_dot"))
+      .select(col("q_id"), col("n_id"), col("approx_dot"),
+        row_number().over(wTop).cast("bigint").as("rank"))
+      .where(col("rank") <= k)
+    Det.ordered(out)
+  }
+
+  /** Residual-PQ reconstruction-error report, the twin of [[pqReconError]]
+    * on the SAME denominator (‖v‖², from the raw slices) so the two rows
+    * compare directly: per vector, Σ over subspaces of the assigned
+    * residual sub-centroid's distance² to the residual — i.e. the error of
+    * the full reconstruction v̂ = c_cell + r̂. This is the number that
+    * justifies residual encoding: same code bytes, lower error.
+    */
+  def pqResReconError(s: SparkSession, d: String, nCodes: Int = 16, m: Int = 4,
+                      dims: Int = 64, nCentroids: Int = 16,
+                      trainIters: Int = 2): DataFrame = {
+    val rsubs = pqResSubs(s, d, m, dims, nCentroids, trainIters)
+    val rcents = memoCodebook(s, s"pqres|$d|$nCodes|$m|$dims|$nCentroids|$trainIters")(
+      trainPqCentroids(rsubs, nCodes, trainIters))
+    val sqL2 = aggregate(zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val wAssign = Window.partitionBy(col("vec_id"), col("sp")).orderBy(col("d2"), col("c_id"))
+    val asg = rsubs.join(broadcast(rcents), col("sp") === col("csp"))
+      .select(col("vec_id"), col("sp"), col("c_id"), round(sqL2, 6).as("d2"))
+      .withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("sp"), col("d2"))
+    val norms = pqSubs(s, d, m, dims).select(col("vec_id"), col("sp"),
+      round(VectorFunctions.dot(s, col("sv"), col("sv")), 6).as("n2"))
+    val out = asg.join(norms, Seq("vec_id", "sp"))
+      .groupBy(col("vec_id"))
+      .agg(
+        Det.rnd(sum(col("d2").cast("decimal(18,6)")).cast("double"), 6).as("recon_err2"),
+        Det.rnd(sum(col("n2").cast("decimal(18,6)")).cast("double"), 6).as("norm2"))
+      .select(col("vec_id"), col("recon_err2"), col("norm2"),
+        when(col("norm2") > 0, Det.rnd(col("recon_err2") / col("norm2"), 6)).as("rel_err"))
+    Det.ordered(out)
+  }
 }

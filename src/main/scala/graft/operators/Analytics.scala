@@ -1390,4 +1390,49 @@ object Analytics {
         Det.rnd(cume_dist().over(w), 6).as("cume"))
     Det.ordered(out)
   }
+
+  /** Systematic PPS (probability-proportional-to-size) sampling — the
+    * production alternative to weighted reservoir sampling for building a
+    * training mix: per group, k sample points are placed evenly through the
+    * cumulative weight axis at (j+0.5)·W/k, and a row is drawn once per
+    * point landing inside its weight interval (rows heavier than W/k can
+    * legitimately draw multiple times — `picks` is that multiplicity, the
+    * with-replacement PPS semantics). The scan order is a hash of the row
+    * key, so the "random" systematic pass is deterministic, shuffle-proof,
+    * and cross-engine replayable WITHOUT transcendental priority keys
+    * (pow/exp of the A-Res family round differently per libm); the
+    * cumulative sums are exact decimals, the only division is nudged
+    * through the Det.rnd boundary contract. Cost: one shuffle on the group
+    * key + one window pass — the sessionize shape, no global sort, no
+    * driver-side state; at 100 TB each group streams through its sorted
+    * partition once.
+    */
+  def samplePps(s: SparkSession, d: String, k: Int = 10): DataFrame = {
+    val j = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"), col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,4)").as("w"),
+        md5(col("o_orderkey").cast("string")).as("hx"))
+    val wOrd = Window.partitionBy(col("segment")).orderBy(col("hx"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("segment"))
+    // points-below(x) = floor(k·x/W + 0.5): picks = the count of sample
+    // points inside (cum−w, cum]; cum and w are exact decimals so both
+    // engines divide the same values (the 1e-9 nudge covers the floor
+    // boundary like every Det.rnd site)
+    def below(x: Column, tot: Column): Column =
+      floor(lit(k) * x.cast("double") / tot.cast("double") + lit(0.5) + lit(1e-9))
+    val out = j
+      .withColumn("cum", sum(col("w")).over(wOrd))
+      .withColumn("tot", sum(col("w")).over(wAll))
+      .withColumn("picks",
+        (below(col("cum"), col("tot")) - below(col("cum") - col("w"), col("tot")))
+          .cast("bigint"))
+      .where(col("picks") >= 1)
+      .select(col("segment"), col("o_orderkey"),
+        col("w").cast("double").as("weight"), col("picks"))
+    Det.ordered(out)
+  }
 }

@@ -52,6 +52,90 @@ object Graph {
       col("r").cast("double").as("pr")))
   }
 
+  /** Label-propagation community detection (Raghavan et al. 2007) on the
+    * symmetrized candidate graph — the lighter sibling of
+    * [[graft.dedup.Dedup]]'s connected components: where CC merges anything
+    * reachable (one bridge edge fuses two clone families), LPA's
+    * majority-vote converges on DENSELY-linked groups, so a spurious LSH
+    * bridge between two true duplicate clusters doesn't collapse them.
+    * Synchronous iterations from self-labels, with each vertex's OWN label
+    * in the vote (the self-loop variant): pure synchronous LPA oscillates
+    * on bipartite structure — an isolated duplicate PAIR swaps labels every
+    * round and never merges, the most common shape in a near-dup graph —
+    * while the self-vote breaks the 2-cycle and converges pairs to the
+    * smaller id in one round. Each round is one join of the tiny label
+    * table to the stationary edge list + one (vertex, label) count
+    * shuffle — edges never move, exactly PageRank's distribution shape.
+    * Ties break on the smaller label, so every round (and therefore the
+    * oracle's unrolled replay) is deterministic.
+    */
+  def labelPropagation(s: SparkSession, d: String, iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e0 = Dedup.minhashLsh(s, d).select(col("a_id"), col("b_id"))
+    val edges = e0
+      .union(e0.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .localCheckpoint(true) // reused every iteration; self-frees on GC
+    var lbl = edges.select(col("a_id").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+    for (_ <- 0 until iters) {
+      val wVote = Window.partitionBy(col("b_id")).orderBy(col("n").desc, col("lbl"))
+      lbl = edges.join(lbl, col("a_id") === col("id"))
+        .select(col("b_id"), col("lbl"))
+        .union(lbl.select(col("id").as("b_id"), col("lbl"))) // self-vote
+        .groupBy(col("b_id"), col("lbl"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(wVote))
+        .where(col("rn") === 1)
+        .select(col("b_id").as("id"), col("lbl"))
+        .localCheckpoint(true) // tiny label table; truncates round lineage
+    }
+    val sizes = lbl.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
+    val out = lbl.join(sizes, "lbl")
+      .select(col("id").as("doc_id"), col("lbl").as("community"),
+        col("community_size"))
+    Det.ordered(out)
+  }
+
+  /** Newman modularity of the [[labelPropagation]] communities — the
+    * metric that tells whether the labels found STRUCTURE (every index in
+    * this engine ships with its quality report: recall for ANN, occupancy
+    * for IVF, recon error for PQ; this is the community labeler's). Per
+    * community c: q_part = e_c/m − (d_c/2m)², where e_c = intra-community
+    * edges, d_c = the community's degree mass, m = undirected edge count;
+    * Σ q_part is Newman's Q (positive ⇒ denser than the degree-preserving
+    * random graph). Two broadcast-sized aggregates over the stationary
+    * edge list — nothing touches pair space beyond the edges themselves.
+    */
+  def modularity(s: SparkSession, d: String, iters: Int = 3): DataFrame = {
+    val e0 = Dedup.minhashLsh(s, d).select(col("a_id"), col("b_id"))
+      .localCheckpoint(true)
+    val lbl = labelPropagation(s, d, iters)
+      .select(col("doc_id"), col("community"))
+      .localCheckpoint(true)
+    val m = e0.agg(count(lit(1)).as("m_edges"))
+    val intra = e0
+      .join(lbl.select(col("doc_id").as("a_id"), col("community").as("ca")), "a_id")
+      .join(lbl.select(col("doc_id").as("b_id"), col("community").as("cb")), "b_id")
+      .where(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(count(lit(1)).as("intra_edges"))
+    val deg = e0.select(col("a_id").as("doc_id"))
+      .union(e0.select(col("b_id").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("deg"))
+    val base = lbl.join(deg, "doc_id")
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_members"), sum(col("deg")).as("deg_sum"))
+    val half = col("deg_sum") / (lit(2) * col("m_edges"))
+    val out = base
+      .join(intra, Seq("community"), "left")
+      .select(col("community"), col("n_members"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"), col("deg_sum"))
+      .crossJoin(m) // 1-row scalar, the in-plan-scalar idiom
+      .select(col("community"), col("n_members"), col("intra_edges"), col("deg_sum"),
+        Det.rnd(col("intra_edges") / col("m_edges") - half * half, 6).as("q_part"))
+    Det.ordered(out)
+  }
+
   /** Per-vertex triangle counts on the candidate graph: triangles come from
     * the oriented (a<b<c) three-way join over the deduplicated edge list —
     * each triangle found exactly once, then credited to all three corners.
