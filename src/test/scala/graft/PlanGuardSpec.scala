@@ -90,4 +90,29 @@ class PlanGuardSpec extends SparkTestBase {
     assert(!after.contains("WindowGroupLimit") && !after.contains("Window "),
       s"compacted store must read window-free:\n${after.take(1200)}")
   }
+
+  test("PPS sampler shuffles once on the group key and broadcasts the dim") {
+    val plan = planOf(graft.operators.Analytics.samplePps(spark, Sf))
+    // the cumulative-weight window rides ONE hash shuffle on the group key
+    assert(plan.contains("hashpartitioning(segment"), plan.take(1500))
+    // customer is a broadcast dim; the weighted draw never sorts globally
+    // before the window (the only range partitioning is Det.ordered's
+    // final output ordering, downstream of the Window operators)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    // plan text reads top-down: any rangepartitioning must sit ABOVE the
+    // group-key shuffle (i.e. be Det.ordered's output sort), never below
+    // it feeding the window
+    val hp = plan.indexOf("hashpartitioning(segment")
+    val rp = plan.indexOf("rangepartitioning")
+    assert(hp >= 0 && (rp == -1 || rp < hp),
+      s"group-key hash shuffle must feed the window, not a global sort:\n${plan.take(1500)}")
+  }
+
+  test("residual IVFPQ broadcasts the LUT and coarse-term tables, no cartesian over codes") {
+    val plan = planOf(graft.ann.Ann.ivfPqResidualTopK(spark, Sf, k = 3, nQueries = 5))
+    assert("BroadcastExchange".r.findAllIn(plan).size >= 2,
+      s"residual LUT + dot(q,c) table should broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct"),
+      "code rows must join broadcast query tables, never a cartesian")
+  }
 }
