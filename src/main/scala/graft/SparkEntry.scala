@@ -488,6 +488,8 @@ object SparkEntry {
     // FAISS's actual IVFPQ: PQ codes of the residual v − c(cell), scored as
     // dot(q, cell centroid) + residual-ADC; same code bytes, lower error
     "ann_ivfpq_residual" -> ((s, d) => Ann.ivfPqResidualTopK(s, d)),
+    // residual-ADC proposes, exact cosine re-ranks candidates only
+    "ann_ivfpq_residual_rerank" -> ((s, d) => Ann.ivfPqResidualRerankTopK(s, d)),
     "ann_pqres_recon" -> ((s, d) => Ann.pqResReconError(s, d)),
     "ann_recall" -> ((s, d) => Ann.recallAtK(s, d)),
     "text_lm_score" -> ((s, d) => TextOps.lmScore(s, d)),
@@ -792,6 +794,58 @@ object SparkEntry {
                        round(sum(a.x * c.cx), 6) AS pdot
                 FROM sub a JOIN p2 c ON c.sp = a.sp AND c.i = a.i
                 WHERE a.vec_id < 20 GROUP BY 1, 2, 3)"""
+
+  /** Residual-IVFPQ score CTEs (assumes VecrCte), mirroring
+    * [[graft.ann.Ann.ivfPqResidualScores]]: IVF training + ranked
+    * assignment, the 6-dp residual `sub` that pqTrainCte trains over, the
+    * residual code/LUT tables, the coarse dot(q,c) term, and the decomposed
+    * probed-cell scores `sc` (q_id, n_id, approx_dot) — shared by the
+    * ann_ivfpq_residual and ann_ivfpq_residual_rerank oracles.
+    */
+  private def ResIvfPqScoreCte: String =
+    s"""${ivfTrainCte(2, 16)},
+        knf AS (SELECT c_id, sum(cx*cx) AS nsq FROM c2 GROUP BY 1),
+        cc AS (SELECT v.vec_id AS vid, c.c_id AS cid, sum(v.x * c.cx) AS dot
+               FROM evr v JOIN c2 c ON v.i = c.i GROUP BY 1, 2),
+        ccos AS (SELECT vid, cid, round(dot/sqrt(nv.nsq*nc.nsq), 6) AS c
+                 FROM cc JOIN vnr nv ON nv.vec_id = vid JOIN knf nc ON nc.c_id = cid),
+        rkd AS (SELECT vid, cid, row_number() OVER (PARTITION BY vid
+                  ORDER BY c DESC, cid) AS arn FROM ccos),
+        assign AS (SELECT vid, cid AS cell FROM rkd WHERE arn = 1),
+        qcells AS (SELECT vid AS q_id, cid AS q_cell FROM rkd
+                   WHERE arn <= 2 AND vid < 20),
+        sub AS (SELECT v.vec_id, (v.i-1)//16 AS sp, v.i,
+                       ${rndSql("v.x - c.cx", 6)} AS x
+                FROM evr v JOIN assign a ON a.vid = v.vec_id
+                           JOIN c2 c ON c.c_id = a.cell AND c.i = v.i),
+        ${pqTrainCte(2, 16)},
+        rd2 AS (SELECT a.vec_id, a.sp, c.c_id,
+                       round(sum((a.x - c.cx) * (a.x - c.cx)), 6) AS d2
+                FROM sub a JOIN p2 c ON c.sp = a.sp AND c.i = a.i
+                GROUP BY 1, 2, 3),
+        codes AS (SELECT vec_id, sp, c_id AS code FROM (
+                    SELECT vec_id, sp, c_id, row_number() OVER (
+                      PARTITION BY vec_id, sp ORDER BY d2, c_id) AS rn
+                    FROM rd2) WHERE rn = 1),
+        lut AS (SELECT q.vec_id AS q_id, (q.i-1)//16 AS sp, c.c_id,
+                       round(sum(q.x * c.cx), 6) AS pdot
+                FROM evr q JOIN p2 c ON c.sp = (q.i-1)//16 AND c.i = q.i
+                WHERE q.vec_id < 20 GROUP BY 1, 2, 3),
+        qcd AS (SELECT q.vec_id AS q_id, c.c_id AS cell,
+                       round(sum(q.x * c.cx), 6) AS cdot
+                FROM evr q JOIN c2 c ON c.i = q.i
+                WHERE q.vec_id < 20 GROUP BY 1, 2),
+        adc AS (SELECT l.q_id, cd.vec_id AS n_id, a.cell,
+                       round(CAST(sum(CAST(l.pdot AS DECIMAL(14,6))) AS DOUBLE), 6)
+                         AS rdot
+                FROM codes cd
+                JOIN assign a ON a.vid = cd.vec_id
+                JOIN lut l ON l.sp = cd.sp AND l.c_id = cd.code
+                             AND cd.vec_id <> l.q_id
+                JOIN qcells qc ON qc.q_id = l.q_id AND qc.q_cell = a.cell
+                GROUP BY 1, 2, 3),
+        sc AS (SELECT a.q_id, a.n_id, ${rndSql("a.rdot + q.cdot", 6)} AS approx_dot
+               FROM adc a JOIN qcd q ON q.q_id = a.q_id AND q.cell = a.cell)"""
 
   /** PqCodesCte + the unrestricted `adc` scores — shared by the ann_pq and
     * ann_pq_rerank oracles.
@@ -2487,54 +2541,34 @@ object SparkEntry {
     // v − c(cell); scores decompose as dot(q,c) + Σ_sp dot(q_sp, r̂_sp)
     "ann_ivfpq_residual" ->
       s"""WITH $VecrCte,
-              ${ivfTrainCte(2, 16)},
-              knf AS (SELECT c_id, sum(cx*cx) AS nsq FROM c2 GROUP BY 1),
-              cc AS (SELECT v.vec_id AS vid, c.c_id AS cid, sum(v.x * c.cx) AS dot
-                     FROM evr v JOIN c2 c ON v.i = c.i GROUP BY 1, 2),
-              ccos AS (SELECT vid, cid, round(dot/sqrt(nv.nsq*nc.nsq), 6) AS c
-                       FROM cc JOIN vnr nv ON nv.vec_id = vid JOIN knf nc ON nc.c_id = cid),
-              rkd AS (SELECT vid, cid, row_number() OVER (PARTITION BY vid
-                        ORDER BY c DESC, cid) AS arn FROM ccos),
-              assign AS (SELECT vid, cid AS cell FROM rkd WHERE arn = 1),
-              qcells AS (SELECT vid AS q_id, cid AS q_cell FROM rkd
-                         WHERE arn <= 2 AND vid < 20),
-              sub AS (SELECT v.vec_id, (v.i-1)//16 AS sp, v.i,
-                             ${rndSql("v.x - c.cx", 6)} AS x
-                      FROM evr v JOIN assign a ON a.vid = v.vec_id
-                                 JOIN c2 c ON c.c_id = a.cell AND c.i = v.i),
-              ${pqTrainCte(2, 16)},
-              rd2 AS (SELECT a.vec_id, a.sp, c.c_id,
-                             round(sum((a.x - c.cx) * (a.x - c.cx)), 6) AS d2
-                      FROM sub a JOIN p2 c ON c.sp = a.sp AND c.i = a.i
-                      GROUP BY 1, 2, 3),
-              codes AS (SELECT vec_id, sp, c_id AS code FROM (
-                          SELECT vec_id, sp, c_id, row_number() OVER (
-                            PARTITION BY vec_id, sp ORDER BY d2, c_id) AS rn
-                          FROM rd2) WHERE rn = 1),
-              lut AS (SELECT q.vec_id AS q_id, (q.i-1)//16 AS sp, c.c_id,
-                             round(sum(q.x * c.cx), 6) AS pdot
-                      FROM evr q JOIN p2 c ON c.sp = (q.i-1)//16 AND c.i = q.i
-                      WHERE q.vec_id < 20 GROUP BY 1, 2, 3),
-              qcd AS (SELECT q.vec_id AS q_id, c.c_id AS cell,
-                             round(sum(q.x * c.cx), 6) AS cdot
-                      FROM evr q JOIN c2 c ON c.i = q.i
-                      WHERE q.vec_id < 20 GROUP BY 1, 2),
-              adc AS (SELECT l.q_id, cd.vec_id AS n_id, a.cell,
-                             round(CAST(sum(CAST(l.pdot AS DECIMAL(14,6))) AS DOUBLE), 6)
-                               AS rdot
-                      FROM codes cd
-                      JOIN assign a ON a.vid = cd.vec_id
-                      JOIN lut l ON l.sp = cd.sp AND l.c_id = cd.code
-                                   AND cd.vec_id <> l.q_id
-                      JOIN qcells qc ON qc.q_id = l.q_id AND qc.q_cell = a.cell
-                      GROUP BY 1, 2, 3),
-              sc AS (SELECT a.q_id, a.n_id, ${rndSql("a.rdot + q.cdot", 6)} AS approx_dot
-                     FROM adc a JOIN qcd q ON q.q_id = a.q_id AND q.cell = a.cell),
+              $ResIvfPqScoreCte,
               r AS (SELECT q_id, n_id, approx_dot,
                       CAST(row_number() OVER (PARTITION BY q_id
                         ORDER BY approx_dot DESC, n_id) AS BIGINT) AS rank
                     FROM sc)
           SELECT q_id, n_id, approx_dot, rank FROM r WHERE rank <= 5
+          ORDER BY 1, 2, 3, 4""",
+    // residual-ADC proposal + exact-cosine re-rank (the ann_pq_rerank tail
+    // over the residual scores)
+    "ann_ivfpq_residual_rerank" ->
+      s"""WITH $VecrCte,
+              $ResIvfPqScoreCte,
+              cand AS (SELECT q_id, n_id FROM (
+                         SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+                           ORDER BY approx_dot DESC, n_id) AS adc_rank FROM sc)
+                       WHERE adc_rank <= 50),
+              xd AS (SELECT c.q_id, c.n_id, sum(a.x * b.x) AS dot
+                     FROM cand c JOIN evr a ON a.vec_id = c.q_id
+                                 JOIN evr b ON b.vec_id = c.n_id AND b.i = a.i
+                     GROUP BY 1, 2),
+              xc AS (SELECT q_id, n_id, round(dot/sqrt(nq.nsq*nn.nsq), 6) AS cosine
+                     FROM xd JOIN vnr nq ON nq.vec_id = q_id
+                             JOIN vnr nn ON nn.vec_id = n_id),
+              r AS (SELECT q_id, n_id, cosine,
+                           CAST(row_number() OVER (PARTITION BY q_id
+                             ORDER BY cosine DESC, n_id) AS BIGINT) AS rank
+                    FROM xc)
+          SELECT q_id, n_id, cosine, rank FROM r WHERE rank <= 5
           ORDER BY 1, 2, 3, 4""",
     // residual recon error on the SAME ||v||^2 denominator as ann_pq_recon,
     // so the two reports compare at identical code size

@@ -1059,9 +1059,13 @@ object Ann {
     * fidelity) improves at identical code size ([[pqResReconError]]
     * measures it; Round11Spec asserts the gap).
     */
-  def ivfPqResidualTopK(s: SparkSession, d: String, k: Int = 5, nQueries: Int = 20,
-                        nCentroids: Int = 16, nprobe: Int = 2, nCodes: Int = 16,
-                        m: Int = 4, dims: Int = 64, trainIters: Int = 2): DataFrame = {
+  /** The decomposed residual scores (q_id, n_id, approx_dot) over the
+    * probed cells — shared by [[ivfPqResidualTopK]] and
+    * [[ivfPqResidualRerankTopK]].
+    */
+  private def ivfPqResidualScores(s: SparkSession, d: String, nQueries: Int,
+                                  nCentroids: Int, nprobe: Int, nCodes: Int,
+                                  m: Int, dims: Int, trainIters: Int): DataFrame = {
     val e = quantNormTable(s, d)
     val cents = ivfCodebook(s, d, nCentroids, trainIters)
     val ranked = memoCodebook(s, s"ivfranked|$d|$nCentroids|$trainIters|$nprobe")(
@@ -1085,15 +1089,55 @@ object Ann {
         col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
       .groupBy(col("q_id"), col("vec_id"), col("cell"))
       .agg(round(sum(col("pdot").cast("decimal(14,6)")).cast("double"), 6).as("rdot"))
-    val wTop = Window.partitionBy(col("q_id")).orderBy(col("approx_dot").desc, col("n_id"))
-    val out = adc
+    adc
       .join(broadcast(qcd),
         col("q_id") === col("qd_id") && col("cell") === col("qd_cell"))
       // both terms are 6-dp decimals; the sum sits a double-ulp from a .5
       // boundary, so the Det.rnd nudge (not bare round) keeps engines aligned
       .select(col("q_id"), col("vec_id").as("n_id"),
         Det.rnd(col("rdot") + col("cdot"), 6).as("approx_dot"))
+  }
+
+  def ivfPqResidualTopK(s: SparkSession, d: String, k: Int = 5, nQueries: Int = 20,
+                        nCentroids: Int = 16, nprobe: Int = 2, nCodes: Int = 16,
+                        m: Int = 4, dims: Int = 64, trainIters: Int = 2): DataFrame = {
+    val scores = ivfPqResidualScores(s, d, nQueries, nCentroids, nprobe,
+      nCodes, m, dims, trainIters)
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("approx_dot").desc, col("n_id"))
+    val out = scores
       .select(col("q_id"), col("n_id"), col("approx_dot"),
+        row_number().over(wTop).cast("bigint").as("rank"))
+      .where(col("rank") <= k)
+    Det.ordered(out)
+  }
+
+  /** Residual-ADC proposes, exact cosine re-ranks — the full production
+    * IVFPQ search ([[pqRerankTopK]]'s accuracy-buyback on the
+    * [[ivfPqResidualTopK]] proposal set): the compressed probed-cell scan
+    * nominates `rerank` candidates per query, the float path touches ONLY
+    * those R·|queries| vectors, the final top-k is exact-cosine ranked.
+    */
+  def ivfPqResidualRerankTopK(s: SparkSession, d: String, k: Int = 5,
+                              nQueries: Int = 20, rerank: Int = 50,
+                              nCentroids: Int = 16, nprobe: Int = 2,
+                              nCodes: Int = 16, m: Int = 4, dims: Int = 64,
+                              trainIters: Int = 2): DataFrame = {
+    val scores = ivfPqResidualScores(s, d, nQueries, nCentroids, nprobe,
+      nCodes, m, dims, trainIters)
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("approx_dot").desc, col("n_id"))
+    val cands = scores
+      .select(col("q_id"), col("n_id"), row_number().over(wAdc).as("adc_rank"))
+      .where(col("adc_rank") <= rerank)
+      .select(col("q_id"), col("n_id"))
+    val e = quantNormTable(s, d)
+    val exact = cands
+      .join(e.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")), "q_id")
+      .join(e.select(col("vec_id").as("n_id"), col("v"), col("nrm")), "n_id")
+      .select(col("q_id"), col("n_id"),
+        round(cosine(s, col("qv"), col("v"), col("qn"), col("nrm")), 6).as("cosine"))
+    val wTop = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
+    val out = exact
+      .select(col("q_id"), col("n_id"), col("cosine"),
         row_number().over(wTop).cast("bigint").as("rank"))
       .where(col("rank") <= k)
     Det.ordered(out)
