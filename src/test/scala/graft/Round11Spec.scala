@@ -592,4 +592,30 @@ class Round11Spec extends SparkTestBase {
     assert(topk.count() > 0)
     assert(topk.where(col("rank") > 5).count() == 0)
   }
+
+  test("PPS sampler draws exactly k picks per group (telescoping invariant)") {
+    import org.apache.spark.sql.functions._
+    // sum of picks per group telescopes to points-below(W) - points-below(0)
+    // = k exactly, independent of the weight distribution — the invariant
+    // that makes the draw a fixed-size sample, not an expected-size one
+    val perGroup = graft.operators.Analytics.samplePps(spark, Sf)
+      .groupBy(col("segment")).agg(sum(col("picks")).as("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(perGroup.nonEmpty && perGroup.values.forall(_ == 10L),
+      s"each segment must draw exactly 10: $perGroup")
+  }
+
+  test("self-vote LPA merges duplicate pairs; communities are denser than random") {
+    import org.apache.spark.sql.functions._
+    // the oscillation regression: pure synchronous LPA leaves an isolated
+    // duplicate PAIR split (labels swap forever); the self-vote converges
+    // it — so the near-dup graph's modularity must be strongly positive
+    // (Q -> 0.09 without the self-vote, 0.92 with it at this SF), and the
+    // labeler must find at least one multi-member community
+    val q = graft.operators.Graph.modularity(spark, Sf)
+    val total = q.agg(sum(col("q_part"))).head.getDouble(0)
+    assert(total > 0.5, s"modularity $total should be strongly positive")
+    assert(q.where(col("n_members") >= 2).count() > 0,
+      "at least one merged community (pairs must not stay split)")
+  }
 }
