@@ -430,6 +430,8 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_minhash_verified" -> ((s, d) => Dedup.minhashVerified(s, d)),
+    // threshold-sweep report: surviving pairs + keep-first removals per tau
+    "dedup_curve" -> ((s, d) => Dedup.dedupCurve(s, d)),
     "clean_corpus" -> ((s, d) => Dedup.cleanCorpus(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "graph_pagerank" -> ((s, d) => Graph.pagerank(s, d)),
@@ -2232,6 +2234,32 @@ object SparkEntry {
           SELECT a_id, b_id, round(ni*1.0/(sa.n + sb.n - ni) + 1e-9, 4) AS jaccard
           FROM i JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
           WHERE round(ni*1.0/(sa.n + sb.n - ni) + 1e-9, 4) >= 0.8 ORDER BY 1, 2, 3""",
+    // threshold sweep over the same verified-Jaccard pairs; tau computed as
+    // CAST(i AS DOUBLE)/20 in both engines so the grid doubles are identical
+    "dedup_curve" ->
+      s"""WITH $ShingleCte,
+              $MinhashCte,
+              cands AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                        FROM bands a JOIN bands b
+                          ON a.band = b.band AND a.band_key = b.band_key
+                         AND a.doc_id < b.doc_id),
+              sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+              i AS (SELECT c.a_id, c.b_id, count(*) AS ni
+                    FROM cands c
+                    JOIN sh sa ON sa.doc_id = c.a_id
+                    JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+                    GROUP BY 1, 2),
+              pj AS (SELECT a_id, b_id,
+                            ${rndSql("ni*1.0/(sa.n + sb.n - ni)", 4)} AS jaccard
+                     FROM i JOIN sz sa ON sa.doc_id = a_id
+                            JOIN sz sb ON sb.doc_id = b_id),
+              grid AS (SELECT CAST(g.i AS DOUBLE)/20 AS tau
+                       FROM UNNEST(range(10, 20)) AS g(i)),
+              agg AS (SELECT g.tau, count(*) AS p, count(DISTINCT b_id) AS r
+                      FROM grid g JOIN pj ON pj.jaccard >= g.tau GROUP BY 1)
+          SELECT g.tau, coalesce(a.p, 0) AS n_pairs,
+                 coalesce(a.r, 0) AS n_docs_removed
+          FROM grid g LEFT JOIN agg a ON a.tau = g.tau ORDER BY 1, 2, 3""",
     "clean_corpus" ->
       s"""WITH t AS (SELECT doc_id, $NormSql AS n, string_split($NormSql, ' ') AS toks
                      FROM documents),

@@ -435,6 +435,45 @@ object Dedup {
     Det.ordered(out)
   }
 
+  /** Threshold-sweep dedup curve — the report that picks a production
+    * cutoff BEFORE anyone commits to one: for each candidate Jaccard
+    * threshold τ ∈ {0.50 … 0.95}, how many verified near-dup pairs survive
+    * and how many documents the pairwise keep-first rule would remove
+    * (a doc is removed when it is the larger id of ANY surviving pair —
+    * [[minhashVerified]]'s ordering). One exact-Jaccard verification pass
+    * over the memoized LSH candidates (never pair space), then a broadcast
+    * 10-row grid crossed in — the curve costs one candidate-table scan
+    * regardless of corpus size; the grid rows with no surviving pairs keep
+    * their zeros so the curve's shape is complete.
+    */
+  def dedupCurve(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleRows(s, d)   // memoized shingle table
+    val cands = minhashLsh(s, d) // memoized candidate pairs — shared index
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val inter = cands
+      .join(sh.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("shingle").as("b_shingle")), "b_id")
+      .where(col("shingle") === col("b_shingle"))
+      .groupBy(col("a_id"), col("b_id"))
+      .agg(count(lit(1)).as("n_inter"))
+    val pj = inter
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_shingles").as("a_n")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_shingles").as("b_n")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        Det.rnd(col("n_inter") * lit(1.0) / (col("a_n") + col("b_n") - col("n_inter")), 4)
+          .as("jaccard"))
+    // τ = i/20 computed the same way in both engines (identical doubles)
+    val grid = s.range(10, 20).select((col("id").cast("double") / lit(20)).as("tau"))
+    val agg = pj.crossJoin(broadcast(grid))
+      .where(col("jaccard") >= col("tau"))
+      .groupBy(col("tau"))
+      .agg(count(lit(1)).as("p"), countDistinct(col("b_id")).as("r"))
+    val out = grid.join(agg, Seq("tau"), "left")
+      .select(col("tau"), coalesce(col("p"), lit(0L)).as("n_pairs"),
+        coalesce(col("r"), lit(0L)).as("n_docs_removed"))
+    Det.ordered(out)
+  }
+
   /** Fuzzy benchmark decontamination: MinHash-LSH candidate generation
     * against a benchmark set (doc_id < benchmarkMaxId plays the eval
     * suite), then exact Jaccard verification on the candidates — the
