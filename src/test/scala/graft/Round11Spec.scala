@@ -605,6 +605,43 @@ class Round11Spec extends SparkTestBase {
       s"each segment must draw exactly 10: $perGroup")
   }
 
+  test("streaming heavy hitters: MG state across micro-batches equals the batch fold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.TopKStream
+    // a skewed item stream: 'a' dominates, 'b' second, long tail of rare
+    // items that must cycle through the decrement-all step
+    val items = (0 until 40).map(i => "a") ++ (0 until 25).map(i => "b") ++
+      (0 until 30).map(i => s"tail${i % 15}")
+    val shuffled = new scala.util.Random(7).shuffle(items.toList).zipWithIndex
+    val (batch1, batch2) = shuffled.splitAt(50)
+    val mem = MemoryStream[(String, String, Long)]
+    val out = TopKStream.topK(spark,
+      mem.toDF().toDF("groupKey", "item", "seq"), capacity = 6, k = 3)
+    val q = out.writeStream.format("memory").queryName("topk")
+      .outputMode("update").start()
+    mem.addData(batch1.map { case (it, i) => ("g", it, i.toLong) }: _*)
+    q.processAllAvailable()
+    mem.addData(batch2.map { case (it, i) => ("g", it, i.toLong) }: _*)
+    q.processAllAvailable()
+    q.stop()
+    // the reference: the SAME reduce folded over the full ordered sequence
+    // (what the batch HeavyHitters Aggregator computes on one partition)
+    val ref = shuffled.sortBy(_._2).map(_._1)
+      .foldLeft(Map.empty[String, Long])((m, it) => TopKStream.mgReduce(m, it, 6))
+    val refTop = ref.toSeq.sortBy { case (i, c) => (-c, i) }.take(3)
+    val last = spark.table("topk").where(col("n_seen") === items.size)
+      .select(col("item"), col("approx_count"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy { case (i, c) => (-c, i) }
+    assert(last.toSeq == refTop,
+      s"stream state must equal the batch fold: stream=${last.toSeq} ref=$refTop")
+    // the MG guarantee on the dominant item: undercount bounded by N/cap
+    val aCount = last.toMap.getOrElse("a", 0L)
+    assert(aCount >= 40L - items.size / 6, s"a=$aCount violates the MG bound")
+  }
+
   test("self-vote LPA merges duplicate pairs; communities are denser than random") {
     import org.apache.spark.sql.functions._
     // the oscillation regression: pure synchronous LPA leaves an isolated
