@@ -234,6 +234,55 @@ class PropertySpec extends SparkTestBase {
     assert(t.getInt(2) == 1 && t.getInt(3) == 2)
   }
 
+  test("randomized filter trees either compile+analyze or reject with a clear error") {
+    // robustness contract of the DSL compiler: every tree built from the
+    // supported grammar — including empty strings, unicode, unknown tags,
+    // wildcard metacharacters, deep nesting — either compiles to a Column
+    // that ANALYZES against the points schema, or throws
+    // IllegalArgumentException (the rejected-not-approximated path). Any
+    // other throw (MatchError, NPE, Spark AnalysisException) is a compiler
+    // bug. Plan-only forcing keeps 150 samples cheap.
+    val base = Tsdb.points(spark, Sf).df.limit(50).localCheckpoint(true)
+    val field = Gen.oneOf("user_id", "event_type", "props.k", "nosuchtag")
+    val value = Gen.oneOf("click", "view", "42", "", "ñé", "a*b?", "a b c")
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val leaf: Gen[String] = Gen.oneOf(
+      Gen.zip(field, value).map { case (f, v) => s"""{"term":{${q(f)}:${q(v)}}}""" },
+      Gen.zip(field, Gen.listOfN(2, value)).map { case (f, vs) =>
+        s"""{"terms":{${q(f)}:[${vs.map(q).mkString(",")}]}}""" },
+      Gen.zip(field, Gen.chooseNum(-5, 50), Gen.chooseNum(-5, 50)).map {
+        case (f, a, b) => s"""{"range":{${q(f)}:{"gte":$a,"lt":$b}}}""" },
+      Gen.zip(field, value).map { case (f, v) => s"""{"prefix":{${q(f)}:${q(v)}}}""" },
+      Gen.zip(field, value).map { case (f, v) => s"""{"wildcard":{${q(f)}:${q(v)}}}""" },
+      field.map(f => s"""{"exists":{"field":${q(f)}}}"""),
+      field.map(f => s"""{"missing":{"field":${q(f)}}}"""),
+      Gen.zip(field, value).map { case (f, v) =>
+        s"""{"match":{${q(f)}:{"query":${q(v)}}}}""" },
+      Gen.const("""{"match_all":{}}"""))
+    def tree(depth: Int): Gen[String] =
+      if (depth <= 0) leaf
+      else Gen.frequency(
+        4 -> leaf,
+        2 -> Gen.zip(Gen.listOfN(2, tree(depth - 1)), Gen.listOfN(2, tree(depth - 1)),
+          Gen.chooseNum(0, 3)).map { case (must, should, msm) =>
+          s"""{"bool":{"must":[${must.mkString(",")}],""" +
+            s""""should":[${should.mkString(",")}],"minimum_should_match":$msm}}""" },
+        1 -> Gen.listOfN(2, tree(depth - 1)).map(ts => s"""{"and":[${ts.mkString(",")}]}"""),
+        1 -> Gen.listOfN(2, tree(depth - 1)).map(ts => s"""{"or":[${ts.mkString(",")}]}"""),
+        1 -> tree(depth - 1).map(t => s"""{"not":$t}"""))
+    check(Prop.forAll(tree(3)) { json =>
+      try {
+        // the schema-aware storage-path contract: unknown fields match
+        // nothing instead of throwing (ts_read_filter_unknown_tag)
+        base.where(EsFilter.compile(json, base.columns.toSeq))
+          .queryExecution.executedPlan
+        true
+      } catch {
+        case _: IllegalArgumentException => true // rejected, not approximated
+      }
+    })
+  }
+
   test("bucket/offset decompose every timestamp consistently") {
     // evaluated through the same Column expressions the engine uses
     import spark.implicits._
