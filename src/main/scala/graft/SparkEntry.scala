@@ -527,6 +527,9 @@ object SparkEntry {
     // systematic PPS draw: k points through each group's cumulative weight
     // axis in hash order — weighted sampling without transcendental keys
     "sample_pps" -> ((s, d) => Analytics.samplePps(s, d)),
+    // stratified two-level PPS: the few-huge-groups scale shape (windows
+    // partition on (group, stratum), never one partition per group)
+    "sample_pps_2level" -> ((s, d) => Analytics.samplePps2Level(s, d)),
     // zlib not expressible in the oracle engine -> declared rows-only;
     // properties (range, monotonicity vs repetition) are ScalaTest-asserted
     "text_compression" -> ((s, d) => TextOps.compressionRatio(s, d)),
@@ -606,6 +609,11 @@ object SparkEntry {
     "ts_mean_crossings" -> ((s, d) => Tsdb.meanCrossings(Tsdb.points(s, d),
       EsFilter.compile("""{"match_all":{}}"""), Start, End)),
     "ts_lttb" -> ((s, d) => Tsdb.lttb(Tsdb.points(s, d)
+      .copy(tagCols = Seq("event_type")),
+      EsFilter.compile("""{"match_all":{}}"""), Start, End)),
+    // M4 min/max/first/last points per pixel bucket — the lossless-render
+    // downsampler next to LTTB's salience-budget one
+    "ts_m4" -> ((s, d) => Tsdb.m4(Tsdb.points(s, d)
       .copy(tagCols = Seq("event_type")),
       EsFilter.compile("""{"match_all":{}}"""), Start, End)),
     "ts_anomaly_stl" -> ((s, d) => Tsdb.anomaliesStl(Tsdb.points(s, d)
@@ -3495,6 +3503,47 @@ object SparkEntry {
                      FROM cum)
           SELECT segment, o_orderkey, weight, picks FROM pk
           WHERE picks >= 1 ORDER BY 1, 2, 3, 4""",
+    // two-level stratified PPS: level 1 allocates k across 16 hash-strata
+    // by the same systematic rule over strata totals, level 2 draws each
+    // allocation inside its stratum — all exact-decimal arithmetic
+    "sample_pps_2level" ->
+      s"""WITH j AS (SELECT c_mktsegment AS segment, o_orderkey,
+                            CAST(o_totalprice AS DECIMAL(18,4)) AS w,
+                            md5(CAST(o_orderkey AS VARCHAR)) AS hx
+                     FROM orders JOIN customer ON o_custkey = c_custkey),
+              js AS (SELECT segment, o_orderkey, w, hx,
+                            (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) % 16
+                              AS stratum
+                     FROM j),
+              sa AS (SELECT segment, stratum, sum(w) AS sw FROM js GROUP BY 1, 2),
+              scm AS (SELECT segment, stratum, sw,
+                             sum(sw) OVER (PARTITION BY segment ORDER BY stratum
+                                           ROWS UNBOUNDED PRECEDING) AS scum,
+                             sum(sw) OVER (PARTITION BY segment) AS stot
+                      FROM sa),
+              alloc AS (SELECT segment, stratum,
+                               CAST(floor(10 * CAST(scum AS DOUBLE) / CAST(stot AS DOUBLE)
+                                          + 0.5 + 1e-9)
+                                    - floor(10 * CAST(scum - sw AS DOUBLE) / CAST(stot AS DOUBLE)
+                                            + 0.5 + 1e-9) AS INT) AS k_b
+                        FROM scm),
+              al AS (SELECT segment, stratum, k_b FROM alloc WHERE k_b >= 1),
+              cm2 AS (SELECT js.segment, js.stratum, js.o_orderkey, js.w, al.k_b,
+                             sum(js.w) OVER (PARTITION BY js.segment, js.stratum
+                                             ORDER BY js.hx, js.o_orderkey
+                                             ROWS UNBOUNDED PRECEDING) AS cum,
+                             sum(js.w) OVER (PARTITION BY js.segment, js.stratum) AS tot
+                      FROM js JOIN al ON al.segment = js.segment
+                                     AND al.stratum = js.stratum),
+              pk AS (SELECT segment, CAST(stratum AS BIGINT) AS stratum, o_orderkey,
+                            CAST(w AS DOUBLE) AS weight,
+                            CAST(floor(k_b * CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE)
+                                       + 0.5 + 1e-9)
+                                 - floor(k_b * CAST(cum - w AS DOUBLE) / CAST(tot AS DOUBLE)
+                                         + 0.5 + 1e-9) AS BIGINT) AS picks
+                     FROM cm2)
+          SELECT segment, stratum, o_orderkey, weight, picks FROM pk
+          WHERE picks >= 1 ORDER BY 1, 2, 3, 4, 5""",
     "pack_shards" ->
       s"""WITH pt AS (SELECT doc_id,
                              CAST(len(string_split($NormSql, ' ')) AS BIGINT) AS n_tokens,
@@ -4111,6 +4160,25 @@ object SparkEntry {
                               ORDER BY area DESC, t, v) AS rn FROM tj)
           SELECT event_type, bucket, t, v, area FROM r WHERE rn = 1
           ORDER BY 1, 2, 3, 4, 5""",
+    // M4: window-ranked formulation of the same total orderings the Spark
+    // side's min_by/max_by struct keys encode — ties cannot diverge
+    "ts_m4" ->
+      s"""WITH p AS (SELECT event_type, epoch_ms(ts) AS t, value AS v,
+                            CAST(floor(epoch_ms(ts)/3600000.0) AS BIGINT) AS bucket
+                     FROM events WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End),
+              rk AS (SELECT *,
+                       row_number() OVER (PARTITION BY event_type, bucket
+                                          ORDER BY v, t) AS rmin,
+                       row_number() OVER (PARTITION BY event_type, bucket
+                                          ORDER BY v DESC, t DESC) AS rmax,
+                       row_number() OVER (PARTITION BY event_type, bucket
+                                          ORDER BY t, v) AS rfirst,
+                       row_number() OVER (PARTITION BY event_type, bucket
+                                          ORDER BY t DESC, v DESC) AS rlast
+                     FROM p)
+          SELECT DISTINCT event_type, bucket, t AS time_ms, v AS value
+          FROM rk WHERE rmin = 1 OR rmax = 1 OR rfirst = 1 OR rlast = 1
+          ORDER BY 1, 2, 3, 4""",
     "ts_anomaly_stl" ->
       s"""WITH p AS (SELECT event_type,
                             CAST(floor(epoch_ms(ts)/3600000.0) AS BIGINT) AS bucket,

@@ -1407,6 +1407,67 @@ object Analytics {
     * driver-side state; at 100 TB each group streams through its sorted
     * partition once.
     */
+  /** Two-level (stratified) systematic PPS — the shape [[samplePps]] takes
+    * when groups are few and huge: the flat form streams each group's
+    * cumulative sum through ONE sorted partition (correct, but a 5-segment
+    * corpus at 100 TB serializes on 5 partitions). Here level 1 allocates
+    * each of the 16 hash-strata a draw count by running the SAME systematic
+    * rule over the strata's weight totals (16 rows per group — broadcast
+    * arithmetic), and level 2 draws each stratum's allocation through its
+    * own cumulative axis — windows partition on (group, stratum), so
+    * parallelism is groups × 16 and no partition ever holds more than a
+    * stratum. Per group Σ picks still telescopes to exactly k (level 1
+    * telescopes over strata, level 2 over rows within each stratum).
+    * Stratified PPS is a standard design (Särndal et al., Model Assisted
+    * Survey Sampling §3.7); the draw differs from the flat form's — both
+    * are valid PPS schemes, and both are deterministic exact-decimal
+    * replays.
+    */
+  def samplePps2Level(s: SparkSession, d: String, k: Int = 10,
+                      nStrata: Int = 16): DataFrame = {
+    val j = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"), col("o_orderkey"),
+        col("o_totalprice").cast("decimal(18,4)").as("w"),
+        md5(col("o_orderkey").cast("string")).as("hx"))
+      // stratum = first hex digit of the row hash: deterministic, uniform
+      .withColumn("stratum",
+        (conv(substring(col("hx"), 1, 1), 16, 10).cast("int") % nStrata))
+    def below(x: Column, tot: Column, n: Column): Column =
+      floor(n * x.cast("double") / tot.cast("double") + lit(0.5) + lit(1e-9))
+    // level 1: stratum weight totals, cumulative in stratum order, k
+    // allocated by the systematic rule over the stratum axis
+    val wCum1 = Window.partitionBy(col("segment")).orderBy(col("stratum"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll1 = Window.partitionBy(col("segment"))
+    val alloc = j.groupBy(col("segment"), col("stratum"))
+      .agg(sum(col("w")).as("sw"))
+      .withColumn("scum", sum(col("sw")).over(wCum1))
+      .withColumn("stot", sum(col("sw")).over(wAll1))
+      .select(col("segment"), col("stratum"),
+        (below(col("scum"), col("stot"), lit(k))
+          - below(col("scum") - col("sw"), col("stot"), lit(k))).cast("int").as("k_b"))
+      .where(col("k_b") >= 1)
+    // level 2: within each allocated stratum, draw k_b through its own
+    // cumulative axis in hash order — parallel across (segment, stratum)
+    val wCum2 = Window.partitionBy(col("segment"), col("stratum"))
+      .orderBy(col("hx"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll2 = Window.partitionBy(col("segment"), col("stratum"))
+    val out = j.join(broadcast(alloc), Seq("segment", "stratum"))
+      .withColumn("cum", sum(col("w")).over(wCum2))
+      .withColumn("tot", sum(col("w")).over(wAll2))
+      .withColumn("picks",
+        (below(col("cum"), col("tot"), col("k_b"))
+          - below(col("cum") - col("w"), col("tot"), col("k_b"))).cast("bigint"))
+      .where(col("picks") >= 1)
+      .select(col("segment"), col("stratum").cast("bigint").as("stratum"),
+        col("o_orderkey"), col("w").cast("double").as("weight"), col("picks"))
+    Det.ordered(out)
+  }
+
   def samplePps(s: SparkSession, d: String, k: Int = 10): DataFrame = {
     val j = Tables.orders(s, d)
       .join(broadcast(Tables.customer(s, d)

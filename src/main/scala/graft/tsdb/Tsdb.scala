@@ -1070,6 +1070,38 @@ object Tsdb {
     * rounded before the area compare; interior buckets only. One bucketing
     * pass + per-bucket rank, all inside the series partitioning.
     */
+  /** M4 downsampling (Jugel et al., VLDB '14): per (series, pixel bucket)
+    * the min/max/first/last POINTS — the four rows that make a line
+    * rendering pixel-identical to the raw series at stepMs-per-pixel
+    * resolution. [[lttb]] keeps visual salience under a point budget; M4
+    * is the lossless-rendering guarantee, and the other standard answer a
+    * dashboard backend needs. ONE partial aggregation: min_by/max_by pick
+    * the four (t, v) pairs per bucket under TOTAL struct orderings (so
+    * ties cannot make the pick nondeterministic), then the ≤4 distinct
+    * points explode back out — no window sort, map-side combinable, the
+    * same single-shuffle shape as `downsample`.
+    */
+  def m4(pt: PointsTable, filter: Column, startMs: Long, endMs: Long,
+         stepMs: Long = 3600000L): DataFrame = {
+    val base = pt.df.where(inRange(pt, startMs, endMs) && filter)
+      .select(pt.tags :+ pt.timeMs.as("t") :+ col(pt.valueCol).as("v"): _*)
+      .withColumn("bucket", floor(col("t") / lit(stepMs.toDouble)).cast("bigint"))
+    val tv = struct(col("t"), col("v"))
+    val byV = struct(col("v"), col("t"))
+    val agg = base.groupBy(pt.tags :+ col("bucket"): _*)
+      .agg(
+        min_by(tv, byV).as("p_min"), max_by(tv, byV).as("p_max"),
+        min(tv).as("p_first"), max(tv).as("p_last"))
+    val out = agg
+      .select(pt.tags ++ Seq(col("bucket"),
+        explode(array(col("p_min"), col("p_max"), col("p_first"), col("p_last")))
+          .as("p")): _*)
+      .select(pt.tags ++ Seq(col("bucket"), col("p.t").as("time_ms"),
+        col("p.v").as("value")): _*)
+      .distinct()
+    Det.ordered(out)
+  }
+
   def lttb(pt: PointsTable, filter: Column, startMs: Long, endMs: Long,
            stepMs: Long = 3600000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -603,6 +603,14 @@ class Round11Spec extends SparkTestBase {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     assert(perGroup.nonEmpty && perGroup.values.forall(_ == 10L),
       s"each segment must draw exactly 10: $perGroup")
+    // the two-level stratified form telescopes at BOTH levels: level 1's
+    // stratum allocations sum to k per group, level 2 draws each
+    // allocation exactly — so the same invariant must hold end to end
+    val twoLevel = graft.operators.Analytics.samplePps2Level(spark, Sf)
+      .groupBy(col("segment")).agg(sum(col("picks")).as("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(twoLevel.nonEmpty && twoLevel.values.forall(_ == 10L),
+      s"two-level: each segment must draw exactly 10: $twoLevel")
   }
 
   test("streaming heavy hitters: MG state across micro-batches equals the batch fold") {
