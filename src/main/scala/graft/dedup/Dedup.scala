@@ -227,6 +227,14 @@ object Dedup {
     keyed.selectExpr("doc_id", s"stack($nBands, $stackExpr) AS (band, band_key)")
   }
 
+  /** The band pipeline over an arbitrary (doc_id, text) frame — exposed so
+    * the streaming index ([[graft.streaming.NearDupStream]]) computes
+    * EXACTLY the batch pipeline's band rows per micro-batch (same shingles,
+    * seeds, band keys; any drift would silently de-correlate the streamed
+    * index from the batch candidates).
+    */
+  def bandRowsFor(docs: DataFrame): DataFrame = bandRowsOf(shingleRowsOf(docs))
+
   /** Candidate pairs = documents sharing any (band, band_key) bucket. */
   private def bandPairs(bands: DataFrame): DataFrame =
     bands.as("a").join(bands.as("b"),

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+import graft.dedup.Dedup
+
+/** Streaming maintenance of the MinHash-LSH band index — the NEAR-dup
+  * analog of [[DedupStream]]'s exact content-hash index, completing the
+  * streaming dedup story: exact dup catches byte-identical re-crawls,
+  * this catches the near-clones (boilerplate edits, version bumps) that
+  * an exact hash misses. Every micro-batch computes its band rows with
+  * EXACTLY the batch pipeline ([[graft.dedup.Dedup.bandRowsFor]] — same
+  * shingles, seeds, band keys), probes them against all PREVIOUSLY kept
+  * documents' bands (plus earlier in-batch docs, min doc_id wins), and
+  * appends the kept documents' band rows for the next batch to probe. A
+  * document is flagged when it shares ANY (band, band_key) bucket with a
+  * kept document — the batch `dedup_minhash` candidate relation applied
+  * with the keep-first rule, incrementally.
+  *
+  * Scale: the index is nBands rows per KEPT document (band_key is one
+  * md5), parquet-partitioned by ingest batch; each batch's probe is a
+  * band-bucket semi-join of |batch|·nBands rows against it — never a
+  * corpus rescan, never pair space. Both writes ride dynamic partition
+  * overwrite on ingest_batch and the probe EXCLUDES the current batch's
+  * own partition, so a crash-replayed batch recomputes against exactly
+  * the pre-crash index state and lands bit-identically.
+  */
+object NearDupStream {
+
+  /** Start index maintenance over a streaming (doc_id, text) source.
+    * Emits per-document decisions (doc_id, is_dup) under `decisionsDir`
+    * and appends kept documents' band rows under `indexDir`.
+    */
+  def start(docs: DataFrame, indexDir: String, decisionsDir: String,
+            checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        val bands = Dedup.bandRowsFor(batch.select(col("doc_id"), col("text")))
+          .localCheckpoint(true)
+        val hist = existingIndex(s, indexDir)
+          .where(col("ingest_batch") =!= batchId) // replay: pre-crash state
+          .select(col("band"), col("band_key")).distinct()
+        val histHit = bands.join(hist, Seq("band", "band_key"), "left_semi")
+          .select(col("doc_id")).distinct()
+          .withColumn("hist_dup", lit(1L))
+        // in-batch keep-first: a doc is a dup of the SMALLEST doc_id in any
+        // of its band buckets (the pairwise a<b rule, applied within batch)
+        val firstIn = bands.groupBy(col("band"), col("band_key"))
+          .agg(min(col("doc_id")).as("first_id"))
+        val inHit = bands.join(firstIn, Seq("band", "band_key"))
+          .where(col("doc_id") > col("first_id"))
+          .select(col("doc_id")).distinct()
+          .withColumn("batch_dup", lit(1L))
+        val flagged = batch.select(col("doc_id")).distinct()
+          .join(histHit, Seq("doc_id"), "left")
+          .join(inHit, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            (coalesce(col("hist_dup"), lit(0L)) === 1L ||
+              coalesce(col("batch_dup"), lit(0L)) === 1L).cast("bigint").as("is_dup"))
+          .localCheckpoint(true)
+        flagged
+          .withColumn("ingest_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch")
+          .parquet(decisionsDir)
+        bands.join(flagged.where(col("is_dup") === 0L).select(col("doc_id")),
+            Seq("doc_id"), "left_semi")
+          .withColumn("ingest_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch")
+          .parquet(indexDir)
+        ()
+      }
+      .start()
+
+  /** The band index as written so far (with its ingest_batch partition
+    * column), or an empty frame before the first batch lands.
+    */
+  private def existingIndex(s: SparkSession, indexDir: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val hasData = fs.exists(p) &&
+      fs.listStatus(p).exists(_.getPath.getName.startsWith("ingest_batch="))
+    if (hasData) s.read.parquet(indexDir)
+    else s.createDataFrame(s.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField("doc_id", LongType), StructField("band", IntegerType),
+        StructField("band_key", StringType), StructField("ingest_batch", StringType))))
+  }
+}

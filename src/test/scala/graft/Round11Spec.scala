@@ -650,6 +650,74 @@ class Round11Spec extends SparkTestBase {
     assert(aCount >= 40L - items.size / 6, s"a=$aCount violates the MG bound")
   }
 
+  test("streaming near-dup index: LSH flags match the batch keep-first relation, replay-safe") {
+    import java.nio.file.{Files, Paths}
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.functions.col
+    def tmp(n: String) = {
+      val p = s"target/stream-test/neardup-$n-${System.nanoTime()}"
+      Files.createDirectories(Paths.get(p)); p
+    }
+    val (idx, dec, ckpt) = (tmp("idx"), tmp("dec"), tmp("ckpt"))
+    val a = "the quick brown fox jumps over the lazy dog while seven wizards " +
+      "brew strong coffee under pale moonlight near the ancient stone bridge " +
+      "across the silver river valley before dawn"
+    val aNear = a.replace("coffee", "tea") // one-token edit: near, not exact
+    val b = "orbital mechanics requires careful numerical integration of " +
+      "perturbation forces acting on satellites across many revolutions " +
+      "with drag harmonics and third body terms included everywhere"
+    val c = "completely unrelated corpus text about cooking pasta with " +
+      "garlic olive oil and fresh basil leaves in a wide shallow pan " +
+      "over medium heat until fragrant and golden"
+    val bNear = b.replace("satellites", "spacecraft")
+    val corpus = Map(1L -> a, 2L -> b, 3L -> aNear, 4L -> c, 5L -> a, 6L -> bNear)
+
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.NearDupStream.start(docs, idx, dec, ckpt)
+    mem.addData((1L, a), (2L, b))
+    q.processAllAvailable()
+    // batch 2: a near-clone of an indexed doc, a novel doc, an exact clone
+    mem.addData((3L, aNear), (4L, c), (5L, a))
+    q.processAllAvailable(); q.stop()
+
+    // the reference relation: batch LSH candidates over the same corpus,
+    // reduced by the greedy keep-first rule in id order (a doc is a dup
+    // when it bucket-collides with a smaller-id doc that was itself kept)
+    def expected(ids: Seq[Long]): Map[Long, Long] = {
+      val pairs = graft.dedup.Dedup.minhashLshOn(
+        graft.dedup.Dedup.shingleRowsOf(
+          ids.map(i => (i, corpus(i))).toDF("doc_id", "text")))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      ids.sorted.foldLeft(Map.empty[Long, Long]) { (acc, d) =>
+        val dup = acc.exists { case (kept, flag) =>
+          flag == 0L && pairs.contains((kept, d)) }
+        acc.updated(d, if (dup) 1L else 0L)
+      }
+    }
+    def decisions() = spark.read.parquet(dec)
+      .select("doc_id", "is_dup").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(decisions() == expected(Seq(1L, 2L, 3L, 4L, 5L)),
+      s"streamed flags must equal the batch keep-first relation: ${decisions()}")
+    // the capability the exact hash misses: the one-token edit IS flagged
+    assert(decisions()(3L) == 1L, "near-clone must be flagged")
+    assert(decisions()(5L) == 1L && decisions()(4L) == 0L)
+
+    // restart on the SAME checkpoint: a near-clone of batch-1 content is
+    // still flagged against the persisted band index
+    val q2 = graft.streaming.NearDupStream.start(docs, idx, dec, ckpt)
+    mem.addData((6L, bNear))
+    q2.processAllAvailable(); q2.stop()
+    assert(decisions() == expected(Seq(1L, 2L, 3L, 4L, 5L, 6L)))
+    assert(decisions()(6L) == 1L, "near-clone across restart must be flagged")
+    // the index holds band rows for exactly the kept docs
+    val keptIdx = spark.read.parquet(idx).select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(keptIdx == decisions().filter(_._2 == 0L).keySet)
+  }
+
   test("self-vote LPA merges duplicate pairs; communities are denser than random") {
     import org.apache.spark.sql.functions._
     // the oscillation regression: pure synchronous LPA leaves an isolated
