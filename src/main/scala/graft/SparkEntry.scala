@@ -432,6 +432,9 @@ object SparkEntry {
     "dedup_minhash_verified" -> ((s, d) => Dedup.minhashVerified(s, d)),
     // threshold-sweep report: surviving pairs + keep-first removals per tau
     "dedup_curve" -> ((s, d) => Dedup.dedupCurve(s, d)),
+    // S-curve validation: empirical LSH catch rate vs 1-(1-s^4)^4 per
+    // exact-Jaccard bucket — is the banding config doing what it claims?
+    "minhash_scurve" -> ((s, d) => Dedup.minhashScurve(s, d)),
     "clean_corpus" -> ((s, d) => Dedup.cleanCorpus(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "graph_pagerank" -> ((s, d) => Graph.pagerank(s, d)),
@@ -2268,6 +2271,39 @@ object SparkEntry {
           SELECT g.tau, coalesce(a.p, 0) AS n_pairs,
                  coalesce(a.r, 0) AS n_docs_removed
           FROM grid g LEFT JOIN agg a ON a.tau = g.tau ORDER BY 1, 2, 3""",
+    // S-curve: powers expanded to plain multiplication so both engines
+    // compute identical IEEE doubles for the theory column
+    "minhash_scurve" ->
+      s"""WITH $ShingleCte,
+              $MinhashCte,
+              cands AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                        FROM bands a JOIN bands b
+                          ON a.band = b.band AND a.band_key = b.band_key
+                         AND a.doc_id < b.doc_id),
+              sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+              i AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS ni
+                    FROM sh a JOIN sh b ON a.shingle = b.shingle
+                                       AND a.doc_id < b.doc_id
+                    GROUP BY 1, 2),
+              pj AS (SELECT a_id, b_id,
+                            ${rndSql("ni*1.0/(sa.n + sb.n - ni)", 4)} AS jaccard
+                     FROM i JOIN sz sa ON sa.doc_id = a_id
+                            JOIN sz sb ON sb.doc_id = b_id),
+              fl AS (SELECT CAST(floor(pj.jaccard * 10) AS BIGINT) AS sim_bucket,
+                            CASE WHEN c.a_id IS NULL THEN 0 ELSE 1 END AS caught
+                     FROM pj LEFT JOIN cands c ON c.a_id = pj.a_id
+                                              AND c.b_id = pj.b_id),
+              ag AS (SELECT sim_bucket, count(*) AS n_pairs,
+                            CAST(sum(caught) AS BIGINT) AS n_caught
+                     FROM fl GROUP BY 1),
+              th AS (SELECT *, CASE WHEN sim_bucket >= 10 THEN 1.0
+                                    ELSE (sim_bucket + 0.5) / 10.0 END AS mid
+                     FROM ag)
+          SELECT sim_bucket, n_pairs, n_caught,
+                 ${rndSql("n_caught*1.0/n_pairs", 4)} AS catch_rate,
+                 ${rndSql("1.0 - (1.0 - mid*mid*mid*mid)*(1.0 - mid*mid*mid*mid)" +
+                   "*(1.0 - mid*mid*mid*mid)*(1.0 - mid*mid*mid*mid)", 4)} AS theory_rate
+          FROM th ORDER BY 1, 2, 3, 4, 5""",
     "clean_corpus" ->
       s"""WITH t AS (SELECT doc_id, $NormSql AS n, string_split($NormSql, ' ') AS toks
                      FROM documents),

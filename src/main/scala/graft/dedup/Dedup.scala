@@ -111,6 +111,50 @@ object Dedup {
     Det.ordered(out)
   }
 
+  /** LSH S-curve validation — the report that tells whether the banding
+    * configuration (16 signatures as 4 bands × 4 rows here) matches the
+    * similarity threshold it was DEPLOYED to catch: per exact-Jaccard
+    * bucket, the empirical band-collision (candidate) rate of the LSH
+    * index next to the theoretical S-curve 1−(1−s⁴)⁴ at the bucket
+    * midpoint. A healthy index hugs the theory column; drift means the
+    * signature pipeline is broken or the corpus violates the minhash
+    * uniformity assumptions. Ground truth is the exhaustive
+    * shingle-sharing pair set (the [[ngramJaccard]] inverted-index join,
+    * unthresholded) — exhaustive by definition of the metric, so this runs
+    * at verify SF like [[graft.ann.Ann.recallAtK]]; the production-scale
+    * artifact being validated (the band table) is the memoized index every
+    * consumer shares. Powers are expanded to plain multiplication so both
+    * engines compute identical IEEE doubles.
+    */
+  def minhashScurve(s: SparkSession, d: String): DataFrame = {
+    val sh = shingleRows(s, d)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val truth = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .agg(count(lit(1)).as("n_inter"))
+      .join(sizes.select(col("doc_id").as("a_id"), col("n_shingles").as("a_n")), "a_id")
+      .join(sizes.select(col("doc_id").as("b_id"), col("n_shingles").as("b_n")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        Det.rnd(col("n_inter") * lit(1.0) / (col("a_n") + col("b_n") - col("n_inter")), 4)
+          .as("jaccard"))
+    val cands = minhashLsh(s, d).select(col("a_id"), col("b_id"), lit(1L).as("c"))
+    val mid = when(col("sim_bucket") >= 10, lit(1.0))
+      .otherwise((col("sim_bucket") + lit(0.5)) / lit(10.0))
+    val s4 = mid * mid * mid * mid
+    val u = lit(1.0) - s4
+    val out = truth.join(cands, Seq("a_id", "b_id"), "left")
+      .select(floor(col("jaccard") * 10).cast("int").as("sim_bucket"),
+        coalesce(col("c"), lit(0L)).as("caught"))
+      .groupBy(col("sim_bucket"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("caught")).as("n_caught"))
+      .select(col("sim_bucket").cast("bigint").as("sim_bucket"), col("n_pairs"),
+        col("n_caught"),
+        Det.rnd(col("n_caught") * lit(1.0) / col("n_pairs"), 4).as("catch_rate"),
+        Det.rnd(lit(1.0) - u * u * u * u, 4).as("theory_rate"))
+    Det.ordered(out)
+  }
+
   /** Asymmetric containment pairs: |A∩B| / |A| >= tau over distinct
     * 3-shingles — catches a document CONTAINED in another (quoted articles,
     * boilerplate wrappers), which symmetric Jaccard misses when the host doc
