@@ -500,6 +500,9 @@ object SparkEntry {
     "text_lm_score" -> ((s, d) => TextOps.lmScore(s, d)),
     "text_entropy" -> ((s, d) => TextOps.entropy(s, d)),
     "dsir_weights" -> ((s, d) => TextOps.dsirWeights(s, d)),
+    // the importance-resampling draw: per-source systematic PPS with
+    // w = exp(clip(dsir_logw)) — weights into an actual sample
+    "dsir_sample" -> ((s, d) => TextOps.dsirSample(s, d)),
     "bpe_train" -> ((s, d) => TextOps.bpeMergeTrain(s, d)),
     "bpe_train_chars" -> ((s, d) => TextOps.bpeMergeTrain(s, d, chars = true)),
     "doc_chunks" -> ((s, d) => TextOps.docChunks(s, d)),
@@ -3273,6 +3276,46 @@ object SparkEntry {
           SELECT tk.doc_id, count(*) AS n_tokens,
                  ${rndSql("CAST(sum(lr) AS DOUBLE)", 6)} AS dsir_logw
           FROM tk JOIN lr ON lr.b = tk.b GROUP BY 1 ORDER BY 1, 2, 3""",
+    // the dsir_weights CTEs + the systematic-PPS tail over
+    // w = exp(clip(logw, +/-10)) rounded into an exact decimal
+    "dsir_sample" ->
+      s"""WITH t0 AS (SELECT doc_id, lang, string_split($NormSql, ' ') AS toks
+                      FROM documents),
+              tk AS (SELECT doc_id, lang,
+                            16*(strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1)
+                            + (strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1) AS b
+                     FROM (SELECT doc_id, lang, unnest(toks) AS tok FROM t0)),
+              raw AS (SELECT b, count(*) AS cnt_r FROM tk GROUP BY 1),
+              tgt AS (SELECT b, count(*) AS cnt_t FROM tk WHERE lang = 'en' GROUP BY 1),
+              nr AS (SELECT count(*) AS n_r FROM tk),
+              nt AS (SELECT count(*) AS n_t FROM tk WHERE lang = 'en'),
+              lr AS (SELECT raw.b,
+                            CAST(${rndSql(
+                              "ln(CAST((coalesce(cnt_t, 0) + 1) * (n_r + 256) AS DOUBLE)" +
+                              " / ((cnt_r + 1) * (n_t + 256)))", 8)}
+                              AS DECIMAL(12,8)) AS lr
+                     FROM raw LEFT JOIN tgt ON tgt.b = raw.b, nr, nt),
+              dw AS (SELECT tk.doc_id, ${rndSql("CAST(sum(lr) AS DOUBLE)", 6)} AS dsir_logw
+                     FROM tk JOIN lr ON lr.b = tk.b GROUP BY 1),
+              jw AS (SELECT d.source, dw.doc_id,
+                            CAST(${rndSql(
+                              "exp(greatest(-10.0, least(10.0, dsir_logw)))", 6)}
+                              AS DECIMAL(18,6)) AS w,
+                            md5(CAST(dw.doc_id AS VARCHAR)) AS hx
+                     FROM dw JOIN documents d ON d.doc_id = dw.doc_id),
+              cum AS (SELECT source, doc_id, w,
+                             sum(w) OVER (PARTITION BY source ORDER BY hx, doc_id
+                                          ROWS UNBOUNDED PRECEDING) AS cum,
+                             sum(w) OVER (PARTITION BY source) AS tot
+                      FROM jw),
+              pk AS (SELECT source, doc_id, CAST(w AS DOUBLE) AS weight,
+                            CAST(floor(20 * CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE)
+                                       + 0.5 + 1e-9)
+                                 - floor(20 * CAST(cum - w AS DOUBLE) / CAST(tot AS DOUBLE)
+                                         + 0.5 + 1e-9) AS BIGINT) AS picks
+                     FROM cum)
+          SELECT source, doc_id, weight, picks FROM pk
+          WHERE picks >= 1 ORDER BY 1, 2, 3, 4""",
     "bpe_train" -> {
       // unrolled greedy merge rounds mirroring TextOps.bpeMergeTrain: pair
       // counts -> deterministic argmax -> left-to-right non-overlapping

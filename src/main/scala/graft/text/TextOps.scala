@@ -789,6 +789,44 @@ object TextOps {
     Det.ordered(out)
   }
 
+  /** The importance-resampling DRAW that [[dsirWeights]] exists for (Xie
+    * et al. 2023 §2.3: sample the raw corpus with probability ∝ the
+    * importance weight): per source, k documents drawn by the systematic
+    * PPS rule ([[graft.operators.Analytics.samplePps]]) with weight
+    * w = exp(clip(dsir_logw, ±10)) — the clip is DSIR's standard guard
+    * against a few extreme log-ratios owning the whole draw (and keeps
+    * exp inside exact-decimal range at any corpus). The weight is 6-dp
+    * rounded into a decimal BEFORE the cumulative axis, so the draw
+    * replays bit-exactly cross-engine; heavy docs (w > W/k) draw with
+    * multiplicity, the with-replacement semantics importance resampling
+    * wants. One group-key shuffle + one window pass on top of the weights
+    * aggregate.
+    */
+  def dsirSample(s: SparkSession, d: String, k: Int = 20): DataFrame = {
+    val w = dsirWeights(s, d)
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val j = w.join(src, "doc_id")
+      .select(col("source"), col("doc_id"),
+        Det.rnd(exp(greatest(lit(-10.0), least(lit(10.0), col("dsir_logw")))), 6)
+          .cast("decimal(18,6)").as("w"),
+        md5(col("doc_id").cast("string")).as("hx"))
+    val wOrd = Window.partitionBy(col("source")).orderBy(col("hx"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("source"))
+    def below(x: Column, tot: Column): Column =
+      floor(lit(k) * x.cast("double") / tot.cast("double") + lit(0.5) + lit(1e-9))
+    val out = j
+      .withColumn("cum", sum(col("w")).over(wOrd))
+      .withColumn("tot", sum(col("w")).over(wAll))
+      .withColumn("picks",
+        (below(col("cum"), col("tot")) - below(col("cum") - col("w"), col("tot")))
+          .cast("bigint"))
+      .where(col("picks") >= 1)
+      .select(col("source"), col("doc_id"),
+        col("w").cast("double").as("weight"), col("picks"))
+    Det.ordered(out)
+  }
+
   /** License/compliance filter: detect license-notice boilerplate (the
     * copyleft / all-rights-reserved / CC families) and classify each doc
     * permissive / restricted / unknown — the compliance gate code+text
