@@ -602,6 +602,8 @@ object SparkEntry {
     "q17_small_qty" -> ((s, d) => Analytics.q17SmallQty(s, d)),
     "q22_idle_customers" -> ((s, d) => Analytics.q22IdleCustomers(s, d)),
     "event_attribution" -> ((s, d) => Analytics.eventAttribution(s, d)),
+    // linear multi-touch: upper-funnel clicks share the credit equally
+    "attribution_multitouch" -> ((s, d) => Analytics.attributionMultiTouch(s, d)),
     "dedup_winnowing" -> ((s, d) => TextOps.winnowingPairs(s, d)),
     "q8_market_share" -> ((s, d) => Analytics.q8MarketShare(s, d)),
     "q13_order_dist" -> ((s, d) => Analytics.q13OrderDist(s, d)),
@@ -4075,6 +4077,27 @@ object SparkEntry {
           SELECT CAST(floor(click_ms/3600000.0) AS BIGINT) AS click_hour,
                  count(*) AS n_purchases, ${dsumSql("value")} AS attributed_revenue
           FROM p GROUP BY 1 ORDER BY 1, 2, 3""",
+    // linear multi-touch: every lookback click shares the purchase value
+    // equally; per-purchase credits 4-dp rounded before the hour sums
+    "attribution_multitouch" ->
+      s"""WITH e AS (SELECT user_id, event_id, event_type, epoch_ms(ts) AS tms, value
+                     FROM events WHERE event_type IN ('click', 'purchase')),
+              p AS (SELECT user_id, event_id AS p_id, tms AS p_ms, value
+                    FROM e WHERE event_type = 'purchase'),
+              c AS (SELECT user_id AS c_user, tms AS c_ms
+                    FROM e WHERE event_type = 'click'),
+              t AS (SELECT p.p_id, p.value, c.c_ms
+                    FROM p JOIN c ON c.c_user = p.user_id
+                     AND c.c_ms < p.p_ms AND p.p_ms - c.c_ms <= 86400000),
+              n AS (SELECT p_id, value, c_ms,
+                           count(*) OVER (PARTITION BY p_id) AS n_touches
+                    FROM t),
+              cr AS (SELECT c_ms, ${rndSql("value / n_touches", 4)} AS credit FROM n)
+          SELECT CAST(floor(c_ms/3600000.0) AS BIGINT) AS click_hour,
+                 count(*) AS n_touches,
+                 ${rndSql("CAST(sum(CAST(credit AS DECIMAL(18,4))) AS DOUBLE)", 2)}
+                   AS attributed_revenue
+          FROM cr GROUP BY 1 ORDER BY 1, 2, 3""",
     "dedup_winnowing" ->
       s"""WITH d0 AS (SELECT doc_id, $NormSql AS n FROM documents),
               d1 AS (SELECT doc_id, n, length(n) AS len FROM d0 WHERE length(n) >= 8),

@@ -1248,6 +1248,45 @@ object Analytics {
     Det.ordered(out)
   }
 
+  /** Linear multi-touch attribution — [[eventAttribution]]'s last-touch
+    * rule gives the final click ALL the credit; here every click inside
+    * the lookback before a purchase shares it equally (credit = value/n),
+    * the other standard attribution model and the one that values
+    * upper-funnel touches. One user-keyed range join (the as-of family's
+    * shuffle shape: purchases × their own lookback window, never a
+    * cartesian), a per-purchase touch count as a window over the join
+    * output, exact-decimal credit sums per click hour. Credits are 4-dp
+    * rounded BEFORE the hour aggregate so per-purchase splits replay
+    * bit-exactly cross-engine.
+    */
+  def attributionMultiTouch(s: SparkSession, d: String,
+                            lookbackMs: Long = 86400000L): DataFrame = {
+    val e = Tables.events(s, d)
+      .where(col("event_type").isin("click", "purchase"))
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        tsMs(col("ts")).as("tms"), col("value"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"),
+        col("tms").as("p_ms"), col("value"))
+    val clicks = e.where(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("tms").as("c_ms"))
+    val touches = purchases.join(clicks,
+      col("user_id") === col("c_user") && col("c_ms") < col("p_ms") &&
+        col("p_ms") - col("c_ms") <= lookbackMs)
+    val wP = Window.partitionBy(col("p_id"))
+    val credited = touches
+      .withColumn("n_touches", count(lit(1)).over(wP))
+      .select(col("c_ms"),
+        Det.rnd(col("value") / col("n_touches"), 4).as("credit"))
+    val out = credited
+      .groupBy(floor(col("c_ms") / 3600000L).as("click_hour"))
+      // 4-dp credits sum onto real .xx5 half-cent boundaries, so the final
+      // 2-dp round needs the Det.rnd nudge (bare round diverged per engine)
+      .agg(count(lit(1)).as("n_touches"),
+        Det.rnd(dsum(col("credit")), 2).as("attributed_revenue"))
+    Det.ordered(out)
+  }
+
   /** Order-priority checking (TPC-H Q4 shape, adapted: this schema has no
     * commit/receipt dates, so "late" = any line shipped more than 60 days
     * after the order date): per-priority count of orders in one quarter
