@@ -485,6 +485,10 @@ object SparkEntry {
     "ann_lsh" -> ((s, d) => Ann.lshTopK(s, d)),
     "ann_ivf" -> ((s, d) => Ann.ivfTopK(s, d)),
     "ann_ivf_occupancy" -> ((s, d) => Ann.ivfOccupancy(s, d)),
+    // filtered vector search: the label predicate lands on the inverted
+    // file BEFORE scoring (cost = occupancy x selectivity, never
+    // post-filtering an unfiltered top-k)
+    "ann_filtered" -> ((s, d) => Ann.ivfFilteredTopK(s, d)),
     "ann_ivf_nprobe" -> ((s, d) => Ann.ivfTopK(s, d, nprobe = 2)),
     "ann_pq" -> ((s, d) => Ann.pqTopK(s, d)),
     "ann_pq_rerank" -> ((s, d) => Ann.pqRerankTopK(s, d)),
@@ -2613,6 +2617,39 @@ object SparkEntry {
           SELECT vec_id, recon_err2, norm2,
                  CASE WHEN norm2 > 0 THEN ${rndSql("recon_err2 / norm2", 6)} END AS rel_err
           FROM per ORDER BY 1, 2, 3, 4""",
+    // filtered search: the same ranked-assignment replay, with the label
+    // predicate applied to the candidate (arn=1) rows before the cosine
+    "ann_filtered" ->
+      s"""WITH $VecrCte,
+              ${ivfTrainCte(2, 16)},
+              knf AS (SELECT c_id, sum(cx*cx) AS nsq FROM c2 GROUP BY 1),
+              cc AS (SELECT v.vec_id AS vid, c.c_id AS cid, sum(v.x * c.cx) AS dot
+                     FROM evr v JOIN c2 c ON v.i = c.i GROUP BY 1, 2),
+              ccos AS (SELECT vid, cid, round(dot/sqrt(nv.nsq*nc.nsq), 6) AS c
+                       FROM cc JOIN vnr nv ON nv.vec_id = vid JOIN knf nc ON nc.c_id = cid),
+              rkd AS (SELECT vid, cid, row_number() OVER (PARTITION BY vid
+                        ORDER BY c DESC, cid) AS arn FROM ccos),
+              assign AS (SELECT r.vid, r.cid AS cell, e.label FROM rkd r
+                         JOIN embeddings e ON e.vec_id = r.vid
+                         WHERE r.arn = 1 AND e.label <= 2),
+              qcells AS (SELECT vid AS q_id, cid AS q_cell FROM rkd
+                         WHERE arn <= 2 AND vid < 20),
+              pd AS (SELECT q.q_id, a.vid AS n_id, a.label, sum(qa.x * b.x) AS dot
+                     FROM qcells q
+                     JOIN assign a ON a.cell = q.q_cell AND a.vid <> q.q_id
+                     JOIN evr qa ON qa.vec_id = q.q_id
+                     JOIN evr b ON b.vec_id = a.vid AND b.i = qa.i
+                     GROUP BY 1, 2, 3),
+              pc AS (SELECT q_id, n_id, label,
+                            round(dot/sqrt(nq.nsq*nn.nsq), 6) AS cosine
+                     FROM pd JOIN vnr nq ON nq.vec_id = q_id
+                             JOIN vnr nn ON nn.vec_id = n_id),
+              r AS (SELECT q_id, n_id, label, cosine,
+                      CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY cosine DESC, n_id) AS BIGINT) AS rank
+                    FROM pc)
+          SELECT q_id, n_id, label, cosine, rank FROM r WHERE rank <= 5
+          ORDER BY 1, 2, 3, 4, 5""",
     // residual IVFPQ: the same IVF assignment + Lloyd's replay as ann_ivfpq,
     // but `sub` (what pqTrainCte trains over) is the 6-dp residual
     // v − c(cell); scores decompose as dot(q,c) + Σ_sp dot(q_sp, r̂_sp)

@@ -988,6 +988,42 @@ object Ann {
     Det.ordered(out)
   }
 
+  /** Filtered ANN — the metadata-predicate × index-probe composition every
+    * production vector store needs ("nearest neighbors WHERE label ∈ …"):
+    * the label predicate applies to the inverted file's candidate rows
+    * BEFORE any scoring, so per-query cost is (probed-cell occupancy ×
+    * filter selectivity), never a post-filter over an unfiltered top-k
+    * (which silently returns fewer than k when the filter is selective —
+    * the classic filtered-search bug). Probes default wider (nprobe=2)
+    * because filtering thins each cell's candidate pool — the standard
+    * filtered-search recall compensation. Shares the memoized codebook +
+    * inverted file with every other IVF consumer.
+    */
+  def ivfFilteredTopK(s: SparkSession, d: String, k: Int = 5, nQueries: Int = 20,
+                      nCentroids: Int = 16, nprobe: Int = 2, maxLabel: Int = 2,
+                      trainIters: Int = 2): DataFrame = {
+    val cents = ivfCodebook(s, d, nCentroids, trainIters)
+    val ranked = memoCodebook(s, s"ivfranked|$d|$nCentroids|$trainIters|$nprobe")(
+      rankedAssignment(s, d, cents, nprobe).localCheckpoint(true))
+    val labels = Tables.embeddings(s, d).select(col("vec_id").as("l_id"), col("label"))
+    val assigned = ranked.where(col("arn") === 1)
+      .join(labels, col("vec_id") === col("l_id"))
+      .where(col("label") <= maxLabel) // the predicate, ahead of scoring
+      .select(col("vec_id"), col("v"), col("nrm"), col("c_id").as("cell"), col("label"))
+    val q = ranked.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("c_id").as("q_cell"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
+    val out = assigned.join(broadcast(q),
+        col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("n_id"), col("label"),
+        round(cosine(s, col("qv"), col("v"), col("qn"), col("nrm")), 6).as("cosine"))
+      .select(col("q_id"), col("n_id"), col("label"), col("cosine"),
+        row_number().over(w).cast("bigint").as("rank"))
+      .where(col("rank") <= k)
+    Det.ordered(out)
+  }
+
   /** Residual sub-vector slices: each vector's offset from its IVF cell
     * centroid, r = v − c(cell(v)), components Det.rnd-6dp'd so both engines
     * slice identical exact decimals, then cut into the m PQ subspaces. The
