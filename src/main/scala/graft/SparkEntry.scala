@@ -435,6 +435,9 @@ object SparkEntry {
     // S-curve validation: empirical LSH catch rate vs 1-(1-s^4)^4 per
     // exact-Jaccard bucket — is the banding config doing what it claims?
     "minhash_scurve" -> ((s, d) => Dedup.minhashScurve(s, d)),
+    // the curation funnel: raw -> exact -> near-dup -> quality -> decon,
+    // each stage over the previous stage's survivors
+    "corpus_yield" -> ((s, d) => Dedup.corpusYield(s, d)),
     "clean_corpus" -> ((s, d) => Dedup.cleanCorpus(s, d)),
     "dedup_simhash" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "graph_pagerank" -> ((s, d) => Graph.pagerank(s, d)),
@@ -2313,6 +2316,77 @@ object SparkEntry {
                  ${rndSql("1.0 - (1.0 - mid*mid*mid*mid)*(1.0 - mid*mid*mid*mid)" +
                    "*(1.0 - mid*mid*mid*mid)*(1.0 - mid*mid*mid*mid)", 4)} AS theory_rate
           FROM th ORDER BY 1, 2, 3, 4, 5""",
+    // the curation funnel: every stage predicate is the corresponding
+    // operator's own oracle logic, applied to the prior stage's survivors
+    "corpus_yield" -> {
+      val required = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+        .map(w => s"'$w'").mkString("[", ",", "]")
+      s"""WITH $ShingleCte,
+              $MinhashCte,
+              cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                       FROM bands a JOIN bands b
+                         ON a.band = b.band AND a.band_key = b.band_key
+                        AND a.doc_id < b.doc_id),
+              ex AS (SELECT doc_id,
+                            CASE WHEN doc_id = min(doc_id) OVER (PARTITION BY h)
+                                 THEN 1 ELSE 0 END AS keep_exact
+                     FROM (SELECT doc_id, md5($NormSql) AS h FROM documents)),
+              k1 AS (SELECT doc_id FROM ex WHERE keep_exact = 1),
+              nd AS (SELECT DISTINCT c.b_id AS doc_id FROM cand c
+                     JOIN k1 a ON a.doc_id = c.a_id
+                     JOIN k1 b ON b.doc_id = c.b_id),
+              gb AS (SELECT doc_id, text, string_split($NormSql, ' ') AS gtoks
+                     FROM documents),
+              gsc AS (SELECT doc_id, CAST(len(gtoks) AS BIGINT) AS n_words,
+                             ${rndSql("list_sum(list_transform(gtoks, t -> length(t))) * 1.0 / len(gtoks)", 4)}
+                               AS mean_word_len,
+                             ${rndSql("(len(regexp_extract_all(text, '#')) + len(regexp_extract_all(text, '\\.\\.\\.'))) * 1.0 / len(gtoks)", 4)}
+                               AS symbol_ratio,
+                             ${rndSql("len(list_filter(gtoks, t -> regexp_matches(t, '[a-z]'))) * 1.0 / len(gtoks)", 4)}
+                               AS alpha_word_ratio,
+                             CAST(len(list_filter($required,
+                               r -> list_contains(gtoks, r))) AS BIGINT) AS n_required_stops
+                      FROM gb),
+              gq AS (SELECT doc_id,
+                            CAST(n_words >= 30 AND n_words <= 100000
+                                 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                                 AND symbol_ratio < 0.1 AND alpha_word_ratio > 0.8
+                                 AND n_required_stops >= 0 AS BIGINT) AS keep
+                     FROM gsc),
+              s8 AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS sh8
+                     FROM t0, UNNEST(range(1, len(toks)-6)) AS u(i)
+                     WHERE len(toks) >= 8),
+              ct AS (SELECT DISTINCT c.doc_id FROM s8 c
+                     JOIN s8 b ON c.sh8 = b.sh8 AND b.doc_id < 10
+                     WHERE c.doc_id >= 10),
+              fl AS (SELECT d.doc_id, ex.keep_exact,
+                            CASE WHEN ex.keep_exact = 1 AND nd.doc_id IS NULL
+                                 THEN 1 ELSE 0 END AS k2,
+                            CASE WHEN ex.keep_exact = 1 AND nd.doc_id IS NULL
+                                  AND gq.keep = 1 THEN 1 ELSE 0 END AS k3,
+                            CASE WHEN ex.keep_exact = 1 AND nd.doc_id IS NULL
+                                  AND gq.keep = 1 AND d.doc_id >= 10
+                                  AND ct.doc_id IS NULL THEN 1 ELSE 0 END AS k4
+                     FROM documents d
+                     JOIN ex ON ex.doc_id = d.doc_id
+                     LEFT JOIN nd ON nd.doc_id = d.doc_id
+                     LEFT JOIN gq ON gq.doc_id = d.doc_id
+                     LEFT JOIN ct ON ct.doc_id = d.doc_id),
+              a AS (SELECT CAST(count(*) AS BIGINT) AS n0,
+                           CAST(sum(keep_exact) AS BIGINT) AS n1,
+                           CAST(sum(k2) AS BIGINT) AS n2,
+                           CAST(sum(k3) AS BIGINT) AS n3,
+                           CAST(sum(k4) AS BIGINT) AS n4
+                    FROM fl)
+          SELECT * FROM (
+            SELECT CAST(0 AS BIGINT) AS stage_ord, 'raw' AS stage,
+                   n0 AS docs_remaining, CAST(0 AS BIGINT) AS docs_dropped FROM a
+            UNION ALL SELECT CAST(1 AS BIGINT), 'exact_dedup', n1, n0 - n1 FROM a
+            UNION ALL SELECT CAST(2 AS BIGINT), 'near_dup', n2, n1 - n2 FROM a
+            UNION ALL SELECT CAST(3 AS BIGINT), 'quality_gopher', n3, n2 - n3 FROM a
+            UNION ALL SELECT CAST(4 AS BIGINT), 'decontaminate', n4, n3 - n4 FROM a)
+          ORDER BY 1, 2, 3, 4"""
+    },
     "clean_corpus" ->
       s"""WITH t AS (SELECT doc_id, $NormSql AS n, string_split($NormSql, ' ') AS toks
                      FROM documents),

@@ -111,6 +111,77 @@ object Dedup {
     Det.ordered(out)
   }
 
+  /** End-to-end curation yield — the stage funnel a pipeline owner
+    * tracks before anything trains: raw → exact dedup (keep-first per
+    * normalized-text hash) → near-dup (LSH pairwise keep-first among the
+    * exact survivors) → Gopher quality rules → benchmark decontamination
+    * (the eval set itself and anything sharing an 8-shingle with it),
+    * each stage applied to the PREVIOUS stage's survivors so the report
+    * reads as the pipeline actually runs. One plan: per-doc keep flags
+    * assembled from the same memoized artifacts the individual operators
+    * use (content hashes, the LSH candidate pairs, the Gopher signals,
+    * the broadcast benchmark shingles), one aggregate, five rows out —
+    * at 100 TB this costs the pipeline's own passes, not a new one.
+    */
+  def corpusYield(s: SparkSession, d: String, benchmarkMaxId: Long = 10L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val exact = docs.select(col("doc_id"), md5(TextOps.norm(col("text"))).as("h"))
+      .withColumn("keep_exact",
+        (col("doc_id") === min(col("doc_id")).over(Window.partitionBy(col("h"))))
+          .cast("long"))
+      .select(col("doc_id"), col("keep_exact"))
+    val k1 = exact.where(col("keep_exact") === 1).select(col("doc_id"))
+    val nearDrop = minhashLsh(s, d)
+      .join(k1.select(col("doc_id").as("a_id")), "a_id")
+      .join(k1.select(col("doc_id").as("b_id")), "b_id")
+      .select(col("b_id").as("doc_id")).distinct()
+      .withColumn("near_dup", lit(1L))
+    // minStops = 0: the synthetic corpus has no English stopword density,
+    // so the funnel keeps Gopher's NUMERIC rules live and tunes the
+    // required-stopword count down (the knob gopherQuality documents)
+    // rather than reporting a uselessly-empty tail
+    val gq = TextOps.gopherQuality(s, d, minStops = 0)
+      .select(col("doc_id"), col("keep").as("gopher_keep"))
+    val sh8 = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(TextOps.shinglesOf(col("toks"), 8)).as("s8"))
+    val bench = sh8.where(col("doc_id") < benchmarkMaxId)
+      .select(col("s8").as("b8")).distinct()
+    val contam = sh8.where(col("doc_id") >= benchmarkMaxId)
+      .join(broadcast(bench), col("s8") === col("b8"))
+      .select(col("doc_id")).distinct()
+      .withColumn("contaminated", lit(1L))
+    val flags = docs.select(col("doc_id"))
+      .join(exact, "doc_id")
+      .join(nearDrop, Seq("doc_id"), "left")
+      .join(gq, Seq("doc_id"), "left")
+      .join(contam, Seq("doc_id"), "left")
+      .withColumn("k2",
+        (col("keep_exact") === 1 && coalesce(col("near_dup"), lit(0L)) === 0)
+          .cast("long"))
+      .withColumn("k3",
+        (col("k2") === 1 && coalesce(col("gopher_keep"), lit(0L)) === 1)
+          .cast("long"))
+      .withColumn("k4",
+        (col("k3") === 1 && col("doc_id") >= benchmarkMaxId &&
+          coalesce(col("contaminated"), lit(0L)) === 0).cast("long"))
+      .select(col("keep_exact"), col("k2"), col("k3"), col("k4"))
+    val a = flags.agg(count(lit(1)).as("n0"), sum(col("keep_exact")).as("n1"),
+      sum(col("k2")).as("n2"), sum(col("k3")).as("n3"), sum(col("k4")).as("n4"))
+    def row(ord: Long, name: String, rem: Column, drop: Column) =
+      struct(lit(ord).as("stage_ord"), lit(name).as("stage"),
+        rem.cast("long").as("docs_remaining"), drop.cast("long").as("docs_dropped"))
+    val out = a.select(explode(array(
+        row(0L, "raw", col("n0"), lit(0L)),
+        row(1L, "exact_dedup", col("n1"), col("n0") - col("n1")),
+        row(2L, "near_dup", col("n2"), col("n1") - col("n2")),
+        row(3L, "quality_gopher", col("n3"), col("n2") - col("n3")),
+        row(4L, "decontaminate", col("n4"), col("n3") - col("n4")))).as("r"))
+      .select(col("r.stage_ord"), col("r.stage"), col("r.docs_remaining"),
+        col("r.docs_dropped"))
+    Det.ordered(out)
+  }
+
   /** LSH S-curve validation — the report that tells whether the banding
     * configuration (16 signatures as 4 bands × 4 rows here) matches the
     * similarity threshold it was DEPLOYED to catch: per exact-Jaccard
