@@ -502,6 +502,8 @@ object SparkEntry {
     "ann_ivfpq_residual" -> ((s, d) => Ann.ivfPqResidualTopK(s, d)),
     // residual-ADC proposes, exact cosine re-ranks candidates only
     "ann_ivfpq_residual_rerank" -> ((s, d) => Ann.ivfPqResidualRerankTopK(s, d)),
+    // the residual family's recall vs exhaustive truth, first-class
+    "ann_residual_recall" -> ((s, d) => Ann.residualRecallAtK(s, d)),
     "ann_pqres_recon" -> ((s, d) => Ann.pqResReconError(s, d)),
     "ann_recall" -> ((s, d) => Ann.recallAtK(s, d)),
     "text_lm_score" -> ((s, d) => TextOps.lmScore(s, d)),
@@ -2736,6 +2738,55 @@ object SparkEntry {
                     FROM sc)
           SELECT q_id, n_id, approx_dot, rank FROM r WHERE rank <= 5
           ORDER BY 1, 2, 3, 4""",
+    // the residual family's recall vs the exhaustive float truth — the
+    // sq8_recall harness shape over the decomposed-ADC scores
+    "ann_residual_recall" ->
+      s"""WITH $VecrCte,
+              bfd AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, sum(a.x*b.x) AS dot
+                      FROM ev a JOIN ev b ON a.i = b.i AND a.vec_id <> b.vec_id
+                      WHERE a.vec_id < 20 GROUP BY 1, 2),
+              bfc AS (SELECT q_id, n_id, round(dot/sqrt(nq.nsq*nn.nsq), 6) AS cosine
+                      FROM bfd JOIN vn nq ON nq.vec_id = q_id
+                               JOIN vn nn ON nn.vec_id = n_id),
+              bf AS (SELECT q_id, n_id FROM (
+                       SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+                         ORDER BY cosine DESC, n_id) AS rank FROM bfc)
+                     WHERE rank <= 5),
+              $ResIvfPqScoreCte,
+              rv5 AS (SELECT q_id, n_id FROM (
+                        SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+                          ORDER BY approx_dot DESC, n_id) AS rank FROM sc)
+                      WHERE rank <= 5),
+              cand AS (SELECT q_id, n_id FROM (
+                         SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+                           ORDER BY approx_dot DESC, n_id) AS adc_rank FROM sc)
+                       WHERE adc_rank <= 50),
+              xd AS (SELECT c.q_id, c.n_id, sum(a.x * b.x) AS dot
+                     FROM cand c JOIN evr a ON a.vec_id = c.q_id
+                                 JOIN evr b ON b.vec_id = c.n_id AND b.i = a.i
+                     GROUP BY 1, 2),
+              xc AS (SELECT q_id, n_id, round(dot/sqrt(nq.nsq*nn.nsq), 6) AS cosine
+                     FROM xd JOIN vnr nq ON nq.vec_id = q_id
+                             JOIN vnr nn ON nn.vec_id = n_id),
+              rr5 AS (SELECT q_id, n_id FROM (
+                        SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+                          ORDER BY cosine DESC, n_id) AS rank FROM xc)
+                      WHERE rank <= 5),
+              u AS (SELECT 'ivfpq_residual' AS method, q_id, n_id FROM rv5
+                    UNION ALL SELECT 'ivfpq_residual_rerank', q_id, n_id FROM rr5),
+              hits AS (SELECT method, count(*) AS n_hits FROM u
+                       WHERE EXISTS (SELECT 1 FROM bf
+                                     WHERE bf.q_id = u.q_id AND bf.n_id = u.n_id)
+                       GROUP BY 1),
+              mlist AS (SELECT 'ivfpq_residual' AS method
+                        UNION ALL SELECT 'ivfpq_residual_rerank'),
+              res AS (SELECT m.method,
+                             CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                             (SELECT count(*) FROM bf) AS n_exact
+                      FROM mlist m LEFT JOIN hits h USING (method))
+          SELECT method, n_hits, n_exact,
+                 ${rndSql("n_hits / n_exact", 4)} AS recall
+          FROM res ORDER BY 1, 2, 3, 4""",
     // residual-ADC proposal + exact-cosine re-rank (the ann_pq_rerank tail
     // over the residual scores)
     "ann_ivfpq_residual_rerank" ->
