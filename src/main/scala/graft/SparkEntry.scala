@@ -563,6 +563,8 @@ object SparkEntry {
     // pigeonhole-bucketed 100 TB twin (same result set)
     "mm_phash_pairs" -> ((s, d) => Multimodal.phashPairs(s, d)),
     "mm_phash_dedup" -> ((s, d) => Multimodal.phashDedup(s, d)),
+    // media near-dup clusters: CC over the pigeonhole pair set
+    "mm_phash_clusters" -> ((s, d) => Multimodal.phashClusters(s, d)),
     // cross-modal retrieval (text query -> media neighbors): exact
     // baseline + the shared-IVF-index composition
     "mm_cross_topk" -> ((s, d) => Multimodal.crossTopK(s, d)),
@@ -706,25 +708,28 @@ object SparkEntry {
     * Bit b: block b's mean char code vs the whole payload's, decided by
     * integer cross-multiplication so both engines agree exactly.
     */
+  private val PhashSigCte =
+    """base AS (SELECT doc_id, text AS t, length(text) AS n
+                FROM documents WHERE length(text) >= 1),
+       ch AS (SELECT doc_id, n, ((u.p - 1) * 64) // n AS blk,
+                     ascii(substring(t, u.p, 1)) AS code
+              FROM base, UNNEST(range(1, n + 1)) AS u(p)),
+       bs AS (SELECT doc_id, blk, sum(code) AS bsum, count(*) AS bcnt
+              FROM ch GROUP BY 1, 2),
+       ts AS (SELECT doc_id, sum(code) AS tsum, count(*) AS n
+              FROM ch GROUP BY 1),
+       bits AS (SELECT bs.doc_id, blk,
+                  CASE WHEN bsum * n > tsum * bcnt THEN 1 ELSE 0 END AS bit
+                FROM bs JOIN ts USING (doc_id)),
+       sig AS (SELECT doc_id,
+                 coalesce(sum(CASE WHEN bit = 1 AND blk < 32
+                   THEN (CAST(1 AS BIGINT) << blk) END), 0) AS sig_lo,
+                 coalesce(sum(CASE WHEN bit = 1 AND blk >= 32
+                   THEN (CAST(1 AS BIGINT) << (blk - 32)) END), 0) AS sig_hi
+               FROM bits GROUP BY 1)"""
+
   private val PhashOracleSql =
-    """WITH base AS (SELECT doc_id, text AS t, length(text) AS n
-                     FROM documents WHERE length(text) >= 1),
-            ch AS (SELECT doc_id, n, ((u.p - 1) * 64) // n AS blk,
-                          ascii(substring(t, u.p, 1)) AS code
-                   FROM base, UNNEST(range(1, n + 1)) AS u(p)),
-            bs AS (SELECT doc_id, blk, sum(code) AS bsum, count(*) AS bcnt
-                   FROM ch GROUP BY 1, 2),
-            ts AS (SELECT doc_id, sum(code) AS tsum, count(*) AS n
-                   FROM ch GROUP BY 1),
-            bits AS (SELECT bs.doc_id, blk,
-                       CASE WHEN bsum * n > tsum * bcnt THEN 1 ELSE 0 END AS bit
-                     FROM bs JOIN ts USING (doc_id)),
-            sig AS (SELECT doc_id,
-                      coalesce(sum(CASE WHEN bit = 1 AND blk < 32
-                        THEN (CAST(1 AS BIGINT) << blk) END), 0) AS sig_lo,
-                      coalesce(sum(CASE WHEN bit = 1 AND blk >= 32
-                        THEN (CAST(1 AS BIGINT) << (blk - 32)) END), 0) AS sig_hi
-                    FROM bits GROUP BY 1)
+    s"""WITH $PhashSigCte
        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
               CAST(bit_count(xor(a.sig_lo, b.sig_lo))
                    + bit_count(xor(a.sig_hi, b.sig_hi)) AS BIGINT) AS hamming
@@ -2046,6 +2051,23 @@ object SparkEntry {
     // xor-popcount hamming <= 6
     "mm_phash_pairs" -> PhashOracleSql,
     "mm_phash_dedup" -> PhashOracleSql,
+    // media clusters: the dedup_clusters recursive-reach tail over the
+    // pigeonhole pair set
+    "mm_phash_clusters" ->
+      s"""WITH RECURSIVE $PhashSigCte,
+              pp AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+                     FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+                     WHERE bit_count(xor(a.sig_lo, b.sig_lo))
+                           + bit_count(xor(a.sig_hi, b.sig_hi)) <= 12),
+              edges AS (SELECT a_id AS src, b_id AS dst FROM pp
+                        UNION ALL SELECT b_id, a_id FROM pp),
+              nodes AS (SELECT DISTINCT src AS id FROM edges),
+              reach AS (SELECT id, id AS r FROM nodes
+                        UNION
+                        SELECT e.dst AS id, reach.r FROM reach
+                        JOIN edges e ON e.src = reach.id)
+          SELECT id AS doc_id, min(r) AS cluster_id FROM reach
+          GROUP BY 1 ORDER BY 1, 2""",
     // cross-modal exact: text-embedding queries (embeddings table) against
     // the 64-dim hex media embeddings, brute-force cosine top-5
     "mm_cross_topk" ->

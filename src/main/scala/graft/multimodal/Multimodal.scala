@@ -267,6 +267,18 @@ object Multimodal {
     Det.ordered(graft.dedup.Dedup.bucketedHammingPairs(
       phashSigTable(s, d), maxHamming))
 
+  /** Media near-dup CLUSTERS: connected components over the pigeonhole
+    * pair set — the media twin of `dedup_clusters`, turning pairwise
+    * hamming hits into the per-cluster keep/canonical decisions a media
+    * pipeline actually applies (pairs alone can't answer "which of these
+    * five crops is the keeper"). Rides [[graft.dedup.Dedup.clustersOn]]'s
+    * min-label propagation unchanged — one components machinery for text
+    * and media graphs.
+    */
+  def phashClusters(s: SparkSession, d: String, maxHamming: Int = 12): DataFrame =
+    graft.dedup.Dedup.clustersOn(
+      graft.dedup.Dedup.bucketedHammingPairs(phashSigTable(s, d), maxHamming))
+
   // ---- cross-modal retrieval ----------------------------------------------
 
   /** 64-dim SQL-expressible media embedding: four md5 streams over the
