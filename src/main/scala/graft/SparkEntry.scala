@@ -549,6 +549,8 @@ object SparkEntry {
     // properties (range, monotonicity vs repetition) are ScalaTest-asserted
     "text_compression" -> ((s, d) => TextOps.compressionRatio(s, d)),
     "pack_shards" -> ((s, d) => TextOps.packShards(s, d)),
+    // writer-side manifest per shard: fill ratio + source-mix health
+    "shard_manifest" -> ((s, d) => TextOps.shardManifest(s, d)),
     "text_bigrams" -> ((s, d) => TextOps.bigramStats(s, d)),
     "decontaminate" -> ((s, d) => TextOps.decontaminate(s, d)),
     "text_tfidf" -> ((s, d) => TextOps.tfidf(s, d)),
@@ -3823,6 +3825,35 @@ object SparkEntry {
                               - n_tokens) / 2000.0) AS BIGINT) AS shard_id
                      FROM pt)
           SELECT doc_id, pack_bucket, n_tokens, shard_id FROM pr ORDER BY 1, 2, 3, 4""",
+    // the pack_shards assignment + the per-shard manifest aggregate
+    "shard_manifest" ->
+      s"""WITH pt AS (SELECT doc_id,
+                             CAST(len(string_split($NormSql, ' ')) AS BIGINT) AS n_tokens,
+                             CAST(strpos('0123456789abcdef',
+                               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1 AS BIGINT) % 16
+                               AS pack_bucket
+                      FROM documents),
+              pr AS (SELECT doc_id, pack_bucket, n_tokens,
+                            CAST(floor((sum(n_tokens) OVER (PARTITION BY pack_bucket
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                              - n_tokens) / 2000.0) AS BIGINT) AS shard_id
+                     FROM pt),
+              js AS (SELECT pr.pack_bucket, pr.shard_id, pr.n_tokens, d.source
+                     FROM pr JOIN documents d ON d.doc_id = pr.doc_id),
+              ps AS (SELECT pack_bucket, shard_id, source, count(*) AS sd,
+                            sum(n_tokens) AS st
+                     FROM js GROUP BY 1, 2, 3),
+              ag AS (SELECT pack_bucket, shard_id,
+                            CAST(sum(sd) AS BIGINT) AS n_docs,
+                            CAST(sum(st) AS BIGINT) AS total_tokens,
+                            CAST(count(*) AS BIGINT) AS n_sources,
+                            CAST(max(sd) AS BIGINT) AS mx
+                     FROM ps GROUP BY 1, 2)
+          SELECT pack_bucket, shard_id, n_docs, total_tokens,
+                 ${rndSql("total_tokens / 2000.0", 4)} AS fill_ratio,
+                 n_sources, ${rndSql("mx * 1.0 / n_docs", 4)} AS dom_source_share
+          FROM ag ORDER BY 1, 2, 3, 4, 5, 6, 7""",
     "text_fingerprint" ->
       s"""SELECT doc_id, md5($NormSql) AS content_fp,
                  md5(array_to_string(list_sort(list_distinct(

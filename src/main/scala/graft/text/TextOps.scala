@@ -131,6 +131,32 @@ object TextOps {
     Det.ordered(out)
   }
 
+  /** Shard manifest — the writer-side summary every packed dataset ships
+    * next to its shards: per (pack bucket, shard) the doc count, token
+    * total, fill ratio against the packing target, and the SOURCE MIX
+    * (distinct sources + dominant-source share — the signal that a shard
+    * accidentally went single-source, which breaks the shuffled-data
+    * assumption downstream loaders make). Rides [[packShards]]'
+    * assignment unchanged; one aggregate pass over it.
+    */
+  def shardManifest(s: SparkSession, d: String, shardTokens: Long = 2000,
+                    nBuckets: Int = 16): DataFrame = {
+    val asg = packShards(s, d, shardTokens, nBuckets)
+    val j = asg.join(Tables.documents(s, d).select(col("doc_id"), col("source")),
+      "doc_id")
+    val perSrc = j.groupBy(col("pack_bucket"), col("shard_id"), col("source"))
+      .agg(count(lit(1)).as("sd"), sum(col("n_tokens")).as("st"))
+    val out = perSrc.groupBy(col("pack_bucket"), col("shard_id"))
+      .agg(sum(col("sd")).as("n_docs"), sum(col("st")).as("total_tokens"),
+        count(lit(1)).as("n_sources"), max(col("sd")).as("mx"))
+      .select(col("pack_bucket"), col("shard_id"), col("n_docs"),
+        col("total_tokens"),
+        Det.rnd(col("total_tokens") / lit(shardTokens.toDouble), 4).as("fill_ratio"),
+        col("n_sources"),
+        Det.rnd(col("mx") / col("n_docs"), 4).as("dom_source_share"))
+    Det.ordered(out)
+  }
+
   /** Compression-ratio quality signal: deflated size over raw size. Machine
     * -generated/boilerplate text compresses far below natural prose, making
     * this the classic cheap one-pass quality filter (the Gopher-family
