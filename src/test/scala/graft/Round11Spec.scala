@@ -718,6 +718,31 @@ class Round11Spec extends SparkTestBase {
     assert(keptIdx == decisions().filter(_._2 == 0L).keySet)
   }
 
+  test("yield funnel telescopes and the dedup curve is monotone") {
+    import org.apache.spark.sql.functions.col
+    // corpus_yield: stages apply to each other's survivors, so remaining
+    // counts are non-increasing and remaining+dropped telescopes exactly
+    val fun = graft.dedup.Dedup.corpusYield(spark, Sf)
+      .orderBy(col("stage_ord")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(fun.length == 5 && fun.head._2 == "raw")
+    fun.sliding(2).foreach { case Array(prev, cur) =>
+      assert(cur._3 <= prev._3, s"remaining must not grow: $prev -> $cur")
+      assert(cur._3 + cur._4 == prev._3,
+        s"remaining+dropped must telescope: $prev -> $cur")
+    }
+    // dedup_curve: raising the threshold can only shrink the surviving
+    // pair set and the removal set
+    val curve = graft.dedup.Dedup.dedupCurve(spark, Sf)
+      .orderBy(col("tau")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2)))
+    assert(curve.length == 10)
+    curve.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._2 <= lo._2 && hi._3 <= lo._3,
+        s"curve must be monotone non-increasing: $lo -> $hi")
+    }
+  }
+
   test("self-vote LPA merges duplicate pairs; communities are denser than random") {
     import org.apache.spark.sql.functions._
     // the oscillation regression: pure synchronous LPA leaves an isolated
