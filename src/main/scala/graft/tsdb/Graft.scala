@@ -384,6 +384,29 @@ class Graft(spark: SparkSession, root: String,
     * and compaction then never race on the same directory content).
     * Returns (bucket_day, files_before, files_after) per compacted bucket.
     */
+  /** Fragmentation report — the operational signal a compaction daemon
+    * watches: per bucket, its file count, total bytes, and whether any
+    * file still carries write-sequence stamps (one stamped file anywhere
+    * keeps the last-write-wins merge window on EVERY read of the store —
+    * see [[compact]]). `(bucket_day, n_files, bytes, stamped)`, day-sorted.
+    * Queued writes flush first so the report covers everything acked.
+    */
+  def fragmentation(space: String = "default"): Seq[(Long, Int, Long, Boolean)] = {
+    flushQueued(space)
+    val (fs, dir) = fsOf(spacePath(space))
+    if (!isDir(fs, dir)) return Nil
+    fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("bucket_day="))
+      .map { bst =>
+        val day = bst.getPath.getName.stripPrefix("bucket_day=").toLong
+        val parts = fs.listStatus(bst.getPath)
+          .filter(_.getPath.getName.endsWith(".parquet"))
+        val stamped = spark.read.option("mergeSchema", "true")
+          .parquet(bst.getPath.toString).columns.contains(WseqCol)
+        (day, parts.length, parts.map(_.getLen).sum, stamped)
+      }.sortBy(_._1)
+  }
+
   def compact(space: String = "default",
               targetBytes: Long = 128L * 1024 * 1024): Seq[(Long, Int, Int)] = {
     flushQueued(space)

@@ -718,6 +718,30 @@ class Round11Spec extends SparkTestBase {
     assert(keptIdx == decisions().filter(_._2 == 0L).keySet)
   }
 
+  test("fragmentation report drives compaction: stamped multi-file buckets collapse") {
+    import java.nio.file.{Files, Paths}
+    val s = spark; import s.implicits._
+    val root = Files.createTempDirectory(
+      Paths.get("target"), "graft-frag").toString
+    val g = new Graft(spark, root)
+    // three separate writes into the same bucket day -> >= 3 stamped files
+    (0 until 3).foreach { i =>
+      g.write(spark.read.json(Seq(
+        s"""{"time":${1704794400000L + i},"value":$i.0,"name":"cpu"}""").toDS()))
+    }
+    val before = g.fragmentation()
+    assert(before.nonEmpty, "report must list the written bucket")
+    assert(before.head._2 >= 3, s"expected >=3 files: $before")
+    assert(before.head._4, "fresh writes carry stamps (merge window on reads)")
+    val nBefore = g.read("""{"match_all":{}}""").count()
+    g.compact()
+    val after = g.fragmentation()
+    assert(after.head._2 == 1 && !after.head._4,
+      s"compacted bucket must be one stamp-free file: $after")
+    // compaction is physical-layout-only: the data is unchanged
+    assert(g.read("""{"match_all":{}}""").count() == nBefore)
+  }
+
   test("yield funnel telescopes and the dedup curve is monotone") {
     import org.apache.spark.sql.functions.col
     // corpus_yield: stages apply to each other's survivors, so remaining
