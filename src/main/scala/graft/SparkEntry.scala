@@ -542,6 +542,8 @@ object SparkEntry {
     // systematic PPS draw: k points through each group's cumulative weight
     // axis in hash order — weighted sampling without transcendental keys
     "sample_pps" -> ((s, d) => Analytics.samplePps(s, d)),
+    // 2-D Pareto frontier in one window pass (no pair square)
+    "skyline_pareto" -> ((s, d) => Analytics.skylinePareto(s, d)),
     // stratified two-level PPS: the few-huge-groups scale shape (windows
     // partition on (group, stratum), never one partition per group)
     "sample_pps_2level" -> ((s, d) => Analytics.samplePps2Level(s, d)),
@@ -3750,6 +3752,22 @@ object SparkEntry {
           SELECT doc_id, pred_lang, stratum_rank FROM rk, tgt
           WHERE stratum_rank <= target ORDER BY 1, 2, 3"""
     },
+    // 2-D skyline: strictly-earlier running max (RANGE frame) + same-day
+    // max encode the dominance test without touching pair space
+    "skyline_pareto" ->
+      s"""WITH o AS (SELECT c_mktsegment AS segment, o_orderkey,
+                            epoch_ms(o_orderdate) AS date_ms, o_totalprice
+                     FROM orders JOIN customer ON o_custkey = c_custkey),
+              w AS (SELECT segment, o_orderkey, date_ms, o_totalprice,
+                           max(o_totalprice) OVER (PARTITION BY segment
+                             ORDER BY date_ms RANGE BETWEEN UNBOUNDED PRECEDING
+                             AND 1 PRECEDING) AS be,
+                           max(o_totalprice) OVER (PARTITION BY segment, date_ms)
+                             AS bs
+                    FROM o)
+          SELECT segment, o_orderkey, date_ms, o_totalprice AS totalprice
+          FROM w WHERE (be IS NULL OR be < o_totalprice) AND bs = o_totalprice
+          ORDER BY 1, 2, 3, 4""",
     // systematic PPS: cum/tot are exact decimals in both engines; the only
     // division is inside floor() with the Det.rnd-style 1e-9 nudge
     "sample_pps" ->

@@ -1430,6 +1430,37 @@ object Analytics {
     Det.ordered(out)
   }
 
+  /** 2-D Pareto skyline (Börzsönyi et al., ICDE '01): orders no other
+    * order dominates — here "at least as early AND at least as valuable,
+    * strictly better in one" (the early-big-orders frontier). The naive
+    * formulation is a NOT EXISTS over the pair square; the 2-D scale form
+    * is ONE window pass: ordered by date, a row survives iff no
+    * strictly-earlier row reached its price (RANGE frame running max) and
+    * no same-date row strictly beats it — O(n log n) as a single sort,
+    * per-segment partitioned so the sort shards. Dominance on exact
+    * decimals/millis, no rounding needed.
+    */
+  def skylinePareto(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .join(broadcast(Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"), col("o_orderkey"),
+        tsMs(col("o_orderdate")).as("date_ms"), col("o_totalprice"))
+    val wEarlier = Window.partitionBy(col("segment")).orderBy(col("date_ms"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val wSameDay = Window.partitionBy(col("segment"), col("date_ms"))
+    val out = o
+      .withColumn("best_earlier", max(col("o_totalprice")).over(wEarlier))
+      .withColumn("best_same_day", max(col("o_totalprice")).over(wSameDay))
+      .where(
+        (col("best_earlier").isNull || col("best_earlier") < col("o_totalprice")) &&
+          col("best_same_day") === col("o_totalprice"))
+      .select(col("segment"), col("o_orderkey"), col("date_ms"),
+        col("o_totalprice").as("totalprice"))
+    Det.ordered(out)
+  }
+
   /** Systematic PPS (probability-proportional-to-size) sampling — the
     * production alternative to weighted reservoir sampling for building a
     * training mix: per group, k sample points are placed evenly through the
