@@ -243,6 +243,26 @@ object Ann {
       .where(col("arn") <= math.max(nprobe, 1))
   }
 
+  /** The shared probed-cell cosine scoring tail: candidates (with any
+    * `extra` passthrough columns) joined to the broadcast query set on
+    * their cell, rounded cosine, top-k rank — ONE implementation under
+    * [[ivfTopKFromRanked]] and [[ivfFilteredTopK]] so the scoring
+    * contract (rounding scale, tie-breaks) cannot drift between the
+    * filtered and unfiltered search paths (review finding, this round).
+    */
+  private def cosineTopKFrom(s: SparkSession, assigned: DataFrame, q: DataFrame,
+                             k: Int, extra: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
+    val out = assigned.join(broadcast(q),
+        col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
+      .select(Seq(col("q_id"), col("vec_id").as("n_id")) ++ extra.map(col) :+
+        round(cosine(s, col("qv"), col("v"), col("qn"), col("nrm")), 6).as("cosine"): _*)
+      .select(Seq(col("q_id"), col("n_id")) ++ extra.map(col) ++ Seq(col("cosine"),
+        row_number().over(w).cast("bigint").as("rank")): _*)
+      .where(col("rank") <= k)
+    Det.ordered(out)
+  }
+
   private def ivfTopKFromRanked(s: SparkSession, ranked: DataFrame, k: Int,
                                 nQueries: Int): DataFrame = {
     val assigned = ranked.where(col("arn") === 1)
@@ -250,15 +270,7 @@ object Ann {
     val q = ranked.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
         col("c_id").as("q_cell"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
-    val out = assigned.join(broadcast(q),
-        col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"),
-        round(cosine(s, col("qv"), col("v"), col("qn"), col("nrm")), 6).as("cosine"))
-      .select(col("q_id"), col("n_id"), col("cosine"),
-        row_number().over(w).cast("bigint").as("rank"))
-      .where(col("rank") <= k)
-    Det.ordered(out)
+    cosineTopKFrom(s, assigned, q, k)
   }
 
   /** IVF cell-occupancy report — the coarse-codebook's train-quality
@@ -1013,15 +1025,7 @@ object Ann {
     val q = ranked.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
         col("c_id").as("q_cell"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
-    val out = assigned.join(broadcast(q),
-        col("cell") === col("q_cell") && col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("n_id"), col("label"),
-        round(cosine(s, col("qv"), col("v"), col("qn"), col("nrm")), 6).as("cosine"))
-      .select(col("q_id"), col("n_id"), col("label"), col("cosine"),
-        row_number().over(w).cast("bigint").as("rank"))
-      .where(col("rank") <= k)
-    Det.ordered(out)
+    cosineTopKFrom(s, assigned, q, k, extra = Seq("label"))
   }
 
   /** Residual sub-vector slices: each vector's offset from its IVF cell
@@ -1062,20 +1066,30 @@ object Ann {
     * number per (query, probed cell) riding the centroid table that is
     * already broadcast everywhere. No per-cell LUT blowup.
     */
+  /** Nearest residual sub-centroid per (vector, subspace) with its rounded
+    * distance² — the SINGLE assignment under both the code table and the
+    * recon report ([[pqResReconError]]), so search and metrology provably
+    * score against the same codes (review finding, this round).
+    */
+  private def pqResAssign(rsubs: DataFrame, rcents: DataFrame): DataFrame = {
+    val sqL2 = aggregate(zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
+      lit(0.0), (acc, x) => acc + x)
+    val wAssign = Window.partitionBy(col("vec_id"), col("sp")).orderBy(col("d2"), col("c_id"))
+    rsubs.join(broadcast(rcents), col("sp") === col("csp"))
+      .select(col("vec_id"), col("sp"), col("c_id"), round(sqL2, 6).as("d2"))
+      .withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("sp"), col("c_id").as("code"), col("d2"))
+  }
+
   private def pqResCodesLut(s: SparkSession, d: String, nQueries: Int, nCodes: Int,
                             m: Int, dims: Int, nCentroids: Int,
                             trainIters: Int): (DataFrame, DataFrame) = {
     val rsubs = pqResSubs(s, d, m, dims, nCentroids, trainIters)
     val rcents = memoCodebook(s, s"pqres|$d|$nCodes|$m|$dims|$nCentroids|$trainIters")(
       trainPqCentroids(rsubs, nCodes, trainIters))
-    val sqL2 = aggregate(zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
-    val wAssign = Window.partitionBy(col("vec_id"), col("sp")).orderBy(col("d2"), col("c_id"))
-    val codes = rsubs.join(broadcast(rcents), col("sp") === col("csp"))
-      .select(col("vec_id"), col("sp"), col("c_id"), round(sqL2, 6).as("d2"))
-      .select(col("vec_id"), col("sp"), col("c_id"), row_number().over(wAssign).as("rn"))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("sp"), col("c_id").as("code"))
+    val codes = pqResAssign(rsubs, rcents)
+      .select(col("vec_id"), col("sp"), col("code"))
     val lut = pqSubs(s, d, m, dims).where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("sp").as("lsp"), col("sv").as("qsv"))
       .join(broadcast(rcents), col("lsp") === col("csp"))
@@ -1084,17 +1098,6 @@ object Ann {
     (codes, lut)
   }
 
-  /** IVF+PQ with RESIDUAL encoding — FAISS's actual IVFPQ (Jégou et al.
-    * PAMI '11 §IV.C), upgrading [[ivfPqTopK]]'s raw-vector codes: each
-    * vector stores PQ codes of its offset from its cell centroid, and a
-    * query scores a candidate as dot(q, cell centroid) + residual-ADC.
-    * Same 100 TB shape as [[ivfPqTopK]] — candidates bounded by probed-cell
-    * occupancy, codes are bytes, LUT and centroids broadcast — but the
-    * codebooks quantize a distribution whose variance the coarse quantizer
-    * already collapsed, so reconstruction error (and therefore ADC rank
-    * fidelity) improves at identical code size ([[pqResReconError]]
-    * measures it; Round11Spec asserts the gap).
-    */
   /** The decomposed residual scores (q_id, n_id, approx_dot) over the
     * probed cells — shared by [[ivfPqResidualTopK]] and
     * [[ivfPqResidualRerankTopK]].
@@ -1134,6 +1137,17 @@ object Ann {
         Det.rnd(col("rdot") + col("cdot"), 6).as("approx_dot"))
   }
 
+  /** IVF+PQ with RESIDUAL encoding — FAISS's actual IVFPQ (Jégou et al.
+    * PAMI '11 §IV.C), upgrading [[ivfPqTopK]]'s raw-vector codes: each
+    * vector stores PQ codes of its offset from its cell centroid, and a
+    * query scores a candidate as dot(q, cell centroid) + residual-ADC.
+    * Same 100 TB shape as [[ivfPqTopK]] — candidates bounded by probed-cell
+    * occupancy, codes are bytes, LUT and centroids broadcast — but the
+    * codebooks quantize a distribution whose variance the coarse quantizer
+    * already collapsed, so reconstruction error (and therefore ADC rank
+    * fidelity) improves at identical code size ([[pqResReconError]]
+    * measures it; Round11Spec asserts the gap).
+    */
   def ivfPqResidualTopK(s: SparkSession, d: String, k: Int = 5, nQueries: Int = 20,
                         nCentroids: Int = 16, nprobe: Int = 2, nCodes: Int = 16,
                         m: Int = 4, dims: Int = 64, trainIters: Int = 2): DataFrame = {
@@ -1219,13 +1233,7 @@ object Ann {
     val rsubs = pqResSubs(s, d, m, dims, nCentroids, trainIters)
     val rcents = memoCodebook(s, s"pqres|$d|$nCodes|$m|$dims|$nCentroids|$trainIters")(
       trainPqCentroids(rsubs, nCodes, trainIters))
-    val sqL2 = aggregate(zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
-      lit(0.0), (acc, x) => acc + x)
-    val wAssign = Window.partitionBy(col("vec_id"), col("sp")).orderBy(col("d2"), col("c_id"))
-    val asg = rsubs.join(broadcast(rcents), col("sp") === col("csp"))
-      .select(col("vec_id"), col("sp"), col("c_id"), round(sqL2, 6).as("d2"))
-      .withColumn("rn", row_number().over(wAssign))
-      .where(col("rn") === 1)
+    val asg = pqResAssign(rsubs, rcents)
       .select(col("vec_id"), col("sp"), col("d2"))
     val norms = pqSubs(s, d, m, dims).select(col("vec_id"), col("sp"),
       round(VectorFunctions.dot(s, col("sv"), col("sv")), 6).as("n2"))

@@ -1461,22 +1461,6 @@ object Analytics {
     Det.ordered(out)
   }
 
-  /** Systematic PPS (probability-proportional-to-size) sampling — the
-    * production alternative to weighted reservoir sampling for building a
-    * training mix: per group, k sample points are placed evenly through the
-    * cumulative weight axis at (j+0.5)·W/k, and a row is drawn once per
-    * point landing inside its weight interval (rows heavier than W/k can
-    * legitimately draw multiple times — `picks` is that multiplicity, the
-    * with-replacement PPS semantics). The scan order is a hash of the row
-    * key, so the "random" systematic pass is deterministic, shuffle-proof,
-    * and cross-engine replayable WITHOUT transcendental priority keys
-    * (pow/exp of the A-Res family round differently per libm); the
-    * cumulative sums are exact decimals, the only division is nudged
-    * through the Det.rnd boundary contract. Cost: one shuffle on the group
-    * key + one window pass — the sessionize shape, no global sort, no
-    * driver-side state; at 100 TB each group streams through its sorted
-    * partition once.
-    */
   /** Two-level (stratified) systematic PPS — the shape [[samplePps]] takes
     * when groups are few and huge: the flat form streams each group's
     * cumulative sum through ONE sorted partition (correct, but a 5-segment
@@ -1538,6 +1522,22 @@ object Analytics {
     Det.ordered(out)
   }
 
+  /** Systematic PPS (probability-proportional-to-size) sampling — the
+    * production alternative to weighted reservoir sampling for building a
+    * training mix: per group, k sample points are placed evenly through the
+    * cumulative weight axis at (j+0.5)·W/k, and a row is drawn once per
+    * point landing inside its weight interval (rows heavier than W/k can
+    * legitimately draw multiple times — `picks` is that multiplicity, the
+    * with-replacement PPS semantics). The scan order is a hash of the row
+    * key, so the "random" systematic pass is deterministic, shuffle-proof,
+    * and cross-engine replayable WITHOUT transcendental priority keys
+    * (pow/exp of the A-Res family round differently per libm); the
+    * cumulative sums are exact decimals, the only division is nudged
+    * through the Det.rnd boundary contract. Cost: one shuffle on the group
+    * key + one window pass — the sessionize shape, no global sort, no
+    * driver-side state; at 100 TB each group streams through its sorted
+    * partition once.
+    */
   def samplePps(s: SparkSession, d: String, k: Int = 10): DataFrame = {
     val j = Tables.orders(s, d)
       .join(broadcast(Tables.customer(s, d)

@@ -107,11 +107,13 @@ object Graph {
     * edge list — nothing touches pair space beyond the edges themselves.
     */
   def modularity(s: SparkSession, d: String, iters: Int = 3): DataFrame = {
+    // minhashLsh is already memoized + checkpointed (Dedup.scala); an extra
+    // localCheckpoint here would eagerly materialize a second sorted copy
+    // of the full pair table per call (review finding, this round)
     val e0 = Dedup.minhashLsh(s, d).select(col("a_id"), col("b_id"))
-      .localCheckpoint(true)
     val lbl = labelPropagation(s, d, iters)
       .select(col("doc_id"), col("community"))
-      .localCheckpoint(true)
+      .localCheckpoint(true) // small label table, scanned by two aggregates
     val m = e0.agg(count(lit(1)).as("m_edges"))
     val intra = e0
       .join(lbl.select(col("doc_id").as("a_id"), col("community").as("ca")), "a_id")

@@ -12,14 +12,23 @@ import graft.dedup.Dedup
   * this catches the near-clones (boilerplate edits, version bumps) that
   * an exact hash misses. Every micro-batch computes its band rows with
   * EXACTLY the batch pipeline ([[graft.dedup.Dedup.bandRowsFor]] — same
-  * shingles, seeds, band keys), probes them against all PREVIOUSLY kept
-  * documents' bands (plus earlier in-batch docs, min doc_id wins), and
-  * appends the kept documents' band rows for the next batch to probe. A
-  * document is flagged when it shares ANY (band, band_key) bucket with a
-  * kept document — the batch `dedup_minhash` candidate relation applied
-  * with the keep-first rule, incrementally.
+  * shingles, seeds, band keys), probes them against all previously
+  * indexed documents' bands (plus smaller-id docs inside its own batch),
+  * and appends EVERY batch document's band rows for the next batch to
+  * probe. A document is flagged when it shares ANY (band, band_key)
+  * bucket with ANY earlier document — exactly the pairwise rule the
+  * batch `dedup_curve` removal counts use (b removed when any candidate
+  * pair (a, b) with a < b exists).
   *
-  * Scale: the index is nBands rows per KEPT document (band_key is one
+  * Indexing ALL documents (not just the kept ones) is what makes the
+  * decisions MICRO-BATCH-BOUNDARY INVARIANT: LSH band collision is not
+  * transitive, so a kept-only index would flag a doc whose only
+  * collision partner is a flagged doc differently depending on whether
+  * the two arrived in one batch or two (the exact-hash stream CAN index
+  * kept-only because hash equality IS transitive — any doc matching a
+  * removed doc's hash also matches its keeper's).
+  *
+  * Scale: the index is nBands rows per document seen (band_key is one
   * md5), parquet-partitioned by ingest batch; each batch's probe is a
   * band-bucket semi-join of |batch|·nBands rows against it — never a
   * corpus rescan, never pair space. Both writes ride dynamic partition
@@ -31,7 +40,7 @@ object NearDupStream {
 
   /** Start index maintenance over a streaming (doc_id, text) source.
     * Emits per-document decisions (doc_id, is_dup) under `decisionsDir`
-    * and appends kept documents' band rows under `indexDir`.
+    * and appends the batch's band rows under `indexDir`.
     */
   def start(docs: DataFrame, indexDir: String, decisionsDir: String,
             checkpointDir: String): StreamingQuery =
@@ -69,8 +78,10 @@ object NearDupStream {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("ingest_batch")
           .parquet(decisionsDir)
-        bands.join(flagged.where(col("is_dup") === 0L).select(col("doc_id")),
-            Seq("doc_id"), "left_semi")
+        // index EVERY doc's bands (see scaladoc: LSH collision is not
+        // transitive, so kept-only indexing would make decisions depend
+        // on micro-batch boundaries)
+        bands
           .withColumn("ingest_batch", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")

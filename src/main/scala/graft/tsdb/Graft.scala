@@ -373,17 +373,6 @@ class Graft(spark: SparkSession, root: String,
       .map(_.getPath.getName).sorted
   }
 
-  /** Compaction: rewrite fragmented bucket directories into
-    * ceil(bytes/targetBytes) files, restoring the (tags, time) clustering
-    * the writer establishes — the small-files maintenance job every
-    * append-heavy store needs (each streaming micro-batch / bulk write adds
-    * files; row-group stats degrade as files shrink). Range-repartition by
-    * the clustering key keeps files disjoint on series, so post-compaction
-    * reads prune row groups exactly as freshly-written data does. Buckets
-    * already at or below the target file count are left untouched (retention
-    * and compaction then never race on the same directory content).
-    * Returns (bucket_day, files_before, files_after) per compacted bucket.
-    */
   /** Fragmentation report — the operational signal a compaction daemon
     * watches: per bucket, its file count, total bytes, and whether any
     * file still carries write-sequence stamps (one stamped file anywhere
@@ -401,12 +390,26 @@ class Graft(spark: SparkSession, root: String,
         val day = bst.getPath.getName.stripPrefix("bucket_day=").toLong
         val parts = fs.listStatus(bst.getPath)
           .filter(_.getPath.getName.endsWith(".parquet"))
-        val stamped = spark.read.option("mergeSchema", "true")
+        // an empty bucket dir (interrupted write, manual cleanup) is a
+        // degraded state this report must SURFACE, not crash on —
+        // spark.read over zero files throws "unable to infer schema"
+        val stamped = parts.nonEmpty && spark.read.option("mergeSchema", "true")
           .parquet(bst.getPath.toString).columns.contains(WseqCol)
         (day, parts.length, parts.map(_.getLen).sum, stamped)
       }.sortBy(_._1)
   }
 
+  /** Compaction: rewrite fragmented bucket directories into
+    * ceil(bytes/targetBytes) files, restoring the (tags, time) clustering
+    * the writer establishes — the small-files maintenance job every
+    * append-heavy store needs (each streaming micro-batch / bulk write adds
+    * files; row-group stats degrade as files shrink). Range-repartition by
+    * the clustering key keeps files disjoint on series, so post-compaction
+    * reads prune row groups exactly as freshly-written data does. Buckets
+    * already at or below the target file count are left untouched (retention
+    * and compaction then never race on the same directory content).
+    * Returns (bucket_day, files_before, files_after) per compacted bucket.
+    */
   def compact(space: String = "default",
               targetBytes: Long = 128L * 1024 * 1024): Seq[(Long, Int, Int)] = {
     flushQueued(space)

@@ -1061,15 +1061,6 @@ object Tsdb {
     Det.ordered(out)
   }
 
-  /** LTTB-style downsampling (largest-triangle, bucket-mean anchors — the
-    * deterministic variant of Steinarsson's largest-triangle-three-buckets):
-    * per (series, hourly bucket) keep the ONE point whose triangle against
-    * the neighboring buckets' mean anchors has the largest area — the
-    * downsampler that preserves visual extremes where OHLC/mean smearing
-    * loses them. Anchors are exact-decimal bucket means (time and value)
-    * rounded before the area compare; interior buckets only. One bucketing
-    * pass + per-bucket rank, all inside the series partitioning.
-    */
   /** M4 downsampling (Jugel et al., VLDB '14): per (series, pixel bucket)
     * the min/max/first/last POINTS — the four rows that make a line
     * rendering pixel-identical to the raw series at stepMs-per-pixel
@@ -1102,6 +1093,15 @@ object Tsdb {
     Det.ordered(out)
   }
 
+  /** LTTB-style downsampling (largest-triangle, bucket-mean anchors — the
+    * deterministic variant of Steinarsson's largest-triangle-three-buckets):
+    * per (series, hourly bucket) keep the ONE point whose triangle against
+    * the neighboring buckets' mean anchors has the largest area — the
+    * downsampler that preserves visual extremes where OHLC/mean smearing
+    * loses them. Anchors are exact-decimal bucket means (time and value)
+    * rounded before the area compare; interior buckets only. One bucketing
+    * pass + per-bucket rank, all inside the series partitioning.
+    */
   def lttb(pt: PointsTable, filter: Column, startMs: Long, endMs: Long,
            stepMs: Long = 3600000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -682,25 +682,25 @@ class Round11Spec extends SparkTestBase {
     mem.addData((3L, aNear), (4L, c), (5L, a))
     q.processAllAvailable(); q.stop()
 
-    // the reference relation: batch LSH candidates over the same corpus,
-    // reduced by the greedy keep-first rule in id order (a doc is a dup
-    // when it bucket-collides with a smaller-id doc that was itself kept)
+    // the reference relation: batch LSH candidates over the same corpus
+    // under the pairwise rule (a doc is a dup when ANY candidate pair
+    // (a, d) with a < d exists — dedup_curve's removal semantics). This
+    // is the rule that is micro-batch-boundary invariant for a
+    // non-transitive collision relation, and the stream indexes every
+    // doc's bands to implement exactly it.
     def expected(ids: Seq[Long]): Map[Long, Long] = {
       val pairs = graft.dedup.Dedup.minhashLshOn(
         graft.dedup.Dedup.shingleRowsOf(
           ids.map(i => (i, corpus(i))).toDF("doc_id", "text")))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-      ids.sorted.foldLeft(Map.empty[Long, Long]) { (acc, d) =>
-        val dup = acc.exists { case (kept, flag) =>
-          flag == 0L && pairs.contains((kept, d)) }
-        acc.updated(d, if (dup) 1L else 0L)
-      }
+      ids.map(d => d -> (if (ids.exists(a => a < d && pairs.contains((a, d)))) 1L
+                         else 0L)).toMap
     }
     def decisions() = spark.read.parquet(dec)
       .select("doc_id", "is_dup").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(decisions() == expected(Seq(1L, 2L, 3L, 4L, 5L)),
-      s"streamed flags must equal the batch keep-first relation: ${decisions()}")
+      s"streamed flags must equal the batch pairwise relation: ${decisions()}")
     // the capability the exact hash misses: the one-token edit IS flagged
     assert(decisions()(3L) == 1L, "near-clone must be flagged")
     assert(decisions()(5L) == 1L && decisions()(4L) == 0L)
@@ -712,10 +712,12 @@ class Round11Spec extends SparkTestBase {
     q2.processAllAvailable(); q2.stop()
     assert(decisions() == expected(Seq(1L, 2L, 3L, 4L, 5L, 6L)))
     assert(decisions()(6L) == 1L, "near-clone across restart must be flagged")
-    // the index holds band rows for exactly the kept docs
-    val keptIdx = spark.read.parquet(idx).select("doc_id").distinct()
+    // the index holds band rows for EVERY doc seen (batching invariance:
+    // LSH collision is not transitive, so a kept-only index would decide
+    // differently across batch boundaries)
+    val idxDocs = spark.read.parquet(idx).select("doc_id").distinct()
       .collect().map(_.getLong(0)).toSet
-    assert(keptIdx == decisions().filter(_._2 == 0L).keySet)
+    assert(idxDocs == decisions().keySet)
   }
 
   test("fragmentation report drives compaction: stamped multi-file buckets collapse") {
