@@ -430,6 +430,8 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccard(s, d)),
     "dedup_minhash" -> ((s, d) => Dedup.minhashLsh(s, d)),
     "dedup_minhash_verified" -> ((s, d) => Dedup.minhashVerified(s, d)),
+    // syndication matrix: which source pairs the near-dups cross
+    "dedup_cross_source" -> ((s, d) => Dedup.crossSourceDup(s, d)),
     // threshold-sweep report: surviving pairs + keep-first removals per tau
     "dedup_curve" -> ((s, d) => Dedup.dedupCurve(s, d)),
     // S-curve validation: empirical LSH catch rate vs 1-(1-s^4)^4 per
@@ -2285,6 +2287,31 @@ object SparkEntry {
           SELECT a_id, b_id, round(ni*1.0/(sa.n + sb.n - ni) + 1e-9, 4) AS jaccard
           FROM i JOIN sz sa ON sa.doc_id = a_id JOIN sz sb ON sb.doc_id = b_id
           WHERE round(ni*1.0/(sa.n + sb.n - ni) + 1e-9, 4) >= 0.8 ORDER BY 1, 2, 3""",
+    // the verified-pairs CTEs + two source joins and the canonical-order
+    // (min, max) source-pair aggregate
+    "dedup_cross_source" ->
+      s"""WITH $ShingleCte,
+              $MinhashCte,
+              cands AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                        FROM bands a JOIN bands b
+                          ON a.band = b.band AND a.band_key = b.band_key
+                         AND a.doc_id < b.doc_id),
+              sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+              i AS (SELECT c.a_id, c.b_id, count(*) AS ni
+                    FROM cands c
+                    JOIN sh sa ON sa.doc_id = c.a_id
+                    JOIN sh sb ON sb.doc_id = c.b_id AND sb.shingle = sa.shingle
+                    GROUP BY 1, 2),
+              vp AS (SELECT a_id, b_id
+                     FROM i JOIN sz za ON za.doc_id = a_id
+                            JOIN sz zb ON zb.doc_id = b_id
+                     WHERE round(ni*1.0/(za.n + zb.n - ni) + 1e-9, 4) >= 0.8),
+              sp AS (SELECT least(da.source, db.source) AS source_a,
+                            greatest(da.source, db.source) AS source_b
+                     FROM vp JOIN documents da ON da.doc_id = vp.a_id
+                             JOIN documents db ON db.doc_id = vp.b_id)
+          SELECT source_a, source_b, count(*) AS n_pairs FROM sp
+          GROUP BY 1, 2 ORDER BY 1, 2, 3""",
     // threshold sweep over the same verified-Jaccard pairs; tau computed as
     // CAST(i AS DOUBLE)/20 in both engines so the grid doubles are identical
     "dedup_curve" ->

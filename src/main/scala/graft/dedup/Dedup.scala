@@ -558,6 +558,29 @@ object Dedup {
     Det.ordered(out)
   }
 
+  /** Cross-source duplication matrix — the syndication report: per
+    * (source_a, source_b) pair, how many verified near-dup pairs cross
+    * that boundary (plus the within-source diagonal). This is how a
+    * production pipeline finds mirror sites and wholesale re-posts —
+    * per-source totals (`dedup_report`) say HOW MUCH each source
+    * duplicates; this says AGAINST WHOM. Rides the memoized verified
+    * pairs ([[minhashVerified]]), adds two broadcast metadata joins and
+    * one tiny aggregate; source pairs are emitted in canonical
+    * (min, max) order so A→B and B→A collapse into one row.
+    */
+  def crossSourceDup(s: SparkSession, d: String, tau: Double = 0.8): DataFrame = {
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val pairs = minhashVerified(s, d, tau)
+      .join(broadcast(src.select(col("doc_id").as("a_id"), col("source").as("sa"))), "a_id")
+      .join(broadcast(src.select(col("doc_id").as("b_id"), col("source").as("sb"))), "b_id")
+    val out = pairs
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+    Det.ordered(out)
+  }
+
   /** Threshold-sweep dedup curve — the report that picks a production
     * cutoff BEFORE anyone commits to one: for each candidate Jaccard
     * threshold τ ∈ {0.50 … 0.95}, how many verified near-dup pairs survive
