@@ -2251,7 +2251,7 @@ object SparkEntry {
                                   JOIN l3 lb ON lb.id = e.b_id
                         WHERE la.lbl = lb.lbl GROUP BY 1),
               base AS (SELECT l.lbl AS community, count(*) AS n_members,
-                              sum(g.deg) AS deg_sum
+                              CAST(sum(g.deg) AS BIGINT) AS deg_sum
                        FROM l3 l JOIN dg g ON g.id = l.id GROUP BY 1),
               q AS (SELECT b.community, b.n_members,
                            coalesce(i.intra_edges, 0) AS intra_edges, b.deg_sum,
