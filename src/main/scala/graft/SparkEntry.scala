@@ -2005,6 +2005,33 @@ object SparkEntry {
                  blen * 1 // 4 AS f1, blen * 2 // 4 AS f2, blen * 3 // 4 AS f3
           FROM dims ORDER BY 1, 2, 3, 4, 5, 6, 7"""
     },
+    // mm_embed_topk (graduated from rows-only in r12): the mapPartitions
+    // decode's stub embedding is now pinned to the md5-hex-pair math
+    // (Multimodal.decodeFeatures <-> hexEmbedding, asserted bit-equal in
+    // MultimodalSpec), so the brute-force cosine top-k over the DECODE path
+    // replays exactly — every component is a multiple of 1/128, every
+    // product/sum an exact multiple of 2^-28, sqrt/divide IEEE-deterministic.
+    "mm_embed_topk" ->
+      s"""WITH mfp AS (SELECT doc_id, md5(text) AS fp FROM documents),
+              mev AS (SELECT doc_id, j + 1 AS i,
+                             ((strpos('0123456789abcdef', substring(fp, 2*j+1, 1)) - 1) * 16
+                              + strpos('0123456789abcdef', substring(fp, 2*j+2, 1)) - 1
+                              - 128) / 128.0 AS x
+                      FROM mfp, UNNEST(range(0, 16)) AS u(j)),
+              mvn AS (SELECT doc_id, sum(x*x) AS nsq FROM mev GROUP BY 1),
+              dots AS (SELECT a.doc_id AS q_id, b.doc_id AS n_id, sum(a.x*b.x) AS dot
+                       FROM mev a JOIN mev b ON a.i = b.i AND a.doc_id <> b.doc_id
+                       WHERE a.doc_id < 20 GROUP BY 1, 2),
+              c AS (SELECT q_id, n_id,
+                           round(dot/(sqrt(nq.nsq)*sqrt(nn.nsq)), 6) AS cosine
+                    FROM dots JOIN mvn nq ON nq.doc_id = q_id
+                              JOIN mvn nn ON nn.doc_id = n_id),
+              r AS (SELECT q_id, n_id, cosine,
+                      CAST(row_number() OVER (PARTITION BY q_id
+                        ORDER BY cosine DESC, n_id) AS BIGINT) AS rank
+                    FROM c)
+          SELECT q_id, n_id, cosine, rank FROM r WHERE rank <= 5
+          ORDER BY 1, 2, 3, 4""",
     // mm_recall: the hex-embedding (md5 hex pairs -> [-1,1)) and the LSH
     // hyperplanes are both engine-independent constants, so exact top-k,
     // bucketing, candidate join, re-rank and the final recall ratio all

@@ -103,8 +103,11 @@ object Multimodal {
 
   /** Media similarity search: brute-force cosine top-k over the decoded
     * (STUB) media embeddings — the multimodal → ANN composition a
-    * dedup-by-content pipeline runs after feature extraction. Embeddings are
-    * mapPartitions-produced (not SQL-expressible) ⇒ verified rows-only.
+    * dedup-by-content pipeline runs after feature extraction. The embeddings
+    * come from the genuine mapPartitions decode ([[decodeFeatures]]), whose
+    * stub math is pinned to [[hexEmbedding]]'s hex-pair mapping — every
+    * product/sum is an exact multiple of 2^-28, so the cosine top-k replays
+    * bit-exactly in the SQL oracle (graduated from rows-only in r12).
     */
   def embedTopK(s: SparkSession, d: String, k: Int = 5, nQueries: Int = 20): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -413,13 +416,12 @@ object Multimodal {
         rows.map { case (id, payload) =>
           digest.reset()
           val h = digest.digest(payload)
-          // STUB embedding: bytes of md5(payload || i) -> [-1, 1)
-          val vec = Array.tabulate(dim) { i =>
-            digest.reset()
-            digest.update(payload)
-            val hi = digest.digest(Array(i.toByte))
-            ((hi(0) & 0xff) - 128) / 128.0
-          }
+          // STUB embedding: byte i of md5(payload) -> [-1, 1). Deliberately
+          // the same math as [[hexEmbedding]]'s hex-pair mapping (digest
+          // byte i IS hex pair 2i+1..2i+2), so the mapPartitions decode
+          // path itself is oracle-checkable: embedTopK over this embedding
+          // replays bit-exactly in the SQL oracle engine.
+          val vec = Array.tabulate(dim)(i => ((h(i) & 0xff) - 128) / 128.0)
           val (w0, h0) = (64L + (h(0) & 0xff) % 192, 64L + (h(1) & 0xff) % 192)
           val scale = 224.0 / math.max(w0, h0)
           val frames = Array.tabulate(nFrames)(i =>

@@ -28,4 +28,16 @@ class MultimodalSpec extends SparkTestBase {
       .map(f => f.doc_id -> f.embedding.toSeq).toMap
     feats.foreach(f => assert(again(f.doc_id) == f.embedding.toSeq))
   }
+
+  test("mapPartitions decode embedding is bit-equal to the SQL hex embedding") {
+    // the contract that makes mm_embed_topk oracle-checkable: the imperative
+    // per-partition decode and the expression-based hexEmbedding compute the
+    // SAME md5-hex-pair vector, byte for byte
+    val fromDecode = Multimodal.decodeFeatures(spark, Sf).collect()
+      .map(f => f.doc_id -> f.embedding.toSeq).toMap
+    val fromExpr = Multimodal.hexEmbedding(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(fromDecode.nonEmpty && fromDecode.keySet == fromExpr.keySet)
+    fromDecode.foreach { case (id, v) => assert(v == fromExpr(id), s"doc $id") }
+  }
 }
