@@ -564,15 +564,20 @@ object Dedup {
     * production pipeline finds mirror sites and wholesale re-posts —
     * per-source totals (`dedup_report`) say HOW MUCH each source
     * duplicates; this says AGAINST WHOM. Rides the memoized verified
-    * pairs ([[minhashVerified]]), adds two broadcast metadata joins and
-    * one tiny aggregate; source pairs are emitted in canonical
-    * (min, max) order so A→B and B→A collapse into one row.
+    * pairs ([[minhashVerified]]) and adds one tiny aggregate. The
+    * BROADCAST side is the verified-pairs table (bounded by near-dup
+    * density, orders of magnitude below corpus size) — the doc-metadata
+    * projection is corpus-sized and must never be broadcast at 100 TB
+    * (ADVICE r11); with the pairs broadcast, both metadata lookups are
+    * map-side against the documents scan. Source pairs are emitted in
+    * canonical (min, max) order so A→B and B→A collapse into one row.
     */
   def crossSourceDup(s: SparkSession, d: String, tau: Double = 0.8): DataFrame = {
     val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
-    val pairs = minhashVerified(s, d, tau)
-      .join(broadcast(src.select(col("doc_id").as("a_id"), col("source").as("sa"))), "a_id")
-      .join(broadcast(src.select(col("doc_id").as("b_id"), col("source").as("sb"))), "b_id")
+    val withA = broadcast(minhashVerified(s, d, tau))
+      .join(src.select(col("doc_id").as("a_id"), col("source").as("sa")), "a_id")
+    val pairs = broadcast(withA)
+      .join(src.select(col("doc_id").as("b_id"), col("source").as("sb")), "b_id")
     val out = pairs
       .select(least(col("sa"), col("sb")).as("source_a"),
         greatest(col("sa"), col("sb")).as("source_b"))

@@ -28,6 +28,19 @@ import graft.dedup.Dedup
   * kept-only because hash equality IS transitive — any doc matching a
   * removed doc's hash also matches its keeper's).
   *
+  * Out-of-order arrival (r12, closing an ADVICE finding): the pairwise
+  * rule is defined on doc_id order, not arrival order, so the history
+  * probe is id-AWARE. An arriving doc is flagged only when a SMALLER-id
+  * doc (in history or in-batch) shares a bucket; when the arriving doc
+  * collides with a LARGER-id doc already indexed, the stream emits a
+  * CORRECTION row flagging that earlier doc instead. Decisions are
+  * therefore an append log — a doc's final state is `max(is_dup)` over
+  * its rows (flag-sticky, see [[decisionsOf]]) — and the union of rows
+  * equals the batch a<b relation regardless of how arrivals are split
+  * into batches OR reordered across them. Corrections land in the
+  * CURRENT batch's decisions partition (never rewriting an earlier
+  * partition), preserving the crash-replay bit-identity argument below.
+  *
   * Scale: the index is nBands rows per document seen (band_key is one
   * md5), parquet-partitioned by ingest batch; each batch's probe is a
   * band-bucket semi-join of |batch|·nBands rows against it — never a
@@ -51,12 +64,23 @@ object NearDupStream {
         val s = batch.sparkSession
         val bands = Dedup.bandRowsFor(batch.select(col("doc_id"), col("text")))
           .localCheckpoint(true)
+        // id-aware history probe: collisions carry the indexed doc's id, so
+        // the a<b rule applies to (history, arrival) pairs in BOTH
+        // directions — flag the arrival on a smaller-id hit, emit a
+        // correction for an indexed larger-id doc on a smaller-id arrival
         val hist = existingIndex(s, indexDir)
           .where(col("ingest_batch") =!= batchId) // replay: pre-crash state
-          .select(col("band"), col("band_key")).distinct()
-        val histHit = bands.join(hist, Seq("band", "band_key"), "left_semi")
+          .select(col("doc_id").as("hist_id"), col("band"), col("band_key"))
+        val coll = bands.join(hist, Seq("band", "band_key"))
+          .where(col("hist_id") =!= col("doc_id"))
+          .select(col("doc_id"), col("hist_id"))
+          .localCheckpoint(true)
+        val histHit = coll.where(col("hist_id") < col("doc_id"))
           .select(col("doc_id")).distinct()
           .withColumn("hist_dup", lit(1L))
+        val corrections = coll.where(col("hist_id") > col("doc_id"))
+          .select(col("hist_id").as("doc_id")).distinct()
+          .withColumn("is_dup", lit(1L))
         // in-batch keep-first: a doc is a dup of the SMALLEST doc_id in any
         // of its band buckets (the pairwise a<b rule, applied within batch)
         val firstIn = bands.groupBy(col("band"), col("band_key"))
@@ -73,6 +97,7 @@ object NearDupStream {
               coalesce(col("batch_dup"), lit(0L)) === 1L).cast("bigint").as("is_dup"))
           .localCheckpoint(true)
         flagged
+          .unionByName(corrections)
           .withColumn("ingest_batch", lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
@@ -91,17 +116,33 @@ object NearDupStream {
       }
       .start()
 
-  /** The band index as written so far (with its ingest_batch partition
-    * column), or an empty frame before the first batch lands.
+  /** Current per-document decisions from the append log: `max(is_dup)`
+    * per doc_id (flag-sticky — a correction row can only raise a kept doc
+    * to flagged, never the reverse). This is the read shape consumers use;
+    * raw rows under `decisionsDir` are one per (batch-decision|correction).
     */
+  def decisionsOf(s: SparkSession, decisionsDir: String): DataFrame =
+    s.read.parquet(decisionsDir)
+      .groupBy(col("doc_id")).agg(max(col("is_dup")).as("is_dup"))
+
+  /** The band index as written so far (with its ingest_batch partition
+    * column), or an empty frame before the first batch lands. The empty
+    * branch declares ingest_batch as LongType to match `lit(batchId)` and
+    * what partition inference reads back once data exists (ADVICE r11).
+    */
+  private val IndexSchema =
+    StructType(Seq(StructField("doc_id", LongType), StructField("band", IntegerType),
+      StructField("band_key", StringType), StructField("ingest_batch", LongType)))
+
   private def existingIndex(s: SparkSession, indexDir: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(indexDir)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val hasData = fs.exists(p) &&
       fs.listStatus(p).exists(_.getPath.getName.startsWith("ingest_batch="))
-    if (hasData) s.read.parquet(indexDir)
-    else s.createDataFrame(s.sparkContext.emptyRDD[Row],
-      StructType(Seq(StructField("doc_id", LongType), StructField("band", IntegerType),
-        StructField("band_key", StringType), StructField("ingest_batch", StringType))))
+    // explicit schema on BOTH branches: partition inference would type
+    // ingest_batch as an integer once data exists, diverging from the empty
+    // frame's declaration (ADVICE r11)
+    if (hasData) s.read.schema(IndexSchema).parquet(indexDir)
+    else s.createDataFrame(s.sparkContext.emptyRDD[Row], IndexSchema)
   }
 }

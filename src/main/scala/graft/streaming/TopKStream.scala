@@ -19,6 +19,17 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * replay through the stream leaves counters BIT-IDENTICAL to folding the
   * batch sketch over the concatenated input (the equivalence Round11Spec
   * asserts across micro-batch boundaries).
+  *
+  * PRECONDITION for that bit-identity (ADVICE r11): observations must
+  * reach the operator in seq-CONSISTENT batches — no observation may
+  * arrive in a later micro-batch than one with a larger seq. `update()`
+  * sorts by seq only WITHIN a batch; `GroupState` cannot reorder across
+  * triggers, so a straggler with a smaller seq landing after a larger one
+  * is applied out of order and the MG state may diverge from the ordered
+  * batch fold (still a valid MG sketch of the multiset — the frequency
+  * and undercount guarantees hold regardless — just not bit-identical).
+  * Sources that assign seq at ingest (the intended wiring) satisfy this
+  * by construction.
   */
 object TopKStream {
 

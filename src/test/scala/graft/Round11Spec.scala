@@ -696,9 +696,8 @@ class Round11Spec extends SparkTestBase {
       ids.map(d => d -> (if (ids.exists(a => a < d && pairs.contains((a, d)))) 1L
                          else 0L)).toMap
     }
-    def decisions() = spark.read.parquet(dec)
-      .select("doc_id", "is_dup").collect()
-      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def decisions() = graft.streaming.NearDupStream.decisionsOf(spark, dec)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(decisions() == expected(Seq(1L, 2L, 3L, 4L, 5L)),
       s"streamed flags must equal the batch pairwise relation: ${decisions()}")
     // the capability the exact hash misses: the one-token edit IS flagged
