@@ -61,4 +61,99 @@ class Round12Spec extends SparkTestBase {
     assert(raw.contains((10L, 0L, 0L)) && raw.contains((10L, 1L, 1L)),
       s"append-log shape: original keep + later correction, got $raw")
   }
+
+  // ---- HTTP-level two-space isolation (reference test/multiple-spaces.spec.js)
+
+  test("two spaces driven concurrently over HTTP stay isolated") {
+    import java.net.URI
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    import java.nio.file.Files
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val mapper = new ObjectMapper()
+    def post(port: Int, path: String, body: String): (Int, String) = {
+      val client = HttpClient.newHttpClient()
+      val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body())
+    }
+    val root = Files.createTempDirectory(
+      java.nio.file.Paths.get("target"), "graft-http-2sp").toString
+    // the reference config shape: default at 1-day granularity, other at 7
+    val g = new graft.tsdb.Graft(spark, root,
+      spaceGranularity = Map("default" -> 1, "other" -> 7))
+    val srv = new graft.http.GraftHttpServer(g, spark)
+    val port = srv.start()
+    try {
+      val day0 = 19740L // divisible by 7: days 19740 and 19743 share a 7-day bucket
+      val (d0, d3) = (day0 * 86400000L, (day0 + 3) * 86400000L)
+      def batch(base: Long, j: Int, hosts: Seq[String]) =
+        (0 until 10).map(i =>
+          s"""{"time":${base + j * 1000 + i},"value":$i.0,"name":"cpu","host":"${hosts(j % 3)}"}""")
+          .mkString("""{"points":[""", ",", "]}")
+      // interleaved concurrent writers, one per space, disjoint tag vocabularies
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      def writer(space: String, hosts: Seq[String]) = new Thread(() =>
+        try (0 until 20).foreach { j =>
+          val (c, b) = post(port, s"/write/$space",
+            batch(if (j % 2 == 0) d0 else d3, j, hosts))
+          if (c != 200 || mapper.readTree(b).get("errors").size() != 0)
+            errs.add(s"$space batch $j: $c $b")
+        } catch { case e: Throwable => errs.add(s"$space: $e") })
+      val t1 = writer("default", Seq("a", "b", "c"))
+      val t2 = writer("other", Seq("h", "i", "j"))
+      t1.start(); t2.start(); t1.join(); t2.join()
+      assert(errs.isEmpty, errs.toString)
+
+      // per-space counts and tag sets come back disjoint and complete
+      def countOf(space: String): Long = {
+        val (c, b) = post(port, s"/count/$space", "{}")
+        assert(c == 200, b)
+        val series = mapper.readTree(b).get("series")
+        (0 until series.size()).map(series.get(_).get("count").asLong()).sum
+      }
+      def hostsOf(space: String): Seq[String] = {
+        val (_, b) = post(port, s"/select_distinct/$space", """{"keys":["host"]}""")
+        val arr = mapper.readTree(b)
+        (0 until arr.size()).map(arr.get(_).get("host").asText()).sorted
+      }
+      assert(countOf("default") == 200L && countOf("other") == 200L)
+      assert(hostsOf("default") == Seq("a", "b", "c"))
+      assert(hostsOf("other") == Seq("h", "i", "j"))
+
+      // queued-write flush is PER SPACE: a point queued to `other` is not
+      // flushed by reading `default`...
+      val (xc, xb) = post(port, "/write/other",
+        s"""{"points":[{"time":${d0 + 999999},"value":9.0,"name":"cpu","host":"z"}]}""")
+      assert(xc == 200 && mapper.readTree(xb).get("errors").size() == 0, xb)
+      post(port, "/read/default", "{}")
+      def diskHosts(space: String): Set[String] =
+        spark.read.option("basePath", s"$root/$space").option("mergeSchema", "true")
+          .parquet(s"$root/$space/bucket_day=*")
+          .select("host").distinct().collect().map(_.getString(0)).toSet
+      assert(!diskHosts("other").contains("z"),
+        "reading `default` must not flush `other`'s queue")
+      // ...and lands once `other` itself is read
+      assert(countOf("other") == 201L)
+      assert(diskHosts("other").contains("z"))
+
+      // per-space granularity honored on disk: 3-days-apart points occupy
+      // two 1-day buckets in `default`, ONE 7-day bucket in `other`
+      def buckets(space: String): Set[String] = {
+        val dir = new java.io.File(s"$root/$space")
+        dir.listFiles().map(_.getName).filter(_.startsWith("bucket_day=")).toSet
+      }
+      assert(buckets("default") == Set("bucket_day=19740", "bucket_day=19743"))
+      assert(buckets("other") == Set("bucket_day=19740"))
+
+      // /delete is scoped to its space: dropping default's old buckets
+      // leaves `other` untouched
+      val (dc, db) = post(port, "/delete/default", """{"keep_days":30}""")
+      assert(dc == 200, db)
+      assert(mapper.readTree(db).get("dropped_buckets").size() == 2, db)
+      assert(countOf("default") == 0L)
+      assert(countOf("other") == 201L)
+      assert(buckets("other") == Set("bucket_day=19740"))
+    } finally srv.stop()
+  }
 }
