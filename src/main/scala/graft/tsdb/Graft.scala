@@ -373,6 +373,39 @@ class Graft(spark: SparkSession, root: String,
       .map(_.getPath.getName).sorted
   }
 
+  /** SQL front door: register this store's spaces as temp views and run an
+    * ANSI SQL query against them — the entry point for a user holding a SQL
+    * client rather than the DataFrame API. Each space surfaces as
+    * `graft_<space>` (non-identifier characters mapped to `_`) with the
+    * relational read shape (`time_ms BIGINT, value DOUBLE, <tag columns>`).
+    *
+    * The views are (re)registered per call OVER THE MERGED READ, not the raw
+    * files: [[read]]'s pipeline flushes the space's write queue, prunes
+    * buckets, and applies the `__wseq` last-write-wins merge — so SQL sees
+    * exactly what `/read` serves (an overwritten point surfaces once, with
+    * its latest value, and the stamp column never leaks into the schema).
+    * Re-registering per call also re-lists the bucket files, so a view never
+    * goes stale against later writes (a temp view pins its file listing at
+    * creation). The graft kernels (`graft_dot`, `graft_osa`, …) are available
+    * in the query when the session was built with
+    * `spark.sql.extensions=graft.functions.GraftExtensions` (all shipped
+    * entry points do this).
+    */
+  def sql(query: String): DataFrame = {
+    spaces().foreach(sqlView(_)) // flushes every queue, so no space is missed
+    spark.sql(query)
+  }
+
+  /** Register one space's merged read as a temp view; returns the view name
+    * (`graft_<space>`). Registered views are session-scoped and cheap —
+    * the plan is lazy; nothing is computed until a query runs.
+    */
+  def sqlView(space: String = "default"): String = {
+    val name = "graft_" + space.replaceAll("[^A-Za-z0-9_]", "_")
+    read("""{"match_all":{}}""", space).createOrReplaceTempView(name)
+    name
+  }
+
   /** Fragmentation report — the operational signal a compaction daemon
     * watches: per bucket, its file count, total bytes, and whether any
     * file still carries write-sequence stamps (one stamped file anywhere

@@ -156,4 +156,57 @@ class Round12Spec extends SparkTestBase {
       assert(buckets("other") == Set("bucket_day=19740"))
     } finally srv.stop()
   }
+
+  // ---- SQL front door (directive r11 #5)
+
+  test("Graft.sql: spaces as views with merge-on-read, queue flush, and kernels") {
+    import java.nio.file.{Files, Paths}
+    val s = spark; import s.implicits._
+    val root = Files.createTempDirectory(Paths.get("target"), "graft-sql").toString
+    val g = new graft.tsdb.Graft(spark, root)
+    def pts(json: String*) = spark.read.json(json.toDS())
+    val t = 1704794400000L
+    g.write(pts(s"""{"time":$t,"value":1.0,"name":"cpu","host":"a"}"""))
+    // overwrite the SAME (series, time): last-write-wins must hold in SQL
+    g.write(pts(s"""{"time":$t,"value":2.0,"name":"cpu","host":"a"}"""))
+    // a queued (unflushed) point must be visible to SQL (reads flush first)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val qErrs = g.writeQueued(Seq(mapper.readTree(
+      s"""{"time":${t + 1000},"value":5.0,"name":"cpu","host":"b"}""")))
+    assert(qErrs.isEmpty)
+
+    val rows = g.sql(
+      "SELECT host, time_ms, value FROM graft_default ORDER BY host")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rows == Seq(("a", t, 2.0), ("b", t + 1000, 5.0)),
+      s"merge-on-read + queue flush must hold in SQL: $rows")
+    // the write-sequence stamp is merge machinery, never user-visible schema
+    assert(!g.sql("SELECT * FROM graft_default").columns.contains("__wseq"))
+
+    // ts_count equivalent through SQL == the API's countPoints
+    val sqlCounts = g.sql(
+      "SELECT host, count(*) AS n FROM graft_default GROUP BY host ORDER BY host")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val apiCounts = g.countPoints("""{"match_all":{}}""")
+      .select("host", "n").orderBy("host")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(sqlCounts == apiCounts && sqlCounts.map(_._2).sum == 2L)
+
+    // a second space surfaces as its own view in the same query namespace
+    g.write(pts(s"""{"time":$t,"value":7.0,"name":"mem","host":"x"}"""), "other")
+    val cross = g.sql(
+      """SELECT (SELECT count(*) FROM graft_default) AS nd,
+                (SELECT count(*) FROM graft_other) AS no""").head()
+    assert((cross.getLong(0), cross.getLong(1)) == ((2L, 1L)))
+
+    // the codegen'd kernels are callable from SQL (session extensions)
+    val d = g.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d")
+      .head().getDouble(0)
+    assert(d == 11.0)
+
+    // view freshness: a write AFTER registration is visible on the next call
+    g.write(pts(s"""{"time":${t + 2000},"value":9.0,"name":"cpu","host":"c"}"""))
+    assert(g.sql("SELECT count(*) FROM graft_default").head().getLong(0) == 3L)
+  }
 }
