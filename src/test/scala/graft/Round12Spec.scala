@@ -209,4 +209,61 @@ class Round12Spec extends SparkTestBase {
     g.write(pts(s"""{"time":${t + 2000},"value":9.0,"name":"cpu","host":"c"}"""))
     assert(g.sql("SELECT count(*) FROM graft_default").head().getLong(0) == 3L)
   }
+
+  // ---- retention daemon under live writes (directive r11 #7)
+
+  test("retention sweep races live writes without loss, resurrection, or report drift") {
+    import java.nio.file.{Files, Paths}
+    val s = spark; import s.implicits._
+    val root = Files.createTempDirectory(Paths.get("target"), "graft-race").toString
+    val keep = 5
+    val g = new graft.tsdb.Graft(spark, root, granularityDays = 1,
+      spaceKeepDays = Map("default" -> keep))
+    val today = 19750L
+    val (oldDay, newDay) = (19740L, 19749L) // doomed = 19745: old drops, new survives
+    def pt(day: Long, i: Int) =
+      s"""{"time":${day * 86400000L + i},"value":$i.0,"name":"cpu","host":"h$i"}"""
+    def pts(json: String*) = spark.read.json(json.toDS())
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+    // seed: an old bucket exists before the daemon starts
+    g.write(pts(pt(oldDay, 100)))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val nWrites = 8
+    val writer = new Thread(() =>
+      try (0 until nWrites).foreach { i =>
+        g.write(pts(pt(newDay, i)))              // live bucket, direct write
+        g.writeQueued(Seq(mapper.readTree(pt(oldDay, 200 + i)))) // doomed data, queued
+      } catch { case e: Throwable => errs.add(e) })
+    val sweeper = new Thread(() =>
+      try (0 until nWrites).foreach { _ => g.retentionSweep(today); Thread.sleep(30) }
+      catch { case e: Throwable => errs.add(e) })
+    writer.start(); sweeper.start(); writer.join(); sweeper.join()
+    assert(errs.isEmpty, errs.toString)
+
+    // final sweep: any old bucket a racing write recreated is dropped again;
+    // queued old points landed (via the sweep's own flush) and were dropped
+    // with their bucket — they must NOT resurrect from the queue afterwards
+    g.retentionSweep(today)
+    def bucketDirs() = new java.io.File(s"$root/default").listFiles()
+      .map(_.getName).filter(_.startsWith("bucket_day=")).toSet
+    assert(bucketDirs() == Set(s"bucket_day=$newDay"), bucketDirs().toString)
+
+    // no loss: every acked live-bucket point present exactly once
+    val rows = g.read("""{"match_all":{}}""").collect()
+      .map(r => (r.getAs[Long]("time_ms"), r.getAs[Double]("value"))).toSeq
+    val expected = (0 until nWrites).map(i => (newDay * 86400000L + i, i.toDouble))
+    assert(rows.sorted == expected.sorted,
+      s"live writes must survive the sweep: got ${rows.sorted}")
+    // ...and a later read (which flushes any queue remnant) resurrects nothing
+    assert(bucketDirs() == Set(s"bucket_day=$newDay"))
+
+    // the fragmentation report agrees with the real directory state
+    val rep = g.fragmentation()
+    assert(rep.map(_._1).toSet == Set(newDay), rep.toString)
+    val diskFiles = new java.io.File(s"$root/default/bucket_day=$newDay")
+      .listFiles().count(f => f.getName.endsWith(".parquet"))
+    assert(rep.head._2 == diskFiles,
+      s"report files=${rep.head._2} vs disk=$diskFiles")
+  }
 }
