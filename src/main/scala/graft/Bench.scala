@@ -91,8 +91,21 @@ object Bench {
       .take(10).map(_._1).toSet
     val tracked = slowTail ++ headlineKeys
     passOver(tracked) // throwaway warmup — untimed in the record
-    val warm = Seq(passOver(tracked), passOver(tracked), passOver(tracked))
+    // Quiesce before each timed pass: BENCH_r11's third samples ran 5-15x
+    // the median on heavy queries because the last pass consistently landed
+    // on the busiest stretch of the box (VERDICT r11 #3). A GC + settle
+    // window between passes keeps accumulated JVM/filesystem debt from one
+    // pass out of the next one's samples...
+    def quiesce(): Unit = { System.gc(); Thread.sleep(2000) }
+    // ...and FOUR timed passes with the single worst sample per query
+    // dropped (the other option VERDICT r11 #3 offered): one contention
+    // burst can still poison at most one sample, and now it is discarded
+    // instead of archived in the spread as if it were signal. The recorded
+    // stat is the median of the three kept samples.
+    val warm = Seq.fill(4) { quiesce(); passOver(tracked) }
       .reduce(merge)
+      .map { case (k, good) =>
+        k -> (if (good.size > 3) good.sorted.take(3) else good) }
     // a tracked query whose warm passes ALL failed keeps its cold samples —
     // a transient re-measure failure must not erase a query that ran
     val samples = twoOf.filterNot(kv => tracked(kv._1)) ++
@@ -110,8 +123,9 @@ object Bench {
     // SHORT (the driver's capture truncated the 106-query line two rounds
     // running -> BENCH parsed:null). Headline queries only on stdout.
     Files.createDirectories(Paths.get("target"))
-    // headline + slow-tail spreads (all runs, unsorted arrival order) ride
-    // along so every recorded number carries its own noise bar
+    // headline + slow-tail spreads (the kept samples — best 3 of 4 for
+    // tracked queries, sorted) ride along so every recorded number carries
+    // its own noise bar
     def spreadOf(keys: String => Boolean): String = results
       .filter(r => keys(r._1))
       .map { case (k, _, good) =>

@@ -50,11 +50,12 @@ object HttpPerf {
     val mapper = new ObjectMapper()
     val client = HttpClient.newHttpClient()
 
-    def run(label: String, batchSize: Int): (Double, Double, Double, Double, Int, Double) = {
+    def run(label: String, batchSize: Int, continuous: Boolean = false)
+        : (Double, Double, Double, Double, Int, Double) = {
       val root = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get("target"), s"graft-perf-$label").toString
       val graft = new Graft(spark, root)
-      val srv = new GraftHttpServer(graft, spark)
+      val srv = new GraftHttpServer(graft, spark, continuousIngest = continuous)
       val port = srv.start()
       def post(path: String, body: String): String = {
         val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
@@ -77,7 +78,10 @@ object HttpPerf {
         val w0 = System.nanoTime()
         (0 until nBatches).foreach(b => post("/write", s"""{"points":[${batchJson(b)}]}"""))
         val postSec = (System.nanoTime() - w0) / 1e9
-        graft.flushQueued() // write time = acks + durable flush, not acks alone
+        // write time = acks + durability barrier, not acks alone: queued
+        // mode flushes; continuous (sustained) mode waits for the standing
+        // streaming query to land every spool file
+        if (continuous) graft.awaitContinuous() else graft.flushQueued()
         val writeSec = (System.nanoTime() - w0) / 1e9
         System.err.println(f"[$label] posts=$postSec%.3f flush=${writeSec - postSec}%.3f")
         val readBody = s"""{"start":0,"end":${BaseMs + NumPoints + 1000}}"""
@@ -107,15 +111,20 @@ object HttpPerf {
         require(compactPoints == NumPoints,
           s"fraud detected -- expected $NumPoints points after compact but read $compactPoints")
         (writeSec, readSec, countSec, seriesSec, series.size(), compactReadSec)
-      } finally srv.stop()
+      } finally { srv.stop(); if (continuous) graft.stopContinuous() }
     }
 
     // warm the JVM/session codepaths once with a tiny run, then measure
     run("warm", NumPoints / 4)
     val (wRef, rRef, cRef, sRef, nSeries, crRef) = run("ref-shape", BatchSize)
     val (wBig, rBig, _, _, _, crBig) = run("one-batch", NumPoints)
+    // sustained mode: the same 200x500 workload through the continuous
+    // (spooled streaming) ingest path — POSTs never trigger a flush; the
+    // recorded write time includes the await-landed durability barrier
+    val (wCont, rCont, _, _, _, _) = run("sustained", BatchSize, continuous = true)
     println(
       s"""{"metric":"http_perf_vs_reference","points":$NumPoints,"n_series":$nSeries,""" +
+      s""""graft_write_500batch_continuous_sec":${f"$wCont%.3f"},"graft_read_after_continuous_sec":${f"$rCont%.3f"},""" +
       s""""graft_write_500batch_sec":${f"$wRef%.3f"},"graft_write_1batch_sec":${f"$wBig%.3f"},""" +
       s""""graft_read_sec":${f"$rRef%.3f"},"graft_read_after_1batch_sec":${f"$rBig%.3f"},""" +
       s""""graft_read_compacted_sec":${f"$crRef%.3f"},"graft_read_compacted_1batch_sec":${f"$crBig%.3f"},""" +

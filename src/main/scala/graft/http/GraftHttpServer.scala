@@ -46,7 +46,8 @@ import graft.tsdb.Graft
   *  - /delete           {space?, keep_days} → {"dropped_buckets":[...]}
   */
 class GraftHttpServer(graft: Graft, spark: org.apache.spark.sql.SparkSession,
-                      port: Int = 0, nThreads: Int = 8) {
+                      port: Int = 0, nThreads: Int = 8,
+                      continuousIngest: Boolean = false) {
   private val mapper = new ObjectMapper()
   private var server: HttpServer = _
   private var pool: java.util.concurrent.ExecutorService = _
@@ -314,7 +315,12 @@ class GraftHttpServer(graft: Graft, spark: org.apache.spark.sql.SparkSession,
       // the reference's error strings — no per-POST job (the reference's
       // in-process clients group-commit the same way; a perf-test.js-shaped
       // writer would otherwise pay ~0.25 s of job overhead per 500 points).
-      val errs = graft.writeQueued(buf.toSeq, space)
+      // With `continuous_ingest` configured, batches spool to the standing
+      // streaming query instead — sustained POSTs land without flush
+      // triggers, exactly-once across restart (Graft.writeSpooled).
+      val errs =
+        if (continuousIngest) graft.writeSpooled(buf.toSeq, space)
+        else graft.writeQueued(buf.toSeq, space)
       s"""{"errors":${errs.mkString("[", ",", "]")}}"""
     }
     handleStream("/read") { (ex, node) =>

@@ -35,7 +35,8 @@ object ServerMain {
         _root_.graft.tsdb.Tsdb.GranularityDays),
       spaceGranularity = cfg.spaceGranularity,
       spaceKeepDays = cfg.spaceKeepDays)
-    (store, new GraftHttpServer(store, spark, port = cfg.port))
+    (store, new GraftHttpServer(store, spark, port = cfg.port,
+      continuousIngest = cfg.continuousIngest))
   }
 
   def main(args: Array[String]): Unit = {
@@ -74,6 +75,7 @@ object ServerMain {
     sys.addShutdownHook {
       sweeper.foreach(_.shutdownNow())
       srv.stop() // flushes queued writes
+      g.stopContinuous() // loss-free: uncommitted spool files replay on boot
       spark.stop()
     }
     Thread.currentThread().join() // serve until killed

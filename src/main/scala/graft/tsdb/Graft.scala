@@ -155,6 +155,24 @@ class Graft(spark: SparkSession, root: String,
     */
   def writeQueued(points: Seq[com.fasterxml.jackson.databind.JsonNode],
                   space: String = "default"): Seq[String] = {
+    val (errors, g) = normalizeBatch(points)
+    if (g.nonEmpty) queueLock.synchronized {
+      queuedLines.getOrElseUpdate(space,
+        scala.collection.mutable.ArrayBuffer.empty[String]) ++= g
+      if (queuedLines.valuesIterator.map(_.size).sum >= maxQueuedPoints)
+        flushLocked(null)
+    }
+    errors
+  }
+
+  /** Driver-side validation + normalization shared by the queued and
+    * continuous write paths: per-point errors (as JSON objects, the
+    * reference's shape) and the accepted points as normalized JSONL —
+    * `time` rewritten to epoch millis, one monotonic `__wseq` stamp for the
+    * batch — ready for either the in-memory queue or a spool file.
+    */
+  private def normalizeBatch(points: Seq[com.fasterxml.jackson.databind.JsonNode])
+      : (Seq[String], Seq[String]) = {
     import com.fasterxml.jackson.databind.node.ObjectNode
     val seq = nextSeq()
     val zone = java.time.ZoneId.of(spark.sessionState.conf.sessionLocalTimeZone)
@@ -177,14 +195,7 @@ class Graft(spark: SparkSession, root: String,
           good += on.toString
       }
     }
-    val g = good.result()
-    if (g.nonEmpty) queueLock.synchronized {
-      queuedLines.getOrElseUpdate(space,
-        scala.collection.mutable.ArrayBuffer.empty[String]) ++= g
-      if (queuedLines.valuesIterator.map(_.size).sum >= maxQueuedPoints)
-        flushLocked(null)
-    }
-    errors.result()
+    (errors.result(), good.result())
   }
 
   /** Land queued points (all spaces when `space` is null) in one Spark job
@@ -300,6 +311,102 @@ class Graft(spark: SparkSession, root: String,
     * context matches nothing for a never-indexed field — so querying an
     * unknown tag returns empty rather than AnalysisException.
     */
+  // ---- continuous (streaming) ingest mode --------------------------------
+  //
+  // OPTIONAL alternative to the queued group commit (VERDICT r11 #6): each
+  // accepted batch is spooled as one atomically-renamed JSONL file, and a
+  // checkpointed Structured Streaming query (file source → foreachBatch →
+  // [[write]]) lands spool files continuously — sustained small-batch POSTs
+  // never wait for a flush trigger (size threshold or a read). Exactly-once
+  // across a crash restart is compositional: the file source replays the
+  // batch whose commit is missing from the checkpoint, the replayed batch
+  // re-appends rows with the SAME spooled `__wseq` stamps, and the
+  // last-write-wins merge keeps one row per (series, time) — a replayed
+  // point is an overwrite with the same value, invisible to readers.
+  //
+  // The trade vs the queued path: reads no longer force the landing, so
+  // read-your-writes becomes read-your-LANDED (bounded by the trigger
+  // interval; [[awaitContinuous]] is the barrier). The queued path stays
+  // the default; the facade opts in per server (config `continuous_ingest`).
+
+  private val continuousLock = new Object
+  private val continuousQueries = scala.collection.mutable.Map
+    .empty[String, org.apache.spark.sql.streaming.StreamingQuery]
+  // dot-prefixed siblings of the space dirs: invisible to spaces()'s
+  // bucket_day scan and to Spark's file listings
+  private def spoolPath(space: String) = s"$root/.spool/$space"
+  private def spoolCkpt(space: String) = s"$root/.spool-ckpt/$space"
+
+  /** Accept a client batch in continuous mode: validate + normalize exactly
+    * as [[writeQueued]] (same rules, same error strings, same `__wseq`
+    * stamping), then commit the accepted lines as ONE spool file via
+    * write-to-temp + atomic rename (the file source never sees a partial
+    * file: dot-prefixed temps are hidden from it). Returns per-point errors
+    * immediately; the standing ingest query lands the file.
+    */
+  def writeSpooled(points: Seq[com.fasterxml.jackson.databind.JsonNode],
+                   space: String = "default"): Seq[String] = {
+    val (errors, good) = normalizeBatch(points)
+    if (good.nonEmpty) {
+      startContinuousIngest(space) // idempotent; first write boots the query
+      val (fs, dir) = fsOf(spoolPath(space))
+      fs.mkdirs(dir)
+      val n = nextSeq()
+      val tmp = new HPath(dir, s".tmp-$n")
+      val out = fs.create(tmp, true)
+      try out.write((good.mkString("\n") + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (!fs.rename(tmp, new HPath(dir, s"batch-$n.jsonl")))
+        throw new java.io.IOException(s"spool commit failed for batch $n")
+    }
+    errors
+  }
+
+  /** Start (or return) the standing ingest query for a space: text file
+    * source over the spool dir → per-micro-batch [[write]] (the engine's
+    * own validated, stamped, bucket-partitioned landing path — tags stay
+    * schema-free because each batch's JSON is parsed fresh).
+    */
+  def startContinuousIngest(space: String = "default")
+      : org.apache.spark.sql.streaming.StreamingQuery = continuousLock.synchronized {
+    continuousQueries.get(space).filter(_.isActive).getOrElse {
+      val (fs, dir) = fsOf(spoolPath(space))
+      fs.mkdirs(dir)
+      val q = spark.readStream.text(spoolPath(space))
+        .writeStream
+        .option("checkpointLocation", spoolCkpt(space))
+        .outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val lines = batch.select(col("value"))
+            .as(org.apache.spark.sql.Encoders.STRING)
+          val pts = spark.read.json(lines)
+          if (pts.columns.contains("time")) { write(pts, space); () }
+        }
+        .start()
+      continuousQueries(space) = q
+      q
+    }
+  }
+
+  /** Barrier: wait until every spool file written so far has landed (the
+    * continuous-mode analog of [[flushQueued]] for tests and perf runs). */
+  def awaitContinuous(space: String = "default"): Unit =
+    continuousLock.synchronized { continuousQueries.get(space) }
+      .filter(_.isActive).foreach(_.processAllAvailable())
+
+  /** Stop all standing ingest queries (shutdown path). Spool files not yet
+    * committed to the checkpoint are REPLAYED by the next
+    * [[startContinuousIngest]] on the same root — stop is loss-free. */
+  def stopContinuous(): Unit = continuousLock.synchronized {
+    continuousQueries.values.foreach { q =>
+      if (q.isActive) q.stop()
+      q.awaitTermination() // fully deregistered before the lock releases —
+      // a same-checkpoint restart must never see a half-stopped twin
+    }
+    continuousQueries.clear()
+  }
+
   private def compileFor(pt: PointsTable, filter: String): Column =
     EsFilter.compile(filter, pt.df.columns)
 
@@ -567,7 +674,8 @@ object Graft {
     * policy [[Graft.retentionSweep]] applies.
     */
   case class Config(port: Int, spaceGranularity: Map[String, Int],
-                    spaceKeepDays: Map[String, Int] = Map.empty)
+                    spaceKeepDays: Map[String, Int] = Map.empty,
+                    continuousIngest: Boolean = false)
 
   /** Parse a reference-shaped config file. Read through the Hadoop
     * FileSystem like all store maintenance — the config can live next to
@@ -592,7 +700,13 @@ object Graft {
         }
         b.result()
       }
-    Config(port, perSpace("table_granularity_days"), perSpace("keep_days"))
+    // graft extension: top-level `"continuous_ingest": true` switches the
+    // facade's /write from the queued group commit to the spooled
+    // streaming path (Graft.writeSpooled)
+    val continuous = node.has("continuous_ingest") &&
+      node.get("continuous_ingest").asBoolean(false)
+    Config(port, perSpace("table_granularity_days"), perSpace("keep_days"),
+      continuous)
   }
 
   /** Boot a store from the reference's own config file (orestes.js:62 reads

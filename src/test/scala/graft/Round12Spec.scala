@@ -266,4 +266,104 @@ class Round12Spec extends SparkTestBase {
     assert(rep.head._2 == diskFiles,
       s"report files=${rep.head._2} vs disk=$diskFiles")
   }
+
+  // ---- continuous facade ingest (directive r11 #6)
+
+  test("continuous ingest: sustained POSTs land without flush triggers; crash replay is exactly-once") {
+    import java.net.URI
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    import java.nio.file.{Files, Paths}
+    import com.fasterxml.jackson.databind.ObjectMapper
+    val mapper = new ObjectMapper()
+    def post(port: Int, path: String, body: String): (Int, String) = {
+      val client = HttpClient.newHttpClient()
+      val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body())
+    }
+    val root = Files.createTempDirectory(Paths.get("target"), "graft-cont").toString
+    val g = new graft.tsdb.Graft(spark, root)
+    val srv = new graft.http.GraftHttpServer(g, spark, continuousIngest = true)
+    val port = srv.start()
+    try {
+      val t0 = 1704794400000L
+      def batch(b: Int): String =
+        (0 until 10).map(i =>
+          s"""{"time":${t0 + b * 1000 + i},"value":$i.0,"name":"cpu","host":"h$b"}""")
+          .mkString("""{"points":[""", ",", "]}")
+      // sustained small batches: no read, no explicit flush — just POSTs
+      (0 until 3).foreach { b =>
+        val (c, body) = post(port, "/write", batch(b))
+        assert(c == 200 && mapper.readTree(body).get("errors").size() == 0, body)
+      }
+      // validation still answers per-point at POST time in continuous mode
+      val (_, eb) = post(port, "/write",
+        """{"points":[{"time":"nope","value":1.0,"name":"cpu","host":"x"}]}""")
+      assert(mapper.readTree(eb).get("errors").get(0)
+        .get("error").asText() == "invalid timestamp")
+      g.awaitContinuous() // test barrier — a live client just waits a trigger
+      assert(g.read("""{"match_all":{}}""").count() == 30L)
+
+      // crash simulation at the classic dup-risk point: the micro-batch ran
+      // (rows landed) but its checkpoint COMMIT is missing — delete the
+      // latest commit marker, restart, and the file source replays the batch
+      g.stopContinuous()
+      val commits = new java.io.File(s"$root/.spool-ckpt/default/commits")
+        .listFiles().filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toInt)
+      assert(commits.nonEmpty)
+      assert(commits.last.delete())
+      // the local checksum FS keeps a .N.crc sibling; a stale one would fail
+      // the replayed commit's atomic rename (this is crash-sim plumbing, not
+      // engine behavior — a real crash never writes the commit at all)
+      new java.io.File(commits.last.getParentFile, s".${commits.last.getName}.crc").delete()
+      g.startContinuousIngest()
+      g.awaitContinuous()
+      // the replayed batch re-appended rows with the SAME spooled __wseq —
+      // the last-write-wins merge keeps exactly one row per (series, time)
+      assert(g.read("""{"match_all":{}}""").count() == 30L,
+        "crash replay must not duplicate points")
+
+      // ...and the stream keeps accepting new batches after the restart
+      val (c2, b2) = post(port, "/write", batch(9))
+      assert(c2 == 200 && mapper.readTree(b2).get("errors").size() == 0, b2)
+      g.awaitContinuous()
+      val rows = g.read("""{"match_all":{}}""").collect()
+        .map(r => (r.getAs[String]("host"), r.getAs[Long]("time_ms"))).toSet
+      assert(rows.size == 40, s"no loss across restart: ${rows.size}")
+    } finally { srv.stop(); g.stopContinuous() }
+  }
+
+  // ---- IVF re-balance (directive r11 #8b)
+
+  test("ivfRebalance: no-op on a balanced codebook, splits/drops under tight thresholds") {
+    import graft.ann.Ann
+    val corpusN = graft.core.Tables.embeddings(spark, Sf).count()
+    // default thresholds on the (balanced) trained codebook: every cell
+    // kept, so the re-balanced occupancy IS the original occupancy
+    val noop = Ann.ivfRebalance(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(noop.forall(_._2 == "kept"))
+    val occ = Ann.ivfOccupancy(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(noop.map(t => (t._1, t._3)).toMap == occ,
+      "all-kept rebalance must reproduce the original occupancy")
+    assert(noop.map(_._3).sum == corpusN)
+
+    // tight thresholds: any above-uniform cell is hot (split), any
+    // below-uniform cell is cold (dropped) — both actions exercised
+    val tight = Ann.ivfRebalance(spark, Sf, hotOver = 1, coldUnder = 1).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    assert(tight.map(_._3).sum == corpusN, "rebalance must conserve every vector")
+    val (split, kept) = tight.partition(_._2 == "split")
+    assert(split.nonEmpty, "above-uniform cells must split")
+    assert(split.forall(_._1 >= 1000L) && kept.forall(_._1 < 1000L))
+    // dropped (cold) original cells never reappear as output cells
+    val hotOrig = occ.filter { case (_, n) => n * occ.size > corpusN }.keySet
+    val coldOrig = occ.filter { case (_, n) => n * occ.size < corpusN }.keySet
+    assert(kept.map(_._1).toSet.intersect(coldOrig).isEmpty,
+      "cold cells must be dropped from the codebook")
+    // every split id traces back to a hot original cell: id = 1000 + 2c + s
+    assert(split.map(t => (t._1 - 1000L) / 2).toSet.subsetOf(hotOrig))
+  }
 }
