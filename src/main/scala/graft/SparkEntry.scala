@@ -135,6 +135,19 @@ object SparkEntry {
     "ts_read_filter_fuzzy_osa" -> ((s, d) => Tsdb.read(Tsdb.points(s, d),
       EsFilter.compile("""{"fuzzy":{"event_type":{"value":"cilck","fuzziness":"AUTO"}}}"""),
       Start, End)),
+    // r12: the remaining ES fuzzy knobs. transpositions:false -> plain
+    // Levenshtein; prefix_length pins an edit-free prefix (edits only on
+    // the remainders, AUTO still judged on the full term)
+    "ts_read_filter_fuzzy_lev" -> ((s, d) => Tsdb.read(Tsdb.points(s, d),
+      EsFilter.compile(
+        """{"fuzzy":{"event_type":{"value":"clickk","fuzziness":"AUTO",
+             "transpositions":false}}}"""),
+      Start, End)),
+    "ts_read_filter_fuzzy_prefix" -> ((s, d) => Tsdb.read(Tsdb.points(s, d),
+      EsFilter.compile(
+        """{"fuzzy":{"event_type":{"value":"clickk","fuzziness":"AUTO",
+             "prefix_length":3}}}"""),
+      Start, End)),
     // ES `match_phrase`: analyzed terms adjacent and in order
     "ts_read_filter_phrase" -> ((s, d) => Tsdb.read(Tsdb.points(s, d),
       EsFilter.compile("""{"match_phrase":{"event_type":"click"}}"""), Start, End)),
@@ -294,6 +307,17 @@ object SparkEntry {
         """{"intervals":{"text":{"all_of":{"max_gaps":3,"intervals":[
              {"match":{"query":"table"}},
              {"fuzzy":{"term":"jion","fuzziness":1}}]}}}}""",
+        docs.columns.toSeq)).select(docs.col("doc_id")))
+    }),
+    // r12: intervals fuzzy with the full knob set — no-transpositions
+    // distance AND a pinned one-char prefix, inside the same gap budget
+    "ts_read_filter_intervals_fuzzy_knobs" -> ((s, d) => {
+      val docs = graft.core.Tables.documents(s, d)
+      graft.core.Det.ordered(docs.where(EsFilter.compile(
+        """{"intervals":{"text":{"all_of":{"max_gaps":3,"intervals":[
+             {"match":{"query":"table"}},
+             {"fuzzy":{"term":"jion","fuzziness":2,"transpositions":false,
+               "prefix_length":1}}]}}}}""",
         docs.columns.toSeq)).select(docs.col("doc_id")))
     }),
     // ES dis_max: filter context = any clause matches (tie_breaker is a
@@ -1319,6 +1343,20 @@ object SparkEntry {
           WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
             AND damerau_levenshtein(event_type, 'clickk') <= 2
           ORDER BY 1, 2, 3, 4""",
+    // fuzzy knobs (r12): transpositions:false is DuckDB's plain
+    // levenshtein; prefix_length pins the prefix and compares remainders
+    // (AUTO fuzziness still judged on the full 6-char term -> 2)
+    "ts_read_filter_fuzzy_lev" ->
+      s"""SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events
+          WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
+            AND levenshtein(event_type, 'clickk') <= 2
+          ORDER BY 1, 2, 3, 4""",
+    "ts_read_filter_fuzzy_prefix" ->
+      s"""SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events
+          WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
+            AND starts_with(event_type, 'cli')
+            AND damerau_levenshtein(substring(event_type, 4), 'ckk') <= 2
+          ORDER BY 1, 2, 3, 4""",
     "ts_read_filter_fuzzy_osa" ->
       s"""SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events
           WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
@@ -1526,6 +1564,21 @@ object SparkEntry {
                        FROM t)
           SELECT DISTINCT a.doc_id FROM toks a JOIN toks b ON a.doc_id = b.doc_id
           WHERE a.tok = 'table' AND damerau_levenshtein(b.tok, 'jion') <= 1
+            AND a.pos <> b.pos
+            AND greatest(a.pos, b.pos) - least(a.pos, b.pos) - 1 <= 3
+          ORDER BY 1""",
+    // intervals fuzzy knobs (r12): pinned 'j' prefix, plain-Levenshtein
+    // remainder budget — mirrors FuzzySpec(term='jion', dist=2, tr=false,
+    // prefixLen=1)
+    "ts_read_filter_intervals_fuzzy_knobs" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
+                    FROM documents),
+              toks AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos
+                       FROM t)
+          SELECT DISTINCT a.doc_id FROM toks a JOIN toks b ON a.doc_id = b.doc_id
+          WHERE a.tok = 'table'
+            AND starts_with(b.tok, 'j')
+            AND levenshtein(substring(b.tok, 2), 'ion') <= 2
             AND a.pos <> b.pos
             AND greatest(a.pos, b.pos) - least(a.pos, b.pos) - 1 <= 3
           ORDER BY 1""",

@@ -104,12 +104,22 @@ case class SloppyMatch(child: Expression, terms: String, slop: Int,
   * intervals must not overlap (the single-token distinct-positions rule
   * generalized). Phrase slots carry no alternatives/excludes/prefixes.
   */
+/** One fuzzy alternative of a slot: a token fills it when its first
+  * `prefixLen` characters equal the term's (Lucene's `prefix_length` — the
+  * pinned prefix takes no edits) and the remainders are within `dist`
+  * edits — OSA when `transpositions` (the ES default `true`), plain
+  * Levenshtein otherwise (r12: both knobs implemented, closing the last
+  * rejected fuzzy forms).
+  */
+case class FuzzySpec(term: String, dist: Int, transpositions: Boolean = true,
+                     prefixLen: Int = 0)
+
 case class SloppySlot(includes: Seq[String], excludes: Seq[String],
                       pre: Int, post: Int, prefixes: Seq[String] = Nil,
                       phrase: Seq[String] = Nil, subSlop: Int = -1,
                       subOrdered: Boolean = false,
                       wildcards: Seq[String] = Nil,
-                      fuzzies: Seq[(String, Int)] = Nil) {
+                      fuzzies: Seq[FuzzySpec] = Nil) {
   /** Nominal (minimum-possible) interval width: 1 for token slots, the
     * token count for fixed phrases and nested sub-matches (a nested
     * interval is at least as wide as its token count). */
@@ -152,7 +162,7 @@ object SloppySlot {
       require(!sl.nested || sl.phrase.length >= 2,
         "nested sub-match slots need at least two tokens")
       (sl.includes ++ sl.excludes ++ sl.prefixes ++ sl.phrase ++
-        sl.fuzzies.map(_._1)).foreach(t => require(
+        sl.fuzzies.map(_.term)).foreach(t => require(
         t.nonEmpty && !t.exists(c =>
           c == '|' || c == '~' || c == '*' || c == '+' || c == '^' ||
             c == WildTag || c == FuzzTag || c.isWhitespace),
@@ -164,8 +174,9 @@ object SloppySlot {
           c == '|' || c == '~' || c == '+' || c == '^' ||
             c == WildTag || c == FuzzTag || c.isWhitespace),
         s"unsupported characters in wildcard pattern: '$w'"))
-      sl.fuzzies.foreach { case (_, d) =>
-        require(d >= 0, "fuzzy distance must be non-negative") }
+      sl.fuzzies.foreach { fs =>
+        require(fs.dist >= 0 && fs.prefixLen >= 0,
+          "fuzzy distance and prefix length must be non-negative") }
     }
     slots.map { sl =>
       if (sl.nested)
@@ -174,7 +185,9 @@ object SloppySlot {
       else {
         val inc = (sl.includes ++ sl.prefixes.map(_ + "*") ++
           sl.wildcards.map(WildTag + _) ++
-          sl.fuzzies.map { case (t, d) => s"$FuzzTag$d$FuzzTag$t" }).mkString("|")
+          sl.fuzzies.map(fs => s"$FuzzTag${fs.dist}:" +
+            s"${if (fs.transpositions) 1 else 0}:${fs.prefixLen}$FuzzTag${fs.term}"))
+          .mkString("|")
         if (sl.excludes.isEmpty) inc
         else s"$inc~${sl.excludes.mkString("|")}~${sl.pre}~${sl.post}"
       }
@@ -196,7 +209,9 @@ object SloppySlot {
         val fuzz = alts.filter(_.head == FuzzTag).map { a =>
           val body = a.tail
           val cut = body.indexOf(FuzzTag)
-          (body.substring(cut + 1), body.substring(0, cut).toInt)
+          val knobs = body.substring(0, cut).split(':')
+          FuzzySpec(body.substring(cut + 1), knobs(0).toInt,
+            knobs(1) == "1", knobs(2).toInt)
         }
         val plain = alts.filterNot(a => a.head == WildTag || a.head == FuzzTag)
         val (pfx, inc) = plain.partition(_.endsWith("*"))
@@ -225,6 +240,22 @@ object SloppySlot {
 }
 
 object SloppyMatch {
+  /** Does a token fill a fuzzy alternative? Lucene's prefix_length rule:
+    * the pinned prefix (capped at the term length) must match exactly and
+    * takes no edits; the remainders are compared at the slot's distance —
+    * OSA with transpositions (the ES default), plain Levenshtein without.
+    * Cheap length gate before the O(len²) DP.
+    */
+  private[functions] def fuzzyMatches(tok: String, fs: FuzzySpec): Boolean = {
+    val pl = math.min(fs.prefixLen, fs.term.length)
+    if (pl > 0 && (tok.length < pl || !tok.regionMatches(0, fs.term, 0, pl)))
+      return false
+    val a = if (pl == 0) tok else tok.substring(pl)
+    val b = if (pl == 0) fs.term else fs.term.substring(pl)
+    if (math.abs(a.length - b.length) > fs.dist) return false
+    (if (fs.transpositions) OsaDistance.osa(a, b) else OsaDistance.lev(a, b)) <= fs.dist
+  }
+
   /** One kernel shared by codegen and the interpreter. Tokenization mirrors
     * Spark's `split(lower(field), "\\s+")` (limit -1 keeps trailing
     * empties), then a DFS assignment search over each slot's candidate
@@ -307,10 +338,7 @@ object SloppyMatch {
           }
           a = 0
           while (a < sl.fuzzies.length) {
-            val (t, dmax) = sl.fuzzies(a)
-            // cheap length gate before the O(len²) OSA kernel
-            if (math.abs(toks(j).length - t.length) <= dmax &&
-                OsaDistance.osa(toks(j), t) <= dmax) return true
+            if (fuzzyMatches(toks(j), sl.fuzzies(a))) return true
             a += 1
           }
           false
@@ -404,9 +432,7 @@ object SloppyMatch {
             }
             a = 0
             while (a < fsl.fuzzies.length) {
-              val (t, dmax) = fsl.fuzzies(a)
-              if (math.abs(toks(j).length - t.length) <= dmax &&
-                  OsaDistance.osa(toks(j), t) <= dmax) return true
+              if (fuzzyMatches(toks(j), fsl.fuzzies(a))) return true
               a += 1
             }
             false
@@ -584,6 +610,34 @@ object SloppyMatch {
 }
 
 object OsaDistance {
+  /** Plain Levenshtein (no transpositions) — what an ES fuzzy source with
+    * `transpositions: false` compiles to. Matches Spark's built-in
+    * `levenshtein` semantics, so the fuzzy QUERY's column formulation and
+    * this kernel agree.
+    */
+  def lev(a: String, b: String): Int = {
+    val (n, m) = (a.length, b.length)
+    if (n == 0) return m
+    if (m == 0) return n
+    var prev = new Array[Int](m + 1)
+    var curr = new Array[Int](m + 1)
+    var j = 0
+    while (j <= m) { prev(j) = j; j += 1 }
+    var i = 1
+    while (i <= n) {
+      curr(0) = i
+      j = 1
+      while (j <= m) {
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) 0 else 1
+        curr(j) = math.min(math.min(curr(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+        j += 1
+      }
+      val t = prev; prev = curr; curr = t
+      i += 1
+    }
+    prev(m)
+  }
+
   /** Two-row DP plus the transposition diagonal; O(|a|·|b|) time, O(|b|)
     * space. Static so generated code and the interpreter share one kernel.
     */

@@ -232,13 +232,31 @@ object EsFilter {
     val v = if (spec.isObject && spec.has("value")) spec.get("value") else spec
     val text = v.asText()
     val fuzziness = fuzzinessOf(spec, text)
+    // r12: the full ES knob set. `transpositions:false` -> plain
+    // Levenshtein (Spark's codegen'd built-in); `prefix_length` pins an
+    // edit-free prefix — the field must start with it and only the
+    // remainders are compared (Lucene's rule). Both still evaluate inside
+    // the scan stage — no join, no UDF.
+    val transpositions = !(spec.isObject && spec.has("transpositions")) ||
+      spec.get("transpositions").asBoolean(true)
+    val plRaw = if (spec.isObject && spec.has("prefix_length"))
+      spec.get("prefix_length").asInt() else 0
+    require(plRaw >= 0, s"prefix_length must be non-negative, got $plRaw")
+    val pl = math.min(plRaw, text.length)
+    val fieldStr = fieldCol(f).cast("string")
+    val (lhs, rhs) =
+      if (pl == 0) (fieldStr, lit(text))
+      else (fieldStr.substr(lit(pl + 1), length(fieldStr)), lit(text.substring(pl)))
     val dist: Column = {
       val active = org.apache.spark.sql.SparkSession.active
-      if (active.catalog.functionExists("graft_osa"))
-        call_function("graft_osa", fieldCol(f).cast("string"), lit(text))
-      else levenshtein(fieldCol(f).cast("string"), lit(text))
+      if (!transpositions) levenshtein(lhs, rhs)
+      else if (active.catalog.functionExists("graft_osa"))
+        call_function("graft_osa", lhs, rhs)
+      else levenshtein(lhs, rhs)
     }
-    dist <= fuzziness
+    val pfxOk: Column =
+      if (pl == 0) lit(true) else fieldStr.startsWith(lit(text.substring(0, pl)))
+    pfxOk && dist <= fuzziness
   }
 
   /** ES `multi_match`: the `match` analyzer applied across several fields —
@@ -589,23 +607,23 @@ object EsFilter {
           s"intervals wildcard must be a single non-empty pattern, got: '$p'")
         SloppySlot(Nil, Nil, 0, 0, wildcards = Seq(p))
       case "fuzzy" =>
-        // intervals fuzzy rule: positions whose token is within the OSA
-        // edit budget of the term (Lucene's fuzzy term expansion with the
-        // ES default transpositions:true). prefix_length pinning and
-        // transpositions:false are rejected, not approximated.
+        // intervals fuzzy rule: positions whose token is within the edit
+        // budget of the term (Lucene's fuzzy term expansion). r12: the
+        // full knob set — `transpositions:false` switches the kernel to
+        // plain Levenshtein and `prefix_length` pins an edit-free prefix
+        // (graft.functions.FuzzySpec) — closing the last rejected fuzzy
+        // forms.
         val b = src.get("fuzzy")
         require(b != null && b.isObject && b.has("term"),
           s"""intervals fuzzy needs "term", got $b""")
         val t = b.get("term").asText().trim.toLowerCase
         require(t.nonEmpty && !t.exists(_.isWhitespace),
           s"intervals fuzzy must be a single non-empty term, got: '$t'")
-        require(!b.has("transpositions") || b.get("transpositions").asBoolean(true),
-          "intervals fuzzy with transpositions:false is rejected, not " +
-            "approximated (the kernel distance is OSA)")
-        require(!b.has("prefix_length") || b.get("prefix_length").asInt() == 0,
-          "intervals fuzzy with a nonzero prefix_length is rejected, not " +
-            "approximated")
-        SloppySlot(Nil, Nil, 0, 0, fuzzies = Seq((t, fuzzinessOf(b, t))))
+        val tr = !b.has("transpositions") || b.get("transpositions").asBoolean(true)
+        val pl = if (b.has("prefix_length")) b.get("prefix_length").asInt() else 0
+        require(pl >= 0, s"prefix_length must be non-negative, got $pl")
+        SloppySlot(Nil, Nil, 0, 0,
+          fuzzies = Seq(graft.functions.FuzzySpec(t, fuzzinessOf(b, t), tr, pl)))
       case other => throw new IllegalArgumentException(
         s"all_of sub-sources must reduce to single-token alternatives, got: $other")
     }

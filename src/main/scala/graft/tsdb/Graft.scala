@@ -102,12 +102,28 @@ class Graft(spark: SparkSession, root: String,
     // (otherwise it re-sorts by bucket alone, unstably, destroying the inner
     // order), and the (tags, time) tail keeps row-group min/max selective —
     // the reference's (attrs, offset) clustering order
-    good
-      .sortWithinPartitions(col("bucket_day") +: tagCols.map(col) :+ col("time_ms"): _*)
-      .write.mode(SaveMode.Append).partitionBy("bucket_day").parquet(spacePath(space))
+    mutationLock(space).synchronized {
+      good
+        .sortWithinPartitions(col("bucket_day") +: tagCols.map(col) :+ col("time_ms"): _*)
+        .write.mode(SaveMode.Append).partitionBy("bucket_day").parquet(spacePath(space))
+    }
     validated.where(col("__error").isNotNull)
       .select(col("__error").as("error") +: points.columns.map(col): _*)
   }
+
+  // Physical mutations to one space (parquet appends, compaction swaps,
+  // retention deletes) are serialized per space: two concurrent append jobs
+  // to the same path share the committer's `_temporary/0` staging dir, and
+  // the first job's cleanup deletes the second's in-flight task files — the
+  // FileOutputCommitter concurrency hazard, caught live by Round12Spec's
+  // retention-race spec. Cross-space mutations stay fully parallel; reads
+  // take no lock. (On a real cluster the analog is one writer per table
+  // partition — a coordinator/queue, which the facade's queued path already
+  // is; this lock covers embedded multi-threaded callers.)
+  private val mutationLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def mutationLock(space: String): Object =
+    mutationLocks.computeIfAbsent(space, _ => new Object)
 
   // ---- coalesced (queued) write path -------------------------------------
   //
@@ -555,6 +571,7 @@ class Graft(spark: SparkSession, root: String,
     flushQueued(space)
     val (fs, dir) = fsOf(spacePath(space))
     if (!isDir(fs, dir)) return Nil
+    mutationLock(space).synchronized {
     // Recover/clean tmp dirs a crashed compaction left behind. The tmp name
     // is "_"-prefixed so Spark's file listing ignores it even mid-swap (a
     // visible sibling would be parsed as a bucket_day partition value and
@@ -620,6 +637,7 @@ class Graft(spark: SparkSession, root: String,
         Some((day.toLong, parts.length, nOut))
       }
     }.sortBy(_._1)
+    }
   }
 
   /** `/delete`: drop whole buckets whose last day is older than
@@ -639,9 +657,11 @@ class Graft(spark: SparkSession, root: String,
     val dropped = buckets.filter { case (_, day) =>
       math.min(day + granularityOf(space) - 1, todayDay) <= doomed
     }
-    dropped.foreach { case (p, _) =>
-      if (!fs.delete(p, true))
-        throw new java.io.IOException(s"remove: delete $p failed")
+    mutationLock(space).synchronized {
+      dropped.foreach { case (p, _) =>
+        if (!fs.delete(p, true))
+          throw new java.io.IOException(s"remove: delete $p failed")
+      }
     }
     dropped.map(_._2).sorted
   }

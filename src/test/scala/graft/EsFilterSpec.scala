@@ -724,13 +724,24 @@ class EsFilterSpec extends SparkTestBase {
            {"fuzzy":{"term":"beda","fuzziness":1}},
            {"match":{"query":"gamma"}}]}}}}""")
       == Seq(1L, 4L))
-    // non-default knobs are rejected, not approximated
-    intercept[IllegalArgumentException] {
-      sids("""{"intervals":{"text":{"fuzzy":{"term":"beta","transpositions":false}}}}""")
-    }
-    intercept[IllegalArgumentException] {
-      sids("""{"intervals":{"text":{"fuzzy":{"term":"beta","prefix_length":2}}}}""")
-    }
+    // non-default knobs implemented r12 (previously rejected): the
+    // transposed 'aplha'~'alpha' is ONE edit under OSA (matches everywhere
+    // above) but TWO under plain Levenshtein — transpositions:false drops it
+    assert(sids(
+      """{"intervals":{"text":{"fuzzy":{"term":"aplha","fuzziness":1,
+           "transpositions":false}}}}""")
+      == Seq())
+    // prefix pinning: 'algha' reaches 'alpha' at distance 1, but a pinned
+    // 'alg' prefix can never match 'alp...'; pinning only 'al' leaves the
+    // one edit on the remainder and matches again
+    assert(sids(
+      """{"intervals":{"text":{"fuzzy":{"term":"algha","fuzziness":1,
+           "prefix_length":3}}}}""")
+      == Seq())
+    assert(sids(
+      """{"intervals":{"text":{"fuzzy":{"term":"algha","fuzziness":1,
+           "prefix_length":2}}}}""")
+      == Seq(1L, 2L, 3L, 4L, 5L))
   }
 
   test("positive filter rules fire per MINIMAL interval (Lucene semantics)") {

@@ -434,12 +434,14 @@ class Round11Spec extends SparkTestBase {
           if (exc.nonEmpty) rnd.nextInt(3) else 0,
           prefixes = Seq.fill(rnd.nextInt(2))(term()),
           wildcards = Seq.fill(rnd.nextInt(2))(term() + "*" + (if (rnd.nextBoolean()) "?" else "")),
-          fuzzies = Seq.fill(rnd.nextInt(2))((term(), rnd.nextInt(3))))
+          fuzzies = Seq.fill(rnd.nextInt(2))(graft.functions.FuzzySpec(
+            term(), rnd.nextInt(3), rnd.nextBoolean(), rnd.nextInt(3))))
       case 1 => SloppySlot(Nil, Nil, 0, 0, Nil, Seq.fill(2 + rnd.nextInt(2))(term()))
       case 2 => SloppySlot(Nil, Nil, 0, 0, Nil, Seq.fill(2 + rnd.nextInt(2))(term()),
         subSlop = rnd.nextInt(5), subOrdered = rnd.nextBoolean())
       case 3 => SloppySlot(Nil, Nil, 0, 0,
-        wildcards = Seq("*" + term()), fuzzies = Seq((term(), 1)))
+        wildcards = Seq("*" + term()),
+        fuzzies = Seq(graft.functions.FuzzySpec(term(), 1)))
     }
     (0 until 200).foreach { _ =>
       val slots = Seq.fill(1 + rnd.nextInt(3))(slot())

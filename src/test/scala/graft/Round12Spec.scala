@@ -366,4 +366,40 @@ class Round12Spec extends SparkTestBase {
     // every split id traces back to a hot original cell: id = 1000 + 2c + s
     assert(split.map(t => (t._1 - 1000L) / 2).toSet.subsetOf(hotOrig))
   }
+
+  // ---- ES fuzzy knobs (r11 "missing" #2)
+
+  test("fuzzy knobs: transpositions:false and prefix_length match Lucene's rules") {
+    val s = spark; import s.implicits._
+    import graft.tsdb.EsFilter
+    val df = Seq("click", "cilck", "blick", "clack").toDF("event_type")
+    def hits(filter: String): Set[String] =
+      df.where(EsFilter.compile(filter, df.columns)).collect()
+        .map(_.getString(0)).toSet
+
+    // OSA default: the transposed 'cilck' is 1 edit from 'click'
+    assert(hits("""{"fuzzy":{"event_type":{"value":"click","fuzziness":1}}}""")
+      == Set("click", "cilck", "blick", "clack"))
+    // transpositions:false: the transposition costs 2 -> 'cilck' drops out
+    assert(hits("""{"fuzzy":{"event_type":{"value":"click","fuzziness":1,
+        "transpositions":false}}}""")
+      == Set("click", "blick", "clack"))
+    // prefix_length 2: 'blick' (distance 1) is rejected on the pinned
+    // prefix; 'clack' still matches (remainder 'ack'~'ick' = 1 edit)
+    assert(hits("""{"fuzzy":{"event_type":{"value":"click","fuzziness":1,
+        "prefix_length":2}}}""")
+      == Set("click", "clack"))
+    // both knobs together through the INTERVALS kernel path: pinned 'c',
+    // plain-Levenshtein remainder budget 1
+    val docs = Seq((1L, "press click now"), (2L, "press cilck now"),
+      (3L, "press clack now"), (4L, "press blick now")).toDF("doc_id", "text")
+    val iv = docs.where(EsFilter.compile(
+      """{"intervals":{"text":{"all_of":{"max_gaps":1,"intervals":[
+           {"match":{"query":"press"}},
+           {"fuzzy":{"term":"click","fuzziness":1,"transpositions":false,
+             "prefix_length":1}}]}}}}""", docs.columns))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(iv == Set(1L, 3L),
+      s"pinned prefix drops 'blick', no-transpositions drops 'cilck': $iv")
+  }
 }
