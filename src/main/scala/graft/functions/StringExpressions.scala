@@ -59,7 +59,8 @@ case class OsaDistance(left: Expression, right: Expression)
 case class SloppyMatch(child: Expression, terms: String, slop: Int,
                        inOrder: Boolean, prefix: Boolean,
                        gaps: Boolean = false,
-                       filterMode: String = "", filterTerms: String = "")
+                       filterMode: String = "", filterTerms: String = "",
+                       script: (Int, Int, Int) => Boolean = null)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -72,15 +73,21 @@ case class SloppyMatch(child: Expression, terms: String, slop: Int,
 
   override def nullSafeEval(v: Any): Any =
     SloppyMatch.matches(v.asInstanceOf[UTF8String].toString,
-      terms, slop, inOrder, prefix, gaps, filterMode, filterTerms)
+      terms, slop, inOrder, prefix, gaps, filterMode, filterTerms, script)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val t = ctx.addReferenceObj("sloppyTerms", terms, "java.lang.String")
     val fm = ctx.addReferenceObj("sloppyFilterMode", filterMode, "java.lang.String")
     val ft = ctx.addReferenceObj("sloppyFilterTerms", filterTerms, "java.lang.String")
+    // the script predicate rides the codegen references array (serialized
+    // with the plan like any literal), so the script-filter path is as
+    // cluster-correct as the string args — no executor-side registry needed
+    val sc =
+      if (script == null) "null"
+      else ctx.addReferenceObj("sloppyScript", script, "scala.Function3")
     nullSafeCodeGen(ctx, ev, s =>
       s"${ev.value} = graft.functions.SloppyMatch.matches($s.toString(), " +
-        s"$t, $slop, $inOrder, $prefix, $gaps, $fm, $ft);")
+        s"$t, $slop, $inOrder, $prefix, $gaps, $fm, $ft, (scala.Function3) $sc);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -281,7 +288,8 @@ object SloppyMatch {
   def matches(field: String, termsStr: String, slop: Int,
               inOrder: Boolean, prefix: Boolean,
               gaps: Boolean = false,
-              filterMode: String = "", filterTerms: String = ""): Boolean = {
+              filterMode: String = "", filterTerms: String = "",
+              script: (Int, Int, Int) => Boolean = null): Boolean = {
     val toks = field.toLowerCase(java.util.Locale.ROOT).split("\\s+", -1)
     val slots = SloppySlot.decode(termsStr)
     val n = slots.length
@@ -397,7 +405,7 @@ object SloppyMatch {
     // (token alternatives, a fixed phrase, or a nested sub-match)
     var fS: Array[Int] = null
     var fE: Array[Int] = null
-    if (filterMode.nonEmpty) {
+    if (filterMode.nonEmpty && filterMode != "script") {
       val fsl = SloppySlot.decode(filterTerms)(0)
       if (fsl.nested) {
         val (ss, ee) = minimalCovers(toks, fsl.phrase, fsl.subSlop, fsl.subOrdered)
@@ -464,6 +472,18 @@ object SloppyMatch {
         }
         if (strictWithin) return cs > loS || ce < hiE
         if (filterMode.isEmpty) return true
+        if (filterMode == "script") {
+          // Lucene's Intervals.filter(script) shape: the predicate sees
+          // interval.start / interval.end / interval.gaps of each MINIMAL
+          // interval (gaps = interior positions not covered by the chosen
+          // sub-intervals); keep the document when some minimal interval
+          // passes
+          var wSum = 0
+          var m2 = 0
+          while (m2 < n) { wSum += chE(m2) - chS(m2) + 1; m2 += 1 }
+          return script(cs, ce, (ce - cs + 1) - wSum) &&
+            !search(cs, ce, strictWithin = true)
+        }
         var found = false
         var t = 0
         while (t < fS.length && !found) {

@@ -518,9 +518,36 @@ object EsFilter {
     // SOME filter-source interval — containing / contained_by /
     // overlapping (and their not_ absence forms), or start after / end
     // before one. The filter source reduces to one slot — a single token,
-    // an any_of of them, a prefix, or an explicit fixed phrase. Script
-    // filters are rejected, not approximated.
-    val (fMode, fSlot) = Option(b.get("filter")) match {
+    // an any_of of them, a prefix, or an explicit fixed phrase.
+    //
+    // `script` (r12, closing the last rejected intervals form): a
+    // graft-native escape hatch, NOT a Painless engine — the source must
+    // be `graft:<name>` naming a Scala predicate registered via
+    // [[registerIntervalScript]], which sees each minimal interval's
+    // (start, end, gaps) exactly as Lucene's script filter exposes
+    // `interval.start/end/gaps`. Arbitrary script text is still rejected
+    // with a message pointing at the registry.
+    val filterNode = Option(b.get("filter"))
+    val scriptPred: Option[(Int, Int, Int) => Boolean] = filterNode.flatMap { fn =>
+      if (!fn.isObject || !fn.has("script")) None
+      else {
+        val sn = fn.get("script")
+        require(sn.isObject && sn.has("source"),
+          s"""intervals script filter needs "source", got $sn""")
+        val src = sn.get("source").asText()
+        require(src.startsWith("graft:"),
+          "intervals script filters take a registered graft predicate " +
+            s"""("graft:<name>", see EsFilter.registerIntervalScript); """ +
+            s"arbitrary script text is rejected, not approximated: '$src'")
+        val name = src.stripPrefix("graft:")
+        val p = scriptRegistry.get(name)
+        require(p != null, s"no interval script registered under '$name' " +
+          s"(registered: ${scriptNames().mkString(", ")})")
+        Some(p)
+      }
+    }
+    val (fMode, fSlot) = filterNode match {
+      case _ if scriptPred.isDefined => ("script", None)
       case None => ("", None)
       case Some(fn) =>
         require(fn.isObject && fn.size() == 1,
@@ -531,11 +558,34 @@ object EsFilter {
           "overlapping", "not_overlapping", "after", "before")(rule),
           s"unsupported intervals filter rule: $rule (containing, " +
             "not_containing, contained_by, not_contained_by, overlapping, " +
-            "not_overlapping, after, before; script filters rejected)")
+            "not_overlapping, after, before, script)")
         (rule, Some(singleTokenSlot(fn.get(rule))))
     }
     sloppyMatch(fieldCol(f), slots, slop, inOrder = ordered, gaps = !ordered,
-      filterMode = fMode, filterSlot = fSlot)
+      filterMode = fMode, filterSlot = fSlot, script = scriptPred.orNull)
+  }
+
+  // ---- interval script predicates (the graft escape hatch) ---------------
+
+  private val scriptRegistry =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Int, Int) => Boolean]()
+
+  /** Register a named interval predicate for the intervals `script` filter
+    * rule — the graft-native form of Lucene's script filter: `pred(start,
+    * end, gaps)` is evaluated per MINIMAL interval (token positions,
+    * inclusive; gaps = interior positions not covered by the matched
+    * sub-intervals — Lucene's `interval.gaps`). The predicate object
+    * travels inside the compiled expression (codegen reference array), so
+    * it serializes to executors with the plan — it must be a pure
+    * serializable function.
+    */
+  def registerIntervalScript(name: String)(pred: (Int, Int, Int) => Boolean): Unit =
+    scriptRegistry.put(name, pred)
+
+  /** Registered script names (for error messages and tooling). */
+  def scriptNames(): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    scriptRegistry.keys.asScala.toSeq.sorted
   }
 
   /** An `all_of` sub-source reduced to one single-token slot: a one-term
@@ -728,7 +778,17 @@ object EsFilter {
                           inOrder: Boolean, prefix: Boolean = false,
                           gaps: Boolean = false,
                           filterMode: String = "",
-                          filterSlot: Option[SloppySlot] = None): Column = {
+                          filterSlot: Option[SloppySlot] = None,
+                          script: (Int, Int, Int) => Boolean = null): Column = {
+    // a script predicate is a function object — it cannot ride the SQL
+    // function registry's literal args, so build the kernel expression
+    // directly (the predicate serializes in the codegen reference array)
+    if (script != null)
+      return org.apache.spark.sql.GraftSqlBridge.columnOf(
+        graft.functions.SloppyMatch(
+          org.apache.spark.sql.GraftSqlBridge.expressionOf(field.cast("string")),
+          SloppySlot.encode(slots), slop, inOrder, prefix, gaps,
+          "script", "", script))
     // the codegen'd native kernel when GraftExtensions is installed (the
     // graft_osa pattern — one JVM call per row instead of an interpreted
     // HOF tree); the HOF formulation below stays as the documented

@@ -402,4 +402,45 @@ class Round12Spec extends SparkTestBase {
     assert(iv == Set(1L, 3L),
       s"pinned prefix drops 'blick', no-transpositions drops 'cilck': $iv")
   }
+
+  test("intervals script filter: registered graft predicate sees minimal (start, end, gaps)") {
+    val s = spark; import s.implicits._
+    import graft.tsdb.EsFilter
+    //             pos: 0     1    2     3    4
+    val docs = Seq((1L, "alpha beta gamma x y"),   // beta..gamma = [1,2], 0 gaps
+                   (2L, "alpha x y beta gamma"),   // beta..gamma = [3,4], 0 gaps
+                   (3L, "x alpha beta y gamma z"), // beta..gamma = [2,4], 1 gap (y)
+                   (4L, "beta gamma alpha x y"))   // beta..gamma = [0,1], 0 gaps
+      .toDF("doc_id", "text")
+    def hits(filter: String): Set[Long] =
+      docs.where(EsFilter.compile(filter, docs.columns))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // arbitrary script text is rejected with a pointer at the registry
+    intercept[IllegalArgumentException] {
+      hits("""{"intervals":{"text":{"all_of":{"intervals":[
+               {"match":{"query":"beta"}},{"match":{"query":"gamma"}}],
+               "filter":{"script":{"source":"interval.start > 1"}}}}}}""")
+    }
+    // unregistered graft name: clear error
+    intercept[IllegalArgumentException] {
+      hits("""{"intervals":{"text":{"all_of":{"intervals":[
+               {"match":{"query":"beta"}},{"match":{"query":"gamma"}}],
+               "filter":{"script":{"source":"graft:nope"}}}}}}""")
+    }
+
+    EsFilter.registerIntervalScript("starts_late")((start, _, _) => start >= 3)
+    EsFilter.registerIntervalScript("gapless")((_, _, gaps) => gaps == 0)
+    // start >= 3: only doc 2's minimal beta..gamma cover [3,4] qualifies
+    assert(hits("""{"intervals":{"text":{"all_of":{"intervals":[
+             {"match":{"query":"beta"}},{"match":{"query":"gamma"}}],
+             "filter":{"script":{"source":"graft:starts_late"}}}}}}""")
+      == Set(2L))
+    // gaps == 0: adjacent beta gamma — docs 1, 2 and 4 (docs' covers with
+    // an interior position drop; Lucene's interval.gaps semantics)
+    assert(hits("""{"intervals":{"text":{"all_of":{"intervals":[
+             {"match":{"query":"beta"}},{"match":{"query":"gamma"}}],
+             "filter":{"script":{"source":"graft:gapless"}}}}}}""")
+      == Set(1L, 2L, 4L))
+  }
 }
