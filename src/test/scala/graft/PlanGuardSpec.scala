@@ -115,4 +115,30 @@ class PlanGuardSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"),
       "code rows must join broadcast query tables, never a cartesian")
   }
+
+  test("pinned-prefix fuzzy pushes StringStartsWith into the parquet scan (r12)") {
+    // prefix_length is a PLAN optimization, not just semantics: the pinned
+    // prefix must reach the scan as a pushed filter (row-group min/max
+    // skipping — Lucene's term-dictionary prefix walk, columnar form), with
+    // the O(len²) edit-distance kernel only on survivors
+    val plan = planOf(graft.tsdb.Tsdb.read(graft.tsdb.Tsdb.points(spark, Sf),
+      graft.tsdb.EsFilter.compile(
+        """{"fuzzy":{"event_type":{"value":"clickk","fuzziness":"AUTO",
+             "prefix_length":3}}}"""),
+      1704672000000L, 1705881600000L))
+    assert(plan.contains("StringStartsWith(event_type,cli)"), plan.take(1500))
+    assert(plan.contains("graft_osa"), "remainder distance stays in the scan stage")
+  }
+
+  test("IVF rebalance keeps centroids broadcast through every stage (r12)") {
+    val plan = planOf(graft.ann.Ann.ivfRebalance(spark, Sf))
+    // two assignment passes (original + re-balanced codebook), both against
+    // broadcast centroid tables, each reduced by a rank-1 WindowGroupLimit —
+    // the corpus is never shuffled against corpus-sized data
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2, plan.take(1500))
+    assert("BroadcastExchange".r.findAllIn(plan).size >= 2,
+      s"both codebooks must broadcast:\n${plan.take(1500)}")
+    assert(!plan.contains("CartesianProduct"),
+      "vectors join broadcast centroids, never a cartesian over data")
+  }
 }
