@@ -564,6 +564,7 @@ object SparkEntry {
     "text_langid" -> ((s, d) => TextOps.langId(s, d)),
     "text_quality" -> ((s, d) => TextOps.quality(s, d)),
     "text_tokens" -> ((s, d) => TextOps.tokenCounts(s, d)),
+    "tokenizer_fertility" -> ((s, d) => TextOps.tokenizerFertility(s, d)),
     "text_fingerprint" -> ((s, d) => TextOps.fingerprint(s, d)),
     "sample_stratified" -> ((s, d) => TextOps.stratifiedBalance(s, d)),
     // systematic PPS draw: k points through each group's cumulative weight
@@ -3174,6 +3175,22 @@ object SparkEntry {
                  round(length(text)*1.0/len(string_split($NormSql, ' ')) + 1e-9, 4)
                    AS chars_per_token
           FROM documents ORDER BY 1, 2, 3, 4, 5""",
+    // tokenizer_fertility: the token regex + byte length grouped by the
+    // corpus lang label. Integer sums CAST to BIGINT (the r4/r9/r11
+    // HUGEINT class — now also enforced by local_verify's type gate);
+    // ratios from the exact sums with the rnd nudge.
+    "tokenizer_fertility" ->
+      s"""WITH m AS (SELECT lang, len(string_split($NormSql, ' ')) AS ws,
+                            len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]')) AS re,
+                            strlen(text) AS bytes
+                     FROM documents)
+          SELECT lang, count(*) AS n_docs,
+                 CAST(sum(ws) AS BIGINT) AS n_words,
+                 CAST(sum(re) AS BIGINT) AS n_tokens,
+                 CAST(sum(bytes) AS BIGINT) AS n_bytes,
+                 ${rndSql("sum(re) * 1.0 / sum(ws)", 4)} AS fertility,
+                 ${rndSql("sum(bytes) * 1.0 / sum(re)", 4)} AS bytes_per_token
+          FROM m GROUP BY 1 ORDER BY 1, 2, 3, 4, 5, 6, 7""",
     "text_bigrams" ->
       s"""WITH t AS (SELECT doc_id, string_split($NormSql, ' ') AS toks FROM documents),
               g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+1], ' ') AS bigram

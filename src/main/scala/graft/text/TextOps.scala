@@ -238,6 +238,37 @@ object TextOps {
     Det.ordered(out)
   }
 
+  /** Tokenizer-fertility report by predicted language — the mix-budget
+    * diagnostic a training pipeline runs before committing to a tokenizer
+    * and sampling weights: per language, tokens-per-word (fertility — how
+    * many BPE-ish tokens the tokenizer spends per whitespace word) and
+    * bytes-per-token (compression). A language whose fertility runs high
+    * consumes context-window budget faster than its byte share suggests,
+    * which skews any byte-denominated mix toward it. One scan + one
+    * aggregation shuffle on the (tiny-cardinality) language key — grouped
+    * by the corpus's ground-truth `lang` label (the production input is a
+    * labeled corpus post-langid); rides [[tokenCounts]]'s token regex so
+    * the reports can never disagree on definitions.
+    */
+  def tokenizerFertility(s: SparkSession, d: String): DataFrame = {
+    val per = Tables.documents(s, d).select(
+        col("lang"),
+        size(tokens(col("text"))).cast("bigint").as("ws"),
+        regexp_count(col("text"), lit("[a-zA-Z0-9]+|[^a-zA-Z0-9 ]"))
+          .cast("bigint").as("re"),
+        octet_length(col("text")).cast("bigint").as("bytes"))
+    val out = per.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("n_words"),
+        sum(col("re")).as("n_tokens"),
+        sum(col("bytes")).as("n_bytes"))
+      .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
+        col("n_bytes"),
+        Det.rnd(col("n_tokens") * lit(1.0) / col("n_words"), 4).as("fertility"),
+        Det.rnd(col("n_bytes") * lit(1.0) / col("n_tokens"), 4).as("bytes_per_token"))
+    Det.ordered(out)
+  }
+
   /** Mixture reweighting (the bookkeeping half of DoReMi-style domain
     * balancing): per source, its token share of the corpus and the sampling
     * weight that would equalize the mixture (uniform target share over the
