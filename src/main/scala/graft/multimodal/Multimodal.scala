@@ -407,6 +407,9 @@ object Multimodal {
 
   def decodeFeatures(s: SparkSession, d: String, dim: Int = 16,
                      nFrames: Int = 4): Dataset[MediaFeatures] = {
+    // the r12 oracle-pinned stub draws dimension i from digest byte i, so
+    // one md5 bounds the dimensionality (the old per-dim re-digest did not)
+    require(dim <= 16, s"stub embedding is md5-derived: dim <= 16, got $dim")
     import s.implicits._
     Tables.documents(s, d)
       .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))

@@ -528,8 +528,13 @@ object EsFilter {
     // `interval.start/end/gaps`. Arbitrary script text is still rejected
     // with a message pointing at the registry.
     val filterNode = Option(b.get("filter"))
+    // single-rule contract FIRST: a filter object combining script with
+    // another rule must reject loudly, never silently judge by one of them
+    // (review finding r12)
+    filterNode.foreach(fn => require(fn.isObject && fn.size() == 1,
+      s"intervals filter must be a single-rule object, got $fn"))
     val scriptPred: Option[(Int, Int, Int) => Boolean] = filterNode.flatMap { fn =>
-      if (!fn.isObject || !fn.has("script")) None
+      if (!fn.has("script")) None
       else {
         val sn = fn.get("script")
         require(sn.isObject && sn.has("source"),
@@ -550,8 +555,6 @@ object EsFilter {
       case _ if scriptPred.isDefined => ("script", None)
       case None => ("", None)
       case Some(fn) =>
-        require(fn.isObject && fn.size() == 1,
-          s"intervals filter must be a single-rule object, got $fn")
         val rule = fn.fieldNames().next()
         require(Set("containing", "not_containing",
           "contained_by", "not_contained_by",

@@ -23,7 +23,8 @@ class Graft(spark: SparkSession, root: String,
             granularityDays: Int = Tsdb.GranularityDays,
             spaceGranularity: Map[String, Int] = Map.empty,
             spaceKeepDays: Map[String, Int] = Map.empty,
-            maxQueuedPoints: Int = 1000000) {
+            maxQueuedPoints: Int = 1000000,
+            spoolCleanup: Boolean = true) {
   import Graft._
 
   private def spacePath(space: String) = s"$root/$space"
@@ -389,7 +390,17 @@ class Graft(spark: SparkSession, root: String,
     continuousQueries.get(space).filter(_.isActive).getOrElse {
       val (fs, dir) = fsOf(spoolPath(space))
       fs.mkdirs(dir)
-      val q = spark.readStream.text(spoolPath(space))
+      // cleanSource=delete: a spool file whose batch COMMITTED is garbage
+      // (its rows live in bucket parquet) — without cleanup the dir grows
+      // one file per POST forever and every trigger re-lists all of them
+      // (review finding r12). Spark deletes only after the batch's commit
+      // marker lands (asynchronously), so crash replay still sees the
+      // uncommitted tail. `spoolCleanup=false` keeps every file — the
+      // crash-SIM spec needs it because it forges an uncommitted state by
+      // deleting the marker of a batch whose files may already be cleaned.
+      val q = spark.readStream
+        .option("cleanSource", if (spoolCleanup) "delete" else "off")
+        .text(spoolPath(space))
         .writeStream
         .option("checkpointLocation", spoolCkpt(space))
         .outputMode("append")
@@ -406,21 +417,33 @@ class Graft(spark: SparkSession, root: String,
   }
 
   /** Barrier: wait until every spool file written so far has landed (the
-    * continuous-mode analog of [[flushQueued]] for tests and perf runs). */
+    * continuous-mode analog of [[flushQueued]] for tests and perf runs).
+    * A query that DIED rethrows its failure here instead of silently
+    * reporting durability that never happened (review finding r12). */
   def awaitContinuous(space: String = "default"): Unit =
-    continuousLock.synchronized { continuousQueries.get(space) }
-      .filter(_.isActive).foreach(_.processAllAvailable())
+    continuousLock.synchronized { continuousQueries.get(space) }.foreach { q =>
+      if (q.isActive) q.processAllAvailable()
+      else q.exception.foreach(throw _)
+    }
 
   /** Stop all standing ingest queries (shutdown path). Spool files not yet
     * committed to the checkpoint are REPLAYED by the next
     * [[startContinuousIngest]] on the same root — stop is loss-free. */
   def stopContinuous(): Unit = continuousLock.synchronized {
+    var firstErr: Throwable = null
     continuousQueries.values.foreach { q =>
-      if (q.isActive) q.stop()
-      q.awaitTermination() // fully deregistered before the lock releases —
-      // a same-checkpoint restart must never see a half-stopped twin
+      try {
+        if (q.isActive) q.stop()
+        q.awaitTermination() // fully deregistered before the lock releases —
+        // a same-checkpoint restart must never see a half-stopped twin
+      } catch {
+        // a query that already died rethrows its failure from
+        // awaitTermination — record it, but keep stopping the others
+        case e: Throwable => if (firstErr == null) firstErr = e
+      }
     }
     continuousQueries.clear()
+    if (firstErr != null) throw firstErr
   }
 
   private def compileFor(pt: PointsTable, filter: String): Column =
@@ -515,7 +538,16 @@ class Graft(spark: SparkSession, root: String,
     * entry points do this).
     */
   def sql(query: String): DataFrame = {
-    spaces().foreach(sqlView(_)) // flushes every queue, so no space is missed
+    val sps = spaces() // flushes every queue, so no space is missed
+    // name-mangling must stay injective for THIS store's spaces: "a.b" and
+    // "a_b" would silently share one view, last registration winning
+    // (review finding r12) — reject loudly instead
+    val byView = sps.groupBy(sp => "graft_" + sp.replaceAll("[^A-Za-z0-9_]", "_"))
+    byView.find(_._2.size > 1).foreach { case (v, ss) =>
+      throw new IllegalArgumentException(
+        s"spaces ${ss.mkString(", ")} collide on SQL view name $v")
+    }
+    sps.foreach(sqlView(_))
     spark.sql(query)
   }
 

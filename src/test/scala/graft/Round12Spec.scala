@@ -283,7 +283,11 @@ class Round12Spec extends SparkTestBase {
       (resp.statusCode(), resp.body())
     }
     val root = Files.createTempDirectory(Paths.get("target"), "graft-cont").toString
-    val g = new graft.tsdb.Graft(spark, root)
+    // spoolCleanup=false: the crash sim below forges an uncommitted batch by
+    // deleting its commit marker — with cleanup on, that batch's spool files
+    // may already be (correctly) deleted, because a REAL crash-before-commit
+    // never triggers cleanup in the first place
+    val g = new graft.tsdb.Graft(spark, root, spoolCleanup = false)
     val srv = new graft.http.GraftHttpServer(g, spark, continuousIngest = true)
     val port = srv.start()
     try {
