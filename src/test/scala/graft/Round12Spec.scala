@@ -407,6 +407,41 @@ class Round12Spec extends SparkTestBase {
       s"pinned prefix drops 'blick', no-transpositions drops 'cilck': $iv")
   }
 
+  test("fuzzy kernel properties: OSA dominates Levenshtein, prefix pinning is monotone") {
+    import graft.functions.OsaDistance
+    val rnd = new scala.util.Random(12)
+    // tiny alphabet so edits, transpositions and shared prefixes are common
+    def word() = Seq.fill(1 + rnd.nextInt(8))(('a' + rnd.nextInt(4)).toChar).mkString
+    (0 until 3000).foreach { _ =>
+      val (a, b) = (word(), word())
+      val (osa, lev) = (OsaDistance.osa(a, b), OsaDistance.lev(a, b))
+      // OSA can only help: a transposition costs 1 instead of 2
+      assert(osa <= lev && lev <= osa + osa, s"'$a'~'$b': osa=$osa lev=$lev")
+      assert(osa >= math.abs(a.length - b.length))
+      assert(OsaDistance.osa(b, a) == osa && OsaDistance.lev(b, a) == lev)
+      // stripping a shared prefix never changes either distance — the
+      // property prefix_length pinning relies on (match at pl implies
+      // match at every smaller pl)
+      val p = word()
+      assert(OsaDistance.lev(p + a, p + b) == lev)
+      assert(OsaDistance.osa(p + a, p + b) == osa)
+    }
+    // end-to-end monotonicity: raising prefix_length only shrinks the hit set
+    val s = spark; import s.implicits._
+    val df = Seq.fill(200)(word()).distinct.toDF("event_type")
+    val term = "abca"
+    val hitSets = (0 to 3).map { pl =>
+      df.where(graft.tsdb.EsFilter.compile(
+        s"""{"fuzzy":{"event_type":{"value":"$term","fuzziness":2,
+             "prefix_length":$pl}}}""", df.columns))
+        .collect().map(_.getString(0)).toSet
+    }
+    hitSets.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(hi.subsetOf(lo), s"prefix pinning must be monotone: $lo vs $hi")
+    }
+    assert(hitSets.head.nonEmpty, "premise: the unpinned query matches something")
+  }
+
   test("intervals script filter: registered graft predicate sees minimal (start, end, gaps)") {
     val s = spark; import s.implicits._
     import graft.tsdb.EsFilter
