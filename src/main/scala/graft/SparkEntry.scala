@@ -515,6 +515,7 @@ object SparkEntry {
     "ann_ivf" -> ((s, d) => Ann.ivfTopK(s, d)),
     "ann_ivf_occupancy" -> ((s, d) => Ann.ivfOccupancy(s, d)),
     "ann_ivf_rebalance" -> ((s, d) => Ann.ivfRebalance(s, d)),
+    "ann_rebalance_cost" -> ((s, d) => Ann.ivfRebalanceCost(s, d)),
     // filtered vector search: the label predicate lands on the inverted
     // file BEFORE scoring (cost = occupancy x selectivity, never
     // post-filtering an unfiltered top-k)
@@ -816,6 +817,58 @@ object SparkEntry {
     }
     (init +: steps).mkString(",\n")
   }
+
+  /** IVF re-balance CTE chain, mirroring [[graft.ann.Ann.ivfRebalance]]
+    * step for step (assumes nothing; includes VecrCte + training): `assign`
+    * = rank-1 cells under the trained codebook (with the cosine kept for
+    * split ranking), `asg2` = rank-1 cells under the re-balanced codebook
+    * (hot cells split at their exact-DECIMAL half means, cold cells
+    * dropped). hotOver/coldUnder are the integer cross-multiplication
+    * thresholds (hot: n·cells > hotOver·total; cold: n·cells·coldUnder <
+    * total).
+    */
+  private def rebalanceCte(hotOver: Int, coldUnder: Int): String =
+    s"""$VecrCte,
+        ${ivfTrainCte(2, 16)},
+        knf AS (SELECT c_id, sum(cx*cx) AS nsq FROM c2 GROUP BY 1),
+        cc AS (SELECT v.vec_id AS vid, c.c_id AS cid, sum(v.x * c.cx) AS dot
+               FROM evr v JOIN c2 c ON v.i = c.i GROUP BY 1, 2),
+        ccos AS (SELECT vid, cid, round(dot/sqrt(nv.nsq*nc.nsq), 6) AS c
+                 FROM cc JOIN vnr nv ON nv.vec_id = vid JOIN knf nc ON nc.c_id = cid),
+        assign AS (SELECT vid, cid AS cell, c FROM (
+                     SELECT vid, cid, c, row_number() OVER (PARTITION BY vid
+                       ORDER BY c DESC, cid) AS arn FROM ccos) WHERE arn = 1),
+        tot AS (SELECT count(*) AS n_total FROM assign),
+        ncl AS (SELECT count(DISTINCT c_id) AS n_cells FROM c2),
+        occ AS (SELECT cell, count(*) AS n FROM assign GROUP BY 1),
+        cls AS (SELECT occ.cell,
+                  CASE WHEN occ.n * ncl.n_cells > $hotOver * tot.n_total THEN 'hot'
+                       WHEN occ.n * ncl.n_cells * $coldUnder < tot.n_total THEN 'cold'
+                       ELSE 'kept' END AS klass
+                FROM occ, tot, ncl),
+        hotr AS (SELECT a.vid, a.cell,
+                   row_number() OVER (PARTITION BY a.cell
+                     ORDER BY a.c DESC, a.vid) AS rnk,
+                   count(*) OVER (PARTITION BY a.cell) AS nc
+                 FROM assign a JOIN cls ON cls.cell = a.cell
+                 WHERE cls.klass = 'hot'),
+        hsub AS (SELECT vid, 1000 + cell * 2 +
+                   (CASE WHEN rnk <= (nc + 1) // 2 THEN 0 ELSE 1 END) AS c_id
+                 FROM hotr),
+        splc AS (SELECT h.c_id, v.i,
+                   ${rndSql("CAST(sum(CAST(v.x AS DECIMAL(18,6))) AS DOUBLE) / count(*)", 6)} AS cx
+                 FROM hsub h JOIN evr v ON v.vec_id = h.vid GROUP BY 1, 2),
+        newcb AS (SELECT c.c_id, c.i, c.cx FROM c2 c
+                  JOIN cls ON cls.cell = c.c_id AND cls.klass = 'kept'
+                  UNION ALL SELECT c_id, i, cx FROM splc),
+        kn2 AS (SELECT c_id, sum(cx*cx) AS nsq FROM newcb GROUP BY 1),
+        cc2 AS (SELECT v.vec_id AS vid, c.c_id AS cid, sum(v.x * c.cx) AS dot
+                FROM evr v JOIN newcb c ON v.i = c.i GROUP BY 1, 2),
+        cco2 AS (SELECT vid, cid, round(dot/sqrt(nv.nsq*nc.nsq), 6) AS c
+                 FROM cc2 JOIN vnr nv ON nv.vec_id = vid JOIN kn2 nc ON nc.c_id = cid),
+        asg2 AS (SELECT vid, cid AS cell FROM (
+                   SELECT vid, cid, row_number() OVER (PARTITION BY vid
+                     ORDER BY c DESC, cid) AS arn FROM cco2) WHERE arn = 1)"""
 
   /** Lloyd's iterations for the PQ sub-codebooks, mirroring
     * [[graft.ann.Ann.trainPqCentroids]] (assumes the `sub` CTE); emits
@@ -2648,55 +2701,37 @@ object SparkEntry {
                  ${rndSql("count(*) * 1.0 / n_total", 6)} AS share
           FROM assign, tot GROUP BY cell, n_total ORDER BY 1, 2, 3""",
     // ann_ivf_rebalance: deterministic replay of Ann.ivfRebalance — split
-    // hot cells (integer cross-multiplied 2x-uniform test) into near/far
-    // halves at their exact-DECIMAL means, drop cold cells, reassign, and
-    // report the re-balanced occupancy
+    // hot cells (integer cross-multiplied hotOver-x-uniform test) into
+    // near/far halves at their exact-DECIMAL means, drop cold cells,
+    // reassign, and report the re-balanced occupancy
     "ann_ivf_rebalance" ->
-      s"""WITH $VecrCte,
-              ${ivfTrainCte(2, 16)},
-              knf AS (SELECT c_id, sum(cx*cx) AS nsq FROM c2 GROUP BY 1),
-              cc AS (SELECT v.vec_id AS vid, c.c_id AS cid, sum(v.x * c.cx) AS dot
-                     FROM evr v JOIN c2 c ON v.i = c.i GROUP BY 1, 2),
-              ccos AS (SELECT vid, cid, round(dot/sqrt(nv.nsq*nc.nsq), 6) AS c
-                       FROM cc JOIN vnr nv ON nv.vec_id = vid JOIN knf nc ON nc.c_id = cid),
-              assign AS (SELECT vid, cid AS cell, c FROM (
-                           SELECT vid, cid, c, row_number() OVER (PARTITION BY vid
-                             ORDER BY c DESC, cid) AS arn FROM ccos) WHERE arn = 1),
-              tot AS (SELECT count(*) AS n_total FROM assign),
-              ncl AS (SELECT count(DISTINCT c_id) AS n_cells FROM c2),
-              occ AS (SELECT cell, count(*) AS n FROM assign GROUP BY 1),
-              cls AS (SELECT occ.cell,
-                        CASE WHEN occ.n * ncl.n_cells > 2 * tot.n_total THEN 'hot'
-                             WHEN occ.n * ncl.n_cells * 4 < tot.n_total THEN 'cold'
-                             ELSE 'kept' END AS klass
-                      FROM occ, tot, ncl),
-              hotr AS (SELECT a.vid, a.cell,
-                         row_number() OVER (PARTITION BY a.cell
-                           ORDER BY a.c DESC, a.vid) AS rnk,
-                         count(*) OVER (PARTITION BY a.cell) AS nc
-                       FROM assign a JOIN cls ON cls.cell = a.cell
-                       WHERE cls.klass = 'hot'),
-              hsub AS (SELECT vid, 1000 + cell * 2 +
-                         (CASE WHEN rnk <= (nc + 1) // 2 THEN 0 ELSE 1 END) AS c_id
-                       FROM hotr),
-              splc AS (SELECT h.c_id, v.i,
-                         ${rndSql("CAST(sum(CAST(v.x AS DECIMAL(18,6))) AS DOUBLE) / count(*)", 6)} AS cx
-                       FROM hsub h JOIN evr v ON v.vec_id = h.vid GROUP BY 1, 2),
-              newcb AS (SELECT c.c_id, c.i, c.cx FROM c2 c
-                        JOIN cls ON cls.cell = c.c_id AND cls.klass = 'kept'
-                        UNION ALL SELECT c_id, i, cx FROM splc),
-              kn2 AS (SELECT c_id, sum(cx*cx) AS nsq FROM newcb GROUP BY 1),
-              cc2 AS (SELECT v.vec_id AS vid, c.c_id AS cid, sum(v.x * c.cx) AS dot
-                      FROM evr v JOIN newcb c ON v.i = c.i GROUP BY 1, 2),
-              cco2 AS (SELECT vid, cid, round(dot/sqrt(nv.nsq*nc.nsq), 6) AS c
-                       FROM cc2 JOIN vnr nv ON nv.vec_id = vid JOIN kn2 nc ON nc.c_id = cid),
-              asg2 AS (SELECT vid, cid AS cell FROM (
-                         SELECT vid, cid, row_number() OVER (PARTITION BY vid
-                           ORDER BY c DESC, cid) AS arn FROM cco2) WHERE arn = 1),
+      s"""WITH ${rebalanceCte(2, 4)},
               tot2 AS (SELECT count(*) AS n_total FROM asg2)
           SELECT cell, CASE WHEN cell >= 1000 THEN 'split' ELSE 'kept' END AS action,
                  count(*) AS n_vecs, ${rndSql("count(*) * 1.0 / n_total", 6)} AS share
           FROM asg2, tot2 GROUP BY cell, n_total ORDER BY 1, 2, 3, 4""",
+    // ann_rebalance_cost: the WHY-rebalance number — expected probed-cell
+    // occupancy for a rank-1 probe of a random corpus vector, E[scan] =
+    // sum(n_c^2)/N, before vs after an aggressive (uniform-threshold)
+    // rebalance; exact integer sums, CAST BIGINT
+    "ann_rebalance_cost" ->
+      s"""WITH ${rebalanceCte(1, 1)},
+              o1 AS (SELECT cell, count(*) AS n FROM assign GROUP BY 1),
+              o2 AS (SELECT cell, count(*) AS n FROM asg2 GROUP BY 1),
+              r1 AS (SELECT 'original' AS variant, count(*) AS n_cells,
+                            CAST(sum(n) AS BIGINT) AS n_total,
+                            CAST(max(n) AS BIGINT) AS max_cell,
+                            CAST(sum(n*n) AS BIGINT) AS sum_sq,
+                            ${rndSql("sum(n*n) * 1.0 / sum(n)", 4)} AS exp_scan
+                     FROM o1),
+              r2 AS (SELECT 'rebalanced' AS variant, count(*) AS n_cells,
+                            CAST(sum(n) AS BIGINT) AS n_total,
+                            CAST(max(n) AS BIGINT) AS max_cell,
+                            CAST(sum(n*n) AS BIGINT) AS sum_sq,
+                            ${rndSql("sum(n*n) * 1.0 / sum(n)", 4)} AS exp_scan
+                     FROM o2)
+          SELECT * FROM r1 UNION ALL SELECT * FROM r2
+          ORDER BY 1, 2, 3, 4, 5, 6""",
     "ann_recall" ->
       s"""WITH $VecrCte,
               bfd AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, sum(a.x*b.x) AS dot

@@ -328,6 +328,55 @@ object Ann {
   def ivfRebalance(s: SparkSession, d: String, nCentroids: Int = 16,
                    trainIters: Int = 2, hotOver: Int = 2,
                    coldUnder: Int = 4): DataFrame = {
+    val (_, reassigned) =
+      rebalancedAssignments(s, d, nCentroids, trainIters, hotOver, coldUnder)
+    val tot2 = reassigned.agg(count(lit(1)).as("n_total"))
+    val out = reassigned.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+      .crossJoin(broadcast(tot2))
+      .select(col("cell"),
+        when(col("cell") >= 1000L, "split").otherwise("kept").as("action"),
+        col("n_vecs"),
+        Det.rnd(col("n_vecs") * lit(1.0) / col("n_total"), 6).as("share"))
+    Det.ordered(out)
+  }
+
+  /** The WHY-rebalance number — the probe cost model before vs after: a
+    * rank-1 probe of a random corpus vector scans its own cell, so the
+    * expected scan cost is E[n_cell] weighted by membership = Σ n_c² / N.
+    * Skew concentrates that sum (one hot cell dominates every probe that
+    * lands in it); splitting hot cells lowers it, while DROPPING cells
+    * raises it (their members pile into survivors) — cold-drop is probe-
+    * COUNT hygiene, not scan-cost reduction. The report is therefore the
+    * GO/NO-GO gate an operator reads BEFORE rebalancing: measured at the
+    * aggressive uniform thresholds (hotOver=coldUnder=1), sf0.001's
+    * mildly-skewed codebook shows exp_scan 31.9 → 28.6 (go) while
+    * sf0.1's well-balanced one shows 125.6 → 144.8 (NO-go: the drops
+    * dominate) — the honest negative delta is exactly what the metric
+    * exists to surface. Exact integer sums; oracle-checked.
+    */
+  def ivfRebalanceCost(s: SparkSession, d: String, nCentroids: Int = 16,
+                       trainIters: Int = 2, hotOver: Int = 1,
+                       coldUnder: Int = 1): DataFrame = {
+    val (before, after) =
+      rebalancedAssignments(s, d, nCentroids, trainIters, hotOver, coldUnder)
+    def costOf(assigned: DataFrame, variant: String): DataFrame =
+      assigned.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)).as("n_cells"), sum(col("n")).as("n_total"),
+          max(col("n")).as("max_cell"), sum(col("n") * col("n")).as("sum_sq"))
+        .select(lit(variant).as("variant"), col("n_cells"), col("n_total"),
+          col("max_cell"), col("sum_sq"),
+          Det.rnd(col("sum_sq") * lit(1.0) / col("n_total"), 4).as("exp_scan"))
+    Det.ordered(costOf(before, "original").unionByName(costOf(after, "rebalanced")))
+  }
+
+  /** The shared re-balance pipeline: (rank-1 cells under the trained
+    * codebook, rank-1 cells under the re-balanced codebook) — the split /
+    * drop / reassign machinery both the occupancy report and the cost
+    * model ride, so the two can never disagree on what "rebalanced" means.
+    */
+  private def rebalancedAssignments(s: SparkSession, d: String, nCentroids: Int,
+                                    trainIters: Int, hotOver: Int,
+                                    coldUnder: Int): (DataFrame, DataFrame) = {
     val e = quantNormTable(s, d)
     val cents = ivfCodebook(s, d, nCentroids, trainIters)
     val wA = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
@@ -378,14 +427,7 @@ object Ann {
       .withColumn("arn", row_number().over(wB))
       .where(col("arn") === 1)
       .select(col("vec_id"), col("c_id").as("cell"))
-    val tot2 = reassigned.agg(count(lit(1)).as("n_total"))
-    val out = reassigned.groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
-      .crossJoin(broadcast(tot2))
-      .select(col("cell"),
-        when(col("cell") >= 1000L, "split").otherwise("kept").as("action"),
-        col("n_vecs"),
-        Det.rnd(col("n_vecs") * lit(1.0) / col("n_total"), 6).as("share"))
-    Det.ordered(out)
+    (assigned.select(col("vec_id"), col("cell")), reassigned)
   }
 
   /** Persist the trained IVF and PQ codebooks as parquet tables under

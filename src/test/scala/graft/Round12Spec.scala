@@ -369,6 +369,20 @@ class Round12Spec extends SparkTestBase {
       "cold cells must be dropped from the codebook")
     // every split id traces back to a hot original cell: id = 1000 + 2c + s
     assert(split.map(t => (t._1 - 1000L) / 2).toSet.subsetOf(hotOrig))
+
+    // the cost model: both variants reported over the SAME corpus, sum_sq
+    // consistent with its definition, exp_scan = sum_sq / n_total
+    val cost = Ann.ivfRebalanceCost(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))).toSeq
+    assert(cost.map(_._1).sorted == Seq("original", "rebalanced"))
+    cost.foreach { case (_, nCells, nTotal, maxCell, sumSq, expScan) =>
+      assert(nTotal == corpusN && maxCell <= nTotal && nCells >= 1)
+      // sum of squares over cells is bounded by maxCell * total and at
+      // least total (every cell >= 1 member contributes n >= n*1)
+      assert(sumSq >= nTotal && sumSq <= maxCell * nTotal)
+      assert(math.abs(expScan - sumSq.toDouble / nTotal) < 1e-3)
+    }
   }
 
   // ---- ES fuzzy knobs (r11 "missing" #2)
