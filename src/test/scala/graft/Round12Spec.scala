@@ -338,6 +338,43 @@ class Round12Spec extends SparkTestBase {
     } finally { srv.stop(); g.stopContinuous() }
   }
 
+  test("continuous ingest is per-space: two spaces land independently; config flag parses") {
+    import java.nio.file.{Files, Paths}
+    val s = spark; import s.implicits._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = Files.createTempDirectory(Paths.get("target"), "graft-cont2").toString
+    val g = new graft.tsdb.Graft(spark, root)
+    try {
+      val t = 1704794400000L
+      def pt(v: Double, host: String) = mapper.readTree(
+        s"""{"time":${t + (v * 1000).toLong},"value":$v,"name":"cpu","host":"$host"}""")
+      assert(g.writeSpooled(Seq(pt(1.0, "a")), "alpha").isEmpty)
+      assert(g.writeSpooled(Seq(pt(2.0, "b")), "beta").isEmpty)
+      g.awaitContinuous("alpha"); g.awaitContinuous("beta")
+      // each space has its own standing query, spool, checkpoint and store
+      assert(g.read("""{"match_all":{}}""", "alpha").count() == 1L)
+      assert(g.read("""{"match_all":{}}""", "beta").count() == 1L)
+      assert(g.read("""{"term":{"host":"b"}}""", "alpha").count() == 0L,
+        "spaces must stay disjoint under continuous ingest")
+      assert(new java.io.File(s"$root/.spool-ckpt/alpha").exists())
+      assert(new java.io.File(s"$root/.spool-ckpt/beta").exists())
+    } finally g.stopContinuous()
+
+    // the config flag plumbs through loadConfig (reference config shape +
+    // the graft extension key)
+    val cfgPath = s"$root/cfg.json"
+    Files.write(Paths.get(cfgPath),
+      """{"port": 9999, "continuous_ingest": true,
+          "spaces": {"default": {"table_granularity_days": 1}}}"""
+        .getBytes("UTF-8"))
+    val cfg = graft.tsdb.Graft.loadConfig(spark, cfgPath)
+    assert(cfg.continuousIngest && cfg.port == 9999)
+    // absent key defaults to the queued path
+    val cfgPath2 = s"$root/cfg2.json"
+    Files.write(Paths.get(cfgPath2), """{"port": 9998}""".getBytes("UTF-8"))
+    assert(!graft.tsdb.Graft.loadConfig(spark, cfgPath2).continuousIngest)
+  }
+
   // ---- IVF re-balance (directive r11 #8b)
 
   test("ivfRebalance: no-op on a balanced codebook, splits/drops under tight thresholds") {
