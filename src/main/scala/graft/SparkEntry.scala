@@ -3215,16 +3215,18 @@ object SparkEntry {
     // HUGEINT class — now also enforced by local_verify's type gate);
     // ratios from the exact sums with the rnd nudge.
     "tokenizer_fertility" ->
-      s"""WITH m AS (SELECT lang, len(string_split($NormSql, ' ')) AS ws,
-                            len(regexp_extract_all(text, '[a-zA-Z0-9]+|[^a-zA-Z0-9 ]')) AS re,
+      s"""WITH m AS (SELECT lang, toks,
+                            list_sum(list_transform(toks,
+                              t -> (length(t) + 3) // 4)) AS sub,
                             strlen(text) AS bytes
-                     FROM documents)
+                     FROM (SELECT lang, text,
+                             string_split($NormSql, ' ') AS toks FROM documents))
           SELECT lang, count(*) AS n_docs,
-                 CAST(sum(ws) AS BIGINT) AS n_words,
-                 CAST(sum(re) AS BIGINT) AS n_tokens,
+                 CAST(sum(len(toks)) AS BIGINT) AS n_words,
+                 CAST(sum(sub) AS BIGINT) AS n_tokens,
                  CAST(sum(bytes) AS BIGINT) AS n_bytes,
-                 ${rndSql("sum(re) * 1.0 / sum(ws)", 4)} AS fertility,
-                 ${rndSql("sum(bytes) * 1.0 / sum(re)", 4)} AS bytes_per_token
+                 ${rndSql("sum(sub) * 1.0 / sum(len(toks))", 4)} AS fertility,
+                 ${rndSql("sum(bytes) * 1.0 / sum(sub)", 4)} AS bytes_per_token
           FROM m GROUP BY 1 ORDER BY 1, 2, 3, 4, 5, 6, 7""",
     "text_bigrams" ->
       s"""WITH t AS (SELECT doc_id, string_split($NormSql, ' ') AS toks FROM documents),

@@ -251,16 +251,22 @@ object TextOps {
     * the reports can never disagree on definitions.
     */
   def tokenizerFertility(s: SparkSession, d: String): DataFrame = {
+    // subword proxy: ceil(len/4) pieces per word — the fixed-width stand-in
+    // for what a small BPE spends on unseen words, so fertility reflects
+    // each language's word-LENGTH distribution (exact integer arithmetic,
+    // no tokenizer model needed)
+    val subCount = aggregate(
+      transform(tokens(col("text")), t => floor((length(t) + lit(3)) / lit(4))),
+      lit(0L), (acc, x) => acc + x.cast("bigint"))
     val per = Tables.documents(s, d).select(
         col("lang"),
         size(tokens(col("text"))).cast("bigint").as("ws"),
-        regexp_count(col("text"), lit("[a-zA-Z0-9]+|[^a-zA-Z0-9 ]"))
-          .cast("bigint").as("re"),
+        subCount.cast("bigint").as("sub"),
         octet_length(col("text")).cast("bigint").as("bytes"))
     val out = per.groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("ws")).as("n_words"),
-        sum(col("re")).as("n_tokens"),
+        sum(col("sub")).as("n_tokens"),
         sum(col("bytes")).as("n_bytes"))
       .select(col("lang"), col("n_docs"), col("n_words"), col("n_tokens"),
         col("n_bytes"),
