@@ -111,7 +111,34 @@ def compare():
     print(f"== {nok}/{len(results)} pass")
 
 
+def self_test():
+    """Prove the type gate rejects the recurring red-row class: plant an
+    un-CAST integer sum() (DuckDB HUGEINT) as the oracle for a BIGINT
+    parquet column and require a TYPE_MISMATCH verdict. Run:
+    python3 scripts/local_verify.py --self-test  (needs a prior verify OUT)
+    """
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    files = glob.glob(f"{OUT}/q1_agg/*.parquet")
+    planted = ("SELECT l_returnflag, sum(l_linenumber) AS count_order "
+               "FROM lineitem GROUP BY 1")
+    bad = type_gate(con, files, planted)
+    assert bad and any(t[2] == "HUGEINT" for t in bad), \
+        f"type gate FAILED to flag a planted un-CAST sum(): {bad}"
+    fixed = planted.replace("sum(l_linenumber)",
+                            "CAST(sum(l_linenumber) AS BIGINT)")
+    assert not type_gate(con, files, fixed), "CAST form must pass"
+    print(f"SELF-TEST OK: planted un-CAST sum() rejected ({bad}), "
+          "CAST form accepted")
+
+
 if __name__ == "__main__":
+    if "--self-test" in sys.argv:
+        self_test()
+        sys.exit(0)
     if "--skip-spark" not in sys.argv:
         run_spark()
     compare()
