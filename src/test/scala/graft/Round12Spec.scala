@@ -208,6 +208,15 @@ class Round12Spec extends SparkTestBase {
     // view freshness: a write AFTER registration is visible on the next call
     g.write(pts(s"""{"time":${t + 2000},"value":9.0,"name":"cpu","host":"c"}"""))
     assert(g.sql("SELECT count(*) FROM graft_default").head().getLong(0) == 3L)
+
+    // name mangling must stay injective: "other.x" and "other_x" would
+    // silently share the view graft_other_x — rejected loudly instead
+    g.write(pts(s"""{"time":$t,"value":1.0,"name":"m","host":"y"}"""), "other.x")
+    g.write(pts(s"""{"time":$t,"value":2.0,"name":"m","host":"y"}"""), "other_x")
+    val collide = intercept[IllegalArgumentException] {
+      g.sql("SELECT count(*) FROM graft_other_x")
+    }
+    assert(collide.getMessage.contains("collide"), collide.getMessage)
   }
 
   // ---- retention daemon under live writes (directive r11 #7)
