@@ -60,12 +60,19 @@ def norm_val(v):
     return str(v)
 
 
-def compare():
+def make_con():
+    """One DuckDB env for the gate AND its self-test — they must never
+    drift apart, or the self-test proves a different environment."""
     con = duckdb.connect()
     for t in TABLES:
         p = f"{SF}/{t}.parquet"
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def compare():
+    con = make_con()
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
     results = {}
     for name in sorted(os.listdir(OUT)):
@@ -117,12 +124,11 @@ def self_test():
     parquet column and require a TYPE_MISMATCH verdict. Run:
     python3 scripts/local_verify.py --self-test  (needs a prior verify OUT)
     """
-    con = duckdb.connect()
-    for t in TABLES:
-        p = f"{SF}/{t}.parquet"
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    con = make_con()
     files = glob.glob(f"{OUT}/q1_agg/*.parquet")
+    if not files:
+        sys.exit(f"self-test needs a prior verify run: no parquet under "
+                 f"{OUT}/q1_agg (run `python3 scripts/local_verify.py` first)")
     planted = ("SELECT l_returnflag, sum(l_linenumber) AS count_order "
                "FROM lineitem GROUP BY 1")
     bad = type_gate(con, files, planted)

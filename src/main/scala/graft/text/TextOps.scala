@@ -247,8 +247,10 @@ object TextOps {
     * which skews any byte-denominated mix toward it. One scan + one
     * aggregation shuffle on the (tiny-cardinality) language key — grouped
     * by the corpus's ground-truth `lang` label (the production input is a
-    * labeled corpus post-langid); rides [[tokenCounts]]'s token regex so
-    * the reports can never disagree on definitions.
+    * labeled corpus post-langid). Deliberately a DIFFERENT token notion
+    * than [[tokenCounts]]'s regex count: fertility is about subword spend
+    * per word, so it uses the ceil(len/4) piece proxy below — the two
+    * reports answer different questions and are expected to differ.
     */
   def tokenizerFertility(s: SparkSession, d: String): DataFrame = {
     // subword proxy: ceil(len/4) pieces per word — the fixed-width stand-in
