@@ -384,6 +384,50 @@ class Round12Spec extends SparkTestBase {
     assert(!graft.tsdb.Graft.loadConfig(spark, cfgPath2).continuousIngest)
   }
 
+  test("retention sweep races CONTINUOUS ingest: stream survives, live points land, doomed buckets drop") {
+    import java.nio.file.{Files, Paths}
+    val s = spark; import s.implicits._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = Files.createTempDirectory(Paths.get("target"), "graft-contrace").toString
+    val keep = 5
+    val g = new graft.tsdb.Graft(spark, root, granularityDays = 1,
+      spaceKeepDays = Map("default" -> keep))
+    try {
+      val today = 19750L
+      val (oldDay, newDay) = (19740L, 19749L)
+      def pt(day: Long, i: Int) = mapper.readTree(
+        s"""{"time":${day * 86400000L + i},"value":$i.0,"name":"cpu","host":"h$i"}""")
+      // seed a doomed bucket through the stream, then race live spooled
+      // writes (old + new mixed) against repeated sweeps
+      g.writeSpooled(Seq(pt(oldDay, 100)))
+      g.awaitContinuous()
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val n = 6
+      val writer = new Thread(() =>
+        try (0 until n).foreach { i =>
+          g.writeSpooled(Seq(pt(newDay, i), pt(oldDay, 200 + i)))
+          Thread.sleep(20)
+        } catch { case e: Throwable => errs.add(e) })
+      val sweeper = new Thread(() =>
+        try (0 until n).foreach { _ => g.retentionSweep(today); Thread.sleep(30) }
+        catch { case e: Throwable => errs.add(e) })
+      writer.start(); sweeper.start(); writer.join(); sweeper.join()
+      assert(errs.isEmpty, errs.toString)
+      // the standing query must have survived the concurrent deletes (the
+      // per-space mutation lock serializes its landing jobs against them)
+      g.awaitContinuous() // rethrows if the stream died
+      g.retentionSweep(today)
+      def buckets() = new java.io.File(s"$root/default").listFiles()
+        .map(_.getName).filter(_.startsWith("bucket_day=")).toSet
+      assert(buckets() == Set(s"bucket_day=$newDay"), buckets().toString)
+      val rows = g.read("""{"match_all":{}}""").collect()
+        .map(r => (r.getAs[Long]("time_ms"), r.getAs[Double]("value"))).toSeq
+      val expected = (0 until n).map(i => (newDay * 86400000L + i, i.toDouble))
+      assert(rows.sorted == expected.sorted,
+        s"live spooled points must survive the sweep: ${rows.sorted}")
+    } finally g.stopContinuous()
+  }
+
   // ---- IVF re-balance (directive r11 #8b)
 
   test("ivfRebalance: no-op on a balanced codebook, splits/drops under tight thresholds") {
