@@ -148,6 +148,14 @@ object SparkEntry {
         """{"fuzzy":{"event_type":{"value":"clickk","fuzziness":"AUTO",
              "prefix_length":3}}}"""),
       Start, End)),
+    // ES match with fuzziness (r12): each analyzed query term expands to a
+    // fuzzy token test, AUTO judged PER TERM (6-char 'clickk' -> 2,
+    // 8-char 'purchaze' -> 2), OR across terms (the ES default operator)
+    "ts_read_filter_match_fuzzy" -> ((s, d) => Tsdb.read(Tsdb.points(s, d),
+      EsFilter.compile(
+        """{"match":{"event_type":{"query":"clickk purchaze",
+             "fuzziness":"AUTO"}}}"""),
+      Start, End)),
     // ES `match_phrase`: analyzed terms adjacent and in order
     "ts_read_filter_phrase" -> ((s, d) => Tsdb.read(Tsdb.points(s, d),
       EsFilter.compile("""{"match_phrase":{"event_type":"click"}}"""), Start, End)),
@@ -1410,6 +1418,16 @@ object SparkEntry {
           WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
             AND starts_with(event_type, 'cli')
             AND damerau_levenshtein(substring(event_type, 4), 'ckk') <= 2
+          ORDER BY 1, 2, 3, 4""",
+    // match+fuzziness: per-term fuzzy token test over the analyzed field,
+    // OR across terms
+    "ts_read_filter_match_fuzzy" ->
+      s"""SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events
+          WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
+            AND (len(list_filter(string_split(lower(event_type), ' '),
+                   t -> damerau_levenshtein(t, 'clickk') <= 2)) > 0
+              OR len(list_filter(string_split(lower(event_type), ' '),
+                   t -> damerau_levenshtein(t, 'purchaze') <= 2)) > 0)
           ORDER BY 1, 2, 3, 4""",
     "ts_read_filter_fuzzy_osa" ->
       s"""SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events

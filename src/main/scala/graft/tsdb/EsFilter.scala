@@ -278,6 +278,12 @@ object EsFilter {
     val fields = body.get("fields").elements().asScala.map(_.asText()).toSeq
     require(fields.nonEmpty, "multi_match needs at least one field")
     val op = if (body.has("operator")) body.get("operator").asText().toLowerCase else "or"
+    // fuzziness on multi_match is rejected, not silently dropped (the
+    // implement-or-reject convention): wrap per-field fuzzy `match`
+    // clauses in a bool instead — same semantics, explicit
+    require(!body.has("fuzziness"),
+      "multi_match fuzziness is rejected, not approximated: use a bool of " +
+        "per-field match clauses with fuzziness")
     val mType = if (body.has("type")) body.get("type").asText() else "best_fields"
     val supported = Set("best_fields", "most_fields", "cross_fields",
       "phrase", "phrase_prefix", "bool_prefix")
@@ -1020,6 +1026,12 @@ object EsFilter {
     * field is the lowercase whitespace token set of the stored value — the
     * minimal standard-analyzer model for tag-like fields (the reference
     * forwards `match` verbatim to ES, lib/orestes.js:84).
+    *
+    * r12: `fuzziness` (ES supports it on match — previously silently
+    * ignored, violating the implement-or-reject convention): each analyzed
+    * term expands to its fuzzy token test, AUTO judged PER TERM (the ES
+    * rule), with the full `transpositions`/`prefix_length` knob set riding
+    * the same kernel slots the fuzzy query and intervals rule use.
     */
   private def matchQuery(body: JsonNode): Column = {
     require(body.isObject && body.size() == 1, s"expected {field: query}, got $body")
@@ -1032,8 +1044,20 @@ object EsFilter {
       else (spec.asText(), "or")
     val terms = qText.trim.toLowerCase.split("\\s+").toSeq.filter(_.nonEmpty)
     require(terms.nonEmpty, "match needs a non-empty query")
-    val toks = split(lower(fieldCol(f)), "\\s+")
-    val preds = terms.map(t => array_contains(toks, t))
+    val preds: Seq[Column] =
+      if (spec.isObject && spec.has("fuzziness")) {
+        val tr = !spec.has("transpositions") ||
+          spec.get("transpositions").asBoolean(true)
+        val pl = if (spec.has("prefix_length")) spec.get("prefix_length").asInt() else 0
+        require(pl >= 0, s"prefix_length must be non-negative, got $pl")
+        terms.map(t => sloppyMatch(fieldCol(f),
+          Seq(graft.functions.SloppySlot(Nil, Nil, 0, 0,
+            fuzzies = Seq(graft.functions.FuzzySpec(t, fuzzinessOf(spec, t), tr, pl)))),
+          0, inOrder = false))
+      } else {
+        val toks = split(lower(fieldCol(f)), "\\s+")
+        terms.map(t => array_contains(toks, t))
+      }
     if (op == "and") preds.reduce(_ && _) else preds.reduce(_ || _)
   }
 
