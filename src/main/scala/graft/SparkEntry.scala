@@ -156,6 +156,15 @@ object SparkEntry {
         """{"match":{"event_type":{"query":"clickk purchaze",
              "fuzziness":"AUTO"}}}"""),
       Start, End)),
+    // match minimum_should_match (r12): >= 50% of 4 analyzed terms (floored
+    // -> 2) must appear as tokens of the analyzed field
+    "ts_read_filter_match_min" -> ((s, d) => {
+      val docs = graft.core.Tables.documents(s, d)
+      graft.core.Det.ordered(docs.where(EsFilter.compile(
+        """{"match":{"text":{"query":"table data merge result",
+             "minimum_should_match":"50%"}}}""",
+        docs.columns.toSeq)).select(docs.col("doc_id")))
+    }),
     // ES `match_phrase`: analyzed terms adjacent and in order
     "ts_read_filter_phrase" -> ((s, d) => Tsdb.read(Tsdb.points(s, d),
       EsFilter.compile("""{"match_phrase":{"event_type":"click"}}"""), Start, End)),
@@ -1429,6 +1438,15 @@ object SparkEntry {
               OR len(list_filter(string_split(lower(event_type), ' '),
                    t -> damerau_levenshtein(t, 'purchaze') <= 2)) > 0)
           ORDER BY 1, 2, 3, 4""",
+    "ts_read_filter_match_min" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+                    FROM documents)
+         SELECT doc_id FROM t
+         WHERE (CASE WHEN list_contains(toks, 'table') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(toks, 'data') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(toks, 'merge') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(toks, 'result') THEN 1 ELSE 0 END) >= 2
+         ORDER BY 1""",
     "ts_read_filter_fuzzy_osa" ->
       s"""SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events
           WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End

@@ -1058,7 +1058,19 @@ object EsFilter {
         val toks = split(lower(fieldCol(f)), "\\s+")
         terms.map(t => array_contains(toks, t))
       }
-    if (op == "and") preds.reduce(_ && _) else preds.reduce(_ || _)
+    // minimum_should_match on match (r12, same implement-or-reject sweep as
+    // fuzziness): at least N of the analyzed terms must match — integer or
+    // percentage (floored, min 1, the mlt/bool parse). Only meaningful with
+    // the OR operator (ES ignores it under "and"; we follow).
+    if (op == "and") preds.reduce(_ && _)
+    else if (spec.isObject && spec.has("minimum_should_match")) {
+      val msmRaw = spec.get("minimum_should_match").asText()
+      val msm = math.max(1,
+        if (msmRaw.endsWith("%"))
+          math.floor(msmRaw.dropRight(1).toDouble / 100.0 * terms.size).toInt
+        else msmRaw.toInt)
+      preds.map(p => when(p, 1).otherwise(0): Column).reduce(_ + _) >= msm
+    } else preds.reduce(_ || _)
   }
 
   /** ES `nested`: scopes the inner query to `path` — inner fields may be
