@@ -156,6 +156,12 @@ object SparkEntry {
         """{"match":{"event_type":{"query":"clickk purchaze",
              "fuzziness":"AUTO"}}}"""),
       Start, End)),
+    // query_string `~` fuzzy operator (r12 — previously a silent literal):
+    // bare `~` is the AUTO ladder (clickk -> 2), `~1` an explicit budget
+    "ts_read_filter_qs_fuzzy" -> ((s, d) => Tsdb.read(Tsdb.points(s, d),
+      EsFilter.compile(
+        """{"query_string":{"query":"event_type:clickk~ OR event_type:purchaze~1"}}"""),
+      Start, End)),
     // match minimum_should_match (r12): >= 50% of 4 analyzed terms (floored
     // -> 2) must appear as tokens of the analyzed field
     "ts_read_filter_match_min" -> ((s, d) => {
@@ -1437,6 +1443,12 @@ object SparkEntry {
                    t -> damerau_levenshtein(t, 'clickk') <= 2)) > 0
               OR len(list_filter(string_split(lower(event_type), ' '),
                    t -> damerau_levenshtein(t, 'purchaze') <= 2)) > 0)
+          ORDER BY 1, 2, 3, 4""",
+    "ts_read_filter_qs_fuzzy" ->
+      s"""SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events
+          WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
+            AND (damerau_levenshtein(event_type, 'clickk') <= 2
+              OR damerau_levenshtein(event_type, 'purchaze') <= 1)
           ORDER BY 1, 2, 3, 4""",
     "ts_read_filter_match_min" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks

@@ -225,6 +225,18 @@ object EsFilter {
     }
   }
 
+  /** OSA edit distance as a Column: the codegen'd kernel when
+    * GraftExtensions is installed, the (documented no-transpositions)
+    * builtin fallback otherwise — shared by the fuzzy query and
+    * query_string's `~` operator.
+    */
+  private def editDistCol(lhs: Column, text: String): Column = {
+    val active = org.apache.spark.sql.SparkSession.active
+    if (active.catalog.functionExists("graft_osa"))
+      call_function("graft_osa", lhs, lit(text))
+    else levenshtein(lhs, lit(text))
+  }
+
   private def fuzzy(body: JsonNode): Column = {
     require(body.isObject && body.size() == 1, s"expected {field: spec}, got $body")
     val f = body.fieldNames().next()
@@ -1102,6 +1114,16 @@ object EsFilter {
       else Seq.empty
     def valueMatch(f: String, v: String): Column =
       if (v.exists(c => c == '*' || c == '?')) fieldCol(f).rlike(wildcardToRegex(v))
+      // the `~` fuzzy operator (r12 — previously a silent literal match):
+      // `term~N` = within N edits, bare `term~` = AUTO ladder, the Lucene
+      // query-syntax form; same OSA kernel as the fuzzy query
+      else if (v.length > 1 && v.matches(".+~\\d*")) {
+        val cut = v.lastIndexOf('~')
+        val text = v.substring(0, cut)
+        val dd = v.substring(cut + 1)
+        val dist = if (dd.isEmpty) fuzzinessOf(null, text) else dd.toInt
+        editDistCol(fieldCol(f).cast("string"), text) <= dist
+      }
       else if (v.matches("-?\\d+")) fieldCol(f) === lit(v.toLong)
       else if (v.matches("-?\\d*\\.\\d+")) fieldCol(f) === lit(v.toDouble)
       else fieldCol(f) === lit(v)
