@@ -156,6 +156,15 @@ object SparkEntry {
         """{"match":{"event_type":{"query":"clickk purchaze",
              "fuzziness":"AUTO"}}}"""),
       Start, End)),
+    // case_insensitive on term-level queries (r12): lowered prefix,
+    // lowered wildcard, (?i)-flagged regexp — OR'd so all three forms run
+    "ts_read_filter_term_ci" -> ((s, d) => Tsdb.read(Tsdb.points(s, d),
+      EsFilter.compile(
+        """{"bool":{"should":[
+             {"prefix":{"event_type":{"value":"CLI","case_insensitive":true}}},
+             {"wildcard":{"event_type":{"value":"*URCHASE","case_insensitive":true}}},
+             {"regexp":{"event_type":{"value":"SIGN.*","case_insensitive":true}}}]}}"""),
+      Start, End)),
     // query_string `~` fuzzy operator (r12 — previously a silent literal):
     // bare `~` is the AUTO ladder (clickk -> 2), `~1` an explicit budget
     "ts_read_filter_qs_fuzzy" -> ((s, d) => Tsdb.read(Tsdb.points(s, d),
@@ -1443,6 +1452,13 @@ object SparkEntry {
                    t -> damerau_levenshtein(t, 'clickk') <= 2)) > 0
               OR len(list_filter(string_split(lower(event_type), ' '),
                    t -> damerau_levenshtein(t, 'purchaze') <= 2)) > 0)
+          ORDER BY 1, 2, 3, 4""",
+    "ts_read_filter_term_ci" ->
+      s"""SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events
+          WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
+            AND (starts_with(lower(event_type), 'cli')
+              OR lower(event_type) LIKE '%urchase'
+              OR regexp_full_match(lower(event_type), 'sign.*'))
           ORDER BY 1, 2, 3, 4""",
     "ts_read_filter_qs_fuzzy" ->
       s"""SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events

@@ -129,9 +129,22 @@ object EsFilter {
       case "range"     => range(body)
       case "exists"    => fieldCol(body.get("field").asText()).isNotNull
       case "missing"   => fieldCol(body.get("field").asText()).isNull
-      case "prefix"    => { val (f, v) = fieldValue(body); fieldCol(f).startsWith(v.asText()) }
-      case "wildcard"  => { val (f, v) = fieldValue(body); fieldCol(f).rlike(wildcardToRegex(v.asText())) }
-      case "regexp"    => { val (f, v) = fieldValue(body); fieldCol(f).rlike("^(?:" + v.asText() + ")$") }
+      // term-level queries take ES's `case_insensitive` knob (r12 — was
+      // silently dropped by the value unwrap): lowered column + lowered
+      // literal for prefix/wildcard, the inline (?i) flag for regexp
+      case "prefix" =>
+        val (f, v) = fieldValue(body)
+        if (caseInsensitive(body)) lower(fieldCol(f)).startsWith(v.asText().toLowerCase)
+        else fieldCol(f).startsWith(v.asText())
+      case "wildcard" =>
+        val (f, v) = fieldValue(body)
+        if (caseInsensitive(body))
+          lower(fieldCol(f)).rlike(wildcardToRegex(v.asText().toLowerCase))
+        else fieldCol(f).rlike(wildcardToRegex(v.asText()))
+      case "regexp" =>
+        val (f, v) = fieldValue(body)
+        val flag = if (caseInsensitive(body)) "(?i)" else ""
+        fieldCol(f).rlike(s"^$flag(?:" + v.asText() + ")$$")
       case "ids"       => ids(body)
       case "fuzzy"     => fuzzy(body)
       case "match"     => matchQuery(body)
@@ -165,6 +178,13 @@ object EsFilter {
 
   private def clauses(body: JsonNode): Seq[JsonNode] =
     if (body.isArray) body.elements().asScala.toSeq else Seq(body)
+
+  /** ES `case_insensitive` on term-level queries (object spec form). */
+  private def caseInsensitive(body: JsonNode): Boolean = {
+    val spec = body.get(body.fieldNames().next())
+    spec.isObject && spec.has("case_insensitive") &&
+      spec.get("case_insensitive").asBoolean(false)
+  }
 
   private def fieldValue(body: JsonNode): (String, JsonNode) = {
     require(body.isObject && body.size() == 1, s"expected {field: value}, got $body")
