@@ -163,7 +163,8 @@ object SparkEntry {
         """{"bool":{"should":[
              {"prefix":{"event_type":{"value":"CLI","case_insensitive":true}}},
              {"wildcard":{"event_type":{"value":"*URCHASE","case_insensitive":true}}},
-             {"regexp":{"event_type":{"value":"SIGN.*","case_insensitive":true}}}]}}"""),
+             {"regexp":{"event_type":{"value":"SIGN.*","case_insensitive":true}}},
+             {"term":{"event_type":{"value":"ERROR","case_insensitive":true}}}]}}"""),
       Start, End)),
     // query_string `~` fuzzy operator (r12 — previously a silent literal):
     // bare `~` is the AUTO ladder (clickk -> 2), `~1` an explicit budget
@@ -1458,7 +1459,8 @@ object SparkEntry {
           WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
             AND (starts_with(lower(event_type), 'cli')
               OR lower(event_type) LIKE '%urchase'
-              OR regexp_full_match(lower(event_type), 'sign.*'))
+              OR regexp_full_match(lower(event_type), 'sign.*')
+              OR lower(event_type) = 'error')
           ORDER BY 1, 2, 3, 4""",
     "ts_read_filter_qs_fuzzy" ->
       s"""SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events

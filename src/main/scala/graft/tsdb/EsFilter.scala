@@ -210,8 +210,14 @@ object EsFilter {
 
   private def term(body: JsonNode): Column = {
     val (f, v) = fieldValue(body)
-    val (c, l) = comparable(f, v)
-    c === l
+    // ES case_insensitive (r12, same sweep as prefix/wildcard/regexp):
+    // lowered comparison for textual values; numeric comparisons unchanged
+    if (caseInsensitive(body) && v.isTextual)
+      lower(fieldCol(f).cast("string")) === lit(v.asText().toLowerCase)
+    else {
+      val (c, l) = comparable(f, v)
+      c === l
+    }
   }
 
   /** ES `fuzzy`: edit-distance match on a keyword field. `fuzziness` is an
