@@ -546,6 +546,46 @@ class Round12Spec extends SparkTestBase {
     assert(hitSets.head.nonEmpty, "premise: the unpinned query matches something")
   }
 
+  test("implement-or-reject sweep: the previously-dropped ES knobs behave") {
+    val s = spark; import s.implicits._
+    import graft.tsdb.EsFilter
+    val df = Seq("click here", "CLICK here", "clack here", "blank page")
+      .toDF("event_type")
+    def hits(f: String): Set[String] =
+      df.where(EsFilter.compile(f, df.columns)).collect().map(_.getString(0)).toSet
+
+    // match fuzziness: per-term fuzzy token test over the ANALYZED
+    // (lowercased) field — 'clack' is 1 edit, 'CLICK' analyzes to 'click'
+    assert(hits("""{"match":{"event_type":{"query":"click","fuzziness":1}}}""")
+      == Set("click here", "CLICK here", "clack here"))
+    // match msm: 1 of 2 terms suffices at 50%, both required at 100%
+    assert(hits("""{"match":{"event_type":{"query":"click page",
+        "minimum_should_match":"50%"}}}""")
+      == Set("click here", "CLICK here", "blank page"))
+    assert(hits("""{"match":{"event_type":{"query":"blank page",
+        "minimum_should_match":"100%"}}}""")
+      == Set("blank page"))
+    // multi_match fuzziness is rejected, never silently dropped
+    val mmErr = intercept[IllegalArgumentException] {
+      hits("""{"multi_match":{"query":"click","fields":["event_type"],
+          "fuzziness":1}}""")
+    }
+    assert(mmErr.getMessage.contains("rejected"), mmErr.getMessage)
+    // query_string ~: bare = AUTO (click -> 1), ~0 = exact
+    val qdf = Seq("click", "clack", "clik").toDF("event_type")
+    def qhits(f: String): Set[String] =
+      qdf.where(EsFilter.compile(f, qdf.columns)).collect().map(_.getString(0)).toSet
+    assert(qhits("""{"query_string":{"query":"event_type:click~"}}""")
+      == Set("click", "clack", "clik"))
+    assert(qhits("""{"query_string":{"query":"event_type:click~0"}}""")
+      == Set("click"))
+    // term case_insensitive: lowered comparison; default stays sensitive
+    assert(hits("""{"term":{"event_type":{"value":"CLICK HERE",
+        "case_insensitive":true}}}""")
+      == Set("click here", "CLICK here"))
+    assert(hits("""{"term":{"event_type":"click here"}}""") == Set("click here"))
+  }
+
   test("intervals script filter: registered graft predicate sees minimal (start, end, gaps)") {
     val s = spark; import s.implicits._
     import graft.tsdb.EsFilter
