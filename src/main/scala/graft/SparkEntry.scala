@@ -212,6 +212,18 @@ object SparkEntry {
             "slop":3,"in_order":true}}""",
         docs.columns.toSeq)).select(docs.col("doc_id")))
     }),
+    // span_multi (r12): Lucene SpanMultiTermQueryWrapper — a prefix /
+    // wildcard / fuzzy query's term expansion as a span clause; here a
+    // 'ha*' prefix span within 3 of 'join'
+    "ts_read_filter_span_multi" -> ((s, d) => {
+      val docs = graft.core.Tables.documents(s, d)
+      graft.core.Det.ordered(docs.where(EsFilter.compile(
+        """{"span_near":{"clauses":[
+             {"span_multi":{"match":{"prefix":{"text":"ha"}}}},
+             {"span_term":{"text":"join"}}],
+            "slop":3,"in_order":true}}""",
+        docs.columns.toSeq)).select(docs.col("doc_id")))
+    }),
     // ES span_or inside span_near: the first slot's positions are the
     // UNION of the alternatives (Lucene SpanOrQuery)
     "ts_read_filter_span_or" -> ((s, d) => {
@@ -1523,6 +1535,17 @@ object SparkEntry {
               toks AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos
                        FROM t),
               a AS (SELECT doc_id, pos FROM toks WHERE tok = 'hash'),
+              b AS (SELECT doc_id, pos FROM toks WHERE tok = 'join')
+          SELECT DISTINCT a.doc_id FROM a JOIN b ON a.doc_id = b.doc_id
+          WHERE b.pos > a.pos AND b.pos - a.pos - 1 <= 3
+          ORDER BY 1""",
+    // span_multi: slot a = positions of any 'ha'-prefixed token
+    "ts_read_filter_span_multi" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
+                    FROM documents),
+              toks AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos
+                       FROM t),
+              a AS (SELECT doc_id, pos FROM toks WHERE starts_with(tok, 'ha')),
               b AS (SELECT doc_id, pos FROM toks WHERE tok = 'join')
           SELECT DISTINCT a.doc_id FROM a JOIN b ON a.doc_id = b.doc_id
           WHERE b.pos > a.pos AND b.pos - a.pos - 1 <= 3

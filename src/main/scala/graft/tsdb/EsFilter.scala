@@ -741,6 +741,43 @@ object EsFilter {
       case "span_term" =>
         val (f, v) = fieldValue(c.get("span_term"))
         (f, SloppySlot(Seq(v.asText().toLowerCase), Nil, 0, 0))
+      case "span_multi" =>
+        // Lucene SpanMultiTermQueryWrapper (r12): a prefix / wildcard /
+        // fuzzy query as a span clause — its positions are the tokens the
+        // wrapped query's term expansion matches, exactly the slot
+        // alternative kinds the kernel already evaluates. regexp inners
+        // are rejected (slots carry ES wildcard patterns, not raw regex).
+        val b = c.get("span_multi")
+        require(b != null && b.isObject && b.has("match"),
+          s"""span_multi needs "match", got $b""")
+        val inner = b.get("match")
+        require(inner.isObject && inner.size() == 1,
+          s"span_multi match must be a single-query object, got $inner")
+        inner.fieldNames().next() match {
+          case "prefix" =>
+            val (f, v) = fieldValue(inner.get("prefix"))
+            (f, SloppySlot(Nil, Nil, 0, 0, prefixes = Seq(v.asText().toLowerCase)))
+          case "wildcard" =>
+            val (f, v) = fieldValue(inner.get("wildcard"))
+            (f, SloppySlot(Nil, Nil, 0, 0,
+              wildcards = Seq(v.asText().toLowerCase)))
+          case "fuzzy" =>
+            val fb = inner.get("fuzzy")
+            require(fb.isObject && fb.size() == 1,
+              s"expected {field: spec}, got $fb")
+            val f = fb.fieldNames().next()
+            val spec = fb.get(f)
+            val v = if (spec.isObject && spec.has("value")) spec.get("value") else spec
+            val text = v.asText().toLowerCase
+            val tr = !(spec.isObject && spec.has("transpositions")) ||
+              spec.get("transpositions").asBoolean(true)
+            val pl = if (spec.isObject && spec.has("prefix_length"))
+              spec.get("prefix_length").asInt() else 0
+            (f, SloppySlot(Nil, Nil, 0, 0, fuzzies = Seq(
+              graft.functions.FuzzySpec(text, fuzzinessOf(spec, text), tr, pl))))
+          case other => throw new IllegalArgumentException(
+            s"span_multi supports prefix, wildcard and fuzzy inners, got: $other")
+        }
       case "span_or" =>
         val b = c.get("span_or")
         require(b != null && b.isObject && b.has("clauses"),
@@ -748,11 +785,16 @@ object EsFilter {
         val sub = clauses(b.get("clauses")).map(spanClauseSlot)
         require(sub.nonEmpty, "span_or needs at least one clause")
         require(sub.forall(_._2.excludes.isEmpty),
-          "span_or supports span_term clauses only")
+          "span_or supports span_term and span_multi clauses only")
         val fs = sub.map(_._1).distinct
         require(fs.size == 1,
           s"span_or clauses must target a single field, got: ${fs.mkString(", ")}")
-        (fs.head, SloppySlot(sub.flatMap(_._2.includes), Nil, 0, 0))
+        // position UNION across every alternative kind — span_multi
+        // children contribute prefixes/wildcards/fuzzies, not just terms
+        (fs.head, SloppySlot(sub.flatMap(_._2.includes).distinct, Nil, 0, 0,
+          prefixes = sub.flatMap(_._2.prefixes).distinct,
+          wildcards = sub.flatMap(_._2.wildcards).distinct,
+          fuzzies = sub.flatMap(_._2.fuzzies).distinct))
       case "span_not" =>
         val b = c.get("span_not")
         require(b != null && b.isObject && b.has("include") && b.has("exclude"),
@@ -761,14 +803,25 @@ object EsFilter {
         val (fe, exc) = spanClauseSlot(b.get("exclude"))
         require(inc.excludes.isEmpty && exc.excludes.isEmpty,
           "span_not include/exclude must be span_term or span_or")
+        // the kernel's exclusion window tests tokens by EQUALITY — a
+        // span_multi exclude (prefix/wildcard/fuzzy positions) would
+        // silently exclude nothing, so reject it
+        require(exc.prefixes.isEmpty && exc.wildcards.isEmpty &&
+            exc.fuzzies.isEmpty,
+          "span_not exclude must be plain span_term/span_or tokens " +
+            "(span_multi excludes are rejected, not approximated)")
         require(fi == fe,
           s"span_not include/exclude must target a single field, got: $fi, $fe")
         val dist = if (b.has("dist")) b.get("dist").asInt() else 0
         val pre = if (b.has("pre")) b.get("pre").asInt() else dist
         val post = if (b.has("post")) b.get("post").asInt() else dist
-        (fi, SloppySlot(inc.includes, exc.includes, pre, post))
+        // the include keeps its full alternative set (span_multi inners)
+        (fi, SloppySlot(inc.includes, exc.includes, pre, post,
+          prefixes = inc.prefixes, wildcards = inc.wildcards,
+          fuzzies = inc.fuzzies))
       case other => throw new IllegalArgumentException(
-        s"span_near supports span_term, span_or and span_not clauses, got: $other")
+        s"span_near supports span_term, span_multi, span_or and span_not " +
+          s"clauses, got: $other")
     }
   }
 
