@@ -212,6 +212,19 @@ object SparkEntry {
             "slop":3,"in_order":true}}""",
         docs.columns.toSeq)).select(docs.col("doc_id")))
     }),
+    // span_containing (r12): an ORDERED table..join big span (slop 5)
+    // that contains a 'hash' little span — containment per minimal big
+    // interval (span_within compiles to the same filter-context boolean)
+    "ts_read_filter_span_containing" -> ((s, d) => {
+      val docs = graft.core.Tables.documents(s, d)
+      graft.core.Det.ordered(docs.where(EsFilter.compile(
+        """{"span_containing":{
+             "big":{"span_near":{"clauses":[{"span_term":{"text":"table"}},
+                                            {"span_term":{"text":"join"}}],
+                    "slop":5,"in_order":true}},
+             "little":{"span_term":{"text":"hash"}}}}""",
+        docs.columns.toSeq)).select(docs.col("doc_id")))
+    }),
     // span_multi (r12): Lucene SpanMultiTermQueryWrapper — a prefix /
     // wildcard / fuzzy query's term expansion as a span clause; here a
     // 'ha*' prefix span within 3 of 'join'
@@ -1538,6 +1551,25 @@ object SparkEntry {
               b AS (SELECT doc_id, pos FROM toks WHERE tok = 'join')
           SELECT DISTINCT a.doc_id FROM a JOIN b ON a.doc_id = b.doc_id
           WHERE b.pos > a.pos AND b.pos - a.pos - 1 <= 3
+          ORDER BY 1""",
+    // span_containing: ordered minimal table..join cover holding a hash
+    "ts_read_filter_span_containing" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
+                    FROM documents),
+              toks AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos
+                       FROM t),
+              pr AS (SELECT a.doc_id, a.pos AS s, b.pos AS e
+                     FROM toks a JOIN toks b
+                       ON b.doc_id = a.doc_id AND b.pos > a.pos
+                     WHERE a.tok = 'table' AND b.tok = 'join'
+                       AND b.pos - a.pos - 1 <= 5),
+              mn AS (SELECT * FROM pr p
+                     WHERE NOT EXISTS (SELECT 1 FROM pr q
+                       WHERE q.doc_id = p.doc_id AND q.s >= p.s AND q.e <= p.e
+                         AND (q.s > p.s OR q.e < p.e)))
+          SELECT DISTINCT mn.doc_id
+          FROM mn JOIN toks h ON h.doc_id = mn.doc_id AND h.tok = 'hash'
+                             AND h.pos BETWEEN mn.s AND mn.e
           ORDER BY 1""",
     // span_multi: slot a = positions of any 'ha'-prefixed token
     "ts_read_filter_span_multi" ->

@@ -162,6 +162,7 @@ object EsFilter {
       case "span_term"  => spanTerm(body)
       case "span_near"  => spanNear(body)
       case "span_first" => spanFirst(body)
+      case "span_containing" | "span_within" => spanBigLittle(body)
       case "intervals"  => intervals(body)
       case "more_like_this" => moreLikeThis(body)
       case "nested"    => nested(body)
@@ -442,6 +443,60 @@ object EsFilter {
     * defaults to false (the ES SpanNearQueryBuilder default); out-of-order
     * matching uses the same total-move-budget matcher as sloppy phrases.
     */
+  /** ES `span_containing` / `span_within` (r12): a `big` span that contains
+    * a `little` span match. In FILTER context the two are the same boolean
+    * — ∃ (big, little): little ⊆ big — so both compile to the big source
+    * with the kernel's `containing` filter rule (the intervals-filter
+    * machinery; containment judged per MINIMAL big interval, the
+    * adjudicated intervals contract — Lucene's span iterators are
+    * near-minimal and differ only on contrived repeated-term shapes).
+    * big: span_term/span_or/span_multi or a span_near of them; little: one
+    * slot, or a span_near of plain terms (its minimal intervals via the
+    * nested filter-slot encoding).
+    */
+  private def spanBigLittle(body: JsonNode): Column = {
+    require(body.isObject && body.has("little") && body.has("big"),
+      s"""span_containing/span_within need "little" and "big", got $body""")
+    def sourceOf(n: JsonNode): (String, Seq[SloppySlot], Int, Boolean) = {
+      require(n.isObject && n.size() == 1,
+        s"span source must be a single-key object, got $n")
+      if (n.fieldNames().next() == "span_near") {
+        val b = n.get("span_near")
+        require(b.isObject && b.has("clauses"),
+          s"""span_near needs "clauses", got $b""")
+        val cls = clauses(b.get("clauses")).map(spanClauseSlot)
+        require(cls.nonEmpty, "span_near needs at least one clause")
+        val fs = cls.map(_._1).distinct
+        require(fs.size == 1,
+          s"span_near clauses must target a single field, got: ${fs.mkString(", ")}")
+        (fs.head, cls.map(_._2),
+          if (b.has("slop")) b.get("slop").asInt() else 0,
+          b.has("in_order") && b.get("in_order").asBoolean())
+      } else {
+        val (f, sl) = spanClauseSlot(n)
+        (f, Seq(sl), 0, true)
+      }
+    }
+    val (bf, bigSlots, bigSlop, bigOrder) = sourceOf(body.get("big"))
+    val (lf, littleSlots, lSlop, lOrder) = sourceOf(body.get("little"))
+    val littleSlot =
+      if (littleSlots.size == 1) littleSlots.head
+      else {
+        require(littleSlots.forall(sl => sl.includes.size == 1 &&
+            sl.excludes.isEmpty && sl.prefixes.isEmpty &&
+            sl.wildcards.isEmpty && sl.fuzzies.isEmpty),
+          "a multi-clause little span must be plain single-term clauses " +
+            "(its minimal intervals ride the nested filter-slot encoding)")
+        SloppySlot(Nil, Nil, 0, 0,
+          phrase = littleSlots.map(_.includes.head),
+          subSlop = lSlop, subOrdered = lOrder)
+      }
+    require(bf == lf,
+      s"span_containing/span_within must target a single field, got: $bf, $lf")
+    sloppyMatch(fieldCol(bf), bigSlots, bigSlop, inOrder = bigOrder,
+      filterMode = "containing", filterSlot = Some(littleSlot))
+  }
+
   private def spanNear(body: JsonNode): Column = {
     require(body.isObject && body.has("clauses"),
       s"""span_near needs "clauses", got $body""")
