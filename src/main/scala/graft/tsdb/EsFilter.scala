@@ -16,16 +16,23 @@ import graft.functions.SloppySlot
   * pushes into the parquet scan (`PushedFilters`) — the "index" is row-group
   * min/max pruning + partition pruning instead of an external ES cluster.
   *
-  * Supported: match_all, term, terms, range (gt/gte/lt/lte), exists, missing,
-  * prefix, wildcard, regexp, ids, fuzzy (OSA distance, the Lucene
-  * transpositions=true default), match, match_phrase, match_phrase_prefix
+  * Supported: match_all, term (incl. case_insensitive), terms, range
+  * (gt/gte/lt/lte), exists, missing, prefix / wildcard / regexp (incl.
+  * case_insensitive), ids, fuzzy (OSA distance, the Lucene
+  * transpositions=true default, plus transpositions:false and
+  * prefix_length), match (incl. per-term fuzziness and
+  * minimum_should_match), match_phrase, match_phrase_prefix
   * (sloppy phrases use Lucene's TOTAL move budget incl. out-of-order terms),
   * multi_match (best_fields/most_fields/cross_fields/phrase/phrase_prefix/
-  * bool_prefix), constant_score, dis_max, boosting, span_term, span_near
-  * (span_term / span_or / span_not clauses), span_first, intervals
-  * (match / any_of / single-token all_of), more_like_this,
-  * nested, query_string (field:value / AND / OR / wildcards), bool
-  * (must/filter/should/must_not/minimum_should_match), and, or, not.
+  * bool_prefix; fuzziness rejected), constant_score, dis_max, boosting,
+  * span_term, span_near (span_term / span_multi / span_or / span_not
+  * clauses), span_first, span_multi (prefix/wildcard/fuzzy inners),
+  * span_containing / span_within, intervals
+  * (match / any_of / all_of incl. fixed-phrase and nested sub-sources,
+  * prefix / wildcard / fuzzy rules, the filter-rule family incl.
+  * registered-predicate script), more_like_this,
+  * nested, query_string (field:value / AND / OR / wildcards / `~` fuzzy),
+  * bool (must/filter/should/must_not/minimum_should_match), and, or, not.
   * `should` requires at least one clause to match (filter-context
   * semantics) unless `minimum_should_match` says otherwise. Scoring-only
   * constructs compile to their filter-context degenerations: dis_max = OR
@@ -264,6 +271,40 @@ object EsFilter {
     else levenshtein(lhs, lit(text))
   }
 
+  /** Column-level twin of the kernel's `SloppyMatch.fuzzyMatches`: does a
+    * token expression fill a [[graft.functions.FuzzySpec]]? Pinned prefix
+    * edit-free, remainders at the distance — OSA via the codegen'd kernel
+    * (the documented plain-Levenshtein fallback without extensions).
+    */
+  private def fuzzyTokenPred(e: Column, fs: graft.functions.FuzzySpec): Column = {
+    val pl = math.min(fs.prefixLen, fs.term.length)
+    val (lhs, rhs) =
+      if (pl == 0) (e, fs.term)
+      else (e.substr(lit(pl + 1), length(e)), fs.term.substring(pl))
+    val dist =
+      if (fs.transpositions) editDistCol(lhs, rhs)
+      else levenshtein(lhs, lit(rhs))
+    val pfxOk: Column =
+      if (pl == 0) lit(true) else e.startsWith(lit(fs.term.substring(0, pl)))
+    pfxOk && dist <= fs.dist
+  }
+
+  /** ONE fuzzy-source parser for every DSL site (fuzzy-shaped intervals
+    * rule, span_multi inner — r12 review dedup): unwraps `value`/`term`,
+    * validates a single non-empty token, reads the knob set.
+    */
+  private def fuzzySpecOf(spec: JsonNode, rawText: String): graft.functions.FuzzySpec = {
+    val text = rawText.trim.toLowerCase
+    require(text.nonEmpty && !text.exists(_.isWhitespace),
+      s"fuzzy term must be a single non-empty token, got: '$rawText'")
+    val tr = !(spec != null && spec.isObject && spec.has("transpositions")) ||
+      spec.get("transpositions").asBoolean(true)
+    val pl = if (spec != null && spec.isObject && spec.has("prefix_length"))
+      spec.get("prefix_length").asInt() else 0
+    require(pl >= 0, s"prefix_length must be non-negative, got $pl")
+    graft.functions.FuzzySpec(text, fuzzinessOf(spec, text), tr, pl)
+  }
+
   private def fuzzy(body: JsonNode): Column = {
     require(body.isObject && body.size() == 1, s"expected {field: spec}, got $body")
     val f = body.fieldNames().next()
@@ -460,19 +501,8 @@ object EsFilter {
     def sourceOf(n: JsonNode): (String, Seq[SloppySlot], Int, Boolean) = {
       require(n.isObject && n.size() == 1,
         s"span source must be a single-key object, got $n")
-      if (n.fieldNames().next() == "span_near") {
-        val b = n.get("span_near")
-        require(b.isObject && b.has("clauses"),
-          s"""span_near needs "clauses", got $b""")
-        val cls = clauses(b.get("clauses")).map(spanClauseSlot)
-        require(cls.nonEmpty, "span_near needs at least one clause")
-        val fs = cls.map(_._1).distinct
-        require(fs.size == 1,
-          s"span_near clauses must target a single field, got: ${fs.mkString(", ")}")
-        (fs.head, cls.map(_._2),
-          if (b.has("slop")) b.get("slop").asInt() else 0,
-          b.has("in_order") && b.get("in_order").asBoolean())
-      } else {
+      if (n.fieldNames().next() == "span_near") parseSpanNear(n.get("span_near"))
+      else {
         val (f, sl) = spanClauseSlot(n)
         (f, Seq(sl), 0, true)
       }
@@ -480,13 +510,31 @@ object EsFilter {
     val (bf, bigSlots, bigSlop, bigOrder) = sourceOf(body.get("big"))
     val (lf, littleSlots, lSlop, lOrder) = sourceOf(body.get("little"))
     val littleSlot =
-      if (littleSlots.size == 1) littleSlots.head
-      else {
+      if (littleSlots.size == 1) {
+        val sl = littleSlots.head
+        // the filter-slot evaluation tests include/prefix/wildcard/fuzzy
+        // alternatives but has NO exclusion window — a span_not little
+        // would silently lose its exclude (r12 review fix)
+        require(sl.excludes.isEmpty,
+          "span_containing/span_within little must not be a span_not " +
+            "(the filter slot has no exclusion window; rejected, not " +
+            "approximated)")
+        sl
+      } else {
         require(littleSlots.forall(sl => sl.includes.size == 1 &&
             sl.excludes.isEmpty && sl.prefixes.isEmpty &&
             sl.wildcards.isEmpty && sl.fuzzies.isEmpty),
           "a multi-clause little span must be plain single-term clauses " +
             "(its minimal intervals ride the nested filter-slot encoding)")
+        // the nested encoding budgets UNORDERED matches by the intervals
+        // covering-width rule, while span_near's own unordered budget is
+        // the total-move rule — identical JSON would mean two different
+        // things, so only the ordered form (where the two rules agree:
+        // total intervening positions) is accepted (r12 review fix)
+        require(lOrder,
+          "a multi-clause little span_near must set in_order:true (the " +
+            "unordered nested budget is the intervals width rule, not " +
+            "span_near's move budget; rejected, not approximated)")
         SloppySlot(Nil, Nil, 0, 0,
           phrase = littleSlots.map(_.includes.head),
           subSlop = lSlop, subOrdered = lOrder)
@@ -497,18 +545,26 @@ object EsFilter {
       filterMode = "containing", filterSlot = Some(littleSlot))
   }
 
-  private def spanNear(body: JsonNode): Column = {
-    require(body.isObject && body.has("clauses"),
-      s"""span_near needs "clauses", got $body""")
-    val cls = clauses(body.get("clauses"))
+  /** ONE span_near parse (clauses, single-field, slop/in_order defaults) —
+    * shared by the top-level query and span_containing/span_within sources
+    * so the contract cannot drift (r12 review dedup).
+    */
+  private def parseSpanNear(b: JsonNode): (String, Seq[SloppySlot], Int, Boolean) = {
+    require(b != null && b.isObject && b.has("clauses"),
+      s"""span_near needs "clauses", got $b""")
+    val cls = clauses(b.get("clauses")).map(spanClauseSlot)
     require(cls.nonEmpty, "span_near needs at least one clause")
-    val fieldSlots = cls.map(spanClauseSlot)
-    val fields = fieldSlots.map(_._1).distinct
-    require(fields.size == 1,
-      s"span_near clauses must target a single field, got: ${fields.mkString(", ")}")
-    val slop = if (body.has("slop")) body.get("slop").asInt() else 0
-    val inOrder = body.has("in_order") && body.get("in_order").asBoolean()
-    sloppyMatch(fieldCol(fields.head), fieldSlots.map(_._2), slop, inOrder = inOrder)
+    val fs = cls.map(_._1).distinct
+    require(fs.size == 1,
+      s"span_near clauses must target a single field, got: ${fs.mkString(", ")}")
+    (fs.head, cls.map(_._2),
+      if (b.has("slop")) b.get("slop").asInt() else 0,
+      b.has("in_order") && b.get("in_order").asBoolean())
+  }
+
+  private def spanNear(body: JsonNode): Column = {
+    val (f, slots, slop, inOrder) = parseSpanNear(body)
+    sloppyMatch(fieldCol(f), slots, slop, inOrder = inOrder)
   }
 
   /** ES `span_first`: the match span must END within the first `end`
@@ -527,8 +583,19 @@ object EsFilter {
     if (end <= 0) return lit(false)
     val toks = split(lower(fieldCol(f)), "\\s+")
     val idx = sequence(lit(0), least(lit(end), size(toks)) - 1)
-    def incMatch(j: Column): Column = slot.includes.map(t =>
-      element_at(toks, j + 1) === lit(t): Column).reduce(_ || _)
+    // every slot alternative kind fills the position (r12 review fix: a
+    // span_multi match — or a span_or merging one in — previously crashed
+    // on empty includes / silently dropped its alternatives here)
+    def incMatch(j: Column): Column = {
+      val e = element_at(toks, j + 1)
+      val alts: Seq[Column] =
+        slot.includes.map(t => e === lit(t): Column) ++
+        slot.prefixes.map(p => e.startsWith(lit(p)): Column) ++
+        slot.wildcards.map(w =>
+          e.rlike(graft.functions.SloppySlot.wildcardRegex(w)): Column) ++
+        slot.fuzzies.map(fs => fuzzyTokenPred(e, fs): Column)
+      alts.reduce(_ || _)
+    }
     val all = sequence(lit(0), size(toks) - 1) // exclusion scans every position
     def kept(p: Column): Column =
       if (slot.excludes.isEmpty) incMatch(p)
@@ -768,14 +835,8 @@ object EsFilter {
         val b = src.get("fuzzy")
         require(b != null && b.isObject && b.has("term"),
           s"""intervals fuzzy needs "term", got $b""")
-        val t = b.get("term").asText().trim.toLowerCase
-        require(t.nonEmpty && !t.exists(_.isWhitespace),
-          s"intervals fuzzy must be a single non-empty term, got: '$t'")
-        val tr = !b.has("transpositions") || b.get("transpositions").asBoolean(true)
-        val pl = if (b.has("prefix_length")) b.get("prefix_length").asInt() else 0
-        require(pl >= 0, s"prefix_length must be non-negative, got $pl")
         SloppySlot(Nil, Nil, 0, 0,
-          fuzzies = Seq(graft.functions.FuzzySpec(t, fuzzinessOf(b, t), tr, pl)))
+          fuzzies = Seq(fuzzySpecOf(b, b.get("term").asText())))
       case other => throw new IllegalArgumentException(
         s"all_of sub-sources must reduce to single-token alternatives, got: $other")
     }
@@ -811,11 +872,16 @@ object EsFilter {
         inner.fieldNames().next() match {
           case "prefix" =>
             val (f, v) = fieldValue(inner.get("prefix"))
-            (f, SloppySlot(Nil, Nil, 0, 0, prefixes = Seq(v.asText().toLowerCase)))
+            val p = v.asText().trim.toLowerCase
+            require(p.nonEmpty && !p.exists(_.isWhitespace),
+              s"span_multi prefix must be a single non-empty term, got: '$p'")
+            (f, SloppySlot(Nil, Nil, 0, 0, prefixes = Seq(p)))
           case "wildcard" =>
             val (f, v) = fieldValue(inner.get("wildcard"))
-            (f, SloppySlot(Nil, Nil, 0, 0,
-              wildcards = Seq(v.asText().toLowerCase)))
+            val p = v.asText().trim.toLowerCase
+            require(p.nonEmpty && !p.exists(_.isWhitespace),
+              s"span_multi wildcard must be a single non-empty pattern, got: '$p'")
+            (f, SloppySlot(Nil, Nil, 0, 0, wildcards = Seq(p)))
           case "fuzzy" =>
             val fb = inner.get("fuzzy")
             require(fb.isObject && fb.size() == 1,
@@ -823,13 +889,8 @@ object EsFilter {
             val f = fb.fieldNames().next()
             val spec = fb.get(f)
             val v = if (spec.isObject && spec.has("value")) spec.get("value") else spec
-            val text = v.asText().toLowerCase
-            val tr = !(spec.isObject && spec.has("transpositions")) ||
-              spec.get("transpositions").asBoolean(true)
-            val pl = if (spec.isObject && spec.has("prefix_length"))
-              spec.get("prefix_length").asInt() else 0
-            (f, SloppySlot(Nil, Nil, 0, 0, fuzzies = Seq(
-              graft.functions.FuzzySpec(text, fuzzinessOf(spec, text), tr, pl))))
+            (f, SloppySlot(Nil, Nil, 0, 0,
+              fuzzies = Seq(fuzzySpecOf(spec, v.asText()))))
           case other => throw new IllegalArgumentException(
             s"span_multi supports prefix, wildcard and fuzzy inners, got: $other")
         }

@@ -586,6 +586,70 @@ class Round12Spec extends SparkTestBase {
     assert(hits("""{"term":{"event_type":"click here"}}""") == Set("click here"))
   }
 
+  test("span_multi / span_containing: composition, merges and rejections") {
+    val s = spark; import s.implicits._
+    import graft.tsdb.EsFilter
+    val df = Seq((1L, "hash big join now"), (2L, "merge x y join"),
+      (3L, "join hash later"), (4L, "nothing here")).toDF("doc_id", "text")
+    def hits(f: String): Set[Long] =
+      df.where(EsFilter.compile(f, df.columns))
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+
+    // span_multi under span_first: a 'ha'-prefix span ending in the first
+    // 2 positions (the r12 review crash: empty includes reduced)
+    assert(hits("""{"span_first":{"match":{"span_multi":{"match":
+        {"prefix":{"text":"ha"}}}},"end":2}}""") == Set(1L, 3L))
+    // span_or MERGING a span_term with a span_multi (the silently-dropped
+    // alternative case): 'merge' OR 'ha*' within 3 before 'join'
+    assert(hits("""{"span_near":{"clauses":[
+        {"span_or":{"clauses":[{"span_term":{"text":"merge"}},
+                               {"span_multi":{"match":{"prefix":{"text":"ha"}}}}]}},
+        {"span_term":{"text":"join"}}],"slop":3,"in_order":true}}""")
+      == Set(1L, 2L))
+    // span_within == span_containing in filter context
+    val big = """{"span_near":{"clauses":[{"span_term":{"text":"hash"}},
+        {"span_term":{"text":"now"}}],"slop":3,"in_order":true}}"""
+    val cont = s"""{"span_containing":{"big":$big,
+        "little":{"span_term":{"text":"join"}}}}"""
+    val within = s"""{"span_within":{"big":$big,
+        "little":{"span_term":{"text":"join"}}}}"""
+    assert(hits(cont) == Set(1L) && hits(within) == Set(1L))
+    // span_multi little works (the filter slot evaluates prefixes)
+    assert(hits(s"""{"span_containing":{"big":$big,
+        "little":{"span_multi":{"match":{"prefix":{"text":"jo"}}}}}}""")
+      == Set(1L))
+    // rejections: span_not little, unordered multi-clause little,
+    // span_multi exclude, regexp inner
+    intercept[IllegalArgumentException] {
+      hits(s"""{"span_containing":{"big":$big,
+          "little":{"span_not":{"include":{"span_term":{"text":"join"}},
+                                "exclude":{"span_term":{"text":"big"}}}}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      hits(s"""{"span_containing":{"big":$big,
+          "little":{"span_near":{"clauses":[{"span_term":{"text":"big"}},
+              {"span_term":{"text":"join"}}],"slop":1}}}}""")
+    }
+    intercept[IllegalArgumentException] {
+      hits("""{"span_near":{"clauses":[
+          {"span_not":{"include":{"span_term":{"text":"join"}},
+              "exclude":{"span_multi":{"match":{"prefix":{"text":"b"}}}}}},
+          {"span_term":{"text":"now"}}],"slop":5}}""")
+    }
+    intercept[IllegalArgumentException] {
+      hits("""{"span_near":{"clauses":[
+          {"span_multi":{"match":{"regexp":{"text":"jo.*"}}}},
+          {"span_term":{"text":"now"}}],"slop":5}}""")
+    }
+    // ...and the ORDERED multi-clause little is accepted (rules agree)
+    assert(hits(s"""{"span_containing":{"big":{"span_near":{"clauses":[
+        {"span_term":{"text":"hash"}},{"span_term":{"text":"now"}}],
+        "slop":3,"in_order":true}},
+        "little":{"span_near":{"clauses":[{"span_term":{"text":"big"}},
+            {"span_term":{"text":"join"}}],"slop":1,"in_order":true}}}}""")
+      == Set(1L))
+  }
+
   test("intervals script filter: registered graft predicate sees minimal (start, end, gaps)") {
     val s = spark; import s.implicits._
     import graft.tsdb.EsFilter
