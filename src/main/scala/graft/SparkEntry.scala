@@ -279,6 +279,38 @@ object SparkEntry {
         """{"span_first":{"match":{"span_term":{"text":"spark"}},"end":10}}""",
         docs.columns.toSeq)).select(docs.col("doc_id")))
     }),
+    // field_masking_span (r13): Lucene FieldMaskingSpanQuery — the wrapped
+    // span (a span_term on `source`) is masked as `text`, composing under
+    // span_near; with graft's single whitespace analyzer the masked clause
+    // is its slot evaluated on the masked field's token stream
+    "ts_read_filter_field_mask" -> ((s, d) => {
+      val docs = graft.core.Tables.documents(s, d)
+      graft.core.Det.ordered(docs.where(EsFilter.compile(
+        """{"span_near":{"clauses":[
+             {"span_term":{"text":"sort"}},
+             {"field_masking_span":{"query":{"span_term":{"source":"fast"}},
+                                    "field":"text"}}],
+            "slop":2,"in_order":true}}""",
+        docs.columns.toSeq)).select(docs.col("doc_id")))
+    }),
+    // terms_set (r13): at least N of the supplied terms among the field's
+    // tokens, N read per-row from another field — here the JSON tag
+    // props.k as the threshold (k<=1 rows with a non-error type match)
+    "ts_read_filter_terms_set" -> ((s, d) => Tsdb.read(Tsdb.points(s, d),
+      EsFilter.compile(
+        """{"terms_set":{"event_type":{
+             "terms":["click","view","purchase","signup"],
+             "minimum_should_match_field":"props.k"}}}"""),
+      Start, End)),
+    // combined_fields (r13): term-centric any-field match with the NEGATIVE
+    // msm form — "-1" over 3 terms = at least 2 must appear (all-but-one)
+    "ts_read_filter_combined" -> ((s, d) => {
+      val docs = graft.core.Tables.documents(s, d)
+      graft.core.Det.ordered(docs.where(EsFilter.compile(
+        """{"combined_fields":{"query":"spark merge window",
+             "fields":["text","lang"],"minimum_should_match":"-1"}}""",
+        docs.columns.toSeq)).select(docs.col("doc_id")))
+    }),
     // BPE apply: per-doc encoded-unit stats after the trained merge rules
     "bpe_encode" -> ((s, d) => TextOps.bpeEncode(s, d)),
     // ES intervals, unordered: 'spark' and ('data' or 'query') inside a
@@ -1552,6 +1584,43 @@ object SparkEntry {
           SELECT DISTINCT a.doc_id FROM a JOIN b ON a.doc_id = b.doc_id
           WHERE b.pos > a.pos AND b.pos - a.pos - 1 <= 3
           ORDER BY 1""",
+    // field_masking_span under graft's single analyzer: the masked clause
+    // is a plain span on the masked field — 'sort' then 'fast' in order,
+    // at most 2 intervening positions
+    "ts_read_filter_field_mask" ->
+      """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
+                    FROM documents),
+              toks AS (SELECT doc_id, unnest(l) AS tok, unnest(range(len(l))) AS pos
+                       FROM t),
+              a AS (SELECT doc_id, pos FROM toks WHERE tok = 'sort'),
+              b AS (SELECT doc_id, pos FROM toks WHERE tok = 'fast')
+          SELECT DISTINCT a.doc_id FROM a JOIN b ON a.doc_id = b.doc_id
+          WHERE b.pos > a.pos AND b.pos - a.pos - 1 <= 2
+          ORDER BY 1""",
+    // terms_set: matched-term count (event_type is a single token, so 0/1)
+    // against the per-row props.k threshold
+    "ts_read_filter_terms_set" ->
+      s"""SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events
+          WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End
+            AND (CASE WHEN event_type IN ('click','view','purchase','signup')
+                      THEN 1 ELSE 0 END)
+                >= CAST(json_extract_string(props, '$$.k') AS BIGINT)
+          ORDER BY 1, 2, 3, 4""",
+    // combined_fields with msm "-1": at least 2 of the 3 terms present in
+    // ANY of the two fields' token streams
+    "ts_read_filter_combined" ->
+      """WITH t AS (SELECT doc_id,
+                           string_split_regex(lower(text), '\s+') AS toks,
+                           string_split_regex(lower(lang), '\s+') AS ltoks
+                    FROM documents)
+         SELECT doc_id FROM t
+         WHERE (CASE WHEN list_contains(toks, 'spark')
+                       OR list_contains(ltoks, 'spark') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(toks, 'merge')
+                       OR list_contains(ltoks, 'merge') THEN 1 ELSE 0 END
+              + CASE WHEN list_contains(toks, 'window')
+                       OR list_contains(ltoks, 'window') THEN 1 ELSE 0 END) >= 2
+         ORDER BY 1""",
     // span_containing: ordered minimal table..join cover holding a hash
     "ts_read_filter_span_containing" ->
       """WITH t AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS l

@@ -25,9 +25,10 @@ import graft.functions.SloppySlot
   * (sloppy phrases use Lucene's TOTAL move budget incl. out-of-order terms),
   * multi_match (best_fields/most_fields/cross_fields/phrase/phrase_prefix/
   * bool_prefix; fuzziness rejected), constant_score, dis_max, boosting,
-  * span_term, span_near (span_term / span_multi / span_or / span_not
-  * clauses), span_first, span_multi (prefix/wildcard/fuzzy inners),
-  * span_containing / span_within, intervals
+  * span_term, span_near (span_term / span_multi / span_or / span_not /
+  * field_masking_span clauses), span_first, span_multi
+  * (prefix/wildcard/fuzzy inners), field_masking_span,
+  * span_containing / span_within, terms_set, combined_fields, intervals
   * (match / any_of / all_of incl. fixed-phrase and nested sub-sources,
   * prefix / wildcard / fuzzy rules, the filter-rule family incl.
   * registered-predicate script), more_like_this,
@@ -170,6 +171,13 @@ object EsFilter {
       case "span_near"  => spanNear(body)
       case "span_first" => spanFirst(body)
       case "span_containing" | "span_within" => spanBigLittle(body)
+      // a top-level field-masked span is the wrapped span evaluated on the
+      // masked field (see the spanClauseSlot case for the contract)
+      case "field_masking_span" =>
+        val (f, slot) = spanClauseSlot(node)
+        sloppyMatch(fieldCol(f), Seq(slot), 0, inOrder = true)
+      case "terms_set"       => termsSet(body)
+      case "combined_fields" => combinedFields(body)
       case "intervals"  => intervals(body)
       case "more_like_this" => moreLikeThis(body)
       case "nested"    => nested(body)
@@ -257,6 +265,33 @@ object EsFilter {
           s"unsupported fuzziness: '$other' (want an integer or AUTO)")
       }
     }
+  }
+
+  /** ES `minimum_should_match` over `total` optional clauses, the FULL
+    * spec including negative forms (r13 — previously "-1"/"-25%" were
+    * silently clamped to 1, a silent divergence from ES's all-but-N rule):
+    * "N" requires N; "-N" requires total-N (N clauses may be missing);
+    * "P%" requires floor(P% of total); "-P%" lets floor(P% of total) be
+    * missing, i.e. requires total minus that floor. Conditional forms
+    * ("3<90%") are rejected by name, not approximated. When `floorOne`
+    * (match / mlt / terms_set / combined_fields — pure disjunctions) the
+    * result is floored at 1; bool keeps 0-or-negative results as "should
+    * is optional" (its own contract). Never capped at total: an over-large
+    * msm matches nothing, exactly ES.
+    */
+  private[tsdb] def msmOf(raw: String, total: Int, floorOne: Boolean = true): Int = {
+    require(!raw.contains("<"),
+      s"conditional minimum_should_match forms are rejected, not " +
+        s"approximated: '$raw'")
+    val neg = raw.startsWith("-")
+    val mag = if (neg) raw.substring(1) else raw
+    val n =
+      if (mag.endsWith("%")) {
+        val p = mag.dropRight(1).toDouble
+        math.floor(p / 100.0 * total).toInt
+      } else mag.toInt
+    val v = if (neg) total - n else n
+    if (floorOne) math.max(1, v) else v
   }
 
   /** OSA edit distance as a Column: the codegen'd kernel when
@@ -935,10 +970,97 @@ object EsFilter {
         (fi, SloppySlot(inc.includes, exc.includes, pre, post,
           prefixes = inc.prefixes, wildcards = inc.wildcards,
           fuzzies = inc.fuzzies))
+      case "field_masking_span" =>
+        // Lucene FieldMaskingSpanQuery (r13): runs the wrapped span and
+        // REPORTS it as being on `field` so it can compose with spans on
+        // that field. Lucene's documented use is parallel, differently-
+        // analyzed copies of one source text; graft analyzes every field
+        // with the one whitespace analyzer, so the masked composition is
+        // exactly the wrapped span's slot evaluated on the masked field's
+        // token stream — a field rename around the slot, composing under
+        // span_near / span_first / span_or / span_not like any clause.
+        val b = c.get("field_masking_span")
+        require(b != null && b.isObject && b.has("query") && b.has("field"),
+          s"""field_masking_span needs "query" and "field", got $b""")
+        val (_, slot) = spanClauseSlot(b.get("query"))
+        (b.get("field").asText(), slot)
       case other => throw new IllegalArgumentException(
-        s"span_near supports span_term, span_multi, span_or and span_not " +
-          s"clauses, got: $other")
+        s"span_near supports span_term, span_multi, span_or, span_not and " +
+          s"field_masking_span clauses, got: $other")
     }
+  }
+
+  /** ES `terms_set` (r13): at least N of the supplied terms must appear
+    * among the field's analyzed tokens, where N comes from another field
+    * of the SAME document (`minimum_should_match_field` — a per-row
+    * threshold, the form the msm machinery generalizes to) or a constant
+    * (`minimum_should_match`, the ES 8.13+ shorthand; full msm grammar
+    * incl. negative forms). A null/missing threshold field matches
+    * nothing: the `matched >= threshold` comparison is NULL and filter
+    * context drops the row, exactly ES's skip. Dotted threshold fields
+    * address JSON tag bags like any other field.
+    * `minimum_should_match_script` needs a scripting engine and is
+    * rejected by name, not approximated.
+    */
+  private def termsSet(body: JsonNode): Column = {
+    require(body.isObject && body.size() == 1, s"expected {field: spec}, got $body")
+    val f = body.fieldNames().next()
+    val spec = body.get(f)
+    require(spec != null && spec.isObject && spec.has("terms"),
+      s"""terms_set needs "terms", got $spec""")
+    require(!spec.has("minimum_should_match_script"),
+      "terms_set minimum_should_match_script needs a scripting engine: " +
+        "rejected, not approximated (use minimum_should_match_field or a " +
+        "constant minimum_should_match)")
+    val terms = spec.get("terms").elements().asScala
+      .map(_.asText().toLowerCase).toSeq.distinct
+    require(terms.nonEmpty, "terms_set needs at least one term")
+    val toks = split(lower(fieldCol(f)), "\\s+")
+    val matched = terms
+      .map(t => when(coalesce(array_contains(toks, t), lit(false)), 1)
+        .otherwise(0): Column)
+      .reduce(_ + _)
+    val required: Column =
+      if (spec.has("minimum_should_match_field"))
+        fieldCol(spec.get("minimum_should_match_field").asText()).cast("long")
+      else if (spec.has("minimum_should_match"))
+        lit(msmOf(spec.get("minimum_should_match").asText(), terms.size))
+      else throw new IllegalArgumentException(
+        "terms_set needs minimum_should_match_field or minimum_should_match")
+    matched >= required
+  }
+
+  /** ES `combined_fields` (r13), filter-context degeneration: term-centric
+    * match over multiple identically-analyzed fields — the modern
+    * cross_fields successor. Each analyzed query term matches when it
+    * appears in ANY of the fields (the fields act as one combined token
+    * stream), and terms combine per `operator` (default "or") with
+    * `minimum_should_match` counted over the terms — the same shape
+    * multi_match cross_fields takes here, plus the msm grammar. Per-field
+    * `^boost` suffixes are parsed off (boosts shape scores, never the
+    * filter answer).
+    */
+  private def combinedFields(body: JsonNode): Column = {
+    require(body.isObject && body.has("query") && body.has("fields"),
+      s"""combined_fields needs "query" and "fields", got $body""")
+    val fields = body.get("fields").elements().asScala
+      .map(_.asText().split("\\^")(0)).toSeq
+    require(fields.nonEmpty, "combined_fields needs at least one field")
+    val terms = body.get("query").asText().trim.toLowerCase
+      .split("\\s+").toSeq.filter(_.nonEmpty)
+    require(terms.nonEmpty, "combined_fields needs a non-empty query")
+    val op = if (body.has("operator")) body.get("operator").asText().toLowerCase
+             else "or"
+    def inAnyField(t: String): Column = fields
+      .map(f => coalesce(
+        array_contains(split(lower(fieldCol(f)), "\\s+"), t), lit(false)): Column)
+      .reduce(_ || _)
+    val preds = terms.map(inAnyField)
+    if (op == "and") preds.reduce(_ && _)
+    else if (body.has("minimum_should_match")) {
+      val msm = msmOf(body.get("minimum_should_match").asText(), terms.size)
+      preds.map(p => when(p, 1).otherwise(0): Column).reduce(_ + _) >= msm
+    } else preds.reduce(_ || _)
   }
 
   /** ES `more_like_this`, filter-context degeneration: the `like` text is
@@ -961,10 +1083,7 @@ object EsFilter {
     val msmRaw =
       if (body.has("minimum_should_match")) body.get("minimum_should_match").asText()
       else "30%"
-    val msm = math.max(1,
-      if (msmRaw.endsWith("%"))
-        math.floor(msmRaw.dropRight(1).toDouble / 100.0 * terms.size).toInt
-      else msmRaw.toInt)
+    val msm = msmOf(msmRaw, terms.size)
     def has(t: String): Column = fields.map(f =>
       coalesce(array_contains(split(lower(fieldCol(f)), "\\s+"), t), lit(false)): Column)
       .reduce(_ || _)
@@ -1253,6 +1372,15 @@ object EsFilter {
     require(terms.nonEmpty, "match needs a non-empty query")
     val preds: Seq[Column] =
       if (spec.isObject && spec.has("fuzziness")) {
+        // validate analyzed terms HERE, not deep in the slot encoder (r13
+        // review fix): 'c++'-style terms previously surfaced the kernel's
+        // internal "unsupported characters" error while the same query
+        // without fuzziness matched them as literals — name the query and
+        // the way out at the parse site instead
+        terms.foreach(t => require(!t.exists(c => "|~*+^".contains(c)),
+          s"match with fuzziness cannot fuzzy-expand term '$t': the " +
+            "characters | ~ * + ^ are reserved by the fuzzy kernel " +
+            "encoding (drop fuzziness to match them as literal tokens)"))
         val tr = !spec.has("transpositions") ||
           spec.get("transpositions").asBoolean(true)
         val pl = if (spec.has("prefix_length")) spec.get("prefix_length").asInt() else 0
@@ -1271,11 +1399,7 @@ object EsFilter {
     // the OR operator (ES ignores it under "and"; we follow).
     if (op == "and") preds.reduce(_ && _)
     else if (spec.isObject && spec.has("minimum_should_match")) {
-      val msmRaw = spec.get("minimum_should_match").asText()
-      val msm = math.max(1,
-        if (msmRaw.endsWith("%"))
-          math.floor(msmRaw.dropRight(1).toDouble / 100.0 * terms.size).toInt
-        else msmRaw.toInt)
+      val msm = msmOf(spec.get("minimum_should_match").asText(), terms.size)
       preds.map(p => when(p, 1).otherwise(0): Column).reduce(_ + _) >= msm
     } else preds.reduce(_ || _)
   }
@@ -1359,12 +1483,10 @@ object EsFilter {
     // rounded down, per the ES spec)
     val msm: Int =
       if (!body.has("minimum_should_match")) { if (must.nonEmpty) 0 else 1 }
-      else {
-        val raw = body.get("minimum_should_match").asText()
-        if (raw.endsWith("%"))
-          math.floor(raw.dropRight(1).toDouble / 100.0 * should.size).toInt
-        else body.get("minimum_should_match").asInt()
-      }
+      // full ES msm grammar incl. negative all-but-N forms (r13); bool
+      // keeps computed <=0 as "should is optional" rather than flooring
+      else msmOf(body.get("minimum_should_match").asText(), should.size,
+        floorOne = false)
     val shouldPred =
       if (should.isEmpty || msm <= 0) None
       else if (msm == 1) Some(should.reduce(_ || _))

@@ -457,6 +457,131 @@ class EsFilterSpec extends SparkTestBase {
       "type":"bool_prefix","operator":"and"}}""") == Seq(5L))
   }
 
+  test("field_masking_span: masked clause composes, evaluated on the masked field") {
+    // under span_near: identical to the plain span on the masked field
+    // (graft's single analyzer — the Lucene parallel-fields scenario)
+    val masked =
+      """{"span_near":{"clauses":[
+           {"span_term":{"text":"alpha"}},
+           {"field_masking_span":{"query":{"span_term":{"other":"gamma"}},
+                                  "field":"text"}}],
+          "slop":1,"in_order":true}}"""
+    val plain =
+      """{"span_near":{"clauses":[{"span_term":{"text":"alpha"}},
+                                  {"span_term":{"text":"gamma"}}],
+          "slop":1,"in_order":true}}"""
+    assert(sids(masked) == sids(plain))
+    // top-level form: the wrapped span on the masked field
+    assert(sids("""{"field_masking_span":{
+        "query":{"span_term":{"other":"gamma"}},"field":"text"}}""")
+      == Seq(1L, 2L, 3L, 4L))
+    // malformed: missing "field"
+    intercept[IllegalArgumentException] {
+      sids("""{"field_masking_span":{"query":{"span_term":{"text":"alpha"}}}}""")
+    }
+    // the generic span-clause error names field_masking_span as supported
+    val err = intercept[IllegalArgumentException] {
+      sids("""{"span_near":{"clauses":[{"span_gap":{"text":3}}],"slop":0}}""")
+    }
+    assert(err.getMessage.contains("field_masking_span"))
+  }
+
+  test("terms_set: per-row threshold field, constant msm, null threshold") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "red green blue", 2L), (2L, "red yellow x", 2L),
+      (3L, "red green", 3L), (4L, "red green blue", 3L))
+      .toDF("id", "tags", "required")
+    def tids(json: String): Seq[Long] =
+      df.where(EsFilter.compile(json)).select("id").collect().map(_.getLong(0)).sorted.toSeq
+    // per-row threshold: doc 1 matches 2>=2, doc 2 has 1<2, doc 3 has
+    // 2<3, doc 4 has 3>=3
+    assert(tids("""{"terms_set":{"tags":{"terms":["red","green","blue"],
+      "minimum_should_match_field":"required"}}}""") == Seq(1L, 4L))
+    // constant form (ES 8.13+ minimum_should_match)
+    assert(tids("""{"terms_set":{"tags":{"terms":["red","green","blue"],
+      "minimum_should_match":2}}}""") == Seq(1L, 3L, 4L))
+    // a NULL/missing threshold field matches nothing (the ES skip)
+    val withNull = Seq((1L, "red green", Option.empty[Long]),
+      (2L, "red green", Some(1L))).toDF("id", "tags", "required")
+    assert(withNull.where(EsFilter.compile(
+      """{"terms_set":{"tags":{"terms":["red"],
+           "minimum_should_match_field":"required"}}}"""))
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(2L))
+    // scripts need an engine: rejected by name
+    val err = intercept[IllegalArgumentException] {
+      tids("""{"terms_set":{"tags":{"terms":["red"],
+        "minimum_should_match_script":{"source":"doc.size"}}}}""")
+    }
+    assert(err.getMessage.contains("scripting engine"))
+    // no threshold at all: rejected
+    intercept[IllegalArgumentException] {
+      tids("""{"terms_set":{"tags":{"terms":["red"]}}}""")
+    }
+  }
+
+  test("combined_fields: term-centric any-field match, msm grammar, boosts") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta", "gamma"), (2L, "alpha x", "y"),
+      (3L, "x y", "beta"), (4L, "x y", "z"))
+      .toDF("id", "title", "body")
+    def cids(json: String): Seq[Long] =
+      df.where(EsFilter.compile(json)).select("id").collect().map(_.getLong(0)).sorted.toSeq
+    // OR default: any term in any field
+    assert(cids("""{"combined_fields":{"query":"alpha beta",
+      "fields":["title","body"]}}""") == Seq(1L, 2L, 3L))
+    // AND: every term in SOME field (doc 1: alpha+beta in title, gamma n/a)
+    assert(cids("""{"combined_fields":{"query":"alpha beta",
+      "fields":["title","body"],"operator":"and"}}""") == Seq(1L))
+    // negative msm: -1 of 3 terms = at least 2; boost suffix parsed off
+    assert(cids("""{"combined_fields":{"query":"alpha beta gamma",
+      "fields":["title^2","body"],"minimum_should_match":"-1"}}""") == Seq(1L))
+  }
+
+  test("minimum_should_match negative and conditional forms (ES all-but-N)") {
+    import spark.implicits._
+    val df = Seq((1L, "a b c d"), (2L, "a b x y"), (3L, "a x y z"))
+      .toDF("id", "text")
+    def mids(json: String): Seq[Long] =
+      df.where(EsFilter.compile(json)).select("id").collect().map(_.getLong(0)).sorted.toSeq
+    // "-25%" of 4 terms: floor(1) may be missing -> 3 required (the ES
+    // rule; the old clamp silently required just 1)
+    assert(mids("""{"match":{"text":{"query":"a b c d",
+      "minimum_should_match":"-25%"}}}""") == Seq(1L))
+    // "-1" of 4 terms -> 3 required
+    assert(mids("""{"match":{"text":{"query":"a b c d",
+      "minimum_should_match":"-1"}}}""") == Seq(1L))
+    // positive percent unchanged: 50% of 4 -> 2
+    assert(mids("""{"match":{"text":{"query":"a b c d",
+      "minimum_should_match":"50%"}}}""") == Seq(1L, 2L))
+    // bool with negative msm over should clauses
+    assert(mids("""{"bool":{"should":[{"term":{"text":{"value":"a b c d"}}},
+      {"match":{"text":"a"}},{"match":{"text":"b"}}],
+      "minimum_should_match":"-1"}}""") == Seq(1L, 2L))
+    // conditional forms are rejected by name, not approximated
+    val err = intercept[IllegalArgumentException] {
+      mids("""{"match":{"text":{"query":"a b","minimum_should_match":"2<90%"}}}""")
+    }
+    assert(err.getMessage.contains("conditional"))
+  }
+
+  test("match fuzziness rejects reserved-char terms at the parse site") {
+    import spark.implicits._
+    val df = Seq((1L, "c++ rocks"), (2L, "c rocks")).toDF("id", "text")
+    // without fuzziness 'c++' is a literal token
+    assert(df.where(EsFilter.compile("""{"match":{"text":"c++"}}"""))
+      .select("id").collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // with fuzziness: a query-level error naming the match query and the
+    // way out — not the kernel's internal encoding error
+    val err = intercept[IllegalArgumentException] {
+      df.where(EsFilter.compile("""{"match":{"text":{"query":"c++",
+        "fuzziness":"AUTO"}}}""")).collect()
+    }
+    assert(err.getMessage.contains("match with fuzziness"))
+    assert(err.getMessage.contains("drop fuzziness"))
+  }
+
   test("span_or unions positions; span_not windows out excluded positions") {
     // span_or widens slot 0 from {alpha} to {alpha, beta}
     val orNear =
