@@ -102,8 +102,14 @@ object Bench {
     // burst can still poison at most one sample, and now it is discarded
     // instead of archived in the spread as if it were signal. The recorded
     // stat is the median of the three kept samples.
-    val warm = Seq.fill(4) { quiesce(); passOver(tracked) }
+    val warmAll = Seq.fill(4) { quiesce(); passOver(tracked) }
       .reduce(merge)
+    // the discarded worst sample is RECORDED, not invisible (ADVICE r12:
+    // a regression that manifests as one slow pass per run must stay
+    // auditable in the archive even though it is excluded from the median)
+    val droppedWorst = warmAll.collect {
+      case (k, good) if good.size > 3 => (k, good.max) }.toSeq.sortBy(_._1)
+    val warm = warmAll
       .map { case (k, good) =>
         k -> (if (good.size > 3) good.sorted.take(3) else good) }
     // a tracked query whose warm passes ALL failed keeps its cold samples —
@@ -138,7 +144,7 @@ object Bench {
     def minOf(good: Seq[Double]): Double = if (good.isEmpty) -1.0 else good.min
     val mins = jmap(results.map(r => (r._1, minOf(r._3))))
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$failed,"queries":${jmap(results.map(r => (r._1, r._2)))},"queries_min":$mins,"headline_spread":$spread,"slow_tail_spread":$tailSpread,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_failed":$failed,"queries":${jmap(results.map(r => (r._1, r._2)))},"queries_min":$mins,"headline_spread":$spread,"slow_tail_spread":$tailSpread,"dropped_worst":${jmap(droppedWorst)},"sf":"$sfDir"}"""
     Files.write(Paths.get("target/bench_detail.json"),
       detail.getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)

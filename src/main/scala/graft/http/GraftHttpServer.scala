@@ -179,7 +179,16 @@ class GraftHttpServer(graft: Graft, spark: org.apache.spark.sql.SparkSession,
       try {
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
         val node = if (body.trim.isEmpty) null else mapper.readTree(body)
-        val rows0 = f(ex, node).toJSON.toLocalIterator()
+        // build + first-partition probe inside the re-plan retry window: a
+        // read whose listing raced a compaction swap re-plans against the
+        // post-swap store instead of failing (Graft.withReadRetry; only
+        // possible before the first chunked byte goes out — a mid-stream
+        // swap still aborts the chunked response, the documented trade)
+        val rows0 = graft.withReadRetry() {
+          val it = f(ex, node).toJSON.toLocalIterator()
+          it.hasNext // forces the first partition's scan
+          it
+        }
         val rows = poisonStreamsFor match { // test hook: see field doc
           case Some((p, msg)) if p == path => new java.util.Iterator[String] {
             private var emitted = 0
@@ -350,8 +359,11 @@ class GraftHttpServer(graft: Graft, spark: org.apache.spark.sql.SparkSession,
       }
       // bare array response, like the reference's JSON.stringify(result)
       // (orestes.js:203-206)
-      rowsJson(graft.selectDistinct(keys, filterOf(node),
-        spaceOf(ex, "/select_distinct", node)))
+      // re-plan on a compaction-swap race (build + collect inside the retry)
+      graft.withReadRetry() {
+        rowsJson(graft.selectDistinct(keys, filterOf(node),
+          spaceOf(ex, "/select_distinct", node)))
+      }
     }
     handle("/delete") { (ex, node) =>
       require(node != null && node.has("keep_days"), """body must include "keep_days"""")

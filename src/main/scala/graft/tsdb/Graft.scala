@@ -456,6 +456,41 @@ class Graft(spark: SparkSession, root: String,
   }
 
   /** `/read`: points in [startMs, endMs) for series matching the ES filter. */
+  /** Run a read ACTION with re-plan-on-retry semantics against concurrent
+    * compaction (r13, from the compact-vs-readers race spec): a reader
+    * whose file listing predates a compaction swap scans paths the swap
+    * deleted and fails with FAILED_READ_FILE — the inherent plain-parquet
+    * trade (lock-free readers + physical rewrites need a manifest table
+    * format for true snapshot isolation; at 100 TB that is Iceberg/Delta's
+    * job). `body` must BUILD the frame and run the action inside the
+    * closure — each retry then re-plans against a fresh, consistent
+    * post-swap listing, and compaction preserves logical content
+    * (last-write-wins applied physically), so a retried result is the same
+    * logical store. Writers never need this: every physical mutation path
+    * serializes on the per-space mutation lock.
+    */
+  def withReadRetry[T](attempts: Int = 5)(body: => T): T = {
+    def isSwapRace(e: Throwable): Boolean = {
+      var c: Throwable = e
+      while (c != null) {
+        val m = Option(c.getMessage).getOrElse("")
+        if (c.isInstanceOf[java.io.FileNotFoundException] ||
+            m.contains("FILE_NOT_EXIST") ||
+            m.contains("underlying files have been updated")) return true
+        c = if (c.getCause eq c) null else c.getCause
+      }
+      false
+    }
+    var last: Throwable = null
+    var i = 0
+    while (i < attempts) {
+      try return body
+      catch { case e: Throwable if isSwapRace(e) =>
+        last = e; i += 1; Thread.sleep(50L * i) }
+    }
+    throw last
+  }
+
   def read(filter: String, space: String = "default",
            startMs: Long = Long.MinValue, endMs: Long = Long.MaxValue): DataFrame =
     table(space, startMs, endMs) match {
@@ -557,9 +592,28 @@ class Graft(spark: SparkSession, root: String,
     */
   def sqlView(space: String = "default"): String = {
     val name = "graft_" + space.replaceAll("[^A-Za-z0-9_]", "_")
-    read("""{"match_all":{}}""", space).createOrReplaceTempView(name)
+    // never clobber a view this store did not create (review finding r12:
+    // createOrReplaceTempView would silently replace a user-registered —
+    // or another store's — same-named view). graft_* names are reserved
+    // for this API; re-registration of OUR OWN view stays cheap and keeps
+    // the freshness contract above.
+    sqlViewsOwned.synchronized {
+      if (!sqlViewsOwned.contains(name) && spark.catalog.tableExists(name))
+        throw new IllegalStateException(
+          s"view or table '$name' already exists and was not created by " +
+            "this store (graft_* view names are reserved for " +
+            "Graft.sql/sqlView): drop it or rename the space")
+      read("""{"match_all":{}}""", space).createOrReplaceTempView(name)
+      sqlViewsOwned += name
+    }
     name
   }
+
+  /** View names THIS store registered via [[sqlView]] — the set that makes
+    * re-registration (freshness) distinguishable from clobbering someone
+    * else's view.
+    */
+  private val sqlViewsOwned = scala.collection.mutable.Set.empty[String]
 
   /** Fragmentation report — the operational signal a compaction daemon
     * watches: per bucket, its file count, total bytes, and whether any
