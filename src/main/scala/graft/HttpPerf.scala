@@ -50,6 +50,8 @@ object HttpPerf {
     val mapper = new ObjectMapper()
     val client = HttpClient.newHttpClient()
 
+    var contBreakdown: Option[String] = None
+
     def run(label: String, batchSize: Int, continuous: Boolean = false)
         : (Double, Double, Double, Double, Int, Double) = {
       val root = java.nio.file.Files.createTempDirectory(
@@ -84,6 +86,18 @@ object HttpPerf {
         if (continuous) graft.awaitContinuous() else graft.flushQueued()
         val writeSec = (System.nanoTime() - w0) / 1e9
         System.err.println(f"[$label] posts=$postSec%.3f flush=${writeSec - postSec}%.3f")
+        // sustained-mode breakdown (VERDICT r12 #4): where the write wall
+        // time goes — POST/spool acks, then inside the standing query the
+        // per-micro-batch JSON parse vs landing job, plus whatever of the
+        // barrier wait was not covered by batches overlapping the POSTs
+        if (continuous) {
+          val (nb, parseSec, landSec) = graft.continuousStats()
+          contBreakdown = Some(
+            s"""{"posts_sec":${f"$postSec%.3f"},""" +
+            s""""barrier_sec":${f"${writeSec - postSec}%.3f"},""" +
+            s""""n_micro_batches":$nb,"parse_sec":${f"$parseSec%.3f"},""" +
+            s""""land_sec":${f"$landSec%.3f"}}""")
+        }
         val readBody = s"""{"start":0,"end":${BaseMs + NumPoints + 1000}}"""
         val r0 = System.nanoTime()
         val rb = post("/read", readBody)
@@ -129,6 +143,7 @@ object HttpPerf {
       s""""graft_read_sec":${f"$rRef%.3f"},"graft_read_after_1batch_sec":${f"$rBig%.3f"},""" +
       s""""graft_read_compacted_sec":${f"$crRef%.3f"},"graft_read_compacted_1batch_sec":${f"$crBig%.3f"},""" +
       s""""graft_count_sec":${f"$cRef%.3f"},"graft_series_sec":${f"$sRef%.3f"},""" +
+      s""""continuous_breakdown":${contBreakdown.getOrElse("null")},""" +
       s""""reference_write_sec":3.065,"reference_read_sec":3.342,""" +
       s""""reference_source":"README.md perf-test 100k/3tags/10vals"}""")
     spark.stop()
