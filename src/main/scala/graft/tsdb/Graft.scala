@@ -366,7 +366,18 @@ class Graft(spark: SparkSession, root: String,
     val (errors, good) = normalizeBatch(points)
     if (good.nonEmpty) {
       startContinuousIngest(space) // idempotent; first write boots the query
-      val (fs, dir) = fsOf(spoolPath(space))
+      val (fs0, dir) = fsOf(spoolPath(space))
+      // spool through the RAW local FS when the store is on local disk:
+      // the ChecksumFileSystem writes a .crc sibling per create+rename —
+      // a second tiny file per POST that the r13 HttpPerf breakdown
+      // measured as the dominant sustained-mode cost (~20 ms/POST vs the
+      // queued path's ~6 ms; the spool's durability contract is the
+      // atomic rename, and Spark's text source reads fine without the
+      // sibling). HDFS/S3 are not ChecksumFileSystems — unaffected.
+      val fs = fs0 match {
+        case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+        case other => other
+      }
       fs.mkdirs(dir)
       val n = nextSeq()
       val tmp = new HPath(dir, s".tmp-$n")
