@@ -103,59 +103,55 @@ def run_oracle(con, sql):
         done.set()
 
 
+def verdict(con, oracle, name, files):
+    got = con.execute(f"SELECT * FROM read_parquet({files!r})").fetchall()
+    got_cols = [d[0] for d in con.description]
+    if name not in oracle:
+        return f"ROWS_ONLY rows={len(got)}"
+    try:
+        want = run_oracle(con, oracle[name])
+        want_cols = [d[0] for d in con.description]
+    except TimeoutError as ex:
+        # scale rehearsals only (--oracle-timeout): the declared
+        # exhaustive-oracle class (all-pairs baselines) is exempt from
+        # the big-SF oracle but must be LISTED, never silently capped
+        return f"ORACLE_TIMEOUT {ex}"
+    except Exception as ex:
+        return f"ORACLE_ERROR {ex}"
+    if sorted(got_cols) != sorted(want_cols):
+        return f"SCHEMA_MISMATCH got={got_cols} want={want_cols}"
+    bad_types = type_gate(con, files, oracle[name])
+    if bad_types:
+        return f"TYPE_MISMATCH (spark,oracle)={bad_types}"
+    # driver sorts columns by name before hashing values
+    gperm = [got_cols.index(c) for c in sorted(got_cols)]
+    wperm = [want_cols.index(c) for c in sorted(want_cols)]
+    g = [tuple(norm_val(r[i]) for i in gperm) for r in got]
+    w = [tuple(norm_val(r[i]) for i in wperm) for r in want]
+    if len(g) != len(w):
+        return f"ROWCOUNT got={len(g)} want={len(w)}"
+    if g != w:
+        diffs = [(i, a, b) for i, (a, b) in enumerate(zip(g, w)) if a != b][:3]
+        return f"VALUE_MISMATCH rows={len(g)} first_diffs={diffs}"
+    return f"OK rows={len(g)}"
+
+
 def compare():
     con = make_con()
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
-    results = {}
-    for name in sorted(os.listdir(OUT)):
-        dirp = f"{OUT}/{name}"
-        if not os.path.isdir(dirp):
-            continue
-        files = glob.glob(f"{dirp}/*.parquet")
-        got = con.execute(f"SELECT * FROM read_parquet({files!r})").fetchall()
-        got_cols = [d[0] for d in con.description]
-        if name not in oracle:
-            results[name] = f"ROWS_ONLY rows={len(got)}"
-            continue
-        try:
-            want = run_oracle(con, oracle[name])
-            want_cols = [d[0] for d in con.description]
-        except TimeoutError as ex:
-            # scale rehearsals only (--oracle-timeout): the declared
-            # exhaustive-oracle class (all-pairs baselines) is exempt from
-            # the big-SF oracle but must be LISTED, never silently capped
-            results[name] = f"ORACLE_TIMEOUT {ex}"
-            continue
-        except Exception as ex:
-            results[name] = f"ORACLE_ERROR {ex}"
-            continue
-        if sorted(got_cols) != sorted(want_cols):
-            results[name] = f"SCHEMA_MISMATCH got={got_cols} want={want_cols}"
-            continue
-        bad_types = type_gate(con, files, oracle[name])
-        if bad_types:
-            results[name] = f"TYPE_MISMATCH (spark,oracle)={bad_types}"
-            continue
-        # driver sorts columns by name before hashing values
-        gperm = [got_cols.index(c) for c in sorted(got_cols)]
-        wperm = [want_cols.index(c) for c in sorted(want_cols)]
-        g = [tuple(norm_val(r[i]) for i in gperm) for r in got]
-        w = [tuple(norm_val(r[i]) for i in wperm) for r in want]
-        if len(g) != len(w):
-            results[name] = f"ROWCOUNT got={len(g)} want={len(w)}"
-        elif g != w:
-            diffs = [(i, a, b) for i, (a, b) in enumerate(zip(g, w)) if a != b][:3]
-            results[name] = f"VALUE_MISMATCH rows={len(g)} first_diffs={diffs}"
-        else:
-            results[name] = f"OK rows={len(g)}"
-    width = max(len(n) for n in results)
+    names = [n for n in sorted(os.listdir(OUT))
+             if os.path.isdir(f"{OUT}/{n}")]
+    width = max(len(n) for n in names)
     nok = nto = 0
-    for n, r in sorted(results.items()):
-        print(f"{n:<{width}}  {r}")
+    # print each verdict as it lands (flushed) — a big-SF compare runs for
+    # an hour-plus and a buffered all-at-the-end dump is unobservable
+    for name in names:
+        r = verdict(con, oracle, name, glob.glob(f"{OUT}/{name}/*.parquet"))
+        print(f"{name:<{width}}  {r}", flush=True)
         nok += r.startswith("OK") or r.startswith("ROWS_ONLY")
         nto += r.startswith("ORACLE_TIMEOUT")
     tail = f" ({nto} oracle-timeout, exhaustive class)" if nto else ""
-    print(f"== {nok}/{len(results)} pass{tail}")
+    print(f"== {nok}/{len(names)} pass{tail}")
 
 
 def self_test():
