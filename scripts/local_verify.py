@@ -64,6 +64,8 @@ def make_con():
     """One DuckDB env for the gate AND its self-test — they must never
     drift apart, or the self-test proves a different environment."""
     con = duckdb.connect()
+    if os.environ.get("GRAFT_DUCK_THREADS"):
+        con.execute(f"SET threads={int(os.environ['GRAFT_DUCK_THREADS'])}")
     for t in TABLES:
         p = f"{SF}/{t}.parquet"
         if os.path.exists(p):
@@ -76,6 +78,17 @@ def _timeout_arg():
         if a.startswith("--oracle-timeout="):
             return float(a.split("=", 1)[1])
     return None
+
+
+def _shard_arg():
+    """--shard=K/N: compare only queries whose sorted index ≡ K (mod N) —
+    big-SF rehearsals run hours single-process; round-robin sharding
+    spreads the heavy families across parallel invocations."""
+    for a in sys.argv[1:]:
+        if a.startswith("--shard="):
+            k, n = a.split("=", 1)[1].split("/")
+            return int(k), int(n)
+    return 0, 1
 
 
 def run_oracle(con, sql):
@@ -139,8 +152,10 @@ def verdict(con, oracle, name, files):
 def compare():
     con = make_con()
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
-    names = [n for n in sorted(os.listdir(OUT))
-             if os.path.isdir(f"{OUT}/{n}")]
+    k, nsh = _shard_arg()
+    names = [n for i, n in enumerate(sorted(
+                 n for n in os.listdir(OUT) if os.path.isdir(f"{OUT}/{n}")))
+             if i % nsh == k]
     width = max(len(n) for n in names)
     nok = nto = 0
     # print each verdict as it lands (flushed) — a big-SF compare runs for
