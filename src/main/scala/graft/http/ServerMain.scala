@@ -34,7 +34,8 @@ object ServerMain {
       granularityDays = cfg.spaceGranularity.getOrElse("default",
         _root_.graft.tsdb.Tsdb.GranularityDays),
       spaceGranularity = cfg.spaceGranularity,
-      spaceKeepDays = cfg.spaceKeepDays)
+      spaceKeepDays = cfg.spaceKeepDays,
+      manifest = cfg.manifestSnapshots)
     (store, new GraftHttpServer(store, spark, port = cfg.port,
       continuousIngest = cfg.continuousIngest))
   }

@@ -24,7 +24,8 @@ class Graft(spark: SparkSession, root: String,
             spaceGranularity: Map[String, Int] = Map.empty,
             spaceKeepDays: Map[String, Int] = Map.empty,
             maxQueuedPoints: Int = 1000000,
-            spoolCleanup: Boolean = true) {
+            spoolCleanup: Boolean = true,
+            manifest: Boolean = false) {
   import Graft._
 
   private def spacePath(space: String) = s"$root/$space"
@@ -104,9 +105,18 @@ class Graft(spark: SparkSession, root: String,
     // order), and the (tags, time) tail keeps row-group min/max selective —
     // the reference's (attrs, offset) clustering order
     mutationLock(space).synchronized {
+      val (mfs, mdir) = fsOf(spacePath(space))
+      val before = if (manifest) listDataFiles(mfs, mdir).toSet else Set.empty[String]
       good
         .sortWithinPartitions(col("bucket_day") +: tagCols.map(col) :+ col("time_ms"): _*)
         .write.mode(SaveMode.Append).partitionBy("bucket_day").parquet(spacePath(space))
+      if (manifest) {
+        // the diff is exactly this job's output: retired/orphaned files sit
+        // in `before` (see the manifest-mode block) and never re-enter. An
+        // all-rejected batch writes no files — no snapshot to commit.
+        val fresh = listDataFiles(mfs, mdir).filterNot(before)
+        if (fresh.nonEmpty) commitManifest(space)(cur => cur ++ fresh)
+      }
     }
     validated.where(col("__error").isNotNull)
       .select(col("__error").as("error") +: points.columns.map(col): _*)
@@ -125,6 +135,141 @@ class Graft(spark: SparkSession, root: String,
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def mutationLock(space: String): Object =
     mutationLocks.computeIfAbsent(space, _ => new Object)
+
+  // ---- manifest/snapshot mode --------------------------------------------
+  //
+  // OPT-IN (`manifest = true`, config `"manifest_snapshots": true`): every
+  // mutation commits a SNAPSHOT — a small text file listing the space's live
+  // data files — and every read plans from the newest committed snapshot's
+  // file list instead of a live directory listing. This is the miniature of
+  // what a manifest table format (Iceberg/Delta) buys at 100 TB, closing the
+  // one trade the plain layout has ([[withReadRetry]]'s scaladoc): under a
+  // snapshot, compaction and retention REWIRE the manifest but delete
+  // nothing, so a reader planned before a rewrite streams its entire result
+  // from the files its snapshot pinned — no FAILED_READ_FILE, no retry, no
+  // lock. Physical deletion is deferred to an explicit [[vacuum]] with a
+  // keep-snapshots grace (Iceberg's expire-snapshots contract: a reader
+  // older than the grace is the operator's trade to make). Bonus surface:
+  // [[snapshots]]/[[readAt]] time travel, free once commits are files.
+  //
+  // The analog in the reference stack is Cassandra itself: an SSTable
+  // compaction swaps the live-sstable set while in-flight reads keep their
+  // handles on the obsolete files until released (the reference leans on
+  // that, never solving it in app code — lib/orestes-inserter.js writes and
+  // lets Cassandra own the storage lifecycle). Parquet directories have no
+  // such reference counting, so the snapshot layer supplies it.
+  //
+  // Commit protocol, per space, always under the mutation lock: resolve the
+  // current snapshot (max committed seq), apply the update to its file
+  // list, write `m<seq+1>` via tmp + atomic rename. The RENAME is the
+  // commit point — there is no pointer file to swing, so there is exactly
+  // one crash state (tmp left behind, invisible to resolution, cleaned by
+  // vacuum). Readers take no lock: one listStatus of the manifest dir, one
+  // small file read — at 100 TB this is also the read-planning win (a scan
+  // over an object-store prefix becomes one manifest fetch; file listings
+  // are the slowest metadata op S3-family stores have).
+  //
+  // Append jobs discover their own output by diffing the data-file listing
+  // before/after the job inside the lock (retired-but-unvacuumed files sit
+  // in `before`, so they can never re-enter the manifest; files from a
+  // commit that crashed before its manifest rename sit in `before` too and
+  // stay invisible until vacuum). A production engine would take the
+  // written-file list from the commit protocol instead of a listing diff —
+  // the listing here is two RPC rounds per append at embedded scale.
+
+  private def manifestPath(space: String) = s"$root/.manifest/$space"
+
+  /** The space's data files as `bucket_day=<d>/<name>` relative paths. */
+  private def listDataFiles(fs: FileSystem, dir: HPath): Seq[String] =
+    if (!isDir(fs, dir)) Nil
+    else fs.listStatus(dir).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("bucket_day="))
+      .flatMap { bst =>
+        fs.listStatus(bst.getPath).toSeq
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .map(st => bst.getPath.getName + "/" + st.getPath.getName)
+      }
+
+  /** Committed snapshot seqs, ascending (empty before the first commit). */
+  def snapshots(space: String = "default"): Seq[Long] = {
+    val (fs, mdir) = fsOf(manifestPath(space))
+    if (!isDir(fs, mdir)) Nil
+    else fs.listStatus(mdir).toSeq.map(_.getPath.getName)
+      .filter(n => n.length > 1 && n.head == 'm' && n.tail.forall(_.isDigit))
+      .map(_.tail.toLong).sorted
+  }
+
+  private def readManifest(fs: FileSystem, mdir: HPath, seq: Long): Seq[String] = {
+    val in = fs.open(new HPath(mdir, s"m$seq"))
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** The file list of snapshot `seq`, or of the newest commit when None. */
+  private def snapshotFiles(space: String, seq: Option[Long]): Seq[String] = {
+    val (fs, mdir) = fsOf(manifestPath(space))
+    seq.orElse(snapshots(space).lastOption) match {
+      case Some(s) => readManifest(fs, mdir, s)
+      case None => Nil
+    }
+  }
+
+  /** Commit snapshot seq+1 = update(current file list). Caller holds the
+    * space's mutation lock. Returns the new seq. */
+  private def commitManifest(space: String)
+      (update: Seq[String] => Seq[String]): Long = {
+    val (fs, mdir) = fsOf(manifestPath(space))
+    fs.mkdirs(mdir)
+    val cur = snapshots(space).lastOption
+    val curFiles = cur.map(readManifest(fs, mdir, _)).getOrElse(Nil)
+    val next = cur.getOrElse(0L) + 1
+    val body = update(curFiles).distinct.sorted.mkString("\n")
+    val tmp = new HPath(mdir, s".tmp-m$next")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val mfile = new HPath(mdir, s"m$next")
+    if (!fs.rename(tmp, mfile))
+      throw new java.io.IOException(s"manifest commit: rename $tmp -> $mfile failed")
+    next
+  }
+
+  /** Physically delete files no snapshot in the keep window references, and
+    * expire the manifests older than the window — manifest mode's deferred
+    * deletion (Iceberg's expire-snapshots). `keepSnapshots` is the reader
+    * grace: a reader pinned to an expired snapshot is the operator's trade.
+    * Returns the deleted data-file paths (relative).
+    */
+  def vacuum(space: String = "default", keepSnapshots: Int = 2): Seq[String] = {
+    require(manifest, "vacuum is a manifest-mode operation (manifest = true)")
+    flushQueued(space) // queued-but-unlanded points land (and commit) first
+    mutationLock(space).synchronized {
+      val (fs, dir) = fsOf(spacePath(space))
+      val (mfs, mdir) = fsOf(manifestPath(space))
+      val seqs = snapshots(space)
+      if (seqs.isEmpty) return Nil
+      val kept = seqs.takeRight(math.max(1, keepSnapshots))
+      val referenced = kept.flatMap(readManifest(mfs, mdir, _)).toSet
+      val doomed = listDataFiles(fs, dir).filterNot(referenced)
+      doomed.foreach { f =>
+        if (!fs.delete(new HPath(dir, f), false))
+          throw new java.io.IOException(s"vacuum: delete $f failed")
+      }
+      // drop bucket dirs vacuum emptied (retention's physical half)
+      if (isDir(fs, dir))
+        fs.listStatus(dir)
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("bucket_day=") &&
+            fs.listStatus(st.getPath).isEmpty)
+          .foreach(st => fs.delete(st.getPath, true))
+      // crashed-commit tmps and expired manifests
+      mfs.listStatus(mdir).filter(_.getPath.getName.startsWith(".tmp-"))
+        .foreach(st => mfs.delete(st.getPath, false))
+      seqs.diff(kept).foreach(s => mfs.delete(new HPath(mdir, s"m$s"), false))
+      doomed
+    }
+  }
 
   // ---- coalesced (queued) write path -------------------------------------
   //
@@ -247,31 +392,56 @@ class Graft(spark: SparkSession, root: String,
   }
 
   private def table(space: String, startMs: Long = Long.MinValue,
-                    endMs: Long = Long.MaxValue): Option[PointsTable] = {
-    flushQueued(space)
+                    endMs: Long = Long.MaxValue,
+                    pinned: Option[Long] = None): Option[PointsTable] = {
+    // a pinned (time-travel) read must not flush: it reads history, and a
+    // flush would land queued points and commit a NEWER snapshot
+    if (pinned.isEmpty) flushQueued(space)
     val path = spacePath(space)
-    val (fs, p) = fsOf(path)
-    if (!fs.exists(p)) None
-    // a root with no bucket directory yet reads as "no data" WITHOUT
-    // attempting the glob: the thrown-and-caught inference failure below
-    // is correct but Spark logs it with a full stack at WARN — per-request
-    // noise in a long-lived server (the catch stays as the race guard)
-    else if (!fs.listStatus(p).exists(_.getPath.getName.startsWith("bucket_day=")))
-      None
-    else {
-      // Read via the bucket-partition glob with an explicit basePath: the
-      // bucket directories are the source of truth (as Orestes' per-bucket
-      // tables are). This deliberately bypasses any streaming-sink
-      // `_spark_metadata` log, which would otherwise keep referencing files
-      // that `remove()` retention has deleted. Only a missing/empty glob is
-      // "no buckets yet" — real read errors must surface.
-      // mergeSchema: tags are data-dependent (any write may add one), and a
-      // pre-stamp store appended to by a stamped writer holds files with and
-      // without __wseq — single-footer inference would pick one arbitrary
-      // schema, silently dropping tags or the stamp (and with it the
-      // last-write-wins merge below). Merged, legacy rows surface a null
-      // stamp and rank last, exactly as the merge intends.
-      val raw =
+    val g = granularityOf(space)
+    // floor-division so pre-1970 timestamps bucket into the same (negative)
+    // bucket_day the writer produced — truncate-toward-zero would prune
+    // those directories and silently hide the data
+    def bucketOfMs(ms: Long) =
+      Math.floorDiv(Math.floorDiv(ms, Det.MsInDay), g.toLong) * g
+    val raw =
+      if (manifest) {
+        // manifest mode: plan from the snapshot's file list — never a
+        // directory listing, so rewrites can't race this read and pruning
+        // happens DRIVER-SIDE (the planner only sees in-range files; when
+        // the range covers nothing, plan the full list and let the
+        // where() below empty it — the frame keeps its schema)
+        val files = snapshotFiles(space, pinned)
+        if (files.isEmpty) return None
+        def dayOf(f: String) =
+          f.takeWhile(_ != '/').stripPrefix("bucket_day=").toLong
+        val lo = bucketOfMs(startMs)
+        val hi = bucketOfMs(math.max(endMs - 1, startMs))
+        val inRange = files.filter { f => val d = dayOf(f); d >= lo && d <= hi }
+        val plan = if (inRange.nonEmpty) inRange else files
+        spark.read.option("basePath", path).option("mergeSchema", "true")
+          .parquet(plan.map(f => s"$path/$f"): _*)
+      } else {
+        val (fs, p) = fsOf(path)
+        if (!fs.exists(p)) return None
+        // a root with no bucket directory yet reads as "no data" WITHOUT
+        // attempting the glob: the thrown-and-caught inference failure below
+        // is correct but Spark logs it with a full stack at WARN — per-request
+        // noise in a long-lived server (the catch stays as the race guard)
+        if (!fs.listStatus(p).exists(_.getPath.getName.startsWith("bucket_day=")))
+          return None
+        // Read via the bucket-partition glob with an explicit basePath: the
+        // bucket directories are the source of truth (as Orestes' per-bucket
+        // tables are). This deliberately bypasses any streaming-sink
+        // `_spark_metadata` log, which would otherwise keep referencing files
+        // that `remove()` retention has deleted. Only a missing/empty glob is
+        // "no buckets yet" — real read errors must surface.
+        // mergeSchema: tags are data-dependent (any write may add one), and a
+        // pre-stamp store appended to by a stamped writer holds files with and
+        // without __wseq — single-footer inference would pick one arbitrary
+        // schema, silently dropping tags or the stamp (and with it the
+        // last-write-wins merge below). Merged, legacy rows surface a null
+        // stamp and rank last, exactly as the merge intends.
         try spark.read.option("basePath", path).option("mergeSchema", "true")
           .parquet(s"$path/bucket_day=*")
         catch {
@@ -281,14 +451,10 @@ class Graft(spark: SparkSession, root: String,
                  e.getMessage.toLowerCase.contains("path does not exist") =>
             return None
         }
+      }
+    {
       // prune bucket directories by the query's time range — the reason the
       // layout exists (Orestes' valid-days check, lib/orestes-query.js:30-40)
-      val g = granularityOf(space)
-      // floor-division so pre-1970 timestamps bucket into the same (negative)
-      // bucket_day the writer produced — truncate-toward-zero would prune
-      // those directories and silently hide the data
-      def bucketOfMs(ms: Long) =
-        Math.floorDiv(Math.floorDiv(ms, Det.MsInDay), g.toLong) * g
       val pruned = raw.where(
         col("bucket_day") >= bucketOfMs(startMs) &&
         col("bucket_day") <= bucketOfMs(math.max(endMs - 1, startMs)))
@@ -505,7 +671,10 @@ class Graft(spark: SparkSession, root: String,
     * deleted and fails with FAILED_READ_FILE — the inherent plain-parquet
     * trade (lock-free readers + physical rewrites need a manifest table
     * format for true snapshot isolation; at 100 TB that is Iceberg/Delta's
-    * job). `body` must BUILD the frame and run the action inside the
+    * job — and graft's manifest mode (`manifest = true`) supplies exactly
+    * that: under it rewrites delete nothing until [[vacuum]], reads plan
+    * from a pinned snapshot, and this retry never fires).
+    * `body` must BUILD the frame and run the action inside the
     * closure — each retry then re-plans against a fresh, consistent
     * post-swap listing, and compaction preserves logical content
     * (last-write-wins applied physically), so a retried result is the same
@@ -541,6 +710,27 @@ class Graft(spark: SparkSession, root: String,
       case Some(pt) => Tsdb.read(pt, compileFor(pt, filter), startMs, endMs)
       case None => empty("time_ms BIGINT, value DOUBLE")
     }
+
+  /** Time travel (manifest mode): [[read]] pinned to snapshot `snapshot`
+    * (a seq from [[snapshots]]) — the store exactly as that commit left it,
+    * valid until [[vacuum]] expires the snapshot. The write queue is NOT
+    * flushed first: a pinned read must not advance the store it is
+    * inspecting.
+    */
+  def readAt(snapshot: Long, filter: String, space: String = "default",
+             startMs: Long = Long.MinValue, endMs: Long = Long.MaxValue): DataFrame = {
+    require(manifest, "readAt is a manifest-mode operation (manifest = true)")
+    require(snapshots(space).contains(snapshot),
+      s"snapshot $snapshot does not exist (have: ${snapshots(space).mkString(", ")})")
+    tableAt(space, snapshot, startMs, endMs) match {
+      case Some(pt) => Tsdb.read(pt, compileFor(pt, filter), startMs, endMs)
+      case None => empty("time_ms BIGINT, value DOUBLE")
+    }
+  }
+
+  private def tableAt(space: String, snapshot: Long, startMs: Long,
+                      endMs: Long): Option[PointsTable] =
+    table(space, startMs, endMs, pinned = Some(snapshot))
 
   /** `/read` in the reference's response shape: one row per series with its
     * tags and the time-sorted `[time_ms, value]` point array (README
@@ -670,6 +860,21 @@ class Graft(spark: SparkSession, root: String,
     flushQueued(space)
     val (fs, dir) = fsOf(spacePath(space))
     if (!isDir(fs, dir)) return Nil
+    if (manifest) {
+      // the report covers the LIVE set: retired-but-unvacuumed files are
+      // storage overhead (vacuum's concern), not fragmentation
+      val path = spacePath(space)
+      return snapshotFiles(space, None).groupBy(_.takeWhile(_ != '/')).toSeq
+        .map { case (bname, bfiles) =>
+          val day = bname.stripPrefix("bucket_day=").toLong
+          val bytes =
+            bfiles.map(f => fs.getFileStatus(new HPath(dir, f)).getLen).sum
+          val stamped = spark.read.option("mergeSchema", "true")
+            .parquet(bfiles.map(f => s"$path/$f"): _*)
+            .columns.contains(WseqCol)
+          (day, bfiles.length, bytes, stamped)
+        }.sortBy(_._1)
+    }
     fs.listStatus(dir).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("bucket_day="))
       .map { bst =>
@@ -701,6 +906,7 @@ class Graft(spark: SparkSession, root: String,
     flushQueued(space)
     val (fs, dir) = fsOf(spacePath(space))
     if (!isDir(fs, dir)) return Nil
+    if (manifest) return compactManifest(space, targetBytes)
     mutationLock(space).synchronized {
     // Recover/clean tmp dirs a crashed compaction left behind. The tmp name
     // is "_"-prefixed so Spark's file listing ignores it even mid-swap (a
@@ -770,6 +976,76 @@ class Graft(spark: SparkSession, root: String,
     }
   }
 
+  /** Manifest-mode compaction: same merge/target-size semantics as the
+    * plain path, but the swap is a MANIFEST commit — replaced files stay on
+    * disk (pinned readers stream from them; [[vacuum]] reclaims), and the
+    * crash story collapses to one state (an orphaned tmp dir or moved-but-
+    * uncommitted output files, both invisible to every snapshot and swept
+    * by vacuum). No delete+rename dance, no recovery scan.
+    */
+  private def compactManifest(space: String,
+                              targetBytes: Long): Seq[(Long, Int, Int)] =
+    mutationLock(space).synchronized {
+      val path = spacePath(space)
+      val (fs, dir) = fsOf(path)
+      // leftover tmp dirs from a crashed run: no snapshot references them
+      fs.listStatus(dir).filter(_.getPath.getName.startsWith(TmpPrefix))
+        .foreach(st => fs.delete(st.getPath, true))
+      val files = snapshotFiles(space, None)
+      if (files.isEmpty) return Nil
+      val gen = nextSeq() // unique output-file prefix for this compaction
+      val swaps = files.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+        .flatMap { case (bname, bfiles) =>
+          val day = bname.stripPrefix("bucket_day=")
+          val bytes = bfiles.map(f => fs.getFileStatus(new HPath(dir, f)).getLen).sum
+          val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+          // no basePath: the frame must not carry the partition column
+          // (plain-mode compact reads the bucket dir the same way)
+          val df = spark.read.option("mergeSchema", "true")
+            .parquet(bfiles.map(f => s"$path/$f"): _*)
+          if (bfiles.length <= nOut && !df.columns.contains(WseqCol)) None
+          else {
+            val tagCols = df.columns.filterNot(c =>
+              c == "time_ms" || c == "value" || c == WseqCol).toSeq
+            val key = tagCols.map(col) :+ col("time_ms")
+            val merged =
+              if (!df.columns.contains(WseqCol)) df
+              else {
+                val w = org.apache.spark.sql.expressions.Window
+                  .partitionBy(key: _*)
+                  .orderBy(col(WseqCol).desc, col("value").desc)
+                df.withColumn("__rn", row_number().over(w))
+                  .where(col("__rn") === 1).drop("__rn", WseqCol)
+              }
+            val tmp = new HPath(dir, s"$TmpPrefix$day")
+            merged.repartitionByRange(nOut, key: _*)
+              .sortWithinPartitions(key: _*)
+              .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+            // move outputs into the bucket dir under this generation's
+            // prefix; the bucket now holds old + new files, and only the
+            // manifest decides which are live
+            val moved = fs.listStatus(tmp)
+              .filter(_.getPath.getName.endsWith(".parquet")).toSeq
+              .map { st =>
+                val dst = new HPath(new HPath(dir, bname),
+                  s"c$gen-${st.getPath.getName}")
+                if (!fs.rename(st.getPath, dst))
+                  throw new java.io.IOException(
+                    s"compact: rename ${st.getPath} -> $dst failed")
+                s"$bname/${dst.getName}"
+              }
+            fs.delete(tmp, true)
+            Some((day.toLong, bfiles.length, moved.length, bfiles.toSet, moved))
+          }
+        }
+      if (swaps.nonEmpty) {
+        val replaced = swaps.flatMap(_._4).toSet
+        val added = swaps.flatMap(_._5)
+        commitManifest(space)(cur => cur.filterNot(replaced) ++ added)
+      }
+      swaps.map(s => (s._1, s._2, s._3)).sortBy(_._1)
+    }
+
   /** `/delete`: drop whole buckets whose last day is older than
     * `today - keepDays` (reference semantics, lib/orestes-remover.js:16-39).
     * `todayDay` defaults to the current wall clock like the reference;
@@ -781,6 +1057,25 @@ class Graft(spark: SparkSession, root: String,
     val doomed = todayDay - keepDays
     val (fs, dir) = fsOf(spacePath(space))
     if (!isDir(fs, dir)) return Nil
+    if (manifest) {
+      // retention is a manifest commit: the doomed buckets' files leave the
+      // live set (readers planned after this see them gone) but stay on
+      // disk for pinned snapshots until [[vacuum]] — the same deferred
+      // deletion every mutation gets in manifest mode
+      return mutationLock(space).synchronized {
+        val files = snapshotFiles(space, None)
+        def dayOf(f: String) =
+          f.takeWhile(_ != '/').stripPrefix("bucket_day=").toLong
+        val days = files.map(dayOf).distinct
+        val dropDays = days.filter(day =>
+          math.min(day + granularityOf(space) - 1, todayDay) <= doomed).sorted
+        if (dropDays.nonEmpty) {
+          val dd = dropDays.toSet
+          commitManifest(space)(cur => cur.filterNot(f => dd(dayOf(f))))
+        }
+        dropDays
+      }
+    }
     val buckets = fs.listStatus(dir).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("bucket_day="))
       .map(st => (st.getPath, st.getPath.getName.stripPrefix("bucket_day=").toLong))
@@ -825,7 +1120,8 @@ object Graft {
     */
   case class Config(port: Int, spaceGranularity: Map[String, Int],
                     spaceKeepDays: Map[String, Int] = Map.empty,
-                    continuousIngest: Boolean = false)
+                    continuousIngest: Boolean = false,
+                    manifestSnapshots: Boolean = false)
 
   /** Parse a reference-shaped config file. Read through the Hadoop
     * FileSystem like all store maintenance — the config can live next to
@@ -855,8 +1151,12 @@ object Graft {
     // streaming path (Graft.writeSpooled)
     val continuous = node.has("continuous_ingest") &&
       node.get("continuous_ingest").asBoolean(false)
+    // graft extension: top-level `"manifest_snapshots": true` turns on the
+    // manifest/snapshot storage mode (see the manifest block in [[Graft]])
+    val manifestSnapshots = node.has("manifest_snapshots") &&
+      node.get("manifest_snapshots").asBoolean(false)
     Config(port, perSpace("table_granularity_days"), perSpace("keep_days"),
-      continuous)
+      continuous, manifestSnapshots)
   }
 
   /** Boot a store from the reference's own config file (orestes.js:62 reads
@@ -869,7 +1169,8 @@ object Graft {
     new Graft(spark, root,
       granularityDays = cfg.spaceGranularity.getOrElse("default", Tsdb.GranularityDays),
       spaceGranularity = cfg.spaceGranularity,
-      spaceKeepDays = cfg.spaceKeepDays)
+      spaceKeepDays = cfg.spaceKeepDays,
+      manifest = cfg.manifestSnapshots)
   }
 
   /** The reference's default facade port (conf/orestes-config.json). */

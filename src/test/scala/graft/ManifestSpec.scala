@@ -1,0 +1,161 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.tsdb.Graft
+
+/** Manifest/snapshot storage mode (r13): every mutation commits a snapshot
+  * (a small file list), reads plan from the newest committed snapshot, and
+  * rewrites delete NOTHING until vacuum — lock-free snapshot isolation under
+  * compaction/retention (the plain layout's one named trade, see
+  * Graft.withReadRetry), plus time travel for free. The reference gets this
+  * from Cassandra's live-SSTable set; parquet directories need the layer
+  * supplied explicitly.
+  */
+class ManifestSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def freshRoot() =
+    Files.createTempDirectory(Paths.get("target"), "graft-manifest").toString
+
+  private def store(root: String) = new Graft(spark, root, manifest = true)
+
+  private def contentOf(g: Graft, space: String = "default"): Set[(Long, Double, String)] =
+    g.read("""{"match_all":{}}""", space = space).collect()
+      .map(r => (r.getAs[Long]("time_ms"), r.getAs[Double]("value"),
+        r.getAs[String]("name"))).toSet
+
+  test("manifest store: write/read parity, LWW overwrite, time-range pruning") {
+    val g = store(freshRoot())
+    g.write(Seq(("2024-01-09T10:00:00Z", 1.0, "s"), ("2024-01-19T10:00:00Z", 2.0, "s"))
+      .toDF("time", "value", "name"))
+    g.write(Seq(("2024-01-09T10:00:00Z", 9.0, "s")).toDF("time", "value", "name"))
+
+    // LWW merge-on-read: the overwrite wins, one row per (series, time)
+    assert(contentOf(g) ==
+      Set((1704794400000L, 9.0, "s"), (1705658400000L, 2.0, "s")))
+    // [start, end) range read prunes to the Jan-9 bucket
+    val jan9 = g.read("""{"match_all":{}}""",
+      startMs = 1704758400000L, endMs = 1704844800000L).collect()
+    assert(jan9.map(_.getAs[Double]("value")).toSeq == Seq(9.0))
+    // the queued facade path lands + commits through the same write()
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val errs = g.writeQueued(Seq(om.readTree(
+      """{"time": "2024-01-09T11:00:00Z", "value": 3.5, "name": "s"}""")))
+    assert(errs.isEmpty)
+    assert(contentOf(g).size == 3) // read flushes (read-your-writes)
+    assert(g.snapshots().size == 3) // one commit per landed mutation
+  }
+
+  test("reader pinned pre-compaction streams fully AFTER the rewrite — no retry, no error") {
+    val g = store(freshRoot())
+    // several stamped appends -> fragmented, merge window on read
+    (1 to 4).foreach { i =>
+      g.write(Seq(("2024-01-09T10:00:00Z", i.toDouble, "s"),
+        (s"2024-01-09T10:00:0${i}Z", i * 10.0, "s")).toDF("time", "value", "name"))
+    }
+    val preSnap = g.snapshots().last
+    val pre = g.read("""{"match_all":{}}""") // plans from preSnap's file list
+    def rows(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getAs[Long]("time_ms"), r.getAs[Double]("value"))).toSet
+    val expected = rows(pre.collect())
+
+    val compacted = g.compact()
+    assert(compacted.nonEmpty, "stamped buckets must compact")
+    assert(g.snapshots().last > preSnap, "compaction commits a new snapshot")
+
+    // THE point of the mode: the pre-compaction plan's files still exist, so
+    // a full re-execution of the pinned frame succeeds bit-for-bit — the
+    // plain layout fails here with FAILED_READ_FILE (Round13Spec's race)
+    assert(rows(pre.collect()) == expected)
+
+    // post-compaction read: same logical content, stamp retired
+    assert(rows(g.read("""{"match_all":{}}""").collect()) == expected)
+    assert(g.fragmentation().forall(!_._4), "compacted buckets carry no stamps")
+    // later writes still win LWW over compacted rows
+    g.write(Seq(("2024-01-09T10:00:00Z", 99.0, "s")).toDF("time", "value", "name"))
+    assert(g.read("""{"term":{"name":"s"}}""", startMs = 1704794400000L,
+      endMs = 1704794400001L).collect().map(_.getAs[Double]("value")).toSeq == Seq(99.0))
+  }
+
+  test("time travel: readAt pins history; retention is logical until vacuum reclaims") {
+    val root = freshRoot()
+    val g = store(root)
+    g.write(Seq(("2024-01-09T10:00:00Z", 1.0, "s")).toDF("time", "value", "name"))
+    val s1 = g.snapshots().last
+    g.write(Seq(("2024-01-09T10:00:00Z", 2.0, "s"),
+      ("2024-03-09T10:00:00Z", 3.0, "s")).toDF("time", "value", "name"))
+    val s2 = g.snapshots().last
+
+    // snapshot s1 predates both the overwrite and the March point
+    assert(g.readAt(s1, """{"match_all":{}}""").collect()
+      .map(_.getAs[Double]("value")).toSeq == Seq(1.0))
+    assert(g.readAt(s2, """{"match_all":{}}""").count() == 2)
+
+    // retention drops the January bucket LOGICALLY: live reads exclude it,
+    // the pinned snapshot still serves it, the files remain on disk
+    val dropped = g.remove(keepDays = 30, todayDay = 19800) // ~2024-03-18
+    assert(dropped.nonEmpty)
+    assert(g.read("""{"match_all":{}}""").collect()
+      .map(_.getAs[Double]("value")).toSeq == Seq(3.0))
+    assert(g.readAt(s2, """{"match_all":{}}""").count() == 2)
+
+    // vacuum(keep=1): only the newest snapshot's files survive; the January
+    // files and the expired manifests go; the live read is untouched
+    val deleted = g.vacuum(keepSnapshots = 1)
+    assert(deleted.nonEmpty)
+    assert(g.read("""{"match_all":{}}""").collect()
+      .map(_.getAs[Double]("value")).toSeq == Seq(3.0))
+    assert(g.snapshots().size == 1)
+    intercept[IllegalArgumentException] { g.readAt(s2, """{"match_all":{}}""") }
+    // the dropped bucket's directory is physically gone after vacuum
+    val jan = new java.io.File(s"$root/default")
+      .listFiles().filter(_.getName.startsWith("bucket_day="))
+    assert(jan.length == 1, s"only the March bucket dir survives, got ${jan.toSeq}")
+  }
+
+  test("crash states are invisible: orphan data files and tmp manifests never surface") {
+    val root = freshRoot()
+    val g = store(root)
+    g.write(Seq(("2024-01-09T10:00:00Z", 1.0, "s")).toDF("time", "value", "name"))
+    val bucket = new java.io.File(s"$root/default").listFiles()
+      .filter(_.getName.startsWith("bucket_day=")).head
+    val live = bucket.listFiles().filter(_.getName.endsWith(".parquet")).head
+
+    // a data file whose commit crashed before its manifest rename: on disk,
+    // in no snapshot — reads skip it, the next append does not adopt it
+    val orphan = new java.io.File(bucket, "orphan-" + live.getName)
+    Files.copy(live.toPath, orphan.toPath)
+    assert(contentOf(g).size == 1)
+    g.write(Seq(("2024-01-09T11:00:00Z", 2.0, "s")).toDF("time", "value", "name"))
+    assert(contentOf(g).size == 2, "orphan must not ride in on the append diff")
+
+    // a crashed manifest commit's tmp file: resolution ignores non-m names
+    val mdir = new java.io.File(s"$root/.manifest/default")
+    Files.write(new java.io.File(mdir, ".tmp-m99").toPath, "garbage".getBytes)
+    assert(g.snapshots() == g.snapshots().sorted && g.snapshots().nonEmpty)
+    assert(contentOf(g).size == 2)
+
+    // vacuum sweeps both
+    g.vacuum(keepSnapshots = 1)
+    assert(!orphan.exists(), "vacuum reclaims unreferenced files")
+    assert(!new java.io.File(mdir, ".tmp-m99").exists())
+    assert(contentOf(g).size == 2)
+  }
+
+  test("config boot: manifest_snapshots flows through loadConfig/fromConfig") {
+    val root = freshRoot()
+    val cfg = new java.io.File(root, "config.json")
+    Files.write(cfg.toPath,
+      """{"port": 9668, "manifest_snapshots": true,
+         "spaces": {"default": {"table_granularity_days": 1}}}""".getBytes)
+    assert(Graft.loadConfig(spark, cfg.toString).manifestSnapshots)
+    val g = Graft.fromConfig(spark, cfg.toString, root + "/store")
+    g.write(Seq(("2024-01-09T10:00:00Z", 1.0, "s")).toDF("time", "value", "name"))
+    assert(g.snapshots().nonEmpty, "fromConfig store must commit snapshots")
+    g.vacuum() // manifest-mode-only op proves the flag reached the store
+    // a plain store rejects the manifest-only surface loudly
+    val plain = new Graft(spark, root + "/plain")
+    intercept[IllegalArgumentException] { plain.vacuum() }
+  }
+}
