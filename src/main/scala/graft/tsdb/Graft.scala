@@ -106,16 +106,25 @@ class Graft(spark: SparkSession, root: String,
     // the reference's (attrs, offset) clustering order
     mutationLock(space).synchronized {
       val (mfs, mdir) = fsOf(spacePath(space))
-      val before = if (manifest) listDataFiles(mfs, mdir).toSet else Set.empty[String]
+      val before =
+        if (manifest) listDataFiles(mfs, mdir).map(_._1).toSet
+        else Set.empty[String]
       good
         .sortWithinPartitions(col("bucket_day") +: tagCols.map(col) :+ col("time_ms"): _*)
         .write.mode(SaveMode.Append).partitionBy("bucket_day").parquet(spacePath(space))
       if (manifest) {
         // the diff is exactly this job's output: retired/orphaned files sit
         // in `before` (see the manifest-mode block) and never re-enter. An
-        // all-rejected batch writes no files — no snapshot to commit.
-        val fresh = listDataFiles(mfs, mdir).filterNot(before)
-        if (fresh.nonEmpty) commitManifest(space)(cur => cur ++ fresh)
+        // all-rejected batch writes no files — no snapshot to commit. The
+        // job's data schema (everything but the partition column) merges
+        // into the manifest so reads never open a parquet footer.
+        val fresh = listDataFiles(mfs, mdir).filterNot(f => before(f._1))
+        if (fresh.nonEmpty) {
+          val jobSchema = org.apache.spark.sql.types.StructType(
+            good.schema.fields.filterNot(_.name == "bucket_day"))
+          commitManifest(space)(cur => Manifest(cur.files ++ fresh,
+            Some(mergeDataSchema(cur.schemaJson, jobSchema))))
+        }
       }
     }
     validated.where(col("__error").isNotNull)
@@ -179,15 +188,15 @@ class Graft(spark: SparkSession, root: String,
 
   private def manifestPath(space: String) = s"$root/.manifest/$space"
 
-  /** The space's data files as `bucket_day=<d>/<name>` relative paths. */
-  private def listDataFiles(fs: FileSystem, dir: HPath): Seq[String] =
+  /** The space's data files as (`bucket_day=<d>/<name>`, size) pairs. */
+  private def listDataFiles(fs: FileSystem, dir: HPath): Seq[(String, Long)] =
     if (!isDir(fs, dir)) Nil
     else fs.listStatus(dir).toSeq
       .filter(st => st.isDirectory && st.getPath.getName.startsWith("bucket_day="))
       .flatMap { bst =>
         fs.listStatus(bst.getPath).toSeq
           .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-          .map(st => bst.getPath.getName + "/" + st.getPath.getName)
+          .map(st => (bst.getPath.getName + "/" + st.getPath.getName, st.getLen))
       }
 
   /** Committed snapshot seqs, ascending (empty before the first commit). */
@@ -199,32 +208,57 @@ class Graft(spark: SparkSession, root: String,
       .map(_.tail.toLong).sorted
   }
 
-  private def readManifest(fs: FileSystem, mdir: HPath, seq: Long): Seq[String] = {
-    val in = fs.open(new HPath(mdir, s"m$seq"))
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .filter(_.nonEmpty).toList
-    finally in.close()
+  /** One committed snapshot: live files with their sizes, plus the live
+    * DATA schema (tags + time_ms + value [+ __wseq], no partition column)
+    * as `DataType.json`. Sizes + schema are what make reads METADATA-FREE:
+    * the scan relation is built from this object alone — no listing, no
+    * stat calls, no footer reads (see [[tableManifest]]). Format v2 writes
+    * both; a v1 manifest (bare path lines, r13-early) reads with size -1
+    * and no schema, and the read path falls back to footer inference.
+    */
+  private[tsdb] case class Manifest(files: Seq[(String, Long)],
+                                    schemaJson: Option[String]) {
+    def paths: Seq[String] = files.map(_._1)
   }
 
-  /** The file list of snapshot `seq`, or of the newest commit when None. */
-  private def snapshotFiles(space: String, seq: Option[Long]): Seq[String] = {
+  private def readManifest(fs: FileSystem, mdir: HPath, seq: Long): Manifest = {
+    val in = fs.open(new HPath(mdir, s"m$seq"))
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toList
+      finally in.close()
+    val schema = lines.find(_.startsWith("#v2 ")).map(_.stripPrefix("#v2 "))
+    val files = lines.filterNot(_.startsWith("#")).map { l =>
+      l.split('\t') match {
+        case Array(p, sz) => (p, sz.toLong)
+        case _ => (l, -1L) // v1 line: path only
+      }
+    }
+    Manifest(files, schema.filter(_.nonEmpty))
+  }
+
+  /** The manifest of snapshot `seq`, or of the newest commit when None. */
+  private def snapshotManifest(space: String, seq: Option[Long]): Manifest = {
     val (fs, mdir) = fsOf(manifestPath(space))
     seq.orElse(snapshots(space).lastOption) match {
       case Some(s) => readManifest(fs, mdir, s)
-      case None => Nil
+      case None => Manifest(Nil, None)
     }
   }
 
-  /** Commit snapshot seq+1 = update(current file list). Caller holds the
-    * space's mutation lock. Returns the new seq. */
+  /** Commit snapshot seq+1 = update(current). Caller holds the space's
+    * mutation lock. Returns the new seq. */
   private def commitManifest(space: String)
-      (update: Seq[String] => Seq[String]): Long = {
+      (update: Manifest => Manifest): Long = {
     val (fs, mdir) = fsOf(manifestPath(space))
     fs.mkdirs(mdir)
     val cur = snapshots(space).lastOption
-    val curFiles = cur.map(readManifest(fs, mdir, _)).getOrElse(Nil)
+    val curM = cur.map(readManifest(fs, mdir, _)).getOrElse(Manifest(Nil, None))
     val next = cur.getOrElse(0L) + 1
-    val body = update(curFiles).distinct.sorted.mkString("\n")
+    val m = update(curM)
+    val body = (m.schemaJson.map("#v2 " + _).toSeq ++
+      m.files.distinct.sortBy(_._1).map { case (p, sz) => s"$p\t$sz" })
+      .mkString("\n")
     val tmp = new HPath(mdir, s".tmp-m$next")
     val out = fs.create(tmp, true)
     try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -233,6 +267,31 @@ class Graft(spark: SparkSession, root: String,
     if (!fs.rename(tmp, mfile))
       throw new java.io.IOException(s"manifest commit: rename $tmp -> $mfile failed")
     next
+  }
+
+  /** Union-merge two data schemas by field name, old field order first —
+    * the same compatibility contract parquet's mergeSchema enforces, applied
+    * at COMMIT time so reads never open a footer. A same-name type conflict
+    * is the same error mergeSchema would raise at read; raising it at the
+    * write that introduces it is strictly earlier.
+    */
+  private def mergeDataSchema(prev: Option[String],
+                              add: org.apache.spark.sql.types.StructType): String = {
+    import org.apache.spark.sql.types.{DataType, StructType}
+    val base = prev.map(j => DataType.fromJson(j).asInstanceOf[StructType])
+      .getOrElse(new StructType())
+    val merged = add.fields.foldLeft(base) { (acc, f) =>
+      acc.fields.find(_.name == f.name) match {
+        case None => acc.add(f.name, f.dataType, nullable = true)
+        case Some(e) if e.dataType == f.dataType => acc
+        case Some(e) => throw new IllegalArgumentException(
+          s"tag '${f.name}' written as ${f.dataType.simpleString} but the " +
+            s"store holds ${e.dataType.simpleString} — incompatible schemas " +
+            "(parquet mergeSchema would fail the read; failing the write " +
+            "that introduces the conflict instead)")
+      }
+    }
+    merged.json
   }
 
   /** Physically delete files no snapshot in the keep window references, and
@@ -250,8 +309,8 @@ class Graft(spark: SparkSession, root: String,
       val seqs = snapshots(space)
       if (seqs.isEmpty) return Nil
       val kept = seqs.takeRight(math.max(1, keepSnapshots))
-      val referenced = kept.flatMap(readManifest(mfs, mdir, _)).toSet
-      val doomed = listDataFiles(fs, dir).filterNot(referenced)
+      val referenced = kept.flatMap(readManifest(mfs, mdir, _).paths).toSet
+      val doomed = listDataFiles(fs, dir).map(_._1).filterNot(referenced)
       doomed.foreach { f =>
         if (!fs.delete(new HPath(dir, f), false))
           throw new java.io.IOException(s"vacuum: delete $f failed")
@@ -406,21 +465,31 @@ class Graft(spark: SparkSession, root: String,
       Math.floorDiv(Math.floorDiv(ms, Det.MsInDay), g.toLong) * g
     val raw =
       if (manifest) {
-        // manifest mode: plan from the snapshot's file list — never a
-        // directory listing, so rewrites can't race this read and pruning
-        // happens DRIVER-SIDE (the planner only sees in-range files; when
-        // the range covers nothing, plan the full list and let the
-        // where() below empty it — the frame keeps its schema)
-        val files = snapshotFiles(space, pinned)
-        if (files.isEmpty) return None
+        // manifest mode: plan from the snapshot — never a directory
+        // listing, so rewrites can't race this read, and pruning happens
+        // DRIVER-SIDE (the planner only sees in-range files; when the
+        // range covers nothing, plan the full list and let the where()
+        // below empty it — the frame keeps its schema). A v2 snapshot
+        // carries sizes + the data schema, so the scan relation is built
+        // with ZERO metadata calls — no listing, no per-file stat, no
+        // footer read (ManifestRelation); a v1 snapshot falls back to
+        // footer inference over its file list.
+        val m = snapshotManifest(space, pinned)
+        if (m.files.isEmpty) return None
         def dayOf(f: String) =
           f.takeWhile(_ != '/').stripPrefix("bucket_day=").toLong
         val lo = bucketOfMs(startMs)
         val hi = bucketOfMs(math.max(endMs - 1, startMs))
-        val inRange = files.filter { f => val d = dayOf(f); d >= lo && d <= hi }
-        val plan = if (inRange.nonEmpty) inRange else files
-        spark.read.option("basePath", path).option("mergeSchema", "true")
-          .parquet(plan.map(f => s"$path/$f"): _*)
+        val inRange = m.files.filter { case (f, _) =>
+          val d = dayOf(f); d >= lo && d <= hi }
+        val planFiles = if (inRange.nonEmpty) inRange else m.files
+        m.schemaJson match {
+          case Some(sj) if planFiles.forall(_._2 >= 0) =>
+            ManifestRelation.frame(spark, path, planFiles, sj)
+          case _ =>
+            spark.read.option("basePath", path).option("mergeSchema", "true")
+              .parquet(planFiles.map(f => s"$path/${f._1}"): _*)
+        }
       } else {
         val (fs, p) = fsOf(path)
         if (!fs.exists(p)) return None
@@ -862,15 +931,18 @@ class Graft(spark: SparkSession, root: String,
     if (!isDir(fs, dir)) return Nil
     if (manifest) {
       // the report covers the LIVE set: retired-but-unvacuumed files are
-      // storage overhead (vacuum's concern), not fragmentation
+      // storage overhead (vacuum's concern), not fragmentation. Byte totals
+      // ride in the manifest; the per-bucket stamp check still opens
+      // footers (the report is the compaction daemon's trigger, so
+      // per-bucket accuracy beats the store-wide manifest schema)
       val path = spacePath(space)
-      return snapshotFiles(space, None).groupBy(_.takeWhile(_ != '/')).toSeq
+      return snapshotManifest(space, None).files
+        .groupBy(_._1.takeWhile(_ != '/')).toSeq
         .map { case (bname, bfiles) =>
           val day = bname.stripPrefix("bucket_day=").toLong
-          val bytes =
-            bfiles.map(f => fs.getFileStatus(new HPath(dir, f)).getLen).sum
+          val bytes = bfiles.map(_._2).sum
           val stamped = spark.read.option("mergeSchema", "true")
-            .parquet(bfiles.map(f => s"$path/$f"): _*)
+            .parquet(bfiles.map(f => s"$path/${f._1}"): _*)
             .columns.contains(WseqCol)
           (day, bfiles.length, bytes, stamped)
         }.sortBy(_._1)
@@ -991,20 +1063,23 @@ class Graft(spark: SparkSession, root: String,
       // leftover tmp dirs from a crashed run: no snapshot references them
       fs.listStatus(dir).filter(_.getPath.getName.startsWith(TmpPrefix))
         .foreach(st => fs.delete(st.getPath, true))
-      val files = snapshotFiles(space, None)
-      if (files.isEmpty) return Nil
+      val live = snapshotManifest(space, None)
+      if (live.files.isEmpty) return Nil
       val gen = nextSeq() // unique output-file prefix for this compaction
-      val swaps = files.groupBy(_.takeWhile(_ != '/')).toSeq.sortBy(_._1)
+      val schemas = Seq.newBuilder[org.apache.spark.sql.types.StructType]
+      val swaps = live.files.groupBy(_._1.takeWhile(_ != '/')).toSeq.sortBy(_._1)
         .flatMap { case (bname, bfiles) =>
           val day = bname.stripPrefix("bucket_day=")
-          val bytes = bfiles.map(f => fs.getFileStatus(new HPath(dir, f)).getLen).sum
+          val bytes = bfiles.map(_._2).sum // sizes ride in the manifest
           val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
           // no basePath: the frame must not carry the partition column
           // (plain-mode compact reads the bucket dir the same way)
           val df = spark.read.option("mergeSchema", "true")
-            .parquet(bfiles.map(f => s"$path/$f"): _*)
-          if (bfiles.length <= nOut && !df.columns.contains(WseqCol)) None
-          else {
+            .parquet(bfiles.map(f => s"$path/${f._1}"): _*)
+          if (bfiles.length <= nOut && !df.columns.contains(WseqCol)) {
+            schemas += df.schema // untouched bucket: schema as stored
+            None
+          } else {
             val tagCols = df.columns.filterNot(c =>
               c == "time_ms" || c == "value" || c == WseqCol).toSeq
             val key = tagCols.map(col) :+ col("time_ms")
@@ -1017,6 +1092,7 @@ class Graft(spark: SparkSession, root: String,
                 df.withColumn("__rn", row_number().over(w))
                   .where(col("__rn") === 1).drop("__rn", WseqCol)
               }
+            schemas += merged.schema // rewritten bucket: the stamp retires
             val tmp = new HPath(dir, s"$TmpPrefix$day")
             merged.repartitionByRange(nOut, key: _*)
               .sortWithinPartitions(key: _*)
@@ -1032,16 +1108,26 @@ class Graft(spark: SparkSession, root: String,
                 if (!fs.rename(st.getPath, dst))
                   throw new java.io.IOException(
                     s"compact: rename ${st.getPath} -> $dst failed")
-                s"$bname/${dst.getName}"
+                (s"$bname/${dst.getName}", st.getLen)
               }
             fs.delete(tmp, true)
-            Some((day.toLong, bfiles.length, moved.length, bfiles.toSet, moved))
+            Some((day.toLong, bfiles.length, moved.length,
+              bfiles.map(_._1).toSet, moved))
           }
         }
       if (swaps.nonEmpty) {
         val replaced = swaps.flatMap(_._4).toSet
         val added = swaps.flatMap(_._5)
-        commitManifest(space)(cur => cur.filterNot(replaced) ++ added)
+        // the schema is RECOMPUTED as the union of the post-swap buckets
+        // (each was read for the rewrite decision anyway, so this is free):
+        // after a full pass no live file carries __wseq, the manifest
+        // schema drops it, and reads go window-free — the compaction
+        // contract, now visible in metadata instead of re-derived from
+        // footers on every read
+        val newSchema = schemas.result().foldLeft(Option.empty[String])(
+          (acc, s) => Some(mergeDataSchema(acc, s)))
+        commitManifest(space)(cur => Manifest(
+          cur.files.filterNot(f => replaced(f._1)) ++ added, newSchema))
       }
       swaps.map(s => (s._1, s._2, s._3)).sortBy(_._1)
     }
@@ -1063,7 +1149,7 @@ class Graft(spark: SparkSession, root: String,
       // disk for pinned snapshots until [[vacuum]] — the same deferred
       // deletion every mutation gets in manifest mode
       return mutationLock(space).synchronized {
-        val files = snapshotFiles(space, None)
+        val files = snapshotManifest(space, None).paths
         def dayOf(f: String) =
           f.takeWhile(_ != '/').stripPrefix("bucket_day=").toLong
         val days = files.map(dayOf).distinct
@@ -1071,7 +1157,19 @@ class Graft(spark: SparkSession, root: String,
           math.min(day + granularityOf(space) - 1, todayDay) <= doomed).sorted
         if (dropDays.nonEmpty) {
           val dd = dropDays.toSet
-          commitManifest(space)(cur => cur.filterNot(f => dd(dayOf(f))))
+          commitManifest(space) { cur =>
+            val keep = cur.files.filterNot(f => dd(dayOf(f._1)))
+            // the live schema is re-derived from the surviving files (one
+            // footer pass at mutation time, never at read time): a tag that
+            // only ever appeared in the dropped buckets leaves the schema,
+            // exactly as plain-mode mergeSchema inference would have it
+            val schema =
+              if (keep.isEmpty) None
+              else Some(spark.read.option("mergeSchema", "true")
+                .parquet(keep.map(f => s"${spacePath(space)}/${f._1}"): _*)
+                .schema.json)
+            Manifest(keep, schema)
+          }
         }
         dropDays
       }

@@ -143,6 +143,52 @@ class ManifestSpec extends SparkTestBase {
     assert(contentOf(g).size == 2)
   }
 
+  test("the manifest carries the live schema: stamp retirement and tag lifecycle are metadata, not footer reads") {
+    val g = store(freshRoot())
+    // two stamped generations -> reads need the LWW merge window
+    g.write(Seq(("2024-01-09T10:00:00Z", 1.0, "s")).toDF("time", "value", "name"))
+    g.write(Seq(("2024-01-09T10:00:00Z", 2.0, "s")).toDF("time", "value", "name"))
+    assert(g.read("""{"match_all":{}}""").queryExecution.executedPlan.toString
+      .contains("Window"), "stamped store must read through the merge window")
+
+    // a full compaction retires every stamp; the manifest schema drops
+    // __wseq at COMMIT, so the very next read plans window-free without
+    // opening a single parquet footer
+    assert(g.compact().nonEmpty)
+    val plan = g.read("""{"match_all":{}}""").queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"compacted store must read window-free:\n$plan")
+    assert(g.read("""{"match_all":{}}""").collect()
+      .map(_.getAs[Double]("value")).toSeq == Seq(2.0))
+
+    // schema evolution: a later batch adds a tag; old rows surface it null
+    g.write(Seq(("2024-01-09T11:00:00Z", 3.0, "s", "east"))
+      .toDF("time", "value", "name", "dc"))
+    val evolved = g.read("""{"match_all":{}}""")
+    assert(evolved.columns.contains("dc"))
+    assert(evolved.where(col("dc").isNull).count() == 1)
+
+    // a type-conflicting tag fails the WRITE that introduces it (the same
+    // incompatibility parquet mergeSchema would throw at read time)
+    val err = intercept[IllegalArgumentException] {
+      g.write(Seq(("2024-01-09T12:00:00Z", 4.0, "s", 7L))
+        .toDF("time", "value", "name", "dc"))
+    }
+    assert(err.getMessage.contains("dc"), err.getMessage)
+  }
+
+  test("retention re-derives the live schema: a tag unique to dropped buckets leaves it") {
+    val g = store(freshRoot())
+    g.write(Seq(("2024-01-09T10:00:00Z", 1.0, "s", "janproc"))
+      .toDF("time", "value", "name", "jan_only"))
+    g.write(Seq(("2024-03-09T10:00:00Z", 2.0, "s")).toDF("time", "value", "name"))
+    assert(g.read("""{"match_all":{}}""").columns.contains("jan_only"))
+    assert(g.remove(keepDays = 30, todayDay = 19800).nonEmpty)
+    val after = g.read("""{"match_all":{}}""")
+    assert(!after.columns.contains("jan_only"),
+      s"dropped bucket's tag must leave the schema, got ${after.columns.toSeq}")
+    assert(after.collect().map(_.getAs[Double]("value")).toSeq == Seq(2.0))
+  }
+
   test("config boot: manifest_snapshots flows through loadConfig/fromConfig") {
     val root = freshRoot()
     val cfg = new java.io.File(root, "config.json")
