@@ -913,15 +913,32 @@ object Analytics {
     * fan-out.
     */
   def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    // Time-bucketed range join: a plain (user, range) join is an equi-join
+    // on user with the range as a RESIDUAL filter, so sort-merge enumerates
+    // ALL same-user pairs — sum(n_u^2) candidates, which is what made this
+    // query grow 17x on a 10x dataset (sf0.1 -> sf1 rehearsal, r13). Adding
+    // a window-sized time cell to the join key bounds candidates to the
+    // matching + adjacent cell: b_ms in [a_ms, a_ms+W) implies
+    // floor(b_ms/W) is floor(a_ms/W) or that +1, so duplicating the b side
+    // once per reachable cell (2x one side) replaces the residual scan —
+    // candidates now track events per 2W of time per user, not per user
+    // history. The interval-join build every streaming/range engine uses;
+    // output provably identical (the range predicate still applies).
+    val W = 21600000L // 6h window
     val e = Tables.events(s, d)
       .select(col("user_id"), col("event_id"), col("event_type"), tsMs(col("ts")).as("tms"))
     val a = e.select(col("user_id").as("a_user"), col("event_id").as("a_id"),
-      col("event_type").as("a_type"), col("tms").as("a_ms"))
+      col("event_type").as("a_type"), col("tms").as("a_ms"),
+      floor(col("tms") / W).cast("long").as("a_cell"))
     val b = e.select(col("user_id").as("b_user"), col("event_id").as("b_id"),
       col("event_type").as("b_type"), col("tms").as("b_ms"))
+      .withColumn("b_cell", explode(array(
+        floor(col("b_ms") / W).cast("long"),
+        floor(col("b_ms") / W).cast("long") - 1)))
     val out = a.join(b,
-        col("a_user") === col("b_user") && col("a_id") =!= col("b_id") &&
-        col("b_ms") >= col("a_ms") && col("b_ms") < col("a_ms") + 21600000L)
+        col("a_user") === col("b_user") && col("a_cell") === col("b_cell") &&
+        col("a_id") =!= col("b_id") &&
+        col("b_ms") >= col("a_ms") && col("b_ms") < col("a_ms") + W)
       .groupBy(col("a_type"), col("b_type"))
       .agg(count(lit(1)).as("n_pairs"))
     Det.ordered(out)
