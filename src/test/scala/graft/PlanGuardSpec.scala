@@ -141,4 +141,21 @@ class PlanGuardSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"),
       "vectors join broadcast centroids, never a cartesian over data")
   }
+
+  test("range join keys on (user, time cell) — the range is not a residual-only filter (r13)") {
+    val plan = planOf(graft.operators.Analytics.rangeJoin(spark, Sf))
+    // the sf1 rehearsal caught this one: an equi-join on user alone makes
+    // sort-merge enumerate sum(n_u^2) same-user pairs and apply the 6h
+    // range as a residual — 17x growth on 10x data. The cell column must
+    // be IN the join key so candidates stay bounded to 2 windows.
+    val joinLine = plan.linesIterator
+      .find(l => l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin") ||
+        l.contains("BroadcastHashJoin"))
+    assert(joinLine.exists(l => l.contains("a_cell") && l.contains("b_cell")),
+      s"window cell must be IN the hash/merge join keys, not a residual:\n" +
+        joinLine.getOrElse(plan.take(1500)))
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "the range join must stay an equi-join on (user, cell)")
+  }
 }
