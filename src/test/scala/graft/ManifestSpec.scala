@@ -189,6 +189,34 @@ class ManifestSpec extends SparkTestBase {
     assert(after.collect().map(_.getAs[Double]("value")).toSeq == Seq(2.0))
   }
 
+  test("continuous ingest composes: micro-batches commit snapshots, pinned readers survive ingest + compaction, vacuum runs mid-stream") {
+    val g = store(freshRoot())
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def batch(b: Int) = (0 until 50).map(i => om.readTree(
+      s"""{"time": ${1704672000000L + b * 50000L + i * 1000L}, "value": ${i}.0,
+          "name": "cpu", "host": "h${i % 5}"}"""))
+    (0 until 4).foreach(b => g.writeSpooled(batch(b)))
+    g.awaitContinuous()
+    assert(g.snapshots().nonEmpty,
+      "spooled micro-batches land through write() and commit snapshots")
+    assert(g.read("""{"match_all":{}}""").count() == 200)
+
+    // pin a reader, then keep ingesting and compact underneath it
+    val pre = g.read("""{"match_all":{}}""")
+    (4 until 8).foreach(b => g.writeSpooled(batch(b)))
+    g.awaitContinuous()
+    assert(g.compact().nonEmpty, "spool-landed buckets are stamped -> compact")
+    assert(pre.count() == 200,
+      "reader pinned before later ingest + compaction replays ITS snapshot")
+    assert(g.read("""{"match_all":{}}""").count() == 400)
+
+    // vacuum while the standing query is still up: mutation-locked, and the
+    // live read is untouched
+    g.vacuum(keepSnapshots = 1)
+    assert(g.read("""{"match_all":{}}""").count() == 400)
+    g.stopContinuous()
+  }
+
   test("config boot: manifest_snapshots flows through loadConfig/fromConfig") {
     val root = freshRoot()
     val cfg = new java.io.File(root, "config.json")
