@@ -199,7 +199,10 @@ class Graft(spark: SparkSession, root: String,
           .map(st => (bst.getPath.getName + "/" + st.getPath.getName, st.getLen))
       }
 
-  /** Committed snapshot seqs, ascending (empty before the first commit). */
+  /** Committed snapshot seqs, ascending — empty before the first commit,
+    * and always empty on a plain-mode store (a listing op, so no loud
+    * reject like [[vacuum]]/[[readAt]]: "no snapshots" is its answer).
+    */
   def snapshots(space: String = "default"): Seq[Long] = {
     val (fs, mdir) = fsOf(manifestPath(space))
     if (!isDir(fs, mdir)) Nil
