@@ -132,8 +132,10 @@ class ManifestSpec extends SparkTestBase {
 
     // a crashed manifest commit's tmp file: resolution ignores non-m names
     val mdir = new java.io.File(s"$root/.manifest/default")
+    val snapsBefore = g.snapshots()
     Files.write(new java.io.File(mdir, ".tmp-m99").toPath, "garbage".getBytes)
-    assert(g.snapshots() == g.snapshots().sorted && g.snapshots().nonEmpty)
+    assert(g.snapshots() == snapsBefore,
+      "an uncommitted tmp manifest must not change snapshot resolution")
     assert(contentOf(g).size == 2)
 
     // vacuum sweeps both
