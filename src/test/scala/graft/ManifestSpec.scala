@@ -219,6 +219,59 @@ class ManifestSpec extends SparkTestBase {
     g.stopContinuous()
   }
 
+  test("HTTP facade over a manifest store: write/count/read/delete over real sockets, compaction + vacuum underneath") {
+    import java.net.URI
+    import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val g = store(freshRoot())
+    val srv = new graft.http.GraftHttpServer(g, spark)
+    val port = srv.start()
+    def post(path: String, body: String): (Int, String) = {
+      val client = HttpClient.newHttpClient()
+      val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+        .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body())
+    }
+    def countAll(): Long = {
+      val (c, b) = post("/count/default", "{}")
+      assert(c == 200, b)
+      val series = om.readTree(b).get("series")
+      (0 until series.size()).map(series.get(_).get("count").asLong()).sum
+    }
+    try {
+      val jan = 1704794400000L // 2024-01-09
+      val mar = 1709978400000L // 2024-03-09
+      (0 until 3).foreach { j =>
+        val pts = (0 until 10).map(i =>
+          s"""{"time":${jan + j * 1000 + i},"value":${i}.0,"name":"cpu","host":"h${i % 4}"}""")
+          .mkString("""{"points":[""", ",", "]}")
+        val (c, b) = post("/write/default", pts)
+        assert(c == 200 && om.readTree(b).get("errors").size() == 0, b)
+      }
+      val (cm, _) = post("/write/default",
+        s"""{"points":[{"time":$mar,"value":9.0,"name":"cpu","host":"h0"}]}""")
+      assert(cm == 200)
+      assert(countAll() == 31)
+      assert(g.snapshots().nonEmpty, "facade writes commit snapshots")
+
+      // compact + vacuum underneath the live server; HTTP reads unchanged
+      assert(g.compact().nonEmpty)
+      g.vacuum(keepSnapshots = 1)
+      assert(countAll() == 31)
+      val (cr, br) = post("/read/default", """{"filter":{"term":{"host":"h0"}}}""")
+      assert(cr == 200 && br.contains("points"), br)
+
+      // retention over HTTP is a manifest commit (2024 buckets are long
+      // past any wall-clock keep_days=30); files linger until vacuum
+      val (cd, bd) = post("/delete/default", """{"keep_days": 30}""")
+      assert(cd == 200 && om.readTree(bd).get("dropped_buckets").size() >= 2, bd)
+      assert(countAll() == 0)
+      val reclaimed = g.vacuum(keepSnapshots = 1)
+      assert(reclaimed.nonEmpty, "vacuum reclaims the dropped buckets' files")
+    } finally srv.stop()
+  }
+
   test("config boot: manifest_snapshots flows through loadConfig/fromConfig") {
     val root = freshRoot()
     val cfg = new java.io.File(root, "config.json")
