@@ -279,7 +279,7 @@ object EsFilter {
     * is optional" (its own contract). Never capped at total: an over-large
     * msm matches nothing, exactly ES.
     */
-  private[tsdb] def msmOf(raw: String, total: Int, floorOne: Boolean = true): Int = {
+  private[graft] def msmOf(raw: String, total: Int, floorOne: Boolean = true): Int = {
     require(!raw.contains("<"),
       s"conditional minimum_should_match forms are rejected, not " +
         s"approximated: '$raw'")

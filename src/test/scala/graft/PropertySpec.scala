@@ -298,4 +298,28 @@ class PropertySpec extends SparkTestBase {
       assert(o >= 0 && o < weekMs)
     }
   }
+
+  test("minimum_should_match grammar holds ES's spec across the whole input space") {
+    // the shared parser (r13) behind match / mlt / bool / terms_set /
+    // combined_fields: "N" requires N, "-N" requires total-N, "P%" requires
+    // floor(P% of total), "-P%" requires total - floor(P% of total);
+    // disjunction callers floor at 1, bool keeps <=0 as should-optional
+    val totals = Gen.choose(1, 12)
+    check(Prop.forAll(totals, Gen.choose(0, 12)) { (t: Int, n: Int) =>
+      EsFilter.msmOf(n.toString, t) == math.max(1, n) &&
+        EsFilter.msmOf(s"-$n", t) == math.max(1, t - n) &&
+        EsFilter.msmOf(s"-$n", t, floorOne = false) == t - n
+    })
+    check(Prop.forAll(totals, Gen.choose(0, 100)) { (t: Int, p: Int) =>
+      val floor = math.floor(p / 100.0 * t).toInt
+      EsFilter.msmOf(s"$p%", t) == math.max(1, floor) &&
+        EsFilter.msmOf(s"-$p%", t) == math.max(1, t - floor)
+    })
+    // duality: requiring "all but N" plus allowing N covers the total
+    check(Prop.forAll(totals, Gen.choose(0, 12)) { (t: Int, n: Int) =>
+      EsFilter.msmOf(s"-$n", t, floorOne = false) + n == t
+    })
+    // conditional forms are rejected by name, never approximated
+    intercept[IllegalArgumentException] { EsFilter.msmOf("3<90%", 5) }
+  }
 }
