@@ -185,6 +185,15 @@ class Graft(spark: SparkSession, root: String,
   // stay invisible until vacuum). A production engine would take the
   // written-file list from the commit protocol instead of a listing diff —
   // the listing here is two RPC rounds per append at embedded scale.
+  //
+  // Honest scale limit of the v2 layout: each commit rewrites the FULL
+  // file list, so at millions of live files every commit is a multi-MB
+  // write and O(files) to parse. The next tier is exactly what the real
+  // formats do — a manifest LIST pointing at per-partition manifest files
+  // that unchanged commits reuse (Iceberg's snapshot → manifest-list →
+  // manifests indirection), making commit cost proportional to the files
+  // CHANGED. The read contract (one bounded metadata fetch, no listing)
+  // and every semantic here survive that swap unchanged.
 
   private def manifestPath(space: String) = s"$root/.manifest/$space"
 
@@ -920,6 +929,28 @@ class Graft(spark: SparkSession, root: String,
     * else's view.
     */
   private val sqlViewsOwned = scala.collection.mutable.Set.empty[String]
+
+  /** Time-travel SQL (manifest mode): run ANSI SQL against ONE space pinned
+    * to `snapshot`, registered as `graft_<space>_at_<snapshot>` — the SQL
+    * face of [[readAt]] (an auditor's "what did the store say last Tuesday"
+    * query). The pinned view is registered fresh per call and owned like
+    * [[sqlView]]'s; live `graft_<space>` views are untouched, so a query
+    * can join history against the present.
+    */
+  def sqlAt(snapshot: Long, query: String, space: String = "default"): DataFrame = {
+    val name = "graft_" + space.replaceAll("[^A-Za-z0-9_]", "_") + s"_at_$snapshot"
+    sqlViewsOwned.synchronized {
+      if (!sqlViewsOwned.contains(name) && spark.catalog.tableExists(name))
+        throw new IllegalStateException(
+          s"view or table '$name' already exists and was not created by " +
+            "this store (graft_* view names are reserved)")
+      readAt(snapshot, """{"match_all":{}}""", space)
+        .createOrReplaceTempView(name)
+      sqlViewsOwned += name
+    }
+    sqlView(space) // the live view stays available for history-vs-now joins
+    spark.sql(query)
+  }
 
   /** Fragmentation report — the operational signal a compaction daemon
     * watches: per bucket, its file count, total bytes, and whether any

@@ -272,6 +272,23 @@ class ManifestSpec extends SparkTestBase {
     } finally srv.stop()
   }
 
+  test("sqlAt: ANSI SQL pinned to a snapshot, joinable against the live view") {
+    val g = store(freshRoot())
+    g.write(Seq(("2024-01-09T10:00:00Z", 1.0, "s")).toDF("time", "value", "name"))
+    val s1 = g.snapshots().last
+    g.write(Seq(("2024-01-09T10:00:00Z", 5.0, "s")).toDF("time", "value", "name"))
+
+    val hist = g.sqlAt(s1,
+      s"SELECT value FROM graft_default_at_$s1").collect()
+    assert(hist.map(_.getDouble(0)).toSeq == Seq(1.0), "pinned view sees history")
+    // history vs now in ONE query: the live view rides along
+    val drift = g.sqlAt(s1,
+      s"""SELECT now.value - old.value AS drift
+          FROM graft_default now JOIN graft_default_at_$s1 old
+          USING (time_ms, name)""").collect()
+    assert(drift.map(_.getDouble(0)).toSeq == Seq(4.0))
+  }
+
   test("config boot: manifest_snapshots flows through loadConfig/fromConfig") {
     val root = freshRoot()
     val cfg = new java.io.File(root, "config.json")
