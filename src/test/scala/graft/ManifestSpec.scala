@@ -274,18 +274,24 @@ class ManifestSpec extends SparkTestBase {
 
   test("sqlAt: ANSI SQL pinned to a snapshot, joinable against the live view") {
     val g = store(freshRoot())
-    g.write(Seq(("2024-01-09T10:00:00Z", 1.0, "s")).toDF("time", "value", "name"))
-    val s1 = g.snapshots().last
-    g.write(Seq(("2024-01-09T10:00:00Z", 5.0, "s")).toDF("time", "value", "name"))
+    // a suite-unique space: graft_default may legitimately be owned by
+    // another suite's store in the shared session, and the clobber guard
+    // then (correctly) refuses to re-register it for this one
+    val sp = "mfsql"
+    g.write(Seq(("2024-01-09T10:00:00Z", 1.0, "s")).toDF("time", "value", "name"),
+      space = sp)
+    val s1 = g.snapshots(sp).last
+    g.write(Seq(("2024-01-09T10:00:00Z", 5.0, "s")).toDF("time", "value", "name"),
+      space = sp)
 
     val hist = g.sqlAt(s1,
-      s"SELECT value FROM graft_default_at_$s1").collect()
+      s"SELECT value FROM graft_${sp}_at_$s1", space = sp).collect()
     assert(hist.map(_.getDouble(0)).toSeq == Seq(1.0), "pinned view sees history")
     // history vs now in ONE query: the live view rides along
     val drift = g.sqlAt(s1,
       s"""SELECT now.value - old.value AS drift
-          FROM graft_default now JOIN graft_default_at_$s1 old
-          USING (time_ms, name)""").collect()
+          FROM graft_$sp now JOIN graft_${sp}_at_$s1 old
+          USING (time_ms, name)""", space = sp).collect()
     assert(drift.map(_.getDouble(0)).toSeq == Seq(4.0))
   }
 
