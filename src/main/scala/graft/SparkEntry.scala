@@ -546,6 +546,7 @@ object SparkEntry {
     "dedup_minhash_verified" -> ((s, d) => Dedup.minhashVerified(s, d)),
     // syndication matrix: which source pairs the near-dups cross
     "dedup_cross_source" -> ((s, d) => Dedup.crossSourceDup(s, d)),
+    "snapshot_diff" -> ((s, d) => Analytics.snapshotDiff(s, d)),
     // threshold-sweep report: surviving pairs + keep-first removals per tau
     "dedup_curve" -> ((s, d) => Dedup.dedupCurve(s, d)),
     // S-curve validation: empirical LSH catch rate vs 1-(1-s^4)^4 per
@@ -2614,6 +2615,21 @@ object SparkEntry {
           WHERE round(ni*1.0/(sa.n + sb.n - ni) + 1e-9, 4) >= 0.8 ORDER BY 1, 2, 3""",
     // the verified-pairs CTEs + two source joins and the canonical-order
     // (min, max) source-pair aggregate
+    "snapshot_diff" ->
+      """WITH g1 AS (SELECT event_id, value AS v1 FROM events
+                     WHERE event_id % 5 <> 0),
+              g2 AS (SELECT event_id,
+                            CASE WHEN event_id % 7 = 0 THEN value + 1
+                                 ELSE value END AS v2
+                     FROM events WHERE event_id % 3 <> 0)
+         SELECT status, CAST(count(*) AS BIGINT) AS n
+         FROM (SELECT CASE WHEN v1 IS NULL THEN 'added'
+                           WHEN v2 IS NULL THEN 'removed'
+                           WHEN v1 <> v2 THEN 'changed'
+                           ELSE 'same' END AS status
+               FROM g1 FULL OUTER JOIN g2 USING (event_id))
+         WHERE status <> 'same'
+         GROUP BY status ORDER BY status""",
     "dedup_cross_source" ->
       s"""WITH $ShingleCte,
               $MinhashCte,

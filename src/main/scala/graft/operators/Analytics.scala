@@ -1583,4 +1583,38 @@ object Analytics {
         col("w").cast("double").as("weight"), col("picks"))
     Det.ordered(out)
   }
+
+  /** Snapshot diff — change-data-capture between two generations of a
+    * keyed table: per key, `added` (new generation only), `removed` (old
+    * only), `changed` (both, value differs), aggregated to a per-status
+    * census. THE primitive of incremental pipelines: an index/dedup/
+    * training-data rebuild consumes exactly this delta instead of
+    * re-reading the corpus (Delta's change-data-feed shape; graft's
+    * manifest mode serves the two sides via readAt). Deterministic
+    * generations derived from `events`: gen1 drops event_id % 5 == 0
+    * (retention), gen2 drops % 3 == 0 and overwrites value on % 7 == 0
+    * (new data + updates). One full-outer shuffle join on the key — the
+    * CDC plan at any scale (both sides hash-partition on event_id; AQE
+    * handles the skew); the +1.0 overwrite is IEEE-exact, so the changed
+    * set is engine-independent.
+    */
+  def snapshotDiff(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d).select(col("event_id"), col("value"))
+    val g1 = e.where(col("event_id") % 5 =!= 0)
+      .select(col("event_id"), col("value").as("v1"))
+    val g2 = e.where(col("event_id") % 3 =!= 0)
+      .select(col("event_id"),
+        when(col("event_id") % 7 === 0, col("value") + 1)
+          .otherwise(col("value")).as("v2"))
+    val out = g1.join(g2, Seq("event_id"), "full_outer")
+      .select(
+        when(col("v1").isNull, "added")
+          .when(col("v2").isNull, "removed")
+          .when(col("v1") =!= col("v2"), "changed")
+          .otherwise("same").as("status"))
+      .where(col("status") =!= "same")
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n"))
+    Det.ordered(out)
+  }
 }
