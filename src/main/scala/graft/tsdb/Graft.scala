@@ -106,6 +106,7 @@ class Graft(spark: SparkSession, root: String,
     // the reference's (attrs, offset) clustering order
     mutationLock(space).synchronized {
       val (mfs, mdir) = fsOf(spacePath(space))
+      if (manifest) bootstrapManifest(space) // adopt a pre-manifest store
       val before =
         if (manifest) listDataFiles(mfs, mdir).map(_._1).toSet
         else Set.empty[String]
@@ -197,6 +198,26 @@ class Graft(spark: SparkSession, root: String,
 
   private def manifestPath(space: String) = s"$root/.manifest/$space"
 
+  /** Bucket day of a `bucket_day=<d>/<name>` relative path. */
+  private def dayOfPath(f: String): Long =
+    f.takeWhile(_ != '/').stripPrefix("bucket_day=").toLong
+
+  /** The last-write-wins merge, in ONE place (read path + both compactors
+    * — review r13): max-`__wseq` row per key survives, value desc is the
+    * deterministic same-sequence tiebreak, null stamps (pre-stamp /
+    * compacted rows) rank last, the stamp never leaves this method.
+    * Stamp-free frames pass through untouched.
+    */
+  private def lwwMerged(df: DataFrame, key: Seq[Column]): DataFrame =
+    if (!df.columns.contains(WseqCol)) df
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(key: _*)
+        .orderBy(col(WseqCol).desc, col("value").desc)
+      df.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") === 1).drop("__rn", WseqCol)
+    }
+
   /** The space's data files as (`bucket_day=<d>/<name>`, size) pairs. */
   private def listDataFiles(fs: FileSystem, dir: HPath): Seq[(String, Long)] =
     if (!isDir(fs, dir)) Nil
@@ -220,6 +241,43 @@ class Graft(spark: SparkSession, root: String,
       .map(_.tail.toLong).sorted
   }
 
+  /** Adopt a pre-manifest store: flipping `manifest = true` on a root that
+    * already holds plain-mode data must SEE that data — and must never let
+    * [[vacuum]] treat it as orphaned (review r13: without adoption, the
+    * flag flip silently emptied every read, and one write + one vacuum
+    * physically deleted the store's entire prior history). On the first
+    * manifest touch of a space with data files but no snapshot, commit
+    * snapshot 1 = everything on disk, schema from one footer pass — the
+    * only time the manifest path ever infers. Caller holds the mutation
+    * lock; every mutation calls this, and reads take the lock for exactly
+    * this one-time adoption.
+    */
+  private def bootstrapManifest(space: String): Unit = {
+    if (snapshots(space).nonEmpty) return
+    val (fs, dir) = fsOf(spacePath(space))
+    val existing = listDataFiles(fs, dir)
+    if (existing.isEmpty) return
+    commitManifest(space)(_ =>
+      Manifest(existing, Some(mergeDataSchema(None, footerDataSchema(space,
+        existing.map(_._1))))))
+  }
+
+  /** Footer-inferred DATA schema of `files` — with the partition column
+    * stripped: files spanning several bucket dirs make Spark's inference
+    * discover `bucket_day` from the directory names, and a partition
+    * column inside the data schema would collide with the relation's own.
+    */
+  private def footerDataSchema(space: String, files: Seq[String])
+      : org.apache.spark.sql.types.StructType = {
+    val s = spark.read.option("mergeSchema", "true")
+      .parquet(files.map(f => s"${spacePath(space)}/$f"): _*).schema
+    org.apache.spark.sql.types.StructType(
+      s.fields.filterNot(_.name == "bucket_day"))
+  }
+
+  private def ensureManifest(space: String): Unit =
+    mutationLock(space).synchronized { bootstrapManifest(space) }
+
   /** One committed snapshot: live files with their sizes, plus the live
     * DATA schema (tags + time_ms + value [+ __wseq], no partition column)
     * as `DataType.json`. Sizes + schema are what make reads METADATA-FREE:
@@ -234,7 +292,16 @@ class Graft(spark: SparkSession, root: String,
   }
 
   private def readManifest(fs: FileSystem, mdir: HPath, seq: Long): Manifest = {
-    val in = fs.open(new HPath(mdir, s"m$seq"))
+    // lock-free readers can race a vacuum expiring this manifest: surface
+    // the designed, actionable error, not a raw missing-file stack
+    val in =
+      try fs.open(new HPath(mdir, s"m$seq"))
+      catch {
+        case _: java.io.FileNotFoundException =>
+          throw new IllegalArgumentException(
+            s"snapshot $seq no longer exists (expired by a concurrent " +
+              "vacuum); re-resolve with snapshots()")
+      }
     val lines =
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
         .filter(_.nonEmpty).toList
@@ -318,6 +385,7 @@ class Graft(spark: SparkSession, root: String,
     mutationLock(space).synchronized {
       val (fs, dir) = fsOf(spacePath(space))
       val (mfs, mdir) = fsOf(manifestPath(space))
+      bootstrapManifest(space) // a pre-manifest store's files are LIVE, not orphans
       val seqs = snapshots(space)
       if (seqs.isEmpty) return Nil
       val kept = seqs.takeRight(math.max(1, keepSnapshots))
@@ -337,7 +405,21 @@ class Graft(spark: SparkSession, root: String,
       // crashed-commit tmps and expired manifests
       mfs.listStatus(mdir).filter(_.getPath.getName.startsWith(".tmp-"))
         .foreach(st => mfs.delete(st.getPath, false))
-      seqs.diff(kept).foreach(s => mfs.delete(new HPath(mdir, s"m$s"), false))
+      val expired = seqs.diff(kept)
+      expired.foreach(s => mfs.delete(new HPath(mdir, s"m$s"), false))
+      // drop pinned sqlAt views whose snapshot just expired: a stale view
+      // would bypass readAt's loud check and fail mid-scan on vacuumed
+      // files (review r13)
+      if (expired.nonEmpty) {
+        val prefix = "graft_" + space.replaceAll("[^A-Za-z0-9_]", "_") + "_at_"
+        val gone = expired.map(s => s"$prefix$s").toSet
+        sqlViewsOwned.synchronized {
+          sqlViewsOwned.filter(gone).toSeq.foreach { v =>
+            spark.catalog.dropTempView(v)
+            sqlViewsOwned -= v
+          }
+        }
+      }
       doomed
     }
   }
@@ -486,19 +568,31 @@ class Graft(spark: SparkSession, root: String,
         // with ZERO metadata calls — no listing, no per-file stat, no
         // footer read (ManifestRelation); a v1 snapshot falls back to
         // footer inference over its file list.
-        val m = snapshotManifest(space, pinned)
+        val m0 = snapshotManifest(space, pinned)
+        val m =
+          if (m0.files.nonEmpty || pinned.isDefined) m0
+          else { ensureManifest(space); snapshotManifest(space, None) }
         if (m.files.isEmpty) return None
-        def dayOf(f: String) =
-          f.takeWhile(_ != '/').stripPrefix("bucket_day=").toLong
         val lo = bucketOfMs(startMs)
         val hi = bucketOfMs(math.max(endMs - 1, startMs))
         val inRange = m.files.filter { case (f, _) =>
-          val d = dayOf(f); d >= lo && d <= hi }
-        val planFiles = if (inRange.nonEmpty) inRange else m.files
+          val d = dayOfPath(f); d >= lo && d <= hi }
         m.schemaJson match {
-          case Some(sj) if planFiles.forall(_._2 >= 0) =>
-            ManifestRelation.frame(spark, path, planFiles, sj)
+          case Some(sj) if m.files.forall(_._2 >= 0) =>
+            if (inRange.isEmpty) {
+              // no file can match: the schema rides in the manifest, so an
+              // empty frame costs O(1) — never a relation over the whole
+              // live list just to keep the schema (review r13)
+              import org.apache.spark.sql.types.{DataType, IntegerType, StructType}
+              val full = DataType.fromJson(sj).asInstanceOf[StructType]
+                .add("bucket_day", IntegerType, nullable = false)
+              spark.createDataFrame(
+                java.util.Collections.emptyList[org.apache.spark.sql.Row](), full)
+            } else ManifestRelation.frame(spark, path, inRange, sj)
           case _ =>
+            // v1 manifest (no schema): fall back to footer inference; an
+            // empty range plans the full list so the frame keeps a schema
+            val planFiles = if (inRange.nonEmpty) inRange else m.files
             spark.read.option("basePath", path).option("mergeSchema", "true")
               .parquet(planFiles.map(f => s"$path/${f._1}"): _*)
         }
@@ -552,19 +646,10 @@ class Graft(spark: SparkSession, root: String,
         c == "time_ms" || c == "value" || c == "bucket_day" || c == WseqCol).toSeq
       // last-write-wins merge-on-read: the reference upserts on the
       // Cassandra primary key (see write()); here the max-writeSeq row per
-      // (series, time) survives. Stores without the stamp (pre-r6 layouts,
-      // streaming sinks) skip the merge. Value desc is the deterministic
-      // tiebreak for same-sequence conflicts; null stamps rank last.
-      val merged =
-        if (!df.columns.contains(WseqCol)) df
-        else {
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy((tags :+ "time_ms").map(col): _*)
-            .orderBy(col(WseqCol).desc, col("value").desc)
-          df.withColumn("__rn", row_number().over(w))
-            .where(col("__rn") === 1)
-            .drop("__rn", WseqCol)
-        }
+      // (series, time) survives — lwwMerged, shared with both compactors.
+      // Stores without the stamp (pre-r6 layouts, streaming sinks) skip
+      // the merge.
+      val merged = lwwMerged(df, (tags :+ "time_ms").map(col))
       Some(PointsTable(merged.withColumn("ts", timestamp_millis(col("time_ms"))),
         "ts", "value", tags))
     }
@@ -969,6 +1054,7 @@ class Graft(spark: SparkSession, root: String,
       // ride in the manifest; the per-bucket stamp check still opens
       // footers (the report is the compaction daemon's trigger, so
       // per-bucket accuracy beats the store-wide manifest schema)
+      ensureManifest(space) // adopt a pre-manifest store
       val path = spacePath(space)
       return snapshotManifest(space, None).files
         .groupBy(_._1.takeWhile(_ != '/')).toSeq
@@ -1048,24 +1134,16 @@ class Graft(spark: SparkSession, root: String,
         val tagCols = df.columns.filterNot(c =>
           c == "time_ms" || c == "value" || c == WseqCol).toSeq
         val key = tagCols.map(col) :+ col("time_ms")
-        // apply last-write-wins physically (the merge table() performs on
-        // read) and DROP the stamp: a compacted bucket holds one row per
-        // (series, time) by construction, so it needs no merge — a fully
-        // compacted store reads with no window at all (the WindowGroupLimit
-        // disappears from the plan), which is the point of compacting.
-        // Later writes still overwrite compacted points: their files
-        // re-introduce the stamp through the mergeSchema read, and the
-        // merge window's DESC NULLS LAST ordering ranks every stamped row
-        // above the stamp-less compacted one.
-        val merged =
-          if (!df.columns.contains(WseqCol)) df
-          else {
-            val w = org.apache.spark.sql.expressions.Window
-              .partitionBy(key: _*)
-              .orderBy(col(WseqCol).desc, col("value").desc)
-            df.withColumn("__rn", row_number().over(w))
-              .where(col("__rn") === 1).drop("__rn", WseqCol)
-          }
+        // apply last-write-wins physically (lwwMerged — the same merge
+        // table() performs on read) and DROP the stamp: a compacted bucket
+        // holds one row per (series, time) by construction, so it needs no
+        // merge — a fully compacted store reads with no window at all (the
+        // WindowGroupLimit disappears from the plan), which is the point
+        // of compacting. Later writes still overwrite compacted points:
+        // their files re-introduce the stamp through the mergeSchema read,
+        // and the merge window's DESC NULLS LAST ordering ranks every
+        // stamped row above the stamp-less compacted one.
+        val merged = lwwMerged(df, key)
         val tmp = new HPath(dir, s"$TmpPrefix$day")
         merged.repartitionByRange(nOut, key: _*)
           .sortWithinPartitions(key: _*)
@@ -1097,6 +1175,7 @@ class Graft(spark: SparkSession, root: String,
       // leftover tmp dirs from a crashed run: no snapshot references them
       fs.listStatus(dir).filter(_.getPath.getName.startsWith(TmpPrefix))
         .foreach(st => fs.delete(st.getPath, true))
+      bootstrapManifest(space) // adopt a pre-manifest store
       val live = snapshotManifest(space, None)
       if (live.files.isEmpty) return Nil
       val gen = nextSeq() // unique output-file prefix for this compaction
@@ -1117,15 +1196,7 @@ class Graft(spark: SparkSession, root: String,
             val tagCols = df.columns.filterNot(c =>
               c == "time_ms" || c == "value" || c == WseqCol).toSeq
             val key = tagCols.map(col) :+ col("time_ms")
-            val merged =
-              if (!df.columns.contains(WseqCol)) df
-              else {
-                val w = org.apache.spark.sql.expressions.Window
-                  .partitionBy(key: _*)
-                  .orderBy(col(WseqCol).desc, col("value").desc)
-                df.withColumn("__rn", row_number().over(w))
-                  .where(col("__rn") === 1).drop("__rn", WseqCol)
-              }
+            val merged = lwwMerged(df, key)
             schemas += merged.schema // rewritten bucket: the stamp retires
             val tmp = new HPath(dir, s"$TmpPrefix$day")
             merged.repartitionByRange(nOut, key: _*)
@@ -1183,25 +1254,27 @@ class Graft(spark: SparkSession, root: String,
       // disk for pinned snapshots until [[vacuum]] — the same deferred
       // deletion every mutation gets in manifest mode
       return mutationLock(space).synchronized {
+        bootstrapManifest(space) // adopt a pre-manifest store
         val files = snapshotManifest(space, None).paths
-        def dayOf(f: String) =
-          f.takeWhile(_ != '/').stripPrefix("bucket_day=").toLong
-        val days = files.map(dayOf).distinct
+        val days = files.map(dayOfPath).distinct
         val dropDays = days.filter(day =>
           math.min(day + granularityOf(space) - 1, todayDay) <= doomed).sorted
         if (dropDays.nonEmpty) {
           val dd = dropDays.toSet
           commitManifest(space) { cur =>
-            val keep = cur.files.filterNot(f => dd(dayOf(f._1)))
+            val keep = cur.files.filterNot(f => dd(dayOfPath(f._1)))
             // the live schema is re-derived from the surviving files (one
             // footer pass at mutation time, never at read time): a tag that
             // only ever appeared in the dropped buckets leaves the schema,
-            // exactly as plain-mode mergeSchema inference would have it
+            // exactly as plain-mode mergeSchema inference would have it.
+            // Normalized through mergeDataSchema like every other commit —
+            // a verbatim footer schema would mark __wseq REQUIRED while
+            // compacted files lack the column, the nullability-vs-nulls
+            // wrong-results hazard (review r13)
             val schema =
               if (keep.isEmpty) None
-              else Some(spark.read.option("mergeSchema", "true")
-                .parquet(keep.map(f => s"${spacePath(space)}/${f._1}"): _*)
-                .schema.json)
+              else Some(mergeDataSchema(None,
+                footerDataSchema(space, keep.map(_._1))))
             Manifest(keep, schema)
           }
         }

@@ -295,6 +295,26 @@ class ManifestSpec extends SparkTestBase {
     assert(drift.map(_.getDouble(0)).toSeq == Seq(4.0))
   }
 
+  test("flag flip adopts a pre-manifest store: reads see it, writes extend it, vacuum never orphans it") {
+    val root = freshRoot()
+    val plain = new Graft(spark, root)
+    plain.write(Seq(("2024-01-09T10:00:00Z", 1.0, "s"), ("2024-01-19T10:00:00Z", 2.0, "s"))
+      .toDF("time", "value", "name"))
+
+    // same root, manifest now on (the operator flipping the config flag):
+    // the first touch commits a bootstrap snapshot adopting what's on disk
+    val g = store(root)
+    assert(contentOf(g).size == 2, "legacy plain-mode data must stay visible")
+    assert(g.snapshots().size == 1, "one adoption snapshot")
+    g.write(Seq(("2024-01-09T11:00:00Z", 3.0, "s")).toDF("time", "value", "name"))
+    assert(contentOf(g).size == 3)
+    // the data-loss hazard this guards: vacuum must never see legacy files
+    // as orphans (they are in the adoption snapshot's lineage)
+    assert(g.vacuum(keepSnapshots = 1).isEmpty,
+      "no legacy file may ever be reclaimed as an orphan")
+    assert(contentOf(g).size == 3)
+  }
+
   test("config boot: manifest_snapshots flows through loadConfig/fromConfig") {
     val root = freshRoot()
     val cfg = new java.io.File(root, "config.json")
