@@ -653,6 +653,10 @@ object SparkEntry {
     "q12_late_lines" -> ((s, d) => Analytics.q12LateLines(s, d)),
     "q21_waiting_suppliers" -> ((s, d) => Analytics.q21WaitingSuppliers(s, d)),
     "bpe_pairs" -> ((s, d) => TextOps.bpePairs(s, d)),
+    // BM25 ranked retrieval — the ES scoring context (ad-hoc top-k and the
+    // batched query-table shape)
+    "text_bm25_topk" -> ((s, d) => TextOps.bm25TopK(s, d)),
+    "text_bm25_batch" -> ((s, d) => TextOps.bm25Batch(s, d)),
     "text_langid" -> ((s, d) => TextOps.langId(s, d)),
     "text_quality" -> ((s, d) => TextOps.quality(s, d)),
     "text_tokens" -> ((s, d) => TextOps.tokenCounts(s, d)),
@@ -2279,6 +2283,76 @@ object SparkEntry {
                     FROM sc)
           SELECT doc_id, tok, tf, df, score, rank
           FROM r WHERE rank <= 5 AND doc_id < 100 ORDER BY 1, 2, 3, 4, 5, 6""",
+    // BM25: per-term contributions replayed in double (Lucene's
+    // non-negative idf, k1=1.2 b=0.75), rounded to 6 decimals, summed as
+    // exact decimals — the same determinism discipline as text_tfidf
+    "text_bm25_topk" -> {
+      val terms = graft.text.TextOps.Bm25Query
+      def contrib(i: Int) = {
+        val t = terms(i)
+        s"""CAST(round(ln(1.0 + (n_docs - df$i + 0.5) / (df$i + 0.5))
+              * tf$i * 2.2
+              / (tf$i + 1.2 * (0.25 + 0.75 * dl
+                  / (CAST(total_tokens AS DOUBLE) / n_docs)))
+              + 1e-9, 6) AS DECIMAL(18,6))"""
+      }
+      s"""WITH t AS (SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok
+                     FROM documents),
+              t2 AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+              pd AS (SELECT doc_id, count(*) AS dl,
+                       ${terms.indices.map(i =>
+                         s"sum(CASE WHEN tok = '${terms(i)}' THEN 1 ELSE 0 END) AS tf$i")
+                         .mkString(", ")}
+                     FROM t2 GROUP BY 1),
+              st AS (SELECT count(*) AS n_docs, sum(dl) AS total_tokens,
+                       ${terms.indices.map(i =>
+                         s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
+                         .mkString(", ")}
+                     FROM pd),
+              sc AS (SELECT doc_id, dl,
+                       CAST(${terms.indices.map(contrib).mkString(" + ")}
+                         AS DOUBLE) AS score
+                     FROM pd CROSS JOIN st)
+          SELECT doc_id, dl, score FROM sc WHERE score > 0
+          ORDER BY score DESC, doc_id LIMIT 20"""
+    },
+    "text_bm25_batch" -> {
+      val qs = graft.text.TextOps.Bm25Queries
+      val values = qs.flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }
+        .mkString(", ")
+      val allTerms = qs.flatMap(_._2).distinct
+        .map(t => s"'$t'").mkString(", ")
+      s"""WITH q(query_id, term) AS (SELECT * FROM (VALUES $values)),
+              t AS (SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok
+                    FROM documents),
+              t2 AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+              dlt AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY 1),
+              nd AS (SELECT count(*) AS n_docs, sum(dl) AS total_tokens
+                     FROM dlt),
+              tf AS (SELECT doc_id, tok, count(*) AS tf FROM t2
+                     WHERE tok IN ($allTerms) GROUP BY 1, 2),
+              dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+              sc AS (SELECT query_id, tf.doc_id AS doc_id,
+                       sum(CAST(round(
+                         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                         * tf * 2.2
+                         / (tf + 1.2 * (0.25 + 0.75 * dl
+                             / (CAST(total_tokens AS DOUBLE) / n_docs)))
+                         + 1e-9, 6) AS DECIMAL(18,6))) AS dscore
+                     FROM tf JOIN dfreq USING (tok)
+                       JOIN q ON q.term = tf.tok
+                       JOIN dlt ON dlt.doc_id = tf.doc_id
+                       CROSS JOIN nd
+                     GROUP BY 1, 2),
+              r AS (SELECT query_id, doc_id,
+                      CAST(dscore AS DOUBLE) AS score,
+                      CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY CAST(dscore AS DOUBLE) DESC, doc_id)
+                        AS BIGINT) AS rank
+                    FROM sc)
+          SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 5
+          ORDER BY 1, 2, 3, 4"""
+    },
     "corpus_stats" ->
       s"""WITH t AS (SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok
                      FROM documents),

@@ -1091,4 +1091,120 @@ object TextOps {
       .where(col("df") <= maxDf).select(col("wmin"))
     fp.join(rare, "wmin")
   }
+
+  // ---- BM25 ranked retrieval ------------------------------------------------
+  //
+  // The scoring context the reference's ES backend provides but every graft
+  // filter so far ignored: Okapi BM25 with Lucene's idf
+  // (ln(1 + (N - df + 0.5)/(df + 0.5)), never negative) and the standard
+  // (k1 = 1.2, b = 0.75) length normalization. Per-term contributions are
+  // rounded to 6 decimals and summed as exact decimals, the cross-engine
+  // determinism discipline every scored operator here follows.
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
+  /** The default single ad-hoc query for [[bm25TopK]]. */
+  val Bm25Query: Seq[String] = Seq("spark", "join", "vector")
+
+  /** The default query batch for [[bm25Batch]]. */
+  val Bm25Queries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("spark", "join"),
+    2 -> Seq("vector", "hash"),
+    3 -> Seq("filter", "scan", "query"),
+    4 -> Seq("window", "batch"),
+    5 -> Seq("customer", "stream"))
+
+  /** BM25 contribution of one query term, in plain double arithmetic both
+    * engines replay: idf(df) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)),
+    * rounded to 6 decimals and cast to an exact decimal so the final score
+    * is an association-order-independent sum.
+    */
+  private def bm25Contrib(tf: Column, df: Column, dl: Column,
+                          nDocs: Column, totalTokens: Column): Column = {
+    val avgdl = totalTokens.cast("double") / nDocs
+    val idf = log(lit(1.0) +
+      (nDocs - df + lit(0.5)) / (df + lit(0.5)))
+    val norm = lit(Bm25K1) * (lit(1.0 - Bm25B) + lit(Bm25B) * dl / avgdl)
+    Det.rnd(idf * tf * lit(Bm25K1 + 1.0) / (tf + norm), 6)
+      .cast("decimal(18,6)")
+  }
+
+  /** BM25 top-k for ONE ad-hoc query, the interactive-search shape: a
+    * single corpus scan explodes tokens and partially aggregates per-doc
+    * (length + one tf counter per query term — map-side combine leaves one
+    * row per document on the wire), the 1-row corpus statistics broadcast
+    * back, scoring runs map-side, and the result is a
+    * `TakeOrderedAndProject` — no global sort, no per-term shuffle. At
+    * 100 TB the only data-sized cost is the scan plus an n_docs-row
+    * aggregate; everything downstream of the broadcast is O(matches).
+    */
+  def bm25TopK(s: SparkSession, d: String,
+               query: Seq[String] = Bm25Query, k: Int = 20): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .where(col("tok") =!= "")
+    val perDoc = tok.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("dl"),
+      query.zipWithIndex.map { case (t, i) =>
+        sum(when(col("tok") === t, 1L).otherwise(0L)).as(s"tf$i")
+      }: _*)
+    val stats = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_tokens") +:
+      query.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+    val scored = perDoc.crossJoin(broadcast(stats))
+      .withColumn("score",
+        query.indices.map(i => bm25Contrib(col(s"tf$i"), col(s"df$i"),
+          col("dl"), col("n_docs"), col("total_tokens")))
+          .reduce(_ + _).cast("double"))
+      .where(col("score") > 0)
+      .select(col("doc_id"), col("dl"), col("score"))
+    scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
+  /** Batched BM25 retrieval — the offline query-table shape (score a whole
+    * evaluation set in one pass): terms from every query are filtered out
+    * of the token stream BEFORE any shuffle (the explode's output shrinks
+    * to matching tokens only), tf joins the broadcast (query, term) table
+    * to fan each matching doc-term into its queries, per-doc length joins
+    * on doc_id, and one (query, doc) aggregation plus a per-query window
+    * yields top-k per query. Scale shape: corpus-sized work is the scan +
+    * the per-doc length aggregate; everything keyed by query terms is
+    * |matching tokens|, not |corpus|, and the window partitions by
+    * query_id — never a global sort.
+    */
+  def bm25Batch(s: SparkSession, d: String,
+                queries: Seq[(Int, Seq[String])] = Bm25Queries,
+                k: Int = 5): DataFrame = {
+    import s.implicits._
+    val qterms = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
+      .toDF("query_id", "term")
+    val allTerms = queries.flatMap(_._2).distinct
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .where(col("tok") =!= "")
+    val dl = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val nd = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_tokens"))
+    val tf = tok.where(col("tok").isin(allTerms: _*))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfreq), "tok")
+      .join(broadcast(qterms.withColumnRenamed("term", "tok")), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(nd))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(bm25Contrib(col("tf"), col("df"), col("dl"),
+        col("n_docs"), col("total_tokens"))).as("dscore"))
+      .select(col("query_id"), col("doc_id"),
+        col("dscore").cast("double").as("score"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val out = scored
+      .withColumn("rank", row_number().over(w).cast("bigint"))
+      .where(col("rank") <= k)
+    Det.ordered(out)
+  }
 }

@@ -158,4 +158,22 @@ class PlanGuardSpec extends SparkTestBase {
       !plan.contains("CartesianProduct"),
       "the range join must stay an equi-join on (user, cell)")
   }
+
+  test("bm25 top-k plans as TakeOrderedAndProject over one doc-keyed aggregate (r13)") {
+    val plan = planOf(graft.text.TextOps.bm25TopK(spark, Sf))
+    // global top-k without a global sort: the score is computed map-side
+    // after the 1-row stats broadcast, so the only data-sized exchange is
+    // the per-doc (dl, tf*) aggregate
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1200))
+    assert(!plan.contains("CartesianProduct"),
+      "stats join must broadcast (1-row BNLJ is the adjudicated scalar class)")
+    // the per-doc aggregate subtree feeds both the stats row and the scored
+    // side, so its exchange prints twice pre-reuse — the invariant is that
+    // every hash exchange keys on doc_id (nothing ever shuffles per term)
+    val hashEx = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(hashEx.nonEmpty && hashEx.forall(_.contains("doc_id")),
+      s"scoring must not shuffle per term — doc-keyed exchanges only:\n" +
+        hashEx.mkString("\n"))
+  }
 }

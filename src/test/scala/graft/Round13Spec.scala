@@ -340,4 +340,26 @@ class Round13Spec extends SparkTestBase {
         "the overwrite must replace, not add")
     } finally { srv.stop(); g.stopContinuous() }
   }
+
+  // ---- BM25 ranked retrieval (r13 widening: the ES scoring context)
+
+  test("bm25: the batch scorer and the single-query scorer agree; scores are positive and ranked") {
+    import graft.text.TextOps
+    // two independent plans (map-side literal pivot vs query-table join),
+    // one scoring definition — their (doc, score) lists must be identical
+    // for the same query
+    val single = TextOps.bm25TopK(spark, Sf, Seq("spark", "join"), k = 5)
+      .collect()
+    val batch = TextOps.bm25Batch(spark, Sf).collect()
+      .filter(_.getAs[Int]("query_id") == 1)
+      .sortBy(_.getAs[Long]("rank"))
+    assert(single.nonEmpty && batch.nonEmpty, "test corpus must match query 1")
+    val ss = single.map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq
+    val bs = batch.map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq
+    assert(bs == ss.take(bs.length), s"batch $bs\nvs single $ss")
+    // BM25 invariants on the output: Lucene's idf is never negative, so
+    // every emitted score is > 0, and the list is rank-ordered
+    assert(ss.forall(_._2 > 0))
+    assert(ss.map(-_._2) == ss.map(-_._2).sorted, "descending by score")
+  }
 }
