@@ -123,8 +123,10 @@ class Graft(spark: SparkSession, root: String,
         if (fresh.nonEmpty) {
           val jobSchema = org.apache.spark.sql.types.StructType(
             good.schema.fields.filterNot(_.name == "bucket_day"))
+          val freshStats = fileTimeStats(space, fresh.map(_._1))
           commitManifest(space)(cur => Manifest(cur.files ++ fresh,
-            Some(mergeDataSchema(cur.schemaJson, jobSchema))))
+            Some(mergeDataSchema(cur.schemaJson, jobSchema)),
+            cur.stats ++ freshStats))
         }
       }
     }
@@ -259,7 +261,10 @@ class Graft(spark: SparkSession, root: String,
     if (existing.isEmpty) return
     commitManifest(space)(_ =>
       Manifest(existing, Some(mergeDataSchema(None, footerDataSchema(space,
-        existing.map(_._1))))))
+        existing.map(_._1)))),
+        // adoption computes zone maps for the whole store once — the same
+        // one-time pass the schema inference above already pays
+        fileTimeStats(space, existing.map(_._1))))
   }
 
   /** Footer-inferred DATA schema of `files` — with the partition column
@@ -287,7 +292,8 @@ class Graft(spark: SparkSession, root: String,
     * and no schema, and the read path falls back to footer inference.
     */
   private[tsdb] case class Manifest(files: Seq[(String, Long)],
-                                    schemaJson: Option[String]) {
+                                    schemaJson: Option[String],
+                                    stats: Map[String, (Long, Long)] = Map.empty) {
     def paths: Seq[String] = files.map(_._1)
   }
 
@@ -307,13 +313,16 @@ class Graft(spark: SparkSession, root: String,
         .filter(_.nonEmpty).toList
       finally in.close()
     val schema = lines.find(_.startsWith("#v2 ")).map(_.stripPrefix("#v2 "))
-    val files = lines.filterNot(_.startsWith("#")).map { l =>
+    val entries = lines.filterNot(_.startsWith("#")).map { l =>
       l.split('\t') match {
-        case Array(p, sz) => (p, sz.toLong)
-        case _ => (l, -1L) // v1 line: path only
+        // v3 line: path, size, and the file's [min,max] time_ms zone map
+        case Array(p, sz, mn, mx) => ((p, sz.toLong), Some(p -> (mn.toLong, mx.toLong)))
+        case Array(p, sz) => ((p, sz.toLong), None)
+        case _ => ((l, -1L), None) // v1 line: path only
       }
     }
-    Manifest(files, schema.filter(_.nonEmpty))
+    Manifest(entries.map(_._1), schema.filter(_.nonEmpty),
+      entries.flatMap(_._2).toMap)
   }
 
   /** The manifest of snapshot `seq`, or of the newest commit when None. */
@@ -335,8 +344,15 @@ class Graft(spark: SparkSession, root: String,
     val curM = cur.map(readManifest(fs, mdir, _)).getOrElse(Manifest(Nil, None))
     val next = cur.getOrElse(0L) + 1
     val m = update(curM)
+    // stats ride the file lines (v3 columns); entries are pruned to the
+    // live file set so a dropped file can never leave a stale zone map
     val body = (m.schemaJson.map("#v2 " + _).toSeq ++
-      m.files.distinct.sortBy(_._1).map { case (p, sz) => s"$p\t$sz" })
+      m.files.distinct.sortBy(_._1).map { case (p, sz) =>
+        m.stats.get(p) match {
+          case Some((mn, mx)) => s"$p\t$sz\t$mn\t$mx"
+          case None => s"$p\t$sz"
+        }
+      })
       .mkString("\n")
     val tmp = new HPath(mdir, s".tmp-m$next")
     val out = fs.create(tmp, true)
@@ -346,6 +362,31 @@ class Graft(spark: SparkSession, root: String,
     if (!fs.rename(tmp, mfile))
       throw new java.io.IOException(s"manifest commit: rename $tmp -> $mfile failed")
     next
+  }
+
+  /** Per-file [min, max] `time_ms` zone maps for manifest entries — one
+    * small Spark job over exactly the given (just-written or just-rewritten)
+    * files, run at COMMIT time so reads never open a footer: the same
+    * trade every manifest commit already makes (Iceberg collects per-file
+    * column stats at write). At 100 TB these bounds are what turn a
+    * narrow-window read inside a day bucket from "open every file the
+    * bucket holds" into "open the files whose range overlaps the query" —
+    * file skipping decided driver-side from the one manifest GET.
+    */
+  private def fileTimeStats(space: String,
+                            rel: Seq[String]): Map[String, (Long, Long)] = {
+    if (rel.isEmpty) return Map.empty
+    val base = spacePath(space)
+    spark.read.parquet(rel.map(r => s"$base/$r"): _*)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("time_ms")).as("mn"), max(col("time_ms")).as("mx"))
+      .collect()
+      .map { r =>
+        val f = java.net.URLDecoder.decode(r.getString(0), "UTF-8")
+        val i = f.indexOf("bucket_day=")
+        require(i >= 0, s"zone-map stats: unexpected file path $f")
+        f.substring(i) -> (r.getLong(1), r.getLong(2))
+      }.toMap
   }
 
   /** Union-merge two data schemas by field name, old field order first —
@@ -588,7 +629,7 @@ class Graft(spark: SparkSession, root: String,
                 .add("bucket_day", IntegerType, nullable = false)
               spark.createDataFrame(
                 java.util.Collections.emptyList[org.apache.spark.sql.Row](), full)
-            } else ManifestRelation.frame(spark, path, inRange, sj)
+            } else ManifestRelation.frame(spark, path, inRange, sj, m.stats)
           case _ =>
             // v1 manifest (no schema): fall back to footer inference; an
             // empty range plans the full list so the frame keeps a schema
@@ -1231,8 +1272,10 @@ class Graft(spark: SparkSession, root: String,
         // footers on every read
         val newSchema = schemas.result().foldLeft(Option.empty[String])(
           (acc, s) => Some(mergeDataSchema(acc, s)))
+        val addedStats = fileTimeStats(space, added.map(_._1))
         commitManifest(space)(cur => Manifest(
-          cur.files.filterNot(f => replaced(f._1)) ++ added, newSchema))
+          cur.files.filterNot(f => replaced(f._1)) ++ added, newSchema,
+          (cur.stats -- replaced) ++ addedStats))
       }
       swaps.map(s => (s._1, s._2, s._3)).sortBy(_._1)
     }
@@ -1275,7 +1318,9 @@ class Graft(spark: SparkSession, root: String,
               if (keep.isEmpty) None
               else Some(mergeDataSchema(None,
                 footerDataSchema(space, keep.map(_._1))))
-            Manifest(keep, schema)
+            // surviving files keep their zone maps; commitManifest prunes
+            // the dropped buckets' entries with their file lines
+            Manifest(keep, schema, cur.stats)
           }
         }
         dropDays

@@ -3,10 +3,10 @@ package graft.tsdb
 import org.apache.hadoop.fs.{FileStatus, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Expression, Predicate}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, Predicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.types.{DataType, IntegerType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StructField, StructType}
 
 /** Metadata-free scan over a manifest snapshot: the v2 manifest carries
   * every live file's path + size AND the live data schema, so the scan
@@ -21,6 +21,14 @@ import org.apache.spark.sql.types.{DataType, IntegerType, StructField, StructTyp
   * `HadoopFsRelation` over `ParquetFileFormat`, so whole-stage codegen,
   * vectorized reading, pushed filters and partition pruning (via
   * [[GraftManifestFileIndex.listFiles]]) all apply unchanged.
+  *
+  * v3 manifests additionally carry a per-file `[min, max]` `time_ms` zone
+  * map (collected by one commit-time job — Iceberg's per-file column
+  * stats), which [[GraftManifestFileIndex.listFiles]] evaluates against
+  * the query's pushed time bounds: a narrow window INSIDE a day bucket
+  * skips the bucket's non-overlapping files entirely — driver-side, from
+  * manifest metadata alone, before parquet ever sees a footer. Files
+  * without stats (v1/v2 lines) are never skipped.
   */
 object ManifestRelation {
   /** bucket_day as partition inference would type it (day ordinals fit Int). */
@@ -29,23 +37,28 @@ object ManifestRelation {
 
   /** Build the DataFrame for `files` ((relative path, size) pairs under
     * `spaceDir`) with the given data schema JSON — zero metadata calls.
+    * `stats` maps a relative path to its `[min, max]` `time_ms` zone map.
     */
   def frame(spark: SparkSession, spaceDir: String,
-            files: Seq[(String, Long)], schemaJson: String): DataFrame = {
+            files: Seq[(String, Long)], schemaJson: String,
+            stats: Map[String, (Long, Long)] = Map.empty): DataFrame = {
     val dataSchema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     val p = new HPath(spaceDir)
     val qBase = p.getFileSystem(spark.sessionState.newHadoopConf()).makeQualified(p)
+    val zones = new java.util.HashMap[String, (Long, Long)]()
     val byDay = files
       .groupBy(_._1.takeWhile(_ != '/').stripPrefix("bucket_day=").toInt)
       .map { case (day, fl) =>
         day -> fl.map { case (rel, size) =>
           // a synthetic status: size from the manifest, mtime/blocksize
           // immaterial (the format splits by maxPartitionBytes)
-          new FileStatus(size, false, 1, 128L * 1024 * 1024, 0L,
+          val st = new FileStatus(size, false, 1, 128L * 1024 * 1024, 0L,
             new HPath(qBase, rel))
+          stats.get(rel).foreach(zones.put(st.getPath.toString, _))
+          st
         }.toArray
       }
-    val idx = new GraftManifestFileIndex(qBase, byDay, PartitionSchema)
+    val idx = new GraftManifestFileIndex(qBase, byDay, PartitionSchema, zones)
     val rel = HadoopFsRelation(idx, PartitionSchema, dataSchema, None,
       new ParquetFileFormat, Map.empty[String, String])(spark)
     org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
@@ -58,18 +71,77 @@ object ManifestRelation {
   * filters are evaluated here (bound by name, the
   * PartitioningAwareFileIndex discipline), so `WHERE bucket_day >= d`
   * prunes buckets exactly as directory-discovered partitioning would —
-  * without ever having discovered directories.
+  * without ever having discovered directories. Data filters on `time_ms`
+  * are evaluated against each file's manifest zone map (when present),
+  * skipping files whose `[min, max]` range cannot overlap the query
+  * window — the within-bucket half of pruning, still metadata-only.
   */
 private class GraftManifestFileIndex(base: HPath,
                                      byDay: Map[Int, Array[FileStatus]],
-                                     pSchema: StructType) extends FileIndex {
+                                     pSchema: StructType,
+                                     zones: java.util.Map[String, (Long, Long)])
+    extends FileIndex {
   override def rootPaths: Seq[HPath] = Seq(base)
   override def partitionSchema: StructType = pSchema
 
+  /** The conjunctive `[lo, hi)` window the pushed `time_ms` comparisons
+    * imply — conservative: only plain attr-vs-literal comparisons narrow
+    * the window; anything else leaves it unbounded on that side.
+    */
+  private def timeBounds(dataFilters: Seq[Expression]): (Long, Long) = {
+    var lo = Long.MinValue
+    var hi = Long.MaxValue
+    def litOf(e: Expression): Option[Long] = e match {
+      case Literal(v: Long, LongType) => Some(v)
+      case Literal(v: Int, _) => Some(v.toLong)
+      case _ => None
+    }
+    def isTime(e: Expression): Boolean = e match {
+      case a: AttributeReference => a.name == "time_ms"
+      case _ => false
+    }
+    def incl(v: Long): Long = if (v == Long.MaxValue) v else v + 1
+    dataFilters.foreach {
+      case GreaterThanOrEqual(a, l) if isTime(a) =>
+        litOf(l).foreach(v => lo = math.max(lo, v))
+      case GreaterThan(a, l) if isTime(a) =>
+        litOf(l).foreach(v => lo = math.max(lo, incl(v)))
+      case LessThan(a, l) if isTime(a) =>
+        litOf(l).foreach(v => hi = math.min(hi, v))
+      case LessThanOrEqual(a, l) if isTime(a) =>
+        litOf(l).foreach(v => hi = math.min(hi, incl(v)))
+      case EqualTo(a, l) if isTime(a) =>
+        litOf(l).foreach { v => lo = math.max(lo, v); hi = math.min(hi, incl(v)) }
+      // literal-on-left mirrors
+      case GreaterThanOrEqual(l, a) if isTime(a) =>
+        litOf(l).foreach(v => hi = math.min(hi, incl(v)))
+      case GreaterThan(l, a) if isTime(a) =>
+        litOf(l).foreach(v => hi = math.min(hi, v))
+      case LessThan(l, a) if isTime(a) =>
+        litOf(l).foreach(v => lo = math.max(lo, incl(v)))
+      case LessThanOrEqual(l, a) if isTime(a) =>
+        litOf(l).foreach(v => lo = math.max(lo, v))
+      case EqualTo(l, a) if isTime(a) =>
+        litOf(l).foreach { v => lo = math.max(lo, v); hi = math.min(hi, incl(v)) }
+      case _ => ()
+    }
+    (lo, hi)
+  }
+
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
+    val (lo, hi) = timeBounds(dataFilters)
+    def live(st: FileStatus): Boolean = zones.get(st.getPath.toString) match {
+      case null => true // no zone map recorded: never skip
+      case (mn, mx) => mx >= lo && mn < hi
+    }
     val dirs = byDay.toSeq.sortBy(_._1)
-      .map { case (day, sts) => PartitionDirectory(InternalRow(day), sts) }
+      .map { case (day, sts) =>
+        val kept = if (lo == Long.MinValue && hi == Long.MaxValue) sts
+                   else sts.filter(live)
+        PartitionDirectory(InternalRow(day), kept)
+      }
+      .filter(_.files.nonEmpty)
     if (partitionFilters.isEmpty) dirs
     else {
       val bound = partitionFilters.reduce(And).transform {

@@ -330,4 +330,118 @@ class ManifestSpec extends SparkTestBase {
     val plain = new Graft(spark, root + "/plain")
     intercept[IllegalArgumentException] { plain.vacuum() }
   }
+
+  // ---- v3 zone maps: per-file [min,max] time_ms pruning ----
+
+  /** Every FileSourceScan in the executed plan (descending through AQE),
+    * for its post-execution `numFiles` metric.
+    */
+  private def scannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    scans(df.queryExecution.executedPlan).map(_.metrics("numFiles").value).sum
+  }
+
+  test("zone maps: a narrow window inside a bucket skips the bucket's non-overlapping files") {
+    val root = freshRoot()
+    val g = store(root)
+    // three single-partition writes into the SAME day bucket with disjoint
+    // hour ranges -> three files with disjoint zone maps, plus a second day
+    def one(ts: String, v: Double) =
+      g.write(Seq((ts, v, "s")).toDF("time", "value", "name").coalesce(1))
+    one("2024-01-09T01:00:00Z", 1.0)
+    one("2024-01-09T10:00:00Z", 3.0)
+    one("2024-01-09T20:00:00Z", 4.0)
+    one("2024-01-10T05:00:00Z", 5.0)
+
+    // [09:30, 10:30) on Jan 9: one file's zone overlaps
+    val narrow = g.read("""{"match_all":{}}""",
+      startMs = 1704792600000L, endMs = 1704796200000L)
+    assert(narrow.collect().map(_.getAs[Double]("value")).toSeq == Seq(3.0))
+    assert(scannedFiles(narrow) == 1,
+      "the manifest zone map must skip the 01:00 and 20:00 files " +
+        "without opening them (day pruning alone cannot)")
+
+    // an unbounded read scans everything — pruning never drops a live file
+    // the window could touch
+    val full = g.read("""{"match_all":{}}""")
+    assert(full.collect().length == 4)
+    assert(scannedFiles(full) == 4)
+
+    // v2-compat: strip the zone-map columns from the newest manifest (an
+    // r13-early snapshot shape) — reads stay correct, just unpruned
+    val mdirFs = new java.io.File(s"$root/.manifest/default")
+    val newest = mdirFs.listFiles().filter(_.getName.startsWith("m"))
+      .maxBy(_.getName.stripPrefix("m").toLong)
+    val v2 = scala.io.Source.fromFile(newest, "UTF-8").getLines()
+      .map { l =>
+        if (l.startsWith("#")) l
+        else l.split('\t').take(2).mkString("\t")
+      }.mkString("\n")
+    java.nio.file.Files.write(newest.toPath,
+      v2.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // the local ChecksumFileSystem keeps a .crc sibling per manifest; the
+    // out-of-band rewrite above must retire it or the next read fails
+    new java.io.File(mdirFs, s".${newest.getName}.crc").delete()
+    val unpruned = g.read("""{"match_all":{}}""",
+      startMs = 1704792600000L, endMs = 1704796200000L)
+    assert(unpruned.collect().map(_.getAs[Double]("value")).toSeq == Seq(3.0))
+    // all four files share the default 7-day bucket, so without zone maps
+    // the bucket-level prune keeps everything — correct, just unpruned
+    assert(scannedFiles(unpruned) == 4,
+      "a stats-less manifest reads correctly with bucket-level pruning only")
+  }
+
+  test("zone maps follow every commit: compaction rewrites them, retention drops them, pinned snapshots keep theirs") {
+    val root = freshRoot()
+    val g = store(root)
+    def one(ts: String, v: Double) =
+      g.write(Seq((ts, v, "s")).toDF("time", "value", "name").coalesce(1))
+    one("2024-01-09T01:00:00Z", 1.0)
+    one("2024-01-09T10:00:00Z", 3.0)
+    one("2024-01-19T10:00:00Z", 7.0)
+    val preSnap = g.snapshots().last
+
+    // compaction rewrites each bucket to one file; its zone map must be the
+    // REWRITTEN file's true range (01:00..10:00), so a narrow window still
+    // prunes day 19's file via day pruning and scans exactly the one
+    // compacted Jan-9 file
+    assert(g.compact().nonEmpty)
+    val narrow = g.read("""{"match_all":{}}""",
+      startMs = 1704792600000L, endMs = 1704796200000L)
+    assert(narrow.collect().map(_.getAs[Double]("value")).toSeq == Seq(3.0))
+    assert(scannedFiles(narrow) == 1)
+    // ...and a window BELOW the compacted file's min skips it zone-wise
+    // (same day, so day pruning alone would scan it)
+    val below = g.read("""{"match_all":{}}""",
+      startMs = 1704758400000L, endMs = 1704760200000L) // [00:00, 00:30)
+    assert(below.collect().isEmpty)
+    assert(scannedFiles(below) == 0,
+      "the compacted file's zone map must exclude a pre-min window")
+
+    // a reader pinned BEFORE compaction still prunes with the OLD files'
+    // zone maps (stats ride the snapshot, not a global table)
+    val pinned = g.readAt(preSnap, """{"match_all":{}}""",
+      startMs = 1704792600000L, endMs = 1704796200000L)
+    assert(pinned.collect().map(_.getAs[Double]("value")).toSeq == Seq(3.0))
+    assert(scannedFiles(pinned) == 1)
+
+    // retention drops Jan 9: its files leave the manifest WITH their zone
+    // maps (the serialized entries are pruned with the file lines)
+    g.remove(keepDays = 10, todayDay = 1705881600000L / graft.core.Det.MsInDay)
+    val after = g.read("""{"match_all":{}}""")
+    assert(after.collect().map(_.getAs[Double]("value")).toSeq == Seq(7.0))
+    val mdir = new java.io.File(s"$root/.manifest/default")
+    val newest = mdir.listFiles().filter(_.getName.startsWith("m"))
+      .maxBy(_.getName.stripPrefix("m").toLong)
+    val lines = scala.io.Source.fromFile(newest, "UTF-8").getLines().toList
+    assert(!lines.exists(_.contains("bucket_day=19726")),
+      s"retired bucket's entries must leave the manifest: $lines")
+  }
 }
