@@ -657,6 +657,11 @@ object SparkEntry {
     // batched query-table shape)
     "text_bm25_topk" -> ((s, d) => TextOps.bm25TopK(s, d)),
     "text_bm25_batch" -> ((s, d) => TextOps.bm25Batch(s, d)),
+    // trained quality classifier: logistic regression by batch GD (train
+    // trajectory / corpus scoring / honest metrics row)
+    "quality_train" -> ((s, d) => TextOps.qualityTrain(s, d)),
+    "quality_score" -> ((s, d) => TextOps.qualityScore(s, d)),
+    "quality_eval" -> ((s, d) => TextOps.qualityEval(s, d)),
     "text_langid" -> ((s, d) => TextOps.langId(s, d)),
     "text_quality" -> ((s, d) => TextOps.quality(s, d)),
     "text_tokens" -> ((s, d) => TextOps.tokenCounts(s, d)),
@@ -798,6 +803,72 @@ object SparkEntry {
   // ---- DuckDB oracles ------------------------------------------------------
 
   private val NormSql = """lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"""
+
+  /** The logistic-regression replay: z = w·x under the round's weights
+    * (left-associated exactly as the Spark fold builds it). x0 is the
+    * bigram-LLR feature, x1..x4 the indicator-word shares. */
+  private val LrWordsSql = Seq("window", "customer", "scan", "table")
+  private val LrNFeatsSql = LrWordsSql.length + 1
+  private val LrZ = "w0 + " +
+    (0 until LrNFeatsSql).map(i => s"w${i + 1}*x$i").mkString(" + ")
+
+  /** Shared CTE prefix for the quality_* oracles: per-doc features (bigram
+    * en-vs-rest log-likelihood ratio + word shares), then 8 unrolled
+    * batch-GD rounds (g_r = the gradient aggregate under r-1's weights,
+    * r_r = the re-rounded update) — numerically identical to the Spark
+    * trainer's per-round expressions.
+    */
+  private lazy val LrCtes: String = {
+    val featCols = LrWordsSql.zipWithIndex.map { case (w, i) =>
+      s"sum(CASE WHEN tok = '$w' THEN 1 ELSE 0 END) AS c$i" }.mkString(", ")
+    val xCols = LrWordsSql.indices.map(i =>
+      s"round(c$i * 10.0 / dl + 1e-9, 6) AS x${i + 1}").mkString(", ")
+    val gs = s"sum(CAST(round((p - y) + 1e-9, 8) AS DECIMAL(20,8))) AS gs0, " +
+      (0 until LrNFeatsSql).map(i =>
+        s"sum(CAST(round((p - y) * x$i + 1e-9, 8) AS DECIMAL(20,8))) AS gs${i + 1}")
+        .mkString(", ")
+    val w0 = (0 to LrNFeatsSql).map(i => s"0.0 AS w$i").mkString(", ")
+    val rounds = (1 to 8).map { r =>
+      val upd = (0 to LrNFeatsSql).map(i =>
+        s"round(w$i - 2.0 * (CAST(gs$i AS DOUBLE) / n) + 1e-9, 8) AS w$i")
+        .mkString(", ")
+      s"""g$r AS (SELECT count(*) AS n, $gs
+                 FROM (SELECT f.*, 1.0/(1.0 + exp(-($LrZ))) AS p
+                       FROM feats f CROSS JOIN r${r - 1})),
+          r$r AS (SELECT $upd FROM g$r CROSS JOIN r${r - 1})"""
+    }.mkString(",\n")
+    s"""t_lr AS (SELECT doc_id, lang,
+                   unnest(string_split($NormSql, ' ')) AS tok FROM documents),
+        t2_lr AS (SELECT doc_id, lang, tok FROM t_lr WHERE tok <> ''),
+        fr AS (SELECT doc_id, lang, count(*) AS dl, $featCols
+               FROM t2_lr GROUP BY 1, 2),
+        t0_lr AS (SELECT doc_id, lang, string_split($NormSql, ' ') AS toks
+                  FROM documents),
+        bg_lr AS (SELECT doc_id, lang, toks[i] AS w1, toks[i+1] AS w2
+                  FROM t0_lr, UNNEST(range(1, len(toks))) AS u(i)
+                  WHERE len(toks) >= 2),
+        cb_lr AS (SELECT w1, w2,
+                    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_en,
+                    sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS c_rest
+                  FROM bg_lr GROUP BY 1, 2),
+        vs_lr AS (SELECT count(*) AS v, sum(c_en) AS n_en,
+                    sum(c_rest) AS n_rest FROM cb_lr),
+        lrt AS (SELECT w1, w2,
+                  CAST(round(ln(CAST((c_en + 1) * (n_rest + v) AS DOUBLE)
+                    / ((c_rest + 1) * (n_en + v))) + 1e-9, 8)
+                    AS DECIMAL(12,8)) AS lr
+                FROM cb_lr CROSS JOIN vs_lr),
+        x0t AS (SELECT doc_id,
+                  round(10.0 * CAST(sum(lr) AS DOUBLE) / count(*) + 1e-9, 6)
+                    AS x0raw
+                FROM bg_lr JOIN lrt USING (w1, w2) GROUP BY 1),
+        feats AS (SELECT fr.doc_id,
+                    CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+                    COALESCE(x0raw, 0.0) AS x0, $xCols
+                  FROM fr LEFT JOIN x0t ON fr.doc_id = x0t.doc_id),
+        r0 AS (SELECT $w0),
+        $rounds"""
+  }
 
   /** doc_id -> distinct 3-shingles, shared by the jaccard/minhash oracles. */
   private val ShingleCte =
@@ -2353,6 +2424,43 @@ object SparkEntry {
           SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 5
           ORDER BY 1, 2, 3, 4"""
     },
+    // trained quality classifier: the whole batch-GD optimization replayed
+    // as unrolled CTEs (r0 = zero weights; each round ONE aggregate of
+    // 8-decimal-rounded gradient terms summed as exact decimals, weights
+    // re-rounded) — the bpe_train iterative-replay discipline
+    "quality_train" ->
+      s"""WITH $LrCtes
+          SELECT * FROM (${(1 to 8).map(r =>
+            s"SELECT CAST($r AS BIGINT) AS round, " +
+              (0 to LrNFeatsSql).map(i => s"w$i").mkString(", ") + s" FROM r$r")
+            .mkString(" UNION ALL ")})
+          ORDER BY ${(1 to LrNFeatsSql + 2).mkString(", ")}""",
+    "quality_score" ->
+      s"""WITH $LrCtes
+          SELECT doc_id, round(p + 1e-9, 6) AS p,
+                 CAST(round(p + 1e-9, 6) >= 0.5 AS BIGINT) AS pred,
+                 CAST(y AS BIGINT) AS label
+          FROM (SELECT f.doc_id, f.y,
+                  1.0/(1.0 + exp(-($LrZ))) AS p
+                FROM feats f CROSS JOIN r8)
+          WHERE doc_id < 100 ORDER BY 1, 2, 3, 4""",
+    "quality_eval" ->
+      s"""WITH $LrCtes,
+              sc AS (SELECT CAST(round(p + 1e-9, 6) >= 0.5 AS BIGINT) AS pred,
+                       CAST(y AS BIGINT) AS label
+                     FROM (SELECT f.y, 1.0/(1.0 + exp(-($LrZ))) AS p
+                           FROM feats f CROSS JOIN r8)),
+              cm AS (SELECT count(*) AS n,
+                       CAST(sum(CASE WHEN pred = 1 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                       CAST(sum(CASE WHEN pred = 1 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                       CAST(sum(CASE WHEN pred = 0 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+                       CAST(sum(CASE WHEN pred = 0 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+                     FROM sc)
+          SELECT n, tp, fp, fn, tn,
+                 round((tp + tn) * 1.0 / n + 1e-9, 4) AS accuracy,
+                 round(tp * 1.0 / (tp + fp) + 1e-9, 4) AS precision,
+                 round(tp * 1.0 / (tp + fn) + 1e-9, 4) AS recall
+          FROM cm""",
     "corpus_stats" ->
       s"""WITH t AS (SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok
                      FROM documents),

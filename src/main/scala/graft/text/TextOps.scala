@@ -1163,6 +1163,164 @@ object TextOps {
     scored.orderBy(col("score").desc, col("doc_id")).limit(k)
   }
 
+  // ---- trained quality classifier (logistic regression by GD) --------------
+  //
+  // The "train a small quality/domain classifier, score the corpus" stage
+  // every LLM curation pipeline runs (fastText-style): batch gradient
+  // descent on token-share features, each round ONE tiny aggregate over the
+  // corpus (per-doc gradient terms rounded to 8 decimals and summed as
+  // exact decimals, weights re-rounded per round) — so the DuckDB oracle
+  // replays the whole optimization as unrolled CTEs, the bpe_train /
+  // graph_pagerank iterative-replay discipline. Scale shape: training cost
+  // is rounds × (one scan of the cached feature frame + a 1-row collect);
+  // scoring is map-only under broadcast weights.
+
+  /** Indicator words whose per-doc share gives the classifier weak
+    * unigram features (x1..x4) next to the strong bigram-LLR one (x0). */
+  private val LrWords = Seq("window", "customer", "scan", "table")
+  /** Feature count: the bigram log-likelihood ratio + one share per word. */
+  private val LrNFeats = LrWords.length + 1
+  private val LrRounds = 8
+  private val LrRate = 2.0
+
+  /** Per-doc features: label y (lang = en); x0 = ×10-scaled mean bigram
+    * log-likelihood ratio under add-1-smoothed en-vs-rest bigram LMs (the
+    * DSIR-family importance feature, here at bigram granularity — where
+    * this corpus's language signal actually lives); x1..x4 = ×10-scaled
+    * indicator-word shares. Everything rounded to exact decimals at the
+    * usual stations so the oracle replays the frame bit-for-bit.
+    */
+  private def lrFeatures(s: SparkSession, d: String): DataFrame =
+    graft.core.Memo.df(s, s"text.lrfeat|$d") {
+      val docs = Tables.documents(s, d)
+      val shares = docs
+        .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
+        .where(col("tok") =!= "")
+        .groupBy(col("doc_id"), col("lang")).agg(
+          count(lit(1)).as("dl"),
+          LrWords.zipWithIndex.map { case (w, i) =>
+            sum(when(col("tok") === w, 1L).otherwise(0L)).as(s"c$i")
+          }: _*)
+      val big = docs
+        .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
+        .where(size(col("toks")) >= 2)
+        .select(col("doc_id"), col("lang"),
+          explode(expr("transform(sequence(1, size(toks)-1), " +
+            "i -> struct(element_at(toks, i) AS w1, element_at(toks, i+1) AS w2))")).as("bg"))
+        .select(col("doc_id"), col("lang"),
+          col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      val cb = big.groupBy(col("w1"), col("w2")).agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_en"),
+        sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("c_rest"))
+      val vs = cb.agg(count(lit(1)).as("v"),
+        sum(col("c_en")).as("n_en"), sum(col("c_rest")).as("n_rest"))
+      val lrTab = cb.crossJoin(broadcast(vs))
+        .select(col("w1"), col("w2"),
+          Det.rnd(log(
+            ((col("c_en") + 1) * (col("n_rest") + col("v"))).cast("double") /
+            ((col("c_rest") + 1) * (col("n_en") + col("v")))), 8)
+            .cast("decimal(12,8)").as("lr"))
+      val llr = big.join(lrTab, Seq("w1", "w2"))
+        .groupBy(col("doc_id"))
+        .agg(Det.rnd(lit(10.0) * sum(col("lr")).cast("double") / count(lit(1)), 6)
+          .as("x0raw"))
+      shares.join(llr, Seq("doc_id"), "left")
+        .select(col("doc_id") +:
+          when(col("lang") === "en", 1.0).otherwise(0.0).as("y") +:
+          coalesce(col("x0raw"), lit(0.0)).as("x0") +:
+          LrWords.indices.map(i =>
+            Det.rnd(col(s"c$i") * lit(10.0) / col("dl"), 6).as(s"x${i + 1}")): _*)
+    }
+
+  /** The per-round weight trajectory [(w_bias, w_0..w_3) after round r] —
+    * batch GD from zero weights, learning rate [[LrRate]]; memoized
+    * (train once, score everywhere). The update is computed IN Spark SQL
+    * (`rnd8(w - lr*(Σrnd8((p-y)·x))/n)`) so the oracle's unrolled CTEs run
+    * the numerically identical expression.
+    */
+  private val lrWeightMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Array[Double]]]()
+  private def lrWeights(s: SparkSession, d: String): Seq[Array[Double]] =
+    lrWeightMemo.computeIfAbsent(d, _ => {
+      val feats = lrFeatures(s, d)
+      var w = Array.fill(LrNFeats + 1)(0.0)
+      val rounds = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+      for (_ <- 0 until LrRounds) {
+        val p = lrSigmoid(w)
+        val gsums = feats.agg(
+          count(lit(1)).as("n"),
+          sum(Det.rnd(p - col("y"), 8).cast("decimal(20,8)")).as("gs0") +:
+          (0 until LrNFeats).map(i =>
+            sum(Det.rnd((p - col("y")) * col(s"x$i"), 8).cast("decimal(20,8)"))
+              .as(s"gs${i + 1}")): _*)
+        val next = gsums.select(w.indices.map(i =>
+          Det.rnd(lit(w(i)) - lit(LrRate) *
+            (col(s"gs$i").cast("double") / col("n")), 8).as(s"w$i")): _*)
+          .collect()(0)
+        w = w.indices.map(next.getDouble).toArray
+        rounds += w
+      }
+      rounds.toSeq
+    })
+
+  /** p = sigmoid(w·x) as a Column under the given weight literals. */
+  private def lrSigmoid(w: Array[Double]): Column = {
+    val z = (0 until LrNFeats).foldLeft(lit(w(0)): Column)(
+      (acc, i) => acc + lit(w(i + 1)) * col(s"x$i"))
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  /** The training trajectory: weights after every GD round. */
+  def qualityTrain(s: SparkSession, d: String): DataFrame = {
+    val rows = lrWeights(s, d).zipWithIndex.map { case (w, r) =>
+      (r + 1).toLong +: w.toSeq
+    }
+    val df = s.createDataFrame(
+      s.sparkContext.parallelize(rows.map(org.apache.spark.sql.Row.fromSeq), 1),
+      org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("round",
+          org.apache.spark.sql.types.LongType, nullable = false) +:
+        (0 to LrNFeats).map(i => org.apache.spark.sql.types.StructField(
+          s"w$i", org.apache.spark.sql.types.DoubleType, nullable = false))))
+    Det.ordered(df)
+  }
+
+  /** Apply the trained classifier: per-doc probability and prediction
+    * (doc_id < 100 for a bounded result) — map-only under the broadcast
+    * (driver-literal) final weights.
+    */
+  def qualityScore(s: SparkSession, d: String): DataFrame = {
+    val w = lrWeights(s, d).last
+    val out = lrFeatures(s, d)
+      .where(col("doc_id") < 100)
+      .select(col("doc_id"),
+        Det.rnd(lrSigmoid(w), 6).as("p"),
+        (Det.rnd(lrSigmoid(w), 6) >= 0.5).cast("bigint").as("pred"),
+        col("y").cast("bigint").as("label"))
+    Det.ordered(out)
+  }
+
+  /** The honest metrics row over the FULL corpus: confusion counts,
+    * accuracy / precision / recall — the go/no-go a pipeline reads before
+    * gating on the classifier.
+    */
+  def qualityEval(s: SparkSession, d: String): DataFrame = {
+    val w = lrWeights(s, d).last
+    val scored = lrFeatures(s, d).select(
+      (Det.rnd(lrSigmoid(w), 6) >= 0.5).cast("bigint").as("pred"),
+      col("y").cast("bigint").as("label"))
+    scored.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("pred") === 1 && col("label") === 1, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") === 1 && col("label") === 0, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("pred") === 0 && col("label") === 1, 1L).otherwise(0L)).as("fn"),
+        sum(when(col("pred") === 0 && col("label") === 0, 1L).otherwise(0L)).as("tn"))
+      .select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+        Det.rnd((col("tp") + col("tn")) * lit(1.0) / col("n"), 4).as("accuracy"),
+        Det.rnd(col("tp") * lit(1.0) / (col("tp") + col("fp")), 4).as("precision"),
+        Det.rnd(col("tp") * lit(1.0) / (col("tp") + col("fn")), 4).as("recall"))
+  }
+
   /** Batched BM25 retrieval — the offline query-table shape (score a whole
     * evaluation set in one pass): terms from every query are filtered out
     * of the token stream BEFORE any shuffle (the explode's output shrinks

@@ -362,4 +362,33 @@ class Round13Spec extends SparkTestBase {
     assert(ss.forall(_._2 > 0))
     assert(ss.map(-_._2) == ss.map(-_._2).sorted, "descending by score")
   }
+
+  // ---- trained quality classifier (r13 widening: GD training replay)
+
+  test("quality classifier: batch GD genuinely learns — accuracy beats the majority baseline") {
+    import graft.text.TextOps
+    val e = TextOps.qualityEval(spark, Sf).collect()(0)
+    val n = e.getAs[Long]("n")
+    val tp = e.getAs[Long]("tp"); val fp = e.getAs[Long]("fp")
+    val fn = e.getAs[Long]("fn"); val tn = e.getAs[Long]("tn")
+    assert(tp + fp + fn + tn == n, "confusion counts partition the corpus")
+    val acc = e.getAs[Double]("accuracy")
+    val nPos = tp + fn
+    val majority = math.max(nPos, n - nPos).toDouble / n
+    // the classifier must beat always-predict-majority by a real margin —
+    // the bigram-LLR feature carries the corpus's language signal, and a
+    // degenerate never-predict-positive solution fails this
+    assert(acc > majority + 0.1, s"accuracy $acc vs majority $majority")
+    assert(tp > 0 && tn > 0, "both classes must actually be predicted")
+    // the per-round trajectory is consistent with the final scorer: the
+    // last round's weights are the ones score/eval applied
+    val tr = TextOps.qualityTrain(spark, Sf).collect()
+    assert(tr.map(_.getAs[Long]("round")).toSeq.sorted == (1L to 8L))
+    val scored = TextOps.qualityScore(spark, Sf).collect()
+    assert(scored.forall { r =>
+      val p = r.getAs[Double]("p")
+      p >= 0.0 && p <= 1.0 &&
+        r.getAs[Long]("pred") == (if (p >= 0.5) 1L else 0L)
+    })
+  }
 }
