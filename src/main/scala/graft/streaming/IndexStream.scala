@@ -1,0 +1,104 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.text.TextOps
+
+/** Streaming maintenance of the text-retrieval index — [[AnnStream]]'s
+  * index-maintenance pattern applied to BM25: documents arrive
+  * continuously, every micro-batch tokenizes with the batch pipeline's
+  * exact analyzer ([[TextOps.tokens]]) and appends its postings
+  * `(tok, doc_id, tf)` and document lengths to the index, so ranked
+  * retrieval stays fresh without ever re-indexing the corpus.
+  *
+  * Scale & idempotency: postings are parquet partitioned by
+  * `(bucket, ingest_batch)` where `bucket` = md5-hash of the term mod
+  * [[IndexStream.NBuckets]] — a query's terms restrict the read to their
+  * buckets as partition PRUNING on storage (plus the pushed `tok IN`
+  * row-group filter inside them), so probe cost tracks matching postings,
+  * not index size. `ingest_batch` rides dynamic partition overwrite: a
+  * crash-replayed micro-batch rewrites exactly the partitions it wrote
+  * before the crash (tokenization is deterministic), landing
+  * bit-identically instead of duplicating postings — the [[DedupStream]]
+  * replay contract. The doc stream is append-only (each doc_id arrives
+  * once), the same precondition the other index streams state.
+  *
+  * Global statistics (N, total tokens, df) are NOT frozen at write time:
+  * [[search]] derives them from the index at query time, so a streamed
+  * index and a batch-built one answer identically — proven against
+  * [[TextOps.bm25TopKOn]] in the spec.
+  */
+object IndexStream {
+
+  /** Term-hash partition count: enough spread that one bucket holds a
+    * sliver of the vocabulary, few enough that directory fan-out stays
+    * bounded per micro-batch. */
+  val NBuckets = 64
+
+  private def bucketCol(tok: Column): Column =
+    pmod(conv(substring(md5(tok), 1, 4), 16, 10).cast("long"), lit(NBuckets))
+
+  /** Driver-side twin of [[bucketCol]] for restricting a query's read. */
+  private[streaming] def bucketIdOf(t: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(hex.substring(0, 4), 16) % NBuckets
+  }
+
+  /** Start index maintenance over a streaming (doc_id, text) source. */
+  def start(docs: DataFrame, indexDir: String,
+            checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val tok = batch
+          .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+          .where(col("tok") =!= "")
+          .localCheckpoint(true) // one tokenize feeds postings AND lengths
+        tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+          .withColumn("bucket", bucketCol(col("tok")))
+          .withColumn("ingest_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("bucket", "ingest_batch")
+          .parquet(s"$indexDir/postings")
+        tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+          .withColumn("ingest_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch")
+          .parquet(s"$indexDir/doclen")
+        ()
+      }
+      .start()
+
+  /** BM25 top-k over the streamed index: the postings read restricts to
+    * the query terms' hash buckets (partition pruning) with the `tok IN`
+    * predicate pushed into the scan; corpus statistics come from the
+    * doc-length table at query time. Output (doc_id, dl, score) matches
+    * [[TextOps.bm25TopKOn]] row for row.
+    */
+  def search(s: SparkSession, indexDir: String, query: Seq[String],
+             k: Int = 20): DataFrame = {
+    val dl = s.read.parquet(s"$indexDir/doclen")
+      .select(col("doc_id"), col("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_tokens"))
+    val buckets = query.map(bucketIdOf).distinct
+    val post = s.read.parquet(s"$indexDir/postings")
+      .where(col("bucket").isin(buckets: _*) && col("tok").isin(query: _*))
+    val dfreq = post.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val scored = post
+      .join(broadcast(dfreq), "tok")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy(col("doc_id"), col("dl"))
+      .agg(sum(TextOps.bm25Contrib(col("tf"), col("df"), col("dl"),
+        col("n_docs"), col("total_tokens"))).as("dscore"))
+      .select(col("doc_id"), col("dl"),
+        col("dscore").cast("double").as("score"))
+    scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+}

@@ -1119,8 +1119,8 @@ object TextOps {
     * rounded to 6 decimals and cast to an exact decimal so the final score
     * is an association-order-independent sum.
     */
-  private def bm25Contrib(tf: Column, df: Column, dl: Column,
-                          nDocs: Column, totalTokens: Column): Column = {
+  private[graft] def bm25Contrib(tf: Column, df: Column, dl: Column,
+                                 nDocs: Column, totalTokens: Column): Column = {
     val avgdl = totalTokens.cast("double") / nDocs
     val idf = log(lit(1.0) +
       (nDocs - df + lit(0.5)) / (df + lit(0.5)))
@@ -1139,8 +1139,15 @@ object TextOps {
     * aggregate; everything downstream of the broadcast is O(matches).
     */
   def bm25TopK(s: SparkSession, d: String,
-               query: Seq[String] = Bm25Query, k: Int = 20): DataFrame = {
-    val tok = Tables.documents(s, d)
+               query: Seq[String] = Bm25Query, k: Int = 20): DataFrame =
+    bm25TopKOn(Tables.documents(s, d), query, k)
+
+  /** [[bm25TopK]] over an arbitrary (doc_id, text) frame — the streamed
+    * index's batch twin ([[graft.streaming.IndexStream]] proves its
+    * incremental index answers identically to this). */
+  def bm25TopKOn(docs: DataFrame,
+                 query: Seq[String] = Bm25Query, k: Int = 20): DataFrame = {
+    val tok = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .where(col("tok") =!= "")
     val perDoc = tok.groupBy(col("doc_id")).agg(

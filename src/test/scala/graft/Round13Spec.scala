@@ -391,4 +391,66 @@ class Round13Spec extends SparkTestBase {
         r.getAs[Long]("pred") == (if (p >= 0.5) 1L else 0L)
     })
   }
+
+  // ---- streaming retrieval index (r13 widening: IndexStream)
+
+  test("streaming retrieval index: streamed postings answer BM25 identically to the batch scorer; replay never duplicates") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    import graft.text.TextOps
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def tmp(n: String) =
+      Files.createTempDirectory(Paths.get("target"), s"graft-$n").toString
+    val (idx, ckpt) = (tmp("bmidx"), tmp("bmckpt"))
+    val corpus = Seq(
+      (1L, "spark join fast spark table"),
+      (2L, "vector hash join"),
+      (3L, "the table scan slow row"),
+      (4L, "spark vector spark join spark"),
+      (5L, "window batch stream"))
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val docs = mem.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.IndexStream.start(docs, idx, ckpt)
+    mem.addData(corpus.take(3): _*)
+    q.processAllAvailable()
+    mem.addData(corpus.drop(3): _*)
+    q.processAllAvailable(); q.stop()
+
+    val query = Seq("spark", "join", "vector")
+    def key(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dl"),
+        r.getAs[Double]("score"))).toSeq
+    val streamed = graft.streaming.IndexStream.search(spark, idx, query)
+    val batchTwin = TextOps.bm25TopKOn(corpus.toDF("doc_id", "text"), query)
+    assert(key(streamed.collect()).nonEmpty)
+    assert(key(streamed.collect()) == key(batchTwin.collect()),
+      "streamed index and batch scorer must rank identically")
+
+    // the postings layout is (bucket, ingest_batch)-partitioned and the
+    // query's term buckets reach the scan as PARTITION filters — probe
+    // cost tracks matching postings, not index size
+    val bucketDirs = Option(new java.io.File(s"$idx/postings").listFiles())
+      .toSeq.flatten.filter(_.getName.startsWith("bucket="))
+    assert(bucketDirs.nonEmpty, "expected bucket=* partition directories")
+    streamed.collect()
+    val plan = streamed.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.exists(l =>
+        l.contains("PartitionFilters") && l.contains("bucket")),
+      s"term buckets must prune partitions:\n${plan.take(1500)}")
+
+    // restart on the SAME checkpoint: a replayed batch rewrites its own
+    // (bucket, ingest_batch) partitions bit-identically; new docs extend
+    // the index and the LIVE statistics (df, N, avgdl) shift with them
+    val q2 = graft.streaming.IndexStream.start(docs, idx, ckpt)
+    mem.addData((6L, "join join join spark"))
+    q2.processAllAvailable(); q2.stop()
+    assert(spark.read.parquet(s"$idx/doclen").select("doc_id")
+      .as[Long].collect().sorted.toSeq == (1L to 6L),
+      "every doc exactly once after the replayed restart")
+    val streamed2 = graft.streaming.IndexStream.search(spark, idx, query).collect()
+    val batch2 = TextOps.bm25TopKOn(
+      (corpus :+ (6L, "join join join spark")).toDF("doc_id", "text"), query).collect()
+    assert(key(streamed2) == key(batch2),
+      "post-growth ranking must equal the batch scorer on the grown corpus")
+  }
 }
