@@ -662,6 +662,7 @@ object SparkEntry {
     "quality_train" -> ((s, d) => TextOps.qualityTrain(s, d)),
     "quality_score" -> ((s, d) => TextOps.qualityScore(s, d)),
     "quality_eval" -> ((s, d) => TextOps.qualityEval(s, d)),
+    "quality_gate" -> ((s, d) => TextOps.qualityGate(s, d)),
     "text_langid" -> ((s, d) => TextOps.langId(s, d)),
     "text_quality" -> ((s, d) => TextOps.quality(s, d)),
     "text_tokens" -> ((s, d) => TextOps.tokenCounts(s, d)),
@@ -2461,6 +2462,20 @@ object SparkEntry {
                  round(tp * 1.0 / (tp + fp) + 1e-9, 4) AS precision,
                  round(tp * 1.0 / (tp + fn) + 1e-9, 4) AS recall
           FROM cm""",
+    "quality_gate" ->
+      s"""WITH $LrCtes,
+              sc AS (SELECT doc_id,
+                       CAST(round(p + 1e-9, 6) AS DECIMAL(10,6)) AS p,
+                       CAST(round(p + 1e-9, 6) >= 0.5 AS BIGINT) AS keep
+                     FROM (SELECT f.doc_id, 1.0/(1.0 + exp(-($LrZ))) AS p
+                           FROM feats f CROSS JOIN r8))
+          SELECT d.source, count(*) AS n_docs,
+                 CAST(sum(keep) AS BIGINT) AS n_kept,
+                 round(CAST(sum(keep) AS BIGINT) * 1.0 / count(*) + 1e-9, 4)
+                   AS kept_share,
+                 round(CAST(sum(p) AS DOUBLE) / count(*) + 1e-9, 4) AS avg_p
+          FROM sc JOIN documents d USING (doc_id)
+          GROUP BY 1 ORDER BY 1, 2, 3, 4, 5""",
     "corpus_stats" ->
       s"""WITH t AS (SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok
                      FROM documents),

@@ -1328,6 +1328,27 @@ object TextOps {
         Det.rnd(col("tp") * lit(1.0) / (col("tp") + col("fn")), 4).as("recall"))
   }
 
+  /** The gate report a pipeline reads after adopting the classifier:
+    * per SOURCE, how many documents survive the p ≥ 0.5 gate and the mean
+    * score — the mix-shift view (a gate that silently empties one source
+    * is the classic curation accident this row catches). One map-side
+    * scoring pass + one small-key aggregation.
+    */
+  def qualityGate(s: SparkSession, d: String): DataFrame = {
+    val w = lrWeights(s, d).last
+    val scored = lrFeatures(s, d).select(col("doc_id"),
+      (Det.rnd(lrSigmoid(w), 6) >= 0.5).cast("bigint").as("keep"),
+      Det.rnd(lrSigmoid(w), 6).cast("decimal(10,6)").as("p"))
+    val src = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val out = scored.join(src, "doc_id")
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("keep")).as("n_kept"),
+        Det.rnd(sum(col("keep")) * lit(1.0) / count(lit(1)), 4).as("kept_share"),
+        Det.rnd(sum(col("p")).cast("double") / count(lit(1)), 4).as("avg_p"))
+    Det.ordered(out)
+  }
+
   /** Batched BM25 retrieval — the offline query-table shape (score a whole
     * evaluation set in one pass): terms from every query are filtered out
     * of the token stream BEFORE any shuffle (the explode's output shrinks
