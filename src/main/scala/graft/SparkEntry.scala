@@ -2459,8 +2459,10 @@ object SparkEntry {
                      FROM sc)
           SELECT n, tp, fp, fn, tn,
                  round((tp + tn) * 1.0 / n + 1e-9, 4) AS accuracy,
-                 round(tp * 1.0 / (tp + fp) + 1e-9, 4) AS precision,
-                 round(tp * 1.0 / (tp + fn) + 1e-9, 4) AS recall
+                 CASE WHEN tp + fp = 0 THEN NULL
+                   ELSE round(tp * 1.0 / (tp + fp) + 1e-9, 4) END AS precision,
+                 CASE WHEN tp + fn = 0 THEN NULL
+                   ELSE round(tp * 1.0 / (tp + fn) + 1e-9, 4) END AS recall
           FROM cm""",
     "quality_gate" ->
       s"""WITH $LrCtes,

@@ -1324,8 +1324,15 @@ object TextOps {
         sum(when(col("pred") === 0 && col("label") === 0, 1L).otherwise(0L)).as("tn"))
       .select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
         Det.rnd((col("tp") + col("tn")) * lit(1.0) / col("n"), 4).as("accuracy"),
-        Det.rnd(col("tp") * lit(1.0) / (col("tp") + col("fp")), 4).as("precision"),
-        Det.rnd(col("tp") * lit(1.0) / (col("tp") + col("fn")), 4).as("recall"))
+        // an all-negative (or all-positive) predictor is a REAL outcome a
+        // signal-free corpus produces (the sf1 rehearsal hit it): the
+        // undefined ratio is NULL, never a divide-by-zero crash
+        when(col("tp") + col("fp") === 0, lit(null).cast("double"))
+          .otherwise(Det.rnd(col("tp") * lit(1.0) / (col("tp") + col("fp")), 4))
+          .as("precision"),
+        when(col("tp") + col("fn") === 0, lit(null).cast("double"))
+          .otherwise(Det.rnd(col("tp") * lit(1.0) / (col("tp") + col("fn")), 4))
+          .as("recall"))
   }
 
   /** The gate report a pipeline reads after adopting the classifier:
