@@ -124,9 +124,10 @@ class Graft(spark: SparkSession, root: String,
           val jobSchema = org.apache.spark.sql.types.StructType(
             good.schema.fields.filterNot(_.name == "bucket_day"))
           val freshStats = fileTimeStats(space, fresh.map(_._1))
+          val freshDicts = fileTagDicts(space, fresh.map(_._1))
           commitManifest(space)(cur => Manifest(cur.files ++ fresh,
             Some(mergeDataSchema(cur.schemaJson, jobSchema)),
-            cur.stats ++ freshStats))
+            cur.stats ++ freshStats, cur.dicts ++ freshDicts))
         }
       }
     }
@@ -262,9 +263,10 @@ class Graft(spark: SparkSession, root: String,
     commitManifest(space)(_ =>
       Manifest(existing, Some(mergeDataSchema(None, footerDataSchema(space,
         existing.map(_._1)))),
-        // adoption computes zone maps for the whole store once — the same
-        // one-time pass the schema inference above already pays
-        fileTimeStats(space, existing.map(_._1))))
+        // adoption computes zone maps + dictionaries for the whole store
+        // once — the same one-time pass the schema inference already pays
+        fileTimeStats(space, existing.map(_._1)),
+        fileTagDicts(space, existing.map(_._1))))
   }
 
   /** Footer-inferred DATA schema of `files` — with the partition column
@@ -293,7 +295,9 @@ class Graft(spark: SparkSession, root: String,
     */
   private[tsdb] case class Manifest(files: Seq[(String, Long)],
                                     schemaJson: Option[String],
-                                    stats: Map[String, (Long, Long)] = Map.empty) {
+                                    stats: Map[String, (Long, Long)] = Map.empty,
+                                    dicts: Map[String, Map[String, Seq[String]]] =
+                                      Map.empty) {
     def paths: Seq[String] = files.map(_._1)
   }
 
@@ -315,14 +319,41 @@ class Graft(spark: SparkSession, root: String,
     val schema = lines.find(_.startsWith("#v2 ")).map(_.stripPrefix("#v2 "))
     val entries = lines.filterNot(_.startsWith("#")).map { l =>
       l.split('\t') match {
+        // v4 line: v3 + the file's base64(JSON) per-tag value dictionary
+        case Array(p, sz, mn, mx, d64) =>
+          ((p, sz.toLong), Some(p -> (mn.toLong, mx.toLong)),
+            Some(p -> decodeDict(d64)))
         // v3 line: path, size, and the file's [min,max] time_ms zone map
-        case Array(p, sz, mn, mx) => ((p, sz.toLong), Some(p -> (mn.toLong, mx.toLong)))
-        case Array(p, sz) => ((p, sz.toLong), None)
-        case _ => ((l, -1L), None) // v1 line: path only
+        case Array(p, sz, mn, mx) =>
+          ((p, sz.toLong), Some(p -> (mn.toLong, mx.toLong)), None)
+        case Array(p, sz) => ((p, sz.toLong), None, None)
+        case _ => ((l, -1L), None, None) // v1 line: path only
       }
     }
     Manifest(entries.map(_._1), schema.filter(_.nonEmpty),
-      entries.flatMap(_._2).toMap)
+      entries.flatMap(_._2).toMap, entries.flatMap(_._3).toMap)
+  }
+
+  private def encodeDict(d: Map[String, Seq[String]]): String = {
+    val node = jsonMapper.createObjectNode()
+    d.toSeq.sortBy(_._1).foreach { case (c, vs) =>
+      val arr = node.putArray(c)
+      vs.foreach(arr.add)
+    }
+    java.util.Base64.getEncoder.encodeToString(
+      jsonMapper.writeValueAsBytes(node))
+  }
+
+  private def decodeDict(d64: String): Map[String, Seq[String]] = {
+    val node = jsonMapper.readTree(java.util.Base64.getDecoder.decode(d64))
+    val it = node.fields()
+    val b = Map.newBuilder[String, Seq[String]]
+    while (it.hasNext) {
+      val e = it.next()
+      b += e.getKey -> (0 until e.getValue.size())
+        .map(i => e.getValue.get(i).asText())
+    }
+    b.result()
   }
 
   /** The manifest of snapshot `seq`, or of the newest commit when None. */
@@ -344,13 +375,16 @@ class Graft(spark: SparkSession, root: String,
     val curM = cur.map(readManifest(fs, mdir, _)).getOrElse(Manifest(Nil, None))
     val next = cur.getOrElse(0L) + 1
     val m = update(curM)
-    // stats ride the file lines (v3 columns); entries are pruned to the
-    // live file set so a dropped file can never leave a stale zone map
+    // stats + tag dictionaries ride the file lines (v3/v4 columns);
+    // entries are pruned to the live file set so a dropped file can never
+    // leave a stale zone map or dictionary
     val body = (m.schemaJson.map("#v2 " + _).toSeq ++
       m.files.distinct.sortBy(_._1).map { case (p, sz) =>
-        m.stats.get(p) match {
-          case Some((mn, mx)) => s"$p\t$sz\t$mn\t$mx"
-          case None => s"$p\t$sz"
+        (m.stats.get(p), m.dicts.get(p).filter(_.nonEmpty)) match {
+          case (Some((mn, mx)), Some(d)) =>
+            s"$p\t$sz\t$mn\t$mx\t${encodeDict(d)}"
+          case (Some((mn, mx)), None) => s"$p\t$sz\t$mn\t$mx"
+          case _ => s"$p\t$sz"
         }
       })
       .mkString("\n")
@@ -387,6 +421,48 @@ class Graft(spark: SparkSession, root: String,
         require(i >= 0, s"zone-map stats: unexpected file path $f")
         f.substring(i) -> (r.getLong(1), r.getLong(2))
       }.toMap
+  }
+
+  /** Per-file tag-value DICTIONARIES for manifest entries — for every
+    * STRING tag column, the file's distinct values when there are at most
+    * [[Graft.DictMax]] of them (high-cardinality columns record nothing
+    * and never prune). The manifest-level analog of parquet's row-group
+    * dictionary filtering, one level earlier: a `term` read whose value is
+    * absent from a file's dictionary skips the file without opening it.
+    * Same commit-time trade as [[fileTimeStats]], same job inputs.
+    */
+  private def fileTagDicts(space: String,
+                           rel: Seq[String]): Map[String, Map[String, Seq[String]]] = {
+    if (rel.isEmpty) return Map.empty
+    val base = spacePath(space)
+    // mergeSchema: the batch may span files with and without a given tag —
+    // a dictionary recorded under a partial schema could otherwise miss a
+    // column's real values and prune a live file (never acceptable)
+    val df = spark.read.option("mergeSchema", "true")
+      .parquet(rel.map(r => s"$base/$r"): _*)
+    val tagCols = df.schema.fields
+      .filter(f => f.dataType == org.apache.spark.sql.types.StringType &&
+        f.name != WseqCol)
+      .map(_.name).toSeq
+    if (tagCols.isEmpty) return Map.empty
+    val rows = df
+      .groupBy(input_file_name().as("f"))
+      .agg(slice(sort_array(collect_set(col(tagCols.head))), 1, DictMax + 1)
+          .as(tagCols.head),
+        tagCols.tail.map(c =>
+          slice(sort_array(collect_set(col(c))), 1, DictMax + 1).as(c)): _*)
+      .collect()
+    rows.map { r =>
+      val f = java.net.URLDecoder.decode(r.getString(0), "UTF-8")
+      val i = f.indexOf("bucket_day=")
+      require(i >= 0, s"tag-dict stats: unexpected file path $f")
+      f.substring(i) -> tagCols.zipWithIndex.flatMap { case (c, ci) =>
+        val vs = r.getSeq[String](ci + 1)
+        // DictMax+1 values ⇒ the cap was exceeded: record nothing for the
+        // column (unknown set, never prunes)
+        if (vs.size <= DictMax) Some(c -> vs) else None
+      }.toMap
+    }.toMap
   }
 
   /** Union-merge two data schemas by field name, old field order first —
@@ -629,7 +705,8 @@ class Graft(spark: SparkSession, root: String,
                 .add("bucket_day", IntegerType, nullable = false)
               spark.createDataFrame(
                 java.util.Collections.emptyList[org.apache.spark.sql.Row](), full)
-            } else ManifestRelation.frame(spark, path, inRange, sj, m.stats)
+            } else ManifestRelation.frame(spark, path, inRange, sj, m.stats,
+              m.dicts)
           case _ =>
             // v1 manifest (no schema): fall back to footer inference; an
             // empty range plans the full list so the frame keeps a schema
@@ -1273,9 +1350,11 @@ class Graft(spark: SparkSession, root: String,
         val newSchema = schemas.result().foldLeft(Option.empty[String])(
           (acc, s) => Some(mergeDataSchema(acc, s)))
         val addedStats = fileTimeStats(space, added.map(_._1))
+        val addedDicts = fileTagDicts(space, added.map(_._1))
         commitManifest(space)(cur => Manifest(
           cur.files.filterNot(f => replaced(f._1)) ++ added, newSchema,
-          (cur.stats -- replaced) ++ addedStats))
+          (cur.stats -- replaced) ++ addedStats,
+          (cur.dicts -- replaced) ++ addedDicts))
       }
       swaps.map(s => (s._1, s._2, s._3)).sortBy(_._1)
     }
@@ -1318,9 +1397,9 @@ class Graft(spark: SparkSession, root: String,
               if (keep.isEmpty) None
               else Some(mergeDataSchema(None,
                 footerDataSchema(space, keep.map(_._1))))
-            // surviving files keep their zone maps; commitManifest prunes
-            // the dropped buckets' entries with their file lines
-            Manifest(keep, schema, cur.stats)
+            // surviving files keep their zone maps + dictionaries;
+            // commitManifest prunes dropped entries with their file lines
+            Manifest(keep, schema, cur.stats, cur.dicts)
           }
         }
         dropDays
@@ -1540,4 +1619,8 @@ object Graft {
     * explicitly either way).
     */
   private[tsdb] val WseqCol = "__wseq"
+
+  /** Per-file tag-dictionary cap: columns with more distinct values in a
+    * file record no dictionary (and never prune). */
+  private[tsdb] val DictMax = 32
 }

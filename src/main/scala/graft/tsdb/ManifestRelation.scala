@@ -3,10 +3,11 @@ package graft.tsdb
 import org.apache.hadoop.fs.{FileStatus, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, Predicate}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan, LessThanOrEqual, Literal, Predicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Metadata-free scan over a manifest snapshot: the v2 manifest carries
   * every live file's path + size AND the live data schema, so the scan
@@ -41,11 +42,14 @@ object ManifestRelation {
     */
   def frame(spark: SparkSession, spaceDir: String,
             files: Seq[(String, Long)], schemaJson: String,
-            stats: Map[String, (Long, Long)] = Map.empty): DataFrame = {
+            stats: Map[String, (Long, Long)] = Map.empty,
+            dicts: Map[String, Map[String, Seq[String]]] = Map.empty)
+      : DataFrame = {
     val dataSchema = DataType.fromJson(schemaJson).asInstanceOf[StructType]
     val p = new HPath(spaceDir)
     val qBase = p.getFileSystem(spark.sessionState.newHadoopConf()).makeQualified(p)
     val zones = new java.util.HashMap[String, (Long, Long)]()
+    val tagDicts = new java.util.HashMap[String, Map[String, Set[String]]]()
     val byDay = files
       .groupBy(_._1.takeWhile(_ != '/').stripPrefix("bucket_day=").toInt)
       .map { case (day, fl) =>
@@ -55,10 +59,14 @@ object ManifestRelation {
           val st = new FileStatus(size, false, 1, 128L * 1024 * 1024, 0L,
             new HPath(qBase, rel))
           stats.get(rel).foreach(zones.put(st.getPath.toString, _))
+          dicts.get(rel).filter(_.nonEmpty).foreach(d =>
+            tagDicts.put(st.getPath.toString,
+              d.map { case (c, vs) => c -> vs.toSet }))
           st
         }.toArray
       }
-    val idx = new GraftManifestFileIndex(qBase, byDay, PartitionSchema, zones)
+    val idx = new GraftManifestFileIndex(qBase, byDay, PartitionSchema, zones,
+      tagDicts)
     val rel = HadoopFsRelation(idx, PartitionSchema, dataSchema, None,
       new ParquetFileFormat, Map.empty[String, String])(spark)
     org.apache.spark.sql.GraftSqlBridge.ofRows(spark,
@@ -79,7 +87,8 @@ object ManifestRelation {
 private class GraftManifestFileIndex(base: HPath,
                                      byDay: Map[Int, Array[FileStatus]],
                                      pSchema: StructType,
-                                     zones: java.util.Map[String, (Long, Long)])
+                                     zones: java.util.Map[String, (Long, Long)],
+                                     tagDicts: java.util.Map[String, Map[String, Set[String]]])
     extends FileIndex {
   override def rootPaths: Seq[HPath] = Seq(base)
   override def partitionSchema: StructType = pSchema
@@ -128,17 +137,67 @@ private class GraftManifestFileIndex(base: HPath,
     (lo, hi)
   }
 
+  /** Positive string-equality constraints per column from the pushed
+    * conjuncts (`EqualTo`/`In`/`InSet` with string literals, either
+    * literal side) — per column, the intersection of each conjunct's
+    * allowed-value set. Anything else (negations, disjunctions, other
+    * types) contributes nothing and never prunes.
+    */
+  private def tagConstraints(dataFilters: Seq[Expression]): Map[String, Set[String]] = {
+    def strLit(e: Expression): Option[String] = e match {
+      case Literal(v: UTF8String, StringType) => Some(v.toString)
+      case _ => None
+    }
+    var out = Map.empty[String, Set[String]]
+    def add(name: String, vs: Set[String]): Unit =
+      out = out.updated(name, out.get(name).map(_ intersect vs).getOrElse(vs))
+    // one conjunct's (column, allowed values), when it is a positive
+    // string-equality form — including a DISJUNCTION of such forms over
+    // the SAME column (how the ES `terms` filter compiles)
+    def allowedOf(e: Expression): Option[(String, Set[String])] = e match {
+      case EqualTo(a: AttributeReference, l) if strLit(l).isDefined =>
+        Some(a.name -> Set(strLit(l).get))
+      case EqualTo(l, a: AttributeReference) if strLit(l).isDefined =>
+        Some(a.name -> Set(strLit(l).get))
+      case In(a: AttributeReference, list)
+          if list.nonEmpty && list.forall(strLit(_).isDefined) =>
+        Some(a.name -> list.flatMap(strLit).toSet)
+      case InSet(a: AttributeReference, hset)
+          if hset.nonEmpty && hset.forall(_.isInstanceOf[UTF8String]) =>
+        Some(a.name -> hset.map(_.asInstanceOf[UTF8String].toString))
+      case org.apache.spark.sql.catalyst.expressions.Or(l, r) =>
+        (allowedOf(l), allowedOf(r)) match {
+          case (Some((cl, vl)), Some((cr, vr))) if cl == cr =>
+            Some(cl -> (vl ++ vr))
+          case _ => None
+        }
+      case _ => None
+    }
+    dataFilters.foreach(e => allowedOf(e).foreach { case (c, vs) => add(c, vs) })
+    out
+  }
+
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     val (lo, hi) = timeBounds(dataFilters)
-    def live(st: FileStatus): Boolean = zones.get(st.getPath.toString) match {
+    val cons = tagConstraints(dataFilters)
+    def live(st: FileStatus): Boolean = (zones.get(st.getPath.toString) match {
       case null => true // no zone map recorded: never skip
       case (mn, mx) => mx >= lo && mn < hi
-    }
+    }) && (tagDicts.get(st.getPath.toString) match {
+      case null => true // no dictionary recorded: never skip
+      case d => cons.forall { case (cName, allowed) =>
+        d.get(cName) match {
+          case Some(vals) => allowed.exists(vals.contains)
+          case None => true // column over the cap (or absent): unknown set
+        }
+      }
+    })
+    val unconstrained =
+      lo == Long.MinValue && hi == Long.MaxValue && cons.isEmpty
     val dirs = byDay.toSeq.sortBy(_._1)
       .map { case (day, sts) =>
-        val kept = if (lo == Long.MinValue && hi == Long.MaxValue) sts
-                   else sts.filter(live)
+        val kept = if (unconstrained) sts else sts.filter(live)
         PartitionDirectory(InternalRow(day), kept)
       }
       .filter(_.files.nonEmpty)

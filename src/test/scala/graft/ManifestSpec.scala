@@ -444,4 +444,50 @@ class ManifestSpec extends SparkTestBase {
     assert(!lines.exists(_.contains("bucket_day=19726")),
       s"retired bucket's entries must leave the manifest: $lines")
   }
+
+  test("tag dictionaries: a term read skips files whose dictionary lacks the value; high-cardinality columns never prune") {
+    val root = freshRoot()
+    val g = store(root)
+    // three single-partition writes into one bucket, disjoint host sets
+    def one(ts: String, v: Double, host: String) =
+      g.write(Seq((ts, v, "cpu", host)).toDF("time", "value", "name", "host")
+        .coalesce(1))
+    one("2024-01-09T01:00:00Z", 1.0, "h1")
+    one("2024-01-09T02:00:00Z", 2.0, "h2")
+    one("2024-01-09T03:00:00Z", 3.0, "h3")
+
+    // term host=h2 with an unbounded time range: only the h2 file's
+    // dictionary contains the value — 1 of 3 same-bucket files opened
+    val r = g.read("""{"term":{"host":"h2"}}""")
+    assert(r.collect().map(_.getAs[Double]("value")).toSeq == Seq(2.0))
+    assert(scannedFiles(r) == 1,
+      "the tag dictionary must skip the h1 and h3 files without opening them")
+    // a value NO file holds scans nothing at all
+    val none = g.read("""{"term":{"host":"h9"}}""")
+    assert(none.collect().isEmpty)
+    assert(scannedFiles(none) == 0)
+    // terms (IN) unions the allowed set
+    val two = g.read("""{"terms":{"host":["h1","h3"]}}""")
+    assert(two.collect().map(_.getAs[Double]("value")).sorted.toSeq == Seq(1.0, 3.0))
+    assert(scannedFiles(two) == 2)
+    // dictionaries compose with the time zone map: host=h2 in a window
+    // that excludes the h2 file's range scans nothing
+    val miss = g.read("""{"term":{"host":"h2"}}""",
+      startMs = 1704758400000L, endMs = 1704761999000L) // [00:00, 01:00)
+    assert(miss.collect().isEmpty)
+    assert(scannedFiles(miss) == 0)
+
+    // a column whose per-file distinct count exceeds the cap records no
+    // dictionary and never prunes — write one file with 33+ hosts, then
+    // query one of them: the file must still be scanned (correctness), and
+    // the manifest line for it must carry no host entry in its dict
+    val big = (0 until 40).map(i =>
+      (s"2024-01-09T05:${10 + i % 50}:0${i % 10}Z", 100.0 + i, "cpu", s"big$i"))
+    g.write(big.toDF("time", "value", "name", "host").coalesce(1))
+    val hot = g.read("""{"term":{"host":"big7"}}""")
+    assert(hot.collect().map(_.getAs[Double]("value")).toSeq == Seq(107.0))
+    assert(scannedFiles(hot) == 1,
+      "the capped file is scanned (its dict has no host set), the three " +
+        "small files prune by dictionary")
+  }
 }
