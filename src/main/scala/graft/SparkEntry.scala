@@ -807,11 +807,16 @@ object SparkEntry {
 
   /** The logistic-regression replay: z = w·x under the round's weights
     * (left-associated exactly as the Spark fold builds it). x0 is the
-    * bigram-LLR feature, x1..x4 the indicator-word shares. */
-  private val LrWordsSql = Seq("window", "customer", "scan", "table")
-  private val LrNFeatsSql = LrWordsSql.length + 1
+    * bigram-LLR feature, x1..x4 the indicator-word shares. Every
+    * configuration constant comes from the trainer itself
+    * (graft.text.TextOps.Lr*), so re-tuning it re-tunes the oracle. */
+  private def LrWordsSql = graft.text.TextOps.LrWords
+  private def LrNFeatsSql = graft.text.TextOps.LrNFeats
+  private def LrRoundsSql = graft.text.TextOps.LrRounds
+  private def LrFinal = s"r${graft.text.TextOps.LrRounds}"
   private val LrZ = "w0 + " +
-    (0 until LrNFeatsSql).map(i => s"w${i + 1}*x$i").mkString(" + ")
+    (0 until graft.text.TextOps.LrNFeats).map(i => s"w${i + 1}*x$i")
+      .mkString(" + ")
 
   /** Shared CTE prefix for the quality_* oracles: per-doc features (bigram
     * en-vs-rest log-likelihood ratio + word shares), then 8 unrolled
@@ -829,9 +834,9 @@ object SparkEntry {
         s"sum(CAST(round((p - y) * x$i + 1e-9, 8) AS DECIMAL(20,8))) AS gs${i + 1}")
         .mkString(", ")
     val w0 = (0 to LrNFeatsSql).map(i => s"0.0 AS w$i").mkString(", ")
-    val rounds = (1 to 8).map { r =>
+    val rounds = (1 to LrRoundsSql).map { r =>
       val upd = (0 to LrNFeatsSql).map(i =>
-        s"round(w$i - 2.0 * (CAST(gs$i AS DOUBLE) / n) + 1e-9, 8) AS w$i")
+        s"round(w$i - ${graft.text.TextOps.LrRate} * (CAST(gs$i AS DOUBLE) / n) + 1e-9, 8) AS w$i")
         .mkString(", ")
       s"""g$r AS (SELECT count(*) AS n, $gs
                  FROM (SELECT f.*, 1.0/(1.0 + exp(-($LrZ))) AS p
@@ -2431,7 +2436,7 @@ object SparkEntry {
     // re-rounded) — the bpe_train iterative-replay discipline
     "quality_train" ->
       s"""WITH $LrCtes
-          SELECT * FROM (${(1 to 8).map(r =>
+          SELECT * FROM (${(1 to LrRoundsSql).map(r =>
             s"SELECT CAST($r AS BIGINT) AS round, " +
               (0 to LrNFeatsSql).map(i => s"w$i").mkString(", ") + s" FROM r$r")
             .mkString(" UNION ALL ")})
@@ -2443,14 +2448,14 @@ object SparkEntry {
                  CAST(y AS BIGINT) AS label
           FROM (SELECT f.doc_id, f.y,
                   1.0/(1.0 + exp(-($LrZ))) AS p
-                FROM feats f CROSS JOIN r8)
+                FROM feats f CROSS JOIN $LrFinal)
           WHERE doc_id < 100 ORDER BY 1, 2, 3, 4""",
     "quality_eval" ->
       s"""WITH $LrCtes,
               sc AS (SELECT CAST(round(p + 1e-9, 6) >= 0.5 AS BIGINT) AS pred,
                        CAST(y AS BIGINT) AS label
                      FROM (SELECT f.y, 1.0/(1.0 + exp(-($LrZ))) AS p
-                           FROM feats f CROSS JOIN r8)),
+                           FROM feats f CROSS JOIN $LrFinal)),
               cm AS (SELECT count(*) AS n,
                        CAST(sum(CASE WHEN pred = 1 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
                        CAST(sum(CASE WHEN pred = 1 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
@@ -2470,7 +2475,7 @@ object SparkEntry {
                        CAST(round(p + 1e-9, 6) AS DECIMAL(10,6)) AS p,
                        CAST(round(p + 1e-9, 6) >= 0.5 AS BIGINT) AS keep
                      FROM (SELECT f.doc_id, 1.0/(1.0 + exp(-($LrZ))) AS p
-                           FROM feats f CROSS JOIN r8))
+                           FROM feats f CROSS JOIN $LrFinal))
           SELECT d.source, count(*) AS n_docs,
                  CAST(sum(keep) AS BIGINT) AS n_kept,
                  round(CAST(sum(keep) AS BIGINT) * 1.0 / count(*) + 1e-9, 4)

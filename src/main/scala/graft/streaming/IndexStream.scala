@@ -80,8 +80,11 @@ object IndexStream {
     * doc-length table at query time. Output (doc_id, dl, score) matches
     * [[TextOps.bm25TopKOn]] row for row.
     */
-  def search(s: SparkSession, indexDir: String, query: Seq[String],
+  def search(s: SparkSession, indexDir: String, query0: Seq[String],
              k: Int = 20): DataFrame = {
+    // duplicate query terms collapse — the rule bm25TopKOn shares, so the
+    // "row for row" contract holds for any query shape
+    val query = query0.distinct
     val dl = s.read.parquet(s"$indexDir/doclen")
       .select(col("doc_id"), col("dl"))
     val stats = dl.agg(count(lit(1)).as("n_docs"),

@@ -1146,7 +1146,11 @@ object TextOps {
     * index's batch twin ([[graft.streaming.IndexStream]] proves its
     * incremental index answers identically to this). */
   def bm25TopKOn(docs: DataFrame,
-                 query: Seq[String] = Bm25Query, k: Int = 20): DataFrame = {
+                 query0: Seq[String] = Bm25Query, k: Int = 20): DataFrame = {
+    // duplicate query terms collapse (one contribution per distinct term)
+    // — the same rule IndexStream.search applies, so the two scorers agree
+    // for ANY query, not just duplicate-free ones
+    val query = query0.distinct
     val tok = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .where(col("tok") =!= "")
@@ -1183,12 +1187,16 @@ object TextOps {
   // scoring is map-only under broadcast weights.
 
   /** Indicator words whose per-doc share gives the classifier weak
-    * unigram features (x1..x4) next to the strong bigram-LLR one (x0). */
-  private val LrWords = Seq("window", "customer", "scan", "table")
+    * unigram features (x1..x4) next to the strong bigram-LLR one (x0).
+    * private[graft]: the quality_* oracles in SparkEntry derive their
+    * unrolled CTEs from these SAME constants, so trainer and oracle can
+    * never drift apart.
+    */
+  private[graft] val LrWords = Seq("window", "customer", "scan", "table")
   /** Feature count: the bigram log-likelihood ratio + one share per word. */
-  private val LrNFeats = LrWords.length + 1
-  private val LrRounds = 8
-  private val LrRate = 2.0
+  private[graft] val LrNFeats = LrWords.length + 1
+  private[graft] val LrRounds = 8
+  private[graft] val LrRate = 2.0
 
   /** Per-doc features: label y (lang = en); x0 = ×10-scaled mean bigram
     * log-likelihood ratio under add-1-smoothed en-vs-rest bigram LMs (the
@@ -1368,9 +1376,11 @@ object TextOps {
     * query_id — never a global sort.
     */
   def bm25Batch(s: SparkSession, d: String,
-                queries: Seq[(Int, Seq[String])] = Bm25Queries,
+                queries0: Seq[(Int, Seq[String])] = Bm25Queries,
                 k: Int = 5): DataFrame = {
     import s.implicits._
+    // duplicate terms within a query collapse, as in bm25TopKOn
+    val queries = queries0.map { case (q, ts) => (q, ts.distinct) }
     val qterms = queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }
       .toDF("query_id", "term")
     val allTerms = queries.flatMap(_._2).distinct

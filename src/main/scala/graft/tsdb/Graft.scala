@@ -123,8 +123,7 @@ class Graft(spark: SparkSession, root: String,
         if (fresh.nonEmpty) {
           val jobSchema = org.apache.spark.sql.types.StructType(
             good.schema.fields.filterNot(_.name == "bucket_day"))
-          val freshStats = fileTimeStats(space, fresh.map(_._1))
-          val freshDicts = fileTagDicts(space, fresh.map(_._1))
+          val (freshStats, freshDicts) = fileStats(space, fresh.map(_._1))
           commitManifest(space)(cur => Manifest(cur.files ++ fresh,
             Some(mergeDataSchema(cur.schemaJson, jobSchema)),
             cur.stats ++ freshStats, cur.dicts ++ freshDicts))
@@ -260,13 +259,12 @@ class Graft(spark: SparkSession, root: String,
     val (fs, dir) = fsOf(spacePath(space))
     val existing = listDataFiles(fs, dir)
     if (existing.isEmpty) return
+    // adoption computes zone maps + dictionaries for the whole store once
+    // — the same one-time pass the schema inference already pays
+    val (zones, dicts) = fileStats(space, existing.map(_._1))
     commitManifest(space)(_ =>
       Manifest(existing, Some(mergeDataSchema(None, footerDataSchema(space,
-        existing.map(_._1)))),
-        // adoption computes zone maps + dictionaries for the whole store
-        // once — the same one-time pass the schema inference already pays
-        fileTimeStats(space, existing.map(_._1)),
-        fileTagDicts(space, existing.map(_._1))))
+        existing.map(_._1)))), zones, dicts))
   }
 
   /** Footer-inferred DATA schema of `files` — with the partition column
@@ -384,6 +382,14 @@ class Graft(spark: SparkSession, root: String,
           case (Some((mn, mx)), Some(d)) =>
             s"$p\t$sz\t$mn\t$mx\t${encodeDict(d)}"
           case (Some((mn, mx)), None) => s"$p\t$sz\t$mn\t$mx"
+          case (None, Some(_)) =>
+            // the v4 line format hangs the dictionary off the zone-map
+            // columns; a dict-without-stats entry would be DROPPED
+            // silently — fail the commit that produced the inconsistent
+            // maps instead (fileStats always emits both together)
+            throw new IllegalStateException(
+              s"manifest commit: $p has a tag dictionary but no zone map " +
+                "— stats and dicts must be produced together (fileStats)")
           case _ => s"$p\t$sz"
         }
       })
@@ -407,33 +413,18 @@ class Graft(spark: SparkSession, root: String,
     * bucket holds" into "open the files whose range overlaps the query" —
     * file skipping decided driver-side from the one manifest GET.
     */
-  private def fileTimeStats(space: String,
-                            rel: Seq[String]): Map[String, (Long, Long)] = {
-    if (rel.isEmpty) return Map.empty
-    val base = spacePath(space)
-    spark.read.parquet(rel.map(r => s"$base/$r"): _*)
-      .groupBy(input_file_name().as("f"))
-      .agg(min(col("time_ms")).as("mn"), max(col("time_ms")).as("mx"))
-      .collect()
-      .map { r =>
-        val f = java.net.URLDecoder.decode(r.getString(0), "UTF-8")
-        val i = f.indexOf("bucket_day=")
-        require(i >= 0, s"zone-map stats: unexpected file path $f")
-        f.substring(i) -> (r.getLong(1), r.getLong(2))
-      }.toMap
-  }
-
-  /** Per-file tag-value DICTIONARIES for manifest entries — for every
-    * STRING tag column, the file's distinct values when there are at most
-    * [[Graft.DictMax]] of them (high-cardinality columns record nothing
-    * and never prune). The manifest-level analog of parquet's row-group
-    * dictionary filtering, one level earlier: a `term` read whose value is
-    * absent from a file's dictionary skips the file without opening it.
-    * Same commit-time trade as [[fileTimeStats]], same job inputs.
+  /** Per-file [min,max] time zone maps AND tag-value dictionaries, in ONE
+    * Spark job over exactly the given just-written/rewritten files (the
+    * per-space mutation lock is held across the commit — one pass, not
+    * two, bounds the lock hold time). Dictionaries cover every STRING tag
+    * column whose per-file distinct count is at most [[Graft.DictMax]]
+    * (high-cardinality columns record nothing and never prune) — the
+    * manifest-level analog of parquet's row-group dictionary filtering,
+    * one level earlier.
     */
-  private def fileTagDicts(space: String,
-                           rel: Seq[String]): Map[String, Map[String, Seq[String]]] = {
-    if (rel.isEmpty) return Map.empty
+  private def fileStats(space: String, rel: Seq[String])
+      : (Map[String, (Long, Long)], Map[String, Map[String, Seq[String]]]) = {
+    if (rel.isEmpty) return (Map.empty, Map.empty)
     val base = spacePath(space)
     // mergeSchema: the batch may span files with and without a given tag —
     // a dictionary recorded under a partial schema could otherwise miss a
@@ -444,25 +435,29 @@ class Graft(spark: SparkSession, root: String,
       .filter(f => f.dataType == org.apache.spark.sql.types.StringType &&
         f.name != WseqCol)
       .map(_.name).toSeq
-    if (tagCols.isEmpty) return Map.empty
     val rows = df
       .groupBy(input_file_name().as("f"))
-      .agg(slice(sort_array(collect_set(col(tagCols.head))), 1, DictMax + 1)
-          .as(tagCols.head),
-        tagCols.tail.map(c =>
+      .agg(min(col("time_ms")).as("mn"),
+        max(col("time_ms")).as("mx") +:
+        tagCols.map(c =>
           slice(sort_array(collect_set(col(c))), 1, DictMax + 1).as(c)): _*)
       .collect()
-    rows.map { r =>
+    val zones = Map.newBuilder[String, (Long, Long)]
+    val dicts = Map.newBuilder[String, Map[String, Seq[String]]]
+    rows.foreach { r =>
       val f = java.net.URLDecoder.decode(r.getString(0), "UTF-8")
       val i = f.indexOf("bucket_day=")
-      require(i >= 0, s"tag-dict stats: unexpected file path $f")
-      f.substring(i) -> tagCols.zipWithIndex.flatMap { case (c, ci) =>
-        val vs = r.getSeq[String](ci + 1)
+      require(i >= 0, s"manifest stats: unexpected file path $f")
+      val p = f.substring(i)
+      zones += p -> (r.getLong(1), r.getLong(2))
+      dicts += p -> tagCols.zipWithIndex.flatMap { case (c, ci) =>
+        val vs = r.getSeq[String](ci + 3) // 0=f, 1=mn, 2=mx, tags follow
         // DictMax+1 values ⇒ the cap was exceeded: record nothing for the
         // column (unknown set, never prunes)
         if (vs.size <= DictMax) Some(c -> vs) else None
       }.toMap
-    }.toMap
+    }
+    (zones.result(), dicts.result())
   }
 
   /** Union-merge two data schemas by field name, old field order first —
@@ -1349,8 +1344,7 @@ class Graft(spark: SparkSession, root: String,
         // footers on every read
         val newSchema = schemas.result().foldLeft(Option.empty[String])(
           (acc, s) => Some(mergeDataSchema(acc, s)))
-        val addedStats = fileTimeStats(space, added.map(_._1))
-        val addedDicts = fileTagDicts(space, added.map(_._1))
+        val (addedStats, addedDicts) = fileStats(space, added.map(_._1))
         commitManifest(space)(cur => Manifest(
           cur.files.filterNot(f => replaced(f._1)) ++ added, newSchema,
           (cur.stats -- replaced) ++ addedStats,
