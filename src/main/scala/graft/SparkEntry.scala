@@ -663,6 +663,9 @@ object SparkEntry {
     "quality_score" -> ((s, d) => TextOps.qualityScore(s, d)),
     "quality_eval" -> ((s, d) => TextOps.qualityEval(s, d)),
     "quality_gate" -> ((s, d) => TextOps.qualityGate(s, d)),
+    "quality_calibration" -> ((s, d) => TextOps.qualityCalibration(s, d)),
+    "quality_threshold_sweep" ->
+      ((s, d) => TextOps.qualityThresholdSweep(s, d)),
     "text_langid" -> ((s, d) => TextOps.langId(s, d)),
     "text_quality" -> ((s, d) => TextOps.quality(s, d)),
     "text_tokens" -> ((s, d) => TextOps.tokenCounts(s, d)),
@@ -2482,6 +2485,35 @@ object SparkEntry {
                    AS kept_share,
                  round(CAST(sum(p) AS DOUBLE) / count(*) + 1e-9, 4) AS avg_p
           FROM sc JOIN documents d USING (doc_id)
+          GROUP BY 1 ORDER BY 1, 2, 3, 4, 5""",
+    // reliability bins: decile of the DECIMAL(10,6) probability (exact
+    // decimal floor — no float-boundary straddle), bin 9 absorbs p = 1.0
+    "quality_calibration" ->
+      s"""WITH $LrCtes,
+              sc AS (SELECT CAST(round(p + 1e-9, 6) AS DECIMAL(10,6)) AS p, y
+                     FROM (SELECT f.y, 1.0/(1.0 + exp(-($LrZ))) AS p
+                           FROM feats f CROSS JOIN $LrFinal))
+          SELECT CAST(least(floor(p * 10), 9) AS BIGINT) AS bin,
+                 count(*) AS n,
+                 CAST(sum(y) AS BIGINT) AS n_pos,
+                 round(CAST(sum(p) AS DOUBLE) / count(*) + 1e-9, 4) AS mean_p,
+                 round(sum(y) * 1.0 / count(*) + 1e-9, 4) AS pos_rate
+          FROM sc GROUP BY 1 ORDER BY 1, 2, 3, 4, 5""",
+    // gate-threshold sweep: keep = (p*10 >= t), both sides exact decimal
+    "quality_threshold_sweep" ->
+      s"""WITH $LrCtes,
+              sc AS (SELECT CAST(round(p + 1e-9, 6) AS DECIMAL(10,6)) AS p, y
+                     FROM (SELECT f.y, 1.0/(1.0 + exp(-($LrZ))) AS p
+                           FROM feats f CROSS JOIN $LrFinal)),
+              th AS (SELECT unnest(range(1, 10)) AS t)
+          SELECT CAST(t AS DOUBLE) / 10 AS threshold, count(*) AS n,
+                 CAST(sum(CASE WHEN p * 10 >= t THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_kept,
+                 round(sum(CASE WHEN p * 10 >= t THEN 1 ELSE 0 END) * 1.0
+                   / count(*) + 1e-9, 4) AS kept_share,
+                 round(sum(CASE WHEN (p * 10 >= t) = (y = 1.0) THEN 1 ELSE 0
+                   END) * 1.0 / count(*) + 1e-9, 4) AS accuracy
+          FROM sc CROSS JOIN th
           GROUP BY 1 ORDER BY 1, 2, 3, 4, 5""",
     "corpus_stats" ->
       s"""WITH t AS (SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok

@@ -1364,6 +1364,56 @@ object TextOps {
     Det.ordered(out)
   }
 
+  /** Reliability diagram over the full corpus: predicted probability
+    * binned into deciles (bin 9 absorbs p = 1.0), per bin the count,
+    * positive count, mean predicted probability and empirical positive
+    * rate — calibration is what separates a classifier a pipeline can
+    * THRESHOLD from one it can only rank with. Binning is exact decimal
+    * arithmetic (p is DECIMAL(10,6), so floor(p*10) never straddles a
+    * float boundary differently per engine). One map-side scoring pass +
+    * a 10-key aggregation.
+    */
+  def qualityCalibration(s: SparkSession, d: String): DataFrame = {
+    val w = lrWeights(s, d).last
+    val p6 = Det.rnd(lrSigmoid(w), 6).cast("decimal(10,6)")
+    val out = lrFeatures(s, d)
+      .select(least(floor(p6 * 10), lit(9L)).cast("bigint").as("bin"),
+        p6.as("p"), col("y"))
+      .groupBy(col("bin")).agg(
+        count(lit(1)).as("n"),
+        sum(col("y")).cast("bigint").as("n_pos"),
+        Det.rnd(sum(col("p")).cast("double") / count(lit(1)), 4).as("mean_p"),
+        Det.rnd(sum(col("y")) * lit(1.0) / count(lit(1)), 4).as("pos_rate"))
+    Det.ordered(out)
+  }
+
+  /** Gate-threshold sweep: for each threshold t in 0.1..0.9, how many
+    * documents "keep = (p >= t)" retains and how accurate that gate is
+    * against the label — the table a pipeline reads to PICK its gate
+    * threshold instead of defaulting to 0.5. The comparison is exact
+    * (p*10 vs the integer t, both decimal), so no threshold ever sits on
+    * a float boundary. One scoring pass fanned across a broadcast 9-row
+    * threshold frame, aggregated on 9 keys.
+    */
+  def qualityThresholdSweep(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val w = lrWeights(s, d).last
+    val p6 = Det.rnd(lrSigmoid(w), 6).cast("decimal(10,6)")
+    val scored = lrFeatures(s, d).select(p6.as("p"), col("y"))
+    val th = (1 to 9).toDF("t")
+    val keep = (col("p") * 10 >= col("t")).cast("bigint")
+    val out = scored.crossJoin(broadcast(th))
+      .groupBy(col("t")).agg(
+        count(lit(1)).as("n"),
+        sum(keep).as("n_kept"),
+        Det.rnd(sum(keep) * lit(1.0) / count(lit(1)), 4).as("kept_share"),
+        Det.rnd(sum(when((col("p") * 10 >= col("t")) === (col("y") === 1.0),
+          1L).otherwise(0L)) * lit(1.0) / count(lit(1)), 4).as("accuracy"))
+      .select((col("t").cast("double") / 10).as("threshold"),
+        col("n"), col("n_kept"), col("kept_share"), col("accuracy"))
+    Det.ordered(out)
+  }
+
   /** Batched BM25 retrieval — the offline query-table shape (score a whole
     * evaluation set in one pass): terms from every query are filtered out
     * of the token stream BEFORE any shuffle (the explode's output shrinks

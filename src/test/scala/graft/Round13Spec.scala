@@ -392,6 +392,29 @@ class Round13Spec extends SparkTestBase {
     })
   }
 
+  test("quality calibration + threshold sweep: bins partition the corpus; kept count is monotone in the threshold") {
+    import graft.text.TextOps
+    val bins = TextOps.qualityCalibration(spark, Sf).collect()
+    val total = TextOps.qualityEval(spark, Sf).collect()(0).getAs[Long]("n")
+    assert(bins.map(_.getAs[Long]("n")).sum == total,
+      "calibration bins must partition the scored corpus")
+    assert(bins.forall { r =>
+      val b = r.getAs[Long]("bin"); b >= 0 && b <= 9
+    })
+    assert(bins.forall { r =>
+      r.getAs[Long]("n_pos") <= r.getAs[Long]("n") &&
+        r.getAs[Double]("pos_rate") >= 0.0 && r.getAs[Double]("pos_rate") <= 1.0
+    })
+    val sweep = TextOps.qualityThresholdSweep(spark, Sf).collect()
+      .sortBy(_.getAs[Double]("threshold"))
+    assert(sweep.length == 9)
+    assert(sweep.forall(_.getAs[Long]("n") == total))
+    // raising the gate can only drop documents — a non-monotone kept count
+    // would mean the decimal comparison straddled a boundary somewhere
+    val kept = sweep.map(_.getAs[Long]("n_kept")).toSeq
+    assert(kept == kept.sorted.reverse, s"n_kept must be non-increasing: $kept")
+  }
+
   // ---- streaming retrieval index (r13 widening: IndexStream)
 
   test("streaming retrieval index: streamed postings answer BM25 identically to the batch scorer; replay never duplicates") {
