@@ -2429,7 +2429,7 @@ object SparkEntry {
                       CAST(row_number() OVER (PARTITION BY query_id
                         ORDER BY CAST(dscore AS DOUBLE) DESC, doc_id)
                         AS BIGINT) AS rank
-                    FROM sc)
+                    FROM sc WHERE CAST(dscore AS DOUBLE) > 0)
           SELECT query_id, doc_id, score, rank FROM r WHERE rank <= 5
           ORDER BY 1, 2, 3, 4"""
     },

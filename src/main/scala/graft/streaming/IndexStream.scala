@@ -102,6 +102,12 @@ object IndexStream {
         col("n_docs"), col("total_tokens"))).as("dscore"))
       .select(col("doc_id"), col("dl"),
         col("dscore").cast("double").as("score"))
+      // the ONE inclusion rule all three scorers share (bm25TopKOn,
+      // bm25Batch, here): a doc whose per-term contributions all round to
+      // 0.000000 is not a match — without this filter the streamed index
+      // could surface it while the batch scorer doesn't, silently breaking
+      // the row-for-row contract (ADVICE r13)
+      .where(col("score") > 0)
     scored.orderBy(col("score").desc, col("doc_id")).limit(k)
   }
 }

@@ -1255,8 +1255,15 @@ object TextOps {
     */
   private val lrWeightMemo =
     new java.util.concurrent.ConcurrentHashMap[String, Seq[Array[Double]]]()
-  private def lrWeights(s: SparkSession, d: String): Seq[Array[Double]] =
-    lrWeightMemo.computeIfAbsent(d, _ => {
+  private def lrWeights(s: SparkSession, d: String): Seq[Array[Double]] = {
+    // keyed by applicationId like Memo.df, dead-application entries evicted
+    // on access (ADVICE r13): a second SparkSession in the same JVM seeing
+    // regenerated data at the same path must retrain, not apply stale
+    // weights while lrFeatures rebuilds fresh
+    val prefix = s.sparkContext.applicationId + "|"
+    val it = lrWeightMemo.keySet().iterator()
+    while (it.hasNext) if (!it.next().startsWith(prefix)) it.remove()
+    lrWeightMemo.computeIfAbsent(prefix + d, _ => {
       val feats = lrFeatures(s, d)
       var w = Array.fill(LrNFeats + 1)(0.0)
       val rounds = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
@@ -1277,6 +1284,7 @@ object TextOps {
       }
       rounds.toSeq
     })
+  }
 
   /** p = sigmoid(w·x) as a Column under the given weight literals. */
   private def lrSigmoid(w: Array[Double]): Column = {
@@ -1453,6 +1461,10 @@ object TextOps {
         col("n_docs"), col("total_tokens"))).as("dscore"))
       .select(col("query_id"), col("doc_id"),
         col("dscore").cast("double").as("score"))
+      // same inclusion rule as bm25TopKOn / IndexStream.search: all-zero
+      // rounded contributions = not a match (ADVICE r13 — the three
+      // scorers must share ONE rule or near-universal terms diverge them)
+      .where(col("score") > 0)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("doc_id"))
     val out = scored

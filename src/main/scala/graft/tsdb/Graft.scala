@@ -413,14 +413,15 @@ class Graft(spark: SparkSession, root: String,
     * bucket holds" into "open the files whose range overlaps the query" —
     * file skipping decided driver-side from the one manifest GET.
     */
-  /** Per-file [min,max] time zone maps AND tag-value dictionaries, in ONE
-    * Spark job over exactly the given just-written/rewritten files (the
-    * per-space mutation lock is held across the commit — one pass, not
-    * two, bounds the lock hold time). Dictionaries cover every STRING tag
-    * column whose per-file distinct count is at most [[Graft.DictMax]]
-    * (high-cardinality columns record nothing and never prune) — the
-    * manifest-level analog of parquet's row-group dictionary filtering,
-    * one level earlier.
+  /** Per-file [min,max] time zone maps AND tag-value dictionaries over
+    * exactly the given just-written/rewritten files — two small Spark
+    * jobs under the per-space mutation lock, each MEMORY-BOUNDED by
+    * construction (what bounds lock hold time at scale is that no stage
+    * can buffer an unbounded value set, not the job count). Dictionaries
+    * cover every STRING tag column whose per-file distinct count is at
+    * most [[Graft.DictMax]] (high-cardinality columns record nothing and
+    * never prune) — the manifest-level analog of parquet's row-group
+    * dictionary filtering, one level earlier.
     */
   private def fileStats(space: String, rel: Seq[String])
       : (Map[String, (Long, Long)], Map[String, Map[String, Seq[String]]]) = {
@@ -435,29 +436,61 @@ class Graft(spark: SparkSession, root: String,
       .filter(f => f.dataType == org.apache.spark.sql.types.StringType &&
         f.name != WseqCol)
       .map(_.name).toSeq
-    val rows = df
-      .groupBy(input_file_name().as("f"))
-      .agg(min(col("time_ms")).as("mn"),
-        max(col("time_ms")).as("mx") +:
-        tagCols.map(c =>
-          slice(sort_array(collect_set(col(c))), 1, DictMax + 1).as(c)): _*)
-      .collect()
-    val zones = Map.newBuilder[String, (Long, Long)]
-    val dicts = Map.newBuilder[String, Map[String, Seq[String]]]
-    rows.foreach { r =>
-      val f = java.net.URLDecoder.decode(r.getString(0), "UTF-8")
+    def relOf(full: String): String = {
+      val f = java.net.URLDecoder.decode(full, "UTF-8")
       val i = f.indexOf("bucket_day=")
       require(i >= 0, s"manifest stats: unexpected file path $f")
-      val p = f.substring(i)
-      zones += p -> (r.getLong(1), r.getLong(2))
-      dicts += p -> tagCols.zipWithIndex.flatMap { case (c, ci) =>
-        val vs = r.getSeq[String](ci + 3) // 0=f, 1=mn, 2=mx, tags follow
-        // DictMax+1 values ⇒ the cap was exceeded: record nothing for the
-        // column (unknown set, never prunes)
-        if (vs.size <= DictMax) Some(c -> vs) else None
-      }.toMap
+      f.substring(i)
     }
-    (zones.result(), dicts.result())
+    // zone maps: two longs per file — a trivially bounded hash aggregate
+    val zones = df
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("time_ms")).as("mn"), max(col("time_ms")).as("mx"))
+      .collect()
+      .map(r => relOf(r.getString(0)) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // dictionaries: NEVER collect_set over an unbounded value set (ADVICE
+    // r13 — a genuinely high-cardinality tag, the exact case the cap
+    // exists for, would buffer every distinct value in aggregation memory
+    // while the mutation lock is held). Instead the cap is enforced
+    // INSIDE the plan: melt to (file, col, value), shuffle-distinct
+    // (spillable, memory-bounded), keep only the first DictMax+1 values
+    // per (file, col) via a window — Spark plans it as WindowGroupLimit,
+    // so executors retain at most DictMax+1 rows per group — and only
+    // then collect the ≤ (files × cols × DictMax+1) survivors.
+    val dicts =
+      if (tagCols.isEmpty) Map.empty[String, Map[String, Seq[String]]]
+      else {
+        // tags are arbitrary user strings — escape both the SQL literal
+        // and the quoted identifier (backticks double inside backticks)
+        def sq(s: String) = "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        def bq(s: String) = "`" + s.replace("`", "``") + "`"
+        val stackExpr = s"stack(${tagCols.size}, " +
+          tagCols.map(c => s"${sq(c)}, ${bq(c)}").mkString(", ") + ") AS (c, v)"
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("f"), col("c")).orderBy(col("v"))
+        df.select(input_file_name().as("f"), expr(stackExpr))
+          .where(col("v").isNotNull)
+          .distinct()
+          .withColumn("__rn", row_number().over(w))
+          .where(col("__rn") <= DictMax + 1)
+          .groupBy(col("f"), col("c"))
+          .agg(sort_array(collect_list(col("v"))).as("vs"))
+          .collect()
+          .groupBy(r => relOf(r.getString(0)))
+          .map { case (p, rows) =>
+            p -> rows.flatMap { r =>
+              val vs = r.getSeq[String](2)
+              // DictMax+1 survivors ⇒ the cap was exceeded: record nothing
+              // for the column (unknown set, never prunes)
+              if (vs.size <= DictMax) Some(r.getString(1) -> vs) else None
+            }.toMap
+          }
+      }
+    // a file whose tag columns are all over-cap (or all-null) still needs
+    // its (possibly empty) dict entry absent — commitManifest handles that
+    (zones, zones.keys.map(p => p -> dicts.getOrElse(p, Map.empty))
+      .filter(_._2.nonEmpty).toMap)
   }
 
   /** Union-merge two data schemas by field name, old field order first —

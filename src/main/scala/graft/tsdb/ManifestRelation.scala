@@ -93,13 +93,20 @@ private class GraftManifestFileIndex(base: HPath,
   override def rootPaths: Seq[HPath] = Seq(base)
   override def partitionSchema: StructType = pSchema
 
-  /** The conjunctive `[lo, hi)` window the pushed `time_ms` comparisons
-    * imply — conservative: only plain attr-vs-literal comparisons narrow
-    * the window; anything else leaves it unbounded on that side.
+  /** The conjunctive `[lo, hiIncl]` window (both bounds INCLUSIVE) the
+    * pushed `time_ms` comparisons imply — conservative: only plain
+    * attr-vs-literal comparisons narrow the window; anything else leaves
+    * it unbounded on that side. The upper bound is tracked inclusively
+    * (ADVICE r13): converting `<=` to a half-open bound with +1 saturates
+    * at Long.MaxValue, turning `time_ms <= Long.MaxValue` (or `=`) into
+    * an exclusive bound that wrongly skips a file whose min time_ms is
+    * Long.MaxValue. Strict `<` converts with -1; its underflow at
+    * Long.MinValue leaves the bound at MaxValue, which can only KEEP
+    * files (conservative, never a wrong skip).
     */
   private def timeBounds(dataFilters: Seq[Expression]): (Long, Long) = {
     var lo = Long.MinValue
-    var hi = Long.MaxValue
+    var hiIncl = Long.MaxValue
     def litOf(e: Expression): Option[Long] = e match {
       case Literal(v: Long, LongType) => Some(v)
       case Literal(v: Int, _) => Some(v.toLong)
@@ -109,32 +116,35 @@ private class GraftManifestFileIndex(base: HPath,
       case a: AttributeReference => a.name == "time_ms"
       case _ => false
     }
-    def incl(v: Long): Long = if (v == Long.MaxValue) v else v + 1
+    // strict-bound converters: underflow/overflow saturate OUTWARD (keep
+    // more files), never inward
+    def ltToIncl(v: Long): Long = if (v == Long.MinValue) Long.MaxValue else v - 1
+    def gtToIncl(v: Long): Long = if (v == Long.MaxValue) Long.MinValue else v + 1
     dataFilters.foreach {
       case GreaterThanOrEqual(a, l) if isTime(a) =>
         litOf(l).foreach(v => lo = math.max(lo, v))
       case GreaterThan(a, l) if isTime(a) =>
-        litOf(l).foreach(v => lo = math.max(lo, incl(v)))
+        litOf(l).foreach(v => lo = math.max(lo, gtToIncl(v)))
       case LessThan(a, l) if isTime(a) =>
-        litOf(l).foreach(v => hi = math.min(hi, v))
+        litOf(l).foreach(v => hiIncl = math.min(hiIncl, ltToIncl(v)))
       case LessThanOrEqual(a, l) if isTime(a) =>
-        litOf(l).foreach(v => hi = math.min(hi, incl(v)))
+        litOf(l).foreach(v => hiIncl = math.min(hiIncl, v))
       case EqualTo(a, l) if isTime(a) =>
-        litOf(l).foreach { v => lo = math.max(lo, v); hi = math.min(hi, incl(v)) }
+        litOf(l).foreach { v => lo = math.max(lo, v); hiIncl = math.min(hiIncl, v) }
       // literal-on-left mirrors
       case GreaterThanOrEqual(l, a) if isTime(a) =>
-        litOf(l).foreach(v => hi = math.min(hi, incl(v)))
+        litOf(l).foreach(v => hiIncl = math.min(hiIncl, v))
       case GreaterThan(l, a) if isTime(a) =>
-        litOf(l).foreach(v => hi = math.min(hi, v))
+        litOf(l).foreach(v => hiIncl = math.min(hiIncl, ltToIncl(v)))
       case LessThan(l, a) if isTime(a) =>
-        litOf(l).foreach(v => lo = math.max(lo, incl(v)))
+        litOf(l).foreach(v => lo = math.max(lo, gtToIncl(v)))
       case LessThanOrEqual(l, a) if isTime(a) =>
         litOf(l).foreach(v => lo = math.max(lo, v))
       case EqualTo(l, a) if isTime(a) =>
-        litOf(l).foreach { v => lo = math.max(lo, v); hi = math.min(hi, incl(v)) }
+        litOf(l).foreach { v => lo = math.max(lo, v); hiIncl = math.min(hiIncl, v) }
       case _ => ()
     }
-    (lo, hi)
+    (lo, hiIncl)
   }
 
   /** Positive string-equality constraints per column from the pushed
@@ -177,13 +187,47 @@ private class GraftManifestFileIndex(base: HPath,
     out
   }
 
+  /** Positive prefix constraints per column from the pushed conjuncts —
+    * one entry per CONJUNCT: `(column, allowed prefixes)`, satisfied when
+    * some dictionary value starts with any of the prefixes. Extraction is
+    * deliberately minimal (r14 directive #8): `StartsWith` with a literal
+    * prefix, possibly OR-ed over the SAME column (how the ES `prefix`
+    * filter inside a `should` compiles) — never negations, never other
+    * string predicates (`Not(StartsWith)` / contains / regex contribute
+    * nothing and never prune). Kept as a per-conjunct list rather than
+    * intersected like the equality sets: two prefix conjuncts on one
+    * column must BOTH be witnessed, and prefix sets have no closed-form
+    * intersection.
+    */
+  private def prefixConstraints(dataFilters: Seq[Expression])
+      : Seq[(String, Set[String])] = {
+    def strLit(e: Expression): Option[String] = e match {
+      case Literal(v: UTF8String, StringType) => Some(v.toString)
+      case _ => None
+    }
+    def prefixOf(e: Expression): Option[(String, Set[String])] = e match {
+      case org.apache.spark.sql.catalyst.expressions.StartsWith(
+          a: AttributeReference, l) if strLit(l).isDefined =>
+        Some(a.name -> Set(strLit(l).get))
+      case org.apache.spark.sql.catalyst.expressions.Or(l, r) =>
+        (prefixOf(l), prefixOf(r)) match {
+          case (Some((cl, vl)), Some((cr, vr))) if cl == cr =>
+            Some(cl -> (vl ++ vr))
+          case _ => None
+        }
+      case _ => None
+    }
+    dataFilters.flatMap(prefixOf)
+  }
+
   override def listFiles(partitionFilters: Seq[Expression],
                          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    val (lo, hi) = timeBounds(dataFilters)
+    val (lo, hiIncl) = timeBounds(dataFilters)
     val cons = tagConstraints(dataFilters)
+    val pfx = prefixConstraints(dataFilters)
     def live(st: FileStatus): Boolean = (zones.get(st.getPath.toString) match {
       case null => true // no zone map recorded: never skip
-      case (mn, mx) => mx >= lo && mn < hi
+      case (mn, mx) => mx >= lo && mn <= hiIncl
     }) && (tagDicts.get(st.getPath.toString) match {
       case null => true // no dictionary recorded: never skip
       case d => cons.forall { case (cName, allowed) =>
@@ -191,10 +235,15 @@ private class GraftManifestFileIndex(base: HPath,
           case Some(vals) => allowed.exists(vals.contains)
           case None => true // column over the cap (or absent): unknown set
         }
+      } && pfx.forall { case (cName, prefixes) =>
+        d.get(cName) match {
+          case Some(vals) => vals.exists(v => prefixes.exists(v.startsWith))
+          case None => true // column over the cap (or absent): unknown set
+        }
       }
     })
     val unconstrained =
-      lo == Long.MinValue && hi == Long.MaxValue && cons.isEmpty
+      lo == Long.MinValue && hiIncl == Long.MaxValue && cons.isEmpty && pfx.isEmpty
     val dirs = byDay.toSeq.sortBy(_._1)
       .map { case (day, sts) =>
         val kept = if (unconstrained) sts else sts.filter(live)

@@ -490,4 +490,46 @@ class ManifestSpec extends SparkTestBase {
       "the capped file is scanned (its dict has no host set), the three " +
         "small files prune by dictionary")
   }
+
+  test("prefix pruning: a prefix read skips files whose dictionary holds no matching value; negated prefixes never prune (r14)") {
+    val root = freshRoot()
+    val g = store(root)
+    // three single-partition writes into one bucket with disjoint host
+    // prefixes — web-*, db-*, cache-* (the fleet-slice read the
+    // reference's DSL runs constantly: {"prefix": {"host": "web-"}})
+    def one(ts: String, v: Double, host: String) =
+      g.write(Seq((ts, v, "cpu", host)).toDF("time", "value", "name", "host")
+        .coalesce(1))
+    one("2024-01-09T01:00:00Z", 1.0, "web-01")
+    one("2024-01-09T02:00:00Z", 2.0, "db-01")
+    one("2024-01-09T03:00:00Z", 3.0, "cache-01")
+
+    // prefix host=web-: only the web file's dictionary has a matching
+    // value — 1 of 3 same-bucket files opened, decided from the manifest
+    val r = g.read("""{"prefix":{"host":"web-"}}""")
+    assert(r.collect().map(_.getAs[Double]("value")).toSeq == Seq(1.0))
+    assert(scannedFiles(r) == 1,
+      "the tag dictionary must skip the db- and cache- files on a prefix read")
+    // a prefix NO dictionary value starts with scans nothing
+    val none = g.read("""{"prefix":{"host":"gpu-"}}""")
+    assert(none.collect().isEmpty)
+    assert(scannedFiles(none) == 0)
+    // a should-of-prefixes (OR over the same column) unions the witnesses
+    val two = g.read(
+      """{"bool":{"should":[{"prefix":{"host":"web-"}},
+        |{"prefix":{"host":"db-"}}],"minimum_should_match":1}}""".stripMargin)
+    assert(two.collect().map(_.getAs[Double]("value")).sorted.toSeq == Seq(1.0, 2.0))
+    assert(scannedFiles(two) == 2)
+
+    // the conservative-extraction property: a NEGATED prefix must never
+    // prune — must_not(prefix web-) has matches in the db and cache files,
+    // and the db/cache rows survive while all three files stay eligible
+    // (the web file is kept too: negations contribute nothing)
+    val neg = g.read(
+      """{"bool":{"must_not":[{"prefix":{"host":"web-"}}]}}""")
+    assert(neg.collect().map(_.getAs[Double]("value")).sorted.toSeq == Seq(2.0, 3.0))
+    assert(scannedFiles(neg) == 3,
+      "Not(StartsWith) must contribute nothing to pruning — skipping the " +
+        "web file would be wrong-by-luck here and wrong-results elsewhere")
+  }
 }
