@@ -45,6 +45,59 @@ for (wave <- 0 until 4) {
   println(f"SCALE wave=$wave%2d data_files=$nFiles%5d plan_manifest_ms=$mMs%8.1f " +
     f"plan_listing_ms=$pMs%8.1f content_equal=$same")
 }
+// r14: COMMIT cost as the live-file count grows 10x. The snapshot is a
+// manifest list (one #seg ref per bucket); an append commit reads and
+// rewrites ONLY the touched bucket's segment, so committing a one-bucket
+// batch must stay flat while total files grow — the r13 layout rewrote
+// the FULL file list per commit (its one named scale ceiling). Measured:
+// wall time of a fixed single-bucket 200-point write at each inflation
+// level, plus the newest snapshot file's byte size (O(buckets), not
+// O(files)).
+{
+  val g2 = new graft.tsdb.Graft(spark, s"$base/c", manifest = true)
+  // CONTROL: a store whose size never grows, measured with the identical
+  // append at every level — long Spark sessions drift (GC, listener bus,
+  // filesystem cache), and the control separates that drift from any
+  // file-count dependence. The claim is grown/control flat, not raw ms.
+  val gCtl = new graft.tsdb.Graft(spark, s"$base/ctl", manifest = true)
+  var files = 0
+  def liveFiles: Int = {
+    val d = new java.io.File(s"$base/c/default")
+    if (!d.exists) 0
+    else d.listFiles.filter(_.getName.startsWith("bucket_day="))
+      .map(_.listFiles.count(_.getName.endsWith(".parquet"))).sum
+  }
+  def snapBytes: Long = {
+    val md = new java.io.File(s"$base/c/.manifest/default")
+    md.listFiles.filter(f => f.getName.startsWith("m") &&
+      f.getName.tail.forall(_.isDigit))
+      .maxBy(_.getName.tail.toLong).length
+  }
+  for (level <- 0 until 4) {
+    // inflate: 60 writes spread across 30 buckets per level
+    for (b <- level * 60 until (level + 1) * 60) g2.write(pts(b))
+    // measure: 5 one-bucket appends into a bucket FRESH at this level
+    // (same touched-segment size at every level, so the number isolates
+    // "does commit cost grow with TOTAL live files"), median wall ms
+    def mpts(i: Int) = {
+      import spark.implicits._
+      (0 until 200).map(j =>
+        (t0ms + (40L + level) * 86400000L + i * 300000L + j * 1000L,
+          (i * 1000 + j).toDouble, "cpu", s"h${j % 20}"))
+        .toDF("time", "value", "name", "host")
+    }
+    def median5(g: graft.tsdb.Graft): Double = (0 until 5).map { i =>
+      val t0 = System.nanoTime()
+      g.write(mpts(i))
+      (System.nanoTime() - t0) / 1e6
+    }.sorted.apply(2)
+    val (grown, ctl) = (median5(g2), median5(gCtl))
+    println(f"SCALE_COMMIT level=$level%2d live_files=$liveFiles%5d " +
+      f"one_bucket_append_ms=$grown%8.1f control_ms=$ctl%8.1f " +
+      f"ratio=${grown / ctl}%5.2f snapshot_bytes=$snapBytes%6d")
+  }
+}
+
 // pinned replay across compaction: plan first, compact, then execute fully
 val pinned = gm.read("""{"match_all":{}}""")
 val expect = pinned.count()

@@ -19,6 +19,18 @@ import graft.tsdb.Graft
   * the sweep the reference runs per `/delete` request
   * (orestes-remover.js:16-39) runs here on a timer, hourly, so configured
   * retention is a standing policy rather than a client obligation.
+  *
+  * Since r14 two more operational defaults ride the boot:
+  *  - the store boots in MANIFEST mode unless the config says
+  *    `"manifest_snapshots": false` (bootstrapManifest adopts an existing
+  *    plain store on first touch, so the flip is migration-free; plain
+  *    mode remains the documented fallback — see README);
+  *  - a standing COMPACTION daemon sweeps every `compaction_sweep_minutes`
+  *    (default 60; <= 0 disables): any space whose fragmentation report
+  *    shows a bucket past `compaction_max_files` (default 8) or still
+  *    carrying write-sequence stamps is compacted — the maintenance the
+  *    reference delegates to Cassandra's SSTable compaction, as a policy
+  *    instead of an operator chore.
   */
 object ServerMain {
   /** Wire config -> store -> server (the testable core of the boot). */
@@ -55,6 +67,10 @@ object ServerMain {
       .appName("graft-server")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val cfgForDaemons =
+      try Graft.loadConfig(spark, configPath)
+      catch { case _: java.io.FileNotFoundException =>
+        Graft.Config(Graft.DefaultPort, Map.empty) }
     val (g, srv) = boot(spark, configPath, root)
     val port = srv.start()
     println(s"graft serving on 127.0.0.1:$port, store at $root")
@@ -73,8 +89,29 @@ object ServerMain {
           1, 60, java.util.concurrent.TimeUnit.MINUTES)
         Some(ex)
       } else None
+    // the compaction half (r14): a standing sweep that converges
+    // fragmented buckets to the target file count and retires merge
+    // stamps, on the same mutation lock every write takes — readers
+    // never see it (manifest mode) or retry by contract (plain mode)
+    val compactor =
+      if (cfgForDaemons.compactionSweepMinutes > 0) {
+        val mins = cfgForDaemons.compactionSweepMinutes.toLong
+        val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
+          r => { val t = new Thread(r, "graft-compaction"); t.setDaemon(true); t })
+        ex.scheduleAtFixedRate(() =>
+          try {
+            val done = g.compactionSweep(cfgForDaemons.compactionMaxFiles)
+            done.foreach { case (sp, swaps) =>
+              println(s"[graft] compacted $sp: " + swaps.map { case (d, b, a) =>
+                s"day $d $b->$a files" }.mkString(", ")) }
+          } catch { case e: Throwable =>
+            System.err.println(s"[graft] compaction sweep failed: ${e.getMessage}") },
+          mins, mins, java.util.concurrent.TimeUnit.MINUTES)
+        Some(ex)
+      } else None
     sys.addShutdownHook {
       sweeper.foreach(_.shutdownNow())
+      compactor.foreach(_.shutdownNow())
       srv.stop() // flushes queued writes
       g.stopContinuous() // loss-free: uncommitted spool files replay on boot
       spark.stop()

@@ -104,30 +104,55 @@ class Graft(spark: SparkSession, root: String,
     // (otherwise it re-sorts by bucket alone, unstably, destroying the inner
     // order), and the (tags, time) tail keeps row-group min/max selective —
     // the reference's (attrs, offset) clustering order
+    val sorted = good
+      .sortWithinPartitions(col("bucket_day") +: tagCols.map(col) :+ col("time_ms"): _*)
     mutationLock(space).synchronized {
-      val (mfs, mdir) = fsOf(spacePath(space))
-      if (manifest) bootstrapManifest(space) // adopt a pre-manifest store
-      val before =
-        if (manifest) listDataFiles(mfs, mdir).map(_._1).toSet
-        else Set.empty[String]
-      good
-        .sortWithinPartitions(col("bucket_day") +: tagCols.map(col) :+ col("time_ms"): _*)
-        .write.mode(SaveMode.Append).partitionBy("bucket_day").parquet(spacePath(space))
       if (manifest) {
-        // the diff is exactly this job's output: retired/orphaned files sit
-        // in `before` (see the manifest-mode block) and never re-enter. An
-        // all-rejected batch writes no files — no snapshot to commit. The
-        // job's data schema (everything but the partition column) merges
-        // into the manifest so reads never open a parquet footer.
-        val fresh = listDataFiles(mfs, mdir).filterNot(f => before(f._1))
+        // r14: the append job lands in a PRIVATE `_`-prefixed tmp dir and
+        // its files move into the bucket dirs under unique names — the
+        // commit protocol receives the exact output list, so the append
+        // path never lists the store (the r13 before/after listing diff
+        // was O(live files) per append, the last O(store) cost on the
+        // write path). Crash states: an orphaned tmp dir, or moved files
+        // no snapshot references — both invisible to readers, both swept
+        // by vacuum. An all-rejected batch writes no files — no commit.
+        bootstrapManifest(space) // adopt a pre-manifest store
+        val (mfs, mdir) = fsOf(spacePath(space))
+        val tmpDir = new HPath(mdir, s"$AppendTmpPrefix${nonce()}")
+        sorted.write.mode(SaveMode.Overwrite)
+          .partitionBy("bucket_day").parquet(tmpDir.toString)
+        val moved = Seq.newBuilder[(String, Long)]
+        mfs.listStatus(tmpDir)
+          .filter(st => st.isDirectory &&
+            st.getPath.getName.startsWith("bucket_day="))
+          .foreach { bst =>
+            val dstDir = new HPath(mdir, bst.getPath.getName)
+            mfs.mkdirs(dstDir)
+            mfs.listStatus(bst.getPath)
+              .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+              .foreach { f =>
+                val dst = new HPath(dstDir, s"a${nonce()}-${f.getPath.getName}")
+                if (!mfs.rename(f.getPath, dst))
+                  throw new java.io.IOException(
+                    s"append: rename ${f.getPath} -> $dst failed")
+                moved += ((s"${bst.getPath.getName}/${dst.getName}", f.getLen))
+              }
+          }
+        mfs.delete(tmpDir, true)
+        val fresh = moved.result()
         if (fresh.nonEmpty) {
+          // the job's data schema (everything but the partition column)
+          // merges into the manifest so reads never open a parquet footer
           val jobSchema = org.apache.spark.sql.types.StructType(
             good.schema.fields.filterNot(_.name == "bucket_day"))
           val (freshStats, freshDicts) = fileStats(space, fresh.map(_._1))
-          commitManifest(space)(cur => Manifest(cur.files ++ fresh,
-            Some(mergeDataSchema(cur.schemaJson, jobSchema)),
-            cur.stats ++ freshStats, cur.dicts ++ freshDicts))
+          // the delta path: commit cost tracks THIS JOB's buckets, not
+          // the store's live-file count (r14 — manifest-list indirection)
+          commitAppend(space, fresh, jobSchema, freshStats, freshDicts)
         }
+      } else {
+        sorted.write.mode(SaveMode.Append)
+          .partitionBy("bucket_day").parquet(spacePath(space))
       }
     }
     validated.where(col("__error").isNotNull)
@@ -171,32 +196,41 @@ class Graft(spark: SparkSession, root: String,
   // lets Cassandra own the storage lifecycle). Parquet directories have no
   // such reference counting, so the snapshot layer supplies it.
   //
-  // Commit protocol, per space, always under the mutation lock: resolve the
-  // current snapshot (max committed seq), apply the update to its file
-  // list, write `m<seq+1>` via tmp + atomic rename. The RENAME is the
-  // commit point — there is no pointer file to swing, so there is exactly
-  // one crash state (tmp left behind, invisible to resolution, cleaned by
-  // vacuum). Readers take no lock: one listStatus of the manifest dir, one
-  // small file read — at 100 TB this is also the read-planning win (a scan
-  // over an object-store prefix becomes one manifest fetch; file listings
-  // are the slowest metadata op S3-family stores have).
+  // Commit protocol, per space (r14 — the manifest-LIST tier): the
+  // snapshot file `m<seq>` no longer inlines the file list; it is a small
+  // manifest list — the live data schema plus one `#seg` line per bucket
+  // day pointing at an IMMUTABLE segment file holding that bucket's entry
+  // lines. A commit writes new segments only for the buckets it TOUCHED
+  // and reuses every other bucket's segment by reference, so commit cost
+  // is proportional to the files changed, not the files live (Iceberg's
+  // snapshot → manifest-list → manifests indirection; the r13 layout's
+  // one named scale ceiling — every commit rewriting the full list — is
+  // gone). Reads prune `#seg` references by day BEFORE fetching anything,
+  // so read planning fetches the snapshot plus only the in-range buckets'
+  // segments: still zero listings, still zero footer reads.
   //
-  // Append jobs discover their own output by diffing the data-file listing
-  // before/after the job inside the lock (retired-but-unvacuumed files sit
-  // in `before`, so they can never re-enter the manifest; files from a
-  // commit that crashed before its manifest rename sit in `before` too and
-  // stay invisible until vacuum). A production engine would take the
-  // written-file list from the commit protocol instead of a listing diff —
-  // the listing here is two RPC rounds per append at embedded scale.
+  // The commit POINT is an atomic claim of the `m<seq+1>` name, wrapped
+  // in an optimistic re-apply loop (r14): a writer that loses the claim —
+  // another graft PROCESS committed seq+1 first; the in-process mutation
+  // lock cannot see it — re-reads the new current snapshot, re-applies
+  // its mutation, and claims seq+2, exactly Iceberg's optimistic
+  // concurrency. On local filesystems the claim is a hard link (POSIX
+  // rename OVERWRITES an existing destination, so tmp+rename would let
+  // the loser silently clobber the winner; link creation is
+  // fail-if-exists, atomically); on HDFS-contract stores it is
+  // exists-check + rename, whose rename fails when the destination
+  // exists. Crash states: a `.tmp-*` body or an orphaned `g*` segment no
+  // snapshot references — both invisible to resolution, both swept by
+  // vacuum.
   //
-  // Honest scale limit of the v2 layout: each commit rewrites the FULL
-  // file list, so at millions of live files every commit is a multi-MB
-  // write and O(files) to parse. The next tier is exactly what the real
-  // formats do — a manifest LIST pointing at per-partition manifest files
-  // that unchanged commits reuse (Iceberg's snapshot → manifest-list →
-  // manifests indirection), making commit cost proportional to the files
-  // CHANGED. The read contract (one bounded metadata fetch, no listing)
-  // and every semantic here survive that swap unchanged.
+  // Append jobs write to a private `_append_tmp_*` staging dir and MOVE
+  // their files into the bucket dirs under unique names (r14), so the
+  // commit protocol receives the exact output list and the append path
+  // never lists the store — the write side's analog of the read side's
+  // no-listing contract. On rename-less object stores the same shape is
+  // "write direct under unique keys, commit the key list" (what
+  // Iceberg/Delta writers do); the staging move here is one metadata op
+  // per output file on a rename-capable FS.
 
   private def manifestPath(space: String) = s"$root/.manifest/$space"
 
@@ -299,37 +333,83 @@ class Graft(spark: SparkSession, root: String,
     def paths: Seq[String] = files.map(_._1)
   }
 
-  private def readManifest(fs: FileSystem, mdir: HPath, seq: Long): Manifest = {
-    // lock-free readers can race a vacuum expiring this manifest: surface
+  /** One parsed entry line: (path, size), optional zone map, optional
+    * tag dictionary — the line grammar shared by inline (legacy v1-v4)
+    * snapshot bodies and v5 segment files.
+    */
+  private type Entry =
+    ((String, Long), Option[(String, (Long, Long))],
+      Option[(String, Map[String, Seq[String]])])
+
+  private def parseEntry(l: String): Entry = l.split('\t') match {
+    // v4 line: v3 + the file's base64(JSON) per-tag value dictionary
+    case Array(p, sz, mn, mx, d64) =>
+      ((p, sz.toLong), Some(p -> (mn.toLong, mx.toLong)),
+        Some(p -> decodeDict(d64)))
+    // v3 line: path, size, and the file's [min,max] time_ms zone map
+    case Array(p, sz, mn, mx) =>
+      ((p, sz.toLong), Some(p -> (mn.toLong, mx.toLong)), None)
+    case Array(p, sz) => ((p, sz.toLong), None, None)
+    case _ => ((l, -1L), None, None) // v1 line: path only
+  }
+
+  private def manifestOfLines(schema: Option[String],
+                              lines: Seq[String]): Manifest = {
+    val entries = lines.map(parseEntry)
+    Manifest(entries.map(_._1), schema.filter(_.nonEmpty),
+      entries.flatMap(_._2).toMap, entries.flatMap(_._3).toMap)
+  }
+
+  /** One bucket's segment reference inside a v5 snapshot: the manifest
+    * list's unit of reuse. `nFiles`/`bytes` ride in the reference so
+    * planning questions ("any live files at all?") never fetch a segment.
+    */
+  private case class SegRef(day: Long, name: String, nFiles: Int, bytes: Long)
+
+  /** A snapshot as stored: seq, schema header, segment references (v5) and
+    * inline entry lines (legacy v1-v4 — a snapshot holds one or the other).
+    */
+  private case class SnapState(seq: Long, schemaJson: Option[String],
+                               segs: Seq[SegRef], inline: Seq[String])
+
+  private def openLines(fs: FileSystem, p: HPath, what: String): List[String] = {
+    // lock-free readers can race a vacuum expiring this snapshot: surface
     // the designed, actionable error, not a raw missing-file stack
     val in =
-      try fs.open(new HPath(mdir, s"m$seq"))
+      try fs.open(p)
       catch {
         case _: java.io.FileNotFoundException =>
           throw new IllegalArgumentException(
-            s"snapshot $seq no longer exists (expired by a concurrent " +
+            s"$what no longer exists (expired by a concurrent " +
               "vacuum); re-resolve with snapshots()")
       }
-    val lines =
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(_.nonEmpty).toList
-      finally in.close()
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  private def readSnapState(fs: FileSystem, mdir: HPath, seq: Long): SnapState = {
+    val lines = openLines(fs, new HPath(mdir, s"m$seq"), s"snapshot $seq")
     val schema = lines.find(_.startsWith("#v2 ")).map(_.stripPrefix("#v2 "))
-    val entries = lines.filterNot(_.startsWith("#")).map { l =>
-      l.split('\t') match {
-        // v4 line: v3 + the file's base64(JSON) per-tag value dictionary
-        case Array(p, sz, mn, mx, d64) =>
-          ((p, sz.toLong), Some(p -> (mn.toLong, mx.toLong)),
-            Some(p -> decodeDict(d64)))
-        // v3 line: path, size, and the file's [min,max] time_ms zone map
-        case Array(p, sz, mn, mx) =>
-          ((p, sz.toLong), Some(p -> (mn.toLong, mx.toLong)), None)
-        case Array(p, sz) => ((p, sz.toLong), None, None)
-        case _ => ((l, -1L), None, None) // v1 line: path only
+      .filter(_.nonEmpty)
+    val segs = lines.filter(_.startsWith("#seg\t")).map { l =>
+      l.stripPrefix("#seg\t").split('\t') match {
+        case Array(d, n, nf, b) => SegRef(d.toLong, n, nf.toInt, b.toLong)
+        case _ => throw new IllegalStateException(s"malformed #seg line: $l")
       }
     }
-    Manifest(entries.map(_._1), schema.filter(_.nonEmpty),
-      entries.flatMap(_._2).toMap, entries.flatMap(_._3).toMap)
+    SnapState(seq, schema, segs, lines.filterNot(_.startsWith("#")))
+  }
+
+  private def readSegmentLines(fs: FileSystem, mdir: HPath,
+                               name: String): List[String] =
+    openLines(fs, new HPath(mdir, name), s"manifest segment $name")
+
+  private def readManifest(fs: FileSystem, mdir: HPath, seq: Long): Manifest = {
+    val st = readSnapState(fs, mdir, seq)
+    manifestOfLines(st.schemaJson,
+      st.inline ++ st.segs.sortBy(_.day)
+        .flatMap(s => readSegmentLines(fs, mdir, s.name)))
   }
 
   private def encodeDict(d: Map[String, Seq[String]]): String = {
@@ -363,46 +443,217 @@ class Graft(spark: SparkSession, root: String,
     }
   }
 
-  /** Commit snapshot seq+1 = update(current). Caller holds the space's
-    * mutation lock. Returns the new seq. */
-  private def commitManifest(space: String)
-      (update: Manifest => Manifest): Long = {
-    val (fs, mdir) = fsOf(manifestPath(space))
-    fs.mkdirs(mdir)
-    val cur = snapshots(space).lastOption
-    val curM = cur.map(readManifest(fs, mdir, _)).getOrElse(Manifest(Nil, None))
-    val next = cur.getOrElse(0L) + 1
-    val m = update(curM)
-    // stats + tag dictionaries ride the file lines (v3/v4 columns);
-    // entries are pruned to the live file set so a dropped file can never
-    // leave a stale zone map or dictionary
-    val body = (m.schemaJson.map("#v2 " + _).toSeq ++
-      m.files.distinct.sortBy(_._1).map { case (p, sz) =>
-        (m.stats.get(p), m.dicts.get(p).filter(_.nonEmpty)) match {
-          case (Some((mn, mx)), Some(d)) =>
-            s"$p\t$sz\t$mn\t$mx\t${encodeDict(d)}"
-          case (Some((mn, mx)), None) => s"$p\t$sz\t$mn\t$mx"
-          case (None, Some(_)) =>
-            // the v4 line format hangs the dictionary off the zone-map
-            // columns; a dict-without-stats entry would be DROPPED
-            // silently — fail the commit that produced the inconsistent
-            // maps instead (fileStats always emits both together)
-            throw new IllegalStateException(
-              s"manifest commit: $p has a tag dictionary but no zone map " +
-                "— stats and dicts must be produced together (fileStats)")
-          case _ => s"$p\t$sz"
-        }
-      })
-      .mkString("\n")
-    val tmp = new HPath(mdir, s".tmp-m$next")
-    val out = fs.create(tmp, true)
+  /** Serialize one live file's manifest entry line. Stats + tag
+    * dictionaries ride the line (v3/v4 columns), so entries pruned with
+    * their file can never leave a stale zone map or dictionary behind.
+    */
+  private def entryLine(p: String, sz: Long,
+                        stats: Map[String, (Long, Long)],
+                        dicts: Map[String, Map[String, Seq[String]]]): String =
+    (stats.get(p), dicts.get(p).filter(_.nonEmpty)) match {
+      case (Some((mn, mx)), Some(d)) => s"$p\t$sz\t$mn\t$mx\t${encodeDict(d)}"
+      case (Some((mn, mx)), None) => s"$p\t$sz\t$mn\t$mx"
+      case (None, Some(_)) =>
+        // the v4 line format hangs the dictionary off the zone-map
+        // columns; a dict-without-stats entry would be DROPPED silently —
+        // fail the commit that produced the inconsistent maps instead
+        // (fileStats always emits both together)
+        throw new IllegalStateException(
+          s"manifest commit: $p has a tag dictionary but no zone map " +
+            "— stats and dicts must be produced together (fileStats)")
+      case _ => s"$p\t$sz"
+    }
+
+  private def writeSmallFile(fs: FileSystem, p: HPath, body: String): Unit = {
+    val out = fs.create(p, true)
     try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    val mfile = new HPath(mdir, s"m$next")
-    if (!fs.rename(tmp, mfile))
-      throw new java.io.IOException(s"manifest commit: rename $tmp -> $mfile failed")
-    next
   }
+
+  /** Atomically claim `dst` with the fully-written content at `tmp`:
+    * true = this writer committed, false = another writer owns `dst`
+    * (optimistic-concurrency loss; `tmp` is consumed either way). On a
+    * local filesystem the claim is hard-link creation — POSIX rename
+    * OVERWRITES an existing destination, so tmp+rename would let a
+    * commit-race loser silently clobber the winner; `Files.createLink`
+    * fails atomically when the name exists. On HDFS-contract stores the
+    * rename itself refuses an existing destination (the Iceberg/HDFS
+    * commit primitive), with an exists pre-check to skip doomed renames.
+    */
+  private def claimFile(fs0: FileSystem, tmp: HPath, dst: HPath): Boolean = {
+    val fs = fs0 match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case other => other
+    }
+    val won = fs match {
+      case _: org.apache.hadoop.fs.RawLocalFileSystem =>
+        val t = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri)
+        val d = java.nio.file.Paths.get(fs.makeQualified(dst).toUri)
+        try { java.nio.file.Files.createLink(d, t); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      case _ =>
+        !fs.exists(dst) && fs.rename(tmp, dst)
+    }
+    // the tmp (and its Checksum .crc sibling, hence fs0) is garbage on
+    // both outcomes — the link shares the inode, the rename already moved
+    // it, the loss retries with a fresh body
+    try fs0.delete(tmp, false) catch { case _: java.io.IOException => () }
+    won
+  }
+
+  /** Test seam: runs once per commit attempt, after the attempt read the
+    * current snapshot and before it claims the next — the window where a
+    * concurrent committer (another process) can win the race. Specs
+    * inject a competing commit here to exercise the re-apply loop
+    * deterministically.
+    */
+  private[graft] var commitRaceHook: () => Unit = () => ()
+
+  /** One bucket day's contribution to the snapshot being committed:
+    * either an existing segment reused BY REFERENCE (never fetched, never
+    * rewritten — the manifest-list indirection's whole point) or a fresh
+    * serialized body to write as a new segment.
+    */
+  private sealed trait DayPlan { def day: Long }
+  private case class ReuseSeg(ref: SegRef) extends DayPlan { def day: Long = ref.day }
+  private case class FreshSeg(day: Long, lines: Seq[String]) extends DayPlan
+
+  /** Commit one snapshot under optimistic concurrency: `attempt` reads
+    * the current state and returns (new schema header, one [[DayPlan]]
+    * per live bucket day). Fresh bodies become new uniquely-named segment
+    * files; reused refs enter the snapshot verbatim; then the writer
+    * CLAIMS `m<seq+1>`. A lost claim (another PROCESS committed first —
+    * the in-process mutation lock cannot serialize that) deletes this
+    * attempt's orphan segments and re-applies `attempt` against the new
+    * current state: Iceberg's optimistic re-apply loop. Caller holds the
+    * space's mutation lock.
+    */
+  private def commitSnapshot(space: String)
+      (attempt: SnapState => (Option[String], Seq[DayPlan])): Long = {
+    val (fs, mdir) = fsOf(manifestPath(space))
+    fs.mkdirs(mdir)
+    var tries = 0
+    while (true) {
+      val cur = snapshots(space).lastOption
+      val st = cur.map(readSnapState(fs, mdir, _))
+        .getOrElse(SnapState(0L, None, Nil, Nil))
+      commitRaceHook()
+      val (schema, plans) = attempt(st)
+      val next = st.seq + 1
+      val written = scala.collection.mutable.ArrayBuffer.empty[HPath]
+      val refs = plans.sortBy(_.day).flatMap {
+        case ReuseSeg(ref) => Some(ref)
+        case FreshSeg(_, lines) if lines.isEmpty => None // emptied bucket
+        case FreshSeg(day, lines) =>
+          // segment names are unique per attempt (seq + nonce), so
+          // concurrent committers never collide on them — only the
+          // snapshot name is contended
+          val name = s"g$next-$day-${nonce()}"
+          val sp = new HPath(mdir, name)
+          writeSmallFile(fs, sp, lines.sorted.mkString("\n"))
+          written += sp
+          Some(SegRef(day, name, lines.size,
+            lines.map(l => parseEntry(l)._1._2).sum))
+      }
+      val snapBody = (schema.map("#v2 " + _).toSeq ++
+        refs.map(r => s"#seg\t${r.day}\t${r.name}\t${r.nFiles}\t${r.bytes}"))
+        .mkString("\n")
+      val tmp = new HPath(mdir, s".tmp-m$next-${nonce()}")
+      writeSmallFile(fs, tmp, snapBody)
+      if (claimFile(fs, tmp, new HPath(mdir, s"m$next"))) return next
+      // lost the claim: retire this attempt's segments (bounded garbage —
+      // vacuum would sweep them anyway) and re-apply on the fresh state
+      written.foreach(p =>
+        try fs.delete(p, false) catch { case _: java.io.IOException => () })
+      tries += 1
+      if (tries >= MaxCommitRetries) throw new java.io.IOException(
+        s"manifest commit for $space lost $tries consecutive claim races " +
+          "— giving up (is a runaway committer looping on this space?)")
+      Thread.sleep(5L + scala.util.Random.nextInt(20))
+    }
+    -1L // unreachable
+  }
+
+  private val nonceGen = new java.util.concurrent.atomic.AtomicLong(
+    System.nanoTime())
+  private def nonce(): String =
+    java.lang.Long.toUnsignedString(nonceGen.incrementAndGet(), 36)
+
+  /** Serialize a manifest's entries into per-day segment bodies. */
+  private def dayLines(m: Manifest): Map[Long, Seq[String]] =
+    m.files.distinct.groupBy(f => dayOfPath(f._1)).map { case (day, fl) =>
+      day -> fl.map { case (p, sz) => entryLine(p, sz, m.stats, m.dicts) }
+    }
+
+  /** Commit snapshot seq+1 = update(current) — the FULL-manifest path
+    * (bootstrap, compaction, retention: mutations that need the whole
+    * live list anyway). Reads every current segment once; a day whose
+    * serialized body is unchanged reuses its segment file by content
+    * equality, so even this path writes only the touched buckets. Caller
+    * holds the space's mutation lock. Returns the new seq.
+    */
+  private def commitManifest(space: String)
+      (update: Manifest => Manifest): Long =
+    commitSnapshot(space) { st =>
+      val (fs, mdir) = fsOf(manifestPath(space))
+      val segLines = st.segs.map(s => s -> readSegmentLines(fs, mdir, s.name))
+      val curM = manifestOfLines(st.schemaJson,
+        st.inline ++ segLines.sortBy(_._1.day).flatMap(_._2))
+      val curBodies = segLines.map { case (s, lines) =>
+        s.day -> (s, lines.sorted.mkString("\n")) }.toMap
+      val m = update(curM)
+      val plans = dayLines(m).toSeq.map { case (day, lines) =>
+        curBodies.get(day) match {
+          case Some((ref, body)) if body == lines.sorted.mkString("\n") =>
+            ReuseSeg(ref)
+          case _ => FreshSeg(day, lines)
+        }
+      }
+      (m.schemaJson, plans)
+    }
+
+  /** Append-only commit (the write() hot path): touches ONLY the bucket
+    * days the fresh files land in — reads those days' segments, writes
+    * their replacements, and reuses every other segment BY REFERENCE
+    * without ever fetching it. This is what makes commit cost
+    * proportional to the files CHANGED: a steady-state ingest into
+    * today's bucket commits in O(today's files), however many millions of
+    * files (and bucket segments) the store holds. A legacy inline
+    * snapshot falls back to the full serialization once, upgrading the
+    * store to segments on its first append.
+    */
+  private def commitAppend(space: String, fresh: Seq[(String, Long)],
+                           jobSchema: org.apache.spark.sql.types.StructType,
+                           freshStats: Map[String, (Long, Long)],
+                           freshDicts: Map[String, Map[String, Seq[String]]])
+      : Long =
+    commitSnapshot(space) { st =>
+      val (fs, mdir) = fsOf(manifestPath(space))
+      val freshByDay = fresh.groupBy(f => dayOfPath(f._1))
+      val freshLines = freshByDay.map { case (day, fl) =>
+        day -> fl.map { case (p, sz) => entryLine(p, sz, freshStats, freshDicts) }
+      }
+      if (st.inline.nonEmpty) {
+        // legacy inline snapshot: one full materialization + re-serialize
+        val curM = manifestOfLines(st.schemaJson, st.inline)
+        val all = dayLines(Manifest(curM.files ++ fresh,
+          None, curM.stats ++ freshStats, curM.dicts ++ freshDicts))
+        (Some(mergeDataSchema(st.schemaJson, jobSchema)),
+          all.toSeq.map { case (day, lines) => FreshSeg(day, lines) })
+      } else {
+        val plans: Seq[DayPlan] = st.segs.map { s =>
+          freshLines.get(s.day) match {
+            case None => ReuseSeg(s) // untouched bucket: never fetched
+            case Some(add) =>
+              FreshSeg(s.day, readSegmentLines(fs, mdir, s.name) ++ add)
+          }
+        } ++ freshLines.collect {
+          case (day, add) if !st.segs.exists(_.day == day) =>
+            FreshSeg(day, add)
+        }
+        (Some(mergeDataSchema(st.schemaJson, jobSchema)), plans)
+      }
+    }
 
   /** Per-file [min, max] `time_ms` zone maps for manifest entries — one
     * small Spark job over exactly the given (just-written or just-rewritten)
@@ -540,18 +791,32 @@ class Graft(spark: SparkSession, root: String,
         if (!fs.delete(new HPath(dir, f), false))
           throw new java.io.IOException(s"vacuum: delete $f failed")
       }
-      // drop bucket dirs vacuum emptied (retention's physical half)
+      // drop bucket dirs vacuum emptied (retention's physical half), and
+      // crashed append/compaction staging dirs (no snapshot can reference
+      // either — their files never moved into a committed segment)
       if (isDir(fs, dir))
         fs.listStatus(dir)
           .filter(st => st.isDirectory &&
-            st.getPath.getName.startsWith("bucket_day=") &&
-            fs.listStatus(st.getPath).isEmpty)
+            ((st.getPath.getName.startsWith("bucket_day=") &&
+              fs.listStatus(st.getPath).isEmpty) ||
+             st.getPath.getName.startsWith(AppendTmpPrefix) ||
+             st.getPath.getName.startsWith(TmpPrefix)))
           .foreach(st => fs.delete(st.getPath, true))
       // crashed-commit tmps and expired manifests
       mfs.listStatus(mdir).filter(_.getPath.getName.startsWith(".tmp-"))
         .foreach(st => mfs.delete(st.getPath, false))
       val expired = seqs.diff(kept)
       expired.foreach(s => mfs.delete(new HPath(mdir, s"m$s"), false))
+      // segment GC: a `g*` segment no KEPT snapshot references is garbage
+      // — expired snapshots' private segments, or orphans from a lost
+      // commit claim / crash (kept snapshots keep their segments, so a
+      // pinned readAt within the grace window stays fully replayable)
+      val keptSegs = kept.flatMap(s =>
+        readSnapState(mfs, mdir, s).segs.map(_.name)).toSet
+      mfs.listStatus(mdir)
+        .filter(st => st.getPath.getName.startsWith("g") &&
+          !keptSegs(st.getPath.getName))
+        .foreach(st => mfs.delete(st.getPath, false))
       // drop pinned sqlAt views whose snapshot just expired: a stale view
       // would bypass readAt's loud check and fail mid-scan on vacuumed
       // files (review r13)
@@ -705,26 +970,41 @@ class Graft(spark: SparkSession, root: String,
     val raw =
       if (manifest) {
         // manifest mode: plan from the snapshot — never a directory
-        // listing, so rewrites can't race this read, and pruning happens
-        // DRIVER-SIDE (the planner only sees in-range files; when the
-        // range covers nothing, plan the full list and let the where()
-        // below empty it — the frame keeps its schema). A v2 snapshot
-        // carries sizes + the data schema, so the scan relation is built
-        // with ZERO metadata calls — no listing, no per-file stat, no
-        // footer read (ManifestRelation); a v1 snapshot falls back to
-        // footer inference over its file list.
-        val m0 = snapshotManifest(space, pinned)
-        val m =
-          if (m0.files.nonEmpty || pinned.isDefined) m0
-          else { ensureManifest(space); snapshotManifest(space, None) }
-        if (m.files.isEmpty) return None
+        // listing, so rewrites can't race this read. Since r14 the
+        // snapshot is a manifest LIST: day pruning happens on the `#seg`
+        // references BEFORE anything else is fetched, so read planning
+        // costs the snapshot GET plus only the in-range buckets' segment
+        // GETs — at 100 TB a narrow-window read plans from a few KB of
+        // metadata however many million files the store holds. Sizes +
+        // the data schema ride in the metadata, so the scan relation is
+        // built with ZERO listing/stat/footer calls (ManifestRelation);
+        // a legacy v1 inline snapshot falls back to footer inference.
+        val (mfs, mdir) = fsOf(manifestPath(space))
+        def stateOf(at: Option[Long]): Option[SnapState] =
+          at.orElse(snapshots(space).lastOption)
+            .map(readSnapState(mfs, mdir, _))
+        val st0 = stateOf(pinned)
+        val st =
+          if (pinned.isDefined) st0
+          else st0 match {
+            case Some(s) if s.segs.nonEmpty || s.inline.nonEmpty => st0
+            case _ => ensureManifest(space); stateOf(None)
+          }
+        val total = st.map(s =>
+          s.segs.map(_.nFiles.toLong).sum + s.inline.size).getOrElse(0L)
+        if (total == 0) return None
+        val snap = st.get
         val lo = bucketOfMs(startMs)
         val hi = bucketOfMs(math.max(endMs - 1, startMs))
-        val inRange = m.files.filter { case (f, _) =>
-          val d = dayOfPath(f); d >= lo && d <= hi }
-        m.schemaJson match {
+        val inLines = snap.segs.filter(r => r.day >= lo && r.day <= hi)
+          .sortBy(_.day)
+          .flatMap(r => readSegmentLines(mfs, mdir, r.name)) ++
+          snap.inline.filter { l =>
+            val d = dayOfPath(parseEntry(l)._1._1); d >= lo && d <= hi }
+        val m = manifestOfLines(snap.schemaJson, inLines)
+        snap.schemaJson match {
           case Some(sj) if m.files.forall(_._2 >= 0) =>
-            if (inRange.isEmpty) {
+            if (m.files.isEmpty) {
               // no file can match: the schema rides in the manifest, so an
               // empty frame costs O(1) — never a relation over the whole
               // live list just to keep the schema (review r13)
@@ -733,12 +1013,14 @@ class Graft(spark: SparkSession, root: String,
                 .add("bucket_day", IntegerType, nullable = false)
               spark.createDataFrame(
                 java.util.Collections.emptyList[org.apache.spark.sql.Row](), full)
-            } else ManifestRelation.frame(spark, path, inRange, sj, m.stats,
+            } else ManifestRelation.frame(spark, path, m.files, sj, m.stats,
               m.dicts)
           case _ =>
             // v1 manifest (no schema): fall back to footer inference; an
             // empty range plans the full list so the frame keeps a schema
-            val planFiles = if (inRange.nonEmpty) inRange else m.files
+            val planFiles =
+              if (m.files.nonEmpty) m.files
+              else snapshotManifest(space, pinned).files
             spark.read.option("basePath", path).option("mergeSchema", "true")
               .parquet(planFiles.map(f => s"$path/${f._1}"): _*)
         }
@@ -1044,6 +1326,88 @@ class Graft(spark: SparkSession, root: String,
                       endMs: Long): Option[PointsTable] =
     table(space, startMs, endMs, pinned = Some(snapshot))
 
+  /** Store-level CDC (r14, manifest mode): the logical row-level diff
+    * between two committed snapshots — one row per (series, time) whose
+    * merged value differs, with `change` ∈ added / removed / changed and
+    * both values. This is the frame an incremental consumer (index
+    * rebuild, downstream sync) reads instead of rescanning the store —
+    * the Delta change-data-feed shape, composed from [[readAt]] + the
+    * LWW merge the reads already apply, so "change" means what a reader
+    * would actually observe (an overwrite that lands the same value is
+    * NOT a change; a compaction is pure physical rewrite and yields zero
+    * rows).
+    *
+    * Scale shape: bucket days whose `#seg` reference is IDENTICAL in both
+    * snapshots are bit-identical physical content and are skipped without
+    * fetching anything — the manifest-list indirection makes the diff's
+    * read cost proportional to the buckets that CHANGED, and the join
+    * shuffles only those buckets' rows.
+    */
+  def changes(fromSnap: Long, toSnap: Long, space: String = "default"): DataFrame = {
+    require(manifest, "changes is a manifest-mode operation (manifest = true)")
+    val have = snapshots(space)
+    Seq(fromSnap, toSnap).foreach(s => require(have.contains(s),
+      s"snapshot $s does not exist (have: ${have.mkString(", ")})"))
+    require(fromSnap <= toSnap,
+      s"changes requires fromSnap <= toSnap (got $fromSnap > $toSnap)")
+    val (mfs, mdir) = fsOf(manifestPath(space))
+    val stF = readSnapState(mfs, mdir, fromSnap)
+    val stT = readSnapState(mfs, mdir, toSnap)
+    def daysOf(st: SnapState): Map[Long, Option[String]] =
+      st.segs.map(s => s.day -> Some(s.name)).toMap ++
+        // legacy inline entries: day present with no reusable identity
+        st.inline.map(l => dayOfPath(parseEntry(l)._1._1) -> None).toMap
+    val (df, dt) = (daysOf(stF), daysOf(stT))
+    // a day is UNCHANGED iff both snapshots reference the same immutable
+    // segment file; anything else (differing refs, one-sided, inline) is
+    // a candidate and gets diffed row-level
+    val changedDays = (df.keySet ++ dt.keySet).filter { d =>
+      (df.get(d), dt.get(d)) match {
+        case (Some(Some(a)), Some(Some(b))) => a != b
+        case (a, b) => a != b
+      }
+    }.toSeq.sorted
+    val g = granularityOf(space)
+    val (startMs, endMs) =
+      if (changedDays.isEmpty) (0L, 1L) // nothing differs: cheap empty reads
+      else (changedDays.min * Det.MsInDay, (changedDays.max + g) * Det.MsInDay)
+    val matchAll = """{"match_all":{}}"""
+    val before0 = readAt(fromSnap, matchAll, space, startMs, endMs)
+    val after0 = readAt(toSnap, matchAll, space, startMs, endMs)
+    // exact-day membership (the window can cover unchanged days between
+    // min and max): time_ms -> bucket day, floor semantics like the writer
+    def dayCol(c: Column): Column =
+      (floor(floor(c / lit(Det.MsInDay.toDouble)) / g) * g).cast("long")
+    val dayFilter: Column => Column =
+      if (changedDays.isEmpty) _ => lit(false)
+      else c => dayCol(c).isin(changedDays: _*)
+    val tags = (before0.columns ++ after0.columns).distinct
+      .filterNot(c => c == "time_ms" || c == "value").sorted
+    def typeOf(c: String): org.apache.spark.sql.types.DataType =
+      before0.schema.fields.find(_.name == c)
+        .orElse(after0.schema.fields.find(_.name == c)).get.dataType
+    def norm(d: DataFrame, valueAs: String): DataFrame =
+      d.where(dayFilter(col("time_ms"))).select(
+        tags.map(c =>
+          (if (d.columns.contains(c)) col(c)
+           else lit(null).cast(typeOf(c))).as(c)) ++
+          Seq(col("time_ms"), col("value").as(valueAs)): _*)
+    val b = norm(before0, "old_value")
+    val a = norm(after0, "new_value")
+    val cond = tags.map(c => b(c) <=> a(c))
+      .foldLeft(b("time_ms") === a("time_ms"))(_ && _)
+    b.join(a, cond, "full_outer")
+      .select(tags.map(c => coalesce(b(c), a(c)).as(c)) ++ Seq(
+        coalesce(b("time_ms"), a("time_ms")).as("time_ms"),
+        b("old_value").as("old_value"), a("new_value").as("new_value"),
+        when(b("old_value").isNull, "added")
+          .when(a("new_value").isNull, "removed")
+          .otherwise("changed").as("change")): _*)
+      .where(col("old_value").isNull || col("new_value").isNull ||
+        col("old_value") =!= col("new_value"))
+      .orderBy(tags.map(col) :+ col("time_ms"): _*)
+  }
+
   /** `/read` in the reference's response shape: one row per series with its
     * tags and the time-sorted `[time_ms, value]` point array (README
     * "series"/"points"). The relational [[read]] is the analytical form;
@@ -1318,8 +1682,11 @@ class Graft(spark: SparkSession, root: String,
     mutationLock(space).synchronized {
       val path = spacePath(space)
       val (fs, dir) = fsOf(path)
-      // leftover tmp dirs from a crashed run: no snapshot references them
-      fs.listStatus(dir).filter(_.getPath.getName.startsWith(TmpPrefix))
+      // leftover compaction/append staging dirs from a crashed run: no
+      // snapshot references them
+      fs.listStatus(dir).filter(st =>
+          st.getPath.getName.startsWith(TmpPrefix) ||
+          st.getPath.getName.startsWith(AppendTmpPrefix))
         .foreach(st => fs.delete(st.getPath, true))
       bootstrapManifest(space) // adopt a pre-manifest store
       val live = snapshotManifest(space, None)
@@ -1447,6 +1814,25 @@ class Graft(spark: SparkSession, root: String,
     dropped.map(_._2).sorted
   }
 
+  /** One pass of the compaction daemon (r14): for every space whose
+    * [[fragmentation]] report shows a bucket past `maxFilesPerBucket` (or
+    * still carrying write-sequence stamps — one stamped file anywhere
+    * keeps the merge window on every read), run [[compact]]. Each space's
+    * rewrite serializes on its mutation lock like any mutation; in
+    * manifest mode the swap is a commit and readers never retry. Returns
+    * the per-space compaction reports (spaces left untouched are absent).
+    */
+  def compactionSweep(maxFilesPerBucket: Int = 8,
+                      targetBytes: Long = 128L * 1024 * 1024)
+      : Map[String, Seq[(Long, Int, Int)]] =
+    spaces().flatMap { sp =>
+      val frag = fragmentation(sp)
+      if (frag.exists(b => b._2 > maxFilesPerBucket || b._4)) {
+        val done = compact(sp, targetBytes)
+        if (done.nonEmpty) Some(sp -> done) else None
+      } else None
+    }.toMap
+
   /** Config-driven retention: apply every `keep_days` configured per space
     * (Graft.Config / `spaces.<name>.keep_days`) through [[remove]] — the
     * scheduled sweep the reference runs per-request (orestes-remover.js:19
@@ -1477,7 +1863,9 @@ object Graft {
   case class Config(port: Int, spaceGranularity: Map[String, Int],
                     spaceKeepDays: Map[String, Int] = Map.empty,
                     continuousIngest: Boolean = false,
-                    manifestSnapshots: Boolean = false)
+                    manifestSnapshots: Boolean = true,
+                    compactionSweepMinutes: Int = 60,
+                    compactionMaxFiles: Int = 8)
 
   /** Parse a reference-shaped config file. Read through the Hadoop
     * FileSystem like all store maintenance — the config can live next to
@@ -1507,12 +1895,22 @@ object Graft {
     // streaming path (Graft.writeSpooled)
     val continuous = node.has("continuous_ingest") &&
       node.get("continuous_ingest").asBoolean(false)
-    // graft extension: top-level `"manifest_snapshots": true` turns on the
-    // manifest/snapshot storage mode (see the manifest block in [[Graft]])
-    val manifestSnapshots = node.has("manifest_snapshots") &&
-      node.get("manifest_snapshots").asBoolean(false)
+    // manifest/snapshot storage is the served DEFAULT since r14 (it
+    // removes the plain layout's reads-racing-compaction retry contract;
+    // bootstrapManifest adopts a pre-existing plain store on first
+    // touch). `"manifest_snapshots": false` keeps the plain layout — the
+    // documented fallback for operators who want bucket dirs to stay the
+    // whole story on disk.
+    val manifestSnapshots = !node.has("manifest_snapshots") ||
+      node.get("manifest_snapshots").asBoolean(true)
+    // graft extension: the standing compaction sweep's cadence and
+    // trigger (bucket file count); <= 0 disables the daemon
+    val sweepMin = if (node.has("compaction_sweep_minutes"))
+      node.get("compaction_sweep_minutes").asInt(60) else 60
+    val sweepMaxFiles = if (node.has("compaction_max_files"))
+      node.get("compaction_max_files").asInt(8) else 8
     Config(port, perSpace("table_granularity_days"), perSpace("keep_days"),
-      continuous, manifestSnapshots)
+      continuous, manifestSnapshots, sweepMin, sweepMaxFiles)
   }
 
   /** Boot a store from the reference's own config file (orestes.js:62 reads
@@ -1534,6 +1932,11 @@ object Graft {
 
   /** Crashed-compaction tmp dirs: `_`-prefixed so Spark ignores them. */
   private[tsdb] val TmpPrefix = "_compact_tmp_"
+
+  /** Manifest-mode append staging dirs (r14): `_`-prefixed like
+    * [[TmpPrefix]]; a crash leaves one behind, invisible to every reader,
+    * swept by vacuum/compaction cleanup. */
+  private[tsdb] val AppendTmpPrefix = "_append_tmp_"
 
   // ---- driver-side point validation for the queued write path ------------
   //
@@ -1650,4 +2053,9 @@ object Graft {
   /** Per-file tag-dictionary cap: columns with more distinct values in a
     * file record no dictionary (and never prune). */
   private[tsdb] val DictMax = 32
+
+  /** Consecutive lost commit-claim races before a manifest commit gives
+    * up — far above anything but a pathological committer storm (each
+    * loss means another PROCESS landed a commit in the window). */
+  private[tsdb] val MaxCommitRetries = 50
 }

@@ -374,16 +374,21 @@ class ManifestSpec extends SparkTestBase {
     assert(full.collect().length == 4)
     assert(scannedFiles(full) == 4)
 
-    // v2-compat: strip the zone-map columns from the newest manifest (an
-    // r13-early snapshot shape) — reads stay correct, just unpruned
+    // v2-compat: rewrite the newest snapshot as a LEGACY INLINE manifest
+    // (r13-early shape: schema header + bare path\tsize lines, no zone
+    // maps, no segment refs) — reads stay correct, just unpruned
     val mdirFs = new java.io.File(s"$root/.manifest/default")
-    val newest = mdirFs.listFiles().filter(_.getName.startsWith("m"))
+    val newest = mdirFs.listFiles().filter(f =>
+        f.getName.startsWith("m") && f.getName.tail.forall(_.isDigit))
       .maxBy(_.getName.stripPrefix("m").toLong)
-    val v2 = scala.io.Source.fromFile(newest, "UTF-8").getLines()
-      .map { l =>
-        if (l.startsWith("#")) l
-        else l.split('\t').take(2).mkString("\t")
-      }.mkString("\n")
+    val schemaLine = scala.io.Source.fromFile(newest, "UTF-8").getLines()
+      .find(_.startsWith("#v2 ")).get
+    val inline = new java.io.File(s"$root/default").listFiles()
+      .filter(_.getName.startsWith("bucket_day=")).sortBy(_.getName)
+      .flatMap(b => b.listFiles().filter(_.getName.endsWith(".parquet"))
+        .sortBy(_.getName)
+        .map(f => s"${b.getName}/${f.getName}\t${f.length()}"))
+    val v2 = (schemaLine +: inline).mkString("\n")
     java.nio.file.Files.write(newest.toPath,
       v2.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     // the local ChecksumFileSystem keeps a .crc sibling per manifest; the
