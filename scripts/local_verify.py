@@ -91,6 +91,17 @@ def _shard_arg():
     return 0, 1
 
 
+def _only_arg():
+    """--only=a,b,c: compare only the named queries — the raised-budget
+    second pass over the heavy replay class (run the main sweep with the
+    standard budget, then re-run the leftovers alone with a bigger
+    --oracle-timeout instead of paying it everywhere)."""
+    for a in sys.argv[1:]:
+        if a.startswith("--only="):
+            return set(a.split("=", 1)[1].split(","))
+    return None
+
+
 def run_oracle(con, sql):
     """Execute an oracle query; with --oracle-timeout=SECS, interrupt a
     DuckDB query that exceeds the budget (scale rehearsals: the exhaustive
@@ -153,9 +164,10 @@ def compare():
     con = make_con()
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
     k, nsh = _shard_arg()
+    only = _only_arg()
     names = [n for i, n in enumerate(sorted(
                  n for n in os.listdir(OUT) if os.path.isdir(f"{OUT}/{n}")))
-             if i % nsh == k]
+             if i % nsh == k and (only is None or n in only)]
     width = max(len(n) for n in names)
     nok = nto = 0
     # print each verdict as it lands (flushed) — a big-SF compare runs for

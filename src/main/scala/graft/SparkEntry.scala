@@ -1273,34 +1273,68 @@ object SparkEntry {
     * (exhaustive join) and `dedup_simhash_buckets` (pigeonhole search), which
     * must return identical result sets.
     */
-  private def SimhashOracleSql: String =
+  private def SimhashOracleSql: String = {
+    // signature stage as ONE pass over the token table: 64 ±1 sums per
+    // doc (bit b of md5 nibble b/4), thresholded and packed — replaces
+    // the r13 form's 64-way row explosion (doc×token×64 rows: 2.4B at
+    // sf1, THE sf1 oracle-timeout cost; proven bit-equal at sf0.01).
+    // The b-th bit's divisor is 2^(3 - b%4), precomputed per column.
+    val sums = (0 until 64).map { b =>
+      val idx = b / 4 + 1
+      val d = 1 << (3 - b % 4)
+      s"sum(CASE WHEN (strpos('0123456789abcdef', substr(h, $idx, 1)) - 1) " +
+        s"// $d % 2 = 1 THEN 1 ELSE -1 END) AS s$b"
+    }.mkString(",\n              ")
+    val lo = (0 until 32).map(b =>
+      s"CASE WHEN s$b > 0 THEN CAST(${1L << b} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
+    val hi = (32 until 64).map(b =>
+      s"CASE WHEN s$b > 0 THEN CAST(${1L << (b - 32)} AS BIGINT) ELSE 0 END")
+      .mkString(" + ")
     s"""WITH t0 AS (SELECT doc_id, string_split($NormSql, ' ') AS toks FROM documents),
             tok AS (SELECT DISTINCT doc_id, md5(t) AS h
                     FROM (SELECT doc_id, unnest(toks) AS t FROM t0)),
-            bits AS (SELECT doc_id, b,
-                       (CAST(floor((strpos('0123456789abcdef',
-                          substr(h, CAST(b // 4 AS INT) + 1, 1)) - 1)
-                          / power(2, 3 - b % 4)) AS BIGINT) % 2 = 1) AS bit
-                     FROM tok, UNNEST(range(0, 64)) AS u(b)),
-            signs AS (SELECT doc_id, b,
-                        (CAST(sum(CASE WHEN bit THEN 1 ELSE -1 END) AS BIGINT) > 0) AS sbit
-                      FROM bits GROUP BY 1, 2),
+            sums AS (SELECT doc_id,
+              $sums
+                     FROM tok GROUP BY 1),
             packed AS (SELECT doc_id,
-                         CAST(sum(CASE WHEN sbit AND b < 32
-                           THEN (CAST(1 AS BIGINT) << CAST(b % 32 AS INT)) ELSE 0 END)
-                           AS BIGINT) AS sig_lo,
-                         CAST(sum(CASE WHEN sbit AND b >= 32
-                           THEN (CAST(1 AS BIGINT) << CAST(b % 32 AS INT)) ELSE 0 END)
-                           AS BIGINT) AS sig_hi
-                       FROM signs GROUP BY 1)
+                         CAST($lo AS BIGINT) AS sig_lo,
+                         CAST($hi AS BIGINT) AS sig_hi
+                       FROM sums)
         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                CAST(bit_count(xor(a.sig_lo, b.sig_lo))
                     + bit_count(xor(a.sig_hi, b.sig_hi)) AS BIGINT) AS hamming
         FROM packed a JOIN packed b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.sig_lo, b.sig_lo))
               + bit_count(xor(a.sig_hi, b.sig_hi)) <= 8 ORDER BY 1, 2, 3"""
+  }
 
-  def oracleSql: Map[String, String] = Map(
+  /** Force each WITH-clause CTE to materialize once (DuckDB
+    * `AS MATERIALIZED`) in the iterative/replay oracles: their round
+    * CTEs reference the shared pipeline chain from every round, and
+    * DuckDB's default inlining re-executes the whole chain per
+    * reference — the r13 sf1 ORACLE_TIMEOUT cost (pagerank: 300 s+ →
+    * 16 s materialized, same rows). Results are unchanged — this is an
+    * evaluation hint. The pattern matches only bare `name AS (` CTE
+    * headers; parenthesized column-list forms are left alone.
+    */
+  private def matCtes(sql: String): String =
+    sql.replaceAll("""(\w+)\s+AS\s+\(""", "$1 AS MATERIALIZED (")
+
+  /** The replay/exhaustive oracle class that needs [[matCtes]] at scale
+    * (every member measured at sf1: the hint is what moves them from
+    * ORACLE_TIMEOUT to minutes or better). */
+  private val MatOracles = Set(
+    "graph_pagerank", "graph_label_prop", "graph_modularity",
+    "bpe_train_chars", "ann_filtered", "ann_residual_recall",
+    "mm_phash_clusters", "dedup_embedding", "emb_knn_dist",
+    "dedup_simhash", "dedup_simhash_buckets")
+
+  def oracleSql: Map[String, String] = oracleSql0.map { case (k, v) =>
+    k -> (if (MatOracles(k)) matCtes(v) else v)
+  }
+
+  private def oracleSql0: Map[String, String] = Map(
     // ts_search: one doc per distinct series, text = sorted-tag-name
     // values space-joined ("<event_type> <user_id>"); BM25 with the
     // corpus scorers' exact rounding; the top-k cut's tie-break is the
