@@ -165,9 +165,16 @@ def compare():
     oracle = json.load(open(f"{OUT}/oracle_sql.json"))
     k, nsh = _shard_arg()
     only = _only_arg()
-    names = [n for i, n in enumerate(sorted(
-                 n for n in os.listdir(OUT) if os.path.isdir(f"{OUT}/{n}")))
+    dumped = sorted(n for n in os.listdir(OUT) if os.path.isdir(f"{OUT}/{n}"))
+    names = [n for i, n in enumerate(dumped)
              if i % nsh == k and (only is None or n in only)]
+    if not names:
+        # a typo'd --only (or one disjoint with this --shard) must say so,
+        # not die on max() of an empty sequence (code review r14)
+        missing = sorted(only - set(dumped)) if only else []
+        sys.exit(f"no queries selected (shard {k}/{nsh}"
+                 + (f", --only unknown names: {missing}" if missing else "")
+                 + ")")
     width = max(len(n) for n in names)
     nok = nto = 0
     # print each verdict as it lands (flushed) — a big-SF compare runs for

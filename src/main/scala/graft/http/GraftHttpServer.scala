@@ -373,14 +373,20 @@ class GraftHttpServer(graft: Graft, spark: org.apache.spark.sql.SparkSession,
     handleStream("/search") { (ex, node) =>
       require(node != null && node.has("q"), """body must include "q"""")
       val qn = node.get("q")
+      // BOTH body shapes go through the same analysis (lowercase, split,
+      // drop empties) — an array entry like "CPU" or "web cpu" must rank
+      // exactly as the string form would, or the two documented shapes
+      // silently rank differently (code review r14)
+      def analyze(s: String): Seq[String] =
+        s.toLowerCase(java.util.Locale.ROOT)
+          .split("\\s+").toSeq.filter(_.nonEmpty)
       val terms: Seq[String] =
         if (qn.isArray) {
           val it = qn.elements()
           val b = scala.collection.mutable.ArrayBuffer.empty[String]
-          while (it.hasNext) b += it.next().asText()
+          while (it.hasNext) b ++= analyze(it.next().asText())
           b.toSeq
-        } else qn.asText().toLowerCase(java.util.Locale.ROOT)
-          .split("\\s+").toSeq.filter(_.nonEmpty)
+        } else analyze(qn.asText())
       val k = if (node.has("k")) node.get("k").asInt(20) else 20
       require(k > 0 && k <= 10000, "k must be in [1, 10000]")
       graft.search(terms, spaceOf(ex, "/search", node), k)

@@ -30,11 +30,19 @@ import graft.tsdb.Graft
   *    shows a bucket past `compaction_max_files` (default 8) or still
   *    carrying write-sequence stamps is compacted — the maintenance the
   *    reference delegates to Cassandra's SSTable compaction, as a policy
-  *    instead of an operator chore.
+  *    instead of an operator chore. Each sweep then vacuums every space
+  *    down to `vacuum_keep_snapshots` (default 2; <= 0 disables the
+  *    vacuum half): manifest-mode compaction/retention are metadata-only,
+  *    so the daemon owns physical reclaim too — bounded disk is a boot
+  *    default, not an operator chore; the orphan grace window keeps the
+  *    sweep safe against other processes' in-flight commits.
   */
 object ServerMain {
-  /** Wire config -> store -> server (the testable core of the boot). */
-  def boot(spark: SparkSession, configPath: String, root: String): (Graft, GraftHttpServer) = {
+  /** Wire config -> store -> server (the testable core of the boot).
+    * Returns the parsed Config too — the daemons read the SAME parse the
+    * store booted from, so the two can never drift (code review r14). */
+  def boot(spark: SparkSession, configPath: String,
+           root: String): (Graft, GraftHttpServer, Graft.Config) = {
     val cfg =
       try Graft.loadConfig(spark, configPath)
       catch {
@@ -49,7 +57,7 @@ object ServerMain {
       spaceKeepDays = cfg.spaceKeepDays,
       manifest = cfg.manifestSnapshots)
     (store, new GraftHttpServer(store, spark, port = cfg.port,
-      continuousIngest = cfg.continuousIngest))
+      continuousIngest = cfg.continuousIngest), cfg)
   }
 
   def main(args: Array[String]): Unit = {
@@ -67,11 +75,7 @@ object ServerMain {
       .appName("graft-server")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val cfgForDaemons =
-      try Graft.loadConfig(spark, configPath)
-      catch { case _: java.io.FileNotFoundException =>
-        Graft.Config(Graft.DefaultPort, Map.empty) }
-    val (g, srv) = boot(spark, configPath, root)
+    val (g, srv, cfgForDaemons) = boot(spark, configPath, root)
     val port = srv.start()
     println(s"graft serving on 127.0.0.1:$port, store at $root")
     // configured retention becomes a standing hourly sweep
@@ -104,6 +108,18 @@ object ServerMain {
             done.foreach { case (sp, swaps) =>
               println(s"[graft] compacted $sp: " + swaps.map { case (d, b, a) =>
                 s"day $d $b->$a files" }.mkString(", ")) }
+            // the physical-reclaim half (code review r14): in manifest
+            // mode compaction and retention are metadata-only, so a
+            // served store must also vacuum or disk grows without bound.
+            // The default orphan grace keeps this safe against another
+            // process's in-flight commits.
+            if (cfgForDaemons.manifestSnapshots &&
+                cfgForDaemons.vacuumKeepSnapshots > 0)
+              g.spaces().foreach { sp =>
+                val freed = g.vacuum(sp, cfgForDaemons.vacuumKeepSnapshots)
+                if (freed.nonEmpty)
+                  println(s"[graft] vacuum reclaimed ${freed.size} files from $sp")
+              }
           } catch { case e: Throwable =>
             System.err.println(s"[graft] compaction sweep failed: ${e.getMessage}") },
           mins, mins, java.util.concurrent.TimeUnit.MINUTES)

@@ -36,7 +36,7 @@ object IndexStream {
     * bounded per micro-batch. */
   val NBuckets = 64
 
-  private def bucketCol(tok: Column): Column =
+  private[streaming] def bucketCol(tok: Column): Column =
     pmod(conv(substring(md5(tok), 1, 4), 16, 10).cast("long"), lit(NBuckets))
 
   /** Driver-side twin of [[bucketCol]] for restricting a query's read. */
@@ -87,11 +87,25 @@ object IndexStream {
     val query = query0.distinct
     val dl = s.read.parquet(s"$indexDir/doclen")
       .select(col("doc_id"), col("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"),
-      sum(col("dl")).as("total_tokens"))
     val buckets = query.map(bucketIdOf).distinct
     val post = s.read.parquet(s"$indexDir/postings")
       .where(col("bucket").isin(buckets: _*) && col("tok").isin(query: _*))
+    searchOn(post, dl, query, k)
+  }
+
+  /** The index-shaped BM25 scorer over an ALREADY query-restricted postings
+    * frame `(doc_id, tok, tf)` and a doc-length frame `(doc_id, dl)` —
+    * the scoring core [[search]] and [[graft.streaming.CdcIndexSync]] share,
+    * so the streamed corpus index and the CDC-maintained series index apply
+    * one rule (corpus stats derived from the index at query time, 6-decimal
+    * contribution rounding, the `score > 0` inclusion filter — all matching
+    * [[TextOps.bm25TopKOn]]). `query` must already be distinct and `post`
+    * already restricted to its terms (df is computed from `post` as given).
+    */
+  private[graft] def searchOn(post: DataFrame, dl: DataFrame,
+                              query: Seq[String], k: Int): DataFrame = {
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("total_tokens"))
     val dfreq = post.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val scored = post
       .join(broadcast(dfreq), "tok")
@@ -102,9 +116,9 @@ object IndexStream {
         col("n_docs"), col("total_tokens"))).as("dscore"))
       .select(col("doc_id"), col("dl"),
         col("dscore").cast("double").as("score"))
-      // the ONE inclusion rule all three scorers share (bm25TopKOn,
+      // the ONE inclusion rule all the scorers share (bm25TopKOn,
       // bm25Batch, here): a doc whose per-term contributions all round to
-      // 0.000000 is not a match — without this filter the streamed index
+      // 0.000000 is not a match — without this filter an index scorer
       // could surface it while the batch scorer doesn't, silently breaking
       // the row-for-row contract (ADVICE r13)
       .where(col("score") > 0)

@@ -720,7 +720,7 @@ class Graft(spark: SparkSession, root: String,
           tagCols.map(c => s"${sq(c)}, ${bq(c)}").mkString(", ") + ") AS (c, v)"
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy(col("f"), col("c")).orderBy(col("v"))
-        df.select(input_file_name().as("f"), expr(stackExpr))
+        val collected = df.select(input_file_name().as("f"), expr(stackExpr))
           .where(col("v").isNotNull)
           .distinct()
           .withColumn("__rn", row_number().over(w))
@@ -728,20 +728,27 @@ class Graft(spark: SparkSession, root: String,
           .groupBy(col("f"), col("c"))
           .agg(sort_array(collect_list(col("v"))).as("vs"))
           .collect()
-          .groupBy(r => relOf(r.getString(0)))
-          .map { case (p, rows) =>
-            p -> rows.flatMap { r =>
-              val vs = r.getSeq[String](2)
-              // DictMax+1 survivors ⇒ the cap was exceeded: record nothing
-              // for the column (unknown set, never prunes)
-              if (vs.size <= DictMax) Some(r.getString(1) -> vs) else None
-            }.toMap
-          }
+          .map(r => (relOf(r.getString(0)), r.getString(1), r.getSeq[String](2)))
+          .groupBy(_._1)
+        // three cases per (file, column): ≤ DictMax survivors = the dict;
+        // DictMax+1 = over-cap, record nothing (unknown set, never
+        // prunes); NO surviving row = every value in that file is null
+        // (incl. a column the file's schema predates) = record the EMPTY
+        // dict, which prunes any positive term/prefix on the column —
+        // dropping these entries silently lost that skip (code review r14)
+        zones.keys.map { p =>
+          val got = collected.getOrElse(p, Array.empty)
+            .map(t => t._2 -> t._3).toMap
+          p -> tagCols.flatMap { c =>
+            got.get(c) match {
+              case Some(vs) if vs.size <= DictMax => Some(c -> vs)
+              case Some(_) => None
+              case None => Some(c -> Seq.empty[String])
+            }
+          }.toMap
+        }.toMap
       }
-    // a file whose tag columns are all over-cap (or all-null) still needs
-    // its (possibly empty) dict entry absent — commitManifest handles that
-    (zones, zones.keys.map(p => p -> dicts.getOrElse(p, Map.empty))
-      .filter(_._2.nonEmpty).toMap)
+    (zones, dicts.filter(_._2.nonEmpty))
   }
 
   /** Union-merge two data schemas by field name, old field order first —
@@ -775,7 +782,8 @@ class Graft(spark: SparkSession, root: String,
     * grace: a reader pinned to an expired snapshot is the operator's trade.
     * Returns the deleted data-file paths (relative).
     */
-  def vacuum(space: String = "default", keepSnapshots: Int = 2): Seq[String] = {
+  def vacuum(space: String = "default", keepSnapshots: Int = 2,
+             orphanGraceMs: Long = Graft.DefaultOrphanGraceMs): Seq[String] = {
     require(manifest, "vacuum is a manifest-mode operation (manifest = true)")
     flushQueued(space) // queued-but-unlanded points land (and commit) first
     mutationLock(space).synchronized {
@@ -785,37 +793,65 @@ class Graft(spark: SparkSession, root: String,
       val seqs = snapshots(space)
       if (seqs.isEmpty) return Nil
       val kept = seqs.takeRight(math.max(1, keepSnapshots))
+      val expired = seqs.diff(kept)
+      // Two deletion classes (Iceberg's split, for the same reason):
+      // a file an EXPIRED snapshot owned is committed history — safe to
+      // reclaim immediately; a file NO retained snapshot references may be
+      // a crash leftover OR an in-flight commit from another process (its
+      // data/segments land BEFORE it claims m<seq+1>, and the in-process
+      // mutation lock cannot see that writer), so true orphans are only
+      // swept once older than `orphanGraceMs` (code review r14).
+      val aged: org.apache.hadoop.fs.FileStatus => Boolean =
+        st => st.getModificationTime <
+          System.currentTimeMillis() - orphanGraceMs
+      def agedFile(f: HPath): Boolean = aged(fs.getFileStatus(f))
       val referenced = kept.flatMap(readManifest(mfs, mdir, _).paths).toSet
+      val expiredOwned = expired.flatMap(readManifest(mfs, mdir, _).paths)
+        .toSet.diff(referenced)
       val doomed = listDataFiles(fs, dir).map(_._1).filterNot(referenced)
+        .filter(f => expiredOwned(f) || agedFile(new HPath(dir, f)))
       doomed.foreach { f =>
         if (!fs.delete(new HPath(dir, f), false))
           throw new java.io.IOException(s"vacuum: delete $f failed")
       }
       // drop bucket dirs vacuum emptied (retention's physical half), and
       // crashed append/compaction staging dirs (no snapshot can reference
-      // either — their files never moved into a committed segment)
+      // either — their files never moved into a committed segment).
+      // Staging dirs only past the grace: a fresh one is another process's
+      // append in flight. A bucket dir THIS sweep's expired-file deletions
+      // emptied goes now (deleting its children refreshed its mtime, so
+      // age-gating it would defer retention's physical half forever);
+      // any other empty bucket dir waits out the grace.
+      val emptiedByExpired = doomed.filter(expiredOwned)
+        .map(_.takeWhile(_ != '/')).toSet
       if (isDir(fs, dir))
         fs.listStatus(dir)
           .filter(st => st.isDirectory &&
             ((st.getPath.getName.startsWith("bucket_day=") &&
-              fs.listStatus(st.getPath).isEmpty) ||
-             st.getPath.getName.startsWith(AppendTmpPrefix) ||
-             st.getPath.getName.startsWith(TmpPrefix)))
+              fs.listStatus(st.getPath).isEmpty &&
+              (aged(st) || emptiedByExpired(st.getPath.getName))) ||
+             ((st.getPath.getName.startsWith(AppendTmpPrefix) ||
+               st.getPath.getName.startsWith(TmpPrefix)) && aged(st))))
           .foreach(st => fs.delete(st.getPath, true))
-      // crashed-commit tmps and expired manifests
-      mfs.listStatus(mdir).filter(_.getPath.getName.startsWith(".tmp-"))
-        .foreach(st => mfs.delete(st.getPath, false))
-      val expired = seqs.diff(kept)
-      expired.foreach(s => mfs.delete(new HPath(mdir, s"m$s"), false))
-      // segment GC: a `g*` segment no KEPT snapshot references is garbage
-      // — expired snapshots' private segments, or orphans from a lost
-      // commit claim / crash (kept snapshots keep their segments, so a
-      // pinned readAt within the grace window stays fully replayable)
+      // crashed-commit tmps (aged only: a fresh .tmp-m* is a commit body
+      // another process is about to claim) and expired manifests —
+      // expired snapshots' segment lists are read BEFORE their m files go
       val keptSegs = kept.flatMap(s =>
         readSnapState(mfs, mdir, s).segs.map(_.name)).toSet
+      val expiredSegs = expired.flatMap(s =>
+        readSnapState(mfs, mdir, s).segs.map(_.name)).toSet.diff(keptSegs)
+      mfs.listStatus(mdir)
+        .filter(st => st.getPath.getName.startsWith(".tmp-") && aged(st))
+        .foreach(st => mfs.delete(st.getPath, false))
+      expired.foreach(s => mfs.delete(new HPath(mdir, s"m$s"), false))
+      // segment GC, same split: an expired snapshot's private segment is
+      // reclaimable now; a segment no retained snapshot EVER referenced
+      // (lost commit claim / crash) only past the grace — it may belong
+      // to a commit that hasn't claimed its snapshot yet
       mfs.listStatus(mdir)
         .filter(st => st.getPath.getName.startsWith("g") &&
-          !keptSegs(st.getPath.getName))
+          !keptSegs(st.getPath.getName) &&
+          (expiredSegs(st.getPath.getName) || aged(st)))
         .foreach(st => mfs.delete(st.getPath, false))
       // drop pinned sqlAt views whose snapshot just expired: a stale view
       // would bypass readAt's loud check and fail mid-scan on vacuumed
@@ -1360,11 +1396,15 @@ class Graft(spark: SparkSession, root: String,
     val (df, dt) = (daysOf(stF), daysOf(stT))
     // a day is UNCHANGED iff both snapshots reference the same immutable
     // segment file; anything else (differing refs, one-sided, inline) is
-    // a candidate and gets diffed row-level
+    // a candidate and gets diffed row-level. Inline entries carry NO
+    // reusable identity, so an inline day is ALWAYS a candidate — the
+    // tempting `(a, b) => a != b` catch-all would compare two inline days
+    // as Some(None) == Some(None) and silently skip a day that really
+    // changed between two legacy snapshots (code review r14)
     val changedDays = (df.keySet ++ dt.keySet).filter { d =>
       (df.get(d), dt.get(d)) match {
         case (Some(Some(a)), Some(Some(b))) => a != b
-        case (a, b) => a != b
+        case _ => true
       }
     }.toSeq.sorted
     val g = granularityOf(space)
@@ -1585,17 +1625,23 @@ class Graft(spark: SparkSession, root: String,
     if (manifest) {
       // the report covers the LIVE set: retired-but-unvacuumed files are
       // storage overhead (vacuum's concern), not fragmentation. Byte totals
-      // ride in the manifest; the per-bucket stamp check still opens
-      // footers (the report is the compaction daemon's trigger, so
-      // per-bucket accuracy beats the store-wide manifest schema)
+      // ride in the manifest, and so does the stamp GATE: a fully-compacted
+      // store's manifest schema carries no __wseq (compactManifest
+      // recomputes it for exactly this purpose), so the standing daemon's
+      // idle sweep answers "any stamps?" from the one snapshot it already
+      // read — zero footer jobs on a converged store (code review r14).
+      // Only while the store-wide schema still has __wseq do per-bucket
+      // footer reads run, for the per-bucket accuracy the trigger needs.
       ensureManifest(space) // adopt a pre-manifest store
       val path = spacePath(space)
-      return snapshotManifest(space, None).files
+      val m = snapshotManifest(space, None)
+      val anyStamps = m.schemaJson.forall(_.contains("\"" + WseqCol + "\""))
+      return m.files
         .groupBy(_._1.takeWhile(_ != '/')).toSeq
         .map { case (bname, bfiles) =>
           val day = bname.stripPrefix("bucket_day=").toLong
           val bytes = bfiles.map(_._2).sum
-          val stamped = spark.read.option("mergeSchema", "true")
+          val stamped = anyStamps && spark.read.option("mergeSchema", "true")
             .parquet(bfiles.map(f => s"$path/${f._1}"): _*)
             .columns.contains(WseqCol)
           (day, bfiles.length, bytes, stamped)
@@ -1875,6 +1921,14 @@ class Graft(spark: SparkSession, root: String,
 }
 
 object Graft {
+  /** How old an UNREFERENCED file/segment/commit-body must be before
+    * [[Graft.vacuum]] treats it as a true orphan rather than another
+    * process's in-flight commit (data and segments land before the
+    * m<seq+1> claim). 10 minutes dwarfs any commit window while keeping
+    * crash debris from accumulating; pass `orphanGraceMs = 0` to force
+    * the old sweep-everything behavior (tests, single-process stores). */
+  val DefaultOrphanGraceMs: Long = 10 * 60 * 1000L
+
   /** The reference's config-file shape (conf/orestes-config.json): the
     * facade `port` plus per-space `spaces.<name>.table_granularity_days`.
     * The cassandra/elasticsearch blocks configure backends graft replaces
@@ -1889,7 +1943,8 @@ object Graft {
                     continuousIngest: Boolean = false,
                     manifestSnapshots: Boolean = true,
                     compactionSweepMinutes: Int = 60,
-                    compactionMaxFiles: Int = 8)
+                    compactionMaxFiles: Int = 8,
+                    vacuumKeepSnapshots: Int = 2)
 
   /** Parse a reference-shaped config file. Read through the Hadoop
     * FileSystem like all store maintenance — the config can live next to
@@ -1933,8 +1988,14 @@ object Graft {
       node.get("compaction_sweep_minutes").asInt(60) else 60
     val sweepMaxFiles = if (node.has("compaction_max_files"))
       node.get("compaction_max_files").asInt(8) else 8
+    // graft extension: snapshots the standing vacuum retains (manifest
+    // mode's physical reclaim — without it a served store's compaction +
+    // retention are metadata-only and disk grows without bound); <= 0
+    // disables the vacuum half of the maintenance sweep
+    val vacKeep = if (node.has("vacuum_keep_snapshots"))
+      node.get("vacuum_keep_snapshots").asInt(2) else 2
     Config(port, perSpace("table_granularity_days"), perSpace("keep_days"),
-      continuous, manifestSnapshots, sweepMin, sweepMaxFiles)
+      continuous, manifestSnapshots, sweepMin, sweepMaxFiles, vacKeep)
   }
 
   /** Boot a store from the reference's own config file (orestes.js:62 reads

@@ -138,8 +138,10 @@ class ManifestSpec extends SparkTestBase {
       "an uncommitted tmp manifest must not change snapshot resolution")
     assert(contentOf(g).size == 2)
 
-    // vacuum sweeps both
-    g.vacuum(keepSnapshots = 1)
+    // vacuum sweeps both — grace 0: these are FRESH fakes, and under the
+    // default grace vacuum would (correctly) leave them as possible
+    // in-flight cross-process commits
+    g.vacuum(keepSnapshots = 1, orphanGraceMs = 0)
     assert(!orphan.exists(), "vacuum reclaims unreferenced files")
     assert(!new java.io.File(mdir, ".tmp-m99").exists())
     assert(contentOf(g).size == 2)

@@ -144,7 +144,7 @@ class Round11Spec extends SparkTestBase {
           "spaces": {"default": {"table_granularity_days": 1,
                                  "keep_days": 100000}}}"""
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val (g, srv) = graft.http.ServerMain.boot(spark,
+    val (g, srv, _) = graft.http.ServerMain.boot(spark,
       cfgPath.toString, dir.resolve("store").toString)
     assert(g.configuredKeepDays == Map("default" -> 100000))
     val port = srv.start()
@@ -158,7 +158,7 @@ class Round11Spec extends SparkTestBase {
       // the configured standing retention applies through the same store
       assert(g.retentionSweep() == Map("default" -> Seq()))
       // a missing config file boots defaults instead of crashing
-      val (g2, _) = graft.http.ServerMain.boot(spark,
+      val (g2, _, _) = graft.http.ServerMain.boot(spark,
         dir.resolve("nope.json").toString, dir.resolve("store2").toString)
       assert(g2.configuredKeepDays.isEmpty)
     } finally srv.stop()

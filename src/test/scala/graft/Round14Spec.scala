@@ -114,7 +114,14 @@ class Round14Spec extends SparkTestBase {
       "bucket_day=19730/nope.parquet\t1\n".getBytes("UTF-8"))
 
     g.compact()
+    // under the DEFAULT grace a fresh orphan survives: it is
+    // indistinguishable from another process's in-flight commit (its
+    // segments land before the m<seq+1> claim), so vacuum must not race it
     g.vacuum(keepSnapshots = 1)
+    assert(mdirOf(root).listFiles().map(_.getName).contains(orphan.getName),
+      "a young orphan is protected by the grace window")
+    // grace 0 = the explicit sweep-everything mode: the orphan goes
+    g.vacuum(keepSnapshots = 1, orphanGraceMs = 0)
     val segNames = mdirOf(root).listFiles().map(_.getName)
       .filter(_.startsWith("g")).toSet
     assert(!segNames.contains(orphan.getName), "orphan segments are swept")
@@ -230,7 +237,7 @@ class Round14Spec extends SparkTestBase {
       """{"port": 0, "compaction_max_files": 2,
           "spaces": {"default": {"table_granularity_days": 1}}}"""
         .getBytes("UTF-8"))
-    val (g, srv) = graft.http.ServerMain.boot(spark,
+    val (g, srv, _) = graft.http.ServerMain.boot(spark,
       cfgPath.toString, dir.resolve("store").toString)
     val cfg = Graft.loadConfig(spark, cfgPath.toString)
     assert(cfg.manifestSnapshots, "manifest mode is the served default")
@@ -291,7 +298,7 @@ class Round14Spec extends SparkTestBase {
     // nothing re-written
     val cfgPath = dir.resolve("orestes-config.json")
     Files.write(cfgPath, """{"port": 0}""".getBytes("UTF-8"))
-    val (g, _) = graft.http.ServerMain.boot(spark, cfgPath.toString, root)
+    val (g, _, _) = graft.http.ServerMain.boot(spark, cfgPath.toString, root)
     val adopted = g.read("""{"match_all":{}}""").collect()
       .map(r => (r.getAs[Long]("time_ms"), r.getAs[Double]("value"))).toSet
     assert(adopted == before, "migration must preserve every row")
@@ -302,7 +309,7 @@ class Round14Spec extends SparkTestBase {
     Files.write(cfgPlain,
       """{"port": 0, "manifest_snapshots": false}""".getBytes("UTF-8"))
     val root2 = dir.resolve("store2").toString
-    val (g2, _) = graft.http.ServerMain.boot(spark, cfgPlain.toString, root2)
+    val (g2, _, _) = graft.http.ServerMain.boot(spark, cfgPlain.toString, root2)
     g2.write(Seq(("2024-01-09T10:00:00Z", 3.0, "s")).toDF("time", "value", "name"))
     assert(g2.snapshots().isEmpty, "plain fallback commits no snapshots")
     assert(!new java.io.File(s"$root2/.manifest").exists())
