@@ -397,6 +397,22 @@ class GraftHttpServer(graft: Graft, spark: org.apache.spark.sql.SparkSession,
         spaceOf(ex, "/delete", node))
       s"""{"dropped_buckets":${dropped.mkString("[", ",", "]")}}"""
     }
+    // time travel + CDC over the facade (r14): the storage layer's
+    // history surface reachable without a JVM — graft extensions (the
+    // reference has no storage-level history; Cassandra compaction is
+    // invisible to its API). Both are manifest-mode ops and answer 400
+    // with the store's own loud message on a plain store, an unknown
+    // snapshot, or a reversed range.
+    handle("/snapshots") { (ex, node) =>
+      graft.snapshots(spaceOf(ex, "/snapshots", node))
+        .mkString("""{"snapshots":[""", ",", "]}")
+    }
+    handleStream("/changes") { (ex, node) =>
+      require(node != null && node.has("from") && node.has("to"),
+        """body must include "from" and "to" (snapshot seqs from /snapshots)""")
+      graft.changes(node.get("from").asLong(), node.get("to").asLong(),
+        spaceOf(ex, "/changes", node))
+    }
     // a fixed pool, not the dispatch thread: one slow streaming read must
     // not block every other request (VERDICT r5 "What's wrong" #2)
     pool = Executors.newFixedThreadPool(nThreads)

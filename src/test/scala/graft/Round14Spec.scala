@@ -446,4 +446,56 @@ class Round14Spec extends SparkTestBase {
     assert(mix.map(_.getAs[Long]("n_docs")).sum == 40)
     assert(mix.map(_.getAs[String]("source")).distinct.length == mix.length)
   }
+
+  test("time travel + CDC over the facade: /snapshots lists history, /changes streams the API's own diff, misuse is a loud 400 (r14)") {
+    val root = freshRoot()
+    val g = new Graft(spark, root, manifest = true)
+    def w(rows: (String, Double, String)*) =
+      g.write(rows.toSeq.toDF("time", "value", "name"))
+    w(("2024-01-09T10:00:00Z", 1.0, "a"), ("2024-01-09T11:00:00Z", 2.0, "b"))
+    w(("2024-01-19T10:00:00Z", 3.0, "c"), // added
+      ("2024-01-09T11:00:00Z", 9.0, "b")) // overwritten (LWW)
+    val srv = new graft.http.GraftHttpServer(g, spark)
+    val port = srv.start()
+    try {
+      val (c1, b1) = post(port, "/snapshots", "")
+      assert(c1 == 200, b1)
+      val snaps = mapper.readTree(b1).get("snapshots")
+      assert((0 until snaps.size()).map(snaps.get(_).asLong()) ==
+        g.snapshots(), s"route must list the store's own history: $b1")
+      val (from, to) = (snaps.get(0).asLong(), snaps.get(snaps.size() - 1).asLong())
+
+      val (c2, b2) = post(port, "/changes", s"""{"from":$from,"to":$to}""")
+      assert(c2 == 200, b2)
+      val rows = mapper.readTree(b2).get("series")
+      val got = (0 until rows.size()).map { i =>
+        val r = rows.get(i)
+        (r.get("name").asText(), r.get("time_ms").asLong(),
+          Option(r.get("old_value")).filterNot(_.isNull).map(_.asDouble()),
+          Option(r.get("new_value")).filterNot(_.isNull).map(_.asDouble()),
+          r.get("change").asText())
+      }.toSet
+      val api = g.changes(from, to).collect().map(r =>
+        (r.getAs[String]("name"), r.getAs[Long]("time_ms"),
+          Option(r.getAs[java.lang.Double]("old_value")).map(_.toDouble),
+          Option(r.getAs[java.lang.Double]("new_value")).map(_.toDouble),
+          r.getAs[String]("change"))).toSet
+      assert(got == api, s"route must stream the API's own change feed: $got")
+      assert(got.map(_._5) == Set("added", "changed"))
+
+      // misuse is loud, not a 500: missing body, reversed range, unknown
+      // snapshot, and a plain-mode store (no snapshots to travel)
+      assert(post(port, "/changes", """{}""")._1 == 400)
+      assert(post(port, "/changes", s"""{"from":$to,"to":$from}""")._1 == 400)
+      assert(post(port, "/changes", s"""{"from":999999,"to":$to}""")._1 == 400)
+    } finally srv.stop()
+
+    val plain = new Graft(spark, root + "/plain")
+    plain.write(Seq(("2024-01-09T10:00:00Z", 1.0, "a"))
+      .toDF("time", "value", "name"))
+    val srv2 = new graft.http.GraftHttpServer(plain, spark)
+    val port2 = srv2.start()
+    try assert(post(port2, "/changes", """{"from":1,"to":2}""")._1 == 400)
+    finally srv2.stop()
+  }
 }
