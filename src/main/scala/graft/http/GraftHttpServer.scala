@@ -8,6 +8,7 @@ import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import scala.util.control.NonFatal
+import graft.streaming.CdcIndexSync
 import graft.tsdb.Graft
 
 /** Thin HTTP facade over the embedded [[Graft]] API — the reference's server
@@ -47,7 +48,8 @@ import graft.tsdb.Graft
   */
 class GraftHttpServer(graft: Graft, spark: org.apache.spark.sql.SparkSession,
                       port: Int = 0, nThreads: Int = 8,
-                      continuousIngest: Boolean = false) {
+                      continuousIngest: Boolean = false,
+                      searchIndexDir: Option[String] = None) {
   private val mapper = new ObjectMapper()
   private var server: HttpServer = _
   private var pool: java.util.concurrent.ExecutorService = _
@@ -389,7 +391,24 @@ class GraftHttpServer(graft: Graft, spark: org.apache.spark.sql.SparkSession,
         } else analyze(qn.asText())
       val k = if (node.has("k")) node.get("k").asInt(20) else 20
       require(k > 0 && k <= 10000, "k must be in [1, 10000]")
-      graft.search(terms, spaceOf(ex, "/search", node), k)
+      val space = spaceOf(ex, "/search", node)
+      searchIndexDir.map(b => s"$b/$space") match {
+        case Some(d) if _root_.graft.streaming.CdcIndexSync.committedSnap(spark, d).isDefined =>
+          // index-served (the reference's ES architecture): a
+          // postings-pruned probe whose cost tracks matching postings,
+          // not store size — the direct path below is a full
+          // distinct-series job per request, a real cost at scale.
+          // Freshness = the maintenance sweep's last sync (near-real-time,
+          // like an ES refresh interval); doc_id splits back into the
+          // indexed tag columns, with a MISSING tag rendered as "" (the
+          // tag-bag representation the scorer itself uses).
+          val tagCols = _root_.graft.streaming.CdcIndexSync.tags(spark, d)
+          _root_.graft.streaming.CdcIndexSync.search(spark, d, terms, k)
+            .select(tagCols.zipWithIndex.map { case (c, i) =>
+              element_at(split(col("doc_id"), "\u0001", -1), i + 1).as(c)
+            } :+ col("score"): _*)
+        case _ => graft.search(terms, space, k)
+      }
     }
     handle("/delete") { (ex, node) =>
       require(node != null && node.has("keep_days"), """body must include "keep_days"""")

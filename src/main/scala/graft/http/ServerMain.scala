@@ -56,9 +56,24 @@ object ServerMain {
       spaceGranularity = cfg.spaceGranularity,
       spaceKeepDays = cfg.spaceKeepDays,
       manifest = cfg.manifestSnapshots)
+    // `search_index` (manifest mode only): /search serves from the
+    // CDC-maintained series index under the store root, synced by the
+    // maintenance sweep — the reference's ES architecture (search hits an
+    // index, not the store), traded opt-in for /search freshness
+    val idxBase =
+      if (cfg.searchIndex && cfg.manifestSnapshots)
+        Some(s"$root/.search-index")
+      else None
     (store, new GraftHttpServer(store, spark, port = cfg.port,
-      continuousIngest = cfg.continuousIngest), cfg)
+      continuousIngest = cfg.continuousIngest, searchIndexDir = idxBase), cfg)
   }
+
+  /** One maintenance pass over every space's search index (build on first
+    * touch, CDC sync after) — called by the standing sweep and by specs. */
+  def searchIndexSweep(g: Graft, idxBase: String): Unit =
+    g.spaces().foreach { sp =>
+      _root_.graft.streaming.CdcIndexSync.syncOrBuild(g, s"$idxBase/$sp", sp)
+    }
 
   def main(args: Array[String]): Unit = {
     val configPath = args.lift(0).getOrElse("conf/orestes-config.json")
@@ -113,6 +128,15 @@ object ServerMain {
             // served store must also vacuum or disk grows without bound.
             // The default orphan grace keeps this safe against another
             // process's in-flight commits.
+            // the served search index rides the same sweep (its staleness
+            // bound IS the sweep cadence). Runs BEFORE vacuum: sync diffs
+            // from the index's committed snapshot, which an hour of writes
+            // plus vacuum's keep-newest-N would otherwise have expired —
+            // after sync the index sits at the newest snapshot, which
+            // vacuum always keeps (and if an operator vacuumed past the
+            // index out-of-band, sync falls back to a rebuild)
+            if (cfgForDaemons.searchIndex && cfgForDaemons.manifestSnapshots)
+              searchIndexSweep(g, s"$root/.search-index")
             if (cfgForDaemons.manifestSnapshots &&
                 cfgForDaemons.vacuumKeepSnapshots > 0)
               g.spaces().foreach { sp =>

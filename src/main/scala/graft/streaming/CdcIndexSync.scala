@@ -101,6 +101,11 @@ object CdcIndexSync {
     out.close()
   }
 
+  /** The tag-column names (sorted) the index's doc identity was built
+    * from — `search`'s doc_id splits back into values in THIS order. */
+  def tags(s: SparkSession, indexDir: String): Seq[String] =
+    readTags(s, indexDir)
+
   private def readTags(s: SparkSession, indexDir: String): Seq[String] = {
     val (fs, _) = fsOf(s, indexDir)
     val in = fs.open(new HPath(tagsFile(indexDir)))
@@ -108,6 +113,15 @@ object CdcIndexSync {
       org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
     in.close()
     body.split('\n').toSeq.filter(_.nonEmpty)
+  }
+
+  /** The daemon entry point: [[build]] on first touch, [[sync]] after —
+    * one call a standing maintenance sweep can make unconditionally. */
+  def syncOrBuild(g: Graft, indexDir: String,
+                  space: String = "default"): Long = {
+    val s = org.apache.spark.sql.SparkSession.active
+    if (committedSnap(s, indexDir).isEmpty) build(g, indexDir, space)
+    else sync(g, indexDir, space)
   }
 
   /** Tokenize docs `(doc_id, text)` and land postings + doclen for them,
@@ -216,8 +230,12 @@ object CdcIndexSync {
     if (to == from) return from
     require(to > from,
       s"index is at snapshot $from but the store's newest is $to — " +
-        "the index was built against a different store or the store was " +
-        "vacuumed past it; rebuild")
+        "the index was built against a different store; rebuild")
+    // vacuum may have expired the index's base snapshot (an out-of-band
+    // sweep, or an index left unsynced past the retention grace): no diff
+    // exists any more, so fall back to the full rebuild — a consumer
+    // whose checkpoint was truncated rereads from scratch
+    if (!snaps.contains(from)) return build(g, indexDir, space)
     cleanupAbove(s, indexDir, from)
     val ch = g.changes(from, to, space)
     val tagCols = tagColsOf(ch,

@@ -1944,7 +1944,8 @@ object Graft {
                     manifestSnapshots: Boolean = true,
                     compactionSweepMinutes: Int = 60,
                     compactionMaxFiles: Int = 8,
-                    vacuumKeepSnapshots: Int = 2)
+                    vacuumKeepSnapshots: Int = 2,
+                    searchIndex: Boolean = false)
 
   /** Parse a reference-shaped config file. Read through the Hadoop
     * FileSystem like all store maintenance — the config can live next to
@@ -1994,8 +1995,17 @@ object Graft {
     // disables the vacuum half of the maintenance sweep
     val vacKeep = if (node.has("vacuum_keep_snapshots"))
       node.get("vacuum_keep_snapshots").asInt(2) else 2
+    // graft extension: `"search_index": true` serves /search from the
+    // CDC-maintained series index (kept fresh by the maintenance sweep —
+    // near-real-time like an ES refresh) instead of a per-request
+    // distinct-series scan of the store. Opt-in: it trades read-your-
+    // writes freshness on /search for probe cost that tracks matching
+    // postings rather than store size.
+    val searchIdx = node.has("search_index") &&
+      node.get("search_index").asBoolean(false)
     Config(port, perSpace("table_granularity_days"), perSpace("keep_days"),
-      continuous, manifestSnapshots, sweepMin, sweepMaxFiles, vacKeep)
+      continuous, manifestSnapshots, sweepMin, sweepMaxFiles, vacKeep,
+      searchIdx)
   }
 
   /** Boot a store from the reference's own config file (orestes.js:62 reads

@@ -498,4 +498,62 @@ class Round14Spec extends SparkTestBase {
     try assert(post(port2, "/changes", """{"from":1,"to":2}""")._1 == 400)
     finally srv2.stop()
   }
+
+  test("served search index: /search answers from the CDC-maintained index when configured — stale until the sweep, rank-identical after it, rebuilt if vacuumed past (r14)") {
+    val dir = Files.createTempDirectory(Paths.get("target"), "graft-sidx")
+    val root = s"$dir/store"
+    val idxBase = s"$root/.search-index"
+    val cfgPath = Paths.get(s"$dir/cfg.json")
+    Files.write(cfgPath,
+      """{"port": 0, "search_index": true}""".getBytes("UTF-8"))
+    val (g, srv, cfg) = graft.http.ServerMain.boot(spark, cfgPath.toString, root)
+    assert(cfg.searchIndex && cfg.manifestSnapshots)
+    val port = srv.start()
+    try {
+      def w(rows: (String, Double, String)*) =
+        g.write(rows.toSeq.toDF("time", "value", "name"))
+      def hits(q: String): Seq[(String, Double)] = {
+        val (c, b) = post(port, "/search", s"""{"q": "$q", "k": 10}""")
+        assert(c == 200, b)
+        val rows = mapper.readTree(b).get("series")
+        (0 until rows.size()).map(i => (rows.get(i).get("name").asText(),
+          rows.get(i).get("score").asDouble()))
+      }
+      w(("2024-01-09T10:00:00Z", 1.0, "alpha"),
+        ("2024-01-09T11:00:00Z", 2.0, "beta"))
+      // before the first sweep there IS no index: /search falls back to
+      // the direct scan (never a cold-start outage)
+      assert(hits("alpha").map(_._1) == Seq("alpha"))
+
+      // sweep builds the index; /search now serves FROM it —
+      // rank- and score-identical to the store scan
+      graft.http.ServerMain.searchIndexSweep(g, idxBase)
+      val viaIndex = hits("alpha")
+      val direct = g.search(Seq("alpha"), k = 10).collect()
+        .map(r => (r.getAs[String]("name"), r.getAs[Double]("score"))).toSeq
+      assert(viaIndex == direct,
+        s"index-served /search diverges: $viaIndex vs $direct")
+
+      // the freshness model is the sweep cadence: a new series is
+      // INVISIBLE to the index-served route until the next sweep (this
+      // also proves the route really reads the index, not the store)
+      w(("2024-01-09T12:00:00Z", 3.0, "gamma"))
+      g.flushQueued()
+      assert(hits("gamma").isEmpty,
+        "a not-yet-synced series must not surface from the index")
+      assert(g.search(Seq("gamma"), k = 10).count() == 1)
+      graft.http.ServerMain.searchIndexSweep(g, idxBase)
+      assert(hits("gamma").map(_._1) == Seq("gamma"))
+
+      // an operator vacuuming past the index's base snapshot does not
+      // wedge the sweep: sync falls back to a rebuild
+      w(("2024-01-09T13:00:00Z", 4.0, "delta"))
+      w(("2024-01-09T14:00:00Z", 5.0, "delta"))
+      g.flushQueued()
+      g.vacuum(keepSnapshots = 1, orphanGraceMs = 0)
+      graft.http.ServerMain.searchIndexSweep(g, idxBase)
+      assert(hits("delta").map(_._1) == Seq("delta"))
+      assert(hits("alpha").map(_._1) == Seq("alpha"))
+    } finally srv.stop()
+  }
 }
