@@ -66,6 +66,13 @@ def make_con():
     con = duckdb.connect()
     if os.environ.get("GRAFT_DUCK_THREADS"):
         con.execute(f"SET threads={int(os.environ['GRAFT_DUCK_THREADS'])}")
+    if os.environ.get("GRAFT_DUCK_MEM"):
+        # big-SF rehearsals: cap the oracle's memory so a heavy replay
+        # spills to disk instead of OOM-killing the box (r14: dedup_simhash
+        # at sf1 reached 108 GiB RSS and con.interrupt() couldn't land
+        # mid-allocation — the 300s watchdog needs the query to stay alive)
+        con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCK_MEM']}'")
+        con.execute("SET temp_directory='/tmp/graft_duck_spill'")
     for t in TABLES:
         p = f"{SF}/{t}.parquet"
         if os.path.exists(p):

@@ -70,6 +70,29 @@ class GraftHttpServer(graft: Graft, spark: org.apache.spark.sql.SparkSession,
   private def textOr(node: JsonNode, key: String, dflt: String): String =
     if (node != null && node.has(key)) node.get(key).asText() else dflt
 
+  /** Per-index cache of (committed marker, tag columns) for the
+    * index-served /search hot path — without it every request pays three
+    * driver-side FS round trips (marker listing, tags file, marker again)
+    * before any Spark work, a real latency tax on object stores. The
+    * short TTL adds staleness well under the sweep cadence that already
+    * bounds the route's freshness; entries are (deadline, committed, tags).
+    */
+  private val SearchIdxTtlMs = 5000L
+  private val searchIdxCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Seq[String])]()
+  private def searchIdxMeta(d: String): (Long, Seq[String]) = {
+    val now = System.currentTimeMillis()
+    val hit = searchIdxCache.get(d)
+    if (hit != null && hit._1 > now) (hit._2, hit._3)
+    else {
+      val committed = CdcIndexSync.committedSnap(spark, d).getOrElse(
+        throw new IllegalStateException(s"no committed index at $d"))
+      val tags = CdcIndexSync.tags(spark, d)
+      searchIdxCache.put(d, (now + SearchIdxTtlMs, committed, tags))
+      (committed, tags)
+    }
+  }
+
   /** Routes that fall outside the reference's table (orestes.js:69-222) are
     * a 404, not a best-effort parse.
     */
@@ -391,23 +414,34 @@ class GraftHttpServer(graft: Graft, spark: org.apache.spark.sql.SparkSession,
         } else analyze(qn.asText())
       val k = if (node.has("k")) node.get("k").asInt(20) else 20
       require(k > 0 && k <= 10000, "k must be in [1, 10000]")
+      // ONE validation rule for both serving paths: an empty query must
+      // 400 identically whether or not the index is configured
+      require(terms.nonEmpty, "search needs at least one term")
       val space = spaceOf(ex, "/search", node)
+      def direct() = graft.search(terms, space, k)
       searchIndexDir.map(b => s"$b/$space") match {
-        case Some(d) if _root_.graft.streaming.CdcIndexSync.committedSnap(spark, d).isDefined =>
+        case Some(d) =>
           // index-served (the reference's ES architecture): a
           // postings-pruned probe whose cost tracks matching postings,
           // not store size — the direct path below is a full
           // distinct-series job per request, a real cost at scale.
           // Freshness = the maintenance sweep's last sync (near-real-time,
-          // like an ES refresh interval); doc_id splits back into the
-          // indexed tag columns, with a MISSING tag rendered as "" (the
-          // tag-bag representation the scorer itself uses).
-          val tagCols = _root_.graft.streaming.CdcIndexSync.tags(spark, d)
-          _root_.graft.streaming.CdcIndexSync.search(spark, d, terms, k)
-            .select(tagCols.zipWithIndex.map { case (c, i) =>
-              element_at(split(col("doc_id"), "\u0001", -1), i + 1).as(c)
-            } :+ col("score"): _*)
-        case _ => graft.search(terms, space, k)
+          // like an ES refresh interval). Two documented shape trades vs
+          // the direct path: doc_id splits back into the indexed tag
+          // columns, so every tag serializes as a STRING and a missing
+          // tag renders as "" (the tag-bag representation the scorer
+          // itself uses) — typed-tag clients should keep the direct path.
+          // Any index-side failure (no index yet; a sweep REBUILD wiping
+          // the dir between our probe and the read) falls back to the
+          // direct scan: the index is an accelerator, never an outage.
+          try {
+            val (committed, tagCols) = searchIdxMeta(d)
+            CdcIndexSync.search(spark, d, terms, k, Some(committed))
+              .select(tagCols.zipWithIndex.map { case (c, i) =>
+                element_at(split(col("doc_id"), "\u0001", -1), i + 1).as(c)
+              } :+ col("score"): _*)
+          } catch { case NonFatal(_) => direct() }
+        case None => direct()
       }
     }
     handle("/delete") { (ex, node) =>
@@ -419,12 +453,17 @@ class GraftHttpServer(graft: Graft, spark: org.apache.spark.sql.SparkSession,
     // time travel + CDC over the facade (r14): the storage layer's
     // history surface reachable without a JVM — graft extensions (the
     // reference has no storage-level history; Cassandra compaction is
-    // invisible to its API). Both are manifest-mode ops and answer 400
-    // with the store's own loud message on a plain store, an unknown
-    // snapshot, or a reversed range.
+    // invisible to its API). /changes answers 400 with the store's own
+    // loud message on a plain store, an unknown snapshot, or a reversed
+    // range; /snapshots is a LISTING (an empty array on a plain or
+    // never-written store, like snapshots() itself). It flushes the
+    // write queue first — the advertised write -> /snapshots -> /changes
+    // workflow must see the caller's own acked points (read-your-writes,
+    // the rule every read route follows).
     handle("/snapshots") { (ex, node) =>
-      graft.snapshots(spaceOf(ex, "/snapshots", node))
-        .mkString("""{"snapshots":[""", ",", "]}")
+      val space = spaceOf(ex, "/snapshots", node)
+      graft.flushQueued(space)
+      graft.snapshots(space).mkString("""{"snapshots":[""", ",", "]}")
     }
     handleStream("/changes") { (ex, node) =>
       require(node != null && node.has("from") && node.has("to"),

@@ -108,45 +108,50 @@ object ServerMain {
           1, 60, java.util.concurrent.TimeUnit.MINUTES)
         Some(ex)
       } else None
-    // the compaction half (r14): a standing sweep that converges
-    // fragmented buckets to the target file count and retires merge
-    // stamps, on the same mutation lock every write takes — readers
-    // never see it (manifest mode) or retry by contract (plain mode)
+    // the maintenance daemon (r14): compaction, search-index sync, and
+    // vacuum share one standing sweep. Each half is independently gated
+    // by ITS OWN config (review r14: nesting them under the compaction
+    // gate made `search_index: true, compaction_sweep_minutes: 0` a
+    // silently-stale index and disabled reclaim), each half's failure is
+    // isolated (one space's broken index must not stop another space's
+    // vacuum), and the halves run in dependency order: compaction commits
+    // snapshots, index sync diffs up to the newest one, vacuum runs LAST
+    // so the sync's diff-base snapshot still exists when sync needs it.
+    val wantCompact = cfgForDaemons.compactionSweepMinutes > 0
+    val wantIndex = cfgForDaemons.searchIndex && cfgForDaemons.manifestSnapshots
+    val wantVacuum = cfgForDaemons.manifestSnapshots &&
+      cfgForDaemons.vacuumKeepSnapshots > 0
     val compactor =
-      if (cfgForDaemons.compactionSweepMinutes > 0) {
-        val mins = cfgForDaemons.compactionSweepMinutes.toLong
+      if (wantCompact || wantIndex || wantVacuum) {
+        val mins = if (wantCompact) cfgForDaemons.compactionSweepMinutes.toLong
+                   else 60L
         val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor(
-          r => { val t = new Thread(r, "graft-compaction"); t.setDaemon(true); t })
-        ex.scheduleAtFixedRate(() =>
-          try {
+          r => { val t = new Thread(r, "graft-maintenance"); t.setDaemon(true); t })
+        def half(what: String)(body: => Unit): Unit =
+          try body
+          catch { case e: Throwable =>
+            System.err.println(s"[graft] $what sweep failed: ${e.getMessage}") }
+        ex.scheduleAtFixedRate(() => {
+          if (wantCompact) half("compaction") {
             val done = g.compactionSweep(cfgForDaemons.compactionMaxFiles)
             done.foreach { case (sp, swaps) =>
               println(s"[graft] compacted $sp: " + swaps.map { case (d, b, a) =>
                 s"day $d $b->$a files" }.mkString(", ")) }
-            // the physical-reclaim half (code review r14): in manifest
-            // mode compaction and retention are metadata-only, so a
-            // served store must also vacuum or disk grows without bound.
-            // The default orphan grace keeps this safe against another
-            // process's in-flight commits.
-            // the served search index rides the same sweep (its staleness
-            // bound IS the sweep cadence). Runs BEFORE vacuum: sync diffs
-            // from the index's committed snapshot, which an hour of writes
-            // plus vacuum's keep-newest-N would otherwise have expired —
-            // after sync the index sits at the newest snapshot, which
-            // vacuum always keeps (and if an operator vacuumed past the
-            // index out-of-band, sync falls back to a rebuild)
-            if (cfgForDaemons.searchIndex && cfgForDaemons.manifestSnapshots)
-              searchIndexSweep(g, s"$root/.search-index")
-            if (cfgForDaemons.manifestSnapshots &&
-                cfgForDaemons.vacuumKeepSnapshots > 0)
-              g.spaces().foreach { sp =>
-                val freed = g.vacuum(sp, cfgForDaemons.vacuumKeepSnapshots)
-                if (freed.nonEmpty)
-                  println(s"[graft] vacuum reclaimed ${freed.size} files from $sp")
-              }
-          } catch { case e: Throwable =>
-            System.err.println(s"[graft] compaction sweep failed: ${e.getMessage}") },
-          mins, mins, java.util.concurrent.TimeUnit.MINUTES)
+          }
+          if (wantIndex) g.spaces().foreach { sp =>
+            half(s"search-index $sp") {
+              _root_.graft.streaming.CdcIndexSync
+                .syncOrBuild(g, s"$root/.search-index/$sp", sp)
+            }
+          }
+          if (wantVacuum) g.spaces().foreach { sp =>
+            half(s"vacuum $sp") {
+              val freed = g.vacuum(sp, cfgForDaemons.vacuumKeepSnapshots)
+              if (freed.nonEmpty)
+                println(s"[graft] vacuum reclaimed ${freed.size} files from $sp")
+            }
+          }
+        }, mins, mins, java.util.concurrent.TimeUnit.MINUTES)
         Some(ex)
       } else None
     sys.addShutdownHook {

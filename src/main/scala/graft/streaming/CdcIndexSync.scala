@@ -228,14 +228,12 @@ object CdcIndexSync {
         s"snapshot $from — the index was built against a different store")
     val to = snaps.max
     if (to == from) return from
-    require(to > from,
-      s"index is at snapshot $from but the store's newest is $to — " +
-        "the index was built against a different store; rebuild")
-    // vacuum may have expired the index's base snapshot (an out-of-band
-    // sweep, or an index left unsynced past the retention grace): no diff
-    // exists any more, so fall back to the full rebuild — a consumer
-    // whose checkpoint was truncated rereads from scratch
-    if (!snaps.contains(from)) return build(g, indexDir, space)
+    // two no-diff-exists states, both resolved by the full rebuild (a
+    // consumer whose checkpoint was truncated rereads from scratch):
+    // vacuum expired the index's base snapshot, or the store's history
+    // RESTARTED below it (space wiped and re-created — the maintenance
+    // sweep must recover, not wedge every later space's pass)
+    if (to < from || !snaps.contains(from)) return build(g, indexDir, space)
     cleanupAbove(s, indexDir, from)
     val ch = g.changes(from, to, space)
     val tagCols = tagColsOf(ch,
@@ -273,8 +271,10 @@ object CdcIndexSync {
     * row for row; `doc_id` is the \u0001-joined tag string.
     */
   def search(s: SparkSession, indexDir: String, query0: Seq[String],
-             k: Int = 20): DataFrame = {
-    val committed = committedSnap(s, indexDir).getOrElse(
+             k: Int = 20, committedAt: Option[Long] = None): DataFrame = {
+    // committedAt: a caller that already resolved the marker (the facade's
+    // per-request cache) passes it to skip this listing on the hot path
+    val committed = committedAt.orElse(committedSnap(s, indexDir)).getOrElse(
       throw new IllegalStateException(
         s"no committed index at $indexDir — run build first"))
     val query = query0.distinct
