@@ -1328,7 +1328,19 @@ object SparkEntry {
     "graph_pagerank", "graph_label_prop", "graph_modularity",
     "bpe_train_chars", "ann_filtered", "ann_residual_recall",
     "mm_phash_clusters", "dedup_embedding", "emb_knn_dist",
-    "dedup_simhash", "dedup_simhash_buckets")
+    "dedup_simhash", "dedup_simhash_buckets",
+    // the trained-classifier family has the same pathology in its 8
+    // unrolled GD-round CTEs (each round references the shared feature
+    // pipeline; inlined, DuckDB re-executes it per reference) — measured
+    // at sf1: quality_score 300 s+ inlined -> 2.1 s materialized, same
+    // rows. corpus_yield chains the dedup pipeline stages the same way.
+    // The two ann training replays (ann_ivf_rebalance, ann_ivfpq_residual)
+    // are deliberately NOT here: materializing their vector CTEs grows
+    // memory past what the box can spill (measured: 90 GB and climbing at
+    // sf1) while the inlined form passes — the hint is per-oracle, not
+    // a blanket (r14 rehearsal).
+    "quality_train", "quality_score", "quality_eval", "quality_gate",
+    "quality_calibration", "quality_threshold_sweep", "corpus_yield")
 
   def oracleSql: Map[String, String] = oracleSql0.map { case (k, v) =>
     k -> (if (MatOracles(k)) matCtes(v) else v)

@@ -70,27 +70,23 @@ class GraftHttpServer(graft: Graft, spark: org.apache.spark.sql.SparkSession,
   private def textOr(node: JsonNode, key: String, dflt: String): String =
     if (node != null && node.has(key)) node.get(key).asText() else dflt
 
-  /** Per-index cache of (committed marker, tag columns) for the
-    * index-served /search hot path — without it every request pays three
-    * driver-side FS round trips (marker listing, tags file, marker again)
-    * before any Spark work, a real latency tax on object stores. The
-    * short TTL adds staleness well under the sweep cadence that already
-    * bounds the route's freshness; entries are (deadline, committed, tags).
+  /** Per-index tag-column cache for the index-served /search hot path.
+    * The commit MARKER is re-read every request (one cheap listing — it
+    * is what makes a just-finished sweep visible immediately, the
+    * "rank-identical after the sweep" contract); the TAGS file only
+    * changes when a rebuild advances the marker, so it caches keyed by
+    * (dir, committed) — cutting the per-request driver-side FS round
+    * trips from three to one without ANY added staleness (a TTL here
+    * measurably served the pre-sweep index to post-sweep requests).
     */
-  private val SearchIdxTtlMs = 5000L
-  private val searchIdxCache =
-    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Seq[String])]()
+  private val searchIdxTags =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[String]]()
   private def searchIdxMeta(d: String): (Long, Seq[String]) = {
-    val now = System.currentTimeMillis()
-    val hit = searchIdxCache.get(d)
-    if (hit != null && hit._1 > now) (hit._2, hit._3)
-    else {
-      val committed = CdcIndexSync.committedSnap(spark, d).getOrElse(
-        throw new IllegalStateException(s"no committed index at $d"))
-      val tags = CdcIndexSync.tags(spark, d)
-      searchIdxCache.put(d, (now + SearchIdxTtlMs, committed, tags))
-      (committed, tags)
-    }
+    val committed = CdcIndexSync.committedSnap(spark, d).getOrElse(
+      throw new IllegalStateException(s"no committed index at $d"))
+    val tags = searchIdxTags.computeIfAbsent((d, committed),
+      _ => CdcIndexSync.tags(spark, d))
+    (committed, tags)
   }
 
   /** Routes that fall outside the reference's table (orestes.js:69-222) are
