@@ -461,6 +461,17 @@ class GraftHttpServer(graft: Graft, spark: org.apache.spark.sql.SparkSession,
       graft.flushQueued(space)
       graft.snapshots(space).mkString("""{"snapshots":[""", ",", "]}")
     }
+    // explicit physical reclaim (manifest mode): what the maintenance
+    // daemon runs on its cadence, triggerable by an operator — keep the
+    // newest N snapshots, sweep the rest (expired files immediately,
+    // true orphans past the grace). 400 on a plain store, like /changes.
+    handle("/vacuum") { (ex, node) =>
+      val keep = if (node != null && node.has("keep_snapshots"))
+        node.get("keep_snapshots").asInt() else 2
+      require(keep >= 1, "keep_snapshots must be >= 1")
+      val freed = graft.vacuum(spaceOf(ex, "/vacuum", node), keep)
+      s"""{"reclaimed_files":${freed.size}}"""
+    }
     handleStream("/changes") { (ex, node) =>
       require(node != null && node.has("from") && node.has("to"),
         """body must include "from" and "to" (snapshot seqs from /snapshots)""")

@@ -488,6 +488,16 @@ class Round14Spec extends SparkTestBase {
       assert(post(port, "/changes", """{}""")._1 == 400)
       assert(post(port, "/changes", s"""{"from":$to,"to":$from}""")._1 == 400)
       assert(post(port, "/changes", s"""{"from":999999,"to":$to}""")._1 == 400)
+
+      // /vacuum: the explicit physical-reclaim trigger. compact() retires
+      // the pre-compaction files; vacuum to the newest snapshot reclaims
+      // them and the count comes back — after which history IS gone
+      assert(g.compact().nonEmpty)
+      val (cv, bv) = post(port, "/vacuum", """{"keep_snapshots": 1}""")
+      assert(cv == 200, bv)
+      assert(mapper.readTree(bv).get("reclaimed_files").asInt() > 0,
+        s"vacuum over the facade must reclaim the retired files: $bv")
+      assert(post(port, "/vacuum", """{"keep_snapshots": 0}""")._1 == 400)
     } finally srv.stop()
 
     val plain = new Graft(spark, root + "/plain")
