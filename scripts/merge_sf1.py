@@ -17,6 +17,10 @@ for path in logs:
                      line.rstrip("\n"))
         if m:
             rows[m.group(1)] = f"{m.group(2)}{m.group(3)}"
+if not rows:
+    # empty/truncated/wrong-format input must say so, not die on max()
+    # of an empty sequence (the local_verify.py bug class, review r14)
+    sys.exit(f"no verdict lines parsed from: {', '.join(logs)}")
 w = max(len(n) for n in rows)
 with open(out, "w") as f:
     for n in sorted(rows):

@@ -80,13 +80,22 @@ class GraftHttpServer(graft: Graft, spark: org.apache.spark.sql.SparkSession,
     * measurably served the pre-sweep index to post-sweep requests).
     */
   private val searchIdxTags =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), Seq[String]]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Seq[String])]()
   private def searchIdxMeta(d: String): (Long, Seq[String]) = {
     val committed = CdcIndexSync.committedSnap(spark, d).getOrElse(
       throw new IllegalStateException(s"no committed index at $d"))
-    val tags = searchIdxTags.computeIfAbsent((d, committed),
-      _ => CdcIndexSync.tags(spark, d))
-    (committed, tags)
+    // ONE entry per dir, replaced whenever the marker differs — bounded
+    // memory, and any rebuild that changes the marker refreshes the tags.
+    // Residual edge (documented, bounded): a wiped-and-recreated space
+    // whose rebuilt index lands the SAME marker seq serves the old tag
+    // column names until the next sync advances it — one sweep cadence.
+    val hit = searchIdxTags.get(d)
+    if (hit != null && hit._1 == committed) (committed, hit._2)
+    else {
+      val tags = CdcIndexSync.tags(spark, d)
+      searchIdxTags.put(d, (committed, tags))
+      (committed, tags)
+    }
   }
 
   /** Routes that fall outside the reference's table (orestes.js:69-222) are
@@ -466,10 +475,15 @@ class GraftHttpServer(graft: Graft, spark: org.apache.spark.sql.SparkSession,
     // newest N snapshots, sweep the rest (expired files immediately,
     // true orphans past the grace). 400 on a plain store, like /changes.
     handle("/vacuum") { (ex, node) =>
-      val keep = if (node != null && node.has("keep_snapshots"))
-        node.get("keep_snapshots").asInt() else 2
-      require(keep >= 1, "keep_snapshots must be >= 1")
-      val freed = graft.vacuum(spaceOf(ex, "/vacuum", node), keep)
+      val space = spaceOf(ex, "/vacuum", node)
+      // an omitted keep_snapshots defers to the ENGINE's default — one
+      // source of truth, never a facade-side copy that could drift
+      val freed =
+        if (node != null && node.has("keep_snapshots")) {
+          val keep = node.get("keep_snapshots").asInt()
+          require(keep >= 1, "keep_snapshots must be >= 1")
+          graft.vacuum(space, keep)
+        } else graft.vacuum(space)
       s"""{"reclaimed_files":${freed.size}}"""
     }
     handleStream("/changes") { (ex, node) =>

@@ -505,8 +505,11 @@ class Round14Spec extends SparkTestBase {
       .toDF("time", "value", "name"))
     val srv2 = new graft.http.GraftHttpServer(plain, spark)
     val port2 = srv2.start()
-    try assert(post(port2, "/changes", """{"from":1,"to":2}""")._1 == 400)
-    finally srv2.stop()
+    try {
+      assert(post(port2, "/changes", """{"from":1,"to":2}""")._1 == 400)
+      assert(post(port2, "/vacuum", """{}""")._1 == 400,
+        "vacuum is manifest-mode: a plain store answers 400, like /changes")
+    } finally srv2.stop()
   }
 
   test("served search index: /search answers from the CDC-maintained index when configured — stale until the sweep, rank-identical after it, rebuilt if vacuumed past (r14)") {
