@@ -55,7 +55,8 @@ object ServerMain {
         _root_.graft.tsdb.Tsdb.GranularityDays),
       spaceGranularity = cfg.spaceGranularity,
       spaceKeepDays = cfg.spaceKeepDays,
-      manifest = cfg.manifestSnapshots)
+      manifest = cfg.manifestSnapshots,
+      commitPrimitive = cfg.commitPrimitive)
     // `search_index` (manifest mode only): /search serves from the
     // CDC-maintained series index under the store root, synced by the
     // maintenance sweep — the reference's ES architecture (search hits an
@@ -69,10 +70,18 @@ object ServerMain {
   }
 
   /** One maintenance pass over every space's search index (build on first
-    * touch, CDC sync after) — called by the standing sweep and by specs. */
-  def searchIndexSweep(g: Graft, idxBase: String): Unit =
+    * touch, CDC sync after, FOLD once the active generation accretes
+    * `foldBatches` sync batches — the ledger/postings lifecycle, r15) —
+    * called by the standing sweep and by specs. */
+  def searchIndexSweep(g: Graft, idxBase: String,
+                       foldBatches: Int = 16): Unit =
     g.spaces().foreach { sp =>
-      _root_.graft.streaming.CdcIndexSync.syncOrBuild(g, s"$idxBase/$sp", sp)
+      val dir = s"$idxBase/$sp"
+      _root_.graft.streaming.CdcIndexSync.syncOrBuild(g, dir, sp)
+      val s = org.apache.spark.sql.SparkSession.active
+      if (foldBatches > 0 &&
+        _root_.graft.streaming.CdcIndexSync.ledgerBatches(s, dir) >= foldBatches)
+        _root_.graft.streaming.CdcIndexSync.compactIndex(s, dir)
     }
 
   def main(args: Array[String]): Unit = {
@@ -133,15 +142,20 @@ object ServerMain {
             System.err.println(s"[graft] $what sweep failed: ${e.getMessage}") }
         ex.scheduleAtFixedRate(() => {
           if (wantCompact) half("compaction") {
-            val done = g.compactionSweep(cfgForDaemons.compactionMaxFiles)
+            val done = g.compactionSweep(cfgForDaemons.compactionMaxFiles,
+              cfgForDaemons.compactionTargetMb * 1024L * 1024)
             done.foreach { case (sp, swaps) =>
               println(s"[graft] compacted $sp: " + swaps.map { case (d, b, a) =>
                 s"day $d $b->$a files" }.mkString(", ")) }
           }
           if (wantIndex) g.spaces().foreach { sp =>
             half(s"search-index $sp") {
-              _root_.graft.streaming.CdcIndexSync
-                .syncOrBuild(g, s"$root/.search-index/$sp", sp)
+              val dir = s"$root/.search-index/$sp"
+              _root_.graft.streaming.CdcIndexSync.syncOrBuild(g, dir, sp)
+              if (cfgForDaemons.indexFoldBatches > 0 &&
+                _root_.graft.streaming.CdcIndexSync
+                  .ledgerBatches(spark, dir) >= cfgForDaemons.indexFoldBatches)
+                _root_.graft.streaming.CdcIndexSync.compactIndex(spark, dir)
             }
           }
           if (wantVacuum) g.spaces().foreach { sp =>
