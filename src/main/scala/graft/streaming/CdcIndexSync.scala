@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
 import graft.text.TextOps
 import graft.tsdb.Graft
 
@@ -20,7 +21,10 @@ import graft.tsdb.Graft
   * store directly, and to an index rebuilt from scratch at the same
   * snapshot — proven row for row in the spec. One scoring rule serves
   * all surfaces ([[IndexStream.searchOn]]: corpus stats derived at query
-  * time, the shared 6-decimal rounding and `score > 0` inclusion).
+  * time, the shared 6-decimal rounding and `score > 0` inclusion), and
+  * one doc-identity rule ([[graft.tsdb.DocId]] — injective, so the
+  * index's doc_id-keyed dedup counts exactly the docs the direct scan's
+  * raw-tag dedup counts).
   *
   * Incremental cost model (the 100 TB story): `sync` reads ONLY the
   * change feed — [[Graft.changes]] skips bucket days whose immutable
@@ -32,64 +36,101 @@ import graft.tsdb.Graft
   * sync), so deciding whether a removal killed its series never rescans
   * the store. Postings/doclen are written once per series ever seen;
   * a series whose count returns above zero resurrects with no rewrite.
-  * The ledger grows one row per TOUCHED series per sync — series-metadata
-  * scale, folded back to one row per series by the next [[build]]
-  * (a rebuild IS the ledger fold, run like compaction: offline
-  * maintenance, while `sync` is the online path).
   *
-  * Layout is [[IndexStream]]'s (postings term-hash-bucketed so a query
-  * prunes to its terms' buckets) plus the counts ledger, all partitioned
-  * by `ingest_batch` = the store snapshot seq the batch lands. Commit
-  * point: a `_sync/snap_<seq>` marker created AFTER the batch's data —
-  * readers take `committedSnap` (the max marker) and filter every read
-  * to `ingest_batch <= committed`, so a crashed half-written sync is
-  * invisible; the next sync deletes leftover partitions above the
-  * marker and re-lands the batch bit-identically (the
-  * [[DedupStream]]/[[QualityStream]] replay discipline).
+  * Lifecycle (r15, VERDICT r14 #1): the ledger grows one row per TOUCHED
+  * series per sync and every data family one `ingest_batch` partition
+  * per sync — unbounded in the limit. [[compactIndex]] is the fold:
+  * ledger collapsed to one exact count per LIVE series, dead series'
+  * postings/doclen physically dropped, everything rewritten as ONE base
+  * partition — the segment-merge maintenance ES runs under the same
+  * sweep, marker-committed so a crash mid-fold is invisible. The fold
+  * lands in a fresh GENERATION directory (`g<n>/`) and flips a
+  * create-only `fold_<n>` marker; readers resolve the active generation
+  * and the committed snapshot from one `_sync` listing. The previous
+  * generation survives one fold as an in-flight-reader grace window.
+  *
+  * Commit point per sync: a `snap_<seq>-<nonce>` marker (via
+  * [[CdcStream]], the generalized consumer discipline this index now
+  * rides) created AFTER the batch's data — readers take the max marker
+  * and filter every read to `ingest_batch <= committed`, so a crashed
+  * half-written sync is invisible; the next sync deletes leftover
+  * partitions above the marker and re-lands the batch bit-identically.
+  * The nonce keys caches by BUILD, not by seq: a wiped-and-recreated
+  * store whose rebuilt index lands the same seq still yields a fresh
+  * marker name (VERDICT r14 #3).
   */
 object CdcIndexSync {
 
   private val MatchAll = """{"match_all":{}}"""
+
+  /** Explicit read schemas (ADVICE r14, medium): a zero-row family dir —
+    * a build over a store whose points were all retention-dropped — has
+    * no footers to infer from; inference would throw and wedge the index
+    * until manual deletion. With declared schemas an empty (or absent)
+    * family reads as an empty frame, which is a NORMAL index state. */
+  private val PostingsSchema = new StructType()
+    .add("doc_id", StringType).add("tok", StringType).add("tf", LongType)
+    .add("bucket", LongType).add("ingest_batch", LongType)
+  private val DoclenSchema = new StructType()
+    .add("doc_id", StringType).add("dl", LongType)
+    .add("ingest_batch", LongType)
+  private val CountsSchema = new StructType()
+    .add("doc_id", StringType).add("delta", LongType)
+    .add("ingest_batch", LongType)
 
   private def fsOf(s: SparkSession, p: String): (FileSystem, HPath) = {
     val hp = new HPath(p)
     (hp.getFileSystem(s.sparkContext.hadoopConfiguration), hp)
   }
 
+  /** One `_sync` listing resolves everything a reader needs: the
+    * committed snapshot, the marker NAME that committed it (the cache
+    * key — it changes on rebuild even at the same seq), and the active
+    * fold generation. */
+  case class IdxState(snap: Long, marker: String, gen: Long)
+
+  def state(s: SparkSession, indexDir: String): Option[IdxState] = {
+    val (fs, dir) = fsOf(s, s"$indexDir/_sync")
+    if (!fs.exists(dir)) return None
+    val names = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+    val snaps = names.filter(_.startsWith("snap_"))
+    if (snaps.isEmpty) return None
+    val marker = snaps.maxBy(markerSeq)
+    val gen = genOf(names)
+    Some(IdxState(markerSeq(marker), marker, gen))
+  }
+
+  private def markerSeq(name: String): Long =
+    name.stripPrefix("snap_").takeWhile(_ != '-').toLong
+
+  private def genOf(markerNames: Seq[String]): Long = {
+    val folds = markerNames.filter(_.startsWith("fold_"))
+      .map(_.stripPrefix("fold_").toLong)
+    if (folds.isEmpty) 0L else folds.max
+  }
+
   /** The snapshot seq the index is committed at: the highest `_sync`
     * marker, or None for an unbuilt index. */
-  def committedSnap(s: SparkSession, indexDir: String): Option[Long] = {
-    val (fs, dir) = fsOf(s, s"$indexDir/_sync")
-    if (!fs.exists(dir)) None
-    else {
-      val seqs = fs.listStatus(dir).toSeq.map(_.getPath.getName)
-        .filter(_.startsWith("snap_")).map(_.stripPrefix("snap_").toLong)
-      if (seqs.isEmpty) None else Some(seqs.max)
+  def committedSnap(s: SparkSession, indexDir: String): Option[Long] =
+    state(s, indexDir).map(_.snap)
+
+  /** A family's data dir under the active generation: generation 0 lives
+    * at the index root (pre-r15 indexes keep working unmodified); folds
+    * land in `g<n>/`. */
+  private def famDir(indexDir: String, gen: Long, fam: String): String =
+    if (gen == 0L) s"$indexDir/$fam" else s"$indexDir/g$gen/$fam"
+
+  /** Read one family at a generation — empty frame when absent/row-less
+    * (explicit schema: never schema inference, never a wedge). */
+  private def readFam(s: SparkSession, indexDir: String, gen: Long,
+                      fam: String): DataFrame = {
+    val schema = fam match {
+      case "postings" => PostingsSchema
+      case "doclen" => DoclenSchema
+      case _ => CountsSchema
     }
+    CdcStream.readState(s, famDir(indexDir, gen, fam), schema)
   }
-
-  /** Markers are create-only (never overwritten): data first, marker
-    * last, so the marker's existence proves its batch landed whole. */
-  private def markCommitted(s: SparkSession, indexDir: String,
-                            snap: Long): Unit = {
-    val (fs, dir) = fsOf(s, s"$indexDir/_sync")
-    fs.mkdirs(dir)
-    val out = fs.create(new HPath(dir, s"snap_$snap"), false)
-    out.close()
-  }
-
-  /** The tag columns of a points/changes frame, sorted — the ONE column
-    * order both doc_id and text use, matching Tsdb.searchSeries. */
-  private def tagColsOf(d: DataFrame, extra: Set[String]): Seq[String] =
-    d.columns.filterNot(extra).sorted.toSeq
-
-  private def docIdCol(tagCols: Seq[String]): Column =
-    concat_ws("\u0001",
-      tagCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
-
-  private def textCol(tagCols: Seq[String]): Column =
-    concat_ws(" ",
-      tagCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
 
   private def tagsFile(indexDir: String) = s"$indexDir/_sync/tags"
 
@@ -115,53 +156,79 @@ object CdcIndexSync {
     body.split('\n').toSeq.filter(_.nonEmpty)
   }
 
+  /** The tag columns of a points/changes frame, sorted — the ONE column
+    * order both doc_id and text use, matching Tsdb.searchSeries. */
+  private def tagColsOf(d: DataFrame, extra: Set[String]): Seq[String] =
+    d.columns.filterNot(extra).sorted.toSeq
+
+  // doc identity is the INJECTIVE shared encoding (graft.tsdb.DocId):
+  // null is distinct from "", separators inside values are escaped —
+  // otherwise the direct scan (raw-tag dedup) and the index (doc_id
+  // dedup) disagree on n_docs/df and every served score (ADVICE r14)
+  private def docIdCol(tagCols: Seq[String]): Column =
+    graft.tsdb.DocId.encode(tagCols)
+
+  private def textCol(tagCols: Seq[String]): Column =
+    concat_ws(" ",
+      tagCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
+
   /** The daemon entry point: [[build]] on first touch, [[sync]] after —
     * one call a standing maintenance sweep can make unconditionally. */
   def syncOrBuild(g: Graft, indexDir: String,
                   space: String = "default"): Long = {
     val s = org.apache.spark.sql.SparkSession.active
-    if (committedSnap(s, indexDir).isEmpty) build(g, indexDir, space)
+    if (state(s, indexDir).isEmpty) build(g, indexDir, space)
     else sync(g, indexDir, space)
   }
 
   /** Tokenize docs `(doc_id, text)` and land postings + doclen for them,
     * and the count ledger rows, all under `ingest_batch = snap` with
-    * dynamic partition overwrite (replay rewrites, never duplicates). */
-  private def landBatch(indexDir: String, snap: Long,
+    * dynamic partition overwrite (replay rewrites, never duplicates).
+    * Zero-row inputs skip the write entirely — a rowless dynamic
+    * overwrite would still create a schemaless parquet dir (the ADVICE
+    * r14 wedge); absence reads as empty via the declared schemas. */
+  private def landBatch(indexDir: String, gen: Long, snap: Long,
                         newDocs: DataFrame, deltas: DataFrame): Unit = {
     val tok = newDocs
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
       .where(col("tok") =!= "")
       .localCheckpoint(true) // one tokenize feeds postings AND lengths
-    tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      // the ONE term-hash rule (IndexStream owns it next to its driver
-      // twin bucketIdOf): an inline copy could drift and make search read
-      // the wrong partitions, silently losing postings
-      .withColumn("bucket", IndexStream.bucketCol(col("tok")))
-      .withColumn("ingest_batch", lit(snap))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("bucket", "ingest_batch")
-      .parquet(s"$indexDir/postings")
-    tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      .withColumn("ingest_batch", lit(snap))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest_batch")
-      .parquet(s"$indexDir/doclen")
-    deltas.select(col("doc_id"), col("delta").cast("long"))
-      .withColumn("ingest_batch", lit(snap))
-      .write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("ingest_batch")
-      .parquet(s"$indexDir/counts")
+    if (!tok.isEmpty) {
+      tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+        // the ONE term-hash rule (IndexStream owns it next to its driver
+        // twin bucketIdOf): an inline copy could drift and make search read
+        // the wrong partitions, silently losing postings
+        .withColumn("bucket", IndexStream.bucketCol(col("tok")))
+        .withColumn("ingest_batch", lit(snap))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("bucket", "ingest_batch")
+        .parquet(famDir(indexDir, gen, "postings"))
+      tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+        .withColumn("ingest_batch", lit(snap))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
+        .parquet(famDir(indexDir, gen, "doclen"))
+    }
+    val del = deltas.select(col("doc_id"), col("delta").cast("long"))
+      .localCheckpoint(true)
+    if (!del.isEmpty)
+      del.withColumn("ingest_batch", lit(snap))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
+        .parquet(famDir(indexDir, gen, "counts"))
   }
 
   /** Full (re)build at the store's current committed snapshot: the
     * offline path — one scan of the store, postings/doclen for every
     * live series, the ledger folded to one exact point count per series.
     * Wipes any prior index state first (a rebuild supersedes the whole
-    * history, including dead series' postings and ledger rows).
+    * history, including dead series' postings and ledger rows). A store
+    * whose points were ALL retention-dropped builds an EMPTY index —
+    * committed, searchable (zero hits), and advanceable by later syncs
+    * (ADVICE r14: this used to wedge on schema inference).
     * Returns the snapshot the index now reflects.
     */
   def build(g: Graft, indexDir: String, space: String = "default"): Long = {
@@ -181,16 +248,17 @@ object CdcIndexSync {
       .agg(count(lit(1)).as("delta"))
     val docs = withId
       .select(col("doc_id"), textCol(tagCols).as("text")).distinct()
-    landBatch(indexDir, snap, docs, deltas)
+    landBatch(indexDir, 0L, snap, docs, deltas)
     writeTags(s, indexDir, tagCols)
-    markCommitted(s, indexDir, snap)
+    CdcStream.recordIdentity(s, indexDir, g.storeIdentity(space))
+    CdcStream.commit(s, indexDir, snap)
     snap
   }
 
   /** Delete data partitions above the committed marker — a crashed
     * sync's leftovers, which would otherwise become visible the moment
     * a LATER marker lands. */
-  private def cleanupAbove(s: SparkSession, indexDir: String,
+  private def cleanupAbove(s: SparkSession, indexDir: String, gen: Long,
                            committed: Long): Unit = {
     val (fs, _) = fsOf(s, indexDir)
     def sweep(p: HPath): Unit = if (fs.exists(p))
@@ -204,37 +272,48 @@ object CdcIndexSync {
         }
       }
     Seq("postings", "doclen", "counts")
-      .foreach(d => sweep(new HPath(s"$indexDir/$d")))
+      .foreach(f => sweep(new HPath(famDir(indexDir, gen, f))))
   }
 
   /** Advance the index from its committed snapshot to the store's
     * current one, reading only the change feed. New series land postings
     * + doclen; every touched series lands a point-count delta; a series
     * whose count reaches zero stops matching (and resurrects for free if
-    * points return). If the store's tag schema evolved (a new tag column
-    * appeared), the per-column doc identity of every existing doc shifts,
-    * so the index falls back to [[build]] — incremental maintenance is
-    * only sound while doc identity is stable. Returns the snapshot the
-    * index now reflects (a no-op when already current).
+    * points return — unless a fold dropped it while dead, in which case
+    * it re-indexes as a new doc). If the store's tag schema evolved (a
+    * new tag column appeared), the per-column doc identity of every
+    * existing doc shifts, so the index falls back to [[build]] —
+    * incremental maintenance is only sound while doc identity is stable.
+    * Returns the snapshot the index now reflects (a no-op when already
+    * current).
     */
   def sync(g: Graft, indexDir: String, space: String = "default"): Long = {
     val s = org.apache.spark.sql.SparkSession.active
-    val from = committedSnap(s, indexDir).getOrElse(
+    val st = state(s, indexDir).getOrElse(
       throw new IllegalStateException(
         s"no committed index at $indexDir — run build first"))
+    val from = st.snap
     val snaps = g.snapshots(space)
     if (snaps.isEmpty) throw new IllegalStateException(
       s"space '$space' has no committed snapshots but the index claims " +
         s"snapshot $from — the index was built against a different store")
     val to = snaps.max
+    // identity FIRST, before the already-current fast path: a wiped-and-
+    // recreated space can coincidentally land the very seq the index is
+    // committed at — `to == from` would then read as "current" while
+    // every indexed doc belongs to a dead history (r15, the root fix
+    // under VERDICT r14 #3; a pre-r15 index with no recorded identity
+    // rebuilds once and is then bound)
+    if (!CdcStream.recordedIdentity(s, indexDir)
+          .contains(g.storeIdentity(space)))
+      return build(g, indexDir, space)
     if (to == from) return from
-    // two no-diff-exists states, both resolved by the full rebuild (a
-    // consumer whose checkpoint was truncated rereads from scratch):
+    // two more no-diff-exists states, both resolved by the full rebuild
+    // (a consumer whose checkpoint was truncated rereads from scratch):
     // vacuum expired the index's base snapshot, or the store's history
-    // RESTARTED below it (space wiped and re-created — the maintenance
-    // sweep must recover, not wedge every later space's pass)
+    // restarted below it
     if (to < from || !snaps.contains(from)) return build(g, indexDir, space)
-    cleanupAbove(s, indexDir, from)
+    cleanupAbove(s, indexDir, st.gen, from)
     val ch = g.changes(from, to, space)
     val tagCols = tagColsOf(ch,
       Set("time_ms", "old_value", "new_value", "change"))
@@ -249,45 +328,151 @@ object CdcIndexSync {
       .where(col("delta") =!= 0L)
       .localCheckpoint(true) // feeds the ledger write AND new-doc probe
     if (deltas.isEmpty) { // pure physical rewrite: nothing to land
-      markCommitted(s, indexDir, to)
+      CdcStream.commit(s, indexDir, to)
       return to
     }
     // a doc the index has EVER seen keeps its postings (dead or alive —
     // resurrection is a ledger flip); only never-seen docs index anew
-    val known = s.read.parquet(s"$indexDir/counts")
+    val known = readFam(s, indexDir, st.gen, "counts")
       .where(col("ingest_batch") <= from).select("doc_id").distinct()
     val newDocs = deltas.where(col("delta") > 0)
       .join(known, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("text"))
-    landBatch(indexDir, to, newDocs, deltas.select("doc_id", "delta"))
-    markCommitted(s, indexDir, to)
+    landBatch(indexDir, st.gen, to, newDocs, deltas.select("doc_id", "delta"))
+    CdcStream.commit(s, indexDir, to)
     to
+  }
+
+  /** How many sync batches the active generation has accreted — the
+    * standing sweep's fold trigger (each sync adds one `ingest_batch`
+    * partition per family; every probe scans all counts partitions, so
+    * the ledger history is the probe-cost regression to bound). */
+  def ledgerBatches(s: SparkSession, indexDir: String): Int =
+    state(s, indexDir) match {
+      case None => 0
+      case Some(st) =>
+        val (fs, p) = fsOf(s, famDir(indexDir, st.gen, "counts"))
+        if (!fs.exists(p)) 0
+        else fs.listStatus(p).count(f =>
+          f.isDirectory && f.getPath.getName.startsWith("ingest_batch="))
+    }
+
+  /** The fold (r15, VERDICT r14 #1 — the maintenance path the r14
+    * scaladoc promised): collapse the ledger to ONE exact count per LIVE
+    * series, physically drop dead series' postings/doclen, and rewrite
+    * each family as a single base partition at the committed snapshot.
+    * The folded state lands in generation `g<gen+1>/` and becomes
+    * visible only when the create-only `fold_<gen+1>` marker lands —
+    * a crash mid-fold leaves an unmarked directory the next fold
+    * deletes and redoes; readers never see a half fold. The previous
+    * generation is kept for ONE fold as an in-flight-reader grace
+    * window; older generations are deleted here.
+    *
+    * Search is rank- and score-identical across the fold (spec-proven):
+    * the fold changes the ledger's representation (many deltas → one
+    * sum) and drops rows that can never match (dead docs, whose ledger
+    * sum is ≤ 0 and whose postings the alive-join already excluded).
+    * Returns the new generation, or the current one when there is
+    * nothing to fold (≤ 1 batch accreted).
+    */
+  def compactIndex(s: SparkSession, indexDir: String): Long = {
+    val st = state(s, indexDir).getOrElse(
+      throw new IllegalStateException(
+        s"no committed index at $indexDir — run build first"))
+    if (ledgerBatches(s, indexDir) <= 1) return st.gen
+    val (fs, _) = fsOf(s, indexDir)
+    // crashed-fold leftovers: any unmarked generation dir above the
+    // committed one is garbage from a fold that died before its marker
+    val (_, root) = fsOf(s, indexDir)
+    if (fs.exists(root)) fs.listStatus(root).foreach { f =>
+      val n = f.getPath.getName
+      if (f.isDirectory && n.startsWith("g") &&
+        n.drop(1).forall(_.isDigit) && n.drop(1).nonEmpty &&
+        n.drop(1).toLong > st.gen)
+        fs.delete(f.getPath, true)
+    }
+    val next = st.gen + 1
+    val committed = st.snap
+    val counts = readFam(s, indexDir, st.gen, "counts")
+      .where(col("ingest_batch") <= committed)
+    val alive = counts.groupBy(col("doc_id"))
+      .agg(sum(col("delta")).as("delta"))
+      .where(col("delta") > 0)
+      .localCheckpoint(true) // one fold feeds all three rewrites
+    val aliveIds = alive.select("doc_id")
+    val posts = readFam(s, indexDir, st.gen, "postings")
+      .where(col("ingest_batch") <= committed)
+      .join(aliveIds, "doc_id")
+      .select(col("doc_id"), col("tok"), col("tf"), col("bucket"))
+    val dl = readFam(s, indexDir, st.gen, "doclen")
+      .where(col("ingest_batch") <= committed)
+      .join(aliveIds, "doc_id")
+      .select(col("doc_id"), col("dl"))
+    if (!posts.isEmpty)
+      posts.withColumn("ingest_batch", lit(committed))
+        .write.mode("overwrite")
+        .partitionBy("bucket", "ingest_batch")
+        .parquet(famDir(indexDir, next, "postings"))
+    if (!dl.isEmpty)
+      dl.withColumn("ingest_batch", lit(committed))
+        .write.mode("overwrite")
+        .partitionBy("ingest_batch")
+        .parquet(famDir(indexDir, next, "doclen"))
+    if (!alive.isEmpty)
+      alive.select(col("doc_id"), col("delta"))
+        .withColumn("ingest_batch", lit(committed))
+        .write.mode("overwrite")
+        .partitionBy("ingest_batch")
+        .parquet(famDir(indexDir, next, "counts"))
+    // the commit point: fold_<next> is create-only — if it exists another
+    // folder won and our staged generation is garbage
+    val (mfs, mdir) = fsOf(s, s"$indexDir/_sync")
+    mfs.mkdirs(mdir)
+    try {
+      val out = mfs.create(new HPath(mdir, s"fold_$next"), false)
+      out.close()
+    } catch {
+      case _: java.io.IOException =>
+        fs.delete(new HPath(s"$indexDir/g$next"), true)
+        return st.gen
+    }
+    // reclaim generations older than the grace window (keep st.gen for
+    // in-flight readers; they re-resolve the active gen next request)
+    (0L until st.gen).foreach { old =>
+      if (old == 0L)
+        Seq("postings", "doclen", "counts").foreach(f =>
+          fs.delete(new HPath(s"$indexDir/$f"), true))
+      else fs.delete(new HPath(s"$indexDir/g$old"), true)
+    }
+    next
   }
 
   /** BM25 top-k over the synced index: postings restricted to the query
     * terms' hash buckets, docs restricted to series whose ledger sum is
     * positive at the committed snapshot, scored by the shared rule
     * ([[IndexStream.searchOn]]). Matches [[graft.tsdb.Tsdb.searchSeries]]
-    * row for row; `doc_id` is the \u0001-joined tag string.
+    * row for row; `doc_id` is the [[graft.tsdb.DocId]]-encoded tag
+    * string.
     */
   def search(s: SparkSession, indexDir: String, query0: Seq[String],
-             k: Int = 20, committedAt: Option[Long] = None): DataFrame = {
-    // committedAt: a caller that already resolved the marker (the facade's
+             k: Int = 20, at: Option[IdxState] = None): DataFrame = {
+    // at: a caller that already resolved the state (the facade's
     // per-request cache) passes it to skip this listing on the hot path
-    val committed = committedAt.orElse(committedSnap(s, indexDir)).getOrElse(
+    val st = at.orElse(state(s, indexDir)).getOrElse(
       throw new IllegalStateException(
         s"no committed index at $indexDir — run build first"))
+    val committed = st.snap
     val query = query0.distinct
-    val alive = s.read.parquet(s"$indexDir/counts")
+    val alive = readFam(s, indexDir, st.gen, "counts")
       .where(col("ingest_batch") <= committed)
       .groupBy(col("doc_id")).agg(sum(col("delta")).as("npoints"))
       .where(col("npoints") > 0).select("doc_id")
-    val dl = s.read.parquet(s"$indexDir/doclen")
+    val dl = readFam(s, indexDir, st.gen, "doclen")
       .where(col("ingest_batch") <= committed)
       .select(col("doc_id"), col("dl"))
       .join(alive, "doc_id")
     val buckets = query.map(IndexStream.bucketIdOf).distinct
-    val post = s.read.parquet(s"$indexDir/postings")
+    val post = readFam(s, indexDir, st.gen, "postings")
       .where(col("ingest_batch") <= committed &&
         col("bucket").isin(buckets: _*) && col("tok").isin(query: _*))
       .join(alive, "doc_id")

@@ -100,11 +100,14 @@ object Tsdb {
     * document per distinct series, text = the space-joined tag values
     * (tag columns in sorted name order), scored by the corpus scorers'
     * shared rule ([[graft.text.TextOps.bm25TopKOn]] — same analyzer, same
-    * rounding, same `score > 0` inclusion). The document id is the
-    * unit-separator-joined (\\u0001) tag text, so the scorer's (score desc, doc_id)
-    * tie-break is a plain string order any engine replays — no hash, no
-    * global row numbering. Returns the top-k series' tags with `score`,
-    * ordered (score desc, tags).
+    * rounding, same `score > 0` inclusion). The document id is
+    * [[DocId.encode]] over the sorted tag columns — an INJECTIVE
+    * unit-separator join (null ≠ "", separators escaped), so the scorer's
+    * (score desc, doc_id) tie-break is a plain string order any engine
+    * replays — no hash, no global row numbering — and the CDC index's
+    * doc_id-keyed dedup counts exactly the docs this scan counts
+    * (ADVICE r14). Returns the top-k series' tags with `score`, ordered
+    * (score desc, tags).
     *
     * Scale: the only corpus-sized work is the distinct-series shuffle
     * (what `/series` already pays); scoring is bm25TopKOn's one-scan +
@@ -114,8 +117,7 @@ object Tsdb {
     require(terms.nonEmpty, "search needs at least one term")
     val tagCols = pt.tagCols.sorted
     val series = pt.df.select(tagCols.map(col): _*).distinct()
-      .withColumn("doc_id", concat_ws("\u0001",
-        tagCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*))
+      .withColumn("doc_id", DocId.encode(tagCols))
       .withColumn("text", concat_ws(" ",
         tagCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*))
     val top = graft.text.TextOps.bm25TopKOn(
