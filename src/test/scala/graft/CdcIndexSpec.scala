@@ -17,12 +17,13 @@ class CdcIndexSpec extends SparkTestBase {
   private def freshDir(tag: String) =
     Files.createTempDirectory(Paths.get("target"), tag).toString
 
-  /** Direct-scan top-k as (doc_id-shaped tag join, score) in rank order. */
+  /** Direct-scan top-k as (doc_id-shaped tag join, score) in rank order —
+    * expected keys use the shared INJECTIVE encoding (DocId, r15). */
   private def direct(g: Graft, terms: Seq[String], k: Int = 20): Seq[(String, Double)] =
     g.search(terms, k = k).collect().toSeq.map { r =>
       val tags = r.schema.fieldNames.filterNot(_ == "score")
-        .map(c => Option(r.getAs[Any](c)).map(_.toString).getOrElse(""))
-      (tags.mkString("\u0001"), r.getAs[Double]("score"))
+        .map(c => Option(r.getAs[Any](c)).map(_.toString)).toSeq
+      (graft.tsdb.DocId.encodeRaw(tags), r.getAs[Double]("score"))
     }
 
   private def indexed(dir: String, terms: Seq[String], k: Int = 20): Seq[(String, Double)] =
@@ -91,7 +92,8 @@ class CdcIndexSpec extends SparkTestBase {
     w(("2024-01-19T12:00:00Z", 6.0, "cpu", "db-01", "database primary"))
     CdcIndexSync.sync(g, dir)
     assertParity(g, dir, Queries)
-    val dbDoc = Seq("db-01", "cpu", "database primary").mkString("\u0001")
+    val dbDoc = graft.tsdb.DocId.encodeRaw(
+      Seq("db-01", "cpu", "database primary").map(Some(_)))
     val batches = spark.read.parquet(s"$dir/postings")
       .where(col("doc_id") === dbDoc)
       .select("ingest_batch").distinct().as[Long].collect().toSet
@@ -125,7 +127,11 @@ class CdcIndexSpec extends SparkTestBase {
     // crash-before-marker: the data partitions for batch s1 exist but the
     // marker doesn't — readers must not see them, and the replayed sync
     // must delete and re-land them bit-identically (the replay discipline)
-    val marker = new java.io.File(s"$dir/_sync/snap_$s1")
+    // markers carry a per-commit nonce since r15 (snap_<seq>-<nonce>)
+    val marker = new java.io.File(s"$dir/_sync").listFiles()
+      .find(f => f.getName == s"snap_$s1" ||
+        f.getName.startsWith(s"snap_$s1-"))
+      .getOrElse(fail(s"test harness: no marker for $s1"))
     assert(marker.delete(), "test harness: marker must exist to drop")
     assert(CdcIndexSync.committedSnap(spark, dir).contains(b0))
     val mid = indexed(dir, Seq("gamma", "alpha"))
@@ -173,8 +179,10 @@ class CdcIndexSpec extends SparkTestBase {
     assert(s1 == g.snapshots().max)
     assertParity(g, dir, Seq(Seq("cpu"), Seq("mem", "web-01")))
     // the rebuilt index carries the evolved doc identity: the old series'
-    // doc_id now has the empty host slot the direct scan gives it
+    // doc_id now has the NULL host slot the direct scan gives it (r15:
+    // DocId encodes null distinctly from an empty-string tag)
     val hit = indexed(dir, Seq("cpu")).map(_._1)
-    assert(hit == Seq(Seq("", "cpu").mkString("\u0001")), s"evolved doc_id: $hit")
+    assert(hit == Seq(graft.tsdb.DocId.encodeRaw(Seq(None, Some("cpu")))),
+      s"evolved doc_id: $hit")
   }
 }

@@ -1,0 +1,510 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.{Files, Paths}
+import org.apache.hadoop.fs.{Path => HPath}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+import graft.streaming.{CdcIndexSync, CdcStream}
+import graft.tsdb.{DocId, Graft}
+
+/** An object-store-shaped filesystem for the commit-claim specs: local
+  * storage, but `rename` silently OVERWRITES an existing destination
+  * (S3's copy+delete has no "refuse if exists"), and `exists` can be told
+  * to LIE once about a named file — the TOCTOU window between a claim's
+  * exists check and its rename, made deterministic. `create(overwrite =
+  * false)` keeps RawLocal's throw-if-exists behavior, standing in for a
+  * conditional PUT.
+  */
+class MockS3Fs extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getUri: URI = URI.create("mocks3:///")
+  override def checkPath(path: HPath): Unit = ()
+  override def exists(f: HPath): Boolean = {
+    val l = MockS3Fs.lieAbout.get()
+    // value comparison, then CAS to consume exactly once (AtomicReference
+    // CAS alone compares references — f.getName is a fresh String)
+    if (l != null && l == f.getName && MockS3Fs.lieAbout.compareAndSet(l, null))
+      false
+    else super.exists(f)
+  }
+  override def rename(src: HPath, dst: HPath): Boolean = {
+    if (super.exists(dst)) delete(dst, true) // S3 semantics: last PUT wins
+    super.rename(src, dst)
+  }
+}
+object MockS3Fs {
+  /** File NAME `exists` should report absent, once. */
+  val lieAbout = new java.util.concurrent.atomic.AtomicReference[String](null)
+}
+
+/** Round-15 directives: the CDC-index lifecycle fold, the object-store-
+  * safe commit claim, the store-identity root fix for wiped-and-recreated
+  * spaces, the generalized CDC consumer, and the injective doc identity.
+  */
+class Round15Spec extends SparkTestBase {
+  import spark.implicits._
+
+  private val MatchAll = """{"match_all":{}}"""
+
+  private def freshRoot(tag: String) =
+    Files.createTempDirectory(Paths.get("target"), tag)
+      .toAbsolutePath.toString
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+  private def post(port: Int, path: String, body: String): (Int, String) = {
+    val client = HttpClient.newHttpClient()
+    val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+      .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  /** Direct-scan top-k keyed by the shared injective doc id. */
+  private def direct(g: Graft, terms: Seq[String], k: Int = 20): Seq[(String, Double)] =
+    g.search(terms, k = k).collect().toSeq.map { r =>
+      val tags = r.schema.fieldNames.filterNot(_ == "score")
+        .map(c => Option(r.getAs[Any](c)).map(_.toString)).toSeq
+      (DocId.encodeRaw(tags), r.getAs[Double]("score"))
+    }
+
+  private def indexed(dir: String, terms: Seq[String], k: Int = 20): Seq[(String, Double)] =
+    CdcIndexSync.search(spark, dir, terms, k).collect().toSeq
+      .map(r => (r.getAs[String]("doc_id"), r.getAs[Double]("score")))
+
+  private def assertParity(g: Graft, dir: String, queries: Seq[Seq[String]]): Unit =
+    queries.foreach { q =>
+      val (d, i) = (direct(g, q), indexed(dir, q))
+      assert(d == i, s"index diverges from direct scan for $q: direct=$d indexed=$i")
+    }
+
+  // --------------------------------------------------------------------
+  // Directive #2: the object-store-safe commit claim
+  // --------------------------------------------------------------------
+
+  test("commit claim: auto REFUSES an object-store scheme loudly; create-exclusive survives the race unsafe-rename silently loses (r15 #2)") {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.mocks3.impl", classOf[MockS3Fs].getName)
+    def df(ts: String, v: Double) =
+      Seq((ts, v, "s")).toDF("time", "value", "name")
+
+    // (a) auto on an unknown scheme: the loud capability check, naming
+    // the config key — never a silent race
+    val g0 = new Graft(spark, s"mocks3:${freshRoot("graft-mocks3a")}",
+      manifest = true)
+    val ex = intercept[IllegalStateException] {
+      g0.write(df("2024-01-09T10:00:00Z", 1.0))
+    }
+    assert(ex.getMessage.contains("commit_primitive"),
+      s"the refusal must name the config key: ${ex.getMessage}")
+    assert(ex.getMessage.contains("mocks3"))
+
+    // (b) the hazard is real: with unsafe-rename, exists+rename BOTH
+    // succeed in the TOCTOU window (exists lies once = the stale listing
+    // an object store can serve) and the loser CLOBBERS the winner —
+    // the documented single-writer trade, proven to actually lose data
+    val rootB = s"mocks3:${freshRoot("graft-mocks3b")}"
+    val a = new Graft(spark, rootB, manifest = true,
+      commitPrimitive = Graft.PrimUnsafeRename)
+    val b = new Graft(spark, rootB, manifest = true,
+      commitPrimitive = Graft.PrimUnsafeRename)
+    a.write(df("2024-01-09T10:00:00Z", 1.0))
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    a.commitRaceHook = () =>
+      if (fired.compareAndSet(false, true)) {
+        b.write(df("2024-01-10T10:00:00Z", 2.0)) // B lands m2 first
+        MockS3Fs.lieAbout.set("m2") // A's exists check sees the stale view
+      }
+    try a.write(df("2024-01-11T10:00:00Z", 3.0))
+    finally a.commitRaceHook = () => ()
+    assert(fired.get)
+    val vals = a.read(MatchAll).collect()
+      .map(_.getAs[Double]("value")).sorted.toSeq
+    assert(vals == Seq(1.0, 3.0),
+      s"unsafe-rename under the TOCTOU must lose B's commit (got $vals) — " +
+        "this documented hazard is WHY auto refuses such stores")
+
+    // (c) create-exclusive: the same deterministic race resolves cleanly —
+    // the loser's create throws, it re-applies, BOTH mutations land
+    val rootC = s"mocks3:${freshRoot("graft-mocks3c")}"
+    val c1 = new Graft(spark, rootC, manifest = true,
+      commitPrimitive = Graft.PrimCreateExclusive)
+    val c2 = new Graft(spark, rootC, manifest = true,
+      commitPrimitive = Graft.PrimCreateExclusive)
+    c1.write(df("2024-01-09T10:00:00Z", 1.0))
+    val fired2 = new java.util.concurrent.atomic.AtomicBoolean(false)
+    c1.commitRaceHook = () =>
+      if (fired2.compareAndSet(false, true))
+        c2.write(df("2024-01-10T10:00:00Z", 2.0))
+    try c1.write(df("2024-01-11T10:00:00Z", 3.0))
+    finally c1.commitRaceHook = () => ()
+    assert(fired2.get)
+    val vals2 = c1.read(MatchAll).collect()
+      .map(_.getAs[Double]("value")).sorted.toSeq
+    assert(vals2 == Seq(1.0, 2.0, 3.0),
+      s"create-exclusive must keep both racing commits: $vals2")
+    assert(c1.snapshots().size == 3)
+
+    // (d) an unknown primitive name is a loud config error
+    val g4 = new Graft(spark, freshRoot("graft-prim"), manifest = true,
+      commitPrimitive = "bogus")
+    intercept[IllegalArgumentException] {
+      g4.write(df("2024-01-09T10:00:00Z", 1.0))
+    }
+  }
+
+  // --------------------------------------------------------------------
+  // Directive #1: the CDC-index fold
+  // --------------------------------------------------------------------
+
+  test("CDC index fold: rank/score-identical across the fold, ledger collapses to one partition, dead postings physically dropped, crash-mid-fold invisible (r15 #1)") {
+    val root = freshRoot("graft-fold")
+    val dir = s"$root/index"
+    val g = new Graft(spark, s"$root/store", manifest = true)
+    def w(rows: (String, Double, String, String)*) =
+      g.write(rows.toSeq.toDF("time", "value", "name", "host"))
+
+    w(("2024-01-09T10:00:00Z", 1.0, "cpu", "web-01"),
+      ("2024-01-09T11:00:00Z", 2.0, "mem", "db-01"),
+      ("2024-01-09T12:00:00Z", 3.0, "tmpseries", "old-01")) // dies below
+    CdcIndexSync.build(g, dir)
+    w(("2024-01-19T10:00:00Z", 4.0, "gpu", "ml-01"),
+      ("2024-01-19T11:00:00Z", 5.0, "cpu", "web-01"),
+      ("2024-01-19T12:00:00Z", 6.0, "mem", "db-01"))
+    CdcIndexSync.sync(g, dir)
+    w(("2024-01-29T10:00:00Z", 7.0, "net", "edge-01"))
+    CdcIndexSync.sync(g, dir)
+    // retention drops the 01-09 bucket: tmpseries loses its only point
+    g.remove(keepDays = 15, todayDay = 1706486400000L / graft.core.Det.MsInDay)
+    CdcIndexSync.sync(g, dir)
+    assert(CdcIndexSync.ledgerBatches(spark, dir) >= 3,
+      "the test needs real accretion to fold")
+
+    val queries = Seq(Seq("cpu"), Seq("web-01", "mem"), Seq("gpu"),
+      Seq("edge-01"), Seq("old-01"))
+    val before = queries.map(q => indexed(dir, q))
+    assert(before.last.isEmpty, "the dead series must not match pre-fold")
+
+    // crash-mid-fold: an unmarked staged generation is INVISIBLE — and
+    // the next fold deletes and redoes it
+    new java.io.File(s"$root/index/g1/counts").mkdirs()
+    Files.write(Paths.get(s"$root/index/g1/counts/garbage"),
+      "not parquet".getBytes("UTF-8"))
+    assert(queries.map(q => indexed(dir, q)) == before,
+      "a half-written fold must be invisible to search")
+
+    val gen = CdcIndexSync.compactIndex(spark, dir)
+    assert(gen == 1L)
+    assert(CdcIndexSync.ledgerBatches(spark, dir) == 1,
+      "the fold must collapse the ledger history to one base partition")
+    assert(queries.map(q => indexed(dir, q)) == before,
+      "search must be rank- and score-identical across the fold")
+    assertParity(g, dir, queries)
+
+    // dead series' postings: physically present in the old generation
+    // (the grace copy), physically ABSENT from the folded one
+    val deadId = DocId.encodeRaw(Seq(Some("old-01"), Some("tmpseries")))
+    assert(spark.read.parquet(s"$dir/postings")
+      .where(col("doc_id") === deadId).count() > 0,
+      "pre-fold postings held the dead doc (the thing the fold drops)")
+    assert(spark.read.parquet(s"$dir/g1/postings")
+      .where(col("doc_id") === deadId).count() == 0,
+      "the folded generation must not carry dead series' postings")
+
+    // resurrection AFTER the fold: the dropped doc re-indexes as new
+    w(("2024-01-29T11:00:00Z", 8.0, "tmpseries", "old-01"))
+    CdcIndexSync.sync(g, dir)
+    assert(indexed(dir, Seq("old-01")).map(_._1) == Seq(deadId))
+    assertParity(g, dir, queries)
+
+    // a second fold reclaims the generation-0 grace copy
+    assert(CdcIndexSync.compactIndex(spark, dir) == 2L)
+    assert(!new java.io.File(s"$dir/postings").exists(),
+      "generation 0 must be reclaimed once out of the grace window")
+    assertParity(g, dir, queries)
+
+    // nothing to fold -> no-op at the same generation
+    assert(CdcIndexSync.compactIndex(spark, dir) == 2L)
+  }
+
+  // --------------------------------------------------------------------
+  // ADVICE r14 (medium): zero-live-point stores must not wedge the index
+  // --------------------------------------------------------------------
+
+  test("CDC index: a store whose points were ALL retention-dropped builds an empty committed index, and recovers when points return (ADVICE r14)") {
+    val root = freshRoot("graft-empty")
+    val dir = s"$root/index"
+    val g = new Graft(spark, s"$root/store", manifest = true)
+    g.write(Seq(("2024-01-09T10:00:00Z", 1.0, "cpu"))
+      .toDF("time", "value", "name"))
+    g.remove(keepDays = 2, todayDay = 1705658400000L / graft.core.Det.MsInDay)
+    assert(g.read(MatchAll).count() == 0, "test needs an emptied store")
+
+    val b0 = CdcIndexSync.build(g, dir)
+    assert(CdcIndexSync.committedSnap(spark, dir).contains(b0))
+    assert(indexed(dir, Seq("cpu")).isEmpty)
+
+    // the wedge class: points return, sync must ADVANCE (not die on
+    // schema inference over the zero-row families)
+    g.write(Seq(("2024-01-19T10:00:00Z", 2.0, "cpu"),
+      ("2024-01-19T11:00:00Z", 3.0, "mem"))
+      .toDF("time", "value", "name"))
+    val s1 = CdcIndexSync.sync(g, dir)
+    assert(s1 == g.snapshots().max)
+    assertParity(g, dir, Seq(Seq("cpu"), Seq("mem")))
+  }
+
+  // --------------------------------------------------------------------
+  // ADVICE r14: injective doc identity (null ≠ "", separator-proof)
+  // --------------------------------------------------------------------
+
+  test("doc identity is injective: null-tag vs empty-string-tag series are TWO docs on every surface, separator bytes cannot collide ids (ADVICE r14)") {
+    val root = freshRoot("graft-docid")
+    val dir = s"$root/index"
+    val g = new Graft(spark, s"$root/store", manifest = true)
+    val rows = Seq(
+      ("2024-01-09T10:00:00Z", 1.0, "cpu", Option.empty[String]),
+      ("2024-01-09T11:00:00Z", 2.0, "cpu", Some("")),
+      // the collision pair: under a naive  join both ids would be
+      // "abx" — injective encoding must keep them distinct
+      ("2024-01-09T12:00:00Z", 3.0, "x", Some("ab")),
+      ("2024-01-09T13:00:00Z", 4.0, "bx", Some("a")))
+    g.write(rows.toDF("time", "value", "name", "host"))
+    CdcIndexSync.build(g, dir)
+
+    // n_docs must be 4 on both surfaces (null-host cpu and empty-host cpu
+    // are distinct series; the separator pair stays two docs)
+    assert(g.search(Seq("cpu"), k = 10).count() == 2,
+      "direct scan: the null-host and empty-host cpu series are two docs")
+    assert(indexed(dir, Seq("cpu")).size == 2,
+      "index: the null-host and empty-host cpu series are two docs")
+    assertParity(g, dir, Seq(Seq("cpu"), Seq("b"), Seq("x"), Seq("a")))
+
+    // and the ids themselves are distinct + split back losslessly
+    val ids = indexed(dir, Seq("cpu")).map(_._1)
+    assert(ids.distinct.size == 2, s"ids must be distinct: $ids")
+    assert(ids.contains(DocId.encodeRaw(Seq(None, Some("cpu")))))
+    assert(ids.contains(DocId.encodeRaw(Seq(Some(""), Some("cpu")))))
+
+    // facade decode: the index-served /search round-trips null vs ""
+    val srv = new graft.http.GraftHttpServer(g, spark,
+      searchIndexDir = Some(s"$root/idxbase"))
+    val idxDir = s"$root/idxbase/default"
+    CdcIndexSync.build(g, idxDir)
+    val port = srv.start()
+    try {
+      val (code, body) = post(port, "/search", """{"q": "cpu", "k": 10}""")
+      assert(code == 200, body)
+      val hits = mapper.readTree(body).get("series")
+      assert(hits.size() == 2, body)
+      val hosts = (0 until hits.size()).map { i =>
+        val h = hits.get(i).get("host")
+        if (h == null || h.isNull) None else Some(h.asText())
+      }.toSet
+      assert(hosts == Set(None, Some("")),
+        s"the null host and the empty-string host must round-trip: $hosts")
+    } finally srv.stop()
+  }
+
+  // --------------------------------------------------------------------
+  // Directive #3 (root fix): wiped-and-recreated stores
+  // --------------------------------------------------------------------
+
+  test("wiped-and-recreated space: the index rebuilds IMMEDIATELY (store identity, even at a colliding snapshot seq) and /search serves the new tag names with no stale cadence (r15 #3)") {
+    val dir = Files.createTempDirectory(Paths.get("target"), "graft-wipe")
+    val root = s"$dir/store"
+    val idxBase = s"$root/.search-index"
+    val cfgPath = Paths.get(s"$dir/cfg.json")
+    Files.write(cfgPath,
+      """{"port": 0, "search_index": true}""".getBytes("UTF-8"))
+    val (g, srv, _) = graft.http.ServerMain.boot(spark, cfgPath.toString, root)
+    val port = srv.start()
+    try {
+      g.write(Seq(("2024-01-09T10:00:00Z", 1.0, "alpha"))
+        .toDF("time", "value", "name"))
+      g.write(Seq(("2024-01-09T11:00:00Z", 2.0, "beta"))
+        .toDF("time", "value", "name"))
+      graft.http.ServerMain.searchIndexSweep(g, idxBase)
+      // warm the facade cache with the OLD tag columns at seq 2
+      val (c0, b0) = post(port, "/search", """{"q": "alpha"}""")
+      assert(c0 == 200 && mapper.readTree(b0).get("series").get(0)
+        .get("name").asText() == "alpha", b0)
+      val oldSeq = g.snapshots().max
+
+      // wipe the space (store + manifest history) and recreate it with a
+      // DIFFERENT tag column, landing the SAME snapshot seq count
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$root/default"))
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(s"$root/.manifest/default"))
+      g.write(Seq(("2024-02-09T10:00:00Z", 1.0, "gamma-svc"))
+        .toDF("time", "value", "label"))
+      g.write(Seq(("2024-02-09T11:00:00Z", 2.0, "delta-svc"))
+        .toDF("time", "value", "label"))
+      assert(g.snapshots().max == oldSeq,
+        "test harness: the recreated history must collide on the seq")
+
+      // ONE sweep: the identity mismatch forces the rebuild even though
+      // from == to, and the marker nonce refreshes the facade cache —
+      // the very next /search answers with the NEW schema
+      graft.http.ServerMain.searchIndexSweep(g, idxBase)
+      val (c1, b1) = post(port, "/search", """{"q": "gamma-svc"}""")
+      assert(c1 == 200, b1)
+      val row = mapper.readTree(b1).get("series").get(0)
+      assert(row != null, s"no hits for the recreated space's series: $b1")
+      assert(row.has("label") && !row.has("name"),
+        s"stale tag names served after the sweep: $b1")
+      assert(row.get("label").asText() == "gamma-svc", b1)
+    } finally srv.stop()
+  }
+
+  // --------------------------------------------------------------------
+  // Directive #5: the generalized CDC consumer
+  // --------------------------------------------------------------------
+
+  test("CdcStream: a user incremental aggregate maintained through append/retention/compaction/crash/wipe equals its from-scratch recompute (r15 #5)") {
+    val root = freshRoot("graft-cdcstream")
+    val storeRoot = s"$root/store"
+    var g = new Graft(spark, storeRoot, manifest = true)
+    val stateDir = s"$root/consumer"
+    val deltasDir = s"$stateDir/deltas"
+    val schema = new StructType().add("name", StringType)
+      .add("delta", LongType).add("ingest_batch", LongType)
+    val resets = new java.util.concurrent.atomic.AtomicInteger(0)
+    val diffs = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    def onReset(full: DataFrame, snap: Long): Unit = {
+      resets.incrementAndGet()
+      val fs = new HPath(deltasDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new HPath(deltasDir), true)
+      CdcStream.land(full.groupBy(col("name"))
+        .agg(count(lit(1)).cast("long").as("delta")), deltasDir, snap)
+    }
+    def applyDiff(diff: DataFrame, snap: Long): Unit = {
+      diffs.incrementAndGet()
+      CdcStream.land(
+        diff.where(col("change") =!= "changed")
+          .groupBy(col("name"))
+          .agg(sum(when(col("change") === "added", 1L).otherwise(-1L))
+            .as("delta"))
+          .where(col("delta") =!= 0L),
+        deltasDir, snap)
+    }
+    def advance(): Long =
+      CdcStream.foreachDiff(g, "default", stateDir)(onReset)(applyDiff)
+    def state(): Map[String, Long] = {
+      val upTo = CdcStream.committed(spark, stateDir).map(_.snap)
+        .getOrElse(-1L)
+      CdcStream.readState(spark, deltasDir, schema)
+        .where(col("ingest_batch") <= upTo)
+        .groupBy("name").agg(sum("delta").as("n")).where(col("n") > 0)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    def recompute(): Map[String, Long] =
+      g.read(MatchAll).groupBy("name").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def w(rows: (String, Double, String)*) =
+      g.write(rows.toSeq.toDF("time", "value", "name"))
+
+    // bootstrap: first advance is the reset path (never-advanced)
+    w(("2024-01-09T10:00:00Z", 1.0, "cpu"),
+      ("2024-01-09T11:00:00Z", 2.0, "cpu"),
+      ("2024-01-09T12:00:00Z", 3.0, "mem"))
+    advance()
+    assert(resets.get == 1 && state() == recompute())
+
+    // append -> one diff
+    w(("2024-01-19T10:00:00Z", 4.0, "cpu"),
+      ("2024-01-19T11:00:00Z", 5.0, "disk"))
+    advance()
+    assert(diffs.get == 1 && state() == recompute())
+
+    // retention -> removals flow through the same diff path
+    g.remove(keepDays = 15,
+      todayDay = 1706486400000L / graft.core.Det.MsInDay)
+    advance()
+    assert(state() == recompute() && !state().contains("mem"))
+
+    // compaction -> an EMPTY diff, state unchanged
+    assert(g.compact().nonEmpty)
+    val stBefore = state()
+    advance()
+    assert(state() == stBefore && state() == recompute())
+
+    // already current -> neither callback runs
+    val (r0, d0) = (resets.get, diffs.get)
+    advance()
+    assert(resets.get == r0 && diffs.get == d0)
+
+    // crash AFTER landing, BEFORE the marker: the orphan partition is
+    // invisible to the state read, and the replay rewrites it in place
+    w(("2024-01-19T12:00:00Z", 6.0, "disk"))
+    val preCrash = state()
+    intercept[RuntimeException] {
+      CdcStream.foreachDiff(g, "default", stateDir)(onReset) { (d, s) =>
+        applyDiff(d, s); throw new RuntimeException("crash before marker")
+      }
+    }
+    assert(state() == preCrash,
+      "an unmarked batch must be invisible to the consumer state")
+    advance() // the replay
+    assert(state() == recompute() && state()("disk") == 2)
+
+    // wipe + recreate the store: the identity mismatch forces a reset
+    // even though the new history's seq may coincide with the marker's
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$storeRoot/default"))
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$storeRoot/.manifest/default"))
+    g = new Graft(spark, storeRoot, manifest = true)
+    w(("2024-03-09T10:00:00Z", 1.0, "fresh"))
+    val rBefore = resets.get
+    advance()
+    assert(resets.get == rBefore + 1,
+      "a wiped-and-recreated store must reset the consumer")
+    assert(state() == recompute() && state() == Map("fresh" -> 1L))
+  }
+
+  // --------------------------------------------------------------------
+  // Directive #6 + config surface
+  // --------------------------------------------------------------------
+
+  test("config: compaction_target_mb / index_fold_batches / commit_primitive parse; vacuum keep defaults DEEP; the sweep splits to the configured target (r15 #6, ADVICE r14)") {
+    val dir = Files.createTempDirectory(Paths.get("target"), "graft-cfg15")
+    val cfgPath = Paths.get(s"$dir/cfg.json")
+    Files.write(cfgPath,
+      """{"port": 0, "compaction_target_mb": 4, "index_fold_batches": 3,
+         "commit_primitive": "unsafe-rename"}""".getBytes("UTF-8"))
+    val cfg = Graft.loadConfig(spark, cfgPath.toString)
+    assert(cfg.compactionTargetMb == 4)
+    assert(cfg.indexFoldBatches == 3)
+    assert(cfg.commitPrimitive == Graft.PrimUnsafeRename)
+    // defaults: deep vacuum keep (ADVICE r14 — external /changes
+    // consumers keep their diff base across realistic polling gaps)
+    val defPath = Paths.get(s"$dir/def.json")
+    Files.write(defPath, """{"port": 0}""".getBytes("UTF-8"))
+    val dcfg = Graft.loadConfig(spark, defPath.toString)
+    assert(dcfg.vacuumKeepSnapshots == Graft.DefaultVacuumKeep &&
+      Graft.DefaultVacuumKeep >= 24)
+    assert(dcfg.compactionTargetMb == 128 && dcfg.indexFoldBatches == 16 &&
+      dcfg.commitPrimitive == "auto")
+
+    // the target is wired through to the rewrite: a fragmented bucket
+    // compacted under a tiny byte target splits into multiple files
+    val root = s"$dir/store"
+    val g = new Graft(spark, root, manifest = true)
+    (0 until 4).foreach { i =>
+      g.write(Seq.tabulate(500)(j =>
+        (s"2024-01-09T10:${(i * 500 + j) % 60}:${j % 60}Z",
+          (i * 500 + j).toDouble, s"s${j % 7}"))
+        .toDF("time", "value", "name"))
+    }
+    val done = g.compactionSweep(maxFilesPerBucket = 2, targetBytes = 4096L)
+    assert(done.nonEmpty, "the fragmented bucket must trigger the sweep")
+    val (_, before, after) = done("default").head
+    assert(after > 1 && after < before,
+      s"a 4 KiB target over a multi-KiB bucket must split: $before -> $after")
+  }
+}
