@@ -113,9 +113,15 @@ def run_oracle(con, sql):
     """Execute an oracle query; with --oracle-timeout=SECS, interrupt a
     DuckDB query that exceeds the budget (scale rehearsals: the exhaustive
     all-pairs oracles are verify-SF-only by declaration)."""
+    return _with_watchdog(con, lambda: con.execute(sql).fetchall())
+
+
+def _with_watchdog(con, fn):
+    """Run fn() under the --oracle-timeout watchdog (interrupt the
+    connection when the budget expires)."""
     secs = _timeout_arg()
     if secs is None:
-        return con.execute(sql).fetchall()
+        return fn()
     import threading
     done = threading.Event()
 
@@ -125,13 +131,63 @@ def run_oracle(con, sql):
     t = threading.Thread(target=watchdog, daemon=True)
     t.start()
     try:
-        return con.execute(sql).fetchall()
+        return fn()
     except Exception as ex:
         if "INTERRUPT" in str(ex).upper():
             raise TimeoutError(f"oracle exceeded {secs:.0f}s budget")
         raise
     finally:
         done.set()
+
+
+def verdict_duck(con, oracle, name, files):
+    """--duck-cmp: the whole compare runs INSIDE DuckDB — for the
+    output-bound exhaustive class (dedup_simhash_buckets at sf1 emits
+    206M pairs; fetchall() of that into Python tuples is tens of GB).
+    Same schema + type gates as the standard verdict; the value check is
+    MULTISET equality (EXCEPT ALL both ways = empty, plus equal counts) —
+    order-insensitive, but both engines' results are deterministic
+    ORDER BY outputs, so equal multisets of these are equal lists."""
+    if name not in oracle:
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0]
+        return f"ROWS_ONLY rows={n}"
+    sql = oracle[name]
+    got_cols = [r[0] for r in con.execute(
+        f"DESCRIBE SELECT * FROM read_parquet({files!r})").fetchall()]
+    want_cols = [r[0] for r in con.execute(f"DESCRIBE ({sql})").fetchall()]
+    if sorted(got_cols) != sorted(want_cols):
+        return f"SCHEMA_MISMATCH got={got_cols} want={want_cols}"
+    bad_types = type_gate(con, files, sql)
+    if bad_types:
+        return f"TYPE_MISMATCH (spark,oracle)={bad_types}"
+    cols = ", ".join(f'"{c}"' for c in sorted(got_cols))
+    try:
+        def compare():
+            con.execute(f"CREATE OR REPLACE TEMP TABLE __want AS ({sql})")
+            nw = con.execute("SELECT count(*) FROM __want").fetchone()[0]
+            ng = con.execute(
+                f"SELECT count(*) FROM read_parquet({files!r})").fetchone()[0]
+            if ng != nw:
+                return f"ROWCOUNT got={ng} want={nw}"
+            diff = con.execute(
+                f"SELECT count(*) FROM ("
+                f"(SELECT {cols} FROM read_parquet({files!r})"
+                f" EXCEPT ALL SELECT {cols} FROM __want)"
+                f" UNION ALL "
+                f"(SELECT {cols} FROM __want"
+                f" EXCEPT ALL SELECT {cols} FROM read_parquet({files!r}))"
+                f")").fetchone()[0]
+            if diff:
+                return f"VALUE_MISMATCH rows={ng} multiset_diff={diff}"
+            return f"OK rows={ng} (duck-cmp multiset)"
+        return _with_watchdog(con, compare)
+    except TimeoutError as ex:
+        return f"ORACLE_TIMEOUT {ex}"
+    except Exception as ex:
+        return f"ORACLE_ERROR {ex}"
+    finally:
+        con.execute("DROP TABLE IF EXISTS __want")
 
 
 def verdict(con, oracle, name, files):
@@ -187,7 +243,8 @@ def compare():
     # print each verdict as it lands (flushed) — a big-SF compare runs for
     # an hour-plus and a buffered all-at-the-end dump is unobservable
     for name in names:
-        r = verdict(con, oracle, name, glob.glob(f"{OUT}/{name}/*.parquet"))
+        vfn = verdict_duck if "--duck-cmp" in sys.argv[1:] else verdict
+        r = vfn(con, oracle, name, glob.glob(f"{OUT}/{name}/*.parquet"))
         print(f"{name:<{width}}  {r}", flush=True)
         nok += r.startswith("OK") or r.startswith("ROWS_ONLY")
         nto += r.startswith("ORACLE_TIMEOUT")

@@ -36,6 +36,12 @@ object SparkEntry {
     // served by Graft.search and the facade's /search route
     "ts_search" -> ((s, d) =>
       Tsdb.searchSeries(Tsdb.points(s, d), Seq("purchase", "7"), 25)),
+    // prefix-term search (r15): "7*" expands against the live vocabulary
+    // (sorted, capped at Lucene's 50 — the cap BINDS here: user_id yields
+    // 111 matching terms) and scores as a normal multi-term query; the
+    // CDC index serves the same query from its term dictionary
+    "ts_search_prefix" -> ((s, d) =>
+      Tsdb.searchSeries(Tsdb.points(s, d), Seq("purchase", "7*"), 25)),
     "ts_read_filter_bool" -> ((s, d) => Tsdb.read(Tsdb.points(s, d),
       EsFilter.compile(
         """{"bool":{
@@ -1392,6 +1398,50 @@ object SparkEntry {
           FROM top JOIN docs d USING (doc_id)
           ORDER BY top.score DESC, d.event_type, d.user_id"""
     },
+    // ts_search_prefix: the relational (dynamic-term-set) form of the
+    // ts_search oracle — "7*" expands to the lexicographically first 50
+    // matching vocabulary terms (the engine's MaxExpansions cap, which
+    // binds here), then per-(doc, term) contributions with the shared
+    // rounding sum per doc
+    "ts_search_prefix" ->
+      s"""WITH series AS (SELECT DISTINCT event_type, user_id FROM events),
+              docs AS (SELECT event_type, user_id,
+                         concat_ws(chr(1), CAST(event_type AS VARCHAR),
+                                   CAST(user_id AS VARCHAR)) AS doc_id,
+                         lower(trim(regexp_replace(
+                           concat_ws(' ', CAST(event_type AS VARCHAR),
+                                     CAST(user_id AS VARCHAR)),
+                           '\\s+', ' ', 'g'))) AS ntext
+                       FROM series),
+              t2 AS (SELECT doc_id, tok FROM
+                       (SELECT doc_id, unnest(string_split(ntext, ' ')) AS tok
+                        FROM docs) u
+                     WHERE tok <> ''),
+              expans AS (SELECT DISTINCT tok FROM t2 WHERE tok LIKE '7%'
+                         ORDER BY tok LIMIT 50),
+              qterms AS (SELECT 'purchase' AS tok UNION
+                         SELECT tok FROM expans),
+              dls AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY 1),
+              tfs AS (SELECT doc_id, tok, count(*) AS tf
+                      FROM t2 JOIN qterms USING (tok) GROUP BY 1, 2),
+              dfs AS (SELECT tok, count(*) AS df FROM tfs GROUP BY 1),
+              st AS (SELECT count(*) AS n_docs, sum(dl) AS total_tokens
+                     FROM dls),
+              contrib AS (SELECT tfs.doc_id,
+                            CAST(round(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                              * tf * 2.2
+                              / (tf + 1.2 * (0.25 + 0.75 * dl
+                                  / (CAST(total_tokens AS DOUBLE) / n_docs)))
+                              + 1e-9, 6) AS DECIMAL(18,6)) AS c
+                          FROM tfs JOIN dfs USING (tok)
+                               JOIN dls USING (doc_id) CROSS JOIN st),
+              sc AS (SELECT doc_id, CAST(sum(c) AS DOUBLE) AS score
+                     FROM contrib GROUP BY 1),
+              top AS (SELECT doc_id, score FROM sc WHERE score > 0
+                      ORDER BY score DESC, doc_id LIMIT 25)
+          SELECT d.event_type, d.user_id, top.score
+          FROM top JOIN docs d USING (doc_id)
+          ORDER BY top.score DESC, d.event_type, d.user_id""",
     "ts_read" ->
       s"""SELECT user_id, event_type, epoch_ms(ts) AS time_ms, value FROM events
           WHERE epoch_ms(ts) >= $Start AND epoch_ms(ts) < $End AND user_id = 42

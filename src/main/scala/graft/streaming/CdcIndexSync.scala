@@ -77,6 +77,9 @@ object CdcIndexSync {
   private val CountsSchema = new StructType()
     .add("doc_id", StringType).add("delta", LongType)
     .add("ingest_batch", LongType)
+  private val TermdictSchema = new StructType()
+    .add("tok", StringType).add("bucket", LongType)
+    .add("ingest_batch", LongType)
 
   private def fsOf(s: SparkSession, p: String): (FileSystem, HPath) = {
     val hp = new HPath(p)
@@ -127,12 +130,41 @@ object CdcIndexSync {
     val schema = fam match {
       case "postings" => PostingsSchema
       case "doclen" => DoclenSchema
+      case "termdict" => TermdictSchema
       case _ => CountsSchema
     }
     CdcStream.readState(s, famDir(indexDir, gen, fam), schema)
   }
 
   private def tagsFile(indexDir: String) = s"$indexDir/_sync/tags"
+
+  /** Index format stamp: "2" = the index carries the `termdict` sidecar
+    * for every batch (r15, VERDICT r14 #8). A pre-r15 index has no stamp;
+    * [[sync]] upgrades it with one rebuild, and until then [[search]]
+    * serves prefix terms from an UNPRUNED postings scan (correct, just
+    * not bucket-pruned) — never from the incomplete dictionary, which
+    * would silently drop matches. */
+  private val Format = "2"
+  private def formatFile(indexDir: String) = s"$indexDir/_sync/format"
+
+  private def writeFormat(s: SparkSession, indexDir: String): Unit = {
+    val (fs, _) = fsOf(s, indexDir)
+    val out = fs.create(new HPath(formatFile(indexDir)), true)
+    out.write(Format.getBytes("UTF-8"))
+    out.close()
+  }
+
+  private def formatOf(s: SparkSession, indexDir: String): Option[String] = {
+    val (fs, _) = fsOf(s, indexDir)
+    val f = new HPath(formatFile(indexDir))
+    if (!fs.exists(f)) None
+    else {
+      val in = fs.open(f)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
+      finally in.close()
+    }
+  }
 
   private def writeTags(s: SparkSession, indexDir: String,
                         tagCols: Seq[String]): Unit = {
@@ -210,6 +242,17 @@ object CdcIndexSync {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("ingest_batch")
         .parquet(famDir(indexDir, gen, "doclen"))
+      // the term-dictionary sidecar (r15, VERDICT r14 #8): the batch's
+      // DISTINCT terms with their hash bucket — tiny next to postings
+      // (vocabulary, not doc×term), and what lets a prefix probe open
+      // only the buckets that hold matching terms instead of all NBuckets
+      tok.select(col("tok")).distinct()
+        .withColumn("bucket", IndexStream.bucketCol(col("tok")))
+        .withColumn("ingest_batch", lit(snap))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_batch")
+        .parquet(famDir(indexDir, gen, "termdict"))
     }
     val del = deltas.select(col("doc_id"), col("delta").cast("long"))
       .localCheckpoint(true)
@@ -250,6 +293,7 @@ object CdcIndexSync {
       .select(col("doc_id"), textCol(tagCols).as("text")).distinct()
     landBatch(indexDir, 0L, snap, docs, deltas)
     writeTags(s, indexDir, tagCols)
+    writeFormat(s, indexDir)
     CdcStream.recordIdentity(s, indexDir, g.storeIdentity(space))
     CdcStream.commit(s, indexDir, snap)
     snap
@@ -271,7 +315,7 @@ object CdcIndexSync {
           else if (n.startsWith("bucket=")) sweep(st.getPath)
         }
       }
-    Seq("postings", "doclen", "counts")
+    Seq("postings", "doclen", "counts", "termdict")
       .foreach(f => sweep(new HPath(famDir(indexDir, gen, f))))
   }
 
@@ -306,6 +350,12 @@ object CdcIndexSync {
     // rebuilds once and is then bound)
     if (!CdcStream.recordedIdentity(s, indexDir)
           .contains(g.storeIdentity(space)))
+      return build(g, indexDir, space)
+    // format upgrade (one-time): a pre-termdict index rebuilds on its
+    // first sweep so prefix probes get the pruned path; until then they
+    // run unpruned (see [[search]]) — checked before the fast path so an
+    // idle store still upgrades
+    if (!formatOf(s, indexDir).contains(Format))
       return build(g, indexDir, space)
     if (to == from) return from
     // two more no-diff-exists states, both resolved by the full rebuild
@@ -408,11 +458,20 @@ object CdcIndexSync {
       .where(col("ingest_batch") <= committed)
       .join(aliveIds, "doc_id")
       .select(col("doc_id"), col("dl"))
-    if (!posts.isEmpty)
+    if (!posts.isEmpty) {
       posts.withColumn("ingest_batch", lit(committed))
         .write.mode("overwrite")
         .partitionBy("bucket", "ingest_batch")
         .parquet(famDir(indexDir, next, "postings"))
+      // termdict folds FROM the folded postings: dead-doc-only terms drop
+      // out, so the dictionary's candidate-bucket sets shrink with the
+      // vocabulary they prune for
+      posts.select(col("tok"), col("bucket")).distinct()
+        .withColumn("ingest_batch", lit(committed))
+        .write.mode("overwrite")
+        .partitionBy("ingest_batch")
+        .parquet(famDir(indexDir, next, "termdict"))
+    }
     if (!dl.isEmpty)
       dl.withColumn("ingest_batch", lit(committed))
         .write.mode("overwrite")
@@ -440,12 +499,29 @@ object CdcIndexSync {
     // in-flight readers; they re-resolve the active gen next request)
     (0L until st.gen).foreach { old =>
       if (old == 0L)
-        Seq("postings", "doclen", "counts").foreach(f =>
+        Seq("postings", "doclen", "counts", "termdict").foreach(f =>
           fs.delete(new HPath(s"$indexDir/$f"), true))
       else fs.delete(new HPath(s"$indexDir/g$old"), true)
     }
     next
   }
+
+  /** Candidate buckets for a set of prefixes, from the `termdict`
+    * sidecar: Some(buckets holding ≥1 matching dictionary term) on a
+    * format-2 index — the prefix analog of the exact-term hash pruning
+    * (r15, VERDICT r14 #8) — or None when the index predates the
+    * dictionary (the probe then scans all buckets, correct but
+    * unpruned, until the next sweep's rebuild upgrades it).
+    * Driver-sized: ≤ [[IndexStream.NBuckets]] entries. */
+  private[graft] def prefixCandidateBuckets(
+      s: SparkSession, indexDir: String, st: IdxState,
+      prefixes: Seq[String]): Option[Seq[Long]] =
+    if (!formatOf(s, indexDir).contains(Format)) None
+    else Some(readFam(s, indexDir, st.gen, "termdict")
+      .where(col("ingest_batch") <= st.snap)
+      .where(prefixes.map(p => col("tok").startsWith(p)).reduce(_ || _))
+      .select(col("bucket")).distinct()
+      .collect().map(_.getLong(0)).toSeq)
 
   /** BM25 top-k over the synced index: postings restricted to the query
     * terms' hash buckets, docs restricted to series whose ledger sum is
@@ -453,6 +529,15 @@ object CdcIndexSync {
     * ([[IndexStream.searchOn]]). Matches [[graft.tsdb.Tsdb.searchSeries]]
     * row for row; `doc_id` is the [[graft.tsdb.DocId]]-encoded tag
     * string.
+    *
+    * Prefix terms (trailing `*`) expand under the ONE shared rule
+    * ([[TextOps.expandPrefix]] — live vocabulary, lexicographic, capped
+    * at 50): the dictionary names the candidate buckets, the expansion
+    * VALIDATES candidates against alive postings (dictionary terms can
+    * be dead-only between folds — an unvalidated cap could cut a
+    * different 50 than the direct scan's live vocabulary and break the
+    * rank-identity contract), and the expanded terms probe like exact
+    * ones.
     */
   def search(s: SparkSession, indexDir: String, query0: Seq[String],
              k: Int = 20, at: Option[IdxState] = None): DataFrame = {
@@ -462,7 +547,6 @@ object CdcIndexSync {
       throw new IllegalStateException(
         s"no committed index at $indexDir — run build first"))
     val committed = st.snap
-    val query = query0.distinct
     val alive = readFam(s, indexDir, st.gen, "counts")
       .where(col("ingest_batch") <= committed)
       .groupBy(col("doc_id")).agg(sum(col("delta")).as("npoints"))
@@ -471,6 +555,24 @@ object CdcIndexSync {
       .where(col("ingest_batch") <= committed)
       .select(col("doc_id"), col("dl"))
       .join(alive, "doc_id")
+    val (exact, prefixes) = TextOps.splitSearchTerms(query0.distinct)
+    val query =
+      if (prefixes.isEmpty) exact
+      else {
+        val postBase = readFam(s, indexDir, st.gen, "postings")
+          .where(col("ingest_batch") <= committed)
+        val pruned = prefixCandidateBuckets(s, indexDir, st, prefixes) match {
+          case Some(Nil) => postBase.limit(0) // dictionary says: no match
+          case Some(bs) => postBase.where(col("bucket").isin(bs: _*))
+          case None => postBase // pre-dictionary index: unpruned fallback
+        }
+        val vocab = pruned.join(alive, "doc_id").select(col("tok"))
+        (exact ++ prefixes.flatMap(p =>
+          TextOps.expandPrefix(vocab, p))).distinct
+      }
+    if (query.isEmpty) // every prefix expanded to nothing: zero matches
+      return dl.select(col("doc_id"), col("dl"),
+        lit(0.0).as("score")).limit(0)
     val buckets = query.map(IndexStream.bucketIdOf).distinct
     val post = readFam(s, indexDir, st.gen, "postings")
       .where(col("ingest_batch") <= committed &&

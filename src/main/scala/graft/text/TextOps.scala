@@ -1114,6 +1114,39 @@ object TextOps {
     4 -> Seq("window", "batch"),
     5 -> Seq("customer", "stream"))
 
+  /** Prefix-term expansion cap — Lucene's multi-term default
+    * (`max_expansions: 50` on ES's match_phrase_prefix / fuzzy
+    * expansions): a prefix query expands to at most this many vocabulary
+    * terms, taken in lexicographic (binary UTF-8) order so the cut is
+    * deterministic and replays identically in the SQL oracle. */
+  val MaxExpansions = 50
+
+  /** Trailing-`*` prefix-term syntax (ES `query_string`'s prefix
+    * wildcard): `"cl*"` is the prefix `cl`; a bare `"*"` or any other
+    * `*` placement stays a literal token (analysis never strips it, so
+    * the exact-term path simply won't match — same as ES with wildcards
+    * disabled). Returns (exact terms, prefixes with the `*` stripped).
+    */
+  def splitSearchTerms(terms: Seq[String]): (Seq[String], Seq[String]) = {
+    val (pfx, exact) =
+      terms.partition(t => t.length > 1 && t.endsWith("*"))
+    (exact, pfx.map(_.dropRight(1)))
+  }
+
+  /** The ONE expansion rule every search surface shares (direct scan,
+    * CDC index, facade): distinct vocabulary terms starting with
+    * `prefix`, lexicographically first [[MaxExpansions]]. `vocab` is a
+    * single-column `tok` frame of the LIVE corpus's distinct terms —
+    * expansion over a stale/dead vocabulary would shift which terms make
+    * the cap and silently break the cross-surface rank-identity
+    * contract. Driver-sized by the cap.
+    */
+  def expandPrefix(vocab: DataFrame, prefix: String): Seq[String] =
+    vocab.where(col("tok").startsWith(prefix))
+      .select(col("tok")).distinct()
+      .orderBy(col("tok")).limit(MaxExpansions)
+      .collect().map(_.getString(0)).toSeq
+
   /** BM25 contribution of one query term, in plain double arithmetic both
     * engines replay: idf(df) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)),
     * rounded to 6 decimals and cast to an exact decimal so the final score

@@ -112,6 +112,14 @@ object Tsdb {
     * Scale: the only corpus-sized work is the distinct-series shuffle
     * (what `/series` already pays); scoring is bm25TopKOn's one-scan +
     * broadcast-stats + TakeOrdered plan over the series frame.
+    *
+    * Prefix terms (r15, VERDICT r14 #8): a trailing-`*` term expands to
+    * the live vocabulary's matching terms under the shared rule
+    * ([[graft.text.TextOps.expandPrefix]] — lexicographic, capped at
+    * Lucene's 50) and the expanded set scores as a normal multi-term
+    * query. [[graft.streaming.CdcIndexSync.search]] applies the same
+    * rule over its term dictionary, so the rank-identity contract
+    * extends to prefix queries.
     */
   def searchSeries(pt: PointsTable, terms: Seq[String], k: Int = 20): DataFrame = {
     require(terms.nonEmpty, "search needs at least one term")
@@ -120,8 +128,21 @@ object Tsdb {
       .withColumn("doc_id", DocId.encode(tagCols))
       .withColumn("text", concat_ws(" ",
         tagCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*))
+    val (exact, prefixes) = graft.text.TextOps.splitSearchTerms(terms)
+    val query =
+      if (prefixes.isEmpty) exact
+      else {
+        val vocab = series
+          .select(explode(graft.text.TextOps.tokens(col("text"))).as("tok"))
+          .where(col("tok") =!= "")
+        (exact ++ prefixes.flatMap(p =>
+          graft.text.TextOps.expandPrefix(vocab, p))).distinct
+      }
+    if (query.isEmpty) // every prefix expanded to nothing: zero matches
+      return series
+        .select(tagCols.map(col) :+ lit(0.0).as("score"): _*).limit(0)
     val top = graft.text.TextOps.bm25TopKOn(
-      series.select(col("doc_id"), col("text")), terms, k)
+      series.select(col("doc_id"), col("text")), query, k)
     top.join(series, "doc_id")
       .select(tagCols.map(col) :+ col("score"): _*)
       .orderBy(col("score").desc +: tagCols.map(col): _*)

@@ -220,8 +220,9 @@ class Round15Spec extends SparkTestBase {
 
     // a second fold reclaims the generation-0 grace copy
     assert(CdcIndexSync.compactIndex(spark, dir) == 2L)
-    assert(!new java.io.File(s"$dir/postings").exists(),
-      "generation 0 must be reclaimed once out of the grace window")
+    assert(!new java.io.File(s"$dir/postings").exists() &&
+      !new java.io.File(s"$dir/termdict").exists(),
+      "generation 0 (all families) must be reclaimed once out of the grace window")
     assertParity(g, dir, queries)
 
     // nothing to fold -> no-op at the same generation
@@ -506,5 +507,107 @@ class Round15Spec extends SparkTestBase {
     val (_, before, after) = done("default").head
     assert(after > 1 && after < before,
       s"a 4 KiB target over a multi-KiB bucket must split: $before -> $after")
+  }
+
+  // --------------------------------------------------------------------
+  // Directive #8: prefix pruning on the CDC index (termdict sidecar)
+  // --------------------------------------------------------------------
+
+  test("prefix search: trailing-* expands under the ONE shared rule (live vocabulary, capped 50), rank/score-identical direct vs index, dead dictionary terms never shift the cap (r15 #8)") {
+    val root = freshRoot("graft-prefix")
+    val dir = s"$root/index"
+    val g = new Graft(spark, s"$root/store", manifest = true)
+    def w(rows: (String, Double, String, String)*) =
+      g.write(rows.toSeq.toDF("time", "value", "name", "host"))
+
+    // 55 live q-terms (q00..q54: the 50-term cap BINDS) + one series
+    // whose term q000 sorts INSIDE the capped range (q00 < q000 < q01)
+    // and dies below — an expansion that consulted the dictionary
+    // without validating liveness would admit q000 and evict the 50th
+    // live term, silently diverging from the direct scan
+    w(("2024-01-09T10:00:00Z", 1.0, "q000", "h-dead"))
+    w((0 until 55).map(i =>
+      (s"2024-01-19T10:${i % 60}:00Z", i.toDouble, f"q$i%02d", "h-live")): _*)
+    CdcIndexSync.build(g, dir)
+    g.remove(keepDays = 15, todayDay = 1706486400000L / graft.core.Det.MsInDay)
+    CdcIndexSync.sync(g, dir) // q000's series is now dead, pre-fold
+
+    val queries = Seq(
+      Seq("q*"),                 // cap binds: 50 of 55 live terms
+      Seq("q*", "h-live"),       // mixed exact + prefix
+      Seq("q1*"),                // narrow: q10..q19
+      Seq("h-*"),                // tag-value prefix across hosts
+      Seq("zz*"),                // expands to nothing: zero matches
+      Seq("q000*"))              // dead-only term: zero matches
+    assertParity(g, dir, queries)
+    // the cap-binding query must still rank the 50th LIVE term's doc —
+    // the row an unvalidated dictionary expansion would lose (q000 sits
+    // in the dictionary between q00 and q01 until the fold)
+    val cap = indexed(dir, Seq("q*"), k = 60)
+    assert(cap.size == 50, s"50 capped live terms -> 50 docs: ${cap.size}")
+    val q49 = DocId.encodeRaw(Seq(Some("h-live"), Some("q49")))
+    assert(cap.map(_._1).contains(q49),
+      "the 50th live term must survive the cap (dead q000 must not evict it)")
+    assert(indexed(dir, Seq("q000*")).isEmpty &&
+      direct(g, Seq("q000*")).isEmpty)
+
+    // bucket pruning: the dictionary names candidate buckets for a
+    // narrow prefix — a strict subset of the 64 a dictionary-less probe
+    // must scan (the measured buckets-opened drop)
+    val st = CdcIndexSync.state(spark, dir).get
+    val narrow = CdcIndexSync.prefixCandidateBuckets(
+      spark, dir, st, Seq("q1")).get
+    assert(narrow.nonEmpty && narrow.size <= 10,
+      s"10 matching terms can name at most 10 buckets: $narrow")
+    assert(CdcIndexSync.prefixCandidateBuckets(
+      spark, dir, st, Seq("zz")).get.isEmpty,
+      "a no-match prefix must name ZERO candidate buckets")
+    assert(CdcIndexSync.prefixCandidateBuckets(
+      spark, dir, st, Seq("q000")).get.nonEmpty,
+      "pre-fold, the dead term still occupies the dictionary (the case " +
+        "liveness validation exists for)")
+
+    // the fold drops dead-only terms FROM THE DICTIONARY too: q000's
+    // candidate set collapses to empty, so the probe never opens a bucket
+    val gen = CdcIndexSync.compactIndex(spark, dir)
+    assert(gen >= 1L)
+    val stF = CdcIndexSync.state(spark, dir).get
+    assert(CdcIndexSync.prefixCandidateBuckets(
+      spark, dir, stF, Seq("q000")).get.isEmpty,
+      "the folded dictionary must not carry dead-only terms")
+    assertParity(g, dir, queries)
+
+    // pre-dictionary index (format stamp removed): the probe falls back
+    // to the unpruned scan — same answers, no silent misses — and the
+    // next sweep's sync rebuilds with the dictionary
+    new java.io.File(s"$dir/_sync/format").delete()
+    assert(CdcIndexSync.prefixCandidateBuckets(
+      spark, dir, CdcIndexSync.state(spark, dir).get, Seq("q1")).isEmpty,
+      "no format stamp -> no dictionary claim -> None (unpruned fallback)")
+    assertParity(g, dir, queries)
+    CdcIndexSync.sync(g, dir) // format upgrade: one rebuild
+    assert(CdcIndexSync.prefixCandidateBuckets(
+      spark, dir, CdcIndexSync.state(spark, dir).get, Seq("q1")).nonEmpty)
+    assertParity(g, dir, queries)
+
+    // the facade serves prefix queries identically on both paths
+    val srvDirect = new graft.http.GraftHttpServer(g, spark)
+    val srvIdx = new graft.http.GraftHttpServer(g, spark,
+      searchIndexDir = Some(root + "/idxbase"))
+    // point the index-served facade at this index under its space name
+    val fs0 = new HPath(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs0.mkdirs(new HPath(s"$root/idxbase"))
+    fs0.rename(new HPath(dir), new HPath(s"$root/idxbase/default"))
+    val (pD, pI) = (srvDirect.start(), srvIdx.start())
+    try {
+      val q = """{"q": "q1* h-live", "k": 60}"""
+      val (cD, bD) = post(pD, "/search", q)
+      val (cI, bI) = post(pI, "/search", q)
+      assert(cD == 200 && cI == 200, s"$bD / $bI")
+      assert(mapper.readTree(bD) == mapper.readTree(bI),
+        s"facade prefix search diverges: direct=$bD indexed=$bI")
+      assert(mapper.readTree(bD).get("series").size() > 0, bD)
+    } finally { srvDirect.stop(); srvIdx.stop() }
   }
 }
