@@ -667,6 +667,10 @@ object SparkEntry {
     // BM25 ranked retrieval — the ES scoring context (ad-hoc top-k and the
     // batched query-table shape)
     "text_bm25_topk" -> ((s, d) => TextOps.bm25TopK(s, d)),
+    // prefix-term BM25 (r15): "s*" expands against the corpus vocabulary
+    // (6 of the 31 tokens) under the same shared rule as ts_search_prefix
+    "text_bm25_prefix" -> ((s, d) => TextOps.bm25TopKOnPrefix(
+      graft.core.Tables.documents(s, d), Seq("join", "s*"), 20)),
     "text_bm25_batch" -> ((s, d) => TextOps.bm25Batch(s, d)),
     // trained quality classifier: logistic regression by batch GD (train
     // trajectory / corpus scoring / honest metrics row)
@@ -2542,6 +2546,35 @@ object SparkEntry {
           SELECT doc_id, dl, score FROM sc WHERE score > 0
           ORDER BY score DESC, doc_id LIMIT 20"""
     },
+    // text_bm25_prefix: the relational (dynamic-term-set) BM25 form —
+    // 's*' expands to the lexicographically first 50 matching vocabulary
+    // terms (6 match here), then per-(doc, term) contributions with the
+    // shared rounding sum per doc
+    "text_bm25_prefix" ->
+      s"""WITH t AS (SELECT doc_id, unnest(string_split($NormSql, ' ')) AS tok
+                     FROM documents),
+              t2 AS (SELECT doc_id, tok FROM t WHERE tok <> ''),
+              expans AS (SELECT DISTINCT tok FROM t2 WHERE tok LIKE 's%'
+                         ORDER BY tok LIMIT 50),
+              qterms AS (SELECT 'join' AS tok UNION SELECT tok FROM expans),
+              dlt AS (SELECT doc_id, count(*) AS dl FROM t2 GROUP BY 1),
+              nd AS (SELECT count(*) AS n_docs, sum(dl) AS total_tokens
+                     FROM dlt),
+              tf AS (SELECT doc_id, tok, count(*) AS tf
+                     FROM t2 JOIN qterms USING (tok) GROUP BY 1, 2),
+              dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+              sc AS (SELECT tf.doc_id AS doc_id, any_value(dl) AS dl,
+                       CAST(sum(CAST(round(
+                         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                         * tf * 2.2
+                         / (tf + 1.2 * (0.25 + 0.75 * dl
+                             / (CAST(total_tokens AS DOUBLE) / n_docs)))
+                         + 1e-9, 6) AS DECIMAL(18,6))) AS DOUBLE) AS score
+                     FROM tf JOIN dfreq USING (tok)
+                       JOIN dlt ON dlt.doc_id = tf.doc_id CROSS JOIN nd
+                     GROUP BY 1)
+          SELECT doc_id, dl, score FROM sc WHERE score > 0
+          ORDER BY score DESC, doc_id LIMIT 20""",
     "text_bm25_batch" -> {
       val qs = graft.text.TextOps.Bm25Queries
       val values = qs.flatMap { case (q, ts) => ts.map(t => s"($q, '$t')") }

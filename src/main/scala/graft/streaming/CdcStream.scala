@@ -183,9 +183,26 @@ object CdcStream {
         to
       case _ => // never advanced, history restarted, or diff base expired
         onReset(g.readAt(to, """{"match_all":{}}""", space), to)
+        // markers from the dead history must go BEFORE the fresh one
+        // lands: committed() takes the max seq, so a stale snap_5 from a
+        // wiped store would out-rank a fresh snap_2 and force a reset on
+        // EVERY subsequent call until the new history passed seq 5
+        clearMarkers(s, stateDir)
         recordIdentity(s, stateDir, g.storeIdentity(space))
         commit(s, stateDir, to)
         to
     }
+  }
+
+  /** Drop all progress markers — a reset rebinds the consumer to a new
+    * history whose seqs restart, so old markers are not just stale but
+    * actively wrong (they compare against the new history's seqs). */
+  private def clearMarkers(s: SparkSession, stateDir: String): Unit = {
+    val (fs, dir) = fsOf(s, s"$stateDir/_sync")
+    if (fs.exists(dir))
+      fs.listStatus(dir).foreach { st =>
+        if (st.getPath.getName.startsWith("snap_"))
+          fs.delete(st.getPath, false)
+      }
   }
 }

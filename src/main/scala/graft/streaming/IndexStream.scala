@@ -70,6 +70,16 @@ object IndexStream {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("ingest_batch")
           .parquet(s"$indexDir/doclen")
+        // the term-dictionary sidecar (r15): the batch's distinct terms
+        // with their bucket — what lets a prefix probe open only the
+        // buckets holding matching terms (see [[search]])
+        tok.select(col("tok")).distinct()
+          .withColumn("bucket", bucketCol(col("tok")))
+          .withColumn("ingest_batch", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("ingest_batch")
+          .parquet(s"$indexDir/termdict")
         ()
       }
       .start()
@@ -84,13 +94,60 @@ object IndexStream {
              k: Int = 20): DataFrame = {
     // duplicate query terms collapse — the rule bm25TopKOn shares, so the
     // "row for row" contract holds for any query shape
-    val query = query0.distinct
     val dl = s.read.parquet(s"$indexDir/doclen")
       .select(col("doc_id"), col("dl"))
+    val (exact, prefixes) = TextOps.splitSearchTerms(query0.distinct)
+    val query =
+      if (prefixes.isEmpty) exact
+      else {
+        // prefix expansion over the index's vocabulary, matching
+        // [[TextOps.bm25TopKOnPrefix]] (the corpus is append-only — no
+        // liveness to validate). The dictionary prunes the expansion scan
+        // to candidate buckets when it is COMPLETE (one partition per
+        // ingest_batch the index holds — a mid-stream writer upgrade
+        // leaves earlier batches dictionary-less, and pruning on a
+        // partial dictionary would silently drop their terms); otherwise
+        // the expansion scans postings unpruned, still correct.
+        val postAll = s.read.parquet(s"$indexDir/postings")
+        val vocab = dictBuckets(s, indexDir, prefixes) match {
+          case Some(bs) if bs.isEmpty => postAll.limit(0)
+          case Some(bs) => postAll.where(col("bucket").isin(bs: _*))
+          case None => postAll
+        }
+        (exact ++ prefixes.flatMap(p =>
+          TextOps.expandPrefix(vocab.select(col("tok")), p))).distinct
+      }
+    if (query.isEmpty)
+      return dl.select(col("doc_id"), col("dl"),
+        lit(0.0).as("score")).limit(0)
     val buckets = query.map(bucketIdOf).distinct
     val post = s.read.parquet(s"$indexDir/postings")
       .where(col("bucket").isin(buckets: _*) && col("tok").isin(query: _*))
     searchOn(post, dl, query, k)
+  }
+
+  /** Candidate buckets for the prefixes from the termdict sidecar, or
+    * None when the dictionary is absent or INCOMPLETE (missing a batch
+    * the index holds — detected by comparing `ingest_batch=` partitions
+    * against doclen's, the family every batch writes). */
+  private[graft] def dictBuckets(s: SparkSession, indexDir: String,
+                                 prefixes: Seq[String]): Option[Seq[Long]] = {
+    val conf = s.sparkContext.hadoopConfiguration
+    def batches(dir: String): Option[Set[String]] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) None
+      else Some(fs.listStatus(p).toSet.filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith("ingest_batch=")))
+    }
+    (batches(s"$indexDir/termdict"), batches(s"$indexDir/doclen")) match {
+      case (Some(d), Some(l)) if l.subsetOf(d) =>
+        Some(s.read.parquet(s"$indexDir/termdict")
+          .where(prefixes.map(p => col("tok").startsWith(p)).reduce(_ || _))
+          .select(col("bucket")).distinct()
+          .collect().map(_.getLong(0)).toSeq)
+      case _ => None
+    }
   }
 
   /** The index-shaped BM25 scorer over an ALREADY query-restricted postings

@@ -1175,6 +1175,30 @@ object TextOps {
                query: Seq[String] = Bm25Query, k: Int = 20): DataFrame =
     bm25TopKOn(Tables.documents(s, d), query, k)
 
+  /** [[bm25TopKOn]] with prefix-term syntax (r15): trailing-`*` query
+    * terms expand against the corpus vocabulary under the shared rule
+    * ([[expandPrefix]] — lexicographic, capped at [[MaxExpansions]]) and
+    * the expanded set scores as a normal multi-term query. A separate
+    * entry point, not a change to [[bm25TopKOn]]: that scorer's terms
+    * are ANALYZED tokens (a document token can legitimately end in `*`),
+    * so only surfaces that declare the prefix syntax opt in. */
+  def bm25TopKOnPrefix(docs: DataFrame,
+                       query0: Seq[String], k: Int = 20): DataFrame = {
+    val (exact, prefixes) = splitSearchTerms(query0.distinct)
+    val query =
+      if (prefixes.isEmpty) exact
+      else {
+        val vocab = docs
+          .select(explode(tokens(col("text"))).as("tok"))
+          .where(col("tok") =!= "")
+        (exact ++ prefixes.flatMap(p => expandPrefix(vocab, p))).distinct
+      }
+    if (query.isEmpty)
+      docs.select(col("doc_id"), lit(0L).as("dl"),
+        lit(0.0).as("score")).limit(0)
+    else bm25TopKOn(docs, query, k)
+  }
+
   /** [[bm25TopK]] over an arbitrary (doc_id, text) frame — the streamed
     * index's batch twin ([[graft.streaming.IndexStream]] proves its
     * incremental index answers identically to this). */

@@ -466,6 +466,21 @@ class Round15Spec extends SparkTestBase {
     assert(resets.get == rBefore + 1,
       "a wiped-and-recreated store must reset the consumer")
     assert(state() == recompute() && state() == Map("fresh" -> 1L))
+
+    // the reset must also RETIRE the dead history's markers: the new
+    // history restarted at seq 1 while the old marker sat at a higher
+    // seq — committed() takes the max, so without the cleanup every
+    // subsequent advance would read the stale marker and reset forever
+    assert(CdcStream.committed(spark, stateDir).get.snap == 1L,
+      "a reset must leave the NEW history's marker as the committed one")
+    val (r1, d1) = (resets.get, diffs.get)
+    advance() // current -> fast path, no callbacks
+    assert(resets.get == r1 && diffs.get == d1,
+      "an up-to-date consumer must not re-reset after a rebind")
+    w(("2024-03-09T11:00:00Z", 2.0, "fresh"))
+    advance() // and the next append flows through the DIFF path
+    assert(resets.get == r1 && diffs.get == d1 + 1 &&
+      state() == recompute() && state()("fresh") == 2L)
   }
 
   // --------------------------------------------------------------------
@@ -609,5 +624,58 @@ class Round15Spec extends SparkTestBase {
         s"facade prefix search diverges: direct=$bD indexed=$bI")
       assert(mapper.readTree(bD).get("series").size() > 0, bD)
     } finally { srvDirect.stop(); srvIdx.stop() }
+  }
+
+  test("corpus prefix BM25: trailing-* expands identically on the batch scorer and the streamed index; the termdict prunes only when COMPLETE (r15 #8)") {
+    import spark.implicits._
+    import graft.text.TextOps
+    import graft.streaming.IndexStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = freshRoot("graft-bmprefix")
+    val (idx, ckpt) = (s"$root/idx", s"$root/ckpt")
+    val corpus = Seq(
+      (1L, "spark join fast spark table"),
+      (2L, "vector hash join"),
+      (3L, "the table scan slow row"),
+      (4L, "spark vector spark join spark"),
+      (5L, "window batch stream"))
+    val mem = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = IndexStream.start(mem.toDF().toDF("doc_id", "text"), idx, ckpt)
+    mem.addData(corpus.take(3): _*)
+    q.processAllAvailable()
+    mem.addData(corpus.drop(3): _*)
+    q.processAllAvailable(); q.stop()
+
+    val corpusDF = corpus.toDF("doc_id", "text")
+    def key(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dl"),
+        r.getAs[Double]("score"))).toSeq
+    val queries = Seq(Seq("s*"), Seq("join", "s*"), Seq("vec*", "table"),
+      Seq("zz*"), Seq("*")) // bare * is a LITERAL token: matches nothing
+    def parity(): Unit = queries.foreach { pq =>
+      val streamed = key(IndexStream.search(spark, idx, pq).collect())
+      val batch = key(TextOps.bm25TopKOnPrefix(corpusDF, pq).collect())
+      assert(streamed == batch,
+        s"prefix query $pq: streamed=$streamed batch=$batch")
+    }
+    parity()
+    assert(key(IndexStream.search(spark, idx, Seq("s*")).collect()).nonEmpty)
+
+    // a COMPLETE dictionary (every ingest_batch covered) names candidate
+    // buckets: s* matches {spark, scan, slow, stream} -> at most 4 of 64
+    val bs = IndexStream.dictBuckets(spark, idx, Seq("s"))
+    assert(bs.nonEmpty && bs.get.nonEmpty && bs.get.size <= 4,
+      s"4 matching terms can name at most 4 buckets: $bs")
+
+    // an INCOMPLETE dictionary (an index whose earlier batches predate
+    // the sidecar) must NOT prune — a partial dictionary would silently
+    // drop the uncovered batches' terms; the probe falls back to the
+    // unpruned expansion and stays correct
+    val dictBatch = Option(new java.io.File(s"$idx/termdict").listFiles())
+      .toSeq.flatten.find(_.getName.startsWith("ingest_batch=")).get
+    org.apache.commons.io.FileUtils.deleteDirectory(dictBatch)
+    assert(IndexStream.dictBuckets(spark, idx, Seq("s")).isEmpty,
+      "a dictionary missing a batch the index holds must claim nothing")
+    parity()
   }
 }
