@@ -31,6 +31,7 @@ def probeMs(): Double = (0 until 7).map { _ =>
   (System.nanoTime() - t0) / 1e6
 }.sorted.apply(3) // median
 
+probeMs() // warm the JVM/codegen so "fresh" is not charged for startup
 val fresh = probeMs()
 
 // accrete: one sync per appended batch, each its own ledger partition
