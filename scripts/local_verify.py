@@ -72,7 +72,11 @@ def make_con():
         # at sf1 reached 108 GiB RSS and con.interrupt() couldn't land
         # mid-allocation — the 300s watchdog needs the query to stay alive)
         con.execute(f"SET memory_limit='{os.environ['GRAFT_DUCK_MEM']}'")
-        con.execute("SET temp_directory='/tmp/graft_duck_spill'")
+        # per-process spill dir: concurrent invocations (the sharded sf1
+        # protocol) sharing one dir race on cleanup — the first process to
+        # exit removes the other's live temp storage and aborts it mid-query
+        con.execute(
+            f"SET temp_directory='/tmp/graft_duck_spill_{os.getpid()}'")
     for t in TABLES:
         p = f"{SF}/{t}.parquet"
         if os.path.exists(p):
