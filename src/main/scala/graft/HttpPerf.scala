@@ -151,26 +151,36 @@ object HttpPerf {
         searchIndexDir = Some(s"$root/.search-index"))
       val pDirect = srvDirect.start()
       val pIdx = srvIdx.start()
-      def postTo(port: Int, body: String): String = {
+      def postTo(port: Int, body: String,
+                 wantSource: String): String = {
         val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port/search"))
           .POST(HttpRequest.BodyPublishers.ofString(body)).build()
         val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
         require(resp.statusCode() == 200, s"/search -> ${resp.statusCode()}")
+        // the server reports which path served: a silent fallback to the
+        // direct scan returns identical RESULTS, so without this check
+        // the "indexed" timing could unknowingly measure the scan
+        val src = resp.headers().firstValue("X-Graft-Search-Source")
+          .orElse("")
+        require(src == wantSource,
+          s"fraud detected -- expected the $wantSource path but " +
+            s"X-Graft-Search-Source=$src")
         resp.body()
       }
       try {
         val q = """{"q": "value1 value3", "k": 20}"""
-        def minOf5(port: Int): Double = (0 until 5).map { _ =>
-          val t0 = System.nanoTime()
-          postTo(port, q)
-          (System.nanoTime() - t0) / 1e9
-        }.min
+        def minOf5(port: Int, wantSource: String): Double =
+          (0 until 5).map { _ =>
+            val t0 = System.nanoTime()
+            postTo(port, q, wantSource)
+            (System.nanoTime() - t0) / 1e9
+          }.min
         // the two paths must agree before their timings mean anything
-        val (d, i) = (postTo(pDirect, q), postTo(pIdx, q))
+        val (d, i) = (postTo(pDirect, q, "scan"), postTo(pIdx, q, "index"))
         require(mapper.readTree(d).get("series").size() ==
           mapper.readTree(i).get("series").size(),
           "direct and index-served /search disagree on the hit count")
-        (minOf5(pDirect), minOf5(pIdx))
+        (minOf5(pDirect, "scan"), minOf5(pIdx, "index"))
       } finally { srvDirect.stop(); srvIdx.stop() }
     }
 

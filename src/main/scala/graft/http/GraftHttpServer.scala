@@ -439,14 +439,26 @@ class GraftHttpServer(graft: Graft, spark: org.apache.spark.sql.SparkSession,
           // Any index-side failure (no index yet; a sweep REBUILD wiping
           // the dir between our probe and the read) falls back to the
           // direct scan: the index is an accelerator, never an outage.
+          // Which path served is reported in X-Graft-Search-Source
+          // ("index" | "scan") — without it a silent fallback is
+          // indistinguishable from the index path (the two agree on
+          // results by contract), so a perf claim about the index could
+          // unknowingly measure the scan (review r15).
           try {
             val (idxState, tagCols) = searchIdxMeta(d)
-            CdcIndexSync.search(spark, d, terms, k, Some(idxState))
+            val out = CdcIndexSync.search(spark, d, terms, k, Some(idxState))
               .select(tagCols.zipWithIndex.map { case (c, i) =>
                 _root_.graft.tsdb.DocId.decodeField(col("doc_id"), i).as(c)
               } :+ col("score"): _*)
-          } catch { case NonFatal(_) => direct() }
-        case None => direct()
+            ex.getResponseHeaders.set("X-Graft-Search-Source", "index")
+            out
+          } catch { case NonFatal(_) =>
+            ex.getResponseHeaders.set("X-Graft-Search-Source", "scan")
+            direct()
+          }
+        case None =>
+          ex.getResponseHeaders.set("X-Graft-Search-Source", "scan")
+          direct()
       }
     }
     handle("/delete") { (ex, node) =>

@@ -72,16 +72,25 @@ object ServerMain {
   /** One maintenance pass over every space's search index (build on first
     * touch, CDC sync after, FOLD once the active generation accretes
     * `foldBatches` sync batches — the ledger/postings lifecycle, r15) —
-    * called by the standing sweep and by specs. */
-  def searchIndexSweep(g: Graft, idxBase: String,
-                       foldBatches: Int = 16): Unit =
+    * the ONE copy of the sweep policy, called by the standing daemon and
+    * by specs (review r15: the daemon re-implemented it inline, so the
+    * two copies could drift). `onError` is the per-space isolation: one
+    * space's broken index must not stop another's sync; the default
+    * rethrows so specs fail loudly. */
+  def searchIndexSweep(g: Graft, idxBase: String, foldBatches: Int = 16,
+                       onError: (String, Throwable) => Unit =
+                         (_, e) => throw e): Unit =
     g.spaces().foreach { sp =>
-      val dir = s"$idxBase/$sp"
-      _root_.graft.streaming.CdcIndexSync.syncOrBuild(g, dir, sp)
-      val s = org.apache.spark.sql.SparkSession.active
-      if (foldBatches > 0 &&
-        _root_.graft.streaming.CdcIndexSync.ledgerBatches(s, dir) >= foldBatches)
-        _root_.graft.streaming.CdcIndexSync.compactIndex(s, dir)
+      try {
+        val dir = s"$idxBase/$sp"
+        _root_.graft.streaming.CdcIndexSync.syncOrBuild(g, dir, sp)
+        val s = org.apache.spark.sql.SparkSession.active
+        if (foldBatches > 0 &&
+          _root_.graft.streaming.CdcIndexSync.ledgerBatches(s, dir) >= foldBatches)
+          _root_.graft.streaming.CdcIndexSync.compactIndex(s, dir)
+      } catch {
+        case scala.util.control.NonFatal(e) => onError(sp, e)
+      }
     }
 
   def main(args: Array[String]): Unit = {
@@ -148,16 +157,10 @@ object ServerMain {
               println(s"[graft] compacted $sp: " + swaps.map { case (d, b, a) =>
                 s"day $d $b->$a files" }.mkString(", ")) }
           }
-          if (wantIndex) g.spaces().foreach { sp =>
-            half(s"search-index $sp") {
-              val dir = s"$root/.search-index/$sp"
-              _root_.graft.streaming.CdcIndexSync.syncOrBuild(g, dir, sp)
-              if (cfgForDaemons.indexFoldBatches > 0 &&
-                _root_.graft.streaming.CdcIndexSync
-                  .ledgerBatches(spark, dir) >= cfgForDaemons.indexFoldBatches)
-                _root_.graft.streaming.CdcIndexSync.compactIndex(spark, dir)
-            }
-          }
+          if (wantIndex) searchIndexSweep(g, s"$root/.search-index",
+            cfgForDaemons.indexFoldBatches,
+            (sp, e) => System.err.println(
+              s"[graft] search-index $sp sweep failed: ${e.getMessage}"))
           if (wantVacuum) g.spaces().foreach { sp =>
             half(s"vacuum $sp") {
               val freed = g.vacuum(sp, cfgForDaemons.vacuumKeepSnapshots)

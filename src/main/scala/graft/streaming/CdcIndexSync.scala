@@ -43,11 +43,14 @@ import graft.tsdb.Graft
   * ledger collapsed to one exact count per LIVE series, dead series'
   * postings/doclen physically dropped, everything rewritten as ONE base
   * partition — the segment-merge maintenance ES runs under the same
-  * sweep, marker-committed so a crash mid-fold is invisible. The fold
-  * lands in a fresh GENERATION directory (`g<n>/`) and flips a
-  * create-only `fold_<n>` marker; readers resolve the active generation
-  * and the committed snapshot from one `_sync` listing. The previous
-  * generation survives one fold as an in-flight-reader grace window.
+  * sweep, marker-committed so a crash mid-fold is invisible. Each fold
+  * attempt stages into its OWN `g<n>-<nonce>/` directory and flips a
+  * create-only `fold_<n>` marker whose body names the staged dir;
+  * readers resolve the active generation (and its dir) and the
+  * committed snapshot from one `_sync` listing. The previous generation
+  * survives one fold as an in-flight-reader grace window, and progress
+  * markers are pruned as they are superseded (the listing stays
+  * bounded).
   *
   * Commit point per sync: a `snap_<seq>-<nonce>` marker (via
   * [[CdcStream]], the generalized consumer discipline this index now
@@ -88,9 +91,13 @@ object CdcIndexSync {
 
   /** One `_sync` listing resolves everything a reader needs: the
     * committed snapshot, the marker NAME that committed it (the cache
-    * key — it changes on rebuild even at the same seq), and the active
-    * fold generation. */
-  case class IdxState(snap: Long, marker: String, gen: Long)
+    * key — it changes on rebuild even at the same seq), the active fold
+    * generation, and the generation's DATA DIRECTORY name (read from the
+    * fold marker's body — each fold attempt stages into a unique dir, so
+    * a fold that loses the marker race deletes only its OWN staging,
+    * never the winner's committed data; review r15). */
+  case class IdxState(snap: Long, marker: String, gen: Long,
+                      genDir: String)
 
   def state(s: SparkSession, indexDir: String): Option[IdxState] = {
     val (fs, dir) = fsOf(s, s"$indexDir/_sync")
@@ -100,7 +107,8 @@ object CdcIndexSync {
     if (snaps.isEmpty) return None
     val marker = snaps.maxBy(markerSeq)
     val gen = genOf(names)
-    Some(IdxState(markerSeq(marker), marker, gen))
+    Some(IdxState(markerSeq(marker), marker, gen,
+      genDirOf(s, indexDir, gen)))
   }
 
   private def markerSeq(name: String): Long =
@@ -112,20 +120,40 @@ object CdcIndexSync {
     if (folds.isEmpty) 0L else folds.max
   }
 
+  /** The data-directory name generation `gen` committed: the body of its
+    * `fold_<gen>` marker, or the legacy fixed `g<gen>` when the marker
+    * carries no body (pre-review-r15 folds). Generation 0 is the index
+    * root ("" sentinel). */
+  private def genDirOf(s: SparkSession, indexDir: String,
+                       gen: Long): String = {
+    if (gen == 0L) return ""
+    val (fs, _) = fsOf(s, indexDir)
+    val f = new HPath(s"$indexDir/_sync/fold_$gen")
+    val body =
+      if (!fs.exists(f)) ""
+      else {
+        val in = fs.open(f)
+        try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
+        finally in.close()
+      }
+    if (body.nonEmpty) body else s"g$gen"
+  }
+
   /** The snapshot seq the index is committed at: the highest `_sync`
     * marker, or None for an unbuilt index. */
   def committedSnap(s: SparkSession, indexDir: String): Option[Long] =
     state(s, indexDir).map(_.snap)
 
-  /** A family's data dir under the active generation: generation 0 lives
-    * at the index root (pre-r15 indexes keep working unmodified); folds
-    * land in `g<n>/`. */
-  private def famDir(indexDir: String, gen: Long, fam: String): String =
-    if (gen == 0L) s"$indexDir/$fam" else s"$indexDir/g$gen/$fam"
+  /** A family's data dir under a generation's directory: generation 0
+    * (genDir = "") lives at the index root (pre-r15 indexes keep working
+    * unmodified); folds land in their staged `g<n>-<nonce>/` dir. */
+  private def famDir(indexDir: String, genDir: String, fam: String): String =
+    if (genDir.isEmpty) s"$indexDir/$fam" else s"$indexDir/$genDir/$fam"
 
   /** Read one family at a generation — empty frame when absent/row-less
     * (explicit schema: never schema inference, never a wedge). */
-  private def readFam(s: SparkSession, indexDir: String, gen: Long,
+  private def readFam(s: SparkSession, indexDir: String, genDir: String,
                       fam: String): DataFrame = {
     val schema = fam match {
       case "postings" => PostingsSchema
@@ -133,7 +161,7 @@ object CdcIndexSync {
       case "termdict" => TermdictSchema
       case _ => CountsSchema
     }
-    CdcStream.readState(s, famDir(indexDir, gen, fam), schema)
+    CdcStream.readState(s, famDir(indexDir, genDir, fam), schema)
   }
 
   private def tagsFile(indexDir: String) = s"$indexDir/_sync/tags"
@@ -204,6 +232,14 @@ object CdcIndexSync {
     concat_ws(" ",
       tagCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*)
 
+  /** Test seams (default no-op): run inside the fold's commit window
+    * (staged families written, fold marker not yet landed) and inside
+    * sync's commit window (batch landed, progress marker not yet) — the
+    * two interleavings of the sync-racing-fold hazard (review r15), made
+    * deterministic for the spec. */
+  private[graft] var foldCommitHook: () => Unit = () => ()
+  private[graft] var syncCommitHook: () => Unit = () => ()
+
   /** The daemon entry point: [[build]] on first touch, [[sync]] after —
     * one call a standing maintenance sweep can make unconditionally. */
   def syncOrBuild(g: Graft, indexDir: String,
@@ -219,7 +255,7 @@ object CdcIndexSync {
     * Zero-row inputs skip the write entirely — a rowless dynamic
     * overwrite would still create a schemaless parquet dir (the ADVICE
     * r14 wedge); absence reads as empty via the declared schemas. */
-  private def landBatch(indexDir: String, gen: Long, snap: Long,
+  private def landBatch(indexDir: String, genDir: String, snap: Long,
                         newDocs: DataFrame, deltas: DataFrame): Unit = {
     val tok = newDocs
       .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
@@ -235,13 +271,13 @@ object CdcIndexSync {
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("bucket", "ingest_batch")
-        .parquet(famDir(indexDir, gen, "postings"))
+        .parquet(famDir(indexDir, genDir, "postings"))
       tok.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
         .withColumn("ingest_batch", lit(snap))
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("ingest_batch")
-        .parquet(famDir(indexDir, gen, "doclen"))
+        .parquet(famDir(indexDir, genDir, "doclen"))
       // the term-dictionary sidecar (r15, VERDICT r14 #8): the batch's
       // DISTINCT terms with their hash bucket — tiny next to postings
       // (vocabulary, not doc×term), and what lets a prefix probe open
@@ -252,7 +288,7 @@ object CdcIndexSync {
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("ingest_batch")
-        .parquet(famDir(indexDir, gen, "termdict"))
+        .parquet(famDir(indexDir, genDir, "termdict"))
     }
     val del = deltas.select(col("doc_id"), col("delta").cast("long"))
       .localCheckpoint(true)
@@ -261,7 +297,7 @@ object CdcIndexSync {
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("ingest_batch")
-        .parquet(famDir(indexDir, gen, "counts"))
+        .parquet(famDir(indexDir, genDir, "counts"))
   }
 
   /** Full (re)build at the store's current committed snapshot: the
@@ -291,7 +327,7 @@ object CdcIndexSync {
       .agg(count(lit(1)).as("delta"))
     val docs = withId
       .select(col("doc_id"), textCol(tagCols).as("text")).distinct()
-    landBatch(indexDir, 0L, snap, docs, deltas)
+    landBatch(indexDir, "", snap, docs, deltas)
     writeTags(s, indexDir, tagCols)
     writeFormat(s, indexDir)
     CdcStream.recordIdentity(s, indexDir, g.storeIdentity(space))
@@ -302,7 +338,7 @@ object CdcIndexSync {
   /** Delete data partitions above the committed marker — a crashed
     * sync's leftovers, which would otherwise become visible the moment
     * a LATER marker lands. */
-  private def cleanupAbove(s: SparkSession, indexDir: String, gen: Long,
+  private def cleanupAbove(s: SparkSession, indexDir: String, genDir: String,
                            committed: Long): Unit = {
     val (fs, _) = fsOf(s, indexDir)
     def sweep(p: HPath): Unit = if (fs.exists(p))
@@ -316,7 +352,7 @@ object CdcIndexSync {
         }
       }
     Seq("postings", "doclen", "counts", "termdict")
-      .foreach(f => sweep(new HPath(famDir(indexDir, gen, f))))
+      .foreach(f => sweep(new HPath(famDir(indexDir, genDir, f))))
   }
 
   /** Advance the index from its committed snapshot to the store's
@@ -363,7 +399,7 @@ object CdcIndexSync {
     // vacuum expired the index's base snapshot, or the store's history
     // restarted below it
     if (to < from || !snaps.contains(from)) return build(g, indexDir, space)
-    cleanupAbove(s, indexDir, st.gen, from)
+    cleanupAbove(s, indexDir, st.genDir, from)
     val ch = g.changes(from, to, space)
     val tagCols = tagColsOf(ch,
       Set("time_ms", "old_value", "new_value", "change"))
@@ -383,13 +419,37 @@ object CdcIndexSync {
     }
     // a doc the index has EVER seen keeps its postings (dead or alive —
     // resurrection is a ledger flip); only never-seen docs index anew
-    val known = readFam(s, indexDir, st.gen, "counts")
+    val known = readFam(s, indexDir, st.genDir, "counts")
       .where(col("ingest_batch") <= from).select("doc_id").distinct()
     val newDocs = deltas.where(col("delta") > 0)
       .join(known, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("text"))
-    landBatch(indexDir, st.gen, to, newDocs, deltas.select("doc_id", "delta"))
+      .localCheckpoint(true) // pinned: a re-land below must not re-read
+                             // a generation a concurrent fold reclaimed
+    landBatch(indexDir, st.genDir, to, newDocs, deltas.select("doc_id", "delta"))
+    syncCommitHook()
     CdcStream.commit(s, indexDir, to)
+    // close the fold race (review r15): a fold that committed between
+    // our entry and our marker moved the active families to a NEW
+    // generation the landBatch above never touched — without this the
+    // batch would be marked indexed but invisible, and never replayed
+    // (the next sync starts above it). Re-land into the active
+    // generation until stable; landBatch rides dynamic partition
+    // overwrite, so a generation that already holds the batch (the
+    // fold's own late-copy) is rewritten bit-identically, never
+    // duplicated. The fold's post-commit check covers the mirror-image
+    // interleaving, so every committed batch reaches the active
+    // generation whichever marker lands second.
+    var landedDir = st.genDir
+    var active = state(s, indexDir).map(_.genDir).getOrElse(landedDir)
+    var guard = 0
+    while (active != landedDir && guard < 8) {
+      landBatch(indexDir, active, to, newDocs,
+        deltas.select("doc_id", "delta"))
+      landedDir = active
+      active = state(s, indexDir).map(_.genDir).getOrElse(active)
+      guard += 1
+    }
     to
   }
 
@@ -401,7 +461,7 @@ object CdcIndexSync {
     state(s, indexDir) match {
       case None => 0
       case Some(st) =>
-        val (fs, p) = fsOf(s, famDir(indexDir, st.gen, "counts"))
+        val (fs, p) = fsOf(s, famDir(indexDir, st.genDir, "counts"))
         if (!fs.exists(p)) 0
         else fs.listStatus(p).count(f =>
           f.isDirectory && f.getPath.getName.startsWith("ingest_batch="))
@@ -411,19 +471,33 @@ object CdcIndexSync {
     * scaladoc promised): collapse the ledger to ONE exact count per LIVE
     * series, physically drop dead series' postings/doclen, and rewrite
     * each family as a single base partition at the committed snapshot.
-    * The folded state lands in generation `g<gen+1>/` and becomes
-    * visible only when the create-only `fold_<gen+1>` marker lands —
-    * a crash mid-fold leaves an unmarked directory the next fold
-    * deletes and redoes; readers never see a half fold. The previous
-    * generation is kept for ONE fold as an in-flight-reader grace
-    * window; older generations are deleted here.
+    * Each fold attempt stages into its OWN `g<n>-<nonce>/` directory and
+    * becomes visible only when the create-only `fold_<n>` marker — whose
+    * BODY names the staged dir — lands; a racing fold that loses the
+    * marker create deletes only its own staging, never the winner's
+    * committed data (review r15: a shared staging path let the loser's
+    * cleanup delete the winner's generation). A crash mid-fold leaves an
+    * unmarked directory reclaimed once the generation passes it; readers
+    * never see a half fold. The previous generation is kept for ONE fold
+    * as an in-flight-reader grace window; older generations and
+    * below-committed progress markers are reclaimed here.
+    *
+    * Sync racing the fold (review r15): a sync can commit its marker
+    * while the fold is rewriting — the folded families, filtered to the
+    * fold's base snapshot, would silently miss that batch. Both sides
+    * close it: after winning the marker, the fold RE-LANDS any batches
+    * committed above its base from the grace generation; and [[sync]]
+    * re-resolves the active generation after its own commit and re-lands
+    * into it if a fold moved the families. Whichever side's marker lands
+    * second sees the other's (one `_sync` listing resolves both), so
+    * every committed batch reaches the active generation.
     *
     * Search is rank- and score-identical across the fold (spec-proven):
     * the fold changes the ledger's representation (many deltas → one
     * sum) and drops rows that can never match (dead docs, whose ledger
     * sum is ≤ 0 and whose postings the alive-join already excluded).
     * Returns the new generation, or the current one when there is
-    * nothing to fold (≤ 1 batch accreted).
+    * nothing to fold (≤ 1 batch accreted) or the claim was lost.
     */
   def compactIndex(s: SparkSession, indexDir: String): Long = {
     val st = state(s, indexDir).getOrElse(
@@ -431,30 +505,22 @@ object CdcIndexSync {
         s"no committed index at $indexDir — run build first"))
     if (ledgerBatches(s, indexDir) <= 1) return st.gen
     val (fs, _) = fsOf(s, indexDir)
-    // crashed-fold leftovers: any unmarked generation dir above the
-    // committed one is garbage from a fold that died before its marker
-    val (_, root) = fsOf(s, indexDir)
-    if (fs.exists(root)) fs.listStatus(root).foreach { f =>
-      val n = f.getPath.getName
-      if (f.isDirectory && n.startsWith("g") &&
-        n.drop(1).forall(_.isDigit) && n.drop(1).nonEmpty &&
-        n.drop(1).toLong > st.gen)
-        fs.delete(f.getPath, true)
-    }
     val next = st.gen + 1
+    val stageDir = s"g$next-${java.lang.Long.toUnsignedString(
+      new java.security.SecureRandom().nextLong(), 36)}"
     val committed = st.snap
-    val counts = readFam(s, indexDir, st.gen, "counts")
+    val counts = readFam(s, indexDir, st.genDir, "counts")
       .where(col("ingest_batch") <= committed)
     val alive = counts.groupBy(col("doc_id"))
       .agg(sum(col("delta")).as("delta"))
       .where(col("delta") > 0)
       .localCheckpoint(true) // one fold feeds all three rewrites
     val aliveIds = alive.select("doc_id")
-    val posts = readFam(s, indexDir, st.gen, "postings")
+    val posts = readFam(s, indexDir, st.genDir, "postings")
       .where(col("ingest_batch") <= committed)
       .join(aliveIds, "doc_id")
       .select(col("doc_id"), col("tok"), col("tf"), col("bucket"))
-    val dl = readFam(s, indexDir, st.gen, "doclen")
+    val dl = readFam(s, indexDir, st.genDir, "doclen")
       .where(col("ingest_batch") <= committed)
       .join(aliveIds, "doc_id")
       .select(col("doc_id"), col("dl"))
@@ -462,7 +528,7 @@ object CdcIndexSync {
       posts.withColumn("ingest_batch", lit(committed))
         .write.mode("overwrite")
         .partitionBy("bucket", "ingest_batch")
-        .parquet(famDir(indexDir, next, "postings"))
+        .parquet(famDir(indexDir, stageDir, "postings"))
       // termdict folds FROM the folded postings: dead-doc-only terms drop
       // out, so the dictionary's candidate-bucket sets shrink with the
       // vocabulary they prune for
@@ -470,38 +536,82 @@ object CdcIndexSync {
         .withColumn("ingest_batch", lit(committed))
         .write.mode("overwrite")
         .partitionBy("ingest_batch")
-        .parquet(famDir(indexDir, next, "termdict"))
+        .parquet(famDir(indexDir, stageDir, "termdict"))
     }
     if (!dl.isEmpty)
       dl.withColumn("ingest_batch", lit(committed))
         .write.mode("overwrite")
         .partitionBy("ingest_batch")
-        .parquet(famDir(indexDir, next, "doclen"))
+        .parquet(famDir(indexDir, stageDir, "doclen"))
     if (!alive.isEmpty)
       alive.select(col("doc_id"), col("delta"))
         .withColumn("ingest_batch", lit(committed))
         .write.mode("overwrite")
         .partitionBy("ingest_batch")
-        .parquet(famDir(indexDir, next, "counts"))
-    // the commit point: fold_<next> is create-only — if it exists another
-    // folder won and our staged generation is garbage
+        .parquet(famDir(indexDir, stageDir, "counts"))
+    // the commit point: fold_<next> is create-only, its body the staged
+    // dir name — if it exists another folder won and OUR staging (only)
+    // is garbage
     val (mfs, mdir) = fsOf(s, s"$indexDir/_sync")
     mfs.mkdirs(mdir)
+    foldCommitHook()
     try {
       val out = mfs.create(new HPath(mdir, s"fold_$next"), false)
-      out.close()
+      try out.write(stageDir.getBytes("UTF-8"))
+      finally out.close()
     } catch {
       case _: java.io.IOException =>
-        fs.delete(new HPath(s"$indexDir/g$next"), true)
+        fs.delete(new HPath(s"$indexDir/$stageDir"), true)
         return st.gen
     }
-    // reclaim generations older than the grace window (keep st.gen for
-    // in-flight readers; they re-resolve the active gen next request)
-    (0L until st.gen).foreach { old =>
-      if (old == 0L)
-        Seq("postings", "doclen", "counts", "termdict").foreach(f =>
-          fs.delete(new HPath(s"$indexDir/$f"), true))
-      else fs.delete(new HPath(s"$indexDir/g$old"), true)
+    // close the sync race: any batch whose marker landed DURING the fold
+    // is missing from the staged families (they were filtered to <= the
+    // fold's base) — copy its partitions from the grace generation now.
+    // A sync committing after this read sees fold_<next> in the same
+    // listing and re-lands on its own side.
+    val nowCommitted = state(s, indexDir).map(_.snap).getOrElse(committed)
+    if (nowCommitted > committed)
+      Seq("postings", "doclen", "counts", "termdict").foreach { fam =>
+        val late = readFam(s, indexDir, st.genDir, fam)
+          .where(col("ingest_batch") > committed &&
+            col("ingest_batch") <= nowCommitted)
+        if (!late.isEmpty) {
+          val parts =
+            if (fam == "postings") Seq("bucket", "ingest_batch")
+            else Seq("ingest_batch")
+          late.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(parts: _*)
+            .parquet(famDir(indexDir, stageDir, fam))
+        }
+      }
+    // reclaim: keep the new generation and the grace copy (st.genDir or
+    // the root families for gen 0); delete every other g* dir whose seq
+    // is <= the OLD generation (crash garbage and out-of-grace folds) —
+    // never same-or-higher-seq dirs, which may be a concurrent fold's
+    // live staging
+    val keep = Set(stageDir, st.genDir)
+    val (_, root) = fsOf(s, indexDir)
+    if (fs.exists(root)) fs.listStatus(root).foreach { f =>
+      val n = f.getPath.getName
+      val seq = if (f.isDirectory && n.startsWith("g"))
+        n.drop(1).takeWhile(_.isDigit) else ""
+      if (seq.nonEmpty && seq.toLong <= st.gen && !keep(n))
+        fs.delete(f.getPath, true)
+    }
+    if (st.gen >= 1) // the root (gen 0) families are out of grace now
+      Seq("postings", "doclen", "counts", "termdict").foreach(f =>
+        fs.delete(new HPath(s"$indexDir/$f"), true))
+    // prune progress markers: readers only ever use the max snap marker,
+    // and fold markers older than the grace generation resolve nothing —
+    // without this the hot-path `_sync` listing grows one file per sync
+    // forever (review r15)
+    fs.listStatus(mdir).foreach { m =>
+      val n = m.getPath.getName
+      if ((n.startsWith("snap_") && markerSeq(n) < committed) ||
+        (n.startsWith("fold_") &&
+          n.stripPrefix("fold_").toLong < st.gen))
+        fs.delete(m.getPath, false)
     }
     next
   }
@@ -517,7 +627,7 @@ object CdcIndexSync {
       s: SparkSession, indexDir: String, st: IdxState,
       prefixes: Seq[String]): Option[Seq[Long]] =
     if (!formatOf(s, indexDir).contains(Format)) None
-    else Some(readFam(s, indexDir, st.gen, "termdict")
+    else Some(readFam(s, indexDir, st.genDir, "termdict")
       .where(col("ingest_batch") <= st.snap)
       .where(prefixes.map(p => col("tok").startsWith(p)).reduce(_ || _))
       .select(col("bucket")).distinct()
@@ -547,11 +657,11 @@ object CdcIndexSync {
       throw new IllegalStateException(
         s"no committed index at $indexDir — run build first"))
     val committed = st.snap
-    val alive = readFam(s, indexDir, st.gen, "counts")
+    val alive = readFam(s, indexDir, st.genDir, "counts")
       .where(col("ingest_batch") <= committed)
       .groupBy(col("doc_id")).agg(sum(col("delta")).as("npoints"))
       .where(col("npoints") > 0).select("doc_id")
-    val dl = readFam(s, indexDir, st.gen, "doclen")
+    val dl = readFam(s, indexDir, st.genDir, "doclen")
       .where(col("ingest_batch") <= committed)
       .select(col("doc_id"), col("dl"))
       .join(alive, "doc_id")
@@ -559,7 +669,7 @@ object CdcIndexSync {
     val query =
       if (prefixes.isEmpty) exact
       else {
-        val postBase = readFam(s, indexDir, st.gen, "postings")
+        val postBase = readFam(s, indexDir, st.genDir, "postings")
           .where(col("ingest_batch") <= committed)
         val pruned = prefixCandidateBuckets(s, indexDir, st, prefixes) match {
           case Some(Nil) => postBase.limit(0) // dictionary says: no match
@@ -567,14 +677,13 @@ object CdcIndexSync {
           case None => postBase // pre-dictionary index: unpruned fallback
         }
         val vocab = pruned.join(alive, "doc_id").select(col("tok"))
-        (exact ++ prefixes.flatMap(p =>
-          TextOps.expandPrefix(vocab, p))).distinct
+        (exact ++ TextOps.expandPrefixes(vocab, prefixes)).distinct
       }
     if (query.isEmpty) // every prefix expanded to nothing: zero matches
       return dl.select(col("doc_id"), col("dl"),
         lit(0.0).as("score")).limit(0)
     val buckets = query.map(IndexStream.bucketIdOf).distinct
-    val post = readFam(s, indexDir, st.gen, "postings")
+    val post = readFam(s, indexDir, st.genDir, "postings")
       .where(col("ingest_batch") <= committed &&
         col("bucket").isin(buckets: _*) && col("tok").isin(query: _*))
       .join(alive, "doc_id")

@@ -82,14 +82,22 @@ object CdcStream {
 
   /** Commit progress at `snap`: data first, marker last — the marker's
     * existence proves its batch landed whole. Markers are create-only
-    * (never overwritten) and carry a nonce in the name. Returns the
-    * marker name. */
+    * (never overwritten) and carry a nonce in the name. Lower-seq
+    * markers are pruned after the new one lands (best-effort): readers
+    * only ever take the max, and without pruning the `_sync` listing —
+    * on the facade's per-request hot path — grows one file per sync
+    * forever (review r15). Returns the marker name. */
   def commit(s: SparkSession, stateDir: String, snap: Long): String = {
     val (fs, dir) = fsOf(s, s"$stateDir/_sync")
     fs.mkdirs(dir)
     val name = s"snap_$snap-${nonce()}"
     val out = fs.create(new HPath(dir, name), false)
     out.close()
+    try fs.listStatus(dir).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("snap_") && seqOf(n) < snap)
+        fs.delete(st.getPath, false)
+    } catch { case _: java.io.IOException => () } // pruning is optional
     name
   }
 

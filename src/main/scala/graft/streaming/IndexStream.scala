@@ -114,8 +114,7 @@ object IndexStream {
           case Some(bs) => postAll.where(col("bucket").isin(bs: _*))
           case None => postAll
         }
-        (exact ++ prefixes.flatMap(p =>
-          TextOps.expandPrefix(vocab.select(col("tok")), p))).distinct
+        (exact ++ TextOps.expandPrefixes(vocab.select(col("tok")), prefixes)).distinct
       }
     if (query.isEmpty)
       return dl.select(col("doc_id"), col("dl"),

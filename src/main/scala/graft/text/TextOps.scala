@@ -1147,6 +1147,33 @@ object TextOps {
       .orderBy(col("tok")).limit(MaxExpansions)
       .collect().map(_.getString(0)).toSeq
 
+  /** [[expandPrefix]] for a whole query in ONE Spark job (review r15: a
+    * per-prefix expansion ran one corpus-sized distinct+sort+collect per
+    * prefix term on the request hot path): every prefix's matches rank
+    * in a per-prefix window and only the first [[MaxExpansions]] of each
+    * reach the driver. Per-prefix results are identical to calling
+    * [[expandPrefix]] once per prefix.
+    */
+  def expandPrefixes(vocab: DataFrame, prefixes: Seq[String]): Seq[String] =
+    prefixes match {
+      case Nil => Nil
+      case Seq(p) => expandPrefix(vocab, p)
+      case ps =>
+        val ranked = vocab
+          .select(col("tok"), explode(array(ps.map(p =>
+            when(col("tok").startsWith(p), lit(p))
+              .otherwise(lit(null).cast("string"))): _*)).as("pfx"))
+          .where(col("pfx").isNotNull)
+          .distinct()
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("pfx")).orderBy(col("tok"))))
+          .where(col("rn") <= MaxExpansions)
+          .select(col("pfx"), col("tok"))
+          .collect()
+        ps.flatMap(p => ranked.filter(_.getString(0) == p)
+          .map(_.getString(1)).sorted)
+    }
+
   /** BM25 contribution of one query term, in plain double arithmetic both
     * engines replay: idf(df) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)),
     * rounded to 6 decimals and cast to an exact decimal so the final score
@@ -1191,7 +1218,7 @@ object TextOps {
         val vocab = docs
           .select(explode(tokens(col("text"))).as("tok"))
           .where(col("tok") =!= "")
-        (exact ++ prefixes.flatMap(p => expandPrefix(vocab, p))).distinct
+        (exact ++ expandPrefixes(vocab, prefixes)).distinct
       }
     if (query.isEmpty)
       docs.select(col("doc_id"), lit(0L).as("dl"),

@@ -875,10 +875,15 @@ class Graft(spark: SparkSession, root: String,
   /** Physically delete files no snapshot in the keep window references, and
     * expire the manifests older than the window — manifest mode's deferred
     * deletion (Iceberg's expire-snapshots). `keepSnapshots` is the reader
-    * grace: a reader pinned to an expired snapshot is the operator's trade.
+    * grace: a reader pinned to an expired snapshot is the operator's trade,
+    * and its default is [[Graft.DefaultVacuumKeep]] — the ONE default the
+    * config layer also uses (review r15: a shallow API default here
+    * silently destroyed external CDC consumers' diff bases while the
+    * config default was deepened for exactly that reason).
     * Returns the deleted data-file paths (relative).
     */
-  def vacuum(space: String = "default", keepSnapshots: Int = 2,
+  def vacuum(space: String = "default",
+             keepSnapshots: Int = Graft.DefaultVacuumKeep,
              orphanGraceMs: Long = Graft.DefaultOrphanGraceMs): Seq[String] = {
     require(manifest, "vacuum is a manifest-mode operation (manifest = true)")
     flushQueued(space) // queued-but-unlanded points land (and commit) first

@@ -135,8 +135,7 @@ object Tsdb {
         val vocab = series
           .select(explode(graft.text.TextOps.tokens(col("text"))).as("tok"))
           .where(col("tok") =!= "")
-        (exact ++ prefixes.flatMap(p =>
-          graft.text.TextOps.expandPrefix(vocab, p))).distinct
+        (exact ++ graft.text.TextOps.expandPrefixes(vocab, prefixes)).distinct
       }
     if (query.isEmpty) // every prefix expanded to nothing: zero matches
       return series

@@ -115,6 +115,8 @@ class CdcIndexSpec extends SparkTestBase {
 
     w(("2024-01-09T10:00:00Z", 1.0, "alpha"), ("2024-01-09T11:00:00Z", 2.0, "beta"))
     val b0 = CdcIndexSync.build(g, dir)
+    val b0Marker = new java.io.File(s"$dir/_sync").listFiles()
+      .map(_.getName).find(_.startsWith(s"snap_$b0")).get
     w(("2024-01-09T12:00:00Z", 3.0, "gamma"), ("2024-01-09T13:00:00Z", 4.0, "alpha"))
     val s1 = CdcIndexSync.sync(g, dir)
 
@@ -133,6 +135,10 @@ class CdcIndexSpec extends SparkTestBase {
         f.getName.startsWith(s"snap_$s1-"))
       .getOrElse(fail(s"test harness: no marker for $s1"))
     assert(marker.delete(), "test harness: marker must exist to drop")
+    // a REAL crash-before-marker still has the previous marker (the
+    // commit-time prune only runs after the new marker lands — r15);
+    // restore it so the simulated state matches a reachable one
+    new java.io.File(s"$dir/_sync/$b0Marker").createNewFile()
     assert(CdcIndexSync.committedSnap(spark, dir).contains(b0))
     val mid = indexed(dir, Seq("gamma", "alpha"))
     assert(!mid.exists(_._1 == "gamma"),

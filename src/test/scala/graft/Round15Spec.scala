@@ -186,10 +186,11 @@ class Round15Spec extends SparkTestBase {
     val before = queries.map(q => indexed(dir, q))
     assert(before.last.isEmpty, "the dead series must not match pre-fold")
 
-    // crash-mid-fold: an unmarked staged generation is INVISIBLE — and
-    // the next fold deletes and redoes it
-    new java.io.File(s"$root/index/g1/counts").mkdirs()
-    Files.write(Paths.get(s"$root/index/g1/counts/garbage"),
+    // crash-mid-fold: an unreferenced staged generation dir (no fold
+    // marker names it) is INVISIBLE, and reclaimed once the generation
+    // passes it
+    new java.io.File(s"$root/index/g1-deadstage/counts").mkdirs()
+    Files.write(Paths.get(s"$root/index/g1-deadstage/counts/garbage"),
       "not parquet".getBytes("UTF-8"))
     assert(queries.map(q => indexed(dir, q)) == before,
       "a half-written fold must be invisible to search")
@@ -203,12 +204,15 @@ class Round15Spec extends SparkTestBase {
     assertParity(g, dir, queries)
 
     // dead series' postings: physically present in the old generation
-    // (the grace copy), physically ABSENT from the folded one
+    // (the grace copy), physically ABSENT from the folded one (whose
+    // staged dir the fold marker's body names — review r15)
+    val gdir1 = CdcIndexSync.state(spark, dir).get.genDir
+    assert(gdir1.startsWith("g1-"), s"staged generation dir: $gdir1")
     val deadId = DocId.encodeRaw(Seq(Some("old-01"), Some("tmpseries")))
     assert(spark.read.parquet(s"$dir/postings")
       .where(col("doc_id") === deadId).count() > 0,
       "pre-fold postings held the dead doc (the thing the fold drops)")
-    assert(spark.read.parquet(s"$dir/g1/postings")
+    assert(spark.read.parquet(s"$dir/$gdir1/postings")
       .where(col("doc_id") === deadId).count() == 0,
       "the folded generation must not carry dead series' postings")
 
@@ -218,15 +222,70 @@ class Round15Spec extends SparkTestBase {
     assert(indexed(dir, Seq("old-01")).map(_._1) == Seq(deadId))
     assertParity(g, dir, queries)
 
-    // a second fold reclaims the generation-0 grace copy
+    // a second fold reclaims the generation-0 grace copy AND the crashed
+    // staging dir (now below the generation frontier)
     assert(CdcIndexSync.compactIndex(spark, dir) == 2L)
     assert(!new java.io.File(s"$dir/postings").exists() &&
       !new java.io.File(s"$dir/termdict").exists(),
       "generation 0 (all families) must be reclaimed once out of the grace window")
+    assert(!new java.io.File(s"$dir/g1-deadstage").exists(),
+      "a crashed fold's staging must be reclaimed once the generation passes it")
     assertParity(g, dir, queries)
+    // marker pruning (review r15): the hot-path _sync listing stays
+    // bounded — only the committed snap marker and the grace-window fold
+    // markers survive
+    val markers = new java.io.File(s"$dir/_sync").list().toSeq
+    assert(markers.count(_.startsWith("snap_")) == 1,
+      s"below-committed snap markers must be pruned: $markers")
+    assert(markers.filter(_.startsWith("fold_")).toSet == Set("fold_1", "fold_2"),
+      s"fold markers outside the grace window must be pruned: $markers")
 
     // nothing to fold -> no-op at the same generation
     assert(CdcIndexSync.compactIndex(spark, dir) == 2L)
+  }
+
+  test("sync racing the fold: BOTH interleavings land every committed batch in the active generation (review r15)") {
+    val root = freshRoot("graft-foldrace")
+    val dir = s"$root/index"
+    val g = new Graft(spark, s"$root/store", manifest = true)
+    def w(rows: (String, Double, String)*) =
+      g.write(rows.toSeq.toDF("time", "value", "name"))
+    w(("2024-01-09T10:00:00Z", 1.0, "alpha"),
+      ("2024-01-09T11:00:00Z", 2.0, "beta"))
+    CdcIndexSync.build(g, dir)
+    w(("2024-01-09T12:00:00Z", 3.0, "gamma"))
+    CdcIndexSync.sync(g, dir) // 2 accreted batches -> foldable
+
+    // interleaving 1: a sync commits INSIDE the fold's commit window
+    // (families staged, marker not yet) — the staged families, filtered
+    // to the fold's base, miss the batch; the fold's post-marker check
+    // must re-land it, or it is marked indexed but unsearchable forever
+    CdcIndexSync.foldCommitHook = () => {
+      CdcIndexSync.foldCommitHook = () => () // once
+      w(("2024-01-09T13:00:00Z", 4.0, "delta-svc"))
+      CdcIndexSync.sync(g, dir)
+    }
+    try assert(CdcIndexSync.compactIndex(spark, dir) == 1L)
+    finally CdcIndexSync.foldCommitHook = () => ()
+    assert(indexed(dir, Seq("delta-svc")).nonEmpty,
+      "a batch committed during the fold must be searchable in the folded generation")
+    assertParity(g, dir, Seq(Seq("alpha"), Seq("gamma"), Seq("delta-svc")))
+
+    // interleaving 2: a fold commits INSIDE sync's commit window (batch
+    // landed in the old generation, marker not yet) — sync re-resolves
+    // the active generation after its commit and re-lands into it
+    w(("2024-01-09T14:00:00Z", 5.0, "epsilon"))
+    CdcIndexSync.syncCommitHook = () => {
+      CdcIndexSync.syncCommitHook = () => () // once
+      CdcIndexSync.compactIndex(spark, dir)
+    }
+    try CdcIndexSync.sync(g, dir)
+    finally CdcIndexSync.syncCommitHook = () => ()
+    assert(CdcIndexSync.state(spark, dir).get.gen == 2L)
+    assert(indexed(dir, Seq("epsilon")).nonEmpty,
+      "a batch landing while a fold commits must be re-landed into the new generation")
+    assertParity(g, dir, Seq(Seq("alpha"), Seq("beta"), Seq("gamma"),
+      Seq("delta-svc"), Seq("epsilon")))
   }
 
   // --------------------------------------------------------------------
