@@ -611,6 +611,7 @@ class Round15Spec extends SparkTestBase {
       Seq("q*", "h-live"),       // mixed exact + prefix
       Seq("q1*"),                // narrow: q10..q19
       Seq("h-*"),                // tag-value prefix across hosts
+      Seq("q1*", "h-*"),         // TWO prefixes: the one-job window path
       Seq("zz*"),                // expands to nothing: zero matches
       Seq("q000*"))              // dead-only term: zero matches
     assertParity(g, dir, queries)
@@ -710,6 +711,7 @@ class Round15Spec extends SparkTestBase {
       rs.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("dl"),
         r.getAs[Double]("score"))).toSeq
     val queries = Seq(Seq("s*"), Seq("join", "s*"), Seq("vec*", "table"),
+      Seq("s*", "vec*", "join"), // multi-prefix: the one-job window path
       Seq("zz*"), Seq("*")) // bare * is a LITERAL token: matches nothing
     def parity(): Unit = queries.foreach { pq =>
       val streamed = key(IndexStream.search(spark, idx, pq).collect())
