@@ -31,7 +31,9 @@ import graft.tsdb.Graft
   *    carrying write-sequence stamps is compacted — the maintenance the
   *    reference delegates to Cassandra's SSTable compaction, as a policy
   *    instead of an operator chore. Each sweep then vacuums every space
-  *    down to `vacuum_keep_snapshots` (default 2; <= 0 disables the
+  *    down to `vacuum_keep_snapshots` (default 48 —
+  *    [[graft.tsdb.Graft.DefaultVacuumKeep]], deep enough that an external
+  *    daily CDC poller keeps its diff base, ADVICE r14; <= 0 disables the
   *    vacuum half): manifest-mode compaction/retention are metadata-only,
   *    so the daemon owns physical reclaim too — bounded disk is a boot
   *    default, not an operator chore; the orphan grace window keeps the
@@ -87,7 +89,8 @@ object ServerMain {
         val s = org.apache.spark.sql.SparkSession.active
         if (foldBatches > 0 &&
           _root_.graft.streaming.CdcIndexSync.ledgerBatches(s, dir) >= foldBatches)
-          _root_.graft.streaming.CdcIndexSync.compactIndex(s, dir)
+          _root_.graft.streaming.CdcIndexSync.compactIndex(s, dir,
+            g.configuredClaim)
       } catch {
         case scala.util.control.NonFatal(e) => onError(sp, e)
       }

@@ -106,27 +106,30 @@ object CdcIndexSync {
     val snaps = names.filter(_.startsWith("snap_"))
     if (snaps.isEmpty) return None
     val marker = snaps.maxBy(markerSeq)
-    val gen = genOf(names)
-    Some(IdxState(markerSeq(marker), marker, gen,
-      genDirOf(s, indexDir, gen)))
+    val (gen, genDir) = resolveGen(s, indexDir, marker, names)
+    Some(IdxState(markerSeq(marker), marker, gen, genDir))
   }
 
   private def markerSeq(name: String): Long =
     name.stripPrefix("snap_").takeWhile(_ != '-').toLong
 
-  private def genOf(markerNames: Seq[String]): Long = {
-    val folds = markerNames.filter(_.startsWith("fold_"))
-      .map(_.stripPrefix("fold_").toLong)
-    if (folds.isEmpty) 0L else folds.max
-  }
+  /** fold_<gen> marker bodies, cached per (indexDir, snap marker, gen) —
+    * markers are create-only with the body atomic under the claim
+    * ([[graft.tsdb.Graft.claimAt]]) and fold numbers are never reused
+    * within a marker window (a rebuild that restarts generations also
+    * commits a fresh snap marker, so its fold_1 keys differently from the
+    * dead history's), which makes a cached non-empty body immutable for
+    * its key. Stops the facade's per-request state() resolution
+    * re-opening the marker file (ADVICE r15 low). Size-capped against
+    * marker churn on a long-lived server. */
+  private val foldBodyCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  /** The data-directory name generation `gen` committed: the body of its
-    * `fold_<gen>` marker, or the legacy fixed `g<gen>` when the marker
-    * carries no body (pre-review-r15 folds). Generation 0 is the index
-    * root ("" sentinel). */
-  private def genDirOf(s: SparkSession, indexDir: String,
+  private def foldBody(s: SparkSession, indexDir: String, marker: String,
                        gen: Long): String = {
-    if (gen == 0L) return ""
+    val key = s"$indexDir#$marker#$gen"
+    val hit = foldBodyCache.get(key)
+    if (hit != null) return hit
     val (fs, _) = fsOf(s, indexDir)
     val f = new HPath(s"$indexDir/_sync/fold_$gen")
     val body =
@@ -137,7 +140,46 @@ object CdcIndexSync {
           org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
         finally in.close()
       }
-    if (body.nonEmpty) body else s"g$gen"
+    if (body.nonEmpty) {
+      if (foldBodyCache.size() > 4096) foldBodyCache.clear()
+      foldBodyCache.put(key, body)
+    }
+    body
+  }
+
+  /** Test seam: drop the marker-keyed hot-path caches — out-of-band
+    * surgery on `_sync` (specs deleting the format stamp or fold markers
+    * under an UNCHANGED snap marker) is a state the lifecycle itself
+    * never produces; clearing here stands in for the process restart
+    * that would accompany it in production. */
+  private[graft] def dropStateCaches(): Unit = {
+    foldBodyCache.clear()
+    formatCache.clear()
+  }
+
+  /** Resolve the active generation and its data-directory name from the
+    * `_sync` listing, highest fold first. A marker whose body names its
+    * staged dir is committed; a body-less marker whose legacy fixed
+    * `g<n>` dir exists is a pre-review-r15 fold; anything else —
+    * a visible marker with an empty body and no directory — is an
+    * UNCOMMITTED fold (a crash between the old non-atomic create and its
+    * body write, ADVICE r15 high) and resolves to the generation below,
+    * so readers never resolve a phantom directory and silently serve an
+    * empty index while later syncs land into it. New folds can no longer
+    * produce that state (the marker body is atomic under the claim
+    * primitive); this closes out markers a pre-r16 crash left behind.
+    * Generation 0 is the index root ("" sentinel). */
+  private def resolveGen(s: SparkSession, indexDir: String, marker: String,
+                         markerNames: Seq[String]): (Long, String) = {
+    val folds = markerNames.filter(_.startsWith("fold_"))
+      .map(_.stripPrefix("fold_").toLong).sorted(Ordering[Long].reverse)
+    val (fs, _) = fsOf(s, indexDir)
+    folds.foreach { n =>
+      val body = foldBody(s, indexDir, marker, n)
+      if (body.nonEmpty) return (n, body)
+      if (fs.exists(new HPath(s"$indexDir/g$n"))) return (n, s"g$n")
+    }
+    (0L, "")
   }
 
   /** The snapshot seq the index is committed at: the highest `_sync`
@@ -192,6 +234,23 @@ object CdcIndexSync {
         org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim)
       finally in.close()
     }
+  }
+
+  /** [[formatOf]] cached by the committed snap MARKER name (ADVICE r15
+    * low: prefix probes re-read `_sync/format` per query on the facade
+    * hot path). The format stamp only changes inside [[build]], which
+    * also commits a fresh marker — so a new marker keys a fresh read and
+    * a cached entry can never serve a stale stamp to a reader holding the
+    * marker it was cached under. Size-capped against marker-name churn on
+    * a long-lived server (one entry per sync otherwise). */
+  private val formatCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def formatAt(s: SparkSession, indexDir: String,
+                       marker: String): String = {
+    if (formatCache.size() > 4096) formatCache.clear()
+    formatCache.computeIfAbsent(s"$indexDir#$marker",
+      _ => formatOf(s, indexDir).getOrElse(""))
   }
 
   private def writeTags(s: SparkSession, indexDir: String,
@@ -331,7 +390,7 @@ object CdcIndexSync {
     writeTags(s, indexDir, tagCols)
     writeFormat(s, indexDir)
     CdcStream.recordIdentity(s, indexDir, g.storeIdentity(space))
-    CdcStream.commit(s, indexDir, snap)
+    CdcStream.commit(s, indexDir, snap, g.configuredClaim)
     snap
   }
 
@@ -414,7 +473,7 @@ object CdcIndexSync {
       .where(col("delta") =!= 0L)
       .localCheckpoint(true) // feeds the ledger write AND new-doc probe
     if (deltas.isEmpty) { // pure physical rewrite: nothing to land
-      CdcStream.commit(s, indexDir, to)
+      CdcStream.commit(s, indexDir, to, g.configuredClaim)
       return to
     }
     // a doc the index has EVER seen keeps its postings (dead or alive —
@@ -428,28 +487,41 @@ object CdcIndexSync {
                              // a generation a concurrent fold reclaimed
     landBatch(indexDir, st.genDir, to, newDocs, deltas.select("doc_id", "delta"))
     syncCommitHook()
-    CdcStream.commit(s, indexDir, to)
+    CdcStream.commit(s, indexDir, to, g.configuredClaim)
     // close the fold race (review r15): a fold that committed between
     // our entry and our marker moved the active families to a NEW
     // generation the landBatch above never touched — without this the
     // batch would be marked indexed but invisible, and never replayed
     // (the next sync starts above it). Re-land into the active
-    // generation until stable; landBatch rides dynamic partition
-    // overwrite, so a generation that already holds the batch (the
-    // fold's own late-copy) is rewritten bit-identically, never
-    // duplicated. The fold's post-commit check covers the mirror-image
-    // interleaving, so every committed batch reaches the active
-    // generation whichever marker lands second.
+    // generation until stable, each landing serialized against the
+    // fold's own late-copy of the same batch by the per-(generation,
+    // batch) land claim (ADVICE r15 medium: two concurrent dynamic
+    // partition overwrites of the same partitions can interleave
+    // delete/commit into a union of part-files — duplicated postings).
+    // The fold's post-commit check covers the mirror-image interleaving,
+    // so every committed batch reaches the active generation whichever
+    // marker lands second.
     var landedDir = st.genDir
     var active = state(s, indexDir).map(_.genDir).getOrElse(landedDir)
     var guard = 0
     while (active != landedDir && guard < 8) {
-      landBatch(indexDir, active, to, newDocs,
-        deltas.select("doc_id", "delta"))
+      val resolved = Graft.resolveClaim(fsOf(s, indexDir)._1,
+        g.configuredClaim, s"index land marker at $indexDir")
+      ensureLanded(s, indexDir, active, to, resolved) {
+        landBatch(indexDir, active, to, newDocs,
+          deltas.select("doc_id", "delta"))
+      }
       landedDir = active
       active = state(s, indexDir).map(_.genDir).getOrElse(active)
       guard += 1
     }
+    if (active != landedDir) throw new IllegalStateException(
+      s"sync batch $to is committed but could not reach the active " +
+        s"generation after $guard fold flips (landed in '$landedDir', " +
+        s"active is '$active') — pathological fold churn at $indexDir; " +
+        "re-run the maintenance sweep once the folding stops " +
+        "(ADVICE r15: giving up silently here would leave the batch " +
+        "committed-but-invisible, the exact state this loop prevents)")
     to
   }
 
@@ -466,6 +538,60 @@ object CdcIndexSync {
         else fs.listStatus(p).count(f =>
           f.isDirectory && f.getPath.getName.startsWith("ingest_batch="))
     }
+
+  /** How long a land-claim LOSER waits for the winner's done marker
+    * before failing loudly (test seam — specs shrink it). Generous next
+    * to a sub-second batch copy: a timeout means the winner crashed
+    * inside the landing window. */
+  private[graft] var landWaitMs: Long = 120000L
+
+  /** Test seam (default no-op): runs on the land-claim WINNER between its
+    * claim and its write — the window a concurrent loser observes. */
+  private[graft] var landClaimHook: () => Unit = () => ()
+
+  /** Ensure batch `batch` is landed in staged generation `genDir` exactly
+    * once (ADVICE r15 medium): the fold's post-commit late-copy and
+    * sync's re-land loop can both try to copy the SAME batch into the
+    * SAME new generation concurrently, and two dynamic partition
+    * overwrites of one partition have no cross-job atomicity — the
+    * interleaved delete/commit can leave a UNION of both jobs' part-files
+    * (duplicated postings rows, inflated tf and ledger sums). A
+    * create-only per-(generation, batch) claim under `<genDir>/_land`
+    * picks ONE copier; it writes the families, then flips a `done`
+    * marker. The loser waits for `done` (the copies are bit-identical,
+    * so waiting is correctness-neutral) and fails LOUDLY on timeout — a
+    * crashed winner must surface as an error, not as a silently
+    * incomplete generation. Once `done` exists, later calls are free.
+    */
+  private[graft] def ensureLanded(s: SparkSession, indexDir: String,
+                                  genDir: String, batch: Long,
+                                  resolvedClaim: String)
+                                 (write: => Unit): Unit = {
+    require(genDir.nonEmpty, "land claims only guard staged generations")
+    val (fs, _) = fsOf(s, indexDir)
+    val landDir = new HPath(s"$indexDir/$genDir/_land")
+    val done = new HPath(landDir, s"b$batch.done")
+    if (fs.exists(done)) return
+    fs.mkdirs(landDir)
+    if (Graft.claimAt(fs, new HPath(landDir, s"b$batch.claim"), "",
+        resolvedClaim)) {
+      landClaimHook()
+      write
+      val out = fs.create(done, true)
+      out.close()
+    } else {
+      val deadline = System.nanoTime() + landWaitMs * 1000000L
+      while (!fs.exists(done)) {
+        if (System.nanoTime() > deadline) throw new IllegalStateException(
+          s"batch $batch's land claim in generation '$genDir' is held by " +
+            s"another writer that never finished (waited ${landWaitMs}ms) " +
+            s"— a copier crashed mid-landing at $indexDir; delete " +
+            s"$landDir/b$batch.claim after confirming no copier is alive " +
+            "and re-run the sweep")
+        Thread.sleep(25L)
+      }
+    }
+  }
 
   /** The fold (r15, VERDICT r14 #1 — the maintenance path the r14
     * scaladoc promised): collapse the ledger to ONE exact count per LIVE
@@ -499,13 +625,28 @@ object CdcIndexSync {
     * Returns the new generation, or the current one when there is
     * nothing to fold (≤ 1 batch accreted) or the claim was lost.
     */
-  def compactIndex(s: SparkSession, indexDir: String): Long = {
+  def compactIndex(s: SparkSession, indexDir: String,
+                   claimPrimitive: String = Graft.PrimAuto): Long = {
     val st = state(s, indexDir).getOrElse(
       throw new IllegalStateException(
         s"no committed index at $indexDir — run build first"))
     if (ledgerBatches(s, indexDir) <= 1) return st.gen
     val (fs, _) = fsOf(s, indexDir)
-    val next = st.gen + 1
+    // resolve the claim primitive BEFORE any staging work (r16, VERDICT
+    // r15 #3): an index dir on a scheme with no known-atomic claim
+    // refuses here, loudly and cheaply, instead of staging a full
+    // generation and then racing on a bare create
+    val (mfs, mdir) = fsOf(s, s"$indexDir/_sync")
+    val resolvedClaim = Graft.resolveClaim(mfs, claimPrimitive,
+      s"index fold marker at $indexDir")
+    // the next generation number must clear every EXISTING fold marker,
+    // not just the resolved one — an uncommitted (empty-bodied) marker
+    // from a pre-r16 crash occupies its number forever, and reusing it
+    // would lose the claim on every attempt and wedge the fold
+    val maxFold = fs.listStatus(mdir).map(_.getPath.getName)
+      .filter(_.startsWith("fold_")).map(_.stripPrefix("fold_").toLong)
+      .foldLeft(st.gen)(math.max)
+    val next = maxFold + 1
     val stageDir = s"g$next-${java.lang.Long.toUnsignedString(
       new java.security.SecureRandom().nextLong(), 36)}"
     val committed = st.snap
@@ -549,42 +690,56 @@ object CdcIndexSync {
         .write.mode("overwrite")
         .partitionBy("ingest_batch")
         .parquet(famDir(indexDir, stageDir, "counts"))
-    // the commit point: fold_<next> is create-only, its body the staged
-    // dir name — if it exists another folder won and OUR staging (only)
-    // is garbage
-    val (mfs, mdir) = fsOf(s, s"$indexDir/_sync")
+    // the commit point: fold_<next> is claimed create-only through the
+    // shared primitive ([[Graft.claimAt]], r16 — VERDICT r15 #3 + ADVICE
+    // r15 high), its body the staged dir name, body atomic with the
+    // claim — a crash can never leave a visible-but-empty marker whose
+    // readers resolve a phantom generation. A lost claim means another
+    // folder won and OUR staging (only) is garbage.
     mfs.mkdirs(mdir)
     foldCommitHook()
-    try {
-      val out = mfs.create(new HPath(mdir, s"fold_$next"), false)
-      try out.write(stageDir.getBytes("UTF-8"))
-      finally out.close()
-    } catch {
-      case _: java.io.IOException =>
-        fs.delete(new HPath(s"$indexDir/$stageDir"), true)
-        return st.gen
+    if (!Graft.claimAt(mfs, new HPath(mdir, s"fold_$next"), stageDir,
+        resolvedClaim)) {
+      fs.delete(new HPath(s"$indexDir/$stageDir"), true)
+      return st.gen
     }
     // close the sync race: any batch whose marker landed DURING the fold
     // is missing from the staged families (they were filtered to <= the
-    // fold's base) — copy its partitions from the grace generation now.
+    // fold's base) — copy its partitions from the grace generation now,
+    // batch by batch under the per-(generation, batch) land claim
+    // (ADVICE r15 medium: sync's re-land loop can be copying the same
+    // batch into this generation RIGHT NOW, and two concurrent dynamic
+    // partition overwrites can interleave into a union of part-files).
     // A sync committing after this read sees fold_<next> in the same
     // listing and re-lands on its own side.
     val nowCommitted = state(s, indexDir).map(_.snap).getOrElse(committed)
-    if (nowCommitted > committed)
-      Seq("postings", "doclen", "counts", "termdict").foreach { fam =>
-        val late = readFam(s, indexDir, st.genDir, fam)
+    if (nowCommitted > committed) {
+      val fams = Seq("postings", "doclen", "counts", "termdict")
+      val lateBatches = fams.map(fam =>
+        readFam(s, indexDir, st.genDir, fam)
           .where(col("ingest_batch") > committed &&
             col("ingest_batch") <= nowCommitted)
-        if (!late.isEmpty) {
-          val parts =
-            if (fam == "postings") Seq("bucket", "ingest_batch")
-            else Seq("ingest_batch")
-          late.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(parts: _*)
-            .parquet(famDir(indexDir, stageDir, fam))
+          .select(col("ingest_batch")))
+        .reduce(_ union _).distinct()
+        .collect().map(_.getLong(0)).sorted // driver-sized: one per sync
+      lateBatches.foreach { b =>
+        ensureLanded(s, indexDir, stageDir, b, resolvedClaim) {
+          fams.foreach { fam =>
+            val late = readFam(s, indexDir, st.genDir, fam)
+              .where(col("ingest_batch") === b)
+            if (!late.isEmpty) {
+              val parts =
+                if (fam == "postings") Seq("bucket", "ingest_batch")
+                else Seq("ingest_batch")
+              late.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy(parts: _*)
+                .parquet(famDir(indexDir, stageDir, fam))
+            }
+          }
         }
       }
+    }
     // reclaim: keep the new generation and the grace copy (st.genDir or
     // the root families for gen 0); delete every other g* dir whose seq
     // is <= the OLD generation (crash garbage and out-of-grace folds) —
@@ -626,7 +781,7 @@ object CdcIndexSync {
   private[graft] def prefixCandidateBuckets(
       s: SparkSession, indexDir: String, st: IdxState,
       prefixes: Seq[String]): Option[Seq[Long]] =
-    if (!formatOf(s, indexDir).contains(Format)) None
+    if (formatAt(s, indexDir, st.marker) != Format) None
     else Some(readFam(s, indexDir, st.genDir, "termdict")
       .where(col("ingest_batch") <= st.snap)
       .where(prefixes.map(p => col("tok").startsWith(p)).reduce(_ || _))

@@ -502,11 +502,17 @@ class Graft(spark: SparkSession, root: String,
       case _ => s"$p\t$sz"
     }
 
-  private def writeSmallFile(fs: FileSystem, p: HPath, body: String): Unit = {
-    val out = fs.create(p, true)
-    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
+  private def writeSmallFile(fs: FileSystem, p: HPath, body: String): Unit =
+    Graft.writeSmallFile(fs, p, body)
+
+  /** The configured (UNresolved) claim primitive — the CDC consumers
+    * ([[graft.streaming.CdcStream]], [[graft.streaming.CdcIndexSync]])
+    * carry this store's setting to THEIR marker directories and resolve
+    * it against the filesystem actually holding the marker (r16, VERDICT
+    * r15 #3): an index or consumer-state dir on an unknown object store
+    * refuses loudly exactly like the snapshot claim, instead of riding a
+    * bare `fs.create(dst, false)` whose atomicity nobody verified. */
+  private[graft] def configuredClaim: String = commitPrimitive
 
   /** The snapshot-claim primitive this store resolved to — `auto` picks
     * by filesystem scheme and REFUSES schemes with no known-atomic claim
@@ -515,89 +521,17 @@ class Graft(spark: SparkSession, root: String,
     * two processes on S3A could both claim `m<seq+1>`). Resolution is
     * lazy so the refusal fires at the first COMMIT, with a message naming
     * the config key; read-only use of a store on any filesystem stays
-    * fine.
+    * fine. The resolution table and the claim itself are the shared
+    * toolkit ([[Graft.resolveClaim]]/[[Graft.claimAt]]) the CDC markers
+    * ride too.
     */
-  private lazy val resolvedClaim: String = commitPrimitive match {
-    case Graft.PrimAuto =>
-      val (fs0, _) = fsOf(manifestPath("default"))
-      val fs = rawFs(fs0)
-      // getUri is always implemented (getScheme is not — RawLocalFileSystem
-      // inherits the throwing default)
-      val scheme = scala.util.Try(fs.getUri.getScheme).getOrElse("unknown")
-      scheme match {
-        case "file" => Graft.PrimHardLink
-        case "hdfs" | "viewfs" => Graft.PrimRename
-        case other => throw new IllegalStateException(
-          s"no known-atomic snapshot-claim primitive for filesystem " +
-            s"scheme '$other' — a concurrent commit could be silently " +
-            "lost (rename on object stores is copy+delete and the " +
-            "exists check is a race). Set commit_primitive explicitly: " +
-            "'create-exclusive' if the store honors atomic " +
-            "create(overwrite=false) (e.g. S3 with conditional writes, " +
-            "HDFS-compatible stores), or 'unsafe-rename' to accept " +
-            "single-writer discipline (YOU must guarantee only one " +
-            "process ever commits to this store)")
-      }
-    case p if Graft.ValidPrimitives(p) => p
-    case p => throw new IllegalArgumentException(
-      s"unknown commit_primitive '$p' — one of: " +
-        (Graft.ValidPrimitives + Graft.PrimAuto).toSeq.sorted.mkString(", "))
+  private lazy val resolvedClaim: String = {
+    val (fs0, _) = fsOf(manifestPath("default"))
+    Graft.resolveClaim(fs0, commitPrimitive, "snapshot commit")
   }
 
-  private def rawFs(fs0: FileSystem): FileSystem = fs0 match {
-    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
-    case other => other
-  }
-
-  /** Atomically claim `dst` with `body`: true = this writer committed,
-    * false = another writer owns `dst` (optimistic-concurrency loss).
-    * Three primitives, resolved per store ([[resolvedClaim]]):
-    *
-    *  - `hardlink` (local): write a tmp, hard-link it to `dst` — POSIX
-    *    rename OVERWRITES an existing destination, so tmp+rename would
-    *    let a commit-race loser silently clobber the winner;
-    *    `Files.createLink` fails atomically when the name exists.
-    *  - `rename` (HDFS-contract): the rename itself refuses an existing
-    *    destination (the Iceberg/HDFS commit primitive), with an exists
-    *    pre-check to skip doomed renames. `unsafe-rename` is the same
-    *    code path chosen EXPLICITLY for stores where rename overwrites —
-    *    the operator accepts single-writer discipline.
-    *  - `create-exclusive`: `fs.create(dst, overwrite=false)` writing the
-    *    body directly — atomic on stores honoring the flag with
-    *    all-or-nothing visibility (object stores with conditional PUT;
-    *    the body is one small metadata file, never streamed).
-    */
-  private def claimFile(fs0: FileSystem, dst: HPath, body: String): Boolean = {
-    val fs = rawFs(fs0)
-    resolvedClaim match {
-      case Graft.PrimCreateExclusive =>
-        try {
-          val out = fs.create(dst, false)
-          try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          finally out.close()
-          true
-        } catch {
-          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
-          case _: java.nio.file.FileAlreadyExistsException => false
-        }
-      case prim =>
-        val tmp = new HPath(dst.getParent, s".tmp-${dst.getName}-${nonce()}")
-        writeSmallFile(fs, tmp, body)
-        val won = prim match {
-          case Graft.PrimHardLink =>
-            val t = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri)
-            val d = java.nio.file.Paths.get(fs.makeQualified(dst).toUri)
-            try { java.nio.file.Files.createLink(d, t); true }
-            catch { case _: java.nio.file.FileAlreadyExistsException => false }
-          case _ => // rename | unsafe-rename
-            !fs.exists(dst) && fs.rename(tmp, dst)
-        }
-        // the tmp is garbage on both outcomes — the link shares the inode,
-        // the rename already moved it, the loss retries with a fresh body
-        try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
-        won
-    }
-  }
+  private def claimFile(fs0: FileSystem, dst: HPath, body: String): Boolean =
+    Graft.claimAt(fs0, dst, body, resolvedClaim)
 
   /** Test seam: runs once per commit attempt, after the attempt read the
     * current snapshot and before it claims the next — the window where a
@@ -670,10 +604,7 @@ class Graft(spark: SparkSession, root: String,
     -1L // unreachable
   }
 
-  private val nonceGen = new java.util.concurrent.atomic.AtomicLong(
-    System.nanoTime())
-  private def nonce(): String =
-    java.lang.Long.toUnsignedString(nonceGen.incrementAndGet(), 36)
+  private def nonce(): String = Graft.nonce()
 
   /** Serialize a manifest's entries into per-day segment bodies. */
   private def dayLines(m: Manifest): Map[Long, Seq[String]] =
@@ -2045,6 +1976,115 @@ object Graft {
   val PrimUnsafeRename = "unsafe-rename"
   val ValidPrimitives: Set[String] =
     Set(PrimHardLink, PrimRename, PrimCreateExclusive, PrimUnsafeRename)
+
+  private[graft] def rawFs(fs0: FileSystem): FileSystem = fs0 match {
+    case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+    case other => other
+  }
+
+  private val nonceGen = new java.util.concurrent.atomic.AtomicLong(
+    System.nanoTime())
+  private[graft] def nonce(): String =
+    java.lang.Long.toUnsignedString(nonceGen.incrementAndGet(), 36)
+
+  private[graft] def writeSmallFile(fs: FileSystem, p: HPath,
+                                    body: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Resolve a claim primitive for the filesystem holding a marker — the
+    * ONE per-scheme capability check (r16, VERDICT r15 #3) shared by the
+    * snapshot commit, the CDC consumers' progress markers
+    * ([[graft.streaming.CdcStream.commit]]) and the index fold marker
+    * ([[graft.streaming.CdcIndexSync.compactIndex]]). `auto` picks by
+    * scheme and REFUSES schemes with no known-atomic claim rather than
+    * silently racing; the refusal names the config key. `what` names the
+    * marker class in the message so an operator knows WHICH directory
+    * (store, index, consumer state) needs the explicit setting.
+    */
+  private[graft] def resolveClaim(fs0: FileSystem, configured: String,
+                                  what: String): String = configured match {
+    case PrimAuto =>
+      val fs = rawFs(fs0)
+      // getUri is always implemented (getScheme is not — RawLocalFileSystem
+      // inherits the throwing default)
+      val scheme = scala.util.Try(fs.getUri.getScheme).getOrElse("unknown")
+      scheme match {
+        case "file" => PrimHardLink
+        case "hdfs" | "viewfs" => PrimRename
+        case other => throw new IllegalStateException(
+          s"no known-atomic claim primitive for the $what on filesystem " +
+            s"scheme '$other' — a concurrent writer could be silently " +
+            "lost (rename on object stores is copy+delete and the " +
+            "exists check is a race). Set commit_primitive explicitly: " +
+            "'create-exclusive' if the store honors atomic " +
+            "create(overwrite=false) (e.g. S3 with conditional writes, " +
+            "HDFS-compatible stores), or 'unsafe-rename' to accept " +
+            "single-writer discipline (YOU must guarantee only one " +
+            "process ever commits here)")
+      }
+    case p if ValidPrimitives(p) => p
+    case p => throw new IllegalArgumentException(
+      s"unknown commit_primitive '$p' — one of: " +
+        (ValidPrimitives + PrimAuto).toSeq.sorted.mkString(", "))
+  }
+
+  /** Atomically claim `dst` with `body` under a [[resolveClaim]]-resolved
+    * primitive: true = this writer committed, false = another writer owns
+    * `dst`. On every primitive the body becomes visible ATOMICALLY with
+    * the claim (tmp+hardlink/rename carry the body with the name;
+    * create-exclusive on a store honoring the flag is all-or-nothing) —
+    * so a crash can never leave a visible-but-empty marker whose readers
+    * resolve a phantom referent (ADVICE r15 high, the fold-marker hole).
+    *
+    *  - `hardlink` (local): write a tmp, hard-link it to `dst` — POSIX
+    *    rename OVERWRITES an existing destination, so tmp+rename would
+    *    let a claim-race loser silently clobber the winner;
+    *    `Files.createLink` fails atomically when the name exists.
+    *  - `rename` (HDFS-contract): the rename itself refuses an existing
+    *    destination (the Iceberg/HDFS commit primitive), with an exists
+    *    pre-check to skip doomed renames. `unsafe-rename` is the same
+    *    code path chosen EXPLICITLY for stores where rename overwrites —
+    *    the operator accepts single-writer discipline.
+    *  - `create-exclusive`: `fs.create(dst, overwrite=false)` writing the
+    *    body directly — atomic on stores honoring the flag with
+    *    all-or-nothing visibility (object stores with conditional PUT;
+    *    the body is one small metadata file, never streamed).
+    */
+  private[graft] def claimAt(fs0: FileSystem, dst: HPath, body: String,
+                             resolved: String): Boolean = {
+    val fs = rawFs(fs0)
+    resolved match {
+      case PrimCreateExclusive =>
+        try {
+          val out = fs.create(dst, false)
+          try out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+          true
+        } catch {
+          case _: org.apache.hadoop.fs.FileAlreadyExistsException => false
+          case _: java.nio.file.FileAlreadyExistsException => false
+        }
+      case prim =>
+        val tmp = new HPath(dst.getParent, s".tmp-${dst.getName}-${nonce()}")
+        writeSmallFile(fs, tmp, body)
+        val won = prim match {
+          case PrimHardLink =>
+            val t = java.nio.file.Paths.get(fs.makeQualified(tmp).toUri)
+            val d = java.nio.file.Paths.get(fs.makeQualified(dst).toUri)
+            try { java.nio.file.Files.createLink(d, t); true }
+            catch { case _: java.nio.file.FileAlreadyExistsException => false }
+          case _ => // rename | unsafe-rename
+            !fs.exists(dst) && fs.rename(tmp, dst)
+        }
+        // the tmp is garbage on both outcomes — the link shares the inode,
+        // the rename already moved it, the loss retries with a fresh body
+        try fs.delete(tmp, false) catch { case _: java.io.IOException => () }
+        won
+    }
+  }
 
   /** The reference's config-file shape (conf/orestes-config.json): the
     * facade `port` plus per-space `spaces.<name>.table_granularity_days`.

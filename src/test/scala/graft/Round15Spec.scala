@@ -654,8 +654,13 @@ class Round15Spec extends SparkTestBase {
 
     // pre-dictionary index (format stamp removed): the probe falls back
     // to the unpruned scan — same answers, no silent misses — and the
-    // next sweep's sync rebuilds with the dictionary
+    // next sweep's sync rebuilds with the dictionary. Deleting the stamp
+    // under an UNCHANGED snap marker is out-of-band surgery the lifecycle
+    // never performs (build rewrites stamp + commits a fresh marker), so
+    // drop the marker-keyed hot-path caches as a process restart would
+    // (r16, ADVICE r15 low)
     new java.io.File(s"$dir/_sync/format").delete()
+    CdcIndexSync.dropStateCaches()
     assert(CdcIndexSync.prefixCandidateBuckets(
       spark, dir, CdcIndexSync.state(spark, dir).get, Seq("q1")).isEmpty,
       "no format stamp -> no dictionary claim -> None (unpruned fallback)")
