@@ -134,7 +134,7 @@ object HttpPerf {
     // size) — both measured over the same manifest-mode store so the
     // "probe cost tracks matching postings" claim is a number, not an
     // assertion. min-of-5 per path (the bench protocol's min rule).
-    def searchPerf(): (Double, Double) = {
+    def searchPerf(): (Double, Double, Double, Double) = {
       val root = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get("target"), "graft-perf-search").toString
       val g = new Graft(spark, root, manifest = true)
@@ -169,10 +169,16 @@ object HttpPerf {
       }
       try {
         val q = """{"q": "value1 value3", "k": 20}"""
-        def minOf5(port: Int, wantSource: String): Double =
+        // prefix-term query (r16, VERDICT r15 #8): the served-path
+        // wall-time number beside the termdict pruning's bytes ratio —
+        // "val*" expands against the live vocabulary under the shared
+        // cap-50 rule, so the indexed timing covers dictionary probe +
+        // expansion + pruned postings scan
+        val qPfx = """{"q": "val* value3", "k": 20}"""
+        def minOf5(port: Int, body: String, wantSource: String): Double =
           (0 until 5).map { _ =>
             val t0 = System.nanoTime()
-            postTo(port, q, wantSource)
+            postTo(port, body, wantSource)
             (System.nanoTime() - t0) / 1e9
           }.min
         // the two paths must agree before their timings mean anything
@@ -180,7 +186,13 @@ object HttpPerf {
         require(mapper.readTree(d).get("series").size() ==
           mapper.readTree(i).get("series").size(),
           "direct and index-served /search disagree on the hit count")
-        (minOf5(pDirect, "scan"), minOf5(pIdx, "index"))
+        val (dP, iP) =
+          (postTo(pDirect, qPfx, "scan"), postTo(pIdx, qPfx, "index"))
+        require(mapper.readTree(dP).get("series").size() ==
+          mapper.readTree(iP).get("series").size(),
+          "direct and index-served prefix /search disagree on the hit count")
+        (minOf5(pDirect, q, "scan"), minOf5(pIdx, q, "index"),
+          minOf5(pDirect, qPfx, "scan"), minOf5(pIdx, qPfx, "index"))
       } finally { srvDirect.stop(); srvIdx.stop() }
     }
 
@@ -192,7 +204,7 @@ object HttpPerf {
     // (spooled streaming) ingest path — POSTs never trigger a flush; the
     // recorded write time includes the await-landed durability barrier
     val (wCont, rCont, _, _, _, _) = run("sustained", BatchSize, continuous = true)
-    val (searchDirect, searchIdx) = searchPerf()
+    val (searchDirect, searchIdx, searchPfxDirect, searchPfxIdx) = searchPerf()
     println(
       s"""{"metric":"http_perf_vs_reference","points":$NumPoints,"n_series":$nSeries,""" +
       s""""graft_write_500batch_continuous_sec":${f"$wCont%.3f"},"graft_read_after_continuous_sec":${f"$rCont%.3f"},""" +
@@ -201,6 +213,7 @@ object HttpPerf {
       s""""graft_read_compacted_sec":${f"$crRef%.3f"},"graft_read_compacted_1batch_sec":${f"$crBig%.3f"},""" +
       s""""graft_count_sec":${f"$cRef%.3f"},"graft_series_sec":${f"$sRef%.3f"},""" +
       s""""graft_search_direct_sec":${f"$searchDirect%.3f"},"graft_search_indexed_sec":${f"$searchIdx%.3f"},""" +
+      s""""graft_search_prefix_direct_sec":${f"$searchPfxDirect%.3f"},"graft_search_prefix_indexed_sec":${f"$searchPfxIdx%.3f"},""" +
       s""""continuous_breakdown":${contBreakdown.getOrElse("null")},""" +
       s""""reference_write_sec":3.065,"reference_read_sec":3.342,""" +
       s""""reference_source":"README.md perf-test 100k/3tags/10vals"}""")

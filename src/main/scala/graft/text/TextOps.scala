@@ -1212,18 +1212,39 @@ object TextOps {
   def bm25TopKOnPrefix(docs: DataFrame,
                        query0: Seq[String], k: Int = 20): DataFrame = {
     val (exact, prefixes) = splitSearchTerms(query0.distinct)
-    val query =
-      if (prefixes.isEmpty) exact
-      else {
-        val vocab = docs
-          .select(explode(tokens(col("text"))).as("tok"))
-          .where(col("tok") =!= "")
-        (exact ++ expandPrefixes(vocab, prefixes)).distinct
-      }
+    if (prefixes.isEmpty)
+      return if (exact.isEmpty)
+        docs.select(col("doc_id"), lit(0L).as("dl"),
+          lit(0.0).as("score")).limit(0)
+      else bm25TopKOn(docs, exact, k)
+    // ONE tokenize (r16, VERDICT r15 #2): the (doc_id, tok, tf) frame —
+    // exactly the postings an index would materialize, smaller than the
+    // raw token stream — is checkpointed so vocabulary expansion and the
+    // scorer's stats+score jobs share a single corpus scan instead of
+    // tokenizing three times. (The SERVING path at scale is the CDC
+    // index with its termdict pruning; this is the ad-hoc direct scan.)
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .where(col("tok") =!= "")
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val query = (exact ++ expandPrefixes(tf.select(col("tok")), prefixes))
+      .distinct
     if (query.isEmpty)
       docs.select(col("doc_id"), lit(0L).as("dl"),
         lit(0.0).as("score")).limit(0)
-    else bm25TopKOn(docs, query, k)
+    else {
+      // per-doc frame from the postings: dl = Σtf (the token count),
+      // per-term tf summed under the same one-contribution-per-distinct-
+      // term rule — feeds the ONE scoring tail bm25TopKOn uses, so the
+      // two entry points cannot drift
+      val perDoc = tf.groupBy(col("doc_id")).agg(
+        sum(col("tf")).as("dl"),
+        query.zipWithIndex.map { case (t, i) =>
+          sum(when(col("tok") === t, col("tf")).otherwise(0L)).as(s"tf$i")
+        }: _*)
+      bm25ScorePerDoc(perDoc, query, k)
+    }
   }
 
   /** [[bm25TopK]] over an arbitrary (doc_id, text) frame — the streamed
@@ -1243,6 +1264,16 @@ object TextOps {
       query.zipWithIndex.map { case (t, i) =>
         sum(when(col("tok") === t, 1L).otherwise(0L)).as(s"tf$i")
       }: _*)
+    bm25ScorePerDoc(perDoc, query, k)
+  }
+
+  /** The scoring tail shared by [[bm25TopKOn]] and [[bm25TopKOnPrefix]]
+    * (one rule, two per-doc builders): 1-row corpus stats broadcast back
+    * over the `(doc_id, dl, tf0..tfN)` frame, per-term [[bm25Contrib]]
+    * summed as exact decimals, `score > 0` inclusion, (score desc,
+    * doc_id) TakeOrdered. */
+  private def bm25ScorePerDoc(perDoc: DataFrame, query: Seq[String],
+                              k: Int): DataFrame = {
     val stats = perDoc.agg(
       count(lit(1)).as("n_docs"),
       sum(col("dl")).as("total_tokens") +:
