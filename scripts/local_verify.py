@@ -136,10 +136,30 @@ def run_oracle(con, sql):
 # condition; the rewrite asserts the anchor occurs EXACTLY once so a future
 # oracle edit fails loudly here instead of silently replaying the wrong
 # query.
+# Each spec is a list of (find, replace) rewrites applied per block (with
+# {blk} substituted); every `find` is asserted to occur EXACTLY once so a
+# future oracle edit fails loudly instead of silently replaying the wrong
+# query. The emb_knn_dist rewrite makes the cell restriction STRUCTURAL:
+# a MATERIALIZED per-cell member CTE replaces the post-hoc assign joins —
+# measured at sf1, the optimizer left the all-dims a.i = b.i join
+# unrestricted (20k x 20k x 64 intermediate) and one block blew a 1800 s
+# budget even with the cell literal on both assign references; with the
+# members materialized first, a block is (cell_size)^2 x dims and all 16
+# replay in minutes. The pair set is unchanged: evr x evr restricted by
+# assign-joins with qa.cell = na.cell = {blk} IS eblk x eblk.
 BLOCKED = {
     "emb_knn_dist": {
-        "anchor": "JOIN assign na ON na.vid = b.vec_id AND na.cell = qa.cell",
-        "block_pred": " AND qa.cell = {blk}",
+        "rewrites": [
+            ("pd AS MATERIALIZED (SELECT a.vec_id AS vid",
+             "eblk AS MATERIALIZED (SELECT v.vec_id, v.x, v.i FROM evr v "
+             "JOIN assign c ON c.vid = v.vec_id WHERE c.cell = {blk}),\n"
+             "              pd AS MATERIALIZED (SELECT a.vec_id AS vid"),
+            ("FROM evr a JOIN evr b ON a.i = b.i AND a.vec_id <> b.vec_id",
+             "FROM eblk a JOIN eblk b ON a.i = b.i AND a.vec_id <> b.vec_id"),
+            ("JOIN assign qa ON qa.vid = a.vec_id", ""),
+            ("JOIN assign na ON na.vid = b.vec_id AND na.cell = qa.cell",
+             ""),
+        ],
         "n_blocks": 16,  # ivfTrainCte(2, 16): cells are 0..15
     },
 }
@@ -158,16 +178,18 @@ def run_oracle_blocked(con, sql, name):
     construction (the blocks partition the pair space); each block runs
     under its own watchdog budget."""
     spec = BLOCKED[name]
-    assert sql.count(spec["anchor"]) == 1, (
-        f"{name}: blocked-replay anchor not found exactly once — the "
-        "oracle SQL changed; update BLOCKED or drop --blocked for it")
+    for find, _ in spec["rewrites"]:
+        assert sql.count(find) == 1, (
+            f"{name}: blocked-replay anchor {find!r} not found exactly "
+            "once — the oracle SQL changed; update BLOCKED or drop "
+            "--blocked for it")
     con.execute("DROP TABLE IF EXISTS __blk_acc")
     made = False
     try:
         for blk in range(spec["n_blocks"]):
-            bsql = sql.replace(
-                spec["anchor"],
-                spec["anchor"] + spec["block_pred"].format(blk=blk))
+            bsql = sql
+            for find, repl in spec["rewrites"]:
+                bsql = bsql.replace(find, repl.format(blk=blk))
             # two-step materialize: INSERT INTO acc (<WITH...>) trips a
             # DuckDB binder quirk (duplicate CTE alias), so each block
             # lands in its own temp table first, then appends as a plain
