@@ -199,6 +199,41 @@ class Round16Spec extends SparkTestBase {
     assert(!loserWrote,
       "the claim loser must wait for the winner's done, never re-copy")
 
+    // truly CONCURRENT double-ensure, made deterministic with the claim
+    // hook: A claims batch 10 and pauses inside its commit window; B
+    // arrives while A holds the claim, loses it, and must WAIT for A's
+    // done instead of running a second overlapping overwrite — the exact
+    // interleaving the partition-union hazard (ADVICE r15 medium) needs
+    val held = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val once = new java.util.concurrent.atomic.AtomicBoolean(false)
+    CdcIndexSync.landClaimHook = () =>
+      if (once.compareAndSet(false, true)) { held.countDown(); release.await() }
+    val wroteA = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val wroteB = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val a = new Thread(() =>
+      try CdcIndexSync.ensureLanded(spark, dir, "g1-stage", 10L, resolved) {
+        wroteA.set(true)
+      } catch { case t: Throwable => errs.add(t) })
+    try {
+      a.start()
+      held.await()
+      val b = new Thread(() =>
+        try CdcIndexSync.ensureLanded(spark, dir, "g1-stage", 10L, resolved) {
+          wroteB.set(true)
+        } catch { case t: Throwable => errs.add(t) })
+      b.start()
+      Thread.sleep(200) // B is in its wait loop while A holds the claim
+      assert(!wroteA.get && !wroteB.get,
+        "nothing may write while the claim is held in the commit window")
+      release.countDown()
+      a.join(); b.join()
+      assert(errs.isEmpty, s"concurrent ensures must both succeed: $errs")
+      assert(wroteA.get && !wroteB.get,
+        "exactly the claim WINNER writes; the loser waits for done")
+    } finally { CdcIndexSync.landClaimHook = () => (); release.countDown() }
+
     // crashed winner: claim held, done never lands — the loser fails
     // loudly instead of leaving the generation silently incomplete
     assert(Graft.claimAt(fs, new HPath(s"$dir/g1-stage/_land/b9.claim"),
