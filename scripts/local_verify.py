@@ -161,6 +161,12 @@ BLOCKED = {
              ""),
         ],
         "n_blocks": 16,  # ivfTrainCte(2, 16): cells are 0..15
+        # the statement's own global ORDER BY, re-applied after the merge
+        # (ADVICE r16 low: a hardcoded merge order silently assumed every
+        # blocked oracle sorts by its first four columns — now it is part
+        # of the spec and asserted against the statement like the
+        # rewrite anchors, so a drifted oracle fails loudly)
+        "merge_order": "1, 2, 3, 4",
     },
 }
 
@@ -183,6 +189,12 @@ def run_oracle_blocked(con, sql, name):
             f"{name}: blocked-replay anchor {find!r} not found exactly "
             "once — the oracle SQL changed; update BLOCKED or drop "
             "--blocked for it")
+    merge_order = spec["merge_order"]
+    assert sql.rstrip().rstrip(";").upper().endswith(
+        f"ORDER BY {merge_order}".upper()), (
+        f"{name}: the oracle's trailing ORDER BY no longer matches the "
+        f"spec's merge_order ({merge_order!r}) — the per-block sort and "
+        "the post-merge sort would disagree; update BLOCKED['merge_order']")
     con.execute("DROP TABLE IF EXISTS __blk_acc")
     made = False
     try:
@@ -204,9 +216,10 @@ def run_oracle_blocked(con, sql, name):
                 con.execute("INSERT INTO __blk_acc SELECT * FROM __blk")
             con.execute("DROP TABLE __blk")
         # the monolithic statement's ORDER BY ran per block; re-apply it
-        # globally so the merged list compares row-for-row
+        # globally (from the spec, asserted above against the statement)
+        # so the merged list compares row-for-row
         rows = con.execute(
-            "SELECT * FROM __blk_acc ORDER BY 1, 2, 3, 4").fetchall()
+            f"SELECT * FROM __blk_acc ORDER BY {merge_order}").fetchall()
         return rows
     finally:
         for t in ("__blk", "__blk_acc"):

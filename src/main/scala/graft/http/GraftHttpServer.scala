@@ -204,8 +204,20 @@ class GraftHttpServer(graft: Graft, spark: org.apache.spark.sql.SparkSession,
     * computed.
     */
   private def handleStream(path: String)(f: (HttpExchange, JsonNode) => DataFrame): Unit =
+    handleStreamC(path)((ex, node) => (f(ex, node), () => ()))
+
+  /** [[handleStream]] with a per-request CLEANUP the route returns
+    * alongside its frame, run after the response is drained (ADVICE r16
+    * low: /search's direct scan persists its series corpus for the
+    * request — without a post-drain unpersist, per-request frames
+    * accrete in executor storage until driver GC). Every retry attempt's
+    * cleanup runs, not just the last one's — withReadRetry may call `f`
+    * more than once. */
+  private def handleStreamC(path: String)
+      (f: (HttpExchange, JsonNode) => (DataFrame, () => Unit)): Unit =
     server.createContext(path, (ex: HttpExchange) => {
       var headersSent = false
+      val cleanups = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
       try {
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
         val node = if (body.trim.isEmpty) null else mapper.readTree(body)
@@ -215,7 +227,9 @@ class GraftHttpServer(graft: Graft, spark: org.apache.spark.sql.SparkSession,
         // possible before the first chunked byte goes out — a mid-stream
         // swap still aborts the chunked response, the documented trade)
         val rows0 = graft.withReadRetry() {
-          val it = f(ex, node).toJSON.toLocalIterator()
+          val (df, cleanup) = f(ex, node)
+          cleanups += cleanup
+          val it = df.toJSON.toLocalIterator()
           it.hasNext // forces the first partition's scan
           it
         }
@@ -267,7 +281,10 @@ class GraftHttpServer(graft: Graft, spark: org.apache.spark.sql.SparkSession,
               .getBytes(StandardCharsets.UTF_8))
             os.flush()
           } catch { case NonFatal(_) => () } // client already hung up
-      } finally ex.close()
+      } finally {
+        cleanups.foreach(c => try c() catch { case NonFatal(_) => () })
+        ex.close()
+      }
     })
 
   private def sendFull(ex: HttpExchange, code: Int, body: String): Unit = {
@@ -400,7 +417,7 @@ class GraftHttpServer(graft: Graft, spark: org.apache.spark.sql.SparkSession,
     // Body: {"q": "web cpu"} or {"q": ["web", "cpu"]}, optional "k".
     // Terms are analyzed with the batch pipeline's tokenizer so the route
     // and Graft.search can never rank differently.
-    handleStream("/search") { (ex, node) =>
+    handleStreamC("/search") { (ex, node) =>
       require(node != null && node.has("q"), """body must include "q"""")
       val qn = node.get("q")
       // BOTH body shapes go through the same analysis (lowercase, split,
@@ -423,7 +440,10 @@ class GraftHttpServer(graft: Graft, spark: org.apache.spark.sql.SparkSession,
       // 400 identically whether or not the index is configured
       require(terms.nonEmpty, "search needs at least one term")
       val space = spaceOf(ex, "/search", node)
-      def direct() = graft.search(terms, space, k)
+      // per-request corpus pinning is RECOMPUTABLE + released post-drain
+      // (ADVICE r16 low) — the batch Graft.search keeps its eager
+      // checkpoint; the served path must not accrete executor storage
+      def direct() = graft.searchUnpinned(terms, space, k)
       searchIndexDir.map(b => s"$b/$space") match {
         case Some(d) =>
           // index-served (the reference's ES architecture): a
@@ -451,7 +471,7 @@ class GraftHttpServer(graft: Graft, spark: org.apache.spark.sql.SparkSession,
                 _root_.graft.tsdb.DocId.decodeField(col("doc_id"), i).as(c)
               } :+ col("score"): _*)
             ex.getResponseHeaders.set("X-Graft-Search-Source", "index")
-            out
+            (out, () => ())
           } catch { case NonFatal(_) =>
             ex.getResponseHeaders.set("X-Graft-Search-Source", "scan")
             direct()

@@ -140,10 +140,14 @@ object CdcIndexSync {
           org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim
         finally in.close()
       }
-    if (body.nonEmpty) {
-      if (foldBodyCache.size() > 4096) foldBodyCache.clear()
-      foldBodyCache.put(key, body)
-    }
+    // empty bodies cache too (ADVICE r16 low): post-r16 a VISIBLE marker's
+    // body is atomic with its claim, so an empty body — a pre-r16 crash
+    // leftover — is as immutable for its (indexDir, marker, gen) key as a
+    // committed one; without this every state() resolution re-opens the
+    // dead marker file on the facade hot path, the exact I/O this cache
+    // removes. Out-of-band `_sync` surgery goes through dropStateCaches.
+    if (foldBodyCache.size() > 4096) foldBodyCache.clear()
+    foldBodyCache.put(key, body)
     body
   }
 
@@ -571,27 +575,211 @@ object CdcIndexSync {
     val (fs, _) = fsOf(s, indexDir)
     val landDir = new HPath(s"$indexDir/$genDir/_land")
     val done = new HPath(landDir, s"b$batch.done")
+    val claim = new HPath(landDir, s"b$batch.claim")
     if (fs.exists(done)) return
     fs.mkdirs(landDir)
-    if (Graft.claimAt(fs, new HPath(landDir, s"b$batch.claim"), "",
-        resolvedClaim)) {
-      landClaimHook()
-      write
-      val out = fs.create(done, true)
-      out.close()
-    } else {
-      val deadline = System.nanoTime() + landWaitMs * 1000000L
-      while (!fs.exists(done)) {
+    // claim-or-wait loop (ADVICE r16 medium): wait-only losers could time
+    // out against a claim nobody holds — a winner whose write FAILED
+    // releases its claim (below), and the loser must then retry the claim
+    // itself instead of giving up on a batch this process can land
+    val deadline = System.nanoTime() + landWaitMs * 1000000L
+    while (true) {
+      if (Graft.claimAt(fs, claim, "", resolvedClaim)) {
+        landClaimHook()
+        try write
+        catch { case t: Throwable =>
+          // release the claim before rethrowing (ADVICE r16 low): the
+          // landing is an idempotent dynamic-partition overwrite, so a
+          // live retry (or a concurrent loser) can re-claim and redo it —
+          // a left-behind claim would force every later attempt to wait
+          // out landWaitMs against a dead claim and then fail
+          try fs.delete(claim, false)
+          catch { case _: java.io.IOException => () }
+          throw t
+        }
+        val out = fs.create(done, true)
+        out.close()
+        return
+      }
+      // lost the claim: wait for the winner's done, but watch the CLAIM
+      // too — if it vanishes (failed winner released it) retry claiming
+      var claimHeld = true
+      while (claimHeld && !fs.exists(done)) {
         if (System.nanoTime() > deadline) throw new IllegalStateException(
           s"batch $batch's land claim in generation '$genDir' is held by " +
             s"another writer that never finished (waited ${landWaitMs}ms) " +
-            s"— a copier crashed mid-landing at $indexDir; delete " +
-            s"$landDir/b$batch.claim after confirming no copier is alive " +
-            "and re-run the sweep")
+            s"— a copier crashed mid-landing at $indexDir. The batch is " +
+            "committed but not yet visible in this generation: run " +
+            "CdcIndexSync.repairLandings (the maintenance sweep's vacuum " +
+            "does) to take over stale claims and re-land it from a " +
+            "surviving generation")
         Thread.sleep(25L)
+        if (!fs.exists(claim)) claimHeld = false
       }
+      if (fs.exists(done)) return
+      // claim vanished without a done marker: loop and contest it
     }
   }
+
+  /** Repair incomplete landings (ADVICE r16 medium — the crashed-WINNER
+    * hole): a copier that died between claiming `b<batch>.claim` and
+    * flipping `done` leaves the batch committed-but-invisible in its
+    * generation, and since the next sync starts above the committed
+    * marker, nothing ever re-lands it. This sweep closes the hole from
+    * the landing ledger itself — a claim without a done marker IS the
+    * record of the incomplete copy. For each such claim older than
+    * `staleMs` (a lease bound: a LIVE copier's claim is at most a few
+    * minutes old; specs pass 0), the claim is deleted and the batch
+    * re-landed under a fresh [[ensureLanded]] from the newest surviving
+    * generation that still has its `ingest_batch=` partitions — sync
+    * lands every batch into the generation it first resolved before
+    * re-landing forward, so the grace generation (kept one fold) has the
+    * partitions whichever side crashed. Throws if no surviving
+    * generation carries the batch (out-of-grace loss: rebuild the index).
+    * Returns the (genDir, batch) pairs repaired. Idempotent; safe to run
+    * while syncs are live (the re-land rides the same per-(generation,
+    * batch) claim they do). */
+  def repairLandings(s: SparkSession, indexDir: String,
+                     staleMs: Long = 600000L): Seq[(String, Long)] = {
+    val st = state(s, indexDir).getOrElse(return Nil)
+    if (st.genDir.isEmpty) return Nil // gen 0: no staged landings exist
+    val (fs, _) = fsOf(s, indexDir)
+    val landDir = new HPath(s"$indexDir/${st.genDir}/_land")
+    if (!fs.exists(landDir)) return Nil
+    val names = fs.listStatus(landDir).toSeq
+    val doneSet = names.map(_.getPath.getName)
+      .filter(_.endsWith(".done")).toSet
+    val now = System.currentTimeMillis()
+    val stale = names.filter { f =>
+      val n = f.getPath.getName
+      n.startsWith("b") && n.endsWith(".claim") &&
+        !doneSet(n.stripSuffix(".claim") + ".done") &&
+        now - f.getModificationTime >= staleMs
+    }
+    val resolved = Graft.resolveClaim(fs, Graft.PrimAuto,
+      s"landing repair at $indexDir")
+    stale.map { f =>
+      val batch = f.getPath.getName.stripSuffix(".claim").drop(1).toLong
+      // take over the dead lease, then re-land under a fresh claim —
+      // a copier that is actually alive re-claims idempotently (the
+      // overwrite is per-partition and bit-identical)
+      fs.delete(f.getPath, false)
+      val src = generationWithBatch(s, indexDir, st.genDir, batch)
+        .getOrElse(throw new IllegalStateException(
+          s"batch $batch of generation '${st.genDir}' at $indexDir has an " +
+            "incomplete landing and NO surviving generation carries its " +
+            "partitions (reclaimed past the grace window) — the index " +
+            "must be rebuilt (CdcIndexSync.build)"))
+      ensureLanded(s, indexDir, st.genDir, batch, resolved) {
+        copyBatch(s, indexDir, src, st.genDir, batch)
+      }
+      (st.genDir, batch)
+    }
+  }
+
+  /** Fold-aware generation GC (r17, VERDICT r16 #5): reclaim DEAD
+    * generation directories without folding — the daemon treatment
+    * physical segment reclaim already gets. [[compactIndex]] sweeps old
+    * generations as a side effect of each fold, but between folds (or on
+    * an index that never accretes enough to fold again) crash-staging
+    * garbage and out-of-grace generations sit on disk forever. The rule
+    * mirrors the fold's reclaim exactly: keep the ACTIVE generation and
+    * the GRACE generation (the one below active — one fold's in-flight-
+    * reader window); delete every other `g*` dir whose sequence is <=
+    * the active generation (crash garbage from lost fold races and
+    * out-of-grace history) — never a same-or-higher-seq dir, which may
+    * be a concurrent fold's live staging. When the grace generation is
+    * itself a staged dir, the gen-0 root families are out of grace and
+    * reclaimed too. Incomplete landings in the active generation are
+    * repaired FIRST ([[repairLandings]]) — their re-land source is the
+    * grace generation this sweep keeps, so repair-then-vacuum is safe in
+    * one pass. Superseded progress markers are pruned like the fold
+    * does. Returns the reclaimed directory names. */
+  def vacuumIndex(s: SparkSession, indexDir: String,
+                  staleClaimMs: Long = 600000L): Seq[String] = {
+    val st = state(s, indexDir).getOrElse(return Nil)
+    if (st.gen == 0) return Nil // only live staging can exist above gen 0
+    repairLandings(s, indexDir, staleClaimMs)
+    val (fs, root) = fsOf(s, indexDir)
+    val (mfs, mdir) = fsOf(s, s"$indexDir/_sync")
+    // the grace generation: the highest committed fold BELOW the active
+    // one (its dir from the marker body / legacy fixed dir), or gen 0
+    val names = mfs.listStatus(mdir).toSeq.map(_.getPath.getName)
+    val below = names.filter(_.startsWith("fold_"))
+      .map(_.stripPrefix("fold_").toLong).filter(_ < st.gen)
+      .sorted(Ordering[Long].reverse)
+    val grace = below.iterator.map { n =>
+      val body = foldBody(s, indexDir, st.marker, n)
+      if (body.nonEmpty) Some(n -> body)
+      else if (fs.exists(new HPath(s"$indexDir/g$n"))) Some(n -> s"g$n")
+      else None
+    }.collectFirst { case Some(g) => g }.getOrElse(0L -> "")
+    val keep = Set(st.genDir, grace._2)
+    val reclaimed = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (fs.exists(root)) fs.listStatus(root).foreach { f =>
+      val n = f.getPath.getName
+      val seq = if (f.isDirectory && n.startsWith("g"))
+        n.drop(1).takeWhile(_.isDigit) else ""
+      if (seq.nonEmpty && seq.toLong <= st.gen && !keep(n)) {
+        fs.delete(f.getPath, true)
+        reclaimed += n
+      }
+    }
+    if (grace._2.nonEmpty) // gen 0's root families are out of grace
+      Seq("postings", "doclen", "counts", "termdict").foreach { fam =>
+        val p = new HPath(s"$indexDir/$fam")
+        if (fs.exists(p)) { fs.delete(p, true); reclaimed += fam }
+      }
+    mfs.listStatus(mdir).foreach { m =>
+      val n = m.getPath.getName
+      if ((n.startsWith("snap_") && markerSeq(n) < st.snap) ||
+        (n.startsWith("fold_") && n.stripPrefix("fold_").toLong < grace._1))
+        mfs.delete(m.getPath, false)
+    }
+    reclaimed.toSeq
+  }
+
+  /** The newest generation dir (any `g*` dir or the gen-0 root families,
+    * EXCLUDING `exclude`) that has `ingest_batch=<batch>` partitions for
+    * at least one family — the repair source for an incomplete landing.
+    * Maintenance-path listing; never on a query path. */
+  private def generationWithBatch(s: SparkSession, indexDir: String,
+                                  exclude: String,
+                                  batch: Long): Option[String] = {
+    val (fs, root) = fsOf(s, indexDir)
+    if (!fs.exists(root)) return None
+    val gens = fs.listStatus(root).toSeq
+      .filter(f => f.isDirectory && f.getPath.getName.startsWith("g") &&
+        f.getPath.getName.drop(1).headOption.exists(_.isDigit))
+      .map(_.getPath.getName)
+      .sortBy(n => n.drop(1).takeWhile(_.isDigit).toLong)(
+        Ordering[Long].reverse) :+ "" // gen-0 root families last
+    gens.filterNot(_ == exclude).find(g =>
+      Seq("postings", "doclen", "counts", "termdict").exists { fam =>
+        val p = new HPath(s"${famDir(indexDir, g, fam)}/ingest_batch=$batch")
+        fs.exists(p)
+      })
+  }
+
+  /** Copy one committed batch's partitions from `srcGen` into `dstGen`
+    * family by family — the landing body shared by the fold's late-copy
+    * and [[repairLandings]]. Dynamic partition overwrite: idempotent per
+    * (family, batch). */
+  private def copyBatch(s: SparkSession, indexDir: String, srcGen: String,
+                        dstGen: String, batch: Long): Unit =
+    Seq("postings", "doclen", "counts", "termdict").foreach { fam =>
+      val late = readFam(s, indexDir, srcGen, fam)
+        .where(col("ingest_batch") === batch)
+      if (!late.isEmpty) {
+        val parts =
+          if (fam == "postings") Seq("bucket", "ingest_batch")
+          else Seq("ingest_batch")
+        late.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(parts: _*)
+          .parquet(famDir(indexDir, dstGen, fam))
+      }
+    }
 
   /** The fold (r15, VERDICT r14 #1 — the maintenance path the r14
     * scaladoc promised): collapse the ledger to ONE exact count per LIVE
@@ -724,19 +912,7 @@ object CdcIndexSync {
         .collect().map(_.getLong(0)).sorted // driver-sized: one per sync
       lateBatches.foreach { b =>
         ensureLanded(s, indexDir, stageDir, b, resolvedClaim) {
-          fams.foreach { fam =>
-            val late = readFam(s, indexDir, st.genDir, fam)
-              .where(col("ingest_batch") === b)
-            if (!late.isEmpty) {
-              val parts =
-                if (fam == "postings") Seq("bucket", "ingest_batch")
-                else Seq("ingest_batch")
-              late.write.mode("overwrite")
-                .option("partitionOverwriteMode", "dynamic")
-                .partitionBy(parts: _*)
-                .parquet(famDir(indexDir, stageDir, fam))
-            }
-          }
+          copyBatch(s, indexDir, st.genDir, stageDir, b)
         }
       }
     }

@@ -1291,8 +1291,11 @@ object TextOps {
     * 7,500-row corpus where the 2-term query took 0.39 s — while the long
     * form's plan is independent of |query| at the price of one doc_id
     * join. Results are bit-identical (absent terms contribute exactly
-    * 0.000000 in the wide form; the decimal sum is association-free). */
-  private val WideQueryMax = 16
+    * 0.000000 in the wide form; the decimal sum is association-free).
+    * `var` is a TEST SEAM only (r17, VERDICT r16 #2): the crossover spec
+    * forces the SAME query through both shapes and asserts bit-equality
+    * at the boundary — production code never writes it. */
+  private[graft] var WideQueryMax = 16
 
   /** The long-query scorer: one row per (doc, present query term), per-term
     * [[bm25Contrib]] joined against broadcast per-term df and 1-row corpus

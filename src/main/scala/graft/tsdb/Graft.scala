@@ -1547,6 +1547,19 @@ class Graft(spark: SparkSession, root: String,
     }
   }
 
+  /** [[search]] for the facade's per-request path (ADVICE r16 low):
+    * recomputable persist instead of the batch variant's pinned
+    * localCheckpoint, plus a cleanup the caller runs once the response
+    * is drained — see [[Tsdb.searchSeriesUnpinned]]. */
+  def searchUnpinned(terms: Seq[String], space: String = "default",
+                     k: Int = 20): (DataFrame, () => Unit) = {
+    require(terms.nonEmpty, "search needs at least one term")
+    table(space) match {
+      case None => (empty("score DOUBLE"), () => ())
+      case Some(pt) => Tsdb.searchSeriesUnpinned(pt, terms, k)
+    }
+  }
+
   /** The spaces with stored data — the reference's implicit multi-space
     * namespace surfaced (conf `spaces.<name>`, test/multiple-spaces.spec.js).
     */

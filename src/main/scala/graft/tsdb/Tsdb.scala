@@ -131,11 +131,44 @@ object Tsdb {
     // and the final tag join all read the materialized frame instead of
     // re-running the scan per job (ts_search_prefix paid it 3×: 3.81 s vs
     // ts_search's 1.16 s at sf0.1)
-    val series = pt.df.select(tagCols.map(col): _*).distinct()
+    val series = seriesCorpus(pt, tagCols).localCheckpoint(true)
+    searchSeriesOn(series, tagCols, terms, k)
+  }
+
+  /** [[searchSeries]] for the SERVED path (ADVICE r16 low): the batch
+    * variant's eager localCheckpoint pins the distinct-series RDD blocks
+    * in executor storage until driver GC — per-REQUEST frames would
+    * accrete unboundedly between GCs on a loaded facade — and a
+    * checkpointed frame is non-recomputable, so an executor loss
+    * mid-request fails the query. Here the corpus frame is `persist`ed
+    * (recomputable lineage: an executor loss recomputes instead of
+    * failing; still one scan — the jobs run sequentially, so the first
+    * populates the cache the rest read) and the caller runs the returned
+    * cleanup once the response is drained. */
+  def searchSeriesUnpinned(pt: PointsTable, terms: Seq[String],
+                           k: Int = 20): (DataFrame, () => Unit) = {
+    require(terms.nonEmpty, "search needs at least one term")
+    val tagCols = pt.tagCols.sorted
+    val series = seriesCorpus(pt, tagCols)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    (searchSeriesOn(series, tagCols, terms, k),
+      () => { series.unpersist(false); () })
+  }
+
+  /** The search corpus: one document per distinct series — doc_id =
+    * [[DocId.encode]] over the sorted tag columns, text = the
+    * space-joined tag values. The ONLY corpus-sized work in a search. */
+  private def seriesCorpus(pt: PointsTable, tagCols: Seq[String]): DataFrame =
+    pt.df.select(tagCols.map(col): _*).distinct()
       .withColumn("doc_id", DocId.encode(tagCols))
       .withColumn("text", concat_ws(" ",
         tagCols.map(c => coalesce(col(c).cast("string"), lit(""))): _*))
-      .localCheckpoint(true)
+
+  /** Expansion + scoring + tag join over a MATERIALIZED series corpus —
+    * the shared tail of [[searchSeries]]/[[searchSeriesUnpinned]] (one
+    * rule, two pinning policies). */
+  private def searchSeriesOn(series: DataFrame, tagCols: Seq[String],
+                             terms: Seq[String], k: Int): DataFrame = {
     val (exact, prefixes) = graft.text.TextOps.splitSearchTerms(terms)
     val query =
       if (prefixes.isEmpty) exact
