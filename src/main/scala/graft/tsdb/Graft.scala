@@ -1797,12 +1797,13 @@ class Graft(spark: SparkSession, root: String,
     mutationLock(space).synchronized {
       val path = spacePath(space)
       val (fs, dir) = fsOf(path)
-      // leftover compaction/append staging dirs from a crashed run: no
-      // snapshot references them
-      fs.listStatus(dir).filter(st =>
-          st.getPath.getName.startsWith(TmpPrefix) ||
-          st.getPath.getName.startsWith(AppendTmpPrefix))
-        .foreach(st => fs.delete(st.getPath, true))
+      // crashed-run staging dirs are NOT swept here (r17, VERDICT r16 #4
+      // — found by the two-JVM race spec): a `_compact_tmp_*` or
+      // `_append_tmp_*` dir in the space may be ANOTHER PROCESS'S LIVE
+      // staging, and deleting it mid-rewrite made that writer's swap
+      // move zero files while still committing its replace set — silent
+      // manifest data loss. [[vacuum]] already reclaims these dirs
+      // age-gated (aged(st)), which is the multi-process-safe discipline.
       bootstrapManifest(space) // adopt a pre-manifest store
       val live = snapshotManifest(space, None)
       if (live.files.isEmpty) return Nil
@@ -1826,7 +1827,11 @@ class Graft(spark: SparkSession, root: String,
             val key = tagCols.map(col) :+ col("time_ms")
             val merged = lwwMerged(df, key)
             schemas += merged.schema // rewritten bucket: the stamp retires
-            val tmp = new HPath(dir, s"$TmpPrefix$day")
+            // nonce'd staging (r17): the fixed `_compact_tmp_<day>` name
+            // made two processes compacting the same bucket share one
+            // staging dir — SaveMode.Overwrite then deletes the other's
+            // output mid-rewrite. Unique per attempt, like appends.
+            val tmp = new HPath(dir, s"$TmpPrefix$day-${nonce()}")
             merged.repartitionByRange(nOut, key: _*)
               .sortWithinPartitions(key: _*)
               .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
@@ -1844,28 +1849,68 @@ class Graft(spark: SparkSession, root: String,
                 (s"$bname/${dst.getName}", st.getLen)
               }
             fs.delete(tmp, true)
+            // a swap that replaces files but moved NOTHING means the
+            // staging was interfered with (the silent-loss shape the
+            // two-JVM race exposed) — committing it would drop the
+            // bucket from the manifest; fail loudly instead
+            if (moved.isEmpty) throw new java.io.IOException(
+              s"compact: staging for bucket $day produced no output " +
+                "files while replacing ${bfiles.length} — staging dir " +
+                "interference; nothing was committed")
             Some((day.toLong, bfiles.length, moved.length,
               bfiles.map(_._1).toSet, moved))
           }
         }
-      if (swaps.nonEmpty) {
-        val replaced = swaps.flatMap(_._4).toSet
-        val added = swaps.flatMap(_._5)
-        // the schema is RECOMPUTED as the union of the post-swap buckets
-        // (each was read for the rewrite decision anyway, so this is free):
-        // after a full pass no live file carries __wseq, the manifest
-        // schema drops it, and reads go window-free — the compaction
-        // contract, now visible in metadata instead of re-derived from
-        // footers on every read
-        val newSchema = schemas.result().foldLeft(Option.empty[String])(
-          (acc, s) => Some(mergeDataSchema(acc, s)))
-        val (addedStats, addedDicts) = fileStats(space, added.map(_._1))
-        commitManifest(space)(cur => Manifest(
-          cur.files.filterNot(f => replaced(f._1)) ++ added, newSchema,
-          (cur.stats -- replaced) ++ addedStats,
-          (cur.dicts -- replaced) ++ addedDicts))
+      if (swaps.isEmpty) return Nil
+      // the schema is RECOMPUTED as the union of the post-swap buckets
+      // (each was read for the rewrite decision anyway, so this is free):
+      // after a full pass no live file carries __wseq, the manifest
+      // schema drops it, and reads go window-free — the compaction
+      // contract, now visible in metadata instead of re-derived from
+      // footers on every read
+      val newSchema = schemas.result().foldLeft(Option.empty[String])(
+        (acc, s) => Some(mergeDataSchema(acc, s)))
+      val (addedStats, addedDicts) =
+        fileStats(space, swaps.flatMap(_._5).map(_._1))
+      // STALE-SWAP VALIDATION (r17, VERDICT r16 #4 — found by the
+      // two-JVM race spec): a swap is only committable while EVERY file
+      // it replaces is still live. A concurrent compactor in another
+      // process can rewrite the same bucket first; blindly re-applying
+      // "remove mine, add mine" on the fresh state would then keep BOTH
+      // compacted copies — every point in the bucket duplicated. The
+      // check is per BUCKET, so two compactors sweeping disjoint buckets
+      // both land; a dropped swap's output files are uncommitted orphans
+      // (vacuum reclaims them) and the winner already did that bucket's
+      // work. Runs inside the commit closure — re-validated on every
+      // optimistic re-apply, exactly like Iceberg's replace-file
+      // validation. The closure may run more than once: `applied` keeps
+      // only the LAST attempt's verdict (the one that committed).
+      var applied: Seq[(Long, Int, Int)] = Nil
+      commitManifest(space) { cur =>
+        val liveNow = cur.files.map(_._1).toSet
+        val valid = swaps.filter(_._4.subsetOf(liveNow))
+        applied = valid.map(s => (s._1, s._2, s._3))
+        val replaced = valid.flatMap(_._4).toSet
+        val added = valid.flatMap(_._5)
+        // if any swap went stale, another writer's compaction landed
+        // since our rewrite: union our recomputed schema with the
+        // current one instead of overwriting it — conservative (a
+        // lingering __wseq column just keeps the read-side merge window,
+        // always correct) and never drops a column the winner's files
+        // still carry
+        val schema =
+          if (valid.size == swaps.size) newSchema
+          else (newSchema.toSeq ++ cur.schemaJson.toSeq)
+            .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+              .asInstanceOf[org.apache.spark.sql.types.StructType])
+            .foldLeft(Option.empty[String])(
+              (acc, s) => Some(mergeDataSchema(acc, s)))
+        Manifest(
+          cur.files.filterNot(f => replaced(f._1)) ++ added, schema,
+          (cur.stats -- replaced) ++ addedStats.filter(kv => added.exists(_._1 == kv._1)),
+          (cur.dicts -- replaced) ++ addedDicts.filter(kv => added.exists(_._1 == kv._1)))
       }
-      swaps.map(s => (s._1, s._2, s._3)).sortBy(_._1)
+      applied.sortBy(_._1)
     }
 
   /** `/delete`: drop whole buckets whose last day is older than
