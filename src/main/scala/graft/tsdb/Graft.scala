@@ -152,8 +152,18 @@ class Graft(spark: SparkSession, root: String,
           commitAppend(space, fresh, jobSchema, freshStats, freshDicts)
         }
       } else {
+        val (pfs, pdir) = fsOf(spacePath(space))
+        val preEmpty = listDataFiles(pfs, pdir).isEmpty
         sorted.write.mode(SaveMode.Append)
           .partitionBy("bucket_day").parquet(spacePath(space))
+        // keep the read-path schema cache warm ACROSS writes (r17, perf):
+        // the written job schema merges into the cached store schema, so
+        // the next read plans with zero footer reads — the same
+        // schema-rides-with-the-mutation trade manifest mode makes, at
+        // the cost of two listings here (no inference job: the written
+        // schema is known)
+        primePlainSchema(space, org.apache.spark.sql.types.StructType(
+          good.schema.fields.filterNot(_.name == "bucket_day")), preEmpty)
       }
     }
     validated.where(col("__error").isNotNull)
@@ -248,11 +258,64 @@ class Graft(spark: SparkSession, root: String,
   private def lwwMerged(df: DataFrame, key: Seq[Column]): DataFrame =
     if (!df.columns.contains(WseqCol)) df
     else {
+      // the rank-1 window stays the right physical shape here (evaluated
+      // r17): row_number + rn=1 plans a WindowGroupLimit that drops
+      // superseded duplicates BEFORE the exchange, while a max-over-
+      // struct aggregate falls to SortAggregate (struct buffers are not
+      // hash-aggregable) with two extra sorts. The serving /read path
+      // fuses the merge into its nesting aggregation instead
+      // ([[readSeries]]) and never pays this window.
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(key: _*)
         .orderBy(col(WseqCol).desc, col("value").desc)
       df.withColumn("__rn", row_number().over(w))
         .where(col("__rn") === 1).drop("__rn", WseqCol)
+    }
+
+  // ---- plain-mode read schema cache (r17, perf) ---------------------------
+  //
+  // A plain-mode read inferred its schema from parquet FOOTERS
+  // (mergeSchema) on EVERY request — a Spark job per read, ~0.4 s of the
+  // served /read latency at low series cardinality. The cache keys the
+  // merged data schema by the EXACT live file list (names + sizes): a read
+  // whose listing matches plans with `.schema(...)` over that same
+  // explicit list — zero footer reads, and the schema/file-list pair is
+  // one coherent snapshot of the store (a concurrent mutation simply
+  // misses this read, as it always could). Any mutation changes the
+  // listing and misses the cache; [[write]] re-primes from the job schema
+  // it already knows (no inference job), [[compact]] re-primes with one
+  // inference job (rare, off the serving path). Single-process coherence,
+  // like every plain-mode mutation (manifest mode carries its schema in
+  // committed metadata instead and never touches this).
+  private val plainSchemaCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(String, Long)], org.apache.spark.sql.types.StructType)]()
+
+  /** Merge `written` (a data schema, no partition column) into the cached
+    * schema and advance the cached file list to the post-mutation listing.
+    * Primes only when the cache can account for EVERY live file: the
+    * cache was warm and covered the pre-write store, or the store was
+    * empty before this write (`preEmpty`). Otherwise it goes cold and the
+    * next read infers once and re-warms. */
+  private def primePlainSchema(space: String,
+      written: org.apache.spark.sql.types.StructType,
+      preEmpty: Boolean): Unit =
+    try {
+      val (fs, dir) = fsOf(spacePath(space))
+      val post = listDataFiles(fs, dir).sortBy(_._1)
+      val prev = plainSchemaCache.get(space)
+      if (preEmpty || (prev != null && prev._1.toSet.subsetOf(post.toSet))) {
+        val baseData = Option(prev).filterNot(_ => preEmpty)
+          .map(p => org.apache.spark.sql.types.StructType(
+            p._2.fields.filterNot(_.name == "bucket_day")))
+        val mergedJson = mergeDataSchema(baseData.map(_.json), written)
+        val full = org.apache.spark.sql.types.DataType.fromJson(mergedJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+          .add("bucket_day", org.apache.spark.sql.types.IntegerType,
+            nullable = true)
+        plainSchemaCache.put(space, (post, full))
+      } else plainSchemaCache.remove(space)
+    } catch { // priming must never fail the mutation it rides
+      case scala.util.control.NonFatal(_) => plainSchemaCache.remove(space)
     }
 
   /** The space's data files as (`bucket_day=<d>/<name>`, size) pairs. */
@@ -1024,7 +1087,26 @@ class Graft(spark: SparkSession, root: String,
 
   private def table(space: String, startMs: Long = Long.MinValue,
                     endMs: Long = Long.MaxValue,
-                    pinned: Option[Long] = None): Option[PointsTable] = {
+                    pinned: Option[Long] = None): Option[PointsTable] =
+    tableRaw(space, startMs, endMs, pinned).map { case (df, tags) =>
+      // last-write-wins merge-on-read: the reference upserts on the
+      // Cassandra primary key (see write()); here the max-writeSeq row per
+      // (series, time) survives — lwwMerged, shared with both compactors.
+      // Stores without the stamp (pre-r6 layouts, streaming sinks) skip
+      // the merge.
+      val merged = lwwMerged(df, (tags :+ "time_ms").map(col))
+      PointsTable(merged.withColumn("ts", timestamp_millis(col("time_ms"))),
+        "ts", "value", tags)
+    }
+
+  /** [[table]] BEFORE the last-write-wins merge: the pruned, time-bounded
+    * frame (tags + time_ms + value, plus `__wseq` on stamped stores) and
+    * the tag column names. Serving endpoints whose aggregation can FUSE
+    * the merge (one shuffle instead of two — [[readSeries]]) start here;
+    * everything else goes through [[table]]'s merged view. */
+  private def tableRaw(space: String, startMs: Long = Long.MinValue,
+                    endMs: Long = Long.MaxValue,
+                    pinned: Option[Long] = None): Option[(DataFrame, Seq[String])] = {
     // a pinned (time-travel) read must not flush: it reads history, and a
     // flush would land queued points and commit a NEWER snapshot
     if (pinned.isEmpty) flushQueued(space)
@@ -1113,9 +1195,26 @@ class Graft(spark: SparkSession, root: String,
         // schema, silently dropping tags or the stamp (and with it the
         // last-write-wins merge below). Merged, legacy rows surface a null
         // stamp and rank last, exactly as the merge intends.
-        try spark.read.option("basePath", path).option("mergeSchema", "true")
-          .parquet(s"$path/bucket_day=*")
-        catch {
+        // r17 (perf): when the live file list matches the schema cache
+        // (writes keep it primed), the read plans with `.schema(...)` over
+        // that SAME explicit list — zero footer reads, and the
+        // schema/file-list pair is one coherent listing snapshot. A miss
+        // infers once (mergeSchema) and re-warms the cache.
+        try {
+          val cFiles = listDataFiles(fs, p).sortBy(_._1)
+          if (cFiles.isEmpty) return None
+          val cached = plainSchemaCache.get(space)
+          if (cached != null && cached._1 == cFiles)
+            spark.read.schema(cached._2).option("basePath", path)
+              .parquet(cFiles.map(f => s"$path/${f._1}"): _*)
+          else {
+            val inferred = spark.read.option("basePath", path)
+              .option("mergeSchema", "true")
+              .parquet(cFiles.map(f => s"$path/${f._1}"): _*)
+            plainSchemaCache.put(space, (cFiles, inferred.schema))
+            inferred
+          }
+        } catch {
           case e: org.apache.spark.sql.AnalysisException
               if e.getMessage.contains("PATH_NOT_FOUND") ||
                  e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
@@ -1140,14 +1239,7 @@ class Graft(spark: SparkSession, root: String,
       }
       val tags = df.columns.filterNot(c =>
         c == "time_ms" || c == "value" || c == "bucket_day" || c == WseqCol).toSeq
-      // last-write-wins merge-on-read: the reference upserts on the
-      // Cassandra primary key (see write()); here the max-writeSeq row per
-      // (series, time) survives — lwwMerged, shared with both compactors.
-      // Stores without the stamp (pre-r6 layouts, streaming sinks) skip
-      // the merge.
-      val merged = lwwMerged(df, (tags :+ "time_ms").map(col))
-      Some(PointsTable(merged.withColumn("ts", timestamp_millis(col("time_ms"))),
-        "ts", "value", tags))
+      Some((df, tags))
     }
   }
 
@@ -1487,15 +1579,46 @@ class Graft(spark: SparkSession, root: String,
     */
   def readSeries(filter: String, space: String = "default",
                  startMs: Long = Long.MinValue, endMs: Long = Long.MaxValue): DataFrame =
-    table(space, startMs, endMs) match {
-      case Some(pt) =>
-        val flat = Tsdb.read(pt, compileFor(pt, filter), startMs, endMs)
-        val tagCols = flat.columns.filterNot(c => c == "time_ms" || c == "value")
-        flat
-          .groupBy(tagCols.map(col): _*)
-          .agg(sort_array(collect_list(struct(col("time_ms"), col("value"))))
-            .as("points"))
-          .orderBy(tagCols.map(col): _*)
+    tableRaw(space, startMs, endMs) match {
+      case Some((df, tags)) =>
+        // the ES filter context only ever references TAG columns (value
+        // and time are reserved; time bounds are already applied by
+        // tableRaw) — tags are LWW KEY columns, so filtering commutes
+        // with the per-key dedup and the merge can FUSE into the nesting
+        // aggregation below instead of shuffling once for the merge
+        // window and again for the per-series arrays (r17, perf: the two
+        // shuffles were ~half the served /read latency at low series
+        // cardinality).
+        val pt = PointsTable(
+          df.withColumn("ts", timestamp_millis(col("time_ms"))),
+          "ts", "value", tags)
+        val flat = df.where(compileFor(pt, filter))
+        val nested =
+          if (!df.columns.contains(WseqCol))
+            flat.groupBy(tags.map(col): _*)
+              .agg(sort_array(collect_list(struct(col("time_ms"), col("value"))))
+                .as("points"))
+          else
+            // fused LWW: per series, sort (time, wseq, value) ascending
+            // and keep the LAST element of each time group — exactly
+            // lwwMerged's max-(wseq, value) pick (struct ordering is
+            // field-by-field, null wseq smallest), applied per-array
+            // instead of per-shuffle
+            flat.groupBy(tags.map(col): _*)
+              .agg(sort_array(collect_list(struct(col("time_ms"),
+                col(WseqCol).as("w"), col("value")))).as("__pts"))
+              .withColumn("points", expr(
+                "transform(filter(__pts, (x, i) -> i = size(__pts) - 1 " +
+                  "OR __pts[i + 1].time_ms <> x.time_ms), " +
+                  "p -> struct(p.time_ms AS time_ms, p.value AS value))"))
+              .drop("__pts")
+        // deterministic series order WITHOUT a global sort (r17, perf):
+        // orderBy here planned a RangePartitioner whose boundary-sample
+        // job recomputed the whole aggregation a second time (~0.4 s
+        // per served /read). One series per row and one HTTP socket to
+        // serialize into: shuffle the nested rows to one partition and
+        // sort there — same total order, one aggregation pass.
+        nested.repartition(1).sortWithinPartitions(tags.map(col): _*)
       case None => empty("points ARRAY<STRUCT<time_ms: BIGINT, value: DOUBLE>>")
     }
 

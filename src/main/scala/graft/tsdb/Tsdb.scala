@@ -149,10 +149,20 @@ object Tsdb {
                            k: Int = 20): (DataFrame, () => Unit) = {
     require(terms.nonEmpty, "search needs at least one term")
     val tagCols = pt.tagCols.sorted
-    val series = seriesCorpus(pt, tagCols)
+    // the pinned plan carries a per-REQUEST nonce column: Dataset
+    // persist/unpersist go through the session CacheManager keyed by
+    // plan EQUALITY, so two requests over the same store snapshot would
+    // otherwise share one cache entry — the first response's post-drain
+    // unpersist then yanks the blocks from under the second mid-flight
+    // (BlockNotFoundException, measured under sustained /search load in
+    // HttpPerf). The nonce makes each request's entry private; the drop
+    // below keeps the corpus schema unchanged while the cached subplan
+    // still substitutes.
+    val pinned = seriesCorpus(pt, tagCols)
+      .withColumn("__pin", lit(Graft.nonce()))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    (searchSeriesOn(series, tagCols, terms, k),
-      () => { series.unpersist(false); () })
+    (searchSeriesOn(pinned.drop("__pin"), tagCols, terms, k),
+      () => { pinned.unpersist(false); () })
   }
 
   /** The search corpus: one document per distinct series — doc_id =
