@@ -60,7 +60,19 @@ def summarize(recs):
         }
     keys = [k for k, v in recs[0].items()
             if isinstance(v, (int, float)) and k.startswith("graft_")]
-    return {k: min(r[k] for r in recs) for k in keys}
+    out = {k: min(r[k] for r in recs) for k in keys}
+    # r17: HttpPerf carries the full published perf grid — min-reduce each
+    # cell's measured seconds across passes, keep shape/reference fields
+    if isinstance(recs[0].get("grid"), list):
+        out["grid"] = []
+        for i, cell in enumerate(recs[0]["grid"]):
+            merged = dict(cell)
+            for k, v in cell.items():
+                if isinstance(v, (int, float)) and not k.startswith(
+                        ("num_", "n_", "reference_")):
+                    merged[k] = min(r["grid"][i][k] for r in recs)
+            out["grid"].append(merged)
+    return out
 
 result = {
     "phase": phase, "sf": sf, "passes": passes,

@@ -293,6 +293,70 @@ class Round17Spec extends SparkTestBase {
   }
 
   // --------------------------------------------------------------------
+  // r17 serving-read rebuild: the fused LWW and the schema cache
+  // --------------------------------------------------------------------
+
+  test("fused /read nesting applies last-write-wins exactly: overwrites collapse to the max-wseq value, agreeing with the merged flat read row for row") {
+    val root = freshRoot("graft-r17lww")
+    val g = new Graft(spark, root)
+    def w(rows: (String, Double, String)*) =
+      g.write(rows.toSeq.toDF("time", "value", "name"))
+    // three writes: base points, an overwrite of t1 on series a, and a
+    // second overwrite of t1 plus a fresh t3 — the fused per-array dedup
+    // must keep exactly the LAST write per (series, time)
+    w(("2024-01-01T00:00:01Z", 1.0, "a"), ("2024-01-01T00:00:02Z", 2.0, "a"),
+      ("2024-01-01T00:00:01Z", 9.0, "b"))
+    w(("2024-01-01T00:00:01Z", 10.0, "a"))
+    w(("2024-01-01T00:00:01Z", 100.0, "a"), ("2024-01-01T00:00:03Z", 3.0, "a"))
+    val nested = g.readSeries("""{"match_all":{}}""").collect()
+    val bySeries = nested.map(r => r.getAs[String]("name") ->
+      r.getSeq[org.apache.spark.sql.Row](r.fieldIndex("points"))
+        .map(p => (p.getLong(0), p.getDouble(1)))).toMap
+    assert(bySeries("a") == Seq(
+      (1704067201000L, 100.0), (1704067202000L, 2.0), (1704067203000L, 3.0)),
+      s"fused LWW drifted: ${bySeries("a")}")
+    assert(bySeries("b") == Seq((1704067201000L, 9.0)))
+    // and the nested shape agrees with the MERGED flat read (the
+    // window-based lwwMerged path) — one rule, two physical shapes
+    val flat = g.read("""{"match_all":{}}""")
+      .collect().map(r => (r.getAs[String]("name"),
+        r.getAs[Long]("time_ms"), r.getAs[Double]("value"))).toSet
+    val fromNested = bySeries.toSeq.flatMap { case (n, pts) =>
+      pts.map(p => (n, p._1, p._2)) }.toSet
+    assert(flat == fromNested,
+      s"fused nesting and merged flat read disagree:\n  $flat\n  $fromNested")
+  }
+
+  test("plain-mode schema cache: new tag columns surface immediately after the write that adds them, and out-of-band files force re-inference (never a silently dropped column)") {
+    val root = freshRoot("graft-r17sc")
+    val g = new Graft(spark, root)
+    g.write(Seq(("2024-01-01T00:00:01Z", 1.0, "a"))
+      .toDF("time", "value", "name"))
+    assert(g.read("""{"match_all":{}}""").columns.toSet ==
+      Set("name", "time_ms", "value"))
+    // a second write introduces a NEW tag column: the prime-on-write path
+    // must merge it into the cached schema — a stale cache here would
+    // silently drop the column from every read until invalidation
+    g.write(Seq(("2024-01-01T00:00:02Z", 2.0, "b", "web"))
+      .toDF("time", "value", "name", "dc"))
+    val df = g.read("""{"match_all":{}}""")
+    assert(df.columns.toSet == Set("name", "dc", "time_ms", "value"),
+      s"new tag lost by the schema cache: ${df.columns.toSeq}")
+    assert(df.where(col("dc") === "web").count() == 1)
+    // out-of-band mutation (a file this Graft instance did not write):
+    // the file-list signature misses and the read re-infers, surfacing
+    // the foreign column
+    val stranger = Seq((1704067203000L, 3.0, "c", 7L, 99L))
+      .toDF("time_ms", "value", "name", "zone", "__wseq")
+    stranger.write.mode("append")
+      .parquet(s"$root/default/bucket_day=19723")
+    val df2 = g.read("""{"match_all":{}}""")
+    assert(df2.columns.toSet == Set("name", "dc", "zone", "time_ms", "value"),
+      s"out-of-band column lost: ${df2.columns.toSeq}")
+    assert(df2.count() == 3)
+  }
+
+  // --------------------------------------------------------------------
   // VERDICT r16 #4: the commit claim vs a second PROCESS
   // --------------------------------------------------------------------
 
