@@ -18,7 +18,11 @@ import graft.tsdb.Graft
   * pins two real multi-process compaction bugs: concurrent compactors
   * shared one staging dir name and eagerly deleted each other's live
   * staging (silent duplication/loss), fixed by nonce'd staging +
-  * stale-swap validation inside the commit closure.
+  * stale-swap validation inside the commit closure. The r17 serving-read
+  * rebuild is pinned too: the fused /read nesting applies last-write-wins
+  * identically to the merged flat read under real overwrites, and the
+  * plain-mode schema cache surfaces new/foreign columns instead of
+  * silently dropping them.
   */
 class Round17Spec extends SparkTestBase {
   import spark.implicits._
