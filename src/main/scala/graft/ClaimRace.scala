@@ -45,7 +45,11 @@ object ClaimRace {
       // unique (series, time) per (writer, batch): last-write-wins can
       // never merge rows across writers, so a lost commit is countable
       val points = (0 until 10).map { j =>
-        (s"2024-01-01T0$i:00:${f"$j%02d"}Z", i * 10.0 + j, s"w$id")
+        // %02d keeps the hour a valid ISO timestamp past i=9 — T0$i
+        // rendered T010 and write() validation silently rejected those
+        // batches as malformed (r17 ADVICE); hour+minute keep the
+        // (series, time) pairs unique per batch up to nBatches=1440
+        (f"2024-01-01T${i % 24}%02d:${i / 24}%02d:$j%02dZ", i * 10.0 + j, s"w$id")
       }
       g.write(points.toDF("time", "value", "name"))
       val snap = g.snapshots().last

@@ -553,6 +553,14 @@ object CdcIndexSync {
     * claim and its write — the window a concurrent loser observes. */
   private[graft] var landClaimHook: () => Unit = () => ()
 
+  /** Heartbeat interval for a land-claim WINNER: while its copy runs, a
+    * daemon thread refreshes the claim's mtime so [[repairLandings]]'
+    * staleness check is a real LEASE, not a guess about copy duration — a
+    * live-but-slow copier (a copy job exceeding staleMs on a loaded
+    * cluster) keeps its claim fresh and is never taken over (r17 ADVICE).
+    * Test seam; must be well under repairLandings' staleMs. */
+  private[graft] var landHeartbeatMs: Long = 15000L
+
   /** Ensure batch `batch` is landed in staged generation `genDir` exactly
     * once (ADVICE r15 medium): the fold's post-commit late-copy and
     * sync's re-land loop can both try to copy the SAME batch into the
@@ -584,19 +592,57 @@ object CdcIndexSync {
     // itself instead of giving up on a batch this process can land
     val deadline = System.nanoTime() + landWaitMs * 1000000L
     while (true) {
-      if (Graft.claimAt(fs, claim, "", resolvedClaim)) {
+      // the claim body is an owner token (fencing, r17 ADVICE): the winner
+      // re-reads it before flipping `done` — if repairLandings took over a
+      // claim this copier let go stale (only possible when it failed to
+      // heartbeat for staleMs, i.e. was frozen long past the lease), the
+      // body no longer matches and the fenced-out copier fails LOUDLY
+      // instead of committing over the repairer's landing
+      val owner = s"${ProcessHandle.current().pid()}-" +
+        java.util.UUID.randomUUID().toString
+      if (Graft.claimAt(fs, claim, owner, resolvedClaim)) {
         landClaimHook()
-        try write
-        catch { case t: Throwable =>
-          // release the claim before rethrowing (ADVICE r16 low): the
-          // landing is an idempotent dynamic-partition overwrite, so a
-          // live retry (or a concurrent loser) can re-claim and redo it —
-          // a left-behind claim would force every later attempt to wait
-          // out landWaitMs against a dead claim and then fail
-          try fs.delete(claim, false)
-          catch { case _: java.io.IOException => () }
-          throw t
-        }
+        // heartbeat: keep the claim's mtime fresh while the copy runs, so
+        // repairLandings' staleMs is a real lease for LIVE copiers
+        val hbStop = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val hb = new Thread(() => {
+          while (!hbStop.get()) {
+            try fs.setTimes(claim, System.currentTimeMillis(), -1L)
+            catch { case _: java.io.IOException => () }
+            val next = System.nanoTime() + landHeartbeatMs * 1000000L
+            while (!hbStop.get() && System.nanoTime() < next)
+              Thread.sleep(10L)
+          }
+        }, s"graft-land-heartbeat-b$batch")
+        hb.setDaemon(true)
+        hb.start()
+        try {
+          try write
+          catch { case t: Throwable =>
+            // release the claim before rethrowing (ADVICE r16 low): the
+            // landing is an idempotent dynamic-partition overwrite, so a
+            // live retry (or a concurrent loser) can re-claim and redo it —
+            // a left-behind claim would force every later attempt to wait
+            // out landWaitMs against a dead claim and then fail
+            try fs.delete(claim, false)
+            catch { case _: java.io.IOException => () }
+            throw t
+          }
+        } finally hbStop.set(true)
+        val heldBy =
+          try {
+            val in = fs.open(claim)
+            try new String(
+              org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+            finally in.close()
+          } catch { case _: java.io.IOException => "" }
+        if (heldBy != owner) throw new IllegalStateException(
+          s"batch $batch's land claim in generation '$genDir' at $indexDir " +
+            "was taken over while this copier was writing (lease fenced: " +
+            "no heartbeat for repairLandings' staleMs) — the repairer owns " +
+            "the landing now and will flip done after its re-copy; this " +
+            "copier's result is NOT committed. If this recurs, raise " +
+            "staleMs or lower landHeartbeatMs")
         val out = fs.create(done, true)
         out.close()
         return
@@ -628,8 +674,11 @@ object CdcIndexSync {
     * marker, nothing ever re-lands it. This sweep closes the hole from
     * the landing ledger itself — a claim without a done marker IS the
     * record of the incomplete copy. For each such claim older than
-    * `staleMs` (a lease bound: a LIVE copier's claim is at most a few
-    * minutes old; specs pass 0), the claim is deleted and the batch
+    * `staleMs` (a real lease since r18: live copiers heartbeat the
+    * claim's mtime every [[landHeartbeatMs]], so a stale claim means the
+    * copier stopped heartbeating for staleMs — dead, or frozen past the
+    * lease, in which case the owner-token fence makes it abort instead
+    * of flipping done; specs pass 0), the claim is deleted and the batch
     * re-landed under a fresh [[ensureLanded]] from the newest surviving
     * generation that still has its `ingest_batch=` partitions — sync
     * lands every batch into the generation it first resolved before

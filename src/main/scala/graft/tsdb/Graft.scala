@@ -153,7 +153,7 @@ class Graft(spark: SparkSession, root: String,
         }
       } else {
         val (pfs, pdir) = fsOf(spacePath(space))
-        val preEmpty = listDataFiles(pfs, pdir).isEmpty
+        val preList = listDataFiles(pfs, pdir)
         sorted.write.mode(SaveMode.Append)
           .partitionBy("bucket_day").parquet(spacePath(space))
         // keep the read-path schema cache warm ACROSS writes (r17, perf):
@@ -163,7 +163,7 @@ class Graft(spark: SparkSession, root: String,
         // the cost of two listings here (no inference job: the written
         // schema is known)
         primePlainSchema(space, org.apache.spark.sql.types.StructType(
-          good.schema.fields.filterNot(_.name == "bucket_day")), preEmpty)
+          good.schema.fields.filterNot(_.name == "bucket_day")), preList)
       }
     }
     validated.where(col("__error").isNotNull)
@@ -294,15 +294,21 @@ class Graft(spark: SparkSession, root: String,
     * schema and advance the cached file list to the post-mutation listing.
     * Primes only when the cache can account for EVERY live file: the
     * cache was warm and covered the pre-write store, or the store was
-    * empty before this write (`preEmpty`). Otherwise it goes cold and the
-    * next read infers once and re-warms. */
+    * empty before this write (`preList` empty). A write that landed NO
+    * files (all points rejected) is a no-op here — merging a phantom
+    * batch's schema would expose all-null tag columns no live file
+    * carries, flapping between cached and inferred reads (r17 ADVICE).
+    * Otherwise the cache goes cold and the next read infers once and
+    * re-warms. */
   private def primePlainSchema(space: String,
       written: org.apache.spark.sql.types.StructType,
-      preEmpty: Boolean): Unit =
+      preList: Seq[(String, Long)]): Unit =
     try {
       val (fs, dir) = fsOf(spacePath(space))
       val post = listDataFiles(fs, dir).sortBy(_._1)
+      if (post == preList.sortBy(_._1)) return // nothing landed
       val prev = plainSchemaCache.get(space)
+      val preEmpty = preList.isEmpty
       if (preEmpty || (prev != null && prev._1.toSet.subsetOf(post.toSet))) {
         val baseData = Option(prev).filterNot(_ => preEmpty)
           .map(p => org.apache.spark.sql.types.StructType(
@@ -1581,21 +1587,41 @@ class Graft(spark: SparkSession, root: String,
                  startMs: Long = Long.MinValue, endMs: Long = Long.MaxValue): DataFrame =
     tableRaw(space, startMs, endMs) match {
       case Some((df, tags)) =>
-        // the ES filter context only ever references TAG columns (value
-        // and time are reserved; time bounds are already applied by
-        // tableRaw) — tags are LWW KEY columns, so filtering commutes
-        // with the per-key dedup and the merge can FUSE into the nesting
-        // aggregation below instead of shuffling once for the merge
-        // window and again for the per-series arrays (r17, perf: the two
-        // shuffles were ~half the served /read latency at low series
-        // cardinality).
-        val pt = PointsTable(
-          df.withColumn("ts", timestamp_millis(col("time_ms"))),
-          "ts", "value", tags)
-        val flat = df.where(compileFor(pt, filter))
+        // Filtering commutes with the per-key LWW dedup ONLY when the
+        // predicate references TAG columns alone (tags are the LWW key;
+        // time bounds are already applied by tableRaw) — then the merge
+        // can FUSE into the nesting aggregation below instead of
+        // shuffling once for the merge window and again for the
+        // per-series arrays (r17, perf: the two shuffles were ~half the
+        // served /read latency at low series cardinality). A filter that
+        // touches value/time/__wseq must apply POST-merge — otherwise a
+        // superseded row that passes the filter while the winning
+        // overwrite fails it would resurface as the last of its time
+        // group (r17 ADVICE). Detection: compile against the full schema
+        // and against tags only; unknown fields resolve to null in both,
+        // so the trees differ exactly when a non-tag column is referenced.
+        val withTs = df.withColumn("ts", timestamp_millis(col("time_ms")))
+        val full = EsFilter.compile(filter, withTs.columns)
+        val tagsOnly = EsFilter.compile(filter, tags)
+        val stamped = df.columns.contains(WseqCol)
+        // Column.equals compares ORIGIN-normalized node trees — the two
+        // compiles differ exactly when a non-tag column resolved (to a
+        // real reference vs the unknown-field null literal)
+        val fusable = !stamped || full == tagsOnly
         val nested =
-          if (!df.columns.contains(WseqCol))
-            flat.groupBy(tags.map(col): _*)
+          if (!fusable) {
+            // non-tag filter on a stamped store: merge first (same
+            // physical shape as [[read]]/[[table]]), then filter, then
+            // nest — correctness over the fused shuffle saving.
+            val merged = lwwMerged(df, (tags :+ "time_ms").map(col))
+              .withColumn("ts", timestamp_millis(col("time_ms")))
+            merged.where(full).drop("ts")
+              .groupBy(tags.map(col): _*)
+              .agg(sort_array(collect_list(struct(col("time_ms"), col("value"))))
+                .as("points"))
+          } else if (!stamped)
+            withTs.where(full).drop("ts")
+              .groupBy(tags.map(col): _*)
               .agg(sort_array(collect_list(struct(col("time_ms"), col("value"))))
                 .as("points"))
           else
@@ -1604,7 +1630,7 @@ class Graft(spark: SparkSession, root: String,
             // lwwMerged's max-(wseq, value) pick (struct ordering is
             // field-by-field, null wseq smallest), applied per-array
             // instead of per-shuffle
-            flat.groupBy(tags.map(col): _*)
+            withTs.where(tagsOnly).drop("ts").groupBy(tags.map(col): _*)
               .agg(sort_array(collect_list(struct(col("time_ms"),
                 col(WseqCol).as("w"), col("value")))).as("__pts"))
               .withColumn("points", expr(
@@ -1978,7 +2004,7 @@ class Graft(spark: SparkSession, root: String,
             // bucket from the manifest; fail loudly instead
             if (moved.isEmpty) throw new java.io.IOException(
               s"compact: staging for bucket $day produced no output " +
-                "files while replacing ${bfiles.length} — staging dir " +
+                s"files while replacing ${bfiles.length} — staging dir " +
                 "interference; nothing was committed")
             Some((day.toLong, bfiles.length, moved.length,
               bfiles.map(_._1).toSet, moved))
