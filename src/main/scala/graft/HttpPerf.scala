@@ -58,6 +58,10 @@ object HttpPerf {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // serving isolation (r18): request jobs ride the facade's
+      // "graft-serve" FAIR pool so they round-robin against ingest
+      // landings and index sweeps instead of queueing behind them
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -297,9 +301,167 @@ object HttpPerf {
       } finally { srv.stop(); g.stopContinuous() }
     }
 
+    // INDEXED /search p50/p95 DURING sustained writes (r18, VERDICT r17
+    // #1): the r17 under-load number was the direct-scan path; a real
+    // user's dashboard search during ingest is the INDEXED path — the
+    // component that exists precisely to protect read latency from store
+    // growth (the reference serves /search from an always-fresh ES index
+    // while writes land, orestes-query.js:250-271). Here the store runs
+    // manifest mode (snapshots -> CDC), the continuous-ingest writer
+    // drives the full workload, a syncer thread runs the SAME maintenance
+    // sweep the server daemon runs (ServerMain.searchIndexSweep: sync +
+    // fold + vacuum/repair), and every measured search must be served by
+    // the index (X-Graft-Search-Source=index — a silent scan fallback
+    // would fraudulently measure the other path). Alongside latency, the
+    // harness records INDEX SYNC LAG: after each search, how many store
+    // snapshots are committed but not yet searchable (newer than the
+    // index's committed sync marker) — the staleness bound an ES refresh
+    // interval gives the reference.
+    def searchUnderLoadIndexed()
+        : (Double, Double, Int, Double, Long, Int) = {
+      val root = java.nio.file.Files.createTempDirectory(
+        java.nio.file.Paths.get("target"), "graft-perf-suli").toString
+      val g = new Graft(spark, root, manifest = true)
+      val idxBase = s"$root/.search-index"
+      val idxDir = s"$idxBase/default"
+      val srv = new GraftHttpServer(g, spark, continuousIngest = true,
+        searchIndexDir = Some(idxBase))
+      val port = srv.start()
+      def post(path: String, body: String): java.net.http.HttpResponse[String] = {
+        val req = HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path"))
+          .POST(HttpRequest.BodyPublishers.ofString(body)).build()
+        val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+        require(resp.statusCode() == 200, s"$path -> ${resp.statusCode()}")
+        resp
+      }
+      val searchBody = """{"q": "value1 value3", "k": 20}"""
+      try {
+        val rnd = new scala.util.Random(42)
+        def batchJson(b: Int): String =
+          (0 until BatchSize).map { i =>
+            val t = BaseMs + b.toLong * BatchSize + i
+            val tags = (0 until 3)
+              .map(j => s""""tag$j":"value${rnd.nextInt(10)}"""").mkString(",")
+            s"""{"time":$t,"value":${rnd.nextInt(1000)}.0,$tags}"""
+          }.mkString(",")
+        // seed, let the continuous path land it, build the index from the
+        // first committed snapshot, and wait until /search is actually
+        // SERVED BY THE INDEX with hits — only then does timing it mean
+        // anything
+        post("/write", s"""{"points":[${batchJson(0)}]}""")
+        val deadline = System.nanoTime() + 120L * 1000000000L
+        while (g.snapshots().isEmpty) {
+          require(System.nanoTime() < deadline, "seed batch never committed")
+          Thread.sleep(100)
+        }
+        http.ServerMain.searchIndexSweep(g, idxBase)
+        while ({
+          val r = post("/search", searchBody)
+          r.headers().firstValue("X-Graft-Search-Source").orElse("") != "index" ||
+            mapper.readTree(r.body()).get("series").size() == 0
+        }) {
+          require(System.nanoTime() < deadline, "index never became servable")
+          Thread.sleep(100)
+        }
+        val writing = new java.util.concurrent.atomic.AtomicBoolean(true)
+        val enough = new java.util.concurrent.atomic.AtomicBoolean(false)
+        val errRef = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+        val writer = new Thread(() => {
+          try {
+            var loop = 0
+            while (loop == 0 || (!enough.get() && loop < 5)) {
+              (1 until NumPoints / BatchSize).foreach(b =>
+                post("/write", s"""{"points":[${batchJson(b)}]}"""))
+              loop += 1
+            }
+          }
+          catch { case t: Throwable => errRef.compareAndSet(null, t) }
+          finally writing.set(false)
+        }, "graft-perf-idx-writer")
+        // the standing maintenance sweep, as the server daemon runs it —
+        // sync/fold/vacuum racing both the landing writes and the
+        // searches. Paced at 1 s between sweeps — the ES refresh-interval
+        // default the reference's search freshness rides on; a 50 ms spin
+        // was measured to flood the driver with maintenance jobs (p95
+        // 13 s) without improving the staleness bound
+        val syncer = new Thread(() => {
+          try while (writing.get()) {
+            http.ServerMain.searchIndexSweep(g, idxBase)
+            Thread.sleep(1000L)
+          }
+          catch { case t: Throwable => errRef.compareAndSet(null, t) }
+        }, "graft-perf-idx-syncer")
+        writer.start(); syncer.start()
+        val lat = scala.collection.mutable.ArrayBuffer.empty[Double]
+        val lags = scala.collection.mutable.ArrayBuffer.empty[Long]
+        var fallbacks = 0
+        while (writing.get()) {
+          val t0 = System.nanoTime()
+          val r = post("/search", searchBody)
+          val sec = (System.nanoTime() - t0) / 1e9
+          if (r.headers().firstValue("X-Graft-Search-Source")
+                .orElse("") == "index") {
+            lat += sec
+            if (sys.env.contains("SPARK_GRAFT_SULI_DEBUG")) {
+              spark.sparkContext.setLocalProperty("spark.scheduler.pool", "graft-serve")
+              val b0 = System.nanoTime()
+              val df = graft.streaming.CdcIndexSync.search(
+                spark, idxDir, Seq("value1", "value3"), 20)
+              val b1 = System.nanoTime()
+              val n = df.collect().length
+              val b2 = System.nanoTime()
+              System.err.println(f"[suli-debug] http=$sec%.3f " +
+                f"build=${(b1 - b0) / 1e9}%.3f exec=${(b2 - b1) / 1e9}%.3f n=$n")
+              spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+            }
+            // sync lag: committed store snapshots the index has not yet
+            // made searchable (batches landed vs batches searchable)
+            val idxSnap = graft.streaming.CdcIndexSync
+              .committedSnap(spark, idxDir).getOrElse(0L)
+            lags += g.snapshots().count(_ > idxSnap).toLong
+          } else fallbacks += 1
+          if (lat.length >= 20) enough.set(true)
+        }
+        writer.join(); syncer.join()
+        require(errRef.get() == null, s"writer/syncer failed: ${errRef.get()}")
+        g.awaitContinuous()
+        require(lat.nonEmpty, "no index-served search completed under load")
+        // every measured search must have been index-served; fallbacks
+        // are reported, and any nonzero count is a finding to chase
+        // (the fallback exists for index REBUILD wipes, which this
+        // workload never performs)
+        val sorted = lat.sorted
+        def pct(p: Double) =
+          sorted(math.min(sorted.length - 1, (p * sorted.length).toInt))
+        // post-load agreement: once writes stop and a final sweep runs,
+        // the index-served result must equal the quiet-store direct scan
+        http.ServerMain.searchIndexSweep(g, idxBase)
+        val idxHits = mapper.readTree(post("/search", searchBody).body())
+          .get("series").size()
+        val (scanDf, release) = g.searchUnpinned(
+          Seq("value1", "value3"), "default", 20)
+        val scanHits = try scanDf.count() finally release()
+        require(idxHits == scanHits.toInt,
+          s"fraud detected -- post-load index ($idxHits) and quiet scan " +
+            s"($scanHits) disagree")
+        (pct(0.50), pct(0.95), lat.length,
+          if (lags.isEmpty) 0.0 else lags.sum.toDouble / lags.length,
+          if (lags.isEmpty) 0L else lags.max, fallbacks)
+      } finally { srv.stop(); g.stopContinuous() }
+    }
+
     // warm the JVM/session codepaths once with a tiny run, then measure.
     // The full published grid (VERDICT r16 #1): every shape's write/read
     // vs the reference's number for that exact shape.
+    // `runMain graft.HttpPerf suli` runs ONLY the indexed-under-load
+    // section (iteration aid — the full grid takes many minutes)
+    if (args.headOption.contains("suli")) {
+      val (p50, p95, n, lagMean, lagMax, fb) = searchUnderLoadIndexed()
+      println(s"""{"metric":"http_perf_suli_only","p50_sec":${f"$p50%.3f"},""" +
+        s""""p95_sec":${f"$p95%.3f"},"n":$n,"lag_mean_batches":${f"$lagMean%.2f"},""" +
+        s""""lag_max_batches":$lagMax,"fallbacks":$fb}""")
+      spark.stop(); return
+    }
     run("warm", NumPoints / 4, 3, 10)
     val refGrid = Seq( // (numTags, valsPerTag, refWrite, refRead)
       (1, 1, 1.984, 0.547),
@@ -324,6 +486,8 @@ object HttpPerf {
       continuous = true)
     val (searchDirect, searchIdx, searchPfxDirect, searchPfxIdx) = searchPerf()
     val (sulP50, sulP95, sulN) = searchUnderLoad()
+    val (suliP50, suliP95, suliN, suliLagMean, suliLagMax, suliFallbacks) =
+      searchUnderLoadIndexed()
     val gridJson = grid.map { case (nt, vt, nSer, w, r, cr, _, _, refW, refR) =>
       s"""{"num_tags":$nt,"num_values":$vt,"n_series":$nSer,""" +
       s""""write_sec":${f"$w%.3f"},"read_sec":${f"$r%.3f"},""" +
@@ -342,6 +506,12 @@ object HttpPerf {
       s""""graft_search_prefix_direct_sec":${f"$searchPfxDirect%.3f"},"graft_search_prefix_indexed_sec":${f"$searchPfxIdx%.3f"},""" +
       s""""graft_search_under_load_p50_sec":${f"$sulP50%.3f"},"graft_search_under_load_p95_sec":${f"$sulP95%.3f"},""" +
       s""""graft_search_under_load_n":$sulN,""" +
+      s""""graft_search_indexed_under_load_p50_sec":${f"$suliP50%.3f"},""" +
+      s""""graft_search_indexed_under_load_p95_sec":${f"$suliP95%.3f"},""" +
+      s""""graft_search_indexed_under_load_n":$suliN,""" +
+      s""""graft_search_indexed_under_load_lag_mean_batches":${f"$suliLagMean%.2f"},""" +
+      s""""graft_search_indexed_under_load_lag_max_batches":$suliLagMax,""" +
+      s""""graft_search_indexed_under_load_fallbacks":$suliFallbacks,""" +
       s""""continuous_breakdown":${contBreakdown.getOrElse("null")},""" +
       s""""reference_write_sec":3.065,"reference_read_sec":3.342,""" +
       s""""reference_source":"README.md perf-test grid (5 shapes, 269-285)"}""")

@@ -218,7 +218,7 @@ class GraftHttpServer(graft: Graft, spark: org.apache.spark.sql.SparkSession,
     server.createContext(path, (ex: HttpExchange) => {
       var headersSent = false
       val cleanups = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
-      try {
+      try inServePool {
         val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
         val node = if (body.trim.isEmpty) null else mapper.readTree(body)
         // build + first-partition probe inside the re-plan retry window: a
@@ -294,13 +294,29 @@ class GraftHttpServer(graft: Graft, spark: org.apache.spark.sql.SparkSession,
     ex.getResponseBody.write(bytes)
   }
 
+  /** Served requests run in their own scheduler pool: under FAIR mode
+    * (`spark.scheduler.mode=FAIR`, the ServerMain boot default) request
+    * jobs round-robin against the maintenance jobs (continuous-ingest
+    * landings, index sync/fold sweeps, compaction) instead of queueing
+    * behind them — FIFO put an entire sync sweep's stages ahead of every
+    * search under write load (r18, measured: indexed /search p50 under
+    * load 2.97 s FIFO, worse than the direct scan it exists to beat).
+    * Local properties are per-thread and inherited by jobs the handler
+    * launches (incl. toLocalIterator's incremental jobs — same thread).
+    * On a FIFO session the property is inert, so specs need no flag. */
+  private def inServePool[T](body: => T): T = {
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", "graft-serve")
+    try body
+    finally spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+  }
+
   private def handle(path: String)(f: (HttpExchange, JsonNode) => String): Unit =
     server.createContext(path, (ex: HttpExchange) => {
       val resp =
         try {
           val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
           val node = if (body.trim.isEmpty) null else mapper.readTree(body)
-          (200, f(ex, node))
+          (200, inServePool(f(ex, node)))
         } catch {
           case e: NotFound                 => (404, errJson(e))
           case e: IllegalArgumentException => (400, errJson(e))

@@ -99,6 +99,11 @@ object ServerMain {
         // generation — without this a crashed late-copy stays
         // committed-but-invisible until a rebuild
         _root_.graft.streaming.CdcIndexSync.vacuumIndex(s, dir)
+        // ES-refresh parity (r18): materialize the searchable view for
+        // the just-synced state so /search requests only probe postings
+        // against the resident corpus side — never pay the alive-merge
+        // or corpus-stats scans per request
+        _root_.graft.streaming.CdcIndexSync.refreshServeCache(s, dir)
       } catch {
         case scala.util.control.NonFatal(e) => onError(sp, e)
       }
@@ -115,6 +120,13 @@ object ServerMain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // serving isolation (r18): HTTP request jobs run in the facade's
+      // "graft-serve" pool, so under FAIR mode they round-robin against
+      // the maintenance daemons' jobs (continuous-ingest landings, index
+      // sync/fold, compaction sweeps) instead of queueing behind them —
+      // measured: indexed /search p50 under sustained write load was
+      // 2.97 s FIFO vs the 0.42 s quiet number, entirely scheduler queueing
+      .config("spark.scheduler.mode", "FAIR")
       .config("spark.ui.enabled", "false")
       .appName("graft-server")
       .getOrCreate()

@@ -158,15 +158,36 @@ object IndexStream {
     * [[TextOps.bm25TopKOn]]). `query` must already be distinct and `post`
     * already restricted to its terms (df is computed from `post` as given).
     */
+  /** Score `post` (matched postings) against `dl` (per-doc lengths; rows
+    * define the LIVE doc set — the join restricts scoring and df counts
+    * to docs present in it). `stats` short-circuits the corpus-stats
+    * aggregation with precomputed (n_docs, total_tokens) — the serving
+    * path's refresh cache (r18) computes them once per index state
+    * instead of once per request. df is counted AFTER the dl join so the
+    * two entry points agree: for the CDC index dl is alive-only (df must
+    * exclude dead docs); for the append-only batch index dl is the whole
+    * corpus and the join restricts nothing.
+    */
   private[graft] def searchOn(post: DataFrame, dl: DataFrame,
-                              query: Seq[String], k: Int): DataFrame = {
-    val stats = dl.agg(count(lit(1)).as("n_docs"),
-      sum(col("dl")).as("total_tokens"))
-    val dfreq = post.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val scored = post
-      .join(broadcast(dfreq), "tok")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
+                              query: Seq[String], k: Int,
+                              stats: Option[(Long, Long)] = None): DataFrame = {
+    val matched = post.join(dl, "doc_id")
+    // df rides a tok-PARTITIONED window instead of a pre-aggregated
+    // broadcast join (r18): same count over the same matched rows, but
+    // one pass — the broadcast shape cost an extra scan of the probe
+    // plus a separate broadcast-build job, and under write load each
+    // extra job submission waits out the maintenance queue once more
+    val withDf = matched.withColumn("df", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy(col("tok"))))
+    val withStats = stats match {
+      case Some((n, tot)) =>
+        withDf.withColumn("n_docs", lit(n)).withColumn("total_tokens", lit(tot))
+      case None =>
+        val st = dl.agg(count(lit(1)).as("n_docs"),
+          sum(col("dl")).as("total_tokens"))
+        withDf.crossJoin(broadcast(st))
+    }
+    val scored = withStats
       .groupBy(col("doc_id"), col("dl"))
       .agg(sum(TextOps.bm25Contrib(col("tf"), col("df"), col("dl"),
         col("n_docs"), col("total_tokens"))).as("dscore"))

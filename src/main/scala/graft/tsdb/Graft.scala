@@ -1608,6 +1608,24 @@ class Graft(spark: SparkSession, root: String,
         // compiles differ exactly when a non-tag column resolved (to a
         // real reference vs the unknown-field null literal)
         val fusable = !stamped || full == tagsOnly
+        // ONE exchange total (r18, VERDICT r17 #2): the nesting aggregate
+        // (collect_list) is NON-REDUCING — its partial buffers carry every
+        // point — so the r17 shape (parallel partial agg → hash exchange →
+        // final agg → single-partition exchange → sort) moved all the data
+        // through TWO exchanges across THREE stages for zero map-side-
+        // combine win. Shuffling the RAW filtered points to one partition
+        // FIRST costs the same bytes, and a SinglePartition child
+        // satisfies the groupBy's clustering requirement, so the
+        // aggregation and the series-order sort run exchange-free in the
+        // same stage. The funnel is inherent to the endpoint: the full
+        // result serializes through one HTTP socket regardless — scan and
+        // filter stay parallel, only the response assembly is one task.
+        // Analytical consumers wanting parallel output use [[read]].
+        def nest(flat: DataFrame): DataFrame =
+          flat.repartition(1)
+            .groupBy(tags.map(col): _*)
+            .agg(sort_array(collect_list(struct(col("time_ms"), col("value"))))
+              .as("points"))
         val nested =
           if (!fusable) {
             // non-tag filter on a stamped store: merge first (same
@@ -1615,22 +1633,17 @@ class Graft(spark: SparkSession, root: String,
             // nest — correctness over the fused shuffle saving.
             val merged = lwwMerged(df, (tags :+ "time_ms").map(col))
               .withColumn("ts", timestamp_millis(col("time_ms")))
-            merged.where(full).drop("ts")
-              .groupBy(tags.map(col): _*)
-              .agg(sort_array(collect_list(struct(col("time_ms"), col("value"))))
-                .as("points"))
+            nest(merged.where(full).drop("ts"))
           } else if (!stamped)
-            withTs.where(full).drop("ts")
-              .groupBy(tags.map(col): _*)
-              .agg(sort_array(collect_list(struct(col("time_ms"), col("value"))))
-                .as("points"))
+            nest(withTs.where(full).drop("ts"))
           else
             // fused LWW: per series, sort (time, wseq, value) ascending
             // and keep the LAST element of each time group — exactly
             // lwwMerged's max-(wseq, value) pick (struct ordering is
             // field-by-field, null wseq smallest), applied per-array
             // instead of per-shuffle
-            withTs.where(tagsOnly).drop("ts").groupBy(tags.map(col): _*)
+            withTs.where(tagsOnly).drop("ts").repartition(1)
+              .groupBy(tags.map(col): _*)
               .agg(sort_array(collect_list(struct(col("time_ms"),
                 col(WseqCol).as("w"), col("value")))).as("__pts"))
               .withColumn("points", expr(
@@ -1639,12 +1652,10 @@ class Graft(spark: SparkSession, root: String,
                   "p -> struct(p.time_ms AS time_ms, p.value AS value))"))
               .drop("__pts")
         // deterministic series order WITHOUT a global sort (r17, perf):
-        // orderBy here planned a RangePartitioner whose boundary-sample
-        // job recomputed the whole aggregation a second time (~0.4 s
-        // per served /read). One series per row and one HTTP socket to
-        // serialize into: shuffle the nested rows to one partition and
-        // sort there — same total order, one aggregation pass.
-        nested.repartition(1).sortWithinPartitions(tags.map(col): _*)
+        // orderBy planned a RangePartitioner whose boundary-sample job
+        // recomputed the whole aggregation a second time. The rows are
+        // already in one partition — sorting there is the total order.
+        nested.sortWithinPartitions(tags.map(col): _*)
       case None => empty("points ARRAY<STRUCT<time_ms: BIGINT, value: DOUBLE>>")
     }
 

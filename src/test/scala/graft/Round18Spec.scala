@@ -164,4 +164,53 @@ class Round18Spec extends SparkTestBase {
     assert(!fs.exists(done),
       "a fenced-out winner must never flip done — the repairer owns it")
   }
+
+  // --------------------------------------------------------------------
+  // VERDICT r17 #4: the unpartitioned-window whitelist, enforced
+  // --------------------------------------------------------------------
+
+  /** Queries whose plans legitimately contain an UNPARTITIONED window,
+    * each with the structural bound on the window's input row count
+    * (asserted below at sf0.001). Every member's global window runs over
+    * an already-aggregated or top-k-bounded table, never the raw corpus —
+    * this enforces r5's prose adjudication of the bench log's
+    * `WindowExec: No Partition Defined` warnings. A new global window
+    * over an unbounded input fails the set-equality assert and must
+    * either be re-partitioned or justified here with its own bound.
+    *
+    *  - ts_top_series: rank assignment over `orderBy.limit(k)` output —
+    *    ≤ k = 10 rows by construction (Tsdb.topSeries).
+    *  - ts_burn_rate: the long-window burn sum over the PER-BUCKET error
+    *    aggregate — one row per stepMs bucket of the REQUESTED range
+    *    (hours, not points); bound = a year of hourly buckets.
+    *  - ts_rolling_corr: the rolling Pearson sums over the two-series
+    *    per-bucket join — same one-row-per-bucket shape and bound. */
+  private val globalWindowWhitelist: Map[String, Long] = Map(
+    "ts_top_series" -> 10L,
+    "ts_burn_rate" -> 8784L,
+    "ts_rolling_corr" -> 8784L)
+
+  test("unpartitioned-window audit: global windows appear ONLY in whitelisted queries, each over a proven-bounded input (VERDICT r17 #4)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Window => LWindow, WindowGroupLimit => LWgl}
+    val offenders =
+      scala.collection.mutable.SortedMap.empty[String, Seq[LogicalPlan]]
+    for (n <- SparkEntry.queries.keys.toSeq.sorted) {
+      val df = SparkEntry.queries(n)(spark, Sf)
+      val globals = df.queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w.child
+        case w: LWgl if w.partitionSpec.isEmpty => w.child
+      }
+      if (globals.nonEmpty) offenders(n) = globals
+    }
+    assert(offenders.keySet == globalWindowWhitelist.keySet,
+      s"global-window set drifted.\n  found:       ${offenders.keySet.mkString(", ")}\n" +
+        s"  whitelisted: ${globalWindowWhitelist.keySet.toSeq.sorted.mkString(", ")}")
+    for ((n, children) <- offenders; c <- children) {
+      val rows = org.apache.spark.sql.GraftSqlBridge.ofRows(spark, c).count()
+      assert(rows <= globalWindowWhitelist(n),
+        s"$n: global window over $rows rows exceeds its declared bound " +
+          s"${globalWindowWhitelist(n)} — the input is no longer the " +
+          "bounded table the whitelist adjudicated")
+    }
+  }
 }
