@@ -1139,7 +1139,6 @@ object Ann {
         .select(col("vec_id"), col("i"), col("x"),
           Det.rnd(col("mn") + col("q8").cast("double") * col("den") / lit(255.0), 6)
             .as("xq"))
-        .transform(graft.core.Memo.spread)
         .localCheckpoint(true)
     }
 

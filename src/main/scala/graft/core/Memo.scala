@@ -37,6 +37,16 @@ object Memo {
     * dedup_containment / simhash / embedding pairs). Stored artifacts at
     * scale ship as many files; defaultParallelism models that width on any
     * cluster. Build-time only — one extra exchange per memoized build.
+    *
+    * WHEN TO USE (measured r18, both directions): spread artifacts whose
+    * consumers do heavy per-row FAN-OUT work (self-join probe streams,
+    * chunk explodes, broadcast-nested-loop sides, row-heavy tables like
+    * the million-row shingle/gram frames). Do NOT spread small
+    * shuffle-derived tables with light consumers (band rows, winnowing
+    * fingerprints, LLR tables): there AQE's byte-based sizing was already
+    * right, and width-many tiny tasks per consumer stage cost more than
+    * the serial scan they replace (dedup_winnowing 0.34→1.06 s when
+    * over-spread, reverted).
     */
   def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)

@@ -369,7 +369,7 @@ object Dedup {
     */
   private def bandRows(s: SparkSession, d: String): DataFrame =
     Memo.df(s, s"dedup.bands|$d") {
-      Memo.spread(bandRowsOf(shingleRows(s, d))).localCheckpoint(true)
+      bandRowsOf(shingleRows(s, d)).localCheckpoint(true)
     }
 
   /** MinHash + LSH banding: band key = md5 of the band's concatenated
@@ -391,7 +391,7 @@ object Dedup {
     * recompute the signature pipeline per side.
     */
   def minhashLshOn(sh: DataFrame): DataFrame =
-    Det.ordered(bandPairs(Memo.spread(bandRowsOf(sh)).localCheckpoint(true)))
+    Det.ordered(bandPairs(bandRowsOf(sh).localCheckpoint(true)))
 
   /** 64-bit SimHash near-dup pairs (hamming distance <= maxHamming).
     *
@@ -726,7 +726,7 @@ object Dedup {
     // localCheckpoint: shared by the band pipeline and the new-doc roster
     // without leaving a CacheManager entry behind (ADVICE r5)
     val sh = Memo.spread(sh0).localCheckpoint(true)
-    incrementalCore(Memo.spread(bandRowsOf(sh)).localCheckpoint(true),
+    incrementalCore(bandRowsOf(sh).localCheckpoint(true),
       sh.select(col("doc_id")).distinct(), splitId)
   }
 

@@ -1219,11 +1219,18 @@ object Analytics {
     val li = Tables.lineitem(s, d)
       .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
       .select("l_partkey", "l_suppkey", "l_quantity")
+    // r18 (guide §2.4): the per-part total is a window over the per-(part,
+    // supplier) aggregate's UNROUNDED exact-decimal partials — Σ of the
+    // per-supplier decimal sums equals the flat per-part decimal sum
+    // exactly, so one fact aggregation replaces the second aggregation +
+    // rejoin while both rounded quantities stay bit-identical.
+    val wPart = Window.partitionBy(col("l_partkey"))
     val perSup = li.groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(round(dsum(col("l_quantity")), 2).as("sup_qty"))
-    val perPart = li.groupBy(col("l_partkey").as("t_partkey"))
-      .agg(round(dsum(col("l_quantity")), 2).as("tot_qty"))
-    val heavy = perSup.join(perPart, col("l_partkey") === col("t_partkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("qraw"))
+    val heavy = perSup
+      .select(col("l_suppkey"),
+        round(col("qraw").cast("double"), 2).as("sup_qty"),
+        round(sum(col("qraw")).over(wPart).cast("double"), 2).as("tot_qty"))
       .where(col("sup_qty") > col("tot_qty") * lit(0.2))
       .select(col("l_suppkey")).distinct()
     val out = Tables.supplier(s, d)

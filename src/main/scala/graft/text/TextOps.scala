@@ -566,14 +566,14 @@ object TextOps {
     * the same plan a corpus-LM training-statistics pass runs.
     */
   def lmScore(s: SparkSession, d: String): DataFrame = {
-    val toks = Tables.documents(s, d).select(col("doc_id"), tokens(col("text")).as("toks"))
-    val big = toks.where(size(col("toks")) >= 2)
-      .select(col("doc_id"),
-        explode(expr("transform(sequence(1, size(toks)-1), " +
-          "i -> struct(element_at(toks, i) AS w1, element_at(toks, i+1) AS w2))")).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    // r18 (guide §2.3): the memoized bigram table replaces THREE tokenize +
+    // bigram-explode passes (pair counts, unigram counts, the per-doc
+    // join side) with one stored-artifact build — the trained LM's count
+    // table — and c(w1·) derives from the pair counts themselves
+    // (Σ_w2 c(w1,w2) ≡ the unigram-context count, exactly).
+    val big = bigramTable(s, d)
     val cb2 = big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
-    val cb1 = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val cb1 = cb2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     val probs = cb2.join(cb1, "w1")
       .select(col("w1"), col("w2"),
         Det.rnd(col("c2") * lit(1.0) / col("c1"), 8).cast("decimal(12,8)").as("p"))
@@ -583,6 +583,21 @@ object TextOps {
         Det.rnd(sum(col("p")).cast("double") / count(lit(1)), 6).as("avg_p"))
     Det.ordered(out)
   }
+
+  /** Memoized (doc_id, w1, w2) bigram rows — the corpus LM's training
+    * stream, shared by [[lmScore]] and [[ccnetBuckets]] (r18). */
+  private def bigramTable(s: SparkSession, d: String): DataFrame =
+    graft.core.Memo.df(s, s"text.bigrams|$d") {
+      graft.core.Memo.spread(
+        Tables.documents(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .where(size(col("toks")) >= 2)
+          .select(col("doc_id"),
+            explode(expr("transform(sequence(1, size(toks)-1), " +
+              "i -> struct(element_at(toks, i) AS w1, element_at(toks, i+1) AS w2))")).as("bg"))
+          .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2")))
+        .localCheckpoint(true)
+    }
 
   /** Heavy-hitter tokens via the Misra–Gries sketch
     * ([[graft.functions.HeavyHitters]]): bounded-memory approximate top
@@ -693,8 +708,8 @@ object TextOps {
     */
   def winnowingFingerprints(s: SparkSession, d: String, k: Int = 8, w: Int = 6): DataFrame =
     graft.core.Memo.df(s, s"text.winnowing|$d|$k|$w") {
-      graft.core.Memo.spread(winnowingFingerprintsOf(
-        Tables.documents(s, d).select(col("doc_id"), col("text")), k, w))
+      winnowingFingerprintsOf(
+        Tables.documents(s, d).select(col("doc_id"), col("text")), k, w)
         .localCheckpoint(true)
     }
 
@@ -1057,8 +1072,7 @@ object TextOps {
     // (corpus, k, w, maxDf), so repeat queries pay only the pair join
     winnowingPairsOn(
       graft.core.Memo.df(s, s"text.winnowing.kept|$d|$k|$w|$maxDf") {
-        graft.core.Memo.spread(
-          keptFingerprints(winnowingFingerprints(s, d, k, w), maxDf))
+        keptFingerprints(winnowingFingerprints(s, d, k, w), maxDf)
           .localCheckpoint(true)
       }, minShared, maxDf, preCapped = true)
 
@@ -1072,8 +1086,7 @@ object TextOps {
     // query (ADVICE r5); checkpoint blocks free themselves on GC.
     val kept =
       if (preCapped) fp0 // already the memoized, materialized df-capped set
-      else graft.core.Memo.spread(
-        keptFingerprints(fp0.localCheckpoint(true), maxDf)).localCheckpoint(true)
+      else keptFingerprints(fp0.localCheckpoint(true), maxDf).localCheckpoint(true)
     val sizes = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
     val shared = kept.as("a").join(kept.as("b"),
         col("a.wmin") === col("b.wmin") && col("a.doc_id") < col("b.doc_id"))
@@ -1465,7 +1478,6 @@ object TextOps {
             ((col("c_en") + 1) * (col("n_rest") + col("v"))).cast("double") /
             ((col("c_rest") + 1) * (col("n_en") + col("v")))), 8)
             .cast("decimal(12,8)").as("lr"))
-        .transform(graft.core.Memo.spread)
         .localCheckpoint(true)
     }
 
