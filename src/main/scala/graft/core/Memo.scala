@@ -51,6 +51,15 @@ object Memo {
   def spread(df: DataFrame): DataFrame =
     df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
+  /** [[spread]] at a fraction of the executor width — for artifacts with
+    * BOTH heavy self-join consumers (want width) and many light probe
+    * consumers (pay per task): width/`div` keeps the join map-side
+    * parallel while quartering the light consumers' task count.
+    */
+  def spreadFrac(df: DataFrame, div: Int): DataFrame =
+    df.repartition(
+      math.max(2, df.sparkSession.sparkContext.defaultParallelism / div))
+
   def df(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val prefix = s.sparkContext.applicationId + "|"
     val it = dfMemo.keySet().iterator()

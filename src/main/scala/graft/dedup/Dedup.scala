@@ -81,7 +81,7 @@ object Dedup {
     */
   private def shingleRows(s: SparkSession, d: String): DataFrame =
     Memo.df(s, s"dedup.shingles|$d") {
-      Memo.spread(shingleRowsOf(Tables.documents(s, d))).localCheckpoint(true)
+      Memo.spreadFrac(shingleRowsOf(Tables.documents(s, d)), 4).localCheckpoint(true)
     }
 
   /** Same, over any (doc_id, text) DataFrame — the corpus-agnostic core. */
