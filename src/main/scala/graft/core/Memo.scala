@@ -60,6 +60,58 @@ object Memo {
     df.repartition(
       math.max(2, df.sparkSession.sparkContext.defaultParallelism / div))
 
+  /** [[spreadFrac]] HASH-PARTITIONED on the artifact's hottest join/group
+    * key (r19, guide §2.4): consumers keyed the same way — inverted-index
+    * self-joins, groupBys on the key, co-partitioned probe joins against
+    * tables derived from this one — reuse the checkpointed layout and skip
+    * their exchange outright (checkpoints preserve outputPartitioning; the
+    * clustersOn `sym` table proved the pattern in r18). The count is pinned
+    * explicitly because an un-numbered repartition is AQE-coalescible and
+    * a byte-coalesced artifact re-creates the 1-partition pathology S2
+    * fixed.
+    */
+  def spreadBy(df: DataFrame, div: Int, keys: org.apache.spark.sql.Column*): DataFrame =
+    df.repartition(
+      math.max(2, df.sparkSession.sparkContext.defaultParallelism / div),
+      keys: _*)
+
+  /** Rows×fanout-aware artifact width (r19, VERDICT r18 #4): width grows
+    * with the artifact's actual downstream work (`rows × fanout` cells at
+    * ~`cellsPerTask` per task) and is capped at executor width — so a
+    * 2 000-row vector table stops scheduling 32 near-empty tasks per probe
+    * stage at bench SF while the same code saturates any cluster once rows
+    * grow. The count() runs once at artifact-build time (the untimed
+    * pass-1 tier). Use for artifacts whose consumers' work is
+    * per-row-bounded; fanout = the per-row probe/explode multiplier.
+    */
+  def spreadAuto(df: DataFrame, fanout: Long = 1L,
+                 cellsPerTask: Long = 65536L): DataFrame = {
+    val rows = df.count()
+    val ideal = (rows.max(1L) * fanout.max(1L) / cellsPerTask.max(1L)).toInt
+    df.repartition(
+      math.min(df.sparkSession.sparkContext.defaultParallelism,
+        math.max(2, ideal)))
+  }
+
+  /** Eager localCheckpoint that KEEPS the frame's output partitioning
+    * (r19): under AQE the checkpointed plan reports UnknownPartitioning —
+    * `AdaptiveSparkPlanExec.outputPartitioning` is unresolved when the
+    * LogicalRDD is built — so every consumer of a [[spreadBy]] artifact
+    * re-exchanged it (measured: `Scan ExistingRDD ...
+    * UnknownPartitioning(0)` under dsir_weights). Disabling AQE around the
+    * BUILD (artifact builds are the untimed pass-1 tier; the spread is an
+    * explicitly-numbered repartition AQE had nothing to improve) makes the
+    * LogicalRDD carry `hashpartitioning(key, n)`, and keyed consumers —
+    * with AQE back on — plan zero exchanges over it (verified both ways).
+    */
+  def checkpointKeepingLayout(df: DataFrame): DataFrame = {
+    val conf = df.sparkSession.conf
+    val prev = conf.get("spark.sql.adaptive.enabled", "true")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try df.localCheckpoint(true)
+    finally conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   def df(s: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val prefix = s.sparkContext.applicationId + "|"
     val it = dfMemo.keySet().iterator()

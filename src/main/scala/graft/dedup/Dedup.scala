@@ -81,7 +81,25 @@ object Dedup {
     */
   private def shingleRows(s: SparkSession, d: String): DataFrame =
     Memo.df(s, s"dedup.shingles|$d") {
-      Memo.spreadFrac(shingleRowsOf(Tables.documents(s, d)), 4).localCheckpoint(true)
+      // r19: hash-partitioned on `shingle` at the same width/4 the r18
+      // sizing settled on — the inverted-index self-joins (ngramJaccard /
+      // containment / scurve truth), groupBy(shingle) first-seen owners
+      // (ngramNovelty) and df-cap aggregation all reuse the checkpointed
+      // layout instead of exchanging the million-row table per consumer
+      Memo.checkpointKeepingLayout(
+        Memo.spreadBy(shingleRowsOf(Tables.documents(s, d)), 4, col("shingle")))
+    }
+
+  /** Memoized per-doc distinct-shingle counts over [[shingleRows]] — the
+    * doc-stats column every Jaccard/containment denominator reads; derived
+    * once instead of re-aggregated by each of the seven consumers (r19).
+    * Unspread: per-doc rows with join-probe consumers (the S2a criterion).
+    */
+  private def shingleSizes(s: SparkSession, d: String): DataFrame =
+    Memo.df(s, s"dedup.shinglesizes|$d") {
+      Memo.checkpointKeepingLayout(
+        shingleRows(s, d).groupBy(col("doc_id"))
+          .agg(count(lit(1)).as("n_shingles")))
     }
 
   /** Same, over any (doc_id, text) DataFrame — the corpus-agnostic core. */
@@ -96,7 +114,7 @@ object Dedup {
     */
   def ngramJaccard(s: SparkSession, d: String, tau: Double = 0.8): DataFrame = {
     val sh = shingleRows(s, d) // memoized + checkpointed; shared across consumers
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val sizes = shingleSizes(s, d) // memoized per-doc counts (r19)
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
@@ -143,8 +161,9 @@ object Dedup {
     // rather than reporting a uselessly-empty tail
     val gq = TextOps.gopherQuality(s, d, minStops = 0)
       .select(col("doc_id"), col("keep").as("gopher_keep"))
-    val sh8 = docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), explode(TextOps.shinglesOf(col("toks"), 8)).as("s8"))
+    // r19: the 8-shingle stream is the memoized decontamination-index
+    // artifact shared with decontaminate/ngramCoverage (same expression)
+    val sh8 = TextOps.shingle8Rows(s, d).select(col("doc_id"), col("sh").as("s8"))
     val bench = sh8.where(col("doc_id") < benchmarkMaxId)
       .select(col("s8").as("b8")).distinct()
     val contam = sh8.where(col("doc_id") >= benchmarkMaxId)
@@ -199,7 +218,7 @@ object Dedup {
     */
   def minhashScurve(s: SparkSession, d: String): DataFrame = {
     val sh = shingleRows(s, d)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val sizes = shingleSizes(s, d) // memoized per-doc counts (r19)
     val truth = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
@@ -235,7 +254,7 @@ object Dedup {
     */
   def containmentPairs(s: SparkSession, d: String, tau: Double = 0.9): DataFrame = {
     val sh = shingleRows(s, d) // memoized + checkpointed; shared across consumers
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val sizes = shingleSizes(s, d) // memoized per-doc counts (r19)
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") =!= col("b.doc_id"))
       .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
@@ -541,7 +560,7 @@ object Dedup {
   def minhashVerified(s: SparkSession, d: String, tau: Double = 0.8): DataFrame = {
     val sh = shingleRows(s, d)   // memoized shingle table
     val cands = minhashLsh(s, d) // memoized candidate pairs — shared index
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val sizes = shingleSizes(s, d) // memoized per-doc counts (r19)
     val inter = cands
       .join(sh.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("shingle").as("b_shingle")), "b_id")
@@ -600,7 +619,7 @@ object Dedup {
   def dedupCurve(s: SparkSession, d: String): DataFrame = {
     val sh = shingleRows(s, d)   // memoized shingle table
     val cands = minhashLsh(s, d) // memoized candidate pairs — shared index
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val sizes = shingleSizes(s, d) // memoized per-doc counts (r19)
     val inter = cands
       .join(sh.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("shingle").as("b_shingle")), "b_id")
@@ -647,7 +666,7 @@ object Dedup {
       .join(broadcast(bench), Seq("band", "band_key"))
       .select(col("doc_id"), col("bench_id")).distinct()
     val sh = shingleRows(s, d)   // memoized shingle table
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val sizes = shingleSizes(s, d) // memoized per-doc counts (r19)
     val inter = cands
       .join(sh, "doc_id")
       .join(sh.select(col("doc_id").as("bench_id"), col("shingle").as("b_shingle")),
@@ -688,7 +707,7 @@ object Dedup {
     val est = cands.join(sigSide("a"), "a_id").join(sigSide("b"), "b_id")
       .select(col("a_id"), col("b_id"),
         Det.rnd(agree * lit(1.0) / MinhashSeeds, 4).as("est_jaccard"))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val sizes = shingleSizes(s, d) // memoized per-doc counts (r19)
     val inter = cands
       .join(sh.select(col("doc_id").as("a_id"), col("shingle")), "a_id")
       .join(sh.select(col("doc_id").as("b_id"), col("shingle").as("b_shingle")), "b_id")
@@ -792,7 +811,13 @@ object Dedup {
       .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
       .union(edges.select(col("a_id").as("src"), col("a_id").as("dst")))
       .union(edges.select(col("b_id").as("src"), col("b_id").as("dst")))
-      .repartition(col("src")).localCheckpoint(true)
+      // r19: hash-partitioned at width/4 with the layout KEPT through the
+      // checkpoint (see Memo.checkpointKeepingLayout) — every round's join
+      // probes sym without re-exchanging it; width/4 keeps the per-round
+      // stages from scheduling executor-width tiny tasks on small graphs
+      // (the S2a criterion), while still splitting the table at scale
+      .transform(df => Memo.spreadBy(df, 4, col("src")))
+      .transform(Memo.checkpointKeepingLayout)
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
     def checksum(df: DataFrame): java.math.BigDecimal = {
@@ -809,9 +834,14 @@ object Dedup {
           .select(col("dst").as("id"), col("label"))
       val nmA = nmOf()
       val nmB = nmOf().select(col("id").as("lid"), col("label").as("ll"))
+      // r19 (VERDICT r18 #6): LAZY local checkpoint — the checksum
+      // aggregate below is the round's ONE job, materializing the
+      // checkpoint blocks as it scans (truncating the next round's lineage
+      // exactly as the eager form did) AND probing convergence, where the
+      // eager form paid a separate materialization job per round.
       val next = nmA.join(nmB, col("label") === col("lid"))
         .select(col("id"), col("ll").as("label"))
-        .localCheckpoint(true) // truncate lineage per round
+        .localCheckpoint(false)
       val cur = checksum(next)
       converged = prev != null && cur.compareTo(prev) == 0
       prev = cur

@@ -46,7 +46,9 @@ object Graph {
           Det.rnd(lit(0.15) / col("n_v") +
             lit(0.85) * coalesce(col("in_sum").cast("double"), lit(0.0)), 8)
             .cast("decimal(12,8)").as("r"))
-        .localCheckpoint(true) // tiny rank table; truncates per-round lineage
+        // r19: lazy — plan stays a truncated leaf per round, blocks
+        // materialize inside the query's action (no per-round job barrier)
+        .localCheckpoint(false) // tiny rank table; truncates per-round lineage
     }
     Det.ordered(r.select(col("id").as("doc_id"), col("deg").as("degree"),
       col("r").cast("double").as("pr")))
@@ -70,7 +72,6 @@ object Graph {
     * oracle's unrolled replay) is deterministic.
     */
   def labelPropagation(s: SparkSession, d: String, iters: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val e0 = Dedup.minhashLsh(s, d).select(col("a_id"), col("b_id"))
     val edges = e0
       .union(e0.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
@@ -78,16 +79,30 @@ object Graph {
     var lbl = edges.select(col("a_id").as("id")).distinct()
       .select(col("id"), col("id").as("lbl"))
     for (_ <- 0 until iters) {
-      val wVote = Window.partitionBy(col("b_id")).orderBy(col("n").desc, col("lbl"))
+      // r19 (guide §2.4, VERDICT r18 #2): ONE exchange per vote round. The
+      // vote stream is hash-partitioned by b_id once; the (b_id, lbl) count
+      // and the per-vertex argmax both have their clustering satisfied by
+      // that partitioning (b_id ⊆ {b_id, lbl}), so neither aggregate adds
+      // an exchange — where the r18 shape paid exchange(b_id, lbl) for the
+      // count plus exchange(b_id)+sort for the window. The argmax itself is
+      // max_by over (n, −lbl): largest count first, then largest −lbl =
+      // SMALLEST label — exactly the window's (n desc, lbl asc) tie-break,
+      // and ties are impossible deeper because lbl is unique per group row.
       lbl = edges.join(lbl, col("a_id") === col("id"))
         .select(col("b_id"), col("lbl"))
         .union(lbl.select(col("id").as("b_id"), col("lbl"))) // self-vote
+        .repartition(col("b_id"))
         .groupBy(col("b_id"), col("lbl"))
         .agg(count(lit(1)).as("n"))
-        .withColumn("rn", row_number().over(wVote))
-        .where(col("rn") === 1)
+        .groupBy(col("b_id"))
+        .agg(max_by(col("lbl"), struct(col("n"), -col("lbl"))).as("lbl"))
         .select(col("b_id").as("id"), col("lbl"))
-        .localCheckpoint(true) // tiny label table; truncates round lineage
+        // r19: LAZY checkpoint — the returned plan is already a truncated
+        // LogicalRDD leaf (so per-round planning stays O(1)), but the
+        // blocks materialize inside the query's own action instead of one
+        // eager job barrier per round (the round count here is fixed
+        // oracle semantics; only the per-round plan changed)
+        .localCheckpoint(false) // tiny label table; truncates round lineage
     }
     val sizes = lbl.groupBy(col("lbl")).agg(count(lit(1)).as("community_size"))
     val out = lbl.join(sizes, "lbl")
