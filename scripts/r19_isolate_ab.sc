@@ -20,9 +20,9 @@ def q20Old(): DataFrame = {
     .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
     .select("l_partkey", "l_suppkey", "l_quantity")
   val perSup = li.groupBy(col("l_partkey"), col("l_suppkey"))
-    .agg(round(Tables.dsum(col("l_quantity")), 2).as("sup_qty"))
+    .agg(round(Det.dsum(col("l_quantity")), 2).as("sup_qty"))
   val perPart = li.groupBy(col("l_partkey").as("t_partkey"))
-    .agg(round(Tables.dsum(col("l_quantity")), 2).as("tot_qty"))
+    .agg(round(Det.dsum(col("l_quantity")), 2).as("tot_qty"))
   val heavy = perSup.join(perPart, col("l_partkey") === col("t_partkey"))
     .where(col("sup_qty") > col("tot_qty") * lit(0.2))
     .select(col("l_suppkey")).distinct()
@@ -58,15 +58,15 @@ val variants: Seq[(String, () => DataFrame)] = Seq(
   ("lm_new", () => graft.SparkEntry.queries("text_lm_score")(spark, d)),
   ("sent_ts_read", () => graft.SparkEntry.queries("ts_read")(spark, d)),
   ("sent_minhash", () => graft.SparkEntry.queries("dedup_minhash")(spark, d)))
-val samples = scala.collection.mutable.Map[String, List[Double]]().withDefaultValue(Nil)
+val samples = scala.collection.mutable.Map[String, List[Double]]()
 for (p <- 1 to 4) {
   System.gc(); Thread.sleep(1000)
   variants.foreach { case (name, fn) =>
     val t0 = System.nanoTime()
-    fn().count()
+    try { fn().count() } catch { case e: Throwable => println(s"[ab-err] $name ${e.getMessage.take(120)}") }
     val dt = (System.nanoTime() - t0) / 1e9
     spark.catalog.clearCache()
-    samples(name) = samples(name) :+ dt
+    samples.put(name, samples.getOrElse(name, Nil) :+ dt)
   }
 }
 samples.toSeq.sortBy(_._1).foreach { case (n, xs) =>

@@ -1219,18 +1219,18 @@ object Analytics {
     val li = Tables.lineitem(s, d)
       .join(broadcast(promo), col("l_partkey") === col("p_partkey"))
       .select("l_partkey", "l_suppkey", "l_quantity")
-    // r18 (guide §2.4): the per-part total is a window over the per-(part,
-    // supplier) aggregate's UNROUNDED exact-decimal partials — Σ of the
-    // per-supplier decimal sums equals the flat per-part decimal sum
-    // exactly, so one fact aggregation replaces the second aggregation +
-    // rejoin while both rounded quantities stay bit-identical.
-    val wPart = Window.partitionBy(col("l_partkey"))
+    // r19 REVERT of the r18 window-over-partials shape (VERDICT r18 #2/#5):
+    // the isolating interleaved A/B (plans/r19/q20_isolate_ab.txt, three
+    // sessions, sentinel-anchored) measured the r17 aggregate-then-rejoin
+    // consistently FASTER (min 1.42-1.54 s vs 1.48-1.72 s) — the window's
+    // sort over the partkey exchange costs more than the second partial
+    // aggregate sharing the same shuffle. Both shapes are digest-identical
+    // (Σ of per-supplier decimal sums ≡ the flat per-part decimal sum).
     val perSup = li.groupBy(col("l_partkey"), col("l_suppkey"))
-      .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("qraw"))
-    val heavy = perSup
-      .select(col("l_suppkey"),
-        round(col("qraw").cast("double"), 2).as("sup_qty"),
-        round(sum(col("qraw")).over(wPart).cast("double"), 2).as("tot_qty"))
+      .agg(round(Det.dsum(col("l_quantity")), 2).as("sup_qty"))
+    val perPart = li.groupBy(col("l_partkey").as("t_partkey"))
+      .agg(round(Det.dsum(col("l_quantity")), 2).as("tot_qty"))
+    val heavy = perSup.join(perPart, col("l_partkey") === col("t_partkey"))
       .where(col("sup_qty") > col("tot_qty") * lit(0.2))
       .select(col("l_suppkey")).distinct()
     val out = Tables.supplier(s, d)
