@@ -1042,7 +1042,11 @@ object Ann {
     for (r <- 0 until iters) {
       val wRow =
         if (r == 0)
-          covRows.select(col("ci"), wOf(typedLit(Seq.fill(64)(0.125))).as("w"))
+          // seed sized FROM the covariance row itself (ADVICE r18): a
+          // non-64-dim embedding table gets a matching-length uniform seed
+          // instead of zip_with silently null-padding a hardcoded 64
+          covRows.select(col("ci"),
+            wOf(transform(col("row"), _ => lit(0.125))).as("w"))
         else
           covRows.crossJoin(broadcast(vDf)).select(col("ci"), wOf(col("varr")).as("w"))
       vDf = wRow.agg(
