@@ -811,13 +811,14 @@ object Dedup {
       .union(edges.select(col("b_id").as("src"), col("a_id").as("dst")))
       .union(edges.select(col("a_id").as("src"), col("a_id").as("dst")))
       .union(edges.select(col("b_id").as("src"), col("b_id").as("dst")))
-      // r19: hash-partitioned at width/4 with the layout KEPT through the
-      // checkpoint (see Memo.checkpointKeepingLayout) — every round's join
-      // probes sym without re-exchanging it; width/4 keeps the per-round
-      // stages from scheduling executor-width tiny tasks on small graphs
-      // (the S2a criterion), while still splitting the table at scale
-      .transform(df => Memo.spreadBy(df, 4, col("src")))
-      .transform(Memo.checkpointKeepingLayout)
+      // r19: layout-keeping measured HERE and REJECTED — pinning sym to
+      // width/4 hash(src) partitions (so rounds skip its exchange) forced
+      // every round stage to a fixed 8 tasks, and the targeted interleaved
+      // probe ran mm_phash_clusters consistently SLOWER (4.1 vs 3.0 s;
+      // dedup_clusters/priority +0.1-0.25 s, sentinels flat): on tiny
+      // per-round frames AQE's byte-coalescing of the (cheap) sym exchange
+      // beats saving it. The S2a lesson again, from the other side.
+      .repartition(col("src")).localCheckpoint(true)
     var labels = sym.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
     def checksum(df: DataFrame): java.math.BigDecimal = {
